@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableStore
+
+class TableStoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  def freshStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("tablestore").toString)
+
+  test("create/read/overwrite preserves schema and swaps atomically") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(ts.read("t").count() === 2)
+    assert(ts.currentVersion("t") === 0)
+    // overwrite with extra column: conform drops nothing, requires cols
+    ts.overwrite("t", Seq((3, "c")).toDF("id", "v")) // int id cast to long by conform
+    assert(ts.read("t").as[(Long, String)].collect().toSet === Set((3L, "c")))
+    assert(ts.currentVersion("t") === 1)
+    // old version still readable (time travel)
+    assert(ts.readVersion("t", 0).count() === 2)
+  }
+
+  test("append is incremental and conforms types") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, 1.5)).toDF("id", "x"))
+    ts.append("t", Seq((2, 2)).toDF("id", "x"))
+    assert(ts.read("t").count() === 2)
+    assert(ts.read("t").schema("x").dataType.typeName === "double")
+  }
+
+  test("mergeUpsert: matched rows updated, new rows inserted, others kept") {
+    val ts = freshStore()
+    ts.create("t", Seq(
+      (1L, "old1", "INSERT"), (2L, "old2", "INSERT")).toDF("id", "v", "delta_change_type"))
+    val source = Seq((2L, "new2", "x"), (3L, "new3", "x")).toDF("id", "v", "delta_change_type")
+    ts.mergeUpsert("t", source, Seq("id"),
+      matchedChangeType = "UPDATE", insertChangeType = "INSERT")
+    val got = ts.read("t").as[(Long, String, String)].collect().toSet
+    assert(got === Set(
+      (1L, "old1", "INSERT"),   // untouched
+      (2L, "new2", "UPDATE"),   // matched -> updated
+      (3L, "new3", "INSERT")))  // not matched -> inserted
+  }
+
+  test("mergeUpsert is idempotent (reference idempotence scenario)") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a", "INSERT")).toDF("id", "v", "delta_change_type"))
+    val src = Seq((1L, "b", "x"), (2L, "c", "x")).toDF("id", "v", "delta_change_type")
+    ts.mergeUpsert("t", src, Seq("id"))
+    val first = ts.read("t").collect().map(_.toSeq).toSet
+    ts.mergeUpsert("t", src, Seq("id"))
+    assert(ts.read("t").collect().map(_.toSeq).toSet === first)
+  }
+
+  test("mergeUpsert on composite key (bronze M1)") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, 10L, "v1")).toDF("id", "ver", "v"))
+    ts.mergeUpsert("t", Seq((1L, 20L, "v2")).toDF("id", "ver", "v"),
+      Seq("id", "ver"), changeTypeCol = None)
+    // different version = new row, audit-trail semantics
+    assert(ts.read("t").count() === 2)
+  }
+
+  test("mergeUpsert rejects non-unique source (M6)") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "v")
+    assertThrows[IllegalArgumentException] {
+      ts.mergeUpsert("t", dup, Seq("id"), changeTypeCol = None)
+    }
+  }
+
+  test("mergeDelete removes exactly the keyed rows (M3)") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    ts.mergeDelete("t", Seq(Tuple1(2L), Tuple1(2L)).toDF("id"), Seq("id"))
+    assert(ts.read("t").select("id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
+  test("update applies set-map only where condition holds (M5)") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, false), (2L, false)).toDF("id", "is_deleted"))
+    ts.update("t", col("id") === 2L, Map("is_deleted" -> lit(true)))
+    val got = ts.read("t").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true))
+  }
+
+  test("delete keeps null-condition rows (SQL semantics)") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, Some(true)), (2L, None), (3L, Some(false)))
+      .toDF("id", "flag"))
+    ts.delete("t", col("flag"))
+    assert(ts.read("t").select("id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("createEmpty yields a zero-row table with the right schema") {
+    val ts = freshStore()
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    ts.createEmpty("t", schema)
+    assert(ts.read("t").count() === 0)
+    assert(ts.read("t").schema === schema)
+    ts.append("t", Seq((1L, "a")).toDF("id", "v"))
+    assert(ts.read("t").count() === 1)
+  }
+}
