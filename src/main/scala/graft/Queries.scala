@@ -42,7 +42,7 @@ object Queries {
                |  count(*) AS count_order
                |FROM lineitem
                |GROUP BY l_returnflag, l_linestatus""".stripMargin))
-    ) ++ QueriesRelational.defs ++ QueriesMutation.defs ++ QueriesLlm.defs
+    ) ++ QueriesRelational.defs ++ QueriesMutation.defs ++ QueriesLlm.defs ++ QueriesJobs.defs
 
   def registry: Map[String, Q] = all.map { case (k, d) => k -> d.fn }
 

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TableStore
+import graft.jobs.{PaymentData, PaymentJobs}
+import graft.ops.DateSpine
+
+/** SURVEY §2.11 composite pipeline jobs as oracle-checked queries: each
+  * runs a real job composition (through TableStore where the job
+  * mutates tables) over the deterministic defect-planted PaymentData
+  * input, and the DuckDB oracle re-derives the same end state in one
+  * SQL statement over the shared `txns` CTE (PaymentData.Sql).
+  */
+object QueriesJobs {
+
+  import Queries.{Q, QDef}
+
+  private def freshStore(s: SparkSession, name: String): TableStore = {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+      f.delete(): Unit
+    }
+    val root = s"/tmp/graft_qstore/$name"
+    del(new java.io.File(root))
+    new TableStore(s, root)
+  }
+
+  // ---- shared oracle-SQL fragments (DuckDB dialect) ----
+
+  /** Bronze staging: ¬Tier-1 + Tier-3 defaults + Tier-2 flags + W1
+    * dedup (planted duplicates are exact rows -> DISTINCT). */
+  private val StagingSql: String =
+    s"""${PaymentData.Sql},
+       |clean AS (
+       |  SELECT DISTINCT transaction_id, customer_id, transaction_timestamp, merchant_id,
+       |    coalesce(merchant_name, 'UNKNOWN_MERCHANT') AS merchant_name,
+       |    product_category,
+       |    coalesce(product_name, 'NOT_AVAILABLE') AS product_name,
+       |    amount, fee_amount, cashback_amount, loyalty_points, payment_method,
+       |    transaction_status,
+       |    coalesce(device_type, 'UNKNOWN') AS device_type,
+       |    coalesce(location_type, 'NOT_AVAILABLE') AS location_type,
+       |    currency, updated_at,
+       |    CASE WHEN amount < 0 OR cashback_amount > amount
+       |         THEN 'FAILED_VALIDATION' ELSE 'PASSED' END AS data_quality_flag,
+       |    concat_ws(';',
+       |      CASE WHEN amount < 0 THEN 'NEGATIVE_AMOUNT' END,
+       |      CASE WHEN cashback_amount > amount THEN 'EXCESSIVE_CASHBACK' END) AS validation_errors
+       |  FROM txns
+       |  WHERE NOT (transaction_id IS NULL OR transaction_id LIKE '% %'
+       |         OR amount IS NULL OR transaction_timestamp IS NULL
+       |         OR transaction_timestamp > TIMESTAMP '${PaymentData.Now}'))""".stripMargin
+
+  /** Silver: documented flag filter + W2 latest-version per id. */
+  private val SilverSql: String =
+    s"""$StagingSql,
+       |silver AS (
+       |  SELECT * EXCLUDE (data_quality_flag, validation_errors, rn) FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY transaction_id
+       |                                 ORDER BY updated_at DESC) AS rn
+       |    FROM clean WHERE data_quality_flag <> 'FAILED_VALIDATION')
+       |  WHERE rn = 1)""".stripMargin
+
+  val defs: Map[String, QDef] = Map(
+
+    // ---- validate_bronze: quarantine branch ----
+    "job_bronze_quarantine" -> QDef(
+      (s, dir) => PaymentJobs.bronzeQuarantine(PaymentData.transactions(s, dir)),
+      Some(s"""${PaymentData.Sql}
+              |SELECT transaction_id, customer_id, transaction_timestamp, amount, updated_at,
+              |  CASE WHEN transaction_id IS NULL THEN 'NULL_TRANSACTION_ID'
+              |       WHEN transaction_id LIKE '% %' THEN 'INVALID_FORMAT'
+              |       WHEN amount IS NULL THEN 'NULL_AMOUNT'
+              |       WHEN transaction_timestamp IS NULL THEN 'NULL_TIMESTAMP'
+              |       WHEN transaction_timestamp > TIMESTAMP '${PaymentData.Now}' THEN 'FUTURE_TIMESTAMP'
+              |  END AS error_reason,
+              |  'TIER_1' AS error_tier
+              |FROM txns
+              |WHERE transaction_id IS NULL OR transaction_id LIKE '% %'
+              |   OR amount IS NULL OR transaction_timestamp IS NULL
+              |   OR transaction_timestamp > TIMESTAMP '${PaymentData.Now}'""".stripMargin)),
+
+    // ---- validate_bronze: staging branch ----
+    "job_bronze_staging" -> QDef(
+      (s, dir) => PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)),
+      Some(s"$StagingSql\nSELECT * FROM clean")),
+
+    // ---- load_bronze: MERGE a CDC batch on the composite key ----
+    "job_bronze_load" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_bronze")
+        PaymentJobs.bronzeLoad(st,
+          PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)))
+      },
+      Some(s"""$StagingSql
+              |SELECT c.*, CASE WHEN CAST(substr(transaction_id, 5, 20) AS BIGINT) % 50 = 0
+              |                 THEN 'MERGE' ELSE 'LOAD' END AS delta_change_type
+              |FROM clean c""".stripMargin)),
+
+    // ---- validate_silver + load_silver: current-state table ----
+    "job_silver" -> QDef(
+      (s, dir) => PaymentJobs.silverFromBronze(
+        PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))),
+      Some(s"$SilverSql\nSELECT * FROM silver")),
+
+    // ---- GDPR pair: soft-delete in bronze, propagate to silver ----
+    "job_gdpr_propagate" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_gdpr")
+        PaymentJobs.runPipeline(st, PaymentData.transactions(s, dir))
+        PaymentJobs.gdprDelete(st, "USER_0042")
+      },
+      Some(s"$SilverSql\nSELECT * FROM silver WHERE customer_id <> 'USER_0042'")),
+
+    // ---- gold dims: distinct + surrogate keys + enrichment ----
+    "job_dim_payment_method" -> QDef(
+      (s, dir) => PaymentJobs.dimPaymentMethod(PaymentJobs.silverFromBronze(
+        PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)))),
+      Some(s"""$SilverSql
+              |SELECT CAST(row_number() OVER (ORDER BY payment_method) AS BIGINT) AS payment_method_key,
+              |  payment_method,
+              |  payment_method IN ('UPI', 'Wallet Balance') AS is_digital
+              |FROM (SELECT DISTINCT payment_method FROM silver)""".stripMargin)),
+
+    "job_dim_status" -> QDef(
+      (s, dir) => PaymentJobs.dimStatus(PaymentJobs.silverFromBronze(
+        PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)))),
+      Some(s"""$SilverSql
+              |SELECT CAST(row_number() OVER (ORDER BY transaction_status) AS BIGINT) AS status_key,
+              |  transaction_status,
+              |  transaction_status <> 'Pending' AS is_final
+              |FROM (SELECT DISTINCT transaction_status FROM silver)""".stripMargin)),
+
+    // ---- fact: star join + derived measures + -1 unknown members ----
+    "job_fact_star" -> QDef(
+      (s, dir) => {
+        val silver = PaymentJobs.silverFromBronze(
+          PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)))
+        PaymentJobs.factStar(silver,
+          PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
+          DateSpine.dimDate(s, "1995-01-01", "2002-12-31"))
+      },
+      Some(s"""$SilverSql,
+              |dim_pm AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY payment_method) AS BIGINT) AS payment_method_key,
+              |    payment_method FROM (SELECT DISTINCT payment_method FROM silver)),
+              |dim_st AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY transaction_status) AS BIGINT) AS status_key,
+              |    transaction_status FROM (SELECT DISTINCT transaction_status FROM silver))
+              |SELECT s.transaction_id,
+              |  coalesce(p.payment_method_key, -1) AS payment_method_key,
+              |  coalesce(t.status_key, -1) AS status_key,
+              |  CAST(strftime(s.transaction_timestamp, '%Y%m%d') AS INT) AS date_key,
+              |  s.amount - s.fee_amount + s.cashback_amount AS net_customer_amount,
+              |  s.amount - s.cashback_amount AS merchant_net_amount,
+              |  s.fee_amount AS gateway_revenue
+              |FROM silver s
+              |LEFT JOIN dim_pm p USING (payment_method)
+              |LEFT JOIN dim_st t ON s.transaction_status = t.transaction_status
+              |WHERE s.merchant_id NOT LIKE 'MERCH_9%'""".stripMargin))
+  )
+}
