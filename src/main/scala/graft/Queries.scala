@@ -42,7 +42,8 @@ object Queries {
                |  count(*) AS count_order
                |FROM lineitem
                |GROUP BY l_returnflag, l_linestatus""".stripMargin))
-    ) ++ QueriesRelational.defs ++ QueriesMutation.defs ++ QueriesLlm.defs ++ QueriesJobs.defs
+    ) ++ QueriesRelational.defs ++ QueriesMutation.defs ++ QueriesLlm.defs ++
+      QueriesJobs.defs ++ QueriesStreaming.defs
 
   def registry: Map[String, Q] = all.map { case (k, d) => k -> d.fn }
 

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingJobs
+
+/** Structured Streaming operator queries: st1 runs a REAL streaming
+  * query (parquet readStream -> event-time watermark -> tumbling-window
+  * aggregate -> memory sink, AvailableNow trigger) whose materialized
+  * result matches a batch DuckDB oracle; st2 is typed
+  * KeyValueGroupedDataset sessionization with a window-function oracle.
+  * StreamingSpec covers the unbounded-side semantics (late-event drops,
+  * mapGroupsWithState, foreachBatch CDC merge) with MemoryStream.
+  */
+object QueriesStreaming {
+
+  import Queries.{Q, QDef}
+
+  val defs: Map[String, QDef] = Map(
+
+    // ---- st1: streaming windowed aggregation, end-to-end ----
+    "st1_stream_windowed_counts" -> QDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = Tables.events(s, dir).schema
+        // the file-stream source requires a directory: stream the sf dir
+        // with a glob pinned to the events table
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        StreamingJobs.runToMemory(
+          s, StreamingJobs.windowedEventCounts(stream), "st1_mem")
+      },
+      Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS window_start,
+             |  event_type, count(*) AS n_events
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- st2: typed sessionization (30-min gap split) ----
+    "st2_sessionize" -> QDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        StreamingJobs.sessionize(Tables.events(s, dir)).toDF()
+          .select(col("user_id"), col("session_id"),
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+             |g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+             |                       OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+             |                     THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                     ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_id
+             |      FROM g)
+             |SELECT user_id, session_id, min(t) AS session_start,
+             |  max(t) AS session_end, count(*) AS n_events
+             |FROM s GROUP BY user_id, session_id""".stripMargin))
+  )
+}

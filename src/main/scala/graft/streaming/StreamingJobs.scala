@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.TableStore
+
+/** Structured Streaming surface: the reference's "streaming" is batch
+  * high-watermark incremental processing (SURVEY §1.1), which maps onto
+  * Structured Streaming as (a) the same job bodies driven per
+  * micro-batch via foreachBatch, and (b) genuine event-time operators
+  * over the `events` table (watermark + tumbling windows, stateful
+  * sessionization).
+  *
+  * Everything here works on a 1000-executor cluster: windowed counts
+  * shuffle once on (window, event_type) with partial aggregation;
+  * sessionization shuffles once on user_id and sorts within groups
+  * (bounded per-user state).
+  */
+object StreamingJobs {
+
+  /** events with a microsecond event time (the parquet carries
+    * TIMESTAMP(NANOS) which Spark 4 reads as long under
+    * spark.sql.legacy.parquet.nanosAsLong). TimestampType, not NTZ:
+    * streaming watermarks reject TIMESTAMP_NTZ; the session is pinned
+    * UTC so wall clocks agree. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-day windowed counts per event_type with an event-time
+    * watermark — works identically over a batch or streaming source. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ev_ts", "1 day")
+      .groupBy(window(col("ev_ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Run a bounded streaming DataFrame to a memory sink and return the
+    * materialized result (complete mode: emits every window, including
+    * ones the watermark has not closed — matching the batch oracle). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  final case class Session(
+      user_id: Long, session_id: Int,
+      session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Typed sessionization over KeyValueGroupedDataset: split each user's
+    * event stream on >30-minute gaps (ordered by (ts, event_id) for a
+    * total order). One shuffle on user_id; per-group state is the
+    * user's events (bounded — the streaming twin is
+    * flatMapGroupsWithState with a session timeout, StreamingSpec). */
+  def sessionize(events: DataFrame): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapNanos = 30L * 60 * 1000 * 1000 * 1000
+    withEventTime(events)
+      .select(col("user_id").as[Long], col("event_id").as[Long], col("ts").as[Long])
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        def toMicrosTs(nanos: Long): Timestamp =
+          Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(
+            nanos / 1000000000L, (nanos % 1000000000L / 1000 * 1000).toInt,
+            java.time.ZoneOffset.UTC))
+        val evs = it.toArray.sortBy(e => (e._3, e._2)) // (ts, event_id)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+        var sid = 0
+        var curStart = -1L; var curEnd = -1L; var curN = 0L
+        evs.foreach { case (_, _, t) =>
+          if (curN == 0 || t - curEnd > gapNanos) {
+            if (curN > 0) { sessions += ((sid, curStart, curEnd, curN)); sid += 1 }
+            curStart = t; curEnd = t; curN = 1
+          } else { curEnd = t; curN += 1 }
+        }
+        if (curN > 0) sessions += ((sid, curStart, curEnd, curN))
+        sessions.iterator.map { case (id, s0, e0, cnt) =>
+          Session(uid, id, toMicrosTs(s0), toMicrosTs(e0), cnt)
+        }
+      }
+  }
+
+  /** The watermark-incremental pattern on a real stream: each
+    * micro-batch MERGEs into the TableStore target — the reference's
+    * validate+load pair driven by foreachBatch (SURVEY §7.4.5). */
+  def cdcMergeStream(streamed: DataFrame, store: TableStore, table: String,
+                     keys: Seq[String]) =
+    streamed.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // intra-batch dedup first (M6 uniqueness precondition)
+          val unique = graft.ops.Dedup.latestVersionAgg(
+            batch, keys, struct(batch.columns.filterNot(keys.contains).map(col): _*))
+          store.mergeUpsert(table, unique, keys,
+            changeTypeCol = None, verifyUniqueSource = false)
+        }
+      }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableStore
+import graft.streaming.StreamingJobs
+
+/** Unbounded-side streaming semantics with MemoryStream: late-event
+  * drops past the watermark, stateful running aggregates, and the
+  * foreachBatch CDC-merge pattern into TableStore.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops events later than the threshold (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val windowed = input.toDF().toDF("ev_ts", "k")
+      .withWatermark("ev_ts", "10 minutes")
+      .groupBy(window(col("ev_ts"), "10 minutes")).count()
+    val q = windowed.writeStream.format("memory")
+      .queryName("wm_test").outputMode("append").start()
+    // batch 1: two windows; watermark advances to 01:00 - 10min = 00:50
+    input.addData((ts("2024-01-01 00:05:00"), "a"), (ts("2024-01-01 01:00:00"), "b"))
+    q.processAllAvailable()
+    // batch 2: an event at 00:07 is far behind the watermark -> dropped;
+    // one at 01:05 lands in the open window
+    input.addData((ts("2024-01-01 00:07:00"), "late"), (ts("2024-01-01 01:05:00"), "c"))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to close every window
+    input.addData((ts("2024-01-01 03:00:00"), "z"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_test")
+      .select(col("window.start").cast("string"), col("count")).as[(String, Long)]
+      .collect().toMap
+    assert(rows("2024-01-01 00:00:00") === 1) // late event NOT counted
+    assert(rows("2024-01-01 01:00:00") === 2) // open-window event counted
+  }
+
+  test("mapGroupsWithState keeps running counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + it.size
+          state.update(next)
+          (k, next)
+      }
+    val q = counted.toDF("k", "n").writeStream.format("memory")
+      .queryName("state_test").outputMode("update").start()
+    input.addData(("a", 1), ("a", 2), ("b", 1))
+    q.processAllAvailable()
+    input.addData(("a", 3), ("c", 1))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: last emitted row per key reflects cumulative state
+    val last = spark.table("state_test").groupBy("k").agg(max("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(last === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("foreachBatch CDC merge converges the TableStore target") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new TableStore(spark, Files.createTempDirectory("cdcstream").toString)
+    store.create("t", Seq((1L, "v0", 0L)).toDF("id", "v", "updated"))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamingJobs.cdcMergeStream(
+      input.toDF().toDF("id", "v", "updated"), store, "t", Seq("id")).start()
+    // batch with an intra-batch duplicate key: latest `updated` wins
+    input.addData((1L, "v1", 1L), (2L, "v2a", 1L), (2L, "v2b", 2L))
+    q.processAllAvailable()
+    input.addData((3L, "v3", 3L))
+    q.processAllAvailable()
+    q.stop()
+    val got = store.read("t").as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "v1", 1L), (2L, "v2b", 2L), (3L, "v3", 3L)))
+  }
+}
