@@ -133,6 +133,77 @@ object QueriesJobs {
               |  transaction_status <> 'Pending' AS is_final
               |FROM (SELECT DISTINCT transaction_status FROM silver)""".stripMargin)),
 
+    // ---- gold_dim_customer SCD2: A2 aggregate snapshot -> step ----
+    // (dim seeded from the pre-CDC state minus the USER_09% band; the
+    //  full snapshot then drives all three branches: new keys insert,
+    //  changed bands close+reversion, stable rows untouched)
+    "job_dim_customer_scd2" -> QDef(
+      (s, dir) => {
+        def custAgg(df: DataFrame): DataFrame = df
+          .groupBy(col("customer_id"))
+          .agg(sum(when(col("transaction_status") === "Failed", 1).otherwise(0)).as("n_failed"))
+          .withColumn("band",
+            when(col("n_failed") === 0, "CLEAN")
+              .when(col("n_failed") <= 2, "SOME").otherwise("MANY"))
+          .select("customer_id", "band")
+        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))
+        val silverAll = PaymentJobs.silverFromBronze(staging)
+        val silverPre = PaymentJobs.silverFromBronze(
+          staging.filter(col("updated_at") === col("transaction_timestamp")))
+        val dim1 = graft.ops.SurrogateKeys.byOrder(
+            custAgg(silverPre).filter(!col("customer_id").like("USER_09%")),
+            "customer_key", Seq(col("customer_id")))
+          .withColumn("effective_start_date", to_date(lit("2026-01-01")))
+          .withColumn("effective_end_date", lit(null).cast("date"))
+          .withColumn("is_current", lit(true))
+        graft.ops.Scd2.step(dim1, custAgg(silverAll),
+            graft.ops.Scd2.Config("customer_id", "customer_key", Seq("band")),
+            to_date(lit("2026-08-12")))
+          .select("customer_id", "customer_key", "band",
+            "effective_start_date", "effective_end_date", "is_current")
+      },
+      Some(s"""$SilverSql,
+              |s1 AS (SELECT * FROM clean
+              |       WHERE data_quality_flag <> 'FAILED_VALIDATION'
+              |         AND updated_at = transaction_timestamp),
+              |agg1 AS (SELECT customer_id,
+              |    CASE WHEN n_failed = 0 THEN 'CLEAN' WHEN n_failed <= 2 THEN 'SOME'
+              |         ELSE 'MANY' END AS band
+              |  FROM (SELECT customer_id,
+              |          sum(CASE WHEN transaction_status = 'Failed' THEN 1 ELSE 0 END) AS n_failed
+              |        FROM s1 GROUP BY customer_id)),
+              |agg2 AS (SELECT customer_id,
+              |    CASE WHEN n_failed = 0 THEN 'CLEAN' WHEN n_failed <= 2 THEN 'SOME'
+              |         ELSE 'MANY' END AS band
+              |  FROM (SELECT customer_id,
+              |          sum(CASE WHEN transaction_status = 'Failed' THEN 1 ELSE 0 END) AS n_failed
+              |        FROM silver GROUP BY customer_id)),
+              |dim1 AS (SELECT customer_id, band,
+              |    CAST(row_number() OVER (ORDER BY customer_id) AS BIGINT) AS customer_key,
+              |    DATE '2026-01-01' AS effective_start_date,
+              |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
+              |  FROM agg1 WHERE customer_id NOT LIKE 'USER_09%'),
+              |chg AS (SELECT d.customer_id, a.band AS new_band
+              |  FROM dim1 d JOIN agg2 a USING (customer_id) WHERE d.band <> a.band),
+              |closed AS (SELECT d.customer_id, d.customer_key, d.band, d.effective_start_date,
+              |    CASE WHEN c.customer_id IS NOT NULL THEN DATE '2026-08-12'
+              |         ELSE d.effective_end_date END AS effective_end_date,
+              |    CASE WHEN c.customer_id IS NOT NULL THEN false ELSE d.is_current END AS is_current
+              |  FROM dim1 d LEFT JOIN chg c ON d.customer_id = c.customer_id),
+              |ins AS (SELECT customer_id, band,
+              |    CAST(row_number() OVER (ORDER BY customer_id)
+              |         + (SELECT max(customer_key) FROM dim1) AS BIGINT) AS customer_key,
+              |    DATE '2026-08-12' AS effective_start_date,
+              |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
+              |  FROM (SELECT customer_id, band FROM agg2
+              |        WHERE customer_id NOT IN (SELECT customer_id FROM dim1)
+              |        UNION ALL SELECT customer_id, new_band FROM chg))
+              |SELECT customer_id, customer_key, band, effective_start_date,
+              |  effective_end_date, is_current FROM closed
+              |UNION ALL
+              |SELECT customer_id, customer_key, band, effective_start_date,
+              |  effective_end_date, is_current FROM ins""".stripMargin)),
+
     // ---- fact: star join + derived measures + -1 unknown members ----
     "job_fact_star" -> QDef(
       (s, dir) => {

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Multimodal
+
+/** Multimodal-column queries. The media table is synthesized from
+  * `documents` (payload = utf-8 bytes of the text, kind by residue) so
+  * the stub decoder's byte-derived features are expressible over the
+  * text in DuckDB (ascii(substr(...)) == byte value for ASCII text) —
+  * the Spark side genuinely routes BINARY payloads through the typed
+  * mapPartitions decode.
+  */
+object QueriesMultimodal {
+
+  import Queries.{Q, QDef}
+
+  private val KindSql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  val defs: Map[String, QDef] = Map(
+
+    // ---- mm1: binary payload -> typed metadata via mapPartitions ----
+    "mm1_decode_meta" -> QDef(
+      (s, dir) => {
+        val media = Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          col("text").cast("binary").as("payload"))
+        Multimodal.decodeMeta(media).toDF()
+      },
+      Some(s"""SELECT doc_id AS media_id,
+              |  $KindSql AS kind,
+              |  CAST(length(text) AS INT) AS n_bytes,
+              |  CAST(ascii(substr(text, 1, 1)) % 128 + 16 AS INT) AS width,
+              |  CAST(ascii(substr(text, 2, 1)) % 128 + 16 AS INT) AS height,
+              |  CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) // 256 ELSE 1 END AS INT) AS n_frames,
+              |  (ascii(substr(text, 1, 1)) + ascii(substr(text, length(text), 1))) / 2.0 AS brightness
+              |FROM documents""".stripMargin)),
+
+    // ---- mm2: frame sampling (offsets only — payload never shuffles) ----
+    "mm2_frame_sample" -> QDef(
+      (s, dir) => {
+        val media = Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 2, "video").otherwise("image").as("kind"),
+          col("text").cast("binary").as("payload"))
+        Multimodal.sampleFrames(media, stride = 64)
+      },
+      Some("""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+             |  CAST(f * 64 AS INT) AS offset
+             |FROM (SELECT doc_id, length(text) AS n, unnest(generate_series(0, (length(text) - 1) // 64)) AS f
+             |      FROM documents WHERE doc_id % 3 = 2)""".stripMargin))
+  )
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque BINARY payloads with
+  * typed metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark-side shape is the real thing — binary column + schema,
+  * hash-partitioned parallel decode via typed mapPartitions (the Scala
+  * analogue of mapInPandas: one iterator per partition, so a real
+  * decoder amortizes model/codec init across the partition, exactly
+  * like a pandas-batch UDF would). The DECODER ITSELF IS A STUB: this
+  * container has no image/audio codecs, so `decodeStub` derives
+  * deterministic fake dimensions/features from the bytes. Swap
+  * [[MediaDecoder.decodeStub]] for a real codec and nothing else
+  * changes.
+  *
+  * Scale: decode is narrow (no shuffle), CPU-bound, embarrassingly
+  * parallel; `repartition(n)` upstream controls decode parallelism.
+  * Frame sampling keeps only offsets, not frame payloads — at 100 TB
+  * the decoded features (KBs) shuffle, the raw media (MBs) never does.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      brightness: Double)
+
+  object MediaDecoder {
+    /** STUB decoder — deterministic fake parse of a media header.
+      * Real implementation would dispatch on `kind` to an image/audio/
+      * video codec; the fake derives:
+      *   width  = first byte % 128 + 16
+      *   height = second byte % 128 + 16
+      *   n_frames (video) = n_bytes / 256, else 1
+      *   brightness = (first + last byte) / 2
+      */
+    def decodeStub(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
+      require(payload.nonEmpty, s"empty payload for media $id")
+      val b0 = payload.head & 0xFF
+      val b1 = (if (payload.length > 1) payload(1) else payload.head) & 0xFF
+      val bLast = payload.last & 0xFF
+      MediaMeta(
+        media_id = id,
+        kind = kind,
+        n_bytes = payload.length,
+        width = b0 % 128 + 16,
+        height = b1 % 128 + 16,
+        n_frames = if (kind == "video") payload.length / 256 else 1,
+        brightness = (b0 + bLast) / 2.0)
+    }
+  }
+
+  /** Decode a media table (media_id, kind, payload BINARY) into typed
+    * metadata — one partition-iterator pass, codec init once per
+    * partition (the `decoder` value models that). */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("kind").as[String],
+        col("payload").as[Array[Byte]])
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = MediaDecoder // per-partition "codec init" site
+        it.map { case (id, kind, bytes) => decoder.decodeStub(id, kind, bytes) }
+      }
+  }
+
+  /** Frame sampling for video payloads: every `stride` bytes yields a
+    * frame offset (stub for keyframe extraction) — output is (id,
+    * frame_no, offset), the real decoder would attach the frame bytes. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0),
+          ((length(col("payload")) - 1) / stride).cast("int"))).as("frame_no"))
+      .withColumn("offset", col("frame_no") * stride)
+}
