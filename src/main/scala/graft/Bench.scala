@@ -7,9 +7,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up executor threads, codegen compiler, and the FS cache so the
+    // first timed query doesn't absorb session start-up (~3-4 s)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -146,7 +146,9 @@ object QueriesJobs {
             when(col("n_failed") === 0, "CLEAN")
               .when(col("n_failed") <= 2, "SOME").otherwise("MANY"))
           .select("customer_id", "band")
-        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))
+        // staging feeds both the dim seed and the snapshot (and Scd2.step
+        // re-reads the dim for its max-key lookup): cache the common prefix
+        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)).cache()
         val silverAll = PaymentJobs.silverFromBronze(staging)
         val silverPre = PaymentJobs.silverFromBronze(
           staging.filter(col("updated_at") === col("transaction_timestamp")))
@@ -207,8 +209,9 @@ object QueriesJobs {
     // ---- fact: star join + derived measures + -1 unknown members ----
     "job_fact_star" -> QDef(
       (s, dir) => {
+        // silver feeds the fact scan and both dim builds
         val silver = PaymentJobs.silverFromBronze(
-          PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)))
+          PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))).cache()
         PaymentJobs.factStar(silver,
           PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
           DateSpine.dimDate(s, "1995-01-01", "2002-12-31"))

@@ -32,6 +32,23 @@ object QueriesRelational {
 
   val defs: Map[String, QDef] = Map(
 
+    // ---- S1+P1: CSV scan (header, all-string, no inferSchema) + the
+    //      explicit CAST projection (bronze/jobs/validate_bronze.py:20,26-42) ----
+    "s1_csv_scan" -> QDef(
+      (s, dir) => {
+        val out = s"/tmp/graft_csv/${new java.io.File(dir).getName}"
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true").csv(out) // untyped: every column string
+          .select(
+            col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_custkey").cast("long").as("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+             |FROM orders""".stripMargin)),
+
     // ---- P2: watermark incremental predicate (new rows OR late updates) ----
     "p2_watermark_pred" -> QDef(
       (s, dir) => {

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full medallion chain: defect-planted input -> 3-tier validation
+    * -> W1/W2 dedup -> star join with broadcast dims + derived measures. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("job_fact_star")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.registry

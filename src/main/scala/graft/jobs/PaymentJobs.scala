@@ -154,7 +154,7 @@ object PaymentJobs {
       .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
     store.create("bronze_transactions", bronze) // schema-widening replace
     val silver = silverFromBronze(
-      bronze.drop("is_deleted", "deleted_at"))
+      bronze.drop("is_deleted", "deleted_at")).cache()
     store.create("silver_transactions", silver)
     val spark = txns.sparkSession
     factStar(silver, dimPaymentMethod(silver), dimStatus(silver),
