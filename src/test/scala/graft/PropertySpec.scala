@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableStore
+import graft.ops.{Dedup, Validation}
+
+/** Property-style tests over seeded random inputs (SURVEY §5: the
+  * reference only tests merge/dedup idempotence manually). Deterministic
+  * seeds keep failures reproducible without a generator framework
+  * runner.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  def randomRows(seed: Long, n: Int): Seq[(Long, Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(20).toLong, rnd.nextInt(50).toLong,
+      "v" + rnd.nextInt(1000)))
+  }
+
+  test("latestVersionAgg (scale path) == window row_number (reference shape)") {
+    for (seed <- 1L to 5L) {
+      val df = randomRows(seed, 300).toDF("id", "ver", "v")
+      val aggForm = Dedup.latestVersionAgg(df, Seq("id"),
+          struct(col("ver"), col("v"))) // total order incl. tie-break
+        .as[(Long, Long, String)].collect().toSet
+      val windowForm = Dedup.latestVersion(
+          df, Seq("id"), "ver", Seq(col("v").desc))
+        .as[(Long, Long, String)].collect().toSet
+      assert(aggForm === windowForm, s"seed=$seed")
+    }
+  }
+
+  test("exact dedup is idempotent and key-unique") {
+    for (seed <- 1L to 5L) {
+      val df = randomRows(seed, 200).toDF("id", "ver", "v")
+      val once = Dedup.exact(df, Seq("id", "ver"))
+      val twice = Dedup.exact(once, Seq("id", "ver"))
+      assert(once.count() === twice.count(), s"seed=$seed")
+      assert(once.groupBy("id", "ver").count().filter(col("count") > 1).count() === 0)
+    }
+  }
+
+  test("mergeUpsert is idempotent and preserves key-uniqueness") {
+    for (seed <- 10L to 12L) {
+      val store = new TableStore(spark, Files.createTempDirectory("prop").toString)
+      val target = Dedup.exact(randomRows(seed, 100).toDF("id", "ver", "v"), Seq("id"))
+      val source = Dedup.exact(randomRows(seed + 100, 100).toDF("id", "ver", "v"), Seq("id"))
+      store.create("t", target)
+      store.mergeUpsert("t", source, Seq("id"), changeTypeCol = None)
+      val once = store.read("t").as[(Long, Long, String)].collect().toSet
+      store.mergeUpsert("t", source, Seq("id"), changeTypeCol = None)
+      val twice = store.read("t").as[(Long, Long, String)].collect().toSet
+      assert(once === twice, s"seed=$seed")
+      // post-merge: matched keys carry source content, unmatched target
+      // rows survive, and keys stay unique
+      val srcMap = source.as[(Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      val tgtKeys = target.as[(Long, Long, String)].collect().map(_._1).toSet
+      assert(once.map(_._1) === tgtKeys ++ srcMap.keySet)
+      once.foreach { case row @ (k, _, _) =>
+        srcMap.get(k).foreach(s => assert(row === s, s"seed=$seed key=$k"))
+      }
+    }
+  }
+
+  test("classify/errorList/qualityFlag are mutually consistent") {
+    for (seed <- 1L to 3L) {
+      val rules = Seq(
+        Validation.Rule("R1", col("ver") % 3 === 0),
+        Validation.Rule("R2", col("v").like("v1%")))
+      val df = randomRows(seed, 200).toDF("id", "ver", "v")
+        .select(col("*"),
+          Validation.classify(rules).as("reason"),
+          Validation.errorList(rules).as("errs"),
+          Validation.qualityFlag(rules).as("flag"),
+          Validation.anyFail(rules).as("fails"))
+      // flag FAILED <=> some rule fails <=> classify non-null <=> errs non-empty
+      assert(df.filter(col("fails") =!= (col("flag") === "FAILED_VALIDATION")).count() === 0)
+      assert(df.filter(col("fails") =!= col("reason").isNotNull).count() === 0)
+      assert(df.filter(col("fails") =!= (length(col("errs")) > 0)).count() === 0)
+      // classify reports the FIRST failing rule
+      assert(df.filter(col("ver") % 3 === 0 && col("reason") =!= "R1").count() === 0)
+    }
+  }
+}
