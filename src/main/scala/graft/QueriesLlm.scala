@@ -276,6 +276,44 @@ object QueriesLlm {
       },
       None),
 
+    // ---- e4: IVF approximate top-k (coarse quantize -> probe cells) ----
+    // (the other scale path besides LSH: assign every vector to its
+    //  nearest of 16 deterministic coarse centroids — one broadcast pass —
+    //  then probe the 4 cells nearest each query. Candidate set is the
+    //  probed cells' members only; at 100 TB the assignment is a narrow
+    //  map over the corpus and the probe reads ~nprobe/K of it.
+    //  Approximate -> rows-only; recall vs e1 in LlmOpsSpec.)
+    "e4_ann_ivf_topk" -> QDef(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val cents = n.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+        val scoredCells = n.crossJoin(broadcast(cents))
+          .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        // cell assignment: argmax centroid per vector (map-side combine)
+        val assigned = scoredCells.groupBy("vec_id")
+          .agg(max_by(col("cent_id"), struct(col("ccos"), negate(col("cent_id")))).as("cell"))
+        // probe list: 4 nearest cells per query
+        val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cent_id").asc)
+        val probes = scoredCells.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("cent_id"), col("ccos"))
+          .withColumn("pr", row_number().over(wq)).filter(col("pr") <= 4)
+          .select(col("query_id"), col("cent_id").as("cell"))
+        val candIds = probes.join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("cand_id"))
+        val scored = candIds
+          .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
+          .join(broadcast(n.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+            Seq("query_id"))
+          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("query_id"), col("cand_id"), col("cosine"))
+      },
+      None),
+
     // ---- t1: language ID — marker-token scores + argmax ----
     "t1_lang_id" -> QDef(
       (s, dir) => Tables.documents(s, dir)

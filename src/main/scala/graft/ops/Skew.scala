@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (brief §scale: "salting for skew").
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime, but a
+  * skewed AGGREGATION still funnels each hot key's rows through one
+  * task's hash-map slot, and a skewed broadcast-build is unaffected by
+  * AQE. Salting splits each key into `buckets` sub-keys, aggregates
+  * partially per sub-key (parallel), then re-aggregates the per-salt
+  * partials — the classic two-phase combine, expressed so Catalyst
+  * still plans hash aggregates with map-side partial combine at BOTH
+  * phases.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: equivalent to
+    * `df.groupBy(keys).agg(aggs)` for aggregates with a partial/merge
+    * decomposition. `aggs` maps output column name -> (partial aggregate
+    * over raw rows, merge aggregate over partials). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int)(
+      aggs: Map[String, (Column, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, (p, _)) => p.as(s"__p_$n") }.toSeq: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(aggs.head._2._2(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
+        aggs.tail.map { case (n, (_, m)) => m(col(s"__p_$n")).as(n) }.toSeq: _*)
+  }
+
+  /** Salted equi-join for a skewed LEFT side against a small-ish right
+    * side that cannot be broadcast: explode the right side `buckets`
+    * times, salt the left randomly-but-deterministically, join on
+    * (key, salt) — hot keys spread over `buckets` tasks. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(buckets)))
+    val explodedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit((buckets - 1).toLong))))
+    saltedLeft.join(explodedRight, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+}

@@ -52,6 +52,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (q, _) => q < 10 })
   }
 
+  test("e4 IVF top-k has reasonable recall vs e1 brute force") {
+    val truth = run("e1_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run("e4_ann_ivf_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(recall >= 0.4, s"IVF recall $recall (probing 4/16 cells)")
+  }
+
   test("dedup: exact drops planted copies, latest-version keeps max") {
     import spark.implicits._
     val df = Seq(
