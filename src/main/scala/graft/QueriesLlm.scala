@@ -181,7 +181,10 @@ object QueriesLlm {
           .select(col("doc_a"), col("doc_b"),
             bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 12)
+          // tight radius: the synthetic corpus has a ~30-word vocabulary,
+          // so loose radii (e.g. 12) explode quadratically with corpus
+          // size; planted near-dups sit at hamming <= 6
+          .filter(col("hamming") <= 6)
       },
       None),
 

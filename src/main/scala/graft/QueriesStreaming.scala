@@ -34,6 +34,33 @@ object QueriesStreaming {
              |  event_type, count(*) AS n_events
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- st3: built-in session_window (gap-based, streaming-capable) ----
+    // (the declarative twin of st2's typed sessionization: Catalyst's
+    //  session_window merges events closer than the gap; session end is
+    //  last event + gap by definition)
+    "st3_session_window" -> QDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        StreamingJobs.withEventTime(Tables.events(s, dir))
+          .groupBy(col("user_id"), session_window(col("ev_ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").cast("timestamp_ntz").as("session_start"),
+            col("session_window.end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+             |g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+             |                       OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+             |                     THEN 1 ELSE 0 END AS brk
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+             |SELECT user_id, min(t) AS session_start,
+             |  max(t) + INTERVAL 30 MINUTE AS session_end,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // ---- st2: typed sessionization (30-min gap split) ----
     "st2_sessionize" -> QDef(
       (s, dir) => {

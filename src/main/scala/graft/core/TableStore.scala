@@ -228,4 +228,21 @@ class TableStore(spark: SparkSession, root: String) {
   /** DELETE ... WHERE cond. Null condition rows are kept (SQL semantics). */
   def delete(name: String, condition: Column): Unit =
     overwrite(name, read(name).filter(!coalesce(condition, lit(false))))
+
+  /** OPTIMIZE-style compaction: rewrite the accumulated batch dirs as a
+    * single dir sized to `targetPartitions` files. Appends are O(new
+    * data), so a frequently-appended table accretes small dirs; compact
+    * restores big-scan efficiency. Old versions remain readable (time
+    * travel is unaffected — the manifest history still points at the
+    * original dirs). Reference lists compaction as future work
+    * (README.md:654-659); here it falls out of the versioned layout. */
+  def compact(name: String, targetPartitions: Int = 0): Unit = {
+    val df = read(name)
+    val sized = if (targetPartitions > 0) df.coalesce(targetPartitions) else df
+    overwrite(name, sized)
+  }
+
+  /** Number of live batch dirs (compaction observability). */
+  def liveDirCount(name: String): Int =
+    readManifest(name, currentVersion(name))._2.size
 }

@@ -101,6 +101,19 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.read("t").select("id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("compact folds accumulated append dirs into one, preserving data") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    (2L to 5L).foreach(i => ts.append("t", Seq((i, "x" + i)).toDF("id", "v")))
+    assert(ts.liveDirCount("t") === 5)
+    val before = ts.read("t").collect().map(_.toSeq).toSet
+    ts.compact("t", targetPartitions = 1)
+    assert(ts.liveDirCount("t") === 1)
+    assert(ts.read("t").collect().map(_.toSeq).toSet === before)
+    // pre-compaction version still time-travels
+    assert(ts.readVersion("t", 4).count() === 5)
+  }
+
   test("createEmpty yields a zero-row table with the right schema") {
     val ts = freshStore()
     val schema = Seq((1L, "a")).toDF("id", "v").schema
