@@ -22,23 +22,25 @@ import org.apache.spark.sql.types.StructType
   *  - MERGE source-uniqueness precondition: README.md:213-217
   *
   * Layout (Delta-VLDB-paper-style log, minus checkpointing):
-  *   root/<table>/data/b<0-padded n>/   immutable parquet batch dirs
-  *   root/<table>/_v/<n>.json           manifest: schema + live batch dirs
-  *   root/<table>/_LATEST               current version number (atomic swap)
+  *   root/<table>/data/b<0-padded n>[/__b=<k>]/  immutable parquet dirs
+  *   root/<table>/_v/<n>.json                    manifest: schema + live dirs
+  *                                               [+ bucket keys / count]
+  *   root/<table>/_LATEST                        current version (atomic swap)
   *
-  * Readers resolve _LATEST -> manifest -> union scan of live dirs, so
-  * concurrent readers never observe a half-written version; writers
-  * commit by writing the next manifest then atomically replacing
+  * Readers resolve _LATEST -> manifest -> one multi-path scan of live
+  * dirs, so concurrent readers never observe a half-written version;
+  * writers commit by writing the next manifest then atomically replacing
   * _LATEST. Old versions stay readable (time travel via readVersion).
   *
-  * Scale notes (100 TB): APPEND is O(new data) — it only adds a batch
-  * dir. The mutating ops (merge/update/delete/overwrite) rewrite the
-  * table, like a partition-less Delta merge rewrites matched files;
-  * the manifest's dir-level granularity is the hook for file-pruned
-  * rewrites (join source keys against per-dir min/max stats and rewrite
-  * only matched dirs) — not needed at fixture scale. Merge itself is a
-  * single shuffle (full-outer hash join on the keys); no driver-side
-  * row handling anywhere.
+  * Scale (100 TB): APPEND is O(new data) — it adds dirs. For tables
+  * created with [[createBucketed]], data lives in hash-bucket leaf dirs
+  * (`__b=<k>` by pmod(hash(bucketKeys), n)) and key-driven mutations
+  * (mergeUpsert / mergeDelete) REWRITE ONLY THE BUCKETS THE SOURCE KEYS
+  * TOUCH — a CDC batch hitting 3 of 256 buckets rewrites ~1% of the
+  * table, the manifest-level equivalent of Delta's file pruning. The
+  * merge itself is a single shuffled full-outer join; no driver-side
+  * row handling anywhere (only the source's distinct bucket ids are
+  * collected — at most n integers).
   */
 class TableStore(spark: SparkSession, root: String) {
 
@@ -54,11 +56,22 @@ class TableStore(spark: SparkSession, root: String) {
     new String(Files.readAllBytes(latestPtr(name)), StandardCharsets.UTF_8).trim.toLong
   }
 
-  // ---- manifest (de)serialization: {"schema": <ddl>, "dirs": ["b0", ...]} ----
-  private def writeManifest(name: String, v: Long, schema: StructType, dirs: Seq[String]): Unit = {
+  /** Hash bucketing spec: data is split into `n` leaf dirs by
+    * pmod(hash(keys), n). */
+  final case class Bucketing(keys: Seq[String], n: Int) {
+    def expr: Column = pmod(hash(keys.map(col): _*), lit(n))
+  }
+
+  // ---- manifest (de)serialization ----
+  // {"schema": <ddl>, "dirs": [..], "bucketkeys": [..], "nbuckets": N}
+  // (the last two only for bucketed tables)
+  private def writeManifest(name: String, v: Long, schema: StructType,
+                            dirs: Seq[String], bucketing: Option[Bucketing]): Unit = {
     Files.createDirectories(manifest(name, v).getParent)
-    val json = s"""{"schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]}"""
-    Files.write(manifest(name, v), json.getBytes(StandardCharsets.UTF_8))
+    val base = s""""schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]"""
+    val extra = bucketing.map(b =>
+      s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
+    Files.write(manifest(name, v), s"{$base$extra}".getBytes(StandardCharsets.UTF_8))
   }
 
   private def jsonStr(s: String): String =
@@ -67,14 +80,24 @@ class TableStore(spark: SparkSession, root: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  private def readManifest(name: String, v: Long): (StructType, Seq[String]) = {
+  private def parseStrArray(part: String): Seq[String] =
+    if (part.trim.isEmpty) Seq.empty
+    else part.split(",").toSeq.map(s => unescape(s.trim.stripPrefix("\"").stripSuffix("\"")))
+
+  private def readManifest(name: String, v: Long): (StructType, Seq[String], Option[Bucketing]) = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
-    // minimal parser for the exact shape we write
+    // minimal parser for the exact shapes we write
     val schemaDdl = unescape(json.split("\"schema\": \"", 2)(1).split("\", \"dirs\"", 2)(0))
-    val dirsPart = json.split("\"dirs\": \\[", 2)(1).stripSuffix("]}")
-    val dirs = if (dirsPart.trim.isEmpty) Seq.empty[String]
-      else dirsPart.split(",").toSeq.map(s => unescape(s.trim.stripPrefix("\"").stripSuffix("\"")))
-    (StructType.fromDDL(schemaDdl), dirs)
+    val afterDirs = json.split("\"dirs\": \\[", 2)(1)
+    val dirsPart = afterDirs.split("\\]", 2)(0)
+    val rest = afterDirs.split("\\]", 2)(1)
+    val bucketing =
+      if (rest.contains("\"bucketkeys\"")) {
+        val keysPart = rest.split("\"bucketkeys\": \\[", 2)(1).split("\\]", 2)(0)
+        val n = rest.split("\"nbuckets\": ", 2)(1).stripSuffix("}").trim.toInt
+        Some(Bucketing(parseStrArray(keysPart), n))
+      } else None
+    (StructType.fromDDL(schemaDdl), parseStrArray(dirsPart), bucketing)
   }
 
   private def unescape(s: String): String = {
@@ -93,18 +116,36 @@ class TableStore(spark: SparkSession, root: String) {
     sb.toString
   }
 
-  /** Write df as the (v+1) batch dir, then commit manifest+pointer. */
+  private def bucketOf(entry: String): Int =
+    entry.split("/__b=", 2)(1).toInt
+
+  /** Write df as version (v+1)'s batch dir(s), commit manifest+pointer. */
   private def commit(name: String, df: Option[DataFrame], schema: StructType,
-                     carryForward: Seq[String]): Long = {
+                     carryForward: Seq[String], bucketing: Option[Bucketing]): Long = {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d) =>
         val batch = f"b$v%09d"
-        d.write.mode("overwrite").parquet(dir(name).resolve("data").resolve(batch).toString)
-        carryForward :+ batch
+        val target = dir(name).resolve("data").resolve(batch)
+        bucketing match {
+          case Some(b) =>
+            // leaf dir per bucket; __b derives from the keys so it is
+            // not stored in the files and never needs recovering
+            d.withColumn("__b", b.expr)
+              .write.mode("overwrite").partitionBy("__b").parquet(target.toString)
+            val leaves =
+              if (!Files.exists(target)) Seq.empty
+              else Files.list(target).iterator().asScala
+                .map(_.getFileName.toString).filter(_.startsWith("__b="))
+                .map(l => s"$batch/$l").toSeq.sorted
+            carryForward ++ leaves
+          case None =>
+            d.write.mode("overwrite").parquet(target.toString)
+            carryForward :+ batch
+        }
       case None => carryForward
     }
-    writeManifest(name, v, schema, newDirs)
+    writeManifest(name, v, schema, newDirs, bucketing)
     val tmp = dir(name).resolve(s"_LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
@@ -112,43 +153,71 @@ class TableStore(spark: SparkSession, root: String) {
     v
   }
 
-  def readVersion(name: String, v: Long): DataFrame = {
-    val (schema, dirs) = readManifest(name, v)
-    if (dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  private def scanDirs(dirs: Seq[String], name: String, schema: StructType): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val paths = dirs.map(b => dir(name).resolve("data").resolve(b).toString)
       // one multi-path scan, not a union of scans: keeps it a single
       // FileSourceScanExec so filters/pruning apply once
       spark.read.schema(schema).parquet(paths: _*)
     }
+
+  def readVersion(name: String, v: Long): DataFrame = {
+    val (schema, dirs, _) = readManifest(name, v)
+    scanDirs(dirs, name, schema)
   }
 
   def read(name: String): DataFrame = readVersion(name, currentVersion(name))
 
   def schemaOf(name: String): StructType = readManifest(name, currentVersion(name))._1
 
+  def bucketingOf(name: String): Option[Bucketing] =
+    readManifest(name, currentVersion(name))._3
+
+  /** Number of live data dirs (bucketed: leaf dirs) — observability for
+    * compaction and prune assertions. */
+  def liveDirs(name: String): Seq[String] =
+    readManifest(name, currentVersion(name))._2
+  def liveDirCount(name: String): Int = liveDirs(name).size
+
   /** CREATE TABLE AS / full replace (new table or schema change allowed). */
   def create(name: String, df: DataFrame): Unit =
-    commit(name, Some(df), df.schema, Seq.empty)
+    commit(name, Some(df), df.schema, Seq.empty, None)
+
+  /** CREATE TABLE AS with hash bucketing on `keys` into `n` leaf dirs:
+    * key-driven mutations then rewrite only affected buckets. */
+  def createBucketed(name: String, df: DataFrame, keys: Seq[String], n: Int): Unit =
+    commit(name, Some(df), df.schema, Seq.empty, Some(Bucketing(keys, n)))
 
   /** CREATE TABLE with schema, zero rows (S5 empty staging write). */
   def createEmpty(name: String, schema: StructType): Unit =
-    commit(name, None, schema, Seq.empty)
+    commit(name, None, schema, Seq.empty, None)
 
   /** INSERT OVERWRITE semantics: replace contents, PRESERVE the existing
-    * table schema by casting positionally-by-name — the reference chose
-    * INSERT OVERWRITE precisely to avoid schema drift
+    * table schema (and bucketing) by casting-by-name — the reference
+    * chose INSERT OVERWRITE precisely to avoid schema drift
     * (docs/KNOWN_ISSUES.md:77-99). */
   def overwrite(name: String, df: DataFrame): Unit = {
-    val schema = schemaOf(name)
-    commit(name, Some(conform(df, schema)), schema, Seq.empty)
+    val (schema, _, b) = readManifest(name, currentVersion(name))
+    commit(name, Some(conform(df, schema)), schema, Seq.empty, b)
   }
 
-  /** INSERT INTO append: O(new rows) — adds a batch dir, keeps the rest. */
+  /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
+    * bucketed table only the buckets present in the new data get new
+    * leaf dirs). */
   def append(name: String, df: DataFrame): Unit = {
-    val v = currentVersion(name)
-    val (schema, dirs) = readManifest(name, v)
-    commit(name, Some(conform(df, schema)), schema, dirs)
+    val (schema, dirs, b) = readManifest(name, currentVersion(name))
+    commit(name, Some(conform(df, schema)), schema, dirs, b)
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the accumulated dirs as one
+    * batch sized to `targetPartitions` files (bucketed tables re-split
+    * into their buckets). Old versions remain time-travel readable. */
+  def compact(name: String, targetPartitions: Int = 0): Unit = {
+    val df = read(name)
+    val sized = if (targetPartitions > 0) df.coalesce(targetPartitions) else df
+    overwrite(name, sized)
   }
 
   private def conform(df: DataFrame, schema: StructType): DataFrame = {
@@ -165,24 +234,42 @@ class TableStore(spark: SparkSession, root: String) {
     require(dups == 0, s"MERGE source is not unique on (${keys.mkString(",")})")
   }
 
+  /** Bucket-pruned target split: (affected dirs' rows, carried dirs).
+    * Prunable when the table is bucketed and the bucket keys are a
+    * subset of the operation's keys (so every source row's bucket is
+    * known). Falls back to full-table rewrite otherwise. */
+  private def pruneByKeys(name: String, schema: StructType, dirs: Seq[String],
+                          bucketing: Option[Bucketing], source: DataFrame,
+                          keys: Seq[String]): (DataFrame, Seq[String], Option[Bucketing]) =
+    bucketing match {
+      case Some(b) if b.keys.forall(keys.contains) && dirs.forall(_.contains("/__b=")) =>
+        val srcBuckets = source.select(b.expr.as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val (affected, carried) = dirs.partition(e => srcBuckets.contains(bucketOf(e)))
+        (scanDirs(affected, name, schema), carried, bucketing)
+      case other => (scanDirs(dirs, name, schema), Seq.empty, other)
+    }
+
   /** MERGE upsert (M1 composite-key / M2 single-key):
     *   WHEN MATCHED THEN UPDATE SET all-source-columns, changeType=matchedChangeType
     *   WHEN NOT MATCHED THEN INSERT all, changeType=insertChangeType
-    * One full-outer shuffle join on the keys; broadcast is not applicable
-    * to full-outer, but AQE handles skew. */
+    * One full-outer shuffle join on the keys (bucket-pruned on bucketed
+    * tables); broadcast is not applicable to full-outer, but AQE handles
+    * skew. */
   def mergeUpsert(name: String, source: DataFrame, keys: Seq[String],
                   matchedChangeType: String = "MERGE",
                   insertChangeType: String = "MERGE",
                   changeTypeCol: Option[String] = Some("delta_change_type"),
                   verifyUniqueSource: Boolean = true): Unit = {
-    val schema = schemaOf(name)
+    val (schema, dirs, bucketing) = readManifest(name, currentVersion(name))
     val src = conform(source, schema)
     if (verifyUniqueSource) requireUniqueSource(src, keys)
+    val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, src, keys)
     val dataCols = schema.map(_.name).filterNot(keys.contains)
     val s = src.select(
       keys.map(col) ++ dataCols.map(c => col(c).as(s"__s_$c"))
         :+ lit(true).as("__s_present"): _*)
-    val t = read(name).withColumn("__t_present", lit(true))
+    val t = target.withColumn("__t_present", lit(true))
     val joined = t.join(s, keys, "full_outer")
     val sMatched = col("__s_present").isNotNull
     val both = sMatched && col("__t_present").isNotNull
@@ -194,13 +281,16 @@ class TableStore(spark: SparkSession, root: String) {
           .otherwise(col(c)).as(c)
       else when(sMatched, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
-    overwrite(name, joined.select(out: _*))
+    commit(name, Some(joined.select(out: _*)), schema, carried, b)
   }
 
-  /** MERGE delete (M3): delete target rows whose keys appear in keysDf. */
+  /** MERGE delete (M3): delete target rows whose keys appear in keysDf
+    * (bucket-pruned on bucketed tables). */
   def mergeDelete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
-    val t = read(name)
-    overwrite(name, t.join(keysDf.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    val (schema, dirs, bucketing) = readManifest(name, currentVersion(name))
+    val keyRows = keysDf.select(keys.map(col): _*).distinct()
+    val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, keyRows, keys)
+    commit(name, Some(target.join(keyRows, keys, "left_anti")), schema, carried, b)
   }
 
   /** MERGE update-only (M4, SCD2 close): for target rows matching source
@@ -217,7 +307,8 @@ class TableStore(spark: SparkSession, root: String) {
     overwrite(name, joined.select(out: _*))
   }
 
-  /** UPDATE ... SET ... WHERE cond (M5 soft delete). */
+  /** UPDATE ... SET ... WHERE cond (M5 soft delete). Arbitrary predicate
+    * -> full rewrite (no key set to prune on). */
   def update(name: String, condition: Column, set: Map[String, Column]): Unit = {
     val out = schemaOf(name).map(_.name).map { c =>
       set.get(c).map(v => when(condition, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
@@ -228,21 +319,4 @@ class TableStore(spark: SparkSession, root: String) {
   /** DELETE ... WHERE cond. Null condition rows are kept (SQL semantics). */
   def delete(name: String, condition: Column): Unit =
     overwrite(name, read(name).filter(!coalesce(condition, lit(false))))
-
-  /** OPTIMIZE-style compaction: rewrite the accumulated batch dirs as a
-    * single dir sized to `targetPartitions` files. Appends are O(new
-    * data), so a frequently-appended table accretes small dirs; compact
-    * restores big-scan efficiency. Old versions remain readable (time
-    * travel is unaffected — the manifest history still points at the
-    * original dirs). Reference lists compaction as future work
-    * (README.md:654-659); here it falls out of the versioned layout. */
-  def compact(name: String, targetPartitions: Int = 0): Unit = {
-    val df = read(name)
-    val sized = if (targetPartitions > 0) df.coalesce(targetPartitions) else df
-    overwrite(name, sized)
-  }
-
-  /** Number of live batch dirs (compaction observability). */
-  def liveDirCount(name: String): Int =
-    readManifest(name, currentVersion(name))._2.size
 }

@@ -68,8 +68,11 @@ object PaymentJobs {
     * not-matched→INSERT, both stamped delta_change_type='MERGE') */
   def bronzeLoad(store: TableStore, staging: DataFrame): DataFrame = {
     val originals = staging.filter(col("updated_at") === col("transaction_timestamp"))
-    store.create("bronze_transactions",
-      originals.withColumn("delta_change_type", lit("LOAD")))
+    // hash-bucketed on the merge key prefix: the CDC merge below rewrites
+    // only the buckets the batch touches (TableStore prune path)
+    store.createBucketed("bronze_transactions",
+      originals.withColumn("delta_change_type", lit("LOAD")),
+      keys = Seq("transaction_id"), n = 32)
     val cdcBatch = staging
       .filter(expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)") % 50 === 0)
       .withColumn("delta_change_type", lit("ignored"))
@@ -152,7 +155,8 @@ object PaymentJobs {
     val bronze = bronzeLoad(store, staging)
       .withColumn("is_deleted", lit(false))
       .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
-    store.create("bronze_transactions", bronze) // schema-widening replace
+    store.createBucketed("bronze_transactions", bronze, // schema-widening replace
+      keys = Seq("transaction_id"), n = 32)
     val silver = silverFromBronze(
       bronze.drop("is_deleted", "deleted_at")).cache()
     store.create("silver_transactions", silver)

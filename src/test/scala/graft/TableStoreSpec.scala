@@ -114,6 +114,38 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.readVersion("t", 4).count() === 5)
   }
 
+  test("bucketed merge rewrites only affected buckets, carries the rest") {
+    val ts = freshStore()
+    val base = (0L until 100L).map(i => (i, "v" + i)).toDF("id", "v")
+    ts.createBucketed("t", base, Seq("id"), n = 8)
+    val v0Dirs = ts.liveDirs("t")
+    assert(v0Dirs.size === 8 && v0Dirs.forall(_.contains("/__b=")))
+    // source touches two ids -> at most two buckets rewritten
+    val src = Seq((7L, "UPDATED"), (200L, "INSERTED")).toDF("id", "v")
+    ts.mergeUpsert("t", src, Seq("id"), changeTypeCol = None)
+    val v1Dirs = ts.liveDirs("t")
+    val carried = v1Dirs.toSet.intersect(v0Dirs.toSet)
+    assert(carried.size >= 6, s"expected >=6 carried leaf dirs, got $carried")
+    assert((v1Dirs.toSet -- v0Dirs.toSet).forall(_.startsWith("b000000001/")))
+    // content is a correct merge
+    val got = ts.read("t").as[(Long, String)].collect().toMap
+    assert(got.size === 101 && got(7L) === "UPDATED" && got(200L) === "INSERTED"
+      && got(3L) === "v3")
+    // bucket-pruned delete
+    ts.mergeDelete("t", Seq(Tuple1(7L)).toDF("id"), Seq("id"))
+    assert(ts.read("t").count() === 100)
+    assert(ts.liveDirs("t").toSet.intersect(v0Dirs.toSet).size >= 6)
+    // append adds leaves only for the buckets present in the new rows
+    val before = ts.liveDirCount("t")
+    ts.append("t", Seq((300L, "a")).toDF("id", "v"))
+    assert(ts.liveDirCount("t") === before + 1)
+    // compaction folds everything back to <= 8 leaf dirs, keeps bucketing
+    ts.compact("t")
+    assert(ts.liveDirCount("t") <= 8 && ts.liveDirs("t").forall(_.contains("/__b=")))
+    assert(ts.bucketingOf("t").exists(b => b.keys == Seq("id") && b.n == 8))
+    assert(ts.read("t").count() === 101)
+  }
+
   test("createEmpty yields a zero-row table with the right schema") {
     val ts = freshStore()
     val schema = Seq((1L, "a")).toDF("id", "v").schema
