@@ -151,6 +151,48 @@ object QueriesLlm {
       },
       Some(JaccardPairsSql)),
 
+    // ---- d5: near-dup clustering — connected components + canonical ----
+    // (the step after pair mining in a real dedup pipeline: group
+    //  transitively-linked near-dups and keep one canonical doc per
+    //  cluster. Min-label propagation: each iteration is one shuffle
+    //  join; iterations = graph diameter, which is tiny for near-dup
+    //  graphs. Oracle: DuckDB recursive-CTE transitive closure.)
+    "d5_dedup_clusters" -> QDef(
+      (s, dir) => {
+        val pairs = Queries.all("d2_ngram_jaccard").fn(s, dir)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val edges = pairs.unionByName(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+        var comp = edges.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("canonical_id", col("doc_id")).cache()
+        var iterations = 0
+        var converged = false
+        while (!converged && iterations < 20) {
+          val nbrMin = edges
+            .join(comp.select(col("doc_id").as("doc_b"), col("canonical_id").as("nbr_label")),
+              Seq("doc_b"))
+            .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
+          val next = comp.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
+                .as("canonical_id")).cache()
+          converged = next.join(comp.withColumnRenamed("canonical_id", "old"), Seq("doc_id"))
+            .filter(col("canonical_id") =!= col("old")).isEmpty
+          comp = next
+          iterations += 1
+        }
+        comp
+      },
+      Some(s"""${ShingleSetsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |pairs AS (SELECT da, db FROM inter
+              |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+              |          WHERE i / (sa.n + sb.n - i) >= 0.5),
+              |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+              |reach(a, b) AS (SELECT a, b FROM edges
+              |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+              |                WHERE e.b <> r.a)
+              |SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a""".stripMargin)),
+
     // ---- d4: SimHash near-dup — 64-bit signatures, banded hamming join ----
     // (no SQL-expressible oracle: xxhash64 has no DuckDB twin; correctness
     //  is covered by LlmOpsSpec against the d2 exact pairs)

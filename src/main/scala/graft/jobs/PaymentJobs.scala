@@ -159,7 +159,8 @@ object PaymentJobs {
       keys = Seq("transaction_id"), n = 32)
     val silver = silverFromBronze(
       bronze.drop("is_deleted", "deleted_at")).cache()
-    store.create("silver_transactions", silver)
+    store.createBucketed("silver_transactions", silver,
+      keys = Seq("transaction_id"), n = 32) // GDPR mergeDelete prunes
     val spark = txns.sparkSession
     factStar(silver, dimPaymentMethod(silver), dimStatus(silver),
       DateSpine.dimDate(spark, "1995-01-01", "2002-12-31"))
