@@ -130,8 +130,11 @@ class TableStore(spark: SparkSession, root: String) {
         bucketing match {
           case Some(b) =>
             // leaf dir per bucket; __b derives from the keys so it is
-            // not stored in the files and never needs recovering
+            // not stored in the files and never needs recovering.
+            // repartition on __b first: without it every write task fans
+            // out into every leaf dir (tasks x buckets small files)
             d.withColumn("__b", b.expr)
+              .repartition(b.n, col("__b"))
               .write.mode("overwrite").partitionBy("__b").parquet(target.toString)
             val leaves =
               if (!Files.exists(target)) Seq.empty

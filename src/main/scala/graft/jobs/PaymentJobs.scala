@@ -151,12 +151,11 @@ object PaymentJobs {
   /** The full bronze→silver→gold chain against a scratch store; returns
     * the fact table (used by the flagship query and PipelineSpec). */
   def runPipeline(store: TableStore, txns: DataFrame): DataFrame = {
+    // audit columns added before the load so bronze is written once
     val staging = bronzeStaging(txns)
-    val bronze = bronzeLoad(store, staging)
       .withColumn("is_deleted", lit(false))
       .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
-    store.createBucketed("bronze_transactions", bronze, // schema-widening replace
-      keys = Seq("transaction_id"), n = 32)
+    val bronze = bronzeLoad(store, staging)
     val silver = silverFromBronze(
       bronze.drop("is_deleted", "deleted_at")).cache()
     store.createBucketed("silver_transactions", silver,
