@@ -34,6 +34,26 @@ object QueriesStreaming {
              |  event_type, count(*) AS n_events
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- st4: sliding windows (1-day length, 12-hour slide) ----
+    // (each event lands in exactly two windows; the oracle enumerates
+    //  both window starts per event and re-aggregates)
+    "st4_sliding_window" -> QDef(
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        StreamingJobs.withEventTime(Tables.events(s, dir))
+          .groupBy(window(col("ev_ts"), "1 day", "12 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n_events"))
+      },
+      Some("""SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+             |FROM (SELECT event_type, unnest([
+             |        to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 43200) * 43200)::TIMESTAMP,
+             |        to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 43200) * 43200
+             |          - 43200)::TIMESTAMP]) AS window_start
+             |      FROM events)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- st3: built-in session_window (gap-based, streaming-capable) ----
     // (the declarative twin of st2's typed sessionization: Catalyst's
     //  session_window merges events closer than the gap; session end is
