@@ -26,6 +26,10 @@ object QueriesLlm {
 
   import Queries.{Q, QDef}
 
+  /** Typed record for the documents table (tq1). */
+  final case class Doc(doc_id: Long, text: String, lang: String,
+                       source: String, n_chars: Long)
+
   /** Distinct word-3-gram shingles per document. element_at is 1-based;
     * single-space tokenization matches DuckDB's string_split. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
@@ -358,6 +362,23 @@ object QueriesLlm {
           .select(col("query_id"), col("cand_id"), col("cosine"))
       },
       None),
+
+    // ---- tq1: typed Dataset[T] surface (case-class Encoder) ----
+    // (SURVEY §1.4: typed sugar where safety helps — filter/map over a
+    //  case class; note typed lambdas deserialize per row, so this stays
+    //  off the hot paths where Column ops are codegen'd)
+    "tq1_typed_dataset" -> QDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .as[QueriesLlm.Doc]
+          .filter(d => d.n_chars > 200 && d.lang == "en")
+          .map(d => (d.doc_id, d.source, d.text.count(_ == ' ') + 1))
+          .toDF("doc_id", "source", "n_words")
+      },
+      Some("""SELECT doc_id, source,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_words
+             |FROM documents WHERE n_chars > 200 AND lang = 'en'""".stripMargin)),
 
     // ---- t1: language ID — marker-token scores + argmax ----
     "t1_lang_id" -> QDef(
