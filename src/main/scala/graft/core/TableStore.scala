@@ -322,4 +322,23 @@ class TableStore(spark: SparkSession, root: String) {
   /** DELETE ... WHERE cond. Null condition rows are kept (SQL semantics). */
   def delete(name: String, condition: Column): Unit =
     overwrite(name, read(name).filter(!coalesce(condition, lit(false))))
+
+  /** Attach a data dir that an external writer (the DSv2 write path)
+    * already placed under data/: append it (or replace everything, for
+    * INSERT OVERWRITE) in a new committed version. Attached dirs are
+    * unbucketed — on bucketed tables the prune path detects the mixed
+    * layout and falls back to full rewrites until compact() re-splits. */
+  def attachDir(name: String, dirName: String, replace: Boolean): Unit = {
+    val (schema, dirs, b) = readManifest(name, currentVersion(name))
+    val carry = if (replace) Seq.empty else dirs
+    val v = currentVersion(name) + 1
+    writeManifest(name, v, schema, carry :+ dirName, b)
+    val tmp = dir(name).resolve(s"_LATEST.tmp$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Absolute path of a table's data root (external writers). */
+  def dataRoot(name: String): Path = dir(name).resolve("data")
 }

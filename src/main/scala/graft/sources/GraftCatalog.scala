@@ -99,14 +99,21 @@ class GraftCatalog extends TableCatalog {
 
 /** A TableStore table exposed through DSv2. */
 class GraftSqlTable(root: String, tableName: String)
-    extends Table with SupportsRead with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def store: TableStore = new TableStore(SparkSession.active, root)
 
   override def name(): String = tableName
   override def schema(): StructType = store.schemaOf(tableName)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** INSERT INTO (append) / INSERT OVERWRITE (truncate) via the
+    * parquet-mr executor writers + one manifest version bump. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root, tableName, info.schema())
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // resolve the snapshot's live files NOW: the scan stays pinned to

@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.core.TableStore
+
+/** DSv2 write path: INSERT INTO (append) and INSERT OVERWRITE
+  * (truncate+append) over TableStore. Executors write plain parquet
+  * files via parquet-mr into a fresh `data/sq<uuid>` dir; the driver's
+  * commit attaches that dir to the manifest in one atomic version bump —
+  * a failed/aborted write leaves an orphan dir that no manifest
+  * references (invisible to readers, GC-able), so the commit protocol
+  * matches the store's snapshot semantics.
+  */
+class GraftWriteBuilder(root: String, table: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(root, table, schema, replace)
+  }
+}
+
+class GraftBatchWrite(root: String, table: String, schema: StructType,
+                      replace: Boolean) extends BatchWrite {
+  private val batchDir = "sq" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftDataWriterFactory(
+      Paths.get(root, table, "data", batchDir).toString, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val store = new TableStore(SparkSession.active, root)
+    val wrote = messages.nonEmpty &&
+      Files.isDirectory(Paths.get(root, table, "data", batchDir))
+    if (wrote || replace) {
+      // an all-empty write still needs the dir for the manifest entry
+      if (!wrote) Files.createDirectories(Paths.get(root, table, "data", batchDir))
+      store.attachDir(table, batchDir, replace)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = Paths.get(root, table, "data", batchDir).toFile
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+      f.delete(): Unit
+    }
+    del(d)
+  }
+}
+
+class GraftDataWriterFactory(dirPath: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(s"$dirPath/part-$partitionId-$taskId.parquet", schema)
+}
+
+object GraftParquet {
+  /** StructType -> parquet MessageType for the engine's flat data model
+    * (SURVEY §1.2): all fields optional, INT64-micros timestamps. */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      def prim(t: PrimitiveTypeName, ann: LogicalTypeAnnotation = null): Unit = {
+        val built = if (ann != null) Types.optional(t).as(ann).named(f.name)
+                    else Types.optional(t).named(f.name)
+        b.addField(built): Unit
+      }
+      f.dataType match {
+        case LongType => prim(INT64)
+        case IntegerType => prim(INT32)
+        case DoubleType => prim(DOUBLE)
+        case FloatType => prim(FLOAT)
+        case BooleanType => prim(BOOLEAN)
+        case StringType => prim(BINARY, LogicalTypeAnnotation.stringType())
+        case TimestampType =>
+          prim(INT64, LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case TimestampNTZType =>
+          prim(INT64, LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case DateType => prim(INT32, LogicalTypeAnnotation.dateType())
+        case other => throw new UnsupportedOperationException(
+          s"type $other (flat schemas only)")
+      }
+    }
+    b.named("graft_row")
+  }
+}
+
+class GraftDataWriter(file: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+
+  Files.createDirectories(Paths.get(file).getParent)
+  private val msgType = GraftParquet.messageType(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+  private val writer = ExampleParquetWriter
+    .builder(new org.apache.hadoop.fs.Path(file))
+    .withType(msgType)
+    .withConf(new Configuration())
+    .build()
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType => g.add(f.name, row.getLong(i))
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType =>
+          g.add(f.name, Binary.fromString(row.getUTF8String(i).toString))
+        case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
+        case DateType => g.add(f.name, row.getInt(i))
+        case other => throw new UnsupportedOperationException(s"type $other")
+      }
+    }
+    writer.write(g)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = {
+    writer.close()
+    Files.deleteIfExists(Paths.get(file)): Unit
+  }
+
+  override def close(): Unit = ()
+}

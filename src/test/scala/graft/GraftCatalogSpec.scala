@@ -66,6 +66,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(row.getDate(1) === java.sql.Date.valueOf("2026-08-12"))
   }
 
+  test("INSERT INTO and INSERT OVERWRITE run natively against the store") {
+    store.create("ins_t", Seq((1L, "a", Option(1.5))).toDF("id", "v", "x"))
+    spark.sql("INSERT INTO graft.ins_t VALUES (2, 'b', 2.5), (3, 'c', CAST(NULL AS DOUBLE))")
+    val got = spark.sql("SELECT id, v, x FROM graft.ins_t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq === Seq((1L, "a", Some(1.5)), (2L, "b", Some(2.5)), (3L, "c", None)))
+    // INSERT ... SELECT from another store table
+    spark.sql("INSERT INTO graft.ins_t SELECT id + 10, v, x FROM graft.ins_t WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM graft.ins_t").head().getLong(0) === 4)
+    // OVERWRITE replaces contents atomically; prior version time-travels
+    val vBefore = store.currentVersion("ins_t")
+    spark.sql("INSERT OVERWRITE graft.ins_t VALUES (99, 'only', 0.0)")
+    assert(spark.sql("SELECT id FROM graft.ins_t").as[Long].collect().toSeq === Seq(99L))
+    assert(store.readVersion("ins_t", vBefore).count() === 4)
+  }
+
   test("SHOW TABLES lists store tables") {
     store.create("listed", Seq((1L, "x")).toDF("id", "v"))
     val names = spark.sql("SHOW TABLES IN graft").select("tableName")
