@@ -99,7 +99,8 @@ class GraftCatalog extends TableCatalog {
 
 /** A TableStore table exposed through DSv2. */
 class GraftSqlTable(root: String, tableName: String)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   private def store: TableStore = new TableStore(SparkSession.active, root)
 
@@ -127,6 +128,26 @@ class GraftSqlTable(root: String, tableName: String)
         .map(_.toString).toSeq
     }
     new GraftScanBuilder(schema(), files)
+  }
+
+  /** SQL MERGE INTO / UPDATE via group-based (copy-on-write) row-level
+    * operations: the operation's scan reads the current snapshot, Spark
+    * computes the full replacement rows per the MERGE/UPDATE clauses,
+    * and the write commits them as a replace-all version — the same
+    * rewrite the library-level TableStore merge performs. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = { () =>
+    new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command: org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        GraftSqlTable.this.newScanBuilder(options)
+      override def newWriteBuilder(
+          wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new GraftWriteBuilder(root, tableName, wInfo.schema(), replaceAll = true)
+    }
   }
 
   /** DELETE FROM ... WHERE: v1 filters -> a Column predicate -> the

@@ -24,10 +24,11 @@ import graft.core.TableStore
   * references (invisible to readers, GC-able), so the commit protocol
   * matches the store's snapshot semantics.
   */
-class GraftWriteBuilder(root: String, table: String, schema: StructType)
+class GraftWriteBuilder(root: String, table: String, schema: StructType,
+                        replaceAll: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
-  private var replace = false
+  private var replace = replaceAll
   override def truncate(): WriteBuilder = { replace = true; this }
 
   override def build(): Write = new Write {
@@ -116,8 +117,16 @@ class GraftDataWriter(file: String, schema: StructType)
     .build()
 
   override def write(row: InternalRow): Unit = {
+    // group-based row-level operations (SQL UPDATE / MERGE INTO) prepend
+    // an internal bookkeeping column to the replacement rows while
+    // LogicalWriteInfo still reports the data schema; the data columns
+    // sit at the END of the row, so align by trailing offset (0 for
+    // plain INSERT writes)
+    val off = row.numFields - schema.length
+    require(off >= 0, s"write row has ${row.numFields} fields for ${schema.length} columns")
     val g = factory.newGroup()
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.zipWithIndex.foreach { case (f, i0) =>
+      val i = off + i0
       if (!row.isNullAt(i)) f.dataType match {
         case LongType => g.add(f.name, row.getLong(i))
         case IntegerType => g.add(f.name, row.getInt(i))

@@ -82,6 +82,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(store.readVersion("ins_t", vBefore).count() === 4)
   }
 
+  test("SQL UPDATE and MERGE INTO run natively (row-level operations)") {
+    store.create("rlo_t", Seq(
+      (1L, "a", Option(10.0)), (2L, "b", Option(20.0)), (3L, "c", Option(30.0)))
+      .toDF("id", "v", "x"))
+    spark.sql("UPDATE graft.rlo_t SET x = x + 1 WHERE id >= 2")
+    assert(spark.sql("SELECT sum(x) FROM graft.rlo_t").head().getDouble(0) === 62.0)
+
+    Seq((2L, "B2", Option(200.0)), (4L, "d", Option(40.0)))
+      .toDF("id", "v", "x").createOrReplaceTempView("rlo_src")
+    spark.sql("""MERGE INTO graft.rlo_t t USING rlo_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, v, x FROM graft.rlo_t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "B2", 200.0),
+      (3L, "c", 31.0), (4L, "d", 40.0)))
+    // MERGE with DELETE clause
+    spark.sql("""MERGE INTO graft.rlo_t t USING rlo_src s ON t.id = s.id
+                |WHEN MATCHED AND t.id = 2 THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT id FROM graft.rlo_t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 4L))
+  }
+
   test("SHOW TABLES lists store tables") {
     store.create("listed", Seq((1L, "x")).toDF("id", "v"))
     val names = spark.sql("SHOW TABLES IN graft").select("tableName")
