@@ -194,6 +194,39 @@ object QueriesMutation {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
              |WHERE o_orderkey % 9 IN (0, 1)""".stripMargin)),
 
+    // ---- SQL MERGE INTO through the DSv2 catalog (row-level ops) ----
+    // (same semantics as m2 but driven entirely by SQL text against
+    //  graft.<table>, like the reference's SQL-in-Py jobs drive Delta)
+    "sql_merge_into" -> QDef(
+      (s, dir) => {
+        val root = "/tmp/graft_qstore/sql_merge"
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+          f.delete(): Unit
+        }
+        del(new java.io.File(root))
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.root", root)
+        val st = new TableStore(s, root)
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        st.create("t", base.filter(col("o_orderkey") % 4 === 1))
+        base.filter((col("o_orderkey") % 4 === 1) || (col("o_orderkey") % 4 === 2))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .createOrReplaceTempView("merge_src")
+        s.sql("""MERGE INTO graft.t t USING merge_src s ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        st.read("t")
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |          FROM orders WHERE o_orderkey % 4 = 1),
+             |     s AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+             |          FROM orders WHERE o_orderkey % 4 IN (1, 2))
+             |SELECT s.* FROM s
+             |UNION ALL
+             |SELECT t.* FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin)),
+
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
       (s, dir) => {
