@@ -18,12 +18,8 @@ object QueriesJobs {
   import Queries.{Q, QDef}
 
   private def freshStore(s: SparkSession, name: String): TableStore = {
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
-      f.delete(): Unit
-    }
     val root = s"/tmp/graft_qstore/$name"
-    del(new java.io.File(root))
+    graft.core.FsUtil.deleteRecursively(new java.io.File(root))
     new TableStore(s, root)
   }
 

@@ -182,9 +182,12 @@ object QueriesLlm {
                 .as("canonical_id")).cache()
           converged = next.join(comp.withColumnRenamed("canonical_id", "old"), Seq("doc_id"))
             .filter(col("canonical_id") =!= col("old")).isEmpty
+          comp.unpersist() // superseded generation
           comp = next
           iterations += 1
         }
+        edges.unpersist()
+        pairs.unpersist()
         comp
       },
       Some(s"""${ShingleSetsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -23,12 +23,8 @@ object QueriesMutation {
   /** Per-query scratch store, wiped on entry so every run (Verify, Bench
     * iterations, tests) starts from the same state. */
   private def freshStore(s: SparkSession, name: String): TableStore = {
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
-      f.delete(): Unit
-    }
     val root = s"/tmp/graft_qstore/$name"
-    del(new java.io.File(root))
+    graft.core.FsUtil.deleteRecursively(new java.io.File(root))
     new TableStore(s, root)
   }
 
@@ -200,11 +196,7 @@ object QueriesMutation {
     "sql_merge_into" -> QDef(
       (s, dir) => {
         val root = "/tmp/graft_qstore/sql_merge"
-        def del(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
-          f.delete(): Unit
-        }
-        del(new java.io.File(root))
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
         s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft.root", root)
         val st = new TableStore(s, root)

@@ -44,6 +44,11 @@ import org.apache.spark.sql.types.StructType
   */
 class TableStore(spark: SparkSession, root: String) {
 
+  // Spark 4 defaults parquet timestamps to INT96 (legacy); the DSv2 SQL
+  // read path (GraftPartitionReader) decodes INT64 micros, so pin the
+  // modern representation for everything this store writes
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   private def dir(name: String): Path = Paths.get(root, name)
   private def latestPtr(name: String): Path = dir(name).resolve("_LATEST")
   private def manifest(name: String, v: Long): Path =
@@ -148,12 +153,19 @@ class TableStore(spark: SparkSession, root: String) {
         }
       case None => carryForward
     }
-    writeManifest(name, v, schema, newDirs, bucketing)
+    commitManifest(name, v, schema, newDirs, bucketing)
+    v
+  }
+
+  /** The commit protocol: write manifest v, then atomically swap the
+    * _LATEST pointer. The single place this sequence lives. */
+  private def commitManifest(name: String, v: Long, schema: StructType,
+                             dirs: Seq[String], bucketing: Option[Bucketing]): Unit = {
+    writeManifest(name, v, schema, dirs, bucketing)
     val tmp = dir(name).resolve(s"_LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    v
+      StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   private def scanDirs(dirs: Seq[String], name: String, schema: StructType): DataFrame =
@@ -331,12 +343,7 @@ class TableStore(spark: SparkSession, root: String) {
   def attachDir(name: String, dirName: String, replace: Boolean): Unit = {
     val (schema, dirs, b) = readManifest(name, currentVersion(name))
     val carry = if (replace) Seq.empty else dirs
-    val v = currentVersion(name) + 1
-    writeManifest(name, v, schema, carry :+ dirName, b)
-    val tmp = dir(name).resolve(s"_LATEST.tmp$v")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b)
   }
 
   /** Absolute path of a table's data root (external writers). */

@@ -37,6 +37,11 @@ object Skew {
     * (key, salt) — hot keys spread over `buckets` tasks. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `buckets` null-extended copies of every
+    // unmatched right row (it is exploded per salt) — reject upfront
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left join types, not $joinType")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col): _*), lit(buckets)))
     val explodedRight = right.withColumn("__salt",

@@ -25,20 +25,20 @@ import graft.core.TableStore
   *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
   *   spark.sql.catalog.graft.root = /path/to/store
   *
-  * and plain SQL runs against store tables —
-  *   SELECT ... FROM graft.<table>          (snapshot read, col pruning)
-  *   DELETE FROM graft.<table> WHERE ...    (SupportsDelete -> store)
+  * and plain SQL DML runs against store tables —
+  *   SELECT ... FROM graft.<table>            (snapshot read, col pruning)
+  *   INSERT INTO / INSERT OVERWRITE graft.<t> (GraftWrite batch path)
+  *   DELETE FROM graft.<table> WHERE ...      (SupportsDelete -> store)
+  *   UPDATE / MERGE INTO graft.<table> ...    (row-level operations,
+  *                                             copy-on-write ReplaceData)
   *
   * The read path is a self-contained parquet-mr reader (one input
   * partition per live parquet file, as listed by the committed
   * manifest), so SQL reads observe the same atomic snapshot isolation
-  * as TableStore.read. Flat schemas only (the engine's data model,
-  * SURVEY §1.2) and INT64 timestamps (Spark's TIMESTAMP_MICROS output;
-  * INT96 legacy files are not supported).
-  *
-  * MERGE INTO / UPDATE SQL would need SupportsRowLevelOperations (a
-  * full ReplaceData write path) — those remain library calls on
-  * TableStore (SURVEY §7.3 scoped them as optional).
+  * as TableStore.read; the requested projection is pushed into
+  * parquet-mr. Flat schemas only (the engine's data model, SURVEY §1.2)
+  * and INT64 timestamps (TableStore pins TIMESTAMP_MICROS output; INT96
+  * legacy files are not supported).
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -84,13 +84,7 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val p = Paths.get(root, ident.name())
     if (!Files.exists(p)) false
-    else {
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(p.toFile); true
-    }
+    else { graft.core.FsUtil.deleteRecursively(p.toFile); true }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -212,12 +206,29 @@ class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file, required)
 }
 
+/** Column-pruning ReadSupport: projects the FILE's own schema down to
+  * the requested names, so field repetition (required vs optional)
+  * always matches the file and unrequested columns are never decoded. */
+class ProjectingGroupReadSupport(names: Seq[String]) extends GroupReadSupport {
+  override def init(context: org.apache.parquet.hadoop.api.InitContext)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    val fileSchema = context.getFileSchema
+    val projected = new org.apache.parquet.schema.MessageType(
+      fileSchema.getName,
+      names.filter(fileSchema.containsField)
+        .map(n => fileSchema.getFields.get(fileSchema.getFieldIndex(n))): _*)
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(projected)
+  }
+}
+
 /** parquet-mr Group reader -> InternalRow for the engine's flat types. */
 class GraftPartitionReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(file))
+    ParquetReader.builder(
+        new ProjectingGroupReadSupport(required.fieldNames.toSeq),
+        new org.apache.hadoop.fs.Path(file))
       .withConf(new Configuration())
       .build()
   private var current: Group = _

@@ -55,14 +55,8 @@ class GraftBatchWrite(root: String, table: String, schema: StructType,
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val d = Paths.get(root, table, "data", batchDir).toFile
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
-      f.delete(): Unit
-    }
-    del(d)
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    graft.core.FsUtil.deleteRecursively(Paths.get(root, table, "data", batchDir).toFile)
 }
 
 class GraftDataWriterFactory(dirPath: String, schema: StructType)

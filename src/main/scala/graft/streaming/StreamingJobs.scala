@@ -73,10 +73,14 @@ object StreamingJobs {
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (uid, it) =>
-        def toMicrosTs(nanos: Long): Timestamp =
-          Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(
-            nanos / 1000000000L, (nanos % 1000000000L / 1000 * 1000).toInt,
-            java.time.ZoneOffset.UTC))
+        def toMicrosTs(nanos: Long): Timestamp = {
+          // instant-based construction: Timestamp.valueOf(LocalDateTime)
+          // would re-interpret the wall clock in the JVM default zone
+          val micros = nanos / 1000L
+          val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+          ts
+        }
         val evs = it.toArray.sortBy(e => (e._3, e._2)) // (ts, event_id)
         val sessions = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
         var sid = 0
@@ -98,14 +102,17 @@ object StreamingJobs {
     * micro-batch MERGEs into the TableStore target — the reference's
     * validate+load pair driven by foreachBatch (SURVEY §7.4.5). */
   def cdcMergeStream(streamed: DataFrame, store: TableStore, table: String,
-                     keys: Seq[String]) =
+                     keys: Seq[String], versionCol: String) =
     streamed.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          // intra-batch dedup first (M6 uniqueness precondition)
+          // intra-batch dedup first (M6 uniqueness precondition); the
+          // ordering struct LEADS with the version column so the latest
+          // CDC version wins, remaining columns only break exact ties
+          val rest = batch.columns.filterNot(c => keys.contains(c) || c == versionCol)
           val unique = graft.ops.Dedup.latestVersionAgg(
-            batch, keys, struct(batch.columns.filterNot(keys.contains).map(col): _*))
+            batch, keys, struct((col(versionCol) +: rest.map(col)): _*))
           store.mergeUpsert(table, unique, keys,
             changeTypeCol = None, verifyUniqueSource = false)
         }

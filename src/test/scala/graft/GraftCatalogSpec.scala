@@ -17,8 +17,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     val r = Files.createTempDirectory("graftcat").toString
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft.root", r)
-    // INT64 timestamps for the parquet-mr read path (no INT96 legacy)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // NOTE: no outputTimestampType override here — TableStore itself must
+    // pin TIMESTAMP_MICROS or the timestamp round-trip test breaks on
+    // Spark's INT96 default
     r
   }
 

@@ -78,7 +78,8 @@ class StreamingSpec extends AnyFunSuite {
     store.create("t", Seq((1L, "v0", 0L)).toDF("id", "v", "updated"))
     val input = MemoryStream[(Long, String, Long)]
     val q = StreamingJobs.cdcMergeStream(
-      input.toDF().toDF("id", "v", "updated"), store, "t", Seq("id")).start()
+      input.toDF().toDF("id", "v", "updated"), store, "t", Seq("id"),
+      versionCol = "updated").start()
     // batch with an intra-batch duplicate key: latest `updated` wins
     input.addData((1L, "v1", 1L), (2L, "v2a", 1L), (2L, "v2b", 2L))
     q.processAllAvailable()
