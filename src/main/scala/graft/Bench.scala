@@ -18,7 +18,12 @@ object Bench {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // materialize through the PHYSICAL plan: df.count() would let
+      // Catalyst prune every unreferenced projection (measuring a
+      // different, cheaper query); toRdd.count() iterates the plan's
+      // fully-evaluated UnsafeRows, so projections, casts, and derived
+      // measures are all actually computed
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -176,10 +176,15 @@ object QueriesLlm {
             .join(comp.select(col("doc_id").as("doc_b"), col("canonical_id").as("nbr_label")),
               Seq("doc_b"))
             .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
-          val next = comp.join(nbrMin, Seq("doc_id"), "left")
+          val next0 = comp.join(nbrMin, Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
-                .as("canonical_id")).cache()
+                .as("canonical_id"))
+          // truncate lineage periodically: each generation's plan nests
+          // the previous one, so a deep near-dup graph would otherwise
+          // grow the plan tree (and optimizer time) without bound
+          val next = (if (iterations % 5 == 4) next0.localCheckpoint()
+                      else next0).cache()
           converged = next.join(comp.withColumnRenamed("canonical_id", "old"), Seq("doc_id"))
             .filter(col("canonical_id") =!= col("old")).isEmpty
           comp.unpersist() // superseded generation

@@ -1,8 +1,9 @@
 package graft.core
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -76,7 +77,14 @@ class TableStore(spark: SparkSession, root: String) {
     val base = s""""schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]"""
     val extra = bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
-    Files.write(manifest(name, v), s"{$base$extra}".getBytes(StandardCharsets.UTF_8))
+    // CREATE_NEW = put-if-absent: two writers racing to commit the same
+    // next version collide HERE — the loser fails loudly instead of
+    // truncate-overwriting the winner's manifest and silently dropping
+    // its commit (the same role the object-store put-if-absent plays in
+    // Delta's log protocol). The store is single-writer-per-table by
+    // design; this makes a violation an error, not corruption.
+    Files.write(manifest(name, v), s"{$base$extra}".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
   }
 
   private def jsonStr(s: String): String =
@@ -85,40 +93,14 @@ class TableStore(spark: SparkSession, root: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  private def parseStrArray(part: String): Seq[String] =
-    if (part.trim.isEmpty) Seq.empty
-    else part.split(",").toSeq.map(s => unescape(s.trim.stripPrefix("\"").stripSuffix("\"")))
-
   private def readManifest(name: String, v: Long): (StructType, Seq[String], Option[Bucketing]) = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
-    // minimal parser for the exact shapes we write
-    val schemaDdl = unescape(json.split("\"schema\": \"", 2)(1).split("\", \"dirs\"", 2)(0))
-    val afterDirs = json.split("\"dirs\": \\[", 2)(1)
-    val dirsPart = afterDirs.split("\\]", 2)(0)
-    val rest = afterDirs.split("\\]", 2)(1)
-    val bucketing =
-      if (rest.contains("\"bucketkeys\"")) {
-        val keysPart = rest.split("\"bucketkeys\": \\[", 2)(1).split("\\]", 2)(0)
-        val n = rest.split("\"nbuckets\": ", 2)(1).stripSuffix("}").trim.toInt
-        Some(Bucketing(parseStrArray(keysPart), n))
-      } else None
-    (StructType.fromDDL(schemaDdl), parseStrArray(dirsPart), bucketing)
-  }
-
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder; var i = 0
-    while (i < s.length) {
-      if (s(i) == '\\' && i + 1 < s.length) {
-        s(i + 1) match {
-          case '"' => sb += '"'; i += 2
-          case '\\' => sb += '\\'; i += 2
-          case 'n' => sb += '\n'; i += 2
-          case 'u' => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
-          case c => sb += c; i += 2
-        }
-      } else { sb += s(i); i += 1 }
-    }
-    sb.toString
+    val m = MiniJson.obj(json)
+    def strs(k: String): Seq[String] =
+      m.getOrElse(k, Seq.empty).asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
+    val bucketing = m.get("nbuckets").map(n =>
+      Bucketing(strs("bucketkeys"), n.asInstanceOf[Long].toInt))
+    (StructType.fromDDL(m("schema").asInstanceOf[String]), strs("dirs"), bucketing)
   }
 
   private def bucketOf(entry: String): Int =
@@ -130,7 +112,10 @@ class TableStore(spark: SparkSession, root: String) {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d) =>
-        val batch = f"b$v%09d"
+        // unique suffix: two writers racing to the same version write
+        // DIFFERENT data dirs, so the loser (who fails the manifest's
+        // CREATE_NEW below) can never trample the winner's data
+        val batch = f"b$v%09d-" + java.util.UUID.randomUUID.toString.take(8)
         val target = dir(name).resolve("data").resolve(batch)
         bucketing match {
           case Some(b) =>
@@ -143,9 +128,10 @@ class TableStore(spark: SparkSession, root: String) {
               .write.mode("overwrite").partitionBy("__b").parquet(target.toString)
             val leaves =
               if (!Files.exists(target)) Seq.empty
-              else Files.list(target).iterator().asScala
-                .map(_.getFileName.toString).filter(_.startsWith("__b="))
-                .map(l => s"$batch/$l").toSeq.sorted
+              else Using.resource(Files.list(target))(
+                _.iterator().asScala
+                  .map(_.getFileName.toString).filter(_.startsWith("__b="))
+                  .map(l => s"$batch/$l").toSeq.sorted)
             carryForward ++ leaves
           case None =>
             d.write.mode("overwrite").parquet(target.toString)
@@ -184,6 +170,33 @@ class TableStore(spark: SparkSession, root: String) {
   }
 
   def read(name: String): DataFrame = readVersion(name, currentVersion(name))
+
+  /** One consistent view of a table: version + schema + live dirs +
+    * bucketing, read from a SINGLE manifest resolution. Callers that
+    * need more than one of these fields (e.g. the DSv2 scan pairing a
+    * schema with a file list) must use this instead of separate
+    * schemaOf/liveDirs calls, which could straddle a concurrent commit. */
+  final case class Snapshot(version: Long, schema: StructType,
+                            dirs: Seq[String], bucketing: Option[Bucketing]) {
+    /** Absolute paths of the snapshot's live parquet files. */
+    def files(store: TableStore, name: String): Seq[String] = {
+      val dataRoot = store.dataRoot(name)
+      dirs.flatMap { d =>
+        val leaf = dataRoot.resolve(d)
+        if (!Files.isDirectory(leaf)) Seq.empty
+        else Using.resource(Files.list(leaf))(
+          _.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(_.toString).toSeq)
+      }
+    }
+  }
+
+  def snapshot(name: String): Snapshot = {
+    val v = currentVersion(name)
+    val (schema, dirs, b) = readManifest(name, v)
+    Snapshot(v, schema, dirs, b)
+  }
 
   def schemaOf(name: String): StructType = readManifest(name, currentVersion(name))._1
 
@@ -233,6 +246,74 @@ class TableStore(spark: SparkSession, root: String) {
     val df = read(name)
     val sized = if (targetPartitions > 0) df.coalesce(targetPartitions) else df
     overwrite(name, sized)
+  }
+
+  /** ALTER TABLE ADD COLUMN (manual schema evolution —
+    * /root/reference/docs/Silver_Layer_Developer_Guide.md:140-153):
+    * a metadata-only commit — no data rewrite. Existing files simply
+    * lack the column; both read paths (multi-path parquet scan with an
+    * explicit schema, and the DSv2 parquet-mr reader) surface it as
+    * NULL, which matches Delta's ADD COLUMN semantics. New columns must
+    * be nullable for exactly that reason. */
+  def addColumns(name: String, newCols: StructType): Unit = {
+    val (schema, dirs, b) = readManifest(name, currentVersion(name))
+    val clash = newCols.fieldNames.filter(schema.fieldNames.contains)
+    require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
+    require(newCols.forall(_.nullable),
+      "ADD COLUMN requires nullable columns (existing rows have no value)")
+    commit(name, None, StructType(schema.fields ++ newCols.fields), dirs, b)
+  }
+
+  /** VACUUM: physically delete data no version within the retained
+    * window references — superseded batch dirs/bucket leaves and orphan
+    * dirs from aborted DSv2 writes. Keeps the latest `retainVersions`
+    * manifests (so that much time travel survives) and deletes older
+    * manifests, whose data may be gone. Returns the deleted paths.
+    *
+    * Scale: pure manifest-diff + directory deletes — O(dirs), no data
+    * read. The reference lists VACUUM as future work
+    * (/root/reference/README.md:654-659); the manifest design makes it
+    * a set subtraction here. */
+  def vacuum(name: String, retainVersions: Int = 1): Seq[Path] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val cur = currentVersion(name)
+    val keepVersions = (math.max(0L, cur - retainVersions + 1) to cur)
+    val live: Set[String] =
+      keepVersions.flatMap(v => readManifest(name, v)._2).toSet
+    val dataDir = dataRoot(name)
+    val deleted = Seq.newBuilder[Path]
+    if (Files.isDirectory(dataDir)) {
+      val topDirs = Using.resource(Files.list(dataDir))(_.iterator().asScala.toSeq)
+      topDirs.foreach { top =>
+        val topName = top.getFileName.toString
+        if (live.contains(topName)) () // whole unbucketed batch still live
+        else {
+          val liveLeaves = live.filter(_.startsWith(s"$topName/"))
+          if (liveLeaves.isEmpty) {
+            // nothing in the retained window references this batch at all
+            FsUtil.deleteRecursively(top.toFile)
+            deleted += top
+          } else {
+            // bucketed batch: some leaves live, delete only the dead ones
+            val leaves = Using.resource(Files.list(top))(_.iterator().asScala.toSeq)
+            leaves.filter(l => l.getFileName.toString.startsWith("__b=") &&
+                !liveLeaves.contains(s"$topName/${l.getFileName}"))
+              .foreach { l => FsUtil.deleteRecursively(l.toFile); deleted += l }
+          }
+        }
+      }
+    }
+    // drop manifests older than the retained window (their data may be gone)
+    val vDir = dir(name).resolve("_v")
+    if (Files.isDirectory(vDir)) {
+      val olds = Using.resource(Files.list(vDir))(_.iterator().asScala.toSeq)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".json") && n.stripSuffix(".json").toLong < keepVersions.head
+        }
+      olds.foreach { p => Files.delete(p); deleted += p }
+    }
+    deleted.result()
   }
 
   private def conform(df: DataFrame, schema: StructType): DataFrame = {

@@ -42,8 +42,11 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left join types, not $joinType")
+    // salt from a per-ROW component, not row content: xxhash64 over the
+    // columns would send byte-identical duplicates of a hot key to ONE
+    // salt bucket — exactly the skew this helper exists to spread
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(buckets)))
+      pmod(spark_partition_id().cast("long") + monotonically_increasing_id(), lit(buckets.toLong)))
     val explodedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit((buckets - 1).toLong))))
     saltedLeft.join(explodedRight, Seq(key, "__salt"), joinType)

@@ -4,16 +4,21 @@ import java.nio.file.{Files, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
 
+import scala.util.Using
+
 import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.example.data.Group
+import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{And => SAnd, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => SNot, Or => SOr}
+import org.apache.spark.sql.sources.{And => SAnd, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In => SIn, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => SNot, Or => SOr}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,10 +62,11 @@ class GraftCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => Files.exists(p.resolve("_LATEST")))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+    else Using.resource(Files.list(dir))(
+      _.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_LATEST")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -78,8 +84,22 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(root, ident.name())
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** ALTER TABLE ADD COLUMN(S) — manual schema evolution
+    * (/root/reference/docs/Silver_Layer_Developer_Guide.md:140-153):
+    * a metadata-only manifest commit; old files read the new column as
+    * NULL. Other change kinds are rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "nested columns not supported (flat data model — SURVEY §1.2)")
+        StructField(a.fieldNames()(0), a.dataType(), a.isNullable())
+      case other =>
+        throw new UnsupportedOperationException(s"ALTER TABLE change $other not supported")
+    }
+    store.addColumns(ident.name(), StructType(adds))
+    new GraftSqlTable(root, ident.name())
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = Paths.get(root, ident.name())
@@ -98,8 +118,14 @@ class GraftSqlTable(root: String, tableName: String)
 
   private def store: TableStore = new TableStore(SparkSession.active, root)
 
+  /** One consistent (version, schema, dirs) tuple resolved at first use:
+    * schema() and newScanBuilder() read from the SAME snapshot, so a
+    * commit landing between them can no longer pair version v's file
+    * list with version v+1's schema. */
+  private lazy val snap = store.snapshot(tableName)
+
   override def name(): String = tableName
-  override def schema(): StructType = store.schemaOf(tableName)
+  override def schema(): StructType = snap.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -110,19 +136,10 @@ class GraftSqlTable(root: String, tableName: String)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(root, tableName, info.schema())
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // resolve the snapshot's live files NOW: the scan stays pinned to
-    // this version even if the table is mutated before execution
-    val dataRoot = Paths.get(root, tableName, "data")
-    val files = store.liveDirs(tableName).flatMap { d =>
-      val leaf = dataRoot.resolve(d)
-      if (!Files.isDirectory(leaf)) Seq.empty
-      else Files.list(leaf).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toSeq
-    }
-    new GraftScanBuilder(schema(), files)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // schema and file list both come from the pinned snapshot: the scan
+    // stays on this version even if the table is mutated before execution
+    new GraftScanBuilder(snap.schema, snap.files(store, tableName))
 
   /** SQL MERGE INTO / UPDATE via group-based (copy-on-write) row-level
     * operations: the operation's scan reads the current snapshot, Spark
@@ -136,7 +153,12 @@ class GraftSqlTable(root: String, tableName: String)
       override def command: org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        GraftSqlTable.this.newScanBuilder(options)
+        // NO filter pushdown here: the copy-on-write rewrite below
+        // replaces the WHOLE snapshot, so its scan must return every
+        // row — a pushed condition (even best-effort row-group skip)
+        // would silently drop the non-matching rows from the rewrite
+        new GraftScanBuilder(snap.schema, snap.files(store, tableName),
+          allowFilterPushdown = false)
       override def newWriteBuilder(
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -181,29 +203,149 @@ class GraftSqlTable(root: String, tableName: String)
   }
 }
 
-class GraftScanBuilder(schema: StructType, files: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class GraftScanBuilder(schema: StructType, files: Seq[String],
+                       allowFilterPushdown: Boolean = true)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftScan(schema, required, files)
+
+  /** Push translatable predicates into parquet-mr (row-group statistics
+    * skip + record-level skip). ALL filters are returned as post-scan —
+    * Spark re-evaluates them above the scan — so the pushdown is purely
+    * an I/O/decode reduction and can never change results; this also
+    * keeps the filters' columns in the required projection, which the
+    * parquet-mr record filter needs. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (allowFilterPushdown)
+      pushed = filters.filter(f => GraftFilters.translate(f, schema).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GraftScan(schema, required, files, pushed)
 }
 
-class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String])
+class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String],
+                pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => GraftInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, fullSchema, pushed)
+  override def description(): String =
+    s"graft parquet scan, ${files.size} files, PushedFilters: [${pushed.mkString(", ")}]"
 }
 
 case class GraftInputPartition(file: String) extends InputPartition
 
-class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
+class GraftReaderFactory(required: StructType, fullSchema: StructType,
+                         pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file, required)
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
+      required, fullSchema, pushed)
+}
+
+/** Spark v1 [[Filter]] -> parquet-mr [[FilterPredicate]] for the
+  * engine's flat data model. Unsupported shapes/types return None and
+  * simply aren't pushed (Spark evaluates them post-scan regardless). */
+object GraftFilters {
+
+  def translate(f: Filter, schema: StructType): Option[FilterPredicate] = f match {
+    case EqualTo(a, v) => leaf(a, schema, v, Op.Eq)
+    case GreaterThan(a, v) => leaf(a, schema, v, Op.Gt)
+    case GreaterThanOrEqual(a, v) => leaf(a, schema, v, Op.GtEq)
+    case LessThan(a, v) => leaf(a, schema, v, Op.Lt)
+    case LessThanOrEqual(a, v) => leaf(a, schema, v, Op.LtEq)
+    case IsNull(a) => leaf(a, schema, null, Op.Eq)
+    case IsNotNull(a) => leaf(a, schema, null, Op.NotEq)
+    case SIn(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      val parts = vs.toSeq.map(v => leaf(a, schema, v, Op.Eq))
+      if (parts.forall(_.isDefined)) Some(parts.flatten.reduce(FilterApi.or))
+      else None
+    case SAnd(l, r) =>
+      for (lp <- translate(l, schema); rp <- translate(r, schema))
+        yield FilterApi.and(lp, rp)
+    case SOr(l, r) =>
+      for (lp <- translate(l, schema); rp <- translate(r, schema))
+        yield FilterApi.or(lp, rp)
+    case SNot(x) => translate(x, schema).map(FilterApi.not)
+    case _ => None
+  }
+
+  private object Op extends Enumeration { val Eq, NotEq, Gt, GtEq, Lt, LtEq = Value }
+
+  /** Columns a translated filter references (to drop filters on columns
+    * a pre-ADD-COLUMN file doesn't have — parquet-mr's schema validator
+    * rejects predicates over absent columns). */
+  def references(f: Filter): Seq[String] = f.references.toSeq
+
+  private def leaf(name: String, schema: StructType, value: Any,
+                   op: Op.Value): Option[FilterPredicate] = {
+    val field = schema.fields.find(_.name == name).getOrElse(return None)
+
+    def cmp[T <: Comparable[T], C <: org.apache.parquet.filter2.predicate.Operators.Column[T]
+            with org.apache.parquet.filter2.predicate.Operators.SupportsLtGt](
+        column: C, v: T): Option[FilterPredicate] = Some(op match {
+      case Op.Eq => FilterApi.eq(column, v)
+      case Op.NotEq => FilterApi.notEq(column, v)
+      case Op.Gt => FilterApi.gt(column, v)
+      case Op.GtEq => FilterApi.gtEq(column, v)
+      case Op.Lt => FilterApi.lt(column, v)
+      case Op.LtEq => FilterApi.ltEq(column, v)
+    })
+
+    (field.dataType, value) match {
+      // null value only arises from Is(Not)Null -> eq/notEq(col, null)
+      case (LongType, null) => cmp(FilterApi.longColumn(name), null.asInstanceOf[java.lang.Long])
+      case (LongType, v: java.lang.Long) => cmp(FilterApi.longColumn(name), v)
+      case (LongType, v: java.lang.Integer) => cmp(FilterApi.longColumn(name), java.lang.Long.valueOf(v.longValue))
+      case (IntegerType, null) => cmp(FilterApi.intColumn(name), null.asInstanceOf[java.lang.Integer])
+      case (IntegerType, v: java.lang.Integer) => cmp(FilterApi.intColumn(name), v)
+      case (DoubleType, null) => cmp(FilterApi.doubleColumn(name), null.asInstanceOf[java.lang.Double])
+      case (DoubleType, v: java.lang.Double) => cmp(FilterApi.doubleColumn(name), v)
+      case (FloatType, null) => cmp(FilterApi.floatColumn(name), null.asInstanceOf[java.lang.Float])
+      case (FloatType, v: java.lang.Float) => cmp(FilterApi.floatColumn(name), v)
+      case (BooleanType, null) =>
+        // BooleanColumn supports only eq/notEq
+        if (op == Op.Eq) Some(FilterApi.eq(FilterApi.booleanColumn(name), null.asInstanceOf[java.lang.Boolean]))
+        else if (op == Op.NotEq) Some(FilterApi.notEq(FilterApi.booleanColumn(name), null.asInstanceOf[java.lang.Boolean]))
+        else None
+      case (BooleanType, v: java.lang.Boolean) =>
+        if (op == Op.Eq) Some(FilterApi.eq(FilterApi.booleanColumn(name), v))
+        else if (op == Op.NotEq) Some(FilterApi.notEq(FilterApi.booleanColumn(name), v))
+        else None
+      case (StringType, null) => cmp(FilterApi.binaryColumn(name), null.asInstanceOf[Binary])
+      case (StringType, v: String) => cmp(FilterApi.binaryColumn(name), Binary.fromString(v))
+      case (TimestampType | TimestampNTZType, null) =>
+        cmp(FilterApi.longColumn(name), null.asInstanceOf[java.lang.Long])
+      case (TimestampType | TimestampNTZType, v) =>
+        micros(v).flatMap(m => cmp(FilterApi.longColumn(name), java.lang.Long.valueOf(m)))
+      case (DateType, null) => cmp(FilterApi.intColumn(name), null.asInstanceOf[java.lang.Integer])
+      case (DateType, v) =>
+        days(v).flatMap(d => cmp(FilterApi.intColumn(name), java.lang.Integer.valueOf(d)))
+      case _ => None
+    }
+  }
+
+  private def micros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case l: java.time.LocalDateTime =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l))
+    case _ => None
+  }
+
+  private def days(v: Any): Option[Int] = v match {
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case _ => None
+  }
 }
 
 /** Column-pruning ReadSupport: projects the FILE's own schema down to
@@ -221,16 +363,41 @@ class ProjectingGroupReadSupport(names: Seq[String]) extends GroupReadSupport {
   }
 }
 
-/** parquet-mr Group reader -> InternalRow for the engine's flat types. */
-class GraftPartitionReader(file: String, required: StructType)
+/** parquet-mr Group reader -> InternalRow for the engine's flat types.
+  * Columns the file predates (ALTER TABLE ADD COLUMN) read as NULL;
+  * pushed filters are applied per-file via parquet-mr's filter2 stack
+  * (row-group statistics skip + record-level skip), restricted to the
+  * columns the file actually has. */
+class GraftPartitionReader(file: String, required: StructType,
+                           fullSchema: StructType, pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(
+  private val conf = new Configuration()
+
+  // one footer read up front: the file's own schema decides which
+  // required columns exist (ADD COLUMN back-compat) and which pushed
+  // filters are applicable (parquet-mr rejects predicates over columns
+  // absent from the file schema)
+  private val fileSchema: org.apache.parquet.schema.MessageType =
+    Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), conf)))(
+      _.getFooter.getFileMetaData.getSchema)
+
+  private val present: Array[Boolean] =
+    required.fields.map(f => fileSchema.containsField(f.name))
+
+  private val reader: ParquetReader[Group] = {
+    val b = ParquetReader.builder(
         new ProjectingGroupReadSupport(required.fieldNames.toSeq),
         new org.apache.hadoop.fs.Path(file))
-      .withConf(new Configuration())
-      .build()
+      .withConf(conf)
+    val pred = pushed.toSeq
+      .filter(_.references.forall(fileSchema.containsField))
+      .flatMap(f => GraftFilters.translate(f, fullSchema))
+      .reduceOption(FilterApi.and)
+    pred.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
+  }
   private var current: Group = _
 
   override def next(): Boolean = {
@@ -240,7 +407,9 @@ class GraftPartitionReader(file: String, required: StructType)
 
   override def get(): InternalRow = {
     val g = current
-    val values = required.fields.map { f =>
+    val values = required.fields.zipWithIndex.map { case (f, fi) =>
+      if (!present(fi)) null
+      else {
       val idx = g.getType.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(idx) == 0) null
       else f.dataType match {
@@ -254,6 +423,7 @@ class GraftPartitionReader(file: String, required: StructType)
         case DateType => g.getInteger(idx, 0)
         case other => throw new UnsupportedOperationException(
           s"type $other (flat schemas only — SURVEY §1.2)")
+      }
       }
     }
     InternalRow.fromSeq(values.toIndexedSeq)

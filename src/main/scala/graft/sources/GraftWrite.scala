@@ -32,17 +32,18 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
   override def truncate(): WriteBuilder = { replace = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(root, table, schema, replace)
+    override def toBatch: BatchWrite =
+      new GraftBatchWrite(root, table, schema, replace, rowLevel = replaceAll)
   }
 }
 
 class GraftBatchWrite(root: String, table: String, schema: StructType,
-                      replace: Boolean) extends BatchWrite {
+                      replace: Boolean, rowLevel: Boolean) extends BatchWrite {
   private val batchDir = "sq" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDataWriterFactory(
-      Paths.get(root, table, "data", batchDir).toString, schema)
+      Paths.get(root, table, "data", batchDir).toString, schema, rowLevel)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val store = new TableStore(SparkSession.active, root)
@@ -59,10 +60,10 @@ class GraftBatchWrite(root: String, table: String, schema: StructType,
     graft.core.FsUtil.deleteRecursively(Paths.get(root, table, "data", batchDir).toFile)
 }
 
-class GraftDataWriterFactory(dirPath: String, schema: StructType)
-    extends DataWriterFactory {
+class GraftDataWriterFactory(dirPath: String, schema: StructType,
+                             rowLevel: Boolean) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"$dirPath/part-$partitionId-$taskId.parquet", schema)
+    new GraftDataWriter(s"$dirPath/part-$partitionId-$taskId.parquet", schema, rowLevel)
 }
 
 object GraftParquet {
@@ -98,7 +99,7 @@ object GraftParquet {
   }
 }
 
-class GraftDataWriter(file: String, schema: StructType)
+class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean)
     extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(file).getParent)
@@ -114,10 +115,21 @@ class GraftDataWriter(file: String, schema: StructType)
     // group-based row-level operations (SQL UPDATE / MERGE INTO) prepend
     // an internal bookkeeping column to the replacement rows while
     // LogicalWriteInfo still reports the data schema; the data columns
-    // sit at the END of the row, so align by trailing offset (0 for
-    // plain INSERT writes)
+    // sit at the END of the row, so align by trailing offset. The layout
+    // is asserted per write kind so a Spark version changing the
+    // ReplaceData row shape fails loudly instead of silently writing
+    // values from the wrong positions:
+    //  - plain INSERT writes carry EXACTLY the data columns (off == 0);
+    //  - Spark 4.x group-based ReplaceData prepends at most the one
+    //    internal row-operation marker (off <= 1).
     val off = row.numFields - schema.length
-    require(off >= 0, s"write row has ${row.numFields} fields for ${schema.length} columns")
+    if (rowLevel)
+      require(off == 0 || off == 1,
+        s"unexpected ReplaceData row layout: ${row.numFields} fields for " +
+          s"${schema.length} columns (expected 0 or 1 leading metadata cols)")
+    else
+      require(off == 0,
+        s"INSERT row has ${row.numFields} fields for ${schema.length} columns")
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i0) =>
       val i = off + i0

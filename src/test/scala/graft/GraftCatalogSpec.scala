@@ -112,4 +112,54 @@ class GraftCatalogSpec extends AnyFunSuite {
       .as[String].collect().toSet
     assert(names.contains("listed"))
   }
+
+  test("ALTER TABLE ADD COLUMN evolves the schema through SQL") {
+    store.create("evo", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql("ALTER TABLE graft.evo ADD COLUMN score DOUBLE")
+    // old files surface the new column as NULL through the SQL read path
+    val got = spark.sql("SELECT id, score FROM graft.evo ORDER BY id")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, None), (2L, None)))
+    // inserts now carry it; mixed old/new files read consistently
+    spark.sql("INSERT INTO graft.evo VALUES (3, 'c', 7.5)")
+    val got2 = spark.sql(
+      "SELECT id, score FROM graft.evo WHERE score IS NOT NULL").head()
+    assert(got2.getLong(0) === 3 && got2.getDouble(1) === 7.5)
+    // unsupported change kinds error loudly
+    intercept[Exception] { spark.sql("ALTER TABLE graft.evo RENAME COLUMN v TO w") }
+  }
+
+  test("filter pushdown reaches parquet-mr and never changes results") {
+    store.create("pf", (1L to 1000L).map(i =>
+      (i, s"name_$i", i * 1.5, i % 2 == 0)).toDF("id", "name", "x", "even"))
+    val q = spark.sql(
+      "SELECT id, x FROM graft.pf WHERE id > 990 AND name <> 'name_995' AND even")
+    // the scan advertises the pushed predicates
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("PushedFilters"))
+    assert(scans.head.scan.description().contains("id"),
+      s"expected id filter pushed: ${scans.head.scan.description()}")
+    assert(q.as[(Long, Double)].collect().toSet ===
+      Set((992L, 1488.0), (994L, 1491.0), (996L, 1494.0), (998L, 1497.0), (1000L, 1500.0)))
+    // timestamp + date + IN-list predicates over the SQL read path
+    store.create("pf2", Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), java.sql.Date.valueOf("2026-01-01")),
+      (2L, java.sql.Timestamp.valueOf("2026-06-01 12:00:00"), java.sql.Date.valueOf("2026-06-01")),
+      (3L, java.sql.Timestamp.valueOf("2026-12-31 23:59:59"), java.sql.Date.valueOf("2026-12-31")))
+      .toDF("id", "ts", "d"))
+    assert(spark.sql(
+      """SELECT id FROM graft.pf2
+        |WHERE ts >= TIMESTAMP '2026-06-01 00:00:00' AND d < DATE '2026-12-01'
+        |  AND id IN (1, 2, 3)""".stripMargin).as[Long].collect().toSeq === Seq(2L))
+    // pushed filter on a column old files lack (post-ADD COLUMN) is safe
+    spark.sql("ALTER TABLE graft.pf2 ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO graft.pf2 VALUES (4, TIMESTAMP '2026-07-01 00:00:00', DATE '2026-07-01', 'hot')")
+    assert(spark.sql("SELECT id FROM graft.pf2 WHERE tag = 'hot'")
+      .as[Long].collect().toSeq === Seq(4L))
+    assert(spark.sql("SELECT id FROM graft.pf2 WHERE tag IS NULL ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+  }
 }

@@ -126,7 +126,7 @@ class TableStoreSpec extends AnyFunSuite {
     val v1Dirs = ts.liveDirs("t")
     val carried = v1Dirs.toSet.intersect(v0Dirs.toSet)
     assert(carried.size >= 6, s"expected >=6 carried leaf dirs, got $carried")
-    assert((v1Dirs.toSet -- v0Dirs.toSet).forall(_.startsWith("b000000001/")))
+    assert((v1Dirs.toSet -- v0Dirs.toSet).forall(_.startsWith("b000000001")))
     // content is a correct merge
     val got = ts.read("t").as[(Long, String)].collect().toMap
     assert(got.size === 101 && got(7L) === "UPDATED" && got(200L) === "INSERTED"
@@ -154,5 +154,77 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.read("t").schema === schema)
     ts.append("t", Seq((1L, "a")).toDF("id", "v"))
     assert(ts.read("t").count() === 1)
+  }
+
+  test("addColumns evolves the schema; old files read the column as NULL") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ts.addColumns("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType))))
+    // metadata-only: same data dirs, new schema, old rows -> NULL
+    val got = ts.read("t").select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === Map(1L -> None, 2L -> None))
+    // new writes carry the column; old rows stay NULL
+    ts.append("t", Seq((3L, "c", Option(9.5))).toDF("id", "v", "score"))
+    val got2 = ts.read("t").select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got2 === Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+    // duplicate / non-nullable additions are rejected loudly
+    intercept[IllegalArgumentException] {
+      ts.addColumns("t", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    }
+  }
+
+  test("vacuum deletes data unreferenced by the retained versions") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))       // v0
+    ts.append("t", Seq((2L, "b")).toDF("id", "v"))       // v1
+    ts.overwrite("t", Seq((3L, "c")).toDF("id", "v"))    // v2: v0/v1 dirs dead
+    val deleted = ts.vacuum("t", retainVersions = 1)
+    assert(deleted.nonEmpty)
+    // current version intact
+    assert(ts.read("t").as[(Long, String)].collect().toSet === Set((3L, "c")))
+    // old manifests are gone -> time travel beyond the window fails
+    intercept[Exception] { ts.readVersion("t", 0).count() }
+    // vacuum again is a no-op
+    assert(ts.vacuum("t", retainVersions = 1).isEmpty)
+  }
+
+  test("vacuum keeps live bucket leaves, drops superseded ones") {
+    val ts = freshStore()
+    ts.createBucketed("t", (0L until 100L).map(i => (i, "v" + i)).toDF("id", "v"),
+      Seq("id"), n = 8)
+    // touch ~2 buckets: their old leaves become dead, others stay live
+    ts.mergeUpsert("t", Seq((7L, "U")).toDF("id", "v"), Seq("id"),
+      changeTypeCol = None)
+    val liveBefore = ts.liveDirs("t").toSet
+    val deleted = ts.vacuum("t", retainVersions = 1)
+    assert(deleted.nonEmpty) // the rewritten bucket's v0 leaf
+    assert(ts.liveDirs("t").toSet === liveBefore)
+    assert(ts.read("t").count() === 100)
+    val got = ts.read("t").as[(Long, String)].collect().toMap
+    assert(got(7L) === "U" && got(3L) === "v3")
+  }
+
+  test("concurrent-writer conflict fails loudly instead of losing a commit") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    // simulate a second writer that already committed version 1
+    val ts2 = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
+    ts2.append("t", Seq((2L, "b")).toDF("id", "v"))
+    // first writer raced: stale manifest write for v1 must fail (CREATE_NEW),
+    // not silently clobber — emulate by pre-creating the next manifest file
+    val vDir = ts.dataRoot("t").getParent.resolve("_v")
+    java.nio.file.Files.write(vDir.resolve("2.json"), "{}".getBytes)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      ts.append("t", Seq((3L, "c")).toDF("id", "v"))
+    }
+    // the pre-existing manifest was not clobbered, pointer still at v1
+    assert(ts.currentVersion("t") === 1)
+    assert(ts.read("t").count() === 2)
   }
 }
