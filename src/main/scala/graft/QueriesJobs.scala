@@ -61,7 +61,7 @@ object QueriesJobs {
 
   val defs: Map[String, QDef] = Map(
 
-    // ---- validate_bronze: quarantine branch ----
+    // ---- validate_bronze: quarantine branch (+ audit metadata cols) ----
     "job_bronze_quarantine" -> QDef(
       (s, dir) => PaymentJobs.bronzeQuarantine(PaymentData.transactions(s, dir)),
       Some(s"""${PaymentData.Sql}
@@ -72,7 +72,12 @@ object QueriesJobs {
               |       WHEN transaction_timestamp IS NULL THEN 'NULL_TIMESTAMP'
               |       WHEN transaction_timestamp > TIMESTAMP '${PaymentData.Now}' THEN 'FUTURE_TIMESTAMP'
               |  END AS error_reason,
-              |  'TIER_1' AS error_tier
+              |  'TIER_1' AS error_tier,
+              |  'QUARANTINE' AS delta_change_type,
+              |  CAST(NULL AS BIGINT) AS delta_version,
+              |  TIMESTAMP '${PaymentData.Now}' AS quarantined_at,
+              |  'ingest/payments_batch_0001.csv' AS source_file,
+              |  'BATCH_0001' AS processing_batch_id
               |FROM txns
               |WHERE transaction_id IS NULL OR transaction_id LIKE '% %'
               |   OR amount IS NULL OR transaction_timestamp IS NULL
@@ -92,7 +97,9 @@ object QueriesJobs {
       },
       Some(s"""$StagingSql
               |SELECT c.*, CASE WHEN CAST(substr(transaction_id, 5, 20) AS BIGINT) % 50 = 0
-              |                 THEN 'MERGE' ELSE 'LOAD' END AS delta_change_type
+              |                 THEN 'MERGE' ELSE 'LOAD' END AS delta_change_type,
+              |  CAST(CASE WHEN CAST(substr(transaction_id, 5, 20) AS BIGINT) % 50 = 0
+              |            THEN 2 ELSE 1 END AS BIGINT) AS delta_version
               |FROM clean c""".stripMargin)),
 
     // ---- validate_silver + load_silver: current-state table ----
@@ -211,6 +218,183 @@ object QueriesJobs {
         PaymentJobs.factStar(silver,
           PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
           DateSpine.dimDate(s, "1995-01-01", "2002-12-31"))
+      },
+      Some(s"""$SilverSql,
+              |dim_pm AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY payment_method) AS BIGINT) AS payment_method_key,
+              |    payment_method FROM (SELECT DISTINCT payment_method FROM silver)),
+              |dim_st AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY transaction_status) AS BIGINT) AS status_key,
+              |    transaction_status FROM (SELECT DISTINCT transaction_status FROM silver))
+              |SELECT s.transaction_id,
+              |  coalesce(p.payment_method_key, -1) AS payment_method_key,
+              |  coalesce(t.status_key, -1) AS status_key,
+              |  CAST(strftime(s.transaction_timestamp, '%Y%m%d') AS INT) AS date_key,
+              |  s.amount - s.fee_amount + s.cashback_amount AS net_customer_amount,
+              |  s.amount - s.cashback_amount AS merchant_net_amount,
+              |  s.fee_amount AS gateway_revenue
+              |FROM silver s
+              |LEFT JOIN dim_pm p USING (payment_method)
+              |LEFT JOIN dim_st t ON s.transaction_status = t.transaction_status
+              |WHERE s.merchant_id NOT LIKE 'MERCH_9%'""".stripMargin)),
+
+    // ---- gold_dim_merchant_scd2: W4 attribute pick -> SCD2 step with
+    //      the reference's effective_start_date < today close guard ----
+    // (dim seeded from the pre-CDC snapshot minus the MERCH_04% band so
+    //  the insert branch fires; a third of the seed rows get
+    //  effective_start_date = today so the close GUARD fires: those
+    //  changed merchants keep their old row current AND insert a new one)
+    "job_dim_merchant_scd2" -> QDef(
+      (s, dir) => {
+        val today = to_date(lit("2026-08-12"))
+        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)).cache()
+        val silverAll = PaymentJobs.silverFromBronze(staging)
+        val silverPre = PaymentJobs.silverFromBronze(
+          staging.filter(col("updated_at") === col("transaction_timestamp")))
+        val dim1 = graft.ops.SurrogateKeys.byOrder(
+            PaymentJobs.merchantSnapshot(silverPre)
+              .filter(!col("merchant_id").like("MERCH_04%")),
+            "merchant_key", Seq(col("merchant_id")))
+          .withColumn("effective_start_date",
+            when(substring(col("merchant_id"), 7, 10).cast("int") % 3 === 0, today)
+              .otherwise(to_date(lit("2026-01-01"))))
+          .withColumn("effective_end_date", lit(null).cast("date"))
+          .withColumn("is_current", lit(true))
+        graft.ops.Scd2.step(dim1, PaymentJobs.merchantSnapshot(silverAll),
+            graft.ops.Scd2.Config("merchant_id", "merchant_key",
+              Seq("merchant_name", "category", "location_type"),
+              closeGuard = col("effective_start_date") < today),
+            today)
+          .select("merchant_id", "merchant_key", "merchant_name", "category",
+            "location_type", "effective_start_date", "effective_end_date", "is_current")
+      },
+      Some(s"""$SilverSql,
+              |s1 AS (SELECT * FROM clean
+              |       WHERE data_quality_flag <> 'FAILED_VALIDATION'
+              |         AND updated_at = transaction_timestamp),
+              |snap1 AS (
+              |  SELECT merchant_id, merchant_name, product_category AS category, location_type
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY merchant_id
+              |          ORDER BY last_transaction_date DESC, transaction_count DESC,
+              |                   merchant_name, product_category, location_type) AS rn
+              |        FROM (SELECT merchant_id, merchant_name, location_type, product_category,
+              |                count(DISTINCT transaction_id) AS transaction_count,
+              |                max(transaction_timestamp) AS last_transaction_date
+              |              FROM s1
+              |              WHERE merchant_id IS NOT NULL AND merchant_id NOT LIKE 'MERCH_9%'
+              |              GROUP BY 1,2,3,4) a) b
+              |  WHERE rn = 1),
+              |snap2 AS (
+              |  SELECT merchant_id, merchant_name, product_category AS category, location_type
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY merchant_id
+              |          ORDER BY last_transaction_date DESC, transaction_count DESC,
+              |                   merchant_name, product_category, location_type) AS rn
+              |        FROM (SELECT merchant_id, merchant_name, location_type, product_category,
+              |                count(DISTINCT transaction_id) AS transaction_count,
+              |                max(transaction_timestamp) AS last_transaction_date
+              |              FROM silver
+              |              WHERE merchant_id IS NOT NULL AND merchant_id NOT LIKE 'MERCH_9%'
+              |              GROUP BY 1,2,3,4) a) b
+              |  WHERE rn = 1),
+              |dim1 AS (SELECT merchant_id, merchant_name, category, location_type,
+              |    CAST(row_number() OVER (ORDER BY merchant_id) AS BIGINT) AS merchant_key,
+              |    CASE WHEN CAST(substr(merchant_id, 7) AS INT) % 3 = 0 THEN DATE '2026-08-12'
+              |         ELSE DATE '2026-01-01' END AS effective_start_date,
+              |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
+              |  FROM snap1 WHERE merchant_id NOT LIKE 'MERCH_04%'),
+              |chg AS (SELECT d.merchant_id, s.merchant_name AS n_name,
+              |    s.category AS n_cat, s.location_type AS n_loc
+              |  FROM dim1 d JOIN snap2 s USING (merchant_id)
+              |  WHERE d.merchant_name <> s.merchant_name
+              |     OR d.category <> s.category OR d.location_type <> s.location_type),
+              |closed AS (SELECT d.merchant_id, d.merchant_key, d.merchant_name,
+              |    d.category, d.location_type, d.effective_start_date,
+              |    CASE WHEN c.merchant_id IS NOT NULL AND d.effective_start_date < DATE '2026-08-12'
+              |         THEN DATE '2026-08-12' ELSE d.effective_end_date END AS effective_end_date,
+              |    CASE WHEN c.merchant_id IS NOT NULL AND d.effective_start_date < DATE '2026-08-12'
+              |         THEN false ELSE d.is_current END AS is_current
+              |  FROM dim1 d LEFT JOIN (SELECT DISTINCT merchant_id FROM chg) c USING (merchant_id)),
+              |ins AS (SELECT merchant_id, merchant_name, category, location_type,
+              |    CAST(row_number() OVER (ORDER BY merchant_id)
+              |         + (SELECT max(merchant_key) FROM dim1) AS BIGINT) AS merchant_key,
+              |    DATE '2026-08-12' AS effective_start_date,
+              |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
+              |  FROM (SELECT merchant_id, merchant_name, category, location_type FROM snap2
+              |        WHERE merchant_id NOT IN (SELECT merchant_id FROM dim1)
+              |        UNION ALL SELECT merchant_id, n_name, n_cat, n_loc FROM chg))
+              |SELECT merchant_id, merchant_key, merchant_name, category, location_type,
+              |  effective_start_date, effective_end_date, is_current FROM closed
+              |UNION ALL
+              |SELECT merchant_id, merchant_key, merchant_name, category, location_type,
+              |  effective_start_date, effective_end_date, is_current FROM ins""".stripMargin)),
+
+    // ---- bronze_backfill: P3 date window + W1 + MERGE stamped BACKFILL ----
+    // (seed = initial LOAD of the original versions; the backfill window
+    //  re-merges 1995-1996: matched originals update to BACKFILL/v3, CDC
+    //  versions inside the window arrive as BACKFILL inserts)
+    "job_bronze_backfill" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_backfill")
+        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)).cache()
+        st.createBucketed("bronze_transactions",
+          staging.filter(col("updated_at") === col("transaction_timestamp"))
+            .withColumn("delta_change_type", lit("LOAD"))
+            .withColumn("delta_version", lit(1L)),
+          keys = Seq("transaction_id"), n = 32)
+        PaymentJobs.bronzeBackfill(st, staging, "1995-01-01", "1996-12-31")
+      },
+      Some(s"""$StagingSql,
+              |seed AS (SELECT * FROM clean WHERE updated_at = transaction_timestamp),
+              |bf AS (SELECT * FROM clean
+              |       WHERE CAST(transaction_timestamp AS DATE)
+              |             BETWEEN DATE '1995-01-01' AND DATE '1996-12-31')
+              |SELECT s.*,
+              |  CASE WHEN b.transaction_id IS NOT NULL THEN 'BACKFILL' ELSE 'LOAD' END
+              |    AS delta_change_type,
+              |  CAST(CASE WHEN b.transaction_id IS NOT NULL THEN 3 ELSE 1 END AS BIGINT)
+              |    AS delta_version
+              |FROM seed s LEFT JOIN (SELECT DISTINCT transaction_id, updated_at FROM bf) b
+              |  ON s.transaction_id = b.transaction_id AND s.updated_at = b.updated_at
+              |UNION ALL
+              |SELECT b.*, 'BACKFILL' AS delta_change_type, CAST(3 AS BIGINT) AS delta_version
+              |FROM bf b
+              |WHERE NOT EXISTS (SELECT 1 FROM seed s
+              |  WHERE s.transaction_id = b.transaction_id AND s.updated_at = b.updated_at)""".stripMargin)),
+
+    // ---- bronze_full_refresh: truncate-load + count confirmation gate ----
+    // (stale seed is fully replaced by the re-derived staging, stamped
+    //  FULL_REFRESH with NULL delta_version per the reference's staging;
+    //  fullRefresh() fails unless the post-load count equals the staged
+    //  count — TESTING_GUIDE scenario 5's confirmation gate)
+    "job_bronze_full_refresh" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_bfr")
+        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)).cache()
+        st.createBucketed("bronze_transactions",
+          staging.filter(col("updated_at") === col("transaction_timestamp"))
+            .withColumn("delta_change_type", lit("LOAD"))
+            .withColumn("delta_version", lit(1L)),
+          keys = Seq("transaction_id"), n = 32)
+        PaymentJobs.fullRefresh(st, "bronze_transactions",
+          staging.withColumn("delta_change_type", lit("FULL_REFRESH"))
+            .withColumn("delta_version", lit(null).cast("bigint")))
+      },
+      Some(s"""$StagingSql
+              |SELECT c.*, 'FULL_REFRESH' AS delta_change_type,
+              |  CAST(NULL AS BIGINT) AS delta_version
+              |FROM clean c""".stripMargin)),
+
+    // ---- fact_full_refresh: full-table star join + overwrite + gate ----
+    "job_fact_full_refresh" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_ffr")
+        val silver = PaymentJobs.silverFromBronze(
+          PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))).cache()
+        val fact = PaymentJobs.factStar(silver,
+          PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
+          DateSpine.dimDate(s, "1995-01-01", "2002-12-31"))
+        st.createEmpty("fact_transactions", fact.schema)
+        PaymentJobs.fullRefresh(st, "fact_transactions", fact)
       },
       Some(s"""$SilverSql,
               |dim_pm AS (

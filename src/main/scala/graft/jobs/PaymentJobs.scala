@@ -43,14 +43,26 @@ object PaymentJobs {
     "device_type" -> "UNKNOWN",
     "location_type" -> "NOT_AVAILABLE")
 
-  /** validate_bronze quarantine branch: Tier-1 rows + classification
-    * (bronze/jobs/validate_bronze.py:65-105). */
-  def bronzeQuarantine(txns: DataFrame): DataFrame =
+  /** validate_bronze quarantine branch: Tier-1 rows + classification +
+    * the reference's audit metadata — delta_change_type='QUARANTINE',
+    * delta_version, quarantined_at, source_file, processing_batch_id
+    * (bronze/jobs/validate_bronze.py:65-105;
+    * docs/SCHEMA_REGISTRY.md:85-114 for the column contract). The
+    * source file and batch id are injected per run (Airflow passes them
+    * as job args in the reference); the clock is [[PaymentData.Now]]. */
+  def bronzeQuarantine(txns: DataFrame,
+                       sourceFile: String = "ingest/payments_batch_0001.csv",
+                       batchId: String = "BATCH_0001"): DataFrame =
     txns.filter(Validation.anyFail(tier1Rules))
       .select(col("transaction_id"), col("customer_id"),
         col("transaction_timestamp"), col("amount"), col("updated_at"),
         Validation.classify(tier1Rules).as("error_reason"),
-        lit("TIER_1").as("error_tier"))
+        lit("TIER_1").as("error_tier"),
+        lit("QUARANTINE").as("delta_change_type"),
+        lit(null).cast("bigint").as("delta_version"),
+        now.as("quarantined_at"),
+        lit(sourceFile).as("source_file"),
+        lit(batchId).as("processing_batch_id"))
 
   /** validate_bronze staging branch: ¬Tier-1 → Tier-3 defaults → Tier-2
     * flags → W1 exact dedup (bronze/jobs/validate_bronze.py:114-181). */
@@ -69,16 +81,74 @@ object PaymentJobs {
   def bronzeLoad(store: TableStore, staging: DataFrame): DataFrame = {
     val originals = staging.filter(col("updated_at") === col("transaction_timestamp"))
     // hash-bucketed on the merge key prefix: the CDC merge below rewrites
-    // only the buckets the batch touches (TableStore prune path)
+    // only the buckets the batch touches (TableStore prune path).
+    // delta_version tracks the commit that last wrote each row
+    // (docs/SCHEMA_REGISTRY.md:5): 1 = initial load, 2 = the CDC merge.
     store.createBucketed("bronze_transactions",
-      originals.withColumn("delta_change_type", lit("LOAD")),
+      originals.withColumn("delta_change_type", lit("LOAD"))
+        .withColumn("delta_version", lit(1L)),
       keys = Seq("transaction_id"), n = 32)
     val cdcBatch = staging
       .filter(expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)") % 50 === 0)
       .withColumn("delta_change_type", lit("ignored"))
+      .withColumn("delta_version", lit(2L))
     store.mergeUpsert("bronze_transactions", cdcBatch,
       Seq("transaction_id", "updated_at"))
     store.read("bronze_transactions")
+  }
+
+  /** bronze_backfill (composite: P3 date window + W1 + M1 stamped
+    * 'BACKFILL' — bronze/jobs/bronze_backfill.py:47,161-203): re-merge
+    * the staging rows whose transaction date falls in [start, end];
+    * matched rows update, late/new rows insert, both stamped BACKFILL
+    * with the backfill commit's delta_version. */
+  def bronzeBackfill(store: TableStore, staging: DataFrame,
+                     startDate: String, endDate: String,
+                     version: Long = 3L): DataFrame = {
+    val window = staging.filter(
+      to_date(col("transaction_timestamp")).between(lit(startDate), lit(endDate)))
+      .withColumn("delta_change_type", lit("ignored"))
+      .withColumn("delta_version", lit(version))
+    store.mergeUpsert("bronze_transactions", window,
+      Seq("transaction_id", "updated_at"),
+      matchedChangeType = "BACKFILL", insertChangeType = "BACKFILL")
+    store.read("bronze_transactions")
+  }
+
+  /** Full refresh with the reference's confirmation gate
+    * (bronze/jobs/bronze_full_refresh.py:174-203,
+    * Gold/fact/fact_full_refresh.py:190-224): INSERT OVERWRITE the
+    * table, then a post-load COUNT must equal the staged row count or
+    * the job fails. Schema is preserved by the store's overwrite. */
+  def fullRefresh(store: TableStore, table: String, df: DataFrame): DataFrame = {
+    val expected = df.count()
+    store.overwrite(table, df)
+    val actual = store.read(table).count()
+    require(actual == expected,
+      s"full-refresh count gate failed for $table: staged $expected, table has $actual")
+    store.read(table)
+  }
+
+  /** gold_dim_merchant_scd2 snapshot: the W4 attribute pick — ONE row
+    * per merchant carrying the latest name and most-common category
+    * (gold_dim_merchant_scd2.py:24-82). The reference's ROW_NUMBER
+    * order (last_transaction_date DESC, transaction_count DESC) is
+    * extended with the attribute columns as tie-breaks so the pick is a
+    * total order — without it the hash-compare (and any two cluster
+    * runs) could legitimately disagree. */
+  def merchantSnapshot(silver: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = silver
+      .filter(col("merchant_id").isNotNull && !col("merchant_id").like("MERCH_9%"))
+      .groupBy("merchant_id", "merchant_name", "location_type", "product_category")
+      .agg(countDistinct("transaction_id").as("transaction_count"),
+        max("transaction_timestamp").as("last_transaction_date"))
+    val w = Window.partitionBy("merchant_id")
+      .orderBy(col("last_transaction_date").desc, col("transaction_count").desc,
+        col("merchant_name"), col("product_category"), col("location_type"))
+    agg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("merchant_id"), col("merchant_name"),
+        col("product_category").as("category"), col("location_type"))
   }
 
   /** validate_silver: documented semantics — drop FAILED_VALIDATION and
@@ -88,7 +158,7 @@ object PaymentJobs {
   def silverFromBronze(bronze: DataFrame): DataFrame = {
     val clean = bronze
       .filter(col("data_quality_flag") =!= "FAILED_VALIDATION")
-      .drop("data_quality_flag", "validation_errors", "delta_change_type")
+      .drop("data_quality_flag", "validation_errors", "delta_change_type", "delta_version")
     Dedup.latestVersionAgg(clean, Seq("transaction_id"), struct(col("updated_at")))
   }
 

@@ -22,13 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
+  /** `closeGuard` is AND-ed into the close condition — the reference's
+    * `AND target.effective_start_date < CURRENT_DATE()`
+    * (gold_dim_merchant_scd2.py:206-216): a version inserted TODAY is
+    * not closed on a same-day re-run (the new version still inserts;
+    * the guard only suppresses the close). */
   final case class Config(
       businessKey: String,
       surrogateKey: String,
       trackedCols: Seq[String],
       effectiveStart: String = "effective_start_date",
       effectiveEnd: String = "effective_end_date",
-      isCurrent: String = "is_current")
+      isCurrent: String = "is_current",
+      closeGuard: Column = lit(true))
 
   /** One SCD2 maintenance step. `dim` must carry businessKey,
     * surrogateKey, tracked+carried attribute cols, effective dates and
@@ -49,13 +55,13 @@ object Scd2 {
     val changedKeys = changedJoin.select(col(bk)).distinct()
     val changedNew = changedJoin.select(col(bk) +: attrCols.map(c => col(s"__n_$c").as(c)): _*)
 
-    // M4: close the superseded current versions
+    // M4: close the superseded current versions (guard suppresses the
+    // close for rows the reference's MERGE condition would not match)
+    val hit = coalesce(col("__chg"), lit(false)) && col(cfg.isCurrent) && cfg.closeGuard
     val closed = dim
       .join(changedKeys.withColumn("__chg", lit(true)), Seq(bk), "left_outer")
-      .withColumn(cfg.effectiveEnd,
-        when(col("__chg") && col(cfg.isCurrent), today).otherwise(col(cfg.effectiveEnd)))
-      .withColumn(cfg.isCurrent,
-        when(coalesce(col("__chg"), lit(false)), lit(false)).otherwise(col(cfg.isCurrent)))
+      .withColumn(cfg.effectiveEnd, when(hit, today).otherwise(col(cfg.effectiveEnd)))
+      .withColumn(cfg.isCurrent, when(hit, lit(false)).otherwise(col(cfg.isCurrent)))
       .drop("__chg")
 
     // W3: surrogate keys for all inserted rows, offset past the max key

@@ -54,6 +54,7 @@ class PipelineSpec extends AnyFunSuite {
     val cdc = staging
       .filter(expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)") % 50 === 0)
       .withColumn("delta_change_type", lit("ignored"))
+      .withColumn("delta_version", lit(2L))
     st.mergeUpsert("bronze_transactions", cdc, Seq("transaction_id", "updated_at"))
     assert(st.read("bronze_transactions").count() === first)
   }
@@ -131,5 +132,46 @@ class PipelineSpec extends AnyFunSuite {
       Scd2.Config("customer_id", "customer_key", Seq("tier")), today)
     assert(next.count() === 1)
     assert(next.filter(col("is_current")).count() === 1)
+  }
+
+  test("SCD2 close guard: a version started today is not closed, but the new version inserts") {
+    import spark.implicits._
+    val today = to_date(lit("2026-08-12"))
+    val dim = Seq(
+      // started BEFORE today -> closes normally on change
+      (1L, "M1", "Old Name", java.sql.Date.valueOf("2026-01-01"), null.asInstanceOf[java.sql.Date], true),
+      // started TODAY -> the reference's effective_start_date < CURRENT_DATE()
+      // guard suppresses the close (same-day re-run idempotency hatch)
+      (2L, "M2", "Old Name", java.sql.Date.valueOf("2026-08-12"), null.asInstanceOf[java.sql.Date], true))
+      .toDF("merchant_key", "merchant_id", "merchant_name", "effective_start_date", "effective_end_date", "is_current")
+    val snapshot = Seq(("M1", "New Name"), ("M2", "New Name")).toDF("merchant_id", "merchant_name")
+    val next = Scd2.step(dim, snapshot,
+      Scd2.Config("merchant_id", "merchant_key", Seq("merchant_name"),
+        closeGuard = col("effective_start_date") < today), today)
+      .collect()
+    val m1 = next.filter(_.getAs[String]("merchant_id") == "M1")
+    assert(m1.length === 2)
+    assert(m1.count(_.getAs[Boolean]("is_current")) === 1)
+    assert(m1.exists(r => !r.getAs[Boolean]("is_current") &&
+      r.getAs[java.sql.Date]("effective_end_date").toString == "2026-08-12"))
+    // M2: old row stays current (guard), new version still inserted
+    val m2 = next.filter(_.getAs[String]("merchant_id") == "M2")
+    assert(m2.length === 2)
+    assert(m2.forall(_.getAs[Boolean]("is_current")))
+    assert(m2.forall(_.getAs[java.sql.Date]("effective_end_date") == null))
+  }
+
+  test("full refresh replaces contents and passes the count gate") {
+    val st = freshStore()
+    val staging = PaymentJobs.bronzeStaging(txns)
+      .withColumn("delta_change_type", lit("LOAD"))
+      .withColumn("delta_version", lit(1L))
+    st.create("bronze_transactions", staging.limit(10)) // stale seed
+    val refreshed = PaymentJobs.fullRefresh(st, "bronze_transactions",
+      staging.withColumn("delta_change_type", lit("FULL_REFRESH"))
+        .withColumn("delta_version", lit(null).cast("bigint")))
+    assert(refreshed.count() === staging.count())
+    assert(refreshed.select("delta_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("FULL_REFRESH"))
   }
 }
