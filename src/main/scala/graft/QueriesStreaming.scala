@@ -101,6 +101,31 @@ object QueriesStreaming {
              |      FROM g)
              |SELECT user_id, session_id, min(t) AS session_start,
              |  max(t) AS session_end, count(*) AS n_events
-             |FROM s GROUP BY user_id, session_id""".stripMargin))
+             |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
+    // ---- st5: streaming feed over the versioned store ----
+    // (the store's Delta-style table feed: three committed versions are
+    //  consumed through readStream.table -> micro-batches keyed by
+    //  manifest version -> memory sink; result must equal the batch
+    //  union of all three appends)
+    "st5_table_feed" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st5_feed"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        st.create("feed", o.filter(col("o_orderkey") % 3 === 0))
+        st.append("feed", o.filter(col("o_orderkey") % 3 === 1))
+        st.append("feed", o.filter(col("o_orderkey") % 3 === 2))
+        s.conf.set("spark.sql.catalog.graft_st5", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st5.root", root)
+        val q = s.readStream.table("graft_st5.feed")
+          .writeStream.format("memory").queryName("st5_mem")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st5_mem")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"))
   )
 }

@@ -192,10 +192,25 @@ class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  def snapshot(name: String): Snapshot = {
-    val v = currentVersion(name)
+  def snapshot(name: String): Snapshot = snapshotAt(name, currentVersion(name))
+
+  /** Pinned snapshot of a historical version (time travel). */
+  def snapshotAt(name: String, v: Long): Snapshot = {
     val (schema, dirs, b) = readManifest(name, v)
     Snapshot(v, schema, dirs, b)
+  }
+
+  /** Latest version whose manifest was committed at or before `tsMillis`
+    * (TIMESTAMP AS OF resolution — commit time approximated by the
+    * manifest file's modification time, the same heuristic Delta uses). */
+  def versionAsOfTimestamp(name: String, tsMillis: Long): Long = {
+    val cur = currentVersion(name)
+    val hit = (0L to cur).reverse.find { v =>
+      val m = manifest(name, v)
+      Files.exists(m) && Files.getLastModifiedTime(m).toMillis <= tsMillis
+    }
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"no version of $name existed at or before timestamp $tsMillis"))
   }
 
   def schemaOf(name: String): StructType = readManifest(name, currentVersion(name))._1

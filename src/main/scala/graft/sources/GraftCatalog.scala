@@ -77,6 +77,27 @@ class GraftCatalog extends TableCatalog {
     new GraftSqlTable(root, t)
   }
 
+  /** SELECT ... FROM graft.t VERSION AS OF <n> — time travel pinned to
+    * a committed manifest version (TableStore.readVersion's SQL face). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = ident.name()
+    if (!store.exists(t))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new GraftSqlTable(root, t, pinnedVersion = Some(version.toLong))
+  }
+
+  /** SELECT ... FROM graft.t TIMESTAMP AS OF <ts> (Spark hands the
+    * timestamp down in microseconds since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = ident.name()
+    if (!store.exists(t))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new GraftSqlTable(root, t,
+      pinnedVersion = Some(store.versionAsOfTimestamp(t, timestamp / 1000L)))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -111,8 +132,10 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME TABLE not supported")
 }
 
-/** A TableStore table exposed through DSv2. */
-class GraftSqlTable(root: String, tableName: String)
+/** A TableStore table exposed through DSv2 (optionally pinned to a
+  * historical version for VERSION AS OF / TIMESTAMP AS OF). */
+class GraftSqlTable(root: String, tableName: String,
+                    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
@@ -122,24 +145,30 @@ class GraftSqlTable(root: String, tableName: String)
     * schema() and newScanBuilder() read from the SAME snapshot, so a
     * commit landing between them can no longer pair version v's file
     * list with version v+1's schema. */
-  private lazy val snap = store.snapshot(tableName)
+  private lazy val snap = pinnedVersion match {
+    case Some(v) => store.snapshotAt(tableName, v)
+    case None => store.snapshot(tableName)
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = snap.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** INSERT INTO (append) / INSERT OVERWRITE (truncate) via the
     * parquet-mr executor writers + one manifest version bump. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinnedVersion.isEmpty, "cannot write to a time-travel (VERSION AS OF) table")
     new GraftWriteBuilder(root, tableName, info.schema())
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // schema and file list both come from the pinned snapshot: the scan
     // stays on this version even if the table is mutated before execution
-    new GraftScanBuilder(snap.schema, snap.files(store, tableName))
+    new GraftScanBuilder(snap.schema, snap.files(store, tableName),
+      streamSource = Some((root, tableName)))
 
   /** SQL MERGE INTO / UPDATE via group-based (copy-on-write) row-level
     * operations: the operation's scan reads the current snapshot, Spark
@@ -204,7 +233,8 @@ class GraftSqlTable(root: String, tableName: String)
 }
 
 class GraftScanBuilder(schema: StructType, files: Seq[String],
-                       allowFilterPushdown: Boolean = true)
+                       allowFilterPushdown: Boolean = true,
+                       streamSource: Option[(String, String)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
@@ -223,12 +253,14 @@ class GraftScanBuilder(schema: StructType, files: Seq[String],
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GraftScan(schema, required, files, pushed)
+  override def build(): Scan =
+    new GraftScan(schema, required, files, pushed, streamSource)
 }
 
 class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String],
-                pushed: Array[Filter])
-    extends Scan with Batch {
+                pushed: Array[Filter],
+                streamSource: Option[(String, String)] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -237,6 +269,73 @@ class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String]
     new GraftReaderFactory(required, fullSchema, pushed)
   override def description(): String =
     s"graft parquet scan, ${files.size} files, PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** File-size statistics for the optimizer: lets Spark pick broadcast
+    * joins over graft tables and size AQE partitions sensibly instead
+    * of assuming the default (huge) relation size. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = files.map(f =>
+      try Files.size(Paths.get(f)) catch { case _: Exception => 0L }).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  /** Structured-streaming face of a store table: each committed version
+    * is an offset; a micro-batch reads the parquet files the manifests
+    * ADDED between two versions (Delta-style append-driven feed). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (root, table) = streamSource.getOrElse(
+      throw new UnsupportedOperationException("this scan is not backed by a store table"))
+    new GraftMicroBatchStream(root, table, required, fullSchema)
+  }
+}
+
+/** Offset = committed store version (-1 = before any data). */
+case class GraftStreamOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** MicroBatchStream over TableStore versions: APPEND-ONLY tables only —
+  * a batch between offsets (a, b] is "the dirs manifest b references
+  * that manifest a didn't". A version that REMOVED dirs (overwrite,
+  * merge, delete, compaction) fails the stream loudly rather than
+  * silently replaying rewritten data — the same default Delta takes
+  * (its ignoreChanges escape hatch is out of scope). */
+class GraftMicroBatchStream(root: String, table: String,
+                            required: StructType, fullSchema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def store = new TableStore(SparkSession.active, root)
+
+  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+  override def latestOffset(): Offset = GraftStreamOffset(store.currentVersion(table))
+  override def deserializeOffset(json: String): Offset = GraftStreamOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].v
+    val e = end.asInstanceOf[GraftStreamOffset].v
+    if (e <= s) return Array.empty
+    val st = store
+    val startDirs: Set[String] =
+      if (s < 0) Set.empty else st.snapshotAt(table, s).dirs.toSet
+    val endSnap = st.snapshotAt(table, e)
+    val removed = startDirs -- endSnap.dirs.toSet
+    if (removed.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming source $table: version range ($s, $e] removed data dirs " +
+          s"(${removed.take(3).mkString(", ")}…) — the stream requires append-only commits")
+    val newDirs = endSnap.dirs.filterNot(startDirs.contains)
+    endSnap.copy(dirs = newDirs).files(st, table)
+      .map(f => GraftInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, fullSchema, Array.empty)
 }
 
 case class GraftInputPartition(file: String) extends InputPartition

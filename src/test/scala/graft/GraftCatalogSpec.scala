@@ -113,6 +113,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(names.contains("listed"))
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel through SQL") {
+    store.create("tt_sql", Seq((1L, "a")).toDF("id", "v"))           // v0
+    store.append("tt_sql", Seq((2L, "b")).toDF("id", "v"))           // v1
+    store.overwrite("tt_sql", Seq((9L, "z")).toDF("id", "v"))        // v2
+    assert(spark.sql("SELECT id FROM graft.tt_sql VERSION AS OF 0")
+      .as[Long].collect().toSeq === Seq(1L))
+    assert(spark.sql("SELECT id FROM graft.tt_sql VERSION AS OF 1 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    assert(spark.sql("SELECT id FROM graft.tt_sql")
+      .as[Long].collect().toSeq === Seq(9L))
+    // TIMESTAMP AS OF now resolves to the latest committed version
+    assert(spark.sql(
+      "SELECT id FROM graft.tt_sql TIMESTAMP AS OF current_timestamp()")
+      .as[Long].collect().toSeq === Seq(9L))
+    // writes against a pinned table are rejected
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.tt_sql VERSION AS OF 0 VALUES (5, 'x')")
+    }
+  }
+
+  test("streaming table feed: each appended version arrives as a micro-batch") {
+    store.create("st_feed", Seq((1L, "a")).toDF("id", "v"))
+    val q = spark.readStream.table("graft.st_feed")
+      .writeStream.format("memory").queryName("st_feed_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("st_feed_sink").count() === 1)
+      store.append("st_feed", Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("st_feed_sink").as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // a non-append commit fails the stream loudly instead of replaying
+      store.overwrite("st_feed", Seq((9L, "z")).toDF("id", "v"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      assert(ex.getMessage != null)
+    } finally q.stop()
+  }
+
   test("ALTER TABLE ADD COLUMN evolves the schema through SQL") {
     store.create("evo", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     spark.sql("ALTER TABLE graft.evo ADD COLUMN score DOUBLE")
