@@ -345,6 +345,18 @@ class GraftReaderFactory(required: StructType, fullSchema: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
       required, fullSchema, pushed)
+
+  /** Batch reads decode through Spark's vectorized parquet reader
+    * (ColumnarBatch straight into whole-stage codegen); the row reader
+    * remains as the -Dgraft.sql.vectorized=false escape hatch. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    GraftVectorized.enabled
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarPartitionReader(
+      partition.asInstanceOf[GraftInputPartition].file, required,
+      GraftVectorized.predicate(pushed, fullSchema))
 }
 
 /** Spark v1 [[Filter]] -> parquet-mr [[FilterPredicate]] for the
