@@ -28,6 +28,19 @@ object QueriesMutation {
     new TableStore(s, root)
   }
 
+  /** ONE shared root for every query that reads through the `graft` SQL
+    * catalog: Spark caches a catalog instance per session at first use,
+    * so a second query pointing `spark.sql.catalog.graft.root` elsewhere
+    * would silently keep resolving against the first root. Queries share
+    * the root and each wipes only its OWN table directory. */
+  private def sqlCatalogStore(s: SparkSession, table: String): TableStore = {
+    val root = "/tmp/graft_qstore/sqlcat"
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.root", root)
+    graft.core.FsUtil.deleteRecursively(new java.io.File(s"$root/$table"))
+    new TableStore(s, root)
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // ---- M1: MERGE upsert on composite key (load_bronze.py:66-109) ----
@@ -195,11 +208,7 @@ object QueriesMutation {
     //  graft.<table>, like the reference's SQL-in-Py jobs drive Delta)
     "sql_merge_into" -> QDef(
       (s, dir) => {
-        val root = "/tmp/graft_qstore/sql_merge"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
-        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft.root", root)
-        val st = new TableStore(s, root)
+        val st = sqlCatalogStore(s, "t")
         val base = Tables.orders(s, dir).select(
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
         st.create("t", base.filter(col("o_orderkey") % 4 === 1))
@@ -218,6 +227,25 @@ object QueriesMutation {
              |SELECT s.* FROM s
              |UNION ALL
              |SELECT t.* FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin)),
+
+    // ---- SQL SELECT ... WHERE through the DSv2 catalog: the predicate
+    //      is pushed into the parquet-mr scan (row-group statistics skip
+    //      + record-level skip — GraftScanBuilder.pushFilters), so the
+    //      store decodes only matching pages instead of every row. The
+    //      plan audit shows PushedFilters on the graft scan node. ----
+    "sql_select_pushdown" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "big")
+        st.create("big", Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_linestatus")))
+        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                |FROM graft.big
+                |WHERE l_returnflag = 'A' AND l_quantity > 45.0""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_returnflag = 'A' AND l_quantity > 45.0""".stripMargin)),
 
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
