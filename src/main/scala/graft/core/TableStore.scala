@@ -69,13 +69,21 @@ class TableStore(spark: SparkSession, root: String) {
   }
 
   // ---- manifest (de)serialization ----
-  // {"schema": <ddl>, "dirs": [..], "bucketkeys": [..], "nbuckets": N}
-  // (the last two only for bucketed tables)
+  // {"schema": <ddl>, "dirs": [..], "bucketkeys": [..], "nbuckets": N,
+  //  "stats": {"<dir>": {"rows": N, "cols": {"<col>": {"min": "..",
+  //  "max": "..", "nulls": N}}}}}
+  // (bucket fields only for bucketed tables; stats only for dirs whose
+  //  footers yielded reliable statistics — consumers treat a missing
+  //  entry as "might match anything")
   private def writeManifest(name: String, v: Long, schema: StructType,
-                            dirs: Seq[String], bucketing: Option[Bucketing]): Unit = {
+                            dirs: Seq[String], bucketing: Option[Bucketing],
+                            stats: Map[String, DirStats]): Unit = {
     Files.createDirectories(manifest(name, v).getParent)
     val base = s""""schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]"""
-    val extra = bucketing.map(b =>
+    val statsPart =
+      if (stats.isEmpty) ""
+      else s""", "stats": ${DirStats.toJsonFragment(stats, jsonStr)}"""
+    val extra = statsPart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -93,23 +101,34 @@ class TableStore(spark: SparkSession, root: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
-  private def readManifest(name: String, v: Long): (StructType, Seq[String], Option[Bucketing]) = {
+  /** A parsed manifest: the complete committed state of one version. */
+  private[core] final case class Manifest(schema: StructType, dirs: Seq[String],
+                                          bucketing: Option[Bucketing],
+                                          stats: Map[String, DirStats])
+
+  private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
     val m = MiniJson.obj(json)
     def strs(k: String): Seq[String] =
       m.getOrElse(k, Seq.empty).asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
     val bucketing = m.get("nbuckets").map(n =>
       Bucketing(strs("bucketkeys"), n.asInstanceOf[Long].toInt))
-    (StructType.fromDDL(m("schema").asInstanceOf[String]), strs("dirs"), bucketing)
+    val schema = StructType.fromDDL(m("schema").asInstanceOf[String])
+    val stats = m.get("stats").map(DirStats.fromParsed(_, schema)).getOrElse(Map.empty)
+    Manifest(schema, strs("dirs"), bucketing, stats)
   }
 
   private def bucketOf(entry: String): Int =
     entry.split("/__b=", 2)(1).toInt
 
-  /** Write df as version (v+1)'s batch dir(s), commit manifest+pointer. */
+  /** Write df as version (v+1)'s batch dir(s), commit manifest+pointer.
+    * New dirs get footer-derived column statistics in the manifest
+    * (data skipping — see [[DirStats]]); carried dirs keep theirs. */
   private def commit(name: String, df: Option[DataFrame], schema: StructType,
                      carryForward: Seq[String], bucketing: Option[Bucketing]): Long = {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
+    val priorStats: Map[String, DirStats] =
+      if (v == 0) Map.empty else readManifest(name, v - 1).stats
     val newDirs = df match {
       case Some(d) =>
         // unique suffix: two writers racing to the same version write
@@ -139,15 +158,22 @@ class TableStore(spark: SparkSession, root: String) {
         }
       case None => carryForward
     }
-    commitManifest(name, v, schema, newDirs, bucketing)
+    // stats: keep carried dirs' entries, collect footers for new dirs
+    val stats = newDirs.flatMap { d =>
+      priorStats.get(d).orElse(
+          DirStats.collect(dir(name).resolve("data").resolve(d), schema))
+        .map(d -> _)
+    }.toMap
+    commitManifest(name, v, schema, newDirs, bucketing, stats)
     v
   }
 
   /** The commit protocol: write manifest v, then atomically swap the
     * _LATEST pointer. The single place this sequence lives. */
   private def commitManifest(name: String, v: Long, schema: StructType,
-                             dirs: Seq[String], bucketing: Option[Bucketing]): Unit = {
-    writeManifest(name, v, schema, dirs, bucketing)
+                             dirs: Seq[String], bucketing: Option[Bucketing],
+                             stats: Map[String, DirStats]): Unit = {
+    writeManifest(name, v, schema, dirs, bucketing, stats)
     val tmp = dir(name).resolve(s"_LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
@@ -165,7 +191,7 @@ class TableStore(spark: SparkSession, root: String) {
     }
 
   def readVersion(name: String, v: Long): DataFrame = {
-    val (schema, dirs, _) = readManifest(name, v)
+    val m = readManifest(name, v); import m.{schema, dirs}
     scanDirs(dirs, name, schema)
   }
 
@@ -177,27 +203,40 @@ class TableStore(spark: SparkSession, root: String) {
     * schema with a file list) must use this instead of separate
     * schemaOf/liveDirs calls, which could straddle a concurrent commit. */
   final case class Snapshot(version: Long, schema: StructType,
-                            dirs: Seq[String], bucketing: Option[Bucketing]) {
+                            dirs: Seq[String], bucketing: Option[Bucketing],
+                            stats: Map[String, DirStats] = Map.empty) {
     /** Absolute paths of the snapshot's live parquet files. */
-    def files(store: TableStore, name: String): Seq[String] = {
+    def files(store: TableStore, name: String): Seq[String] =
+      filesByDir(store, name).flatMap(_._2)
+
+    /** Live parquet files grouped by manifest dir — the granularity at
+      * which the manifest's column statistics apply (data skipping). */
+    def filesByDir(store: TableStore, name: String): Seq[(String, Seq[String])] = {
       val dataRoot = store.dataRoot(name)
-      dirs.flatMap { d =>
+      dirs.map { d =>
         val leaf = dataRoot.resolve(d)
-        if (!Files.isDirectory(leaf)) Seq.empty
-        else Using.resource(Files.list(leaf))(
-          _.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(_.toString).toSeq)
+        val fs =
+          if (!Files.isDirectory(leaf)) Seq.empty[String]
+          else Using.resource(Files.list(leaf))(
+            _.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(_.toString).toSeq)
+        d -> fs
       }
     }
+
+    /** Exact row count from manifest statistics, if every live dir has
+      * stats (metadata-only COUNT(*)). */
+    def rowCount: Option[Long] =
+      if (dirs.forall(stats.contains)) Some(dirs.map(stats(_).rows).sum) else None
   }
 
   def snapshot(name: String): Snapshot = snapshotAt(name, currentVersion(name))
 
   /** Pinned snapshot of a historical version (time travel). */
   def snapshotAt(name: String, v: Long): Snapshot = {
-    val (schema, dirs, b) = readManifest(name, v)
-    Snapshot(v, schema, dirs, b)
+    val Manifest(schema, dirs, b, st) = readManifest(name, v)
+    Snapshot(v, schema, dirs, b, st)
   }
 
   /** Latest version whose manifest was committed at or before `tsMillis`
@@ -213,15 +252,15 @@ class TableStore(spark: SparkSession, root: String) {
       s"no version of $name existed at or before timestamp $tsMillis"))
   }
 
-  def schemaOf(name: String): StructType = readManifest(name, currentVersion(name))._1
+  def schemaOf(name: String): StructType = readManifest(name, currentVersion(name)).schema
 
   def bucketingOf(name: String): Option[Bucketing] =
-    readManifest(name, currentVersion(name))._3
+    readManifest(name, currentVersion(name)).bucketing
 
   /** Number of live data dirs (bucketed: leaf dirs) — observability for
     * compaction and prune assertions. */
   def liveDirs(name: String): Seq[String] =
-    readManifest(name, currentVersion(name))._2
+    readManifest(name, currentVersion(name)).dirs
   def liveDirCount(name: String): Int = liveDirs(name).size
 
   /** CREATE TABLE AS / full replace (new table or schema change allowed). */
@@ -242,7 +281,7 @@ class TableStore(spark: SparkSession, root: String) {
     * chose INSERT OVERWRITE precisely to avoid schema drift
     * (docs/KNOWN_ISSUES.md:77-99). */
   def overwrite(name: String, df: DataFrame): Unit = {
-    val (schema, _, b) = readManifest(name, currentVersion(name))
+    val Manifest(schema, _, b, _) = readManifest(name, currentVersion(name))
     commit(name, Some(conform(df, schema)), schema, Seq.empty, b)
   }
 
@@ -250,7 +289,7 @@ class TableStore(spark: SparkSession, root: String) {
     * bucketed table only the buckets present in the new data get new
     * leaf dirs). */
   def append(name: String, df: DataFrame): Unit = {
-    val (schema, dirs, b) = readManifest(name, currentVersion(name))
+    val Manifest(schema, dirs, b, _) = readManifest(name, currentVersion(name))
     commit(name, Some(conform(df, schema)), schema, dirs, b)
   }
 
@@ -271,7 +310,7 @@ class TableStore(spark: SparkSession, root: String) {
     * NULL, which matches Delta's ADD COLUMN semantics. New columns must
     * be nullable for exactly that reason. */
   def addColumns(name: String, newCols: StructType): Unit = {
-    val (schema, dirs, b) = readManifest(name, currentVersion(name))
+    val Manifest(schema, dirs, b, _) = readManifest(name, currentVersion(name))
     val clash = newCols.fieldNames.filter(schema.fieldNames.contains)
     require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
     require(newCols.forall(_.nullable),
@@ -294,7 +333,7 @@ class TableStore(spark: SparkSession, root: String) {
     val cur = currentVersion(name)
     val keepVersions = (math.max(0L, cur - retainVersions + 1) to cur)
     val live: Set[String] =
-      keepVersions.flatMap(v => readManifest(name, v)._2).toSet
+      keepVersions.flatMap(v => readManifest(name, v).dirs).toSet
     val dataDir = dataRoot(name)
     val deleted = Seq.newBuilder[Path]
     if (Files.isDirectory(dataDir)) {
@@ -372,7 +411,7 @@ class TableStore(spark: SparkSession, root: String) {
                   insertChangeType: String = "MERGE",
                   changeTypeCol: Option[String] = Some("delta_change_type"),
                   verifyUniqueSource: Boolean = true): Unit = {
-    val (schema, dirs, bucketing) = readManifest(name, currentVersion(name))
+    val Manifest(schema, dirs, bucketing, _) = readManifest(name, currentVersion(name))
     val src = conform(source, schema)
     if (verifyUniqueSource) requireUniqueSource(src, keys)
     val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, src, keys)
@@ -398,7 +437,7 @@ class TableStore(spark: SparkSession, root: String) {
   /** MERGE delete (M3): delete target rows whose keys appear in keysDf
     * (bucket-pruned on bucketed tables). */
   def mergeDelete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
-    val (schema, dirs, bucketing) = readManifest(name, currentVersion(name))
+    val Manifest(schema, dirs, bucketing, _) = readManifest(name, currentVersion(name))
     val keyRows = keysDf.select(keys.map(col): _*).distinct()
     val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, keyRows, keys)
     commit(name, Some(target.join(keyRows, keys, "left_anti")), schema, carried, b)
@@ -437,9 +476,12 @@ class TableStore(spark: SparkSession, root: String) {
     * unbucketed — on bucketed tables the prune path detects the mixed
     * layout and falls back to full rewrites until compact() re-splits. */
   def attachDir(name: String, dirName: String, replace: Boolean): Unit = {
-    val (schema, dirs, b) = readManifest(name, currentVersion(name))
+    val Manifest(schema, dirs, b, priorStats) = readManifest(name, currentVersion(name))
     val carry = if (replace) Seq.empty else dirs
-    commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b)
+    val carryStats = priorStats.view.filterKeys(carry.contains).toMap
+    val stats = carryStats ++ DirStats.collect(
+      dir(name).resolve("data").resolve(dirName), schema).map(dirName -> _)
+    commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b, stats)
   }
 
   /** Absolute path of a table's data root (external writers). */
