@@ -34,35 +34,57 @@ final case class DirStats(rows: Long, cols: Map[String, ColStats])
 
 object DirStats {
 
+  // Hadoop Configuration construction parses the default XML resources —
+  // ~10 ms a pop; a 32-bucket commit reads 32+ footers, so share one
+  // immutable instance (footer reads never mutate it)
+  private lazy val hadoopConf = new Configuration()
+
   /** Aggregate footer statistics over the parquet files of one data dir.
-    * Returns None when the dir has no parquet files (empty write). */
-  def collect(dirPath: Path, schema: StructType): Option[DirStats] = {
+    * Returns None when the dir has no parquet files (empty write).
+    *
+    * `absentIsNull`: how to interpret a column with no chunk in a file.
+    * The store's own commits pass true — its files only ever lack a
+    * column because the file predates an ADD COLUMN, so every row is
+    * null for it. Externally attached dirs (attachDir) pass false: the
+    * writer may have omitted the column for other reasons, so the stats
+    * are marked unreliable instead of asserting an all-null count. */
+  def collect(dirPath: Path, schema: StructType,
+              absentIsNull: Boolean = true): Option[DirStats] = {
     if (!Files.isDirectory(dirPath)) return None
     val files = Using.resource(Files.list(dirPath))(
       _.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
     if (files.isEmpty) return None
+    // footer reads are independent metadata fetches — do them in parallel
+    // (commit latency on a 32-bucket write is otherwise 32 serial opens)
+    import scala.collection.parallel.CollectionConverters._
+    val footers = files.par.map { f =>
+      Using.resource(ParquetFileReader.open(
+        HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), hadoopConf)))(_.getFooter)
+    }.seq
     var rows = 0L
     // per column: (min, max, nulls, reliable) — reliable drops to false
     // the moment any row group lacks usable stats for that column
     val acc = scala.collection.mutable.Map[String, (Any, Any, Long, Boolean)]()
     schema.fields.foreach(f => acc(f.name) = (null, null, 0L, true))
-    files.foreach { f =>
-      val footer = Using.resource(ParquetFileReader.open(
-          HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toString), new Configuration())))(
-        _.getFooter)
+    footers.foreach { footer =>
       footer.getBlocks.asScala.foreach { block =>
         rows += block.getRowCount
+        // parquet column resolution in Spark is case-insensitive by
+        // default — match chunks the same way so an externally written
+        // file with different case isn't mistaken for a missing column
         val byPath = block.getColumns.asScala
-          .map(c => c.getPath.toDotString -> c).toMap
+          .map(c => c.getPath.toDotString.toLowerCase -> c).toMap
         schema.fields.foreach { field =>
           val (mn, mx, nulls, ok) = acc(field.name)
-          if (ok) byPath.get(field.name) match {
-            case None =>
+          if (ok) byPath.get(field.name.toLowerCase) match {
+            case None if absentIsNull =>
               // file predates this column (ADD COLUMN): all its rows are
               // null for it — null count grows, min/max unaffected
               acc(field.name) = (mn, mx, nulls + block.getRowCount, true)
+            case None =>
+              acc(field.name) = (null, null, 0L, false)
             case Some(chunk) =>
               val st = chunk.getStatistics
               if (st == null || !st.isNumNullsSet)
@@ -90,12 +112,17 @@ object DirStats {
   }
 
   /** parquet footer value -> the engine's canonical primitive for the
-    * Spark type; None if the combination isn't one we trust. */
+    * Spark type; None if the combination isn't one we trust. NaN
+    * float/double bounds are rejected: parquet-mr sorts NaN above
+    * everything, so a NaN "min" bounds nothing — Delta and Iceberg
+    * special-case NaN stats the same way. */
   private def canonical(v: Any, dt: DataType): Option[Any] = (dt, v) match {
     case (LongType, x: java.lang.Long) => Some(x.longValue)
     case (IntegerType, x: java.lang.Integer) => Some(x.intValue)
-    case (DoubleType, x: java.lang.Double) => Some(x.doubleValue)
-    case (FloatType, x: java.lang.Float) => Some(x.floatValue)
+    case (DoubleType, x: java.lang.Double) =>
+      if (x.isNaN) None else Some(x.doubleValue)
+    case (FloatType, x: java.lang.Float) =>
+      if (x.isNaN) None else Some(x.floatValue)
     case (BooleanType, x: java.lang.Boolean) => Some(x.booleanValue)
     case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
     case (TimestampType | TimestampNTZType, x: java.lang.Long) => Some(x.longValue)
@@ -103,16 +130,35 @@ object DirStats {
     case _ => None
   }
 
-  /** Total order over canonical values of one column's type. */
+  /** Total order over canonical values of one column's type. Strings
+    * compare by code point (== unsigned UTF-8 byte order, the order
+    * parquet computes UTF8 min/max in); Java's natural String order is
+    * UTF-16 code-unit order, which disagrees for supplementary
+    * characters vs high-BMP and would merge bounds that don't bound. */
   def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Int, y: Int) => x < y
     case (x: Double, y: Double) => x < y
     case (x: Float, y: Float) => x < y
     case (x: Boolean, y: Boolean) => !x && y
-    case (x: String, y: String) => x < y
+    case (x: String, y: String) => utf8Lt(x, y)
     case _ => throw new IllegalArgumentException(
       s"incomparable stats values: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** Code-point order — identical to comparing the UTF-8 encodings as
+    * unsigned bytes, without materializing them. */
+  private[graft] def utf8Lt(x: String, y: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val a = x.codePointAt(i)
+      val b = y.codePointAt(j)
+      if (a != b) return a < b
+      i += Character.charCount(a)
+      j += Character.charCount(b)
+    }
+    i >= x.length && j < y.length
   }
   def lte(a: Any, b: Any): Boolean = !lt(b, a)
 

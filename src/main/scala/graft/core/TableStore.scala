@@ -123,12 +123,14 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** Write df as version (v+1)'s batch dir(s), commit manifest+pointer.
     * New dirs get footer-derived column statistics in the manifest
-    * (data skipping — see [[DirStats]]); carried dirs keep theirs. */
+    * (data skipping — see [[DirStats]]); carried dirs keep theirs,
+    * looked up in `priorStats` — the stats of the manifest the CALLER
+    * read, so commit never re-reads (and never silently re-resolves)
+    * the prior version. */
   private def commit(name: String, df: Option[DataFrame], schema: StructType,
-                     carryForward: Seq[String], bucketing: Option[Bucketing]): Long = {
+                     carryForward: Seq[String], bucketing: Option[Bucketing],
+                     priorStats: Map[String, DirStats]): Long = {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
-    val priorStats: Map[String, DirStats] =
-      if (v == 0) Map.empty else readManifest(name, v - 1).stats
     val newDirs = df match {
       case Some(d) =>
         // unique suffix: two writers racing to the same version write
@@ -265,16 +267,16 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** CREATE TABLE AS / full replace (new table or schema change allowed). */
   def create(name: String, df: DataFrame): Unit =
-    commit(name, Some(df), df.schema, Seq.empty, None)
+    commit(name, Some(df), df.schema, Seq.empty, None, Map.empty)
 
   /** CREATE TABLE AS with hash bucketing on `keys` into `n` leaf dirs:
     * key-driven mutations then rewrite only affected buckets. */
   def createBucketed(name: String, df: DataFrame, keys: Seq[String], n: Int): Unit =
-    commit(name, Some(df), df.schema, Seq.empty, Some(Bucketing(keys, n)))
+    commit(name, Some(df), df.schema, Seq.empty, Some(Bucketing(keys, n)), Map.empty)
 
   /** CREATE TABLE with schema, zero rows (S5 empty staging write). */
   def createEmpty(name: String, schema: StructType): Unit =
-    commit(name, None, schema, Seq.empty, None)
+    commit(name, None, schema, Seq.empty, None, Map.empty)
 
   /** INSERT OVERWRITE semantics: replace contents, PRESERVE the existing
     * table schema (and bucketing) by casting-by-name — the reference
@@ -282,15 +284,15 @@ class TableStore(spark: SparkSession, root: String) {
     * (docs/KNOWN_ISSUES.md:77-99). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val Manifest(schema, _, b, _) = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(df, schema)), schema, Seq.empty, b)
+    commit(name, Some(conform(df, schema)), schema, Seq.empty, b, Map.empty)
   }
 
   /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
     * bucketed table only the buckets present in the new data get new
     * leaf dirs). */
   def append(name: String, df: DataFrame): Unit = {
-    val Manifest(schema, dirs, b, _) = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(df, schema)), schema, dirs, b)
+    val Manifest(schema, dirs, b, st) = readManifest(name, currentVersion(name))
+    commit(name, Some(conform(df, schema)), schema, dirs, b, st)
   }
 
   /** OPTIMIZE-style compaction: rewrite the accumulated dirs as one
@@ -310,12 +312,12 @@ class TableStore(spark: SparkSession, root: String) {
     * NULL, which matches Delta's ADD COLUMN semantics. New columns must
     * be nullable for exactly that reason. */
   def addColumns(name: String, newCols: StructType): Unit = {
-    val Manifest(schema, dirs, b, _) = readManifest(name, currentVersion(name))
+    val Manifest(schema, dirs, b, st) = readManifest(name, currentVersion(name))
     val clash = newCols.fieldNames.filter(schema.fieldNames.contains)
     require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
     require(newCols.forall(_.nullable),
       "ADD COLUMN requires nullable columns (existing rows have no value)")
-    commit(name, None, StructType(schema.fields ++ newCols.fields), dirs, b)
+    commit(name, None, StructType(schema.fields ++ newCols.fields), dirs, b, st)
   }
 
   /** VACUUM: physically delete data no version within the retained
@@ -411,7 +413,7 @@ class TableStore(spark: SparkSession, root: String) {
                   insertChangeType: String = "MERGE",
                   changeTypeCol: Option[String] = Some("delta_change_type"),
                   verifyUniqueSource: Boolean = true): Unit = {
-    val Manifest(schema, dirs, bucketing, _) = readManifest(name, currentVersion(name))
+    val Manifest(schema, dirs, bucketing, st) = readManifest(name, currentVersion(name))
     val src = conform(source, schema)
     if (verifyUniqueSource) requireUniqueSource(src, keys)
     val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, src, keys)
@@ -431,16 +433,16 @@ class TableStore(spark: SparkSession, root: String) {
           .otherwise(col(c)).as(c)
       else when(sMatched, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
-    commit(name, Some(joined.select(out: _*)), schema, carried, b)
+    commit(name, Some(joined.select(out: _*)), schema, carried, b, st)
   }
 
   /** MERGE delete (M3): delete target rows whose keys appear in keysDf
     * (bucket-pruned on bucketed tables). */
   def mergeDelete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
-    val Manifest(schema, dirs, bucketing, _) = readManifest(name, currentVersion(name))
+    val Manifest(schema, dirs, bucketing, st) = readManifest(name, currentVersion(name))
     val keyRows = keysDf.select(keys.map(col): _*).distinct()
     val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, keyRows, keys)
-    commit(name, Some(target.join(keyRows, keys, "left_anti")), schema, carried, b)
+    commit(name, Some(target.join(keyRows, keys, "left_anti")), schema, carried, b, st)
   }
 
   /** MERGE update-only (M4, SCD2 close): for target rows matching source
@@ -479,8 +481,11 @@ class TableStore(spark: SparkSession, root: String) {
     val Manifest(schema, dirs, b, priorStats) = readManifest(name, currentVersion(name))
     val carry = if (replace) Seq.empty else dirs
     val carryStats = priorStats.view.filterKeys(carry.contains).toMap
+    // absentIsNull=false: this dir came from an external writer, so a
+    // missing column chunk can't be assumed to mean ADD-COLUMN all-null
     val stats = carryStats ++ DirStats.collect(
-      dir(name).resolve("data").resolve(dirName), schema).map(dirName -> _)
+      dir(name).resolve("data").resolve(dirName), schema,
+      absentIsNull = false).map(dirName -> _)
     commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b, stats)
   }
 
