@@ -1,6 +1,25 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** The queries reported in the driver-parsed JSON line — one per
+    * BASELINE.md headline row (jobs) plus the most expensive engine
+    * primitives. The full per-query map for all registered queries is
+    * written to target/bench_full.json; it can't go on the stdout line
+    * because the driver's tail buffer truncates long lines (BENCH_r01/
+    * r02 both came back "parsed": null from an ~2.5 KB line). */
+  val headline: Seq[String] = Seq(
+    "job_bronze_load", "job_bronze_full_refresh", "job_bronze_backfill",
+    "job_bronze_quarantine", "job_silver", "job_gdpr_propagate",
+    "job_dim_customer_scd2", "job_dim_merchant_scd2", "job_fact_star",
+    "job_fact_full_refresh", "j1_star_join", "m1_merge_composite",
+    "d3_minhash_lsh", "d5_dedup_clusters", "e3_ann_lsh_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,7 +35,8 @@ object Bench {
     // first timed query doesn't absorb session start-up (~3-4 s)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic order so per-round numbers are comparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize through the PHYSICAL plan: df.count() would let
       // Catalyst prune every unreferenced projection (measuring a
@@ -24,12 +44,23 @@ object Bench {
       // fully-evaluated UnsafeRows, so projections, casts, and derived
       // measures are all actually computed
       try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // isolate queries from each other: several cache intermediates
+      // they hand back still-cached; 80 queries' worth of leaked blocks
+      // fills storage memory and the GC pressure taxes every later
+      // query (r02: a trivial 8-column projection read 26 s)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/bench_full.json"),
+      jsonMap(results).getBytes(StandardCharsets.UTF_8))
+    val head = results.filter(r => headline.contains(r._1))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -247,6 +247,49 @@ object QueriesMutation {
              |FROM lineitem
              |WHERE l_returnflag = 'A' AND l_quantity > 45.0""".stripMargin)),
 
+    // ---- Data skipping: the manifest's per-dir [min,max] drops whole
+    //      dirs at plan time (StatsPruning) — three appends give three
+    //      dirs with disjoint date ranges; the predicate reaches only
+    //      the last. StatsPruningSpec asserts the 1/3-dirs plan shape;
+    //      this query gates the RESULTS against the oracle. ----
+    "sql_stats_prune" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "pruned")
+        val orders = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        st.create("pruned", orders.filter(col("o_orderdate") < lit("1995-01-01")))
+        st.append("pruned", orders.filter(
+          col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01")))
+        st.append("pruned", orders.filter(col("o_orderdate") >= lit("1997-01-01")))
+        s.sql("""SELECT o_orderkey, o_totalprice FROM graft.pruned
+                |WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'""".stripMargin)),
+
+    // ---- Metadata-only aggregates: COUNT/MIN/MAX with no WHERE answered
+    //      from the manifest, zero files read (MetadataAggregate; the
+    //      reference's watermark MAX() before every incremental load is
+    //      exactly this shape). Two commits prove cross-dir merging. ----
+    "sql_meta_agg" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "metaagg")
+        val orders = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+        st.create("metaagg", orders.filter(col("o_orderkey") % 2 === 0))
+        st.append("metaagg", orders.filter(col("o_orderkey") % 2 =!= 0))
+        s.sql("""SELECT count(*) AS n_rows, count(o_orderstatus) AS n_status,
+                |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+                |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+                |FROM graft.metaagg""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_rows, count(o_orderstatus) AS n_status,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |  min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status,
+             |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+             |FROM orders""".stripMargin)),
+
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
       (s, dir) => {

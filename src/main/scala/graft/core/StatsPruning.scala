@@ -1,0 +1,132 @@
+package graft.core
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Manifest-statistics data skipping — the consumer of [[DirStats]]:
+  * given a scan's pushed predicates, decide per data dir whether ANY
+  * row could match, and drop the dirs that can't before a single file
+  * is listed or opened. This is the engine's analogue of Delta's
+  * add-file min/max skipping (Delta VLDB paper §4.2): at 100 TB the
+  * win isn't decode time but never touching the object-store at all
+  * for out-of-range partitions.
+  *
+  * Soundness rules (a dir is pruned ONLY when no row can match):
+  *  - a dir or column without reliable stats always "might match";
+  *  - float/double upper bounds are treated as open-ended: parquet-mr
+  *    computes double min/max with `<`/`>` comparisons, so NaN values
+  *    (which Spark orders ABOVE everything) are silently absent from
+  *    footer bounds — max-based pruning on a float/double column could
+  *    drop NaN rows that `x > v` matches. Min-based pruning stays safe
+  *    (NaN is never below a bound), as does non-NaN equality (NaN
+  *    equals nothing but NaN).
+  *  - Not / unknown predicates never prune.
+  */
+object StatsPruning {
+
+  /** The dirs of `dirStats` whose rows might satisfy ALL `filters`
+    * (missing-stats dirs always survive). */
+  def liveDirs(dirs: Seq[String], stats: Map[String, DirStats],
+               schema: StructType, filters: Seq[Filter]): Seq[String] =
+    if (filters.isEmpty) dirs
+    else dirs.filter { d =>
+      stats.get(d) match {
+        case Some(ds) => !filters.exists(f => cannotMatch(ds, schema, f))
+        case None => true
+      }
+    }
+
+  /** True only when NO row in a dir with these stats can satisfy f. */
+  private[core] def cannotMatch(ds: DirStats, schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => outsideBounds(ds, schema, a, v)
+    case EqualNullSafe(a, null) => colStats(ds, a).flatMap(_.nulls).contains(0L)
+    case EqualNullSafe(a, v) => outsideBounds(ds, schema, a, v)
+    case In(a, vs) =>
+      vs != null && vs.nonEmpty && vs.forall(v => outsideBounds(ds, schema, a, v))
+    // x > v needs a row with value above v: prune when max <= v —
+    // EXCEPT float/double, whose footer max may hide NaN rows (NaN > v
+    // in Spark's ordering), so their max is treated as open-ended
+    case GreaterThan(a, v) => !isFp(schema, a) &&
+      withCanon(ds, schema, a, v) { (cs, cv) =>
+        cs.max.exists(hi => !DirStats.lt(cv, hi)) // hi <= v
+      }
+    case GreaterThanOrEqual(a, v) => !isFp(schema, a) &&
+      withCanon(ds, schema, a, v) { (cs, cv) =>
+        cs.max.exists(hi => DirStats.lt(hi, cv)) // hi < v
+      }
+    // x < v: prune when min >= v (safe for float/double — NaN rows sort
+    // above everything, so they'd never satisfy x < v anyway)
+    case LessThan(a, v) =>
+      withCanon(ds, schema, a, v) { (cs, cv) =>
+        cs.min.exists(lo => !DirStats.lt(lo, cv)) // lo >= v
+      }
+    case LessThanOrEqual(a, v) =>
+      withCanon(ds, schema, a, v) { (cs, cv) =>
+        cs.min.exists(lo => DirStats.lt(cv, lo)) // lo > v
+      }
+    case IsNull(a) => colStats(ds, a).flatMap(_.nulls).contains(0L)
+    case IsNotNull(a) =>
+      colStats(ds, a).flatMap(_.nulls).exists(_ == ds.rows)
+    case And(l, r) => cannotMatch(ds, schema, l) || cannotMatch(ds, schema, r)
+    case Or(l, r) => cannotMatch(ds, schema, l) && cannotMatch(ds, schema, r)
+    case StringStartsWith(a, p) if p != null && p.nonEmpty =>
+      // rows matching have value >= p; prune when max < p
+      withCanon(ds, schema, a, p) { (cs, pv) =>
+        cs.max.exists(hi => DirStats.lt(hi, pv))
+      }
+    case _ => false // Not, StringContains, unknown: never prune
+  }
+
+  private def colStats(ds: DirStats, name: String): Option[ColStats] =
+    ds.cols.get(name).orElse {
+      // scan columns are resolved case-insensitively; stats keys carry
+      // the schema's case
+      ds.cols.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    }
+
+  /** v strictly outside [min,max] — null filter values never prune
+    * (EqualTo(a, null) matches nothing, but Spark shouldn't push it and
+    * pruning on it would be pointless); NaN never prunes. */
+  private def outsideBounds(ds: DirStats, schema: StructType, a: String, v: Any): Boolean =
+    withCanon(ds, schema, a, v) { (cs, cv) =>
+      cs.min.exists(lo => DirStats.lt(cv, lo)) ||
+        cs.max.exists(hi => DirStats.lt(hi, cv))
+    }
+
+  private def isFp(schema: StructType, a: String): Boolean =
+    fieldType(schema, a).exists(t => t == DoubleType || t == FloatType)
+
+  private def fieldType(schema: StructType, a: String): Option[DataType] =
+    schema.fields.collectFirst { case f if f.name.equalsIgnoreCase(a) => f.dataType }
+
+  private def withCanon(ds: DirStats, schema: StructType, a: String, v: Any)(
+      f: (ColStats, Any) => Boolean): Boolean =
+    (colStats(ds, a), fieldType(schema, a).flatMap(canonValue(v, _))) match {
+      case (Some(cs), Some(cv)) => f(cs, cv)
+      case _ => false
+    }
+
+  /** Filter literal -> the manifest's canonical primitive for the
+    * column type; None (never prune) for combinations we don't trust. */
+  private[core] def canonValue(v: Any, dt: DataType): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (LongType, x: Long) => Some(x)
+    case (LongType, x: Int) => Some(x.toLong)
+    case (IntegerType, x: Int) => Some(x)
+    case (IntegerType, x: Long) if x.isValidInt => Some(x.toInt)
+    case (DoubleType, x: Double) => if (x.isNaN) None else Some(x)
+    case (FloatType, x: Float) => if (x.isNaN) None else Some(x)
+    case (BooleanType, x: Boolean) => Some(x)
+    case (StringType, x: String) => Some(x)
+    case (StringType, x: org.apache.spark.unsafe.types.UTF8String) => Some(x.toString)
+    case (DateType, x: java.sql.Date) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(x))
+    case (DateType, x: java.time.LocalDate) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(x))
+    case (TimestampType, x: java.sql.Timestamp) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x))
+    case (TimestampType, x: java.time.Instant) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x))
+    case _ => None
+  }
+}

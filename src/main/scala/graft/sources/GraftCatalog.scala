@@ -166,9 +166,12 @@ class GraftSqlTable(root: String, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // schema and file list both come from the pinned snapshot: the scan
-    // stays on this version even if the table is mutated before execution
-    new GraftScanBuilder(snap.schema, snap.files(store, tableName),
-      streamSource = Some((root, tableName)))
+    // stays on this version even if the table is mutated before execution.
+    // Files stay grouped by manifest dir with the dir's column stats so
+    // the scan can drop whole dirs against pushed predicates (data
+    // skipping) before any file is opened.
+    new GraftScanBuilder(snap.schema, snap.filesByDir(store, tableName),
+      snap.stats, streamSource = Some((root, tableName)))
 
   /** SQL MERGE INTO / UPDATE via group-based (copy-on-write) row-level
     * operations: the operation's scan reads the current snapshot, Spark
@@ -186,8 +189,8 @@ class GraftSqlTable(root: String, tableName: String,
         // replaces the WHOLE snapshot, so its scan must return every
         // row — a pushed condition (even best-effort row-group skip)
         // would silently drop the non-matching rows from the rewrite
-        new GraftScanBuilder(snap.schema, snap.files(store, tableName),
-          allowFilterPushdown = false)
+        new GraftScanBuilder(snap.schema, snap.filesByDir(store, tableName),
+          snap.stats, allowFilterPushdown = false)
       override def newWriteBuilder(
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -232,14 +235,33 @@ class GraftSqlTable(root: String, tableName: String,
   }
 }
 
-class GraftScanBuilder(schema: StructType, files: Seq[String],
+class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
+                       stats: Map[String, graft.core.DirStats],
                        allowFilterPushdown: Boolean = true,
                        streamSource: Option[(String, String)] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var metadataAgg: Option[(StructType, InternalRow)] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COUNT(*)/COUNT(col)/MIN/MAX with no WHERE and no GROUP BY are
+    * answered from the manifest alone — see [[MetadataAggregate]].
+    * Complete pushdown only: Spark gets final values, a real scan
+    * happens for anything the stats can't answer exactly. */
+  private def answerable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
+    if (pushed.nonEmpty || !allowFilterPushdown) None
+    else MetadataAggregate.answer(agg, schema, dirFiles.map(_._1), stats)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answerable(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    metadataAgg = answerable(agg)
+    metadataAgg.isDefined
+  }
 
   /** Push translatable predicates into parquet-mr (row-group statistics
     * skip + record-level skip). ALL filters are returned as post-scan —
@@ -253,13 +275,30 @@ class GraftScanBuilder(schema: StructType, files: Seq[String],
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan =
-    new GraftScan(schema, required, files, pushed, streamSource)
+
+  /** Manifest-stats data skipping happens HERE, at plan time: the
+    * pushed predicates are tested against each dir's [min,max,nulls]
+    * and dirs that can't match contribute no input partitions at all
+    * (see [[graft.core.StatsPruning]] for the soundness rules). The
+    * pushed filters also reach parquet-mr for row-group skipping
+    * inside surviving dirs, and Spark still re-evaluates them above
+    * the scan, so skipping is purely an I/O reduction. */
+  override def build(): Scan = metadataAgg match {
+    case Some((aggSchema, row)) =>
+      new GraftMetadataScan(aggSchema, row, s"${dirFiles.size} dirs")
+    case None =>
+      val liveDirs = graft.core.StatsPruning.liveDirs(
+        dirFiles.map(_._1), stats, schema, pushed.toSeq)
+      val live = dirFiles.filter(df => liveDirs.contains(df._1))
+      new GraftScan(schema, required, live.flatMap(_._2), pushed, streamSource,
+        dirsTotal = dirFiles.size, dirsScanned = live.size)
+  }
 }
 
 class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String],
                 pushed: Array[Filter],
-                streamSource: Option[(String, String)] = None)
+                streamSource: Option[(String, String)] = None,
+                dirsTotal: Int = 0, dirsScanned: Int = 0)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -268,7 +307,9 @@ class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String]
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, fullSchema, pushed)
   override def description(): String =
-    s"graft parquet scan, ${files.size} files, PushedFilters: [${pushed.mkString(", ")}]"
+    s"graft parquet scan, ${files.size} files" +
+      s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
+      s", PushedFilters: [${pushed.mkString(", ")}]"
 
   /** File-size statistics for the optimizer: lets Spark pick broadcast
     * joins over graft tables and size AQE partitions sensibly instead

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{ColStats, DirStats, StatsPruning, TableStore}
+
+/** Manifest-stats data skipping: the unit rules (StatsPruning) and the
+  * end-to-end behavior through the DSv2 SQL scan — a predicate outside
+  * a dir's [min,max] must remove that dir's files from the scan while
+  * results stay exact. */
+class StatsPruningSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  // ---- unit rules ----
+
+  private val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id BIGINT, price DOUBLE, name STRING")
+  private def ds(lo: Any, hi: Any, nulls: Long = 0, rows: Long = 100,
+                 col: String = "id") =
+    DirStats(rows, Map(col -> ColStats(Some(lo), Some(hi), Some(nulls))))
+
+  private def pruned(d: DirStats, f: Filter): Boolean =
+    StatsPruning.liveDirs(Seq("d"), Map("d" -> d), schema, Seq(f)).isEmpty
+
+  test("range and equality rules prune exactly when no row can match") {
+    val d = ds(10L, 20L)
+    assert(pruned(d, EqualTo("id", 5L)))
+    assert(pruned(d, EqualTo("id", 25L)))
+    assert(!pruned(d, EqualTo("id", 15L)))
+    assert(pruned(d, GreaterThan("id", 20L)))    // max <= v
+    assert(!pruned(d, GreaterThan("id", 19L)))
+    assert(pruned(d, GreaterThanOrEqual("id", 21L)))
+    assert(pruned(d, LessThan("id", 10L)))       // min >= v
+    assert(!pruned(d, LessThan("id", 11L)))
+    assert(pruned(d, LessThanOrEqual("id", 9L)))
+    assert(pruned(d, In("id", Array(1L, 2L, 30L))))
+    assert(!pruned(d, In("id", Array(1L, 15L))))
+    // int literal against a bigint column widens
+    assert(pruned(d, EqualTo("id", 5)))
+    // And prunes if either side prunes; Or only if both do
+    assert(pruned(d, And(EqualTo("id", 15L), EqualTo("id", 5L))))
+    assert(!pruned(d, Or(EqualTo("id", 15L), EqualTo("id", 5L))))
+    assert(pruned(d, Or(EqualTo("id", 4L), EqualTo("id", 5L))))
+  }
+
+  test("null-count rules") {
+    assert(pruned(ds(10L, 20L, nulls = 0), IsNull("id")))
+    assert(!pruned(ds(10L, 20L, nulls = 1), IsNull("id")))
+    assert(pruned(DirStats(100, Map("id" -> ColStats(None, None, Some(100L)))),
+      IsNotNull("id")))
+  }
+
+  test("float/double max is open-ended (hidden NaN) but min still prunes") {
+    val d = ds(1.5, 9.5, col = "price")
+    // x > 100: a NaN row (absent from footer bounds) WOULD match — no prune
+    assert(!pruned(d, GreaterThan("price", 100.0)))
+    assert(!pruned(d, GreaterThanOrEqual("price", 100.0)))
+    // x < 1.0: NaN never sorts below — min-based pruning stays sound
+    assert(pruned(d, LessThan("price", 1.0)))
+    assert(pruned(d, LessThanOrEqual("price", 1.0)))
+    // equality with a non-NaN literal outside bounds is safe
+    assert(pruned(d, EqualTo("price", 100.0)))
+    // NaN literal never prunes
+    assert(!pruned(d, EqualTo("price", Double.NaN)))
+  }
+
+  test("string bounds compare in UTF-8 order; prefix rule") {
+    val d = ds("bravo", "delta", col = "name")
+    assert(pruned(d, EqualTo("name", "alpha")))
+    assert(pruned(d, EqualTo("name", "echo")))
+    assert(!pruned(d, EqualTo("name", "charlie")))
+    assert(pruned(d, StringStartsWith("name", "zulu"))) // max < prefix
+    assert(!pruned(d, StringStartsWith("name", "br")))
+  }
+
+  test("missing stats never prune") {
+    assert(StatsPruning.liveDirs(Seq("a", "b"), Map.empty, schema,
+      Seq(EqualTo("id", 5L))) === Seq("a", "b"))
+    val noCol = DirStats(10, Map.empty)
+    assert(!pruned(noCol, EqualTo("id", 5L)))
+  }
+
+  // ---- end-to-end through the SQL scan ----
+
+  test("SQL scan skips dirs whose stats exclude the predicate") {
+    val root = Files.createTempDirectory("statsprune").toString
+    spark.conf.set("spark.sql.catalog.gprune", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gprune.root", root)
+    val ts = new TableStore(spark, root)
+    // three appends = three manifest dirs with disjoint id ranges
+    ts.create("m", (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    ts.append("m", (100L until 200L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    ts.append("m", (200L until 300L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    assert(ts.liveDirCount("m") === 3)
+
+    val q = spark.sql("SELECT id, v FROM gprune.m WHERE id >= 250")
+    val scans = q.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("stats pruning: 1/3 dirs"), s"unexpected scan: $desc")
+    // and the result is still exact
+    assert(q.count() === 50)
+    assert(q.agg(org.apache.spark.sql.functions.min("id")).head().getLong(0) === 250L)
+
+    // an unselective predicate keeps every dir
+    val all = spark.sql("SELECT count(*) FROM gprune.m WHERE id >= 0")
+    val desc2 = all.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+      .head.scan.description()
+    assert(desc2.contains("stats pruning: 3/3 dirs"), s"unexpected scan: $desc2")
+    assert(all.head().getLong(0) === 300)
+  }
+
+  test("COUNT/MIN/MAX without WHERE are metadata-only (zero files read)") {
+    val root = Files.createTempDirectory("statsagg").toString
+    spark.conf.set("spark.sql.catalog.gagg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gagg.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null: String, 0.5))
+      .toDF("id", "name", "price"))
+    ts.append("t", Seq((10L, "z", 9.5)).toDF("id", "name", "price"))
+
+    def planOf(sql: String) = spark.sql(sql).queryExecution.sparkPlan.toString
+
+    val q = spark.sql(
+      "SELECT count(*), count(name), min(id), max(id), min(name), max(name) FROM gagg.t")
+    val plan = planOf(
+      "SELECT count(*), count(name), min(id), max(id), min(name), max(name) FROM gagg.t")
+    // the metadata answer plans as a LocalTableScan carrying the
+    // synthetic stat columns — no BatchScan, no files
+    assert(plan.contains("LocalTableScan") && plan.contains("count_star")
+      && !plan.contains("BatchScan"), s"expected metadata-only scan, got:\n$plan")
+    val r = q.head()
+    assert(r.getLong(0) === 4)    // count(*)
+    assert(r.getLong(1) === 3)    // count(name): one null
+    assert(r.getLong(2) === 1L && r.getLong(3) === 10L)
+    assert(r.getString(4) === "a" && r.getString(5) === "z")
+
+    // MAX over double must NOT be metadata-answered (hidden-NaN rule)…
+    val mx = spark.sql("SELECT max(price) FROM gagg.t")
+    assert(planOf("SELECT max(price) FROM gagg.t").contains("BatchScan"))
+    assert(mx.head().getDouble(0) === 9.5)
+    // …but MIN over double is safe
+    val mn = spark.sql("SELECT min(price) FROM gagg.t")
+    assert(planOf("SELECT min(price) FROM gagg.t").contains("min_price"))
+    assert(mn.head().getDouble(0) === 0.5)
+
+    // a WHERE clause forces a real scan
+    assert(planOf("SELECT count(*) FROM gagg.t WHERE id > 1").contains("BatchScan"))
+    assert(spark.sql("SELECT count(*) FROM gagg.t WHERE id > 1").head().getLong(0) === 3)
+    // GROUP BY forces a real scan
+    assert(planOf("SELECT name, count(*) FROM gagg.t GROUP BY name").contains("BatchScan"))
+  }
+}
