@@ -31,7 +31,8 @@ object StatsPruning {
     if (filters.isEmpty) dirs
     else dirs.filter { d =>
       stats.get(d) match {
-        case Some(ds) => !filters.exists(f => cannotMatch(ds, schema, f))
+        // a zero-row dir (empty write) can never satisfy any predicate
+        case Some(ds) => ds.rows > 0 && !filters.exists(f => cannotMatch(ds, schema, f))
         case None => true
       }
     }
@@ -123,10 +124,66 @@ object StatsPruning {
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(x))
     case (DateType, x: java.time.LocalDate) =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(x))
+    // catalyst-internal literal forms (from CatalystFilters.translate):
+    // dates are days-since-epoch Int, timestamps micros-since-epoch Long
+    // — already the manifest's canonical primitives
+    case (DateType, x: Int) => Some(x)
     case (TimestampType, x: java.sql.Timestamp) =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x))
     case (TimestampType, x: java.time.Instant) =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x))
+    case (TimestampType, x: Long) => Some(x)
+    case _ => None
+  }
+}
+
+/** Resolved Catalyst predicate -> v1 [[Filter]], for feeding a
+  * library-path UPDATE/DELETE condition into [[StatsPruning]]. The
+  * produced filters carry catalyst-INTERNAL literal values (UTF8String,
+  * Int days, Long micros) — [[StatsPruning.canonValue]] normalizes both
+  * internal and external forms, but these filters must NOT be handed to
+  * consumers expecting external types (parquet-mr pushdown etc.).
+  * Untranslatable shapes return None: the caller simply prunes less. */
+object CatalystFilters {
+  import org.apache.spark.sql.catalyst.expressions.{
+    Attribute, EqualNullSafe => CEqNS, EqualTo => CEq, Expression,
+    GreaterThan => CGt, GreaterThanOrEqual => CGtEq, In => CIn, InSet,
+    IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan => CLt,
+    LessThanOrEqual => CLtEq, Literal, Not => CNot, StartsWith,
+    And => CAnd, Or => COr}
+
+  def translate(e: Expression): Option[Filter] = e match {
+    case CEq(a: Attribute, Literal(v, _)) => Some(EqualTo(a.name, v))
+    case CEq(Literal(v, _), a: Attribute) => Some(EqualTo(a.name, v))
+    case CEqNS(a: Attribute, Literal(v, _)) => Some(EqualNullSafe(a.name, v))
+    case CEqNS(Literal(v, _), a: Attribute) => Some(EqualNullSafe(a.name, v))
+    case CGt(a: Attribute, Literal(v, _)) => Some(GreaterThan(a.name, v))
+    case CGt(Literal(v, _), a: Attribute) => Some(LessThan(a.name, v))
+    case CGtEq(a: Attribute, Literal(v, _)) => Some(GreaterThanOrEqual(a.name, v))
+    case CGtEq(Literal(v, _), a: Attribute) => Some(LessThanOrEqual(a.name, v))
+    case CLt(a: Attribute, Literal(v, _)) => Some(LessThan(a.name, v))
+    case CLt(Literal(v, _), a: Attribute) => Some(GreaterThan(a.name, v))
+    case CLtEq(a: Attribute, Literal(v, _)) => Some(LessThanOrEqual(a.name, v))
+    case CLtEq(Literal(v, _), a: Attribute) => Some(GreaterThanOrEqual(a.name, v))
+    case CIsNull(a: Attribute) => Some(IsNull(a.name))
+    case CIsNotNull(a: Attribute) => Some(IsNotNull(a.name))
+    case a: Attribute if a.dataType == BooleanType => Some(EqualTo(a.name, true))
+    case CNot(a: Attribute) if a.dataType == BooleanType => Some(EqualTo(a.name, false))
+    case CIn(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      Some(In(a.name, vs.map(_.asInstanceOf[Literal].value).toArray))
+    case InSet(a: Attribute, vs) if vs.nonEmpty => Some(In(a.name, vs.toArray))
+    case StartsWith(a: Attribute, Literal(v, _)) if v != null =>
+      Some(StringStartsWith(a.name, v.toString))
+    case CAnd(l, r) =>
+      // partial And is still sound for pruning: if one side alone proves
+      // "cannot match", the conjunction can't match either
+      (translate(l), translate(r)) match {
+        case (Some(lf), Some(rf)) => Some(And(lf, rf))
+        case (one, other) => one.orElse(other)
+      }
+    case COr(l, r) =>
+      for (lf <- translate(l); rf <- translate(r)) yield Or(lf, rf)
+    case CNot(x) => translate(x).map(Not) // StatsPruning never prunes Not
     case _ => None
   }
 }

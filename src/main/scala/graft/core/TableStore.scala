@@ -459,18 +459,68 @@ class TableStore(spark: SparkSession, root: String) {
     overwrite(name, joined.select(out: _*))
   }
 
-  /** UPDATE ... SET ... WHERE cond (M5 soft delete). Arbitrary predicate
-    * -> full rewrite (no key set to prune on). */
-  def update(name: String, condition: Column, set: Map[String, Column]): Unit = {
-    val out = schemaOf(name).map(_.name).map { c =>
-      set.get(c).map(v => when(condition, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
+  /** Best-effort translation of an UPDATE/DELETE condition into v1
+    * filters for manifest-stats dir pruning: analyze the condition
+    * against the table schema (resolving names/casts the way the real
+    * scan would), split the conjuncts, translate the shapes Spark can.
+    * Untranslatable conjuncts are DROPPED, which only weakens the prune
+    * (more dirs survive and get rewritten) — never unsound. */
+  private def conditionFilters(schema: StructType, condition: Column)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val analyzed =
+      try empty.filter(condition).queryExecution.analyzed
+      catch { case _: org.apache.spark.sql.AnalysisException => return Seq.empty }
+    def split(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
     }
-    overwrite(name, read(name).select(out: _*))
+    analyzed.collect { case f: LFilter => f.condition }
+      .flatMap(split)
+      .flatMap(CatalystFilters.translate)
   }
 
-  /** DELETE ... WHERE cond. Null condition rows are kept (SQL semantics). */
-  def delete(name: String, condition: Column): Unit =
-    overwrite(name, read(name).filter(!coalesce(condition, lit(false))))
+  /** Copy-on-write split for an arbitrary predicate: dirs whose manifest
+    * stats prove NO row can match are carried untouched (with their
+    * stats); only dirs that might contain matching rows are rewritten —
+    * the Delta-style file-pruned UPDATE/DELETE
+    * (/root/reference/silver/jobs/bronze_mark_deleted_by_customer.py:126-134
+    * is exactly this shape: a GDPR predicate over a huge table). At
+    * 100 TB this is the difference between rewriting ~1 dir and
+    * rewriting the table; dirs without reliable stats always rewrite. */
+  private def pruneByCondition(name: String, m: Manifest, condition: Column)
+      : (DataFrame, Seq[String]) = {
+    val touched = StatsPruning.liveDirs(
+      m.dirs, m.stats, m.schema, conditionFilters(m.schema, condition))
+    val carried = m.dirs.filterNot(touched.toSet)
+    (scanDirs(touched, name, m.schema), carried)
+  }
+
+  /** UPDATE ... SET ... WHERE cond (M5 soft delete): manifest-stats
+    * pruned copy-on-write — only dirs that might match are rewritten. */
+  def update(name: String, condition: Column, set: Map[String, Column]): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val (target, carried) = pruneByCondition(name, m, condition)
+    if (carried.size == m.dirs.size) return // stats prove nothing matches
+    val out = m.schema.map(_.name).map { c =>
+      set.get(c).map(v => when(condition, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
+    }
+    commit(name, Some(conform(target.select(out: _*), m.schema)), m.schema,
+      carried, m.bucketing, m.stats): Unit
+  }
+
+  /** DELETE ... WHERE cond (pruned copy-on-write like [[update]]).
+    * Null condition rows are kept (SQL semantics). */
+  def delete(name: String, condition: Column): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val (target, carried) = pruneByCondition(name, m, condition)
+    if (carried.size == m.dirs.size) return
+    commit(name, Some(target.filter(!coalesce(condition, lit(false)))), m.schema,
+      carried, m.bucketing, m.stats): Unit
+  }
 
   /** Attach a data dir that an external writer (the DSv2 write path)
     * already placed under data/: append it (or replace everything, for

@@ -227,4 +227,32 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.currentVersion("t") === 1)
     assert(ts.read("t").count() === 2)
   }
+
+  test("update/delete rewrite only dirs whose stats might match; rest carried") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a", false), (2L, "b", false)).toDF("id", "v", "is_deleted"))
+    ts.append("t", Seq((10L, "c", false), (11L, "d", false)).toDF("id", "v", "is_deleted"))
+    ts.append("t", Seq((20L, "e", false), (21L, "f", false)).toDF("id", "v", "is_deleted"))
+    val before = ts.liveDirs("t")
+    assert(before.size === 3)
+    // UPDATE touching only the middle dir ([10,11]): the other two dirs
+    // must be carried byte-identical (same manifest entries), not rewritten
+    ts.update("t", col("id") === 10L, Map("is_deleted" -> lit(true)))
+    val afterUpdate = ts.liveDirs("t")
+    assert(afterUpdate.toSet.intersect(before.toSet) === Set(before(0), before(2)))
+    assert(afterUpdate.size === 3) // 2 carried + 1 rewritten
+    assert(ts.read("t").filter(col("is_deleted")).select("id")
+      .as[Long].collect().toSeq === Seq(10L))
+    assert(ts.read("t").count() === 6)
+    // DELETE touching only the [20,21] dir
+    ts.delete("t", col("id") >= 20L)
+    val afterDelete = ts.liveDirs("t")
+    assert(!afterDelete.contains(before(2)))
+    assert(afterDelete.toSet.intersect(afterUpdate.toSet).size === 2)
+    assert(ts.read("t").count() === 4)
+    // predicate no dir can match: stats prove a no-op, no version bump
+    val v = ts.currentVersion("t")
+    ts.delete("t", col("id") === 999L)
+    assert(ts.currentVersion("t") === v)
+  }
 }
