@@ -539,6 +539,22 @@ class TableStore(spark: SparkSession, root: String) {
     commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b, stats)
   }
 
+  /** Commit a version that REPLACES the `removed` live dirs with the
+    * externally written `dirName`, carrying every other live dir with
+    * its stats — the group-based SQL row-level commit
+    * ([[graft.sources.GraftSqlTable]]): a MERGE INTO / UPDATE whose
+    * runtime group filter touched 1 of N dirs rewrites 1 dir, not the
+    * table. */
+  def replaceDirs(name: String, removed: Set[String], dirName: String): Unit = {
+    val Manifest(schema, dirs, b, priorStats) = readManifest(name, currentVersion(name))
+    val carry = dirs.filterNot(removed.contains)
+    val carryStats = priorStats.view.filterKeys(carry.contains).toMap
+    val stats = carryStats ++ DirStats.collect(
+      dir(name).resolve("data").resolve(dirName), schema,
+      absentIsNull = false).map(dirName -> _)
+    commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b, stats)
+  }
+
   /** Absolute path of a table's data root (external writers). */
   def dataRoot(name: String): Path = dir(name).resolve("data")
 }

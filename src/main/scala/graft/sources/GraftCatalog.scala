@@ -132,12 +132,43 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME TABLE not supported")
 }
 
+/** The `_file` metadata column: which live parquet file produced a
+  * row. Exposed for observability AND as the group identity Spark's
+  * runtime row-level group filtering keys on ([[GraftRowLevelScan]]). */
+object GraftFileMeta extends MetadataColumn {
+  val Name = "_file"
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType = StringType
+  override def isNullable(): Boolean = false
+
+  /** Parse a runtime `_file IN (...)` / `_file = v` predicate into the
+    * matched file set; None for any other shape (no filtering). */
+  def inFiles(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[String]] = {
+    val ch = p.children()
+    val onFile = ch.headOption.exists {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        r.fieldNames().length == 1 && r.fieldNames()(0) == Name
+      case _ => false
+    }
+    p.name() match {
+      case "IN" | "=" if onFile =>
+        val vals = ch.drop(1).collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value())
+        }
+        if (vals.length == ch.length - 1) Some(vals.toSet) else None
+      case _ => None
+    }
+  }
+}
+
 /** A TableStore table exposed through DSv2 (optionally pinned to a
   * historical version for VERSION AS OF / TIMESTAMP AS OF). */
 class GraftSqlTable(root: String, tableName: String,
                     pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def store: TableStore = new TableStore(SparkSession.active, root)
 
@@ -152,6 +183,7 @@ class GraftSqlTable(root: String, tableName: String,
 
   override def name(): String = tableName
   override def schema(): StructType = snap.schema
+  override def metadataColumns(): Array[MetadataColumn] = Array(GraftFileMeta)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
@@ -173,28 +205,47 @@ class GraftSqlTable(root: String, tableName: String,
     new GraftScanBuilder(snap.schema, snap.filesByDir(store, tableName),
       snap.stats, streamSource = Some((root, tableName)))
 
-  /** SQL MERGE INTO / UPDATE via group-based (copy-on-write) row-level
-    * operations: the operation's scan reads the current snapshot, Spark
-    * computes the full replacement rows per the MERGE/UPDATE clauses,
-    * and the write commits them as a replace-all version — the same
-    * rewrite the library-level TableStore merge performs. */
+  /** SQL MERGE INTO / UPDATE via GROUP-BASED (file-subset copy-on-write)
+    * row-level operations. Spark's RowLevelOperationRuntimeGroupFiltering
+    * runs a matching-rows subquery over the table's REGULAR scan
+    * (projecting the `_file` metadata column), then hands this
+    * operation's scan an `IN(_file, <files with matches>)` runtime
+    * filter. [[GraftRowLevelScan]] widens that to manifest-DIR
+    * granularity (the engine's rewrite group), scans only touched dirs,
+    * and reports them here; the write then commits a version replacing
+    * exactly those dirs and carrying the rest with their stats
+    * ([[TableStore.replaceDirs]]). A MERGE INTO touching 1 of N dirs
+    * rewrites 1 dir, not the table. If the runtime filter never fires
+    * (conf off, non-filterable condition), `touched` stays None and the
+    * write falls back to the old sound replace-all commit. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = { () =>
     new org.apache.spark.sql.connector.write.RowLevelOperation {
+      @volatile private var touched: Option[Set[String]] = None
       override def command: org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command()
+      /** The runtime group filter resolves its filter attributes against
+        * THIS operation's scan output, so `_file` must be part of it. */
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftFileMeta.Name))
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        // NO filter pushdown here: the copy-on-write rewrite below
-        // replaces the WHOLE snapshot, so its scan must return every
-        // row — a pushed condition (even best-effort row-group skip)
-        // would silently drop the non-matching rows from the rewrite
-        new GraftScanBuilder(snap.schema, snap.filesByDir(store, tableName),
-          snap.stats, allowFilterPushdown = false)
+        // NO predicate pushdown on the operation scan: the rewrite must
+        // return every row of every group it replaces — group selection
+        // happens ONLY at whole-dir granularity via the runtime filter
+        new ScanBuilder with SupportsPushDownRequiredColumns {
+          private var required: StructType = snap.schema
+          override def pruneColumns(s: StructType): Unit = required = s
+          override def build(): Scan =
+            new GraftRowLevelScan(snap.schema, required,
+              snap.filesByDir(store, tableName), t => touched = Some(t))
+        }
       override def newWriteBuilder(
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
-        new GraftWriteBuilder(root, tableName, wInfo.schema(), replaceAll = true)
+        new GraftWriteBuilder(root, tableName, wInfo.schema(), replaceAll = true,
+          replacedDirs = () => touched)
     }
   }
 
@@ -332,6 +383,41 @@ class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String]
   }
 }
 
+/** The scan side of a group-based row-level operation (SQL UPDATE /
+  * MERGE INTO): implements [[SupportsRuntimeV2Filtering]] on `_file` so
+  * Spark's runtime group filter can reduce the rewrite to the files
+  * that contain matching rows. File sets widen to whole manifest dirs —
+  * the commit granularity — so every row of a replaced dir flows
+  * through the operation (non-matching rows copy through unchanged). */
+class GraftRowLevelScan(fullSchema: StructType, required: StructType,
+                        dirFiles: Seq[(String, Seq[String])],
+                        onTouched: Set[String] => Unit)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  private var live: Seq[(String, Seq[String])] = dirFiles
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftFileMeta.Name))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.iterator.flatMap(GraftFileMeta.inFiles).nextOption().foreach { matched =>
+      live = dirFiles.filter(_._2.exists(matched.contains))
+      onTouched(live.map(_._1).toSet)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    live.flatMap(_._2).map(f => GraftInputPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, fullSchema, Array.empty)
+  override def description(): String =
+    s"graft row-level scan, ${live.size}/${dirFiles.size} dirs"
+}
+
 /** Offset = committed store version (-1 = before any data). */
 case class GraftStreamOffset(v: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -389,9 +475,11 @@ class GraftReaderFactory(required: StructType, fullSchema: StructType,
 
   /** Batch reads decode through Spark's vectorized parquet reader
     * (ColumnarBatch straight into whole-stage codegen); the row reader
-    * remains as the -Dgraft.sql.vectorized=false escape hatch. */
+    * remains as the -Dgraft.sql.vectorized=false escape hatch. Scans
+    * projecting the `_file` metadata column (group-filter subqueries —
+    * tiny) take the row path, which synthesizes it per row. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    GraftVectorized.enabled
+    GraftVectorized.enabled && !required.fieldNames.contains(GraftFileMeta.Name)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -560,7 +648,8 @@ class GraftPartitionReader(file: String, required: StructType,
   override def get(): InternalRow = {
     val g = current
     val values = required.fields.zipWithIndex.map { case (f, fi) =>
-      if (!present(fi)) null
+      if (f.name == GraftFileMeta.Name) UTF8String.fromString(file)
+      else if (!present(fi)) null
       else {
       val idx = g.getType.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(idx) == 0) null

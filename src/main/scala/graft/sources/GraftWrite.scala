@@ -25,7 +25,8 @@ import graft.core.TableStore
   * matches the store's snapshot semantics.
   */
 class GraftWriteBuilder(root: String, table: String, schema: StructType,
-                        replaceAll: Boolean = false)
+                        replaceAll: Boolean = false,
+                        replacedDirs: () => Option[Set[String]] = () => None)
     extends WriteBuilder with SupportsTruncate {
 
   private var replace = replaceAll
@@ -33,12 +34,15 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(root, table, schema, replace, rowLevel = replaceAll)
+      new GraftBatchWrite(root, table, schema, replace, rowLevel = replaceAll,
+        replacedDirs)
   }
 }
 
 class GraftBatchWrite(root: String, table: String, schema: StructType,
-                      replace: Boolean, rowLevel: Boolean) extends BatchWrite {
+                      replace: Boolean, rowLevel: Boolean,
+                      replacedDirs: () => Option[Set[String]] = () => None)
+    extends BatchWrite {
   private val batchDir = "sq" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -52,7 +56,12 @@ class GraftBatchWrite(root: String, table: String, schema: StructType,
     if (wrote || replace) {
       // an all-empty write still needs the dir for the manifest entry
       if (!wrote) Files.createDirectories(Paths.get(root, table, "data", batchDir))
-      store.attachDir(table, batchDir, replace)
+      replacedDirs() match {
+        // group-based row-level op: the runtime group filter proved the
+        // operation touched only these dirs — replace them, carry the rest
+        case Some(removed) => store.replaceDirs(table, removed, batchDir)
+        case None => store.attachDir(table, batchDir, replace)
+      }
     }
   }
 

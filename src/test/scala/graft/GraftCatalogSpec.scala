@@ -202,4 +202,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT id FROM graft.pf2 WHERE tag IS NULL ORDER BY id")
       .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("_file metadata column names the producing parquet file") {
+    store.create("fmeta", Seq((1L, "a")).toDF("id", "v"))
+    store.append("fmeta", Seq((2L, "b")).toDF("id", "v"))
+    val rows = spark.sql("SELECT id, _file FROM graft.fmeta")
+      .as[(Long, String)].collect().toMap
+    assert(rows.size === 2)
+    assert(rows.values.forall(_.endsWith(".parquet")))
+    assert(rows(1L) !== rows(2L)) // two appends -> two distinct files
+  }
+
+  test("SQL UPDATE/MERGE rewrite only the dirs containing matches (group-based)") {
+    store.create("grp_t", Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x"))
+    store.append("grp_t", Seq((10L, "c", 30.0), (11L, "d", 40.0)).toDF("id", "v", "x"))
+    store.append("grp_t", Seq((20L, "e", 50.0), (21L, "f", 60.0)).toDF("id", "v", "x"))
+    val before = store.liveDirs("grp_t")
+    assert(before.size === 3)
+    // UPDATE matching only the middle dir: the other two must be carried
+    spark.sql("UPDATE graft.grp_t SET x = x + 1 WHERE id = 10")
+    val afterUpdate = store.liveDirs("grp_t")
+    assert(afterUpdate.toSet.intersect(before.toSet) === Set(before(0), before(2)))
+    assert(spark.sql("SELECT sum(x) FROM graft.grp_t").head().getDouble(0) === 211.0)
+    assert(spark.sql("SELECT count(*) FROM graft.grp_t").head().getLong(0) === 6)
+    // MERGE matching only the last dir: carried dirs keep their entries
+    Seq((20L, "E", 500.0), (30L, "g", 70.0)).toDF("id", "v", "x")
+      .createOrReplaceTempView("grp_src")
+    spark.sql("""MERGE INTO graft.grp_t t USING grp_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = store.liveDirs("grp_t")
+    // dirs [1,2] and the rewritten [10,11] dir survive untouched
+    assert(afterMerge.toSet.intersect(afterUpdate.toSet).size >= 2)
+    val got = spark.sql("SELECT id, v, x FROM graft.grp_t ORDER BY id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "a", 10.0), (2L, "b", 20.0), (10L, "c", 31.0),
+      (11L, "d", 40.0), (20L, "E", 500.0), (21L, "f", 60.0), (30L, "g", 70.0)))
+  }
 }
