@@ -155,13 +155,18 @@ object QueriesJobs {
         val silverAll = PaymentJobs.silverFromBronze(staging)
         val silverPre = PaymentJobs.silverFromBronze(
           staging.filter(col("updated_at") === col("transaction_timestamp")))
+        // dim1 and the snapshot are each referenced several times inside
+        // Scd2.step (anti-join, change join, close, max-key action):
+        // cache both so the silver aggregate chain runs ONCE per side,
+        // not once per reference
         val dim1 = graft.ops.SurrogateKeys.byOrder(
             custAgg(silverPre).filter(!col("customer_id").like("USER_09%")),
             "customer_key", Seq(col("customer_id")))
           .withColumn("effective_start_date", to_date(lit("2026-01-01")))
           .withColumn("effective_end_date", lit(null).cast("date"))
           .withColumn("is_current", lit(true))
-        graft.ops.Scd2.step(dim1, custAgg(silverAll),
+          .cache()
+        graft.ops.Scd2.step(dim1, custAgg(silverAll).cache(),
             graft.ops.Scd2.Config("customer_id", "customer_key", Seq("band")),
             to_date(lit("2026-08-12")))
           .select("customer_id", "customer_key", "band",
@@ -251,6 +256,9 @@ object QueriesJobs {
         val silverAll = PaymentJobs.silverFromBronze(staging)
         val silverPre = PaymentJobs.silverFromBronze(
           staging.filter(col("updated_at") === col("transaction_timestamp")))
+        // cache dim1 + snapshot: Scd2.step references each several times
+        // (see job_dim_customer_scd2) and the merchant snapshot is the
+        // most expensive input (countDistinct + window over silver)
         val dim1 = graft.ops.SurrogateKeys.byOrder(
             PaymentJobs.merchantSnapshot(silverPre)
               .filter(!col("merchant_id").like("MERCH_04%")),
@@ -260,7 +268,8 @@ object QueriesJobs {
               .otherwise(to_date(lit("2026-01-01"))))
           .withColumn("effective_end_date", lit(null).cast("date"))
           .withColumn("is_current", lit(true))
-        graft.ops.Scd2.step(dim1, PaymentJobs.merchantSnapshot(silverAll),
+          .cache()
+        graft.ops.Scd2.step(dim1, PaymentJobs.merchantSnapshot(silverAll).cache(),
             graft.ops.Scd2.Config("merchant_id", "merchant_key",
               Seq("merchant_name", "category", "location_type"),
               closeGuard = col("effective_start_date") < today),
@@ -383,6 +392,131 @@ object QueriesJobs {
               |SELECT c.*, 'FULL_REFRESH' AS delta_change_type,
               |  CAST(NULL AS BIGINT) AS delta_version
               |FROM clean c""".stripMargin)),
+
+    // ---- the reference's core operational loop, end to end: two-batch
+    //      watermark-incremental load through job_control
+    //      (bronze/TESTING_GUIDE.md:125-161; own-watermark invariant
+    //      docs/KNOWN_ISSUES.md:368-432) ----
+    // day 1 loads everything below a cutoff and records the watermark;
+    // day 2 reads its OWN watermark, loads only updated_at > w with P8
+    // late-arrival derivation, advances the watermark; a third run then
+    // proves idempotency: the advanced watermark admits 0 rows.
+    "job_incremental" -> QDef(
+      (s, dir) => {
+        import java.sql.Timestamp
+        val st = freshStore(s, "job_incr")
+        val jc = new graft.ops.JobControl(st)
+        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)).cache()
+        val cutoff = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        def ntz(t: Timestamp) = lit(t.toString.stripSuffix(".0")).cast("timestamp_ntz")
+        // ---- day 1: initial load below the cutoff, watermark recorded ----
+        val batch1 = staging.filter(col("updated_at") < cutoff)
+          .withColumn("is_late_arrival", lit(false))
+          .withColumn("arrival_delay_hours", lit(0))
+          .withColumn("delta_change_type", lit("LOAD"))
+        st.createBucketed("bronze_transactions", batch1, Seq("transaction_id"), n = 32)
+        val n1 = batch1.count()
+        val w1 = Timestamp.valueOf(batch1.agg(max("updated_at"))
+          .head().getAs[java.time.LocalDateTime](0))
+        jc.record("load_bronze", "BATCH_D1", "bronze", "SUCCESS",
+          Timestamp.valueOf("2026-08-11 00:00:00"), Timestamp.valueOf("2026-08-11 01:00:00"),
+          Some(w1), n1, n1, 0)
+        // ---- day 2: OWN-watermark incremental (P2) + late arrivals (P8) ----
+        val w = ntz(jc.lastWatermark("load_bronze").get)
+        val incr = staging.filter(col("updated_at") > w)
+          .withColumn("is_late_arrival", graft.ops.Validation.isLateArrival(
+            col("transaction_timestamp"), col("updated_at"), w))
+          .withColumn("arrival_delay_hours",
+            when(col("is_late_arrival"), graft.ops.Validation.arrivalDelayHours(
+              col("transaction_timestamp"), col("updated_at"))).otherwise(lit(0)))
+          .withColumn("delta_change_type", lit("INCREMENTAL"))
+        st.mergeUpsert("bronze_transactions", incr,
+          Seq("transaction_id", "updated_at"), changeTypeCol = None)
+        val n2 = incr.count()
+        val w2 = Timestamp.valueOf(incr.agg(max("updated_at"))
+          .head().getAs[java.time.LocalDateTime](0))
+        jc.record("load_bronze", "BATCH_D2", "bronze", "SUCCESS",
+          Timestamp.valueOf("2026-08-12 00:00:00"), Timestamp.valueOf("2026-08-12 01:00:00"),
+          Some(w2), n2, n2, 0)
+        // ---- idempotent re-run: the advanced watermark admits nothing ----
+        val rerun = staging.filter(col("updated_at") > ntz(jc.lastWatermark("load_bronze").get)).count()
+        require(rerun == 0, s"idempotency violated: re-run admitted $rerun rows")
+        st.read("bronze_transactions").withColumn("watermark_used", w)
+      },
+      Some(s"""$StagingSql,
+              |wm AS (SELECT max(updated_at) AS w FROM clean
+              |       WHERE updated_at < TIMESTAMP '1997-01-01 00:00:00')
+              |SELECT c.*,
+              |  CASE WHEN c.updated_at > (SELECT w FROM wm)
+              |       THEN c.transaction_timestamp < (SELECT w FROM wm)
+              |       ELSE false END AS is_late_arrival,
+              |  CASE WHEN c.updated_at > (SELECT w FROM wm)
+              |        AND c.transaction_timestamp < (SELECT w FROM wm)
+              |       THEN CAST(floor((epoch(c.updated_at) - epoch(c.transaction_timestamp)) / 3600) AS INT)
+              |       ELSE 0 END AS arrival_delay_hours,
+              |  CASE WHEN c.updated_at > (SELECT w FROM wm)
+              |       THEN 'INCREMENTAL' ELSE 'LOAD' END AS delta_change_type,
+              |  (SELECT w FROM wm) AS watermark_used
+              |FROM clean c""".stripMargin)),
+
+    // ---- load_fact composite: gate + M2 merge into the fact store
+    //      table + job_control record
+    //      (Gold/fact/load_fact_transactions.py:79-139) ----
+    // seed = "yesterday's" fact state: stale gateway_revenue on half the
+    // rows + one retired transaction absent from today's source. The
+    // merge must restore the stale measures and CARRY the retired row —
+    // distinguishing MERGE from blind overwrite in the oracle.
+    "job_fact_load" -> QDef(
+      (s, dir) => {
+        import java.sql.Timestamp
+        val st = freshStore(s, "job_factload")
+        val silver = PaymentJobs.silverFromBronze(
+          PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))).cache()
+        val fact = PaymentJobs.factStar(silver,
+          PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
+          DateSpine.dimDate(s, "1995-01-01", "2002-12-31")).cache()
+        // the reference's pre-merge gate: refuse an empty source
+        require(!fact.isEmpty, "load_fact gate: empty source")
+        val retired = {
+          import s.implicits._
+          Seq(("TXN_RETIRED", -1L, -1L, 19941231, 0.0, 0.0, 0.0))
+            .toDF("transaction_id", "payment_method_key", "status_key", "date_key",
+              "net_customer_amount", "merchant_net_amount", "gateway_revenue")
+        }
+        val seed = fact.filter(col("date_key") % 2 === 0)
+          .withColumn("gateway_revenue", lit(0.0))
+          .unionByName(retired)
+        st.createBucketed("fact_transactions", seed, Seq("transaction_id"), n = 32)
+        st.mergeUpsert("fact_transactions", fact, Seq("transaction_id"),
+          changeTypeCol = None)
+        val n = fact.count()
+        val jc = new graft.ops.JobControl(st)
+        jc.record("load_fact", "BATCH_0001", "gold", "SUCCESS",
+          Timestamp.valueOf("2026-08-12 00:00:00"), Timestamp.valueOf("2026-08-12 01:00:00"),
+          None, n, n, 0)
+        st.read("fact_transactions")
+      },
+      Some(s"""$SilverSql,
+              |dim_pm AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY payment_method) AS BIGINT) AS payment_method_key,
+              |    payment_method FROM (SELECT DISTINCT payment_method FROM silver)),
+              |dim_st AS (
+              |  SELECT CAST(row_number() OVER (ORDER BY transaction_status) AS BIGINT) AS status_key,
+              |    transaction_status FROM (SELECT DISTINCT transaction_status FROM silver))
+              |SELECT s.transaction_id,
+              |  coalesce(p.payment_method_key, -1) AS payment_method_key,
+              |  coalesce(t.status_key, -1) AS status_key,
+              |  CAST(strftime(s.transaction_timestamp, '%Y%m%d') AS INT) AS date_key,
+              |  s.amount - s.fee_amount + s.cashback_amount AS net_customer_amount,
+              |  s.amount - s.cashback_amount AS merchant_net_amount,
+              |  s.fee_amount AS gateway_revenue
+              |FROM silver s
+              |LEFT JOIN dim_pm p USING (payment_method)
+              |LEFT JOIN dim_st t ON s.transaction_status = t.transaction_status
+              |WHERE s.merchant_id NOT LIKE 'MERCH_9%'
+              |UNION ALL
+              |SELECT 'TXN_RETIRED', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+              |  CAST(19941231 AS INT), 0.0, 0.0, 0.0""".stripMargin)),
 
     // ---- fact_full_refresh: full-table star join + overwrite + gate ----
     "job_fact_full_refresh" -> QDef(

@@ -78,7 +78,11 @@ object PaymentJobs {
     * MERGE a CDC batch on the composite key; returns the loaded table.
     * (bronze/jobs/load_bronze.py:66-109 — matched→UPDATE all cols,
     * not-matched→INSERT, both stamped delta_change_type='MERGE') */
-  def bronzeLoad(store: TableStore, staging: DataFrame): DataFrame = {
+  def bronzeLoad(store: TableStore, staging0: DataFrame): DataFrame = {
+    // staging feeds the seed load, the CDC batch, AND the merge's
+    // uniqueness precondition (a separate action): cache it so the
+    // validation+dedup chain runs once
+    val staging = staging0.cache()
     val originals = staging.filter(col("updated_at") === col("transaction_timestamp"))
     // hash-bucketed on the merge key prefix: the CDC merge below rewrites
     // only the buckets the batch touches (TableStore prune path).
@@ -221,10 +225,13 @@ object PaymentJobs {
   /** The full bronze→silver→gold chain against a scratch store; returns
     * the fact table (used by the flagship query and PipelineSpec). */
   def runPipeline(store: TableStore, txns: DataFrame): DataFrame = {
-    // audit columns added before the load so bronze is written once
+    // audit columns added before the load so bronze is written once;
+    // cached — the load reads it for the seed, the CDC batch and the
+    // uniqueness gate
     val staging = bronzeStaging(txns)
       .withColumn("is_deleted", lit(false))
       .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
+      .cache()
     val bronze = bronzeLoad(store, staging)
     val silver = silverFromBronze(
       bronze.drop("is_deleted", "deleted_at")).cache()
