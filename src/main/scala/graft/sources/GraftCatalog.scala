@@ -432,10 +432,27 @@ case class GraftStreamOffset(v: Long)
   * (its ignoreChanges escape hatch is out of scope). */
 class GraftMicroBatchStream(root: String, table: String,
                             required: StructType, fullSchema: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def store = new TableStore(SparkSession.active, root)
+
+  /** Trigger.AvailableNow: the end offset is PINNED at stream start —
+    * every version committed before the trigger drains in the run's
+    * batches, versions landing mid-run wait for the next trigger
+    * (the contract prepareForTriggerAvailableNow documents). */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(store.currentVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = store.currentVersion(table)
+    GraftStreamOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+  }
+  override def reportLatestOffset(): Offset =
+    GraftStreamOffset(store.currentVersion(table))
 
   override def initialOffset(): Offset = GraftStreamOffset(-1L)
   override def latestOffset(): Offset = GraftStreamOffset(store.currentVersion(table))

@@ -89,4 +89,25 @@ class StreamingSpec extends AnyFunSuite {
     val got = store.read("t").as[(Long, String, Long)].collect().toSet
     assert(got === Set((1L, "v1", 1L), (2L, "v2b", 2L), (3L, "v3", 3L)))
   }
+
+  test("Trigger.AvailableNow drains every committed version, then stops") {
+    val root = Files.createTempDirectory("anstream").toString
+    val store = new TableStore(spark, root)
+    spark.conf.set("spark.sql.catalog.graft_an", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_an.root", root)
+    store.create("feed", Seq((1L, "a")).toDF("id", "v"))
+    store.append("feed", Seq((2L, "b")).toDF("id", "v"))
+    store.append("feed", Seq((3L, "c")).toDF("id", "v"))
+    val q = spark.readStream.table("graft_an.feed")
+      .writeStream.format("memory").queryName("an_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // all three committed versions drained in the one triggered run and
+    // the query terminated on its own (the AvailableNow contract — no
+    // "uncommitted batch" fallback warning path)
+    assert(!q.isActive)
+    assert(spark.table("an_sink").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
