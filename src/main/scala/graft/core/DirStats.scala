@@ -127,6 +127,10 @@ object DirStats {
     case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
     case (TimestampType | TimestampNTZType, x: java.lang.Long) => Some(x.longValue)
     case (DateType, x: java.lang.Integer) => Some(x.intValue)
+    // decimals: canonical form is the unscaled long (INT32- or
+    // INT64-backed per precision, like the store's parquet layout)
+    case (_: DecimalType, x: java.lang.Long) => Some(x.longValue)
+    case (_: DecimalType, x: java.lang.Integer) => Some(x.longValue)
     case _ => None
   }
 
@@ -211,6 +215,7 @@ object DirStats {
     case FloatType => s.toFloatOption
     case BooleanType => s.toBooleanOption
     case StringType => Some(s)
+    case _: DecimalType => s.toLongOption // unscaled
     case _ => None
   }
 }

@@ -133,6 +133,19 @@ object StatsPruning {
     case (TimestampType, x: java.time.Instant) =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x))
     case (TimestampType, x: Long) => Some(x)
+    // decimal literal -> exact unscaled long at the column's scale;
+    // a value that doesn't fit the scale exactly never prunes
+    case (d: DecimalType, x) =>
+      val jbd = x match {
+        case b: java.math.BigDecimal => Some(b)
+        case b: scala.math.BigDecimal => Some(b.bigDecimal)
+        case b: org.apache.spark.sql.types.Decimal => Some(b.toJavaBigDecimal)
+        case _ => None
+      }
+      jbd.flatMap { b =>
+        try Some(b.setScale(d.scale).unscaledValue().longValueExact())
+        catch { case _: ArithmeticException => None }
+      }
     case _ => None
   }
 }

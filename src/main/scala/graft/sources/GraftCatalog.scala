@@ -583,7 +583,31 @@ object GraftFilters {
       case (DateType, null) => cmp(FilterApi.intColumn(name), null.asInstanceOf[java.lang.Integer])
       case (DateType, v) =>
         days(v).flatMap(d => cmp(FilterApi.intColumn(name), java.lang.Integer.valueOf(d)))
+      // INT64-backed decimals (precision 10..18) compare by unscaled
+      // long; INT32-backed (<=9) are simply not pushed (post-scan filter
+      // still applies them)
+      case (d: DecimalType, null) if d.precision > 9 && d.precision <= 18 =>
+        cmp(FilterApi.longColumn(name), null.asInstanceOf[java.lang.Long])
+      case (d: DecimalType, v) if d.precision > 9 && d.precision <= 18 =>
+        unscaled(v, d.scale).flatMap(u =>
+          cmp(FilterApi.longColumn(name), java.lang.Long.valueOf(u)))
       case _ => None
+    }
+  }
+
+  /** Decimal filter literal -> exact unscaled long at the column's
+    * scale; None when the value doesn't fit the scale exactly (a
+    * predicate like x > 1.005 over DECIMAL(10,2) is not pushable). */
+  private def unscaled(v: Any, scale: Int): Option[Long] = {
+    val jbd = v match {
+      case b: java.math.BigDecimal => Some(b)
+      case b: scala.math.BigDecimal => Some(b.bigDecimal)
+      case b: org.apache.spark.sql.types.Decimal => Some(b.toJavaBigDecimal)
+      case _ => None
+    }
+    jbd.flatMap { b =>
+      try Some(b.setScale(scale).unscaledValue().longValueExact())
+      catch { case _: ArithmeticException => None }
     }
   }
 
@@ -679,6 +703,14 @@ class GraftPartitionReader(file: String, required: StructType,
         case StringType => UTF8String.fromString(g.getString(idx, 0))
         case TimestampType | TimestampNTZType => g.getLong(idx, 0) // INT64 micros
         case DateType => g.getInteger(idx, 0)
+        case d: DecimalType =>
+          // unscaled INT32 (precision <= 9) or INT64, per the file
+          val prim = g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName
+          val unscaled =
+            if (prim == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
+              g.getInteger(idx, 0).toLong
+            else g.getLong(idx, 0)
+          org.apache.spark.sql.types.Decimal.createUnsafe(unscaled, d.precision, d.scale)
         case other => throw new UnsupportedOperationException(
           s"type $other (flat schemas only — SURVEY §1.2)")
       }

@@ -100,6 +100,14 @@ object GraftParquet {
           prim(INT64, LogicalTypeAnnotation.timestampType(false,
             LogicalTypeAnnotation.TimeUnit.MICROS))
         case DateType => prim(INT32, LogicalTypeAnnotation.dateType())
+        // Spark's parquet convention: unscaled INT32 up to precision 9,
+        // INT64 up to 18 (the reference's DECIMAL(10,2) amounts —
+        // bronze/dags/bronze_full_refresh_dag.py:34-36). Wider decimals
+        // are outside the engine's flat data model.
+        case d: DecimalType if d.precision <= 9 =>
+          prim(INT32, LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case d: DecimalType if d.precision <= 18 =>
+          prim(INT64, LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case other => throw new UnsupportedOperationException(
           s"type $other (flat schemas only)")
       }
@@ -152,6 +160,9 @@ class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean)
           g.add(f.name, Binary.fromString(row.getUTF8String(i).toString))
         case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
         case DateType => g.add(f.name, row.getInt(i))
+        case d: DecimalType =>
+          val u = row.getDecimal(i, d.precision, d.scale).toUnscaledLong
+          if (d.precision <= 9) g.add(f.name, u.toInt) else g.add(f.name, u)
         case other => throw new UnsupportedOperationException(s"type $other")
       }
     }

@@ -69,7 +69,7 @@ object MetadataAggregate {
     }
     traverse(answered).map { fs =>
       (StructType(fs.map(_._1)),
-        InternalRow.fromSeq(fs.map(v => internal(v._2))))
+        InternalRow.fromSeq(fs.map(v => internal(v._2, v._1.dataType))))
     }
   }
 
@@ -95,9 +95,11 @@ object MetadataAggregate {
     else Some(vs.reduce((a, b) =>
       if (graft.core.DirStats.lt(a, b) == isMin) a else b))
 
-  private def internal(v: Any): Any = v match {
-    case s: String => UTF8String.fromString(s)
-    case other => other // Long/Int/Double/Float/Boolean, date days, ts micros
+  private def internal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (s: String, _) => UTF8String.fromString(s)
+    // manifest holds decimals as unscaled longs; InternalRow wants Decimal
+    case (l: Long, d: DecimalType) => Decimal.createUnsafe(l, d.precision, d.scale)
+    case (other, _) => other // Long/Int/Double/Float/Boolean, date days, ts micros
   }
 }
 

@@ -203,6 +203,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("DECIMAL(10,2) round-trips through the DSv2 write/read/stats path") {
+    spark.sql("CREATE TABLE graft.dec_t (id BIGINT, amt DECIMAL(10,2))")
+    spark.sql("INSERT INTO graft.dec_t VALUES (1, 12.34), (2, 56.78), (3, NULL)")
+    val got = spark.sql("SELECT id, amt FROM graft.dec_t ORDER BY id").collect()
+    assert(got.map(r => Option(r.getDecimal(1)).map(_.toString)).toSeq ===
+      Seq(Some("12.34"), Some("56.78"), None))
+    // predicate over the decimal column (pushed as unscaled long)
+    assert(spark.sql("SELECT id FROM graft.dec_t WHERE amt > 50.00")
+      .as[Long].collect().toSeq === Seq(2L))
+    // metadata-only MIN/MAX from manifest stats, unscaled-long canonical
+    val agg = spark.sql("SELECT min(amt) AS mn, max(amt) AS mx FROM graft.dec_t").head()
+    assert(agg.getDecimal(0).toString === "12.34")
+    assert(agg.getDecimal(1).toString === "56.78")
+  }
+
   test("_file metadata column names the producing parquet file") {
     store.create("fmeta", Seq((1L, "a")).toDF("id", "v"))
     store.append("fmeta", Seq((2L, "b")).toDF("id", "v"))

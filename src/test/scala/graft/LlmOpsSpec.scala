@@ -14,6 +14,17 @@ class LlmOpsSpec extends AnyFunSuite {
 
   def run(name: String) = SparkEntry.queries(name)(spark, dir)
 
+  test("d2's df-cap is above the corpus max shingle df (recall unchanged)") {
+    // the cap bounds candidate fan-out at scale; on the test corpus it
+    // must be a provable no-op: every shingle's document frequency sits
+    // below the cap, so the capped index equals the full index and the
+    // planted near-dup pairs (asserted non-empty below) are all found
+    val sh = QueriesLlm.shinglesForTest(spark, dir)
+    val maxDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(max("df")).head().getLong(0)
+    assert(maxDf < 1000, s"corpus max shingle df $maxDf must sit below the d2 cap")
+  }
+
   test("d3 MinHash+LSH finds exactly the exact-Jaccard near-dup pairs") {
     val exact = run("d2_ngram_jaccard").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
