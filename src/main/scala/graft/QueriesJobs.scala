@@ -59,13 +59,130 @@ object QueriesJobs {
        |    FROM clean WHERE data_quality_flag <> 'FAILED_VALIDATION')
        |  WHERE rn = 1)""".stripMargin
 
+  /** The registry's 21-col silver: SilverSql + the CDC columns the
+    * bronze merge stamps (MERGE/2 for CDC-updated ids, LOAD/1 else —
+    * the latest version per id wins, which for k%50 ids is the v2 row). */
+  private val SilverFullSql: String =
+    s"""$SilverSql,
+       |silverf AS (
+       |  SELECT s.*,
+       |    CASE WHEN CAST(substr(transaction_id, 5, 20) AS BIGINT) % 50 = 0
+       |         THEN 'MERGE' ELSE 'LOAD' END AS delta_change_type,
+       |    CAST(CASE WHEN CAST(substr(transaction_id, 5, 20) AS BIGINT) % 50 = 0
+       |              THEN 2 ELSE 1 END AS BIGINT) AS delta_version,
+       |    false AS is_deleted, CAST(NULL AS TIMESTAMP) AS deleted_at
+       |  FROM silver s)""".stripMargin
+
+  /** The five dimension CTEs the 30-col fact joins (keys by ordered
+    * ROW_NUMBER over each dimension's business-key set). */
+  private val FactDimsSql: String =
+    """dim_pm AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY payment_method) AS BIGINT) AS payment_method_key,
+      |    payment_method FROM (SELECT DISTINCT payment_method FROM silverf)),
+      |dim_st AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY transaction_status) AS BIGINT) AS status_key,
+      |    transaction_status FROM (SELECT DISTINCT transaction_status FROM silverf)),
+      |dim_cust AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY customer_id) AS BIGINT) AS customer_key,
+      |    customer_id FROM (SELECT DISTINCT customer_id FROM silverf
+      |                      WHERE customer_id IS NOT NULL)),
+      |dim_merch AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY merchant_id) AS BIGINT) AS merchant_key,
+      |    merchant_id FROM (SELECT DISTINCT merchant_id FROM silverf
+      |                      WHERE merchant_id IS NOT NULL
+      |                        AND merchant_id NOT LIKE 'MERCH_9%'))""".stripMargin
+
+  /** The registry's full 30-column fact SELECT
+    * (docs/SCHEMA_REGISTRY.md:155-189). */
+  private val FactSelectSql: String =
+    s"""SELECT
+       |  coalesce(dc.customer_key, -1) AS customer_key,
+       |  coalesce(dm.merchant_key, -1) AS merchant_key,
+       |  coalesce(p.payment_method_key, -1) AS payment_method_key,
+       |  coalesce(t.status_key, -1) AS status_key,
+       |  CAST(strftime(s.transaction_timestamp, '%Y%m%d') AS BIGINT) AS date_key,
+       |  s.transaction_id, s.product_category, s.product_name, s.device_type,
+       |  s.amount, s.fee_amount, s.cashback_amount,
+       |  CAST(s.loyalty_points AS BIGINT) AS loyalty_points,
+       |  s.amount - s.fee_amount + s.cashback_amount AS net_customer_amount,
+       |  s.amount - s.cashback_amount AS merchant_net_amount,
+       |  s.fee_amount AS gateway_revenue,
+       |  s.transaction_timestamp, s.currency,
+       |  false AS is_refunded, CAST(NULL AS DOUBLE) AS refund_amount,
+       |  CAST(NULL AS DATE) AS refund_date, CAST(1 AS BIGINT) AS attempt_number,
+       |  TIMESTAMP '${PaymentData.Now}' AS loaded_at,
+       |  'payment_gateway' AS source_system,
+       |  s.transaction_timestamp AS created_at, s.updated_at,
+       |  s.delta_change_type, s.delta_version, s.is_deleted, s.deleted_at
+       |FROM silverf s
+       |LEFT JOIN dim_cust dc USING (customer_id)
+       |LEFT JOIN dim_merch dm USING (merchant_id)
+       |LEFT JOIN dim_pm p USING (payment_method)
+       |LEFT JOIN dim_st t ON s.transaction_status = t.transaction_status
+       |WHERE s.merchant_id NOT LIKE 'MERCH_9%'""".stripMargin
+
+  /** Spark twin of `silverf`: 21-col silver with the CDC stamps the
+    * bronze merge would have applied (for the fact queries, which don't
+    * need a store round-trip to get registry-width silver). */
+  private def stampedSilver(staging: DataFrame): DataFrame = {
+    val cdc = expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)") % 50 === 0
+    PaymentJobs.silverFromBronze(staging)
+      .withColumn("delta_change_type", when(cdc, "MERGE").otherwise("LOAD"))
+      .withColumn("delta_version", when(cdc, lit(2L)).otherwise(lit(1L)))
+      .withColumn("is_deleted", lit(false))
+      .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
+  }
+
+  /** job_fact_load's retired seed row (30 cols) — a transaction absent
+    * from today's source that the merge must CARRY, distinguishing
+    * MERGE from blind overwrite. Two dialect twins: Spark needs
+    * TIMESTAMP_NTZ literals, DuckDB's TIMESTAMP already is ntz. */
+  private def retiredRowSql(ntzType: String): String = {
+    def ts(v: String) = s"$ntzType '$v'"
+    s"""SELECT CAST(-1 AS BIGINT) AS customer_key, CAST(-1 AS BIGINT) AS merchant_key,
+       |  CAST(-1 AS BIGINT) AS payment_method_key, CAST(-1 AS BIGINT) AS status_key,
+       |  CAST(19941231 AS BIGINT) AS date_key, 'TXN_RETIRED' AS transaction_id,
+       |  'grocery' AS product_category, 'Product_0' AS product_name, 'Web' AS device_type,
+       |  CAST(0.0 AS DOUBLE) AS amount, CAST(0.0 AS DOUBLE) AS fee_amount,
+       |  CAST(0.0 AS DOUBLE) AS cashback_amount, CAST(0 AS BIGINT) AS loyalty_points,
+       |  CAST(0.0 AS DOUBLE) AS net_customer_amount, CAST(0.0 AS DOUBLE) AS merchant_net_amount,
+       |  CAST(0.0 AS DOUBLE) AS gateway_revenue,
+       |  ${ts("1994-12-31 00:00:00")} AS transaction_timestamp, 'INR' AS currency,
+       |  false AS is_refunded, CAST(NULL AS DOUBLE) AS refund_amount,
+       |  CAST(NULL AS DATE) AS refund_date, CAST(1 AS BIGINT) AS attempt_number,
+       |  ${ts(PaymentData.Now)} AS loaded_at, 'payment_gateway' AS source_system,
+       |  ${ts("1994-12-31 00:00:00")} AS created_at,
+       |  ${ts("1994-12-31 00:00:00")} AS updated_at,
+       |  'LOAD' AS delta_change_type, CAST(1 AS BIGINT) AS delta_version,
+       |  false AS is_deleted, CAST(NULL AS $ntzType) AS deleted_at""".stripMargin
+  }
+
+  private val RetiredRowSparkSql: String = retiredRowSql("TIMESTAMP_NTZ")
+  private val RetiredRowDuckSql: String = retiredRowSql("TIMESTAMP")
+
+  /** The fact star at full width over a 21-col silver. */
+  private def fullFact(s: SparkSession, silver: DataFrame): DataFrame =
+    PaymentJobs.factStar(silver,
+      PaymentJobs.dimCustomerCurrent(silver), PaymentJobs.dimMerchantCurrent(silver),
+      PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
+      DateSpine.dimDate(s, "1995-01-01", "2002-12-31"))
+
   val defs: Map[String, QDef] = Map(
 
     // ---- validate_bronze: quarantine branch (+ audit metadata cols) ----
+    // (full 24-column registry contract — docs/SCHEMA_REGISTRY.md:85-114:
+    //  all 17 source columns + CDC stamp + error triple + audit triple)
     "job_bronze_quarantine" -> QDef(
       (s, dir) => PaymentJobs.bronzeQuarantine(PaymentData.transactions(s, dir)),
       Some(s"""${PaymentData.Sql}
-              |SELECT transaction_id, customer_id, transaction_timestamp, amount, updated_at,
+              |SELECT transaction_id, customer_id, transaction_timestamp,
+              |  merchant_id, merchant_name, product_category, product_name,
+              |  amount, fee_amount, cashback_amount,
+              |  CAST(loyalty_points AS BIGINT) AS loyalty_points,
+              |  payment_method, transaction_status, device_type, location_type,
+              |  currency, updated_at,
+              |  'QUARANTINE' AS delta_change_type,
+              |  CAST(NULL AS BIGINT) AS delta_version,
               |  CASE WHEN transaction_id IS NULL THEN 'NULL_TRANSACTION_ID'
               |       WHEN transaction_id LIKE '% %' THEN 'INVALID_FORMAT'
               |       WHEN amount IS NULL THEN 'NULL_AMOUNT'
@@ -73,8 +190,6 @@ object QueriesJobs {
               |       WHEN transaction_timestamp > TIMESTAMP '${PaymentData.Now}' THEN 'FUTURE_TIMESTAMP'
               |  END AS error_reason,
               |  'TIER_1' AS error_tier,
-              |  'QUARANTINE' AS delta_change_type,
-              |  CAST(NULL AS BIGINT) AS delta_version,
               |  TIMESTAMP '${PaymentData.Now}' AS quarantined_at,
               |  'ingest/payments_batch_0001.csv' AS source_file,
               |  'BATCH_0001' AS processing_batch_id
@@ -109,13 +224,15 @@ object QueriesJobs {
       Some(s"$SilverSql\nSELECT * FROM silver")),
 
     // ---- GDPR pair: soft-delete in bronze, propagate to silver ----
+    // (silver is now the registry's 21-col shape: the oracle re-derives
+    //  the CDC stamps the bronze merge applied)
     "job_gdpr_propagate" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "job_gdpr")
         PaymentJobs.runPipeline(st, PaymentData.transactions(s, dir))
         PaymentJobs.gdprDelete(st, "USER_0042")
       },
-      Some(s"$SilverSql\nSELECT * FROM silver WHERE customer_id <> 'USER_0042'")),
+      Some(s"$SilverFullSql\nSELECT * FROM silverf WHERE customer_id <> 'USER_0042'")),
 
     // ---- gold dims: distinct + surrogate keys + enrichment ----
     "job_dim_payment_method" -> QDef(
@@ -136,40 +253,42 @@ object QueriesJobs {
               |  transaction_status <> 'Pending' AS is_final
               |FROM (SELECT DISTINCT transaction_status FROM silver)""".stripMargin)),
 
-    // ---- gold_dim_customer SCD2: A2 aggregate snapshot -> step ----
+    // ---- gold_dim_customer SCD2 at the registry's full 12-col width
+    //      with the REFERENCE's aggregate semantics: COUNT(*)-threshold
+    //      tiers (>=100 Platinum / >=50 Gold / >=20 Silver), lifetime
+    //      value, is_active, first/last transaction dates
+    //      (Gold/dim/gold_dim_customer_scd2.py:32-54; tier change is the
+    //      tracked attribute, per the reference's chg join :102-120) ----
     // (dim seeded from the pre-CDC state minus the USER_09% band; the
     //  full snapshot then drives all three branches: new keys insert,
-    //  changed bands close+reversion, stable rows untouched)
+    //  changed tiers close+reversion, stable rows untouched)
     "job_dim_customer_scd2" -> QDef(
       (s, dir) => {
-        def custAgg(df: DataFrame): DataFrame = df
-          .groupBy(col("customer_id"))
-          .agg(sum(when(col("transaction_status") === "Failed", 1).otherwise(0)).as("n_failed"))
-          .withColumn("band",
-            when(col("n_failed") === 0, "CLEAN")
-              .when(col("n_failed") <= 2, "SOME").otherwise("MANY"))
-          .select("customer_id", "band")
-        // staging feeds both the dim seed and the snapshot (and Scd2.step
-        // re-reads the dim for its max-key lookup): cache the common prefix
-        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)).cache()
+        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))
+          .withColumn("is_deleted", lit(false)).cache()
         val silverAll = PaymentJobs.silverFromBronze(staging)
         val silverPre = PaymentJobs.silverFromBronze(
           staging.filter(col("updated_at") === col("transaction_timestamp")))
         // dim1 and the snapshot are each referenced several times inside
         // Scd2.step (anti-join, change join, close, max-key action):
-        // cache both so the silver aggregate chain runs ONCE per side,
-        // not once per reference
+        // cache both so the silver aggregate chain runs ONCE per side
         val dim1 = graft.ops.SurrogateKeys.byOrder(
-            custAgg(silverPre).filter(!col("customer_id").like("USER_09%")),
+            PaymentJobs.customerAggregates(silverPre)
+              .filter(!col("customer_id").like("USER_09%")),
             "customer_key", Seq(col("customer_id")))
           .withColumn("effective_start_date", to_date(lit("2026-01-01")))
           .withColumn("effective_end_date", lit(null).cast("date"))
           .withColumn("is_current", lit(true))
           .cache()
-        graft.ops.Scd2.step(dim1, custAgg(silverAll).cache(),
-            graft.ops.Scd2.Config("customer_id", "customer_key", Seq("band")),
+        graft.ops.Scd2.step(dim1,
+            PaymentJobs.customerAggregates(silverAll).cache(),
+            graft.ops.Scd2.Config("customer_id", "customer_key", Seq("customer_tier")),
             to_date(lit("2026-08-12")))
-          .select("customer_id", "customer_key", "band",
+          .withColumn("loaded_at", lit(PaymentData.Now).cast("timestamp_ntz"))
+          .withColumn("source_system", lit("payment_gateway"))
+          .select("customer_key", "customer_id", "customer_tier", "is_active",
+            "first_transaction_date", "last_transaction_date", "lifetime_value",
+            "loaded_at", "source_system",
             "effective_start_date", "effective_end_date", "is_current")
       },
       Some(s"""$SilverSql,
@@ -177,71 +296,77 @@ object QueriesJobs {
               |       WHERE data_quality_flag <> 'FAILED_VALIDATION'
               |         AND updated_at = transaction_timestamp),
               |agg1 AS (SELECT customer_id,
-              |    CASE WHEN n_failed = 0 THEN 'CLEAN' WHEN n_failed <= 2 THEN 'SOME'
-              |         ELSE 'MANY' END AS band
-              |  FROM (SELECT customer_id,
-              |          sum(CASE WHEN transaction_status = 'Failed' THEN 1 ELSE 0 END) AS n_failed
-              |        FROM s1 GROUP BY customer_id)),
+              |    CASE WHEN cnt >= 100 THEN 'Platinum' WHEN cnt >= 50 THEN 'Gold'
+              |         WHEN cnt >= 20 THEN 'Silver' ELSE 'Bronze' END AS customer_tier,
+              |    is_active, first_transaction_date, last_transaction_date, lifetime_value
+              |  FROM (SELECT customer_id, count(*) AS cnt,
+              |          bool_or(transaction_status = 'Successful') AS is_active,
+              |          CAST(min(transaction_timestamp) AS DATE) AS first_transaction_date,
+              |          CAST(max(transaction_timestamp) AS DATE) AS last_transaction_date,
+              |          round(sum(amount), 2) AS lifetime_value
+              |        FROM s1 WHERE customer_id IS NOT NULL GROUP BY customer_id)),
               |agg2 AS (SELECT customer_id,
-              |    CASE WHEN n_failed = 0 THEN 'CLEAN' WHEN n_failed <= 2 THEN 'SOME'
-              |         ELSE 'MANY' END AS band
-              |  FROM (SELECT customer_id,
-              |          sum(CASE WHEN transaction_status = 'Failed' THEN 1 ELSE 0 END) AS n_failed
-              |        FROM silver GROUP BY customer_id)),
-              |dim1 AS (SELECT customer_id, band,
+              |    CASE WHEN cnt >= 100 THEN 'Platinum' WHEN cnt >= 50 THEN 'Gold'
+              |         WHEN cnt >= 20 THEN 'Silver' ELSE 'Bronze' END AS customer_tier,
+              |    is_active, first_transaction_date, last_transaction_date, lifetime_value
+              |  FROM (SELECT customer_id, count(*) AS cnt,
+              |          bool_or(transaction_status = 'Successful') AS is_active,
+              |          CAST(min(transaction_timestamp) AS DATE) AS first_transaction_date,
+              |          CAST(max(transaction_timestamp) AS DATE) AS last_transaction_date,
+              |          round(sum(amount), 2) AS lifetime_value
+              |        FROM silver WHERE customer_id IS NOT NULL GROUP BY customer_id)),
+              |dim1 AS (SELECT customer_id, customer_tier, is_active,
+              |    first_transaction_date, last_transaction_date, lifetime_value,
               |    CAST(row_number() OVER (ORDER BY customer_id) AS BIGINT) AS customer_key,
               |    DATE '2026-01-01' AS effective_start_date,
               |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
               |  FROM agg1 WHERE customer_id NOT LIKE 'USER_09%'),
-              |chg AS (SELECT d.customer_id, a.band AS new_band
-              |  FROM dim1 d JOIN agg2 a USING (customer_id) WHERE d.band <> a.band),
-              |closed AS (SELECT d.customer_id, d.customer_key, d.band, d.effective_start_date,
+              |chg AS (SELECT d.customer_id, a.customer_tier AS n_tier,
+              |    a.is_active AS n_active, a.first_transaction_date AS n_first,
+              |    a.last_transaction_date AS n_last, a.lifetime_value AS n_ltv
+              |  FROM dim1 d JOIN agg2 a USING (customer_id)
+              |  WHERE d.customer_tier <> a.customer_tier),
+              |closed AS (SELECT d.customer_key, d.customer_id, d.customer_tier,
+              |    d.is_active, d.first_transaction_date, d.last_transaction_date,
+              |    d.lifetime_value, d.effective_start_date,
               |    CASE WHEN c.customer_id IS NOT NULL THEN DATE '2026-08-12'
               |         ELSE d.effective_end_date END AS effective_end_date,
               |    CASE WHEN c.customer_id IS NOT NULL THEN false ELSE d.is_current END AS is_current
               |  FROM dim1 d LEFT JOIN chg c ON d.customer_id = c.customer_id),
-              |ins AS (SELECT customer_id, band,
-              |    CAST(row_number() OVER (ORDER BY customer_id)
+              |ins AS (SELECT CAST(row_number() OVER (ORDER BY customer_id)
               |         + (SELECT max(customer_key) FROM dim1) AS BIGINT) AS customer_key,
+              |    customer_id, customer_tier, is_active, first_transaction_date,
+              |    last_transaction_date, lifetime_value,
               |    DATE '2026-08-12' AS effective_start_date,
               |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
-              |  FROM (SELECT customer_id, band FROM agg2
+              |  FROM (SELECT customer_id, customer_tier, is_active, first_transaction_date,
+              |          last_transaction_date, lifetime_value FROM agg2
               |        WHERE customer_id NOT IN (SELECT customer_id FROM dim1)
-              |        UNION ALL SELECT customer_id, new_band FROM chg))
-              |SELECT customer_id, customer_key, band, effective_start_date,
-              |  effective_end_date, is_current FROM closed
+              |        UNION ALL SELECT customer_id, n_tier, n_active, n_first, n_last, n_ltv
+              |        FROM chg))
+              |SELECT customer_key, customer_id, customer_tier, is_active,
+              |  first_transaction_date, last_transaction_date, lifetime_value,
+              |  TIMESTAMP '${PaymentData.Now}' AS loaded_at,
+              |  'payment_gateway' AS source_system,
+              |  effective_start_date, effective_end_date, is_current FROM closed
               |UNION ALL
-              |SELECT customer_id, customer_key, band, effective_start_date,
-              |  effective_end_date, is_current FROM ins""".stripMargin)),
+              |SELECT customer_key, customer_id, customer_tier, is_active,
+              |  first_transaction_date, last_transaction_date, lifetime_value,
+              |  TIMESTAMP '${PaymentData.Now}' AS loaded_at,
+              |  'payment_gateway' AS source_system,
+              |  effective_start_date, effective_end_date, is_current FROM ins""".stripMargin)),
 
-    // ---- fact: star join + derived measures + -1 unknown members ----
+    // ---- fact: FULL 30-col star join — all 5 dim FKs (customer and
+    //      merchant via SCD2-current rows), degenerate dims, measures,
+    //      ETL metadata, refund placeholders, CDC columns ----
     "job_fact_star" -> QDef(
       (s, dir) => {
-        // silver feeds the fact scan and both dim builds
-        val silver = PaymentJobs.silverFromBronze(
+        // silver feeds the fact scan and all dim builds
+        val silver = stampedSilver(
           PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))).cache()
-        PaymentJobs.factStar(silver,
-          PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
-          DateSpine.dimDate(s, "1995-01-01", "2002-12-31"))
+        fullFact(s, silver)
       },
-      Some(s"""$SilverSql,
-              |dim_pm AS (
-              |  SELECT CAST(row_number() OVER (ORDER BY payment_method) AS BIGINT) AS payment_method_key,
-              |    payment_method FROM (SELECT DISTINCT payment_method FROM silver)),
-              |dim_st AS (
-              |  SELECT CAST(row_number() OVER (ORDER BY transaction_status) AS BIGINT) AS status_key,
-              |    transaction_status FROM (SELECT DISTINCT transaction_status FROM silver))
-              |SELECT s.transaction_id,
-              |  coalesce(p.payment_method_key, -1) AS payment_method_key,
-              |  coalesce(t.status_key, -1) AS status_key,
-              |  CAST(strftime(s.transaction_timestamp, '%Y%m%d') AS INT) AS date_key,
-              |  s.amount - s.fee_amount + s.cashback_amount AS net_customer_amount,
-              |  s.amount - s.cashback_amount AS merchant_net_amount,
-              |  s.fee_amount AS gateway_revenue
-              |FROM silver s
-              |LEFT JOIN dim_pm p USING (payment_method)
-              |LEFT JOIN dim_st t ON s.transaction_status = t.transaction_status
-              |WHERE s.merchant_id NOT LIKE 'MERCH_9%'""".stripMargin)),
+      Some(s"$SilverFullSql,\n$FactDimsSql\n$FactSelectSql")),
 
     // ---- gold_dim_merchant_scd2: W4 attribute pick -> SCD2 step with
     //      the reference's effective_start_date < today close guard ----
@@ -470,19 +595,12 @@ object QueriesJobs {
       (s, dir) => {
         import java.sql.Timestamp
         val st = freshStore(s, "job_factload")
-        val silver = PaymentJobs.silverFromBronze(
+        val silver = stampedSilver(
           PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))).cache()
-        val fact = PaymentJobs.factStar(silver,
-          PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
-          DateSpine.dimDate(s, "1995-01-01", "2002-12-31")).cache()
+        val fact = fullFact(s, silver).cache()
         // the reference's pre-merge gate: refuse an empty source
         require(!fact.isEmpty, "load_fact gate: empty source")
-        val retired = {
-          import s.implicits._
-          Seq(("TXN_RETIRED", -1L, -1L, 19941231, 0.0, 0.0, 0.0))
-            .toDF("transaction_id", "payment_method_key", "status_key", "date_key",
-              "net_customer_amount", "merchant_net_amount", "gateway_revenue")
-        }
+        val retired = s.sql(RetiredRowSparkSql)
         val seed = fact.filter(col("date_key") % 2 === 0)
           .withColumn("gateway_revenue", lit(0.0))
           .unionByName(retired)
@@ -496,57 +614,22 @@ object QueriesJobs {
           None, n, n, 0)
         st.read("fact_transactions")
       },
-      Some(s"""$SilverSql,
-              |dim_pm AS (
-              |  SELECT CAST(row_number() OVER (ORDER BY payment_method) AS BIGINT) AS payment_method_key,
-              |    payment_method FROM (SELECT DISTINCT payment_method FROM silver)),
-              |dim_st AS (
-              |  SELECT CAST(row_number() OVER (ORDER BY transaction_status) AS BIGINT) AS status_key,
-              |    transaction_status FROM (SELECT DISTINCT transaction_status FROM silver))
-              |SELECT s.transaction_id,
-              |  coalesce(p.payment_method_key, -1) AS payment_method_key,
-              |  coalesce(t.status_key, -1) AS status_key,
-              |  CAST(strftime(s.transaction_timestamp, '%Y%m%d') AS INT) AS date_key,
-              |  s.amount - s.fee_amount + s.cashback_amount AS net_customer_amount,
-              |  s.amount - s.cashback_amount AS merchant_net_amount,
-              |  s.fee_amount AS gateway_revenue
-              |FROM silver s
-              |LEFT JOIN dim_pm p USING (payment_method)
-              |LEFT JOIN dim_st t ON s.transaction_status = t.transaction_status
-              |WHERE s.merchant_id NOT LIKE 'MERCH_9%'
+      Some(s"""$SilverFullSql,
+              |$FactDimsSql
+              |$FactSelectSql
               |UNION ALL
-              |SELECT 'TXN_RETIRED', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-              |  CAST(19941231 AS INT), 0.0, 0.0, 0.0""".stripMargin)),
+              |$RetiredRowDuckSql""".stripMargin)),
 
-    // ---- fact_full_refresh: full-table star join + overwrite + gate ----
+    // ---- fact_full_refresh: full-width star join + overwrite + gate ----
     "job_fact_full_refresh" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "job_ffr")
-        val silver = PaymentJobs.silverFromBronze(
+        val silver = stampedSilver(
           PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))).cache()
-        val fact = PaymentJobs.factStar(silver,
-          PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
-          DateSpine.dimDate(s, "1995-01-01", "2002-12-31"))
+        val fact = fullFact(s, silver)
         st.createEmpty("fact_transactions", fact.schema)
         PaymentJobs.fullRefresh(st, "fact_transactions", fact)
       },
-      Some(s"""$SilverSql,
-              |dim_pm AS (
-              |  SELECT CAST(row_number() OVER (ORDER BY payment_method) AS BIGINT) AS payment_method_key,
-              |    payment_method FROM (SELECT DISTINCT payment_method FROM silver)),
-              |dim_st AS (
-              |  SELECT CAST(row_number() OVER (ORDER BY transaction_status) AS BIGINT) AS status_key,
-              |    transaction_status FROM (SELECT DISTINCT transaction_status FROM silver))
-              |SELECT s.transaction_id,
-              |  coalesce(p.payment_method_key, -1) AS payment_method_key,
-              |  coalesce(t.status_key, -1) AS status_key,
-              |  CAST(strftime(s.transaction_timestamp, '%Y%m%d') AS INT) AS date_key,
-              |  s.amount - s.fee_amount + s.cashback_amount AS net_customer_amount,
-              |  s.amount - s.cashback_amount AS merchant_net_amount,
-              |  s.fee_amount AS gateway_revenue
-              |FROM silver s
-              |LEFT JOIN dim_pm p USING (payment_method)
-              |LEFT JOIN dim_st t ON s.transaction_status = t.transaction_status
-              |WHERE s.merchant_id NOT LIKE 'MERCH_9%'""".stripMargin))
+      Some(s"$SilverFullSql,\n$FactDimsSql\n$FactSelectSql"))
   )
 }

@@ -66,12 +66,13 @@ class Orchestrator(store: TableStore, clock: () => Timestamp = Orchestrator.syst
       PaymentJobs.bronzeLoad(store, staging)
     }
     val silver = runJobDf("load_silver", "silver", batchId) {
-      val s = PaymentJobs.silverFromBronze(bronze.drop("is_deleted", "deleted_at")).cache()
+      val s = PaymentJobs.silverFromBronze(bronze).cache()
       store.createBucketed("silver_transactions", s, Seq("transaction_id"), 32)
       s
     }
     val fact = runJobDf("load_fact", "gold", batchId) {
       PaymentJobs.factStar(silver,
+        PaymentJobs.dimCustomerCurrent(silver), PaymentJobs.dimMerchantCurrent(silver),
         PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
         graft.ops.DateSpine.dimDate(spark, "1995-01-01", "2002-12-31"))
     }

@@ -55,11 +55,16 @@ object PaymentJobs {
                        batchId: String = "BATCH_0001"): DataFrame =
     txns.filter(Validation.anyFail(tier1Rules))
       .select(col("transaction_id"), col("customer_id"),
-        col("transaction_timestamp"), col("amount"), col("updated_at"),
-        Validation.classify(tier1Rules).as("error_reason"),
-        lit("TIER_1").as("error_tier"),
+        col("transaction_timestamp"), col("merchant_id"), col("merchant_name"),
+        col("product_category"), col("product_name"), col("amount"),
+        col("fee_amount"), col("cashback_amount"),
+        col("loyalty_points").cast("long").as("loyalty_points"),
+        col("payment_method"), col("transaction_status"), col("device_type"),
+        col("location_type"), col("currency"), col("updated_at"),
         lit("QUARANTINE").as("delta_change_type"),
         lit(null).cast("bigint").as("delta_version"),
+        Validation.classify(tier1Rules).as("error_reason"),
+        lit("TIER_1").as("error_tier"),
         now.as("quarantined_at"),
         lit(sourceFile).as("source_file"),
         lit(batchId).as("processing_batch_id"))
@@ -158,13 +163,63 @@ object PaymentJobs {
   /** validate_silver: documented semantics — drop FAILED_VALIDATION and
     * deleted rows, then W2 latest-version dedup (SURVEY §2.3 semantics
     * note; silver/jobs/validate_silver.py:119-129). Hash-agg max_by form:
-    * map-side partial aggregation, no hot-key window sort at scale. */
+    * map-side partial aggregation, no hot-key window sort at scale.
+    * CDC columns (delta_change_type/delta_version/is_deleted/deleted_at)
+    * are CARRIED when present — the registry's 21-column silver
+    * (docs/SCHEMA_REGISTRY.md:128-140); inputs without them (standalone
+    * staging-fed queries) stay at the 17-column source shape. */
   def silverFromBronze(bronze: DataFrame): DataFrame = {
     val clean = bronze
       .filter(col("data_quality_flag") =!= "FAILED_VALIDATION")
-      .drop("data_quality_flag", "validation_errors", "delta_change_type", "delta_version")
+      .drop("data_quality_flag", "validation_errors")
     Dedup.latestVersionAgg(clean, Seq("transaction_id"), struct(col("updated_at")))
   }
+
+  /** The reference's per-customer metric aggregation driving dim_customer
+    * (Gold/dim/gold_dim_customer_scd2.py:32-54): COUNT(*)-threshold
+    * tiers, first/last transaction dates, lifetime_value, is_active.
+    * Requires a silver input carrying is_deleted (the 21-col shape).
+    * lifetime_value is rounded so the double sum is hash-stable. */
+  def customerAggregates(silver: DataFrame): DataFrame = silver
+    .filter(col("customer_id").isNotNull && !coalesce(col("is_deleted"), lit(false)))
+    .groupBy("customer_id")
+    .agg(count(lit(1)).as("transaction_count"),
+      to_date(min("transaction_timestamp")).as("first_transaction_date"),
+      to_date(max("transaction_timestamp")).as("last_transaction_date"),
+      round(sum("amount"), 2).as("lifetime_value"),
+      max(col("transaction_status") === "Successful").as("is_active"))
+    .select(col("customer_id"),
+      when(col("transaction_count") >= 100, "Platinum")
+        .when(col("transaction_count") >= 50, "Gold")
+        .when(col("transaction_count") >= 20, "Silver")
+        .otherwise("Bronze").as("customer_tier"),
+      col("is_active"), col("first_transaction_date"),
+      col("last_transaction_date"), col("lifetime_value"))
+
+  private def scd2Meta(df: DataFrame): DataFrame = df
+    .withColumn("loaded_at", now)
+    .withColumn("source_system", lit("payment_gateway"))
+    .withColumn("effective_start_date", to_date(lit("2026-01-01")))
+    .withColumn("effective_end_date", lit(null).cast("date"))
+    .withColumn("is_current", lit(true))
+
+  /** Current-state dim_customer (12-col registry shape) in one step —
+    * what the fact join needs when no history has accumulated yet. */
+  def dimCustomerCurrent(silver: DataFrame): DataFrame =
+    scd2Meta(SurrogateKeys.byOrder(customerAggregates(silver),
+        "customer_key", Seq(col("customer_id"))))
+      .select("customer_key", "customer_id", "customer_tier", "is_active",
+        "first_transaction_date", "last_transaction_date", "lifetime_value",
+        "loaded_at", "source_system",
+        "effective_start_date", "effective_end_date", "is_current")
+
+  /** Current-state dim_merchant (10-col registry shape). */
+  def dimMerchantCurrent(silver: DataFrame): DataFrame =
+    scd2Meta(SurrogateKeys.byOrder(merchantSnapshot(silver),
+        "merchant_key", Seq(col("merchant_id"))))
+      .select("merchant_key", "merchant_id", "merchant_name", "category",
+        "location_type", "loaded_at", "source_system",
+        "effective_start_date", "effective_end_date", "is_current")
 
   /** GDPR pair (M5 + M3): soft-delete a customer's rows in bronze, then
     * hard-delete those transaction ids from silver
@@ -200,13 +255,22 @@ object PaymentJobs {
       .withColumn("is_final", col("transaction_status") =!= "Pending")
       .select("status_key", "transaction_status", "is_final")
 
-  /** validate_fact_transactions (P10 + J1 + derived measures + the
-    * documented -1 unknown-member keys — docs/VALIDATION_RULES.md:
-    * 164-182). Dims are broadcast: only the fact scan is large. */
-  def factStar(silver: DataFrame, dimPm: DataFrame, dimSt: DataFrame,
-               dimDate: DataFrame): DataFrame =
+  /** validate_fact_transactions at the registry's FULL 30-column width
+    * (docs/SCHEMA_REGISTRY.md:155-189; Gold/fact/validate_fact_
+    * transactions.py:150-200): all five dimension FKs (customer and
+    * merchant via the SCD2 dims' CURRENT rows), degenerate dimensions,
+    * base + calculated measures, ETL metadata, refund placeholders, and
+    * the silver CDC columns. Dims are broadcast: only the fact scan is
+    * large. The documented -1 unknown-member convention applies to every
+    * key (docs/VALIDATION_RULES.md:164-182). Requires 21-col silver. */
+  def factStar(silver: DataFrame, dimCust: DataFrame, dimMerch: DataFrame,
+               dimPm: DataFrame, dimSt: DataFrame, dimDate: DataFrame): DataFrame =
     silver
       .filter(!col("merchant_id").like("MERCH_9%"))
+      .join(broadcast(dimCust.filter(col("is_current"))
+        .select("customer_id", "customer_key")), Seq("customer_id"), "left")
+      .join(broadcast(dimMerch.filter(col("is_current"))
+        .select("merchant_id", "merchant_key")), Seq("merchant_id"), "left")
       .join(broadcast(dimPm.select("payment_method", "payment_method_key")),
         Seq("payment_method"), "left")
       .join(broadcast(dimSt.select("transaction_status", "status_key")),
@@ -214,13 +278,29 @@ object PaymentJobs {
       .join(broadcast(dimDate.select(col("full_date"), col("date_key"))),
         to_date(col("transaction_timestamp")) === col("full_date"), "left")
       .select(
-        col("transaction_id"),
+        coalesce(col("customer_key"), lit(-1L)).as("customer_key"),
+        coalesce(col("merchant_key"), lit(-1L)).as("merchant_key"),
         coalesce(col("payment_method_key"), lit(-1L)).as("payment_method_key"),
         coalesce(col("status_key"), lit(-1L)).as("status_key"),
-        coalesce(col("date_key"), lit(-1)).as("date_key"),
+        coalesce(col("date_key").cast("long"), lit(-1L)).as("date_key"),
+        col("transaction_id"),
+        col("product_category"), col("product_name"), col("device_type"),
+        col("amount"), col("fee_amount"), col("cashback_amount"),
+        col("loyalty_points").cast("long").as("loyalty_points"),
         (col("amount") - col("fee_amount") + col("cashback_amount")).as("net_customer_amount"),
         (col("amount") - col("cashback_amount")).as("merchant_net_amount"),
-        col("fee_amount").as("gateway_revenue"))
+        col("fee_amount").as("gateway_revenue"),
+        col("transaction_timestamp"), col("currency"),
+        lit(false).as("is_refunded"),
+        lit(null).cast("double").as("refund_amount"),
+        lit(null).cast("date").as("refund_date"),
+        lit(1L).as("attempt_number"),
+        now.as("loaded_at"),
+        lit("payment_gateway").as("source_system"),
+        col("transaction_timestamp").as("created_at"),
+        col("updated_at"),
+        col("delta_change_type"), col("delta_version"),
+        col("is_deleted"), col("deleted_at"))
 
   /** The full bronze→silver→gold chain against a scratch store; returns
     * the fact table (used by the flagship query and PipelineSpec). */
@@ -233,12 +313,13 @@ object PaymentJobs {
       .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
       .cache()
     val bronze = bronzeLoad(store, staging)
-    val silver = silverFromBronze(
-      bronze.drop("is_deleted", "deleted_at")).cache()
+    // registry 21-col silver: CDC columns carried from the bronze merge
+    val silver = silverFromBronze(bronze).cache()
     store.createBucketed("silver_transactions", silver,
       keys = Seq("transaction_id"), n = 32) // GDPR mergeDelete prunes
     val spark = txns.sparkSession
-    factStar(silver, dimPaymentMethod(silver), dimStatus(silver),
+    factStar(silver, dimCustomerCurrent(silver), dimMerchantCurrent(silver),
+      dimPaymentMethod(silver), dimStatus(silver),
       DateSpine.dimDate(spark, "1995-01-01", "2002-12-31"))
   }
 }

@@ -21,18 +21,34 @@ import graft.core.TableStore
   */
 class JobControl(store: TableStore, table: String = "job_control") {
 
+  /** The registry's full 23-column job_control contract
+    * (docs/SCHEMA_REGISTRY.md:53-81). The last two columns are named
+    * after the reference's runtime (cluster name / Spark app id) and
+    * are nullable free-text here. */
   val schema: StructType = StructType(Seq(
     StructField("job_name", StringType),
-    StructField("batch_id", StringType),
     StructField("layer", StringType),
+    StructField("batch_id", StringType),
+    StructField("run_mode", StringType),
     StructField("status", StringType),
-    StructField("started_at", TimestampType),
-    StructField("completed_at", TimestampType),
+    StructField("processing_date", DateType),
+    StructField("start_date", DateType),
+    StructField("end_date", DateType),
     StructField("last_processed_timestamp", TimestampType),
+    StructField("last_processed_batch_id", StringType),
     StructField("records_read", LongType),
     StructField("records_written", LongType),
+    StructField("records_failed", LongType),
     StructField("records_quarantined", LongType),
-    StructField("error_message", StringType)))
+    StructField("started_at", TimestampType),
+    StructField("completed_at", TimestampType),
+    StructField("duration_seconds", LongType),
+    StructField("retry_count", LongType),
+    StructField("max_retries", LongType),
+    StructField("error_message", StringType),
+    StructField("triggered_by", StringType),
+    StructField("dataproc_cluster", StringType),
+    StructField("spark_app_id", StringType)))
 
   def init(): Unit = if (!store.exists(table)) store.createEmpty(table, schema)
 
@@ -49,16 +65,32 @@ class JobControl(store: TableStore, table: String = "job_control") {
       .headOption.map(_.getTimestamp(0))
   }
 
-  /** S6/S8: append one run record. */
+  /** S6/S8: append one run record (full 23-column contract; the common
+    * call sites only supply the operational core, the rest default to
+    * the reference's values for a first-attempt incremental run). */
   def record(jobName: String, batchId: String, layer: String, status: String,
              startedAt: Timestamp, completedAt: Timestamp,
              watermark: Option[Timestamp],
              read: Long, written: Long, quarantined: Long,
-             error: Option[String] = None): Unit = {
+             error: Option[String] = None,
+             runMode: String = "incremental",
+             processingDate: Option[java.sql.Date] = None,
+             startDate: Option[java.sql.Date] = None,
+             endDate: Option[java.sql.Date] = None,
+             lastBatchId: Option[String] = None,
+             failed: Long = 0L,
+             retryCount: Long = 0L,
+             maxRetries: Long = 2L,
+             triggeredBy: String = "manual"): Unit = {
     init()
     val spark = store.read(table).sparkSession
-    val row = Row(jobName, batchId, layer, status, startedAt, completedAt,
-      watermark.orNull, read, written, quarantined, error.orNull)
+    val duration = (completedAt.getTime - startedAt.getTime) / 1000L
+    val row = Row(jobName, layer, batchId, runMode, status,
+      processingDate.orNull, startDate.orNull, endDate.orNull,
+      watermark.orNull, lastBatchId.orNull,
+      read, written, failed, quarantined,
+      startedAt, completedAt, duration, retryCount, maxRetries,
+      error.orNull, triggeredBy, null, null)
     store.append(table, spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row)), schema))
   }
