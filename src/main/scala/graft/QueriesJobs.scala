@@ -620,6 +620,90 @@ object QueriesJobs {
               |UNION ALL
               |$RetiredRowDuckSql""".stripMargin)),
 
+    // ---- validate_silver -> staging TABLE -> load_silver: the
+    //      reference's persisted two-phase handoff with count
+    //      reconciliation (silver/jobs/validate_silver.py:130-155) ----
+    // validate writes the deduped batch to silver_transactions_staging
+    // (INSERT OVERWRITE) and re-counts it (the reconciliation gate);
+    // load_silver then merges the STAGING TABLE into the seeded target
+    // with per-branch change types (M2): matched -> UPDATE, new
+    // (the held-out USER_09% band) -> INSERT.
+    "job_silver_handoff" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_handoff")
+        val staging0 = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)).cache()
+        val full = stampedSilver(staging0).cache()
+        st.createEmpty("silver_transactions_staging", full.schema)
+        st.overwrite("silver_transactions_staging", full)
+        val expected = full.count()
+        val staged = st.read("silver_transactions_staging").count()
+        require(staged == expected,
+          s"staging count mismatch: expected $expected, got $staged")
+        val seed = stampedSilver(
+            staging0.filter(col("updated_at") === col("transaction_timestamp")))
+          .filter(!col("customer_id").like("USER_09%"))
+        st.createBucketed("silver_transactions", seed, Seq("transaction_id"), n = 32)
+        st.mergeUpsert("silver_transactions",
+          st.read("silver_transactions_staging"), Seq("transaction_id"),
+          matchedChangeType = "UPDATE", insertChangeType = "INSERT")
+        st.read("silver_transactions")
+      },
+      Some(s"""$SilverFullSql
+              |SELECT * REPLACE (
+              |  CASE WHEN customer_id LIKE 'USER_09%' THEN 'INSERT'
+              |       ELSE 'UPDATE' END AS delta_change_type)
+              |FROM silverf""".stripMargin)),
+
+    // ---- job_control retention sweep into job_control_archive
+    //      (docs/SCHEMA_REGISTRY.md:118-121): records older than 90
+    //      days move to the archive table; the delete is stats-pruned ----
+    // (deterministic run history derived from the orders date set,
+    //  shifted +28 years so the 90-day cutoff lands mid-history)
+    "job_control_archive" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_jcarch")
+        val jc = new graft.ops.JobControl(st)
+        val d = to_date(col("o_orderdate"))
+        val runs = Tables.orders(s, dir).select(d.as("d")).distinct()
+          .select(
+            lit("load_bronze").as("job_name"), lit("bronze").as("layer"),
+            concat(lit("BATCH_"), date_format(col("d"), "yyyyMMdd")).as("batch_id"),
+            lit("incremental").as("run_mode"), lit("SUCCESS").as("status"),
+            col("d").as("processing_date"),
+            lit(null).cast("date").as("start_date"),
+            lit(null).cast("date").as("end_date"),
+            col("d").cast("timestamp").as("last_processed_timestamp"),
+            lit(null).cast("string").as("last_processed_batch_id"),
+            lit(1000L).as("records_read"), lit(1000L).as("records_written"),
+            lit(0L).as("records_failed"), lit(0L).as("records_quarantined"),
+            (col("d") + expr("INTERVAL 28 YEARS")).cast("timestamp").as("started_at"),
+            (col("d") + expr("INTERVAL 28 YEARS")).cast("timestamp").as("completed_at"),
+            lit(0L).as("duration_seconds"), lit(0L).as("retry_count"),
+            lit(2L).as("max_retries"),
+            lit(null).cast("string").as("error_message"),
+            lit("manual").as("triggered_by"),
+            lit(null).cast("string").as("dataproc_cluster"),
+            lit(null).cast("string").as("spark_app_id"))
+        st.create("job_control", runs)
+        val cutoff = lit(PaymentData.Now).cast("timestamp") - expr("INTERVAL 90 DAYS")
+        jc.archive(cutoff)
+        st.read("job_control").withColumn("in_archive", lit(false))
+          .unionByName(st.read("job_control_archive").withColumn("in_archive", lit(true)))
+          .select(col("job_name"), col("batch_id"), col("processing_date"),
+            col("completed_at").cast("timestamp_ntz").as("completed_at"),
+            col("last_processed_timestamp").cast("timestamp_ntz").as("last_processed_timestamp"),
+            col("in_archive"))
+      },
+      Some(s"""WITH runs AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+              |SELECT 'load_bronze' AS job_name,
+              |  'BATCH_' || strftime(d, '%Y%m%d') AS batch_id,
+              |  d AS processing_date,
+              |  CAST(d + INTERVAL 28 YEAR AS TIMESTAMP) AS completed_at,
+              |  CAST(d AS TIMESTAMP) AS last_processed_timestamp,
+              |  CAST(d + INTERVAL 28 YEAR AS TIMESTAMP)
+              |    < (TIMESTAMP '${PaymentData.Now}' - INTERVAL 90 DAY) AS in_archive
+              |FROM runs""".stripMargin)),
+
     // ---- fact_full_refresh: full-width star join + overwrite + gate ----
     "job_fact_full_refresh" -> QDef(
       (s, dir) => {

@@ -94,4 +94,19 @@ class JobControl(store: TableStore, table: String = "job_control") {
     store.append(table, spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(row)), schema))
   }
+
+  /** Retention sweep (docs/SCHEMA_REGISTRY.md:118-121 —
+    * `{layer}.job_control_archive` holds records older than 90 days):
+    * copy rows with completed_at before `cutoff` into the archive
+    * table, then remove them from the live table. The delete rides the
+    * manifest-stats pruned copy-on-write, so on a long-lived control
+    * table only the dirs whose completed_at range reaches past the
+    * cutoff are rewritten. */
+  def archive(cutoff: org.apache.spark.sql.Column): Unit = {
+    init()
+    val archiveTable = s"${table}_archive"
+    if (!store.exists(archiveTable)) store.createEmpty(archiveTable, schema)
+    store.append(archiveTable, store.read(table).filter(col("completed_at") < cutoff))
+    store.delete(table, col("completed_at") < cutoff)
+  }
 }
