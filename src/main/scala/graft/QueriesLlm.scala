@@ -116,7 +116,9 @@ object QueriesLlm {
     "d2_ngram_jaccard" -> QDef(
       (s, dir) => {
         val DfCap = 1000 // >> max df in this corpus: recall provably unchanged
-        val sh = shingles(s, dir)
+        // the shingle index feeds the df computation, both sides of the
+        // candidate join, and both sides of the exact-verify join: cache it
+        val sh = shingles(s, dir).cache()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val capped = sh.join(
           sh.groupBy("shingle").agg(count(lit(1)).as("df"))
