@@ -59,4 +59,29 @@ class JobControlSpec extends AnyFunSuite {
     // and other jobs see their own (empty) watermark, not this one's
     assert(jc.lastWatermark("other_job").isEmpty)
   }
+
+  test("archive moves old records once and is idempotent") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("jcarch").toString)
+    val jc = new JobControl(store)
+    def rec(batch: String, completed: String): Unit =
+      jc.record("j", batch, "bronze", "SUCCESS",
+        Timestamp.valueOf(completed), Timestamp.valueOf(completed),
+        None, 1, 1, 0)
+    rec("old1", "2026-01-01 00:00:00")
+    rec("old2", "2026-02-01 00:00:00")
+    rec("new1", "2026-08-01 00:00:00")
+    val cutoff = lit("2026-05-14 00:00:00").cast("timestamp")
+    jc.archive(cutoff)
+    assert(store.read("job_control").count() === 1)
+    assert(store.read("job_control_archive")
+      .select("batch_id").as[String].collect().toSet === Set("old1", "old2"))
+    // re-running the sweep moves nothing more
+    jc.archive(cutoff)
+    assert(store.read("job_control").count() === 1)
+    assert(store.read("job_control_archive").count() === 2)
+    // the surviving record is the recent one, watermark API still works
+    assert(store.read("job_control").filter(col("batch_id") === "new1").count() === 1)
+  }
 }
