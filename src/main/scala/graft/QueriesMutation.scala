@@ -290,6 +290,27 @@ object QueriesMutation {
              |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
              |FROM orders""".stripMargin)),
 
+    // ---- OPTIMIZE clustered-by-range: after optimizeByRange the dirs
+    //      hold disjoint key ranges, so a point predicate's plan-time
+    //      stats pruning reaches ~1 of N dirs (TableStoreSpec asserts
+    //      the dir counts; this query gates the RESULTS) ----
+    "sql_range_cluster" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "rangecl")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        // three interleaved appends: every dir spans the full custkey
+        // range, so before clustering nothing can prune
+        st.create("rangecl", orders.filter(col("o_orderkey") % 3 === 0))
+        st.append("rangecl", orders.filter(col("o_orderkey") % 3 === 1))
+        st.append("rangecl", orders.filter(col("o_orderkey") % 3 === 2))
+        st.optimizeByRange("rangecl", Seq("o_custkey"), 8)
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM graft.rangecl
+                |WHERE o_custkey = 371""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey = 371""".stripMargin)),
+
     // ---- DECIMAL(10,2) through the DSv2 write/read/filter path (the
     //      reference's decimal amounts variant —
     //      bronze/dags/bronze_full_refresh_dag.py:34-36): exact unscaled

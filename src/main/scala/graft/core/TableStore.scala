@@ -304,6 +304,39 @@ class TableStore(spark: SparkSession, root: String) {
     overwrite(name, sized)
   }
 
+  /** OPTIMIZE ... clustered-by-range (ZORDER-lite, single dimension
+    * family): rewrite the table range-partitioned on `cols` with ONE
+    * MANIFEST DIR PER RANGE, so each dir's [min,max] stats are narrow
+    * and disjoint and StatsPruning drops all but the matching dirs for
+    * point/range predicates — after clustering on customer_id, a GDPR
+    * UPDATE/DELETE for one customer rewrites one dir, not the table.
+    * Trades away hash bucketing (key-driven merge pruning) for read/
+    * mutation locality: use on read-optimized tables. Old versions stay
+    * time-travel readable. */
+  def optimizeByRange(name: String, cols: Seq[String], nDirs: Int): Unit = {
+    require(nDirs > 0, "nDirs must be positive")
+    val m = readManifest(name, currentVersion(name))
+    val v = currentVersion(name) + 1
+    val batch = f"b$v%09d-" + java.util.UUID.randomUUID.toString.take(8)
+    val target = dir(name).resolve("data").resolve(batch)
+    // __r = physical range id: constant per post-range-shuffle partition,
+    // so each leaf dir holds one contiguous range of the clustering key
+    scanDirs(m.dirs, name, m.schema)
+      .repartitionByRange(nDirs, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .withColumn("__r", spark_partition_id())
+      .write.mode("overwrite").partitionBy("__r").parquet(target.toString)
+    val leaves =
+      if (!Files.exists(target)) Seq.empty
+      else Using.resource(Files.list(target))(
+        _.iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("__r="))
+          .map(l => s"$batch/$l").toSeq.sorted)
+    val stats = leaves.flatMap(l =>
+      DirStats.collect(dir(name).resolve("data").resolve(l), m.schema).map(l -> _)).toMap
+    commitManifest(name, v, m.schema, leaves, None, stats)
+  }
+
   /** ALTER TABLE ADD COLUMN (manual schema evolution —
     * /root/reference/docs/Silver_Layer_Developer_Guide.md:140-153):
     * a metadata-only commit — no data rewrite. Existing files simply

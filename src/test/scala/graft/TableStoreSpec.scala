@@ -255,4 +255,35 @@ class TableStoreSpec extends AnyFunSuite {
     ts.delete("t", col("id") === 999L)
     assert(ts.currentVersion("t") === v)
   }
+
+  test("optimizeByRange clusters dirs so point predicates prune to one dir") {
+    import org.apache.spark.sql.sources.EqualTo
+    import graft.core.StatsPruning
+    def rows(ids: Seq[Long]) = ids.map(i => (i, s"v$i")).toDF("id", "v")
+    val ts = freshStore()
+    // interleaved appends: every dir spans [~1, ~99] so nothing prunes
+    ts.create("t", rows(Seq(1L, 50L, 99L)))
+    ts.append("t", rows(Seq(2L, 51L, 98L)))
+    ts.append("t", rows(Seq(3L, 52L, 97L)))
+    val m0 = ts.snapshot("t")
+    // a mid-range key falls inside every dir's [min,max]: nothing prunes
+    assert(StatsPruning.liveDirs(m0.dirs, m0.stats, m0.schema,
+      Seq(EqualTo("id", 51L))).size === 3)
+    ts.optimizeByRange("t", Seq("id"), 3)
+    // ranges now disjoint per dir: the same point predicate reaches 1 dir
+    val m1 = ts.snapshot("t")
+    // range sampling on a tiny input may merge adjacent ranges — what
+    // matters is that the surviving dirs are DISJOINT, so a point
+    // predicate reaches exactly one
+    assert(m1.dirs.size >= 2)
+    assert(StatsPruning.liveDirs(m1.dirs, m1.stats, m1.schema,
+      Seq(EqualTo("id", 51L))).size === 1)
+    assert(ts.read("t").count() === 9)
+    assert(ts.read("t").select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 50L, 51L, 52L, 97L, 98L, 99L))
+    // and the pruned DELETE rewrites exactly that one dir
+    ts.delete("t", col("id") === 51L)
+    assert(ts.liveDirs("t").toSet.intersect(m1.dirs.toSet).size === m1.dirs.size - 1)
+    assert(ts.read("t").count() === 8)
+  }
 }
