@@ -588,6 +588,26 @@ class TableStore(spark: SparkSession, root: String) {
     commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b, stats)
   }
 
+  /** DESCRIBE HISTORY analogue: one row per committed version still on
+    * disk (vacuum may have dropped old manifests) — version, commit
+    * time (manifest mtime, the TIMESTAMP AS OF clock), live dir count,
+    * and the exact row count when every live dir carries stats
+    * (metadata-only, no data read). */
+  def history(name: String): DataFrame = {
+    val rows = (0L to currentVersion(name)).flatMap { v =>
+      val p = manifest(name, v)
+      if (!Files.exists(p)) None
+      else {
+        val m = readManifest(name, v)
+        val count = Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats).rowCount
+        Some((v, new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis),
+          m.dirs.size, count))
+      }
+    }
+    spark.createDataFrame(rows)
+      .toDF("version", "committed_at", "n_dirs", "approx_rows")
+  }
+
   /** Absolute path of a table's data root (external writers). */
   def dataRoot(name: String): Path = dir(name).resolve("data")
 }

@@ -228,6 +228,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rows(1L) !== rows(2L)) // two appends -> two distinct files
   }
 
+  test("CREATE TABLE AS SELECT and DROP TABLE through the catalog") {
+    store.create("ctas_src", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    spark.sql("CREATE TABLE graft.ctas_t AS SELECT id, v FROM graft.ctas_src WHERE id > 1")
+    assert(spark.sql("SELECT id FROM graft.ctas_t ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+    spark.sql("DROP TABLE graft.ctas_t")
+    assert(!store.exists("ctas_t"))
+  }
+
   test("row-level ops with non-pushable predicates stay correct (fallback)") {
     // an expression condition (id % 2 = 0) is not translatable for the
     // DELETE pushdown and gives the runtime group filter nothing exact

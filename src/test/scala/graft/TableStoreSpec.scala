@@ -256,6 +256,16 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.currentVersion("t") === v)
   }
 
+  test("history lists committed versions with metadata-only row counts") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ts.append("t", Seq((3L, "c")).toDF("id", "v"))
+    ts.overwrite("t", Seq((9L, "z")).toDF("id", "v"))
+    val h = ts.history("t").orderBy("version")
+      .select("version", "approx_rows").as[(Long, Option[Long])].collect().toSeq
+    assert(h === Seq((0L, Some(2L)), (1L, Some(3L)), (2L, Some(1L))))
+  }
+
   test("optimizeByRange clusters dirs so point predicates prune to one dir") {
     import org.apache.spark.sql.sources.EqualTo
     import graft.core.StatsPruning
