@@ -77,13 +77,18 @@ class TableStore(spark: SparkSession, root: String) {
   //  entry as "might match anything")
   private def writeManifest(name: String, v: Long, schema: StructType,
                             dirs: Seq[String], bucketing: Option[Bucketing],
-                            stats: Map[String, DirStats]): Unit = {
+                            stats: Map[String, DirStats],
+                            txns: Map[String, Long]): Unit = {
     Files.createDirectories(manifest(name, v).getParent)
     val base = s""""schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]"""
     val statsPart =
       if (stats.isEmpty) ""
       else s""", "stats": ${DirStats.toJsonFragment(stats, jsonStr)}"""
-    val extra = statsPart + bucketing.map(b =>
+    val txnsPart =
+      if (txns.isEmpty) ""
+      else s""", "txns": {${txns.toSeq.sortBy(_._1)
+        .map { case (k, e) => s"${jsonStr(k)}: $e" }.mkString(",")}}"""
+    val extra = statsPart + txnsPart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -102,9 +107,14 @@ class TableStore(spark: SparkSession, root: String) {
     } + "\""
 
   /** A parsed manifest: the complete committed state of one version. */
+  /** `txns`: per-writer transaction high-watermarks (streaming query id
+    * -> last committed epoch), carried through every commit — the
+    * Delta txn-action pattern that makes streaming-sink epoch commits
+    * idempotent (exactly-once). */
   private[core] final case class Manifest(schema: StructType, dirs: Seq[String],
                                           bucketing: Option[Bucketing],
-                                          stats: Map[String, DirStats])
+                                          stats: Map[String, DirStats],
+                                          txns: Map[String, Long] = Map.empty)
 
   private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
@@ -115,7 +125,9 @@ class TableStore(spark: SparkSession, root: String) {
       Bucketing(strs("bucketkeys"), n.asInstanceOf[Long].toInt))
     val schema = StructType.fromDDL(m("schema").asInstanceOf[String])
     val stats = m.get("stats").map(DirStats.fromParsed(_, schema)).getOrElse(Map.empty)
-    Manifest(schema, strs("dirs"), bucketing, stats)
+    val txns = m.get("txns").map(_.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Long] }).getOrElse(Map.empty[String, Long])
+    Manifest(schema, strs("dirs"), bucketing, stats, txns)
   }
 
   private def bucketOf(entry: String): Int =
@@ -129,7 +141,8 @@ class TableStore(spark: SparkSession, root: String) {
     * the prior version. */
   private def commit(name: String, df: Option[DataFrame], schema: StructType,
                      carryForward: Seq[String], bucketing: Option[Bucketing],
-                     priorStats: Map[String, DirStats]): Long = {
+                     priorStats: Map[String, DirStats],
+                     priorTxns: Map[String, Long] = Map.empty): Long = {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d) =>
@@ -166,7 +179,7 @@ class TableStore(spark: SparkSession, root: String) {
           DirStats.collect(dir(name).resolve("data").resolve(d), schema))
         .map(d -> _)
     }.toMap
-    commitManifest(name, v, schema, newDirs, bucketing, stats)
+    commitManifest(name, v, schema, newDirs, bucketing, stats, priorTxns)
     v
   }
 
@@ -174,8 +187,9 @@ class TableStore(spark: SparkSession, root: String) {
     * _LATEST pointer. The single place this sequence lives. */
   private def commitManifest(name: String, v: Long, schema: StructType,
                              dirs: Seq[String], bucketing: Option[Bucketing],
-                             stats: Map[String, DirStats]): Unit = {
-    writeManifest(name, v, schema, dirs, bucketing, stats)
+                             stats: Map[String, DirStats],
+                             txns: Map[String, Long]): Unit = {
+    writeManifest(name, v, schema, dirs, bucketing, stats, txns)
     val tmp = dir(name).resolve(s"_LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
@@ -237,8 +251,8 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** Pinned snapshot of a historical version (time travel). */
   def snapshotAt(name: String, v: Long): Snapshot = {
-    val Manifest(schema, dirs, b, st) = readManifest(name, v)
-    Snapshot(v, schema, dirs, b, st)
+    val m = readManifest(name, v)
+    Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats)
   }
 
   /** Latest version whose manifest was committed at or before `tsMillis`
@@ -283,16 +297,18 @@ class TableStore(spark: SparkSession, root: String) {
     * chose INSERT OVERWRITE precisely to avoid schema drift
     * (docs/KNOWN_ISSUES.md:77-99). */
   def overwrite(name: String, df: DataFrame): Unit = {
-    val Manifest(schema, _, b, _) = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(df, schema)), schema, Seq.empty, b, Map.empty)
+    val m = readManifest(name, currentVersion(name))
+    commit(name, Some(conform(df, m.schema)), m.schema, Seq.empty, m.bucketing,
+      Map.empty, m.txns): Unit
   }
 
   /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
     * bucketed table only the buckets present in the new data get new
     * leaf dirs). */
   def append(name: String, df: DataFrame): Unit = {
-    val Manifest(schema, dirs, b, st) = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(df, schema)), schema, dirs, b, st)
+    val m = readManifest(name, currentVersion(name))
+    commit(name, Some(conform(df, m.schema)), m.schema, m.dirs, m.bucketing,
+      m.stats, m.txns): Unit
   }
 
   /** OPTIMIZE-style compaction: rewrite the accumulated dirs as one
@@ -334,7 +350,7 @@ class TableStore(spark: SparkSession, root: String) {
           .map(l => s"$batch/$l").toSeq.sorted)
     val stats = leaves.flatMap(l =>
       DirStats.collect(dir(name).resolve("data").resolve(l), m.schema).map(l -> _)).toMap
-    commitManifest(name, v, m.schema, leaves, None, stats)
+    commitManifest(name, v, m.schema, leaves, None, stats, m.txns)
   }
 
   /** ALTER TABLE ADD COLUMN (manual schema evolution —
@@ -345,12 +361,13 @@ class TableStore(spark: SparkSession, root: String) {
     * NULL, which matches Delta's ADD COLUMN semantics. New columns must
     * be nullable for exactly that reason. */
   def addColumns(name: String, newCols: StructType): Unit = {
-    val Manifest(schema, dirs, b, st) = readManifest(name, currentVersion(name))
-    val clash = newCols.fieldNames.filter(schema.fieldNames.contains)
+    val m = readManifest(name, currentVersion(name))
+    val clash = newCols.fieldNames.filter(m.schema.fieldNames.contains)
     require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
     require(newCols.forall(_.nullable),
       "ADD COLUMN requires nullable columns (existing rows have no value)")
-    commit(name, None, StructType(schema.fields ++ newCols.fields), dirs, b, st)
+    commit(name, None, StructType(m.schema.fields ++ newCols.fields), m.dirs,
+      m.bucketing, m.stats, m.txns): Unit
   }
 
   /** VACUUM: physically delete data no version within the retained
@@ -446,7 +463,8 @@ class TableStore(spark: SparkSession, root: String) {
                   insertChangeType: String = "MERGE",
                   changeTypeCol: Option[String] = Some("delta_change_type"),
                   verifyUniqueSource: Boolean = true): Unit = {
-    val Manifest(schema, dirs, bucketing, st) = readManifest(name, currentVersion(name))
+    val m = readManifest(name, currentVersion(name))
+    import m.{schema, dirs, bucketing}
     val src = conform(source, schema)
     if (verifyUniqueSource) requireUniqueSource(src, keys)
     val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, src, keys)
@@ -466,16 +484,19 @@ class TableStore(spark: SparkSession, root: String) {
           .otherwise(col(c)).as(c)
       else when(sMatched, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
-    commit(name, Some(joined.select(out: _*)), schema, carried, b, st)
+    commit(name, Some(joined.select(out: _*)), schema, carried, b, m.stats,
+      m.txns): Unit
   }
 
   /** MERGE delete (M3): delete target rows whose keys appear in keysDf
     * (bucket-pruned on bucketed tables). */
   def mergeDelete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
-    val Manifest(schema, dirs, bucketing, st) = readManifest(name, currentVersion(name))
+    val m = readManifest(name, currentVersion(name))
     val keyRows = keysDf.select(keys.map(col): _*).distinct()
-    val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, keyRows, keys)
-    commit(name, Some(target.join(keyRows, keys, "left_anti")), schema, carried, b, st)
+    val (target, carried, b) =
+      pruneByKeys(name, m.schema, m.dirs, m.bucketing, keyRows, keys)
+    commit(name, Some(target.join(keyRows, keys, "left_anti")), m.schema,
+      carried, b, m.stats, m.txns): Unit
   }
 
   /** MERGE update-only (M4, SCD2 close): for target rows matching source
@@ -542,7 +563,7 @@ class TableStore(spark: SparkSession, root: String) {
       set.get(c).map(v => when(condition, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
     }
     commit(name, Some(conform(target.select(out: _*), m.schema)), m.schema,
-      carried, m.bucketing, m.stats): Unit
+      carried, m.bucketing, m.stats, m.txns): Unit
   }
 
   /** DELETE ... WHERE cond (pruned copy-on-write like [[update]]).
@@ -552,7 +573,7 @@ class TableStore(spark: SparkSession, root: String) {
     val (target, carried) = pruneByCondition(name, m, condition)
     if (carried.size == m.dirs.size) return
     commit(name, Some(target.filter(!coalesce(condition, lit(false)))), m.schema,
-      carried, m.bucketing, m.stats): Unit
+      carried, m.bucketing, m.stats, m.txns): Unit
   }
 
   /** Attach a data dir that an external writer (the DSv2 write path)
@@ -561,15 +582,16 @@ class TableStore(spark: SparkSession, root: String) {
     * unbucketed — on bucketed tables the prune path detects the mixed
     * layout and falls back to full rewrites until compact() re-splits. */
   def attachDir(name: String, dirName: String, replace: Boolean): Unit = {
-    val Manifest(schema, dirs, b, priorStats) = readManifest(name, currentVersion(name))
-    val carry = if (replace) Seq.empty else dirs
-    val carryStats = priorStats.view.filterKeys(carry.contains).toMap
+    val m = readManifest(name, currentVersion(name))
+    val carry = if (replace) Seq.empty else m.dirs
+    val carryStats = m.stats.view.filterKeys(carry.contains).toMap
     // absentIsNull=false: this dir came from an external writer, so a
     // missing column chunk can't be assumed to mean ADD-COLUMN all-null
     val stats = carryStats ++ DirStats.collect(
-      dir(name).resolve("data").resolve(dirName), schema,
+      dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
-    commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b, stats)
+    commitManifest(name, currentVersion(name) + 1, m.schema, carry :+ dirName,
+      m.bucketing, stats, m.txns)
   }
 
   /** Commit a version that REPLACES the `removed` live dirs with the
@@ -579,13 +601,47 @@ class TableStore(spark: SparkSession, root: String) {
     * runtime group filter touched 1 of N dirs rewrites 1 dir, not the
     * table. */
   def replaceDirs(name: String, removed: Set[String], dirName: String): Unit = {
-    val Manifest(schema, dirs, b, priorStats) = readManifest(name, currentVersion(name))
-    val carry = dirs.filterNot(removed.contains)
-    val carryStats = priorStats.view.filterKeys(carry.contains).toMap
+    val m = readManifest(name, currentVersion(name))
+    val carry = m.dirs.filterNot(removed.contains)
+    val carryStats = m.stats.view.filterKeys(carry.contains).toMap
     val stats = carryStats ++ DirStats.collect(
-      dir(name).resolve("data").resolve(dirName), schema,
+      dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
-    commitManifest(name, currentVersion(name) + 1, schema, carry :+ dirName, b, stats)
+    commitManifest(name, currentVersion(name) + 1, m.schema, carry :+ dirName,
+      m.bucketing, stats, m.txns)
+  }
+
+  /** Exactly-once streaming-sink epoch commit: move the epoch's
+    * executor-written files into a new batch dir and commit it TOGETHER
+    * with the writer's advanced epoch watermark in `txns` — one atomic
+    * manifest swap, the Delta txn-action pattern. A re-delivered epoch
+    * (failure retry, query restart on an old checkpoint) finds
+    * txns(queryId) >= epochId and is dropped, files cleaned up.
+    * Returns true when the epoch committed, false when skipped. */
+  def attachStreamEpoch(name: String, queryId: String, epochId: Long,
+                        files: Seq[Path]): Boolean = {
+    val m = readManifest(name, currentVersion(name))
+    if (m.txns.get(queryId).exists(_ >= epochId)) {
+      files.foreach(Files.deleteIfExists(_))
+      return false
+    }
+    val txns = m.txns + (queryId -> epochId)
+    if (files.isEmpty) {
+      // empty epoch: still advance the watermark (no data dir)
+      commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
+        m.bucketing, m.stats, txns)
+      return true
+    }
+    val batch = f"st${currentVersion(name) + 1}%09d-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    val target = dir(name).resolve("data").resolve(batch)
+    Files.createDirectories(target)
+    files.foreach(f => Files.move(f, target.resolve(f.getFileName)))
+    val stats = m.stats ++ DirStats.collect(target, m.schema,
+      absentIsNull = false).map(batch -> _)
+    commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs :+ batch,
+      m.bucketing, stats, txns)
+    true
   }
 
   /** DESCRIBE HISTORY analogue: one row per committed version still on

@@ -186,14 +186,16 @@ class GraftSqlTable(root: String, tableName: String,
   override def metadataColumns(): Array[MetadataColumn] = Array(GraftFileMeta)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** INSERT INTO (append) / INSERT OVERWRITE (truncate) via the
-    * parquet-mr executor writers + one manifest version bump. */
+    * parquet-mr executor writers + one manifest version bump; streaming
+    * writes (writeStream.toTable) take the exactly-once epoch path. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(pinnedVersion.isEmpty, "cannot write to a time-travel (VERSION AS OF) table")
-    new GraftWriteBuilder(root, tableName, info.schema())
+    new GraftWriteBuilder(root, tableName, info.schema(), queryId = info.queryId())
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

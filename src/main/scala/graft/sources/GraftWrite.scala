@@ -26,7 +26,8 @@ import graft.core.TableStore
   */
 class GraftWriteBuilder(root: String, table: String, schema: StructType,
                         replaceAll: Boolean = false,
-                        replacedDirs: () => Option[Set[String]] = () => None)
+                        replacedDirs: () => Option[Set[String]] = () => None,
+                        queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
 
   private var replace = replaceAll
@@ -36,7 +37,52 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
     override def toBatch: BatchWrite =
       new GraftBatchWrite(root, table, schema, replace, rowLevel = replaceAll,
         replacedDirs)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(root, table, schema, queryId)
   }
+}
+
+/** Streaming sink (`df.writeStream.toTable("graft.t")`, append mode):
+  * executors write each epoch's rows as loose parquet files under a
+  * scratch dir and report the paths; the driver's epoch commit moves
+  * them into a batch dir and commits it atomically WITH the advanced
+  * per-query epoch watermark ([[TableStore.attachStreamEpoch]]) —
+  * re-delivered epochs are dropped, giving exactly-once end to end. */
+class GraftStreamingWrite(root: String, table: String, schema: StructType,
+                          queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val scratch = Paths.get(root, table, ".stream-scratch")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(scratch.toString, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case GraftFileMessage(p) => Paths.get(p) }
+    new TableStore(SparkSession.active, root)
+      .attachStreamEpoch(table, queryId, epochId, files.toSeq): Unit
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftFileMessage(p) =>
+      Files.deleteIfExists(Paths.get(p))
+    }: Unit
+}
+
+/** Commit message carrying the task's written file (streaming path). */
+case class GraftFileMessage(path: String) extends WriterCommitMessage
+
+/** Executor-side factory for streaming epochs (serializable — carries
+  * only the scratch path and schema). */
+class GraftStreamingWriterFactory(scratch: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new GraftDataWriter(
+      s"$scratch/e$epochId-p$partitionId-t$taskId-" +
+        java.util.UUID.randomUUID.toString.take(8) + ".parquet",
+      schema, rowLevel = false, reportFile = true)
 }
 
 class GraftBatchWrite(root: String, table: String, schema: StructType,
@@ -116,7 +162,8 @@ object GraftParquet {
   }
 }
 
-class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean)
+class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean,
+                      reportFile: Boolean = false)
     extends DataWriter[InternalRow] {
 
   Files.createDirectories(Paths.get(file).getParent)
@@ -171,7 +218,7 @@ class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean)
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    new WriterCommitMessage {}
+    if (reportFile) GraftFileMessage(file) else new WriterCommitMessage {}
   }
 
   override def abort(): Unit = {

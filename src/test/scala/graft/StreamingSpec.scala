@@ -90,6 +90,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, "v1", 1L), (2L, "v2b", 2L), (3L, "v3", 3L)))
   }
 
+  test("writeStream.toTable lands epochs exactly-once in the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("stsink").toString
+    spark.conf.set("spark.sql.catalog.graft_sink", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sink.root", root)
+    val store = new TableStore(spark, root)
+    store.createEmpty("sunk", Seq((1L, "a")).toDF("id", "v").schema)
+    val input = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("stsink_ckpt").toString
+    val q = input.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("graft_sink.sunk")
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.read("sunk").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the epoch watermark rode each commit: re-delivering an old epoch
+    // must be a no-op (exactly-once), even with data files present
+    val before = store.currentVersion("sunk")
+    val stale = Files.createTempFile("stale", ".parquet")
+    assert(!store.attachStreamEpoch("sunk", q.id.toString, 0L, Seq(stale)))
+    assert(store.currentVersion("sunk") === before)
+    assert(!Files.exists(stale)) // dropped epoch cleans its files up
+    assert(store.read("sunk").count() === 3)
+  }
+
   test("Trigger.AvailableNow drains every committed version, then stops") {
     val root = Files.createTempDirectory("anstream").toString
     val store = new TableStore(spark, root)
