@@ -126,6 +126,37 @@ object QueriesStreaming {
         q.awaitTermination()
         s.table("st5_mem")
       },
-      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders"))
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")),
+
+    // ---- st6: store -> stream -> STORE, end to end: the versioned
+    //      table is both source (micro-batch per committed version) and
+    //      sink (exactly-once epoch commits), with a transform between —
+    //      the full incremental-materialization loop on engine tables ----
+    "st6_stream_to_table" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st6_pipe"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        st.create("src", o.filter(col("o_orderkey") % 2 === 0))
+        st.append("src", o.filter(col("o_orderkey") % 2 =!= 0))
+        s.conf.set("spark.sql.catalog.graft_st6", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st6.root", root)
+        val sinkSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, big_price DOUBLE")
+        st.createEmpty("snk", sinkSchema)
+        val ckpt = s"$root/_ckpt"
+        val q = s.readStream.table("graft_st6.src")
+          .filter(col("o_totalprice") > 150000.0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("big_price"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .toTable("graft_st6.snk")
+        q.awaitTermination()
+        st.read("snk")
+      },
+      Some("""SELECT o_orderkey, o_totalprice * 2 AS big_price
+             |FROM orders WHERE o_totalprice > 150000.0""".stripMargin))
   )
 }
