@@ -17,7 +17,8 @@ object Bench {
     "job_bronze_load", "job_bronze_full_refresh", "job_bronze_backfill",
     "job_bronze_quarantine", "job_silver", "job_gdpr_propagate",
     "job_dim_customer_scd2", "job_dim_merchant_scd2", "job_fact_star",
-    "job_fact_full_refresh", "j1_star_join", "m1_merge_composite",
+    "job_fact_full_refresh", "job_fact_load", "job_incremental",
+    "job_silver_handoff", "j1_star_join", "m1_merge_composite",
     "d3_minhash_lsh", "d5_dedup_clusters", "e3_ann_lsh_topk")
 
   def main(args: Array[String]): Unit = {
