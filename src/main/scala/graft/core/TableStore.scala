@@ -311,6 +311,24 @@ class TableStore(spark: SparkSession, root: String) {
       m.stats, m.txns): Unit
   }
 
+  /** INSERT INTO with automatic schema evolution (Delta's mergeSchema):
+    * nullable columns present in `df` but not in the table are added
+    * first (metadata-only — [[addColumns]]), then the rows append.
+    * Existing rows read the new columns as NULL; columns the table has
+    * but `df` lacks are filled with NULL for the new rows. */
+  def appendEvolve(name: String, df: DataFrame): Unit = {
+    val cur = schemaOf(name)
+    val curNames = cur.fieldNames.map(_.toLowerCase).toSet
+    val added = df.schema.fields.filterNot(f => curNames.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true))
+    if (added.nonEmpty) addColumns(name, StructType(added))
+    val widened = schemaOf(name)
+    val have = df.columns.map(_.toLowerCase).toSet
+    val filled = widened.fields.filterNot(f => have.contains(f.name.toLowerCase))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    append(name, filled)
+  }
+
   /** OPTIMIZE-style compaction: rewrite the accumulated dirs as one
     * batch sized to `targetPartitions` files (bucketed tables re-split
     * into their buckets). Old versions remain time-travel readable. */

@@ -256,6 +256,21 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.currentVersion("t") === v)
   }
 
+  test("appendEvolve widens the schema and aligns both row generations") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    // new column arrives: schema evolves, old rows read NULL
+    ts.appendEvolve("t", Seq((2L, "b", 9.5)).toDF("id", "v", "score"))
+    val got = ts.read("t").select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some(9.5)))
+    // narrower-than-table input: missing column null-filled for new rows
+    ts.appendEvolve("t", Seq((3L, "c")).toDF("id", "v"))
+    assert(ts.read("t").filter(col("id") === 3L).select("score")
+      .collect().head.isNullAt(0))
+    assert(ts.read("t").count() === 3)
+  }
+
   test("history lists committed versions with metadata-only row counts") {
     val ts = freshStore()
     ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
