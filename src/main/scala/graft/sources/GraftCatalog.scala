@@ -45,9 +45,21 @@ import graft.core.TableStore
   * and INT64 timestamps (TableStore pins TIMESTAMP_MICROS output; INT96
   * legacy files are not supported).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  /** The catalog serves the `bucket` transform function so Spark can
+    * resolve the KeyGroupedPartitioning the bucketed scans report —
+    * the hook storage-partitioned joins hang off (two tables bucketed
+    * the same way join with NO shuffle on either side). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -132,6 +144,42 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME TABLE not supported")
 }
 
+/** The `bucket(n, cols...)` function behind the reported partitioning:
+  * EXACTLY the store's layout function — pmod over Spark's Murmur3
+  * hash chained across the key columns with seed 42, matching
+  * [[graft.core.TableStore]]'s `Bucketing.expr` (`pmod(hash(keys), n)`)
+  * bit for bit, so partition keys reported by the scan and values Spark
+  * might compute through this function always agree. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, cols...): pmod(murmur3_hash(cols), n) — the graft store layout"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    val types = inputType.fields.map(_.dataType)
+    new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      override def inputTypes(): Array[org.apache.spark.sql.types.DataType] = types
+      override def resultType(): org.apache.spark.sql.types.DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        var h = 42L // hash() seed, chained across columns like Murmur3Hash
+        var i = 1
+        while (i < types.length) {
+          if (!input.isNullAt(i))
+            h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+              .hash(input.get(i, types(i)), types(i), h)
+          i += 1
+        }
+        val b = h.toInt % n
+        if (b < 0) b + n else b
+      }
+    }
+  }
+}
+
 /** The `_file` metadata column: which live parquet file produced a
   * row. Exposed for observability AND as the group identity Spark's
   * runtime row-level group filtering keys on ([[GraftRowLevelScan]]). */
@@ -205,7 +253,8 @@ class GraftSqlTable(root: String, tableName: String,
     // the scan can drop whole dirs against pushed predicates (data
     // skipping) before any file is opened.
     new GraftScanBuilder(snap.schema, snap.filesByDir(store, tableName),
-      snap.stats, streamSource = Some((root, tableName)))
+      snap.stats, streamSource = Some((root, tableName)),
+      bucketing = snap.bucketing.map(b => (b.keys, b.n)))
 
   /** SQL MERGE INTO / UPDATE via GROUP-BASED (file-subset copy-on-write)
     * row-level operations. Spark's RowLevelOperationRuntimeGroupFiltering
@@ -291,7 +340,8 @@ class GraftSqlTable(root: String, tableName: String,
 class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        stats: Map[String, graft.core.DirStats],
                        allowFilterPushdown: Boolean = true,
-                       streamSource: Option[(String, String)] = None)
+                       streamSource: Option[(String, String)] = None,
+                       bucketing: Option[(Seq[String], Int)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -343,20 +393,55 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
       val liveDirs = graft.core.StatsPruning.liveDirs(
         dirFiles.map(_._1), stats, schema, pushed.toSeq)
       val live = dirFiles.filter(df => liveDirs.contains(df._1))
+      // a fully hash-bucketed layout groups into one input partition per
+      // bucket (padded to all n so both join sides report identical key
+      // sets) and reports KeyGroupedPartitioning for storage-partitioned
+      // joins; any unbucketed dir in the mix disables the grouping
+      val bucketGroups: Option[(Seq[String], Int, Seq[(Int, Seq[String])])] =
+        bucketing.flatMap { case (keys, n) =>
+          if (live.nonEmpty && live.forall(_._1.contains("/__b="))) {
+            val byBucket = live.groupBy(df => df._1.split("/__b=", 2)(1).toInt)
+            Some((keys, n,
+              (0 until n).map(b => b -> byBucket.getOrElse(b, Seq.empty).flatMap(_._2))))
+          } else None
+        }
       new GraftScan(schema, required, live.flatMap(_._2), pushed, streamSource,
-        dirsTotal = dirFiles.size, dirsScanned = live.size)
+        dirsTotal = dirFiles.size, dirsScanned = live.size,
+        bucketGroups = bucketGroups)
   }
 }
 
 class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String],
                 pushed: Array[Filter],
                 streamSource: Option[(String, String)] = None,
-                dirsTotal: Int = 0, dirsScanned: Int = 0)
-    extends Scan with Batch with SupportsReportStatistics {
+                dirsTotal: Int = 0, dirsScanned: Int = 0,
+                bucketGroups: Option[(Seq[String], Int, Seq[(Int, Seq[String])])] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => GraftInputPartition(f): InputPartition).toArray
+
+  /** Bucketed layouts report key-grouped partitioning on the store's
+    * bucket transform: joins/aggregations clustered on the bucket keys
+    * skip their shuffle (storage-partitioned join when BOTH sides are
+    * graft tables bucketed alike —
+    * spark.sql.sources.v2.bucketing.enabled=true). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketGroups match {
+      case Some((keys, n, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, keys: _*)),
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(files.size)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = bucketGroups match {
+    case Some((_, _, groups)) =>
+      groups.map { case (b, fs) => GraftBucketInputPartition(b, fs): InputPartition }.toArray
+    case None => files.map(f => GraftInputPartition(f): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, fullSchema, pushed)
   override def description(): String =
@@ -486,11 +571,45 @@ class GraftMicroBatchStream(root: String, table: String,
 
 case class GraftInputPartition(file: String) extends InputPartition
 
+/** One hash bucket's files as a single input partition, keyed for
+  * Spark's key-grouped (storage-partitioned) execution. */
+case class GraftBucketInputPartition(bucket: Int, files: Seq[String])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+/** Sequentially chains per-file readers for multi-file partitions. */
+class GraftChainedReader[T](mk: Seq[() => PartitionReader[T]])
+    extends PartitionReader[T] {
+  private val iter = mk.iterator
+  private var cur: PartitionReader[T] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!iter.hasNext) return false
+        cur = iter.next()()
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
 class GraftReaderFactory(required: StructType, fullSchema: StructType,
                          pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition].file,
-      required, fullSchema, pushed)
+    partition match {
+      case GraftBucketInputPartition(_, fs) =>
+        new GraftChainedReader(fs.map(f =>
+          () => new GraftPartitionReader(f, required, fullSchema, pushed)))
+      case p =>
+        new GraftPartitionReader(p.asInstanceOf[GraftInputPartition].file,
+          required, fullSchema, pushed)
+    }
 
   /** Batch reads decode through Spark's vectorized parquet reader
     * (ColumnarBatch straight into whole-stage codegen); the row reader
@@ -501,10 +620,17 @@ class GraftReaderFactory(required: StructType, fullSchema: StructType,
     GraftVectorized.enabled && !required.fieldNames.contains(GraftFileMeta.Name)
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftColumnarPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].file, required,
-      GraftVectorized.predicate(pushed, fullSchema))
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val pred = GraftVectorized.predicate(pushed, fullSchema)
+    partition match {
+      case GraftBucketInputPartition(_, fs) =>
+        new GraftChainedReader(fs.map(f =>
+          () => new GraftColumnarPartitionReader(f, required, pred)))
+      case p =>
+        new GraftColumnarPartitionReader(
+          p.asInstanceOf[GraftInputPartition].file, required, pred)
+    }
+  }
 }
 
 /** Spark v1 [[Filter]] -> parquet-mr [[FilterPredicate]] for the

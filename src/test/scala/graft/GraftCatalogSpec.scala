@@ -228,6 +228,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(rows(1L) !== rows(2L)) // two appends -> two distinct files
   }
 
+  test("storage-partitioned join: co-bucketed tables join without shuffle") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      store.createBucketed("spj_a",
+        (0L until 200L).map(i => (i, s"a$i")).toDF("id", "va"), Seq("id"), n = 8)
+      store.createBucketed("spj_b",
+        (0L until 200L by 2).map(i => (i, s"b$i")).toDF("id", "vb"), Seq("id"), n = 8)
+      val joined = spark.sql(
+        "SELECT a.id, a.va, b.vb FROM graft.spj_a a JOIN graft.spj_b b ON a.id = b.id")
+      assert(joined.count() === 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free storage-partitioned join, got:\n$plan")
+      // correctness spot check
+      assert(joined.filter("id = 42").select("va", "vb")
+        .as[(String, String)].head() === ("a42", "b42"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("CREATE TABLE AS SELECT and DROP TABLE through the catalog") {
     store.create("ctas_src", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
     spark.sql("CREATE TABLE graft.ctas_t AS SELECT id, v FROM graft.ctas_src WHERE id > 1")
