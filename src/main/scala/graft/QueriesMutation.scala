@@ -290,6 +290,29 @@ object QueriesMutation {
              |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
              |FROM orders""".stripMargin)),
 
+    // ---- Storage-partitioned join: both sides hash-bucketed on the
+    //      join key -> KeyGroupedPartitioning from the scans, no
+    //      shuffle on either side (GraftCatalogSpec asserts the plan;
+    //      this query gates the RESULTS with the SPJ confs on) ----
+    "sql_spj_join" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "spj_o")
+        graft.core.FsUtil.deleteRecursively(new java.io.File("/tmp/graft_qstore/sqlcat/spj_c"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        st.createBucketed("spj_o", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          Seq("o_custkey"), n = 16)
+        st.createBucketed("spj_c", Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          Seq("c_custkey"), n = 16)
+        s.sql("""SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+                |FROM graft.spj_o o JOIN graft.spj_c c ON o.o_custkey = c.c_custkey
+                |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+      },
+      Some("""SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)),
+
     // ---- OPTIMIZE clustered-by-range: after optimizeByRange the dirs
     //      hold disjoint key ranges, so a point predicate's plan-time
     //      stats pruning reaches ~1 of N dirs (TableStoreSpec asserts
