@@ -251,6 +251,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("aggregation on bucket keys runs shuffle-free (key-grouped scan)") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      store.createBucketed("spj_agg",
+        (0L until 300L).map(i => (i % 30, i.toDouble)).toDF("k", "x"), Seq("k"), n = 8)
+      val agg = spark.sql("SELECT k, sum(x) AS sx, count(*) AS n FROM graft.spj_agg GROUP BY k")
+      assert(agg.count() === 30)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free aggregation over the key-grouped scan, got:\n$plan")
+      assert(agg.filter("k = 3").select("n").as[Long].head() === 10L)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("CREATE TABLE AS SELECT and DROP TABLE through the catalog") {
     store.create("ctas_src", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
     spark.sql("CREATE TABLE graft.ctas_t AS SELECT id, v FROM graft.ctas_src WHERE id > 1")
