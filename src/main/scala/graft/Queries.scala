@@ -43,7 +43,8 @@ object Queries {
                |FROM lineitem
                |GROUP BY l_returnflag, l_linestatus""".stripMargin))
     ) ++ QueriesRelational.defs ++ QueriesMutation.defs ++ QueriesLlm.defs ++
-      QueriesJobs.defs ++ QueriesStreaming.defs ++ QueriesMultimodal.defs
+      QueriesJobs.defs ++ QueriesStreaming.defs ++ QueriesMultimodal.defs ++
+      QueriesCorpus.defs
 
   def registry: Map[String, Q] = all.map { case (k, d) => k -> d.fn }
 

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators a large-scale training-data pipeline
+  * needs beyond dedup/ANN (QueriesLlm): benchmark decontamination,
+  * deterministic stratified sampling / per-group quotas for corpus
+  * mixing, and sequence packing — plus the ROLLUP/PIVOT analytics
+  * surface over the relational tables.
+  *
+  * Everything is set-based and deterministic: sampling decisions hash
+  * md5(doc_id) (identical in Spark and DuckDB) instead of rand(), so
+  * the oracle can replay the exact sample, and a re-run of an
+  * ingestion pipeline reproduces the same corpus — the property real
+  * training-data pipelines need for auditability.
+  */
+object QueriesCorpus {
+
+  import Queries.QDef
+
+  /** Distinct word-8-gram shingles per document (decontamination uses a
+    * longer n-gram than near-dup detection: an 8-word verbatim overlap
+    * with an eval benchmark is evidence of contamination, a 3-word one
+    * is noise). */
+  private def shingles8(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Deterministic md5-based inclusion hash over the doc id — the first
+    * 8 hex chars, compared lexicographically against a rate threshold
+    * (hex is uniform, so "h < '40000000'" samples ~25%). Spark and
+    * DuckDB md5 produce identical lowercase hex, so the oracle replays
+    * the exact same sample. */
+  private def inclusionHash = substring(md5(col("doc_id").cast("string")), 1, 8)
+
+  /** Per-language sampling-rate thresholds (corpus mixing: upsample en,
+    * downsample the rest — the usual pretraining language re-balance). */
+  private val RateThresholds: Seq[(String, String)] =
+    Seq("en" -> "80000000", "fr" -> "40000000", "es" -> "40000000",
+        "de" -> "20000000", "zh" -> "20000000")
+
+  private def thresholdCol = RateThresholds.foldRight(lit("20000000")) {
+    case ((lang, thr), acc) => when(col("lang") === lang, lit(thr)).otherwise(acc)
+  }
+
+  private val ThresholdSql =
+    """CASE lang WHEN 'en' THEN '80000000' WHEN 'fr' THEN '40000000'
+      |          WHEN 'es' THEN '40000000' WHEN 'de' THEN '20000000'
+      |          ELSE '20000000' END""".stripMargin
+
+  val defs: Map[String, QDef] = Map(
+
+    // ---- a9: GROUP BY ROLLUP with grouping flags ----
+    // (subtotal + grand-total rows in one pass — Spark and DuckDB both
+    //  plan a single Expand+Aggregate, no self-union of aggregates)
+    "a9_rollup" -> QDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+          col("g_status"), col("sum_qty"), col("n_rows")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- a10: PIVOT — status values to columns ----
+    // (explicit value list so the plan is a single aggregate with no
+    //  distinct-values pre-pass; count of an empty cell is 0 not null)
+    "a10_pivot" -> QDef(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("O", "F", "P")),
+      Some("""SELECT o_orderpriority,
+             |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+             |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+             |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- d6: benchmark decontamination — verbatim 8-gram overlap ----
+    // (the train/eval split hygiene step every pretraining corpus needs:
+    //  flag training docs sharing any 8-word shingle with the benchmark
+    //  set. Inverted-index equi-join on the shingle — |shared shingles|
+    //  work, never |train| x |bench|; at 100 TB the bench side is tiny
+    //  and the join is a broadcast of its shingle set.)
+    "d6_decontaminate" -> QDef(
+      (s, dir) => {
+        val sh = shingles8(s, dir)
+        val bench = sh.filter(col("doc_id") % 20 < 2)
+          .select(col("doc_id").as("bench_id"), col("shingle"))
+        val train = sh.filter(col("doc_id") % 20 >= 2)
+        train.join(broadcast(bench), Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("shingle")).as("n_shared"),
+            countDistinct(col("bench_id")).as("n_bench_docs"),
+            min(col("bench_id")).as("first_bench_id"))
+          .select(col("doc_id"), col("n_shared"), col("n_bench_docs"),
+            col("first_bench_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM w),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle FROM idx),
+             |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 20 < 2),
+             |train AS (SELECT * FROM sh WHERE doc_id % 20 >= 2)
+             |SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared,
+             |  count(DISTINCT b.bench_id) AS n_bench_docs,
+             |  min(b.bench_id) AS first_bench_id
+             |FROM train t JOIN bench b ON t.shingle = b.shingle
+             |GROUP BY t.doc_id""".stripMargin)),
+
+    // ---- x1: stratified sampling by rate (corpus mixing) ----
+    // (pure narrow map + filter — no shuffle, no state; the decision is
+    //  a hash of the row's own key, so adding executors or reordering
+    //  input cannot change the sample)
+    "x1_stratified_sample" -> QDef(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("h", inclusionHash)
+        .filter(col("h") < thresholdCol)
+        .select(col("doc_id"), col("lang"), col("h")),
+      Some(s"""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+              |FROM documents
+              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < $ThresholdSql""".stripMargin)),
+
+    // ---- x2: exact per-group quotas (corpus mixing, hard caps) ----
+    // (rate sampling gives an EXPECTED mix; quota sampling gives an
+    //  exact one: the md5 order is a deterministic uniform shuffle, so
+    //  "first 20 per language in hash order" is an exact uniform sample.
+    //  Window partitioned by lang — parallel across groups, and each
+    //  group's sort is per-partition, not global)
+    "x2_quota_sample" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .withColumn("h", inclusionHash)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("doc_id"), col("lang"), col("h"), col("rn"))
+      },
+      Some("""SELECT doc_id, lang, h, rn FROM (
+             |  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 20""".stripMargin)),
+
+    // ---- x3: sequence packing — concat-and-chunk bin assignment ----
+    // (LLM pretraining packs documents into fixed token-budget bins by
+    //  concatenating in a canonical order and cutting every B tokens.
+    //  The global running sum is computed as a DISTRIBUTED prefix sum:
+    //  range-partition by doc_id, per-partition window, then add each
+    //  partition's offset (a tiny driver-side cumsum over ≤ nPartitions
+    //  rows) — no single-partition global window anywhere, so this is
+    //  the shape that survives 100 TB. The result is independent of the
+    //  (sampled, nondeterministic) range boundaries because the prefix
+    //  sum only depends on the total doc_id order.)
+    "x3_pack_sequences" -> QDef(
+      (s, dir) => {
+        val budget = 256
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .repartitionByRange(32, col("doc_id"))
+          .withColumn("__p", spark_partition_id())
+        // per-partition running sum (window within each range partition)
+        val wLocal = Window.partitionBy(col("__p")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = t.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+        // partition offsets: cumsum over the per-partition totals — at
+        // most nPartitions rows, windowed over a single tiny partition
+        val wOff = Window.orderBy(col("__p"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = t.groupBy(col("__p")).agg(sum(col("n_tokens")).as("ptotal"))
+          .withColumn("poffset", sum(col("ptotal")).over(wOff) - col("ptotal"))
+          .select(col("__p"), col("poffset"))
+        local.join(broadcast(offsets), Seq("__p"))
+          .withColumn("stream_start", col("poffset") + col("local_cum") - col("n_tokens"))
+          .withColumn("bin", floor(col("stream_start") / budget))
+          .select(col("doc_id"), col("n_tokens"), col("stream_start"), col("bin"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+             |      AS stream_start FROM t)
+             |SELECT doc_id, n_tokens, stream_start,
+             |  CAST(stream_start // 256 AS BIGINT) AS bin
+             |FROM c""".stripMargin))
+  )
+}
