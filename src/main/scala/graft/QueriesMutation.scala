@@ -357,6 +357,44 @@ object QueriesMutation {
              |FROM orders
              |WHERE CAST(CAST(o_orderkey % 100000 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) AS DECIMAL(10,2)) > 90000.00""".stripMargin)),
 
+    // ---- Bloom-index point SELECT: interleaved appends give every dir
+    //      a near-full o_custkey span (min/max can't prune), the per-dir
+    //      bloom index still narrows a point predicate to the dirs that
+    //      truly hold the key (BloomIndexSpec asserts the 1/3-dirs plan;
+    //      this query gates the RESULTS) ----
+    "sql_bloom_prune" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "bloomed")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        st.create("bloomed", orders.filter(col("o_orderkey") % 3 === 0))
+        st.append("bloomed", orders.filter(col("o_orderkey") % 3 === 1))
+        st.append("bloomed", orders.filter(col("o_orderkey") % 3 === 2))
+        st.setBloomColumns("bloomed", Seq("o_custkey"))
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM graft.bloomed
+                |WHERE o_custkey IN (371, 1042)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (371, 1042)""".stripMargin)),
+
+    // ---- M5 at scale: the GDPR point DELETE through the bloom index —
+    //      only dirs whose bloom contains the key are rewritten (the
+    //      others carry untouched); result must equal a plain anti-filter ----
+    "m7_bloom_point_delete" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m7")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        st.create("t", orders.filter(col("o_orderkey") % 3 === 0))
+        st.append("t", orders.filter(col("o_orderkey") % 3 === 1))
+        st.append("t", orders.filter(col("o_orderkey") % 3 === 2))
+        st.setBloomColumns("t", Seq("o_custkey"))
+        st.delete("t", col("o_custkey") === 371L)
+        st.read("t")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey <> 371""".stripMargin)),
+
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
       (s, dir) => {

@@ -78,7 +78,8 @@ class TableStore(spark: SparkSession, root: String) {
   private def writeManifest(name: String, v: Long, schema: StructType,
                             dirs: Seq[String], bucketing: Option[Bucketing],
                             stats: Map[String, DirStats],
-                            txns: Map[String, Long]): Unit = {
+                            txns: Map[String, Long],
+                            bloomCols: Seq[String]): Unit = {
     Files.createDirectories(manifest(name, v).getParent)
     val base = s""""schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]"""
     val statsPart =
@@ -88,7 +89,10 @@ class TableStore(spark: SparkSession, root: String) {
       if (txns.isEmpty) ""
       else s""", "txns": {${txns.toSeq.sortBy(_._1)
         .map { case (k, e) => s"${jsonStr(k)}: $e" }.mkString(",")}}"""
-    val extra = statsPart + txnsPart + bucketing.map(b =>
+    val bloomPart =
+      if (bloomCols.isEmpty) ""
+      else s""", "bloomcols": [${bloomCols.map(jsonStr).mkString(",")}]"""
+    val extra = statsPart + txnsPart + bloomPart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -114,7 +118,8 @@ class TableStore(spark: SparkSession, root: String) {
   private[core] final case class Manifest(schema: StructType, dirs: Seq[String],
                                           bucketing: Option[Bucketing],
                                           stats: Map[String, DirStats],
-                                          txns: Map[String, Long] = Map.empty)
+                                          txns: Map[String, Long] = Map.empty,
+                                          bloomCols: Seq[String] = Nil)
 
   private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
@@ -127,7 +132,7 @@ class TableStore(spark: SparkSession, root: String) {
     val stats = m.get("stats").map(DirStats.fromParsed(_, schema)).getOrElse(Map.empty)
     val txns = m.get("txns").map(_.asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[Long] }).getOrElse(Map.empty[String, Long])
-    Manifest(schema, strs("dirs"), bucketing, stats, txns)
+    Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"))
   }
 
   private def bucketOf(entry: String): Int =
@@ -142,7 +147,8 @@ class TableStore(spark: SparkSession, root: String) {
   private def commit(name: String, df: Option[DataFrame], schema: StructType,
                      carryForward: Seq[String], bucketing: Option[Bucketing],
                      priorStats: Map[String, DirStats],
-                     priorTxns: Map[String, Long] = Map.empty): Long = {
+                     priorTxns: Map[String, Long] = Map.empty,
+                     bloomCols: Seq[String] = Nil): Long = {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d) =>
@@ -179,17 +185,24 @@ class TableStore(spark: SparkSession, root: String) {
           DirStats.collect(dir(name).resolve("data").resolve(d), schema))
         .map(d -> _)
     }.toMap
-    commitManifest(name, v, schema, newDirs, bucketing, stats, priorTxns)
+    commitManifest(name, v, schema, newDirs, bucketing, stats, priorTxns, bloomCols)
     v
   }
 
-  /** The commit protocol: write manifest v, then atomically swap the
-    * _LATEST pointer. The single place this sequence lives. */
+  /** The commit protocol: build any missing bloom-index files for the
+    * version's dirs (no-op unless the table has bloom columns — carried
+    * dirs keep theirs, so only just-written dirs cost a read pass),
+    * write manifest v, then atomically swap the _LATEST pointer. The
+    * single place this sequence lives. */
   private def commitManifest(name: String, v: Long, schema: StructType,
                              dirs: Seq[String], bucketing: Option[Bucketing],
                              stats: Map[String, DirStats],
-                             txns: Map[String, Long]): Unit = {
-    writeManifest(name, v, schema, dirs, bucketing, stats, txns)
+                             txns: Map[String, Long],
+                             bloomCols: Seq[String] = Nil): Unit = {
+    if (bloomCols.nonEmpty)
+      BloomIndex.ensure(spark, bloomRoot(name), dataRoot(name), dirs, bloomCols,
+        schema, stats.view.mapValues(_.rows).toMap)
+    writeManifest(name, v, schema, dirs, bucketing, stats, txns, bloomCols)
     val tmp = dir(name).resolve(s"_LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
@@ -220,7 +233,8 @@ class TableStore(spark: SparkSession, root: String) {
     * schemaOf/liveDirs calls, which could straddle a concurrent commit. */
   final case class Snapshot(version: Long, schema: StructType,
                             dirs: Seq[String], bucketing: Option[Bucketing],
-                            stats: Map[String, DirStats] = Map.empty) {
+                            stats: Map[String, DirStats] = Map.empty,
+                            bloomCols: Seq[String] = Nil) {
     /** Absolute paths of the snapshot's live parquet files. */
     def files(store: TableStore, name: String): Seq[String] =
       filesByDir(store, name).flatMap(_._2)
@@ -252,7 +266,7 @@ class TableStore(spark: SparkSession, root: String) {
   /** Pinned snapshot of a historical version (time travel). */
   def snapshotAt(name: String, v: Long): Snapshot = {
     val m = readManifest(name, v)
-    Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats)
+    Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats, m.bloomCols)
   }
 
   /** Latest version whose manifest was committed at or before `tsMillis`
@@ -299,7 +313,7 @@ class TableStore(spark: SparkSession, root: String) {
   def overwrite(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
     commit(name, Some(conform(df, m.schema)), m.schema, Seq.empty, m.bucketing,
-      Map.empty, m.txns): Unit
+      Map.empty, m.txns, m.bloomCols): Unit
   }
 
   /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
@@ -308,7 +322,7 @@ class TableStore(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
     commit(name, Some(conform(df, m.schema)), m.schema, m.dirs, m.bucketing,
-      m.stats, m.txns): Unit
+      m.stats, m.txns, m.bloomCols): Unit
   }
 
   /** INSERT INTO with automatic schema evolution (Delta's mergeSchema):
@@ -368,7 +382,7 @@ class TableStore(spark: SparkSession, root: String) {
           .map(l => s"$batch/$l").toSeq.sorted)
     val stats = leaves.flatMap(l =>
       DirStats.collect(dir(name).resolve("data").resolve(l), m.schema).map(l -> _)).toMap
-    commitManifest(name, v, m.schema, leaves, None, stats, m.txns)
+    commitManifest(name, v, m.schema, leaves, None, stats, m.txns, m.bloomCols)
   }
 
   /** ALTER TABLE ADD COLUMN (manual schema evolution —
@@ -385,7 +399,7 @@ class TableStore(spark: SparkSession, root: String) {
     require(newCols.forall(_.nullable),
       "ADD COLUMN requires nullable columns (existing rows have no value)")
     commit(name, None, StructType(m.schema.fields ++ newCols.fields), m.dirs,
-      m.bucketing, m.stats, m.txns): Unit
+      m.bucketing, m.stats, m.txns, m.bloomCols): Unit
   }
 
   /** VACUUM: physically delete data no version within the retained
@@ -437,6 +451,8 @@ class TableStore(spark: SparkSession, root: String) {
         }
       olds.foreach { p => Files.delete(p); deleted += p }
     }
+    // bloom sidecars of dirs no retained version references
+    deleted ++= BloomIndex.sweep(bloomRoot(name), live)
     deleted.result()
   }
 
@@ -503,7 +519,7 @@ class TableStore(spark: SparkSession, root: String) {
       else when(sMatched, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
     commit(name, Some(joined.select(out: _*)), schema, carried, b, m.stats,
-      m.txns): Unit
+      m.txns, m.bloomCols): Unit
   }
 
   /** MERGE delete (M3): delete target rows whose keys appear in keysDf
@@ -514,7 +530,7 @@ class TableStore(spark: SparkSession, root: String) {
     val (target, carried, b) =
       pruneByKeys(name, m.schema, m.dirs, m.bucketing, keyRows, keys)
     commit(name, Some(target.join(keyRows, keys, "left_anti")), m.schema,
-      carried, b, m.stats, m.txns): Unit
+      carried, b, m.stats, m.txns, m.bloomCols): Unit
   }
 
   /** MERGE update-only (M4, SCD2 close): for target rows matching source
@@ -565,8 +581,13 @@ class TableStore(spark: SparkSession, root: String) {
     * rewriting the table; dirs without reliable stats always rewrite. */
   private def pruneByCondition(name: String, m: Manifest, condition: Column)
       : (DataFrame, Seq[String]) = {
-    val touched = StatsPruning.liveDirs(
-      m.dirs, m.stats, m.schema, conditionFilters(m.schema, condition))
+    val filters = conditionFilters(m.schema, condition)
+    val byStats = StatsPruning.liveDirs(m.dirs, m.stats, m.schema, filters)
+    // point predicates additionally consult the per-dir bloom index —
+    // the prune min/max can't give on high-cardinality unclustered keys
+    val touched =
+      if (m.bloomCols.isEmpty) byStats
+      else BloomIndex.prune(byStats, filters, m.schema, m.bloomCols, bloomRoot(name))
     val carried = m.dirs.filterNot(touched.toSet)
     (scanDirs(touched, name, m.schema), carried)
   }
@@ -581,7 +602,7 @@ class TableStore(spark: SparkSession, root: String) {
       set.get(c).map(v => when(condition, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
     }
     commit(name, Some(conform(target.select(out: _*), m.schema)), m.schema,
-      carried, m.bucketing, m.stats, m.txns): Unit
+      carried, m.bucketing, m.stats, m.txns, m.bloomCols): Unit
   }
 
   /** DELETE ... WHERE cond (pruned copy-on-write like [[update]]).
@@ -591,7 +612,7 @@ class TableStore(spark: SparkSession, root: String) {
     val (target, carried) = pruneByCondition(name, m, condition)
     if (carried.size == m.dirs.size) return
     commit(name, Some(target.filter(!coalesce(condition, lit(false)))), m.schema,
-      carried, m.bucketing, m.stats, m.txns): Unit
+      carried, m.bucketing, m.stats, m.txns, m.bloomCols): Unit
   }
 
   /** Attach a data dir that an external writer (the DSv2 write path)
@@ -609,7 +630,7 @@ class TableStore(spark: SparkSession, root: String) {
       dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
     commitManifest(name, currentVersion(name) + 1, m.schema, carry :+ dirName,
-      m.bucketing, stats, m.txns)
+      m.bucketing, stats, m.txns, m.bloomCols)
   }
 
   /** Commit a version that REPLACES the `removed` live dirs with the
@@ -626,7 +647,7 @@ class TableStore(spark: SparkSession, root: String) {
       dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
     commitManifest(name, currentVersion(name) + 1, m.schema, carry :+ dirName,
-      m.bucketing, stats, m.txns)
+      m.bucketing, stats, m.txns, m.bloomCols)
   }
 
   /** Exactly-once streaming-sink epoch commit: move the epoch's
@@ -647,7 +668,7 @@ class TableStore(spark: SparkSession, root: String) {
     if (files.isEmpty) {
       // empty epoch: still advance the watermark (no data dir)
       commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
-        m.bucketing, m.stats, txns)
+        m.bucketing, m.stats, txns, m.bloomCols)
       return true
     }
     val batch = f"st${currentVersion(name) + 1}%09d-" +
@@ -658,7 +679,7 @@ class TableStore(spark: SparkSession, root: String) {
     val stats = m.stats ++ DirStats.collect(target, m.schema,
       absentIsNull = false).map(batch -> _)
     commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs :+ batch,
-      m.bucketing, stats, txns)
+      m.bucketing, stats, txns, m.bloomCols)
     true
   }
 
@@ -684,4 +705,23 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** Absolute path of a table's data root (external writers). */
   def dataRoot(name: String): Path = dir(name).resolve("data")
+
+  /** Root of a table's bloom-index sidecar files. */
+  def bloomRoot(name: String): Path = dir(name).resolve("_bloom")
+
+  /** Enable (or change) the point-lookup bloom index: a metadata commit
+    * recording the indexed columns, plus a one-off backfill pass that
+    * builds the missing per-dir bloom files for the CURRENT live dirs.
+    * Subsequent commits index their new dirs automatically; carried
+    * dirs never rebuild (dirs are immutable). Indexable types only —
+    * see [[BloomIndex.supportedType]]. */
+  def setBloomColumns(name: String, cols: Seq[String]): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val bad = cols.filterNot(c => m.schema.fields.exists(f =>
+      f.name.equalsIgnoreCase(c) && BloomIndex.supportedType(f.dataType)))
+    require(bad.isEmpty,
+      s"not indexable (missing or unsupported type): ${bad.mkString(",")}")
+    commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
+      m.bucketing, m.stats, m.txns, cols)
+  }
 }

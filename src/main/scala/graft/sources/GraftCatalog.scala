@@ -254,7 +254,10 @@ class GraftSqlTable(root: String, tableName: String,
     // skipping) before any file is opened.
     new GraftScanBuilder(snap.schema, snap.filesByDir(store, tableName),
       snap.stats, streamSource = Some((root, tableName)),
-      bucketing = snap.bucketing.map(b => (b.keys, b.n)))
+      bucketing = snap.bucketing.map(b => (b.keys, b.n)),
+      bloomPrune =
+        if (snap.bloomCols.isEmpty) None
+        else Some((snap.bloomCols, store.bloomRoot(tableName))))
 
   /** SQL MERGE INTO / UPDATE via GROUP-BASED (file-subset copy-on-write)
     * row-level operations. Spark's RowLevelOperationRuntimeGroupFiltering
@@ -341,7 +344,8 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        stats: Map[String, graft.core.DirStats],
                        allowFilterPushdown: Boolean = true,
                        streamSource: Option[(String, String)] = None,
-                       bucketing: Option[(Seq[String], Int)] = None)
+                       bucketing: Option[(Seq[String], Int)] = None,
+                       bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -390,8 +394,15 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
     case Some((aggSchema, row)) =>
       new GraftMetadataScan(aggSchema, row, s"${dirFiles.size} dirs")
     case None =>
-      val liveDirs = graft.core.StatsPruning.liveDirs(
+      val byStats = graft.core.StatsPruning.liveDirs(
         dirFiles.map(_._1), stats, schema, pushed.toSeq)
+      // point predicates also probe the per-dir bloom index (plan-time
+      // skipping for keys min/max can't bound — see [[BloomIndex]])
+      val liveDirs = bloomPrune match {
+        case Some((cols, bloomRoot)) =>
+          graft.core.BloomIndex.prune(byStats, pushed.toSeq, schema, cols, bloomRoot)
+        case None => byStats
+      }
       val live = dirFiles.filter(df => liveDirs.contains(df._1))
       // a fully hash-bucketed layout groups into one input partition per
       // bucket (padded to all n so both join sides report identical key
