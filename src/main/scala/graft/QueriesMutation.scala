@@ -357,6 +357,25 @@ object QueriesMutation {
              |FROM orders
              |WHERE CAST(CAST(o_orderkey % 100000 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) AS DECIMAL(10,2)) > 90000.00""".stripMargin)),
 
+    // ---- OPTIMIZE ... ZORDER: after z-ordering on (o_custkey,
+    //      o_totalprice), a predicate on the SECOND column alone prunes
+    //      dirs at plan time (lexical range clustering can't —
+    //      ZOrderSpec asserts the prune counts; this query gates the
+    //      RESULTS through the SQL scan) ----
+    "sql_zorder_cluster" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "zordered")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        st.create("zordered", orders.filter(col("o_orderkey") % 3 === 0))
+        st.append("zordered", orders.filter(col("o_orderkey") % 3 =!= 0))
+        st.optimizeByZOrder("zordered", Seq("o_custkey", "o_totalprice"), 16)
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM graft.zordered
+                |WHERE o_totalprice < 5000.0""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_totalprice < 5000.0""".stripMargin)),
+
     // ---- Bloom-index point SELECT: interleaved appends give every dir
     //      a near-full o_custkey span (min/max can't prune), the per-dir
     //      bloom index still narrows a point predicate to the dirs that
