@@ -30,16 +30,19 @@ object QueriesLlm {
   final case class Doc(doc_id: Long, text: String, lang: String,
                        source: String, n_chars: Long)
 
-  /** Distinct word-3-gram shingles per document. element_at is 1-based;
+  /** Word-3-gram shingle stream (with repeats). element_at is 1-based;
     * single-space tokenization matches DuckDB's string_split. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private def rawShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 2), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
         .as("shingle"))
-      .distinct()
+
+  /** Distinct word-3-gram shingles per document. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    rawShingles(s, dir).distinct()
 
   /** Test hook: the shingle index, for df-distribution assertions. */
   private[graft] def shinglesForTest(s: SparkSession, dir: String): DataFrame =
@@ -116,25 +119,43 @@ object QueriesLlm {
     "d2_ngram_jaccard" -> QDef(
       (s, dir) => {
         val DfCap = 1000 // >> max df in this corpus: recall provably unchanged
-        // the shingle index feeds the df computation, both sides of the
-        // candidate join, and both sides of the exact-verify join: cache it
-        val sh = shingles(s, dir).cache()
+        // work on HASHED shingles throughout: hash BEFORE the distinct,
+        // so every shuffle/aggregate/intersect — including the dedup
+        // itself — moves 8-byte longs instead of ~20-char strings
+        // (exactness preserved modulo xxhash64 collisions, ~n²/2⁶⁵ —
+        // the same trust d3 places in its minhash signatures)
+        val sh = rawShingles(s, dir)
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+          .distinct()
+          .cache()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val capped = sh.join(
-          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= DfCap).select("shingle"),
-          Seq("shingle"))
-        val cand = capped.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(capped.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+          sh.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= DfCap).select("h"),
+          Seq("h"))
+        // candidate pairs in ONE aggregate shuffle (no separate distinct)
+        val cand = capped.select(col("doc_id").as("doc_a"), col("h"))
+          .join(capped.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(cand, Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        inter
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap_lb"))
+          .drop("overlap_lb")
+        // sound size-ratio prune BEFORE the expensive verify: the best
+        // possible jaccard is min(na,nb)/max(na,nb) (smaller ⊆ larger),
+        // so for t=0.5 any pair with 2*min < max can never qualify —
+        // the standard length filter from the set-similarity-join
+        // literature; drops most spurious single-shingle collisions
+        val sized = cand
           .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
           .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+        // exact verification on full (hashed) shingle sets — same shape
+        // as d3's verify: two narrow set lookups per surviving pair,
+        // not a re-join of the whole inverted index
+        val sets = sh.groupBy("doc_id").agg(collect_set(col("h")).as("set"))
+        sized
+          .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb")), Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
           .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
           .filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -190,8 +211,11 @@ object QueriesLlm {
           .select(col("doc_a"), col("doc_b")).cache()
         val edges = pairs.unionByName(
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-        var comp = edges.select(col("doc_a").as("doc_id")).distinct()
+        // gen = THE cached generation (what unpersist targets); comp =
+        // its (doc_id, canonical_id) view, possibly a projection of gen
+        var gen = edges.select(col("doc_a").as("doc_id")).distinct()
           .withColumn("canonical_id", col("doc_id")).cache()
+        var comp = gen
         var iterations = 0
         var converged = false
         while (!converged && iterations < 20) {
@@ -199,19 +223,23 @@ object QueriesLlm {
             .join(comp.select(col("doc_id").as("doc_b"), col("canonical_id").as("nbr_label")),
               Seq("doc_b"))
             .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
+          // carry the previous label alongside the new one, so the
+          // convergence check is a filter over THIS generation's cache —
+          // no extra join against the old comp
           val next0 = comp.join(nbrMin, Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
-                .as("canonical_id"))
+                .as("canonical_id"),
+              col("canonical_id").as("__prev"))
           // truncate lineage periodically: each generation's plan nests
           // the previous one, so a deep near-dup graph would otherwise
           // grow the plan tree (and optimizer time) without bound
           val next = (if (iterations % 5 == 4) next0.localCheckpoint()
                       else next0).cache()
-          converged = next.join(comp.withColumnRenamed("canonical_id", "old"), Seq("doc_id"))
-            .filter(col("canonical_id") =!= col("old")).isEmpty
-          comp.unpersist() // superseded generation
-          comp = next
+          converged = next.filter(col("canonical_id") =!= col("__prev")).isEmpty
+          gen.unpersist() // superseded generation
+          gen = next
+          comp = next.select(col("doc_id"), col("canonical_id"))
           iterations += 1
         }
         edges.unpersist()
