@@ -44,7 +44,7 @@ object Queries {
                |GROUP BY l_returnflag, l_linestatus""".stripMargin))
     ) ++ QueriesRelational.defs ++ QueriesMutation.defs ++ QueriesLlm.defs ++
       QueriesJobs.defs ++ QueriesStreaming.defs ++ QueriesMultimodal.defs ++
-      QueriesCorpus.defs
+      QueriesCorpus.defs ++ QueriesTemporal.defs
 
   def registry: Map[String, Q] = all.map { case (k, d) => k -> d.fn }
 
