@@ -19,7 +19,8 @@ object Bench {
     "job_dim_customer_scd2", "job_dim_merchant_scd2", "job_fact_star",
     "job_fact_full_refresh", "job_fact_load", "job_incremental",
     "job_silver_handoff", "j1_star_join", "m1_merge_composite",
-    "d3_minhash_lsh", "d5_dedup_clusters", "e3_ann_lsh_topk")
+    "d3_minhash_lsh", "d5_dedup_clusters", "e3_ann_lsh_topk",
+    "d2_ngram_jaccard", "x4_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

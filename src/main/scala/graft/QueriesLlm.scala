@@ -497,6 +497,29 @@ object QueriesLlm {
              |  CAST(ceil(n_chars / 4.0) AS INT) AS bpe_upper_bound
              |FROM documents""".stripMargin)),
 
+    // ---- t5: repetition scoring — duplicate-3-gram fraction + hottest
+    //      gram count (the Gopher-style repetition quality filters:
+    //      boilerplate and looping text score high and get dropped) ----
+    "t5_repetition" -> QDef(
+      (s, dir) => rawShingles(s, dir)
+        .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_gram_n"))
+        .withColumn("dup_frac",
+          round(lit(1.0) - col("n_distinct") / col("n_grams"), 6))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          col("top_gram_n"), col("dup_frac")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+             |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+             |c AS (SELECT doc_id, shingle, count(*) AS c FROM g GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             |  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_gram_n,
+             |  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+             |FROM c GROUP BY doc_id""".stripMargin)),
+
     // ---- t4: document fingerprinting — min-8-gram md5 + whole-doc md5 ----
     // (winnowing-style content fingerprint; md5 exists in both engines)
     "t4_fingerprint" -> QDef(

@@ -749,6 +749,27 @@ class TableStore(spark: SparkSession, root: String) {
     true
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): commit a NEW
+    * version whose content is version `v`'s — history is preserved and
+    * the restore is itself restorable. Metadata-only (no data moves);
+    * requires `v`'s dirs to still exist, i.e. within the vacuum
+    * retention window. Streaming txn watermarks and the bloom-index
+    * config stay CURRENT (exactly-once re-delivery guards must not
+    * rewind with the data — the same choice Delta makes). */
+  def restore(name: String, v: Long): Unit = {
+    val cur = currentVersion(name)
+    require(v <= cur, s"version $v does not exist (current: $cur)")
+    require(Files.exists(manifest(name, v)),
+      s"cannot restore $name to $v: manifest vacuumed")
+    val m = readManifest(name, v)
+    val missing = m.dirs.filterNot(d => Files.isDirectory(dataRoot(name).resolve(d)))
+    require(missing.isEmpty,
+      s"cannot restore $name to $v: dirs vacuumed: ${missing.mkString(",")}")
+    val curM = readManifest(name, cur)
+    commitManifest(name, cur + 1, m.schema, m.dirs, m.bucketing, m.stats,
+      curM.txns, curM.bloomCols)
+  }
+
   /** DESCRIBE HISTORY analogue: one row per committed version still on
     * disk (vacuum may have dropped old manifests) — version, commit
     * time (manifest mtime, the TIMESTAMP AS OF clock), live dir count,

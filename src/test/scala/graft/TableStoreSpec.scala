@@ -311,4 +311,27 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.liveDirs("t").toSet.intersect(m1.dirs.toSet).size === m1.dirs.size - 1)
     assert(ts.read("t").count() === 8)
   }
+
+  test("restore rolls content back as a NEW version; history preserved") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))        // v0
+    ts.append("t", Seq((3L, "c")).toDF("id", "v"))                   // v1
+    ts.delete("t", col("id") === 1L)                                 // v2
+    assert(ts.read("t").count() === 2)
+
+    ts.restore("t", 0)                                               // v3 == v0
+    assert(ts.currentVersion("t") === 3)
+    assert(ts.read("t").select("id").as[Long].collect().sorted === Array(1L, 2L))
+    // the pre-restore state is still one version back (restore of the
+    // restore works too)
+    assert(ts.readVersion("t", 2).count() === 2)
+    ts.restore("t", 2)                                               // v4 == v2
+    assert(ts.read("t").select("id").as[Long].collect().sorted === Array(2L, 3L))
+
+    // a vacuumed version refuses to restore instead of resurrecting a
+    // manifest whose data is gone
+    ts.overwrite("t", Seq((9L, "z")).toDF("id", "v"))                // v5
+    ts.vacuum("t", retainVersions = 1)
+    intercept[IllegalArgumentException] { ts.restore("t", 0) }
+  }
 }
