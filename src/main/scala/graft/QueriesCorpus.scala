@@ -122,6 +122,35 @@ object QueriesCorpus {
              |FROM train t JOIN bench b ON t.shingle = b.shingle
              |GROUP BY t.doc_id""".stripMargin)),
 
+    // ---- f5: JSON extraction over a semi-structured column — the
+    //      events stream carries a JSON props payload; extraction stays
+    //      a codegen'd path expression, no UDF, no full parse ----
+    "f5_json_extract" -> QDef(
+      (s, dir) => QueriesRelational.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .withColumn("k_band", when(col("k") >= 50, "hi").otherwise("lo")),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
+             |  CASE WHEN CAST(props->>'$.k' AS INT) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+             |FROM events WHERE event_type = 'purchase'""".stripMargin)),
+
+    // ---- a11: UNPIVOT (wide measures -> long) — Spark's unpivot
+    //      operator; oracle re-derives via UNION ALL ----
+    "a11_unpivot" -> QDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          variableColumnName = "measure", valueColumnName = "val"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin)),
+
     // ---- x1: stratified sampling by rate (corpus mixing) ----
     // (pure narrow map + filter — no shuffle, no state; the decision is
     //  a hash of the row's own key, so adding executors or reordering

@@ -303,8 +303,10 @@ class TableStore(spark: SparkSession, root: String) {
     commit(name, Some(df), df.schema, Seq.empty, Some(Bucketing(keys, n)), Map.empty)
 
   /** CREATE TABLE with schema, zero rows (S5 empty staging write). */
-  def createEmpty(name: String, schema: StructType): Unit =
-    commit(name, None, schema, Seq.empty, None, Map.empty)
+  def createEmpty(name: String, schema: StructType,
+                  bucketing: Option[(Seq[String], Int)] = None): Unit =
+    commit(name, None, schema, Seq.empty,
+      bucketing.map { case (keys, n) => Bucketing(keys, n) }, Map.empty)
 
   /** INSERT OVERWRITE semantics: replace contents, PRESERVE the existing
     * table schema (and bucketing) by casting-by-name — the reference

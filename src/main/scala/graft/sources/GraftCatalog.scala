@@ -110,10 +110,33 @@ class GraftCatalog extends TableCatalog
       pinnedVersion = Some(store.versionAsOfTimestamp(t, timestamp / 1000L)))
   }
 
+  /** CREATE TABLE with the full layout surface:
+    *   PARTITIONED BY (bucket(n, cols...))  -> hash-bucketed layout
+    *     (key-pruned merges + storage-partitioned joins; rows INSERTed
+    *      through SQL land as attached dirs until compact() re-splits)
+    *   TBLPROPERTIES ('bloom_columns'='a,b') -> point-lookup bloom index */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    store.createEmpty(ident.name(), schema)
+    import org.apache.spark.sql.connector.expressions.{Literal => TLiteral, NamedReference}
+    val bucketing = partitions.toSeq.map { t =>
+      require(t.name() == "bucket",
+        s"unsupported partition transform ${t.name()} (only bucket(n, cols...))")
+      val n = t.arguments().collectFirst {
+        case l: TLiteral[_] if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException("bucket(n, cols...) needs a count"))
+      val keys = t.arguments().collect {
+        case r: NamedReference => r.fieldNames().mkString(".")
+      }.toSeq
+      require(keys.nonEmpty, "bucket(n, cols...) needs at least one column")
+      (keys, n)
+    }.headOption
+    require(partitions.length <= 1, "at most one bucket transform")
+    store.createEmpty(ident.name(), schema, bucketing)
+    Option(properties.get("bloom_columns")).foreach { cs =>
+      store.setBloomColumns(ident.name(), cs.split(",").map(_.trim).toSeq)
+    }
     new GraftSqlTable(root, ident.name())
   }
 

@@ -274,6 +274,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!store.exists("ctas_t"))
   }
 
+  test("CREATE TABLE declares bucketing (bucket transform) and a bloom index") {
+    spark.sql("""CREATE TABLE graft.ddl_t (id BIGINT, v STRING)
+                |PARTITIONED BY (bucket(8, id))
+                |TBLPROPERTIES ('bloom_columns' = 'id')""".stripMargin)
+    assert(store.bucketingOf("ddl_t").exists(b => b.keys == Seq("id") && b.n == 8))
+    spark.sql("INSERT INTO graft.ddl_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM graft.ddl_t").head().getLong(0) === 3)
+    // SQL INSERT attaches an unbucketed dir; compaction re-splits into
+    // the declared buckets
+    store.compact("ddl_t")
+    assert(store.liveDirs("ddl_t").forall(_.contains("/__b=")))
+    // the declared bloom index built files for the compacted dirs
+    assert(store.bloomRoot("ddl_t").toFile.list().exists(_.endsWith(".id.bloom")))
+    // only bucket transforms are accepted
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ddl_bad (id BIGINT) PARTITIONED BY (id)")
+    }
+  }
+
   test("row-level ops with non-pushable predicates stay correct (fallback)") {
     // an expression condition (id % 2 = 0) is not translatable for the
     // DELETE pushdown and gives the runtime group filter nothing exact
