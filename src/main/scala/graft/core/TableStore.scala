@@ -701,6 +701,29 @@ class TableStore(spark: SparkSession, root: String) {
       m.bucketing, stats, m.txns, m.bloomCols)
   }
 
+  /** Attach a batch the DSv2 write path laid out as hash-bucket LEAF
+    * dirs (`<batch>/__b=<k>/`): each leaf becomes its own manifest dir,
+    * so the table KEEPS its bucketed layout through SQL INSERTs —
+    * key-driven merge pruning and storage-partitioned joins stay
+    * available with no compact() step. `replace` = INSERT OVERWRITE. */
+  def attachBucketedDirs(name: String, batchDir: String, replace: Boolean): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val batch = dataRoot(name).resolve(batchDir)
+    val leaves =
+      if (!Files.isDirectory(batch)) Seq.empty
+      else Using.resource(Files.list(batch))(
+        _.iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("__b="))
+          .map(l => s"$batchDir/$l").toSeq.sorted)
+    val carry = if (replace) Seq.empty else m.dirs
+    val carryStats = m.stats.view.filterKeys(carry.contains).toMap
+    val stats = carryStats ++ leaves.flatMap(l =>
+      DirStats.collect(dataRoot(name).resolve(l), m.schema,
+        absentIsNull = false).map(l -> _))
+    commitManifest(name, currentVersion(name) + 1, m.schema, carry ++ leaves,
+      m.bucketing, stats, m.txns, m.bloomCols)
+  }
+
   /** Commit a version that REPLACES the `removed` live dirs with the
     * externally written `dirName`, carrying every other live dir with
     * its stats — the group-based SQL row-level commit

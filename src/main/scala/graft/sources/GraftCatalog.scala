@@ -266,7 +266,8 @@ class GraftSqlTable(root: String, tableName: String,
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(pinnedVersion.isEmpty, "cannot write to a time-travel (VERSION AS OF) table")
-    new GraftWriteBuilder(root, tableName, info.schema(), queryId = info.queryId())
+    new GraftWriteBuilder(root, tableName, info.schema(), queryId = info.queryId(),
+      bucketing = snap.bucketing.map(b => (b.keys, b.n)))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -27,16 +27,37 @@ import graft.core.TableStore
 class GraftWriteBuilder(root: String, table: String, schema: StructType,
                         replaceAll: Boolean = false,
                         replacedDirs: () => Option[Set[String]] = () => None,
-                        queryId: String = "")
+                        queryId: String = "",
+                        bucketing: Option[(Seq[String], Int)] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var replace = replaceAll
   override def truncate(): WriteBuilder = { replace = true; this }
 
-  override def build(): Write = new Write {
+  /** Plain INSERTs into a bucketed table keep the bucketed layout:
+    * executors route each row to its `__b=<k>` leaf, and the write
+    * REQUESTS clustering by the catalog's `bucket` v2 function (n
+    * output partitions), so same-bucket rows co-locate and the batch
+    * lands as ~n files instead of tasks x buckets. Row-level rewrites
+    * keep the unbucketed replacement path (their group filter already
+    * did the pruning). Correctness never depends on the distribution —
+    * routing is per-row — the clustering only shapes file counts. */
+  private def bucketedInsert = bucketing.filter(_ => !replaceAll)
+
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+    override def requiredDistribution(): Distribution = bucketedInsert match {
+      case Some((keys, n)) =>
+        Distributions.clustered(Array(Expressions.bucket(n, keys: _*)))
+      case None => Distributions.unspecified()
+    }
+    override def requiredNumPartitions(): Int = bucketedInsert.map(_._2).getOrElse(0)
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite =
       new GraftBatchWrite(root, table, schema, replace, rowLevel = replaceAll,
-        replacedDirs)
+        replacedDirs, bucketing = bucketedInsert)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(root, table, schema, queryId)
   }
@@ -87,13 +108,14 @@ class GraftStreamingWriterFactory(scratch: String, schema: StructType)
 
 class GraftBatchWrite(root: String, table: String, schema: StructType,
                       replace: Boolean, rowLevel: Boolean,
-                      replacedDirs: () => Option[Set[String]] = () => None)
+                      replacedDirs: () => Option[Set[String]] = () => None,
+                      bucketing: Option[(Seq[String], Int)] = None)
     extends BatchWrite {
   private val batchDir = "sq" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftDataWriterFactory(
-      Paths.get(root, table, "data", batchDir).toString, schema, rowLevel)
+      Paths.get(root, table, "data", batchDir).toString, schema, rowLevel, bucketing)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val store = new TableStore(SparkSession.active, root)
@@ -102,11 +124,14 @@ class GraftBatchWrite(root: String, table: String, schema: StructType,
     if (wrote || replace) {
       // an all-empty write still needs the dir for the manifest entry
       if (!wrote) Files.createDirectories(Paths.get(root, table, "data", batchDir))
-      replacedDirs() match {
+      (replacedDirs(), bucketing) match {
         // group-based row-level op: the runtime group filter proved the
         // operation touched only these dirs — replace them, carry the rest
-        case Some(removed) => store.replaceDirs(table, removed, batchDir)
-        case None => store.attachDir(table, batchDir, replace)
+        case (Some(removed), _) => store.replaceDirs(table, removed, batchDir)
+        // bucketed INSERT: the writers routed rows into __b=<k> leaves —
+        // commit them as manifest leaf dirs, preserving the layout
+        case (None, Some(_)) => store.attachBucketedDirs(table, batchDir, replace)
+        case (None, None) => store.attachDir(table, batchDir, replace)
       }
     }
   }
@@ -116,9 +141,63 @@ class GraftBatchWrite(root: String, table: String, schema: StructType,
 }
 
 class GraftDataWriterFactory(dirPath: String, schema: StructType,
-                             rowLevel: Boolean) extends DataWriterFactory {
+                             rowLevel: Boolean,
+                             bucketing: Option[(Seq[String], Int)] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(s"$dirPath/part-$partitionId-$taskId.parquet", schema, rowLevel)
+    bucketing match {
+      case Some((keys, n)) =>
+        new GraftBucketedDataWriter(dirPath, schema, keys, n, partitionId, taskId)
+      case None =>
+        new GraftDataWriter(s"$dirPath/part-$partitionId-$taskId.parquet", schema, rowLevel)
+    }
+}
+
+/** Routes each row to its hash bucket's `__b=<k>` leaf, one lazily
+  * opened parquet file per bucket seen by this task. The bucket id is
+  * pmod(murmur3(keys, seed 42), n) — EXACTLY [[TableStore]]'s
+  * `Bucketing.expr` and the catalog's `bucket` v2 function, so routed
+  * leaves always agree with the layout merges and SPJ scans assume.
+  * With the write's requested clustering each task sees one bucket
+  * (or a few), so the batch lands as ~n files total. */
+class GraftBucketedDataWriter(dirPath: String, schema: StructType,
+                              keys: Seq[String], n: Int,
+                              partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val keyFields: Array[(Int, org.apache.spark.sql.types.DataType)] =
+    keys.map { k =>
+      val i = schema.fieldIndex(k)
+      (i, schema.fields(i).dataType)
+    }.toArray
+  private val open = scala.collection.mutable.HashMap[Int, GraftDataWriter]()
+
+  private def bucketOf(row: InternalRow): Int = {
+    var h = 42L // hash() seed, chained across columns like Murmur3Hash
+    var i = 0
+    while (i < keyFields.length) {
+      val (idx, dt) = keyFields(i)
+      if (!row.isNullAt(idx))
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(row.get(idx, dt), dt, h)
+      i += 1
+    }
+    val b = h.toInt % n
+    if (b < 0) b + n else b
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val b = bucketOf(row)
+    open.getOrElseUpdate(b, new GraftDataWriter(
+      s"$dirPath/__b=$b/part-$partitionId-$taskId.parquet", schema,
+      rowLevel = false)).write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_.commit())
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = open.values.foreach(_.abort())
+  override def close(): Unit = open.values.foreach(_.close())
 }
 
 object GraftParquet {

@@ -281,12 +281,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(store.bucketingOf("ddl_t").exists(b => b.keys == Seq("id") && b.n == 8))
     spark.sql("INSERT INTO graft.ddl_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
     assert(spark.sql("SELECT count(*) FROM graft.ddl_t").head().getLong(0) === 3)
-    // SQL INSERT attaches an unbucketed dir; compaction re-splits into
-    // the declared buckets
-    store.compact("ddl_t")
+    // SQL INSERT routed rows into __b= leaves: the declared layout
+    // survives with no compact() step
+    assert(store.liveDirs("ddl_t").nonEmpty)
     assert(store.liveDirs("ddl_t").forall(_.contains("/__b=")))
-    // the declared bloom index built files for the compacted dirs
+    // the declared bloom index built files for the inserted leaves
     assert(store.bloomRoot("ddl_t").toFile.list().exists(_.endsWith(".id.bloom")))
+    // rows are in the buckets the store's own layout function assigns:
+    // a library mergeUpsert must take the bucket-PRUNED path and stay
+    // correct (it reads only the source keys' buckets)
+    store.mergeUpsert("ddl_t",
+      Seq((2L, "B")).toDF("id", "v"), Seq("id"), changeTypeCol = None)
+    assert(spark.sql("SELECT v FROM graft.ddl_t WHERE id = 2").head().getString(0) === "B")
+    assert(spark.sql("SELECT count(*) FROM graft.ddl_t").head().getLong(0) === 3)
+    // INSERT OVERWRITE keeps the bucketed layout too
+    spark.sql("INSERT OVERWRITE graft.ddl_t VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM graft.ddl_t").head().getLong(0) === 1)
+    assert(store.liveDirs("ddl_t").forall(_.contains("/__b=")))
     // only bucket transforms are accepted
     intercept[Exception] {
       spark.sql("CREATE TABLE graft.ddl_bad (id BIGINT) PARTITIONED BY (id)")

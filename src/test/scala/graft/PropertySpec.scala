@@ -90,38 +90,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("stats-pruned UPDATE/DELETE never lose or miss rows (soundness)") {
-    // the prune is sound iff, for ANY predicate, pruned dirs contain no
-    // matching row — then update/delete over (touched dirs + carried
-    // dirs) equals the same operation over a full rewrite. Seeded random
-    // multi-dir tables x a predicate zoo, compared against DataFrame
-    // reference semantics computed BEFORE the mutation.
-    for (seed <- 1L to 3L) {
-      val ts = new TableStore(spark, Files.createTempDirectory("propprune").toString)
-      val rnd = new scala.util.Random(seed)
-      def batch(n: Int) = Seq.fill(n)(
-        (rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong, "s" + rnd.nextInt(10),
-          rnd.nextBoolean())).toDF("id", "ver", "tag", "flag")
-      ts.create("t", batch(40))
-      (1 to 4).foreach(_ => ts.append("t", batch(40)))
-      val preds = Seq(
-        col("id") < 100L, col("id") >= 900L, col("id") === 512L,
-        col("ver") > 50L && col("tag") === "s3",
-        col("tag").isin("s1", "s7"), col("flag"),
-        col("tag").startsWith("s"), col("id") % 7 === 0 /* untranslatable */)
-      for (p <- preds) {
-        val expectDel = ts.read("t").filter(!coalesce(p, lit(false)))
-          .collect().map(_.toSeq).toSet
-        ts.delete("t", p)
-        val gotDel = ts.read("t").collect().map(_.toSeq).toSet
-        assert(gotDel === expectDel, s"seed=$seed predicate=$p (delete)")
-        val expectUpd = ts.read("t")
-          .withColumn("ver", when(p, lit(-1L)).otherwise(col("ver")))
-          .collect().map(_.toSeq).toSet
-        ts.update("t", p, Map("ver" -> lit(-1L)))
-        assert(ts.read("t").collect().map(_.toSeq).toSet === expectUpd,
-          s"seed=$seed predicate=$p (update)")
-      }
+  /** The prune is sound iff, for ANY predicate, pruned dirs contain no
+    * matching row — then update/delete over (touched dirs + carried
+    * dirs) equals the same operation over a full rewrite. Seeded random
+    * multi-dir tables x a predicate zoo, compared against DataFrame
+    * reference semantics computed BEFORE the mutation. */
+  private def pruneSoundness(seed: Long, bloom: Boolean): Unit = {
+    val ts = new TableStore(spark, Files.createTempDirectory("propprune").toString)
+    val rnd = new scala.util.Random(seed)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong, "s" + rnd.nextInt(10),
+        rnd.nextBoolean())).toDF("id", "ver", "tag", "flag")
+    ts.create("t", batch(40))
+    (1 to 4).foreach(_ => ts.append("t", batch(40)))
+    if (bloom) ts.setBloomColumns("t", Seq("id", "tag"))
+    val preds = Seq(
+      col("id") < 100L, col("id") >= 900L, col("id") === 512L,
+      col("ver") > 50L && col("tag") === "s3",
+      col("tag").isin("s1", "s7"), col("flag"),
+      col("tag").startsWith("s"), col("id") % 7 === 0, /* untranslatable */
+      // point shapes the bloom index handles: present and absent keys
+      col("id") === 123456L /* absent everywhere */,
+      col("tag") === "s5" && col("id") < 500L)
+    for (p <- preds) {
+      val expectDel = ts.read("t").filter(!coalesce(p, lit(false)))
+        .collect().map(_.toSeq).toSet
+      ts.delete("t", p)
+      val gotDel = ts.read("t").collect().map(_.toSeq).toSet
+      assert(gotDel === expectDel, s"seed=$seed bloom=$bloom predicate=$p (delete)")
+      val expectUpd = ts.read("t")
+        .withColumn("ver", when(p, lit(-1L)).otherwise(col("ver")))
+        .collect().map(_.toSeq).toSet
+      ts.update("t", p, Map("ver" -> lit(-1L)))
+      assert(ts.read("t").collect().map(_.toSeq).toSet === expectUpd,
+        s"seed=$seed bloom=$bloom predicate=$p (update)")
     }
+  }
+
+  test("stats-pruned UPDATE/DELETE never lose or miss rows (soundness)") {
+    for (seed <- 1L to 3L) pruneSoundness(seed, bloom = false)
+  }
+
+  test("bloom-pruned UPDATE/DELETE never lose or miss rows (soundness)") {
+    for (seed <- 1L to 3L) pruneSoundness(seed, bloom = true)
   }
 }
