@@ -151,6 +151,23 @@ object QueriesCorpus {
              |UNION ALL
              |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin)),
 
+    // ---- a12: exact percentiles per group — `percentile` is Spark's
+    //      exact linear-interpolation aggregate (same definition as the
+    //      oracle's quantile_cont); approx_percentile is the sketch
+    //      variant for the 100 TB path where a sort per group won't fly ----
+    "a12_percentiles" -> QDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+             |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- x1: stratified sampling by rate (corpus mixing) ----
     // (pure narrow map + filter — no shuffle, no state; the decision is
     //  a hash of the row's own key, so adding executors or reordering

@@ -103,6 +103,29 @@ object QueriesStreaming {
              |  max(t) AS session_end, count(*) AS n_events
              |FROM s GROUP BY user_id, session_id""".stripMargin)),
 
+    // ---- st7: stateful streaming dedup — dropDuplicatesWithinWatermark
+    //      keys the dedup state store on (user_id, event_type); with the
+    //      whole corpus in one AvailableNow batch the emitted set is
+    //      exactly the distinct pairs, which the batch oracle replays ----
+    "st7_stream_dedup" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = Tables.events(s, dir).schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val q = StreamingJobs.withEventTime(stream)
+          .withWatermark("ev_ts", "1 day")
+          .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("memory").queryName("st7_mem")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st7_mem")
+      },
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
     // ---- st5: streaming feed over the versioned store ----
     // (the store's Delta-style table feed: three committed versions are
     //  consumed through readStream.table -> micro-batches keyed by
