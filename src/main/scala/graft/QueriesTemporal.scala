@@ -31,23 +31,20 @@ object QueriesTemporal {
     //      or before it (trades-and-quotes point-in-time semantics) ----
     "x4_asof_join" -> QDef(
       (s, dir) => {
-        val ev = events(s, dir).filter(col("event_type").isin("view", "click"))
-          // views sort before clicks at the same timestamp: "at or
-          // before" must include a same-instant view. Order on µs (the
-          // oracle's timestamp precision), ties broken by event_id.
-          .withColumn("tsu", expr("ts div 1000"))
-          .withColumn("side", when(col("event_type") === "view", 0).otherwise(1))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("tsu").asc, col("side").asc, col("event_id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev
-          .withColumn("view_id",
-            last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
-          .withColumn("view_value",
-            last(when(col("side") === 0, col("value")), ignoreNulls = true).over(w))
-          .filter(col("side") === 1)
+        // µs timestamps on both sides (the oracle's precision); the
+        // at-or-before pick tie-breaks on the view's event_id
+        val ev = events(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
-            col("ev_ts").as("click_ts"), col("view_id"), col("view_value"))
+            col("ev_ts").as("click_ts"), col("tsu"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("tsu").as("vtsu"),
+            col("event_id").as("view_id"), col("value").as("view_value"))
+        graft.ops.Temporal.asofJoin(clicks, views, on = Seq("user_id"),
+            leftTs = "tsu", rightTs = "vtsu",
+            payload = Seq("view_id", "view_value"), tieBreak = Seq("view_id"))
+          .select(col("click_id"), col("user_id"), col("click_ts"),
+            col("view_id"), col("view_value"))
       },
       Some("""SELECT c.event_id AS click_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
              |  v.view_id, v.view_value
@@ -69,16 +66,10 @@ object QueriesTemporal {
         val ev = events(s, dir)
         val errors = ev.filter(col("event_type") === "error")
           .select(col("event_id").as("error_id"), expr("ts div 1000").as("ets"))
-          .withColumn("b0", expr(s"ets div ${W}L"))
-          .select(col("error_id"), col("ets"),
-            explode(array(col("b0"), col("b0") + 1)).as("bin"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), expr("ts div 1000").as("cts"))
-          .withColumn("bin", expr(s"cts div ${W}L"))
-        // a click's single bin meets an error's 2 distinct bins at most
-        // once -> no dedup needed after the residual filter
-        errors.join(clicks, Seq("bin"))
-          .filter(col("cts") >= col("ets") && col("cts") < col("ets") + W)
+        graft.ops.Temporal.rangeJoin(errors, clicks,
+            leftTs = "ets", rightTs = "cts", lower = 0L, upper = W)
           .select(col("error_id"), col("click_id"),
             (col("cts") - col("ets")).as("gap_us"))
       },

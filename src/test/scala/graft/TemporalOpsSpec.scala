@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Temporal
+
+/** Equivalence of the scale-safe temporal joins against naive
+  * formulations on seeded random inputs — asofJoin vs a ranked
+  * inequality join, rangeJoin vs crossJoin+filter. */
+class TemporalOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def randTimes(seed: Long, n: Int, keys: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(keys).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(10000).toLong))
+  }
+
+  test("asofJoin == ranked inequality join (incl. same-instant and no-match rows)") {
+    for (seed <- 1L to 3L) {
+      val left = randTimes(seed, 120, 8).zipWithIndex
+        .map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "lt", "lid")
+      val right = randTimes(seed + 7, 120, 8).zipWithIndex
+        .map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+        .toDF("k", "rt", "rv", "rid")
+
+      val got = Temporal.asofJoin(left, right, on = Seq("k"),
+          leftTs = "lt", rightTs = "rt",
+          payload = Seq("rv", "rid"), tieBreak = Seq("rid"))
+        .select("lid", "rid", "rv")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+
+      // naive: all right rows at-or-before, ranked, keep the top-1
+      val w = Window.partitionBy("lid").orderBy(col("rt").desc, col("rid").desc)
+      val naive = left.join(right, Seq("k"))
+        .filter(col("rt") <= col("lt"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("lid", "rid", "rv")
+      val naiveMap = naive.as[(Long, Long, Long)].collect()
+        .map { case (l, ri, rv) => l -> (Some(ri), Some(rv)) }.toMap
+      val expected = left.select("lid").as[Long].collect().toSet.map { lid: Long =>
+        val (ri, rv) = naiveMap.getOrElse(lid, (None, None))
+        (lid, ri, rv)
+      }
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("rangeJoin == crossJoin + filter (window edges exact)") {
+    for (seed <- 1L to 3L) {
+      val left = randTimes(seed, 80, 1).zipWithIndex
+        .map { case ((_, t, _), i) => (t, i.toLong) }.toDF("lt", "lid")
+      val right = randTimes(seed + 9, 80, 1).zipWithIndex
+        .map { case ((_, t, _), i) => (t, i.toLong) }.toDF("rt", "rid")
+      for ((lo, hi) <- Seq((0L, 100L), (-50L, 50L), (10L, 11L))) {
+        val got = Temporal.rangeJoin(left, right, "lt", "rt", lo, hi)
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        val naive = left.crossJoin(right)
+          .filter(col("rt") >= col("lt") + lo && col("rt") < col("lt") + hi)
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        assert(got === naive, s"seed=$seed window=[$lo,$hi)")
+      }
+    }
+  }
+}
