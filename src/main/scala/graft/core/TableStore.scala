@@ -774,6 +774,33 @@ class TableStore(spark: SparkSession, root: String) {
     true
   }
 
+  /** Incremental batch read (change-feed-lite): the rows ADDED between
+    * `fromVersion` (exclusive) and `toVersion` (inclusive), valid only
+    * when that range is append-only — the batch twin of the streaming
+    * table feed's version-keyed micro-batches, and the scale-correct
+    * way for a downstream batch consumer to process "what's new since
+    * my last run" without timestamps or a full diff. Throws when a
+    * version in the range removed or rewrote dirs (the consumer must
+    * full-refresh; silently returning partial changes would be wrong). */
+  def readAppendsBetween(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"bad range ($fromVersion, $toVersion]")
+    // every STEP in the range must be append-only — an endpoint-only
+    // diff would miss a dir added at v+1 and rewritten at v+2
+    var prev = readManifest(name, fromVersion).dirs
+    val m0Dirs = prev
+    var m1 = readManifest(name, fromVersion)
+    (fromVersion + 1 to toVersion).foreach { v =>
+      m1 = readManifest(name, v)
+      val removed = prev.filterNot(m1.dirs.contains)
+      if (removed.nonEmpty)
+        throw new IllegalStateException(
+          s"$name version $v is not an append: ${removed.size} dirs " +
+            "removed/rewritten — full refresh required")
+      prev = m1.dirs
+    }
+    scanDirs(m1.dirs.filterNot(m0Dirs.contains), name, m1.schema)
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): commit a NEW
     * version whose content is version `v`'s — history is preserved and
     * the restore is itself restorable. Metadata-only (no data moves);

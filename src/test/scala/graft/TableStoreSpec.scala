@@ -312,6 +312,24 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.read("t").count() === 8)
   }
 
+  test("readAppendsBetween feeds incremental consumers; refuses non-append ranges") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))                   // v0
+    ts.append("t", Seq((2L, "b"), (3L, "c")).toDF("id", "v"))        // v1
+    ts.append("t", Seq((4L, "d")).toDF("id", "v"))                   // v2
+    assert(ts.readAppendsBetween("t", 0, 2).select("id").as[Long]
+      .collect().sorted === Array(2L, 3L, 4L))
+    assert(ts.readAppendsBetween("t", 1, 2).select("id").as[Long]
+      .collect().sorted === Array(4L))
+    assert(ts.readAppendsBetween("t", 2, 2).count() === 0)
+    ts.delete("t", col("id") === 2L)                                 // v3: rewrite
+    intercept[IllegalStateException] { ts.readAppendsBetween("t", 0, 3) }
+    // ranges after the rewrite are clean again
+    ts.append("t", Seq((5L, "e")).toDF("id", "v"))                   // v4
+    assert(ts.readAppendsBetween("t", 3, 4).select("id").as[Long]
+      .collect().sorted === Array(5L))
+  }
+
   test("restore rolls content back as a NEW version; history preserved") {
     val ts = freshStore()
     ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))        // v0
