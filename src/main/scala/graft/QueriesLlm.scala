@@ -422,6 +422,63 @@ object QueriesLlm {
       },
       None),
 
+    // ---- e5: Product-Quantization ANN (ADC: asymmetric distance) ----
+    // (the memory-compression scale path: 8 subspaces x 16 centroids
+    //  encode each 64-float vector as 8 codebook bytes — at 100 TB the
+    //  PQ index is ~1/32 the corpus and lives in RAM. Candidates come
+    //  from SUM-of-subspace lookup distances against the codes alone
+    //  (one narrow join per query against the broadcast distance
+    //  table), then the top candidates re-rank exactly. Deterministic
+    //  codebook (first-16 vectors' subvectors), like e4's centroids.
+    //  Approximate -> rows-only; recall vs e1 in LlmOpsSpec.) ----
+    "e5_ann_pq_topk" -> QDef(
+      (s, dir) => {
+        val M = 8 // subspaces of 8 dims each
+        val n = normed(s, dir)
+        // L2-normalize so per-subspace L2² sums to 2-2·cosine (monotone)
+        val vn = n.select(col("vec_id"),
+          expr("transform(v, x -> CAST(x / nrm AS FLOAT))").as("vn"))
+        val subs = vn.select(col("vec_id"), explode(expr(
+          s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(vn, m * 8 + 1, 8) AS sv))"))
+          .as("e")).select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+        val cents = subs.filter(col("vec_id") < 16)
+          .select(col("m"), col("vec_id").cast("int").as("k"), col("sv").as("cv"))
+        def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+        // encode: per (vector, subspace) the nearest centroid id
+        val codes = subs.join(broadcast(cents), Seq("m"))
+          .withColumn("d2", l2(col("sv"), col("cv")))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("code"))
+        // per-query subspace->centroid distance table (ADC lookup table)
+        val dt = subs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
+          .join(broadcast(cents), Seq("m"))
+          .withColumn("d", l2(col("qv"), col("cv")))
+          .select(col("query_id"), col("m"), col("k"), col("d"))
+        // approximate distance = sum of looked-up subspace distances —
+        // computed from the CODES alone, vectors never touched
+        val approx = codes.join(broadcast(dt),
+            codes("m") === dt("m") && codes("code") === dt("k"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("d")).as("adist"))
+        val wc = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+        val cand = approx.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 50)
+          .select(col("query_id"), col("vec_id").as("cand_id"))
+        // exact re-rank of the shortlist
+        val scored = cand
+          .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
+          .join(broadcast(n.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+            Seq("query_id"))
+          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("query_id"), col("cand_id"), col("cosine"))
+      },
+      None),
+
     // ---- tq1: typed Dataset[T] surface (case-class Encoder) ----
     // (SURVEY §1.4: typed sugar where safety helps — filter/map over a
     //  case class; note typed lambdas deserialize per row, so this stays

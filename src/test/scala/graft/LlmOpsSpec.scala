@@ -72,6 +72,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall $recall (probing 4/16 cells)")
   }
 
+  test("e5 PQ top-k has reasonable recall vs e1 brute force") {
+    val truth = run("e1_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run("e5_ann_pq_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    // 8x16 codebook + 50-candidate exact re-rank: the codes are lossy
+    // but the shortlist is 10x the final k, so true neighbors survive
+    assert(recall >= 0.4, s"PQ recall $recall")
+    assert(approx.forall { case (q, _) => q < 10 })
+  }
+
   test("dedup: exact drops planted copies, latest-version keeps max") {
     import spark.implicits._
     val df = Seq(
