@@ -577,6 +577,33 @@ object QueriesLlm {
              |  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
              |FROM c GROUP BY doc_id""".stripMargin)),
 
+    // ---- t6: TF-IDF keyword scoring — inverted term index, smoothed
+    //      idf (sklearn's ln((N+1)/(df+1))+1), per-doc score for a
+    //      query term set. The df table is corpus-wide but tiny (one
+    //      row per distinct term) and the scoring join touches only
+    //      the query terms' postings ----
+    "t6_tfidf" -> QDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.count() // corpus size: one metadata-cheap scalar
+        tf.filter(col("term").isin("fast", "merge"))
+          .join(broadcast(df.filter(col("term").isin("fast", "merge"))), Seq("term"))
+          .withColumn("w", col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+          .groupBy("doc_id").agg(round(sum(col("w")), 6).as("score"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (SELECT tf.doc_id,
+             |    tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS w
+             |  FROM tf JOIN df USING (term) CROSS JOIN n
+             |  WHERE tf.term IN ('fast', 'merge'))
+             |SELECT doc_id, round(sum(w), 6) AS score FROM scored GROUP BY doc_id""".stripMargin)),
+
     // ---- t4: document fingerprinting — min-8-gram md5 + whole-doc md5 ----
     // (winnowing-style content fingerprint; md5 exists in both engines)
     "t4_fingerprint" -> QDef(

@@ -126,6 +126,44 @@ object QueriesStreaming {
       },
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
+    // ---- st8: stream-stream interval join — views joined to clicks
+    //      within 10 minutes after them, per user; both sides carry
+    //      event-time watermarks so the join state is bounded (the
+    //      stateful-join flagship of Structured Streaming). One
+    //      AvailableNow batch makes the joined set complete, which the
+    //      batch oracle replays ----
+    "st8_stream_stream_join" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = Tables.events(s, dir).schema
+        def stream = StreamingJobs.withEventTime(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
+        val views = stream.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ev_ts").as("v_ts"))
+          .withWatermark("v_ts", "1 day")
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ev_ts").as("c_ts"))
+          .withWatermark("c_ts", "1 day")
+        val q = views.join(clicks, expr(
+            """v_user = c_user AND
+              |c_ts >= v_ts AND c_ts < v_ts + interval 10 minutes""".stripMargin))
+          .select(col("view_id"), col("click_id"), col("v_user").as("user_id"))
+          .writeStream.format("memory").queryName("st8_mem")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st8_mem")
+      },
+      Some("""SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+             |FROM events v JOIN events c
+             |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+             | AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(v.ts AS TIMESTAMP))
+             | AND epoch_us(CAST(c.ts AS TIMESTAMP)) < epoch_us(CAST(v.ts AS TIMESTAMP)) + 600000000""".stripMargin)),
+
     // ---- st5: streaming feed over the versioned store ----
     // (the store's Delta-style table feed: three committed versions are
     //  consumed through readStream.table -> micro-batches keyed by
