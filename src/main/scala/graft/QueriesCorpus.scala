@@ -186,7 +186,10 @@ object QueriesCorpus {
     //  exact one: the md5 order is a deterministic uniform shuffle, so
     //  "first 20 per language in hash order" is an exact uniform sample.
     //  Window partitioned by lang — parallel across groups, and each
-    //  group's sort is per-partition, not global)
+    //  group's sort is per-partition, not global. At 100 TB a giant
+    //  group would serialize its sort: pre-thin it with the x1 hash
+    //  threshold at ~2x the quota rate first — the threshold pass is
+    //  narrow, and the exact ranking then runs on the survivors)
     "x2_quota_sample" -> QDef(
       (s, dir) => {
         val w = Window.partitionBy(col("lang"))

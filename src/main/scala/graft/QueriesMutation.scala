@@ -389,16 +389,19 @@ object QueriesMutation {
         st.create("bloomed", orders.filter(col("o_orderkey") % 3 === 0))
         st.append("bloomed", orders.filter(col("o_orderkey") % 3 === 1))
         st.append("bloomed", orders.filter(col("o_orderkey") % 3 === 2))
-        st.setBloomColumns("bloomed", Seq("o_custkey"))
+        st.setBloomColumns("bloomed", Seq("o_orderkey"))
+        // each key lives in exactly one dir, but every dir's [min,max]
+        // spans ~the whole key space (interleaved %3 split) — only the
+        // bloom can prune; 1502 and 3001 sit in different dirs -> 2/3
         s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM graft.bloomed
-                |WHERE o_custkey IN (371, 1042)""".stripMargin)
+                |WHERE o_orderkey IN (1502, 3001)""".stripMargin)
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |WHERE o_custkey IN (371, 1042)""".stripMargin)),
+             |WHERE o_orderkey IN (1502, 3001)""".stripMargin)),
 
-    // ---- M5 at scale: the GDPR point DELETE through the bloom index —
-    //      only dirs whose bloom contains the key are rewritten (the
-    //      others carry untouched); result must equal a plain anti-filter ----
+    // ---- M5 at scale: a point DELETE through the bloom index — only
+    //      dirs whose bloom contains the key are rewritten (the others
+    //      carry untouched); result must equal a plain anti-filter ----
     "m7_bloom_point_delete" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "m7")
@@ -407,12 +410,12 @@ object QueriesMutation {
         st.create("t", orders.filter(col("o_orderkey") % 3 === 0))
         st.append("t", orders.filter(col("o_orderkey") % 3 === 1))
         st.append("t", orders.filter(col("o_orderkey") % 3 === 2))
-        st.setBloomColumns("t", Seq("o_custkey"))
-        st.delete("t", col("o_custkey") === 371L)
+        st.setBloomColumns("t", Seq("o_orderkey"))
+        st.delete("t", col("o_orderkey") === 371L)
         st.read("t")
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |WHERE o_custkey <> 371""".stripMargin)),
+             |WHERE o_orderkey <> 371""".stripMargin)),
 
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(

@@ -133,6 +133,12 @@ object StatsPruning {
     case (TimestampType, x: java.time.Instant) =>
       Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x))
     case (TimestampType, x: Long) => Some(x)
+    // TIMESTAMP_NTZ literals arrive as LocalDateTime from the v2 filter
+    // API and as Long micros from catalyst Literals — both canonicalize
+    // to the manifest's micros representation
+    case (TimestampNTZType, x: java.time.LocalDateTime) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(x))
+    case (TimestampNTZType, x: Long) => Some(x)
     // decimal literal -> exact unscaled long at the column's scale;
     // a value that doesn't fit the scale exactly never prunes
     case (d: DecimalType, x) =>

@@ -79,6 +79,25 @@ class StatsPruningSpec extends AnyFunSuite {
     assert(!pruned(d, StringStartsWith("name", "br")))
   }
 
+  test("TIMESTAMP_NTZ literals prune (v2 LocalDateTime and catalyst micros forms)") {
+    val ntzSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts TIMESTAMP_NTZ")
+    // manifest canonical form: micros since epoch
+    val lo = 788918400000000L // 1995-01-01T00:00
+    val hi = 851990400000000L // 1996-12-31T00:00
+    val d = DirStats(100, Map("ts" -> ColStats(Some(lo), Some(hi), Some(0L))))
+    def prunedNtz(f: Filter) =
+      StatsPruning.liveDirs(Seq("d"), Map("d" -> d), ntzSchema, Seq(f)).isEmpty
+    val above = java.time.LocalDateTime.of(1997, 6, 1, 0, 0)
+    val inside = java.time.LocalDateTime.of(1995, 6, 1, 0, 0)
+    assert(prunedNtz(GreaterThanOrEqual("ts", above)))
+    assert(!prunedNtz(GreaterThanOrEqual("ts", inside)))
+    assert(prunedNtz(EqualTo("ts", above)))
+    // catalyst-internal Long micros (the library UPDATE/DELETE path)
+    assert(prunedNtz(GreaterThanOrEqual("ts", 865123200000000L)))
+    assert(!prunedNtz(LessThan("ts", 800000000000000L)))
+  }
+
   test("missing stats never prune") {
     assert(StatsPruning.liveDirs(Seq("a", "b"), Map.empty, schema,
       Seq(EqualTo("id", 5L))) === Seq("a", "b"))
