@@ -79,7 +79,8 @@ class TableStore(spark: SparkSession, root: String) {
                             dirs: Seq[String], bucketing: Option[Bucketing],
                             stats: Map[String, DirStats],
                             txns: Map[String, Long],
-                            bloomCols: Seq[String]): Unit = {
+                            bloomCols: Seq[String],
+                            checks: Map[String, String]): Unit = {
     Files.createDirectories(manifest(name, v).getParent)
     val base = s""""schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]"""
     val statsPart =
@@ -92,7 +93,11 @@ class TableStore(spark: SparkSession, root: String) {
     val bloomPart =
       if (bloomCols.isEmpty) ""
       else s""", "bloomcols": [${bloomCols.map(jsonStr).mkString(",")}]"""
-    val extra = statsPart + txnsPart + bloomPart + bucketing.map(b =>
+    val checksPart =
+      if (checks.isEmpty) ""
+      else s""", "checks": {${checks.toSeq.sortBy(_._1)
+        .map { case (k, e) => s"${jsonStr(k)}: ${jsonStr(e)}" }.mkString(",")}}"""
+    val extra = statsPart + txnsPart + bloomPart + checksPart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -119,7 +124,8 @@ class TableStore(spark: SparkSession, root: String) {
                                           bucketing: Option[Bucketing],
                                           stats: Map[String, DirStats],
                                           txns: Map[String, Long] = Map.empty,
-                                          bloomCols: Seq[String] = Nil)
+                                          bloomCols: Seq[String] = Nil,
+                                          checks: Map[String, String] = Map.empty)
 
   private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
@@ -132,7 +138,10 @@ class TableStore(spark: SparkSession, root: String) {
     val stats = m.get("stats").map(DirStats.fromParsed(_, schema)).getOrElse(Map.empty)
     val txns = m.get("txns").map(_.asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[Long] }).getOrElse(Map.empty[String, Long])
-    Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"))
+    val checks = m.get("checks").map(_.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[String] })
+      .getOrElse(Map.empty[String, String])
+    Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks)
   }
 
   private def bucketOf(entry: String): Int =
@@ -148,10 +157,12 @@ class TableStore(spark: SparkSession, root: String) {
                      carryForward: Seq[String], bucketing: Option[Bucketing],
                      priorStats: Map[String, DirStats],
                      priorTxns: Map[String, Long] = Map.empty,
-                     bloomCols: Seq[String] = Nil): Long = {
+                     bloomCols: Seq[String] = Nil,
+                     checks: Map[String, String] = Map.empty): Long = {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
-      case Some(d) =>
+      case Some(d0) =>
+        val d = enforceChecks(d0, checks)
         // unique suffix: two writers racing to the same version write
         // DIFFERENT data dirs, so the loser (who fails the manifest's
         // CREATE_NEW below) can never trample the winner's data
@@ -185,7 +196,8 @@ class TableStore(spark: SparkSession, root: String) {
           DirStats.collect(dir(name).resolve("data").resolve(d), schema))
         .map(d -> _)
     }.toMap
-    commitManifest(name, v, schema, newDirs, bucketing, stats, priorTxns, bloomCols)
+    commitManifest(name, v, schema, newDirs, bucketing, stats, priorTxns,
+      bloomCols, checks)
     v
   }
 
@@ -198,11 +210,12 @@ class TableStore(spark: SparkSession, root: String) {
                              dirs: Seq[String], bucketing: Option[Bucketing],
                              stats: Map[String, DirStats],
                              txns: Map[String, Long],
-                             bloomCols: Seq[String] = Nil): Unit = {
+                             bloomCols: Seq[String] = Nil,
+                             checks: Map[String, String] = Map.empty): Unit = {
     if (bloomCols.nonEmpty)
       BloomIndex.ensure(spark, bloomRoot(name), dataRoot(name), dirs, bloomCols,
         schema, stats.view.mapValues(_.rows).toMap)
-    writeManifest(name, v, schema, dirs, bucketing, stats, txns, bloomCols)
+    writeManifest(name, v, schema, dirs, bucketing, stats, txns, bloomCols, checks)
     val tmp = dir(name).resolve(s"_LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
@@ -315,7 +328,7 @@ class TableStore(spark: SparkSession, root: String) {
   def overwrite(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
     commit(name, Some(conform(df, m.schema)), m.schema, Seq.empty, m.bucketing,
-      Map.empty, m.txns, m.bloomCols): Unit
+      Map.empty, m.txns, m.bloomCols, m.checks): Unit
   }
 
   /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
@@ -324,7 +337,7 @@ class TableStore(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
     commit(name, Some(conform(df, m.schema)), m.schema, m.dirs, m.bucketing,
-      m.stats, m.txns, m.bloomCols): Unit
+      m.stats, m.txns, m.bloomCols, m.checks): Unit
   }
 
   /** INSERT INTO with automatic schema evolution (Delta's mergeSchema):
@@ -450,7 +463,7 @@ class TableStore(spark: SparkSession, root: String) {
           .map(l => s"$batch/$l").toSeq.sorted)
     val stats = leaves.flatMap(l =>
       DirStats.collect(dir(name).resolve("data").resolve(l), m.schema).map(l -> _)).toMap
-    commitManifest(name, v, m.schema, leaves, None, stats, m.txns, m.bloomCols)
+    commitManifest(name, v, m.schema, leaves, None, stats, m.txns, m.bloomCols, m.checks)
   }
 
   /** ALTER TABLE ADD COLUMN (manual schema evolution —
@@ -467,7 +480,7 @@ class TableStore(spark: SparkSession, root: String) {
     require(newCols.forall(_.nullable),
       "ADD COLUMN requires nullable columns (existing rows have no value)")
     commit(name, None, StructType(m.schema.fields ++ newCols.fields), m.dirs,
-      m.bucketing, m.stats, m.txns, m.bloomCols): Unit
+      m.bucketing, m.stats, m.txns, m.bloomCols, m.checks): Unit
   }
 
   /** VACUUM: physically delete data no version within the retained
@@ -523,6 +536,64 @@ class TableStore(spark: SparkSession, root: String) {
     deleted ++= BloomIndex.sweep(bloomRoot(name), live)
     deleted.result()
   }
+
+  /** Write-time CHECK enforcement: force every row through assert_true
+    * so a violating row fails the WRITE JOB (single pass, no extra
+    * validation scan) — the Delta constraints model. The filter's
+    * assert_true(...) is null for passing rows, so the predicate is
+    * always true and removes nothing; it exists only to evaluate. */
+  private def enforceChecks(df: DataFrame, checks: Map[String, String]): DataFrame =
+    checks.foldLeft(df) { case (d, (cname, sql)) =>
+      d.filter(assert_true(
+        coalesce(expr(sql), lit(false)),
+        lit(s"CHECK constraint $cname violated: $sql")).isNull)
+    }
+
+  /** ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
+    * expression against the schema AND the existing rows (a constraint
+    * that current data violates is rejected, like Delta), then commits
+    * it as metadata. Every subsequent write — append, overwrite, merge,
+    * update, SQL INSERT — fails if any row violates it. */
+  def addCheckConstraint(name: String, constraintName: String, exprSql: String): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    require(!m.checks.contains(constraintName),
+      s"constraint $constraintName already exists")
+    val cur = scanDirs(m.dirs, name, m.schema)
+    val violating =
+      try !cur.filter(!coalesce(expr(exprSql), lit(false))).isEmpty
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"CHECK expression does not analyze against the schema: ${e.getMessage}")
+      }
+    require(!violating,
+      s"existing rows violate CHECK $constraintName ($exprSql)")
+    commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
+      m.bucketing, m.stats, m.txns, m.bloomCols,
+      m.checks + (constraintName -> exprSql))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT. */
+  def dropCheckConstraint(name: String, constraintName: String): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    require(m.checks.contains(constraintName), s"no constraint $constraintName")
+    commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
+      m.bucketing, m.stats, m.txns, m.bloomCols, m.checks - constraintName)
+  }
+
+  def checkConstraints(name: String): Map[String, String] =
+    readManifest(name, currentVersion(name)).checks
+
+  /** Validate externally written dirs (the DSv2 attach paths) against
+    * the table's CHECK constraints: one column-pruned scan of the new
+    * dirs only; throws before anything is committed. */
+  private def requireChecksPass(name: String, m: Manifest, newDirs: Seq[String]): Unit =
+    if (m.checks.nonEmpty) {
+      val combined = m.checks.values.map(e => coalesce(expr(e), lit(false)))
+        .reduce(_ && _)
+      val bad = !scanDirs(newDirs, name, m.schema).filter(!combined).isEmpty
+      if (bad) throw new IllegalStateException(
+        s"rows violate CHECK constraints ${m.checks.keys.mkString(",")} — commit refused")
+    }
 
   private def conform(df: DataFrame, schema: StructType): DataFrame = {
     val byName = df.columns.toSet
@@ -587,7 +658,7 @@ class TableStore(spark: SparkSession, root: String) {
       else when(sMatched, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
     commit(name, Some(joined.select(out: _*)), schema, carried, b, m.stats,
-      m.txns, m.bloomCols): Unit
+      m.txns, m.bloomCols, m.checks): Unit
   }
 
   /** MERGE delete (M3): delete target rows whose keys appear in keysDf
@@ -598,7 +669,7 @@ class TableStore(spark: SparkSession, root: String) {
     val (target, carried, b) =
       pruneByKeys(name, m.schema, m.dirs, m.bucketing, keyRows, keys)
     commit(name, Some(target.join(keyRows, keys, "left_anti")), m.schema,
-      carried, b, m.stats, m.txns, m.bloomCols): Unit
+      carried, b, m.stats, m.txns, m.bloomCols, m.checks): Unit
   }
 
   /** MERGE update-only (M4, SCD2 close): for target rows matching source
@@ -670,7 +741,7 @@ class TableStore(spark: SparkSession, root: String) {
       set.get(c).map(v => when(condition, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
     }
     commit(name, Some(conform(target.select(out: _*), m.schema)), m.schema,
-      carried, m.bucketing, m.stats, m.txns, m.bloomCols): Unit
+      carried, m.bucketing, m.stats, m.txns, m.bloomCols, m.checks): Unit
   }
 
   /** DELETE ... WHERE cond (pruned copy-on-write like [[update]]).
@@ -680,7 +751,7 @@ class TableStore(spark: SparkSession, root: String) {
     val (target, carried) = pruneByCondition(name, m, condition)
     if (carried.size == m.dirs.size) return
     commit(name, Some(target.filter(!coalesce(condition, lit(false)))), m.schema,
-      carried, m.bucketing, m.stats, m.txns, m.bloomCols): Unit
+      carried, m.bucketing, m.stats, m.txns, m.bloomCols, m.checks): Unit
   }
 
   /** Attach a data dir that an external writer (the DSv2 write path)
@@ -697,8 +768,9 @@ class TableStore(spark: SparkSession, root: String) {
     val stats = carryStats ++ DirStats.collect(
       dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
+    requireChecksPass(name, m, Seq(dirName))
     commitManifest(name, currentVersion(name) + 1, m.schema, carry :+ dirName,
-      m.bucketing, stats, m.txns, m.bloomCols)
+      m.bucketing, stats, m.txns, m.bloomCols, m.checks)
   }
 
   /** Attach a batch the DSv2 write path laid out as hash-bucket LEAF
@@ -720,8 +792,9 @@ class TableStore(spark: SparkSession, root: String) {
     val stats = carryStats ++ leaves.flatMap(l =>
       DirStats.collect(dataRoot(name).resolve(l), m.schema,
         absentIsNull = false).map(l -> _))
+    requireChecksPass(name, m, leaves)
     commitManifest(name, currentVersion(name) + 1, m.schema, carry ++ leaves,
-      m.bucketing, stats, m.txns, m.bloomCols)
+      m.bucketing, stats, m.txns, m.bloomCols, m.checks)
   }
 
   /** Commit a version that REPLACES the `removed` live dirs with the
@@ -737,8 +810,9 @@ class TableStore(spark: SparkSession, root: String) {
     val stats = carryStats ++ DirStats.collect(
       dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
+    requireChecksPass(name, m, Seq(dirName))
     commitManifest(name, currentVersion(name) + 1, m.schema, carry :+ dirName,
-      m.bucketing, stats, m.txns, m.bloomCols)
+      m.bucketing, stats, m.txns, m.bloomCols, m.checks)
   }
 
   /** Exactly-once streaming-sink epoch commit: move the epoch's
@@ -759,7 +833,7 @@ class TableStore(spark: SparkSession, root: String) {
     if (files.isEmpty) {
       // empty epoch: still advance the watermark (no data dir)
       commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
-        m.bucketing, m.stats, txns, m.bloomCols)
+        m.bucketing, m.stats, txns, m.bloomCols, m.checks)
       return true
     }
     val batch = f"st${currentVersion(name) + 1}%09d-" +
@@ -769,8 +843,9 @@ class TableStore(spark: SparkSession, root: String) {
     files.foreach(f => Files.move(f, target.resolve(f.getFileName)))
     val stats = m.stats ++ DirStats.collect(target, m.schema,
       absentIsNull = false).map(batch -> _)
+    requireChecksPass(name, m, Seq(batch))
     commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs :+ batch,
-      m.bucketing, stats, txns, m.bloomCols)
+      m.bucketing, stats, txns, m.bloomCols, m.checks)
     true
   }
 
@@ -819,7 +894,7 @@ class TableStore(spark: SparkSession, root: String) {
       s"cannot restore $name to $v: dirs vacuumed: ${missing.mkString(",")}")
     val curM = readManifest(name, cur)
     commitManifest(name, cur + 1, m.schema, m.dirs, m.bucketing, m.stats,
-      curM.txns, curM.bloomCols)
+      curM.txns, curM.bloomCols, curM.checks)
   }
 
   /** DESCRIBE HISTORY analogue: one row per committed version still on

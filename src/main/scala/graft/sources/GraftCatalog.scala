@@ -137,6 +137,12 @@ class GraftCatalog extends TableCatalog
     Option(properties.get("bloom_columns")).foreach { cs =>
       store.setBloomColumns(ident.name(), cs.split(",").map(_.trim).toSeq)
     }
+    // TBLPROPERTIES ('check.<name>' = '<expr>') -> CHECK constraints
+    properties.asScala.toSeq.sortBy(_._1).foreach {
+      case (k, v) if k.startsWith("check.") =>
+        store.addCheckConstraint(ident.name(), k.stripPrefix("check."), v)
+      case _ => ()
+    }
     new GraftSqlTable(root, ident.name())
   }
 

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableStore
+
+/** Write-time CHECK constraints: every write path — library append/
+  * overwrite/merge/update, SQL INSERT through the DSv2 catalog — must
+  * refuse rows that violate a declared constraint, atomically (the
+  * table is unchanged after a refused write). */
+class CheckConstraintSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def failsWrite(f: => Unit): Unit = {
+    val e = intercept[Throwable](f)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("CHECK constraint")) ||
+      chain(e).exists(_.contains("violate CHECK")), s"unexpected error: $e")
+  }
+
+  test("library writes enforce checks atomically; drop lifts them") {
+    val root = Files.createTempDirectory("checks").toString
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"))
+    ts.addCheckConstraint("t", "amount_nonneg", "amount >= 0")
+    assert(ts.checkConstraints("t") === Map("amount_nonneg" -> "amount >= 0"))
+
+    ts.append("t", Seq((3L, 30.0)).toDF("id", "amount")) // passes
+    val v = ts.currentVersion("t")
+    failsWrite(ts.append("t", Seq((4L, -1.0)).toDF("id", "amount")))
+    assert(ts.currentVersion("t") === v, "refused write must not commit")
+    assert(ts.read("t").count() === 3)
+
+    // UPDATE that would violate fails; a clean one passes
+    failsWrite(ts.update("t", col("id") === 1L, Map("amount" -> lit(-5.0))))
+    assert(ts.read("t").filter(col("amount") < 0).count() === 0)
+    ts.update("t", col("id") === 1L, Map("amount" -> lit(15.0)))
+    assert(ts.read("t").filter(col("id") === 1L).head().getDouble(1) === 15.0)
+
+    // merge with a violating source row fails
+    failsWrite(ts.mergeUpsert("t", Seq((9L, -3.0)).toDF("id", "amount"),
+      Seq("id"), changeTypeCol = None))
+
+    // NULL amount violates (SQL CHECK semantics here: must prove true)
+    failsWrite(ts.append("t", Seq((5L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "amount")))
+
+    ts.dropCheckConstraint("t", "amount_nonneg")
+    ts.append("t", Seq((4L, -1.0)).toDF("id", "amount")) // now allowed
+    assert(ts.read("t").count() === 4)
+  }
+
+  test("a constraint existing data violates is rejected; bad exprs too") {
+    val root = Files.createTempDirectory("checks2").toString
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, -1.0)).toDF("id", "amount"))
+    intercept[IllegalArgumentException] {
+      ts.addCheckConstraint("t", "amount_nonneg", "amount >= 0")
+    }
+    intercept[IllegalArgumentException] {
+      ts.addCheckConstraint("t", "bad", "no_such_col > 0")
+    }
+  }
+
+  test("SQL INSERT through the catalog enforces declared checks") {
+    val root = Files.createTempDirectory("checks3").toString
+    spark.conf.set("spark.sql.catalog.gchk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gchk.root", root)
+    spark.sql("""CREATE TABLE gchk.t (id BIGINT, amount DOUBLE)
+                |TBLPROPERTIES ('check.amount_nonneg' = 'amount >= 0')""".stripMargin)
+    spark.sql("INSERT INTO gchk.t VALUES (1, 5.0)")
+    assert(spark.sql("SELECT count(*) FROM gchk.t").head().getLong(0) === 1)
+    failsWrite(spark.sql("INSERT INTO gchk.t VALUES (2, -5.0)"))
+    assert(spark.sql("SELECT count(*) FROM gchk.t").head().getLong(0) === 1)
+  }
+}
