@@ -46,9 +46,22 @@ import graft.core.TableStore
   * legacy files are not supported).
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  /** `CALL graft.system.<verb>(...)` — SQL maintenance procedures
+    * (vacuum / compact / restore / optimize_range / optimize_zorder /
+    * set_bloom_columns), see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under the `system` namespace, got $ident")
+    GraftProcedures.load(root, ident.name())
+  }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
 
   /** The catalog serves the `bucket` transform function so Spark can
     * resolve the KeyGroupedPartitioning the bucketed scans report —

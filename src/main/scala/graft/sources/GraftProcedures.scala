@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.TableStore
+
+/** SQL stored procedures for table maintenance — the DSv2
+  * ProcedureCatalog face of the store's OPTIMIZE/VACUUM/RESTORE
+  * surface (the same shape Iceberg exposes as `CALL cat.system.x`):
+  *
+  *   CALL graft.system.vacuum('t', 2)         -- GC to 2 retained versions
+  *   CALL graft.system.compact('t', 0)        -- rewrite as one batch
+  *   CALL graft.system.restore('t', 3)        -- roll back to version 3
+  *   CALL graft.system.optimize_range('t', 'a,b', 16)
+  *   CALL graft.system.optimize_zorder('t', 'a,b', 16)
+  *   CALL graft.system.set_bloom_columns('t', 'a,b')
+  *
+  * Each returns one summary row (table, result) via the same LocalScan
+  * the metadata aggregates use — no files read for the result itself.
+  */
+object GraftProcedures {
+
+  val Names: Seq[String] = Seq("vacuum", "compact", "restore",
+    "optimize_range", "optimize_zorder", "set_bloom_columns")
+
+  private def param(n: String, dt: DataType) =
+    ProcedureParameter.in(n, dt).build()
+
+  private val resultSchema = StructType(Seq(
+    StructField("table", StringType), StructField("result", LongType)))
+
+  private def result(table: String, value: Long): java.util.Iterator[Scan] =
+    Collections.singletonList[Scan](new GraftMetadataScan(resultSchema,
+      InternalRow(UTF8String.fromString(table), value),
+      s"procedure on $table")).iterator()
+
+  /** One UnboundProcedure per maintenance verb. */
+  def load(root: String, name: String): UnboundProcedure = {
+    def store = new TableStore(SparkSession.active, root)
+    val procName = name // `name` inside the anon class would resolve to
+                        // the method being defined (self-recursion)
+    def bound(params: Seq[ProcedureParameter])(run: InternalRow => java.util.Iterator[Scan]) =
+      new UnboundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graft $procName"
+        override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft $procName"
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = run(input)
+        }
+      }
+    def cols(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    name match {
+      case "vacuum" => bound(Seq(param("table", StringType), param("retain", IntegerType))) { in =>
+        val t = in.getUTF8String(0).toString
+        result(t, store.vacuum(t, in.getInt(1)).size.toLong)
+      }
+      case "compact" => bound(Seq(param("table", StringType), param("target_partitions", IntegerType))) { in =>
+        val t = in.getUTF8String(0).toString
+        store.compact(t, in.getInt(1))
+        result(t, store.liveDirCount(t).toLong)
+      }
+      case "restore" => bound(Seq(param("table", StringType), param("version", LongType))) { in =>
+        val t = in.getUTF8String(0).toString
+        store.restore(t, in.getLong(1))
+        result(t, store.currentVersion(t))
+      }
+      case "optimize_range" => bound(Seq(param("table", StringType),
+          param("columns", StringType), param("n_dirs", IntegerType))) { in =>
+        val t = in.getUTF8String(0).toString
+        store.optimizeByRange(t, cols(in.getUTF8String(1).toString), in.getInt(2))
+        result(t, store.liveDirCount(t).toLong)
+      }
+      case "optimize_zorder" => bound(Seq(param("table", StringType),
+          param("columns", StringType), param("n_dirs", IntegerType))) { in =>
+        val t = in.getUTF8String(0).toString
+        store.optimizeByZOrder(t, cols(in.getUTF8String(1).toString), in.getInt(2))
+        result(t, store.liveDirCount(t).toLong)
+      }
+      case "set_bloom_columns" => bound(Seq(param("table", StringType),
+          param("columns", StringType))) { in =>
+        val t = in.getUTF8String(0).toString
+        val cs = cols(in.getUTF8String(1).toString)
+        store.setBloomColumns(t, cs)
+        result(t, cs.size.toLong)
+      }
+      case other =>
+        throw new IllegalArgumentException(
+          s"no such procedure: system.$other (have: ${Names.mkString(",")})")
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableStore
+
+/** SQL stored procedures: CALL graft.system.<verb>(...) drives the
+  * store's maintenance surface and returns a summary row. */
+class ProcedureSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  test("vacuum / compact / restore / zorder / bloom via CALL") {
+    val root = Files.createTempDirectory("proc").toString
+    spark.conf.set("spark.sql.catalog.gproc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gproc.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (0L until 300L).map(i => (i, i % 100, s"v$i")).toDF("id", "x", "v"))
+    ts.append("t", (300L until 600L).map(i => (i, i % 100, s"v$i")).toDF("id", "x", "v"))
+    ts.append("t", (600L until 900L).map(i => (i, i % 100, s"v$i")).toDF("id", "x", "v"))
+
+    // compact to one batch
+    val c = spark.sql("CALL gproc.system.compact('t', 2)").head()
+    assert(c.getString(0) === "t")
+    assert(ts.read("t").count() === 900)
+
+    // restore to the pre-compact version
+    spark.sql("CALL gproc.system.restore('t', 2)")
+    assert(ts.currentVersion("t") === 4)
+    assert(ts.read("t").count() === 900)
+    assert(ts.liveDirCount("t") === 3)
+
+    // z-order on (id, x), then vacuum away the superseded layouts
+    spark.sql("CALL gproc.system.optimize_zorder('t', 'id,x', 8)")
+    assert(ts.read("t").count() === 900)
+    val deleted = spark.sql("CALL gproc.system.vacuum('t', 1)").head().getLong(1)
+    assert(deleted > 0)
+    assert(ts.read("t").count() === 900)
+
+    // bloom index from SQL; a point delete then prunes
+    spark.sql("CALL gproc.system.set_bloom_columns('t', 'id')")
+    assert(ts.bloomRoot("t").toFile.list().nonEmpty)
+
+    // procedures are discoverable
+    val names = spark.sql("SHOW PROCEDURES IN gproc.system")
+      .collect().map(_.toString).mkString(",")
+    assert(names.contains("vacuum") && names.contains("optimize_zorder"))
+  }
+}
