@@ -357,6 +357,28 @@ object QueriesMutation {
              |FROM orders
              |WHERE CAST(CAST(o_orderkey % 100000 AS DECIMAL(10,2)) + CAST(0.25 AS DECIMAL(10,2)) AS DECIMAL(10,2)) > 90000.00""".stripMargin)),
 
+    // ---- Runtime (DPP-style) dir pruning: the dim side's join keys
+    //      reach the bucketed fact scan as a dynamic IN filter and drop
+    //      whole bucket dirs before any file is read
+    //      (RuntimePruningSpec asserts the 2/16-dirs plan; this query
+    //      gates the RESULTS) ----
+    "sql_runtime_prune" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "dppfact")
+        graft.core.FsUtil.deleteRecursively(new java.io.File("/tmp/graft_qstore/sqlcat/dppdim"))
+        st.createBucketed("dppfact", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          Seq("o_custkey"), n = 16)
+        st.create("dppdim", Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+        s.sql("""SELECT f.o_orderkey, f.o_totalprice, d.c_name
+                |FROM graft.dppfact f JOIN graft.dppdim d ON f.o_custkey = d.c_custkey
+                |WHERE d.c_name IN ('Customer#000000042', 'Customer#000000077')""".stripMargin)
+      },
+      Some("""SELECT o.o_orderkey, o.o_totalprice, c.c_name
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE c.c_name IN ('Customer#000000042', 'Customer#000000077')""".stripMargin)),
+
     // ---- OPTIMIZE ... ZORDER: after z-ordering on (o_custkey,
     //      o_totalprice), a predicate on the SECOND column alone prunes
     //      dirs at plan time (lexical range clustering can't —

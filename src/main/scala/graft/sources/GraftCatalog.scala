@@ -447,31 +447,91 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
         case None => byStats
       }
       val live = dirFiles.filter(df => liveDirs.contains(df._1))
-      // a fully hash-bucketed layout groups into one input partition per
-      // bucket (padded to all n so both join sides report identical key
-      // sets) and reports KeyGroupedPartitioning for storage-partitioned
-      // joins; any unbucketed dir in the mix disables the grouping
-      val bucketGroups: Option[(Seq[String], Int, Seq[(Int, Seq[String])])] =
-        bucketing.flatMap { case (keys, n) =>
-          if (live.nonEmpty && live.forall(_._1.contains("/__b="))) {
-            val byBucket = live.groupBy(df => df._1.split("/__b=", 2)(1).toInt)
-            Some((keys, n,
-              (0 until n).map(b => b -> byBucket.getOrElse(b, Seq.empty).flatMap(_._2))))
-          } else None
-        }
-      new GraftScan(schema, required, live.flatMap(_._2), pushed, streamSource,
-        dirsTotal = dirFiles.size, dirsScanned = live.size,
-        bucketGroups = bucketGroups)
+      new GraftScan(schema, required, live, stats, pushed, streamSource,
+        dirsTotal = dirFiles.size, bucketing = bucketing,
+        bloomPrune = bloomPrune)
   }
 }
 
-class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String],
+class GraftScan(fullSchema: StructType, required: StructType,
+                dirFilesLive: Seq[(String, Seq[String])],
+                stats: Map[String, graft.core.DirStats],
                 pushed: Array[Filter],
                 streamSource: Option[(String, String)] = None,
-                dirsTotal: Int = 0, dirsScanned: Int = 0,
-                bucketGroups: Option[(Seq[String], Int, Seq[(Int, Seq[String])])] = None)
+                dirsTotal: Int = 0,
+                bucketing: Option[(Seq[String], Int)] = None,
+                bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Live dirs after plan-time pruning; runtime filters (DPP) narrow
+    * this further before input partitions are planned. */
+  private var live: Seq[(String, Seq[String])] = dirFilesLive
+  private var runtimePrunedFrom: Option[Int] = None
+
+  private def files: Seq[String] = live.flatMap(_._2)
+  private def dirsScanned: Int = live.size
+
+  /** Dynamic "partition" pruning hooks: the dim side of a star join
+    * broadcasts its join-key values, and this scan drops whole dirs the
+    * values can't touch — via manifest stats, the bloom index, and (for
+    * a single-key bucket layout) the bucket ids of the values. The
+    * attributes offered are exactly the ones a value set can prune on. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val cols = (bucketing.toSeq.flatMap(_._1) ++ bloomPrune.toSeq.flatMap(_._1))
+      .distinct
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val before = live.size
+    predicates.foreach { p =>
+      GraftRuntimeValues.inValues(p).foreach { case (colName, values) =>
+        val v1 = org.apache.spark.sql.sources.In(colName, values.toArray)
+        var dirs = graft.core.StatsPruning.liveDirs(
+          live.map(_._1), stats, fullSchema, Seq(v1))
+        dirs = bloomPrune match {
+          case Some((cols, root)) =>
+            graft.core.BloomIndex.prune(dirs, Seq(v1), fullSchema, cols, root)
+          case None => dirs
+        }
+        // single-key bucket layout: the values' bucket ids name the only
+        // leaf dirs that can hold them (unbucketed dirs always survive)
+        dirs = bucketing match {
+          case Some((Seq(key), n)) if key.equalsIgnoreCase(colName) =>
+            val dt = fullSchema.fields.collectFirst {
+              case f if f.name.equalsIgnoreCase(key) => f.dataType }
+            dt.map { t =>
+              val buckets = values.flatMap(v =>
+                GraftRuntimeValues.bucketOf(v, t, n)).toSet
+              dirs.filter(d => !d.contains("/__b=") ||
+                buckets.contains(d.split("/__b=", 2)(1).toInt))
+            }.getOrElse(dirs)
+          case _ => dirs
+        }
+        val keep = dirs.toSet
+        live = live.filter(df => keep.contains(df._1))
+      }
+    }
+    if (live.size != before) runtimePrunedFrom = Some(before)
+  }
+
+  /** A fully hash-bucketed layout groups into one input partition per
+    * bucket (padded to all n so both join sides report identical key
+    * sets) and reports KeyGroupedPartitioning for storage-partitioned
+    * joins; any unbucketed dir in the mix disables the grouping. */
+  private def bucketGroups: Option[(Seq[String], Int, Seq[(Int, Seq[String])])] =
+    bucketing.flatMap { case (keys, n) =>
+      if (live.nonEmpty && live.forall(_._1.contains("/__b="))) {
+        val byBucket = live.groupBy(df => df._1.split("/__b=", 2)(1).toInt)
+        Some((keys, n,
+          (0 until n).map(b => b -> byBucket.getOrElse(b, Seq.empty).flatMap(_._2))))
+      } else None
+    }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -501,6 +561,7 @@ class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String]
   override def description(): String =
     s"graft parquet scan, ${files.size} files" +
       s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
+      runtimePrunedFrom.map(b => s" (runtime pruning: $dirsScanned/$b dirs)").getOrElse("") +
       s", PushedFilters: [${pushed.mkString(", ")}]"
 
   /** File-size statistics for the optimizer: lets Spark pick broadcast
@@ -522,6 +583,38 @@ class GraftScan(fullSchema: StructType, required: StructType, files: Seq[String]
       throw new UnsupportedOperationException("this scan is not backed by a store table"))
     new GraftMicroBatchStream(root, table, required, fullSchema)
   }
+}
+
+/** Parsing of runtime (DPP) predicates into prune inputs. */
+object GraftRuntimeValues {
+  import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference}
+
+  /** `col IN (v...)` / `col = v` -> (column, catalyst-internal values);
+    * None for any other shape (no runtime pruning). */
+  def inValues(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(String, Seq[Any])] = p.name() match {
+    case "IN" | "=" =>
+      val ch = p.children()
+      ch.headOption.collect {
+        case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+      }.flatMap { colName =>
+        val vals = ch.drop(1).collect { case l: VLiteral[_] => l.value().asInstanceOf[Any] }
+        if (vals.length == ch.length - 1 && vals.nonEmpty) Some(colName -> vals.toSeq)
+        else None
+      }
+    case _ => None
+  }
+
+  /** The store-layout bucket of one catalyst-internal value — the same
+    * murmur3-seed-42 pmod as `Bucketing.expr`, the catalog `bucket`
+    * function, and the bucketed writer. None if the value is null. */
+  def bucketOf(v: Any, dt: org.apache.spark.sql.types.DataType, n: Int): Option[Int] =
+    Option(v).map { value =>
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(value, dt, 42L).toInt
+      val b = h % n
+      if (b < 0) b + n else b
+    }
 }
 
 /** The scan side of a group-based row-level operation (SQL UPDATE /
