@@ -570,8 +570,15 @@ class GraftScan(fullSchema: StructType, required: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = files.map(f =>
       try Files.size(Paths.get(f)) catch { case _: Exception => 0L }).sum
+    // exact row count when every live dir carries manifest stats —
+    // Spark's join-strategy and AQE decisions see real cardinality
+    private val rows: Option[Long] =
+      if (live.forall(df => stats.contains(df._1)))
+        Some(live.map(df => stats(df._1).rows).sum)
+      else None
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong =
+      rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
   }
 
   /** Structured-streaming face of a store table: each committed version
