@@ -28,7 +28,7 @@ import graft.core.TableStore
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "compact", "restore",
-    "optimize_range", "optimize_zorder", "set_bloom_columns")
+    "optimize_range", "optimize_zorder", "set_bloom_columns", "history")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -92,6 +92,21 @@ object GraftProcedures {
         val cs = cols(in.getUTF8String(1).toString)
         store.setBloomColumns(t, cs)
         result(t, cs.size.toLong)
+      }
+      case "history" => bound(Seq(param("table", StringType))) { in =>
+        val t = in.getUTF8String(0).toString
+        // versions, commit times (micros), dir counts, metadata row counts
+        val schema = StructType(Seq(
+          StructField("version", LongType),
+          StructField("committed_at", TimestampType),
+          StructField("n_dirs", IntegerType),
+          StructField("approx_rows", LongType)))
+        val rows = store.history(t).collect().map { r =>
+          InternalRow(r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+            r.getInt(2), if (r.isNullAt(3)) null else r.getLong(3))
+        }
+        Collections.singletonList[Scan](
+          new GraftMetadataScan(schema, rows, s"history of $t")).iterator()
       }
       case other =>
         throw new IllegalArgumentException(

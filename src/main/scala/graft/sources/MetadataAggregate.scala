@@ -103,11 +103,14 @@ object MetadataAggregate {
   }
 }
 
-/** The one-row, zero-file scan produced when MetadataAggregate answers. */
-class GraftMetadataScan(schema: StructType, row: InternalRow,
+/** The zero-file local scan produced when MetadataAggregate answers
+  * (one row) or a stored procedure returns results (any number). */
+class GraftMetadataScan(schema: StructType, resultRows: Array[InternalRow],
                         describeSource: String) extends Scan with LocalScan {
+  def this(schema: StructType, row: InternalRow, describeSource: String) =
+    this(schema, Array(row), describeSource)
   override def readSchema(): StructType = schema
-  override def rows(): Array[InternalRow] = Array(row)
+  override def rows(): Array[InternalRow] = resultRows
   override def description(): String =
     s"graft metadata-only aggregate over $describeSource (0 files read)"
 }

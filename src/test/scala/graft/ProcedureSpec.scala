@@ -45,6 +45,11 @@ class ProcedureSpec extends AnyFunSuite {
     spark.sql("CALL gproc.system.set_bloom_columns('t', 'id')")
     assert(ts.bloomRoot("t").toFile.list().nonEmpty)
 
+    // DESCRIBE HISTORY as a multi-row procedure result
+    val hist = spark.sql("CALL gproc.system.history('t')").collect()
+    assert(hist.length >= 2) // vacuum kept the latest window
+    assert(hist.map(_.getLong(0)).contains(ts.currentVersion("t")))
+
     // procedures are discoverable
     val names = spark.sql("SHOW PROCEDURES IN gproc.system")
       .collect().map(_.toString).mkString(",")
