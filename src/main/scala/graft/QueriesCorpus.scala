@@ -173,9 +173,10 @@ object QueriesCorpus {
     //  a hash of the row's own key, so adding executors or reordering
     //  input cannot change the sample)
     "x1_stratified_sample" -> QDef(
-      (s, dir) => Tables.documents(s, dir)
+      (s, dir) => graft.ops.Corpus.stratifiedSample(
+          Tables.documents(s, dir), key = col("doc_id"), group = col("lang"),
+          thresholds = RateThresholds.toMap, default = "20000000")
         .withColumn("h", inclusionHash)
-        .filter(col("h") < thresholdCol)
         .select(col("doc_id"), col("lang"), col("h")),
       Some(s"""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
               |FROM documents
@@ -192,12 +193,13 @@ object QueriesCorpus {
     //  narrow, and the exact ranking then runs on the survivors)
     "x2_quota_sample" -> QDef(
       (s, dir) => {
+        // rank re-derived for the output shape (the op drops helpers)
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("h").asc, col("doc_id").asc)
-        Tables.documents(s, dir)
+        graft.ops.Corpus.quotaSample(Tables.documents(s, dir),
+            key = col("doc_id"), group = col("lang"), quota = 20)
           .withColumn("h", inclusionHash)
           .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 20)
           .select(col("doc_id"), col("lang"), col("h"), col("rn"))
       },
       Some("""SELECT doc_id, lang, h, rn FROM (
@@ -217,29 +219,10 @@ object QueriesCorpus {
     //  (sampled, nondeterministic) range boundaries because the prefix
     //  sum only depends on the total doc_id order.)
     "x3_pack_sequences" -> QDef(
-      (s, dir) => {
-        val budget = 256
-        val t = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .repartitionByRange(32, col("doc_id"))
-          .withColumn("__p", spark_partition_id())
-        // per-partition running sum (window within each range partition)
-        val wLocal = Window.partitionBy(col("__p")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val local = t.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-        // partition offsets: cumsum over the per-partition totals — at
-        // most nPartitions rows, windowed over a single tiny partition
-        val wOff = Window.orderBy(col("__p"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offsets = t.groupBy(col("__p")).agg(sum(col("n_tokens")).as("ptotal"))
-          .withColumn("poffset", sum(col("ptotal")).over(wOff) - col("ptotal"))
-          .select(col("__p"), col("poffset"))
-        local.join(broadcast(offsets), Seq("__p"))
-          .withColumn("stream_start", col("poffset") + col("local_cum") - col("n_tokens"))
-          .withColumn("bin", floor(col("stream_start") / budget))
-          .select(col("doc_id"), col("n_tokens"), col("stream_start"), col("bin"))
-      },
+      (s, dir) => graft.ops.Corpus.packSequences(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("tok")),
+        idCol = "doc_id", tokensCol = "tok", budget = 256),
       Some("""WITH t AS (SELECT doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
              |c AS (SELECT doc_id, n_tokens,
