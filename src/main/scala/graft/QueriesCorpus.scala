@@ -208,6 +208,28 @@ object QueriesCorpus {
              |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
              |  FROM documents) WHERE rn <= 20""".stripMargin)),
 
+    // ---- x6: document chunking — overlapping context windows ----
+    // (the other standard shape besides packing: split each document
+    //  into 64-token chunks at stride 48 (16-token overlap) for
+    //  embedding/retrieval pipelines. Pure explode over a sequence —
+    //  narrow, no shuffle; chunk count is ceil(tokens/stride) per doc)
+    "x6_chunk_documents" -> QDef(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(1, size(w), 48)")).as("start"))
+        .select(col("doc_id"),
+          floor((col("start") - 1) / 48).as("chunk_seq"),
+          col("start"),
+          array_join(slice(col("w"), col("start"), lit(64)), " ").as("chunk_text"),
+          least(size(col("w")) - col("start") + 1, lit(64)).cast("long").as("n_tokens")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |c AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 48)) AS start FROM w)
+             |SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_seq, start,
+             |  array_to_string(w[start : start + 63], ' ') AS chunk_text,
+             |  CAST(least(len(w) - start + 1, 64) AS BIGINT) AS n_tokens
+             |FROM c""".stripMargin)),
+
     // ---- x3: sequence packing — concat-and-chunk bin assignment ----
     // (LLM pretraining packs documents into fixed token-budget bins by
     //  concatenating in a canonical order and cutting every B tokens.
