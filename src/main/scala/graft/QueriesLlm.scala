@@ -616,6 +616,96 @@ object QueriesLlm {
       Some("""SELECT doc_id, min(md5(substr(text, i, 8))) AS min_gram_md5, md5(text) AS doc_md5
              |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS i
              |      FROM documents)
-             |GROUP BY doc_id, text""".stripMargin))
+             |GROUP BY doc_id, text""".stripMargin)),
+
+    // ---- t7: PII redaction — regex scrubbing of emails / phone numbers /
+    //      IPv4 addresses before training. The synthetic corpus has no
+    //      PII, so both sides deterministically EMBED it first (derived
+    //      from doc_id) and then redact — the check is that Spark's
+    //      codegen'd regexp_replace and the oracle agree on every match
+    //      boundary. Patterns stay in the RE2 ∩ java.util.regex dialect
+    //      (character classes, bounded repeats, \b) so they are portable
+    //      across engines — the same constraint a real multi-engine
+    //      pipeline has. One projection pass, no joins, no UDFs. ----
+    "t7_pii_redact" -> QDef(
+      (s, dir) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        Tables.documents(s, dir)
+          .withColumn("pii_text", concat(
+            col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".com or "),
+            (pmod(col("doc_id") * 7919, lit(900)) + 100).cast("string"), lit("-"),
+            (pmod(col("doc_id") * 104729, lit(900)) + 100).cast("string"), lit("-"),
+            (pmod(col("doc_id") * 31, lit(9000)) + 1000).cast("string"),
+            lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+            pmod(col("doc_id") * 31, lit(256)).cast("string")))
+          .select(
+            col("doc_id"),
+            regexp_count(col("pii_text"), lit(email)).as("n_email"),
+            regexp_count(col("pii_text"), lit(phone)).as("n_phone"),
+            regexp_count(col("pii_text"), lit(ip)).as("n_ip"),
+            regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+              email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("clean_text"))
+      },
+      Some("""WITH p AS (SELECT doc_id, text || ' contact u' || doc_id
+             |    || '@mail' || (doc_id % 7) || '.com or '
+             |    || ((doc_id * 7919) % 900 + 100) || '-'
+             |    || ((doc_id * 104729) % 900 + 100) || '-'
+             |    || ((doc_id * 31) % 9000 + 1000)
+             |    || ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 31) % 256)
+             |    AS pii_text FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+             |  CAST(len(regexp_extract_all(pii_text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+             |  CAST(len(regexp_extract_all(pii_text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+             |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+             |FROM p""".stripMargin)),
+
+    // ---- t8: boilerplate removal — corpus-frequency "line" dedup (the
+    //      CCNet/RefinedWeb pattern: drop lines appearing in many docs —
+    //      headers, footers, cookie banners). The corpus has no newlines,
+    //      so the "line" unit is the non-overlapping 5-word segment; the
+    //      mechanics (segment -> corpus doc-frequency -> drop hot
+    //      segments -> reassemble in order) are identical. Two shuffles
+    //      (segment df count, per-doc reassembly), the df table is one
+    //      row per DISTINCT segment, and every doc survives with its
+    //      remaining segments in original order. ----
+    "t8_boilerplate" -> QDef(
+      (s, dir) => {
+        val segs = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast(ceil(size(w) / 5.0) as int) - 1), " +
+              "g -> struct(g as g, array_join(slice(w, g * 5 + 1, 5), ' ') as seg))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.g").as("g"), col("x.seg").as("seg"))
+        val hot = segs.groupBy("seg")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 3)
+          .select(col("seg"), lit(true).as("hot"))
+        segs.join(broadcast(hot), Seq("seg"), "left_outer")
+          .groupBy("doc_id")
+          .agg(
+            array_join(expr(
+              "transform(filter(sort_array(collect_list(struct(g, hot, seg))), " +
+                "x -> x.hot is null), x -> x.seg)"), " ").as("clean_text"),
+            count(when(col("hot"), 1)).as("n_dropped"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |segs AS (SELECT doc_id, g,
+             |    array_to_string(w[g*5+1 : g*5+5], ' ') AS seg
+             |  FROM w, unnest(generate_series(0, CAST(ceil(len(w) / 5.0) AS BIGINT) - 1)) AS t(g)),
+             |hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3)
+             |SELECT s.doc_id,
+             |  coalesce(string_agg(s.seg, ' ' ORDER BY s.g)
+             |    FILTER (WHERE h.seg IS NULL), '') AS clean_text,
+             |  count(h.seg) AS n_dropped
+             |FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+             |GROUP BY s.doc_id""".stripMargin))
   )
 }
