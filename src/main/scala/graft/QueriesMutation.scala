@@ -439,6 +439,43 @@ object QueriesMutation {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE o_orderkey <> 371""".stripMargin)),
 
+    // ---- Change data feed: row-level change capture across a merge +
+    //      a pruned delete, read back with readChangesBetween. The
+    //      oracle re-derives every change row relationally: preimage =
+    //      matched target rows, postimage = their source versions,
+    //      insert = unmatched source, delete = the post-merge rows the
+    //      predicate hits. `* 2` keeps doubles exact in both engines. ----
+    "cdc1_change_feed" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "cdc1")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        st.create("t", orders.filter(col("o_orderkey") % 4 === 1))    // v0
+        st.setChangeFeed("t", true)                                   // v1
+        val src = orders.filter(col("o_orderkey") % 4 <= 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        st.mergeUpsert("t", src, Seq("o_orderkey"), changeTypeCol = None) // v2
+        st.delete("t", col("o_custkey") % 10 === 3)                   // v3
+        st.readChangesBetween("t", 1, st.currentVersion("t"))
+      },
+      Some("""WITH t0 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |            WHERE o_orderkey % 4 = 1),
+             |s AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+             |      FROM orders WHERE o_orderkey % 4 <= 1)
+             |SELECT t0.o_orderkey, t0.o_custkey, t0.o_totalprice,
+             |  'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+             |FROM t0 JOIN s ON t0.o_orderkey = s.o_orderkey
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice,
+             |  'update_postimage', CAST(2 AS BIGINT)
+             |FROM s JOIN t0 ON t0.o_orderkey = s.o_orderkey
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, 'insert', CAST(2 AS BIGINT)
+             |FROM s WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.o_orderkey = s.o_orderkey)
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, 'delete', CAST(3 AS BIGINT)
+             |FROM s WHERE s.o_custkey % 10 = 3""".stripMargin)),
+
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
       (s, dir) => {

@@ -75,12 +75,8 @@ class TableStore(spark: SparkSession, root: String) {
   // (bucket fields only for bucketed tables; stats only for dirs whose
   //  footers yielded reliable statistics — consumers treat a missing
   //  entry as "might match anything")
-  private def writeManifest(name: String, v: Long, schema: StructType,
-                            dirs: Seq[String], bucketing: Option[Bucketing],
-                            stats: Map[String, DirStats],
-                            txns: Map[String, Long],
-                            bloomCols: Seq[String],
-                            checks: Map[String, String]): Unit = {
+  private def writeManifest(name: String, v: Long, m: Manifest): Unit = {
+    import m.{schema, dirs, bucketing, stats, txns, bloomCols, checks}
     Files.createDirectories(manifest(name, v).getParent)
     val base = s""""schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]"""
     val statsPart =
@@ -97,7 +93,8 @@ class TableStore(spark: SparkSession, root: String) {
       if (checks.isEmpty) ""
       else s""", "checks": {${checks.toSeq.sortBy(_._1)
         .map { case (k, e) => s"${jsonStr(k)}: ${jsonStr(e)}" }.mkString(",")}}"""
-    val extra = statsPart + txnsPart + bloomPart + checksPart + bucketing.map(b =>
+    val cdfPart = if (m.cdf) s""", "cdf": true""" else ""
+    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -120,12 +117,16 @@ class TableStore(spark: SparkSession, root: String) {
     * -> last committed epoch), carried through every commit — the
     * Delta txn-action pattern that makes streaming-sink epoch commits
     * idempotent (exactly-once). */
+  /** `cdf`: change-data-feed recording enabled — row-level mutations
+    * (merge / update / delete) persist their change rows under
+    * `_cdf/<version>/` in the same write pass as the data. */
   private[core] final case class Manifest(schema: StructType, dirs: Seq[String],
                                           bucketing: Option[Bucketing],
                                           stats: Map[String, DirStats],
                                           txns: Map[String, Long] = Map.empty,
                                           bloomCols: Seq[String] = Nil,
-                                          checks: Map[String, String] = Map.empty)
+                                          checks: Map[String, String] = Map.empty,
+                                          cdf: Boolean = false)
 
   private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
@@ -141,7 +142,8 @@ class TableStore(spark: SparkSession, root: String) {
     val checks = m.get("checks").map(_.asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[String] })
       .getOrElse(Map.empty[String, String])
-    Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks)
+    val cdf = m.get("cdf").exists(_.asInstanceOf[Boolean])
+    Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks, cdf)
   }
 
   private def bucketOf(entry: String): Int =
@@ -150,15 +152,16 @@ class TableStore(spark: SparkSession, root: String) {
   /** Write df as version (v+1)'s batch dir(s), commit manifest+pointer.
     * New dirs get footer-derived column statistics in the manifest
     * (data skipping — see [[DirStats]]); carried dirs keep theirs,
-    * looked up in `priorStats` — the stats of the manifest the CALLER
-    * read, so commit never re-reads (and never silently re-resolves)
-    * the prior version. */
-  private def commit(name: String, df: Option[DataFrame], schema: StructType,
-                     carryForward: Seq[String], bucketing: Option[Bucketing],
-                     priorStats: Map[String, DirStats],
-                     priorTxns: Map[String, Long] = Map.empty,
-                     bloomCols: Seq[String] = Nil,
-                     checks: Map[String, String] = Map.empty): Long = {
+    * looked up in `meta.stats` — the manifest the CALLER read, so
+    * commit never re-reads (and never silently re-resolves) the prior
+    * version. `meta` carries EVERY non-dir manifest field (schema,
+    * bucketing, stats, txns, bloom, checks, cdf) into the new version —
+    * adding a manifest field means touching only Manifest + the
+    * (de)serializers, never each call site. */
+  private def commit(name: String, df: Option[DataFrame], meta: Manifest,
+                     carryForward: Seq[String]): Long = {
+    import meta.{schema, bucketing, checks}
+    val priorStats = meta.stats
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d0) =>
@@ -196,8 +199,7 @@ class TableStore(spark: SparkSession, root: String) {
           DirStats.collect(dir(name).resolve("data").resolve(d), schema))
         .map(d -> _)
     }.toMap
-    commitManifest(name, v, schema, newDirs, bucketing, stats, priorTxns,
-      bloomCols, checks)
+    commitManifest(name, v, meta.copy(dirs = newDirs, stats = stats))
     v
   }
 
@@ -206,16 +208,12 @@ class TableStore(spark: SparkSession, root: String) {
     * dirs keep theirs, so only just-written dirs cost a read pass),
     * write manifest v, then atomically swap the _LATEST pointer. The
     * single place this sequence lives. */
-  private def commitManifest(name: String, v: Long, schema: StructType,
-                             dirs: Seq[String], bucketing: Option[Bucketing],
-                             stats: Map[String, DirStats],
-                             txns: Map[String, Long],
-                             bloomCols: Seq[String] = Nil,
-                             checks: Map[String, String] = Map.empty): Unit = {
+  private def commitManifest(name: String, v: Long, m: Manifest): Unit = {
+    import m.{schema, dirs, stats, bloomCols}
     if (bloomCols.nonEmpty)
       BloomIndex.ensure(spark, bloomRoot(name), dataRoot(name), dirs, bloomCols,
         schema, stats.view.mapValues(_.rows).toMap)
-    writeManifest(name, v, schema, dirs, bucketing, stats, txns, bloomCols, checks)
+    writeManifest(name, v, m)
     val tmp = dir(name).resolve(s"_LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
@@ -308,18 +306,20 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** CREATE TABLE AS / full replace (new table or schema change allowed). */
   def create(name: String, df: DataFrame): Unit =
-    commit(name, Some(df), df.schema, Seq.empty, None, Map.empty)
+    commit(name, Some(df), Manifest(df.schema, Nil, None, Map.empty), Seq.empty)
 
   /** CREATE TABLE AS with hash bucketing on `keys` into `n` leaf dirs:
     * key-driven mutations then rewrite only affected buckets. */
   def createBucketed(name: String, df: DataFrame, keys: Seq[String], n: Int): Unit =
-    commit(name, Some(df), df.schema, Seq.empty, Some(Bucketing(keys, n)), Map.empty)
+    commit(name, Some(df), Manifest(df.schema, Nil, Some(Bucketing(keys, n)), Map.empty),
+      Seq.empty)
 
   /** CREATE TABLE with schema, zero rows (S5 empty staging write). */
   def createEmpty(name: String, schema: StructType,
                   bucketing: Option[(Seq[String], Int)] = None): Unit =
-    commit(name, None, schema, Seq.empty,
-      bucketing.map { case (keys, n) => Bucketing(keys, n) }, Map.empty)
+    commit(name, None,
+      Manifest(schema, Nil, bucketing.map { case (keys, n) => Bucketing(keys, n) },
+        Map.empty), Seq.empty)
 
   /** INSERT OVERWRITE semantics: replace contents, PRESERVE the existing
     * table schema (and bucketing) by casting-by-name — the reference
@@ -327,8 +327,8 @@ class TableStore(spark: SparkSession, root: String) {
     * (docs/KNOWN_ISSUES.md:77-99). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(df, m.schema)), m.schema, Seq.empty, m.bucketing,
-      Map.empty, m.txns, m.bloomCols, m.checks): Unit
+    commit(name, Some(conform(df, m.schema)), m.copy(stats = Map.empty),
+      Seq.empty): Unit
   }
 
   /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
@@ -336,8 +336,7 @@ class TableStore(spark: SparkSession, root: String) {
     * leaf dirs). */
   def append(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(df, m.schema)), m.schema, m.dirs, m.bucketing,
-      m.stats, m.txns, m.bloomCols, m.checks): Unit
+    commit(name, Some(conform(df, m.schema)), m, m.dirs): Unit
   }
 
   /** INSERT INTO with automatic schema evolution (Delta's mergeSchema):
@@ -365,7 +364,16 @@ class TableStore(spark: SparkSession, root: String) {
     val df = read(name)
     val sized = if (targetPartitions > 0) df.coalesce(targetPartitions) else df
     overwrite(name, sized)
+    markNoLogicalChange(name)
   }
+
+  /** OPTIMIZE-family commits rewrite files but change no rows: with the
+    * change feed on, stamp an empty `_cdf/<v>` marker so the CDF reader
+    * reports zero changes instead of a spurious full delete+insert. */
+  private def markNoLogicalChange(name: String): Unit =
+    if (readManifest(name, currentVersion(name)).cdf)
+      Files.createDirectories(
+        dir(name).resolve("_cdf").resolve(currentVersion(name).toString)): Unit
 
   /** OPTIMIZE ... clustered-by-range (ZORDER-lite, single dimension
     * family): rewrite the table range-partitioned on `cols` with ONE
@@ -463,7 +471,9 @@ class TableStore(spark: SparkSession, root: String) {
           .map(l => s"$batch/$l").toSeq.sorted)
     val stats = leaves.flatMap(l =>
       DirStats.collect(dir(name).resolve("data").resolve(l), m.schema).map(l -> _)).toMap
-    commitManifest(name, v, m.schema, leaves, None, stats, m.txns, m.bloomCols, m.checks)
+    commitManifest(name, v,
+      m.copy(dirs = leaves, bucketing = None, stats = stats))
+    markNoLogicalChange(name)
   }
 
   /** ALTER TABLE ADD COLUMN (manual schema evolution —
@@ -479,8 +489,8 @@ class TableStore(spark: SparkSession, root: String) {
     require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
     require(newCols.forall(_.nullable),
       "ADD COLUMN requires nullable columns (existing rows have no value)")
-    commit(name, None, StructType(m.schema.fields ++ newCols.fields), m.dirs,
-      m.bucketing, m.stats, m.txns, m.bloomCols, m.checks): Unit
+    commit(name, None,
+      m.copy(schema = StructType(m.schema.fields ++ newCols.fields)), m.dirs): Unit
   }
 
   /** VACUUM: physically delete data no version within the retained
@@ -534,6 +544,13 @@ class TableStore(spark: SparkSession, root: String) {
     }
     // bloom sidecars of dirs no retained version references
     deleted ++= BloomIndex.sweep(bloomRoot(name), live)
+    // change-feed dirs of versions outside the retained window
+    val cdfRoot = dir(name).resolve("_cdf")
+    if (Files.isDirectory(cdfRoot)) {
+      Using.resource(Files.list(cdfRoot))(_.iterator().asScala.toSeq)
+        .filter(p => p.getFileName.toString.toLongOption.exists(_ < keepVersions.head))
+        .foreach { p => FsUtil.deleteRecursively(p.toFile); deleted += p }
+    }
     deleted.result()
   }
 
@@ -567,17 +584,16 @@ class TableStore(spark: SparkSession, root: String) {
       }
     require(!violating,
       s"existing rows violate CHECK $constraintName ($exprSql)")
-    commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
-      m.bucketing, m.stats, m.txns, m.bloomCols,
-      m.checks + (constraintName -> exprSql))
+    commitManifest(name, currentVersion(name) + 1,
+      m.copy(checks = m.checks + (constraintName -> exprSql)))
   }
 
   /** ALTER TABLE DROP CONSTRAINT. */
   def dropCheckConstraint(name: String, constraintName: String): Unit = {
     val m = readManifest(name, currentVersion(name))
     require(m.checks.contains(constraintName), s"no constraint $constraintName")
-    commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
-      m.bucketing, m.stats, m.txns, m.bloomCols, m.checks - constraintName)
+    commitManifest(name, currentVersion(name) + 1,
+      m.copy(checks = m.checks - constraintName))
   }
 
   def checkConstraints(name: String): Map[String, String] =
@@ -657,8 +673,19 @@ class TableStore(spark: SparkSession, root: String) {
           .otherwise(col(c)).as(c)
       else when(sMatched, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
-    commit(name, Some(joined.select(out: _*)), schema, carried, b, m.stats,
-      m.txns, m.bloomCols, m.checks): Unit
+    if (!m.cdf)
+      commit(name, Some(joined.select(out: _*)), m.copy(bucketing = b), carried): Unit
+    else {
+      // change feed: every joined row explodes into its post-state plus
+      // its change rows, written in the SAME pass (partitioned by kind)
+      val old = schema.map(f => col(f.name).as(f.name))
+      val arr = when(both,
+          array(kindStruct("current", out), kindStruct("update_preimage", old),
+            kindStruct("update_postimage", out)))
+        .when(sMatched, array(kindStruct("current", out), kindStruct("insert", out)))
+        .otherwise(array(kindStruct("current", old)))
+      commitCdc(name, m.copy(bucketing = b), explodeKinds(joined, arr, schema), carried)
+    }
   }
 
   /** MERGE delete (M3): delete target rows whose keys appear in keysDf
@@ -668,8 +695,16 @@ class TableStore(spark: SparkSession, root: String) {
     val keyRows = keysDf.select(keys.map(col): _*).distinct()
     val (target, carried, b) =
       pruneByKeys(name, m.schema, m.dirs, m.bucketing, keyRows, keys)
-    commit(name, Some(target.join(keyRows, keys, "left_anti")), m.schema,
-      carried, b, m.stats, m.txns, m.bloomCols, m.checks): Unit
+    if (!m.cdf)
+      commit(name, Some(target.join(keyRows, keys, "left_anti")),
+        m.copy(bucketing = b), carried): Unit
+    else {
+      val joined = target.join(keyRows.withColumn("__kdel", lit(true)), keys, "left_outer")
+      val old = m.schema.map(f => col(f.name).as(f.name))
+      val arr = when(col("__kdel").isNotNull, array(kindStruct("delete", old)))
+        .otherwise(array(kindStruct("current", old)))
+      commitCdc(name, m.copy(bucketing = b), explodeKinds(joined, arr, m.schema), carried)
+    }
   }
 
   /** MERGE update-only (M4, SCD2 close): for target rows matching source
@@ -740,8 +775,17 @@ class TableStore(spark: SparkSession, root: String) {
     val out = m.schema.map(_.name).map { c =>
       set.get(c).map(v => when(condition, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
     }
-    commit(name, Some(conform(target.select(out: _*), m.schema)), m.schema,
-      carried, m.bucketing, m.stats, m.txns, m.bloomCols, m.checks): Unit
+    if (!m.cdf)
+      commit(name, Some(conform(target.select(out: _*), m.schema)), m, carried): Unit
+    else {
+      val hit = coalesce(condition, lit(false))
+      val old = m.schema.map(f => col(f.name).as(f.name))
+      val arr = when(hit,
+          array(kindStruct("current", out), kindStruct("update_preimage", old),
+            kindStruct("update_postimage", out)))
+        .otherwise(array(kindStruct("current", old)))
+      commitCdc(name, m, explodeKinds(target, arr, m.schema), carried)
+    }
   }
 
   /** DELETE ... WHERE cond (pruned copy-on-write like [[update]]).
@@ -750,8 +794,16 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     val (target, carried) = pruneByCondition(name, m, condition)
     if (carried.size == m.dirs.size) return
-    commit(name, Some(target.filter(!coalesce(condition, lit(false)))), m.schema,
-      carried, m.bucketing, m.stats, m.txns, m.bloomCols, m.checks): Unit
+    if (!m.cdf)
+      commit(name, Some(target.filter(!coalesce(condition, lit(false)))),
+        m, carried): Unit
+    else {
+      val old = m.schema.map(f => col(f.name).as(f.name))
+      val arr = when(coalesce(condition, lit(false)),
+          array(kindStruct("delete", old)))
+        .otherwise(array(kindStruct("current", old)))
+      commitCdc(name, m, explodeKinds(target, arr, m.schema), carried)
+    }
   }
 
   /** Attach a data dir that an external writer (the DSv2 write path)
@@ -769,8 +821,8 @@ class TableStore(spark: SparkSession, root: String) {
       dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
     requireChecksPass(name, m, Seq(dirName))
-    commitManifest(name, currentVersion(name) + 1, m.schema, carry :+ dirName,
-      m.bucketing, stats, m.txns, m.bloomCols, m.checks)
+    commitManifest(name, currentVersion(name) + 1,
+      m.copy(dirs = carry :+ dirName, stats = stats))
   }
 
   /** Attach a batch the DSv2 write path laid out as hash-bucket LEAF
@@ -793,8 +845,8 @@ class TableStore(spark: SparkSession, root: String) {
       DirStats.collect(dataRoot(name).resolve(l), m.schema,
         absentIsNull = false).map(l -> _))
     requireChecksPass(name, m, leaves)
-    commitManifest(name, currentVersion(name) + 1, m.schema, carry ++ leaves,
-      m.bucketing, stats, m.txns, m.bloomCols, m.checks)
+    commitManifest(name, currentVersion(name) + 1,
+      m.copy(dirs = carry ++ leaves, stats = stats))
   }
 
   /** Commit a version that REPLACES the `removed` live dirs with the
@@ -811,8 +863,8 @@ class TableStore(spark: SparkSession, root: String) {
       dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
     requireChecksPass(name, m, Seq(dirName))
-    commitManifest(name, currentVersion(name) + 1, m.schema, carry :+ dirName,
-      m.bucketing, stats, m.txns, m.bloomCols, m.checks)
+    commitManifest(name, currentVersion(name) + 1,
+      m.copy(dirs = carry :+ dirName, stats = stats))
   }
 
   /** Exactly-once streaming-sink epoch commit: move the epoch's
@@ -832,8 +884,7 @@ class TableStore(spark: SparkSession, root: String) {
     val txns = m.txns + (queryId -> epochId)
     if (files.isEmpty) {
       // empty epoch: still advance the watermark (no data dir)
-      commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
-        m.bucketing, m.stats, txns, m.bloomCols, m.checks)
+      commitManifest(name, currentVersion(name) + 1, m.copy(txns = txns))
       return true
     }
     val batch = f"st${currentVersion(name) + 1}%09d-" +
@@ -844,8 +895,8 @@ class TableStore(spark: SparkSession, root: String) {
     val stats = m.stats ++ DirStats.collect(target, m.schema,
       absentIsNull = false).map(batch -> _)
     requireChecksPass(name, m, Seq(batch))
-    commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs :+ batch,
-      m.bucketing, stats, txns, m.bloomCols, m.checks)
+    commitManifest(name, currentVersion(name) + 1,
+      m.copy(dirs = m.dirs :+ batch, stats = stats, txns = txns))
     true
   }
 
@@ -876,6 +927,154 @@ class TableStore(spark: SparkSession, root: String) {
     scanDirs(m1.dirs.filterNot(m0Dirs.contains), name, m1.schema)
   }
 
+  // ---- change data feed ----
+
+  /** ALTER TABLE SET TBLPROPERTIES(enableChangeFeed): a metadata commit.
+    * Mutations AFTER the enabling version record change rows; appends
+    * and full replaces never need recorded rows (the reader derives
+    * their changes from the manifest diff — see [[readChangesBetween]]),
+    * which is exactly Delta's CDF cost model: blind appends stay
+    * CDC-free, only row-level rewrites pay the (same-pass) change
+    * write. */
+  def setChangeFeed(name: String, enabled: Boolean): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    if (m.cdf != enabled)
+      commitManifest(name, currentVersion(name) + 1, m.copy(cdf = enabled))
+  }
+
+  def changeFeedEnabled(name: String): Boolean =
+    readManifest(name, currentVersion(name)).cdf
+
+  private def kindStruct(kind: String, cols: Seq[Column]): Column =
+    struct(lit(kind).as("__cdc") +: cols: _*)
+
+  /** Explode each row's array of (kind, row) structs back to columns —
+    * the shape [[commitCdc]] writes partitioned by kind. */
+  private def explodeKinds(df: DataFrame, arr: Column, schema: StructType): DataFrame =
+    df.select(explode(arr).as("__e"))
+      .select(col("__e.__cdc").as("__cdc") +:
+        schema.map(f => col(s"__e.${f.name}").as(f.name)): _*)
+
+  /** The change-data-feed twin of [[commit]]: ONE write job lands both
+    * the post-mutation data (`__cdc=current` rows -> the new batch dir)
+    * and the change rows (every other kind -> `_cdf/<v>/__cdc=<kind>/`)
+    * — change capture costs zero extra passes over the data, the same
+    * property Delta's CDC writer has. An empty `_cdf/<v>` dir is still
+    * created: it marks "changes recorded, none occurred", which the
+    * reader distinguishes from "not recorded". */
+  private def commitCdc(name: String, meta: Manifest, exploded: DataFrame,
+                        carried: Seq[String]): Unit = {
+    val v = currentVersion(name) + 1
+    val uuid = java.util.UUID.randomUUID.toString.take(8)
+    val staging = dataRoot(name).resolve(s".cdc-$uuid")
+    val (toWrite, parts) = meta.bucketing match {
+      case Some(b) =>
+        (exploded.withColumn("__b", b.expr).repartition(b.n, col("__b")),
+          Seq("__cdc", "__b"))
+      case None => (exploded, Seq("__cdc"))
+    }
+    enforceChecks2(toWrite, meta.checks)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(staging.toString)
+    val batch = f"b$v%09d-$uuid"
+    val target = dataRoot(name).resolve(batch)
+    val curStaged = staging.resolve("__cdc=current")
+    val newDirs: Seq[String] =
+      if (!Files.isDirectory(curStaged)) Seq.empty
+      else meta.bucketing match {
+        case Some(_) =>
+          Files.createDirectories(target)
+          val leaves = Using.resource(Files.list(curStaged))(_.iterator().asScala
+            .map(_.getFileName.toString).filter(_.startsWith("__b=")).toSeq.sorted)
+          leaves.foreach(l => Files.move(curStaged.resolve(l), target.resolve(l)))
+          leaves.map(l => s"$batch/$l")
+        case None =>
+          Files.move(curStaged, target)
+          Seq(batch)
+      }
+    val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+    Files.createDirectories(cdfDir)
+    Using.resource(Files.list(staging))(_.iterator().asScala.toSeq)
+      .filter(_.getFileName.toString.startsWith("__cdc="))
+      .foreach(p => Files.move(p, cdfDir.resolve(p.getFileName)))
+    FsUtil.deleteRecursively(staging.toFile)
+    val stats = meta.stats.view.filterKeys(carried.contains).toMap ++
+      newDirs.flatMap(d =>
+        DirStats.collect(dataRoot(name).resolve(d), meta.schema).map(d -> _))
+    commitManifest(name, v, meta.copy(dirs = carried ++ newDirs, stats = stats))
+  }
+
+  /** Check enforcement for the CDC write: only `current` rows are table
+    * rows — preimage/delete rows are prior data and must not re-fail. */
+  private def enforceChecks2(df: DataFrame, checks: Map[String, String]): DataFrame =
+    checks.foldLeft(df) { case (d, (cname, sql)) =>
+      d.filter(assert_true(
+        coalesce(when(col("__cdc") =!= "current", lit(true)).otherwise(expr(sql)), lit(false)),
+        lit(s"CHECK constraint $cname violated: $sql")).isNull)
+    }
+
+  /** CHANGE DATA FEED read: every row-level change in
+    * `(fromVersion, toVersion]` with `_change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage} and `_commit_version`. Three
+    * sources, cheapest wins per version (the Delta CDF read model):
+    *   - a recorded `_cdf/<v>` dir (row-level mutations after
+    *     [[setChangeFeed]]) — read as-is, zero derivation;
+    *   - a pure append / pure dir-drop step — synthesized from the
+    *     added (insert) or removed (delete) dirs; dirs are immutable so
+    *     this is exact, and it is why appends never write change rows;
+    *   - a full replace (INSERT OVERWRITE / truncate-load / restore) —
+    *     delete-of-prior-snapshot + insert-of-new-snapshot.
+    * A partial rewrite with no recorded dir throws: the change rows
+    * were never captured and cannot be reconstructed from immutable
+    * dirs alone. `fromVersion = -1` includes version 0's creation. */
+  def readChangesBetween(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= -1 && fromVersion <= toVersion,
+      s"bad range ($fromVersion, $toVersion]")
+    require(toVersion <= currentVersion(name),
+      s"version $toVersion does not exist")
+    val outSchema = readManifest(name, toVersion).schema
+    def tag(df: DataFrame, kind: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    val parts: Seq[DataFrame] = (fromVersion + 1 to toVersion).flatMap { v =>
+      val cur = readManifest(name, v)
+      val prevDirs = if (v == 0) Seq.empty[String] else readManifest(name, v - 1).dirs
+      val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+      if (Files.isDirectory(cdfDir)) {
+        val hasKinds = Using.resource(Files.list(cdfDir))(_.iterator().asScala
+          .exists(_.getFileName.toString.startsWith("__cdc=")))
+        if (!hasKinds) Seq.empty // marker: recorded, zero logical changes
+        else Seq(spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            cur.schema.fields :+
+              org.apache.spark.sql.types.StructField("__cdc",
+                org.apache.spark.sql.types.StringType)))
+          .parquet(cdfDir.toString)
+          .select(cur.schema.map(f => col(f.name)) :+
+            col("__cdc").as("_change_type"): _*)
+          .withColumn("_commit_version", lit(v)))
+      } else {
+        val removed = prevDirs.filterNot(cur.dirs.contains)
+        val added = cur.dirs.filterNot(prevDirs.contains)
+        if (removed.isEmpty && added.isEmpty) Seq.empty
+        else if (removed.isEmpty)
+          Seq(tag(scanDirs(added, name, cur.schema), "insert", v))
+        else if (added.isEmpty)
+          Seq(tag(scanDirs(removed, name, cur.schema), "delete", v))
+        else if (prevDirs.forall(removed.contains))
+          Seq(tag(scanDirs(removed, name, cur.schema), "delete", v),
+            tag(scanDirs(added, name, cur.schema), "insert", v))
+        else throw new IllegalStateException(
+          s"$name version $v partially rewrote dirs with no recorded " +
+            "change data — enable the change feed (setChangeFeed) before " +
+            "row-level mutations to read changes across them")
+      }
+    }
+    parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(scanDirs(Seq.empty, name, outSchema)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_version", lit(null).cast("long")))
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): commit a NEW
     * version whose content is version `v`'s — history is preserved and
     * the restore is itself restorable. Metadata-only (no data moves);
@@ -893,8 +1092,8 @@ class TableStore(spark: SparkSession, root: String) {
     require(missing.isEmpty,
       s"cannot restore $name to $v: dirs vacuumed: ${missing.mkString(",")}")
     val curM = readManifest(name, cur)
-    commitManifest(name, cur + 1, m.schema, m.dirs, m.bucketing, m.stats,
-      curM.txns, curM.bloomCols, curM.checks)
+    commitManifest(name, cur + 1, m.copy(txns = curM.txns,
+      bloomCols = curM.bloomCols, checks = curM.checks, cdf = curM.cdf))
   }
 
   /** DESCRIBE HISTORY analogue: one row per committed version still on
@@ -935,7 +1134,6 @@ class TableStore(spark: SparkSession, root: String) {
       f.name.equalsIgnoreCase(c) && BloomIndex.supportedType(f.dataType)))
     require(bad.isEmpty,
       s"not indexable (missing or unsupported type): ${bad.mkString(",")}")
-    commitManifest(name, currentVersion(name) + 1, m.schema, m.dirs,
-      m.bucketing, m.stats, m.txns, cols)
+    commitManifest(name, currentVersion(name) + 1, m.copy(bloomCols = cols))
   }
 }

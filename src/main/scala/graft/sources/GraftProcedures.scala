@@ -28,7 +28,8 @@ import graft.core.TableStore
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "compact", "restore",
-    "optimize_range", "optimize_zorder", "set_bloom_columns", "history")
+    "optimize_range", "optimize_zorder", "set_bloom_columns", "history",
+    "set_change_feed")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -107,6 +108,12 @@ object GraftProcedures {
         }
         Collections.singletonList[Scan](
           new GraftMetadataScan(schema, rows, s"history of $t")).iterator()
+      }
+      case "set_change_feed" => bound(Seq(param("table", StringType),
+          param("enabled", BooleanType))) { in =>
+        val t = in.getUTF8String(0).toString
+        store.setChangeFeed(t, in.getBoolean(1))
+        result(t, store.currentVersion(t))
       }
       case other =>
         throw new IllegalArgumentException(

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableStore
+
+/** Change data feed: write-time change capture on row-level mutations,
+  * manifest-diff synthesis for appends / drops / full replaces, and the
+  * no-logical-change marker on OPTIMIZE-family rewrites. */
+class ChangeFeedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  def freshStore(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("cdfstore").toString)
+
+  private def changes(ts: TableStore, name: String, from: Long, to: Long) =
+    ts.readChangesBetween(name, from, to)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+
+  test("mergeUpsert records insert + update pre/postimage in one commit") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
+    ts.setChangeFeed("t", true)                               // v1
+    ts.mergeUpsert("t", Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"),
+      changeTypeCol = None)                                   // v2
+    assert(ts.read("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(changes(ts, "t", 1, 2) === Set(
+      (2L, "b", "update_preimage", 2L),
+      (2L, "B", "update_postimage", 2L),
+      (3L, "c", "insert", 2L)))
+  }
+
+  test("delete and update record change rows; untouched dirs carry") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    ts.setChangeFeed("t", true)
+    ts.delete("t", col("id") === 2L)                          // v2
+    ts.update("t", col("id") === 3L, Map("v" -> lit("C")))    // v3
+    assert(changes(ts, "t", 1, 3) === Set(
+      (2L, "b", "delete", 2L),
+      (3L, "c", "update_preimage", 3L),
+      (3L, "C", "update_postimage", 3L)))
+  }
+
+  test("mergeDelete on a bucketed table keeps layout and records deletes") {
+    val ts = freshStore()
+    ts.createBucketed("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), 4)
+    ts.setChangeFeed("t", true)
+    ts.mergeDelete("t", Seq(5L, 6L).toDF("id"), Seq("id"))
+    assert(ts.read("t").count() === 18)
+    assert(ts.bucketingOf("t").isDefined)
+    // layout preserved: every live dir is still a bucket leaf
+    assert(ts.liveDirs("t").forall(_.contains("/__b=")))
+    assert(changes(ts, "t", 1, 2) ===
+      Set((5L, "v5", "delete", 2L), (6L, "v6", "delete", 2L)))
+  }
+
+  test("appends synthesize inserts without recorded change rows") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    ts.append("t", Seq((2L, "b")).toDF("id", "v"))            // v1, CDF off
+    assert(changes(ts, "t", 0, 1) === Set((2L, "b", "insert", 1L)))
+    // creation itself readable from fromVersion = -1
+    assert(changes(ts, "t", -1, 0) === Set((1L, "a", "insert", 0L)))
+  }
+
+  test("full replace reads as delete-all + insert-all; partial rewrite without CDF throws") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    ts.overwrite("t", Seq((2L, "b")).toDF("id", "v"))         // v1 full replace
+    assert(changes(ts, "t", 0, 1) ===
+      Set((1L, "a", "delete", 1L), (2L, "b", "insert", 1L)))
+    // partial rewrite with CDF off: update rewrites the only dir but
+    // appends first so the rewrite is partial
+    val ts2 = freshStore()
+    ts2.create("u", Seq((1L, "a")).toDF("id", "v"))
+    ts2.append("u", Seq((2L, "b")).toDF("id", "v"))
+    ts2.update("u", col("id") === 1L, Map("v" -> lit("A")))
+    val e = intercept[IllegalStateException](
+      ts2.readChangesBetween("u", 0, ts2.currentVersion("u")).count())
+    assert(e.getMessage.contains("enable the change feed"))
+  }
+
+  test("compact and optimize mark no-logical-change; vacuum sweeps old cdf dirs") {
+    val root = Files.createTempDirectory("cdfstore")
+    val ts = new TableStore(spark, root.toString)
+    ts.create("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ts.setChangeFeed("t", true)
+    ts.append("t", Seq((11L, "v11")).toDF("id", "v"))
+    ts.compact("t")                                           // physical only
+    val ch = changes(ts, "t", 1, ts.currentVersion("t"))
+    assert(ch === Set((11L, "v11", "insert", 2L)))
+    // mutate again so _cdf/<v> exists, then vacuum beyond it
+    ts.delete("t", col("id") === 1L)
+    val delV = ts.currentVersion("t")
+    assert(Files.isDirectory(root.resolve("t").resolve("_cdf").resolve(delV.toString)))
+    ts.compact("t"); ts.compact("t")
+    ts.vacuum("t", retainVersions = 1)
+    assert(!Files.exists(root.resolve("t").resolve("_cdf").resolve(delV.toString)))
+  }
+}

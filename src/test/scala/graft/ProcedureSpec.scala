@@ -54,5 +54,14 @@ class ProcedureSpec extends AnyFunSuite {
     val names = spark.sql("SHOW PROCEDURES IN gproc.system")
       .collect().map(_.toString).mkString(",")
     assert(names.contains("vacuum") && names.contains("optimize_zorder"))
+
+    // change feed toggle from SQL; a delete then records change rows
+    spark.sql("CALL gproc.system.set_change_feed('t', true)")
+    assert(ts.changeFeedEnabled("t"))
+    val v0 = ts.currentVersion("t")
+    ts.delete("t", col("id") === 7L)
+    val ch = ts.readChangesBetween("t", v0, ts.currentVersion("t"))
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch === Set((7L, "delete")))
   }
 }
