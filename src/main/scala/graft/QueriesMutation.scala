@@ -439,6 +439,24 @@ object QueriesMutation {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE o_orderkey <> 371""".stripMargin)),
 
+    // ---- Deletion vectors: two merge-on-read deletes (merged
+    //      tombstones) then a filtered SQL read through the DSv2
+    //      catalog — the scan applies the (file, position) sidecars
+    //      without any dir having been rewritten. ----
+    "m8_dv_delete" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "dvt")
+        st.create("dvt", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        st.deleteVectorized("dvt", col("o_custkey") % 7 === 0)
+        st.deleteVectorized("dvt", col("o_orderkey") % 5 === 0)
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM graft.dvt
+                 WHERE o_totalprice > 1000""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey % 7 <> 0 AND o_orderkey % 5 <> 0
+             |  AND o_totalprice > 1000""".stripMargin)),
+
     // ---- Change data feed: row-level change capture across a merge +
     //      a pruned delete, read back with readChangesBetween. The
     //      oracle re-derives every change row relationally: preimage =

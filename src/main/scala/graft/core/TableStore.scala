@@ -68,6 +68,13 @@ class TableStore(spark: SparkSession, root: String) {
     def expr: Column = pmod(hash(keys.map(col): _*), lit(n))
   }
 
+  /** Deletion-vector reference for one dir: `path` names a sidecar
+    * parquet dataset under `_dv/` holding (relpath, pos) rows — the
+    * file-relative row positions deleted from this dir — and `deleted`
+    * counts them (metadata-only COUNT adjustments). Dirs stay
+    * immutable; a DV commit changes only the manifest + sidecar. */
+  final case class DvRef(path: String, deleted: Long)
+
   // ---- manifest (de)serialization ----
   // {"schema": <ddl>, "dirs": [..], "bucketkeys": [..], "nbuckets": N,
   //  "stats": {"<dir>": {"rows": N, "cols": {"<col>": {"min": "..",
@@ -94,7 +101,12 @@ class TableStore(spark: SparkSession, root: String) {
       else s""", "checks": {${checks.toSeq.sortBy(_._1)
         .map { case (k, e) => s"${jsonStr(k)}: ${jsonStr(e)}" }.mkString(",")}}"""
     val cdfPart = if (m.cdf) s""", "cdf": true""" else ""
-    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + bucketing.map(b =>
+    val dvsPart =
+      if (m.dvs.isEmpty) ""
+      else s""", "dvs": {${m.dvs.toSeq.sortBy(_._1).map { case (d, r) =>
+        s"${jsonStr(d)}: {\"path\": ${jsonStr(r.path)}, \"deleted\": ${r.deleted}}"
+      }.mkString(",")}}"""
+    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + dvsPart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -126,7 +138,8 @@ class TableStore(spark: SparkSession, root: String) {
                                           txns: Map[String, Long] = Map.empty,
                                           bloomCols: Seq[String] = Nil,
                                           checks: Map[String, String] = Map.empty,
-                                          cdf: Boolean = false)
+                                          cdf: Boolean = false,
+                                          dvs: Map[String, DvRef] = Map.empty)
 
   private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
@@ -143,7 +156,13 @@ class TableStore(spark: SparkSession, root: String) {
       .map { case (k, v) => k -> v.asInstanceOf[String] })
       .getOrElse(Map.empty[String, String])
     val cdf = m.get("cdf").exists(_.asInstanceOf[Boolean])
-    Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks, cdf)
+    val dvs = m.get("dvs").map(_.asInstanceOf[Map[String, Any]]
+      .map { case (d, v) =>
+        val o = v.asInstanceOf[Map[String, Any]]
+        d -> DvRef(o("path").asInstanceOf[String], o("deleted").asInstanceOf[Long])
+      }).getOrElse(Map.empty[String, DvRef])
+    Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks,
+      cdf, dvs)
   }
 
   private def bucketOf(entry: String): Int =
@@ -208,7 +227,10 @@ class TableStore(spark: SparkSession, root: String) {
     * dirs keep theirs, so only just-written dirs cost a read pass),
     * write manifest v, then atomically swap the _LATEST pointer. The
     * single place this sequence lives. */
-  private def commitManifest(name: String, v: Long, m: Manifest): Unit = {
+  private def commitManifest(name: String, v: Long, m0: Manifest): Unit = {
+    // deletion vectors attach to specific immutable dirs: entries for
+    // dirs this version no longer carries are dropped automatically
+    val m = m0.copy(dvs = m0.dvs.filter { case (d, _) => m0.dirs.contains(d) })
     import m.{schema, dirs, stats, bloomCols}
     if (bloomCols.nonEmpty)
       BloomIndex.ensure(spark, bloomRoot(name), dataRoot(name), dirs, bloomCols,
@@ -231,11 +253,131 @@ class TableStore(spark: SparkSession, root: String) {
     }
 
   def readVersion(name: String, v: Long): DataFrame = {
-    val m = readManifest(name, v); import m.{schema, dirs}
-    scanDirs(dirs, name, schema)
+    val m = readManifest(name, v)
+    scanLive(name, m, m.dirs)
   }
 
   def read(name: String): DataFrame = readVersion(name, currentVersion(name))
+
+  // ---- deletion vectors (merge-on-read DELETE) ----
+
+  /** Root of a table's deletion-vector sidecars. */
+  def dvRoot(name: String): Path = dir(name).resolve("_dv")
+
+  /** `<dir>/<filename>` for a scanned row — the key deletion vectors
+    * are recorded under (matches the manifest dir entry + base name). */
+  private def relpathCol: Column =
+    substring_index(col("_metadata.file_path"), "/data/", -1)
+
+  /** Manifest dir entry of a relpath: everything before the last '/'. */
+  private def dirOf(c: String): Column =
+    expr(s"substring($c, 1, length($c) - " +
+      s"length(substring_index($c, '/', -1)) - 1)")
+
+  /** The (relpath, pos) rows of the given dirs' deletion vectors. */
+  private def dvRows(name: String, m: Manifest, dvDirs: Seq[String]): DataFrame = {
+    val paths = dvDirs.flatMap(d => m.dvs.get(d).map(_.path)).distinct
+      .map(p => dvRoot(name).resolve(p).toString)
+    spark.read.parquet(paths: _*)
+      .filter(col("dir").isin(dvDirs: _*))
+      .select(col("relpath").as("__dv_relpath"), col("pos").as("__dv_pos"))
+  }
+
+  /** Scan of live dirs with any deletion vectors APPLIED: dirs without
+    * DVs take the plain multi-path scan; DV'd dirs anti-join their
+    * (file, position) tombstones — the DV side is tiny (deleted rows
+    * only) so the anti-join broadcasts; pushdown/pruning on the main
+    * scan is unaffected. Every internal reader of live table data goes
+    * through here, so merge/update/compact can never resurrect
+    * DV-deleted rows. */
+  private def scanLive(name: String, m: Manifest, dirs: Seq[String]): DataFrame = {
+    val (dvd, clean) = dirs.partition(m.dvs.contains)
+    val cleanDf = scanDirs(clean, name, m.schema)
+    if (dvd.isEmpty) cleanDf
+    else {
+      val schemaCols = m.schema.map(f => col(f.name))
+      val applied = scanDirs(dvd, name, m.schema)
+        .select(schemaCols :+ relpathCol.as("__relpath") :+
+          col("_metadata.row_index").as("__pos"): _*)
+        .join(broadcast(dvRows(name, m, dvd)),
+          col("__relpath") === col("__dv_relpath") && col("__pos") === col("__dv_pos"),
+          "left_anti")
+        .select(schemaCols: _*)
+      if (clean.isEmpty) applied else cleanDf.unionByName(applied)
+    }
+  }
+
+  /** DELETE ... WHERE cond as a MERGE-ON-READ commit: instead of
+    * rewriting the dirs the predicate touches ([[delete]]'s
+    * copy-on-write), record the matching rows' (file, position)
+    * tombstones in a `_dv/` sidecar and commit only metadata. At
+    * 100 TB a point delete writes kilobytes instead of rewriting
+    * gigabytes; reads anti-join the (tiny) tombstone set until a
+    * rewrite of the dir (merge / update / compact / optimize)
+    * materializes the deletion and drops the DV. Stats/bloom pruning
+    * bounds stay sound — DVs only remove rows. With the change feed
+    * on, the deleted rows land under `_cdf/<v>` in the same pass. */
+  def deleteVectorized(name: String, condition: Column): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val (touched, _) = pruneDirsByCondition(name, m, condition)
+    if (touched.isEmpty) return
+    val v = currentVersion(name) + 1
+    val uuid = java.util.UUID.randomUUID.toString.take(8)
+    // one scan of the touched dirs stages the matching rows (the small
+    // side) with their positions; sidecar + change rows derive from it
+    val staging = dvRoot(name).resolve(s"tmpdel-$uuid")
+    val schemaCols = m.schema.map(f => col(f.name))
+    scanLiveWithPos(name, m, touched)
+      .filter(coalesce(condition, lit(false)))
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    val perDir = staged.select(dirOf("__relpath").as("dir"))
+      .groupBy("dir").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perDir.isEmpty) { FsUtil.deleteRecursively(staging.toFile); return }
+    val newDirs = perDir.keySet
+    // dirs that already carry a DV merge their old tombstones in, so
+    // each dir keeps exactly one sidecar reference
+    val dvName = s"dv-$v-$uuid"
+    val fresh = staged.select(dirOf("__relpath").as("dir"),
+      col("__relpath").as("relpath"), col("__pos").as("pos"))
+    val priorDvd = newDirs.filter(m.dvs.contains).toSeq
+    val combined =
+      if (priorDvd.isEmpty) fresh
+      else fresh.unionByName(
+        dvRows(name, m, priorDvd)
+          .select(col("__dv_relpath").as("relpath"), col("__dv_pos").as("pos"))
+          .withColumn("dir", dirOf("relpath"))
+          .select("dir", "relpath", "pos"))
+    combined.write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
+    if (m.cdf) {
+      val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+      Files.createDirectories(cdfDir)
+      staged.select(schemaCols: _*)
+        .write.mode("overwrite")
+        .parquet(cdfDir.resolve("__cdc=delete").toString)
+    }
+    FsUtil.deleteRecursively(staging.toFile)
+    val updated = newDirs.map { d =>
+      val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
+      d -> DvRef(dvName, prior + perDir(d))
+    }.toMap
+    commitManifest(name, v, m.copy(dvs = m.dvs ++ updated))
+  }
+
+  /** Live scan of `dirs` with DVs applied AND position metadata kept
+    * (`__relpath`, `__pos`) — the input [[deleteVectorized]] stages. */
+  private def scanLiveWithPos(name: String, m: Manifest, dirs: Seq[String]): DataFrame = {
+    val schemaCols = m.schema.map(f => col(f.name))
+    val base = scanDirs(dirs, name, m.schema)
+      .select(schemaCols :+ relpathCol.as("__relpath") :+
+        col("_metadata.row_index").as("__pos"): _*)
+    val dvd = dirs.filter(m.dvs.contains)
+    if (dvd.isEmpty) base
+    else base.join(broadcast(dvRows(name, m, dvd)),
+      col("__relpath") === col("__dv_relpath") && col("__pos") === col("__dv_pos"),
+      "left_anti")
+  }
 
   /** One consistent view of a table: version + schema + live dirs +
     * bucketing, read from a SINGLE manifest resolution. Callers that
@@ -245,7 +387,8 @@ class TableStore(spark: SparkSession, root: String) {
   final case class Snapshot(version: Long, schema: StructType,
                             dirs: Seq[String], bucketing: Option[Bucketing],
                             stats: Map[String, DirStats] = Map.empty,
-                            bloomCols: Seq[String] = Nil) {
+                            bloomCols: Seq[String] = Nil,
+                            dvs: Map[String, DvRef] = Map.empty) {
     /** Absolute paths of the snapshot's live parquet files. */
     def files(store: TableStore, name: String): Seq[String] =
       filesByDir(store, name).flatMap(_._2)
@@ -267,9 +410,12 @@ class TableStore(spark: SparkSession, root: String) {
     }
 
     /** Exact row count from manifest statistics, if every live dir has
-      * stats (metadata-only COUNT(*)). */
+      * stats (metadata-only COUNT(*)) — net of deletion-vector
+      * tombstones, whose counts the manifest carries. */
     def rowCount: Option[Long] =
-      if (dirs.forall(stats.contains)) Some(dirs.map(stats(_).rows).sum) else None
+      if (dirs.forall(stats.contains))
+        Some(dirs.map(stats(_).rows).sum - dvs.values.map(_.deleted).sum)
+      else None
   }
 
   def snapshot(name: String): Snapshot = snapshotAt(name, currentVersion(name))
@@ -277,7 +423,24 @@ class TableStore(spark: SparkSession, root: String) {
   /** Pinned snapshot of a historical version (time travel). */
   def snapshotAt(name: String, v: Long): Snapshot = {
     val m = readManifest(name, v)
-    Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats, m.bloomCols)
+    Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats, m.bloomCols, m.dvs)
+  }
+
+  /** Deleted row positions per live FILE for the snapshot's DV'd dirs —
+    * the planning-time input of the DSv2 reader's position skip. Keys
+    * are absolute file paths; values are sorted positions. Sidecars
+    * hold only deleted rows, so this is small by construction. */
+  def dvPositionsByFile(name: String, version: Long): Map[String, Array[Long]] = {
+    val m = readManifest(name, version)
+    if (m.dvs.isEmpty) return Map.empty
+    val dataRootPath = dataRoot(name).toString
+    dvRows(name, m, m.dvs.keys.toSeq)
+      .groupBy("__dv_relpath")
+      .agg(sort_array(collect_list(col("__dv_pos"))).as("ps"))
+      .collect()
+      .map(r => s"$dataRootPath/${r.getString(0)}" ->
+        r.getSeq[Long](1).toArray)
+      .toMap
   }
 
   /** Latest version whose manifest was committed at or before `tsMillis`
@@ -388,7 +551,7 @@ class TableStore(spark: SparkSession, root: String) {
     require(nDirs > 0, "nDirs must be positive")
     val m = readManifest(name, currentVersion(name))
     clusterRewrite(name, m,
-      scanDirs(m.dirs, name, m.schema)
+      scanLive(name, m, m.dirs)
         .repartitionByRange(nDirs, cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*))
   }
@@ -423,7 +586,7 @@ class TableStore(spark: SparkSession, root: String) {
           s"z-order unsupported for $c: $other")
       }
     }
-    val df = scanDirs(m.dirs, name, m.schema)
+    val df = scanLive(name, m, m.dirs)
     val nBuckets = 1 << bitsPerCol
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     // ONE sampling pass computes every column's quantile boundaries
@@ -544,6 +707,15 @@ class TableStore(spark: SparkSession, root: String) {
     }
     // bloom sidecars of dirs no retained version references
     deleted ++= BloomIndex.sweep(bloomRoot(name), live)
+    // deletion-vector sidecars no retained manifest references
+    val liveDvPaths: Set[String] =
+      keepVersions.flatMap(v => readManifest(name, v).dvs.values.map(_.path)).toSet
+    val dvDir = dvRoot(name)
+    if (Files.isDirectory(dvDir)) {
+      Using.resource(Files.list(dvDir))(_.iterator().asScala.toSeq)
+        .filterNot(p => liveDvPaths.contains(p.getFileName.toString))
+        .foreach { p => FsUtil.deleteRecursively(p.toFile); deleted += p }
+    }
     // change-feed dirs of versions outside the retained window
     val cdfRoot = dir(name).resolve("_cdf")
     if (Files.isDirectory(cdfRoot)) {
@@ -575,7 +747,7 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     require(!m.checks.contains(constraintName),
       s"constraint $constraintName already exists")
-    val cur = scanDirs(m.dirs, name, m.schema)
+    val cur = scanLive(name, m, m.dirs)
     val violating =
       try !cur.filter(!coalesce(expr(exprSql), lit(false))).isEmpty
       catch { case e: org.apache.spark.sql.AnalysisException =>
@@ -629,16 +801,15 @@ class TableStore(spark: SparkSession, root: String) {
     * Prunable when the table is bucketed and the bucket keys are a
     * subset of the operation's keys (so every source row's bucket is
     * known). Falls back to full-table rewrite otherwise. */
-  private def pruneByKeys(name: String, schema: StructType, dirs: Seq[String],
-                          bucketing: Option[Bucketing], source: DataFrame,
+  private def pruneByKeys(name: String, m: Manifest, source: DataFrame,
                           keys: Seq[String]): (DataFrame, Seq[String], Option[Bucketing]) =
-    bucketing match {
-      case Some(b) if b.keys.forall(keys.contains) && dirs.forall(_.contains("/__b=")) =>
+    m.bucketing match {
+      case Some(b) if b.keys.forall(keys.contains) && m.dirs.forall(_.contains("/__b=")) =>
         val srcBuckets = source.select(b.expr.as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet
-        val (affected, carried) = dirs.partition(e => srcBuckets.contains(bucketOf(e)))
-        (scanDirs(affected, name, schema), carried, bucketing)
-      case other => (scanDirs(dirs, name, schema), Seq.empty, other)
+        val (affected, carried) = m.dirs.partition(e => srcBuckets.contains(bucketOf(e)))
+        (scanLive(name, m, affected), carried, m.bucketing)
+      case other => (scanLive(name, m, m.dirs), Seq.empty, other)
     }
 
   /** MERGE upsert (M1 composite-key / M2 single-key):
@@ -656,7 +827,7 @@ class TableStore(spark: SparkSession, root: String) {
     import m.{schema, dirs, bucketing}
     val src = conform(source, schema)
     if (verifyUniqueSource) requireUniqueSource(src, keys)
-    val (target, carried, b) = pruneByKeys(name, schema, dirs, bucketing, src, keys)
+    val (target, carried, b) = pruneByKeys(name, m, src, keys)
     val dataCols = schema.map(_.name).filterNot(keys.contains)
     val s = src.select(
       keys.map(col) ++ dataCols.map(c => col(c).as(s"__s_$c"))
@@ -693,8 +864,7 @@ class TableStore(spark: SparkSession, root: String) {
   def mergeDelete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
     val m = readManifest(name, currentVersion(name))
     val keyRows = keysDf.select(keys.map(col): _*).distinct()
-    val (target, carried, b) =
-      pruneByKeys(name, m.schema, m.dirs, m.bucketing, keyRows, keys)
+    val (target, carried, b) = pruneByKeys(name, m, keyRows, keys)
     if (!m.cdf)
       commit(name, Some(target.join(keyRows, keys, "left_anti")),
         m.copy(bucketing = b), carried): Unit
@@ -753,8 +923,8 @@ class TableStore(spark: SparkSession, root: String) {
     * is exactly this shape: a GDPR predicate over a huge table). At
     * 100 TB this is the difference between rewriting ~1 dir and
     * rewriting the table; dirs without reliable stats always rewrite. */
-  private def pruneByCondition(name: String, m: Manifest, condition: Column)
-      : (DataFrame, Seq[String]) = {
+  private def pruneDirsByCondition(name: String, m: Manifest, condition: Column)
+      : (Seq[String], Seq[String]) = {
     val filters = conditionFilters(m.schema, condition)
     val byStats = StatsPruning.liveDirs(m.dirs, m.stats, m.schema, filters)
     // point predicates additionally consult the per-dir bloom index —
@@ -762,8 +932,13 @@ class TableStore(spark: SparkSession, root: String) {
     val touched =
       if (m.bloomCols.isEmpty) byStats
       else BloomIndex.prune(byStats, filters, m.schema, m.bloomCols, bloomRoot(name))
-    val carried = m.dirs.filterNot(touched.toSet)
-    (scanDirs(touched, name, m.schema), carried)
+    (touched, m.dirs.filterNot(touched.toSet))
+  }
+
+  private def pruneByCondition(name: String, m: Manifest, condition: Column)
+      : (DataFrame, Seq[String]) = {
+    val (touched, carried) = pruneDirsByCondition(name, m, condition)
+    (scanLive(name, m, touched), carried)
   }
 
   /** UPDATE ... SET ... WHERE cond (M5 soft delete): manifest-stats
@@ -915,6 +1090,7 @@ class TableStore(spark: SparkSession, root: String) {
     var prev = readManifest(name, fromVersion).dirs
     val m0Dirs = prev
     var m1 = readManifest(name, fromVersion)
+    var prevDvs = readManifest(name, fromVersion).dvs
     (fromVersion + 1 to toVersion).foreach { v =>
       m1 = readManifest(name, v)
       val removed = prev.filterNot(m1.dirs.contains)
@@ -922,7 +1098,11 @@ class TableStore(spark: SparkSession, root: String) {
         throw new IllegalStateException(
           s"$name version $v is not an append: ${removed.size} dirs " +
             "removed/rewritten — full refresh required")
-      prev = m1.dirs
+      if (m1.dvs != prevDvs)
+        throw new IllegalStateException(
+          s"$name version $v applied deletion vectors (rows removed) — " +
+            "not an append; full refresh required")
+      prev = m1.dirs; prevDvs = m1.dvs
     }
     scanDirs(m1.dirs.filterNot(m0Dirs.contains), name, m1.schema)
   }
@@ -1037,7 +1217,9 @@ class TableStore(spark: SparkSession, root: String) {
         .withColumn("_commit_version", lit(v))
     val parts: Seq[DataFrame] = (fromVersion + 1 to toVersion).flatMap { v =>
       val cur = readManifest(name, v)
-      val prevDirs = if (v == 0) Seq.empty[String] else readManifest(name, v - 1).dirs
+      val prev = if (v == 0) cur.copy(dirs = Nil, dvs = Map.empty)
+                 else readManifest(name, v - 1)
+      val prevDirs = prev.dirs
       val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
       if (Files.isDirectory(cdfDir)) {
         val hasKinds = Using.resource(Files.list(cdfDir))(_.iterator().asScala
@@ -1055,14 +1237,24 @@ class TableStore(spark: SparkSession, root: String) {
       } else {
         val removed = prevDirs.filterNot(cur.dirs.contains)
         val added = cur.dirs.filterNot(prevDirs.contains)
+        // DV entries vanish WITH their dirs on rewrite (normalization);
+        // only a DV change on a dir live in both versions means rows
+        // were removed invisibly to the manifest diff
+        val carriedSet = cur.dirs.toSet.intersect(prevDirs.toSet)
+        if (carriedSet.exists(d => cur.dvs.get(d) != prev.dvs.get(d)))
+          throw new IllegalStateException(
+            s"$name version $v applied deletion vectors with no recorded " +
+              "change data — enable the change feed (setChangeFeed) first")
+        // removed dirs read under the PREV manifest (its DVs bounded what
+        // was live); added dirs under the current one
         if (removed.isEmpty && added.isEmpty) Seq.empty
         else if (removed.isEmpty)
-          Seq(tag(scanDirs(added, name, cur.schema), "insert", v))
+          Seq(tag(scanLive(name, cur, added), "insert", v))
         else if (added.isEmpty)
-          Seq(tag(scanDirs(removed, name, cur.schema), "delete", v))
+          Seq(tag(scanLive(name, prev, removed), "delete", v))
         else if (prevDirs.forall(removed.contains))
-          Seq(tag(scanDirs(removed, name, cur.schema), "delete", v),
-            tag(scanDirs(added, name, cur.schema), "insert", v))
+          Seq(tag(scanLive(name, prev, removed), "delete", v),
+            tag(scanLive(name, cur, added), "insert", v))
         else throw new IllegalStateException(
           s"$name version $v partially rewrote dirs with no recorded " +
             "change data — enable the change feed (setChangeFeed) before " +
@@ -1091,6 +1283,10 @@ class TableStore(spark: SparkSession, root: String) {
     val missing = m.dirs.filterNot(d => Files.isDirectory(dataRoot(name).resolve(d)))
     require(missing.isEmpty,
       s"cannot restore $name to $v: dirs vacuumed: ${missing.mkString(",")}")
+    val missingDv = m.dvs.values.map(_.path).toSeq.distinct
+      .filterNot(p => Files.isDirectory(dvRoot(name).resolve(p)))
+    require(missingDv.isEmpty,
+      s"cannot restore $name to $v: deletion vectors vacuumed: ${missingDv.mkString(",")}")
     val curM = readManifest(name, cur)
     commitManifest(name, cur + 1, m.copy(txns = curM.txns,
       bloomCols = curM.bloomCols, checks = curM.checks, cdf = curM.cdf))
@@ -1107,7 +1303,8 @@ class TableStore(spark: SparkSession, root: String) {
       if (!Files.exists(p)) None
       else {
         val m = readManifest(name, v)
-        val count = Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats).rowCount
+        val count = Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats,
+          dvs = m.dvs).rowCount
         Some((v, new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis),
           m.dirs.size, count))
       }

@@ -300,7 +300,9 @@ class GraftSqlTable(root: String, tableName: String,
       bucketing = snap.bucketing.map(b => (b.keys, b.n)),
       bloomPrune =
         if (snap.bloomCols.isEmpty) None
-        else Some((snap.bloomCols, store.bloomRoot(tableName))))
+        else Some((snap.bloomCols, store.bloomRoot(tableName))),
+      dvByFile = store.dvPositionsByFile(tableName, snap.version),
+      dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap)
 
   /** SQL MERGE INTO / UPDATE via GROUP-BASED (file-subset copy-on-write)
     * row-level operations. Spark's RowLevelOperationRuntimeGroupFiltering
@@ -336,7 +338,8 @@ class GraftSqlTable(root: String, tableName: String,
           override def pruneColumns(s: StructType): Unit = required = s
           override def build(): Scan =
             new GraftRowLevelScan(snap.schema, required,
-              snap.filesByDir(store, tableName), t => touched = Some(t))
+              snap.filesByDir(store, tableName), t => touched = Some(t),
+              store.dvPositionsByFile(tableName, snap.version))
         }
       override def newWriteBuilder(
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -388,7 +391,9 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        allowFilterPushdown: Boolean = true,
                        streamSource: Option[(String, String)] = None,
                        bucketing: Option[(Seq[String], Int)] = None,
-                       bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None)
+                       bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
+                       dvByFile: Map[String, Array[Long]] = Map.empty,
+                       dvDeleted: Map[String, Long] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -403,7 +408,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
     * happens for anything the stats can't answer exactly. */
   private def answerable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
     if (pushed.nonEmpty || !allowFilterPushdown) None
-    else MetadataAggregate.answer(agg, schema, dirFiles.map(_._1), stats)
+    else MetadataAggregate.answer(agg, schema, dirFiles.map(_._1), stats, dvDeleted)
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     answerable(agg).isDefined
@@ -449,7 +454,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
       val live = dirFiles.filter(df => liveDirs.contains(df._1))
       new GraftScan(schema, required, live, stats, pushed, streamSource,
         dirsTotal = dirFiles.size, bucketing = bucketing,
-        bloomPrune = bloomPrune)
+        bloomPrune = bloomPrune, dvByFile = dvByFile)
   }
 }
 
@@ -460,7 +465,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
                 streamSource: Option[(String, String)] = None,
                 dirsTotal: Int = 0,
                 bucketing: Option[(Seq[String], Int)] = None,
-                bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None)
+                bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
+                dvByFile: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -553,11 +559,13 @@ class GraftScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = bucketGroups match {
     case Some((_, _, groups)) =>
-      groups.map { case (b, fs) => GraftBucketInputPartition(b, fs): InputPartition }.toArray
-    case None => files.map(f => GraftInputPartition(f): InputPartition).toArray
+      groups.map { case (b, fs) => GraftBucketInputPartition(b, fs,
+        dvByFile.view.filterKeys(fs.contains).toMap): InputPartition }.toArray
+    case None => files.map(f => GraftInputPartition(f,
+      dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, fullSchema, pushed)
+    new GraftReaderFactory(required, fullSchema, pushed, hasDvs = dvByFile.nonEmpty)
   override def description(): String =
     s"graft parquet scan, ${files.size} files" +
       s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
@@ -574,7 +582,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
     // Spark's join-strategy and AQE decisions see real cardinality
     private val rows: Option[Long] =
       if (live.forall(df => stats.contains(df._1)))
-        Some(live.map(df => stats(df._1).rows).sum)
+        Some(live.map(df => stats(df._1).rows).sum -
+          live.flatMap(_._2).flatMap(dvByFile.get).map(_.length.toLong).sum)
       else None
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -632,7 +641,8 @@ object GraftRuntimeValues {
   * through the operation (non-matching rows copy through unchanged). */
 class GraftRowLevelScan(fullSchema: StructType, required: StructType,
                         dirFiles: Seq[(String, Seq[String])],
-                        onTouched: Set[String] => Unit)
+                        onTouched: Set[String] => Unit,
+                        dvByFile: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   private var live: Seq[(String, Seq[String])] = dirFiles
@@ -652,9 +662,11 @@ class GraftRowLevelScan(fullSchema: StructType, required: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    live.flatMap(_._2).map(f => GraftInputPartition(f): InputPartition).toArray
+    live.flatMap(_._2).map(f => GraftInputPartition(f,
+      dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, fullSchema, Array.empty)
+    new GraftReaderFactory(required, fullSchema, Array.empty,
+      hasDvs = dvByFile.nonEmpty)
   override def description(): String =
     s"graft row-level scan, ${live.size}/${dirFiles.size} dirs"
 }
@@ -723,14 +735,37 @@ class GraftMicroBatchStream(root: String, table: String,
     new GraftReaderFactory(required, fullSchema, Array.empty)
 }
 
-case class GraftInputPartition(file: String) extends InputPartition
+case class GraftInputPartition(file: String,
+                               dvPositions: Array[Long] = Array.empty)
+    extends InputPartition
 
 /** One hash bucket's files as a single input partition, keyed for
   * Spark's key-grouped (storage-partitioned) execution. */
-case class GraftBucketInputPartition(bucket: Int, files: Seq[String])
+case class GraftBucketInputPartition(bucket: Int, files: Seq[String],
+                                     dvByFile: Map[String, Array[Long]] = Map.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+/** Drops deletion-vector positions from a sequential full-file read:
+  * `positions` are sorted file row indexes; the inner reader must not
+  * skip rows (no pushdown), so the running count IS the row index. */
+class GraftDvSkipReader(inner: PartitionReader[InternalRow],
+                        positions: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private var idx = -1L
+  private var p = 0
+  override def next(): Boolean = {
+    while (inner.next()) {
+      idx += 1
+      if (p < positions.length && positions(p) == idx) p += 1
+      else return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }
 
 /** Sequentially chains per-file readers for multi-file partitions. */
@@ -754,15 +789,25 @@ class GraftChainedReader[T](mk: Seq[() => PartitionReader[T]])
 }
 
 class GraftReaderFactory(required: StructType, fullSchema: StructType,
-                         pushed: Array[Filter]) extends PartitionReaderFactory {
+                         pushed: Array[Filter],
+                         hasDvs: Boolean = false) extends PartitionReaderFactory {
+  /** Files with a deletion vector read WITHOUT parquet-mr skipping (the
+    * running row count must equal the file row index) and drop the
+    * tombstoned positions; Spark re-applies all filters above the scan
+    * so losing their pushdown on these files is purely an I/O cost on
+    * exactly the files that have pending deletes. */
+  private def rowReader(f: String, dv: Array[Long]): PartitionReader[InternalRow] =
+    if (dv.isEmpty) new GraftPartitionReader(f, required, fullSchema, pushed)
+    else new GraftDvSkipReader(
+      new GraftPartitionReader(f, required, fullSchema, Array.empty), dv)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case GraftBucketInputPartition(_, fs) =>
+      case GraftBucketInputPartition(_, fs, dvs) =>
         new GraftChainedReader(fs.map(f =>
-          () => new GraftPartitionReader(f, required, fullSchema, pushed)))
+          () => rowReader(f, dvs.getOrElse(f, Array.empty))))
       case p =>
-        new GraftPartitionReader(p.asInstanceOf[GraftInputPartition].file,
-          required, fullSchema, pushed)
+        val gp = p.asInstanceOf[GraftInputPartition]
+        rowReader(gp.file, gp.dvPositions)
     }
 
   /** Batch reads decode through Spark's vectorized parquet reader
@@ -770,14 +815,20 @@ class GraftReaderFactory(required: StructType, fullSchema: StructType,
     * remains as the -Dgraft.sql.vectorized=false escape hatch. Scans
     * projecting the `_file` metadata column (group-filter subqueries —
     * tiny) take the row path, which synthesizes it per row. */
+  /** Spark requires every partition of a scan to agree on columnar vs
+    * row, so ANY deletion vector in the snapshot sends the whole scan
+    * down the position-counting row path (files without a DV skip
+    * nothing — they just decode row-at-a-time until the next rewrite
+    * materializes the deletes and restores the vectorized path). */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    GraftVectorized.enabled && !required.fieldNames.contains(GraftFileMeta.Name)
+    GraftVectorized.enabled && !required.fieldNames.contains(GraftFileMeta.Name) &&
+      !hasDvs
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pred = GraftVectorized.predicate(pushed, fullSchema)
     partition match {
-      case GraftBucketInputPartition(_, fs) =>
+      case GraftBucketInputPartition(_, fs, _) =>
         new GraftChainedReader(fs.map(f =>
           () => new GraftColumnarPartitionReader(f, required, pred)))
       case p =>

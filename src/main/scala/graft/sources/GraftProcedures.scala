@@ -29,7 +29,7 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "compact", "restore",
     "optimize_range", "optimize_zorder", "set_bloom_columns", "history",
-    "set_change_feed")
+    "set_change_feed", "delete_vectorized")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -114,6 +114,15 @@ object GraftProcedures {
         val t = in.getUTF8String(0).toString
         store.setChangeFeed(t, in.getBoolean(1))
         result(t, store.currentVersion(t))
+      }
+      case "delete_vectorized" => bound(Seq(param("table", StringType),
+          param("condition", StringType))) { in =>
+        val t = in.getUTF8String(0).toString
+        val before = store.snapshot(t).rowCount
+        store.deleteVectorized(t,
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
+        val after = store.snapshot(t).rowCount
+        result(t, (for { b <- before; a <- after } yield b - a).getOrElse(-1L))
       }
       case other =>
         throw new IllegalArgumentException(

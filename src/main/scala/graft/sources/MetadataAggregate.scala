@@ -33,22 +33,28 @@ object MetadataAggregate {
   /** Try to answer `agg` from stats. Some((schema, row)) when every
     * aggregate expression is answerable for every live dir. */
   def answer(agg: Aggregation, schema: StructType, dirs: Seq[String],
-             stats: Map[String, DirStats]): Option[(StructType, InternalRow)] = {
+             stats: Map[String, DirStats],
+             dvDeleted: Map[String, Long] = Map.empty)
+      : Option[(StructType, InternalRow)] = {
     if (agg.groupByExpressions().nonEmpty) return None
     if (!dirs.forall(stats.contains)) return None
     val dirStats = dirs.map(stats)
+    // deletion vectors: COUNT(*) subtracts the manifest's tombstone
+    // counts; everything else is unanswerable over a DV'd dir (the
+    // deleted rows' nulls/extremes are unknown to the stats)
+    val hasDv = dirs.exists(dvDeleted.contains)
     val answered = agg.aggregateExpressions().toSeq.map {
       case _: CountStar =>
         Some((StructField("count_star", LongType, nullable = false),
-          dirStats.map(_.rows).sum: Any))
-      case c: Count if !c.isDistinct =>
+          (dirStats.map(_.rows).sum - dirs.flatMap(dvDeleted.get).sum): Any))
+      case c: Count if !c.isDistinct && !hasDv =>
         for {
           f <- field(schema, c.column())
           css <- colStats(dirStats, f.name)
           nulls <- traverse(css.map(_._2.nulls))
         } yield (StructField(s"count_${f.name}", LongType, nullable = false),
           (css.map(_._1.rows).sum - nulls.sum): Any)
-      case m: Min =>
+      case m: Min if !hasDv =>
         for {
           f <- field(schema, m.column())
           css <- colStats(dirStats, f.name)
@@ -57,7 +63,7 @@ object MetadataAggregate {
           lo = css.flatMap(_._2.min)
           v <- bound(lo, f.dataType, isMin = true)
         } yield (StructField(s"min_${f.name}", f.dataType, nullable = true), v)
-      case m: Max =>
+      case m: Max if !hasDv =>
         for {
           f <- field(schema, m.column())
           if f.dataType != DoubleType && f.dataType != FloatType // hidden NaN
