@@ -218,8 +218,59 @@ class TableStore(spark: SparkSession, root: String) {
           DirStats.collect(dir(name).resolve("data").resolve(d), schema))
         .map(d -> _)
     }.toMap
-    commitManifest(name, v, meta.copy(dirs = newDirs, stats = stats))
-    v
+    // APPEND-shaped commits (every base dir carried, only additions) take
+    // the optimistic-concurrency path: a manifest collision rebases the
+    // added dirs onto the winner's manifest instead of failing
+    if (df.isDefined && exists(name) && carryForward == meta.dirs) {
+      val added = newDirs.filterNot(carryForward.contains)
+      commitAppendWithRetry(name, meta, added,
+        stats.view.filterKeys(added.contains).toMap)
+    } else {
+      commitManifest(name, v, meta.copy(dirs = newDirs, stats = stats))
+      v
+    }
+  }
+
+  /** Test hook: runs immediately before each optimistic manifest-write
+    * attempt (deterministic interleaving of a "concurrent" writer). */
+  private[graft] var onBeforeOptimisticCommit: () => Unit = () => ()
+
+  /** Optimistic concurrency for APPEND-shaped commits, the Delta
+    * conflict-resolution model restricted to its safe core: an append
+    * depends on no prior ROWS, so losing the manifest race to another
+    * writer is resolved by re-reading the winner's manifest and
+    * committing base-dirs-of-the-winner + our added dirs. The rebase is
+    * refused (ConcurrentModificationException) when the winner changed
+    * METADATA our data was written under — schema, bucketing layout, or
+    * CHECK constraints (our rows were validated against the old set) —
+    * the same conflicts Delta's WriteSerializable level rejects. All
+    * other concurrent commits (appends, compaction, DV deletes, other
+    * tables' state) compose with an append. The manifest CREATE_NEW
+    * put-if-absent is what detects the race — no locks. */
+  private def commitAppendWithRetry(name: String, base: Manifest,
+                                    added: Seq[String],
+                                    addedStats: Map[String, DirStats]): Long = {
+    var attempts = 0
+    while (attempts < 50) {
+      onBeforeOptimisticCommit()
+      val curV = currentVersion(name)
+      val latest = readManifest(name, curV)
+      if (latest.schema.toDDL != base.schema.toDDL ||
+          latest.bucketing != base.bucketing || latest.checks != base.checks)
+        throw new java.util.ConcurrentModificationException(
+          s"append to $name conflicts with a concurrent metadata change " +
+            "(schema / bucketing / constraints) — retry the whole operation")
+      try {
+        commitManifest(name, curV + 1,
+          latest.copy(dirs = latest.dirs ++ added,
+            stats = latest.stats ++ addedStats))
+        return curV + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"append to $name lost the commit race $attempts times — giving up")
   }
 
   /** The commit protocol: build any missing bloom-index files for the
@@ -996,8 +1047,12 @@ class TableStore(spark: SparkSession, root: String) {
       dir(name).resolve("data").resolve(dirName), m.schema,
       absentIsNull = false).map(dirName -> _)
     requireChecksPass(name, m, Seq(dirName))
-    commitManifest(name, currentVersion(name) + 1,
+    try commitManifest(name, currentVersion(name) + 1,
       m.copy(dirs = carry :+ dirName, stats = stats))
+    catch { // losing the race on an APPEND re-reads and re-attaches
+      case _: java.nio.file.FileAlreadyExistsException if !replace =>
+        attachDir(name, dirName, replace)
+    }
   }
 
   /** Attach a batch the DSv2 write path laid out as hash-bucket LEAF
@@ -1020,8 +1075,12 @@ class TableStore(spark: SparkSession, root: String) {
       DirStats.collect(dataRoot(name).resolve(l), m.schema,
         absentIsNull = false).map(l -> _))
     requireChecksPass(name, m, leaves)
-    commitManifest(name, currentVersion(name) + 1,
+    try commitManifest(name, currentVersion(name) + 1,
       m.copy(dirs = carry ++ leaves, stats = stats))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException if !replace =>
+        attachBucketedDirs(name, batchDir, replace)
+    }
   }
 
   /** Commit a version that REPLACES the `removed` live dirs with the
@@ -1059,7 +1118,7 @@ class TableStore(spark: SparkSession, root: String) {
     val txns = m.txns + (queryId -> epochId)
     if (files.isEmpty) {
       // empty epoch: still advance the watermark (no data dir)
-      commitManifest(name, currentVersion(name) + 1, m.copy(txns = txns))
+      commitEpochWithRetry(name, queryId, epochId, None, Map.empty)
       return true
     }
     val batch = f"st${currentVersion(name) + 1}%09d-" +
@@ -1067,12 +1126,41 @@ class TableStore(spark: SparkSession, root: String) {
     val target = dir(name).resolve("data").resolve(batch)
     Files.createDirectories(target)
     files.foreach(f => Files.move(f, target.resolve(f.getFileName)))
-    val stats = m.stats ++ DirStats.collect(target, m.schema,
-      absentIsNull = false).map(batch -> _)
+    val batchStats = DirStats.collect(target, m.schema,
+      absentIsNull = false).map(batch -> _).toMap
     requireChecksPass(name, m, Seq(batch))
-    commitManifest(name, currentVersion(name) + 1,
-      m.copy(dirs = m.dirs :+ batch, stats = stats, txns = txns))
+    if (!commitEpochWithRetry(name, queryId, epochId, Some(batch), batchStats)) {
+      FsUtil.deleteRecursively(target.toFile) // lost to a re-delivery
+      return false
+    }
     true
+  }
+
+  /** Epoch commit with optimistic retry: losing the manifest race to a
+    * concurrent batch append re-reads the winner's manifest, re-checks
+    * the exactly-once txn guard, and re-attempts — streaming sink and
+    * batch writers compose. Returns false when a concurrent commit
+    * already recorded this (queryId, epoch). */
+  private def commitEpochWithRetry(name: String, queryId: String, epochId: Long,
+                                   batch: Option[String],
+                                   batchStats: Map[String, DirStats]): Boolean = {
+    var attempts = 0
+    while (attempts < 50) {
+      onBeforeOptimisticCommit()
+      val curV = currentVersion(name)
+      val mm = readManifest(name, curV)
+      if (mm.txns.get(queryId).exists(_ >= epochId)) return false
+      try {
+        commitManifest(name, curV + 1, mm.copy(
+          dirs = mm.dirs ++ batch.toSeq, stats = mm.stats ++ batchStats,
+          txns = mm.txns + (queryId -> epochId)))
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"epoch commit to $name lost the race $attempts times — giving up")
   }
 
   /** Incremental batch read (change-feed-lite): the rows ADDED between
