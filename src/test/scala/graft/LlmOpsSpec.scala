@@ -96,4 +96,22 @@ class LlmOpsSpec extends AnyFunSuite {
     val got = w2.as[(String, Long, String)].collect().toSet
     assert(got === Set(("a", 2L, "v2"), ("b", 1L, "w1")))
   }
+
+  test("k-means-trained IVF centroids beat the seed quantizer") {
+    import graft.ops.Ann
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val seed = Ann.trainIvfCentroids(vecs, k = 16, iters = 0)
+    val trained = Ann.trainIvfCentroids(vecs, k = 16, iters = 3)
+    val q0 = Ann.assignmentQuality(vecs, seed)
+    val q3 = Ann.assignmentQuality(vecs, trained)
+    // Lloyd steps never decrease the spherical objective (mean best-cos)
+    assert(q3 >= q0 - 1e-9, s"quality regressed: seed $q0 -> trained $q3")
+    assert(q3 > q0 + 1e-4, s"training moved nothing: $q0 -> $q3")
+    // deterministic: same data, same seeds -> identical centroids
+    val again = Ann.trainIvfCentroids(vecs, k = 16, iters = 3)
+    val a = trained.orderBy("cent_id").collect().map(_.getSeq[Float](1))
+    val b = again.orderBy("cent_id").collect().map(_.getSeq[Float](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
 }
