@@ -106,7 +106,11 @@ class TableStore(spark: SparkSession, root: String) {
       else s""", "dvs": {${m.dvs.toSeq.sortBy(_._1).map { case (d, r) =>
         s"${jsonStr(d)}: {\"path\": ${jsonStr(r.path)}, \"deleted\": ${r.deleted}}"
       }.mkString(",")}}"""
-    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + dvsPart + bucketing.map(b =>
+    val propsPart =
+      if (m.props.isEmpty) ""
+      else s""", "props": {${m.props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString(",")}}"""
+    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + dvsPart + propsPart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -139,7 +143,8 @@ class TableStore(spark: SparkSession, root: String) {
                                           bloomCols: Seq[String] = Nil,
                                           checks: Map[String, String] = Map.empty,
                                           cdf: Boolean = false,
-                                          dvs: Map[String, DvRef] = Map.empty)
+                                          dvs: Map[String, DvRef] = Map.empty,
+                                          props: Map[String, String] = Map.empty)
 
   private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
@@ -161,8 +166,11 @@ class TableStore(spark: SparkSession, root: String) {
         val o = v.asInstanceOf[Map[String, Any]]
         d -> DvRef(o("path").asInstanceOf[String], o("deleted").asInstanceOf[Long])
       }).getOrElse(Map.empty[String, DvRef])
+    val props = m.get("props").map(_.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[String] })
+      .getOrElse(Map.empty[String, String])
     Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks,
-      cdf, dvs)
+      cdf, dvs, props)
   }
 
   private def bucketOf(entry: String): Int =
@@ -1212,6 +1220,21 @@ class TableStore(spark: SparkSession, root: String) {
 
   def changeFeedEnabled(name: String): Boolean =
     readManifest(name, currentVersion(name)).cdf
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES: free-form table properties in
+    * the manifest (a null value unsets). `delete.mode=merge-on-read`
+    * routes SQL DELETE through [[deleteVectorized]]. */
+  def setProperties(name: String, kvs: Map[String, String]): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val next = kvs.foldLeft(m.props) { case (ps, (k, v)) =>
+      if (v == null) ps - k else ps + (k -> v)
+    }
+    if (next != m.props)
+      commitManifest(name, currentVersion(name) + 1, m.copy(props = next))
+  }
+
+  def properties(name: String): Map[String, String] =
+    readManifest(name, currentVersion(name)).props
 
   private def kindStruct(kind: String, cols: Seq[Column]): Column =
     struct(lit(kind).as("__cdc") +: cols: _*)

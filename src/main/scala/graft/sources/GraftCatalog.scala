@@ -156,6 +156,14 @@ class GraftCatalog extends TableCatalog
         store.addCheckConstraint(ident.name(), k.stripPrefix("check."), v)
       case _ => ()
     }
+    // every other property (minus Spark-injected ones) persists in the
+    // manifest — e.g. 'delete.mode'='merge-on-read' picks deletion
+    // vectors for SQL DELETE
+    val free = properties.asScala.view
+      .filterKeys(k => k != "bloom_columns" && !k.startsWith("check.") &&
+        !k.startsWith("option.") && k != "provider" && k != "owner" &&
+        k != "location" && k != "comment" && k != "external").toMap
+    if (free.nonEmpty) store.setProperties(ident.name(), free)
     new GraftSqlTable(root, ident.name())
   }
 
@@ -164,7 +172,16 @@ class GraftCatalog extends TableCatalog
     * a metadata-only manifest commit; old files read the new column as
     * NULL. Other change kinds are rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    val (propChanges, colChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    val kvs = propChanges.map {
+      case sp: TableChange.SetProperty => sp.property() -> sp.value()
+      case rp: TableChange.RemoveProperty => rp.property() -> (null: String)
+    }.toMap
+    if (kvs.nonEmpty) store.setProperties(ident.name(), kvs)
+    val adds = colChanges.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "nested columns not supported (flat data model — SURVEY §1.2)")
@@ -172,7 +189,7 @@ class GraftCatalog extends TableCatalog
       case other =>
         throw new UnsupportedOperationException(s"ALTER TABLE change $other not supported")
     }
-    store.addColumns(ident.name(), StructType(adds))
+    if (adds.nonEmpty) store.addColumns(ident.name(), StructType(adds))
     new GraftSqlTable(root, ident.name())
   }
 
@@ -274,6 +291,9 @@ class GraftSqlTable(root: String, tableName: String,
   override def name(): String = tableName
   override def schema(): StructType = snap.schema
   override def metadataColumns(): Array[MetadataColumn] = Array(GraftFileMeta)
+  /** SHOW TBLPROPERTIES: the manifest's free-form properties. */
+  override def properties(): util.Map[String, String] =
+    store.properties(tableName).asJava
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -302,7 +322,9 @@ class GraftSqlTable(root: String, tableName: String,
         if (snap.bloomCols.isEmpty) None
         else Some((snap.bloomCols, store.bloomRoot(tableName))),
       dvByFile = store.dvPositionsByFile(tableName, snap.version),
-      dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap)
+      dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
+      streamMaxVersions =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   /** SQL MERGE INTO / UPDATE via GROUP-BASED (file-subset copy-on-write)
     * row-level operations. Spark's RowLevelOperationRuntimeGroupFiltering
@@ -373,7 +395,10 @@ class GraftSqlTable(root: String, tableName: String,
     }
     val cond = filters.map(t).reduceOption(_ && _)
       .getOrElse(lit(true)) // DELETE with no predicate = delete all
-    store.delete(tableName, cond)
+    if (store.properties(tableName).get("delete.mode").contains("merge-on-read"))
+      store.deleteVectorized(tableName, cond)   // tombstones, no rewrite
+    else
+      store.delete(tableName, cond)             // pruned copy-on-write
   }
 
   private def translatable(f: Filter): Boolean = f match {
@@ -393,7 +418,8 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        bucketing: Option[(Seq[String], Int)] = None,
                        bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
                        dvByFile: Map[String, Array[Long]] = Map.empty,
-                       dvDeleted: Map[String, Long] = Map.empty)
+                       dvDeleted: Map[String, Long] = Map.empty,
+                       streamMaxVersions: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -454,7 +480,8 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
       val live = dirFiles.filter(df => liveDirs.contains(df._1))
       new GraftScan(schema, required, live, stats, pushed, streamSource,
         dirsTotal = dirFiles.size, bucketing = bucketing,
-        bloomPrune = bloomPrune, dvByFile = dvByFile)
+        bloomPrune = bloomPrune, dvByFile = dvByFile,
+        streamMaxVersions = streamMaxVersions)
   }
 }
 
@@ -466,7 +493,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
                 dirsTotal: Int = 0,
                 bucketing: Option[(Seq[String], Int)] = None,
                 bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
-                dvByFile: Map[String, Array[Long]] = Map.empty)
+                dvByFile: Map[String, Array[Long]] = Map.empty,
+                streamMaxVersions: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -597,7 +625,7 @@ class GraftScan(fullSchema: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     val (root, table) = streamSource.getOrElse(
       throw new UnsupportedOperationException("this scan is not backed by a store table"))
-    new GraftMicroBatchStream(root, table, required, fullSchema)
+    new GraftMicroBatchStream(root, table, required, fullSchema, streamMaxVersions)
   }
 }
 
@@ -684,7 +712,8 @@ case class GraftStreamOffset(v: Long)
   * silently replaying rewritten data — the same default Delta takes
   * (its ignoreChanges escape hatch is out of scope). */
 class GraftMicroBatchStream(root: String, table: String,
-                            required: StructType, fullSchema: StructType)
+                            required: StructType, fullSchema: StructType,
+                            maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -700,9 +729,17 @@ class GraftMicroBatchStream(root: String, table: String,
     availableNowCap = Some(store.currentVersion(table))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Admission control: `maxVersionsPerTrigger` bounds each micro-batch
+    * to that many store versions past the start offset — a huge backlog
+    * drains in bounded, checkpointable steps instead of one giant batch
+    * (the Delta maxFilesPerTrigger pattern at version granularity).
+    * Composes with Trigger.AvailableNow: batches step toward the pinned
+    * cap and the query stops there. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = store.currentVersion(table)
-    GraftStreamOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+    val capped = availableNowCap.fold(cur)(math.min(cur, _))
+    val s = start.asInstanceOf[GraftStreamOffset].v
+    GraftStreamOffset(maxVersionsPerTrigger.fold(capped)(n => math.min(capped, s + n)))
   }
   override def reportLatestOffset(): Offset =
     GraftStreamOffset(store.currentVersion(table))

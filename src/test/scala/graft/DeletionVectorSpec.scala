@@ -94,6 +94,27 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("deletion vectors"))
   }
 
+  test("delete.mode=merge-on-read routes SQL DELETE through DVs") {
+    val root = Files.createTempDirectory("dvmode").toString
+    spark.conf.set("spark.sql.catalog.gdvm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvm.root", root)
+    spark.sql("""CREATE TABLE gdvm.t (id BIGINT, v STRING)
+                 TBLPROPERTIES ('delete.mode'='merge-on-read')""")
+    val ts = new TableStore(spark, root)
+    ts.append("t", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val dirsBefore = ts.liveDirs("t")
+    spark.sql("DELETE FROM gdvm.t WHERE id <= 10")
+    assert(ts.liveDirs("t") === dirsBefore) // merge-on-read: no rewrite
+    assert(spark.sql("SELECT count(*) FROM gdvm.t").head().getLong(0) === 40L)
+    assert(spark.sql("SHOW TBLPROPERTIES gdvm.t").collect()
+      .exists(r => r.getString(0) == "delete.mode" && r.getString(1) == "merge-on-read"))
+    // flip the mode off via ALTER and the next delete rewrites
+    spark.sql("ALTER TABLE gdvm.t UNSET TBLPROPERTIES ('delete.mode')")
+    spark.sql("DELETE FROM gdvm.t WHERE id = 11")
+    assert(spark.sql("SELECT count(*) FROM gdvm.t").head().getLong(0) === 39L)
+    assert(ts.liveDirs("t") !== dirsBefore)
+  }
+
   test("vacuum sweeps sidecars no retained manifest references") {
     val (ts, root) = fresh()
     ts.create("t", (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))

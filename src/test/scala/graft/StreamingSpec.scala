@@ -139,4 +139,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("an_sink").as[(Long, String)].collect().toSet ===
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("maxVersionsPerTrigger drains a backlog in bounded micro-batches") {
+    val root = Files.createTempDirectory("mvstream").toString
+    val store = new TableStore(spark, root)
+    spark.conf.set("spark.sql.catalog.graft_mv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mv.root", root)
+    store.create("feed", Seq((1L, "a")).toDF("id", "v"))
+    (2L to 6L).foreach(i => store.append("feed", Seq((i, s"v$i")).toDF("id", "v")))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "2")
+      .table("graft_mv.feed")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }: Unit)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    // 6 versions at <=2 per trigger: at least 3 batches, all rows once
+    assert(batchSizes.sum === 6)
+    assert(batchSizes.count(_ > 0) >= 3)
+    assert(batchSizes.forall(_ <= 2))
+  }
 }
