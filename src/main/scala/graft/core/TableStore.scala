@@ -1317,34 +1317,40 @@ class TableStore(spark: SparkSession, root: String) {
     * A partial rewrite with no recorded dir throws: the change rows
     * were never captured and cannot be reconstructed from immutable
     * dirs alone. `fromVersion = -1` includes version 0's creation. */
-  def readChangesBetween(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+  /** One per-version change source, resolved by the shared decision
+    * tree both CDF read surfaces interpret. */
+  private[graft] sealed trait ChangeSrc
+  /** Recorded `_cdf/<v>/__cdc=<kind>/` dirs. */
+  private[graft] final case class RecordedChanges(cdfDir: Path, kinds: Seq[String],
+                                                  v: Long, schema: StructType)
+      extends ChangeSrc
+  /** Changes synthesized from a manifest diff: the rows of `dirs` under
+    * manifest `m` (whose DVs bound what was live), all of one kind. */
+  private[graft] final case class SynthesizedChanges(m: Manifest, dirs: Seq[String],
+                                                     kind: String, v: Long)
+      extends ChangeSrc
+
+  /** The change-feed decision tree (see [[readChangesBetween]] for the
+    * semantics): cheapest valid source per version, or throw when the
+    * changes were never captured and can't be reconstructed. */
+  private[graft] def changeSources(name: String, fromVersion: Long,
+                                   toVersion: Long): Seq[ChangeSrc] = {
     require(fromVersion >= -1 && fromVersion <= toVersion,
       s"bad range ($fromVersion, $toVersion]")
     require(toVersion <= currentVersion(name),
       s"version $toVersion does not exist")
-    val outSchema = readManifest(name, toVersion).schema
-    def tag(df: DataFrame, kind: String, v: Long): DataFrame =
-      df.withColumn("_change_type", lit(kind))
-        .withColumn("_commit_version", lit(v))
-    val parts: Seq[DataFrame] = (fromVersion + 1 to toVersion).flatMap { v =>
+    (fromVersion + 1 to toVersion).flatMap { v =>
       val cur = readManifest(name, v)
       val prev = if (v == 0) cur.copy(dirs = Nil, dvs = Map.empty)
                  else readManifest(name, v - 1)
       val prevDirs = prev.dirs
       val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
       if (Files.isDirectory(cdfDir)) {
-        val hasKinds = Using.resource(Files.list(cdfDir))(_.iterator().asScala
-          .exists(_.getFileName.toString.startsWith("__cdc=")))
-        if (!hasKinds) Seq.empty // marker: recorded, zero logical changes
-        else Seq(spark.read
-          .schema(org.apache.spark.sql.types.StructType(
-            cur.schema.fields :+
-              org.apache.spark.sql.types.StructField("__cdc",
-                org.apache.spark.sql.types.StringType)))
-          .parquet(cdfDir.toString)
-          .select(cur.schema.map(f => col(f.name)) :+
-            col("__cdc").as("_change_type"): _*)
-          .withColumn("_commit_version", lit(v)))
+        val kinds = Using.resource(Files.list(cdfDir))(_.iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("__cdc="))
+          .map(_.stripPrefix("__cdc=")).toSeq.sorted)
+        if (kinds.isEmpty) Seq.empty // marker: recorded, zero logical changes
+        else Seq(RecordedChanges(cdfDir, kinds, v, cur.schema))
       } else {
         val removed = prevDirs.filterNot(cur.dirs.contains)
         val added = cur.dirs.filterNot(prevDirs.contains)
@@ -1356,26 +1362,77 @@ class TableStore(spark: SparkSession, root: String) {
           throw new IllegalStateException(
             s"$name version $v applied deletion vectors with no recorded " +
               "change data — enable the change feed (setChangeFeed) first")
-        // removed dirs read under the PREV manifest (its DVs bounded what
-        // was live); added dirs under the current one
         if (removed.isEmpty && added.isEmpty) Seq.empty
         else if (removed.isEmpty)
-          Seq(tag(scanLive(name, cur, added), "insert", v))
+          Seq(SynthesizedChanges(cur, added, "insert", v))
         else if (added.isEmpty)
-          Seq(tag(scanLive(name, prev, removed), "delete", v))
+          Seq(SynthesizedChanges(prev, removed, "delete", v))
         else if (prevDirs.forall(removed.contains))
-          Seq(tag(scanLive(name, prev, removed), "delete", v),
-            tag(scanLive(name, cur, added), "insert", v))
+          Seq(SynthesizedChanges(prev, removed, "delete", v),
+            SynthesizedChanges(cur, added, "insert", v))
         else throw new IllegalStateException(
           s"$name version $v partially rewrote dirs with no recorded " +
             "change data — enable the change feed (setChangeFeed) before " +
             "row-level mutations to read changes across them")
       }
     }
+  }
+
+  def readChangesBetween(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val outSchema = readManifest(name, toVersion).schema
+    val parts: Seq[DataFrame] = changeSources(name, fromVersion, toVersion).map {
+      case RecordedChanges(cdfDir, _, v, schema) =>
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            schema.fields :+
+              org.apache.spark.sql.types.StructField("__cdc",
+                org.apache.spark.sql.types.StringType)))
+          .parquet(cdfDir.toString)
+          .select(schema.map(f => col(f.name)) :+
+            col("__cdc").as("_change_type"): _*)
+          .withColumn("_commit_version", lit(v))
+      case SynthesizedChanges(m, dirs, kind, v) =>
+        scanLive(name, m, dirs)
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v))
+    }
     parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse(scanDirs(Seq.empty, name, outSchema)
         .withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_commit_version", lit(null).cast("long")))
+  }
+
+  /** Per-FILE change groups for the SQL `<table>.changes` scan: each
+    * group is (absolute files, per-file DV positions, change kind,
+    * commit version) — enough for a file-based DSv2 scan to reproduce
+    * [[readChangesBetween]] exactly. */
+  private[graft] def changeFileGroups(name: String, fromVersion: Long, toVersion: Long)
+      : Seq[(Seq[String], Map[String, Array[Long]], String, Long)] = {
+    def filesUnder(p: Path): Seq[String] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else Using.resource(Files.list(p))(_.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted)
+    changeSources(name, fromVersion, toVersion).flatMap {
+      case RecordedChanges(cdfDir, kinds, v, _) =>
+        kinds.map(k =>
+          (filesUnder(cdfDir.resolve(s"__cdc=$k")), Map.empty[String, Array[Long]], k, v))
+      case SynthesizedChanges(m, dirs, kind, v) =>
+        val files = dirs.flatMap(d => filesUnder(dataRoot(name).resolve(d)))
+        val dvd = dirs.filter(m.dvs.contains)
+        val dv: Map[String, Array[Long]] =
+          if (dvd.isEmpty) Map.empty
+          else {
+            val dataRootPath = dataRoot(name).toString
+            dvRows(name, m, dvd)
+              .groupBy("__dv_relpath")
+              .agg(sort_array(collect_list(col("__dv_pos"))).as("ps"))
+              .collect()
+              .map(r => s"$dataRootPath/${r.getString(0)}" -> r.getSeq[Long](1).toArray)
+              .toMap
+          }
+        Seq((files, dv, kind, v))
+    }
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): commit a NEW

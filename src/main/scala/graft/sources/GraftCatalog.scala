@@ -96,6 +96,11 @@ class GraftCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val t = ident.name()
+    // Iceberg-style metadata table: SELECT * FROM graft.<t>.changes
+    // (options startVersion / endVersion bound the range)
+    if (t == "changes" && ident.namespace().length == 1 &&
+        store.exists(ident.namespace()(0)))
+      return new GraftChangesTable(root, ident.namespace()(0))
     if (!store.exists(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
@@ -697,6 +702,101 @@ class GraftRowLevelScan(fullSchema: StructType, required: StructType,
       hasDvs = dvByFile.nonEmpty)
   override def description(): String =
     s"graft row-level scan, ${live.size}/${dirFiles.size} dirs"
+}
+
+/** The CHANGE DATA FEED as a SQL metadata table:
+  *   SELECT * FROM graft.<t>.changes
+  *   spark.read.option("startVersion", a).option("endVersion", b)
+  *     .table("graft.<t>.changes")
+  * Columns = the table's schema + _change_type + _commit_version.
+  * Planning resolves the same per-version decision tree as
+  * [[graft.core.TableStore.readChangesBetween]] (recorded `_cdf` dirs,
+  * synthesized appends/drops/full-replaces, DV tombstones applied via
+  * the position-skipping reader); each file scans once with its group's
+  * change kind and commit version appended as constants. */
+class GraftChangesTable(root: String, table: String)
+    extends Table with SupportsRead {
+  private def store = new TableStore(SparkSession.active, root)
+  private lazy val base = store.schemaOf(table)
+
+  override def name(): String = s"$table.changes"
+  override def schema(): StructType = StructType(base.fields :+
+    StructField("_change_type", StringType, nullable = false) :+
+    StructField("_commit_version", LongType, nullable = false))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(s: StructType): Unit = required = s
+      override def build(): Scan = {
+        val st = store
+        val from = Option(options.get("startVersion")).map(_.toLong).getOrElse(-1L)
+        val to = Option(options.get("endVersion")).map(_.toLong)
+          .getOrElse(st.currentVersion(table))
+        new GraftChangesScan(base, required,
+          st.changeFileGroups(table, from, to))
+      }
+    }
+}
+
+class GraftChangesScan(base: StructType, required: StructType,
+                       groups: Seq[(Seq[String], Map[String, Array[Long]], String, Long)])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    groups.flatMap { case (files, dv, kind, v) =>
+      files.map(f => GraftChangeInputPartition(f,
+        dv.getOrElse(f, Array.empty), kind, v): InputPartition)
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangesReaderFactory(base, required)
+  override def description(): String =
+    s"graft change-feed scan, ${groups.size} groups"
+}
+
+case class GraftChangeInputPartition(file: String, dvPositions: Array[Long],
+                                     changeType: String, version: Long)
+    extends InputPartition
+
+class GraftChangesReaderFactory(base: StructType, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftChangeInputPartition]
+    val innerRequired = StructType(required.fields.filter(f =>
+      f.name != "_change_type" && f.name != "_commit_version"))
+    val raw = new GraftPartitionReader(p.file, innerRequired, base, Array.empty)
+    val inner =
+      if (p.dvPositions.isEmpty) raw else new GraftDvSkipReader(raw, p.dvPositions)
+    new GraftChangeRowReader(inner, required, innerRequired,
+      UTF8String.fromString(p.changeType), p.version)
+  }
+}
+
+/** Appends the group's constant (_change_type, _commit_version) to each
+  * row, in the projection order Spark asked for. */
+class GraftChangeRowReader(inner: PartitionReader[InternalRow],
+                           required: StructType, innerRequired: StructType,
+                           kind: UTF8String, version: Long)
+    extends PartitionReader[InternalRow] {
+  private val innerIdx = innerRequired.fieldNames.zipWithIndex.toMap
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = {
+    val in = inner.get()
+    val vals: Array[Any] = required.fields.map { f =>
+      f.name match {
+        case "_change_type" => kind
+        case "_commit_version" => version
+        case n =>
+          val i = innerIdx(n)
+          if (in.isNullAt(i)) null else in.get(i, f.dataType)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+  override def close(): Unit = inner.close()
 }
 
 /** Offset = committed store version (-1 = before any data). */

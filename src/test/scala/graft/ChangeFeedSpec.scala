@@ -89,6 +89,36 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("enable the change feed"))
   }
 
+  test("SQL metadata table <t>.changes equals readChangesBetween") {
+    val root = Files.createTempDirectory("cdfsql").toString
+    spark.conf.set("spark.sql.catalog.gcdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdf.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // v0
+    ts.setChangeFeed("t", true)                                  // v1
+    ts.mergeUpsert("t", Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"),
+      changeTypeCol = None)                                      // v2
+    ts.deleteVectorized("t", col("id") === 1L)                   // v3 (DV + cdf)
+    val lib = ts.readChangesBetween("t", -1, 3)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    val sql = spark.sql(
+      "SELECT id, v, _change_type, _commit_version FROM gcdf.t.changes")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(sql === lib)
+    assert(sql.contains((1L, "a", "delete", 3L)))
+    // bounded range via read options
+    val ranged = spark.read.option("startVersion", "1").option("endVersion", "2")
+      .table("gcdf.t.changes")
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(ranged === Set((2L, "update_preimage"), (2L, "update_postimage"),
+      (3L, "insert")))
+    // projection pruning: selecting only meta columns works
+    val kinds = spark.sql("SELECT _change_type FROM gcdf.t.changes")
+      .as[String].collect().toSeq
+    assert(kinds.count(_ == "insert") === 3) // v0 create synthesizes 2 + merge 1
+  }
+
   test("compact and optimize mark no-logical-change; vacuum sweeps old cdf dirs") {
     val root = Files.createTempDirectory("cdfstore")
     val ts = new TableStore(spark, root.toString)
