@@ -457,6 +457,30 @@ object QueriesMutation {
              |WHERE o_custkey % 7 <> 0 AND o_orderkey % 5 <> 0
              |  AND o_totalprice > 1000""".stripMargin)),
 
+    // ---- Merge-on-read UPDATE stacked on a merge-on-read DELETE: the
+    //      update tombstones its preimages and appends postimages (no
+    //      dir rewritten); the delete then tombstones across BOTH the
+    //      original dirs and the appended postimage dir; the SQL read
+    //      applies the merged sidecars per file. ----
+    "m9_dv_update" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "dvu")
+        st.create("dvu", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        st.updateVectorized("dvu", col("o_custkey") % 7 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") * 2)))
+        st.deleteVectorized("dvu", col("o_orderkey") % 5 === 0)
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM graft.dvu
+                 WHERE o_totalprice > 1000""")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_custkey % 7 = 0 THEN o_totalprice * 2
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM orders
+             |WHERE o_orderkey % 5 <> 0
+             |  AND (CASE WHEN o_custkey % 7 = 0 THEN o_totalprice * 2
+             |            ELSE o_totalprice END) > 1000""".stripMargin)),
+
     // ---- Change data feed: row-level change capture across a merge +
     //      a pruned delete, read back with readChangesBetween. The
     //      oracle re-derives every change row relationally: preimage =

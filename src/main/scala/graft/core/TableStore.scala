@@ -192,32 +192,7 @@ class TableStore(spark: SparkSession, root: String) {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d0) =>
-        val d = enforceChecks(d0, checks)
-        // unique suffix: two writers racing to the same version write
-        // DIFFERENT data dirs, so the loser (who fails the manifest's
-        // CREATE_NEW below) can never trample the winner's data
-        val batch = f"b$v%09d-" + java.util.UUID.randomUUID.toString.take(8)
-        val target = dir(name).resolve("data").resolve(batch)
-        bucketing match {
-          case Some(b) =>
-            // leaf dir per bucket; __b derives from the keys so it is
-            // not stored in the files and never needs recovering.
-            // repartition on __b first: without it every write task fans
-            // out into every leaf dir (tasks x buckets small files)
-            d.withColumn("__b", b.expr)
-              .repartition(b.n, col("__b"))
-              .write.mode("overwrite").partitionBy("__b").parquet(target.toString)
-            val leaves =
-              if (!Files.exists(target)) Seq.empty
-              else Using.resource(Files.list(target))(
-                _.iterator().asScala
-                  .map(_.getFileName.toString).filter(_.startsWith("__b="))
-                  .map(l => s"$batch/$l").toSeq.sorted)
-            carryForward ++ leaves
-          case None =>
-            d.write.mode("overwrite").parquet(target.toString)
-            carryForward :+ batch
-        }
+        carryForward ++ writeBatch(name, enforceChecks(d0, checks), v, bucketing)
       case None => carryForward
     }
     // stats: keep carried dirs' entries, collect footers for new dirs
@@ -236,6 +211,36 @@ class TableStore(spark: SparkSession, root: String) {
     } else {
       commitManifest(name, v, meta.copy(dirs = newDirs, stats = stats))
       v
+    }
+  }
+
+  /** Write `d`'s rows as version v's batch dir under data/ and return
+    * the new manifest dir entries: the batch dir itself, or its bucket
+    * LEAF dirs for bucketed tables. The unique suffix means two
+    * writers racing to the same version write DIFFERENT data dirs, so
+    * the loser (who fails the manifest's CREATE_NEW) can never trample
+    * the winner's data. */
+  private def writeBatch(name: String, d: DataFrame, v: Long,
+                         bucketing: Option[Bucketing]): Seq[String] = {
+    val batch = f"b$v%09d-" + java.util.UUID.randomUUID.toString.take(8)
+    val target = dir(name).resolve("data").resolve(batch)
+    bucketing match {
+      case Some(b) =>
+        // leaf dir per bucket; __b derives from the keys so it is
+        // not stored in the files and never needs recovering.
+        // repartition on __b first: without it every write task fans
+        // out into every leaf dir (tasks x buckets small files)
+        d.withColumn("__b", b.expr)
+          .repartition(b.n, col("__b"))
+          .write.mode("overwrite").partitionBy("__b").parquet(target.toString)
+        if (!Files.exists(target)) Seq.empty
+        else Using.resource(Files.list(target))(
+          _.iterator().asScala
+            .map(_.getFileName.toString).filter(_.startsWith("__b="))
+            .map(l => s"$batch/$l").toSeq.sorted)
+      case None =>
+        d.write.mode("overwrite").parquet(target.toString)
+        Seq(batch)
     }
   }
 
@@ -422,6 +427,76 @@ class TableStore(spark: SparkSession, root: String) {
       d -> DvRef(dvName, prior + perDir(d))
     }.toMap
     commitManifest(name, v, m.copy(dvs = m.dvs ++ updated))
+  }
+
+  /** UPDATE ... SET ... WHERE cond as a MERGE-ON-READ commit: the
+    * matched rows' (file, position) tombstones land in a `_dv/`
+    * sidecar (exactly like [[deleteVectorized]]) and their post-SET
+    * images are APPENDED as a new batch dir — one commit, no touched
+    * dir rewritten. A point update on a 100 TB table writes the
+    * changed rows plus kilobytes of tombstones instead of rewriting
+    * every dir the predicate might touch; the copy-on-write [[update]]
+    * stays the right call when most of a dir changes. Stats/bloom
+    * bounds on old dirs stay sound (DVs only remove rows); the new dir
+    * gets fresh footer stats. With the change feed on, preimage and
+    * postimage rows land under `_cdf/<v>` in the same pass. */
+  def updateVectorized(name: String, condition: Column,
+                       set: Map[String, Column]): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val (touched, _) = pruneDirsByCondition(name, m, condition)
+    if (touched.isEmpty) return
+    val v = currentVersion(name) + 1
+    val uuid = java.util.UUID.randomUUID.toString.take(8)
+    // one scan of the touched dirs stages the matching rows (the small
+    // side) with their positions; tombstones, postimages, and change
+    // rows all derive from this single pass
+    val staging = dvRoot(name).resolve(s"tmpupd-$uuid")
+    val schemaCols = m.schema.map(f => col(f.name))
+    scanLiveWithPos(name, m, touched)
+      .filter(coalesce(condition, lit(false)))
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    val perDir = staged.select(dirOf("__relpath").as("dir"))
+      .groupBy("dir").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perDir.isEmpty) { FsUtil.deleteRecursively(staging.toFile); return }
+    // post-SET images (every staged row matched, so SET applies
+    // unconditionally), conformed + CHECK-enforced like any append
+    val out = m.schema.map(f =>
+      set.get(f.name).map(_.as(f.name)).getOrElse(col(f.name).as(f.name)))
+    val postimage = enforceChecks(conform(staged.select(out: _*), m.schema), m.checks)
+    val newDirs = writeBatch(name, postimage, v, m.bucketing)
+    // tombstones: fresh positions + the prior DVs of dirs gaining new
+    // ones, merged so each dir keeps exactly one sidecar reference
+    val dvName = s"dv-$v-$uuid"
+    val fresh = staged.select(dirOf("__relpath").as("dir"),
+      col("__relpath").as("relpath"), col("__pos").as("pos"))
+    val priorDvd = perDir.keySet.filter(m.dvs.contains).toSeq
+    val combined =
+      if (priorDvd.isEmpty) fresh
+      else fresh.unionByName(
+        dvRows(name, m, priorDvd)
+          .select(col("__dv_relpath").as("relpath"), col("__dv_pos").as("pos"))
+          .withColumn("dir", dirOf("relpath"))
+          .select("dir", "relpath", "pos"))
+    combined.write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
+    if (m.cdf) {
+      val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+      Files.createDirectories(cdfDir)
+      staged.select(schemaCols: _*).write.mode("overwrite")
+        .parquet(cdfDir.resolve("__cdc=update_preimage").toString)
+      conform(staged.select(out: _*), m.schema).write.mode("overwrite")
+        .parquet(cdfDir.resolve("__cdc=update_postimage").toString)
+    }
+    FsUtil.deleteRecursively(staging.toFile)
+    val updatedDvs = perDir.keySet.map { d =>
+      val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
+      d -> DvRef(dvName, prior + perDir(d))
+    }.toMap
+    val stats = m.stats ++ newDirs.flatMap(d =>
+      DirStats.collect(dataRoot(name).resolve(d), m.schema).map(d -> _))
+    commitManifest(name, v,
+      m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ updatedDvs))
   }
 
   /** Live scan of `dirs` with DVs applied AND position metadata kept

@@ -29,10 +29,34 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "compact", "restore",
     "optimize_range", "optimize_zorder", "set_bloom_columns", "history",
-    "set_change_feed", "delete_vectorized")
+    "set_change_feed", "delete_vectorized", "update_vectorized")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
+
+  /** "col = expr, col2 = expr2" -> the SET map for updateVectorized.
+    * Split on TOP-LEVEL commas only (a tracked paren/quote depth keeps
+    * commas inside `coalesce(a, b)` or string literals intact); each
+    * clause splits on its first '='. */
+  private[sources] def parseAssignments(s: String)
+      : Map[String, org.apache.spark.sql.Column] = {
+    val clauses = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if !inStr && depth == 0 => clauses += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) clauses += cur.result()
+    clauses.map { cl =>
+      val i = cl.indexOf('=')
+      require(i > 0, s"assignment '$cl' is not of the form col = expr")
+      cl.take(i).trim -> org.apache.spark.sql.functions.expr(cl.drop(i + 1).trim)
+    }.toMap
+  }
 
   private val resultSchema = StructType(Seq(
     StructField("table", StringType), StructField("result", LongType)))
@@ -123,6 +147,15 @@ object GraftProcedures {
           org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
         val after = store.snapshot(t).rowCount
         result(t, (for { b <- before; a <- after } yield b - a).getOrElse(-1L))
+      }
+      case "update_vectorized" => bound(Seq(param("table", StringType),
+          param("condition", StringType), param("assignments", StringType))) { in =>
+        val t = in.getUTF8String(0).toString
+        val before = store.currentVersion(t)
+        store.updateVectorized(t,
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
+          parseAssignments(in.getUTF8String(2).toString))
+        result(t, store.currentVersion(t) - before) // 1 = updated, 0 = no match
       }
       case other =>
         throw new IllegalArgumentException(

@@ -115,6 +115,88 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ts.liveDirs("t") !== dirsBefore)
   }
 
+  test("updateVectorized rewrites no dirs: tombstones + appended postimages") {
+    val (ts, _) = fresh()
+    ts.create("t", (1L to 100L).map(i => (i, i * 10)).toDF("id", "x"))
+    ts.append("t", (101L to 200L).map(i => (i, i * 10)).toDF("id", "x"))
+    val dirsBefore = ts.liveDirs("t")
+    ts.updateVectorized("t", col("id") % 50 === 0L, Map("x" -> (col("x") + 1L)))
+    // every pre-update dir still live untouched, one new dir appended
+    assert(ts.liveDirs("t").take(dirsBefore.size) === dirsBefore)
+    assert(ts.liveDirs("t").size === dirsBefore.size + 1)
+    val got = ts.read("t").as[(Long, Long)].collect().toMap
+    assert(got.size === 200)
+    assert(got(50L) === 501L && got(100L) === 1001L &&
+      got(150L) === 1501L && got(200L) === 2001L)
+    assert(got(49L) === 490L)
+    // metadata row count stays exact: +postimages -tombstones = 0
+    assert(ts.snapshot("t").rowCount === Some(200L))
+  }
+
+  test("updateVectorized stacks: merged tombstones, postimage dirs re-targetable") {
+    val (ts, _) = fresh()
+    ts.create("t", (1L to 50L).map(i => (i, "a")).toDF("id", "s"))
+    ts.deleteVectorized("t", col("id") > 45L)
+    ts.updateVectorized("t", col("id") <= 5L, Map("s" -> lit("b")))
+    // the second update's target rows live in the FIRST update's
+    // appended postimage dir — its tombstones must land there
+    ts.updateVectorized("t", col("id") === 1L, Map("s" -> lit("c")))
+    val got = ts.read("t").as[(Long, String)].collect().toMap
+    assert(got.size === 45)
+    assert(got(1L) === "c" && got(2L) === "b" && got(6L) === "a")
+    assert(ts.snapshot("t").rowCount === Some(45L))
+  }
+
+  test("updateVectorized with change feed records pre/postimages same-pass") {
+    val (ts, _) = fresh()
+    ts.create("t", (1L to 10L).map(i => (i, i * 1L)).toDF("id", "x"))
+    ts.setChangeFeed("t", true)
+    val v0 = ts.currentVersion("t")
+    ts.updateVectorized("t", col("id") >= 9L, Map("x" -> (col("x") * 100L)))
+    val ch = ts.readChangesBetween("t", v0, ts.currentVersion("t"))
+      .select("id", "x", "_change_type").as[(Long, Long, String)].collect().toSet
+    assert(ch === Set((9L, 9L, "update_preimage"), (10L, 10L, "update_preimage"),
+      (9L, 900L, "update_postimage"), (10L, 1000L, "update_postimage")))
+    // without CDF the change feed refuses to skip the DV+append commit
+    val (ts2, _) = fresh()
+    ts2.create("u", (1L to 10L).map(i => (i, i * 1L)).toDF("id", "x"))
+    ts2.updateVectorized("u", col("id") === 1L, Map("x" -> lit(0L)))
+    intercept[IllegalStateException](ts2.readChangesBetween("u", 0, 1).count())
+  }
+
+  test("bucketed updateVectorized keeps layout; merge/compact materialize") {
+    val (ts, _) = fresh()
+    ts.createBucketed("t", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), 4)
+    ts.updateVectorized("t", col("id") === 7L, Map("v" -> lit("V7")))
+    // postimages were bucket-routed: merges can still prune by bucket
+    assert(ts.liveDirs("t").forall(_.contains("/__b=")))
+    ts.mergeUpsert("t", Seq((7L, "W7")).toDF("id", "v"), Seq("id"),
+      changeTypeCol = None)
+    assert(ts.read("t").filter(col("v").isin("v7", "V7")).count() === 0)
+    ts.compact("t")
+    assert(ts.read("t").count() === 40)
+    assert(ts.snapshot("t").dvs.isEmpty)
+    assert(ts.read("t").as[(Long, String)].collect().toMap.apply(7L) === "W7")
+  }
+
+  test("CALL graft.system.update_vectorized drives it from SQL") {
+    val root = Files.createTempDirectory("dvproc").toString
+    spark.conf.set("spark.sql.catalog.gdvp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvp.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (1L to 20L).map(i => (i, i * 1.0, s"v$i")).toDF("id", "x", "v"))
+    val dirsBefore = ts.liveDirs("t")
+    spark.sql("""CALL gdvp.system.update_vectorized('t', 'id <= 3',
+                 'x = coalesce(x, 0) * 2, v = concat(v, ''!'')')""")
+    assert(ts.liveDirs("t").take(dirsBefore.size) === dirsBefore)
+    val got = spark.sql("SELECT id, x, v FROM gdvp.t").as[(Long, Double, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((2.0, "v1!")) && got(3L) === ((6.0, "v3!")))
+    assert(got(4L) === ((4.0, "v4")))
+    assert(got.size === 20)
+  }
+
   test("vacuum sweeps sidecars no retained manifest references") {
     val (ts, root) = fresh()
     ts.create("t", (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))

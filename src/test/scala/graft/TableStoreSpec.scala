@@ -216,11 +216,15 @@ class TableStoreSpec extends AnyFunSuite {
     // simulate a second writer that already committed version 1
     val ts2 = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
     ts2.append("t", Seq((2L, "b")).toDF("id", "v"))
-    // first writer raced: stale manifest write for v1 must fail (CREATE_NEW),
-    // not silently clobber — emulate by pre-creating the next manifest file
+    // first writer raced: the next manifest slot is permanently taken by
+    // a writer that never advanced the pointer (crashed mid-commit).
+    // CREATE_NEW blocks every clobber attempt; the optimistic append
+    // rebase retries against the same poisoned slot (the pointer never
+    // moves, so every retry recomputes v=2) and must give up LOUDLY
+    // rather than overwrite or silently drop the commit.
     val vDir = ts.dataRoot("t").getParent.resolve("_v")
     java.nio.file.Files.write(vDir.resolve("2.json"), "{}".getBytes)
-    intercept[java.nio.file.FileAlreadyExistsException] {
+    intercept[java.util.ConcurrentModificationException] {
       ts.append("t", Seq((3L, "c")).toDF("id", "v"))
     }
     // the pre-existing manifest was not clobbered, pointer still at v1
