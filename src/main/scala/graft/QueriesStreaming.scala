@@ -218,6 +218,53 @@ object QueriesStreaming {
         st.read("snk")
       },
       Some("""SELECT o_orderkey, o_totalprice * 2 AS big_price
-             |FROM orders WHERE o_totalprice > 150000.0""".stripMargin))
+             |FROM orders WHERE o_totalprice > 150000.0""".stripMargin)),
+
+    // ---- st9: STREAMING change data feed — the same mutation sequence
+    //      cdc1 verifies in batch (merge with update pre/postimages +
+    //      inserts, then a pruned delete), consumed as a stream of
+    //      per-commit change rows via Trigger.AvailableNow. Downstream
+    //      sees UPDATES and DELETES, not just appends — the incremental
+    //      dimension-sync pattern on engine tables. Same oracle as cdc1. ----
+    "st9_changes_stream" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st9_cdf"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        st.create("t", orders.filter(col("o_orderkey") % 4 === 1))    // v0
+        st.setChangeFeed("t", true)                                   // v1
+        val src = orders.filter(col("o_orderkey") % 4 <= 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        st.mergeUpsert("t", src, Seq("o_orderkey"), changeTypeCol = None) // v2
+        st.delete("t", col("o_custkey") % 10 === 3)                   // v3
+        s.conf.set("spark.sql.catalog.graft_st9", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st9.root", root)
+        val q = s.readStream.option("startVersion", "1")
+          .table("graft_st9.t.changes")
+          .writeStream.format("memory").queryName("st9_mem")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st9_mem")
+      },
+      Some("""WITH t0 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |            WHERE o_orderkey % 4 = 1),
+             |s AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+             |      FROM orders WHERE o_orderkey % 4 <= 1)
+             |SELECT t0.o_orderkey, t0.o_custkey, t0.o_totalprice,
+             |  'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+             |FROM t0 JOIN s ON t0.o_orderkey = s.o_orderkey
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice,
+             |  'update_postimage', CAST(2 AS BIGINT)
+             |FROM s JOIN t0 ON t0.o_orderkey = s.o_orderkey
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, 'insert', CAST(2 AS BIGINT)
+             |FROM s WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.o_orderkey = s.o_orderkey)
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, 'delete', CAST(3 AS BIGINT)
+             |FROM s WHERE s.o_custkey % 10 = 3""".stripMargin))
   )
 }

@@ -708,12 +708,18 @@ class GraftRowLevelScan(fullSchema: StructType, required: StructType,
   *   SELECT * FROM graft.<t>.changes
   *   spark.read.option("startVersion", a).option("endVersion", b)
   *     .table("graft.<t>.changes")
+  *   spark.readStream.option("startVersion", a)
+  *     .table("graft.<t>.changes")               -- streaming CDF
   * Columns = the table's schema + _change_type + _commit_version.
   * Planning resolves the same per-version decision tree as
   * [[graft.core.TableStore.readChangesBetween]] (recorded `_cdf` dirs,
   * synthesized appends/drops/full-replaces, DV tombstones applied via
   * the position-skipping reader); each file scans once with its group's
-  * change kind and commit version appended as constants. */
+  * change kind and commit version appended as constants.
+  * `startVersion` is EXCLUSIVE on both surfaces ((start, end], matching
+  * readChangesBetween); a STREAM without it starts at the CURRENT
+  * version — only new changes flow, the Delta readChangeFeed default.
+  * Streaming honors `maxVersionsPerTrigger` + Trigger.AvailableNow. */
 class GraftChangesTable(root: String, table: String)
     extends Table with SupportsRead {
   private def store = new TableStore(SparkSession.active, root)
@@ -724,37 +730,100 @@ class GraftChangesTable(root: String, table: String)
     StructField("_change_type", StringType, nullable = false) :+
     StructField("_commit_version", LongType, nullable = false))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = schema()
       override def pruneColumns(s: StructType): Unit = required = s
-      override def build(): Scan = {
-        val st = store
-        val from = Option(options.get("startVersion")).map(_.toLong).getOrElse(-1L)
-        val to = Option(options.get("endVersion")).map(_.toLong)
-          .getOrElse(st.currentVersion(table))
-        new GraftChangesScan(base, required,
-          st.changeFileGroups(table, from, to))
-      }
+      override def build(): Scan =
+        new GraftChangesScan(root, table, base, required,
+          Option(options.get("startVersion")).map(_.toLong),
+          Option(options.get("endVersion")).map(_.toLong),
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
     }
 }
 
-class GraftChangesScan(base: StructType, required: StructType,
-                       groups: Seq[(Seq[String], Map[String, Array[Long]], String, Long)])
+class GraftChangesScan(root: String, table: String,
+                       base: StructType, required: StructType,
+                       startVersion: Option[Long], endVersion: Option[Long],
+                       maxVersionsPerTrigger: Option[Long])
     extends Scan with Batch {
+  private def store = new TableStore(SparkSession.active, root)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val st = store
+    val groups = st.changeFileGroups(table, startVersion.getOrElse(-1L),
+      endVersion.getOrElse(st.currentVersion(table)))
     groups.flatMap { case (files, dv, kind, v) =>
       files.map(f => GraftChangeInputPartition(f,
         dv.getOrElse(f, Array.empty), kind, v): InputPartition)
     }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftChangesReaderFactory(base, required)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftChangeFeedStream(root, table, base, required,
+      startVersion, maxVersionsPerTrigger)
   override def description(): String =
-    s"graft change-feed scan, ${groups.size} groups"
+    s"graft change-feed scan of $table"
+}
+
+/** Streaming CHANGE DATA FEED over TableStore versions: each
+  * micro-batch (a, b] delivers the change rows of those commits —
+  * recorded `_cdf` dirs for row-level mutations, synthesized
+  * inserts/deletes for appends/drops/replaces — so downstream
+  * consumers see UPDATES and DELETES, not just appends (the
+  * `readChangeFeed` analogue; [[GraftMicroBatchStream]] remains the
+  * append-only fast path). A partial rewrite with no recorded change
+  * data fails the query loudly, exactly like the batch surface. */
+class GraftChangeFeedStream(root: String, table: String,
+                            base: StructType, required: StructType,
+                            startVersion: Option[Long],
+                            maxVersionsPerTrigger: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def store = new TableStore(SparkSession.active, root)
+
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(store.currentVersion(table))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = store.currentVersion(table)
+    val capped = availableNowCap.fold(cur)(math.min(cur, _))
+    val s = start.asInstanceOf[GraftStreamOffset].v
+    GraftStreamOffset(maxVersionsPerTrigger.fold(capped)(n => math.min(capped, s + n)))
+  }
+  override def reportLatestOffset(): Offset =
+    GraftStreamOffset(store.currentVersion(table))
+
+  /** No startVersion -> start at the CURRENT version: only changes
+    * committed after the stream starts flow (Delta's default). */
+  override def initialOffset(): Offset =
+    GraftStreamOffset(startVersion.getOrElse(store.currentVersion(table)))
+  override def latestOffset(): Offset = GraftStreamOffset(store.currentVersion(table))
+  override def deserializeOffset(json: String): Offset = GraftStreamOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].v
+    val e = end.asInstanceOf[GraftStreamOffset].v
+    if (e <= s) return Array.empty
+    store.changeFileGroups(table, s, e).flatMap { case (files, dv, kind, v) =>
+      files.map(f => GraftChangeInputPartition(f,
+        dv.getOrElse(f, Array.empty), kind, v): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangesReaderFactory(base, required)
 }
 
 case class GraftChangeInputPartition(file: String, dvPositions: Array[Long],

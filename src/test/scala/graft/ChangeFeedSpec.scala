@@ -119,6 +119,50 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(kinds.count(_ == "insert") === 3) // v0 create synthesizes 2 + merge 1
   }
 
+  test("streaming change feed delivers updates/deletes per commit") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("cdfstream").toString
+    spark.conf.set("spark.sql.catalog.gcfs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcfs.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // v0
+    ts.setChangeFeed("t", true)                                  // v1
+    ts.mergeUpsert("t", Seq((2L, "B"), (3L, "c")).toDF("id", "v"), Seq("id"),
+      changeTypeCol = None)                                      // v2
+    ts.updateVectorized("t", col("id") === 1L, Map("v" -> lit("A")))  // v3
+    ts.delete("t", col("id") === 3L)                             // v4
+    // startVersion=1 (exclusive): the stream drains (1, current]
+    val q = spark.readStream.option("startVersion", "1")
+      .table("gcfs.t.changes")
+      .writeStream.format("memory").queryName("cfs_mem")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cfs_mem")
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got === ts.readChangesBetween("t", 1, ts.currentVersion("t"))
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet)
+    assert(got.contains((1L, "A", "update_postimage", 3L)))
+    assert(got.contains((3L, "c", "delete", 4L)))
+    // maxVersionsPerTrigger bounds each micro-batch; same total drain
+    val q2 = spark.readStream.option("startVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .table("gcfs.t.changes")
+      .writeStream.format("memory").queryName("cfs_mem2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("cfs_mem2").count() === got.size)
+    assert(q2.recentProgress.count(_.numInputRows > 0) >= 2) // stepped batches
+    // without startVersion only NEW commits flow: an immediate
+    // AvailableNow drain sees zero rows
+    val q3 = spark.readStream.table("gcfs.t.changes")
+      .writeStream.format("memory").queryName("cfs_mem3")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    assert(spark.table("cfs_mem3").count() === 0)
+  }
+
   test("compact and optimize mark no-logical-change; vacuum sweeps old cdf dirs") {
     val root = Files.createTempDirectory("cdfstore")
     val ts = new TableStore(spark, root.toString)
