@@ -457,6 +457,31 @@ object QueriesMutation {
              |WHERE o_custkey % 7 <> 0 AND o_orderkey % 5 <> 0
              |  AND o_totalprice > 1000""".stripMargin)),
 
+    // ---- Column mapping: RENAME + DROP COLUMN are metadata-only; a
+    //      post-rename append mixes file generations (both carrying the
+    //      ORIGINAL physical name); the SQL read maps logical->physical
+    //      for the scan, the pushed filter, and the dropped column's
+    //      projection. ----
+    "m10_column_mapping" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "cmt")
+        st.create("cmt", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        st.renameColumn("cmt", "o_totalprice", "price")
+        st.dropColumn("cmt", "o_custkey")
+        st.append("cmt", Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 === 0)
+          .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+            (col("o_totalprice") * 2).as("price")))
+        s.sql("SELECT o_orderkey, price FROM graft.cmt WHERE price > 1000")
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price FROM orders
+             |WHERE o_totalprice > 1000
+             |UNION ALL
+             |SELECT o_orderkey + 5000000 AS o_orderkey,
+             |       o_totalprice * 2 AS price
+             |FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice * 2 > 1000""".stripMargin)),
+
     // ---- Merge-on-read UPDATE stacked on a merge-on-read DELETE: the
     //      update tombstones its preimages and appends postimages (no
     //      dir rewritten); the delete then tombstones across BOTH the

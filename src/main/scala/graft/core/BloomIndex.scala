@@ -139,13 +139,17 @@ object BloomIndex {
     * file, unindexed column, untranslatable value -> "might match").
     * Only point shapes prune: EqualTo / non-null EqualNullSafe / In,
     * composed through And/Or. */
+  /** `phys` maps a logical column to its PHYSICAL name (column
+    * mapping) — sidecar files are keyed by physical name so they stay
+    * valid across RENAME COLUMN; filters and `cols` speak logical. */
   def prune(dirs: Seq[String], filters: Seq[Filter], schema: StructType,
-            cols: Seq[String], bloomRoot: Path): Seq[String] = {
+            cols: Seq[String], bloomRoot: Path,
+            phys: String => String = identity): Seq[String] = {
     if (cols.isEmpty || filters.isEmpty || dirs.isEmpty) return dirs
     val cache = mutable.HashMap[(String, String), Option[BloomFilter]]()
     def load(d: String, c: String): Option[BloomFilter] =
       cache.getOrElseUpdate((d, c), {
-        val p = bloomFile(bloomRoot, d, c)
+        val p = bloomFile(bloomRoot, d, phys(c))
         if (!Files.exists(p)) None
         else Using.resource(Files.newInputStream(p))(is => Some(BloomFilter.readFrom(is)))
       })

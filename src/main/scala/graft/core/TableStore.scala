@@ -110,7 +110,14 @@ class TableStore(spark: SparkSession, root: String) {
       if (m.props.isEmpty) ""
       else s""", "props": {${m.props.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString(",")}}"""
-    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + dvsPart + propsPart + bucketing.map(b =>
+    val colmapPart =
+      if (m.colmap.isEmpty) ""
+      else s""", "colmap": {${m.colmap.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString(",")}}"""
+    val droppedPart =
+      if (m.droppedPhys.isEmpty) ""
+      else s""", "droppedcols": [${m.droppedPhys.map(jsonStr).mkString(",")}]"""
+    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + dvsPart + propsPart + colmapPart + droppedPart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -136,6 +143,17 @@ class TableStore(spark: SparkSession, root: String) {
   /** `cdf`: change-data-feed recording enabled — row-level mutations
     * (merge / update / delete) persist their change rows under
     * `_cdf/<version>/` in the same write pass as the data. */
+  /** `colmap`: COLUMN MAPPING (the Delta column-mapping model): logical
+    * column name -> the PHYSICAL name carried in parquet files.
+    * Identity entries are omitted, so the map is empty until the first
+    * RENAME / post-DROP re-ADD. Every manifest field (schema, stats
+    * keys, bucketing keys, checks, bloomCols) speaks LOGICAL names;
+    * only the parquet file boundary (writers, readers, footer stats,
+    * bloom sidecar names) translates through `phys`. */
+  /** `droppedPhys`: physical names of DROPPED columns that may still
+    * exist in live files — a later ADD COLUMN with a colliding name
+    * gets a fresh physical identity so old values can never
+    * resurrect. */
   private[core] final case class Manifest(schema: StructType, dirs: Seq[String],
                                           bucketing: Option[Bucketing],
                                           stats: Map[String, DirStats],
@@ -144,7 +162,25 @@ class TableStore(spark: SparkSession, root: String) {
                                           checks: Map[String, String] = Map.empty,
                                           cdf: Boolean = false,
                                           dvs: Map[String, DvRef] = Map.empty,
-                                          props: Map[String, String] = Map.empty)
+                                          props: Map[String, String] = Map.empty,
+                                          colmap: Map[String, String] = Map.empty,
+                                          droppedPhys: Seq[String] = Nil) {
+    /** Physical (in-file) name of a logical column. */
+    def phys(logical: String): String = colmap.getOrElse(logical, logical)
+    /** The schema as parquet files spell it. */
+    def physSchema: StructType =
+      if (colmap.isEmpty) schema
+      else StructType(schema.map(f => f.copy(name = phys(f.name))))
+    /** Projection mapping a physical-named scan back to logical names. */
+    def logicalCols: Seq[Column] = schema.map(f => col(phys(f.name)).as(f.name))
+    /** Remap physical-keyed footer stats to logical keys. */
+    def statsToLogical(ds: DirStats): DirStats =
+      if (colmap.isEmpty) ds
+      else {
+        val inv = colmap.map(_.swap)
+        ds.copy(cols = ds.cols.map { case (k, v) => inv.getOrElse(k, k) -> v })
+      }
+  }
 
   private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
@@ -169,8 +205,11 @@ class TableStore(spark: SparkSession, root: String) {
     val props = m.get("props").map(_.asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[String] })
       .getOrElse(Map.empty[String, String])
+    val colmap = m.get("colmap").map(_.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[String] })
+      .getOrElse(Map.empty[String, String])
     Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks,
-      cdf, dvs, props)
+      cdf, dvs, props, colmap, strs("droppedcols"))
   }
 
   private def bucketOf(entry: String): Int =
@@ -192,13 +231,15 @@ class TableStore(spark: SparkSession, root: String) {
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d0) =>
-        carryForward ++ writeBatch(name, enforceChecks(d0, checks), v, bucketing)
+        carryForward ++ writeBatch(name, enforceChecks(d0, checks), v, meta)
       case None => carryForward
     }
     // stats: keep carried dirs' entries, collect footers for new dirs
+    // (footers speak physical names; manifest stats speak logical)
     val stats = newDirs.flatMap { d =>
       priorStats.get(d).orElse(
-          DirStats.collect(dir(name).resolve("data").resolve(d), schema))
+          DirStats.collect(dir(name).resolve("data").resolve(d), meta.physSchema)
+            .map(meta.statsToLogical))
         .map(d -> _)
     }.toMap
     // APPEND-shaped commits (every base dir carried, only additions) take
@@ -216,21 +257,25 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** Write `d`'s rows as version v's batch dir under data/ and return
     * the new manifest dir entries: the batch dir itself, or its bucket
-    * LEAF dirs for bucketed tables. The unique suffix means two
-    * writers racing to the same version write DIFFERENT data dirs, so
-    * the loser (who fails the manifest's CREATE_NEW) can never trample
-    * the winner's data. */
+    * LEAF dirs for bucketed tables. Files are written with PHYSICAL
+    * column names (identity unless a column was renamed). The unique
+    * suffix means two writers racing to the same version write
+    * DIFFERENT data dirs, so the loser (who fails the manifest's
+    * CREATE_NEW) can never trample the winner's data. */
   private def writeBatch(name: String, d: DataFrame, v: Long,
-                         bucketing: Option[Bucketing]): Seq[String] = {
+                         meta: Manifest): Seq[String] = {
+    val physCols = meta.schema.map(f => col(f.name).as(meta.phys(f.name)))
     val batch = f"b$v%09d-" + java.util.UUID.randomUUID.toString.take(8)
     val target = dir(name).resolve("data").resolve(batch)
-    bucketing match {
+    meta.bucketing match {
       case Some(b) =>
         // leaf dir per bucket; __b derives from the keys so it is
         // not stored in the files and never needs recovering.
         // repartition on __b first: without it every write task fans
         // out into every leaf dir (tasks x buckets small files)
+        // (__b computes from LOGICAL keys, before the physical rename)
         d.withColumn("__b", b.expr)
+          .select(physCols :+ col("__b"): _*)
           .repartition(b.n, col("__b"))
           .write.mode("overwrite").partitionBy("__b").parquet(target.toString)
         if (!Files.exists(target)) Seq.empty
@@ -239,7 +284,7 @@ class TableStore(spark: SparkSession, root: String) {
             .map(_.getFileName.toString).filter(_.startsWith("__b="))
             .map(l => s"$batch/$l").toSeq.sorted)
       case None =>
-        d.write.mode("overwrite").parquet(target.toString)
+        d.select(physCols: _*).write.mode("overwrite").parquet(target.toString)
         Seq(batch)
     }
   }
@@ -295,10 +340,12 @@ class TableStore(spark: SparkSession, root: String) {
     // deletion vectors attach to specific immutable dirs: entries for
     // dirs this version no longer carries are dropped automatically
     val m = m0.copy(dvs = m0.dvs.filter { case (d, _) => m0.dirs.contains(d) })
-    import m.{schema, dirs, stats, bloomCols}
+    import m.{dirs, stats, bloomCols}
+    // blooms read data files and name sidecars by PHYSICAL column —
+    // sidecars stay valid across renames
     if (bloomCols.nonEmpty)
-      BloomIndex.ensure(spark, bloomRoot(name), dataRoot(name), dirs, bloomCols,
-        schema, stats.view.mapValues(_.rows).toMap)
+      BloomIndex.ensure(spark, bloomRoot(name), dataRoot(name), dirs,
+        bloomCols.map(m.phys), m.physSchema, stats.view.mapValues(_.rows).toMap)
     writeManifest(name, v, m)
     val tmp = dir(name).resolve(s"_LATEST.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
@@ -356,12 +403,14 @@ class TableStore(spark: SparkSession, root: String) {
     * DV-deleted rows. */
   private def scanLive(name: String, m: Manifest, dirs: Seq[String]): DataFrame = {
     val (dvd, clean) = dirs.partition(m.dvs.contains)
-    val cleanDf = scanDirs(clean, name, m.schema)
+    // files carry PHYSICAL names; the select maps back to logical (a
+    // no-op Project that Catalyst collapses when no column was renamed)
+    val cleanDf = scanDirs(clean, name, m.physSchema).select(m.logicalCols: _*)
     if (dvd.isEmpty) cleanDf
     else {
       val schemaCols = m.schema.map(f => col(f.name))
-      val applied = scanDirs(dvd, name, m.schema)
-        .select(schemaCols :+ relpathCol.as("__relpath") :+
+      val applied = scanDirs(dvd, name, m.physSchema)
+        .select(m.logicalCols :+ relpathCol.as("__relpath") :+
           col("_metadata.row_index").as("__pos"): _*)
         .join(broadcast(dvRows(name, m, dvd)),
           col("__relpath") === col("__dv_relpath") && col("__pos") === col("__dv_pos"),
@@ -417,7 +466,8 @@ class TableStore(spark: SparkSession, root: String) {
     if (m.cdf) {
       val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
       Files.createDirectories(cdfDir)
-      staged.select(schemaCols: _*)
+      // _cdf files carry PHYSICAL names, like every parquet this store writes
+      staged.select(m.schema.map(f => col(f.name).as(m.phys(f.name))): _*)
         .write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=delete").toString)
     }
@@ -465,7 +515,7 @@ class TableStore(spark: SparkSession, root: String) {
     val out = m.schema.map(f =>
       set.get(f.name).map(_.as(f.name)).getOrElse(col(f.name).as(f.name)))
     val postimage = enforceChecks(conform(staged.select(out: _*), m.schema), m.checks)
-    val newDirs = writeBatch(name, postimage, v, m.bucketing)
+    val newDirs = writeBatch(name, postimage, v, m)
     // tombstones: fresh positions + the prior DVs of dirs gaining new
     // ones, merged so each dir keeps exactly one sidecar reference
     val dvName = s"dv-$v-$uuid"
@@ -483,9 +533,11 @@ class TableStore(spark: SparkSession, root: String) {
     if (m.cdf) {
       val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
       Files.createDirectories(cdfDir)
-      staged.select(schemaCols: _*).write.mode("overwrite")
+      val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name)))
+      staged.select(schemaCols: _*).select(toPhys: _*).write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=update_preimage").toString)
-      conform(staged.select(out: _*), m.schema).write.mode("overwrite")
+      conform(staged.select(out: _*), m.schema).select(toPhys: _*)
+        .write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=update_postimage").toString)
     }
     FsUtil.deleteRecursively(staging.toFile)
@@ -494,7 +546,8 @@ class TableStore(spark: SparkSession, root: String) {
       d -> DvRef(dvName, prior + perDir(d))
     }.toMap
     val stats = m.stats ++ newDirs.flatMap(d =>
-      DirStats.collect(dataRoot(name).resolve(d), m.schema).map(d -> _))
+      DirStats.collect(dataRoot(name).resolve(d), m.physSchema)
+        .map(m.statsToLogical).map(d -> _))
     commitManifest(name, v,
       m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ updatedDvs))
   }
@@ -502,9 +555,8 @@ class TableStore(spark: SparkSession, root: String) {
   /** Live scan of `dirs` with DVs applied AND position metadata kept
     * (`__relpath`, `__pos`) — the input [[deleteVectorized]] stages. */
   private def scanLiveWithPos(name: String, m: Manifest, dirs: Seq[String]): DataFrame = {
-    val schemaCols = m.schema.map(f => col(f.name))
-    val base = scanDirs(dirs, name, m.schema)
-      .select(schemaCols :+ relpathCol.as("__relpath") :+
+    val base = scanDirs(dirs, name, m.physSchema)
+      .select(m.logicalCols :+ relpathCol.as("__relpath") :+
         col("_metadata.row_index").as("__pos"): _*)
     val dvd = dirs.filter(m.dvs.contains)
     if (dvd.isEmpty) base
@@ -522,7 +574,10 @@ class TableStore(spark: SparkSession, root: String) {
                             dirs: Seq[String], bucketing: Option[Bucketing],
                             stats: Map[String, DirStats] = Map.empty,
                             bloomCols: Seq[String] = Nil,
-                            dvs: Map[String, DvRef] = Map.empty) {
+                            dvs: Map[String, DvRef] = Map.empty,
+                            colmap: Map[String, String] = Map.empty) {
+    /** Physical (in-file) name of a logical column (column mapping). */
+    def phys(logical: String): String = colmap.getOrElse(logical, logical)
     /** Absolute paths of the snapshot's live parquet files. */
     def files(store: TableStore, name: String): Seq[String] =
       filesByDir(store, name).flatMap(_._2)
@@ -557,7 +612,8 @@ class TableStore(spark: SparkSession, root: String) {
   /** Pinned snapshot of a historical version (time travel). */
   def snapshotAt(name: String, v: Long): Snapshot = {
     val m = readManifest(name, v)
-    Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats, m.bloomCols, m.dvs)
+    Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats, m.bloomCols, m.dvs,
+      m.colmap)
   }
 
   /** Deleted row positions per live FILE for the snapshot's DV'd dirs —
@@ -758,7 +814,8 @@ class TableStore(spark: SparkSession, root: String) {
     // __r = physical range id: constant per post-range-shuffle partition,
     // so each leaf dir holds one contiguous range of the clustering key
     clustered
-      .select(m.schema.map(f => col(f.name)) :+ spark_partition_id().as("__r"): _*)
+      .select(m.schema.map(f => col(f.name).as(m.phys(f.name))) :+
+        spark_partition_id().as("__r"): _*)
       .write.mode("overwrite").partitionBy("__r").parquet(target.toString)
     val leaves =
       if (!Files.exists(target)) Seq.empty
@@ -767,7 +824,8 @@ class TableStore(spark: SparkSession, root: String) {
           .map(_.getFileName.toString).filter(_.startsWith("__r="))
           .map(l => s"$batch/$l").toSeq.sorted)
     val stats = leaves.flatMap(l =>
-      DirStats.collect(dir(name).resolve("data").resolve(l), m.schema).map(l -> _)).toMap
+      DirStats.collect(dir(name).resolve("data").resolve(l), m.physSchema)
+        .map(m.statsToLogical).map(l -> _)).toMap
     commitManifest(name, v,
       m.copy(dirs = leaves, bucketing = None, stats = stats))
     markNoLogicalChange(name)
@@ -786,8 +844,76 @@ class TableStore(spark: SparkSession, root: String) {
     require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
     require(newCols.forall(_.nullable),
       "ADD COLUMN requires nullable columns (existing rows have no value)")
+    // a new logical name whose default physical identity collides with
+    // a DROPPED column's physical name (still present in live files) or
+    // another column's physical gets a FRESH physical identity — old
+    // values can never resurrect under the new column
+    val taken = m.droppedPhys.toSet ++ m.colmap.values
+    val freshMap = newCols.fieldNames.filter(taken.contains).map(n =>
+      n -> s"$n-${java.util.UUID.randomUUID.toString.take(8)}").toMap
     commit(name, None,
-      m.copy(schema = StructType(m.schema.fields ++ newCols.fields)), m.dirs): Unit
+      m.copy(schema = StructType(m.schema.fields ++ newCols.fields),
+        colmap = m.colmap ++ freshMap), m.dirs): Unit
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only, the Delta
+    * column-mapping model: the column keeps its PHYSICAL name in every
+    * existing and future parquet file; only the manifest's logical
+    * surface (schema, stats keys, bucketing keys, bloom config) changes.
+    * No data rewrite at any scale. Refused while a CHECK constraint
+    * references the column (its stored SQL would silently break —
+    * the same restriction Delta applies). */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    require(m.schema.fieldNames.contains(from), s"no such column: $from")
+    require(!m.schema.fieldNames.contains(to), s"column already exists: $to")
+    val referencing = m.checks.filter { case (_, sql) =>
+      spark.sessionState.sqlParser.parseExpression(sql)
+        .references.exists(_.name == from) }
+    require(referencing.isEmpty,
+      s"cannot rename $from: referenced by CHECK constraint(s) " +
+        s"${referencing.keys.mkString(",")} — drop them first")
+    val phys = m.phys(from)
+    val colmap = (m.colmap - from) ++ (if (phys == to) Map.empty[String, String]
+                                       else Map(to -> phys))
+    commitManifest(name, currentVersion(name) + 1, m.copy(
+      schema = StructType(m.schema.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+      colmap = colmap,
+      stats = m.stats.view.mapValues(ds => ds.copy(cols =
+        ds.cols.map { case (k, v) => (if (k == from) to else k) -> v })).toMap,
+      bucketing = m.bucketing.map(b => b.copy(keys =
+        b.keys.map(k => if (k == from) to else k))),
+      bloomCols = m.bloomCols.map(c => if (c == from) to else c)))
+    markNoLogicalChange(name)
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: files keep the column's
+    * physical data (readers project it away); its physical name is
+    * remembered so a later ADD COLUMN of the same name maps to a fresh
+    * physical identity instead of resurrecting old values. Refused on
+    * bucketing keys (layout derives from them), bloom columns, and
+    * CHECK-referenced columns. */
+  def dropColumn(name: String, colName: String): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    require(m.schema.fieldNames.contains(colName), s"no such column: $colName")
+    require(!m.bucketing.exists(_.keys.contains(colName)),
+      s"cannot drop bucketing key $colName")
+    require(!m.bloomCols.contains(colName),
+      s"cannot drop bloom-indexed column $colName — unset bloom columns first")
+    val referencing = m.checks.filter { case (_, sql) =>
+      spark.sessionState.sqlParser.parseExpression(sql)
+        .references.exists(_.name == colName) }
+    require(referencing.isEmpty,
+      s"cannot drop $colName: referenced by CHECK constraint(s) " +
+        s"${referencing.keys.mkString(",")} — drop them first")
+    commitManifest(name, currentVersion(name) + 1, m.copy(
+      schema = StructType(m.schema.filterNot(_.name == colName)),
+      colmap = m.colmap - colName,
+      stats = m.stats.view.mapValues(ds =>
+        ds.copy(cols = ds.cols - colName)).toMap,
+      droppedPhys = (m.droppedPhys :+ m.phys(colName)).distinct))
+    markNoLogicalChange(name)
   }
 
   /** VACUUM: physically delete data no version within the retained
@@ -912,7 +1038,8 @@ class TableStore(spark: SparkSession, root: String) {
     if (m.checks.nonEmpty) {
       val combined = m.checks.values.map(e => coalesce(expr(e), lit(false)))
         .reduce(_ && _)
-      val bad = !scanDirs(newDirs, name, m.schema).filter(!combined).isEmpty
+      val bad = !scanDirs(newDirs, name, m.physSchema).select(m.logicalCols: _*)
+        .filter(!combined).isEmpty
       if (bad) throw new IllegalStateException(
         s"rows violate CHECK constraints ${m.checks.keys.mkString(",")} — commit refused")
     }
@@ -1065,7 +1192,8 @@ class TableStore(spark: SparkSession, root: String) {
     // the prune min/max can't give on high-cardinality unclustered keys
     val touched =
       if (m.bloomCols.isEmpty) byStats
-      else BloomIndex.prune(byStats, filters, m.schema, m.bloomCols, bloomRoot(name))
+      else BloomIndex.prune(byStats, filters, m.schema, m.bloomCols, bloomRoot(name),
+        m.phys)
     (touched, m.dirs.filterNot(touched.toSet))
   }
 
@@ -1127,8 +1255,8 @@ class TableStore(spark: SparkSession, root: String) {
     // absentIsNull=false: this dir came from an external writer, so a
     // missing column chunk can't be assumed to mean ADD-COLUMN all-null
     val stats = carryStats ++ DirStats.collect(
-      dir(name).resolve("data").resolve(dirName), m.schema,
-      absentIsNull = false).map(dirName -> _)
+      dir(name).resolve("data").resolve(dirName), m.physSchema,
+      absentIsNull = false).map(m.statsToLogical).map(dirName -> _)
     requireChecksPass(name, m, Seq(dirName))
     try commitManifest(name, currentVersion(name) + 1,
       m.copy(dirs = carry :+ dirName, stats = stats))
@@ -1155,8 +1283,8 @@ class TableStore(spark: SparkSession, root: String) {
     val carry = if (replace) Seq.empty else m.dirs
     val carryStats = m.stats.view.filterKeys(carry.contains).toMap
     val stats = carryStats ++ leaves.flatMap(l =>
-      DirStats.collect(dataRoot(name).resolve(l), m.schema,
-        absentIsNull = false).map(l -> _))
+      DirStats.collect(dataRoot(name).resolve(l), m.physSchema,
+        absentIsNull = false).map(m.statsToLogical).map(l -> _))
     requireChecksPass(name, m, leaves)
     try commitManifest(name, currentVersion(name) + 1,
       m.copy(dirs = carry ++ leaves, stats = stats))
@@ -1177,8 +1305,8 @@ class TableStore(spark: SparkSession, root: String) {
     val carry = m.dirs.filterNot(removed.contains)
     val carryStats = m.stats.view.filterKeys(carry.contains).toMap
     val stats = carryStats ++ DirStats.collect(
-      dir(name).resolve("data").resolve(dirName), m.schema,
-      absentIsNull = false).map(dirName -> _)
+      dir(name).resolve("data").resolve(dirName), m.physSchema,
+      absentIsNull = false).map(m.statsToLogical).map(dirName -> _)
     requireChecksPass(name, m, Seq(dirName))
     commitManifest(name, currentVersion(name) + 1,
       m.copy(dirs = carry :+ dirName, stats = stats))
@@ -1209,8 +1337,8 @@ class TableStore(spark: SparkSession, root: String) {
     val target = dir(name).resolve("data").resolve(batch)
     Files.createDirectories(target)
     files.foreach(f => Files.move(f, target.resolve(f.getFileName)))
-    val batchStats = DirStats.collect(target, m.schema,
-      absentIsNull = false).map(batch -> _).toMap
+    val batchStats = DirStats.collect(target, m.physSchema,
+      absentIsNull = false).map(m.statsToLogical).map(batch -> _).toMap
     requireChecksPass(name, m, Seq(batch))
     if (!commitEpochWithRetry(name, queryId, epochId, Some(batch), batchStats)) {
       FsUtil.deleteRecursively(target.toFile) // lost to a re-delivery
@@ -1275,7 +1403,8 @@ class TableStore(spark: SparkSession, root: String) {
             "not an append; full refresh required")
       prev = m1.dirs; prevDvs = m1.dvs
     }
-    scanDirs(m1.dirs.filterNot(m0Dirs.contains), name, m1.schema)
+    scanDirs(m1.dirs.filterNot(m0Dirs.contains), name, m1.physSchema)
+      .select(m1.logicalCols: _*)
   }
 
   // ---- change data feed ----
@@ -1339,7 +1468,11 @@ class TableStore(spark: SparkSession, root: String) {
           Seq("__cdc", "__b"))
       case None => (exploded, Seq("__cdc"))
     }
+    // data AND _cdf files carry physical names (__cdc/__b are partition
+    // cols, never stored); checks run on LOGICAL names first
+    val physCols = meta.schema.map(f => col(f.name).as(meta.phys(f.name)))
     enforceChecks2(toWrite, meta.checks)
+      .select(col("__cdc") +: physCols ++: parts.drop(1).map(col): _*)
       .write.mode("overwrite").partitionBy(parts: _*).parquet(staging.toString)
     val batch = f"b$v%09d-$uuid"
     val target = dataRoot(name).resolve(batch)
@@ -1365,7 +1498,8 @@ class TableStore(spark: SparkSession, root: String) {
     FsUtil.deleteRecursively(staging.toFile)
     val stats = meta.stats.view.filterKeys(carried.contains).toMap ++
       newDirs.flatMap(d =>
-        DirStats.collect(dataRoot(name).resolve(d), meta.schema).map(d -> _))
+        DirStats.collect(dataRoot(name).resolve(d), meta.physSchema)
+          .map(meta.statsToLogical).map(d -> _))
     commitManifest(name, v, meta.copy(dirs = carried ++ newDirs, stats = stats))
   }
 
@@ -1395,9 +1529,10 @@ class TableStore(spark: SparkSession, root: String) {
   /** One per-version change source, resolved by the shared decision
     * tree both CDF read surfaces interpret. */
   private[graft] sealed trait ChangeSrc
-  /** Recorded `_cdf/<v>/__cdc=<kind>/` dirs. */
+  /** Recorded `_cdf/<v>/__cdc=<kind>/` dirs (files carry version v's
+    * PHYSICAL column names; `mv` is version v's manifest). */
   private[graft] final case class RecordedChanges(cdfDir: Path, kinds: Seq[String],
-                                                  v: Long, schema: StructType)
+                                                  v: Long, mv: Manifest)
       extends ChangeSrc
   /** Changes synthesized from a manifest diff: the rows of `dirs` under
     * manifest `m` (whose DVs bound what was live), all of one kind. */
@@ -1425,7 +1560,7 @@ class TableStore(spark: SparkSession, root: String) {
           .map(_.getFileName.toString).filter(_.startsWith("__cdc="))
           .map(_.stripPrefix("__cdc=")).toSeq.sorted)
         if (kinds.isEmpty) Seq.empty // marker: recorded, zero logical changes
-        else Seq(RecordedChanges(cdfDir, kinds, v, cur.schema))
+        else Seq(RecordedChanges(cdfDir, kinds, v, cur))
       } else {
         val removed = prevDirs.filterNot(cur.dirs.contains)
         val added = cur.dirs.filterNot(prevDirs.contains)
@@ -1454,25 +1589,35 @@ class TableStore(spark: SparkSession, root: String) {
   }
 
   def readChangesBetween(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
-    val outSchema = readManifest(name, toVersion).schema
+    val curM = readManifest(name, toVersion)
+    // physical identity bridges RENAMEs between v and toVersion: each
+    // version's columns surface under their CURRENT logical names;
+    // columns dropped since v are skipped, columns added since v are
+    // null-filled by the final unionByName
+    val curByPhys: Map[String, String] =
+      curM.schema.map(f => curM.phys(f.name) -> f.name).toMap
+    def toCurrent(mv: Manifest): Seq[Column] =
+      mv.schema.flatMap(f => curByPhys.get(mv.phys(f.name)).map(cur =>
+        col(mv.phys(f.name)).as(cur)))
     val parts: Seq[DataFrame] = changeSources(name, fromVersion, toVersion).map {
-      case RecordedChanges(cdfDir, _, v, schema) =>
+      case RecordedChanges(cdfDir, _, v, mv) =>
         spark.read
           .schema(org.apache.spark.sql.types.StructType(
-            schema.fields :+
+            mv.physSchema.fields :+
               org.apache.spark.sql.types.StructField("__cdc",
                 org.apache.spark.sql.types.StringType)))
           .parquet(cdfDir.toString)
-          .select(schema.map(f => col(f.name)) :+
-            col("__cdc").as("_change_type"): _*)
+          .select(toCurrent(mv) :+ col("__cdc").as("_change_type"): _*)
           .withColumn("_commit_version", lit(v))
       case SynthesizedChanges(m, dirs, kind, v) =>
         scanLive(name, m, dirs)
+          .select(m.schema.flatMap(f => curByPhys.get(m.phys(f.name)).map(cur =>
+            col(f.name).as(cur))): _*)
           .withColumn("_change_type", lit(kind))
           .withColumn("_commit_version", lit(v))
     }
     parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
-      .getOrElse(scanDirs(Seq.empty, name, outSchema)
+      .getOrElse(scanDirs(Seq.empty, name, curM.schema)
         .withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_commit_version", lit(null).cast("long")))
   }

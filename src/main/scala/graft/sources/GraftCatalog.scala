@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{And => SAnd, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In => SIn, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => SNot, Or => SOr}
+import org.apache.spark.sql.sources.{And => SAnd, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In => SIn, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not => SNot, Or => SOr, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -186,11 +186,22 @@ class GraftCatalog extends TableCatalog
       case rp: TableChange.RemoveProperty => rp.property() -> (null: String)
     }.toMap
     if (kvs.nonEmpty) store.setProperties(ident.name(), kvs)
-    val adds = colChanges.map {
+    val adds = colChanges.flatMap {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "nested columns not supported (flat data model — SURVEY §1.2)")
-        StructField(a.fieldNames()(0), a.dataType(), a.isNullable())
+        Some(StructField(a.fieldNames()(0), a.dataType(), a.isNullable()))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "nested columns not supported (flat data model — SURVEY §1.2)")
+        // metadata-only rename via column mapping — no data rewrite
+        store.renameColumn(ident.name(), r.fieldNames()(0), r.newName())
+        None
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "nested columns not supported (flat data model — SURVEY §1.2)")
+        store.dropColumn(ident.name(), d.fieldNames()(0))
+        None
       case other =>
         throw new UnsupportedOperationException(s"ALTER TABLE change $other not supported")
     }
@@ -311,7 +322,7 @@ class GraftSqlTable(root: String, tableName: String,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(pinnedVersion.isEmpty, "cannot write to a time-travel (VERSION AS OF) table")
     new GraftWriteBuilder(root, tableName, info.schema(), queryId = info.queryId(),
-      bucketing = snap.bucketing.map(b => (b.keys, b.n)))
+      bucketing = snap.bucketing.map(b => (b.keys, b.n)), colmap = snap.colmap)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -329,7 +340,8 @@ class GraftSqlTable(root: String, tableName: String,
       dvByFile = store.dvPositionsByFile(tableName, snap.version),
       dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
       streamMaxVersions =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      colmap = snap.colmap)
 
   /** SQL MERGE INTO / UPDATE via GROUP-BASED (file-subset copy-on-write)
     * row-level operations. Spark's RowLevelOperationRuntimeGroupFiltering
@@ -366,13 +378,13 @@ class GraftSqlTable(root: String, tableName: String,
           override def build(): Scan =
             new GraftRowLevelScan(snap.schema, required,
               snap.filesByDir(store, tableName), t => touched = Some(t),
-              store.dvPositionsByFile(tableName, snap.version))
+              store.dvPositionsByFile(tableName, snap.version), snap.colmap)
         }
       override def newWriteBuilder(
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
         new GraftWriteBuilder(root, tableName, wInfo.schema(), replaceAll = true,
-          replacedDirs = () => touched)
+          replacedDirs = () => touched, colmap = snap.colmap)
     }
   }
 
@@ -424,7 +436,8 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
                        dvByFile: Map[String, Array[Long]] = Map.empty,
                        dvDeleted: Map[String, Long] = Map.empty,
-                       streamMaxVersions: Option[Long] = None)
+                       streamMaxVersions: Option[Long] = None,
+                       colmap: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -479,14 +492,15 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
       // skipping for keys min/max can't bound — see [[BloomIndex]])
       val liveDirs = bloomPrune match {
         case Some((cols, bloomRoot)) =>
-          graft.core.BloomIndex.prune(byStats, pushed.toSeq, schema, cols, bloomRoot)
+          graft.core.BloomIndex.prune(byStats, pushed.toSeq, schema, cols, bloomRoot,
+            n => colmap.getOrElse(n, n))
         case None => byStats
       }
       val live = dirFiles.filter(df => liveDirs.contains(df._1))
       new GraftScan(schema, required, live, stats, pushed, streamSource,
         dirsTotal = dirFiles.size, bucketing = bucketing,
         bloomPrune = bloomPrune, dvByFile = dvByFile,
-        streamMaxVersions = streamMaxVersions)
+        streamMaxVersions = streamMaxVersions, colmap = colmap)
   }
 }
 
@@ -499,7 +513,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
                 bucketing: Option[(Seq[String], Int)] = None,
                 bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
                 dvByFile: Map[String, Array[Long]] = Map.empty,
-                streamMaxVersions: Option[Long] = None)
+                streamMaxVersions: Option[Long] = None,
+                colmap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -534,7 +549,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
           live.map(_._1), stats, fullSchema, Seq(v1))
         dirs = bloomPrune match {
           case Some((cols, root)) =>
-            graft.core.BloomIndex.prune(dirs, Seq(v1), fullSchema, cols, root)
+            graft.core.BloomIndex.prune(dirs, Seq(v1), fullSchema, cols, root,
+              n => colmap.getOrElse(n, n))
           case None => dirs
         }
         // single-key bucket layout: the values' bucket ids name the only
@@ -598,7 +614,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
       dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, fullSchema, pushed, hasDvs = dvByFile.nonEmpty)
+    new GraftReaderFactory(required, fullSchema, pushed, hasDvs = dvByFile.nonEmpty,
+      colmap = colmap)
   override def description(): String =
     s"graft parquet scan, ${files.size} files" +
       s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
@@ -675,7 +692,8 @@ object GraftRuntimeValues {
 class GraftRowLevelScan(fullSchema: StructType, required: StructType,
                         dirFiles: Seq[(String, Seq[String])],
                         onTouched: Set[String] => Unit,
-                        dvByFile: Map[String, Array[Long]] = Map.empty)
+                        dvByFile: Map[String, Array[Long]] = Map.empty,
+                        colmap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   private var live: Seq[(String, Seq[String])] = dirFiles
@@ -699,7 +717,7 @@ class GraftRowLevelScan(fullSchema: StructType, required: StructType,
       dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, fullSchema, Array.empty,
-      hasDvs = dvByFile.nonEmpty)
+      hasDvs = dvByFile.nonEmpty, colmap = colmap)
   override def description(): String =
     s"graft row-level scan, ${live.size}/${dirFiles.size} dirs"
 }
@@ -762,7 +780,7 @@ class GraftChangesScan(root: String, table: String,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangesReaderFactory(base, required)
+    new GraftChangesReaderFactory(base, required, store.snapshot(table).colmap)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftChangeFeedStream(root, table, base, required,
@@ -823,20 +841,26 @@ class GraftChangeFeedStream(root: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangesReaderFactory(base, required)
+    new GraftChangesReaderFactory(base, required, store.snapshot(table).colmap)
 }
 
 case class GraftChangeInputPartition(file: String, dvPositions: Array[Long],
                                      changeType: String, version: Long)
     extends InputPartition
 
-class GraftChangesReaderFactory(base: StructType, required: StructType)
+class GraftChangesReaderFactory(base: StructType, required: StructType,
+                                colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftChangeInputPartition]
     val innerRequired = StructType(required.fields.filter(f =>
       f.name != "_change_type" && f.name != "_commit_version"))
-    val raw = new GraftPartitionReader(p.file, innerRequired, base, Array.empty)
+    // files (data AND _cdf) carry PHYSICAL names; physical identities
+    // are stable across renames, so the CURRENT mapping reads files of
+    // every version. The row assembler keeps logical names (positional).
+    val raw = new GraftPartitionReader(p.file,
+      ColPhys.schema(innerRequired, colmap), ColPhys.schema(base, colmap),
+      Array.empty)
     val inner =
       if (p.dvPositions.isEmpty) raw else new GraftDvSkipReader(raw, p.dvPositions)
     new GraftChangeRowReader(inner, required, innerRequired,
@@ -938,7 +962,8 @@ class GraftMicroBatchStream(root: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, fullSchema, Array.empty)
+    new GraftReaderFactory(required, fullSchema, Array.empty,
+      colmap = store.snapshot(table).colmap)
 }
 
 case class GraftInputPartition(file: String,
@@ -994,9 +1019,51 @@ class GraftChainedReader[T](mk: Seq[() => PartitionReader[T]])
   override def close(): Unit = if (cur != null) cur.close()
 }
 
-class GraftReaderFactory(required: StructType, fullSchema: StructType,
-                         pushed: Array[Filter],
-                         hasDvs: Boolean = false) extends PartitionReaderFactory {
+/** COLUMN MAPPING at the parquet boundary: logical schema/filter names
+  * become the PHYSICAL names files carry. Rows are positional, so only
+  * the names handed to parquet-mr change; `_file` (metadata column) is
+  * never renamed. Unknown filter shapes are dropped from pushdown
+  * (sound: Spark re-evaluates every filter above the scan). */
+object ColPhys {
+  def schema(s: StructType, colmap: Map[String, String]): StructType =
+    if (colmap.isEmpty) s
+    else StructType(s.map(f =>
+      if (f.name == GraftFileMeta.Name) f
+      else f.copy(name = colmap.getOrElse(f.name, f.name))))
+  def filters(fs: Array[Filter], colmap: Map[String, String]): Array[Filter] =
+    if (colmap.isEmpty) fs else fs.flatMap(rename(_, colmap))
+  private def rename(f: Filter, cm: Map[String, String]): Option[Filter] = {
+    def p(a: String) = cm.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(p(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(p(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(p(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(p(a), v))
+      case LessThan(a, v) => Some(LessThan(p(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(p(a), v))
+      case SIn(a, vs) => Some(SIn(p(a), vs))
+      case IsNull(a) => Some(IsNull(p(a)))
+      case IsNotNull(a) => Some(IsNotNull(p(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(p(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(p(a), v))
+      case StringContains(a, v) => Some(StringContains(p(a), v))
+      case SAnd(l, r) => for { a <- rename(l, cm); b <- rename(r, cm) } yield SAnd(a, b)
+      case SOr(l, r) => for { a <- rename(l, cm); b <- rename(r, cm) } yield SOr(a, b)
+      case SNot(x) => rename(x, cm).map(SNot)
+      case _ => None
+    }
+  }
+}
+
+class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
+                         pushed0: Array[Filter],
+                         hasDvs: Boolean = false,
+                         colmap: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
+  // translate once at construction; everything below speaks physical
+  private val required = ColPhys.schema(required0, colmap)
+  private val fullSchema = ColPhys.schema(fullSchema0, colmap)
+  private val pushed = ColPhys.filters(pushed0, colmap)
   /** Files with a deletion vector read WITHOUT parquet-mr skipping (the
     * running row count must equal the file row index) and drop the
     * tombstoned positions; Spark re-applies all filters above the scan

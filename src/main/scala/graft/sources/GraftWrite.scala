@@ -28,8 +28,18 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
                         replaceAll: Boolean = false,
                         replacedDirs: () => Option[Set[String]] = () => None,
                         queryId: String = "",
-                        bucketing: Option[(Seq[String], Int)] = None)
+                        bucketing: Option[(Seq[String], Int)] = None,
+                        colmap: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
+
+  /** COLUMN MAPPING: parquet files carry PHYSICAL names. Incoming rows
+    * are positional, so the file writers just get the renamed schema
+    * (and bucket keys, which they resolve by fieldIndex against it);
+    * the requested DISTRIBUTION stays logical — Spark resolves it
+    * against the query plan. */
+  private def phys(n: String): String = colmap.getOrElse(n, n)
+  private val physSchema: StructType =
+    if (colmap.isEmpty) schema else StructType(schema.map(f => f.copy(name = phys(f.name))))
 
   private var replace = replaceAll
   override def truncate(): WriteBuilder = { replace = true; this }
@@ -56,10 +66,10 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
     override def requiredNumPartitions(): Int = bucketedInsert.map(_._2).getOrElse(0)
     override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite =
-      new GraftBatchWrite(root, table, schema, replace, rowLevel = replaceAll,
-        replacedDirs, bucketing = bucketedInsert)
+      new GraftBatchWrite(root, table, physSchema, replace, rowLevel = replaceAll,
+        replacedDirs, bucketing = bucketedInsert.map { case (ks, n) => (ks.map(phys), n) })
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(root, table, schema, queryId)
+      new GraftStreamingWrite(root, table, physSchema, queryId)
   }
 }
 

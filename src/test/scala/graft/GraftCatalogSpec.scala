@@ -165,8 +165,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     val got2 = spark.sql(
       "SELECT id, score FROM graft.evo WHERE score IS NOT NULL").head()
     assert(got2.getLong(0) === 3 && got2.getDouble(1) === 7.5)
-    // unsupported change kinds error loudly
-    intercept[Exception] { spark.sql("ALTER TABLE graft.evo RENAME COLUMN v TO w") }
+    // RENAME COLUMN is now supported via column mapping (ColumnMappingSpec
+    // covers it in depth); still-unsupported change kinds error loudly
+    spark.sql("ALTER TABLE graft.evo RENAME COLUMN v TO w")
+    assert(spark.table("graft.evo").columns.contains("w"))
+    intercept[Exception] { spark.sql("ALTER TABLE graft.evo ALTER COLUMN score TYPE STRING") }
   }
 
   test("filter pushdown reaches parquet-mr and never changes results") {
