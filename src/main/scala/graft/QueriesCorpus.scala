@@ -252,6 +252,59 @@ object QueriesCorpus {
              |      AS stream_start FROM t)
              |SELECT doc_id, n_tokens, stream_start,
              |  CAST(stream_start // 256 AS BIGINT) AS bin
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // ---- x7: INCREMENTAL near-dup dedup — admit a new batch against a
+    //      PERSISTED MinHash band index (ops.Dedup.minhashBands /
+    //      nearDupsAgainstIndex). The index lives in a store table
+    //      bucketed on the probe key; the batch probe is a band-key
+    //      equi-join reading index rows, never the corpus text, and
+    //      admitted docs' bands APPEND to the index — the admission
+    //      loop a continuously-ingesting 100 TB corpus needs (nothing
+    //      ever recomputes corpus signatures). Exact-verify (jaccard
+    //      over shingle sets, threshold 0.5) keeps the result exact;
+    //      band recall at 0.5 is exhaustive on this corpus (d3's
+    //      oracle-checked property, same scheme). Batch-internal dups
+    //      are a separate within-batch d1/d3 pass by design. ----
+    "x7_incremental_dedup" -> QDef(
+      (s, dir) => {
+        val root = "/tmp/graft_qstore/x7_idx"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val sh = QueriesLlm.shinglesForTest(s, dir).cache()
+        val corpusSh = sh.filter(col("doc_id") % 3 =!= 0)
+        val batchSh = sh.filter(col("doc_id") % 3 === 0)
+        st.createBucketed("band_index",
+          graft.ops.Dedup.minhashBands(corpusSh, "doc_id", "shingle"),
+          Seq("bkey"), 16)
+        val batchBands =
+          graft.ops.Dedup.minhashBands(batchSh, "doc_id", "shingle").cache()
+        def sets(d: org.apache.spark.sql.DataFrame) = d.groupBy("doc_id")
+          .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
+        val rejected = graft.ops.Dedup.nearDupsAgainstIndex(
+          batchBands, st.read("band_index"),
+          sets(batchSh), sets(corpusSh), "doc_id", threshold = 0.5)
+        val admitted = batchSh.select(col("doc_id")).distinct()
+          .join(rejected.select(col("batch_id").as("doc_id")), Seq("doc_id"),
+            "left_anti")
+        // the incremental step: admitted docs join the index for the
+        // NEXT batch (re-admitting this batch now admits 0 — DedupSpec)
+        st.append("band_index",
+          batchBands.join(admitted, Seq("doc_id"), "left_semi"))
+        admitted
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+             |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
+             |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+             |          WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+             |          GROUP BY 1, 2),
+             |dup AS (SELECT DISTINCT bb FROM inter
+             |        JOIN sizes sa ON ca = sa.doc_id JOIN sizes sb ON bb = sb.doc_id
+             |        WHERE i / (sa.n + sb.n - i) >= 0.5)
+             |SELECT DISTINCT doc_id FROM sh
+             |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT bb FROM dup)""".stripMargin))
   )
 }

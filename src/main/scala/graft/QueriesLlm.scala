@@ -168,20 +168,12 @@ object QueriesLlm {
     //  the 100 TB path: cost is O(docs x shingles) + band-bucket joins)
     "d3_minhash_lsh" -> QDef(
       (s, dir) => {
-        val nHashes = 64
-        val nBands = 32 // 2 rows/band
+        // 64 hashes in 32 bands (2 rows/band); hash family = xxhash64
+        // seeded by the family index (ANSI mode forbids the classic
+        // overflowing affine transform) — see ops.Dedup.minhashBands
         val sh = shingles(s, dir)
-        val sigCols = (0 until nHashes).map { i =>
-          // i-th hash family = xxhash64 seeded by the family index (ANSI
-          // mode forbids the classic overflowing affine transform)
-          min(xxhash64(col("shingle"), lit(i))).as(s"m$i")
-        }
-        val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        val bandStructs = (0 until nBands).map { bi =>
-          struct(lit(bi).as("band"), xxhash64(col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bkey"))
-        }
-        val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+        val bands = graft.ops.Dedup.minhashBands(sh, "doc_id", "shingle",
+          nHashes = 64, nBands = 32)
         val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
           .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")), Seq("band", "bkey"))
           .filter(col("doc_a") < col("doc_b"))

@@ -45,4 +45,58 @@ object Dedup {
       .agg(max_by(struct(dataCols.map(col): _*), ordering).as("__row"))
     packed.select(keys.map(col) ++ dataCols.map(c => col(s"__row.$c").as(c)): _*)
   }
+
+  /** MinHash signatures banded into LSH keys: one row per (doc, band)
+    * with `bkey` = hash of the band's signature slice. Docs sharing any
+    * (band, bkey) are near-dup CANDIDATES — an equi-join key, never a
+    * quadratic comparison. Hash family = xxhash64 seeded by index, so
+    * keys are a pure function of the data (deterministic, and two
+    * independently computed indexes agree — what makes a PERSISTED band
+    * index meaningful). `shingles` must be (docCol, shingleCol) distinct
+    * pairs; nHashes must be divisible by nBands. */
+  def minhashBands(shingles: DataFrame, docCol: String, shingleCol: String,
+                   nHashes: Int = 64, nBands: Int = 32): DataFrame = {
+    require(nHashes % nBands == 0, "nHashes must be divisible by nBands")
+    val rowsPerBand = nHashes / nBands
+    val sigCols = (0 until nHashes).map(i =>
+      min(xxhash64(col(shingleCol), lit(i))).as(s"m$i"))
+    val sig = shingles.groupBy(docCol).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until nBands).map { bi =>
+      val slice = (0 until rowsPerBand).map(r => col(s"m${rowsPerBand * bi + r}"))
+      struct(lit(bi).as("band"), xxhash64(slice: _*).as("bkey"))
+    }
+    sig.select(col(docCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(docCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** INCREMENTAL near-dup admission: which batch docs are near-dups
+    * (exact jaccard >= threshold over shingle sets) of any INDEXED doc?
+    * `indexBands` is the persisted corpus band index ([[minhashBands]]
+    * rows, typically a bucketed store table keyed on bkey); candidates
+    * come from the (band, bkey) equi-join — the batch side is small, so
+    * at 100 TB the probe reads ~|batch| x nBands index rows through the
+    * bucket layout, never the corpus. Returns the REJECTED batch doc
+    * ids with their best-matching corpus doc and jaccard (callers
+    * anti-join to admit; admitted docs' bands then append to the
+    * index). Shingle-set args carry (docCol, "set", "n") from
+    * collect_set + count aggregates. */
+  def nearDupsAgainstIndex(batchBands: DataFrame, indexBands: DataFrame,
+                           batchSets: DataFrame, indexSets: DataFrame,
+                           docCol: String, threshold: Double): DataFrame = {
+    val cand = batchBands.select(col(docCol).as("batch_id"), col("band"), col("bkey"))
+      .join(indexBands.select(col(docCol).as("corpus_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("batch_id", "corpus_id").distinct()
+    cand
+      .join(batchSets.select(col(docCol).as("batch_id"),
+        col("set").as("sb"), col("n").as("nb")), Seq("batch_id"))
+      .join(indexSets.select(col(docCol).as("corpus_id"),
+        col("set").as("sc"), col("n").as("nc")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sb"), col("sc"))).cast("long"))
+      .withColumn("jaccard", col("inter") / (col("nb") + col("nc") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("batch_id")
+      .agg(max_by(col("corpus_id"), col("jaccard")).as("dup_of"),
+        max(col("jaccard")).as("jaccard"))
+  }
 }

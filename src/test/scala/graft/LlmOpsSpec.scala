@@ -84,6 +84,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(approx.forall { case (q, _) => q < 10 })
   }
 
+  test("x7 incremental admission is idempotent: re-admitting the batch admits 0") {
+    import org.apache.spark.sql.functions._
+    // run x7 once: the admitted batch docs' bands are now IN the index
+    val admitted = run("x7_incremental_dedup").collect().map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty)
+    // probe the SAME batch against the updated index: every admitted
+    // doc collides with its own bands at jaccard 1.0 -> all rejected
+    val st = new graft.core.TableStore(spark, "/tmp/graft_qstore/x7_idx")
+    val sh = QueriesLlm.shinglesForTest(spark, dir)
+    val batchSh = sh.filter(col("doc_id") % 3 === 0)
+    val corpusShAll = sh // index now holds corpus + admitted batch docs
+    def sets(d: org.apache.spark.sql.DataFrame) = d.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
+    val rejected = graft.ops.Dedup.nearDupsAgainstIndex(
+      graft.ops.Dedup.minhashBands(batchSh, "doc_id", "shingle"),
+      st.read("band_index"), sets(batchSh), sets(corpusShAll), "doc_id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val batchIds = batchSh.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(rejected === batchIds) // nothing admitted twice
+  }
+
   test("dedup: exact drops planted copies, latest-version keeps max") {
     import spark.implicits._
     val df = Seq(
