@@ -228,6 +228,35 @@ object QueriesMutation {
              |UNION ALL
              |SELECT t.* FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin)),
 
+    // ---- MERGE-ON-READ SQL MERGE: same semantics as sql_merge_into
+    //      but delta-based ('rowlevel.mode'='merge-on-read') — matched
+    //      rows become (file, position) tombstones + appended
+    //      postimages, NOT-matched rows append; no live dir is
+    //      rewritten. The read applies the DV sidecars. ----
+    "sql_mor_merge" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "mor")
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        st.create("mor", base.filter(col("o_orderkey") % 4 === 1))
+        st.setProperties("mor", Map("rowlevel.mode" -> "merge-on-read"))
+        base.filter((col("o_orderkey") % 4 === 1) || (col("o_orderkey") % 4 === 2))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+          .createOrReplaceTempView("mor_src")
+        s.sql("""MERGE INTO graft.mor t USING mor_src s ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                 FROM graft.mor""")
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |          FROM orders WHERE o_orderkey % 4 = 1),
+             |     s AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+             |          FROM orders WHERE o_orderkey % 4 IN (1, 2))
+             |SELECT s.* FROM s
+             |UNION ALL
+             |SELECT t.* FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin)),
+
     // ---- SQL SELECT ... WHERE through the DSv2 catalog: the predicate
     //      is pushed into the parquet-mr scan (row-group statistics skip
     //      + record-level skip — GraftScanBuilder.pushFilters), so the

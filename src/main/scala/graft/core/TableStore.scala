@@ -1294,6 +1294,92 @@ class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Commit a MERGE-ON-READ (delta-based) SQL row-level operation in
+    * ONE version: executor DeltaWriters staged tombstones as
+    * (relpath, pos) parquet files and inserted/updated rows as loose
+    * data files; here the tombstones merge into per-dir DV sidecars
+    * (no live dir rewritten) and the inserted files attach as a new
+    * batch dir. A SQL MERGE matching 0.1% of a 100 TB table writes
+    * that 0.1% plus kilobytes of tombstones — never the table. With
+    * the change feed on, deleted preimages are re-read from the
+    * touched dirs by position (one bounded extra scan) and inserted
+    * rows recorded, both under `_cdf/<v>` (delete+insert is the
+    * documented representation of updates on this path). */
+  def commitDelta(name: String, deleteFiles: Seq[Path],
+                  insertFiles: Seq[Path]): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    if (deleteFiles.isEmpty && insertFiles.isEmpty) return
+    val v = currentVersion(name) + 1
+    val uuid = java.util.UUID.randomUUID.toString.take(8)
+    // inserted rows -> one new batch dir (files carry physical names)
+    val newDirs: Seq[String] =
+      if (insertFiles.isEmpty) Seq.empty
+      else {
+        val batch = f"b$v%09d-$uuid"
+        val target = dataRoot(name).resolve(batch)
+        Files.createDirectories(target)
+        insertFiles.foreach(f => Files.move(f, target.resolve(f.getFileName)))
+        Seq(batch)
+      }
+    requireChecksPass(name, m, newDirs)
+    // tombstones -> merged DV sidecars on the touched dirs
+    var dvsUpdated: Map[String, DvRef] = Map.empty
+    var fresh: Option[DataFrame] = None
+    if (deleteFiles.nonEmpty) {
+      val staged = spark.read.parquet(deleteFiles.map(_.toString): _*)
+        .select(dirOf("relpath").as("dir"), col("relpath"), col("pos"))
+      fresh = Some(staged)
+      val perDir = staged.groupBy("dir").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perDir.nonEmpty) {
+        val unknown = perDir.keySet.filterNot(m.dirs.contains)
+        require(unknown.isEmpty,
+          s"delta delete references non-live dirs: ${unknown.take(3).mkString(",")}")
+        val dvName = s"dv-$v-$uuid"
+        val priorDvd = perDir.keySet.filter(m.dvs.contains).toSeq
+        val combined =
+          if (priorDvd.isEmpty) staged
+          else staged.unionByName(
+            dvRows(name, m, priorDvd)
+              .select(col("__dv_relpath").as("relpath"), col("__dv_pos").as("pos"))
+              .withColumn("dir", dirOf("relpath"))
+              .select("dir", "relpath", "pos"))
+        combined.write.mode("overwrite")
+          .parquet(dvRoot(name).resolve(dvName).toString)
+        dvsUpdated = perDir.keySet.map { d =>
+          val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
+          d -> DvRef(dvName, prior + perDir(d))
+        }.toMap
+      }
+    }
+    if (m.cdf) {
+      val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+      Files.createDirectories(cdfDir)
+      val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name)))
+      fresh.foreach { staged =>
+        val touched = staged.select("dir").distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (touched.nonEmpty)
+          scanLiveWithPos(name, m, touched)
+            .join(staged.select(col("relpath").as("__relpath"),
+              col("pos").as("__pos")), Seq("__relpath", "__pos"), "left_semi")
+            .select(toPhys: _*)
+            .write.mode("overwrite")
+            .parquet(cdfDir.resolve("__cdc=delete").toString)
+      }
+      if (newDirs.nonEmpty)
+        scanDirs(newDirs, name, m.physSchema)
+          .write.mode("overwrite")
+          .parquet(cdfDir.resolve("__cdc=insert").toString)
+    }
+    deleteFiles.foreach(Files.deleteIfExists(_))
+    val stats = m.stats ++ newDirs.flatMap(d =>
+      DirStats.collect(dataRoot(name).resolve(d), m.physSchema,
+        absentIsNull = false).map(m.statsToLogical).map(d -> _))
+    commitManifest(name, v,
+      m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ dvsUpdated))
+  }
+
   /** Commit a version that REPLACES the `removed` live dirs with the
     * externally written `dirName`, carrying every other live dir with
     * its stats — the group-based SQL row-level commit

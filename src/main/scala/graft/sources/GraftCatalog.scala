@@ -255,6 +255,22 @@ object GraftBucketFunction
   }
 }
 
+/** The `_pos` metadata column: a row's ordinal position within its
+  * file — with `_file`, the stable ROW IDENTITY of the store's
+  * immutable-file layout (what deletion vectors key on). Synthesized
+  * by the row reader from its running record count, so it is only
+  * served on scans with NO parquet-mr skipping (the reader factory
+  * drops pushdown when `_pos` is requested; DV position-skipping
+  * composes correctly because the inner counter keeps counting
+  * tombstoned rows). The delta row-level path uses (`_file`, `_pos`)
+  * as its rowId. */
+object GraftPosMeta extends MetadataColumn {
+  val Name = "_pos"
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType = LongType
+  override def isNullable(): Boolean = false
+}
+
 /** The `_file` metadata column: which live parquet file produced a
   * row. Exposed for observability AND as the group identity Spark's
   * runtime row-level group filtering keys on ([[GraftRowLevelScan]]). */
@@ -306,7 +322,8 @@ class GraftSqlTable(root: String, tableName: String,
 
   override def name(): String = tableName
   override def schema(): StructType = snap.schema
-  override def metadataColumns(): Array[MetadataColumn] = Array(GraftFileMeta)
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftFileMeta, GraftPosMeta)
   /** SHOW TBLPROPERTIES: the manifest's free-form properties. */
   override def properties(): util.Map[String, String] =
     store.properties(tableName).asJava
@@ -356,9 +373,47 @@ class GraftSqlTable(root: String, tableName: String,
     * rewrites 1 dir, not the table. If the runtime filter never fires
     * (conf off, non-filterable condition), `touched` stays None and the
     * write falls back to the old sound replace-all commit. */
+  /** MERGE-ON-READ row-level ops (`'rowlevel.mode'='merge-on-read'`):
+    * instead of the group-based rewrite below, the operation is
+    * DELTA-BASED ([[SupportsDelta]]): Spark hands the write per-row
+    * DELETE/INSERT actions keyed by rowId = (`_file`, `_pos`) — updates
+    * arrive as delete+reinsert — and the commit lands tombstone DV
+    * sidecars plus ONE inserted dir ([[TableStore.commitDelta]]).
+    * A MERGE matching 0.1% of the table writes 0.1%, rewrites nothing. */
+  private def deltaRowLevelOperation(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperation =
+    new org.apache.spark.sql.connector.write.SupportsDelta {
+      override def command: org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftFileMeta.Name),
+          org.apache.spark.sql.connector.expressions.Expressions.column(GraftPosMeta.Name))
+      override def representUpdateAsDeleteAndInsert(): Boolean = true
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftFileMeta.Name))
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder with SupportsPushDownRequiredColumns {
+          private var required: StructType = snap.schema
+          override def pruneColumns(s: StructType): Unit = required = s
+          override def build(): Scan =
+            new GraftRowLevelScan(snap.schema, required,
+              snap.filesByDir(store, tableName), _ => (),
+              store.dvPositionsByFile(tableName, snap.version), snap.colmap)
+        }
+      override def newWriteBuilder(
+          wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+        new GraftDeltaWriteBuilder(root, tableName, wInfo.schema(), snap.colmap)
+    }
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = { () =>
+    if (store.properties(tableName).get("rowlevel.mode").contains("merge-on-read"))
+      deltaRowLevelOperation(info)
+    else
     new org.apache.spark.sql.connector.write.RowLevelOperation {
       @volatile private var touched: Option[Set[String]] = None
       override def command: org.apache.spark.sql.connector.write.RowLevelOperation.Command =
@@ -1028,7 +1083,7 @@ object ColPhys {
   def schema(s: StructType, colmap: Map[String, String]): StructType =
     if (colmap.isEmpty) s
     else StructType(s.map(f =>
-      if (f.name == GraftFileMeta.Name) f
+      if (f.name == GraftFileMeta.Name || f.name == GraftPosMeta.Name) f
       else f.copy(name = colmap.getOrElse(f.name, f.name))))
   def filters(fs: Array[Filter], colmap: Map[String, String]): Array[Filter] =
     if (colmap.isEmpty) fs else fs.flatMap(rename(_, colmap))
@@ -1069,8 +1124,10 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     * tombstoned positions; Spark re-applies all filters above the scan
     * so losing their pushdown on these files is purely an I/O cost on
     * exactly the files that have pending deletes. */
+  private val noSkip = required.fieldNames.contains(GraftPosMeta.Name)
   private def rowReader(f: String, dv: Array[Long]): PartitionReader[InternalRow] =
-    if (dv.isEmpty) new GraftPartitionReader(f, required, fullSchema, pushed)
+    if (dv.isEmpty) new GraftPartitionReader(f, required, fullSchema,
+      if (noSkip) Array.empty else pushed)
     else new GraftDvSkipReader(
       new GraftPartitionReader(f, required, fullSchema, Array.empty), dv)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -1095,7 +1152,7 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     * materializes the deletes and restores the vectorized path). */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     GraftVectorized.enabled && !required.fieldNames.contains(GraftFileMeta.Name) &&
-      !hasDvs
+      !required.fieldNames.contains(GraftPosMeta.Name) && !hasDvs
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1286,9 +1343,11 @@ class GraftPartitionReader(file: String, required: StructType,
     pred.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
   }
   private var current: Group = _
+  private var rowIdx = -1L
 
   override def next(): Boolean = {
     current = reader.read()
+    rowIdx += 1
     current != null
   }
 
@@ -1296,6 +1355,7 @@ class GraftPartitionReader(file: String, required: StructType,
     val g = current
     val values = required.fields.zipWithIndex.map { case (f, fi) =>
       if (f.name == GraftFileMeta.Name) UTF8String.fromString(file)
+      else if (f.name == GraftPosMeta.Name) rowIdx
       else if (!present(fi)) null
       else {
       val idx = g.getType.getFieldIndex(f.name)

@@ -317,3 +317,116 @@ class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean,
 
   override def close(): Unit = ()
 }
+
+// ---- MERGE-ON-READ (delta-based) SQL row-level writes ----
+
+/** Per-task commit message of a delta write: the task's staged
+  * tombstone file (if it recorded deletes) and inserted-row data files. */
+case class GraftDeltaMessage(deleteFile: Option[String], insertFiles: Seq[String])
+    extends WriterCommitMessage
+
+/** The write half of a [[SupportsDelta]] row-level operation: rows
+  * arrive as per-row DELETE (rowId only) / INSERT (full row) actions —
+  * updates are delete+reinsert (`representUpdateAsDeleteAndInsert`).
+  * Deletes stage as (dir, relpath, pos) parquet, inserts as data files
+  * carrying PHYSICAL column names; [[TableStore.commitDelta]] fuses
+  * both into one manifest version (DV sidecars + one attached dir). */
+class GraftDeltaWriteBuilder(root: String, table: String, schema: StructType,
+                             colmap: Map[String, String] = Map.empty)
+    extends DeltaWriteBuilder {
+  private val physSchema: StructType =
+    if (colmap.isEmpty) schema
+    else StructType(schema.map(f => f.copy(name = colmap.getOrElse(f.name, f.name))))
+  override def build(): DeltaWrite = new DeltaWrite {
+    override def toBatch: DeltaBatchWrite =
+      new GraftDeltaBatchWrite(root, table, physSchema)
+  }
+}
+
+class GraftDeltaBatchWrite(root: String, table: String, physSchema: StructType)
+    extends DeltaBatchWrite {
+  private val scratch = Paths.get(root, table, "data",
+    ".delta-" + java.util.UUID.randomUUID.toString.replace("-", "").take(16))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftDeltaWriterFactory(scratch.toString, physSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: GraftDeltaMessage => m }
+    val store = new TableStore(SparkSession.active, root)
+    try store.commitDelta(table,
+      ms.flatMap(_.deleteFile).map(Paths.get(_)).toSeq,
+      ms.flatMap(_.insertFiles).map(Paths.get(_)).toSeq)
+    finally graft.core.FsUtil.deleteRecursively(scratch.toFile)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    graft.core.FsUtil.deleteRecursively(scratch.toFile)
+}
+
+class GraftDeltaWriterFactory(scratch: String, physSchema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(scratch, physSchema, partitionId, taskId)
+}
+
+/** Executor side: tombstones buffer to a (dir, relpath, pos) parquet,
+  * inserted rows stream through a plain [[GraftDataWriter]]. The id
+  * row carries the operation's rowId = (`_file`, `_pos`). */
+class GraftDeltaWriter(scratch: String, physSchema: StructType,
+                       partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val delSchema = StructType(Seq(
+    StructField("dir", StringType), StructField("relpath", StringType),
+    StructField("pos", LongType)))
+  private var delWriter: GraftDataWriter = _
+  private def delFile = s"$scratch/del-$partitionId-$taskId.parquet"
+  private var insWriter: GraftDataWriter = _
+  private def insFile = s"$scratch/ins-$partitionId-$taskId.parquet"
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    require(id.numFields == 2,
+      s"delta rowId row has ${id.numFields} fields (expected (_file, _pos))")
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    // manifest-relative key: <dir...>/<filename> after the data root
+    val rel = file.split("/data/", 2) match {
+      case Array(_, r) => r
+      case _ => throw new IllegalStateException(s"unexpected _file path: $file")
+    }
+    val dir = rel.substring(0, rel.lastIndexOf('/'))
+    if (delWriter == null) delWriter = new GraftDataWriter(delFile, delSchema,
+      rowLevel = false)
+    delWriter.write(InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(dir),
+      org.apache.spark.unsafe.types.UTF8String.fromString(rel), pos))
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (insWriter == null) insWriter = new GraftDataWriter(insFile, physSchema,
+      rowLevel = true)
+    insWriter.write(row)
+  }
+
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates arrive as delete+reinsert (representUpdateAsDeleteAndInsert)")
+
+  override def commit(): WriterCommitMessage = {
+    if (delWriter != null) delWriter.commit()
+    if (insWriter != null) insWriter.commit()
+    GraftDeltaMessage(Option(delWriter).map(_ => delFile),
+      Option(insWriter).map(_ => insFile).toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (delWriter != null) delWriter.abort()
+    if (insWriter != null) insWriter.abort()
+  }
+
+  override def close(): Unit = ()
+}

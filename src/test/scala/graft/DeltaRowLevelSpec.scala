@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableStore
+
+/** Merge-on-read SQL row-level operations (`'rowlevel.mode'=
+  * 'merge-on-read'`): MERGE INTO / UPDATE / DELETE become delta-based
+  * ops — tombstone DV sidecars + one inserted dir, no live dir
+  * rewritten. */
+class DeltaRowLevelSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def freshSql(cat: String): (TableStore, String) = {
+    val root = Files.createTempDirectory("mordelta").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (new TableStore(spark, root), root)
+  }
+
+  test("SQL MERGE INTO under merge-on-read rewrites no dirs") {
+    val (ts, _) = freshSql("mor1")
+    ts.create("t", (1L to 100L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "x"))
+    ts.append("t", (101L to 200L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "x"))
+    ts.setProperties("t", Map("rowlevel.mode" -> "merge-on-read"))
+    val dirsBefore = ts.liveDirs("t")
+    Seq((50L, "U50", 0L), (150L, "U150", 0L), (300L, "N300", 3000L))
+      .toDF("id", "v", "x").createOrReplaceTempView("mor1_src")
+    spark.sql("""MERGE INTO mor1.t t USING mor1_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v, x = s.x
+                 WHEN NOT MATCHED THEN INSERT *""")
+    // every pre-merge dir still live (tombstoned, not rewritten)
+    assert(ts.liveDirs("t").take(dirsBefore.size) === dirsBefore)
+    assert(ts.snapshot("t").dvs.nonEmpty)
+    val got = spark.sql("SELECT id, v, x FROM mor1.t")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size === 201)
+    assert(got(50L) === (("U50", 0L)) && got(150L) === (("U150", 0L)))
+    assert(got(300L) === (("N300", 3000L)) && got(49L) === (("v49", 490L)))
+    // metadata COUNT nets tombstones against the appended postimages
+    assert(spark.sql("SELECT count(*) FROM mor1.t").head().getLong(0) === 201L)
+  }
+
+  test("SQL UPDATE and un-pushable DELETE take the delta path too") {
+    val (ts, _) = freshSql("mor2")
+    ts.create("t", (1L to 60L).map(i => (i, i % 7, s"v$i")).toDF("id", "k", "v"))
+    ts.setProperties("t", Map("rowlevel.mode" -> "merge-on-read"))
+    val dirsBefore = ts.liveDirs("t")
+    spark.sql("UPDATE mor2.t SET v = concat(v, '!') WHERE k = 3")
+    assert(ts.liveDirs("t").take(dirsBefore.size) === dirsBefore)
+    assert(spark.sql("SELECT count(*) FROM mor2.t WHERE v LIKE '%!'")
+      .head().getLong(0) === (1L to 60L).count(_ % 7 == 3))
+    // DELETE with a non-v1-translatable predicate goes through the
+    // row-level (delta) path rather than deleteWhere
+    spark.sql("DELETE FROM mor2.t WHERE id % 10 = 4")
+    assert(spark.sql("SELECT count(*) FROM mor2.t").head().getLong(0) ===
+      60L - (1L to 60L).count(_ % 10 == 4))
+    assert(ts.read("t").filter(col("id") % 10 === 4).count() === 0)
+  }
+
+  test("delta ops stack with prior DVs; rewrite materializes everything") {
+    val (ts, _) = freshSql("mor3")
+    ts.create("t", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ts.setProperties("t", Map("rowlevel.mode" -> "merge-on-read",
+      "delete.mode" -> "merge-on-read"))
+    spark.sql("DELETE FROM mor3.t WHERE id <= 5")  // deleteWhere -> DV
+    Seq((10L, "U10"), (3L, "Z3")).toDF("id", "v")
+      .createOrReplaceTempView("mor3_src")
+    // id=3 is already DV-deleted: NOT MATCHED -> re-insert
+    spark.sql("""MERGE INTO mor3.t t USING mor3_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val got = ts.read("t").as[(Long, String)].collect().toMap
+    assert(got.size === 46) // 50 - 5 deleted + 1 reinserted
+    assert(got(10L) === "U10" && got(3L) === "Z3" && !got.contains(4L))
+    ts.compact("t")
+    assert(ts.snapshot("t").dvs.isEmpty)
+    assert(ts.read("t").count() === 46)
+  }
+
+  test("change feed records delta ops as delete+insert pairs") {
+    val (ts, _) = freshSql("mor4")
+    ts.create("t", (1L to 10L).map(i => (i, i * 1L)).toDF("id", "x"))
+    ts.setChangeFeed("t", true)
+    ts.setProperties("t", Map("rowlevel.mode" -> "merge-on-read"))
+    val v0 = ts.currentVersion("t")
+    spark.sql("UPDATE mor4.t SET x = x + 100 WHERE id >= 9")
+    val ch = ts.readChangesBetween("t", v0, ts.currentVersion("t"))
+      .select("id", "x", "_change_type").as[(Long, Long, String)].collect().toSet
+    assert(ch === Set((9L, 9L, "delete"), (10L, 10L, "delete"),
+      (9L, 109L, "insert"), (10L, 110L, "insert")))
+  }
+}
