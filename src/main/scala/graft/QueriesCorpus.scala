@@ -279,11 +279,9 @@ object QueriesCorpus {
           Seq("bkey"), 16)
         val batchBands =
           graft.ops.Dedup.minhashBands(batchSh, "doc_id", "shingle").cache()
-        def sets(d: org.apache.spark.sql.DataFrame) = d.groupBy("doc_id")
-          .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
         val rejected = graft.ops.Dedup.nearDupsAgainstIndex(
           batchBands, st.read("band_index"),
-          sets(batchSh), sets(corpusSh), "doc_id", threshold = 0.5)
+          batchSh, corpusSh, "doc_id", "shingle", threshold = 0.5)
         val admitted = batchSh.select(col("doc_id")).distinct()
           .join(rejected.select(col("batch_id").as("doc_id")), Seq("doc_id"),
             "left_anti")

@@ -572,6 +572,26 @@ object QueriesMutation {
              |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, 'delete', CAST(3 AS BIGINT)
              |FROM s WHERE s.o_custkey % 10 = 3""".stripMargin)),
 
+    // ---- CLONE: zero-copy table copy (hard-linked files, fresh
+    //      manifest); the clone mutates independently of its source. ----
+    "sql_clone" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "cl")
+        graft.core.FsUtil.deleteRecursively(
+          new java.io.File("/tmp/graft_qstore/sqlcat/cl2"))
+        st.create("cl", Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        s.sql("CALL graft.system.clone('cl', 'cl2')")
+        s.sql("DELETE FROM graft.cl2 WHERE n_nationkey < 10")
+        s.sql("""SELECT 'src' AS side, n_nationkey, n_name FROM graft.cl
+                 UNION ALL
+                 SELECT 'clone' AS side, n_nationkey, n_name FROM graft.cl2""")
+      },
+      Some("""SELECT 'src' AS side, n_nationkey, n_name FROM nation
+             |UNION ALL
+             |SELECT 'clone' AS side, n_nationkey, n_name FROM nation
+             |WHERE n_nationkey >= 10""".stripMargin)),
+
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
       (s, dir) => {

@@ -916,6 +916,39 @@ class TableStore(spark: SparkSession, root: String) {
     markNoLogicalChange(name)
   }
 
+  /** CLONE (Delta `CREATE TABLE ... CLONE` semantics): a new table
+    * whose v0 is `src`'s current snapshot, created WITHOUT copying any
+    * data — every live data file, DV sidecar, and bloom sidecar is
+    * HARD-LINKED into the clone, so the commit is O(files) metadata
+    * operations. The tables then evolve independently: mutations on
+    * either side write their own new files, and vacuum on one can
+    * never break the other (a hard link keeps the shared bytes alive
+    * until BOTH sides drop them — strictly safer than Delta's
+    * path-sharing shallow clone, with the same zero-copy cost; on
+    * object storage the equivalent is a manifest-only copy with
+    * absolute file refs). Schema, stats, bucketing, column mapping,
+    * CHECK constraints, properties, and pending DVs all carry; the
+    * clone's history and streaming watermarks start fresh. */
+  def cloneTable(src: String, dst: String): Unit = {
+    require(exists(src), s"table $src does not exist")
+    require(!exists(dst), s"table $dst already exists")
+    val m = readManifest(src, currentVersion(src))
+    def linkAll(from: Path, to: Path): Unit =
+      if (Files.isDirectory(from)) {
+        Files.createDirectories(to)
+        Using.resource(Files.list(from))(_.iterator().asScala.toSeq).foreach { p =>
+          if (Files.isDirectory(p)) linkAll(p, to.resolve(p.getFileName.toString))
+          else Files.createLink(to.resolve(p.getFileName.toString), p): Unit
+        }
+      }
+    m.dirs.foreach(d =>
+      linkAll(dataRoot(src).resolve(d), dataRoot(dst).resolve(d)))
+    m.dvs.values.map(_.path).toSeq.distinct.foreach(p =>
+      linkAll(dvRoot(src).resolve(p), dvRoot(dst).resolve(p)))
+    if (m.bloomCols.nonEmpty) linkAll(bloomRoot(src), bloomRoot(dst))
+    commitManifest(dst, 0, m.copy(txns = Map.empty))
+  }
+
   /** VACUUM: physically delete data no version within the retained
     * window references — superseded batch dirs/bucket leaves and orphan
     * dirs from aborted DSv2 writes. Keeps the latest `retainVersions`
@@ -1311,15 +1344,27 @@ class TableStore(spark: SparkSession, root: String) {
     if (deleteFiles.isEmpty && insertFiles.isEmpty) return
     val v = currentVersion(name) + 1
     val uuid = java.util.UUID.randomUUID.toString.take(8)
-    // inserted rows -> one new batch dir (files carry physical names)
+    // inserted rows -> one new batch dir (files carry physical names);
+    // bucketed writers staged under __b=<k> leaves — each leaf becomes
+    // its own manifest dir, so the table keeps its layout through
+    // merge-on-read merges
     val newDirs: Seq[String] =
       if (insertFiles.isEmpty) Seq.empty
       else {
         val batch = f"b$v%09d-$uuid"
         val target = dataRoot(name).resolve(batch)
-        Files.createDirectories(target)
-        insertFiles.foreach(f => Files.move(f, target.resolve(f.getFileName)))
-        Seq(batch)
+        val byLeaf = insertFiles.groupBy(f =>
+          Option(f.getParent).map(_.getFileName.toString).filter(_.startsWith("__b=")))
+        byLeaf.toSeq.sortBy(_._1).flatMap {
+          case (Some(leaf), fs) =>
+            Files.createDirectories(target.resolve(leaf))
+            fs.foreach(f => Files.move(f, target.resolve(leaf).resolve(f.getFileName)))
+            Seq(s"$batch/$leaf")
+          case (None, fs) =>
+            Files.createDirectories(target)
+            fs.foreach(f => Files.move(f, target.resolve(f.getFileName)))
+            Seq(batch)
+        }.distinct
       }
     requireChecksPass(name, m, newDirs)
     // tombstones -> merged DV sidecars on the touched dirs

@@ -75,22 +75,31 @@ object Dedup {
     * rows, typically a bucketed store table keyed on bkey); candidates
     * come from the (band, bkey) equi-join — the batch side is small, so
     * at 100 TB the probe reads ~|batch| x nBands index rows through the
-    * bucket layout, never the corpus. Returns the REJECTED batch doc
-    * ids with their best-matching corpus doc and jaccard (callers
-    * anti-join to admit; admitted docs' bands then append to the
-    * index). Shingle-set args carry (docCol, "set", "n") from
-    * collect_set + count aggregates. */
+    * bucket layout, never the corpus. Exact verification re-shingles
+    * ONLY the candidate corpus docs: `corpusShingles` is semi-joined to
+    * the candidate ids BEFORE its sets aggregate, so corpus work is
+    * O(candidates), not O(corpus) — the property that lets a
+    * continuously-ingesting pipeline verify against a 100 TB corpus.
+    * Returns the REJECTED batch doc ids with their best-matching corpus
+    * doc and jaccard (callers anti-join to admit; admitted docs' bands
+    * then append to the index). Shingle args carry (docCol, shingleCol)
+    * distinct pairs. */
   def nearDupsAgainstIndex(batchBands: DataFrame, indexBands: DataFrame,
-                           batchSets: DataFrame, indexSets: DataFrame,
-                           docCol: String, threshold: Double): DataFrame = {
+                           batchShingles: DataFrame, corpusShingles: DataFrame,
+                           docCol: String, shingleCol: String,
+                           threshold: Double): DataFrame = {
     val cand = batchBands.select(col(docCol).as("batch_id"), col("band"), col("bkey"))
       .join(indexBands.select(col(docCol).as("corpus_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select("batch_id", "corpus_id").distinct()
+    def sets(d: DataFrame) = d.groupBy(docCol)
+      .agg(collect_set(col(shingleCol)).as("set"), count(lit(1)).as("n"))
+    val candSets = sets(corpusShingles.join(
+      cand.select(col("corpus_id").as(docCol)).distinct(), Seq(docCol), "left_semi"))
     cand
-      .join(batchSets.select(col(docCol).as("batch_id"),
+      .join(sets(batchShingles).select(col(docCol).as("batch_id"),
         col("set").as("sb"), col("n").as("nb")), Seq("batch_id"))
-      .join(indexSets.select(col(docCol).as("corpus_id"),
+      .join(candSets.select(col(docCol).as("corpus_id"),
         col("set").as("sc"), col("n").as("nc")), Seq("corpus_id"))
       .withColumn("inter", size(array_intersect(col("sb"), col("sc"))).cast("long"))
       .withColumn("jaccard", col("inter") / (col("nb") + col("nc") - col("inter")))

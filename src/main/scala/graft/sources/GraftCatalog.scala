@@ -405,7 +405,8 @@ class GraftSqlTable(root: String, tableName: String,
       override def newWriteBuilder(
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
-        new GraftDeltaWriteBuilder(root, tableName, wInfo.schema(), snap.colmap)
+        new GraftDeltaWriteBuilder(root, tableName, wInfo.schema(), snap.colmap,
+          bucketing = snap.bucketing.map(b => (b.keys, b.n)))
     }
 
   override def newRowLevelOperationBuilder(

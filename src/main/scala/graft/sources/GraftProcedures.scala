@@ -29,7 +29,7 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "compact", "restore",
     "optimize_range", "optimize_zorder", "set_bloom_columns", "history",
-    "set_change_feed", "delete_vectorized", "update_vectorized")
+    "set_change_feed", "delete_vectorized", "update_vectorized", "clone")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -147,6 +147,13 @@ object GraftProcedures {
           org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
         val after = store.snapshot(t).rowCount
         result(t, (for { b <- before; a <- after } yield b - a).getOrElse(-1L))
+      }
+      case "clone" => bound(Seq(param("table", StringType),
+          param("target", StringType))) { in =>
+        val src = in.getUTF8String(0).toString
+        val dst = in.getUTF8String(1).toString
+        store.cloneTable(src, dst)
+        result(dst, store.liveDirCount(dst).toLong)
       }
       case "update_vectorized" => bound(Seq(param("table", StringType),
           param("condition", StringType), param("assignments", StringType))) { in =>

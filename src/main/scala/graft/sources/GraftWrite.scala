@@ -332,24 +332,28 @@ case class GraftDeltaMessage(deleteFile: Option[String], insertFiles: Seq[String
   * carrying PHYSICAL column names; [[TableStore.commitDelta]] fuses
   * both into one manifest version (DV sidecars + one attached dir). */
 class GraftDeltaWriteBuilder(root: String, table: String, schema: StructType,
-                             colmap: Map[String, String] = Map.empty)
+                             colmap: Map[String, String] = Map.empty,
+                             bucketing: Option[(Seq[String], Int)] = None)
     extends DeltaWriteBuilder {
+  private def phys(n: String) = colmap.getOrElse(n, n)
   private val physSchema: StructType =
     if (colmap.isEmpty) schema
-    else StructType(schema.map(f => f.copy(name = colmap.getOrElse(f.name, f.name))))
+    else StructType(schema.map(f => f.copy(name = phys(f.name))))
   override def build(): DeltaWrite = new DeltaWrite {
     override def toBatch: DeltaBatchWrite =
-      new GraftDeltaBatchWrite(root, table, physSchema)
+      new GraftDeltaBatchWrite(root, table, physSchema,
+        bucketing.map { case (ks, n) => (ks.map(phys), n) })
   }
 }
 
-class GraftDeltaBatchWrite(root: String, table: String, physSchema: StructType)
+class GraftDeltaBatchWrite(root: String, table: String, physSchema: StructType,
+                           bucketing: Option[(Seq[String], Int)] = None)
     extends DeltaBatchWrite {
   private val scratch = Paths.get(root, table, "data",
     ".delta-" + java.util.UUID.randomUUID.toString.replace("-", "").take(16))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(scratch.toString, physSchema)
+    new GraftDeltaWriterFactory(scratch.toString, physSchema, bucketing)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.collect { case m: GraftDeltaMessage => m }
@@ -364,17 +368,19 @@ class GraftDeltaBatchWrite(root: String, table: String, physSchema: StructType)
     graft.core.FsUtil.deleteRecursively(scratch.toFile)
 }
 
-class GraftDeltaWriterFactory(scratch: String, physSchema: StructType)
+class GraftDeltaWriterFactory(scratch: String, physSchema: StructType,
+                              bucketing: Option[(Seq[String], Int)] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(scratch, physSchema, partitionId, taskId)
+    new GraftDeltaWriter(scratch, physSchema, bucketing, partitionId, taskId)
 }
 
 /** Executor side: tombstones buffer to a (dir, relpath, pos) parquet,
   * inserted rows stream through a plain [[GraftDataWriter]]. The id
   * row carries the operation's rowId = (`_file`, `_pos`). */
 class GraftDeltaWriter(scratch: String, physSchema: StructType,
+                       bucketing: Option[(Seq[String], Int)],
                        partitionId: Int, taskId: Long)
     extends DeltaWriter[InternalRow] {
 
@@ -383,8 +389,32 @@ class GraftDeltaWriter(scratch: String, physSchema: StructType,
     StructField("pos", LongType)))
   private var delWriter: GraftDataWriter = _
   private def delFile = s"$scratch/del-$partitionId-$taskId.parquet"
+  // unbucketed tables stream inserts to one file; bucketed tables route
+  // each row to its __b=<k> leaf so the table KEEPS its layout through
+  // merge-on-read merges (per-row routing, like GraftBucketedDataWriter,
+  // but offset-aware: delta rows may carry one leading marker column)
   private var insWriter: GraftDataWriter = _
   private def insFile = s"$scratch/ins-$partitionId-$taskId.parquet"
+  private val insByBucket = scala.collection.mutable.HashMap[Int, GraftDataWriter]()
+  private val keyFields: Array[(Int, org.apache.spark.sql.types.DataType)] =
+    bucketing.map(_._1).getOrElse(Seq.empty).map { k =>
+      val i = physSchema.fieldIndex(k)
+      (i, physSchema.fields(i).dataType)
+    }.toArray
+
+  private def bucketOf(row: InternalRow, off: Int, n: Int): Int = {
+    var h = 42L
+    var i = 0
+    while (i < keyFields.length) {
+      val (idx, dt) = keyFields(i)
+      if (!row.isNullAt(off + idx))
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(row.get(off + idx, dt), dt, h)
+      i += 1
+    }
+    val b = h.toInt % n
+    if (b < 0) b + n else b
+  }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     require(id.numFields == 2,
@@ -404,10 +434,17 @@ class GraftDeltaWriter(scratch: String, physSchema: StructType,
       org.apache.spark.unsafe.types.UTF8String.fromString(rel), pos))
   }
 
-  override def insert(row: InternalRow): Unit = {
-    if (insWriter == null) insWriter = new GraftDataWriter(insFile, physSchema,
-      rowLevel = true)
-    insWriter.write(row)
+  override def insert(row: InternalRow): Unit = bucketing match {
+    case Some((_, n)) =>
+      val off = row.numFields - physSchema.length
+      val b = bucketOf(row, off, n)
+      insByBucket.getOrElseUpdate(b, new GraftDataWriter(
+        s"$scratch/ins/__b=$b/part-$partitionId-$taskId.parquet", physSchema,
+        rowLevel = true)).write(row)
+    case None =>
+      if (insWriter == null) insWriter = new GraftDataWriter(insFile, physSchema,
+        rowLevel = true)
+      insWriter.write(row)
   }
 
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit = insert(row)
@@ -419,13 +456,17 @@ class GraftDeltaWriter(scratch: String, physSchema: StructType,
   override def commit(): WriterCommitMessage = {
     if (delWriter != null) delWriter.commit()
     if (insWriter != null) insWriter.commit()
+    insByBucket.values.foreach(_.commit())
+    val bucketFiles = insByBucket.map { case (b, _) =>
+      s"$scratch/ins/__b=$b/part-$partitionId-$taskId.parquet" }.toSeq
     GraftDeltaMessage(Option(delWriter).map(_ => delFile),
-      Option(insWriter).map(_ => insFile).toSeq)
+      Option(insWriter).map(_ => insFile).toSeq ++ bucketFiles)
   }
 
   override def abort(): Unit = {
     if (delWriter != null) delWriter.abort()
     if (insWriter != null) insWriter.abort()
+    insByBucket.values.foreach(_.abort())
   }
 
   override def close(): Unit = ()

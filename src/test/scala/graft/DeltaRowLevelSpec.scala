@@ -83,6 +83,49 @@ class DeltaRowLevelSpec extends AnyFunSuite {
     assert(ts.read("t").count() === 46)
   }
 
+  test("bucketed tables keep their layout through a delta MERGE") {
+    val (ts, _) = freshSql("mor5")
+    ts.createBucketed("t", (1L to 80L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), 8)
+    ts.setProperties("t", Map("rowlevel.mode" -> "merge-on-read"))
+    Seq((5L, "U5"), (100L, "N100"), (101L, "N101")).toDF("id", "v")
+      .createOrReplaceTempView("mor5_src")
+    spark.sql("""MERGE INTO mor5.t t USING mor5_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT *""")
+    // inserted/updated rows landed as __b=<k> LEAF dirs: the layout
+    // survives and key-driven merge pruning stays available
+    assert(ts.liveDirs("t").forall(_.contains("/__b=")))
+    val got = spark.sql("SELECT id, v FROM mor5.t").as[(Long, String)]
+      .collect().toMap
+    assert(got.size === 82 && got(5L) === "U5" && got(100L) === "N100")
+    // a LIBRARY bucketed merge after the delta commit still prunes
+    val before = ts.liveDirs("t").toSet
+    ts.mergeUpsert("t", Seq((100L, "Z")).toDF("id", "v"), Seq("id"),
+      changeTypeCol = None)
+    assert(ts.liveDirs("t").toSet.intersect(before).nonEmpty)
+    assert(ts.read("t").as[(Long, String)].collect().toMap.apply(100L) === "Z")
+  }
+
+  test("cloneTable is zero-copy and isolates both directions") {
+    val (ts, root) = freshSql("mor6")
+    ts.create("src", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ts.deleteVectorized("src", col("id") === 9L) // pending DV carries
+    spark.sql("CALL mor6.system.clone('src', 'dst')")
+    assert(ts.read("dst").count() === 49)
+    // zero-copy: the clone's files are hard links (same inode -> same
+    // size on disk, and mutating ONE table never changes the other)
+    ts.update("dst", col("id") === 1L, Map("v" -> lit("DST")))
+    assert(ts.read("src").as[(Long, String)].collect().toMap.apply(1L) === "v1")
+    ts.append("src", Seq((200L, "s200")).toDF("id", "v"))
+    assert(ts.read("dst").count() === 49)
+    // vacuum on src can't break dst: dst's links keep shared bytes alive
+    ts.compact("src")
+    ts.vacuum("src", retainVersions = 1)
+    assert(ts.read("dst").count() === 49)
+    assert(ts.read("dst").as[(Long, String)].collect().toMap.apply(2L) === "v2")
+  }
+
   test("change feed records delta ops as delete+insert pairs") {
     val (ts, _) = freshSql("mor4")
     ts.create("t", (1L to 10L).map(i => (i, i * 1L)).toDF("id", "x"))

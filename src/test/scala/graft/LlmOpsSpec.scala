@@ -95,11 +95,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val sh = QueriesLlm.shinglesForTest(spark, dir)
     val batchSh = sh.filter(col("doc_id") % 3 === 0)
     val corpusShAll = sh // index now holds corpus + admitted batch docs
-    def sets(d: org.apache.spark.sql.DataFrame) = d.groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
     val rejected = graft.ops.Dedup.nearDupsAgainstIndex(
       graft.ops.Dedup.minhashBands(batchSh, "doc_id", "shingle"),
-      st.read("band_index"), sets(batchSh), sets(corpusShAll), "doc_id", 0.5)
+      st.read("band_index"), batchSh, corpusShAll, "doc_id", "shingle", 0.5)
       .collect().map(_.getLong(0)).toSet
     val batchIds = batchSh.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
