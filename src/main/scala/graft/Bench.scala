@@ -20,7 +20,8 @@ object Bench {
     "job_fact_full_refresh", "job_fact_load", "job_incremental",
     "job_silver_handoff", "j1_star_join", "m1_merge_composite",
     "d3_minhash_lsh", "d5_dedup_clusters", "e3_ann_lsh_topk",
-    "d2_ngram_jaccard", "x4_asof_join", "x7_incremental_dedup")
+    "d2_ngram_jaccard", "x4_asof_join", "x7_incremental_dedup",
+    "x8_corpus_pipeline", "sql_mor_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

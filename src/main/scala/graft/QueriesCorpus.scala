@@ -254,6 +254,98 @@ object QueriesCorpus {
              |  CAST(stream_start // 256 AS BIGINT) AS bin
              |FROM c""".stripMargin)),
 
+    // ---- x8: the END-TO-END training-corpus pipeline as ONE composite:
+    //      plant exact copies -> exact dedup (keep min id) -> quality
+    //      gate -> benchmark split -> 8-gram decontamination -> 3-gram
+    //      near-dup prune (drop docs with a smaller-id partner at
+    //      jaccard >= 0.5) -> deterministic per-language stratified
+    //      sample. Every stage is the oracle-checked primitive (d1, t2,
+    //      d6, d2, x1) composed; every join is an inverted-index or
+    //      hash equi-join, so the whole pipeline is the shape that runs
+    //      on a 100 TB corpus. ----
+    "x8_corpus_pipeline" -> QDef(
+      (s, dir) => {
+        val raw = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val docs = raw.unionByName(raw.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", -col("doc_id")))
+        // exact dedup: one survivor per text (lowest id, d1 policy)
+        val deduped = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min_by(col("lang"), col("doc_id")).as("lang"))
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_words", size(col("w")).cast("int"))
+        // quality gate (t2 features)
+        val gated = deduped
+          .withColumn("n_stop",
+            expr("CAST(size(filter(w, x -> x = 'the' OR x = 'a')) AS INT)"))
+          .filter(col("n_words") >= 40 && col("n_stop") / col("n_words") <= 0.5)
+        val bench = gated.filter(abs(col("doc_id")) % 20 < 2)
+        val train = gated.filter(abs(col("doc_id")) % 20 >= 2)
+        // 8-gram decontamination vs the benchmark split (d6 shape)
+        def sh8(d: DataFrame) = d.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), " +
+            "i -> xxhash64(array_join(slice(w, i, 8), ' ')))")).as("h8")).distinct()
+        val contaminated = sh8(train)
+          .join(broadcast(sh8(bench).select("h8").distinct()), Seq("h8"))
+          .select("doc_id").distinct()
+        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+        // near-dup prune among the survivors (d2 inverted index)
+        val sh3 = clean.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> xxhash64(array_join(slice(w, i, 3), ' ')))")).as("h3")).distinct()
+        val sizes = sh3.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val dupped = sh3.select(col("doc_id").as("doc_a"), col("h3"))
+          .join(sh3.select(col("doc_id").as("doc_b"), col("h3")), Seq("h3"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .filter(col("i") / (col("na") + col("nb") - col("i")) >= 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val kept = clean.join(dupped, Seq("doc_id"), "left_anti")
+        // deterministic per-language stratified sample (x1 thresholds)
+        kept.filter(inclusionHash < thresholdCol)
+          .select(col("doc_id"), col("lang"), col("n_words"))
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, text, lang FROM documents
+              |  UNION ALL
+              |  SELECT -doc_id, text, lang FROM documents WHERE doc_id % 7 = 0),
+              |dedup AS (SELECT min(doc_id) AS doc_id,
+              |            min_by(lang, doc_id) AS lang, text
+              |          FROM docs GROUP BY text),
+              |q AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+              |        CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+              |        CAST(len(list_filter(string_split(text, ' '),
+              |          x -> x IN ('the', 'a'))) AS INT) AS n_stop
+              |      FROM dedup),
+              |gate AS (SELECT * FROM q
+              |         WHERE n_words >= 40 AND n_stop / n_words <= 0.5),
+              |bench8 AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS s8
+              |           FROM gate, unnest(generate_series(1, len(w) - 7)) AS t(i)
+              |           WHERE abs(doc_id) % 20 < 2),
+              |train AS (SELECT * FROM gate WHERE abs(doc_id) % 20 >= 2),
+              |tr8 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s8
+              |        FROM train, unnest(generate_series(1, len(w) - 7)) AS t(i)),
+              |contaminated AS (SELECT DISTINCT doc_id FROM tr8
+              |                 JOIN bench8 USING (s8)),
+              |clean AS (SELECT * FROM train
+              |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+              |sh3 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s3
+              |        FROM clean, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              |          FROM sh3 a JOIN sh3 b ON a.s3 = b.s3 AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |dup AS (SELECT DISTINCT db FROM inter
+              |        JOIN sizes sa ON da = sa.doc_id
+              |        JOIN sizes sb ON db = sb.doc_id
+              |        WHERE i / (sa.n + sb.n - i) >= 0.5)
+              |SELECT doc_id, lang, n_words FROM clean
+              |WHERE doc_id NOT IN (SELECT db FROM dup)
+              |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < $ThresholdSql""".stripMargin)),
+
     // ---- x7: INCREMENTAL near-dup dedup — admit a new batch against a
     //      PERSISTED MinHash band index (ops.Dedup.minhashBands /
     //      nearDupsAgainstIndex). The index lives in a store table
