@@ -43,7 +43,108 @@ import org.apache.spark.sql.types.StructType
   * row handling anywhere (only the source's distinct bucket ids are
   * collected — at most n integers).
   */
+object TableStore {
+
+  final case class Bucketing(keys: Seq[String], n: Int) {
+    def expr: Column = pmod(hash(keys.map(col): _*), lit(n))
+  }
+
+  /** Deletion-vector reference for one dir: `path` names a sidecar
+    * parquet dataset under `_dv/` holding (relpath, pos) rows — the
+    * file-relative row positions deleted from this dir — and `deleted`
+    * counts them (metadata-only COUNT adjustments). Dirs stay
+    * immutable; a DV commit changes only the manifest + sidecar. */
+  final case class DvRef(path: String, deleted: Long)
+
+  /** A parsed manifest: the complete committed state of one version. */
+  /** `txns`: per-writer transaction high-watermarks (streaming query id
+    * -> last committed epoch), carried through every commit — the
+    * Delta txn-action pattern that makes streaming-sink epoch commits
+    * idempotent (exactly-once). */
+  /** `cdf`: change-data-feed recording enabled — row-level mutations
+    * (merge / update / delete) persist their change rows under
+    * `_cdf/<version>/` in the same write pass as the data. */
+  /** `colmap`: COLUMN MAPPING (the Delta column-mapping model): logical
+    * column name -> the PHYSICAL name carried in parquet files.
+    * Identity entries are omitted, so the map is empty until the first
+    * RENAME / post-DROP re-ADD. Every manifest field (schema, stats
+    * keys, bucketing keys, checks, bloomCols) speaks LOGICAL names;
+    * only the parquet file boundary (writers, readers, footer stats,
+    * bloom sidecar names) translates through `phys`. */
+  /** `droppedPhys`: physical names of DROPPED columns that may still
+    * exist in live files — a later ADD COLUMN with a colliding name
+    * gets a fresh physical identity so old values can never
+    * resurrect. */
+  private[core] final case class Manifest(schema: StructType, dirs: Seq[String],
+                                          bucketing: Option[Bucketing],
+                                          stats: Map[String, DirStats],
+                                          txns: Map[String, Long] = Map.empty,
+                                          bloomCols: Seq[String] = Nil,
+                                          checks: Map[String, String] = Map.empty,
+                                          cdf: Boolean = false,
+                                          dvs: Map[String, DvRef] = Map.empty,
+                                          props: Map[String, String] = Map.empty,
+                                          colmap: Map[String, String] = Map.empty,
+                                          droppedPhys: Seq[String] = Nil) {
+    /** Physical (in-file) name of a logical column. */
+    def phys(logical: String): String = colmap.getOrElse(logical, logical)
+    /** The schema as parquet files spell it. */
+    def physSchema: StructType =
+      if (colmap.isEmpty) schema
+      else StructType(schema.map(f => f.copy(name = phys(f.name))))
+    /** Projection mapping a physical-named scan back to logical names. */
+    def logicalCols: Seq[Column] = schema.map(f => col(phys(f.name)).as(f.name))
+    /** Remap physical-keyed footer stats to logical keys. */
+    def statsToLogical(ds: DirStats): DirStats =
+      if (colmap.isEmpty) ds
+      else {
+        val inv = colmap.map(_.swap)
+        ds.copy(cols = ds.cols.map { case (k, v) => inv.getOrElse(k, k) -> v })
+      }
+  }
+
+  final case class Snapshot(version: Long, schema: StructType,
+                            dirs: Seq[String], bucketing: Option[Bucketing],
+                            stats: Map[String, DirStats] = Map.empty,
+                            bloomCols: Seq[String] = Nil,
+                            dvs: Map[String, DvRef] = Map.empty,
+                            colmap: Map[String, String] = Map.empty) {
+    /** Physical (in-file) name of a logical column (column mapping). */
+    def phys(logical: String): String = colmap.getOrElse(logical, logical)
+    /** Absolute paths of the snapshot's live parquet files. */
+    def files(store: TableStore, name: String): Seq[String] =
+      filesByDir(store, name).flatMap(_._2)
+
+    /** Live parquet files grouped by manifest dir — the granularity at
+      * which the manifest's column statistics apply (data skipping). */
+    def filesByDir(store: TableStore, name: String): Seq[(String, Seq[String])] = {
+      val dataRoot = store.dataRoot(name)
+      dirs.map { d =>
+        val leaf = dataRoot.resolve(d)
+        val fs =
+          if (!Files.isDirectory(leaf)) Seq.empty[String]
+          else Using.resource(Files.list(leaf))(
+            _.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(_.toString).toSeq)
+        d -> fs
+      }
+    }
+
+    /** Exact row count from manifest statistics, if every live dir has
+      * stats (metadata-only COUNT(*)) — net of deletion-vector
+      * tombstones, whose counts the manifest carries. */
+    def rowCount: Option[Long] =
+      if (dirs.forall(stats.contains))
+        Some(dirs.map(stats(_).rows).sum - dvs.values.map(_.deleted).sum)
+      else None
+  }
+
+}
+
 class TableStore(spark: SparkSession, root: String) {
+
+  import TableStore.{Bucketing, DvRef, Manifest, Snapshot}
 
   // Spark 4 defaults parquet timestamps to INT96 (legacy); the DSv2 SQL
   // read path (GraftPartitionReader) decodes INT64 micros, so pin the
@@ -64,17 +165,6 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** Hash bucketing spec: data is split into `n` leaf dirs by
     * pmod(hash(keys), n). */
-  final case class Bucketing(keys: Seq[String], n: Int) {
-    def expr: Column = pmod(hash(keys.map(col): _*), lit(n))
-  }
-
-  /** Deletion-vector reference for one dir: `path` names a sidecar
-    * parquet dataset under `_dv/` holding (relpath, pos) rows — the
-    * file-relative row positions deleted from this dir — and `deleted`
-    * counts them (metadata-only COUNT adjustments). Dirs stay
-    * immutable; a DV commit changes only the manifest + sidecar. */
-  final case class DvRef(path: String, deleted: Long)
-
   // ---- manifest (de)serialization ----
   // {"schema": <ddl>, "dirs": [..], "bucketkeys": [..], "nbuckets": N,
   //  "stats": {"<dir>": {"rows": N, "cols": {"<col>": {"min": "..",
@@ -134,53 +224,6 @@ class TableStore(spark: SparkSession, root: String) {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-
-  /** A parsed manifest: the complete committed state of one version. */
-  /** `txns`: per-writer transaction high-watermarks (streaming query id
-    * -> last committed epoch), carried through every commit — the
-    * Delta txn-action pattern that makes streaming-sink epoch commits
-    * idempotent (exactly-once). */
-  /** `cdf`: change-data-feed recording enabled — row-level mutations
-    * (merge / update / delete) persist their change rows under
-    * `_cdf/<version>/` in the same write pass as the data. */
-  /** `colmap`: COLUMN MAPPING (the Delta column-mapping model): logical
-    * column name -> the PHYSICAL name carried in parquet files.
-    * Identity entries are omitted, so the map is empty until the first
-    * RENAME / post-DROP re-ADD. Every manifest field (schema, stats
-    * keys, bucketing keys, checks, bloomCols) speaks LOGICAL names;
-    * only the parquet file boundary (writers, readers, footer stats,
-    * bloom sidecar names) translates through `phys`. */
-  /** `droppedPhys`: physical names of DROPPED columns that may still
-    * exist in live files — a later ADD COLUMN with a colliding name
-    * gets a fresh physical identity so old values can never
-    * resurrect. */
-  private[core] final case class Manifest(schema: StructType, dirs: Seq[String],
-                                          bucketing: Option[Bucketing],
-                                          stats: Map[String, DirStats],
-                                          txns: Map[String, Long] = Map.empty,
-                                          bloomCols: Seq[String] = Nil,
-                                          checks: Map[String, String] = Map.empty,
-                                          cdf: Boolean = false,
-                                          dvs: Map[String, DvRef] = Map.empty,
-                                          props: Map[String, String] = Map.empty,
-                                          colmap: Map[String, String] = Map.empty,
-                                          droppedPhys: Seq[String] = Nil) {
-    /** Physical (in-file) name of a logical column. */
-    def phys(logical: String): String = colmap.getOrElse(logical, logical)
-    /** The schema as parquet files spell it. */
-    def physSchema: StructType =
-      if (colmap.isEmpty) schema
-      else StructType(schema.map(f => f.copy(name = phys(f.name))))
-    /** Projection mapping a physical-named scan back to logical names. */
-    def logicalCols: Seq[Column] = schema.map(f => col(phys(f.name)).as(f.name))
-    /** Remap physical-keyed footer stats to logical keys. */
-    def statsToLogical(ds: DirStats): DirStats =
-      if (colmap.isEmpty) ds
-      else {
-        val inv = colmap.map(_.swap)
-        ds.copy(cols = ds.cols.map { case (k, v) => inv.getOrElse(k, k) -> v })
-      }
-  }
 
   private def readManifest(name: String, v: Long): Manifest = {
     val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
@@ -570,43 +613,6 @@ class TableStore(spark: SparkSession, root: String) {
     * need more than one of these fields (e.g. the DSv2 scan pairing a
     * schema with a file list) must use this instead of separate
     * schemaOf/liveDirs calls, which could straddle a concurrent commit. */
-  final case class Snapshot(version: Long, schema: StructType,
-                            dirs: Seq[String], bucketing: Option[Bucketing],
-                            stats: Map[String, DirStats] = Map.empty,
-                            bloomCols: Seq[String] = Nil,
-                            dvs: Map[String, DvRef] = Map.empty,
-                            colmap: Map[String, String] = Map.empty) {
-    /** Physical (in-file) name of a logical column (column mapping). */
-    def phys(logical: String): String = colmap.getOrElse(logical, logical)
-    /** Absolute paths of the snapshot's live parquet files. */
-    def files(store: TableStore, name: String): Seq[String] =
-      filesByDir(store, name).flatMap(_._2)
-
-    /** Live parquet files grouped by manifest dir — the granularity at
-      * which the manifest's column statistics apply (data skipping). */
-    def filesByDir(store: TableStore, name: String): Seq[(String, Seq[String])] = {
-      val dataRoot = store.dataRoot(name)
-      dirs.map { d =>
-        val leaf = dataRoot.resolve(d)
-        val fs =
-          if (!Files.isDirectory(leaf)) Seq.empty[String]
-          else Using.resource(Files.list(leaf))(
-            _.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet"))
-              .map(_.toString).toSeq)
-        d -> fs
-      }
-    }
-
-    /** Exact row count from manifest statistics, if every live dir has
-      * stats (metadata-only COUNT(*)) — net of deletion-vector
-      * tombstones, whose counts the manifest carries. */
-    def rowCount: Option[Long] =
-      if (dirs.forall(stats.contains))
-        Some(dirs.map(stats(_).rows).sum - dvs.values.map(_.deleted).sum)
-      else None
-  }
-
   def snapshot(name: String): Snapshot = snapshotAt(name, currentVersion(name))
 
   /** Pinned snapshot of a historical version (time travel). */

@@ -101,6 +101,11 @@ class GraftCatalog extends TableCatalog
     if (t == "changes" && ident.namespace().length == 1 &&
         store.exists(ident.namespace()(0)))
       return new GraftChangesTable(root, ident.namespace()(0))
+    // Iceberg-style metadata table: SELECT * FROM graft.<t>.history
+    // (versions, commit times, dir counts, metadata-only row counts)
+    if (t == "history" && ident.namespace().length == 1 &&
+        store.exists(ident.namespace()(0)))
+      return new GraftHistoryTable(root, ident.namespace()(0))
     if (!store.exists(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
@@ -344,7 +349,10 @@ class GraftSqlTable(root: String, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // schema and file list both come from the pinned snapshot: the scan
-    // stays on this version even if the table is mutated before execution.
+    // stays on this version even if the table is mutated before execution
+    // (Spark's versionAsOf/timestampAsOf read options resolve through
+    // loadTable(ident, version) -> pinnedVersion, so time travel arrives
+    // here as a pinned snap with ITS schema and colmap).
     // Files stay grouped by manifest dir with the dir's column stats so
     // the scan can drop whole dirs against pushed predicates (data
     // skipping) before any file is opened.
@@ -776,6 +784,35 @@ class GraftRowLevelScan(fullSchema: StructType, required: StructType,
       hasDvs = dvByFile.nonEmpty, colmap = colmap)
   override def description(): String =
     s"graft row-level scan, ${live.size}/${dirFiles.size} dirs"
+}
+
+/** DESCRIBE HISTORY as a SQL metadata table:
+  *   SELECT * FROM graft.<t>.history
+  * One row per committed version — commit time, live dir count, and the
+  * metadata-only row count (null where stats are incomplete). Planned
+  * as a LocalScan: zero data files read, like `CALL system.history`. */
+class GraftHistoryTable(root: String, table: String)
+    extends Table with SupportsRead {
+  private def store = new TableStore(SparkSession.active, root)
+
+  override def name(): String = s"$table.history"
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType),
+    StructField("committed_at", TimestampType),
+    StructField("n_dirs", IntegerType),
+    StructField("approx_rows", LongType)))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => {
+      val rows = store.history(table).collect().map { r =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+          r.getInt(2), if (r.isNullAt(3)) null else r.getLong(3))
+      }
+      new GraftMetadataScan(schema(), rows, s"history of $table")
+    }
 }
 
 /** The CHANGE DATA FEED as a SQL metadata table:

@@ -173,6 +173,51 @@ class ColumnMappingSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSet === expect)
   }
 
+  test("rename SWAP: two columns exchange names; data never moves") {
+    val ts = fresh()
+    ts.create("t", Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "x", "y"))
+    ts.renameColumn("t", "x", "tmp")
+    ts.renameColumn("t", "y", "x")
+    ts.renameColumn("t", "tmp", "y")
+    // x now reads the OLD y values and vice versa
+    val got = ts.read("t").select("id", "x", "y").as[(Long, Long, Long)]
+      .collect().map { case (i, a, b) => i -> ((a, b)) }.toMap
+    assert(got(1L) === ((100L, 10L)) && got(2L) === ((200L, 20L)))
+    // writes after the swap route each logical column to its ORIGINAL
+    // physical name; mixed generations agree
+    ts.append("t", Seq((3L, 300L, 30L)).toDF("id", "x", "y"))
+    val got2 = ts.read("t").select("id", "x", "y").as[(Long, Long, Long)]
+      .collect().map { case (i, a, b) => i -> ((a, b)) }.toMap
+    assert(got2(3L) === ((300L, 30L)))
+    // stats-pruned update through the swapped names stays sound
+    ts.update("t", col("x") === 300L, Map("y" -> lit(0L)))
+    assert(ts.read("t").filter(col("y") === 0L && col("x") === 300L).count() === 1)
+  }
+
+  test("read-option time travel: versionAsOf composes with renames") {
+    val root = Files.createTempDirectory("cmtt").toString
+    spark.conf.set("spark.sql.catalog.gtt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))   // v0
+    ts.append("t", Seq((2L, "b")).toDF("id", "v"))   // v1
+    ts.renameColumn("t", "v", "val")                  // v2
+    ts.append("t", Seq((3L, "c")).toDF("id", "val")) // v3
+    // Spark routes the option through catalog time travel
+    // (loadTable(ident, version)): the pinned snapshot presents ITS OWN
+    // schema — the pre-rename version still speaks the old name
+    val v1 = spark.read.option("versionAsOf", "1").table("gtt.t")
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(v1 === Set((1L, "a"), (2L, "b")))
+    assert(spark.read.option("versionAsOf", "0").table("gtt.t").count() === 1)
+    assert(spark.read.table("gtt.t").count() === 3)
+    // the .history metadata table lists all four versions, zero files read
+    val hist = spark.sql("SELECT version, n_dirs FROM gtt.t.history")
+      .as[(Long, Int)].collect().toMap
+    assert(hist.keySet === Set(0L, 1L, 2L, 3L))
+    assert(hist(1L) === 2 && hist(2L) === 2 && hist(3L) === 3)
+  }
+
   test("deletion vectors and merge-on-read update compose with a rename") {
     val ts = fresh()
     ts.create("t", (1L to 30L).map(i => (i, i * 2)).toDF("id", "x"))
