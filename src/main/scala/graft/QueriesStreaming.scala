@@ -265,6 +265,67 @@ object QueriesStreaming {
              |FROM s WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.o_orderkey = s.o_orderkey)
              |UNION ALL
              |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, 'delete', CAST(3 AS BIGINT)
-             |FROM s WHERE s.o_custkey % 10 = 3""".stripMargin))
+             |FROM s WHERE s.o_custkey % 10 = 3""".stripMargin)),
+
+    // ---- st10: CDC REPLICATION between store tables — the streaming
+    //      change feed drives an incremental replica: foreachBatch
+    //      applies each commit's change rows IN VERSION ORDER
+    //      (insert/update_postimage -> mergeUpsert, delete ->
+    //      mergeDelete), so the replica converges to the source's
+    //      final state without ever full-refreshing. startVersion=-1
+    //      replays from creation; Trigger.AvailableNow drains the
+    //      backlog and stops — the bootstrap-then-tail pattern a
+    //      downstream copy of a 100 TB table needs (each increment
+    //      costs O(changes), and the replica's merges prune by key). ----
+    "st10_cdc_replicate" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st10_cdc"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        st.create("src", orders.filter(col("o_orderkey") % 4 === 1))    // v0
+        st.setChangeFeed("src", true)                                   // v1
+        st.mergeUpsert("src",
+          orders.filter(col("o_orderkey") % 4 <= 1)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          Seq("o_orderkey"), changeTypeCol = None)                      // v2
+        st.delete("src", col("o_custkey") % 10 === 3)                   // v3
+        st.createEmpty("replica", st.schemaOf("src"))
+        s.conf.set("spark.sql.catalog.graft_st10", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st10.root", root)
+        val q = s.readStream.option("startVersion", "-1")
+          .table("graft_st10.src.changes")
+          .writeStream
+          .option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val b = batch.cache()
+            val versions = b.select("_commit_version").distinct()
+              .collect().map(_.getLong(0)).sorted
+            versions.foreach { v =>
+              val ch = b.filter(col("_commit_version") === v)
+              val upserts = ch
+                .filter(col("_change_type").isin("insert", "update_postimage"))
+                .drop("_change_type", "_commit_version")
+              if (!upserts.isEmpty)
+                st.mergeUpsert("replica", upserts, Seq("o_orderkey"),
+                  changeTypeCol = None)
+              val deletes = ch.filter(col("_change_type") === "delete")
+                .select("o_orderkey")
+              if (!deletes.isEmpty)
+                st.mergeDelete("replica", deletes, Seq("o_orderkey"))
+            }
+            b.unpersist(): Unit
+          }
+          .start()
+        q.awaitTermination()
+        st.read("replica")
+      },
+      Some("""WITH s AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+             |           FROM orders WHERE o_orderkey % 4 <= 1)
+             |SELECT o_orderkey, o_custkey, o_totalprice FROM s
+             |WHERE o_custkey % 10 <> 3""".stripMargin))
   )
 }
