@@ -726,6 +726,43 @@ class TableStore(spark: SparkSession, root: String) {
     markNoLogicalChange(name)
   }
 
+  /** OPTIMIZE ... WHERE (predicate-scoped compaction): fold only the
+    * live dirs whose manifest stats might match `condition` into one
+    * batch dir; everything else carries untouched with its stats. The
+    * Delta pattern for compacting a hot partition of a 100 TB table
+    * without touching the cold ones — cost is O(matching dirs). DVs on
+    * folded dirs materialize (scanLive applies them); carried dirs
+    * keep theirs. */
+  def compactWhere(name: String, condition: Column): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val (touched, carried) = pruneDirsByCondition(name, m, condition)
+    if (touched.size <= 1) return // nothing to fold
+    // meta passes through unchanged: bucketed tables re-route the
+    // folded rows into __b leaves, keeping their layout
+    commit(name, Some(scanLive(name, m, touched)), m, carried): Unit
+    markNoLogicalChange(name)
+  }
+
+  /** Small-file compaction: fold every live dir whose on-disk size sits
+    * under `maxBytes` into one batch dir, carrying the big dirs — the
+    * routine maintenance pass for tables accreting many small
+    * streaming/CDC increments. Returns how many dirs were folded. */
+  def compactSmall(name: String, maxBytes: Long): Int = {
+    val m = readManifest(name, currentVersion(name))
+    def dirBytes(d: String): Long = {
+      val p = dataRoot(name).resolve(d)
+      if (!Files.isDirectory(p)) 0L
+      else Using.resource(Files.list(p))(_.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => Files.size(f)).sum)
+    }
+    val (small, big) = m.dirs.partition(d => dirBytes(d) < maxBytes)
+    if (small.size <= 1) return 0
+    commit(name, Some(scanLive(name, m, small)), m, big): Unit
+    markNoLogicalChange(name)
+    small.size
+  }
+
   /** OPTIMIZE-family commits rewrite files but change no rows: with the
     * change feed on, stamp an empty `_cdf/<v>` marker so the CDF reader
     * reports zero changes instead of a spurious full delete+insert. */

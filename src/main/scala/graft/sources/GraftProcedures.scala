@@ -29,7 +29,8 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "compact", "restore",
     "optimize_range", "optimize_zorder", "set_bloom_columns", "history",
-    "set_change_feed", "delete_vectorized", "update_vectorized", "clone")
+    "set_change_feed", "delete_vectorized", "update_vectorized", "clone",
+    "compact_where", "compact_small")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -147,6 +148,18 @@ object GraftProcedures {
           org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
         val after = store.snapshot(t).rowCount
         result(t, (for { b <- before; a <- after } yield b - a).getOrElse(-1L))
+      }
+      case "compact_where" => bound(Seq(param("table", StringType),
+          param("condition", StringType))) { in =>
+        val t = in.getUTF8String(0).toString
+        store.compactWhere(t,
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
+        result(t, store.liveDirCount(t).toLong)
+      }
+      case "compact_small" => bound(Seq(param("table", StringType),
+          param("max_bytes", LongType))) { in =>
+        val t = in.getUTF8String(0).toString
+        result(t, store.compactSmall(t, in.getLong(1)).toLong)
       }
       case "clone" => bound(Seq(param("table", StringType),
           param("target", StringType))) { in =>

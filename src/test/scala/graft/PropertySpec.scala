@@ -134,4 +134,41 @@ class PropertySpec extends AnyFunSuite {
   test("bloom-pruned UPDATE/DELETE never lose or miss rows (soundness)") {
     for (seed <- 1L to 3L) pruneSoundness(seed, bloom = true)
   }
+
+  test("random rename chains interleaved with writes/deletes stay consistent") {
+    // column mapping under churn: renames (including reuse of a name
+    // another column just vacated) interleave with appends and pruned
+    // deletes; the table must always equal a plain in-memory model
+    for (seed <- 1L to 3L) {
+      val ts = new TableStore(spark, Files.createTempDirectory("proprn").toString)
+      val rnd = new scala.util.Random(seed)
+      var names = Vector("a", "b", "s")
+      var model = Vector.empty[(Long, Long, String)]
+      var freshId = 0
+      def batch(n: Int) = Seq.fill(n)(
+        (rnd.nextInt(500).toLong, rnd.nextInt(100).toLong, "s" + rnd.nextInt(5)))
+      val first = batch(30)
+      model ++= first
+      ts.create("t", first.toDF(names: _*))
+      for (_ <- 1 to 12) rnd.nextInt(3) match {
+        case 0 => // rename a random column to a fresh name
+          val i = rnd.nextInt(3)
+          freshId += 1
+          val to = s"c$freshId"
+          ts.renameColumn("t", names(i), to)
+          names = names.updated(i, to)
+        case 1 =>
+          val rows = batch(20)
+          model ++= rows
+          ts.append("t", rows.toDF(names: _*))
+        case 2 => // pruned delete through a CURRENT name
+          val cut = rnd.nextInt(500).toLong
+          ts.delete("t", col(names(0)) < cut)
+          model = model.filterNot(_._1 < cut)
+      }
+      val got = ts.read("t").select(names.map(col): _*)
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      assert(got === model.sorted, s"seed=$seed names=$names")
+    }
+  }
 }

@@ -232,6 +232,37 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.read("t").count() === 2)
   }
 
+  test("compactWhere folds only matching dirs; compactSmall only small ones") {
+    val ts = freshStore()
+    ts.create("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))       // [1,10]
+    ts.append("t", (100L to 110L).map(i => (i, s"v$i")).toDF("id", "v"))    // [100,110]
+    ts.append("t", (101L to 105L).map(i => (i, s"u$i")).toDF("id", "v"))    // [101,105]
+    ts.append("t", (200L to 5000L).map(i => (i, s"v$i")).toDF("id", "v"))   // big
+    val before = ts.liveDirs("t")
+    assert(before.size === 4)
+    // predicate touches the two overlapping [100..] dirs only
+    ts.compactWhere("t", col("id").between(100L, 110L))
+    val after = ts.liveDirs("t")
+    assert(after.size === 3)
+    assert(after.toSet.intersect(before.toSet).size === 2) // dirs 1 + 4 carried
+    assert(ts.read("t").count() === (10 + 11 + 5 + 4801))
+    // small-file pass: the [1,10] dir and the folded dir are tiny, the
+    // 4801-row dir is not — with a threshold between the two sizes only
+    // the small ones fold
+    val folded = ts.compactSmall("t", maxBytes = 20000L)
+    assert(folded === 2)
+    assert(ts.liveDirs("t").size === 2)
+    assert(ts.read("t").count() === (10 + 11 + 5 + 4801))
+    // bucketed tables keep their layout through compactSmall
+    val ts2 = freshStore()
+    ts2.createBucketed("b", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), 4)
+    ts2.append("b", Seq((41L, "v41")).toDF("id", "v"))
+    ts2.compactSmall("b", maxBytes = Long.MaxValue)
+    assert(ts2.liveDirs("b").forall(_.contains("/__b=")))
+    assert(ts2.read("b").count() === 41)
+  }
+
   test("update/delete rewrite only dirs whose stats might match; rest carried") {
     val ts = freshStore()
     ts.create("t", Seq((1L, "a", false), (2L, "b", false)).toDF("id", "v", "is_deleted"))
