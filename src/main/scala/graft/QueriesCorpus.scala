@@ -346,6 +346,40 @@ object QueriesCorpus {
               |WHERE doc_id NOT IN (SELECT db FROM dup)
               |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < $ThresholdSql""".stripMargin)),
 
+    // ---- x9: TEMPERATURE-based corpus mixing (tau = 2): per-language
+    //      keep rates derived FROM the corpus's own language counts —
+    //      target share q_l ∝ p_l^(1/tau), achieved by subsampling at
+    //      r_l = (p_min / p_l)^(1 - 1/tau) = sqrt(c_min / c_l), so the
+    //      rarest language keeps 100% and common ones damp toward it
+    //      (the standard multilingual-pretraining re-balance). The rate
+    //      becomes a deterministic md5 threshold (both engines compute
+    //      the identical IEEE sqrt and hex rendering), so the sample is
+    //      exactly reproducible; rates are a 5-row broadcast, the data
+    //      pass is one filter. ----
+    "x9_temperature_mix" -> QDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        val rates = counts
+          .withColumn("cmin",
+            min(col("c")).over(Window.partitionBy(lit(1)))) // 5-row window
+          .withColumn("thr", lower(lpad(hex(
+            least(floor(sqrt(col("cmin") / col("c")) * lit(4294967296L)),
+              lit(4294967295L)).cast("long")), 8, "0")))
+          .select("lang", "thr")
+        docs.join(broadcast(rates), Seq("lang"))
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < col("thr"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+             |r AS (SELECT lang,
+             |        lpad(lower(to_hex(least(
+             |          CAST(floor(sqrt((SELECT min(c) FROM c) / c) * 4294967296) AS BIGINT),
+             |          4294967295))), 8, '0') AS thr
+             |      FROM c)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr""".stripMargin)),
+
     // ---- x7: INCREMENTAL near-dup dedup — admit a new batch against a
     //      PERSISTED MinHash band index (ops.Dedup.minhashBands /
     //      nearDupsAgainstIndex). The index lives in a store table

@@ -94,6 +94,14 @@ object TableStore {
       else StructType(schema.map(f => f.copy(name = phys(f.name))))
     /** Projection mapping a physical-named scan back to logical names. */
     def logicalCols: Seq[Column] = schema.map(f => col(phys(f.name)).as(f.name))
+    /** CHECK constraints plus the equality checks GENERATED columns
+      * imply (`generated.<col>` props): every commit path validates
+      * stored values against their generating expression. */
+    def allChecks: Map[String, String] = checks ++ props.collect {
+      case (k, v) if k.startsWith("generated.") =>
+        val c = k.stripPrefix("generated.")
+        s"generated_$c" -> s"$c <=> ($v)"
+    }
     /** Remap physical-keyed footer stats to logical keys. */
     def statsToLogical(ds: DirStats): DirStats =
       if (colmap.isEmpty) ds
@@ -269,12 +277,12 @@ class TableStore(spark: SparkSession, root: String) {
     * (de)serializers, never each call site. */
   private def commit(name: String, df: Option[DataFrame], meta: Manifest,
                      carryForward: Seq[String]): Long = {
-    import meta.{schema, bucketing, checks}
+    import meta.{schema, bucketing}
     val priorStats = meta.stats
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d0) =>
-        carryForward ++ writeBatch(name, enforceChecks(d0, checks), v, meta)
+        carryForward ++ writeBatch(name, enforceChecks(d0, meta.allChecks), v, meta)
       case None => carryForward
     }
     // stats: keep carried dirs' entries, collect footers for new dirs
@@ -557,7 +565,7 @@ class TableStore(spark: SparkSession, root: String) {
     // unconditionally), conformed + CHECK-enforced like any append
     val out = m.schema.map(f =>
       set.get(f.name).map(_.as(f.name)).getOrElse(col(f.name).as(f.name)))
-    val postimage = enforceChecks(conform(staged.select(out: _*), m.schema), m.checks)
+    val postimage = enforceChecks(conform(staged.select(out: _*), m.schema), m.allChecks)
     val newDirs = writeBatch(name, postimage, v, m)
     // tombstones: fresh positions + the prior DVs of dirs gaining new
     // ones, merged so each dir keeps exactly one sidecar reference
@@ -680,14 +688,44 @@ class TableStore(spark: SparkSession, root: String) {
       Manifest(schema, Nil, bucketing.map { case (keys, n) => Bucketing(keys, n) },
         Map.empty), Seq.empty)
 
+  /** GENERATED ALWAYS AS (the Delta generated-column model on the
+    * store's property surface): register `colName` as computed from
+    * `exprSql` over the row's other columns. Library writes (append /
+    * overwrite) COMPUTE the column when the input omits it and validate
+    * it when present; every other commit path (SQL INSERT, attached
+    * dirs, merges, vectorized updates) VALIDATES — a stored value
+    * disagreeing with its expression refuses the commit. */
+  def setGeneratedColumn(name: String, colName: String, exprSql: String): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    require(m.schema.fieldNames.contains(colName), s"no such column: $colName")
+    val refs = spark.sessionState.sqlParser.parseExpression(exprSql)
+      .references.map(_.name).toSet
+    require(refs.forall(m.schema.fieldNames.contains),
+      s"generation expression references unknown columns: " +
+        refs.filterNot(m.schema.fieldNames.contains).mkString(","))
+    require(!refs.contains(colName), s"$colName cannot generate from itself")
+    setProperties(name, Map(s"generated.$colName" -> exprSql))
+  }
+
+  /** Compute absent generated columns from their expressions (library
+    * write convenience; present columns pass through and get VALIDATED
+    * by the commit's check enforcement). */
+  private def applyGenerated(df: DataFrame, m: Manifest): DataFrame =
+    m.props.view.filterKeys(_.startsWith("generated."))
+      .toSeq.sortBy(_._1)
+      .foldLeft(df) { case (d, (k, sql)) =>
+        val c = k.stripPrefix("generated.")
+        if (d.columns.contains(c)) d else d.withColumn(c, expr(sql))
+      }
+
   /** INSERT OVERWRITE semantics: replace contents, PRESERVE the existing
     * table schema (and bucketing) by casting-by-name — the reference
     * chose INSERT OVERWRITE precisely to avoid schema drift
     * (docs/KNOWN_ISSUES.md:77-99). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(df, m.schema)), m.copy(stats = Map.empty),
-      Seq.empty): Unit
+    commit(name, Some(conform(applyGenerated(df, m), m.schema)),
+      m.copy(stats = Map.empty), Seq.empty): Unit
   }
 
   /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
@@ -695,7 +733,7 @@ class TableStore(spark: SparkSession, root: String) {
     * leaf dirs). */
   def append(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(df, m.schema)), m, m.dirs): Unit
+    commit(name, Some(conform(applyGenerated(df, m), m.schema)), m, m.dirs): Unit
   }
 
   /** INSERT INTO with automatic schema evolution (Delta's mergeSchema):
@@ -910,12 +948,13 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     require(m.schema.fieldNames.contains(from), s"no such column: $from")
     require(!m.schema.fieldNames.contains(to), s"column already exists: $to")
-    val referencing = m.checks.filter { case (_, sql) =>
-      spark.sessionState.sqlParser.parseExpression(sql)
-        .references.exists(_.name == from) }
-    require(referencing.isEmpty,
-      s"cannot rename $from: referenced by CHECK constraint(s) " +
-        s"${referencing.keys.mkString(",")} — drop them first")
+    val referencing = (m.checks ++ m.props.view.filterKeys(_.startsWith("generated.")))
+      .filter { case (_, sql) =>
+        spark.sessionState.sqlParser.parseExpression(sql)
+          .references.exists(_.name == from) }
+    require(referencing.isEmpty && !m.props.contains(s"generated.$from"),
+      s"cannot rename $from: referenced by CHECK constraint(s) / generated " +
+        s"column(s) ${referencing.keys.mkString(",")} — drop them first")
     val phys = m.phys(from)
     val colmap = (m.colmap - from) ++ (if (phys == to) Map.empty[String, String]
                                        else Map(to -> phys))
@@ -944,15 +983,18 @@ class TableStore(spark: SparkSession, root: String) {
       s"cannot drop bucketing key $colName")
     require(!m.bloomCols.contains(colName),
       s"cannot drop bloom-indexed column $colName — unset bloom columns first")
-    val referencing = m.checks.filter { case (_, sql) =>
-      spark.sessionState.sqlParser.parseExpression(sql)
-        .references.exists(_.name == colName) }
+    val referencing = (m.checks ++ m.props.view.filterKeys(_.startsWith("generated.")))
+      .filter { case (_, sql) =>
+        spark.sessionState.sqlParser.parseExpression(sql)
+          .references.exists(_.name == colName) }
     require(referencing.isEmpty,
-      s"cannot drop $colName: referenced by CHECK constraint(s) " +
-        s"${referencing.keys.mkString(",")} — drop them first")
+      s"cannot drop $colName: referenced by CHECK constraint(s) / generated " +
+        s"column(s) ${referencing.keys.mkString(",")} — drop them first")
+    // dropping a generated column itself is fine: its rule goes with it
     commitManifest(name, currentVersion(name) + 1, m.copy(
       schema = StructType(m.schema.filterNot(_.name == colName)),
       colmap = m.colmap - colName,
+      props = m.props - s"generated.$colName",
       stats = m.stats.view.mapValues(ds =>
         ds.copy(cols = ds.cols - colName)).toMap,
       droppedPhys = (m.droppedPhys :+ m.phys(colName)).distinct))
@@ -1111,13 +1153,13 @@ class TableStore(spark: SparkSession, root: String) {
     * the table's CHECK constraints: one column-pruned scan of the new
     * dirs only; throws before anything is committed. */
   private def requireChecksPass(name: String, m: Manifest, newDirs: Seq[String]): Unit =
-    if (m.checks.nonEmpty) {
-      val combined = m.checks.values.map(e => coalesce(expr(e), lit(false)))
+    if (m.allChecks.nonEmpty) {
+      val combined = m.allChecks.values.map(e => coalesce(expr(e), lit(false)))
         .reduce(_ && _)
       val bad = !scanDirs(newDirs, name, m.physSchema).select(m.logicalCols: _*)
         .filter(!combined).isEmpty
       if (bad) throw new IllegalStateException(
-        s"rows violate CHECK constraints ${m.checks.keys.mkString(",")} — commit refused")
+        s"rows violate CHECK constraints ${m.allChecks.keys.mkString(",")} — commit refused")
     }
 
   private def conform(df: DataFrame, schema: StructType): DataFrame = {
@@ -1645,7 +1687,7 @@ class TableStore(spark: SparkSession, root: String) {
     // data AND _cdf files carry physical names (__cdc/__b are partition
     // cols, never stored); checks run on LOGICAL names first
     val physCols = meta.schema.map(f => col(f.name).as(meta.phys(f.name)))
-    enforceChecks2(toWrite, meta.checks)
+    enforceChecks2(toWrite, meta.allChecks)
       .select(col("__cdc") +: physCols ++: parts.drop(1).map(col): _*)
       .write.mode("overwrite").partitionBy(parts: _*).parquet(staging.toString)
     val batch = f"b$v%09d-$uuid"

@@ -24,6 +24,47 @@ class CheckConstraintSpec extends AnyFunSuite {
       chain(e).exists(_.contains("violate CHECK")), s"unexpected error: $e")
   }
 
+  test("generated columns: computed when absent, validated when present") {
+    val ts = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("genstore").toString)
+    ts.create("t", Seq((1L, 10.0, 2L, 20.0)).toDF("id", "price", "qty", "total"))
+    ts.setGeneratedColumn("t", "total", "price * qty")
+    // absent -> computed
+    ts.append("t", Seq((2L, 3.0, 4L)).toDF("id", "price", "qty"))
+    val got = ts.read("t").select("id", "total").as[(Long, Double)].collect().toMap
+    assert(got(2L) === 12.0)
+    // present and consistent -> accepted
+    ts.append("t", Seq((3L, 5.0, 2L, 10.0)).toDF("id", "price", "qty", "total"))
+    assert(ts.read("t").count() === 3)
+    // present and WRONG -> the whole commit refused
+    failsWrite(ts.append("t", Seq((4L, 5.0, 2L, 11.0)).toDF("id", "price", "qty", "total")))
+    assert(ts.read("t").count() === 3)
+    // merges validate too (their sources carry the full schema)
+    failsWrite(ts.mergeUpsert("t",
+      Seq((3L, 5.0, 2L, 99.0)).toDF("id", "price", "qty", "total"),
+      Seq("id"), changeTypeCol = None))
+    // rename/drop of referenced columns refused; dropping the generated
+    // column itself takes its rule along
+    intercept[IllegalArgumentException](ts.renameColumn("t", "price", "p"))
+    intercept[IllegalArgumentException](ts.dropColumn("t", "qty"))
+    ts.dropColumn("t", "total")
+    ts.append("t", Seq((5L, 1.0, 1L)).toDF("id", "price", "qty"))
+    assert(ts.read("t").count() === 4)
+  }
+
+  test("generated columns enforced on the SQL INSERT path") {
+    val root = java.nio.file.Files.createTempDirectory("gensql").toString
+    spark.conf.set("spark.sql.catalog.ggen", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ggen.root", root)
+    val ts = new graft.core.TableStore(spark, root)
+    ts.create("t", Seq((1L, 10.0, 2L, 20.0)).toDF("id", "price", "qty", "total"))
+    ts.setGeneratedColumn("t", "total", "price * qty")
+    spark.sql("INSERT INTO ggen.t VALUES (2, 3.0, 4, 12.0)") // consistent
+    assert(spark.sql("SELECT count(*) FROM ggen.t").head().getLong(0) === 2L)
+    failsWrite(spark.sql("INSERT INTO ggen.t VALUES (3, 3.0, 4, 13.0)"))
+    assert(spark.sql("SELECT count(*) FROM ggen.t").head().getLong(0) === 2L)
+  }
+
   test("library writes enforce checks atomically; drop lifts them") {
     val root = Files.createTempDirectory("checks").toString
     val ts = new TableStore(spark, root)
