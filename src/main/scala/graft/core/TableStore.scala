@@ -276,7 +276,8 @@ class TableStore(spark: SparkSession, root: String) {
     * adding a manifest field means touching only Manifest + the
     * (de)serializers, never each call site. */
   private def commit(name: String, df: Option[DataFrame], meta: Manifest,
-                     carryForward: Seq[String]): Long = {
+                     carryForward: Seq[String],
+                     propOverrides: Map[String, String] = Map.empty): Long = {
     import meta.{schema, bucketing}
     val priorStats = meta.stats
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
@@ -299,9 +300,10 @@ class TableStore(spark: SparkSession, root: String) {
     if (df.isDefined && exists(name) && carryForward == meta.dirs) {
       val added = newDirs.filterNot(carryForward.contains)
       commitAppendWithRetry(name, meta, added,
-        stats.view.filterKeys(added.contains).toMap)
+        stats.view.filterKeys(added.contains).toMap, propOverrides)
     } else {
-      commitManifest(name, v, meta.copy(dirs = newDirs, stats = stats))
+      commitManifest(name, v, meta.copy(dirs = newDirs, stats = stats,
+        props = meta.props ++ propOverrides))
       v
     }
   }
@@ -358,7 +360,8 @@ class TableStore(spark: SparkSession, root: String) {
     * put-if-absent is what detects the race — no locks. */
   private def commitAppendWithRetry(name: String, base: Manifest,
                                     added: Seq[String],
-                                    addedStats: Map[String, DirStats]): Long = {
+                                    addedStats: Map[String, DirStats],
+                                    propOverrides: Map[String, String] = Map.empty): Long = {
     var attempts = 0
     while (attempts < 50) {
       onBeforeOptimisticCommit()
@@ -369,10 +372,21 @@ class TableStore(spark: SparkSession, root: String) {
         throw new java.util.ConcurrentModificationException(
           s"append to $name conflicts with a concurrent metadata change " +
             "(schema / bucketing / constraints) — retry the whole operation")
+      // identity watermarks: our rows were minted from base's `next`;
+      // a concurrent writer advancing it means overlapping ids — the
+      // rebase must refuse (Delta refuses concurrent identity appends
+      // for exactly this reason)
+      val idKeys = (base.props.keySet ++ latest.props.keySet)
+        .filter(_.startsWith("identity."))
+      if (idKeys.exists(k => base.props.get(k) != latest.props.get(k)))
+        throw new java.util.ConcurrentModificationException(
+          s"append to $name conflicts with a concurrent identity-column " +
+            "assignment — retry the whole operation")
       try {
         commitManifest(name, curV + 1,
           latest.copy(dirs = latest.dirs ++ added,
-            stats = latest.stats ++ addedStats))
+            stats = latest.stats ++ addedStats,
+            props = latest.props ++ propOverrides))
         return curV + 1
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => attempts += 1
@@ -718,14 +732,51 @@ class TableStore(spark: SparkSession, root: String) {
         if (d.columns.contains(c)) d else d.withColumn(c, expr(sql))
       }
 
+  /** IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): appends and
+    * overwrites that OMIT the column get dense ids continuing from the
+    * manifest's persisted high-watermark (`identity.<col>.next` prop);
+    * inputs carrying the column are refused (ALWAYS semantics — the
+    * system owns the values). Ids are assigned with zipWithIndex
+    * (SurrogateKeys.dense's scale path, no global window sort) and the
+    * watermark advances IN THE SAME COMMIT as the rows, so a replayed
+    * or crashed write can never double-assign. Two appends racing on
+    * the watermark conflict loudly (the optimistic rebase refuses —
+    * see commitAppendWithRetry) instead of minting duplicate ids. */
+  def setIdentityColumn(name: String, colName: String, start: Long = 1L): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    require(m.schema.fieldNames.contains(colName), s"no such column: $colName")
+    require(m.schema(colName).dataType == org.apache.spark.sql.types.LongType,
+      s"identity column $colName must be BIGINT")
+    setProperties(name, Map(s"identity.$colName.next" -> start.toString))
+  }
+
+  /** Assign ids for absent identity columns; returns the df plus the
+    * advanced-watermark props to commit WITH it. Counts each batch once
+    * (one extra action per identity column, O(new rows)). */
+  private def applyIdentity(df: DataFrame, m: Manifest): (DataFrame, Map[String, String]) = {
+    val idCols = m.props.view.filterKeys(_.startsWith("identity."))
+      .toSeq.sortBy(_._1)
+    idCols.foldLeft((df, Map.empty[String, String])) {
+      case ((d, props), (k, nextStr)) =>
+        val c = k.stripPrefix("identity.").stripSuffix(".next")
+        require(!d.columns.contains(c),
+          s"$c is GENERATED ALWAYS AS IDENTITY — writes must not supply it")
+        val next = nextStr.toLong
+        val n = d.count()
+        (graft.ops.SurrogateKeys.dense(d, c, base = next - 1),
+          props + (k -> (next + n).toString))
+    }
+  }
+
   /** INSERT OVERWRITE semantics: replace contents, PRESERVE the existing
     * table schema (and bucketing) by casting-by-name — the reference
     * chose INSERT OVERWRITE precisely to avoid schema drift
     * (docs/KNOWN_ISSUES.md:77-99). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(applyGenerated(df, m), m.schema)),
-      m.copy(stats = Map.empty), Seq.empty): Unit
+    val (withIds, idProps) = applyIdentity(df, m)
+    commit(name, Some(conform(applyGenerated(withIds, m), m.schema)),
+      m.copy(stats = Map.empty), Seq.empty, idProps): Unit
   }
 
   /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
@@ -733,7 +784,9 @@ class TableStore(spark: SparkSession, root: String) {
     * leaf dirs). */
   def append(name: String, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
-    commit(name, Some(conform(applyGenerated(df, m), m.schema)), m, m.dirs): Unit
+    val (withIds, idProps) = applyIdentity(df, m)
+    commit(name, Some(conform(applyGenerated(withIds, m), m.schema)), m,
+      m.dirs, idProps): Unit
   }
 
   /** INSERT INTO with automatic schema evolution (Delta's mergeSchema):

@@ -65,6 +65,52 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM ggen.t").head().getLong(0) === 2L)
   }
 
+  test("identity columns: dense ids from a persisted watermark, supply refused") {
+    val ts = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("idstore").toString)
+    ts.createEmpty("t", org.apache.spark.sql.types.StructType.fromDDL(
+      "sk BIGINT, name STRING"))
+    ts.setIdentityColumn("t", "sk", start = 100L)
+    ts.append("t", Seq("a", "b", "c").toDF("name"))
+    ts.append("t", Seq("d", "e").toDF("name"))
+    val got = ts.read("t").select("sk", "name").as[(Long, String)].collect().toMap
+    // dense, unique, continuing across commits from the start value
+    assert(got.keySet === (100L to 104L).toSet)
+    assert(got.values.toSet === Set("a", "b", "c", "d", "e"))
+    // ALWAYS semantics: inputs carrying the column are refused
+    intercept[IllegalArgumentException](
+      ts.append("t", Seq((999L, "x")).toDF("sk", "name")))
+    // the watermark travels IN the manifest: time travel shows the old
+    // value; a restore rolls rows back but a fresh append still mints
+    // unseen ids (watermark kept current by restore's txn-style carry)
+    assert(ts.properties("t")("identity.sk.next") === "105")
+    ts.append("t", Seq("f").toDF("name"))
+    assert(ts.read("t").filter(col("sk") === 105L).count() === 1)
+  }
+
+  test("concurrent identity appends conflict instead of minting duplicates") {
+    val root = java.nio.file.Files.createTempDirectory("idrace").toString
+    val ts = new graft.core.TableStore(spark, root)
+    ts.createEmpty("t", org.apache.spark.sql.types.StructType.fromDDL(
+      "sk BIGINT, name STRING"))
+    ts.setIdentityColumn("t", "sk")
+    ts.append("t", Seq("a").toDF("name"))
+    // a second writer lands an identity append between our read and our
+    // manifest write: the optimistic rebase must refuse
+    var raced = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!raced) {
+        raced = true
+        new graft.core.TableStore(spark, root).append("t", Seq("z").toDF("name"))
+      }
+    try intercept[java.util.ConcurrentModificationException](
+      ts.append("t", Seq("b").toDF("name")))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    // ids stay unique across what DID commit
+    val ids = ts.read("t").select("sk").as[Long].collect().toSeq
+    assert(ids.distinct.size === ids.size)
+  }
+
   test("library writes enforce checks atomically; drop lifts them") {
     val root = Files.createTempDirectory("checks").toString
     val ts = new TableStore(spark, root)
