@@ -346,6 +346,44 @@ object QueriesCorpus {
               |WHERE doc_id NOT IN (SELECT db FROM dup)
               |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < $ThresholdSql""".stripMargin)),
 
+    // ---- x10: SALTED two-phase aggregation + salted join on a PLANTED
+    //      hot key — the skew shapes AQE can't fix (skewed hash
+    //      aggregation; a hot build side). Both ops are exact
+    //      equivalents of their unsalted forms (the oracle is the plain
+    //      GROUP BY + JOIN), so salting is purely a distribution
+    //      change: each hot key spreads over `buckets` tasks in phase 1
+    //      and re-merges in a tiny phase 2. ----
+    "x10_salted_skew" -> QDef(
+      (s, dir) => {
+        // plant skew: every third order key collapses onto ONE hot key
+        // (integral quantities sum as BIGINT so the two-phase result is
+        // bit-exact regardless of how salting re-associates the sum)
+        val li = Tables.lineitem(s, dir).select(
+          when(col("l_orderkey") % 3 === 0, lit(7L)).otherwise(col("l_orderkey"))
+            .as("k"),
+          col("l_quantity").cast("long").as("q"))
+        val agg = graft.ops.Skew.saltedAgg(li, Seq("k"), buckets = 16)(
+          scala.collection.immutable.ListMap(
+            "sum_qty" -> ((sum(col("q")),
+              (p: org.apache.spark.sql.Column) => sum(p))),
+            "n_rows" -> ((count(lit(1)),
+              (p: org.apache.spark.sql.Column) => sum(p)))))
+        val dim = Tables.orders(s, dir)
+          .select(when(col("o_orderkey") % 3 === 0, lit(7L)).otherwise(col("o_orderkey"))
+            .as("k"), col("o_orderpriority"))
+          .groupBy("k").agg(min(col("o_orderpriority")).as("prio"))
+        graft.ops.Skew.saltedJoin(agg, dim, "k", buckets = 16)
+          .select(col("k"), col("sum_qty"), col("n_rows"), col("prio"))
+      },
+      Some("""WITH li AS (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 7 ELSE l_orderkey END AS k,
+             |              CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+             |a AS (SELECT k, CAST(sum(q) AS BIGINT) AS sum_qty,
+             |             count(*) AS n_rows FROM li GROUP BY k),
+             |d AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 7 ELSE o_orderkey END AS k,
+             |             min(o_orderpriority) AS prio FROM orders GROUP BY 1)
+             |SELECT a.k, a.sum_qty, a.n_rows, d.prio
+             |FROM a JOIN d USING (k)""".stripMargin)),
+
     // ---- x9: TEMPERATURE-based corpus mixing (tau = 2): per-language
     //      keep rates derived FROM the corpus's own language counts —
     //      target share q_l ∝ p_l^(1/tau), achieved by subsampling at
