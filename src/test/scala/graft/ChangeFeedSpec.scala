@@ -163,6 +163,45 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(spark.table("cfs_mem3").count() === 0)
   }
 
+  test("streaming change feed resumes from its checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("cdfresume").toString
+    spark.conf.set("spark.sql.catalog.gcfr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcfr.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))   // v0
+    ts.setChangeFeed("t", true)                       // v1
+    ts.append("t", Seq((2L, "b")).toDF("id", "v"))   // v2
+    val ckpt = s"$root/_ckpt"
+    // sink = a store table (the memory sink cannot recover from a
+    // checkpoint; the store's epoch path can)
+    ts.createEmpty("sink", org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, _change_type STRING, _commit_version BIGINT"))
+    def drain(): Unit = {
+      val q = spark.readStream.option("startVersion", "-1")
+        .table("gcfr.t.changes")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("gcfr.sink")
+      q.awaitTermination()
+    }
+    drain()
+    val first = ts.read("sink").count()
+    assert(first === 2) // v0 create synthesizes 1 insert, v2 append 1
+    // new commits after the stream stopped; the restart must deliver
+    // ONLY them (offset restored from the checkpoint, no replay)
+    ts.delete("t", col("id") === 1L)                  // v3 (recorded)
+    ts.append("t", Seq((3L, "c")).toDF("id", "v"))   // v4
+    drain()
+    val rows = ts.read("sink")
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows.size === 4)
+    assert(rows.count(_._3 <= 2) === 2) // nothing re-delivered
+    assert(rows.toSet.contains((1L, "delete", 3L)))
+    assert(rows.toSet.contains((3L, "insert", 4L)))
+  }
+
   test("compact and optimize mark no-logical-change; vacuum sweeps old cdf dirs") {
     val root = Files.createTempDirectory("cdfstore")
     val ts = new TableStore(spark, root.toString)

@@ -126,6 +126,25 @@ class DeltaRowLevelSpec extends AnyFunSuite {
     assert(ts.read("dst").as[(Long, String)].collect().toMap.apply(2L) === "v2")
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE works on both row-level paths") {
+    for ((cat, mor) <- Seq(("mrgA", false), ("mrgB", true))) {
+      val (ts, _) = freshSql(cat)
+      ts.create("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+      if (mor) ts.setProperties("t", Map("rowlevel.mode" -> "merge-on-read"))
+      Seq((5L, "U5"), (25L, "N25")).toDF("id", "v")
+        .createOrReplaceTempView(s"${cat}_src")
+      // full sync semantics: update matches, insert new, DROP rows the
+      // source no longer carries
+      spark.sql(s"""MERGE INTO $cat.t t USING ${cat}_src s ON t.id = s.id
+                    WHEN MATCHED THEN UPDATE SET v = s.v
+                    WHEN NOT MATCHED THEN INSERT *
+                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      val got = spark.sql(s"SELECT id, v FROM $cat.t").as[(Long, String)]
+        .collect().toMap
+      assert(got === Map(5L -> "U5", 25L -> "N25"), s"mor=$mor")
+    }
+  }
+
   test("change feed records delta ops as delete+insert pairs") {
     val (ts, _) = freshSql("mor4")
     ts.create("t", (1L to 10L).map(i => (i, i * 1L)).toDF("id", "x"))
