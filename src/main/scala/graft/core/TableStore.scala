@@ -1109,7 +1109,17 @@ class TableStore(spark: SparkSession, root: String) {
       val topDirs = Using.resource(Files.list(dataDir))(_.iterator().asScala.toSeq)
       topDirs.foreach { top =>
         val topName = top.getFileName.toString
-        if (live.contains(topName)) () // whole unbucketed batch still live
+        if (topName.startsWith(".")) {
+          // dot-dirs are IN-FLIGHT write scratch (.cdc-/.delta- staging):
+          // a concurrent vacuum must not yank them from under the writer.
+          // Only crash leftovers (older than an hour) get swept.
+          if (Files.getLastModifiedTime(top).toMillis <
+              System.currentTimeMillis() - 3600L * 1000) {
+            FsUtil.deleteRecursively(top.toFile)
+            deleted += top
+          }
+        }
+        else if (live.contains(topName)) () // whole unbucketed batch still live
         else {
           val liveLeaves = live.filter(_.startsWith(s"$topName/"))
           if (liveLeaves.isEmpty) {

@@ -194,6 +194,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts.vacuum("t", retainVersions = 1).isEmpty)
   }
 
+  test("vacuum spares fresh write scratch, sweeps crashed leftovers") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    val dataDir = ts.dataRoot("t")
+    // a concurrent writer's staging dir: young -> untouchable
+    val fresh = dataDir.resolve(".delta-inflight")
+    java.nio.file.Files.createDirectories(fresh)
+    // a crashed writer's leftover: old -> swept
+    val stale = dataDir.resolve(".cdc-crashed")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600L * 1000))
+    ts.vacuum("t", retainVersions = 1)
+    assert(java.nio.file.Files.isDirectory(fresh))
+    assert(!java.nio.file.Files.exists(stale))
+    assert(ts.read("t").count() === 1)
+  }
+
   test("vacuum keeps live bucket leaves, drops superseded ones") {
     val ts = freshStore()
     ts.createBucketed("t", (0L until 100L).map(i => (i, "v" + i)).toDF("id", "v"),
