@@ -173,7 +173,21 @@ class GraftCatalog extends TableCatalog
       .filterKeys(k => k != "bloom_columns" && !k.startsWith("check.") &&
         !k.startsWith("option.") && k != "provider" && k != "owner" &&
         k != "location" && k != "comment" && k != "external").toMap
-    if (free.nonEmpty) store.setProperties(ident.name(), free)
+    // generated / identity declarations take the TYPED setters so a bad
+    // expression or non-BIGINT identity column fails the CREATE, not the
+    // first write
+    val (typed, plain) = free.partition { case (k, _) =>
+      k.startsWith("generated.") || k.startsWith("identity.") }
+    typed.toSeq.sortBy(_._1).foreach {
+      case (k, v) if k.startsWith("generated.") =>
+        store.setGeneratedColumn(ident.name(), k.stripPrefix("generated."), v)
+      case (k, v) if k.startsWith("identity.") && k.endsWith(".next") =>
+        store.setIdentityColumn(ident.name(),
+          k.stripPrefix("identity.").stripSuffix(".next"), v.toLong)
+      case (k, _) => throw new IllegalArgumentException(
+        s"malformed identity property $k (use identity.<col>.next)")
+    }
+    if (plain.nonEmpty) store.setProperties(ident.name(), plain)
     new GraftSqlTable(root, ident.name())
   }
 

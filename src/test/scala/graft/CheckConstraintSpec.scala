@@ -111,6 +111,28 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(ids.distinct.size === ids.size)
   }
 
+  test("generated + identity columns declarable in CREATE TABLE TBLPROPERTIES") {
+    val root = java.nio.file.Files.createTempDirectory("genddl").toString
+    spark.conf.set("spark.sql.catalog.gddl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gddl.root", root)
+    spark.sql("""CREATE TABLE gddl.t (sk BIGINT, price DOUBLE, qty BIGINT,
+                   total DOUBLE)
+                 TBLPROPERTIES ('generated.total' = 'price * qty',
+                                'identity.sk.next' = '10')""")
+    val ts = new graft.core.TableStore(spark, root)
+    ts.append("t", Seq((2.0, 3L)).toDF("price", "qty")) // sk + total minted
+    val r = ts.read("t").select("sk", "total").as[(Long, Double)].head()
+    assert(r === ((10L, 6.0)))
+    // a bad generation expression fails the CREATE itself
+    intercept[Exception](spark.sql(
+      """CREATE TABLE gddl.bad (x BIGINT, y BIGINT)
+         TBLPROPERTIES ('generated.y' = 'no_such_col + 1')"""))
+    // a non-BIGINT identity column fails the CREATE too
+    intercept[Exception](spark.sql(
+      """CREATE TABLE gddl.bad2 (x STRING, y BIGINT)
+         TBLPROPERTIES ('identity.x.next' = '1')"""))
+  }
+
   test("library writes enforce checks atomically; drop lifts them") {
     val root = Files.createTempDirectory("checks").toString
     val ts = new TableStore(spark, root)
