@@ -990,6 +990,34 @@ class TableStore(spark: SparkSession, root: String) {
         colmap = m.colmap ++ freshMap), m.dirs): Unit
   }
 
+  /** ALTER TABLE ... ALTER COLUMN <c> TYPE <t> — an HONEST copy-on-write
+    * type change: the table rewrites once with the column cast (parquet
+    * files can't silently re-type, and per-file conversion readers
+    * would tax every future scan). WIDENING casts only (Spark's
+    * canUpCast — int->bigint, float->double, ...): a lossy change must
+    * be an explicit user SELECT. Refused on bucketing keys (the hash
+    * layout is type-dependent). Old versions keep the old type for
+    * time travel; bloom sidecars rebuild with the rewritten dirs. */
+  def alterColumnType(name: String, colName: String,
+                      newType: org.apache.spark.sql.types.DataType): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    require(m.schema.fieldNames.contains(colName), s"no such column: $colName")
+    val old = m.schema(colName).dataType
+    if (old == newType) return
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(old, newType),
+      s"cannot change $colName from $old to $newType: only widening casts " +
+        "(an explicit SELECT-and-overwrite expresses lossy conversions)")
+    require(!m.bucketing.exists(_.keys.contains(colName)),
+      s"cannot retype bucketing key $colName — the hash layout depends on it")
+    val newSchema = StructType(m.schema.map(f =>
+      if (f.name == colName) f.copy(dataType = newType) else f))
+    val recast = read(name).withColumn(colName, col(colName).cast(newType))
+      .select(newSchema.map(f => col(f.name)): _*)
+    commit(name, Some(recast),
+      m.copy(schema = newSchema, stats = Map.empty), Seq.empty): Unit
+    markNoLogicalChange(name)
+  }
+
   /** ALTER TABLE RENAME COLUMN — metadata-only, the Delta
     * column-mapping model: the column keeps its PHYSICAL name in every
     * existing and future parquet file; only the manifest's logical

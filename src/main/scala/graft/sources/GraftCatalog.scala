@@ -221,6 +221,12 @@ class GraftCatalog extends TableCatalog
           "nested columns not supported (flat data model — SURVEY §1.2)")
         store.dropColumn(ident.name(), d.fieldNames()(0))
         None
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "nested columns not supported (flat data model — SURVEY §1.2)")
+        // widening-only copy-on-write retype (see TableStore.alterColumnType)
+        store.alterColumnType(ident.name(), u.fieldNames()(0), u.newDataType())
+        None
       case other =>
         throw new UnsupportedOperationException(s"ALTER TABLE change $other not supported")
     }

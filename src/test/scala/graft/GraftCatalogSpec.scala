@@ -166,10 +166,22 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT id, score FROM graft.evo WHERE score IS NOT NULL").head()
     assert(got2.getLong(0) === 3 && got2.getDouble(1) === 7.5)
     // RENAME COLUMN is now supported via column mapping (ColumnMappingSpec
-    // covers it in depth); still-unsupported change kinds error loudly
+    // covers it in depth)
     spark.sql("ALTER TABLE graft.evo RENAME COLUMN v TO w")
     assert(spark.table("graft.evo").columns.contains("w"))
-    intercept[Exception] { spark.sql("ALTER TABLE graft.evo ALTER COLUMN score TYPE STRING") }
+    // ALTER COLUMN TYPE: widening copy-on-write rewrite works
+    store.create("evot", Seq((1, 10.0f), (2, 20.0f)).toDF("i", "f"))
+    spark.sql("ALTER TABLE graft.evot ALTER COLUMN i TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.evot ALTER COLUMN f TYPE DOUBLE")
+    assert(spark.table("graft.evot").schema("i").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(i), sum(f) FROM graft.evot").head()
+      .getLong(0) === 3L)
+    // old version still reads with its old type (time travel)
+    assert(store.readVersion("evot", 0).schema("i").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // narrowing refused
+    intercept[Exception] { spark.sql("ALTER TABLE graft.evot ALTER COLUMN i TYPE INT") }
   }
 
   test("filter pushdown reaches parquet-mr and never changes results") {
