@@ -352,10 +352,14 @@ class GraftSqlTable(root: String, tableName: String,
   /** SHOW TBLPROPERTIES: the manifest's free-form properties. */
   override def properties(): util.Map[String, String] =
     store.properties(tableName).asJava
+  /** AUTOMATIC_SCHEMA_EVOLUTION: `MERGE ... WITH SCHEMA EVOLUTION`
+    * resolves source-only columns by issuing the catalog an ALTER
+    * ADD COLUMN (metadata-only here) before planning the merge. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** INSERT INTO (append) / INSERT OVERWRITE (truncate) via the
     * parquet-mr executor writers + one manifest version bump; streaming

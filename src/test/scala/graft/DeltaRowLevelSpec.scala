@@ -145,6 +145,20 @@ class DeltaRowLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns") {
+    val (ts, _) = freshSql("mrgEvo")
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    Seq((1L, "A", 9.5), (2L, "b", 1.0)).toDF("id", "v", "score")
+      .createOrReplaceTempView("mrgEvo_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO mrgEvo.t t
+                 USING mrgEvo_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT id, v, score FROM mrgEvo.t")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set((1L, "A", 9.5), (2L, "b", 1.0)))
+  }
+
   test("change feed records delta ops as delete+insert pairs") {
     val (ts, _) = freshSql("mor4")
     ts.create("t", (1L to 10L).map(i => (i, i * 1L)).toDF("id", "x"))
