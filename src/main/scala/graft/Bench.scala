@@ -38,8 +38,13 @@ object Bench {
     // first timed query doesn't absorb session start-up (~3-4 s)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // optional local-iteration filter: comma-separated query names as
+    // args(0); the driver invokes with no args (all queries)
+    val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
     // deterministic order so per-round numbers are comparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize through the PHYSICAL plan: df.count() would let
       // Catalyst prune every unreferenced projection (measuring a

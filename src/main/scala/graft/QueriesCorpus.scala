@@ -399,8 +399,7 @@ object QueriesCorpus {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
         val counts = docs.groupBy("lang").agg(count(lit(1)).as("c"))
         val rates = counts
-          .withColumn("cmin",
-            min(col("c")).over(Window.partitionBy(lit(1)))) // 5-row window
+          .crossJoin(broadcast(counts.agg(min(col("c")).as("cmin"))))
           .withColumn("thr", lower(lpad(hex(
             least(floor(sqrt(col("cmin") / col("c")) * lit(4294967296L)),
               lit(4294967295L)).cast("long")), 8, "0")))
@@ -435,17 +434,20 @@ object QueriesCorpus {
         val root = "/tmp/graft_qstore/x7_idx"
         graft.core.FsUtil.deleteRecursively(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
-        val sh = QueriesLlm.shinglesForTest(s, dir).cache()
+        // hashed shingles: the index rows, set aggregates, and verify
+        // intersects all move 8-byte longs, not ~20-char strings (same
+        // exactness trust as d2/d3)
+        val sh = QueriesLlm.hashedShinglesFor(s, dir).cache()
         val corpusSh = sh.filter(col("doc_id") % 3 =!= 0)
         val batchSh = sh.filter(col("doc_id") % 3 === 0)
         st.createBucketed("band_index",
-          graft.ops.Dedup.minhashBands(corpusSh, "doc_id", "shingle"),
+          graft.ops.Dedup.minhashBands(corpusSh, "doc_id", "h"),
           Seq("bkey"), 16)
         val batchBands =
-          graft.ops.Dedup.minhashBands(batchSh, "doc_id", "shingle").cache()
+          graft.ops.Dedup.minhashBands(batchSh, "doc_id", "h").cache()
         val rejected = graft.ops.Dedup.nearDupsAgainstIndex(
           batchBands, st.read("band_index"),
-          batchSh, corpusSh, "doc_id", "shingle", threshold = 0.5)
+          batchSh, corpusSh, "doc_id", "h", threshold = 0.5)
         val admitted = batchSh.select(col("doc_id")).distinct()
           .join(rejected.select(col("batch_id").as("doc_id")), Seq("doc_id"),
             "left_anti")

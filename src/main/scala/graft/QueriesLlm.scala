@@ -48,6 +48,68 @@ object QueriesLlm {
   private[graft] def shinglesForTest(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir)
 
+  /** Cross-query hook: hashed shingles for x7's incremental index. */
+  private[graft] def hashedShinglesFor(s: SparkSession, dir: String): DataFrame =
+    hashedShingles(s, dir)
+
+  /** Distinct HASHED shingles per document: hash BEFORE the distinct so
+    * every downstream shuffle/aggregate/intersect — including the dedup
+    * itself — moves 8-byte longs instead of ~20-char strings (exactness
+    * preserved modulo xxhash64 collisions, ~n²/2⁶⁵ — the same trust d3
+    * places in its minhash signatures). Shared spine of d2/d3/d5. */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    rawShingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+
+  /** One aggregate serving BOTH the size-ratio prune and the exact
+    * verify: per-doc hashed-shingle set, with n derived from the set
+    * (the input is distinct, so size(set) IS the shingle count) —
+    * collapses the separate sizes/sets groupBys of round 4. */
+  private def shingleSets(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(collect_set(col("h")).as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
+
+  /** Exact-verify candidate (doc_a < doc_b) pairs against the full
+    * hashed-shingle sets; emits pairs at jaccard >= threshold. The
+    * size-ratio prune (best possible jaccard is min/max when the
+    * smaller set is contained in the larger) runs on the SAME joined
+    * row before the O(|set|) intersect — no separate sizes join. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+                          threshold: Double): DataFrame = {
+    val ratio = lit(1.0 / threshold)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .filter(least(col("na"), col("nb")) * ratio >= greatest(col("na"), col("nb")))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** d2's pair-mining pipeline, shared with d5 (which clusters the
+    * pairs): df-capped inverted-index candidates + exact verify. */
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val DfCap = 1000 // >> max df in this corpus: recall provably unchanged
+    val sh = hashedShingles(s, dir).cache()
+    // the over-cap "stop shingles" are a TINY set by construction (each
+    // needs > DfCap docs), so exclude them with a broadcast anti-join
+    // instead of shuffle-joining the whole index against its df table
+    val stop = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("h")
+    val capped = sh.join(broadcast(stop), Seq("h"), "left_anti")
+    // candidate pairs in ONE aggregate shuffle (no separate distinct)
+    val cand = capped.select(col("doc_id").as("doc_a"), col("h"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap_lb"))
+      .drop("overlap_lb")
+    verifyPairs(cand, shingleSets(sh), 0.5)
+  }
+
   private val ShingleSetsSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w),
@@ -117,49 +179,7 @@ object QueriesLlm {
     //  pairs whose overlap is exclusively ultra-common shingles — by
     //  construction below the 0.5 threshold for any cap >> 1/threshold.) ----
     "d2_ngram_jaccard" -> QDef(
-      (s, dir) => {
-        val DfCap = 1000 // >> max df in this corpus: recall provably unchanged
-        // work on HASHED shingles throughout: hash BEFORE the distinct,
-        // so every shuffle/aggregate/intersect — including the dedup
-        // itself — moves 8-byte longs instead of ~20-char strings
-        // (exactness preserved modulo xxhash64 collisions, ~n²/2⁶⁵ —
-        // the same trust d3 places in its minhash signatures)
-        val sh = rawShingles(s, dir)
-          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-          .distinct()
-          .cache()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val capped = sh.join(
-          sh.groupBy("h").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= DfCap).select("h"),
-          Seq("h"))
-        // candidate pairs in ONE aggregate shuffle (no separate distinct)
-        val cand = capped.select(col("doc_id").as("doc_a"), col("h"))
-          .join(capped.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap_lb"))
-          .drop("overlap_lb")
-        // sound size-ratio prune BEFORE the expensive verify: the best
-        // possible jaccard is min(na,nb)/max(na,nb) (smaller ⊆ larger),
-        // so for t=0.5 any pair with 2*min < max can never qualify —
-        // the standard length filter from the set-similarity-join
-        // literature; drops most spurious single-shingle collisions
-        val sized = cand
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-          .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
-        // exact verification on full (hashed) shingle sets — same shape
-        // as d3's verify: two narrow set lookups per surviving pair,
-        // not a re-join of the whole inverted index
-        val sets = sh.groupBy("doc_id").agg(collect_set(col("h")).as("set"))
-        sized
-          .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa")), Seq("doc_a"))
-          .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb")), Seq("doc_b"))
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-          .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      },
+      (s, dir) => ngramJaccardPairs(s, dir),
       Some(JaccardPairsSql)),
 
     // ---- d3: MinHash + LSH banding, candidates verified exactly ----
@@ -168,26 +188,22 @@ object QueriesLlm {
     //  the 100 TB path: cost is O(docs x shingles) + band-bucket joins)
     "d3_minhash_lsh" -> QDef(
       (s, dir) => {
-        // 64 hashes in 32 bands (2 rows/band); hash family = xxhash64
-        // seeded by the family index (ANSI mode forbids the classic
-        // overflowing affine transform) — see ops.Dedup.minhashBands
-        val sh = shingles(s, dir)
-        val bands = graft.ops.Dedup.minhashBands(sh, "doc_id", "shingle",
+        // 64 hashes in 32 bands (2 rows/band); hash family = one
+        // xxhash64 of the shingle, then per-index xxhash64 over the
+        // 8-byte value (ANSI mode forbids the classic overflowing
+        // affine transform; re-hashing the string per index was the
+        // round-4 regression) — see ops.Dedup.minhashBands. The one
+        // cached hashed-shingle frame feeds both the signatures and
+        // the exact verify.
+        val sh = hashedShingles(s, dir).cache()
+        val bands = graft.ops.Dedup.minhashBands(sh, "doc_id", "h",
           nHashes = 64, nBands = 32)
         val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
           .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")), Seq("band", "bkey"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
         // exact verification on the (small) candidate set
-        val sets = shingles(s, dir).groupBy("doc_id")
-          .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
-        cand
-          .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"), col("n").as("na")), Seq("doc_a"))
-          .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"), col("n").as("nb")), Seq("doc_b"))
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-          .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        verifyPairs(cand, shingleSets(sh), 0.5)
       },
       Some(JaccardPairsSql)),
 
@@ -199,7 +215,7 @@ object QueriesLlm {
     //  graphs. Oracle: DuckDB recursive-CTE transitive closure.)
     "d5_dedup_clusters" -> QDef(
       (s, dir) => {
-        val pairs = Queries.all("d2_ngram_jaccard").fn(s, dir)
+        val pairs = ngramJaccardPairs(s, dir)
           .select(col("doc_a"), col("doc_b")).cache()
         val edges = pairs.unionByName(
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()

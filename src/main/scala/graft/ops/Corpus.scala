@@ -46,25 +46,42 @@ object Corpus {
     *
     * The running sum is a DISTRIBUTED prefix sum: range-partition on
     * the id, per-partition window, then add per-partition offsets (a
-    * window over <= nPartitions rows). No global data-sized window
-    * anywhere, and the result is INDEPENDENT of nPartitions — the
-    * prefix sum is a pure function of the id order (CorpusOpsSpec
-    * proves 1/4/32-partition equality). */
+    * driver-side cumsum over <= nPartitions totals). No global
+    * data-sized window anywhere, and the result is INDEPENDENT of
+    * nPartitions — the prefix sum is a pure function of the id order
+    * (CorpusOpsSpec proves 1/4/32-partition equality and 20-run
+    * stability under varying AQE/shuffle settings).
+    *
+    * Determinism: the range exchange samples its boundaries, so
+    * `spark_partition_id()` is only meaningful for ONE physical
+    * evaluation. We therefore materialize the partition assignment
+    * exactly once (`localCheckpoint`) and derive BOTH the per-partition
+    * cumsum and the per-partition totals from that same materialized
+    * frame; the offsets become a <= nPartitions-entry CASE expression
+    * computed on the driver. Two independent evaluations joined on
+    * partition id (the round-4 bug) can never disagree again. */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
                     budget: Long, nPartitions: Int = 32): DataFrame = {
     val t = df.select(col(idCol), col(tokensCol).cast("long").as("__n"))
       .repartitionByRange(nPartitions, col(idCol))
       .withColumn("__p", spark_partition_id())
+      .localCheckpoint() // pin ONE partition assignment for all consumers
     val wLocal = Window.partitionBy(col("__p")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = t.withColumn("__cum", sum(col("__n")).over(wLocal))
-    val wOff = Window.orderBy(col("__p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = t.groupBy(col("__p")).agg(sum(col("__n")).as("__pt"))
-      .withColumn("__off", sum(col("__pt")).over(wOff) - col("__pt"))
-      .select(col("__p"), col("__off"))
-    local.join(broadcast(offsets), Seq("__p"))
-      .withColumn("stream_start", col("__off") + col("__cum") - col("__n"))
+    // Per-partition totals from the SAME materialized frame; bounded
+    // metadata (<= nPartitions rows), so the exclusive cumsum runs on
+    // the driver and the offset lookup is a codegen'd CASE — no
+    // single-partition window stage.
+    val totals = t.groupBy(col("__p")).agg(sum(col("__n")).as("__pt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (p, pt) => val o = acc; acc += pt; (p, o) }
+    val offExpr = offsets.foldLeft(lit(0L): Column) { case (e, (p, o)) =>
+      when(col("__p") === p, lit(o)).otherwise(e)
+    }
+    local
+      .withColumn("stream_start", offExpr + col("__cum") - col("__n"))
       .withColumn("bin", floor(col("stream_start") / budget))
       .select(col(idCol), col("__n").as("n_tokens"), col("stream_start"), col("bin"))
   }

@@ -58,9 +58,16 @@ object Dedup {
                    nHashes: Int = 64, nBands: Int = 32): DataFrame = {
     require(nHashes % nBands == 0, "nHashes must be divisible by nBands")
     val rowsPerBand = nHashes / nBands
+    // Hash the shingle ONCE to an 8-byte long, then derive the nHashes
+    // family members from that long: xxhash64 over 8 bytes is ~free next
+    // to re-hashing the full shingle string per family index (the
+    // round-4 regression — 64 string hashes per input row). Works
+    // identically when shingleCol is already a hash (callers may pre-hash
+    // to move longs through their own shuffles).
+    val hashed = shingles.withColumn("__h0", xxhash64(col(shingleCol)))
     val sigCols = (0 until nHashes).map(i =>
-      min(xxhash64(col(shingleCol), lit(i))).as(s"m$i"))
-    val sig = shingles.groupBy(docCol).agg(sigCols.head, sigCols.tail: _*)
+      min(xxhash64(col("__h0"), lit(i))).as(s"m$i"))
+    val sig = hashed.groupBy(docCol).agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until nBands).map { bi =>
       val slice = (0 until rowsPerBand).map(r => col(s"m${rowsPerBand * bi + r}"))
       struct(lit(bi).as("band"), xxhash64(slice: _*).as("bkey"))

@@ -41,6 +41,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences is stable across 20 re-runs under varying AQE/shuffle settings") {
+    // Round-4 regression gate: the old implementation joined TWO
+    // independent physical evaluations of a sampled range exchange on
+    // spark_partition_id(), so AQE coalescing or boundary re-sampling
+    // could attach offsets to the wrong partitions. The rewrite pins
+    // one materialized assignment; 20 runs while toggling AQE
+    // coalescing and shuffle partitioning must be bit-identical.
+    val base = docs(7)
+    val expected = Corpus.packSequences(base, "id", "tok", 256, nPartitions = 1)
+      .collect().map(_.toSeq).toSet
+    val conf = spark.conf
+    val savedCoalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val savedShuffle = conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (i <- 0 until 20) {
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          (i % 2 == 0).toString)
+        conf.set("spark.sql.shuffle.partitions", Seq("3", "7", "32", "64")(i % 4))
+        val got = Corpus.packSequences(base.orderBy(rand(seed = i)), "id", "tok",
+            256, nPartitions = Seq(2, 5, 17, 32)(i % 4))
+          .collect().map(_.toSeq).toSet
+        assert(got === expected, s"run $i diverged")
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
+      conf.set("spark.sql.shuffle.partitions", savedShuffle)
+    }
+  }
+
   test("sampling is a pure function of the key (repartition-stable)") {
     val base = docs(2)
     val thr = Map("g0" -> "80000000", "g1" -> "40000000")

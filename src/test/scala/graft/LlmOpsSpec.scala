@@ -92,12 +92,13 @@ class LlmOpsSpec extends AnyFunSuite {
     // probe the SAME batch against the updated index: every admitted
     // doc collides with its own bands at jaccard 1.0 -> all rejected
     val st = new graft.core.TableStore(spark, "/tmp/graft_qstore/x7_idx")
-    val sh = QueriesLlm.shinglesForTest(spark, dir)
+    // same hashed spine x7 indexes with — band keys must line up
+    val sh = QueriesLlm.hashedShinglesFor(spark, dir)
     val batchSh = sh.filter(col("doc_id") % 3 === 0)
     val corpusShAll = sh // index now holds corpus + admitted batch docs
     val rejected = graft.ops.Dedup.nearDupsAgainstIndex(
-      graft.ops.Dedup.minhashBands(batchSh, "doc_id", "shingle"),
-      st.read("band_index"), batchSh, corpusShAll, "doc_id", "shingle", 0.5)
+      graft.ops.Dedup.minhashBands(batchSh, "doc_id", "h"),
+      st.read("band_index"), batchSh, corpusShAll, "doc_id", "h", 0.5)
       .collect().map(_.getLong(0)).toSet
     val batchIds = batchSh.select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
