@@ -704,6 +704,178 @@ object QueriesJobs {
               |    < (TIMESTAMP '${PaymentData.Now}' - INTERVAL 90 DAY) AS in_archive
               |FROM runs""".stripMargin)),
 
+    // ---- quarantine replay (bronze/README.md:364-404 operational
+    //      loop): rows quarantined for a then-future timestamp are
+    //      re-validated at a later clock and admitted through staging
+    //      + M1 merge, stamped REPLAY/3. Runs the replay TWICE so the
+    //      oracle also proves exactly-once admission (the second pass
+    //      rewrites the same rows identically). ----
+    "job_quarantine_replay" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_qreplay")
+        val txns = PaymentData.transactions(s, dir)
+        PaymentJobs.bronzeLoad(st, PaymentJobs.bronzeStaging(txns))
+        st.create("bronze_quarantine", PaymentJobs.bronzeQuarantine(txns))
+        val clock = lit("2030-06-01 00:00:00").cast("timestamp_ntz")
+        PaymentJobs.quarantineReplay(st, st.read("bronze_quarantine"), clock)
+        PaymentJobs.quarantineReplay(st, st.read("bronze_quarantine"), clock)
+      },
+      Some(s"""$StagingSql,
+              |replay AS (
+              |  SELECT DISTINCT transaction_id, customer_id, transaction_timestamp, merchant_id,
+              |    coalesce(merchant_name, 'UNKNOWN_MERCHANT') AS merchant_name,
+              |    product_category,
+              |    coalesce(product_name, 'NOT_AVAILABLE') AS product_name,
+              |    amount, fee_amount, cashback_amount, loyalty_points, payment_method,
+              |    transaction_status,
+              |    coalesce(device_type, 'UNKNOWN') AS device_type,
+              |    coalesce(location_type, 'NOT_AVAILABLE') AS location_type,
+              |    currency, updated_at,
+              |    CASE WHEN amount < 0 OR cashback_amount > amount
+              |         THEN 'FAILED_VALIDATION' ELSE 'PASSED' END AS data_quality_flag,
+              |    concat_ws(';',
+              |      CASE WHEN amount < 0 THEN 'NEGATIVE_AMOUNT' END,
+              |      CASE WHEN cashback_amount > amount THEN 'EXCESSIVE_CASHBACK' END) AS validation_errors
+              |  FROM txns
+              |  WHERE (transaction_id IS NULL OR transaction_id LIKE '% %'
+              |         OR amount IS NULL OR transaction_timestamp IS NULL
+              |         OR transaction_timestamp > TIMESTAMP '${PaymentData.Now}')
+              |    AND NOT (transaction_id IS NULL OR transaction_id LIKE '% %'
+              |         OR amount IS NULL OR transaction_timestamp IS NULL
+              |         OR transaction_timestamp > TIMESTAMP '2030-06-01 00:00:00'))
+              |SELECT c.*, CASE WHEN CAST(substr(transaction_id, 5, 20) AS BIGINT) % 50 = 0
+              |                 THEN 'MERGE' ELSE 'LOAD' END AS delta_change_type,
+              |  CAST(CASE WHEN CAST(substr(transaction_id, 5, 20) AS BIGINT) % 50 = 0
+              |            THEN 2 ELSE 1 END AS BIGINT) AS delta_version
+              |FROM clean c
+              |UNION ALL
+              |SELECT r.*, 'REPLAY', CAST(3 AS BIGINT) FROM replay r""".stripMargin)),
+
+    // ---- GDPR compliance report (docs/RUNBOOK.md:235-252): UNION ALL
+    //      over the job_control audit rows of the soft-delete +
+    //      propagate pair, scoped to the requesting customer. The
+    //      report projects the deterministic audit core (timestamps
+    //      are wall-clock); the oracle re-derives the affected counts
+    //      from the shared txns CTEs. ----
+    "job_compliance_report" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_compliance")
+        PaymentJobs.runPipeline(st, PaymentData.transactions(s, dir))
+        val cust = "USER_0042"
+        val bronzeAffected = st.read("bronze_transactions")
+          .filter(col("customer_id") === cust).count()
+        val silverBefore = st.read("silver_transactions").count()
+        PaymentJobs.gdprDelete(st, cust)
+        val silverAffected = silverBefore - st.read("silver_transactions").count()
+        val jc = new graft.ops.JobControl(st)
+        val t = java.sql.Timestamp.valueOf(PaymentData.Now)
+        jc.record("bronze_compliance_deletion", s"BATCH_GDPR_$cust", "bronze",
+          "SUCCESS", t, t, None, bronzeAffected, bronzeAffected, 0,
+          error = Some(s"Soft-deleted $bronzeAffected records for $cust"))
+        jc.record("silver_propagate_deletes", s"BATCH_GDPR_$cust", "silver",
+          "SUCCESS", t, t, None, silverAffected, silverAffected, 0,
+          error = Some(s"Hard-deleted $silverAffected records for $cust"))
+        val jcT = st.read("job_control")
+        def leg(action: String, job: String) = jcT
+          .filter(col("job_name") === job &&
+            col("error_message").like(s"%$cust%"))
+          .select(lit(action).as("action"), col("job_name"), col("status"),
+            col("records_written").as("records_affected"), col("error_message"))
+        leg("Bronze Soft Delete", "bronze_compliance_deletion")
+          .unionByName(leg("Silver Hard Delete", "silver_propagate_deletes"))
+      },
+      Some(s"""$SilverFullSql,
+              |bn AS (SELECT count(*) AS n FROM clean WHERE customer_id = 'USER_0042'),
+              |sn AS (SELECT count(*) AS n FROM silverf WHERE customer_id = 'USER_0042')
+              |SELECT 'Bronze Soft Delete' AS action,
+              |  'bronze_compliance_deletion' AS job_name, 'SUCCESS' AS status,
+              |  CAST(n AS BIGINT) AS records_affected,
+              |  'Soft-deleted ' || n || ' records for USER_0042' AS error_message FROM bn
+              |UNION ALL
+              |SELECT 'Silver Hard Delete', 'silver_propagate_deletes', 'SUCCESS',
+              |  CAST(n AS BIGINT),
+              |  'Hard-deleted ' || n || ' records for USER_0042' FROM sn""".stripMargin)),
+
+    // ---- Monitoring pack (docs/RUNBOOK.md:608-671): silver lag vs the
+    //      job_control watermark, dedup effectiveness (bronze-unique vs
+    //      silver-total), layer record counts, and per-job success rate
+    //      over a planted deterministic run history (FAILED every 10th
+    //      day-of-month, the archive query's scheme). One (metric,
+    //      value) frame so the whole pack is a single oracle entry. ----
+    "job_monitoring_report" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "job_monitor")
+        PaymentJobs.runPipeline(st, PaymentData.transactions(s, dir))
+        val bronze = st.read("bronze_transactions")
+        val silver = st.read("silver_transactions")
+        val d = to_date(col("o_orderdate"))
+        val hist = Tables.orders(s, dir).select(d.as("d")).distinct()
+          .select(
+            lit("silver_incremental_load").as("job_name"), lit("silver").as("layer"),
+            concat(lit("BATCH_"), date_format(col("d"), "yyyyMMdd")).as("batch_id"),
+            lit("incremental").as("run_mode"),
+            when(dayofmonth(col("d")) % 10 === 0, "FAILED")
+              .otherwise("SUCCESS").as("status"),
+            col("d").as("processing_date"),
+            lit(null).cast("date").as("start_date"),
+            lit(null).cast("date").as("end_date"),
+            col("d").cast("timestamp").as("last_processed_timestamp"),
+            lit(null).cast("string").as("last_processed_batch_id"),
+            lit(1000L).as("records_read"), lit(1000L).as("records_written"),
+            lit(0L).as("records_failed"), lit(0L).as("records_quarantined"),
+            col("d").cast("timestamp").as("started_at"),
+            col("d").cast("timestamp").as("completed_at"),
+            lit(0L).as("duration_seconds"), lit(0L).as("retry_count"),
+            lit(2L).as("max_retries"),
+            lit(null).cast("string").as("error_message"),
+            lit("scheduler").as("triggered_by"),
+            lit(null).cast("string").as("dataproc_cluster"),
+            lit(null).cast("string").as("spark_app_id"))
+        st.create("job_control", hist)
+        val jcT = st.read("job_control")
+        val lag = bronze.agg(max(col("updated_at")).as("bmax"))
+          .crossJoin(jcT
+            .filter(col("job_name") === "silver_incremental_load" &&
+              col("status") === "SUCCESS")
+            .agg(max(col("last_processed_timestamp")).as("wm")))
+          .select(lit("silver_lag_minutes").as("metric"),
+            floor((unix_timestamp(col("bmax")) - unix_timestamp(col("wm"))) / 60)
+              .cast("double").as("value"))
+        val counts = bronze.agg(countDistinct(col("transaction_id")).as("u"))
+          .crossJoin(silver.agg(count(lit(1)).as("t")))
+        val dedup = counts.select(
+            lit("bronze_unique_txns").as("metric"), col("u").cast("double").as("value"))
+          .unionByName(counts.select(lit("silver_total_rows").as("metric"),
+            col("t").cast("double").as("value")))
+          .unionByName(counts.select(lit("dedup_discrepancy").as("metric"),
+            abs(col("u") - col("t")).cast("double").as("value")))
+        val rate = jcT.groupBy("job_name")
+          .agg((floor(lit(10000.0) *
+              sum(when(col("status") === "SUCCESS", 1L).otherwise(0L)) /
+              count(lit(1))) / 100.0).as("value"))
+          .select(concat(lit("success_rate:"), col("job_name")).as("metric"),
+            col("value").cast("double"))
+        lag.unionByName(dedup).unionByName(rate)
+      },
+      Some(s"""$SilverSql,
+              |hist AS (SELECT CASE WHEN day(CAST(o_orderdate AS DATE)) % 10 = 0
+              |                     THEN 'FAILED' ELSE 'SUCCESS' END AS status,
+              |           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS lpt
+              |         FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS o_orderdate
+              |               FROM orders)),
+              |u AS (SELECT count(DISTINCT transaction_id) AS u FROM clean),
+              |t AS (SELECT count(*) AS t FROM silver)
+              |SELECT 'silver_lag_minutes' AS metric,
+              |  CAST(floor(date_diff('second',
+              |    (SELECT max(lpt) FROM hist WHERE status = 'SUCCESS'),
+              |    (SELECT max(updated_at) FROM clean)) / 60.0) AS DOUBLE) AS value
+              |UNION ALL SELECT 'bronze_unique_txns', CAST(u AS DOUBLE) FROM u
+              |UNION ALL SELECT 'silver_total_rows', CAST(t AS DOUBLE) FROM t
+              |UNION ALL SELECT 'dedup_discrepancy', CAST(abs(u - t) AS DOUBLE) FROM u, t
+              |UNION ALL SELECT 'success_rate:silver_incremental_load',
+              |  floor(10000.0 * sum(CASE WHEN status = 'SUCCESS' THEN 1 ELSE 0 END)
+              |        / count(*)) / 100.0 FROM hist""".stripMargin)),
+
     // ---- fact_full_refresh: full-width star join + overwrite + gate ----
     "job_fact_full_refresh" -> QDef(
       (s, dir) => {

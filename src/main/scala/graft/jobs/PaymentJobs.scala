@@ -22,14 +22,20 @@ object PaymentJobs {
 
   private val now = lit(PaymentData.Now).cast("timestamp_ntz")
 
-  /** Tier-1 fatal rules (docs/VALIDATION_RULES.md:17-35); order matters —
-    * classify() reports the FIRST failing rule. */
-  val tier1Rules: Seq[Validation.Rule] = Seq(
+  /** Tier-1 fatal rules against an explicit clock (docs/
+    * VALIDATION_RULES.md:17-35); order matters — classify() reports the
+    * FIRST failing rule. FUTURE_TIMESTAMP is the one rule whose outcome
+    * changes as the clock advances, which is what makes quarantined
+    * rows replayable later ([[quarantineReplay]]). */
+  def tier1RulesAt(clock: Column): Seq[Validation.Rule] = Seq(
     Validation.Rule("NULL_TRANSACTION_ID", col("transaction_id").isNull),
     Validation.Rule("INVALID_FORMAT", col("transaction_id").like("% %")),
     Validation.Rule("NULL_AMOUNT", col("amount").isNull),
     Validation.Rule("NULL_TIMESTAMP", col("transaction_timestamp").isNull),
-    Validation.Rule("FUTURE_TIMESTAMP", col("transaction_timestamp") > now))
+    Validation.Rule("FUTURE_TIMESTAMP", col("transaction_timestamp") > clock))
+
+  /** Tier-1 rules at the pipeline clock [[PaymentData.Now]]. */
+  val tier1Rules: Seq[Validation.Rule] = tier1RulesAt(now)
 
   /** Tier-2 suspect rules (loaded but flagged). */
   val tier2Rules: Seq[Validation.Rule] = Seq(
@@ -103,6 +109,37 @@ object PaymentJobs {
       .withColumn("delta_version", lit(2L))
     store.mergeUpsert("bronze_transactions", cdcBatch,
       Seq("transaction_id", "updated_at"))
+    store.read("bronze_transactions")
+  }
+
+  /** quarantine_replay (the operational loop bronze/README.md:364-404
+    * monitors): re-validate quarantined rows at a LATER clock — rows
+    * whose only fatal defect was a then-future timestamp now pass —
+    * and admit them through the full staging path (Tier-3 defaults,
+    * Tier-2 flags, W1 dedup) with an M1 merge into bronze stamped
+    * 'REPLAY'. Idempotent by construction: a second replay finds the
+    * same rows already present and rewrites them identically, so the
+    * table state is a pure function of (quarantine, clock). */
+  def quarantineReplay(store: TableStore, quarantine: DataFrame,
+                       clock: Column): DataFrame = {
+    val src = quarantine.select(
+      col("transaction_id"), col("customer_id"), col("transaction_timestamp"),
+      col("merchant_id"), col("merchant_name"), col("product_category"),
+      col("product_name"), col("amount"), col("fee_amount"),
+      col("cashback_amount"), col("loyalty_points"), col("payment_method"),
+      col("transaction_status"), col("device_type"), col("location_type"),
+      col("currency"), col("updated_at"))
+    val passing = src.filter(!Validation.anyFail(tier1RulesAt(clock)))
+    val staged = Dedup.exact(
+      Validation.applyDefaults(passing, tier3Defaults)
+        .withColumn("data_quality_flag", Validation.qualityFlag(tier2Rules))
+        .withColumn("validation_errors", Validation.errorList(tier2Rules)),
+      Seq("transaction_id", "updated_at"))
+      .withColumn("delta_change_type", lit("ignored")) // merge stamps it
+      .withColumn("delta_version", lit(3L)) // after load=1, CDC merge=2
+    store.mergeUpsert("bronze_transactions", staged,
+      Seq("transaction_id", "updated_at"),
+      matchedChangeType = "REPLAY", insertChangeType = "REPLAY")
     store.read("bronze_transactions")
   }
 
