@@ -401,10 +401,52 @@ class TableStore(spark: SparkSession, root: String) {
     * dirs keep theirs, so only just-written dirs cost a read pass),
     * write manifest v, then atomically swap the _LATEST pointer. The
     * single place this sequence lives. */
+  /** Commit with staged change-feed rows: row-level writers stage their
+    * `_cdf` contents under a dot-dir and only a SUCCESSFUL manifest
+    * commit moves it to `_cdf/<v>`. A commit that loses the version
+    * race (put-if-absent collision) deletes its staging instead of
+    * leaving change rows where changeSources would attribute them to
+    * the WINNER's version v — poisoning the feed with a failed
+    * operation's rows. Crash leftovers (dot-dirs under `_cdf`) are
+    * age-swept by vacuum. */
+  private def commitWithCdf(name: String, v: Long, m: Manifest,
+                            stagedCdf: Option[Path]): Unit =
+    try {
+      commitManifest(name, v, m)
+      stagedCdf.foreach { s =>
+        Files.move(s, dir(name).resolve("_cdf").resolve(v.toString),
+          StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+    } catch {
+      case e: Throwable =>
+        stagedCdf.foreach(s => FsUtil.deleteRecursively(s.toFile))
+        throw e
+    }
+
+  /** Dot-dir staging path for a version's change-feed rows. */
+  private def cdfStaging(name: String, v: Long, uuid: String): Path =
+    dir(name).resolve("_cdf").resolve(s".v$v-$uuid")
+
   private def commitManifest(name: String, v: Long, m0: Manifest): Unit = {
     // deletion vectors attach to specific immutable dirs: entries for
     // dirs this version no longer carries are dropped automatically
-    val m = m0.copy(dvs = m0.dvs.filter { case (d, _) => m0.dirs.contains(d) })
+    val m1 = m0.copy(dvs = m0.dvs.filter { case (d, _) => m0.dirs.contains(d) })
+    // identity watermarks: writers that DON'T mint ids (SQL INSERT
+    // attach, merge-on-read inserts, library merges) may still carry
+    // values in an identity column; advance each watermark past the
+    // committed column max (from the same footer stats the manifest
+    // stores) so a later library append can never re-mint a taken id
+    val m =
+      if (!m1.props.keys.exists(_.startsWith("identity."))) m1
+      else m1.copy(props = m1.props.map {
+        case (k, nextStr) if k.startsWith("identity.") && k.endsWith(".next") =>
+          val c = k.stripPrefix("identity.").stripSuffix(".next")
+          val maxSeen = m1.stats.values.flatMap(_.cols.get(c))
+            .flatMap(_.max).collect { case l: Long => l }
+          if (maxSeen.isEmpty) k -> nextStr
+          else k -> math.max(nextStr.toLong, maxSeen.max + 1L).toString
+        case kv => kv
+      })
     import m.{dirs, stats, bloomCols}
     // blooms read data files and name sidecars by PHYSICAL column —
     // sidecars stay valid across renames
@@ -528,20 +570,21 @@ class TableStore(spark: SparkSession, root: String) {
           .withColumn("dir", dirOf("relpath"))
           .select("dir", "relpath", "pos"))
     combined.write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
-    if (m.cdf) {
-      val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+    val stagedCdf = if (!m.cdf) None else {
+      val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
       // _cdf files carry PHYSICAL names, like every parquet this store writes
       staged.select(m.schema.map(f => col(f.name).as(m.phys(f.name))): _*)
         .write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=delete").toString)
+      Some(cdfDir)
     }
     FsUtil.deleteRecursively(staging.toFile)
     val updated = newDirs.map { d =>
       val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
       d -> DvRef(dvName, prior + perDir(d))
     }.toMap
-    commitManifest(name, v, m.copy(dvs = m.dvs ++ updated))
+    commitWithCdf(name, v, m.copy(dvs = m.dvs ++ updated), stagedCdf)
   }
 
   /** UPDATE ... SET ... WHERE cond as a MERGE-ON-READ commit: the
@@ -558,6 +601,11 @@ class TableStore(spark: SparkSession, root: String) {
   def updateVectorized(name: String, condition: Column,
                        set: Map[String, Column]): Unit = {
     val m = readManifest(name, currentVersion(name))
+    // a typo'd SET column would otherwise be silently dropped while the
+    // matched rows are still tombstoned and re-appended unchanged
+    require(set.keySet.subsetOf(m.schema.fieldNames.toSet),
+      s"SET references non-existent column(s): " +
+        s"${(set.keySet -- m.schema.fieldNames).mkString(", ")}")
     val (touched, _) = pruneDirsByCondition(name, m, condition)
     if (touched.isEmpty) return
     val v = currentVersion(name) + 1
@@ -595,8 +643,8 @@ class TableStore(spark: SparkSession, root: String) {
           .withColumn("dir", dirOf("relpath"))
           .select("dir", "relpath", "pos"))
     combined.write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
-    if (m.cdf) {
-      val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+    val stagedCdf = if (!m.cdf) None else {
+      val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
       val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name)))
       staged.select(schemaCols: _*).select(toPhys: _*).write.mode("overwrite")
@@ -604,6 +652,7 @@ class TableStore(spark: SparkSession, root: String) {
       conform(staged.select(out: _*), m.schema).select(toPhys: _*)
         .write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=update_postimage").toString)
+      Some(cdfDir)
     }
     FsUtil.deleteRecursively(staging.toFile)
     val updatedDvs = perDir.keySet.map { d =>
@@ -613,8 +662,9 @@ class TableStore(spark: SparkSession, root: String) {
     val stats = m.stats ++ newDirs.flatMap(d =>
       DirStats.collect(dataRoot(name).resolve(d), m.physSchema)
         .map(m.statsToLogical).map(d -> _))
-    commitManifest(name, v,
-      m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ updatedDvs))
+    commitWithCdf(name, v,
+      m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ updatedDvs),
+      stagedCdf)
   }
 
   /** Live scan of `dirs` with DVs applied AND position metadata kept
@@ -1043,6 +1093,14 @@ class TableStore(spark: SparkSession, root: String) {
       schema = StructType(m.schema.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
       colmap = colmap,
+      // an identity rule follows its column: left keyed by the old name
+      // it would mint a phantom column and break conform() on every
+      // subsequent write
+      props = m.props.map {
+        case (k, v) if k == s"identity.$from.next" =>
+          s"identity.$to.next" -> v
+        case kv => kv
+      },
       stats = m.stats.view.mapValues(ds => ds.copy(cols =
         ds.cols.map { case (k, v) => (if (k == from) to else k) -> v })).toMap,
       bucketing = m.bucketing.map(b => b.copy(keys =
@@ -1071,11 +1129,13 @@ class TableStore(spark: SparkSession, root: String) {
     require(referencing.isEmpty,
       s"cannot drop $colName: referenced by CHECK constraint(s) / generated " +
         s"column(s) ${referencing.keys.mkString(",")} — drop them first")
-    // dropping a generated column itself is fine: its rule goes with it
+    // dropping a generated/identity column itself is fine: its rule
+    // goes with it (a stale identity prop would otherwise bind to a
+    // later re-ADD of the same name)
     commitManifest(name, currentVersion(name) + 1, m.copy(
       schema = StructType(m.schema.filterNot(_.name == colName)),
       colmap = m.colmap - colName,
-      props = m.props - s"generated.$colName",
+      props = m.props - s"generated.$colName" - s"identity.$colName.next",
       stats = m.stats.view.mapValues(ds =>
         ds.copy(cols = ds.cols - colName)).toMap,
       droppedPhys = (m.droppedPhys :+ m.phys(colName)).distinct))
@@ -1176,20 +1236,35 @@ class TableStore(spark: SparkSession, root: String) {
     }
     // bloom sidecars of dirs no retained version references
     deleted ++= BloomIndex.sweep(bloomRoot(name), live)
-    // deletion-vector sidecars no retained manifest references
+    // deletion-vector sidecars no retained manifest references — with
+    // the same >1h age guard as the dot-dir scratch above: an
+    // unreferenced _dv entry may be tmpdel-/tmpupd- staging of an
+    // in-flight row-level write, or a freshly written dv-<v>-<uuid>
+    // sidecar in the window between its write and commitManifest;
+    // sweeping those makes the concurrent commit reference a deleted
+    // file. Crash leftovers age past the guard and are swept next run.
     val liveDvPaths: Set[String] =
       keepVersions.flatMap(v => readManifest(name, v).dvs.values.map(_.path)).toSet
     val dvDir = dvRoot(name)
     if (Files.isDirectory(dvDir)) {
       Using.resource(Files.list(dvDir))(_.iterator().asScala.toSeq)
         .filterNot(p => liveDvPaths.contains(p.getFileName.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <
+          System.currentTimeMillis() - 3600L * 1000)
         .foreach { p => FsUtil.deleteRecursively(p.toFile); deleted += p }
     }
-    // change-feed dirs of versions outside the retained window
+    // change-feed dirs of versions outside the retained window, plus
+    // abandoned commit staging (dot-dirs a lost version race left
+    // behind) past the same >1h in-flight guard
     val cdfRoot = dir(name).resolve("_cdf")
     if (Files.isDirectory(cdfRoot)) {
       Using.resource(Files.list(cdfRoot))(_.iterator().asScala.toSeq)
-        .filter(p => p.getFileName.toString.toLongOption.exists(_ < keepVersions.head))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.toLongOption.exists(_ < keepVersions.head) ||
+            (n.startsWith(".") && Files.getLastModifiedTime(p).toMillis <
+              System.currentTimeMillis() - 3600L * 1000)
+        }
         .foreach { p => FsUtil.deleteRecursively(p.toFile); deleted += p }
     }
     deleted.result()
@@ -1573,8 +1648,8 @@ class TableStore(spark: SparkSession, root: String) {
         }.toMap
       }
     }
-    if (m.cdf) {
-      val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+    val stagedCdf = if (!m.cdf) None else {
+      val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
       val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name)))
       fresh.foreach { staged =>
@@ -1592,13 +1667,15 @@ class TableStore(spark: SparkSession, root: String) {
         scanDirs(newDirs, name, m.physSchema)
           .write.mode("overwrite")
           .parquet(cdfDir.resolve("__cdc=insert").toString)
+      Some(cdfDir)
     }
     deleteFiles.foreach(Files.deleteIfExists(_))
     val stats = m.stats ++ newDirs.flatMap(d =>
       DirStats.collect(dataRoot(name).resolve(d), m.physSchema,
         absentIsNull = false).map(m.statsToLogical).map(d -> _))
-    commitManifest(name, v,
-      m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ dvsUpdated))
+    commitWithCdf(name, v,
+      m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ dvsUpdated),
+      stagedCdf)
   }
 
   /** Commit a version that REPLACES the `removed` live dirs with the
@@ -1797,7 +1874,7 @@ class TableStore(spark: SparkSession, root: String) {
           Files.move(curStaged, target)
           Seq(batch)
       }
-    val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
+    val cdfDir = cdfStaging(name, v, uuid)
     Files.createDirectories(cdfDir)
     Using.resource(Files.list(staging))(_.iterator().asScala.toSeq)
       .filter(_.getFileName.toString.startsWith("__cdc="))
@@ -1807,7 +1884,8 @@ class TableStore(spark: SparkSession, root: String) {
       newDirs.flatMap(d =>
         DirStats.collect(dataRoot(name).resolve(d), meta.physSchema)
           .map(meta.statsToLogical).map(d -> _))
-    commitManifest(name, v, meta.copy(dirs = carried ++ newDirs, stats = stats))
+    commitWithCdf(name, v, meta.copy(dirs = carried ++ newDirs, stats = stats),
+      Some(cdfDir))
   }
 
   /** Check enforcement for the CDC write: only `current` rows are table

@@ -702,12 +702,12 @@ class GraftScan(fullSchema: StructType, required: StructType,
       dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, fullSchema, pushed, hasDvs = dvByFile.nonEmpty,
-      colmap = colmap)
+    new GraftReaderFactory(required, fullSchema, pushed, colmap = colmap)
   override def description(): String =
     s"graft parquet scan, ${files.size} files" +
       s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
       runtimePrunedFrom.map(b => s" (runtime pruning: $dirsScanned/$b dirs)").getOrElse("") +
+      (if (dvByFile.nonEmpty) s" (dv columnar-skip: ${dvByFile.size} files)" else "") +
       s", PushedFilters: [${pushed.mkString(", ")}]"
 
   /** File-size statistics for the optimizer: lets Spark pick broadcast
@@ -804,8 +804,7 @@ class GraftRowLevelScan(fullSchema: StructType, required: StructType,
     live.flatMap(_._2).map(f => GraftInputPartition(f,
       dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, fullSchema, Array.empty,
-      hasDvs = dvByFile.nonEmpty, colmap = colmap)
+    new GraftReaderFactory(required, fullSchema, Array.empty, colmap = colmap)
   override def description(): String =
     s"graft row-level scan, ${live.size}/${dirFiles.size} dirs"
 }
@@ -1174,7 +1173,6 @@ object ColPhys {
 
 class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
                          pushed0: Array[Filter],
-                         hasDvs: Boolean = false,
                          colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   // translate once at construction; everything below speaks physical
@@ -1206,26 +1204,30 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     * (ColumnarBatch straight into whole-stage codegen); the row reader
     * remains as the -Dgraft.sql.vectorized=false escape hatch. Scans
     * projecting the `_file` metadata column (group-filter subqueries —
-    * tiny) take the row path, which synthesizes it per row. */
-  /** Spark requires every partition of a scan to agree on columnar vs
-    * row, so ANY deletion vector in the snapshot sends the whole scan
-    * down the position-counting row path (files without a DV skip
-    * nothing — they just decode row-at-a-time until the next rewrite
-    * materializes the deletes and restores the vectorized path). */
+    * tiny) take the row path, which synthesizes it per row. Files
+    * carrying a deletion vector stay columnar too: their batches pass
+    * through [[GraftDvSkipColumnarReader]] (pushdown disabled on just
+    * those files so the running row count is the file row index) —
+    * DV'd hot files no longer demote the whole scan to the row path. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     GraftVectorized.enabled && !required.fieldNames.contains(GraftFileMeta.Name) &&
-      !required.fieldNames.contains(GraftPosMeta.Name) && !hasDvs
+      !required.fieldNames.contains(GraftPosMeta.Name)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pred = GraftVectorized.predicate(pushed, fullSchema)
+    def mk(f: String, dv: Array[Long])
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      if (dv.isEmpty) new GraftColumnarPartitionReader(f, required, pred)
+      else new GraftDvSkipColumnarReader(
+        new GraftColumnarPartitionReader(f, required, null), dv)
     partition match {
-      case GraftBucketInputPartition(_, fs, _) =>
+      case GraftBucketInputPartition(_, fs, dvs) =>
         new GraftChainedReader(fs.map(f =>
-          () => new GraftColumnarPartitionReader(f, required, pred)))
+          () => mk(f, dvs.getOrElse(f, Array.empty))))
       case p =>
-        new GraftColumnarPartitionReader(
-          p.asInstanceOf[GraftInputPartition].file, required, pred)
+        val gp = p.asInstanceOf[GraftInputPartition]
+        mk(gp.file, gp.dvPositions)
     }
   }
 }

@@ -84,6 +84,97 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
   override def close(): Unit = reader.close()
 }
 
+/** A ColumnVector view that remaps row ids through a surviving-rows
+  * index — the zero-copy half of the columnar deletion-vector skip:
+  * every accessor delegates to the wrapped vector at `map(rowId)`.
+  * Struct/interval children are wrapped with the same map (their
+  * accessors are addressed by parent row id via ColumnVector's final
+  * getStruct/getInterval); array/map children are NOT remapped —
+  * their coordinates are element offsets, and getArray/getMap delegate
+  * to the base vector which builds them against its own children.
+  * Per-batch and owns nothing: close() is a no-op (the parquet reader
+  * owns the underlying vectors). */
+private[sources] class RemappedColumnVector(base: org.apache.spark.sql.vectorized.ColumnVector,
+                                            map: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
+  import org.apache.spark.sql.types.{CalendarIntervalType, StructType => SStructType}
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls: Int = {
+    var n = 0; var i = 0
+    while (i < map.length) { if (base.isNullAt(map(i))) n += 1; i += 1 }
+    n
+  }
+  override def isNullAt(rowId: Int): Boolean = base.isNullAt(map(rowId))
+  override def getBoolean(rowId: Int): Boolean = base.getBoolean(map(rowId))
+  override def getByte(rowId: Int): Byte = base.getByte(map(rowId))
+  override def getShort(rowId: Int): Short = base.getShort(map(rowId))
+  override def getInt(rowId: Int): Int = base.getInt(map(rowId))
+  override def getLong(rowId: Int): Long = base.getLong(map(rowId))
+  override def getFloat(rowId: Int): Float = base.getFloat(map(rowId))
+  override def getDouble(rowId: Int): Double = base.getDouble(map(rowId))
+  override def getArray(rowId: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(map(rowId))
+  override def getMap(ordinal: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(map(ordinal))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    base.getDecimal(map(rowId), precision, scale)
+  override def getUTF8String(rowId: Int): org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(map(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = base.getBinary(map(rowId))
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    base.dataType match {
+      case _: SStructType | CalendarIntervalType =>
+        new RemappedColumnVector(base.getChild(ordinal), map)
+      case _ => base.getChild(ordinal)
+    }
+}
+
+/** Columnar deletion-vector skip: wraps the vectorized per-file reader
+  * (run WITHOUT parquet-mr pushdown, so the running row count equals
+  * the file row index) and re-exposes each batch with the tombstoned
+  * positions removed via [[RemappedColumnVector]] — no data copy, no
+  * row-path fallback. DV'd files stay on the ColumnarBatch path that
+  * whole-stage codegen consumes; without this, one deletion vector
+  * anywhere in a snapshot used to demote the ENTIRE scan to the
+  * row-at-a-time reader (the round-4 read-amplification cliff). */
+class GraftDvSkipColumnarReader(inner: PartitionReader[ColumnarBatch],
+                                positions: Array[Long])
+    extends PartitionReader[ColumnarBatch] {
+  private var base = 0L // file row index of the current batch's first row
+  private var p = 0 // cursor into the sorted positions
+  private var out: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val startP = p
+      while (p < positions.length && positions(p) < base + n) p += 1
+      val ndel = p - startP
+      if (ndel == 0) { out = b; base += n; return true }
+      if (ndel < n) {
+        val map = new Array[Int](n - ndel)
+        var i = 0; var q = startP; var j = 0
+        while (i < n) {
+          if (q < p && positions(q) == base + i) q += 1
+          else { map(j) = i; j += 1 }
+          i += 1
+        }
+        val cols = Array.tabulate[org.apache.spark.sql.vectorized.ColumnVector](
+          b.numCols())(c => new RemappedColumnVector(b.column(c), map))
+        out = new ColumnarBatch(cols, map.length)
+        base += n
+        return true
+      }
+      base += n // every row in the batch tombstoned: skip it entirely
+    }
+    false
+  }
+  override def get(): ColumnarBatch = out
+  override def close(): Unit = inner.close()
+}
+
 object GraftVectorized {
   /** Escape hatch: -Dgraft.sql.vectorized=false falls back to the
     * row-at-a-time parquet-mr reader. */

@@ -219,4 +219,31 @@ class ChangeFeedSpec extends AnyFunSuite {
     ts.vacuum("t", retainVersions = 1)
     assert(!Files.exists(root.resolve("t").resolve("_cdf").resolve(delV.toString)))
   }
+
+  test("a commit that loses the version race never poisons the change feed") {
+    val root = Files.createTempDirectory("cdfrace")
+    val ts = new TableStore(spark, root.toString)
+    ts.create("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ts.setChangeFeed("t", true)
+    val v = ts.currentVersion("t")
+    // simulate losing the put-if-absent race: the next version's
+    // manifest already exists (a concurrent writer won it)
+    val winner = root.resolve("t").resolve("_v").resolve(s"${v + 1}.json")
+    val winnerBytes = Files.readAllBytes(
+      root.resolve("t").resolve("_v").resolve(s"$v.json"))
+    Files.write(winner, winnerBytes)
+    intercept[Throwable](ts.deleteVectorized("t", col("id") === 3L))
+    // the loser's change rows must NOT sit under _cdf/<v+1> where the
+    // feed would attribute them to the winner's commit
+    val cdfDir = root.resolve("t").resolve("_cdf").resolve((v + 1).toString)
+    assert(!Files.exists(cdfDir) ||
+      !Files.list(cdfDir).iterator().hasNext,
+      s"failed commit left change rows under _cdf/${v + 1}")
+    // no dot-dir staging leaked either
+    val leaked = Files.list(root.resolve("t").resolve("_cdf")).iterator()
+    while (leaked.hasNext) {
+      val p = leaked.next()
+      assert(!p.getFileName.toString.startsWith("."), s"leaked staging: $p")
+    }
+  }
 }

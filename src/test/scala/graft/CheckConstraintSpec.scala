@@ -111,6 +111,52 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(ids.distinct.size === ids.size)
   }
 
+  test("identity rules survive RENAME, die with DROP, and track external writes") {
+    val root = java.nio.file.Files.createTempDirectory("idalter").toString
+    spark.conf.set("spark.sql.catalog.gida", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gida.root", root)
+    val ts = new graft.core.TableStore(spark, root)
+    ts.createEmpty("t", org.apache.spark.sql.types.StructType.fromDDL(
+      "sk BIGINT, name STRING"))
+    ts.setIdentityColumn("t", "sk", start = 10L)
+    ts.append("t", Seq("a").toDF("name"))
+    // RENAME remaps the identity prop: appends keep minting under the
+    // NEW name (the old prop would mint a phantom column and fail
+    // conform on every later write)
+    ts.renameColumn("t", "sk", "row_sk")
+    assert(ts.properties("t").contains("identity.row_sk.next"))
+    assert(!ts.properties("t").contains("identity.sk.next"))
+    ts.append("t", Seq("b").toDF("name"))
+    assert(ts.read("t").select("row_sk").as[Long].collect().sorted.toSeq
+      === Seq(10L, 11L))
+    // an external (SQL INSERT attach) write carrying identity values
+    // advances the watermark: the next library append can't re-mint
+    spark.sql("INSERT INTO gida.t VALUES (500, 'ext')")
+    ts.append("t", Seq("c").toDF("name"))
+    val ids = ts.read("t").select("row_sk").as[Long].collect().toSeq
+    assert(ids.distinct.size === ids.size)
+    assert(ids.contains(501L), s"watermark did not advance past external max: $ids")
+    // DROP removes the rule: a later re-ADD of the same name does NOT
+    // inherit a stale watermark (user-supplied values accepted again)
+    ts.dropColumn("t", "row_sk")
+    assert(!ts.properties("t").exists(_._1.startsWith("identity.")))
+    ts.addColumns("t", org.apache.spark.sql.types.StructType.fromDDL("row_sk BIGINT"))
+    ts.append("t", Seq((999L, "d")).toDF("row_sk", "name")) // not refused
+    assert(ts.read("t").filter(col("row_sk") === 999L).count() === 1)
+  }
+
+  test("updateVectorized refuses a typo'd SET column") {
+    val ts = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("uvtypo").toString)
+    ts.create("t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"))
+    val e = intercept[IllegalArgumentException](
+      ts.updateVectorized("t", col("id") === 1L, Map("amonut" -> lit(99.0))))
+    assert(e.getMessage.contains("amonut"))
+    // nothing tombstoned or appended by the refused call
+    assert(ts.read("t").as[(Long, Double)].collect().toMap ===
+      Map(1L -> 10.0, 2L -> 20.0))
+  }
+
   test("generated + identity columns declarable in CREATE TABLE TBLPROPERTIES") {
     val root = java.nio.file.Files.createTempDirectory("genddl").toString
     spark.conf.set("spark.sql.catalog.gddl", "graft.sources.GraftCatalog")

@@ -197,15 +197,54 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(got.size === 20)
   }
 
+  test("DV'd files stay on the columnar read path; skip is batch-exact") {
+    val root = Files.createTempDirectory("dvcol").toString
+    spark.conf.set("spark.sql.catalog.gdvc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvc.root", root)
+    val ts = new TableStore(spark, root)
+    // one file spanning >2 vectorized batches (capacity 4096), with
+    // tombstones crossing batch boundaries AND one fully-deleted batch
+    // range (4096..8191) — the three RemappedColumnVector cases
+    val n = 10000L
+    ts.create("t", (0L until n).map(i => (i, i * 3)).toDF("id", "x")
+      .coalesce(1))
+    ts.deleteVectorized("t",
+      col("id") % 7 === 0L || (col("id") >= 4096L && col("id") < 8192L))
+    val surviving = (0L until n)
+      .filterNot(i => i % 7 == 0 || (i >= 4096L && i < 8192L))
+    val got = spark.sql("SELECT id, x FROM gdvc.t")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === surviving)
+    assert(got.forall { case (i, x) => x == i * 3 })
+    // pushdown-shaped filter over the DV'd file (pushdown is dropped on
+    // that file, Spark re-filters above): still exact
+    assert(spark.sql("SELECT sum(x) FROM gdvc.t WHERE id < 100").head().getLong(0)
+      === surviving.filter(_ < 100).map(_ * 3).sum)
+    // plan evidence: the scan stays columnar (ColumnarToRow feeding
+    // whole-stage codegen) and reports the dv skip
+    val plan = spark.sql("SELECT id, x FROM gdvc.t WHERE x >= 0")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(plan.contains("dv columnar-skip: 1 files"), plan)
+  }
+
   test("vacuum sweeps sidecars no retained manifest references") {
     val (ts, root) = fresh()
     ts.create("t", (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"))
     ts.deleteVectorized("t", col("id") === 5L)
-    assert(Files.list(root.resolve("t").resolve("_dv")).count() === 1)
+    val dvDir = root.resolve("t").resolve("_dv")
+    assert(Files.list(dvDir).count() === 1)
     ts.compact("t") // materializes; DV no longer referenced by latest
+    // a FRESH unreferenced sidecar is in-flight-protected (could be a
+    // concurrent write's staging or a pre-commit sidecar): not swept
     ts.vacuum("t", retainVersions = 1)
-    assert(!Files.isDirectory(root.resolve("t").resolve("_dv")) ||
-      Files.list(root.resolve("t").resolve("_dv")).count() === 0)
+    assert(Files.list(dvDir).count() === 1)
+    // age it past the 1h guard: now it's a crash leftover and goes
+    import java.nio.file.attribute.FileTime
+    Files.list(dvDir).forEach(p => Files.setLastModifiedTime(p,
+      FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600L * 1000)))
+    ts.vacuum("t", retainVersions = 1)
+    assert(!Files.isDirectory(dvDir) || Files.list(dvDir).count() === 0)
     assert(ts.read("t").count() === 29)
   }
 }
