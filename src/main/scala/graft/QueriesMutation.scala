@@ -511,6 +511,35 @@ object QueriesMutation {
              |       o_totalprice * 2 AS price
              |FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice * 2 > 1000""".stripMargin)),
 
+    // ---- ROW TRACKING (m11): stable row ids joining PRE- and
+    //      POST-mutation snapshots. The pre snapshot's plan is pinned
+    //      before the merge-on-read update (old files survive as DV'd
+    //      files, so it still reads the old state); the post snapshot
+    //      sees postimages carrying their MATERIALIZED preimage ids.
+    //      The join on _row_id must pair every surviving row with its
+    //      own past self — if ids drifted or duplicated, rows would
+    //      drop out or fan out and the oracle hash would break. ----
+    "m11_row_tracking" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m11_rowtrack")
+        st.create("rt", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        st.enableRowTracking("rt")
+        val pre = st.readWithRowIds("rt")
+        st.updateVectorized("rt", col("o_orderkey") % 10 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+        val post = st.readWithRowIds("rt")
+        pre.select(col("_row_id"), col("o_orderkey"),
+            col("o_totalprice").as("old_price"))
+          .join(post.select(col("_row_id"), col("o_totalprice").as("new_price")),
+            Seq("_row_id"))
+          .select(col("o_orderkey"), col("old_price"), col("new_price"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS old_price,
+             |  o_totalprice + CASE WHEN o_orderkey % 10 = 0
+             |                      THEN 1.0 ELSE 0.0 END AS new_price
+             |FROM orders""".stripMargin)),
+
     // ---- Merge-on-read UPDATE stacked on a merge-on-read DELETE: the
     //      update tombstones its preimages and appends postimages (no
     //      dir rewritten); the delete then tombstones across BOTH the

@@ -39,6 +39,25 @@ object DirStats {
   // immutable instance (footer reads never mutate it)
   private lazy val hadoopConf = new Configuration()
 
+  /** Per-file row counts for one data dir (footer reads only) — row
+    * tracking assigns each file's base row id from these. Sorted by
+    * file name so base assignment is deterministic. */
+  def fileRowCounts(dirPath: Path): Seq[(String, Long)] = {
+    if (!Files.isDirectory(dirPath)) return Seq.empty
+    val files = Using.resource(Files.list(dirPath))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+        .sortBy(_.getFileName.toString)
+    import scala.collection.parallel.CollectionConverters._
+    files.par.map { f =>
+      val rows = Using.resource(ParquetFileReader.open(
+        HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString), hadoopConf)))(
+        _.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      f.getFileName.toString -> rows
+    }.seq
+  }
+
   /** Aggregate footer statistics over the parquet files of one data dir.
     * Returns None when the dir has no parquet files (empty write).
     *

@@ -85,7 +85,8 @@ object TableStore {
                                           dvs: Map[String, DvRef] = Map.empty,
                                           props: Map[String, String] = Map.empty,
                                           colmap: Map[String, String] = Map.empty,
-                                          droppedPhys: Seq[String] = Nil) {
+                                          droppedPhys: Seq[String] = Nil,
+                                          rowbase: Map[String, Long] = Map.empty) {
     /** Physical (in-file) name of a logical column. */
     def phys(logical: String): String = colmap.getOrElse(logical, logical)
     /** The schema as parquet files spell it. */
@@ -215,7 +216,11 @@ class TableStore(spark: SparkSession, root: String) {
     val droppedPart =
       if (m.droppedPhys.isEmpty) ""
       else s""", "droppedcols": [${m.droppedPhys.map(jsonStr).mkString(",")}]"""
-    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + dvsPart + propsPart + colmapPart + droppedPart + bucketing.map(b =>
+    val rowbasePart =
+      if (m.rowbase.isEmpty) ""
+      else s""", "rowbase": {${m.rowbase.toSeq.sortBy(_._1)
+        .map { case (k, b) => s"${jsonStr(k)}: $b" }.mkString(",")}}"""
+    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + dvsPart + propsPart + colmapPart + droppedPart + rowbasePart + bucketing.map(b =>
       s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
@@ -259,8 +264,11 @@ class TableStore(spark: SparkSession, root: String) {
     val colmap = m.get("colmap").map(_.asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[String] })
       .getOrElse(Map.empty[String, String])
+    val rowbase = m.get("rowbase").map(_.asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Long] })
+      .getOrElse(Map.empty[String, Long])
     Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks,
-      cdf, dvs, props, colmap, strs("droppedcols"))
+      cdf, dvs, props, colmap, strs("droppedcols"), rowbase)
   }
 
   private def bucketOf(entry: String): Int =
@@ -315,8 +323,17 @@ class TableStore(spark: SparkSession, root: String) {
     * suffix means two writers racing to the same version write
     * DIFFERENT data dirs, so the loser (who fails the manifest's
     * CREATE_NEW) can never trample the winner's data. */
+  /** Manifest prop holding the next unassigned row id (its presence is
+    * what "row tracking enabled" means). */
+  private val RowTrackingProp = "rowtracking.next"
+
+  /** Physical file column materializing a rewritten row's stable id
+    * (row-tracking postimages); never part of the logical schema. */
+  private val RidCol = "__rid"
+
   private def writeBatch(name: String, d: DataFrame, v: Long,
-                         meta: Manifest): Seq[String] = {
+                         meta: Manifest,
+                         extraPhys: Seq[Column] = Nil): Seq[String] = {
     val physCols = meta.schema.map(f => col(f.name).as(meta.phys(f.name)))
     val batch = f"b$v%09d-" + java.util.UUID.randomUUID.toString.take(8)
     val target = dir(name).resolve("data").resolve(batch)
@@ -328,7 +345,7 @@ class TableStore(spark: SparkSession, root: String) {
         // out into every leaf dir (tasks x buckets small files)
         // (__b computes from LOGICAL keys, before the physical rename)
         d.withColumn("__b", b.expr)
-          .select(physCols :+ col("__b"): _*)
+          .select(physCols ++ extraPhys :+ col("__b"): _*)
           .repartition(b.n, col("__b"))
           .write.mode("overwrite").partitionBy("__b").parquet(target.toString)
         if (!Files.exists(target)) Seq.empty
@@ -337,7 +354,8 @@ class TableStore(spark: SparkSession, root: String) {
             .map(_.getFileName.toString).filter(_.startsWith("__b="))
             .map(l => s"$batch/$l").toSeq.sorted)
       case None =>
-        d.select(physCols: _*).write.mode("overwrite").parquet(target.toString)
+        d.select(physCols ++ extraPhys: _*)
+          .write.mode("overwrite").parquet(target.toString)
         Seq(batch)
     }
   }
@@ -436,7 +454,7 @@ class TableStore(spark: SparkSession, root: String) {
     // values in an identity column; advance each watermark past the
     // committed column max (from the same footer stats the manifest
     // stores) so a later library append can never re-mint a taken id
-    val m =
+    val m2 =
       if (!m1.props.keys.exists(_.startsWith("identity."))) m1
       else m1.copy(props = m1.props.map {
         case (k, nextStr) if k.startsWith("identity.") && k.endsWith(".next") =>
@@ -447,6 +465,38 @@ class TableStore(spark: SparkSession, root: String) {
           else k -> math.max(nextStr.toLong, maxSeen.max + 1L).toString
         case kv => kv
       })
+    // ROW TRACKING (Delta fresh-row-id model): every live data file
+    // gets a base row id assigned ONCE, here, whatever write path
+    // produced it; a row's stable id is base + its position in the
+    // file (or the materialized __rid postimages carry — see
+    // readWithRowIds). Bases for files of dropped dirs are pruned so
+    // the manifest stays O(live files).
+    val m = if (!m2.props.contains(RowTrackingProp)) m2 else {
+      val liveFiles: Set[String] = m2.dirs.flatMap { d =>
+        val dp = dataRoot(name).resolve(d)
+        if (!Files.isDirectory(dp)) Seq.empty
+        else Using.resource(Files.list(dp))(_.iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+          .map(f => s"$d/$f").toSeq)
+      }.toSet
+      // footer reads only for files that don't have a base yet —
+      // O(files just written) per commit, like stats collection
+      val missingDirs = liveFiles.filterNot(m2.rowbase.contains)
+        .map(_.split('/').dropRight(1).mkString("/")).toSeq.distinct
+      val counts: Map[String, Long] = missingDirs.flatMap { d =>
+        DirStats.fileRowCounts(dataRoot(name).resolve(d))
+          .map { case (f, n) => s"$d/$f" -> n }
+      }.toMap
+      var next = m2.props(RowTrackingProp).toLong
+      val added = liveFiles.filterNot(m2.rowbase.contains).toSeq.sorted.map { rel =>
+        val base = next
+        next += counts(rel)
+        rel -> base
+      }
+      m2.copy(
+        rowbase = m2.rowbase.view.filterKeys(liveFiles).toMap ++ added,
+        props = m2.props + (RowTrackingProp -> next.toString))
+    }
     import m.{dirs, stats, bloomCols}
     // blooms read data files and name sidecars by PHYSICAL column —
     // sidecars stay valid across renames
@@ -613,12 +663,27 @@ class TableStore(spark: SparkSession, root: String) {
     // one scan of the touched dirs stages the matching rows (the small
     // side) with their positions; tombstones, postimages, and change
     // rows all derive from this single pass
+    val tracking = m.props.contains(RowTrackingProp)
     val staging = dvRoot(name).resolve(s"tmpupd-$uuid")
     val schemaCols = m.schema.map(f => col(f.name))
-    scanLiveWithPos(name, m, touched)
+    scanLiveWithPos(name, m, touched, withRid = tracking)
       .filter(coalesce(condition, lit(false)))
       .write.mode("overwrite").parquet(staging.toString)
-    val staged = spark.read.parquet(staging.toString)
+    val staged0 = spark.read.parquet(staging.toString)
+    // row tracking: resolve each staged row's STABLE id now (carried
+    // __rid from a prior rewrite, else the manifest base + position)
+    // so the postimage file can materialize it — the id survives the
+    // tombstone+re-append
+    val staged = if (!tracking) staged0 else {
+      val bases = spark.createDataFrame(
+        m.rowbase.toSeq.map(kv => (kv._1, kv._2)))
+        .toDF("__rb_relpath", "__rb_base")
+      staged0.join(broadcast(bases),
+          col("__relpath") === col("__rb_relpath"), "left")
+        .withColumn(RidCol,
+          coalesce(col(RidCol), col("__rb_base") + col("__pos")))
+        .drop("__rb_relpath", "__rb_base")
+    }
     val perDir = staged.select(dirOf("__relpath").as("dir"))
       .groupBy("dir").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -627,8 +692,13 @@ class TableStore(spark: SparkSession, root: String) {
     // unconditionally), conformed + CHECK-enforced like any append
     val out = m.schema.map(f =>
       set.get(f.name).map(_.as(f.name)).getOrElse(col(f.name).as(f.name)))
-    val postimage = enforceChecks(conform(staged.select(out: _*), m.schema), m.allChecks)
-    val newDirs = writeBatch(name, postimage, v, m)
+    val conformCols = m.schema.map(f => col(f.name).cast(f.dataType).as(f.name))
+    val outRid = if (tracking) out :+ col(RidCol) else out
+    val conformRid = if (tracking) conformCols :+ col(RidCol) else conformCols
+    val postimage = enforceChecks(
+      staged.select(outRid: _*).select(conformRid: _*), m.allChecks)
+    val newDirs = writeBatch(name, postimage, v, m,
+      extraPhys = if (tracking) Seq(col(RidCol)) else Nil)
     // tombstones: fresh positions + the prior DVs of dirs gaining new
     // ones, merged so each dir keeps exactly one sidecar reference
     val dvName = s"dv-$v-$uuid"
@@ -668,16 +738,56 @@ class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Live scan of `dirs` with DVs applied AND position metadata kept
-    * (`__relpath`, `__pos`) — the input [[deleteVectorized]] stages. */
-  private def scanLiveWithPos(name: String, m: Manifest, dirs: Seq[String]): DataFrame = {
-    val base = scanDirs(dirs, name, m.physSchema)
-      .select(m.logicalCols :+ relpathCol.as("__relpath") :+
+    * (`__relpath`, `__pos`) — the input [[deleteVectorized]] stages.
+    * With `withRid` the scan also surfaces the materialized `__rid`
+    * column row-tracking postimage files carry (null in files that
+    * predate tracking or were never rewritten — their ids derive from
+    * the manifest's per-file base instead). */
+  private def scanLiveWithPos(name: String, m: Manifest, dirs: Seq[String],
+                              withRid: Boolean = false): DataFrame = {
+    val schema =
+      if (!withRid) m.physSchema
+      else StructType(m.physSchema.fields :+
+        org.apache.spark.sql.types.StructField(RidCol, org.apache.spark.sql.types.LongType))
+    val extra =
+      if (!withRid) Seq.empty[Column] else Seq(col(RidCol))
+    val base = scanDirs(dirs, name, schema)
+      .select(m.logicalCols ++ extra :+ relpathCol.as("__relpath") :+
         col("_metadata.row_index").as("__pos"): _*)
     val dvd = dirs.filter(m.dvs.contains)
     if (dvd.isEmpty) base
     else base.join(broadcast(dvRows(name, m, dvd)),
       col("__relpath") === col("__dv_relpath") && col("__pos") === col("__dv_pos"),
       "left_anti")
+  }
+
+  /** ROW TRACKING (the Delta row-id model, re-expressed on the
+    * manifest): once enabled, every data file is assigned a base row
+    * id at commit time (commitManifest — ALL write paths inherit it),
+    * and a row's STABLE id is `base + position-in-file`. Merge-on-read
+    * mutations preserve ids for free (DV deletes never move surviving
+    * rows; [[updateVectorized]] postimages MATERIALIZE their preimage
+    * id in a `__rid` file column, which readers prefer over the
+    * derived id). Ids are unique across the table's whole history and
+    * never reused — the watermark only grows. */
+  def enableRowTracking(name: String): Unit =
+    setProperties(name, Map(RowTrackingProp -> 0L.toString))
+
+  /** Read the table with its stable `_row_id` column attached.
+    * The per-file base lookup is a broadcast of O(live files) manifest
+    * metadata; everything else is the ordinary pruned live scan. */
+  def readWithRowIds(name: String): DataFrame = {
+    val m = readManifest(name, currentVersion(name))
+    require(m.props.contains(RowTrackingProp),
+      s"row tracking is not enabled on $name — call enableRowTracking first")
+    val bases = spark.createDataFrame(
+      m.rowbase.toSeq.map(kv => (kv._1, kv._2)))
+      .toDF("__rb_relpath", "__rb_base")
+    scanLiveWithPos(name, m, m.dirs, withRid = true)
+      .join(broadcast(bases), col("__relpath") === col("__rb_relpath"), "left")
+      .withColumn("_row_id",
+        coalesce(col(RidCol), col("__rb_base") + col("__pos")))
+      .drop(RidCol, "__relpath", "__pos", "__rb_relpath", "__rb_base")
   }
 
   /** One consistent view of a table: version + schema + live dirs +

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TableStore
+
+/** Row tracking (the Delta fresh-row-id model on the manifest): stable
+  * per-row ids derived from per-file bases, preserved through
+  * merge-on-read mutations (DV deletes move nothing; updateVectorized
+  * postimages materialize their preimage id). */
+class RowTrackingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  import spark.implicits._
+
+  private def fresh(): TableStore =
+    new TableStore(spark, Files.createTempDirectory("rowtrack").toString)
+
+  test("ids are unique, dense per file, and stable across appends") {
+    val ts = fresh()
+    ts.create("t", (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    ts.enableRowTracking("t")
+    val first = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(first.values.toSeq.distinct.size === 100)
+    // an append mints NEW ids and never disturbs existing ones
+    ts.append("t", (101L to 150L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val second = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(second.size === 150)
+    assert(second.values.toSeq.distinct.size === 150)
+    first.foreach { case (k, id) => assert(second(k) === id, s"id moved for k=$k") }
+  }
+
+  test("DV delete and merge-on-read update preserve surviving row ids") {
+    val ts = fresh()
+    ts.create("t", (1L to 200L).map(i => (i, i * 10)).toDF("k", "x"))
+    ts.enableRowTracking("t")
+    val before = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    // DV delete: surviving rows keep their ids (no file moved)
+    ts.deleteVectorized("t", col("k") % 10 === 0L)
+    val afterDel = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(afterDel.size === 180)
+    afterDel.foreach { case (k, id) => assert(before(k) === id) }
+    // merge-on-read UPDATE: the postimage row carries the SAME id the
+    // preimage had (materialized __rid beats the new file's base)
+    ts.updateVectorized("t", col("k") % 7 === 0L, Map("x" -> (col("x") + 1L)))
+    val afterUpd = ts.readWithRowIds("t")
+      .select("k", "_row_id", "x").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(afterUpd.size === 180)
+    afterUpd.foreach { case (k, (id, x)) =>
+      assert(before(k) === id, s"id changed for k=$k")
+      assert(x === (if (k % 7 == 0) k * 10 + 1 else k * 10))
+    }
+    // a SECOND update of already-rewritten rows still carries the id
+    // (the carried __rid survives chains of rewrites)
+    ts.updateVectorized("t", col("k") % 7 === 0L, Map("x" -> (col("x") + 1L)))
+    val afterUpd2 = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    afterUpd2.foreach { case (k, id) => assert(before(k) === id) }
+  }
+
+  test("ids stay unique on bucketed tables through merges; watermark only grows") {
+    val ts = fresh()
+    ts.createBucketed("t", (1L to 64L).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), 8)
+    ts.enableRowTracking("t")
+    val wm0 = ts.properties("t")("rowtracking.next").toLong
+    assert(wm0 === 64L)
+    ts.mergeUpsert("t", Seq((1L, "V1"), (65L, "v65")).toDF("k", "v"),
+      Seq("k"), changeTypeCol = None)
+    val ids = ts.readWithRowIds("t").select("_row_id").as[Long].collect().toSeq
+    assert(ids.size === 65)
+    assert(ids.distinct.size === 65)
+    assert(ts.properties("t")("rowtracking.next").toLong > wm0)
+  }
+
+  test("readWithRowIds refuses when tracking is off") {
+    val ts = fresh()
+    ts.create("t", Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException](ts.readWithRowIds("t"))
+    assert(e.getMessage.contains("row tracking"))
+  }
+}
