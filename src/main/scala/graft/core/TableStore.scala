@@ -117,9 +117,12 @@ object TableStore {
                             stats: Map[String, DirStats] = Map.empty,
                             bloomCols: Seq[String] = Nil,
                             dvs: Map[String, DvRef] = Map.empty,
-                            colmap: Map[String, String] = Map.empty) {
+                            colmap: Map[String, String] = Map.empty,
+                            props: Map[String, String] = Map.empty) {
     /** Physical (in-file) name of a logical column (column mapping). */
     def phys(logical: String): String = colmap.getOrElse(logical, logical)
+    /** Row tracking enabled (the `_row_id` metadata column exists). */
+    def rowTracking: Boolean = props.contains("rowtracking.next")
     /** Absolute paths of the snapshot's live parquet files. */
     def files(store: TableStore, name: String): Seq[String] =
       filesByDir(store, name).flatMap(_._2)
@@ -801,7 +804,17 @@ class TableStore(spark: SparkSession, root: String) {
   def snapshotAt(name: String, v: Long): Snapshot = {
     val m = readManifest(name, v)
     Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats, m.bloomCols, m.dvs,
-      m.colmap)
+      m.colmap, m.props)
+  }
+
+  /** Per-FILE base row ids keyed by absolute path — the planning-time
+    * input of the DSv2 `_row_id` metadata column (row tracking). */
+  def rowBaseByFile(name: String, version: Long): Map[String, Long] = {
+    val m = readManifest(name, version)
+    if (m.rowbase.isEmpty) Map.empty
+    else m.rowbase.map { case (rel, b) =>
+      dataRoot(name).resolve(rel).toString -> b
+    }
   }
 
   /** Deleted row positions per live FILE for the snapshot's DV'd dirs —

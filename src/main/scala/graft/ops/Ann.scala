@@ -35,9 +35,11 @@ object Ann {
       .withColumn("vn", expr(
         "transform(v, x -> CAST(x / sqrt(aggregate(v, 0.0D, (a, y) -> a + y * y)) AS FLOAT))"))
       .select(col("vec_id"), col("vn"))
+    // k rows max: the constant partition key makes the intended
+    // single-partition numbering explicit (no WindowExec warning)
     var cents = n.orderBy("vec_id").limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("vec_id")).cast("int").as("cent_id"),
+          .partitionBy(lit(0)).orderBy("vec_id")).cast("int").as("cent_id"),
         col("vn").as("cv"))
       .withColumn("cent_id", col("cent_id") - 1)
     cents = cents.localCheckpoint(true)

@@ -15,10 +15,15 @@ object SurrogateKeys {
 
   /** Reference shape: global ROW_NUMBER — deterministic, but single-
     * partition. Correct choice for dimension tables (10^2..10^6 rows);
-    * never use on fact-scale data. */
+    * never use on fact-scale data — [[dense]] is the scale path.
+    * The constant partition key is the DELIBERATE single-partition
+    * choice made explicit (same plan, but Spark's "No Partition
+    * Defined" warning no longer floods the logs for an intended
+    * dim-scale sort). */
   def byOrder(df: DataFrame, keyCol: String, orderBy: Seq[Column], base: Long = 0L): DataFrame =
     df.withColumn(keyCol,
-      (row_number().over(Window.orderBy(orderBy: _*)) + lit(base)).cast(LongType))
+      (row_number().over(Window.partitionBy(lit(0)).orderBy(orderBy: _*))
+        + lit(base)).cast(LongType))
 
   /** Scale path (SURVEY §7.4.4): dense ids with NO global sort —
     * zipWithIndex assigns per-partition offsets from a driver-side scan

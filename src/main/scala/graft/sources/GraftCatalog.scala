@@ -296,6 +296,19 @@ object GraftPosMeta extends MetadataColumn {
   override def isNullable(): Boolean = false
 }
 
+/** The `_row_id` metadata column (row tracking): the row's STABLE id —
+  * the manifest's per-file base + position for fresh rows, or the
+  * materialized `__rid` a merge-on-read postimage file carries.
+  * Synthesized by the row reader like `_pos` (requesting it drops
+  * parquet-mr skipping so the running count stays the file position;
+  * DV position-skips compose — the inner counter keeps counting). */
+object GraftRowIdMeta extends MetadataColumn {
+  val Name = "_row_id"
+  override def name(): String = Name
+  override def dataType(): org.apache.spark.sql.types.DataType = LongType
+  override def isNullable(): Boolean = false
+}
+
 /** The `_file` metadata column: which live parquet file produced a
   * row. Exposed for observability AND as the group identity Spark's
   * runtime row-level group filtering keys on ([[GraftRowLevelScan]]). */
@@ -348,7 +361,8 @@ class GraftSqlTable(root: String, tableName: String,
   override def name(): String = tableName
   override def schema(): StructType = snap.schema
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftFileMeta, GraftPosMeta)
+    if (snap.rowTracking) Array(GraftFileMeta, GraftPosMeta, GraftRowIdMeta)
+    else Array(GraftFileMeta, GraftPosMeta)
   /** SHOW TBLPROPERTIES: the manifest's free-form properties. */
   override def properties(): util.Map[String, String] =
     store.properties(tableName).asJava
@@ -390,7 +404,10 @@ class GraftSqlTable(root: String, tableName: String,
       dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
       streamMaxVersions =
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-      colmap = snap.colmap)
+      colmap = snap.colmap,
+      rowBase =
+        if (snap.rowTracking) store.rowBaseByFile(tableName, snap.version)
+        else Map.empty)
 
   /** SQL MERGE INTO / UPDATE via GROUP-BASED (file-subset copy-on-write)
     * row-level operations. Spark's RowLevelOperationRuntimeGroupFiltering
@@ -525,7 +542,8 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        dvByFile: Map[String, Array[Long]] = Map.empty,
                        dvDeleted: Map[String, Long] = Map.empty,
                        streamMaxVersions: Option[Long] = None,
-                       colmap: Map[String, String] = Map.empty)
+                       colmap: Map[String, String] = Map.empty,
+                       rowBase: Map[String, Long] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -588,7 +606,8 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
       new GraftScan(schema, required, live, stats, pushed, streamSource,
         dirsTotal = dirFiles.size, bucketing = bucketing,
         bloomPrune = bloomPrune, dvByFile = dvByFile,
-        streamMaxVersions = streamMaxVersions, colmap = colmap)
+        streamMaxVersions = streamMaxVersions, colmap = colmap,
+        rowBase = rowBase)
   }
 }
 
@@ -602,7 +621,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
                 bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
                 dvByFile: Map[String, Array[Long]] = Map.empty,
                 streamMaxVersions: Option[Long] = None,
-                colmap: Map[String, String] = Map.empty)
+                colmap: Map[String, String] = Map.empty,
+                rowBase: Map[String, Long] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -702,7 +722,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
       dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, fullSchema, pushed, colmap = colmap)
+    new GraftReaderFactory(required, fullSchema, pushed, colmap = colmap,
+      rowBase = rowBase)
   override def description(): String =
     s"graft parquet scan, ${files.size} files" +
       s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
@@ -1144,7 +1165,8 @@ object ColPhys {
   def schema(s: StructType, colmap: Map[String, String]): StructType =
     if (colmap.isEmpty) s
     else StructType(s.map(f =>
-      if (f.name == GraftFileMeta.Name || f.name == GraftPosMeta.Name) f
+      if (f.name == GraftFileMeta.Name || f.name == GraftPosMeta.Name ||
+        f.name == GraftRowIdMeta.Name) f
       else f.copy(name = colmap.getOrElse(f.name, f.name))))
   def filters(fs: Array[Filter], colmap: Map[String, String]): Array[Filter] =
     if (colmap.isEmpty) fs else fs.flatMap(rename(_, colmap))
@@ -1173,7 +1195,8 @@ object ColPhys {
 
 class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
                          pushed0: Array[Filter],
-                         colmap: Map[String, String] = Map.empty)
+                         colmap: Map[String, String] = Map.empty,
+                         rowBase: Map[String, Long] = Map.empty)
     extends PartitionReaderFactory {
   // translate once at construction; everything below speaks physical
   private val required = ColPhys.schema(required0, colmap)
@@ -1183,13 +1206,17 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     * running row count must equal the file row index) and drop the
     * tombstoned positions; Spark re-applies all filters above the scan
     * so losing their pushdown on these files is purely an I/O cost on
-    * exactly the files that have pending deletes. */
-  private val noSkip = required.fieldNames.contains(GraftPosMeta.Name)
+    * exactly the files that have pending deletes. `_row_id` needs the
+    * same sequential guarantee as `_pos` (id = base + file position). */
+  private val noSkip = required.fieldNames.contains(GraftPosMeta.Name) ||
+    required.fieldNames.contains(GraftRowIdMeta.Name)
   private def rowReader(f: String, dv: Array[Long]): PartitionReader[InternalRow] =
     if (dv.isEmpty) new GraftPartitionReader(f, required, fullSchema,
-      if (noSkip) Array.empty else pushed)
+      if (noSkip) Array.empty else pushed,
+      rowIdBase = rowBase.getOrElse(f, 0L))
     else new GraftDvSkipReader(
-      new GraftPartitionReader(f, required, fullSchema, Array.empty), dv)
+      new GraftPartitionReader(f, required, fullSchema, Array.empty,
+        rowIdBase = rowBase.getOrElse(f, 0L)), dv)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case GraftBucketInputPartition(_, fs, dvs) =>
@@ -1211,7 +1238,8 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     * DV'd hot files no longer demote the whole scan to the row path. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     GraftVectorized.enabled && !required.fieldNames.contains(GraftFileMeta.Name) &&
-      !required.fieldNames.contains(GraftPosMeta.Name)
+      !required.fieldNames.contains(GraftPosMeta.Name) &&
+      !required.fieldNames.contains(GraftRowIdMeta.Name)
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -1377,10 +1405,16 @@ class ProjectingGroupReadSupport(names: Seq[String]) extends GroupReadSupport {
   * (row-group statistics skip + record-level skip), restricted to the
   * columns the file actually has. */
 class GraftPartitionReader(file: String, required: StructType,
-                           fullSchema: StructType, pushed: Array[Filter])
+                           fullSchema: StructType, pushed: Array[Filter],
+                           rowIdBase: Long = 0L)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
+
+  // `_row_id` synthesis: a postimage file materializes its rows' ids in
+  // a physical __rid column (preferred); every other file derives
+  // base + position
+  private val wantRowId = required.fieldNames.contains(GraftRowIdMeta.Name)
 
   // one footer read up front: the file's own schema decides which
   // required columns exist (ADD COLUMN back-compat) and which pushed
@@ -1395,9 +1429,12 @@ class GraftPartitionReader(file: String, required: StructType,
   private val present: Array[Boolean] =
     required.fields.map(f => fileSchema.containsField(f.name))
 
+  private val hasRidCol = wantRowId && fileSchema.containsField("__rid")
+
   private val reader: ParquetReader[Group] = {
     val b = ParquetReader.builder(
-        new ProjectingGroupReadSupport(required.fieldNames.toSeq),
+        new ProjectingGroupReadSupport(required.fieldNames.toSeq ++
+          (if (hasRidCol) Seq("__rid") else Nil)),
         new org.apache.hadoop.fs.Path(file))
       .withConf(conf)
     val pred = pushed.toSeq
@@ -1420,6 +1457,13 @@ class GraftPartitionReader(file: String, required: StructType,
     val values = required.fields.zipWithIndex.map { case (f, fi) =>
       if (f.name == GraftFileMeta.Name) UTF8String.fromString(file)
       else if (f.name == GraftPosMeta.Name) rowIdx
+      else if (f.name == GraftRowIdMeta.Name) {
+        if (hasRidCol && {
+          val ri = g.getType.getFieldIndex("__rid")
+          g.getFieldRepetitionCount(ri) > 0
+        }) g.getLong(g.getType.getFieldIndex("__rid"), 0)
+        else rowIdBase + rowIdx
+      }
       else if (!present(fi)) null
       else {
       val idx = g.getType.getFieldIndex(f.name)

@@ -81,6 +81,30 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(ts.properties("t")("rowtracking.next").toLong > wm0)
   }
 
+  test("SQL _metadata row id: SELECT _row_id matches readWithRowIds") {
+    val root = Files.createTempDirectory("rowtracksql").toString
+    spark.conf.set("spark.sql.catalog.grt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grt.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (1L to 100L).map(i => (i, i * 2)).toDF("k", "x"))
+    ts.enableRowTracking("t")
+    val lib = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    val sql = spark.sql("SELECT k, _row_id FROM grt.t")
+      .as[(Long, Long)].collect().toMap
+    assert(sql === lib)
+    // after a merge-on-read update, the SQL path reads the MATERIALIZED
+    // id from the postimage file (and applies the DV on the old one)
+    ts.updateVectorized("t", col("k") % 9 === 0L, Map("x" -> (col("x") + 1L)))
+    val sql2 = spark.sql("SELECT k, _row_id FROM grt.t")
+      .as[(Long, Long)].collect().toMap
+    assert(sql2.size === 100)
+    assert(sql2 === lib, "SQL _row_id drifted across a MoR update")
+    // a table without tracking doesn't offer the column
+    ts.create("u", Seq((1L, "a")).toDF("k", "v"))
+    intercept[Exception](spark.sql("SELECT _row_id FROM grt.u").collect())
+  }
+
   test("readWithRowIds refuses when tracking is off") {
     val ts = fresh()
     ts.create("t", Seq((1L, "a")).toDF("k", "v"))
