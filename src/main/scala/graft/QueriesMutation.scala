@@ -601,6 +601,93 @@ object QueriesMutation {
              |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, 'delete', CAST(3 AS BIGINT)
              |FROM s WHERE s.o_custkey % 10 = 3""".stripMargin)),
 
+    // ---- CDC REPLICATION BY ROW ID: a KEYLESS table (no column is a
+    //      key — duplicate rows are legal) converges onto a replica by
+    //      applying its change feed keyed on the stable `_row_id` the
+    //      feed carries (recorded MoR changes materialize `__rid`;
+    //      synthesized appends derive base + position from the commit's
+    //      manifest). Key-based MERGE cannot replicate such a table;
+    //      the row id is the identity. Scale: each increment costs
+    //      O(changes) and the replica merges prune by rid. ----
+    "cdc2_rowid_replicate" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "cdc2")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE")) // v0
+        st.enableRowTracking("src")                                  // v1
+        st.setChangeFeed("src", true)                                // v2
+        st.append("src", li.filter(col("l_orderkey") % 4 === 1))     // v3
+        st.updateVectorized("src", col("l_quantity") <= 10.0,
+          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))          // v4
+        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)     // v5
+        st.append("src", li.filter(col("l_orderkey") % 4 === 2))     // v6
+        st.createEmpty("replica", org.apache.spark.sql.types.StructType.fromDDL(
+          "rid BIGINT, l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE"))
+        (1L to st.currentVersion("src")).foreach { v =>
+          val b = st.readChangesBetween("src", v - 1, v, withRowIds = true)
+          val ups = b.filter(col("_change_type").isin("insert", "update_postimage"))
+            .select(col("_row_id").as("rid"), col("l_orderkey"),
+              col("l_suppkey"), col("l_quantity"))
+          if (!ups.isEmpty) st.mergeUpsert("replica", ups, Seq("rid"),
+            changeTypeCol = None)
+          val dels = b.filter(col("_change_type") === "delete")
+            .select(col("_row_id").as("rid"))
+          if (!dels.isEmpty) st.mergeDelete("replica", dels, Seq("rid"))
+        }
+        st.read("replica").select("l_orderkey", "l_suppkey", "l_quantity")
+      },
+      Some("""WITH init AS (
+             |  SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
+             |  WHERE l_orderkey % 4 = 1),
+             |upd AS (
+             |  SELECT l_orderkey,
+             |    CASE WHEN l_quantity <= 10 THEN l_suppkey + 100000
+             |         ELSE l_suppkey END AS l_suppkey,
+             |    l_quantity
+             |  FROM init),
+             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3)
+             |SELECT * FROM del
+             |UNION ALL
+             |SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
+             |WHERE l_orderkey % 4 = 2""".stripMargin)),
+
+    // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
+    //      load gets [0, n0), later appends get ids >= n0) and SURVIVE
+    //      merge-on-read mutation — so "which load did this row come
+    //      from" is a range test on `_row_id`, still correct after an
+    //      update (ids preserved via materialized postimage rids) and
+    //      a DV delete. The oracle re-derives the per-origin counts
+    //      relationally; they only match if ids really are stable. ----
+    "m12_rowid_lineage" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m12_lineage")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        st.createEmpty("t", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE"))
+        st.enableRowTracking("t")
+        val initial = o.filter(col("o_orderkey") % 3 === 0)
+        st.append("t", initial)
+        val n0 = initial.count() // id watermark after the initial load
+        st.updateVectorized("t", col("o_custkey") % 5 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") * 2)))
+        st.deleteVectorized("t", col("o_orderkey") % 7 === 0)
+        st.append("t", o.filter(col("o_orderkey") % 3 === 1))
+        st.readWithRowIds("t")
+          .withColumn("origin",
+            when(col("_row_id") < n0, "initial").otherwise("appended"))
+          .groupBy("origin")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT 'initial' AS origin, COUNT(*) AS n,
+             |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+             |UNION ALL
+             |SELECT 'appended', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin)),
+
     // ---- CLONE: zero-copy table copy (hard-linked files, fresh
     //      manifest); the clone mutates independently of its source. ----
     "sql_clone" -> QDef(

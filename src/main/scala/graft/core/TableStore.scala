@@ -600,10 +600,14 @@ class TableStore(spark: SparkSession, root: String) {
     // side) with their positions; sidecar + change rows derive from it
     val staging = dvRoot(name).resolve(s"tmpdel-$uuid")
     val schemaCols = m.schema.map(f => col(f.name))
-    scanLiveWithPos(name, m, touched)
+    // change rows materialize `__rid` when tracking is on, so a CDF
+    // consumer can key deletes on `_row_id` (keyless replication)
+    val trackingCdf = m.cdf && m.props.contains(RowTrackingProp)
+    scanLiveWithPos(name, m, touched, withRid = trackingCdf)
       .filter(coalesce(condition, lit(false)))
       .write.mode("overwrite").parquet(staging.toString)
-    val staged = spark.read.parquet(staging.toString)
+    val staged0 = spark.read.parquet(staging.toString)
+    val staged = if (!trackingCdf) staged0 else resolveRid(staged0, m)
     val perDir = staged.select(dirOf("__relpath").as("dir"))
       .groupBy("dir").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -627,7 +631,8 @@ class TableStore(spark: SparkSession, root: String) {
       val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
       // _cdf files carry PHYSICAL names, like every parquet this store writes
-      staged.select(m.schema.map(f => col(f.name).as(m.phys(f.name))): _*)
+      val cdfRid = if (trackingCdf) Seq(col(RidCol)) else Nil
+      staged.select(m.schema.map(f => col(f.name).as(m.phys(f.name))) ++ cdfRid: _*)
         .write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=delete").toString)
       Some(cdfDir)
@@ -677,16 +682,7 @@ class TableStore(spark: SparkSession, root: String) {
     // __rid from a prior rewrite, else the manifest base + position)
     // so the postimage file can materialize it — the id survives the
     // tombstone+re-append
-    val staged = if (!tracking) staged0 else {
-      val bases = spark.createDataFrame(
-        m.rowbase.toSeq.map(kv => (kv._1, kv._2)))
-        .toDF("__rb_relpath", "__rb_base")
-      staged0.join(broadcast(bases),
-          col("__relpath") === col("__rb_relpath"), "left")
-        .withColumn(RidCol,
-          coalesce(col(RidCol), col("__rb_base") + col("__pos")))
-        .drop("__rb_relpath", "__rb_base")
-    }
+    val staged = if (!tracking) staged0 else resolveRid(staged0, m)
     val perDir = staged.select(dirOf("__relpath").as("dir"))
       .groupBy("dir").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -719,10 +715,14 @@ class TableStore(spark: SparkSession, root: String) {
     val stagedCdf = if (!m.cdf) None else {
       val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
-      val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name)))
-      staged.select(schemaCols: _*).select(toPhys: _*).write.mode("overwrite")
+      // with row tracking the change rows MATERIALIZE the stable id, so
+      // a change-feed consumer can key on `_row_id` (keyless replication)
+      val cdfRid = if (tracking) Seq(col(RidCol)) else Nil
+      val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name))) ++ cdfRid
+      staged.select(schemaCols ++ cdfRid: _*).select(toPhys: _*)
+        .write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=update_preimage").toString)
-      conform(staged.select(out: _*), m.schema).select(toPhys: _*)
+      postimage.select(toPhys: _*)
         .write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=update_postimage").toString)
       Some(cdfDir)
@@ -764,6 +764,22 @@ class TableStore(spark: SparkSession, root: String) {
       "left_anti")
   }
 
+  /** Resolve each row's stable id into `__rid`: the materialized
+    * `__rid` a row-tracking postimage file carries when present, else
+    * the manifest's per-file base + file position. Input must carry
+    * `__relpath`/`__pos` (a [[scanLiveWithPos]] frame, or a staged
+    * copy of one). The base lookup broadcasts O(live files) rows. */
+  private def resolveRid(df: DataFrame, m: Manifest): DataFrame = {
+    val bases = spark.createDataFrame(
+      m.rowbase.toSeq.map(kv => (kv._1, kv._2)))
+      .toDF("__rb_relpath", "__rb_base")
+    val in = if (df.columns.contains(RidCol)) df
+             else df.withColumn(RidCol, lit(null).cast("long"))
+    in.join(broadcast(bases), col("__relpath") === col("__rb_relpath"), "left")
+      .withColumn(RidCol, coalesce(col(RidCol), col("__rb_base") + col("__pos")))
+      .drop("__rb_relpath", "__rb_base")
+  }
+
   /** ROW TRACKING (the Delta row-id model, re-expressed on the
     * manifest): once enabled, every data file is assigned a base row
     * id at commit time (commitManifest — ALL write paths inherit it),
@@ -783,14 +799,9 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     require(m.props.contains(RowTrackingProp),
       s"row tracking is not enabled on $name — call enableRowTracking first")
-    val bases = spark.createDataFrame(
-      m.rowbase.toSeq.map(kv => (kv._1, kv._2)))
-      .toDF("__rb_relpath", "__rb_base")
-    scanLiveWithPos(name, m, m.dirs, withRid = true)
-      .join(broadcast(bases), col("__relpath") === col("__rb_relpath"), "left")
-      .withColumn("_row_id",
-        coalesce(col(RidCol), col("__rb_base") + col("__pos")))
-      .drop(RidCol, "__relpath", "__pos", "__rb_relpath", "__rb_base")
+    resolveRid(scanLiveWithPos(name, m, m.dirs, withRid = true), m)
+      .withColumnRenamed(RidCol, "_row_id")
+      .drop("__relpath", "__pos")
   }
 
   /** One consistent view of a table: version + schema + live dirs +
@@ -2096,7 +2107,15 @@ class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  def readChangesBetween(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+  /** With `withRowIds`, every change row also carries `_row_id` — the
+    * row's stable tracking id: recorded MoR change rows read the
+    * `__rid` their `_cdf` files materialize; synthesized
+    * appends/drops derive base + position from that version's
+    * manifest. NULL where the id is unknowable (commits that predate
+    * [[enableRowTracking]], or copy-on-write rewrites whose postimage
+    * ids are only assigned at commit). */
+  def readChangesBetween(name: String, fromVersion: Long, toVersion: Long,
+                         withRowIds: Boolean = false): DataFrame = {
     val curM = readManifest(name, toVersion)
     // physical identity bridges RENAMEs between v and toVersion: each
     // version's columns surface under their CURRENT logical names;
@@ -2107,35 +2126,50 @@ class TableStore(spark: SparkSession, root: String) {
     def toCurrent(mv: Manifest): Seq[Column] =
       mv.schema.flatMap(f => curByPhys.get(mv.phys(f.name)).map(cur =>
         col(mv.phys(f.name)).as(cur)))
+    val ridField = org.apache.spark.sql.types.StructField(RidCol,
+      org.apache.spark.sql.types.LongType)
     val parts: Seq[DataFrame] = changeSources(name, fromVersion, toVersion).map {
       case RecordedChanges(cdfDir, _, v, mv) =>
+        // `__rid` null-fills for files that don't materialize it
+        val fields = mv.physSchema.fields ++
+          (if (withRowIds) Seq(ridField) else Nil) :+
+          org.apache.spark.sql.types.StructField("__cdc",
+            org.apache.spark.sql.types.StringType)
+        val rid = if (withRowIds) Seq(col(RidCol).as("_row_id")) else Nil
         spark.read
-          .schema(org.apache.spark.sql.types.StructType(
-            mv.physSchema.fields :+
-              org.apache.spark.sql.types.StructField("__cdc",
-                org.apache.spark.sql.types.StringType)))
+          .schema(org.apache.spark.sql.types.StructType(fields))
           .parquet(cdfDir.toString)
-          .select(toCurrent(mv) :+ col("__cdc").as("_change_type"): _*)
+          .select(toCurrent(mv) ++ rid :+ col("__cdc").as("_change_type"): _*)
           .withColumn("_commit_version", lit(v))
       case SynthesizedChanges(m, dirs, kind, v) =>
-        scanLive(name, m, dirs)
-          .select(m.schema.flatMap(f => curByPhys.get(m.phys(f.name)).map(cur =>
-            col(f.name).as(cur))): _*)
+        val mapped = m.schema.flatMap(f => curByPhys.get(m.phys(f.name)).map(cur =>
+          col(f.name).as(cur)))
+        val base =
+          if (!withRowIds) scanLive(name, m, dirs).select(mapped: _*)
+          else resolveRid(scanLiveWithPos(name, m, dirs, withRid = true), m)
+            .select(mapped :+ col(RidCol).as("_row_id"): _*)
+        base
           .withColumn("_change_type", lit(kind))
           .withColumn("_commit_version", lit(v))
     }
     parts.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
-      .getOrElse(scanDirs(Seq.empty, name, curM.schema)
-        .withColumn("_change_type", lit(null).cast("string"))
-        .withColumn("_commit_version", lit(null).cast("long")))
+      .getOrElse {
+        val empty = scanDirs(Seq.empty, name, curM.schema)
+        (if (withRowIds) empty.withColumn("_row_id", lit(null).cast("long"))
+         else empty)
+          .withColumn("_change_type", lit(null).cast("string"))
+          .withColumn("_commit_version", lit(null).cast("long"))
+      }
   }
 
   /** Per-FILE change groups for the SQL `<table>.changes` scan: each
     * group is (absolute files, per-file DV positions, change kind,
-    * commit version) — enough for a file-based DSv2 scan to reproduce
-    * [[readChangesBetween]] exactly. */
+    * commit version, per-file row-id bases) — enough for a file-based
+    * DSv2 scan to reproduce [[readChangesBetween]] exactly. Rid bases
+    * come from the GROUP's version manifest (synthesized groups only;
+    * recorded `_cdf` files carry a materialized `__rid` instead). */
   private[graft] def changeFileGroups(name: String, fromVersion: Long, toVersion: Long)
-      : Seq[(Seq[String], Map[String, Array[Long]], String, Long)] = {
+      : Seq[(Seq[String], Map[String, Array[Long]], String, Long, Map[String, Long])] = {
     def filesUnder(p: Path): Seq[String] =
       if (!Files.isDirectory(p)) Seq.empty
       else Using.resource(Files.list(p))(_.iterator().asScala
@@ -2144,9 +2178,15 @@ class TableStore(spark: SparkSession, root: String) {
     changeSources(name, fromVersion, toVersion).flatMap {
       case RecordedChanges(cdfDir, kinds, v, _) =>
         kinds.map(k =>
-          (filesUnder(cdfDir.resolve(s"__cdc=$k")), Map.empty[String, Array[Long]], k, v))
+          (filesUnder(cdfDir.resolve(s"__cdc=$k")), Map.empty[String, Array[Long]], k, v,
+            Map.empty[String, Long]))
       case SynthesizedChanges(m, dirs, kind, v) =>
         val files = dirs.flatMap(d => filesUnder(dataRoot(name).resolve(d)))
+        val ridBase: Map[String, Long] =
+          if (m.rowbase.isEmpty) Map.empty
+          else m.rowbase.map { case (rel, b) =>
+            dataRoot(name).resolve(rel).toString -> b
+          }
         val dvd = dirs.filter(m.dvs.contains)
         val dv: Map[String, Array[Long]] =
           if (dvd.isEmpty) Map.empty
@@ -2159,7 +2199,7 @@ class TableStore(spark: SparkSession, root: String) {
               .map(r => s"$dataRootPath/${r.getString(0)}" -> r.getSeq[Long](1).toArray)
               .toMap
           }
-        Seq((files, dv, kind, v))
+        Seq((files, dv, kind, v, ridBase))
     }
   }
 

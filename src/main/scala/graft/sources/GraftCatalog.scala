@@ -878,10 +878,17 @@ class GraftHistoryTable(root: String, table: String)
 class GraftChangesTable(root: String, table: String)
     extends Table with SupportsRead {
   private def store = new TableStore(SparkSession.active, root)
-  private lazy val base = store.schemaOf(table)
+  private lazy val snap = store.snapshot(table)
+  private lazy val base = snap.schema
 
   override def name(): String = s"$table.changes"
-  override def schema(): StructType = StructType(base.fields :+
+  /** Row-tracked tables surface each change row's stable `_row_id`
+    * (nullable: commits that predate tracking, or copy-on-write
+    * rewrites, can't attribute one). */
+  override def schema(): StructType = StructType(base.fields ++
+    (if (snap.rowTracking)
+       Seq(StructField(GraftRowIdMeta.Name, LongType, nullable = true))
+     else Nil) :+
     StructField("_change_type", StringType, nullable = false) :+
     StructField("_commit_version", LongType, nullable = false))
   override def capabilities(): util.Set[TableCapability] =
@@ -911,9 +918,10 @@ class GraftChangesScan(root: String, table: String,
     val st = store
     val groups = st.changeFileGroups(table, startVersion.getOrElse(-1L),
       endVersion.getOrElse(st.currentVersion(table)))
-    groups.flatMap { case (files, dv, kind, v) =>
+    groups.flatMap { case (files, dv, kind, v, ridBase) =>
       files.map(f => GraftChangeInputPartition(f,
-        dv.getOrElse(f, Array.empty), kind, v): InputPartition)
+        dv.getOrElse(f, Array.empty), kind, v,
+        ridBase.getOrElse(f, Long.MinValue)): InputPartition)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -971,9 +979,10 @@ class GraftChangeFeedStream(root: String, table: String,
     val s = start.asInstanceOf[GraftStreamOffset].v
     val e = end.asInstanceOf[GraftStreamOffset].v
     if (e <= s) return Array.empty
-    store.changeFileGroups(table, s, e).flatMap { case (files, dv, kind, v) =>
+    store.changeFileGroups(table, s, e).flatMap { case (files, dv, kind, v, ridBase) =>
       files.map(f => GraftChangeInputPartition(f,
-        dv.getOrElse(f, Array.empty), kind, v): InputPartition)
+        dv.getOrElse(f, Array.empty), kind, v,
+        ridBase.getOrElse(f, Long.MinValue)): InputPartition)
     }.toArray
   }
 
@@ -982,7 +991,8 @@ class GraftChangeFeedStream(root: String, table: String,
 }
 
 case class GraftChangeInputPartition(file: String, dvPositions: Array[Long],
-                                     changeType: String, version: Long)
+                                     changeType: String, version: Long,
+                                     ridBase: Long = Long.MinValue)
     extends InputPartition
 
 class GraftChangesReaderFactory(base: StructType, required: StructType,
@@ -995,9 +1005,12 @@ class GraftChangesReaderFactory(base: StructType, required: StructType,
     // files (data AND _cdf) carry PHYSICAL names; physical identities
     // are stable across renames, so the CURRENT mapping reads files of
     // every version. The row assembler keeps logical names (positional).
+    // `_row_id` stays in innerRequired: the row reader synthesizes it
+    // (in-file `__rid` if materialized, else the group's base +
+    // position; Long.MinValue base -> null for unattributable commits)
     val raw = new GraftPartitionReader(p.file,
       ColPhys.schema(innerRequired, colmap), ColPhys.schema(base, colmap),
-      Array.empty)
+      Array.empty, rowIdBase = p.ridBase)
     val inner =
       if (p.dvPositions.isEmpty) raw else new GraftDvSkipReader(raw, p.dvPositions)
     new GraftChangeRowReader(inner, required, innerRequired,
@@ -1462,6 +1475,7 @@ class GraftPartitionReader(file: String, required: StructType,
           val ri = g.getType.getFieldIndex("__rid")
           g.getFieldRepetitionCount(ri) > 0
         }) g.getLong(g.getType.getFieldIndex("__rid"), 0)
+        else if (rowIdBase == Long.MinValue) null // unknowable (pre-tracking)
         else rowIdBase + rowIdx
       }
       else if (!present(fi)) null

@@ -220,6 +220,84 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(!Files.exists(root.resolve("t").resolve("_cdf").resolve(delV.toString)))
   }
 
+  test("change feed carries stable _row_id through MoR mutations (lib + SQL + stream)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("cdfrid").toString
+    spark.conf.set("spark.sql.catalog.gcrid", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcrid.root", root)
+    val ts = new TableStore(spark, root)
+    // KEYLESS table: the duplicate (1, "a") rows make key-based CDC
+    // ambiguous — only the row id distinguishes them
+    ts.create("t", Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v"))                                              // v0
+    ts.setChangeFeed("t", true)                                     // v1
+    ts.enableRowTracking("t")                                       // v2
+    val ids0 = ts.readWithRowIds("t")
+      .select("k", "v", "_row_id").as[(Long, String, Long)].collect()
+    assert(ids0.map(_._3).distinct.length === 4)
+    ts.updateVectorized("t", col("v") === "a", Map("v" -> lit("A"))) // v3
+    ts.deleteVectorized("t", col("k") === 2L)                        // v4
+    ts.append("t", Seq((4L, "d")).toDF("k", "v"))                    // v5
+    val ch = ts.readChangesBetween("t", 2, 5, withRowIds = true)
+      .select("k", "v", "_change_type", "_commit_version", "_row_id")
+      .as[(Long, String, String, Long, Option[Long])].collect()
+    // update pre/postimages pair up BY ID (both (1,"a") rows updated)
+    val pre = ch.filter(_._3 == "update_preimage")
+    val post = ch.filter(_._3 == "update_postimage")
+    assert(pre.length === 2 && post.length === 2)
+    assert(pre.map(_._5).toSet === post.map(_._5).toSet)
+    assert(pre.forall(_._5.isDefined))
+    assert(pre.map(_._5).toSet ===
+      ids0.filter(r => r._1 == 1L).map(r => Some(r._3)).toSet)
+    // the delete row carries the deleted row's id
+    val del = ch.filter(_._3 == "delete")
+    assert(del.map(r => (r._1, r._2, r._5)).toSet ===
+      Set((2L, "b", Some(ids0.find(_._1 == 2L).get._3))))
+    // the synthesized insert carries the newly assigned id
+    val ins = ch.filter(_._3 == "insert")
+    val finalIds = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(ins.map(r => (r._1, r._5)).toSet ===
+      Set((4L, Some(finalIds(4L)))))
+    // SQL surface agrees with the library
+    val sql = spark.read.option("startVersion", "2")
+      .table("gcrid.t.changes")
+      .select("k", "v", "_change_type", "_commit_version", "_row_id")
+      .as[(Long, String, String, Long, Option[Long])].collect()
+    assert(sql.toSet === ch.toSet)
+    // streaming surface agrees too (same change groups, rid attached)
+    val q = spark.readStream.option("startVersion", "2")
+      .table("gcrid.t.changes")
+      .writeStream.format("memory").queryName("cdfrid_mem")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("cdfrid_mem")
+      .select("k", "v", "_change_type", "_commit_version", "_row_id")
+      .as[(Long, String, String, Long, Option[Long])].collect()
+    assert(streamed.toSet === ch.toSet)
+    // replication by row id converges the keyless table: apply the
+    // feed to a replica keyed on _row_id
+    ts.createEmpty("replica", org.apache.spark.sql.types.StructType.fromDDL(
+      "rid BIGINT, k BIGINT, v STRING"))
+    // bootstrap: the state at startVersion, keyed by id
+    val seed = spark.createDataset(ids0.toSeq)
+      .toDF("k", "v", "rid").select("rid", "k", "v")
+    ts.mergeUpsert("replica", seed, Seq("rid"), changeTypeCol = None)
+    (3L to 5L).foreach { v =>
+      val b = ts.readChangesBetween("t", v - 1, v, withRowIds = true)
+      val ups = b.filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("_row_id").as("rid"), col("k"), col("v"))
+      if (!ups.isEmpty) ts.mergeUpsert("replica", ups, Seq("rid"),
+        changeTypeCol = None)
+      val dels = b.filter(col("_change_type") === "delete")
+        .select(col("_row_id").as("rid"))
+      if (!dels.isEmpty) ts.mergeDelete("replica", dels, Seq("rid"))
+    }
+    assert(ts.read("replica").select("k", "v").as[(Long, String)]
+      .collect().sorted.toSeq ===
+      ts.read("t").select("k", "v").as[(Long, String)].collect().sorted.toSeq)
+  }
+
   test("a commit that loses the version race never poisons the change feed") {
     val root = Files.createTempDirectory("cdfrace")
     val ts = new TableStore(spark, root.toString)
