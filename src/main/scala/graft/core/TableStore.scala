@@ -357,10 +357,31 @@ class TableStore(spark: SparkSession, root: String) {
             .map(_.getFileName.toString).filter(_.startsWith("__b="))
             .map(l => s"$batch/$l").toSeq.sorted)
       case None =>
-        d.select(physCols ++ extraPhys: _*)
+        sizedForWrite(d.select(physCols ++ extraPhys: _*))
           .write.mode("overwrite").parquet(target.toString)
         Seq(batch)
     }
+  }
+
+  /** Optimized write (the Delta `optimizeWrite` idea): when the
+    * batch's estimated size says few ~128 MB output files suffice, add
+    * an adaptive repartition so a small commit writes THAT many files
+    * instead of `shuffle.partitions` tiny ones (per-file open/close +
+    * manifest metadata dominates small commits). A repartition — not a
+    * coalesce — so the upstream compute keeps its full parallelism;
+    * the added shuffle only ever moves a few target-files' worth of
+    * rows. A 100 TB append estimates >= the cluster's parallelism and
+    * is left untouched; Catalyst's sizeInBytes only OVERestimates
+    * under joins, which degrades to the status quo. */
+  private def sizedForWrite(d: DataFrame): DataFrame = {
+    val targetBytes = 128L * 1024 * 1024
+    val est = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wanted =
+      if (!est.isValidLong || est <= 0L) Long.MaxValue
+      else math.max(1L, (est.toLong + targetBytes - 1) / targetBytes)
+    if (wanted < spark.sparkContext.defaultParallelism)
+      d.repartition(wanted.toInt)
+    else d
   }
 
   /** Test hook: runs immediately before each optimistic manifest-write
