@@ -288,13 +288,15 @@ class TableStore(spark: SparkSession, root: String) {
     * (de)serializers, never each call site. */
   private def commit(name: String, df: Option[DataFrame], meta: Manifest,
                      carryForward: Seq[String],
-                     propOverrides: Map[String, String] = Map.empty): Long = {
+                     propOverrides: Map[String, String] = Map.empty,
+                     extraPhys: Seq[Column] = Nil): Long = {
     import meta.{schema, bucketing}
     val priorStats = meta.stats
     val v = if (exists(name)) currentVersion(name) + 1 else 0L
     val newDirs = df match {
       case Some(d0) =>
-        carryForward ++ writeBatch(name, enforceChecks(d0, meta.allChecks), v, meta)
+        carryForward ++ writeBatch(name, enforceChecks(d0, meta.allChecks), v, meta,
+          extraPhys)
       case None => carryForward
     }
     // stats: keep carried dirs' entries, collect footers for new dirs
@@ -801,6 +803,15 @@ class TableStore(spark: SparkSession, root: String) {
       .drop("__rb_relpath", "__rb_base")
   }
 
+  /** Live scan of `dirs` with every row's RESOLVED stable id attached
+    * as `__rid` — the input of every id-preserving rewrite (compact /
+    * optimize / copy-on-write mutations): the rewrite materializes the
+    * resolved ids into the new files, so the rows keep their identity
+    * across the physical move. Returns logical columns + `__rid`. */
+  private def scanLiveRid(name: String, m: Manifest, dirs: Seq[String]): DataFrame =
+    resolveRid(scanLiveWithPos(name, m, dirs, withRid = true), m)
+      .drop("__relpath", "__pos")
+
   /** ROW TRACKING (the Delta row-id model, re-expressed on the
     * manifest): once enabled, every data file is assigned a base row
     * id at commit time (commitManifest — ALL write paths inherit it),
@@ -1014,11 +1025,19 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** OPTIMIZE-style compaction: rewrite the accumulated dirs as one
     * batch sized to `targetPartitions` files (bucketed tables re-split
-    * into their buckets). Old versions remain time-travel readable. */
+    * into their buckets). Old versions remain time-travel readable.
+    * Row-tracked tables materialize each row's resolved id into the
+    * compacted files, so compaction never changes a row's `_row_id`
+    * (the Delta OPTIMIZE row-tracking guarantee). */
   def compact(name: String, targetPartitions: Int = 0): Unit = {
-    val df = read(name)
+    val m = readManifest(name, currentVersion(name))
+    // direct commit, not overwrite(): the rows came FROM the table, so
+    // identity/generated-column re-derivation would be wrong (identity
+    // refuses supplied values) and conform is a no-op
+    val df = rewriteSource(name, m, m.dirs)
     val sized = if (targetPartitions > 0) df.coalesce(targetPartitions) else df
-    overwrite(name, sized)
+    commit(name, Some(sized), m.copy(stats = Map.empty), Seq.empty,
+      extraPhys = rewriteExtra(m)): Unit
     markNoLogicalChange(name)
   }
 
@@ -1035,9 +1054,19 @@ class TableStore(spark: SparkSession, root: String) {
     if (touched.size <= 1) return // nothing to fold
     // meta passes through unchanged: bucketed tables re-route the
     // folded rows into __b leaves, keeping their layout
-    commit(name, Some(scanLive(name, m, touched)), m, carried): Unit
+    commit(name, Some(rewriteSource(name, m, touched)), m, carried,
+      extraPhys = rewriteExtra(m)): Unit
     markNoLogicalChange(name)
   }
+
+  /** The id-preserving rewrite inputs: row-tracked tables scan with
+    * resolved `__rid` (materialized into the rewritten files via
+    * [[rewriteExtra]]); untracked tables scan plain. */
+  private def rewriteSource(name: String, m: Manifest, dirs: Seq[String]): DataFrame =
+    if (m.props.contains(RowTrackingProp)) scanLiveRid(name, m, dirs)
+    else scanLive(name, m, dirs)
+  private def rewriteExtra(m: Manifest): Seq[Column] =
+    if (m.props.contains(RowTrackingProp)) Seq(col(RidCol)) else Nil
 
   /** Small-file compaction: fold every live dir whose on-disk size sits
     * under `maxBytes` into one batch dir, carrying the big dirs — the
@@ -1054,7 +1083,8 @@ class TableStore(spark: SparkSession, root: String) {
     }
     val (small, big) = m.dirs.partition(d => dirBytes(d) < maxBytes)
     if (small.size <= 1) return 0
-    commit(name, Some(scanLive(name, m, small)), m, big): Unit
+    commit(name, Some(rewriteSource(name, m, small)), m, big,
+      extraPhys = rewriteExtra(m)): Unit
     markNoLogicalChange(name)
     small.size
   }
@@ -1080,7 +1110,7 @@ class TableStore(spark: SparkSession, root: String) {
     require(nDirs > 0, "nDirs must be positive")
     val m = readManifest(name, currentVersion(name))
     clusterRewrite(name, m,
-      scanLive(name, m, m.dirs)
+      rewriteSource(name, m, m.dirs)
         .repartitionByRange(nDirs, cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*))
   }
@@ -1115,7 +1145,7 @@ class TableStore(spark: SparkSession, root: String) {
           s"z-order unsupported for $c: $other")
       }
     }
-    val df = scanLive(name, m, m.dirs)
+    val df = rewriteSource(name, m, m.dirs)
     val nBuckets = 1 << bitsPerCol
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     // ONE sampling pass computes every column's quantile boundaries
@@ -1152,8 +1182,10 @@ class TableStore(spark: SparkSession, root: String) {
     val target = dir(name).resolve("data").resolve(batch)
     // __r = physical range id: constant per post-range-shuffle partition,
     // so each leaf dir holds one contiguous range of the clustering key
+    val keepRid = // id-preserving rewrite: materialize resolved ids
+      if (clustered.columns.contains(RidCol)) Seq(col(RidCol)) else Nil
     clustered
-      .select(m.schema.map(f => col(f.name).as(m.phys(f.name))) :+
+      .select(m.schema.map(f => col(f.name).as(m.phys(f.name))) ++ keepRid :+
         spark_partition_id().as("__r"): _*)
       .write.mode("overwrite").partitionBy("__r").parquet(target.toString)
     val leaves =
@@ -1483,6 +1515,16 @@ class TableStore(spark: SparkSession, root: String) {
         s"rows violate CHECK constraints ${m.allChecks.keys.mkString(",")} — commit refused")
     }
 
+  /** [[conform]] that also carries `extras` (e.g. the `__rid` stable-id
+    * column an id-preserving rewrite threads through). */
+  private def conformKeep(df: DataFrame, schema: StructType,
+                          extras: Seq[Column]): DataFrame = {
+    val byName = df.columns.toSet
+    require(schema.forall(f => byName.contains(f.name)),
+      s"missing columns: ${schema.map(_.name).filterNot(byName.contains).mkString(",")}")
+    df.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)) ++ extras: _*)
+  }
+
   private def conform(df: DataFrame, schema: StructType): DataFrame = {
     val byName = df.columns.toSet
     require(schema.forall(f => byName.contains(f.name)),
@@ -1508,8 +1550,8 @@ class TableStore(spark: SparkSession, root: String) {
         val srcBuckets = source.select(b.expr.as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet
         val (affected, carried) = m.dirs.partition(e => srcBuckets.contains(bucketOf(e)))
-        (scanLive(name, m, affected), carried, m.bucketing)
-      case other => (scanLive(name, m, m.dirs), Seq.empty, other)
+        (rewriteSource(name, m, affected), carried, m.bucketing)
+      case other => (rewriteSource(name, m, m.dirs), Seq.empty, other)
     }
 
   /** MERGE upsert (M1 composite-key / M2 single-key):
@@ -1544,18 +1586,26 @@ class TableStore(spark: SparkSession, root: String) {
           .otherwise(col(c)).as(c)
       else when(sMatched, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
+    // row tracking: matched/carried rows keep their resolved id (the
+    // target scan attached __rid); source-only inserts carry null and
+    // the reader mints base + position from the new file instead
+    val ridKeep = rewriteExtra(m)
     if (!m.cdf)
-      commit(name, Some(joined.select(out: _*)), m.copy(bucketing = b), carried): Unit
+      commit(name, Some(joined.select(out ++ ridKeep: _*)), m.copy(bucketing = b),
+        carried, extraPhys = ridKeep): Unit
     else {
       // change feed: every joined row explodes into its post-state plus
       // its change rows, written in the SAME pass (partitioned by kind)
       val old = schema.map(f => col(f.name).as(f.name))
       val arr = when(both,
-          array(kindStruct("current", out), kindStruct("update_preimage", old),
-            kindStruct("update_postimage", out)))
-        .when(sMatched, array(kindStruct("current", out), kindStruct("insert", out)))
-        .otherwise(array(kindStruct("current", old)))
-      commitCdc(name, m.copy(bucketing = b), explodeKinds(joined, arr, schema), carried)
+          array(kindStruct("current", out ++ ridKeep),
+            kindStruct("update_preimage", old ++ ridKeep),
+            kindStruct("update_postimage", out ++ ridKeep)))
+        .when(sMatched, array(kindStruct("current", out ++ ridKeep),
+          kindStruct("insert", out ++ ridKeep)))
+        .otherwise(array(kindStruct("current", old ++ ridKeep)))
+      commitCdc(name, m.copy(bucketing = b),
+        explodeKinds(joined, arr, schema, ridNames(m)), carried)
     }
   }
 
@@ -1565,15 +1615,18 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     val keyRows = keysDf.select(keys.map(col): _*).distinct()
     val (target, carried, b) = pruneByKeys(name, m, keyRows, keys)
+    val ridKeep = rewriteExtra(m)
     if (!m.cdf)
       commit(name, Some(target.join(keyRows, keys, "left_anti")),
-        m.copy(bucketing = b), carried): Unit
+        m.copy(bucketing = b), carried, extraPhys = ridKeep): Unit
     else {
       val joined = target.join(keyRows.withColumn("__kdel", lit(true)), keys, "left_outer")
       val old = m.schema.map(f => col(f.name).as(f.name))
-      val arr = when(col("__kdel").isNotNull, array(kindStruct("delete", old)))
-        .otherwise(array(kindStruct("current", old)))
-      commitCdc(name, m.copy(bucketing = b), explodeKinds(joined, arr, m.schema), carried)
+      val arr = when(col("__kdel").isNotNull,
+          array(kindStruct("delete", old ++ ridKeep)))
+        .otherwise(array(kindStruct("current", old ++ ridKeep)))
+      commitCdc(name, m.copy(bucketing = b),
+        explodeKinds(joined, arr, m.schema, ridNames(m)), carried)
     }
   }
 
@@ -1581,14 +1634,20 @@ class TableStore(spark: SparkSession, root: String) {
     * keys AND condition, apply the set-map; leave everything else. */
   def mergeUpdate(name: String, sourceKeys: DataFrame, keys: Seq[String],
                   condition: Column, set: Map[String, Column]): Unit = {
+    val m = readManifest(name, currentVersion(name))
     val marked = sourceKeys.select(keys.map(col): _*).distinct()
       .withColumn("__s_present", lit(true))
-    val joined = read(name).join(marked, keys, "left_outer")
+    // direct commit, not overwrite(): the rows came from the table
+    // (identity re-derivation would refuse them) and row-tracked
+    // tables keep their ids through the rewrite
+    val joined = rewriteSource(name, m, m.dirs).join(marked, keys, "left_outer")
     val hit = col("__s_present").isNotNull && condition
-    val out = schemaOf(name).map(_.name).map { c =>
+    val out = m.schema.map(_.name).map { c =>
       set.get(c).map(v => when(hit, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
     }
-    overwrite(name, joined.select(out: _*))
+    val ridKeep = rewriteExtra(m)
+    commit(name, Some(conformKeep(joined.select(out ++ ridKeep: _*), m.schema, ridKeep)),
+      m.copy(stats = Map.empty), Seq.empty, extraPhys = ridKeep): Unit
   }
 
   /** Best-effort translation of an UPDATE/DELETE condition into v1
@@ -1639,7 +1698,7 @@ class TableStore(spark: SparkSession, root: String) {
   private def pruneByCondition(name: String, m: Manifest, condition: Column)
       : (DataFrame, Seq[String]) = {
     val (touched, carried) = pruneDirsByCondition(name, m, condition)
-    (scanLive(name, m, touched), carried)
+    (rewriteSource(name, m, touched), carried)
   }
 
   /** UPDATE ... SET ... WHERE cond (M5 soft delete): manifest-stats
@@ -1651,16 +1710,19 @@ class TableStore(spark: SparkSession, root: String) {
     val out = m.schema.map(_.name).map { c =>
       set.get(c).map(v => when(condition, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
     }
+    val ridKeep = rewriteExtra(m)
     if (!m.cdf)
-      commit(name, Some(conform(target.select(out: _*), m.schema)), m, carried): Unit
+      commit(name, Some(conformKeep(target.select(out ++ ridKeep: _*), m.schema,
+        ridKeep)), m, carried, extraPhys = ridKeep): Unit
     else {
       val hit = coalesce(condition, lit(false))
       val old = m.schema.map(f => col(f.name).as(f.name))
       val arr = when(hit,
-          array(kindStruct("current", out), kindStruct("update_preimage", old),
-            kindStruct("update_postimage", out)))
-        .otherwise(array(kindStruct("current", old)))
-      commitCdc(name, m, explodeKinds(target, arr, m.schema), carried)
+          array(kindStruct("current", out ++ ridKeep),
+            kindStruct("update_preimage", old ++ ridKeep),
+            kindStruct("update_postimage", out ++ ridKeep)))
+        .otherwise(array(kindStruct("current", old ++ ridKeep)))
+      commitCdc(name, m, explodeKinds(target, arr, m.schema, ridNames(m)), carried)
     }
   }
 
@@ -1670,15 +1732,16 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     val (target, carried) = pruneByCondition(name, m, condition)
     if (carried.size == m.dirs.size) return
+    val ridKeep = rewriteExtra(m)
     if (!m.cdf)
       commit(name, Some(target.filter(!coalesce(condition, lit(false)))),
-        m, carried): Unit
+        m, carried, extraPhys = ridKeep): Unit
     else {
       val old = m.schema.map(f => col(f.name).as(f.name))
       val arr = when(coalesce(condition, lit(false)),
-          array(kindStruct("delete", old)))
-        .otherwise(array(kindStruct("current", old)))
-      commitCdc(name, m, explodeKinds(target, arr, m.schema), carried)
+          array(kindStruct("delete", old ++ ridKeep)))
+        .otherwise(array(kindStruct("current", old ++ ridKeep)))
+      commitCdc(name, m, explodeKinds(target, arr, m.schema, ridNames(m)), carried)
     }
   }
 
@@ -1984,10 +2047,16 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** Explode each row's array of (kind, row) structs back to columns —
     * the shape [[commitCdc]] writes partitioned by kind. */
-  private def explodeKinds(df: DataFrame, arr: Column, schema: StructType): DataFrame =
+  private def explodeKinds(df: DataFrame, arr: Column, schema: StructType,
+                           extras: Seq[String] = Nil): DataFrame =
     df.select(explode(arr).as("__e"))
       .select(col("__e.__cdc").as("__cdc") +:
-        schema.map(f => col(s"__e.${f.name}").as(f.name)): _*)
+        (schema.map(f => col(s"__e.${f.name}").as(f.name)) ++
+          extras.map(e => col(s"__e.$e").as(e))): _*)
+
+  /** Column names [[rewriteExtra]] threads through a rewrite. */
+  private def ridNames(m: Manifest): Seq[String] =
+    if (m.props.contains(RowTrackingProp)) Seq(RidCol) else Nil
 
   /** The change-data-feed twin of [[commit]]: ONE write job lands both
     * the post-mutation data (`__cdc=current` rows -> the new batch dir)
@@ -2009,7 +2078,8 @@ class TableStore(spark: SparkSession, root: String) {
     }
     // data AND _cdf files carry physical names (__cdc/__b are partition
     // cols, never stored); checks run on LOGICAL names first
-    val physCols = meta.schema.map(f => col(f.name).as(meta.phys(f.name)))
+    val physCols = meta.schema.map(f => col(f.name).as(meta.phys(f.name))) ++
+      (if (exploded.columns.contains(RidCol)) Seq(col(RidCol)) else Nil)
     enforceChecks2(toWrite, meta.allChecks)
       .select(col("__cdc") +: physCols ++: parts.drop(1).map(col): _*)
       .write.mode("overwrite").partitionBy(parts: _*).parquet(staging.toString)

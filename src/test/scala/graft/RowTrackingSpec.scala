@@ -105,6 +105,70 @@ class RowTrackingSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT _row_id FROM grt.u").collect())
   }
 
+  test("ids survive every rewrite: compact, optimize, CoW update/delete/merge") {
+    val ts = fresh()
+    ts.create("t", (1L to 300L).map(i => (i, i * 10)).toDF("k", "x"))
+    ts.enableRowTracking("t")
+    def ids(): Map[Long, Long] = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    val before = ids()
+    // physical reorganizations change NOTHING logically
+    ts.compact("t", targetPartitions = 2)
+    assert(ids() === before, "compact moved row ids")
+    ts.optimizeByRange("t", Seq("k"), nDirs = 4)
+    assert(ids() === before, "optimizeByRange moved row ids")
+    // copy-on-write UPDATE: rewritten rows keep their ids
+    ts.update("t", col("k") % 7 === 0, Map("x" -> (col("x") + 1L)))
+    assert(ids() === before, "CoW update moved row ids")
+    // copy-on-write DELETE: survivors keep ids, no id reuse
+    ts.delete("t", col("k") % 10 === 0)
+    val afterDel = ids()
+    assert(afterDel.size === 270)
+    afterDel.foreach { case (k, id) => assert(before(k) === id) }
+    // CoW MERGE: matched rows keep ids; inserted rows mint FRESH ids
+    ts.mergeUpsert("t", Seq((3L, 999L), (1001L, 1L)).toDF("k", "x"),
+      Seq("k"), changeTypeCol = None)
+    val afterMerge = ids()
+    assert(afterMerge(3L) === before(3L), "merge-matched row lost its id")
+    assert(afterMerge.size === 271)
+    assert(afterMerge.values.toSeq.distinct.size === 271, "duplicate ids after merge")
+    assert(!before.values.toSet.contains(afterMerge(1001L)), "merge reused an id")
+    // mergeUpdate (SCD2 close shape) keeps ids too
+    ts.mergeUpdate("t", Seq(Tuple1(5L)).toDF("k"), Seq("k"),
+      condition = lit(true), set = Map("x" -> lit(0L)))
+    assert(ids()(5L) === before(5L), "mergeUpdate moved row ids")
+    // compact after the mutations still preserves (mixed materialized +
+    // derived ids resolve before the rewrite)
+    ts.compact("t")
+    assert(ids() === afterMerge ++ Map(5L -> before(5L)), "post-mutation compact moved ids")
+  }
+
+  test("CoW change rows carry ids when CDF is on (keyed replication keeps working)") {
+    val ts = fresh()
+    ts.create("t", (1L to 50L).map(i => (i, i * 2)).toDF("k", "x"))
+    ts.enableRowTracking("t")
+    ts.setChangeFeed("t", true)
+    val before = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    val v0 = ts.currentVersion("t")
+    ts.update("t", col("k") <= 5, Map("x" -> lit(0L)))          // CoW update
+    ts.delete("t", col("k") === 9L)                             // CoW delete
+    ts.mergeUpsert("t", Seq((10L, 0L), (60L, 1L)).toDF("k", "x"),
+      Seq("k"), changeTypeCol = None)                           // CoW merge
+    val ch = ts.readChangesBetween("t", v0, ts.currentVersion("t"),
+        withRowIds = true)
+      .select("k", "_change_type", "_row_id")
+      .as[(Long, String, Option[Long])].collect()
+    // preimages/postimages/deletes carry the row's stable id
+    ch.filter(r => r._2 != "insert").foreach { case (k, kind, rid) =>
+      assert(rid === Some(before(k)), s"$kind row for k=$k lost its id")
+    }
+    // CoW-merge inserts can't know their commit-assigned id -> null
+    val ins = ch.filter(_._2 == "insert")
+    assert(ins.map(_._1).toSet === Set(60L))
+    assert(ins.forall(_._3.isEmpty))
+  }
+
   test("readWithRowIds refuses when tracking is off") {
     val ts = fresh()
     ts.create("t", Seq((1L, "a")).toDF("k", "v"))
