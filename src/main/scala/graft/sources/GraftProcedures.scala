@@ -30,7 +30,7 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("vacuum", "compact", "restore",
     "optimize_range", "optimize_zorder", "set_bloom_columns", "history",
     "set_change_feed", "delete_vectorized", "update_vectorized", "clone",
-    "compact_where", "compact_small")
+    "compact_where", "compact_small", "enable_row_tracking")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -133,6 +133,11 @@ object GraftProcedures {
         }
         Collections.singletonList[Scan](
           new GraftMetadataScan(schema, rows, s"history of $t")).iterator()
+      }
+      case "enable_row_tracking" => bound(Seq(param("table", StringType))) { in =>
+        val t = in.getUTF8String(0).toString
+        store.enableRowTracking(t)
+        result(t, store.currentVersion(t))
       }
       case "set_change_feed" => bound(Seq(param("table", StringType),
           param("enabled", BooleanType))) { in =>

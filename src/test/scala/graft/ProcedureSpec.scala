@@ -63,5 +63,19 @@ class ProcedureSpec extends AnyFunSuite {
     val ch = ts.readChangesBetween("t", v0, ts.currentVersion("t"))
       .select("id", "_change_type").as[(Long, String)].collect().toSet
     assert(ch === Set((7L, "delete")))
+
+    // row tracking from SQL: enable, then _row_id appears on the scan
+    // and on the change feed
+    spark.sql("CALL gproc.system.enable_row_tracking('t')")
+    val ids = spark.sql("SELECT id, _row_id FROM gproc.t")
+      .as[(Long, Long)].collect().toMap
+    assert(ids.size === 899 && ids.values.toSeq.distinct.size === 899)
+    val v1 = ts.currentVersion("t")
+    ts.deleteVectorized("t", col("id") === 11L)
+    val chId = ts.readChangesBetween("t", v1, ts.currentVersion("t"),
+        withRowIds = true)
+      .select("id", "_change_type", "_row_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(chId === Set((11L, "delete", Some(ids(11L)))))
   }
 }
