@@ -301,12 +301,15 @@ class TableStore(spark: SparkSession, root: String) {
     }
     // stats: keep carried dirs' entries, collect footers for new dirs
     // (footers speak physical names; manifest stats speak logical)
-    val stats = newDirs.flatMap { d =>
-      priorStats.get(d).orElse(
-          DirStats.collect(dir(name).resolve("data").resolve(d), meta.physSchema)
-            .map(meta.statsToLogical))
-        .map(d -> _)
-    }.toMap
+    // footer I/O per dir is independent — collect in parallel (a
+    // 32-bucket commit is otherwise 32 serial dir listings + opens)
+    val stats = { import scala.collection.parallel.CollectionConverters._
+      newDirs.par.flatMap { d =>
+        priorStats.get(d).orElse(
+            DirStats.collect(dir(name).resolve("data").resolve(d), meta.physSchema)
+              .map(meta.statsToLogical))
+          .map(d -> _)
+      }.toMap.seq }
     // APPEND-shaped commits (every base dir carried, only additions) take
     // the optimistic-concurrency path: a manifest collision rebases the
     // added dirs onto the winner's manifest instead of failing
@@ -509,10 +512,11 @@ class TableStore(spark: SparkSession, root: String) {
       // O(files just written) per commit, like stats collection
       val missingDirs = liveFiles.filterNot(m2.rowbase.contains)
         .map(_.split('/').dropRight(1).mkString("/")).toSeq.distinct
-      val counts: Map[String, Long] = missingDirs.flatMap { d =>
-        DirStats.fileRowCounts(dataRoot(name).resolve(d))
-          .map { case (f, n) => s"$d/$f" -> n }
-      }.toMap
+      val counts: Map[String, Long] = { import scala.collection.parallel.CollectionConverters._
+        missingDirs.par.flatMap { d =>
+          DirStats.fileRowCounts(dataRoot(name).resolve(d))
+            .map { case (f, n) => s"$d/$f" -> n }
+        }.toMap.seq }
       var next = m2.props(RowTrackingProp).toLong
       val added = liveFiles.filterNot(m2.rowbase.contains).toSeq.sorted.map { rel =>
         val base = next
@@ -755,9 +759,10 @@ class TableStore(spark: SparkSession, root: String) {
       val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
       d -> DvRef(dvName, prior + perDir(d))
     }.toMap
-    val stats = m.stats ++ newDirs.flatMap(d =>
-      DirStats.collect(dataRoot(name).resolve(d), m.physSchema)
-        .map(m.statsToLogical).map(d -> _))
+    val stats = { import scala.collection.parallel.CollectionConverters._
+      m.stats ++ newDirs.par.flatMap(d =>
+        DirStats.collect(dataRoot(name).resolve(d), m.physSchema)
+          .map(m.statsToLogical).map(d -> _)).seq }
     commitWithCdf(name, v,
       m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ updatedDvs),
       stagedCdf)
@@ -1194,9 +1199,10 @@ class TableStore(spark: SparkSession, root: String) {
         _.iterator().asScala
           .map(_.getFileName.toString).filter(_.startsWith("__r="))
           .map(l => s"$batch/$l").toSeq.sorted)
-    val stats = leaves.flatMap(l =>
-      DirStats.collect(dir(name).resolve("data").resolve(l), m.physSchema)
-        .map(m.statsToLogical).map(l -> _)).toMap
+    val stats = { import scala.collection.parallel.CollectionConverters._
+      leaves.par.flatMap(l =>
+        DirStats.collect(dir(name).resolve("data").resolve(l), m.physSchema)
+          .map(m.statsToLogical).map(l -> _)).toMap.seq }
     commitManifest(name, v,
       m.copy(dirs = leaves, bucketing = None, stats = stats))
     markNoLogicalChange(name)
@@ -2105,10 +2111,11 @@ class TableStore(spark: SparkSession, root: String) {
       .filter(_.getFileName.toString.startsWith("__cdc="))
       .foreach(p => Files.move(p, cdfDir.resolve(p.getFileName)))
     FsUtil.deleteRecursively(staging.toFile)
-    val stats = meta.stats.view.filterKeys(carried.contains).toMap ++
-      newDirs.flatMap(d =>
-        DirStats.collect(dataRoot(name).resolve(d), meta.physSchema)
-          .map(meta.statsToLogical).map(d -> _))
+    val stats = { import scala.collection.parallel.CollectionConverters._
+      meta.stats.view.filterKeys(carried.contains).toMap ++
+        newDirs.par.flatMap(d =>
+          DirStats.collect(dataRoot(name).resolve(d), meta.physSchema)
+            .map(meta.statsToLogical).map(d -> _)).seq }
     commitWithCdf(name, v, meta.copy(dirs = carried ++ newDirs, stats = stats),
       Some(cdfDir))
   }
