@@ -169,6 +169,28 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(ins.forall(_._3.isEmpty))
   }
 
+  test("ids stay unique when an append loses the commit race and rebases") {
+    val ts = fresh()
+    ts.create("t", (1L to 20L).map(i => (i, i)).toDF("k", "x"))
+    ts.enableRowTracking("t")
+    val root = ts.dataRoot("t").getParent.getParent.toString
+    val rival = new TableStore(spark, root)
+    // a rival append lands between our manifest read and commit attempt:
+    // the rebase must re-assign OUR files' bases from the WINNER's
+    // advanced watermark, never from the manifest we started from
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true
+        rival.append("t", (21L to 40L).map(i => (i, i)).toDF("k", "x")) }
+    try ts.append("t", (41L to 60L).map(i => (i, i)).toDF("k", "x"))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    val ids = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect()
+    assert(ids.length === 60)
+    assert(ids.map(_._2).distinct.length === 60, "rebase duplicated row ids")
+  }
+
   test("readWithRowIds refuses when tracking is off") {
     val ts = fresh()
     ts.create("t", Seq((1L, "a")).toDF("k", "v"))
