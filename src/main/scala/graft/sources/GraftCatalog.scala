@@ -106,6 +106,11 @@ class GraftCatalog extends TableCatalog
     if (t == "history" && ident.namespace().length == 1 &&
         store.exists(ident.namespace()(0)))
       return new GraftHistoryTable(root, ident.namespace()(0))
+    // row-id projection table: the table plus its stable `_row_id` as a
+    // REAL column — the STREAMING surface for row tracking
+    if (t == "rowids" && ident.namespace().length == 1 &&
+        store.exists(ident.namespace()(0)))
+      return new GraftRowIdsTable(root, ident.namespace()(0))
     if (!store.exists(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
@@ -306,7 +311,9 @@ object GraftRowIdMeta extends MetadataColumn {
   val Name = "_row_id"
   override def name(): String = Name
   override def dataType(): org.apache.spark.sql.types.DataType = LongType
-  override def isNullable(): Boolean = false
+  // nullable: a reader that cannot attribute a base (file unknown to
+  // the planning manifest) surfaces NULL, never a silently wrong id
+  override def isNullable(): Boolean = true
 }
 
 /** The `_file` metadata column: which live parquet file produced a
@@ -875,6 +882,45 @@ class GraftHistoryTable(root: String, table: String)
   * readChangesBetween); a STREAM without it starts at the CURRENT
   * version — only new changes flow, the Delta readChangeFeed default.
   * Streaming honors `maxVersionsPerTrigger` + Trigger.AvailableNow. */
+/** `graft.<t>.rowids`: the table with its stable row id attached as a
+  * REAL schema column — the STREAMING surface for row tracking.
+  * DSv2 streaming scans are built before column resolution, so a
+  * METADATA column can never reach a streaming reader factory (the
+  * batch surface uses `SELECT _row_id FROM graft.<t>`); here the id is
+  * part of the schema, so both batch and `readStream.table` carry it.
+  * Per-micro-batch files resolve their base from that batch's
+  * end-snapshot manifest ([[GraftMicroBatchStream]]); ids are exactly
+  * the ones the metadata column and `readWithRowIds` report. */
+class GraftRowIdsTable(root: String, tableName: String)
+    extends Table with SupportsRead {
+  private def store: TableStore = new TableStore(SparkSession.active, root)
+  private lazy val snap = store.snapshot(tableName)
+
+  override def name(): String = s"$tableName.rowids"
+  override def schema(): StructType = {
+    require(snap.rowTracking,
+      s"row tracking is not enabled on $tableName — CALL graft.system.enable_row_tracking first")
+    StructType(snap.schema.fields :+
+      StructField(GraftRowIdMeta.Name, LongType, nullable = true))
+  }
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(schema(), snap.filesByDir(store, tableName),
+      snap.stats, streamSource = Some((root, tableName)),
+      bucketing = snap.bucketing.map(b => (b.keys, b.n)),
+      bloomPrune =
+        if (snap.bloomCols.isEmpty) None
+        else Some((snap.bloomCols, store.bloomRoot(tableName))),
+      dvByFile = store.dvPositionsByFile(tableName, snap.version),
+      dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
+      streamMaxVersions =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      colmap = snap.colmap,
+      rowBase = store.rowBaseByFile(tableName, snap.version))
+}
+
 class GraftChangesTable(root: String, table: String)
     extends Table with SupportsRead {
   private def store = new TableStore(SparkSession.active, root)
@@ -1107,8 +1153,13 @@ class GraftMicroBatchStream(root: String, table: String,
         s"streaming source $table: version range ($s, $e] removed data dirs " +
           s"(${removed.take(3).mkString(", ")}…) — the stream requires append-only commits")
     val newDirs = endSnap.dirs.filterNot(startDirs.contains)
+    // `_row_id` on a stream: per-batch files carry their own manifest
+    // base (the factory-time map can't know files of future batches)
+    val ridBase: Map[String, Long] =
+      if (endSnap.rowTracking) st.rowBaseByFile(table, e) else Map.empty
     endSnap.copy(dirs = newDirs).files(st, table)
-      .map(f => GraftInputPartition(f): InputPartition).toArray
+      .map(f => GraftInputPartition(f,
+        ridBase = ridBase.getOrElse(f, Long.MinValue)): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1117,7 +1168,8 @@ class GraftMicroBatchStream(root: String, table: String,
 }
 
 case class GraftInputPartition(file: String,
-                               dvPositions: Array[Long] = Array.empty)
+                               dvPositions: Array[Long] = Array.empty,
+                               ridBase: Long = Long.MinValue)
     extends InputPartition
 
 /** One hash bucket's files as a single input partition, keyed for
@@ -1223,13 +1275,17 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     * same sequential guarantee as `_pos` (id = base + file position). */
   private val noSkip = required.fieldNames.contains(GraftPosMeta.Name) ||
     required.fieldNames.contains(GraftRowIdMeta.Name)
-  private def rowReader(f: String, dv: Array[Long]): PartitionReader[InternalRow] =
+  private def rowReader(f: String, dv: Array[Long],
+                        base: Long = Long.MinValue): PartitionReader[InternalRow] = {
+    // a file with no known base reads `_row_id` as NULL (Long.MinValue
+    // sentinel), never as a silently wrong 0-based id
+    val b = if (base != Long.MinValue) base else rowBase.getOrElse(f, Long.MinValue)
     if (dv.isEmpty) new GraftPartitionReader(f, required, fullSchema,
-      if (noSkip) Array.empty else pushed,
-      rowIdBase = rowBase.getOrElse(f, 0L))
+      if (noSkip) Array.empty else pushed, rowIdBase = b)
     else new GraftDvSkipReader(
       new GraftPartitionReader(f, required, fullSchema, Array.empty,
-        rowIdBase = rowBase.getOrElse(f, 0L)), dv)
+        rowIdBase = b), dv)
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case GraftBucketInputPartition(_, fs, dvs) =>
@@ -1237,7 +1293,9 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
           () => rowReader(f, dvs.getOrElse(f, Array.empty))))
       case p =>
         val gp = p.asInstanceOf[GraftInputPartition]
-        rowReader(gp.file, gp.dvPositions)
+        if (gp.ridBase != Long.MinValue)
+          rowReader(gp.file, gp.dvPositions, gp.ridBase)
+        else rowReader(gp.file, gp.dvPositions)
     }
 
   /** Batch reads decode through Spark's vectorized parquet reader

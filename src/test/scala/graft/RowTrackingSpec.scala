@@ -103,6 +103,27 @@ class RowTrackingSpec extends AnyFunSuite {
     // a table without tracking doesn't offer the column
     ts.create("u", Seq((1L, "a")).toDF("k", "v"))
     intercept[Exception](spark.sql("SELECT _row_id FROM grt.u").collect())
+    // STREAMING surface: `<t>.rowids` carries the id as a REAL column
+    // (DSv2 streaming scans never see metadata-column requests); each
+    // micro-batch's files get their base from that batch's end snapshot
+    ts.append("t", (101L to 120L).map(i => (i, i)).toDF("k", "x"))
+    val q = spark.readStream.table("grt.t.rowids")
+      .select("k", "_row_id")
+      .writeStream.format("memory").queryName("rowtrack_stream_mem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("rowtrack_stream_mem")
+      .as[(Long, Long)].collect().toMap
+    val batchNow = spark.sql("SELECT k, _row_id FROM grt.t")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed.size === 120)
+    assert(streamed === batchNow, "streaming _row_id diverged from batch read")
+    // the batch SQL surface of .rowids agrees with the metadata column
+    val viaSuffix = spark.sql("SELECT k, _row_id FROM grt.t.rowids")
+      .as[(Long, Long)].collect().toMap
+    assert(viaSuffix === batchNow)
+    // .rowids refuses when tracking is off
+    intercept[Exception](spark.sql("SELECT * FROM grt.u.rowids").collect())
   }
 
   test("ids survive every rewrite: compact, optimize, CoW update/delete/merge") {
