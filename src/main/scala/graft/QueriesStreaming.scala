@@ -326,6 +326,51 @@ object QueriesStreaming {
       Some("""WITH s AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
              |           FROM orders WHERE o_orderkey % 4 <= 1)
              |SELECT o_orderkey, o_custkey, o_totalprice FROM s
-             |WHERE o_custkey % 10 <> 3""".stripMargin))
+             |WHERE o_custkey % 10 <> 3""".stripMargin)),
+
+    // ---- st11: STREAMING ROW IDS — `graft.<t>.rowids` streams the
+    //      table with its stable `_row_id` as a real column (DSv2
+    //      streaming scans can't see metadata-column requests). Two
+    //      loads land before the stream drains; each micro-batch file
+    //      resolves its base from that batch's end-snapshot, so
+    //      "which load produced this row" is a range test on the id —
+    //      the oracle re-derives the per-origin aggregate relationally,
+    //      which only matches if the streamed ids are the real ones. ----
+    "st11_rowids_stream" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st11_rowids"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        st.createEmpty("t", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_totalprice DOUBLE"))
+        st.enableRowTracking("t")
+        val initial = o.filter(col("o_orderkey") % 2 === 0)
+        st.append("t", initial)
+        val n0 = initial.count()
+        st.append("t", o.filter(col("o_orderkey") % 2 === 1))
+        s.conf.set("spark.sql.catalog.graft_st11", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st11.root", root)
+        val q = s.readStream
+          .option("maxVersionsPerTrigger", "1") // one load per micro-batch
+          .table("graft_st11.t.rowids")
+          .writeStream.format("memory").queryName("st11_mem")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st11_mem")
+          .withColumn("origin",
+            when(col("_row_id") < n0, "even_load").otherwise("odd_load"))
+          .groupBy("origin")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("""SELECT 'even_load' AS origin, COUNT(*) AS n,
+             |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT 'odd_load', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin))
   )
 }
