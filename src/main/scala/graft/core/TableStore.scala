@@ -832,8 +832,15 @@ class TableStore(spark: SparkSession, root: String) {
   /** Read the table with its stable `_row_id` column attached.
     * The per-file base lookup is a broadcast of O(live files) manifest
     * metadata; everything else is the ordinary pruned live scan. */
-  def readWithRowIds(name: String): DataFrame = {
-    val m = readManifest(name, currentVersion(name))
+  def readWithRowIds(name: String): DataFrame =
+    readWithRowIds(name, currentVersion(name))
+
+  /** Time-travel twin: ids AT `version` — rows read the bases that
+    * version's manifest assigned (ids never change once assigned, so a
+    * row live in both versions reports the same id). The SQL surface is
+    * `SELECT _row_id FROM t VERSION AS OF v`. */
+  def readWithRowIds(name: String, version: Long): DataFrame = {
+    val m = readManifest(name, version)
     require(m.props.contains(RowTrackingProp),
       s"row tracking is not enabled on $name — call enableRowTracking first")
     resolveRid(scanLiveWithPos(name, m, m.dirs, withRid = true), m)

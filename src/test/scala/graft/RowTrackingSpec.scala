@@ -33,6 +33,10 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(second.size === 150)
     assert(second.values.toSeq.distinct.size === 150)
     first.foreach { case (k, id) => assert(second(k) === id, s"id moved for k=$k") }
+    // time travel reads the ids that version knew — same ids, fewer rows
+    val atV1 = ts.readWithRowIds("t", ts.currentVersion("t") - 1)
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(atV1 === first)
   }
 
   test("DV delete and merge-on-read update preserve surviving row ids") {
