@@ -625,8 +625,14 @@ object QueriesMutation {
         st.append("src", li.filter(col("l_orderkey") % 4 === 2))     // v6
         st.createEmpty("replica", org.apache.spark.sql.types.StructType.fromDDL(
           "rid BIGINT, l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE"))
-        (1L to st.currentVersion("src")).foreach { v =>
-          val b = st.readChangesBetween("src", v - 1, v, withRowIds = true)
+        // ONE feed read (st10's pattern): cache the whole backlog, apply
+        // commits in version order — each increment is O(its changes)
+        val feed = st.readChangesBetween("src", 0, st.currentVersion("src"),
+          withRowIds = true).cache()
+        val versions = feed.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { v =>
+          val b = feed.filter(col("_commit_version") === v)
           val ups = b.filter(col("_change_type").isin("insert", "update_postimage"))
             .select(col("_row_id").as("rid"), col("l_orderkey"),
               col("l_suppkey"), col("l_quantity"))
@@ -636,6 +642,7 @@ object QueriesMutation {
             .select(col("_row_id").as("rid"))
           if (!dels.isEmpty) st.mergeDelete("replica", dels, Seq("rid"))
         }
+        feed.unpersist()
         st.read("replica").select("l_orderkey", "l_suppkey", "l_quantity")
       },
       Some("""WITH init AS (
