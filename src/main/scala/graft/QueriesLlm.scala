@@ -147,6 +147,62 @@ object QueriesLlm {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
+  /** d5's transitive near-dup clustering as a reusable op: (doc_id,
+    * canonical_id) for every doc in some near-dup pair. Min-label
+    * propagation; one shuffle join per iteration, lineage truncated
+    * every 5 generations. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+        val pairs = ngramJaccardPairs(s, dir)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val edges = pairs.unionByName(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+        // gen = THE cached generation (what unpersist targets); comp =
+        // its (doc_id, canonical_id) view, possibly a projection of gen
+        var gen = edges.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("canonical_id", col("doc_id")).cache()
+        var comp = gen
+        var iterations = 0
+        var converged = false
+        while (!converged && iterations < 20) {
+          val nbrMin = edges
+            .join(comp.select(col("doc_id").as("doc_b"), col("canonical_id").as("nbr_label")),
+              Seq("doc_b"))
+            .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
+          // carry the previous label alongside the new one, so the
+          // convergence check is a filter over THIS generation's cache —
+          // no extra join against the old comp
+          val next0 = comp.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
+                .as("canonical_id"),
+              col("canonical_id").as("__prev"))
+          // truncate lineage periodically: each generation's plan nests
+          // the previous one, so a deep near-dup graph would otherwise
+          // grow the plan tree (and optimizer time) without bound
+          val next = (if (iterations % 5 == 4) next0.localCheckpoint()
+                      else next0).cache()
+          converged = next.filter(col("canonical_id") =!= col("__prev")).isEmpty
+          gen.unpersist() // superseded generation
+          gen = next
+          comp = next.select(col("doc_id"), col("canonical_id"))
+          iterations += 1
+        }
+        edges.unpersist()
+        pairs.unpersist()
+        comp
+  }
+
+  private val ClusterLabelsSql: String =
+    s"""${ShingleSetsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |pairs AS (SELECT da, db FROM inter
+              |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+              |          WHERE i / (sa.n + sb.n - i) >= 0.5),
+              |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+              |reach(a, b) AS (SELECT a, b FROM edges
+              |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+              |                WHERE e.b <> r.a)
+              |SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a""".stripMargin
+
   val defs: Map[String, QDef] = Map(
 
     // ---- d1: exact dedup — hash groupBy on content, keep lowest id ----
@@ -214,45 +270,40 @@ object QueriesLlm {
     //  join; iterations = graph diameter, which is tiny for near-dup
     //  graphs. Oracle: DuckDB recursive-CTE transitive closure.)
     "d5_dedup_clusters" -> QDef(
+      (s, dir) => clusterLabels(s, dir),
+      Some(ClusterLabelsSql)),
+
+    // ---- d7: cluster dedup with a KEEP-BEST policy — the step a
+    //      training-data pipeline actually wants: within each near-dup
+    //      cluster keep the HIGHEST-QUALITY doc (t2's scorer; ties ->
+    //      lowest doc_id), not an arbitrary canonical; singletons pass
+    //      through. One window pass per cluster after label
+    //      propagation; the anti-join finding singletons shuffles only
+    //      doc ids. Oracle: recursive-CTE closure + the same argmax. ----
+    "d7_dedup_keep_best" -> QDef(
       (s, dir) => {
-        val pairs = ngramJaccardPairs(s, dir)
-          .select(col("doc_a"), col("doc_b")).cache()
-        val edges = pairs.unionByName(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
-        // gen = THE cached generation (what unpersist targets); comp =
-        // its (doc_id, canonical_id) view, possibly a projection of gen
-        var gen = edges.select(col("doc_a").as("doc_id")).distinct()
-          .withColumn("canonical_id", col("doc_id")).cache()
-        var comp = gen
-        var iterations = 0
-        var converged = false
-        while (!converged && iterations < 20) {
-          val nbrMin = edges
-            .join(comp.select(col("doc_id").as("doc_b"), col("canonical_id").as("nbr_label")),
-              Seq("doc_b"))
-            .groupBy(col("doc_a").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
-          // carry the previous label alongside the new one, so the
-          // convergence check is a filter over THIS generation's cache —
-          // no extra join against the old comp
-          val next0 = comp.join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("canonical_id"), coalesce(col("nbr_min"), col("canonical_id")))
-                .as("canonical_id"),
-              col("canonical_id").as("__prev"))
-          // truncate lineage periodically: each generation's plan nests
-          // the previous one, so a deep near-dup graph would otherwise
-          // grow the plan tree (and optimizer time) without bound
-          val next = (if (iterations % 5 == 4) next0.localCheckpoint()
-                      else next0).cache()
-          converged = next.filter(col("canonical_id") =!= col("__prev")).isEmpty
-          gen.unpersist() // superseded generation
-          gen = next
-          comp = next.select(col("doc_id"), col("canonical_id"))
-          iterations += 1
-        }
-        edges.unpersist()
-        pairs.unpersist()
-        comp
+        val comp = clusterLabels(s, dir).cache()
+        val docs = Tables.documents(s, dir)
+        val q = docs
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_words", expr("CAST(size(w) AS INT)"))
+          .withColumn("n_stop",
+            expr("CAST(size(filter(w, x -> x = 'the' OR x = 'a')) AS INT)"))
+          .withColumn("quality",
+            lit(0.5) * least(col("n_words") / 100.0, lit(1.0)) +
+              lit(0.5) * (lit(1.0) - col("n_stop") / col("n_words")))
+          .select(col("doc_id"), col("quality"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        val best = comp.join(q, Seq("doc_id"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), lit("cluster_best").as("kept_as"))
+        val singles = docs.select(col("doc_id"))
+          .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("singleton").as("kept_as"))
+        singles.unionByName(best)
       },
       Some(s"""${ShingleSetsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
               |pairs AS (SELECT da, db FROM inter
@@ -261,8 +312,24 @@ object QueriesLlm {
               |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
               |reach(a, b) AS (SELECT a, b FROM edges
               |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-              |                WHERE e.b <> r.a)
-              |SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a""".stripMargin)),
+              |                WHERE e.b <> r.a),
+              |comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+              |         FROM reach GROUP BY a),
+              |q AS (SELECT doc_id,
+              |        0.5 * least(CAST(len(string_split(text, ' ')) AS INT) / 100.0, 1.0)
+              |        + 0.5 * (1.0 -
+              |            CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS INT)
+              |            / CAST(len(string_split(text, ' ')) AS INT)) AS quality
+              |      FROM documents),
+              |best AS (SELECT doc_id FROM (
+              |    SELECT c.doc_id,
+              |      row_number() OVER (PARTITION BY c.canonical_id
+              |                         ORDER BY q.quality DESC, c.doc_id) AS rn
+              |    FROM comp c JOIN q ON c.doc_id = q.doc_id) WHERE rn = 1)
+              |SELECT doc_id, 'singleton' AS kept_as FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+              |UNION ALL
+              |SELECT doc_id, 'cluster_best' FROM best""".stripMargin)),
 
     // ---- d4: SimHash near-dup — 64-bit signatures, banded hamming join ----
     // (no SQL-expressible oracle: xxhash64 has no DuckDB twin; correctness
