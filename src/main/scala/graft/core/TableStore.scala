@@ -379,7 +379,8 @@ class TableStore(spark: SparkSession, root: String) {
     * is left untouched; Catalyst's sizeInBytes only OVERestimates
     * under joins, which degrades to the status quo. */
   private def sizedForWrite(d: DataFrame): DataFrame = {
-    val targetBytes = 128L * 1024 * 1024
+    val targetBytes = spark.conf.getOption("graft.write.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
     val est = d.queryExecution.optimizedPlan.stats.sizeInBytes
     val wanted =
       if (!est.isValidLong || est <= 0L) Long.MaxValue

@@ -15,6 +15,22 @@ class TableStoreSpec extends AnyFunSuite {
   def freshStore(): TableStore =
     new TableStore(spark, Files.createTempDirectory("tablestore").toString)
 
+  test("optimized write: small commits land few files, large estimates keep parallelism") {
+    val ts = freshStore()
+    def filesOf(name: String): Int =
+      ts.snapshot(name).files(ts, name).size
+    // a tiny batch spread over 32 partitions folds to ONE file
+    ts.create("small", (1L to 1000L).map(i => (i, i)).toDF("k", "x").repartition(32))
+    assert(filesOf("small") === 1, "small write should emit one sized file")
+    // with a tiny per-file target the same batch keeps many files —
+    // the sizing follows the estimate, it is not a blanket coalesce(1)
+    spark.conf.set("graft.write.targetFileBytes", "1024")
+    try {
+      ts.create("wide", (1L to 100000L).map(i => (i, i)).toDF("k", "x").repartition(32))
+      assert(filesOf("wide") > 8, "large estimate must keep write parallelism")
+    } finally spark.conf.unset("graft.write.targetFileBytes")
+  }
+
   test("create/read/overwrite preserves schema and swaps atomically") {
     val ts = freshStore()
     ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
