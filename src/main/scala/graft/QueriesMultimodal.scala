@@ -52,6 +52,31 @@ object QueriesMultimodal {
       Some("""SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
              |  CAST(f * 64 AS INT) AS offset
              |FROM (SELECT doc_id, length(text) AS n, unnest(generate_series(0, (length(text) - 1) // 64)) AS f
-             |      FROM documents WHERE doc_id % 3 = 2)""".stripMargin))
+             |      FROM documents WHERE doc_id % 3 = 2)""".stripMargin)),
+
+    // ---- mm3: resize-to-fit — longest side <= 64, aspect preserved,
+    //      never upscaled; geometry via the same partition-iterator
+    //      decode (audio excluded: no spatial dims) ----
+    "mm3_resize" -> QDef(
+      (s, dir) => {
+        val media = Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          col("text").cast("binary").as("payload"))
+        Multimodal.resizeToFit(media, maxDim = 64).toDF()
+      },
+      Some(s"""WITH m AS (SELECT doc_id AS media_id,
+              |  $KindSql AS kind,
+              |  CAST(ascii(substr(text, 1, 1)) % 128 + 16 AS INT) AS width,
+              |  CAST(ascii(substr(text, 2, 1)) % 128 + 16 AS INT) AS height
+              |FROM documents WHERE doc_id % 3 <> 1),
+              |sc AS (SELECT *, least(64.0 / width, 64.0 / height, 1.0) AS scale FROM m)
+              |SELECT media_id, kind, width, height,
+              |  CAST(floor(width * scale) AS INT) AS new_width,
+              |  CAST(floor(height * scale) AS INT) AS new_height,
+              |  scale
+              |FROM sc""".stripMargin))
   )
 }

@@ -81,4 +81,33 @@ object Multimodal {
         explode(sequence(lit(0),
           ((length(col("payload")) - 1) / stride).cast("int"))).as("frame_no"))
       .withColumn("offset", col("frame_no") * stride)
+
+  final case class ResizedMeta(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      new_width: Int,
+      new_height: Int,
+      scale: Double)
+
+  /** Resize-to-fit: scale visual media so the longest side fits
+    * `maxDim`, preserving aspect (never upscales). Same partition-
+    * iterator shape as decode — the real implementation would resample
+    * the payload; the stub computes the geometry the resampler would
+    * use. Audio is pass-through-excluded (no spatial dims). */
+  def resizeToFit(media: DataFrame, maxDim: Int): Dataset[ResizedMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeMeta(media.filter(col("kind") =!= "audio"))
+      .mapPartitions { it =>
+        // per-partition "resampler init" would sit here, like decodeMeta
+        it.map { m =>
+          val s = math.min(math.min(maxDim.toDouble / m.width,
+            maxDim.toDouble / m.height), 1.0)
+          ResizedMeta(m.media_id, m.kind, m.width, m.height,
+            math.floor(m.width * s).toInt, math.floor(m.height * s).toInt, s)
+        }
+      }
+  }
 }
