@@ -77,11 +77,18 @@ class RowTrackingSpec extends AnyFunSuite {
     ts.enableRowTracking("t")
     val wm0 = ts.properties("t")("rowtracking.next").toLong
     assert(wm0 === 64L)
+    val before = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
     ts.mergeUpsert("t", Seq((1L, "V1"), (65L, "v65")).toDF("k", "v"),
       Seq("k"), changeTypeCol = None)
-    val ids = ts.readWithRowIds("t").select("_row_id").as[Long].collect().toSeq
-    assert(ids.size === 65)
-    assert(ids.distinct.size === 65)
+    val after = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    assert(after.size === 65)
+    assert(after.values.toSeq.distinct.size === 65)
+    // the bucketed merge PRESERVES every pre-existing id (including the
+    // matched row's) and mints a fresh one only for the insert
+    before.foreach { case (k, id) => assert(after(k) === id, s"id moved for k=$k") }
+    assert(after(65L) >= wm0)
     assert(ts.properties("t")("rowtracking.next").toLong > wm0)
   }
 
