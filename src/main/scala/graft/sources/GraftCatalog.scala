@@ -552,8 +552,15 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        colmap: Map[String, String] = Map.empty,
                        rowBase: Map[String, Long] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = schema
+  private var limit: Option[Int] = None
+  /** LIMIT reaches the scan: with no pushed filters the manifest's
+    * per-dir row counts schedule only enough dirs to satisfy it — a
+    * LIMIT 100 on a 100 TB table opens one file. Returns false: the
+    * scan reads AT LEAST n rows, Spark's own limit still trims. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
   private var pushed: Array[Filter] = Array.empty
   private var metadataAgg: Option[(StructType, InternalRow)] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -614,7 +621,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
         dirsTotal = dirFiles.size, bucketing = bucketing,
         bloomPrune = bloomPrune, dvByFile = dvByFile,
         streamMaxVersions = streamMaxVersions, colmap = colmap,
-        rowBase = rowBase)
+        rowBase = rowBase, limit = limit)
   }
 }
 
@@ -629,7 +636,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
                 dvByFile: Map[String, Array[Long]] = Map.empty,
                 streamMaxVersions: Option[Long] = None,
                 colmap: Map[String, String] = Map.empty,
-                rowBase: Map[String, Long] = Map.empty)
+                rowBase: Map[String, Long] = Map.empty,
+                limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -721,11 +729,32 @@ class GraftScan(fullSchema: StructType, required: StructType,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(files.size)
     }
 
+  /** Dirs that suffice for a pushed LIMIT: with no pushed filters,
+    * manifest row counts (minus DV tombstones) bound each dir's live
+    * output exactly, so a prefix whose cumulative count reaches the
+    * limit is all the scan needs to open. Any dir without stats, any
+    * pushed filter, or a bucket-grouped (SPJ) layout keeps the full
+    * set. */
+  private def limitScheduled: Seq[(String, Seq[String])] = limit match {
+    case Some(n) if pushed.isEmpty && live.forall(df => stats.contains(df._1)) =>
+      var cum = 0L
+      val picked = Seq.newBuilder[(String, Seq[String])]
+      live.foreach { df =>
+        if (cum < n) {
+          picked += df
+          val dv = df._2.flatMap(dvByFile.get).map(_.length.toLong).sum
+          cum += math.max(0L, stats(df._1).rows - dv)
+        }
+      }
+      picked.result()
+    case _ => live
+  }
+
   override def planInputPartitions(): Array[InputPartition] = bucketGroups match {
     case Some((_, _, groups)) =>
       groups.map { case (b, fs) => GraftBucketInputPartition(b, fs,
         dvByFile.view.filterKeys(fs.contains).toMap): InputPartition }.toArray
-    case None => files.map(f => GraftInputPartition(f,
+    case None => limitScheduled.flatMap(_._2).map(f => GraftInputPartition(f,
       dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -736,6 +765,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
       s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
       runtimePrunedFrom.map(b => s" (runtime pruning: $dirsScanned/$b dirs)").getOrElse("") +
       (if (dvByFile.nonEmpty) s" (dv columnar-skip: ${dvByFile.size} files)" else "") +
+      limit.filter(_ => pushed.isEmpty && bucketGroups.isEmpty).map(n =>
+        s" (PushedLimit: $n -> ${limitScheduled.size}/${live.size} dirs)").getOrElse("") +
       s", PushedFilters: [${pushed.mkString(", ")}]"
 
   /** File-size statistics for the optimizer: lets Spark pick broadcast

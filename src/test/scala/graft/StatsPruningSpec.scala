@@ -135,6 +135,37 @@ class StatsPruningSpec extends AnyFunSuite {
     assert(all.head().getLong(0) === 300)
   }
 
+  test("pushed LIMIT schedules only enough dirs to satisfy it") {
+    val root = Files.createTempDirectory("limitpush").toString
+    spark.conf.set("spark.sql.catalog.glim", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.glim.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("m", (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    ts.append("m", (100L until 200L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    ts.append("m", (200L until 300L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    val q = spark.sql("SELECT id, v FROM glim.m LIMIT 50")
+    val desc = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan.description()
+    assert(desc.contains("PushedLimit: 50 -> 1/3 dirs"), s"unexpected scan: $desc")
+    assert(q.count() === 50)
+    // DV tombstones subtract from a dir's live contribution: with 80 of
+    // the first dir's rows deleted it only provides 20, so LIMIT 110
+    // must open TWO dirs (20 + 100 >= 110) where 100 rows would have
+    // been one dir before the delete
+    ts.deleteVectorized("m", org.apache.spark.sql.functions.col("id") < 80)
+    val q2 = spark.sql("SELECT id, v FROM glim.m LIMIT 110")
+    val desc2 = q2.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan.description()
+    assert(desc2.contains("PushedLimit: 110 -> 2/3 dirs"), s"unexpected scan: $desc2")
+    assert(q2.count() === 110)
+    // a pushed filter disables limit scheduling (counts no longer bound)
+    val q3 = spark.sql("SELECT id, v FROM glim.m WHERE id >= 80 LIMIT 10")
+    val desc3 = q3.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }.head.scan.description()
+    assert(!desc3.contains("PushedLimit"), s"unexpected scan: $desc3")
+    assert(q3.count() === 10)
+  }
+
   test("COUNT/MIN/MAX without WHERE are metadata-only (zero files read)") {
     val root = Files.createTempDirectory("statsagg").toString
     spark.conf.set("spark.sql.catalog.gagg", "graft.sources.GraftCatalog")
