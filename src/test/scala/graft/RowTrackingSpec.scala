@@ -223,6 +223,86 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(ids.map(_._2).distinct.length === 60, "rebase duplicated row ids")
   }
 
+  test("model fuzz: ids stable for survivors across random mutation chains") {
+    for (seed <- 1L to 3L) {
+      val ts = fresh()
+      val rnd = new scala.util.Random(seed)
+      var nextKey = 201L
+      ts.create("t", (1L to 200L).map(i => (i, i)).toDF("k", "x"))
+      ts.enableRowTracking("t")
+      def readAll(): Map[Long, (Long, Long)] = ts.readWithRowIds("t")
+        .select("k", "x", "_row_id").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      var model: Map[Long, (Long, Long)] = readAll() // k -> (x, rid)
+      var seen: Set[Long] = model.values.map(_._2).toSet
+      def check(op: String): Unit = {
+        val cur = readAll()
+        assert(cur.keySet === model.keySet, s"seed=$seed after $op: key drift")
+        model.foreach { case (k, (x, rid)) =>
+          assert(cur(k)._1 === x, s"seed=$seed after $op: value drift k=$k")
+          assert(cur(k)._2 === rid, s"seed=$seed after $op: id moved k=$k")
+        }
+      }
+      def admitNew(op: String): Unit = {
+        // fresh rows: adopt their ids; they must be genuinely new
+        val cur = readAll()
+        val fresh = cur.keySet -- model.keySet
+        fresh.foreach { k =>
+          val rid = cur(k)._2
+          assert(!seen.contains(rid), s"seed=$seed after $op: id $rid reused")
+          seen += rid
+          model += k -> cur(k)
+        }
+        check(op)
+      }
+      for (step <- 1 to 14) rnd.nextInt(8) match {
+        case 0 =>
+          val rows = (nextKey until nextKey + 20).map(i => (i, i))
+          nextKey += 20
+          ts.append("t", rows.toDF("k", "x"))
+          admitNew(s"append@$step")
+        case 1 =>
+          val m = rnd.nextInt(7) + 3
+          ts.updateVectorized("t", col("k") % m === 0, Map("x" -> (col("x") + 1000L)))
+          model = model.map { case (k, (x, rid)) =>
+            k -> (if (k % m == 0) (x + 1000L, rid) else (x, rid)) }
+          check(s"updateVectorized@$step")
+        case 2 =>
+          val cut = rnd.nextInt(40) + 1
+          ts.deleteVectorized("t", col("k") % 50 === cut)
+          model = model.filterNot { case (k, _) => k % 50 == cut }
+          check(s"deleteVectorized@$step")
+        case 3 =>
+          val m = rnd.nextInt(7) + 3
+          ts.update("t", col("k") % m === 1, Map("x" -> (col("x") - 7L)))
+          model = model.map { case (k, (x, rid)) =>
+            k -> (if (k % m == 1) (x - 7L, rid) else (x, rid)) }
+          check(s"CoW update@$step")
+        case 4 =>
+          val cut = rnd.nextInt(40) + 1
+          ts.delete("t", col("k") % 50 === cut && col("k") > 100L)
+          model = model.filterNot { case (k, _) => k % 50 == cut && k > 100L }
+          check(s"CoW delete@$step")
+        case 5 =>
+          // merge: update an existing slice, insert two new keys
+          val existing = model.keySet.toSeq.sorted.take(5)
+          val news = Seq(nextKey, nextKey + 1)
+          nextKey += 2
+          val src = (existing.map(k => (k, -k)) ++ news.map(k => (k, k)))
+            .toDF("k", "x")
+          ts.mergeUpsert("t", src, Seq("k"), changeTypeCol = None)
+          model = model ++ existing.map(k => k -> (-k, model(k)._2))
+          admitNew(s"mergeUpsert@$step")
+        case 6 =>
+          ts.compact("t", targetPartitions = rnd.nextInt(3) + 1)
+          check(s"compact@$step")
+        case 7 =>
+          ts.optimizeByRange("t", Seq("k"), nDirs = rnd.nextInt(4) + 2)
+          check(s"optimizeByRange@$step")
+      }
+    }
+  }
+
   test("readWithRowIds refuses when tracking is off") {
     val ts = fresh()
     ts.create("t", Seq((1L, "a")).toDF("k", "v"))
