@@ -476,9 +476,17 @@ class TableStore(spark: SparkSession, root: String) {
     dir(name).resolve("_cdf").resolve(s".v$v-$uuid")
 
   private def commitManifest(name: String, v: Long, m0: Manifest): Unit = {
+    // the manifest schema is always NULLABLE (same stance as
+    // spark.read.parquet): parquet files can't enforce non-nullability,
+    // and a later append CAN legally land nulls in a column the
+    // creating DataFrame happened to type non-null — a non-null
+    // declared schema would make DSv2 codegen skip null checks and
+    // silently read such nulls as 0/""
     // deletion vectors attach to specific immutable dirs: entries for
     // dirs this version no longer carries are dropped automatically
-    val m1 = m0.copy(dvs = m0.dvs.filter { case (d, _) => m0.dirs.contains(d) })
+    val m1 = m0.copy(
+      schema = StructType(m0.schema.map(_.copy(nullable = true))),
+      dvs = m0.dvs.filter { case (d, _) => m0.dirs.contains(d) })
     // identity watermarks: writers that DON'T mint ids (SQL INSERT
     // attach, merge-on-read inserts, library merges) may still carry
     // values in an identity column; advance each watermark past the

@@ -553,9 +553,33 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        rowBase: Map[String, Long] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = schema
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+  /** ORDER BY <col> LIMIT n reaches the scan: manifest [min,max] per
+    * dir bound which dirs can hold the top-n, so a range-clustered
+    * table answers a top-k from the few dirs at the edge of the sort
+    * order. Partial push — Spark's own TopSort still runs on what the
+    * scan returns. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        n: Int): Boolean = {
+    if (orders.length != 1) return false
+    orders(0).expression() match {
+      case fr: org.apache.spark.sql.connector.expressions.NamedReference
+          if fr.fieldNames().length == 1 =>
+        topN = Some((fr.fieldNames()(0),
+          orders(0).direction() ==
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          orders(0).nullOrdering() ==
+            org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST,
+          n))
+        true
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true
   /** LIMIT reaches the scan: with no pushed filters the manifest's
     * per-dir row counts schedule only enough dirs to satisfy it — a
     * LIMIT 100 on a 100 TB table opens one file. Returns false: the
@@ -621,7 +645,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
         dirsTotal = dirFiles.size, bucketing = bucketing,
         bloomPrune = bloomPrune, dvByFile = dvByFile,
         streamMaxVersions = streamMaxVersions, colmap = colmap,
-        rowBase = rowBase, limit = limit)
+        rowBase = rowBase, limit = limit, topN = topN)
   }
 }
 
@@ -637,7 +661,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
                 streamMaxVersions: Option[Long] = None,
                 colmap: Map[String, String] = Map.empty,
                 rowBase: Map[String, Long] = Map.empty,
-                limit: Option[Int] = None)
+                limit: Option[Int] = None,
+                topN: Option[(String, Boolean, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -750,12 +775,61 @@ class GraftScan(fullSchema: StructType, required: StructType,
     case _ => live
   }
 
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: Comparable[_], _) if a.getClass == b.getClass =>
+      x.asInstanceOf[Comparable[Any]].compareTo(b)
+    case _ => throw new IllegalArgumentException(s"incomparable: $a / $b")
+  }
+
+  /** Dirs that can hold a pushed ORDER BY <col> LIMIT n: walk dirs in
+    * sort-bound order until their cumulative live rows reach n, take U
+    * = the worst bound among them — no dir strictly beyond U can put a
+    * row into the top-n. Dirs carrying nulls always stay (they win
+    * under NULLS FIRST). With NULLS LAST a dir's countable
+    * contribution is its non-null rows (conservatively minus every DV
+    * tombstone, which only widens the kept set). Bails (full set) on
+    * pushed filters, missing stats, or incomparable bounds. */
+  private def topNScheduled: Option[Seq[(String, Seq[String])]] =
+    topN.filter(_ => pushed.isEmpty).flatMap { case (c, asc, nullsFirst, n) =>
+      try {
+        val entries = live.map { df =>
+          val st = stats.getOrElse(df._1, return None)
+          val cs = st.cols.getOrElse(c, return None)
+          val nulls = cs.nulls.getOrElse(return None)
+          val dv = df._2.flatMap(dvByFile.get).map(_.length.toLong).sum
+          val liveRows = math.max(0L, st.rows - dv)
+          val countable =
+            if (nullsFirst) liveRows
+            else math.max(0L, st.rows - nulls - dv)
+          if (nulls < st.rows && (cs.min.isEmpty || cs.max.isEmpty)) return None
+          (df, cs.min, cs.max, nulls, countable)
+        }
+        val (nullDirs, valued) = entries.partition(e => e._2.isEmpty) // all-null dirs
+        val sorted = valued.sortWith { (x, y) =>
+          if (asc) cmpAny(x._2.get, y._2.get) < 0 else cmpAny(x._3.get, y._3.get) > 0
+        }
+        var cum = 0L
+        val prefix = sorted.takeWhile { e => val take = cum < n; cum += e._5; take }
+        if (cum < n) return None // not enough rows bounded — keep all
+        val bound = prefix.map(e => if (asc) e._3.get else e._2.get)
+          .reduce((a, b) => if (asc == (cmpAny(a, b) >= 0)) a else b)
+        val keep = valued.filter { e =>
+          e._4 > 0 ||
+            (if (asc) cmpAny(e._2.get, bound) <= 0 else cmpAny(e._3.get, bound) >= 0)
+        } ++ nullDirs
+        Some(keep.map(_._1))
+      } catch { case _: IllegalArgumentException => None }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = bucketGroups match {
     case Some((_, _, groups)) =>
       groups.map { case (b, fs) => GraftBucketInputPartition(b, fs,
         dvByFile.view.filterKeys(fs.contains).toMap): InputPartition }.toArray
-    case None => limitScheduled.flatMap(_._2).map(f => GraftInputPartition(f,
-      dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
+    case None => topNScheduled.getOrElse(limitScheduled).flatMap(_._2)
+      .map(f => GraftInputPartition(f,
+        dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, fullSchema, pushed, colmap = colmap,
@@ -767,6 +841,9 @@ class GraftScan(fullSchema: StructType, required: StructType,
       (if (dvByFile.nonEmpty) s" (dv columnar-skip: ${dvByFile.size} files)" else "") +
       limit.filter(_ => pushed.isEmpty && bucketGroups.isEmpty).map(n =>
         s" (PushedLimit: $n -> ${limitScheduled.size}/${live.size} dirs)").getOrElse("") +
+      topN.filter(_ => bucketGroups.isEmpty).flatMap(t => topNScheduled.map(k =>
+        s" (PushedTopN: ${t._1} ${if (t._2) "ASC" else "DESC"} ${t._4}" +
+          s" -> ${k.size}/${live.size} dirs)")).getOrElse("") +
       s", PushedFilters: [${pushed.mkString(", ")}]"
 
   /** File-size statistics for the optimizer: lets Spark pick broadcast

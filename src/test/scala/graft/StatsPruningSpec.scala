@@ -166,6 +166,42 @@ class StatsPruningSpec extends AnyFunSuite {
     assert(q3.count() === 10)
   }
 
+  test("pushed TopN opens only the dirs at the edge of the sort order") {
+    val root = Files.createTempDirectory("topnpush").toString
+    spark.conf.set("spark.sql.catalog.gtop", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtop.root", root)
+    val ts = new TableStore(spark, root)
+    // range-clustered layout: three dirs with disjoint id ranges
+    ts.create("m", (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    ts.append("m", (100L until 200L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    ts.append("m", (200L until 300L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    def desc(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.head.scan.description()
+    val asc = "SELECT id, v FROM gtop.m ORDER BY id LIMIT 50"
+    assert(desc(asc).contains("PushedTopN: id ASC 50 -> 1/3 dirs"),
+      s"unexpected: ${desc(asc)}")
+    assert(spark.sql(asc).as[(Long, String)].collect().map(_._1).toSeq ===
+      (0L until 50L))
+    val dsc = "SELECT id, v FROM gtop.m ORDER BY id DESC LIMIT 150"
+    assert(desc(dsc).contains("PushedTopN: id DESC 150 -> 2/3 dirs"),
+      s"unexpected: ${desc(dsc)}")
+    assert(spark.sql(dsc).as[(Long, String)].collect().map(_._1).toSeq ===
+      (299L to 150L by -1L))
+    // a dir carrying nulls always stays (it wins under NULLS FIRST)
+    ts.append("m", Seq(Tuple1("n1")).toDF("v")
+      .select(org.apache.spark.sql.functions.lit(null).cast("bigint").as("id"),
+        org.apache.spark.sql.functions.col("v")).coalesce(1))
+    assert(desc(asc).contains("PushedTopN: id ASC 50 -> 2/4 dirs"),
+      s"unexpected: ${desc(asc)}")
+    assert(spark.sql(asc).filter("id IS NULL").count() === 1) // NULLS FIRST default
+    // overlapping ranges keep every overlapped dir (bound test)
+    ts.append("m", Seq((40L, "x")).toDF("id", "v").coalesce(1))
+    val after = desc(asc)
+    assert(after.contains("PushedTopN: id ASC 50 -> 3/5 dirs"),
+      s"unexpected: $after")
+  }
+
   test("COUNT/MIN/MAX without WHERE are metadata-only (zero files read)") {
     val root = Files.createTempDirectory("statsagg").toString
     spark.conf.set("spark.sql.catalog.gagg", "graft.sources.GraftCatalog")

@@ -167,7 +167,11 @@ class TableStoreSpec extends AnyFunSuite {
     val schema = Seq((1L, "a")).toDF("id", "v").schema
     ts.createEmpty("t", schema)
     assert(ts.read("t").count() === 0)
-    assert(ts.read("t").schema === schema)
+    // stored schemas are always nullable (parquet can't enforce
+    // non-nullability; a non-null declared schema would let codegen
+    // read later-appended nulls as 0)
+    assert(ts.read("t").schema ===
+      org.apache.spark.sql.types.StructType(schema.map(_.copy(nullable = true))))
     ts.append("t", Seq((1L, "a")).toDF("id", "v"))
     assert(ts.read("t").count() === 1)
   }
