@@ -22,10 +22,13 @@ import org.apache.spark.sql.types.StructType
   *  - INSERT OVERWRITE (schema-preserving): bronze/jobs/validate_bronze.py:172-181
   *  - MERGE source-uniqueness precondition: README.md:213-217
   *
-  * Layout (Delta-VLDB-paper-style log, minus checkpointing):
+  * Layout (Delta-VLDB-paper-style log WITH checkpointing):
   *   root/<table>/data/b<0-padded n>[/__b=<k>]/  immutable parquet dirs
-  *   root/<table>/_v/<n>.json                    manifest: schema + live dirs
-  *                                               [+ bucket keys / count]
+  *   root/<table>/_v/<n>.json                    commit record: full snapshot,
+  *                                               or an O(changed dirs) delta
+  *                                               against version n-1
+  *   root/<table>/_v/<n>.ckpt.json               full-snapshot checkpoint,
+  *                                               every K delta commits
   *   root/<table>/_LATEST                        current version (atomic swap)
   *
   * Readers resolve _LATEST -> manifest -> one multi-path scan of live
@@ -178,61 +181,156 @@ class TableStore(spark: SparkSession, root: String) {
   /** Hash bucketing spec: data is split into `n` leaf dirs by
     * pmod(hash(keys), n). */
   // ---- manifest (de)serialization ----
-  // {"schema": <ddl>, "dirs": [..], "bucketkeys": [..], "nbuckets": N,
-  //  "stats": {"<dir>": {"rows": N, "cols": {"<col>": {"min": "..",
-  //  "max": "..", "nulls": N}}}}}
+  // FULL snapshot record:
+  //   {"schema": <ddl>, "dirs": [..], "bucketkeys": [..], "nbuckets": N,
+  //    "stats": {"<dir>": {"rows": N, "cols": {"<col>": {"min": "..",
+  //    "max": "..", "nulls": N}}}}}
   // (bucket fields only for bucketed tables; stats only for dirs whose
   //  footers yielded reliable statistics — consumers treat a missing
   //  entry as "might match anything")
-  private def writeManifest(name: String, v: Long, m: Manifest): Unit = {
-    import m.{schema, dirs, bucketing, stats, txns, bloomCols, checks}
-    Files.createDirectories(manifest(name, v).getParent)
-    val base = s""""schema": ${jsonStr(schema.toDDL)}, "dirs": [${dirs.map(jsonStr).mkString(",")}]"""
-    val statsPart =
-      if (stats.isEmpty) ""
-      else s""", "stats": ${DirStats.toJsonFragment(stats, jsonStr)}"""
+  // INCREMENTAL (delta) record — what a commit writes when the schema /
+  // bucketing / column-mapping didn't change: the O(columns) fields in
+  // full, plus add/remove diffs of the four O(live dirs) maps:
+  //   {"base": v-1, "schema": .., "diradd": [..], "dirdel": [..],
+  //    "statadd": {..}, "statdel": [..], "dvset": {..}, "dvdel": [..],
+  //    "rowbaseset": {..}, "rowbasedel": [..], <small fields>}
+  // A 100 TB table has ~10^6 live files; a full manifest is ~100 MB of
+  // JSON, so full-per-commit metadata write amplification would dwarf
+  // small appends. Delta records make commit metadata O(changed dirs);
+  // readers resolve the base chain, bounded by `<v>.ckpt.json` full
+  // checkpoints every [[checkpointInterval]] commits (the role Delta's
+  // checkpoint.parquet plays for its action log).
+
+  private def jsonArr(xs: Seq[String]): String = s"[${xs.map(jsonStr).mkString(",")}]"
+  private def strMapFragment(m: Map[String, String]): String =
+    s"{${m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString(",")}}"
+  private def longMapFragment(m: Map[String, Long]): String =
+    s"{${m.toSeq.sortBy(_._1)
+      .map { case (k, b) => s"${jsonStr(k)}: $b" }.mkString(",")}}"
+  private def dvsFragment(dvs: Map[String, DvRef]): String =
+    s"{${dvs.toSeq.sortBy(_._1).map { case (d, r) =>
+      s"${jsonStr(d)}: {\"path\": ${jsonStr(r.path)}, \"deleted\": ${r.deleted}}"
+    }.mkString(",")}}"
+
+  /** The O(columns)-sized manifest fields, shared by full and delta
+    * records (a delta always carries them whole — only the O(dirs)
+    * maps are worth diffing). */
+  private def smallParts(m: Manifest): String = {
     val txnsPart =
-      if (txns.isEmpty) ""
-      else s""", "txns": {${txns.toSeq.sortBy(_._1)
-        .map { case (k, e) => s"${jsonStr(k)}: $e" }.mkString(",")}}"""
+      if (m.txns.isEmpty) "" else s""", "txns": ${longMapFragment(m.txns)}"""
     val bloomPart =
-      if (bloomCols.isEmpty) ""
-      else s""", "bloomcols": [${bloomCols.map(jsonStr).mkString(",")}]"""
+      if (m.bloomCols.isEmpty) "" else s""", "bloomcols": ${jsonArr(m.bloomCols)}"""
     val checksPart =
-      if (checks.isEmpty) ""
-      else s""", "checks": {${checks.toSeq.sortBy(_._1)
-        .map { case (k, e) => s"${jsonStr(k)}: ${jsonStr(e)}" }.mkString(",")}}"""
+      if (m.checks.isEmpty) "" else s""", "checks": ${strMapFragment(m.checks)}"""
     val cdfPart = if (m.cdf) s""", "cdf": true""" else ""
-    val dvsPart =
-      if (m.dvs.isEmpty) ""
-      else s""", "dvs": {${m.dvs.toSeq.sortBy(_._1).map { case (d, r) =>
-        s"${jsonStr(d)}: {\"path\": ${jsonStr(r.path)}, \"deleted\": ${r.deleted}}"
-      }.mkString(",")}}"""
     val propsPart =
-      if (m.props.isEmpty) ""
-      else s""", "props": {${m.props.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString(",")}}"""
+      if (m.props.isEmpty) "" else s""", "props": ${strMapFragment(m.props)}"""
     val colmapPart =
-      if (m.colmap.isEmpty) ""
-      else s""", "colmap": {${m.colmap.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString(",")}}"""
+      if (m.colmap.isEmpty) "" else s""", "colmap": ${strMapFragment(m.colmap)}"""
     val droppedPart =
-      if (m.droppedPhys.isEmpty) ""
-      else s""", "droppedcols": [${m.droppedPhys.map(jsonStr).mkString(",")}]"""
+      if (m.droppedPhys.isEmpty) "" else s""", "droppedcols": ${jsonArr(m.droppedPhys)}"""
+    val bucketPart = m.bucketing.map(b =>
+      s""", "bucketkeys": ${jsonArr(b.keys)}, "nbuckets": ${b.n}""").getOrElse("")
+    txnsPart + bloomPart + checksPart + cdfPart + propsPart + colmapPart +
+      droppedPart + bucketPart
+  }
+
+  private def encodeFull(m: Manifest): String = {
+    val base = s""""schema": ${jsonStr(m.schema.toDDL)}, "dirs": ${jsonArr(m.dirs)}"""
+    val statsPart =
+      if (m.stats.isEmpty) ""
+      else s""", "stats": ${DirStats.toJsonFragment(m.stats, jsonStr)}"""
+    val dvsPart =
+      if (m.dvs.isEmpty) "" else s""", "dvs": ${dvsFragment(m.dvs)}"""
     val rowbasePart =
-      if (m.rowbase.isEmpty) ""
-      else s""", "rowbase": {${m.rowbase.toSeq.sortBy(_._1)
-        .map { case (k, b) => s"${jsonStr(k)}: $b" }.mkString(",")}}"""
-    val extra = statsPart + txnsPart + bloomPart + checksPart + cdfPart + dvsPart + propsPart + colmapPart + droppedPart + rowbasePart + bucketing.map(b =>
-      s""", "bucketkeys": [${b.keys.map(jsonStr).mkString(",")}], "nbuckets": ${b.n}""").getOrElse("")
+      if (m.rowbase.isEmpty) "" else s""", "rowbase": ${longMapFragment(m.rowbase)}"""
+    s"{$base$statsPart$dvsPart$rowbasePart${smallParts(m)}}"
+  }
+
+  /** Delta encoding of `m` against the previous version, or None when a
+    * full snapshot is required: a structural change (schema, bucketing,
+    * column mapping — under which stats/file decoding could shift), a
+    * rewrite touching most dirs (diff wouldn't be smaller), or carried
+    * dirs whose ORDER the reconstruction `kept-in-prev-order ++ adds`
+    * can't reproduce (dir order is commit semantics: scan scheduling
+    * reads it). */
+  private def encodeDelta(prevV: Long, prev: Manifest, m: Manifest): Option[String] = {
+    if (prev.schema.toDDL != m.schema.toDDL || prev.bucketing != m.bucketing ||
+        prev.colmap != m.colmap || prev.droppedPhys != m.droppedPhys) return None
+    val prevSet = prev.dirs.toSet
+    val newSet = m.dirs.toSet
+    val diradd = m.dirs.filterNot(prevSet)
+    val dirdel = prev.dirs.filterNot(newSet)
+    if (m.dirs.nonEmpty && diradd.size + dirdel.size >= m.dirs.size) return None
+    if ((prev.dirs.filter(newSet) ++ diradd) != m.dirs) return None
+    val statdel = (prev.stats.keySet -- m.stats.keySet).toSeq.sorted
+    val statadd = m.stats.filter { case (d, s) => !prev.stats.get(d).contains(s) }
+    val dvdel = (prev.dvs.keySet -- m.dvs.keySet).toSeq.sorted
+    val dvset = m.dvs.filter { case (d, r) => !prev.dvs.get(d).contains(r) }
+    val rbdel = (prev.rowbase.keySet -- m.rowbase.keySet).toSeq.sorted
+    val rbset = m.rowbase.filter { case (k, b) => !prev.rowbase.get(k).contains(b) }
+    val parts = Seq(
+      if (diradd.isEmpty) "" else s""", "diradd": ${jsonArr(diradd)}""",
+      if (dirdel.isEmpty) "" else s""", "dirdel": ${jsonArr(dirdel)}""",
+      if (statadd.isEmpty) ""
+      else s""", "statadd": ${DirStats.toJsonFragment(statadd, jsonStr)}""",
+      if (statdel.isEmpty) "" else s""", "statdel": ${jsonArr(statdel)}""",
+      if (dvset.isEmpty) "" else s""", "dvset": ${dvsFragment(dvset)}""",
+      if (dvdel.isEmpty) "" else s""", "dvdel": ${jsonArr(dvdel)}""",
+      if (rbset.isEmpty) "" else s""", "rowbaseset": ${longMapFragment(rbset)}""",
+      if (rbdel.isEmpty) "" else s""", "rowbasedel": ${jsonArr(rbdel)}""").mkString
+    Some(s"""{"base": $prevV, "schema": ${jsonStr(m.schema.toDDL)}$parts${smallParts(m)}}""")
+  }
+
+  private def writeManifest(name: String, v: Long, m: Manifest): Unit = {
+    Files.createDirectories(manifest(name, v).getParent)
+    val prev =
+      if (v == 0L) None
+      else try Some(readManifest(name, v - 1))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    val body = prev.flatMap(p => encodeDelta(v - 1, p, m)).getOrElse(encodeFull(m))
     // CREATE_NEW = put-if-absent: two writers racing to commit the same
     // next version collide HERE — the loser fails loudly instead of
     // truncate-overwriting the winner's manifest and silently dropping
     // its commit (the same role the object-store put-if-absent plays in
     // Delta's log protocol). The store is single-writer-per-table by
     // design; this makes a violation an error, not corruption.
-    Files.write(manifest(name, v), s"{$base$extra}".getBytes(StandardCharsets.UTF_8),
+    Files.write(manifest(name, v), body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
+    // only the race WINNER reaches here — safe to cache and checkpoint
+    cacheManifest(name, v, m)
+    if (body.startsWith("{\"base\"") && v % checkpointInterval == 0)
+      writeCheckpoint(name, v, m)
+  }
+
+  private def checkpointInterval: Int =
+    spark.conf.getOption("graft.manifest.checkpointInterval")
+      .map(_.toInt).getOrElse(8).max(1)
+
+  private def ckptPath(name: String, v: Long): Path =
+    dir(name).resolve("_v").resolve(s"$v.ckpt.json")
+
+  /** Full-snapshot sidecar for a delta-record version: temp + atomic
+    * move so a concurrent reader never sees a torn checkpoint. Losing a
+    * same-version double-write race is harmless (identical content). */
+  private def writeCheckpoint(name: String, v: Long, m: Manifest): Unit = {
+    val tmp = dir(name).resolve("_v")
+      .resolve(s".ckpt$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, encodeFull(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, ckptPath(name, v), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Resolved-manifest cache: versions are immutable once committed, so
+    * (name, v) -> Manifest never goes stale. Unbounded growth is capped
+    * crudely (manifests are small; tests churn thousands of tiny
+    * tables); vacuum drops entries for the versions it deletes. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+  private def cacheManifest(name: String, v: Long, m: Manifest): Unit = {
+    if (manifestCache.size > 1024) manifestCache.clear()
+    manifestCache.put((name, v), m): Unit
   }
 
   private def jsonStr(s: String): String =
@@ -242,36 +340,74 @@ class TableStore(spark: SparkSession, root: String) {
     } + "\""
 
   private def readManifest(name: String, v: Long): Manifest = {
-    val json = new String(Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8)
-    val m = MiniJson.obj(json)
-    def strs(k: String): Seq[String] =
-      m.getOrElse(k, Seq.empty).asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
-    val bucketing = m.get("nbuckets").map(n =>
-      Bucketing(strs("bucketkeys"), n.asInstanceOf[Long].toInt))
-    val schema = StructType.fromDDL(m("schema").asInstanceOf[String])
-    val stats = m.get("stats").map(DirStats.fromParsed(_, schema)).getOrElse(Map.empty)
-    val txns = m.get("txns").map(_.asInstanceOf[Map[String, Any]]
-      .map { case (k, v) => k -> v.asInstanceOf[Long] }).getOrElse(Map.empty[String, Long])
-    val checks = m.get("checks").map(_.asInstanceOf[Map[String, Any]]
-      .map { case (k, v) => k -> v.asInstanceOf[String] })
+    val cached = manifestCache.get((name, v))
+    if (cached != null) return cached
+    val resolved =
+      if (Files.exists(ckptPath(name, v)))
+        parseFull(MiniJson.obj(new String(
+          Files.readAllBytes(ckptPath(name, v)), StandardCharsets.UTF_8)))
+      else {
+        val m = MiniJson.obj(new String(
+          Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8))
+        m.get("base") match {
+          case None => parseFull(m)
+          case Some(b) => applyDelta(readManifest(name, b.asInstanceOf[Long]), m)
+        }
+      }
+    cacheManifest(name, v, resolved)
+    resolved
+  }
+
+  private def parsedStrs(m: Map[String, Any], k: String): Seq[String] =
+    m.getOrElse(k, Seq.empty).asInstanceOf[Seq[Any]].map(_.asInstanceOf[String])
+  private def parsedStrMap(m: Map[String, Any], k: String): Map[String, String] =
+    m.get(k).map(_.asInstanceOf[Map[String, Any]]
+      .map { case (key, v) => key -> v.asInstanceOf[String] })
       .getOrElse(Map.empty[String, String])
-    val cdf = m.get("cdf").exists(_.asInstanceOf[Boolean])
-    val dvs = m.get("dvs").map(_.asInstanceOf[Map[String, Any]]
+  private def parsedLongMap(m: Map[String, Any], k: String): Map[String, Long] =
+    m.get(k).map(_.asInstanceOf[Map[String, Any]]
+      .map { case (key, v) => key -> v.asInstanceOf[Long] })
+      .getOrElse(Map.empty[String, Long])
+  private def parsedDvs(m: Map[String, Any], k: String): Map[String, DvRef] =
+    m.get(k).map(_.asInstanceOf[Map[String, Any]]
       .map { case (d, v) =>
         val o = v.asInstanceOf[Map[String, Any]]
         d -> DvRef(o("path").asInstanceOf[String], o("deleted").asInstanceOf[Long])
       }).getOrElse(Map.empty[String, DvRef])
-    val props = m.get("props").map(_.asInstanceOf[Map[String, Any]]
-      .map { case (k, v) => k -> v.asInstanceOf[String] })
-      .getOrElse(Map.empty[String, String])
-    val colmap = m.get("colmap").map(_.asInstanceOf[Map[String, Any]]
-      .map { case (k, v) => k -> v.asInstanceOf[String] })
-      .getOrElse(Map.empty[String, String])
-    val rowbase = m.get("rowbase").map(_.asInstanceOf[Map[String, Any]]
-      .map { case (k, v) => k -> v.asInstanceOf[Long] })
-      .getOrElse(Map.empty[String, Long])
-    Manifest(schema, strs("dirs"), bucketing, stats, txns, strs("bloomcols"), checks,
-      cdf, dvs, props, colmap, strs("droppedcols"), rowbase)
+
+  private def parseFull(m: Map[String, Any]): Manifest = {
+    val bucketing = m.get("nbuckets").map(n =>
+      Bucketing(parsedStrs(m, "bucketkeys"), n.asInstanceOf[Long].toInt))
+    val schema = StructType.fromDDL(m("schema").asInstanceOf[String])
+    val stats = m.get("stats").map(DirStats.fromParsed(_, schema)).getOrElse(Map.empty)
+    Manifest(schema, parsedStrs(m, "dirs"), bucketing, stats,
+      parsedLongMap(m, "txns"), parsedStrs(m, "bloomcols"),
+      parsedStrMap(m, "checks"), m.get("cdf").exists(_.asInstanceOf[Boolean]),
+      parsedDvs(m, "dvs"), parsedStrMap(m, "props"), parsedStrMap(m, "colmap"),
+      parsedStrs(m, "droppedcols"), parsedLongMap(m, "rowbase"))
+  }
+
+  /** Overlay a delta record on its resolved base. The O(columns)
+    * fields come whole from the record; the O(dirs) maps apply their
+    * add/remove diffs. Dir order is reproduced exactly as committed:
+    * carried dirs in base order, then additions in commit order (the
+    * writer refused the delta encoding otherwise). */
+  private def applyDelta(base: Manifest, m: Map[String, Any]): Manifest = {
+    val bucketing = m.get("nbuckets").map(n =>
+      Bucketing(parsedStrs(m, "bucketkeys"), n.asInstanceOf[Long].toInt))
+    val schema = StructType.fromDDL(m("schema").asInstanceOf[String])
+    val dirdel = parsedStrs(m, "dirdel").toSet
+    val dirs = base.dirs.filterNot(dirdel) ++ parsedStrs(m, "diradd")
+    val stats = (base.stats -- parsedStrs(m, "statdel")) ++
+      m.get("statadd").map(DirStats.fromParsed(_, schema)).getOrElse(Map.empty)
+    val dvs = (base.dvs -- parsedStrs(m, "dvdel")) ++ parsedDvs(m, "dvset")
+    val rowbase = (base.rowbase -- parsedStrs(m, "rowbasedel")) ++
+      parsedLongMap(m, "rowbaseset")
+    Manifest(schema, dirs, bucketing, stats,
+      parsedLongMap(m, "txns"), parsedStrs(m, "bloomcols"),
+      parsedStrMap(m, "checks"), m.get("cdf").exists(_.asInstanceOf[Boolean]),
+      dvs, parsedStrMap(m, "props"), parsedStrMap(m, "colmap"),
+      parsedStrs(m, "droppedcols"), rowbase)
   }
 
   private def bucketOf(entry: String): Int =
@@ -1433,15 +1569,27 @@ class TableStore(spark: SparkSession, root: String) {
         }
       }
     }
-    // drop manifests older than the retained window (their data may be gone)
+    // drop manifests older than the retained window (their data may be
+    // gone). A retained DELTA record may chain to a base below the
+    // sweep line — checkpoint the oldest retained version first (while
+    // its chain still resolves) so every retained version reads
+    // through manifests the sweep keeps.
+    if (keepVersions.head > 0 && !Files.exists(ckptPath(name, keepVersions.head)))
+      writeCheckpoint(name, keepVersions.head, readManifest(name, keepVersions.head))
     val vDir = dir(name).resolve("_v")
     if (Files.isDirectory(vDir)) {
       val olds = Using.resource(Files.list(vDir))(_.iterator().asScala.toSeq)
         .filter { p =>
-          val n = p.getFileName.toString
-          n.endsWith(".json") && n.stripSuffix(".json").toLong < keepVersions.head
+          val n = p.getFileName.toString // "<v>.json" or "<v>.ckpt.json"
+          val num = n.takeWhile(_.isDigit)
+          (n.endsWith(".json") && num.nonEmpty && num.toLong < keepVersions.head) ||
+            // crashed checkpoint temp files (dot-prefixed), past the
+            // same in-flight age guard as the other write scratch
+            (n.startsWith(".ckpt") && Files.getLastModifiedTime(p).toMillis <
+              System.currentTimeMillis() - 3600L * 1000)
         }
       olds.foreach { p => Files.delete(p); deleted += p }
+      manifestCache.keySet.removeIf(k => k._1 == name && k._2 < keepVersions.head)
     }
     // bloom sidecars of dirs no retained version references
     deleted ++= BloomIndex.sweep(bloomRoot(name), live)
