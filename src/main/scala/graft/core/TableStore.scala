@@ -646,13 +646,25 @@ class TableStore(spark: SparkSession, root: String) {
     // readWithRowIds). Bases for files of dropped dirs are pruned so
     // the manifest stays O(live files).
     val m = if (!m2.props.contains(RowTrackingProp)) m2 else {
-      val liveFiles: Set[String] = m2.dirs.flatMap { d =>
+      // dirs are immutable: a carried dir's files are exactly its
+      // rowbase keys from the version it was committed under — only
+      // dirs with NO rowbase entry (just written, or live when
+      // tracking was enabled) need a filesystem listing. Keeps the
+      // commit O(new dirs), matching the delta manifest records.
+      val dirsWithBases: Set[String] =
+        m2.rowbase.keySet.map(_.split('/').dropRight(1).mkString("/"))
+      val liveDirSet = m2.dirs.toSet
+      val carried: Set[String] = m2.rowbase.keySet.filter { rel =>
+        liveDirSet.contains(rel.split('/').dropRight(1).mkString("/"))
+      }
+      val listed: Set[String] = m2.dirs.filterNot(dirsWithBases).flatMap { d =>
         val dp = dataRoot(name).resolve(d)
         if (!Files.isDirectory(dp)) Seq.empty
         else Using.resource(Files.list(dp))(_.iterator().asScala
           .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
           .map(f => s"$d/$f").toSeq)
       }.toSet
+      val liveFiles: Set[String] = carried ++ listed
       // footer reads only for files that don't have a base yet —
       // O(files just written) per commit, like stats collection
       val missingDirs = liveFiles.filterNot(m2.rowbase.contains)
