@@ -74,7 +74,12 @@ object QueriesLlm {
     * hashed-shingle sets; emits pairs at jaccard >= threshold. The
     * size-ratio prune (best possible jaccard is min/max when the
     * smaller set is contained in the larger) runs on the SAME joined
-    * row before the O(|set|) intersect — no separate sizes join. */
+    * row before the O(|set|) intersect — no separate sizes join.
+    * (Measured alternative, rejected: pruning candidates by the
+    * aggregate's overlap count + per-doc sizes before this join, and
+    * semi-joining `sets` to candidate docs, is ~40% SLOWER at sf0.1 —
+    * the intersect over packed long arrays is vectorized-cheap, while
+    * the extra joins/caches add stage barriers that dominate.) */
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
                           threshold: Double): DataFrame = {
     val ratio = lit(1.0 / threshold)
@@ -151,9 +156,14 @@ object QueriesLlm {
     * canonical_id) for every doc in some near-dup pair. Min-label
     * propagation; one shuffle join per iteration, lineage truncated
     * every 5 generations. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+        // localCheckpoint, not cache: the pair list is tiny (|near-dup
+        // pairs|) but its LINEAGE is the whole mining pipeline, and the
+        // loop below references it from every iteration's plan — an
+        // eager checkpoint truncates the lineage so no cache-lookup
+        // subtlety can ever silently re-run the mining per iteration
         val pairs = ngramJaccardPairs(s, dir)
-          .select(col("doc_a"), col("doc_b")).cache()
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
         val edges = pairs.unionByName(
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
         // gen = THE cached generation (what unpersist targets); comp =
@@ -164,6 +174,7 @@ object QueriesLlm {
         var iterations = 0
         var converged = false
         while (!converged && iterations < 20) {
+          val __t0 = System.nanoTime()
           val nbrMin = edges
             .join(comp.select(col("doc_id").as("doc_b"), col("canonical_id").as("nbr_label")),
               Seq("doc_b"))
@@ -186,6 +197,8 @@ object QueriesLlm {
           gen = next
           comp = next.select(col("doc_id"), col("canonical_id"))
           iterations += 1
+          if (sys.env.contains("GRAFT_PROFILE_CLUSTER"))
+            println(f"[profile]   iter $iterations ${(System.nanoTime() - __t0) / 1e9}%6.2f s converged=$converged")
         }
         edges.unpersist()
         pairs.unpersist()
