@@ -106,6 +106,11 @@ class GraftCatalog extends TableCatalog
     if (t == "history" && ident.namespace().length == 1 &&
         store.exists(ident.namespace()(0)))
       return new GraftHistoryTable(root, ident.namespace()(0))
+    // Iceberg-style metadata table: SELECT * FROM graft.<t>.files
+    // (per-dir file counts, bytes, manifest stats — DESCRIBE DETAIL)
+    if (t == "files" && ident.namespace().length == 1 &&
+        store.exists(ident.namespace()(0)))
+      return new GraftFilesTable(root, ident.namespace()(0))
     // row-id projection table: the table plus its stable `_row_id` as a
     // REAL column — the STREAMING surface for row tracking
     if (t == "rowids" && ident.namespace().length == 1 &&
@@ -971,6 +976,56 @@ class GraftHistoryTable(root: String, table: String)
           r.getInt(2), if (r.isNullAt(3)) null else r.getLong(3))
       }
       new GraftMetadataScan(schema(), rows, s"history of $table")
+    }
+}
+
+/** DESCRIBE DETAIL-style file inventory as a SQL metadata table:
+  *   SELECT * FROM graft.<t>.files
+  * One row per live manifest dir of the CURRENT version — file count,
+  * on-disk bytes (a filesystem listing, no file content read), the
+  * manifest's exact row count and per-column min/max/null stats
+  * (JSON), and the deletion-vector tombstone count. This is the
+  * operational view behind compaction/clustering decisions: small-file
+  * pressure, skew across dirs, stats coverage. */
+class GraftFilesTable(root: String, table: String)
+    extends Table with SupportsRead {
+  private def store = new TableStore(SparkSession.active, root)
+
+  override def name(): String = s"$table.files"
+  override def schema(): StructType = StructType(Seq(
+    StructField("dir", StringType),
+    StructField("n_files", IntegerType),
+    StructField("bytes", LongType),
+    StructField("rows", LongType),
+    StructField("dv_deleted", LongType),
+    StructField("column_stats", StringType)))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => {
+      val snap = store.snapshot(table)
+      val byDir = snap.filesByDir(store, table).toMap
+      val rows = snap.dirs.map { d =>
+        val fs = byDir.getOrElse(d, Seq.empty)
+        val bytes = fs.map(f => Files.size(Paths.get(f))).sum
+        val st = snap.stats.get(d)
+        val statsJson = st.map { s =>
+          s.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+            val parts = Seq(
+              cs.min.map(v => s""""min":"$v""""),
+              cs.max.map(v => s""""max":"$v""""),
+              cs.nulls.map(n => s""""nulls":$n""")).flatten
+            s""""$c":{${parts.mkString(",")}}"""
+          }.mkString("{", ",", "}")
+        }
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(d), fs.size,
+          bytes, st.map(_.rows).map(Long.box).orNull,
+          Long.box(snap.dvs.get(d).map(_.deleted).getOrElse(0L)),
+          statsJson.map(UTF8String.fromString).orNull)
+      }.toArray
+      new GraftMetadataScan(schema(), rows, s"file inventory of $table")
     }
 }
 

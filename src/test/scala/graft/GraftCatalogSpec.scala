@@ -358,4 +358,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(got === Seq((1L, "a", 10.0), (2L, "b", 20.0), (10L, "c", 31.0),
       (11L, "d", 40.0), (20L, "E", 500.0), (21L, "f", 60.0), (30L, "g", 70.0)))
   }
+
+  test(".files metadata table: per-dir inventory from manifest + listing") {
+    store.create("ft", (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    store.append("ft", (100L until 150L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    store.deleteVectorized("ft", org.apache.spark.sql.functions.col("id") < 10)
+    val inv = spark.sql(
+      "SELECT dir, n_files, bytes, rows, dv_deleted, column_stats FROM graft.ft.files")
+      .collect().sortBy(_.getString(0))
+    assert(inv.length === 2)
+    assert(inv.forall(_.getInt(1) === 1))
+    assert(inv.forall(_.getLong(2) > 0L), "bytes from the fs listing")
+    assert(inv.map(_.getLong(3)).toSeq === Seq(100L, 50L), "manifest row counts")
+    assert(inv.map(_.getLong(4)).toSeq === Seq(10L, 0L), "dv tombstones")
+    assert(inv.head.getString(5).contains("\"id\":{\"min\":\"0\",\"max\":\"99\""),
+      s"column stats json: ${inv.head.getString(5)}")
+    // planned as a LocalScan: zero data files read
+    val plan = spark.sql("SELECT * FROM graft.ft.files")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("metadata-only"),
+      s"expected local scan: $plan")
+  }
 }
