@@ -225,7 +225,8 @@ class RowTrackingSpec extends AnyFunSuite {
 
   test("model fuzz: ids stable for survivors across random mutation chains") {
     for (seed <- 1L to 3L) {
-      val ts = fresh()
+      val troot = Files.createTempDirectory("rowtrackfuzz").toString
+      val ts = new TableStore(spark, troot)
       val rnd = new scala.util.Random(seed)
       var nextKey = 201L
       ts.create("t", (1L to 200L).map(i => (i, i)).toDF("k", "x"))
@@ -255,7 +256,7 @@ class RowTrackingSpec extends AnyFunSuite {
         }
         check(op)
       }
-      for (step <- 1 to 14) rnd.nextInt(8) match {
+      for (step <- 1 to 14) rnd.nextInt(10) match {
         case 0 =>
           val rows = (nextKey until nextKey + 20).map(i => (i, i))
           nextKey += 20
@@ -299,7 +300,22 @@ class RowTrackingSpec extends AnyFunSuite {
         case 7 =>
           ts.optimizeByRange("t", Seq("k"), nDirs = rnd.nextInt(4) + 2)
           check(s"optimizeByRange@$step")
+        case 8 =>
+          // vacuum: content unchanged; exercises the manifest-log sweep
+          // (checkpoint-at-oldest-retained, chain-safe deletes). A COLD
+          // store must still resolve the head from disk afterwards.
+          ts.vacuum("t", retainVersions = rnd.nextInt(3) + 1)
+          check(s"vacuum@$step")
+          val cold = new TableStore(spark, troot)
+          assert(cold.readWithRowIds("t").count().toInt === model.size,
+            s"seed=$seed vacuum@$step: cold resolution drift")
+        case 9 =>
+          // vary the delta-chain shape for every subsequent commit
+          spark.conf.set("graft.manifest.checkpointInterval",
+            (rnd.nextInt(12) + 1).toString)
+          check(s"ckptInterval@$step")
       }
+      spark.conf.unset("graft.manifest.checkpointInterval")
     }
   }
 
