@@ -559,10 +559,43 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
   private var required: StructType = schema
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var topN: Option[(String, Boolean, Boolean, Int)] = None
+
+  /** OFFSET reaches the scan — the pagination partner of the LIMIT
+    * push: `LIMIT 10 OFFSET 10^9` on a 100 TB table skips whole dirs
+    * by manifest row count and opens only the boundary file. Returning
+    * true REMOVES the Offset from Spark's plan, so acceptance requires
+    * the scan to drop EXACTLY n live rows: every dir up to the
+    * boundary must have stats, and a mid-dir boundary is only exact
+    * when that dir holds a single file (the common case under
+    * optimized writes), whose reader then skips the remainder. */
+  override def pushOffset(n: Int): Boolean = {
+    // (streamSource is the CAPABILITY to stream, set on every catalog
+    // table — only batch scans reach pushOffset, so it is no bar here)
+    if (pushed.nonEmpty || topN.isDefined || bucketing.isDefined || n <= 0)
+      return false
+    var cum = 0L
+    dirFiles.foreach { case (d, fs) =>
+      val st = stats.getOrElse(d, return false)
+      val dv = fs.flatMap(dvByFile.get).map(_.length.toLong).sum
+      val liveRows = math.max(0L, st.rows - dv)
+      if (cum + liveRows <= n) cum += liveRows
+      else {
+        // boundary dir: remainder must be skippable within ONE file
+        if (n - cum > 0 && fs.size != 1) return false
+        offset = Some(n)
+        return true
+      }
+    }
+    // offset >= total rows: every dir drops, zero partitions planned
+    offset = Some(n)
+    true
+  }
   /** ORDER BY <col> LIMIT n reaches the scan: manifest [min,max] per
     * dir bound which dirs can hold the top-n, so a range-clustered
     * table answers a top-k from the few dirs at the edge of the sort
@@ -570,7 +603,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
     * scan returns. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         n: Int): Boolean = {
-    if (orders.length != 1) return false
+    if (orders.length != 1 || offset.isDefined) return false
     orders(0).expression() match {
       case fr: org.apache.spark.sql.connector.expressions.NamedReference
           if fr.fieldNames().length == 1 =>
@@ -650,7 +683,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
         dirsTotal = dirFiles.size, bucketing = bucketing,
         bloomPrune = bloomPrune, dvByFile = dvByFile,
         streamMaxVersions = streamMaxVersions, colmap = colmap,
-        rowBase = rowBase, limit = limit, topN = topN)
+        rowBase = rowBase, limit = limit, topN = topN, offset = offset)
   }
 }
 
@@ -667,7 +700,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
                 colmap: Map[String, String] = Map.empty,
                 rowBase: Map[String, Long] = Map.empty,
                 limit: Option[Int] = None,
-                topN: Option[(String, Boolean, Boolean, Int)] = None)
+                topN: Option[(String, Boolean, Boolean, Int)] = None,
+                offset: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -694,6 +728,9 @@ class GraftScan(fullSchema: StructType, required: StructType,
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // a pushed OFFSET owns the exact row drop — runtime pruning would
+    // change WHICH rows the skip lands on, so it is refused outright
+    if (offset.isDefined) return
     val before = live.size
     predicates.foreach { p =>
       GraftRuntimeValues.inValues(p).foreach { case (colName, values) =>
@@ -767,10 +804,14 @@ class GraftScan(fullSchema: StructType, required: StructType,
     * set. */
   private def limitScheduled: Seq[(String, Seq[String])] = limit match {
     case Some(n) if pushed.isEmpty && live.forall(df => stats.contains(df._1)) =>
+      // an accepted OFFSET consumes rows BEFORE the limit bites:
+      // schedule enough dirs to cover both (covers either push order —
+      // Spark pushes limit+offset combined or separately by plan shape)
+      val target = n.toLong + offset.map(_.toLong).getOrElse(0L)
       var cum = 0L
       val picked = Seq.newBuilder[(String, Seq[String])]
       live.foreach { df =>
-        if (cum < n) {
+        if (cum < target) {
           picked += df
           val dv = df._2.flatMap(dvByFile.get).map(_.length.toLong).sum
           cum += math.max(0L, stats(df._1).rows - dv)
@@ -832,13 +873,58 @@ class GraftScan(fullSchema: StructType, required: StructType,
     case Some((_, _, groups)) =>
       groups.map { case (b, fs) => GraftBucketInputPartition(b, fs,
         dvByFile.view.filterKeys(fs.contains).toMap): InputPartition }.toArray
-    case None => topNScheduled.getOrElse(limitScheduled).flatMap(_._2)
-      .map(f => GraftInputPartition(f,
-        dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
+    case None =>
+      val sched = topNScheduled.getOrElse(limitScheduled)
+      offset match {
+        case None => sched.flatMap(_._2)
+          .map(f => GraftInputPartition(f,
+            dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
+        case Some(o) =>
+          // drop whole leading dirs by live count; the boundary dir is
+          // a single file (the builder's acceptance condition) whose
+          // reader skips the remainder of the offset
+          var toSkip = o.toLong
+          val parts = Seq.newBuilder[InputPartition]
+          sched.foreach { case (d, fs) =>
+            if (toSkip == 0L)
+              fs.foreach(f => parts += GraftInputPartition(f,
+                dvByFile.getOrElse(f, Array.empty)))
+            else {
+              // stats exist through the boundary dir (the builder's
+              // acceptance condition); past it this branch never runs
+              val dv = fs.flatMap(dvByFile.get).map(_.length.toLong).sum
+              val liveRows = math.max(0L, stats(d).rows - dv)
+              if (toSkip >= liveRows) toSkip -= liveRows // dir fully skipped
+              else fs.foreach { f =>
+                parts += GraftInputPartition(f, dvByFile.getOrElse(f, Array.empty),
+                  skipLive = toSkip)
+                toSkip = 0L
+              }
+            }
+          }
+          parts.result().toArray
+      }
+  }
+  /** A mid-file OFFSET boundary reads through the row path; Spark
+    * refuses mixed row/columnar partitions in one scan, so the skip
+    * demotes the WHOLE scan (which an offset query has already pruned
+    * to the boundary + tail dirs). */
+  private def offsetNeedsRowPath: Boolean = offset.exists { o =>
+    var toSkip = o.toLong
+    live.foreach { case (d, fs) =>
+      if (toSkip > 0L) {
+        val dv = fs.flatMap(dvByFile.get).map(_.length.toLong).sum
+        val liveRows = math.max(0L,
+          stats.get(d).map(_.rows).getOrElse(return true) - dv)
+        if (toSkip >= liveRows) toSkip -= liveRows
+        else return true // mid-dir boundary -> a skip partition exists
+      }
+    }
+    false
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, fullSchema, pushed, colmap = colmap,
-      rowBase = rowBase)
+      rowBase = rowBase, forceRowPath = offsetNeedsRowPath)
   override def description(): String =
     s"graft parquet scan, ${files.size} files" +
       s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
@@ -849,6 +935,7 @@ class GraftScan(fullSchema: StructType, required: StructType,
       topN.filter(_ => bucketGroups.isEmpty).flatMap(t => topNScheduled.map(k =>
         s" (PushedTopN: ${t._1} ${if (t._2) "ASC" else "DESC"} ${t._4}" +
           s" -> ${k.size}/${live.size} dirs)")).getOrElse("") +
+      offset.map(o => s" (PushedOffset: $o)").getOrElse("") +
       s", PushedFilters: [${pushed.mkString(", ")}]"
 
   /** File-size statistics for the optimizer: lets Spark pick broadcast
@@ -1332,8 +1419,26 @@ class GraftMicroBatchStream(root: String, table: String,
 
 case class GraftInputPartition(file: String,
                                dvPositions: Array[Long] = Array.empty,
-                               ridBase: Long = Long.MinValue)
+                               ridBase: Long = Long.MinValue,
+                               skipLive: Long = 0L)
     extends InputPartition
+
+/** Drops the first `n` live rows of the wrapped reader — the boundary
+  * file of a pushed OFFSET (applied after deletion-vector skipping, so
+  * the skip counts the rows a reader would actually emit). */
+class GraftSkipRowsReader(inner: PartitionReader[InternalRow], n: Long)
+    extends PartitionReader[InternalRow] {
+  private var remaining = n
+  override def next(): Boolean = {
+    while (remaining > 0L) {
+      if (!inner.next()) return false
+      remaining -= 1L
+    }
+    inner.next()
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
 
 /** One hash bucket's files as a single input partition, keyed for
   * Spark's key-grouped (storage-partitioned) execution. */
@@ -1424,7 +1529,8 @@ object ColPhys {
 class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
                          pushed0: Array[Filter],
                          colmap: Map[String, String] = Map.empty,
-                         rowBase: Map[String, Long] = Map.empty)
+                         rowBase: Map[String, Long] = Map.empty,
+                         forceRowPath: Boolean = false)
     extends PartitionReaderFactory {
   // translate once at construction; everything below speaks physical
   private val required = ColPhys.schema(required0, colmap)
@@ -1456,9 +1562,11 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
           () => rowReader(f, dvs.getOrElse(f, Array.empty))))
       case p =>
         val gp = p.asInstanceOf[GraftInputPartition]
-        if (gp.ridBase != Long.MinValue)
-          rowReader(gp.file, gp.dvPositions, gp.ridBase)
-        else rowReader(gp.file, gp.dvPositions)
+        val r =
+          if (gp.ridBase != Long.MinValue)
+            rowReader(gp.file, gp.dvPositions, gp.ridBase)
+          else rowReader(gp.file, gp.dvPositions)
+        if (gp.skipLive > 0L) new GraftSkipRowsReader(r, gp.skipLive) else r
     }
 
   /** Batch reads decode through Spark's vectorized parquet reader
@@ -1471,7 +1579,8 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     * those files so the running row count is the file row index) —
     * DV'd hot files no longer demote the whole scan to the row path. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    GraftVectorized.enabled && !required.fieldNames.contains(GraftFileMeta.Name) &&
+    GraftVectorized.enabled && !forceRowPath &&
+      !required.fieldNames.contains(GraftFileMeta.Name) &&
       !required.fieldNames.contains(GraftPosMeta.Name) &&
       !required.fieldNames.contains(GraftRowIdMeta.Name)
 

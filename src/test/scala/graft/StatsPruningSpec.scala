@@ -202,6 +202,38 @@ class StatsPruningSpec extends AnyFunSuite {
       s"unexpected: $after")
   }
 
+  test("pushed OFFSET drops whole dirs and skips within the boundary file") {
+    val root = Files.createTempDirectory("offpush").toString
+    spark.conf.set("spark.sql.catalog.goff", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.goff.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("m", (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    ts.append("m", (100L until 200L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    ts.append("m", (200L until 300L).map(i => (i, s"r$i")).toDF("id", "v").coalesce(1))
+    def desc(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b }.head.scan.description()
+    // LIMIT+OFFSET: Spark pushes limit as l+o plus the offset itself
+    val q = "SELECT id FROM goff.m LIMIT 30 OFFSET 150"
+    assert(desc(q).contains("PushedOffset: 150"), s"unexpected: ${desc(q)}")
+    assert(spark.sql(q).as[Long].collect().toSet === (150L until 180L).toSet)
+    // standalone OFFSET pushes: dirs 0-1 fully dropped, dir 2's single
+    // file skips the remaining 95 rows
+    val q2 = "SELECT id FROM goff.m OFFSET 295"
+    assert(desc(q2).contains("PushedOffset: 295"), s"unexpected: ${desc(q2)}")
+    assert(spark.sql(q2).as[Long].collect().toSet === (295L until 300L).toSet)
+    // offset beyond the table: zero rows, zero partitions
+    assert(spark.sql("SELECT id FROM goff.m OFFSET 500").count() === 0)
+    // deletion vectors shift live counts: delete 10 rows of dir 0, the
+    // same OFFSET now reaches 10 rows further into the data
+    ts.deleteVectorized("m", org.apache.spark.sql.functions.col("id") < 10)
+    assert(spark.sql("SELECT id FROM goff.m OFFSET 285").as[Long]
+      .collect().toSet === (295L until 300L).toSet)
+    // un-pushable shapes still answer correctly (filter present)
+    assert(spark.sql("SELECT id FROM goff.m WHERE id >= 10 OFFSET 285").as[Long]
+      .collect().toSet === (295L until 300L).toSet)
+  }
+
   test("COUNT/MIN/MAX without WHERE are metadata-only (zero files read)") {
     val root = Files.createTempDirectory("statsagg").toString
     spark.conf.set("spark.sql.catalog.gagg", "graft.sources.GraftCatalog")
