@@ -469,6 +469,26 @@ object QueriesCorpus {
              |        JOIN sizes sa ON ca = sa.doc_id JOIN sizes sb ON bb = sb.doc_id
              |        WHERE i / (sa.n + sb.n - i) >= 0.5)
              |SELECT DISTINCT doc_id FROM sh
-             |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT bb FROM dup)""".stripMargin))
+             |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT bb FROM dup)""".stripMargin)),
+
+    // ---- x11: seeded deterministic corpus shuffle + sharding — the
+    //      global-shuffle step before training serialization. md5-keyed
+    //      permutation (replayable anywhere md5 exists — the oracle IS
+    //      the proof), 16 balanced shards from the key's last nibble,
+    //      within-shard order via a PER-SHARD window (no global sort). ----
+    "x11_shuffle_shards" -> QDef(
+      (s, dir) => graft.ops.Corpus.shuffleShards(
+        Tables.documents(s, dir).select(col("doc_id")), col("doc_id"), 42L),
+      Some("""WITH s AS (SELECT doc_id,
+             |             md5(CAST(doc_id AS VARCHAR) || ':42') AS skey
+             |           FROM documents),
+             |sh AS (SELECT doc_id, skey,
+             |         CAST(strpos('0123456789abcdef', substr(skey, 32, 1)) - 1
+             |              AS INT) AS shard
+             |       FROM s)
+             |SELECT doc_id, skey, shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+             |                          ORDER BY skey, doc_id) AS BIGINT) AS shard_pos
+             |FROM sh""".stripMargin))
   )
 }

@@ -85,4 +85,23 @@ object Corpus {
       .withColumn("bin", floor(col("stream_start") / budget))
       .select(col(idCol), col("__n").as("n_tokens"), col("stream_start"), col("bin"))
   }
+
+  /** Seeded deterministic corpus shuffle into ordered shards — the
+    * "global shuffle" step before training-data serialization. Each
+    * row's shuffle key is md5(id || ':' || seed): a uniform, replayable
+    * permutation (same family as [[inclusionHash]] — never rand()).
+    * Shard = the key's last hex nibble (16 balanced shards; compose
+    * more nibbles for wider fan-out at larger scale), and `shard_pos`
+    * orders rows WITHIN their shard by key — a per-shard window, so the
+    * sort parallelizes across shards instead of one global ORDER BY.
+    * Re-runs, executor counts, and partitioning can never change the
+    * output: (shard, shard_pos) is a pure function of (id, seed). */
+  def shuffleShards(df: DataFrame, idCol: Column, seed: Long): DataFrame = {
+    val sharded = df
+      .withColumn("skey", md5(concat(idCol.cast("string"), lit(s":$seed"))))
+      .withColumn("shard",
+        expr("instr('0123456789abcdef', substring(skey, 32, 1)) - 1").cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), idCol)
+    sharded.withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
 }

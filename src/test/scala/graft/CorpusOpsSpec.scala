@@ -87,4 +87,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     // exact quota per group
     assert(qa.groupBy("grp").count().collect().forall(_.getLong(1) === 10))
   }
+
+  test("shuffleShards: partition-count invariant, balanced, seed-sensitive") {
+    val docs = (1L to 4000L).toDF("id")
+    def run(parts: Int): Map[Long, (Int, Long)] =
+      graft.ops.Corpus.shuffleShards(docs.repartition(parts), col("id"), 7L)
+        .select(col("id"), col("shard"), col("shard_pos"))
+        .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val a = run(1)
+    assert(a === run(32), "sharding must not depend on physical partitioning")
+    // balance: uniform hash nibble -> every shard within 2x of the mean
+    val sizes = a.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.size === 16)
+    assert(sizes.values.max < 2 * 250 && sizes.values.min > 250 / 2, s"skew: $sizes")
+    // positions are a dense 1..n permutation within each shard
+    a.values.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).toSeq.sorted === (1L to rows.size).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // a different seed is a genuinely different permutation
+    val b = graft.ops.Corpus.shuffleShards(docs, col("id"), 8L)
+      .select(col("id"), col("shard")).as[(Long, Int)].collect().toMap
+    assert(a.count { case (id, (sh, _)) => b(id) == sh } < 1000,
+      "seed change must reshuffle most rows")
+  }
 }
