@@ -296,6 +296,31 @@ object QueriesMutation {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'""".stripMargin)),
 
+    // ---- TopN pushdown: ORDER BY <clustered col> LIMIT n on a range-
+    //      clustered table keeps only the dirs whose [min,max] can hold
+    //      the top-n (SupportsPushDownTopN partial push — Spark's TakeOrdered
+    //      still runs on what the scan returns, so results are exact).
+    //      Both sort directions probe opposite edges of the layout.
+    //      StatsPruningSpec asserts the k/m-dirs plan shape; this query
+    //      gates the RESULTS. (OFFSET pushdown is spec-only: a pushed
+    //      offset applies to the scan's physical order, which no
+    //      engine-independent oracle can name.) ----
+    "sql_topn_page" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "paged")
+        st.create("paged", Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        st.optimizeByRange("paged", Seq("o_orderkey"), 4)
+        s.sql("""SELECT o_orderkey, o_totalprice FROM graft.paged
+                |ORDER BY o_orderkey LIMIT 100""".stripMargin)
+          .unionByName(s.sql(
+            """SELECT o_orderkey, o_totalprice FROM graft.paged
+              |ORDER BY o_orderkey DESC LIMIT 50""".stripMargin))
+      },
+      Some("""(SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100)
+             |UNION ALL
+             |(SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 50)""".stripMargin)),
+
     // ---- Metadata-only aggregates: COUNT/MIN/MAX with no WHERE answered
     //      from the manifest, zero files read (MetadataAggregate; the
     //      reference's watermark MAX() before every incremental load is
