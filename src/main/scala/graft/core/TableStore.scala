@@ -1714,23 +1714,21 @@ class TableStore(spark: SparkSession, root: String) {
     df.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
-  /** Throw if source has >1 row per key — the reference relies on Delta's
-    * DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE (M6). */
-  private def requireUniqueSource(source: DataFrame, keys: Seq[String]): Unit = {
-    val dups = source.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
-    require(dups == 0, s"MERGE source is not unique on (${keys.mkString(",")})")
-  }
-
   /** Bucket-pruned target split: (affected dirs' rows, carried dirs).
     * Prunable when the table is bucketed and the bucket keys are a
     * subset of the operation's keys (so every source row's bucket is
-    * known). Falls back to full-table rewrite otherwise. */
+    * known). Falls back to full-table rewrite otherwise. `precomputed`
+    * hands in the source's distinct bucket ids when the caller already
+    * paid a pass over the source (mergeUpsert's combined gate). */
   private def pruneByKeys(name: String, m: Manifest, source: DataFrame,
-                          keys: Seq[String]): (DataFrame, Seq[String], Option[Bucketing]) =
+                          keys: Seq[String],
+                          precomputed: Option[Set[Int]] = None)
+      : (DataFrame, Seq[String], Option[Bucketing]) =
     m.bucketing match {
       case Some(b) if b.keys.forall(keys.contains) && m.dirs.forall(_.contains("/__b=")) =>
-        val srcBuckets = source.select(b.expr.as("__b")).distinct()
-          .collect().map(_.getInt(0)).toSet
+        val srcBuckets = precomputed.getOrElse(
+          source.select(b.expr.as("__b")).distinct()
+            .collect().map(_.getInt(0)).toSet)
         val (affected, carried) = m.dirs.partition(e => srcBuckets.contains(bucketOf(e)))
         (rewriteSource(name, m, affected), carried, m.bucketing)
       case other => (rewriteSource(name, m, m.dirs), Seq.empty, other)
@@ -1750,8 +1748,25 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     import m.{schema, dirs, bucketing}
     val src = conform(source, schema)
-    if (verifyUniqueSource) requireUniqueSource(src, keys)
-    val (target, carried, b) = pruneByKeys(name, m, src, keys)
+    // ONE pass over the source serves BOTH the M6 uniqueness gate and
+    // the bucket prune's distinct bucket ids (a bucket is a pure
+    // function of the group's keys) — previously two separate jobs,
+    // each a full source scan, on every merge
+    val prunable = m.bucketing.filter(bb =>
+      bb.keys.forall(keys.contains) && m.dirs.forall(_.contains("/__b=")))
+    val srcBuckets: Option[Set[Int]] =
+      if (!verifyUniqueSource && prunable.isEmpty) None
+      else {
+        val aggs = Seq(max(col("__c")).as("__mx")) ++
+          prunable.map(bb => collect_set(bb.expr).as("__bks"))
+        val row = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+          .select(aggs: _*).collect()(0)
+        if (verifyUniqueSource)
+          require(row.isNullAt(0) || row.getLong(0) <= 1L,
+            s"MERGE source is not unique on (${keys.mkString(",")})")
+        prunable.map(_ => row.getSeq[Int](1).toSet)
+      }
+    val (target, carried, b) = pruneByKeys(name, m, src, keys, srcBuckets)
     val dataCols = schema.map(_.name).filterNot(keys.contains)
     val s = src.select(
       keys.map(col) ++ dataCols.map(c => col(c).as(s"__s_$c"))
