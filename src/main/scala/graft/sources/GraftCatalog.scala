@@ -954,6 +954,51 @@ class GraftScan(fullSchema: StructType, required: StructType,
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
       rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    // column-level statistics for the cost-based optimizer: per-dir
+    // manifest [min,max,nulls] fold into table bounds — with
+    // spark.sql.cbo + planStats enabled, join reorder and broadcast
+    // decisions see real value ranges instead of guessing. Only
+    // columns every live dir has reliable stats for are reported.
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (!live.forall(df => stats.contains(df._1))) return out
+      val dirStats = live.map(df => stats(df._1))
+      fullSchema.fields.foreach { f =>
+        val per = dirStats.map(ds => ds.cols.get(f.name).map(ds -> _))
+        if (per.forall(_.isDefined)) {
+          val cs = per.map(_.get)
+          // a bound is known when every dir either carries it or is
+          // provably all-null for the column (contributes no values)
+          val boundsOk = cs.forall { case (ds, c) =>
+            c.min.isDefined || c.nulls.contains(ds.rows) }
+          val mins = cs.flatMap(_._2.min)
+          val maxs = cs.flatMap(_._2.max)
+          val nulls = cs.map(_._2.nulls)
+          val st = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              if (!boundsOk || mins.isEmpty) java.util.Optional.empty()
+              else java.util.Optional.of(MetadataAggregate.internal(
+                mins.reduce((a, b) => if (graft.core.DirStats.lt(a, b)) a else b),
+                f.dataType).asInstanceOf[Object])
+            override def max(): java.util.Optional[Object] =
+              if (!boundsOk || maxs.isEmpty) java.util.Optional.empty()
+              else java.util.Optional.of(MetadataAggregate.internal(
+                maxs.reduce((a, b) => if (graft.core.DirStats.lt(a, b)) b else a),
+                f.dataType).asInstanceOf[Object])
+            override def nullCount(): java.util.OptionalLong =
+              if (nulls.exists(_.isEmpty)) java.util.OptionalLong.empty()
+              else java.util.OptionalLong.of(nulls.flatten.sum)
+          }
+          out.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(f.name), st)
+        }
+      }
+      out
+    }
   }
 
   /** Structured-streaming face of a store table: each committed version

@@ -101,7 +101,7 @@ object MetadataAggregate {
     else Some(vs.reduce((a, b) =>
       if (graft.core.DirStats.lt(a, b) == isMin) a else b))
 
-  private def internal(v: Any, dt: DataType): Any = (v, dt) match {
+  private[sources] def internal(v: Any, dt: DataType): Any = (v, dt) match {
     case (s: String, _) => UTF8String.fromString(s)
     // manifest holds decimals as unscaled longs; InternalRow wants Decimal
     case (l: Long, d: DecimalType) => Decimal.createUnsafe(l, d.precision, d.scale)

@@ -234,6 +234,35 @@ class StatsPruningSpec extends AnyFunSuite {
       .collect().toSet === (295L until 300L).toSet)
   }
 
+  test("manifest column stats feed the cost-based optimizer") {
+    val root = Files.createTempDirectory("cbostats").toString
+    spark.conf.set("spark.sql.catalog.gcbo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcbo.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("c", (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v"))
+    ts.append("c", Seq((100L, null.asInstanceOf[String]), (199L, "z")).toDF("id", "v"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      val rel = spark.sql("SELECT id, v FROM gcbo.c").queryExecution.optimizedPlan
+        .collect { case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r }
+        .head
+      val st = rel.stats
+      assert(st.rowCount.contains(BigInt(102)))
+      val idStat = st.attributeStats.collectFirst {
+        case (a, cs) if a.name == "id" => cs }.get
+      assert(idStat.min.contains(0L) && idStat.max.contains(199L),
+        s"id bounds: ${idStat.min} .. ${idStat.max}")
+      assert(idStat.nullCount.contains(BigInt(0)))
+      val vStat = st.attributeStats.collectFirst {
+        case (a, cs) if a.name == "v" => cs }.get
+      assert(vStat.nullCount.contains(BigInt(1)), s"v nulls: ${vStat.nullCount}")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.planStats.enabled")
+    }
+  }
+
   test("COUNT/MIN/MAX without WHERE are metadata-only (zero files read)") {
     val root = Files.createTempDirectory("statsagg").toString
     spark.conf.set("spark.sql.catalog.gagg", "graft.sources.GraftCatalog")
