@@ -1548,6 +1548,13 @@ class TableStore(spark: SparkSession, root: String) {
     val keepVersions = (math.max(0L, cur - retainVersions + 1) to cur)
     val live: Set[String] =
       keepVersions.flatMap(v => readManifest(name, v).dirs).toSet
+    // every dir ANY still-on-disk manifest references (live or
+    // superseded history) — the complement is crash scratch or a
+    // commit in flight, which only age distinguishes
+    val referenced: Set[String] =
+      (0L to cur).flatMap(v =>
+        if (!Files.exists(manifest(name, v))) Nil
+        else readManifest(name, v).dirs).toSet
     val dataDir = dataRoot(name)
     val deleted = Seq.newBuilder[Path]
     if (Files.isDirectory(dataDir)) {
@@ -1565,6 +1572,16 @@ class TableStore(spark: SparkSession, root: String) {
           }
         }
         else if (live.contains(topName)) () // whole unbucketed batch still live
+        // a batch dir no manifest references is EITHER an aged crash
+        // leftover OR an IN-FLIGHT write whose manifest hasn't committed
+        // yet (data lands under data/ BEFORE commitManifest) — the same
+        // >1h age guard as the dot-dir scratch keeps a concurrent vacuum
+        // from yanking a commit-in-progress's files. Dirs some OLD
+        // manifest references are superseded history: swept immediately.
+        else if (!referenced.contains(topName) &&
+            !referenced.exists(_.startsWith(s"$topName/")) &&
+            Files.getLastModifiedTime(top).toMillis >=
+              System.currentTimeMillis() - 3600L * 1000) ()
         else {
           val liveLeaves = live.filter(_.startsWith(s"$topName/"))
           if (liveLeaves.isEmpty) {

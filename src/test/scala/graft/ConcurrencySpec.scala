@@ -67,4 +67,33 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ts.read("t").count() === 11)
     assert(ts.currentVersion("t") === 10) // every append got its own version
   }
+
+  test("vacuum racing live writers never breaks a commit") {
+    val ts = freshStore()
+    ts.create("t", Seq((0L, 0L)).toDF("id", "x"))
+    val root = ts.dataRoot("t").getParent.getParent.toString
+    def writer(offset: Long): Future[Unit] = Future {
+      val mine = new TableStore(spark, root)
+      (1L to 6L).foreach(i =>
+        mine.append("t", Seq((offset + i, i)).toDF("id", "x")))
+    }
+    val sweeper: Future[Unit] = Future {
+      val mine = new TableStore(spark, root)
+      (1 to 8).foreach { _ =>
+        Thread.sleep(150)
+        mine.vacuum("t", retainVersions = 2)
+      }
+    }
+    Await.result(
+      Future.sequence(Seq(writer(100L), writer(200L), writer(300L), sweeper)),
+      180.seconds)
+    // every append landed and is READABLE: a vacuum that yanked an
+    // in-flight batch dir would surface here as a missing-file scan
+    val got = ts.read("t").as[(Long, Long)].collect().map(_._1).toSet
+    assert(got === (Set(0L) ++ (1L to 6L).flatMap(i =>
+      Seq(100L + i, 200L + i, 300L + i))), s"lost rows: $got")
+    assert(ts.currentVersion("t") === 18)
+    // and a cold store still resolves the (vacuumed) manifest chain
+    assert(new TableStore(spark, root).read("t").count() === 19)
+  }
 }
