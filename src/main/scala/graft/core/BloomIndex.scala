@@ -198,14 +198,25 @@ object BloomIndex {
   }
 
   /** Delete bloom files not belonging to any live dir (vacuum hook). */
-  def sweep(bloomRoot: Path, liveDirs: Set[String]): Seq[Path] = {
+  /** Sidecars of dirs outside `liveDirs` are swept — immediately when
+    * some on-disk manifest still names the dir (`referencedDirs`:
+    * superseded history), but with a >1h age guard when NO manifest
+    * does: blooms are written during commitManifest BEFORE the
+    * manifest lands, so a young unreferenced sidecar may belong to a
+    * commit in flight (the same guard every other write scratch has). */
+  def sweep(bloomRoot: Path, liveDirs: Set[String],
+            referencedDirs: Set[String] = Set.empty): Seq[Path] = {
     if (!Files.isDirectory(bloomRoot)) return Seq.empty
     val livePrefixes = liveDirs.map(d => enc(d) + ".")
+    val refPrefixes = referencedDirs.map(d => enc(d) + ".")
     val all = Using.resource(Files.list(bloomRoot))(s =>
       scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala.toSeq)
     val doomed = all.filter { p =>
       val n = p.getFileName.toString
-      n.endsWith(".bloom") && !livePrefixes.exists(n.startsWith)
+      n.endsWith(".bloom") && !livePrefixes.exists(n.startsWith) &&
+        (refPrefixes.exists(n.startsWith) ||
+          Files.getLastModifiedTime(p).toMillis <
+            System.currentTimeMillis() - 3600L * 1000)
     }
     doomed.foreach(Files.deleteIfExists(_))
     doomed

@@ -1621,7 +1621,7 @@ class TableStore(spark: SparkSession, root: String) {
       manifestCache.keySet.removeIf(k => k._1 == name && k._2 < keepVersions.head)
     }
     // bloom sidecars of dirs no retained version references
-    deleted ++= BloomIndex.sweep(bloomRoot(name), live)
+    deleted ++= BloomIndex.sweep(bloomRoot(name), live, referenced)
     // deletion-vector sidecars no retained manifest references — with
     // the same >1h age guard as the dot-dir scratch above: an
     // unreferenced _dv entry may be tmpdel-/tmpupd- staging of an
