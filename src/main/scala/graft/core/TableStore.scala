@@ -1345,8 +1345,11 @@ class TableStore(spark: SparkSession, root: String) {
     * ONE MANIFEST DIR PER POST-SHUFFLE PARTITION (narrow disjoint stats
     * per dir), collect fresh stats, commit. Drops any helper columns the
     * clustering added (only schema columns are written). */
-  private def clusterRewrite(name: String, m: Manifest, clustered: DataFrame): Unit = {
-    val v = currentVersion(name) + 1
+  /** Write one range-clustered batch for version v; returns its leaf
+    * dirs + their footer stats (the caller commits). */
+  private def writeClusteredBatch(name: String, m: Manifest,
+                                  clustered: DataFrame, v: Long)
+      : (Seq[String], Map[String, DirStats]) = {
     val batch = f"b$v%09d-" + java.util.UUID.randomUUID.toString.take(8)
     val target = dir(name).resolve("data").resolve(batch)
     // __r = physical range id: constant per post-range-shuffle partition,
@@ -1367,9 +1370,80 @@ class TableStore(spark: SparkSession, root: String) {
       leaves.par.flatMap(l =>
         DirStats.collect(dir(name).resolve("data").resolve(l), m.physSchema)
           .map(m.statsToLogical).map(l -> _)).toMap.seq }
+    (leaves, stats)
+  }
+
+  private def clusterRewrite(name: String, m: Manifest, clustered: DataFrame): Unit = {
+    val v = currentVersion(name) + 1
+    val (leaves, stats) = writeClusteredBatch(name, m, clustered, v)
     commitManifest(name, v,
       m.copy(dirs = leaves, bucketing = None, stats = stats))
     markNoLogicalChange(name)
+  }
+
+  /** INCREMENTAL re-clustering (the OPTIMIZE cadence a 100 TB table can
+    * actually afford): recluster ONLY the dirs whose [min,max] ranges
+    * on `c` overlap some other dir's range — after appends to a range-
+    * clustered table that is exactly the accreted tail — and carry
+    * every already-disjoint dir untouched. Each overlap group rewrites
+    * into as many range-sorted dirs as it had (so granularity is
+    * stable), groups land in ONE commit, and a fully-clustered table
+    * is a no-op. All-null dirs are trivially disjoint and carried;
+    * any dir without reliable stats forces the full rewrite (rare —
+    * footers always yield stats for supported types). Returns the
+    * number of dirs rewritten. */
+  def optimizeIncrementalByRange(name: String, c: String): Int = {
+    val m = readManifest(name, currentVersion(name))
+    require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)), s"no such column: $c")
+    require(m.bucketing.isEmpty,
+      "incremental clustering applies to range-clustered (unbucketed) tables")
+    final case class B(dir: String, mn: Any, mx: Any)
+    val known = Seq.newBuilder[B]
+    var unknown = List.empty[String]
+    m.dirs.foreach { d =>
+      val st = m.stats.get(d)
+      val cs = st.flatMap(_.cols.get(c))
+      (cs.flatMap(_.min), cs.flatMap(_.max)) match {
+        case (Some(mn), Some(mx)) => known += B(d, mn, mx)
+        case _ if cs.exists(s => s.nulls.exists(n => st.exists(_.rows == n))) =>
+          () // all-null dir: no value range, can't overlap — carried
+        case _ => unknown ::= d
+      }
+    }
+    if (unknown.nonEmpty) {
+      // unknown ranges could overlap anything: degenerate to the full
+      // rewrite (and regain stats for every dir)
+      optimizeByRange(name, Seq(c), math.max(1, m.dirs.size))
+      return m.dirs.size
+    }
+    // interval sweep: group dirs whose value ranges overlap
+    val sorted = known.result().sortWith((a, b) => DirStats.lt(a.mn, b.mn))
+    val groups = Seq.newBuilder[Seq[B]]
+    var cur = List.empty[B]
+    sorted.foreach { b =>
+      if (cur.isEmpty || DirStats.lte(b.mn, cur.map(_.mx).reduce(
+          (x, y) => if (DirStats.lt(x, y)) y else x)))
+        cur ::= b
+      else { groups += cur.reverse; cur = List(b) }
+    }
+    if (cur.nonEmpty) groups += cur.reverse
+    val (overlap, disjoint) = groups.result().partition(_.size >= 2)
+    if (overlap.isEmpty) return 0
+    val v = currentVersion(name) + 1
+    val rewritten = overlap.flatMap(_.map(_.dir))
+    val newParts = overlap.map { g =>
+      writeClusteredBatch(name, m,
+        rewriteSource(name, m, g.map(_.dir))
+          .repartitionByRange(g.size, col(c))
+          .sortWithinPartitions(col(c)), v)
+    }
+    val carried = m.dirs.filterNot(rewritten.toSet)
+    commitManifest(name, v, m.copy(
+      dirs = carried ++ newParts.flatMap(_._1),
+      stats = m.stats.view.filterKeys(carried.toSet).toMap ++
+        newParts.flatMap(_._2)))
+    markNoLogicalChange(name)
+    rewritten.size
   }
 
   /** ALTER TABLE ADD COLUMN (manual schema evolution —

@@ -28,7 +28,8 @@ import graft.core.TableStore
 object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "compact", "restore",
-    "optimize_range", "optimize_zorder", "set_bloom_columns", "history",
+    "optimize_range", "optimize_zorder", "optimize_incremental",
+    "set_bloom_columns", "history",
     "set_change_feed", "delete_vectorized", "update_vectorized", "clone",
     "compact_where", "compact_small", "enable_row_tracking")
 
@@ -111,6 +112,13 @@ object GraftProcedures {
         val t = in.getUTF8String(0).toString
         store.optimizeByZOrder(t, cols(in.getUTF8String(1).toString), in.getInt(2))
         result(t, store.liveDirCount(t).toLong)
+      }
+      case "optimize_incremental" => bound(Seq(param("table", StringType),
+          param("column", StringType))) { in =>
+        val t = in.getUTF8String(0).toString
+        // rewrites only the overlapping tail; 0 = already clustered
+        result(t, store.optimizeIncrementalByRange(
+          t, in.getUTF8String(1).toString).toLong)
       }
       case "set_bloom_columns" => bound(Seq(param("table", StringType),
           param("columns", StringType))) { in =>

@@ -78,4 +78,20 @@ class ProcedureSpec extends AnyFunSuite {
       .as[(Long, String, Option[Long])].collect().toSet
     assert(chId === Set((11L, "delete", Some(ids(11L)))))
   }
+
+  test("optimize_incremental via CALL reclusters only the overlap") {
+    val root = Files.createTempDirectory("procinc").toString
+    spark.conf.set("spark.sql.catalog.ginc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ginc.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (0L until 3000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    ts.optimizeByRange("t", Seq("k"), 3)
+    ts.append("t", (1200L until 1300L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    val r = spark.sql("CALL ginc.system.optimize_incremental('t', 'k')").head()
+    assert(r.getString(0) === "t")
+    assert(r.getLong(1) === 2L, s"expected 2 dirs rewritten, got ${r.getLong(1)}")
+    assert(spark.sql("CALL ginc.system.optimize_incremental('t', 'k')")
+      .head().getLong(1) === 0L)
+    assert(ts.read("t").count() === 3100)
+  }
 }

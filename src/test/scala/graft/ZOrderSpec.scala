@@ -69,4 +69,34 @@ class ZOrderSpec extends AnyFunSuite {
       ts.optimizeByZOrder("t", Seq("id", "missing"), 4)
     }
   }
+
+  test("optimizeIncrementalByRange reclusters only the overlapping tail") {
+    val ts = new TableStore(spark, Files.createTempDirectory("increcluster").toString)
+    ts.create("t", (0L until 9000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    ts.optimizeByRange("t", Seq("k"), 3) // disjoint thirds
+    val clustered = ts.liveDirs("t")
+    assert(clustered.size === 3)
+    // a fully clustered table is a no-op (and commits nothing)
+    val vBefore = ts.currentVersion("t")
+    assert(ts.optimizeIncrementalByRange("t", "k") === 0)
+    assert(ts.currentVersion("t") === vBefore)
+    // two appends overlapping ONLY the middle third
+    ts.append("t", (3500L until 3600L).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    ts.append("t", (4000L until 4100L).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    val before = ts.read("t").as[(Long, String)].collect().toSet
+    val n = ts.optimizeIncrementalByRange("t", "k")
+    // the middle dir + both appended dirs rewrite; the outer thirds carry
+    assert(n === 3, s"rewrote $n dirs")
+    val after = ts.liveDirs("t")
+    assert(after.toSet.intersect(clustered.toSet).size === 2,
+      "disjoint dirs must be carried untouched")
+    assert(ts.read("t").as[(Long, String)].collect().toSet === before)
+    // the result is fully clustered again: a second pass is a no-op,
+    // and a point predicate prunes to one dir
+    assert(ts.optimizeIncrementalByRange("t", "k") === 0)
+    val snap = ts.snapshot("t")
+    val hit = StatsPruning.liveDirs(snap.dirs, snap.stats,
+      ts.read("t").schema, Seq(EqualTo("k", 3550L)))
+    assert(hit.size === 1, s"expected 1 dir for a point key, got ${hit.size}")
+  }
 }
