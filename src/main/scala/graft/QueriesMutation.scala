@@ -305,6 +305,23 @@ object QueriesMutation {
     //      gates the RESULTS. (OFFSET pushdown is spec-only: a pushed
     //      offset applies to the scan's physical order, which no
     //      engine-independent oracle can name.) ----
+    // ---- Incremental re-clustering: range-cluster, append an
+    //      overlapping slice, recluster ONLY the overlap
+    //      (optimizeIncrementalByRange) — the oracle proves the commit
+    //      preserved every row through the partial rewrite. ----
+    "m13_incremental_cluster" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "increc")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        st.create("increc", orders.filter(col("o_orderkey") % 3 =!= 0))
+        st.optimizeByRange("increc", Seq("o_orderkey"), 4)
+        st.append("increc", orders.filter(col("o_orderkey") % 3 === 0))
+        st.optimizeIncrementalByRange("increc", "o_orderkey")
+        s.sql("SELECT o_orderkey, o_totalprice FROM graft.increc")
+      },
+      Some("SELECT o_orderkey, o_totalprice FROM orders")),
+
     "sql_topn_page" -> QDef(
       (s, dir) => {
         val st = sqlCatalogStore(s, "paged")
