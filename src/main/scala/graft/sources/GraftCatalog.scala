@@ -596,14 +596,18 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
     offset = Some(n)
     true
   }
-  /** ORDER BY <col> LIMIT n reaches the scan: manifest [min,max] per
-    * dir bound which dirs can hold the top-n, so a range-clustered
-    * table answers a top-k from the few dirs at the edge of the sort
-    * order. Partial push — Spark's own TopSort still runs on what the
-    * scan returns. */
+  /** ORDER BY <col>[, tiebreaks...] LIMIT n reaches the scan: manifest
+    * [min,max] per dir bound which dirs can hold the top-n, so a
+    * range-clustered table answers a top-k from the few dirs at the
+    * edge of the sort order. Scheduling needs only the LEADING sort
+    * column — any row whose leading value lies strictly beyond the
+    * bound ranks lexicographically below >= n rows whatever the
+    * tie-breakers say, and boundary ties are kept (<= / >= bound
+    * comparisons). Partial push — Spark's own TopSort still runs on
+    * what the scan returns. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         n: Int): Boolean = {
-    if (orders.length != 1 || offset.isDefined) return false
+    if (orders.length < 1 || offset.isDefined) return false
     orders(0).expression() match {
       case fr: org.apache.spark.sql.connector.expressions.NamedReference
           if fr.fieldNames().length == 1 =>

@@ -188,6 +188,13 @@ class StatsPruningSpec extends AnyFunSuite {
       s"unexpected: ${desc(dsc)}")
     assert(spark.sql(dsc).as[(Long, String)].collect().map(_._1).toSeq ===
       (299L to 150L by -1L))
+    // tie-breaker columns don't block the push: scheduling on the
+    // leading column alone is sound for lexicographic order
+    val multi = "SELECT id, v FROM gtop.m ORDER BY id, v DESC LIMIT 50"
+    assert(desc(multi).contains("PushedTopN: id ASC 50 -> 1/3 dirs"),
+      s"unexpected: ${desc(multi)}")
+    assert(spark.sql(multi).as[(Long, String)].collect().map(_._1).toSeq ===
+      (0L until 50L))
     // a dir carrying nulls always stays (it wins under NULLS FIRST)
     ts.append("m", Seq(Tuple1("n1")).toDF("v")
       .select(org.apache.spark.sql.functions.lit(null).cast("bigint").as("id"),
