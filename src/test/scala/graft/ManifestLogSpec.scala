@@ -122,4 +122,28 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ts.read("t").as[(Long, String)].collect().toSet ===
       Set((9L, "w"), (2L, "b")))
   }
+
+  test("a crashed write's orphan batch dir never corrupts reads; vacuum sweeps it aged") {
+    val root = Files.createTempDirectory("mlogcrash").toString
+    val ts = new TableStore(spark, root)
+    import spark.implicits._
+    ts.create("t", (0L until 50L).map(i => (i, s"r$i")).toDF("id", "v"))
+    // simulate a writer that died between writeBatch and commitManifest:
+    // a fully-written parquet dir under data/ that no manifest names
+    val orphan = Paths.get(root, "t", "data", "b000000099-deadbeef")
+    (50L until 60L).map(i => (i, s"x$i")).toDF("id", "v")
+      .write.parquet(orphan.toString)
+    assert(ts.read("t").count() === 50, "orphan rows must not leak into reads")
+    assert(spark.read.parquet(orphan.toString).count() === 10)
+    // young orphan: vacuum's in-flight age guard leaves it alone
+    ts.vacuum("t", retainVersions = 1)
+    assert(Files.isDirectory(orphan), "young orphan looks like an in-flight write")
+    // aged past the guard it is crash debris and sweeps
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 3600L * 1000))
+    ts.vacuum("t", retainVersions = 1)
+    assert(!Files.exists(orphan), "aged orphan must sweep")
+    assert(ts.read("t").count() === 50)
+  }
 }
