@@ -1140,7 +1140,10 @@ class GraftFilesTable(root: String, table: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => {
-      val snap = store.snapshot(table)
+      // .option("version", v): the inventory of a historical snapshot
+      // (dirs may have been vacuumed — their bytes then read 0/absent)
+      val snap = Option(options.get("version")).map(_.toLong)
+        .map(store.snapshotAt(table, _)).getOrElse(store.snapshot(table))
       val byDir = snap.filesByDir(store, table).toMap
       val rows = snap.dirs.map { d =>
         val fs = byDir.getOrElse(d, Seq.empty)

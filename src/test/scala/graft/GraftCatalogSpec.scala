@@ -378,5 +378,8 @@ class GraftCatalogSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LocalTableScan") || plan.contains("metadata-only"),
       s"expected local scan: $plan")
+    // time travel: the version-0 inventory has the single original dir
+    val v0 = spark.read.option("version", 0).table("graft.ft.files").collect()
+    assert(v0.length === 1 && v0.head.getLong(3) === 100L)
   }
 }
