@@ -256,7 +256,7 @@ class RowTrackingSpec extends AnyFunSuite {
         }
         check(op)
       }
-      for (step <- 1 to 14) rnd.nextInt(10) match {
+      for (step <- 1 to 14) rnd.nextInt(11) match {
         case 0 =>
           val rows = (nextKey until nextKey + 20).map(i => (i, i))
           nextKey += 20
@@ -314,6 +314,9 @@ class RowTrackingSpec extends AnyFunSuite {
           spark.conf.set("graft.manifest.checkpointInterval",
             (rnd.nextInt(12) + 1).toString)
           check(s"ckptInterval@$step")
+        case 10 =>
+          ts.optimizeIncrementalByRange("t", "k")
+          check(s"optimizeIncremental@$step")
       }
       spark.conf.unset("graft.manifest.checkpointInterval")
     }
