@@ -77,6 +77,24 @@ object QueriesMultimodal {
               |  CAST(floor(width * scale) AS INT) AS new_width,
               |  CAST(floor(height * scale) AS INT) AS new_height,
               |  scale
-              |FROM sc""".stripMargin))
+              |FROM sc""".stripMargin)),
+
+    // ---- mm4: feature extraction — per-media byte histogram (8 bins),
+    //      long-form (media_id, bin, n), only occupied bins. Completes
+    //      the decode / extract / resize / sample matrix; one narrow
+    //      pass over the payloads, features-only shuffle. ----
+    "mm4_features" -> QDef(
+      (s, dir) => {
+        val media = Tables.documents(s, dir).select(
+          col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+        Multimodal.byteHistogram(media, nBins = 8).toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(ascii(substr(text, i, 1)) % 8 AS INT) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+             |      FROM documents)
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -91,6 +91,36 @@ object Multimodal {
       new_height: Int,
       scale: Double)
 
+  final case class MediaFeature(media_id: Long, bin: Int, n: Long)
+
+  /** Feature extraction: a fixed-size per-media feature vector (byte
+    * histogram over `nBins` residue classes — the stub for a real
+    * embedding/spectrogram extractor), emitted LONG-form as (media_id,
+    * bin, n>0) rows. Same partition-iterator shape as decode: the
+    * feature pass streams each payload once, narrow (no shuffle), and
+    * only the KB-scale features ever move — at 100 TB the raw media
+    * stays where it was written. */
+  def byteHistogram(media: DataFrame, nBins: Int): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val _ = MediaDecoder // per-partition "extractor init" site
+        it.flatMap { case (id, bytes) =>
+          val counts = new Array[Long](nBins)
+          var i = 0
+          while (i < bytes.length) {
+            counts((bytes(i) & 0xFF) % nBins) += 1L
+            i += 1
+          }
+          counts.indices.collect { case b if counts(b) > 0L =>
+            MediaFeature(id, b, counts(b))
+          }
+        }
+      }
+  }
+
   /** Resize-to-fit: scale visual media so the longest side fits
     * `maxDim`, preserving aspect (never upscales). Same partition-
     * iterator shape as decode — the real implementation would resample
