@@ -215,7 +215,8 @@ object BloomIndex {
       val n = p.getFileName.toString
       n.endsWith(".bloom") && !livePrefixes.exists(n.startsWith) &&
         (refPrefixes.exists(n.startsWith) ||
-          Files.getLastModifiedTime(p).toMillis <
+          (try Files.getLastModifiedTime(p).toMillis
+           catch { case _: java.io.IOException => System.currentTimeMillis() }) <
             System.currentTimeMillis() - 3600L * 1000)
     }
     doomed.foreach(Files.deleteIfExists(_))

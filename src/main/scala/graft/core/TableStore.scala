@@ -322,15 +322,27 @@ class TableStore(spark: SparkSession, root: String) {
       StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
-  /** Resolved-manifest cache: versions are immutable once committed, so
-    * (name, v) -> Manifest never goes stale. Unbounded growth is capped
-    * crudely (manifests are small; tests churn thousands of tiny
-    * tables); vacuum drops entries for the versions it deletes. */
+  /** Resolved-manifest cache. Committed versions are immutable, but a
+    * DROP TABLE + re-CREATE restarts version numbers at 0 — so each
+    * entry carries the identity token of the COMMIT RECORD FILE it was
+    * parsed from (inode when the filesystem exposes one, else
+    * size+mtime), and a hit must match the file currently on disk.
+    * One stat per read instead of a full parse-and-resolve; a stale
+    * entry from a dropped table's life can never be served. Unbounded
+    * growth is capped crudely (manifests are small; tests churn
+    * thousands of tiny tables). */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Manifest]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (String, Manifest)]()
+  private def recordToken(name: String, v: Long): Option[String] =
+    try {
+      val attrs = Files.readAttributes(manifest(name, v),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some(Option(attrs.fileKey).map(_.toString)
+        .getOrElse(s"${attrs.size}:${attrs.lastModifiedTime.toMillis}"))
+    } catch { case _: java.io.IOException => None }
   private def cacheManifest(name: String, v: Long, m: Manifest): Unit = {
     if (manifestCache.size > 1024) manifestCache.clear()
-    manifestCache.put((name, v), m): Unit
+    recordToken(name, v).foreach(t => manifestCache.put((name, v), (t, m)))
   }
 
   private def jsonStr(s: String): String =
@@ -341,7 +353,8 @@ class TableStore(spark: SparkSession, root: String) {
 
   private def readManifest(name: String, v: Long): Manifest = {
     val cached = manifestCache.get((name, v))
-    if (cached != null) return cached
+    if (cached != null && recordToken(name, v).contains(cached._1))
+      return cached._2
     val resolved =
       if (Files.exists(ckptPath(name, v)))
         parseFull(MiniJson.obj(new String(
@@ -611,6 +624,20 @@ class TableStore(spark: SparkSession, root: String) {
   private def cdfStaging(name: String, v: Long, uuid: String): Path =
     dir(name).resolve("_cdf").resolve(s".v$v-$uuid")
 
+  /** Nullable at EVERY nesting level (struct fields, array elements,
+    * map values) — forcing only the top level would leave codegen
+    * skipping null checks one level down. */
+  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.map(f =>
+      f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = forceNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = forceNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def commitManifest(name: String, v: Long, m0: Manifest): Unit = {
     // the manifest schema is always NULLABLE (same stance as
     // spark.read.parquet): parquet files can't enforce non-nullability,
@@ -621,7 +648,7 @@ class TableStore(spark: SparkSession, root: String) {
     // deletion vectors attach to specific immutable dirs: entries for
     // dirs this version no longer carries are dropped automatically
     val m1 = m0.copy(
-      schema = StructType(m0.schema.map(_.copy(nullable = true))),
+      schema = forceNullable(m0.schema).asInstanceOf[StructType],
       dvs = m0.dvs.filter { case (d, _) => m0.dirs.contains(d) })
     // identity watermarks: writers that DON'T mint ids (SQL INSERT
     // attach, merge-on-read inserts, library merges) may still carry
@@ -1420,11 +1447,12 @@ class TableStore(spark: SparkSession, root: String) {
     val sorted = known.result().sortWith((a, b) => DirStats.lt(a.mn, b.mn))
     val groups = Seq.newBuilder[Seq[B]]
     var cur = List.empty[B]
+    var curMax: Any = null // running group max — keeps the sweep O(n)
     sorted.foreach { b =>
-      if (cur.isEmpty || DirStats.lte(b.mn, cur.map(_.mx).reduce(
-          (x, y) => if (DirStats.lt(x, y)) y else x)))
+      if (cur.isEmpty || DirStats.lte(b.mn, curMax)) {
         cur ::= b
-      else { groups += cur.reverse; cur = List(b) }
+        curMax = if (cur.tail.isEmpty || DirStats.lt(curMax, b.mx)) b.mx else curMax
+      } else { groups += cur.reverse; cur = List(b); curMax = b.mx }
     }
     if (cur.nonEmpty) groups += cur.reverse
     val (overlap, disjoint) = groups.result().partition(_.size >= 2)
@@ -1616,6 +1644,13 @@ class TableStore(spark: SparkSession, root: String) {
     * read. The reference lists VACUUM as future work
     * (/root/reference/README.md:654-659); the manifest design makes it
     * a set subtraction here. */
+  /** mtime for sweep age checks — a file that vanished between list
+    * and stat (a concurrent sweep or commit) reads as "now", i.e.
+    * young, so nothing gets deleted on a race. */
+  private def sweepMtime(p: Path): Long =
+    try Files.getLastModifiedTime(p).toMillis
+    catch { case _: java.io.IOException => System.currentTimeMillis() }
+
   def vacuum(name: String, retainVersions: Int = 1): Seq[Path] = {
     require(retainVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(name)
@@ -1625,10 +1660,28 @@ class TableStore(spark: SparkSession, root: String) {
     // every dir ANY still-on-disk manifest references (live or
     // superseded history) — the complement is crash scratch or a
     // commit in flight, which only age distinguishes
-    val referenced: Set[String] =
-      (0L to cur).flatMap(v =>
-        if (!Files.exists(manifest(name, v))) Nil
-        else readManifest(name, v).dirs).toSet
+    // built from ONE listing of _v (not O(version-count) exists probes);
+    // a record deleted by a concurrent sweep between list and read is
+    // simply skipped — its dirs then look unreferenced and the age
+    // guard below keeps anything young
+    val referenced: Set[String] = {
+      val vd = dir(name).resolve("_v")
+      val onDisk: Seq[Long] =
+        if (!Files.isDirectory(vd)) Nil
+        else Using.resource(Files.list(vd))(_.iterator().asScala
+          .map(_.getFileName.toString)
+          .flatMap { n =>
+            val num = n.takeWhile(_.isDigit)
+            if (num.nonEmpty && n == s"$num.json") num.toLongOption else None
+          }.toSeq)
+      // NonFatal, not just IOException: the listing can see the record
+      // a concurrent commit is MID-WRITE (version cur+1) — a partial
+      // JSON throws a parse error, and "skip it" is exactly right (its
+      // dirs are young and the age guard keeps them anyway)
+      onDisk.flatMap(v =>
+        try readManifest(name, v).dirs
+        catch { case scala.util.control.NonFatal(_) => Nil }).toSet
+    }
     val dataDir = dataRoot(name)
     val deleted = Seq.newBuilder[Path]
     if (Files.isDirectory(dataDir)) {
@@ -1639,7 +1692,7 @@ class TableStore(spark: SparkSession, root: String) {
           // dot-dirs are IN-FLIGHT write scratch (.cdc-/.delta- staging):
           // a concurrent vacuum must not yank them from under the writer.
           // Only crash leftovers (older than an hour) get swept.
-          if (Files.getLastModifiedTime(top).toMillis <
+          if (sweepMtime(top) <
               System.currentTimeMillis() - 3600L * 1000) {
             FsUtil.deleteRecursively(top.toFile)
             deleted += top
@@ -1654,7 +1707,7 @@ class TableStore(spark: SparkSession, root: String) {
         // manifest references are superseded history: swept immediately.
         else if (!referenced.contains(topName) &&
             !referenced.exists(_.startsWith(s"$topName/")) &&
-            Files.getLastModifiedTime(top).toMillis >=
+            sweepMtime(top) >=
               System.currentTimeMillis() - 3600L * 1000) ()
         else {
           val liveLeaves = live.filter(_.startsWith(s"$topName/"))
@@ -1688,7 +1741,7 @@ class TableStore(spark: SparkSession, root: String) {
           (n.endsWith(".json") && num.nonEmpty && num.toLong < keepVersions.head) ||
             // crashed checkpoint temp files (dot-prefixed), past the
             // same in-flight age guard as the other write scratch
-            (n.startsWith(".ckpt") && Files.getLastModifiedTime(p).toMillis <
+            (n.startsWith(".ckpt") && sweepMtime(p) <
               System.currentTimeMillis() - 3600L * 1000)
         }
       olds.foreach { p => Files.delete(p); deleted += p }
@@ -1709,7 +1762,7 @@ class TableStore(spark: SparkSession, root: String) {
     if (Files.isDirectory(dvDir)) {
       Using.resource(Files.list(dvDir))(_.iterator().asScala.toSeq)
         .filterNot(p => liveDvPaths.contains(p.getFileName.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <
+        .filter(p => sweepMtime(p) <
           System.currentTimeMillis() - 3600L * 1000)
         .foreach { p => FsUtil.deleteRecursively(p.toFile); deleted += p }
     }
@@ -1722,7 +1775,7 @@ class TableStore(spark: SparkSession, root: String) {
         .filter { p =>
           val n = p.getFileName.toString
           n.toLongOption.exists(_ < keepVersions.head) ||
-            (n.startsWith(".") && Files.getLastModifiedTime(p).toMillis <
+            (n.startsWith(".") && sweepMtime(p) <
               System.currentTimeMillis() - 3600L * 1000)
         }
         .foreach { p => FsUtil.deleteRecursively(p.toFile); deleted += p }

@@ -825,13 +825,13 @@ class GraftScan(fullSchema: StructType, required: StructType,
     case _ => live
   }
 
-  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
-    case (x: Number, y: Number) =>
-      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: Comparable[_], _) if a.getClass == b.getClass =>
-      x.asInstanceOf[Comparable[Any]].compareTo(b)
-    case _ => throw new IllegalArgumentException(s"incomparable: $a / $b")
-  }
+  // bound comparisons reuse DirStats' total order: strings compare by
+  // CODE POINT (== unsigned UTF-8 byte order, what parquet min/max and
+  // Spark's ORDER BY use) — java.lang.String's UTF-16 code-unit order
+  // disagrees for supplementary characters and would let the TopN
+  // prune drop dirs that hold the true top-n
+  private def ltAny(a: Any, b: Any): Boolean = graft.core.DirStats.lt(a, b)
+  private def lteAny(a: Any, b: Any): Boolean = graft.core.DirStats.lte(a, b)
 
   /** Dirs that can hold a pushed ORDER BY <col> LIMIT n: walk dirs in
     * sort-bound order until their cumulative live rows reach n, take U
@@ -858,16 +858,17 @@ class GraftScan(fullSchema: StructType, required: StructType,
         }
         val (nullDirs, valued) = entries.partition(e => e._2.isEmpty) // all-null dirs
         val sorted = valued.sortWith { (x, y) =>
-          if (asc) cmpAny(x._2.get, y._2.get) < 0 else cmpAny(x._3.get, y._3.get) > 0
+          if (asc) ltAny(x._2.get, y._2.get) else ltAny(y._3.get, x._3.get)
         }
         var cum = 0L
         val prefix = sorted.takeWhile { e => val take = cum < n; cum += e._5; take }
         if (cum < n) return None // not enough rows bounded — keep all
         val bound = prefix.map(e => if (asc) e._3.get else e._2.get)
-          .reduce((a, b) => if (asc == (cmpAny(a, b) >= 0)) a else b)
+          .reduce((a, b) =>
+            if (asc == ltAny(a, b)) b else a) // asc: worst max; desc: worst min
         val keep = valued.filter { e =>
           e._4 > 0 ||
-            (if (asc) cmpAny(e._2.get, bound) <= 0 else cmpAny(e._3.get, bound) >= 0)
+            (if (asc) lteAny(e._2.get, bound) else lteAny(bound, e._3.get))
         } ++ nullDirs
         Some(keep.map(_._1))
       } catch { case _: IllegalArgumentException => None }
@@ -1149,13 +1150,18 @@ class GraftFilesTable(root: String, table: String)
         val fs = byDir.getOrElse(d, Seq.empty)
         val bytes = fs.map(f => Files.size(Paths.get(f))).sum
         val st = snap.stats.get(d)
+        def jstr(x: String): String = // string bounds can carry quotes etc.
+          "\"" + x.flatMap {
+            case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+            case ch if ch < ' ' => f"\\u${ch.toInt}%04x"; case ch => ch.toString
+          } + "\""
         val statsJson = st.map { s =>
           s.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
             val parts = Seq(
-              cs.min.map(v => s""""min":"$v""""),
-              cs.max.map(v => s""""max":"$v""""),
+              cs.min.map(v => s""""min":${jstr(v.toString)}"""),
+              cs.max.map(v => s""""max":${jstr(v.toString)}"""),
               cs.nulls.map(n => s""""nulls":$n""")).flatten
-            s""""$c":{${parts.mkString(",")}}"""
+            s"${jstr(c)}:{${parts.mkString(",")}}"
           }.mkString("{", ",", "}")
         }
         org.apache.spark.sql.catalyst.InternalRow(
