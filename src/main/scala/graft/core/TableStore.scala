@@ -1199,7 +1199,30 @@ class TableStore(spark: SparkSession, root: String) {
     val (withIds, idProps) = applyIdentity(df, m)
     commit(name, Some(conform(applyGenerated(withIds, m), m.schema)), m,
       m.dirs, idProps): Unit
+    maybeAutoCompact(name)
   }
+
+  /** Opt-in auto-compaction (the Delta autoOptimize/autoCompact idea):
+    * after an append, fold the accreted small dirs once enough of them
+    * pile up — a streaming/CDC ingest keeps itself read-optimized with
+    * no scheduled OPTIMIZE job. Off by default; enable with
+    * `graft.autoCompact.enabled=true` (threshold tunables below). Runs
+    * only from append — compactSmall's own commit can't re-trigger. */
+  private def maybeAutoCompact(name: String): Unit =
+    if (spark.conf.getOption("graft.autoCompact.enabled").contains("true")) {
+      val maxBytes = spark.conf.getOption("graft.autoCompact.smallFileBytes")
+        .map(_.toLong).getOrElse(16L * 1024 * 1024)
+      val minDirs = spark.conf.getOption("graft.autoCompact.minSmallDirs")
+        .map(_.toInt).getOrElse(8)
+      val m = readManifest(name, currentVersion(name))
+      val small = m.dirs.count { d =>
+        val p = dataRoot(name).resolve(d)
+        Files.isDirectory(p) && Using.resource(Files.list(p))(_.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => Files.size(f)).sum) < maxBytes
+      }
+      if (small >= minDirs) compactSmall(name, maxBytes): Unit
+    }
 
   /** INSERT INTO with automatic schema evolution (Delta's mergeSchema):
     * nullable columns present in `df` but not in the table are added

@@ -426,4 +426,21 @@ class TableStoreSpec extends AnyFunSuite {
     ts.vacuum("t", retainVersions = 1)
     intercept[IllegalArgumentException] { ts.restore("t", 0) }
   }
+
+  test("auto-compaction folds accreted small appends when enabled") {
+    val ts = freshStore()
+    ts.create("ac", Seq((0L, "s")).toDF("k", "v"))
+    (1L to 9L).foreach(i => ts.append("ac", Seq((i, s"v$i")).toDF("k", "v")))
+    assert(ts.liveDirCount("ac") === 10, "off by default: dirs accrete")
+    spark.conf.set("graft.autoCompact.enabled", "true")
+    try {
+      ts.append("ac", Seq((10L, "z")).toDF("k", "v"))
+      assert(ts.liveDirCount("ac") === 1,
+        "the 11th append crosses the threshold and folds the small dirs")
+      assert(ts.read("ac").count() === 11)
+      (11L to 13L).foreach(i => ts.append("ac", Seq((i, s"v$i")).toDF("k", "v")))
+      assert(ts.liveDirCount("ac") === 4, "below threshold: no re-fold")
+      assert(ts.read("ac").count() === 14)
+    } finally spark.conf.unset("graft.autoCompact.enabled")
+  }
 }
