@@ -205,7 +205,8 @@ object BloomIndex {
     * manifest lands, so a young unreferenced sidecar may belong to a
     * commit in flight (the same guard every other write scratch has). */
   def sweep(bloomRoot: Path, liveDirs: Set[String],
-            referencedDirs: Set[String] = Set.empty): Seq[Path] = {
+            referencedDirs: Set[String] = Set.empty,
+            dryRun: Boolean = false): Seq[Path] = {
     if (!Files.isDirectory(bloomRoot)) return Seq.empty
     val livePrefixes = liveDirs.map(d => enc(d) + ".")
     val refPrefixes = referencedDirs.map(d => enc(d) + ".")
@@ -219,7 +220,7 @@ object BloomIndex {
            catch { case _: java.io.IOException => System.currentTimeMillis() }) <
             System.currentTimeMillis() - 3600L * 1000)
     }
-    doomed.foreach(Files.deleteIfExists(_))
+    if (!dryRun) doomed.foreach(Files.deleteIfExists(_))
     doomed
   }
 }

@@ -1657,16 +1657,6 @@ class TableStore(spark: SparkSession, root: String) {
     commitManifest(dst, 0, m.copy(txns = Map.empty))
   }
 
-  /** VACUUM: physically delete data no version within the retained
-    * window references — superseded batch dirs/bucket leaves and orphan
-    * dirs from aborted DSv2 writes. Keeps the latest `retainVersions`
-    * manifests (so that much time travel survives) and deletes older
-    * manifests, whose data may be gone. Returns the deleted paths.
-    *
-    * Scale: pure manifest-diff + directory deletes — O(dirs), no data
-    * read. The reference lists VACUUM as future work
-    * (/root/reference/README.md:654-659); the manifest design makes it
-    * a set subtraction here. */
   /** mtime for sweep age checks — a file that vanished between list
     * and stat (a concurrent sweep or commit) reads as "now", i.e.
     * young, so nothing gets deleted on a race. */
@@ -1674,7 +1664,20 @@ class TableStore(spark: SparkSession, root: String) {
     try Files.getLastModifiedTime(p).toMillis
     catch { case _: java.io.IOException => System.currentTimeMillis() }
 
-  def vacuum(name: String, retainVersions: Int = 1): Seq[Path] = {
+  /** VACUUM: physically delete data no version within the retained
+    * window references — superseded batch dirs/bucket leaves and orphan
+    * dirs from aborted DSv2 writes. Keeps the latest `retainVersions`
+    * manifests (so that much time travel survives) and deletes older
+    * manifests, whose data may be gone. Returns the deleted paths.
+    * `dryRun` reports what WOULD delete without touching anything (the
+    * Delta VACUUM DRY RUN contract).
+    *
+    * Scale: pure manifest-diff + directory deletes — O(dirs), no data
+    * read. The reference lists VACUUM as future work
+    * (/root/reference/README.md:654-659); the manifest design makes it
+    * a set subtraction here. */
+  def vacuum(name: String, retainVersions: Int = 1,
+             dryRun: Boolean = false): Seq[Path] = {
     require(retainVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(name)
     val keepVersions = (math.max(0L, cur - retainVersions + 1) to cur)
@@ -1707,6 +1710,8 @@ class TableStore(spark: SparkSession, root: String) {
     }
     val dataDir = dataRoot(name)
     val deleted = Seq.newBuilder[Path]
+    def rmTree(p: Path): Unit = { if (!dryRun) FsUtil.deleteRecursively(p.toFile); deleted += p }
+    def rmFile(p: Path): Unit = { if (!dryRun) Files.delete(p); deleted += p }
     if (Files.isDirectory(dataDir)) {
       val topDirs = Using.resource(Files.list(dataDir))(_.iterator().asScala.toSeq)
       topDirs.foreach { top =>
@@ -1716,10 +1721,8 @@ class TableStore(spark: SparkSession, root: String) {
           // a concurrent vacuum must not yank them from under the writer.
           // Only crash leftovers (older than an hour) get swept.
           if (sweepMtime(top) <
-              System.currentTimeMillis() - 3600L * 1000) {
-            FsUtil.deleteRecursively(top.toFile)
-            deleted += top
-          }
+              System.currentTimeMillis() - 3600L * 1000)
+            rmTree(top)
         }
         else if (live.contains(topName)) () // whole unbucketed batch still live
         // a batch dir no manifest references is EITHER an aged crash
@@ -1736,14 +1739,13 @@ class TableStore(spark: SparkSession, root: String) {
           val liveLeaves = live.filter(_.startsWith(s"$topName/"))
           if (liveLeaves.isEmpty) {
             // nothing in the retained window references this batch at all
-            FsUtil.deleteRecursively(top.toFile)
-            deleted += top
+            rmTree(top)
           } else {
             // bucketed batch: some leaves live, delete only the dead ones
             val leaves = Using.resource(Files.list(top))(_.iterator().asScala.toSeq)
             leaves.filter(l => l.getFileName.toString.startsWith("__b=") &&
                 !liveLeaves.contains(s"$topName/${l.getFileName}"))
-              .foreach { l => FsUtil.deleteRecursively(l.toFile); deleted += l }
+              .foreach(rmTree)
           }
         }
       }
@@ -1753,7 +1755,8 @@ class TableStore(spark: SparkSession, root: String) {
     // sweep line — checkpoint the oldest retained version first (while
     // its chain still resolves) so every retained version reads
     // through manifests the sweep keeps.
-    if (keepVersions.head > 0 && !Files.exists(ckptPath(name, keepVersions.head)))
+    if (!dryRun && keepVersions.head > 0 &&
+        !Files.exists(ckptPath(name, keepVersions.head)))
       writeCheckpoint(name, keepVersions.head, readManifest(name, keepVersions.head))
     val vDir = dir(name).resolve("_v")
     if (Files.isDirectory(vDir)) {
@@ -1767,11 +1770,13 @@ class TableStore(spark: SparkSession, root: String) {
             (n.startsWith(".ckpt") && sweepMtime(p) <
               System.currentTimeMillis() - 3600L * 1000)
         }
-      olds.foreach { p => Files.delete(p); deleted += p }
-      manifestCache.keySet.removeIf(k => k._1 == name && k._2 < keepVersions.head)
+      olds.foreach(rmFile)
+      if (!dryRun)
+        manifestCache.keySet.removeIf(k => k._1 == name && k._2 < keepVersions.head)
     }
     // bloom sidecars of dirs no retained version references
-    deleted ++= BloomIndex.sweep(bloomRoot(name), live, referenced)
+    deleted ++= BloomIndex.sweep(bloomRoot(name), live, referenced,
+      dryRun = dryRun)
     // deletion-vector sidecars no retained manifest references — with
     // the same >1h age guard as the dot-dir scratch above: an
     // unreferenced _dv entry may be tmpdel-/tmpupd- staging of an
@@ -1787,7 +1792,7 @@ class TableStore(spark: SparkSession, root: String) {
         .filterNot(p => liveDvPaths.contains(p.getFileName.toString))
         .filter(p => sweepMtime(p) <
           System.currentTimeMillis() - 3600L * 1000)
-        .foreach { p => FsUtil.deleteRecursively(p.toFile); deleted += p }
+        .foreach(rmTree)
     }
     // change-feed dirs of versions outside the retained window, plus
     // abandoned commit staging (dot-dirs a lost version race left
@@ -1801,7 +1806,7 @@ class TableStore(spark: SparkSession, root: String) {
             (n.startsWith(".") && sweepMtime(p) <
               System.currentTimeMillis() - 3600L * 1000)
         }
-        .foreach { p => FsUtil.deleteRecursively(p.toFile); deleted += p }
+        .foreach(rmTree)
     }
     deleted.result()
   }

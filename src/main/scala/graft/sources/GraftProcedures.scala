@@ -27,7 +27,7 @@ import graft.core.TableStore
   */
 object GraftProcedures {
 
-  val Names: Seq[String] = Seq("vacuum", "compact", "restore",
+  val Names: Seq[String] = Seq("vacuum", "vacuum_dry_run", "compact", "restore",
     "optimize_range", "optimize_zorder", "optimize_incremental",
     "set_bloom_columns", "history",
     "set_change_feed", "delete_vectorized", "update_vectorized", "clone",
@@ -90,6 +90,12 @@ object GraftProcedures {
       case "vacuum" => bound(Seq(param("table", StringType), param("retain", IntegerType))) { in =>
         val t = in.getUTF8String(0).toString
         result(t, store.vacuum(t, in.getInt(1)).size.toLong)
+      }
+      case "vacuum_dry_run" => bound(Seq(param("table", StringType),
+          param("retain", IntegerType))) { in =>
+        val t = in.getUTF8String(0).toString
+        // reports what a vacuum WOULD delete; touches nothing
+        result(t, store.vacuum(t, in.getInt(1), dryRun = true).size.toLong)
       }
       case "compact" => bound(Seq(param("table", StringType), param("target_partitions", IntegerType))) { in =>
         val t = in.getUTF8String(0).toString

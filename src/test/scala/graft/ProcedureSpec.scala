@@ -94,4 +94,21 @@ class ProcedureSpec extends AnyFunSuite {
       .head().getLong(1) === 0L)
     assert(ts.read("t").count() === 3100)
   }
+
+  test("vacuum_dry_run reports the sweep without touching anything") {
+    val root = Files.createTempDirectory("procdry").toString
+    spark.conf.set("spark.sql.catalog.gdry", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdry.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    ts.overwrite("t", (0L until 100L).map(i => (i, s"w$i")).toDF("k", "v"))
+    val dry = spark.sql("CALL gdry.system.vacuum_dry_run('t', 1)").head().getLong(1)
+    assert(dry > 0L, "superseded version 0 should be sweepable")
+    // nothing was deleted: time travel to v0 still works
+    assert(ts.readVersion("t", 0).count() === 100)
+    val real = spark.sql("CALL gdry.system.vacuum('t', 1)").head().getLong(1)
+    assert(real === dry, "the real sweep deletes exactly what dry-run named")
+    val e = intercept[Exception](ts.readVersion("t", 0).count())
+    assert(e != null)
+  }
 }
