@@ -209,6 +209,26 @@ class StatsPruningSpec extends AnyFunSuite {
       s"unexpected: $after")
   }
 
+  test("TopN bounds compare strings in UTF-8 order (supplementary chars)") {
+    val root = Files.createTempDirectory("topnutf8").toString
+    spark.conf.set("spark.sql.catalog.gutf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gutf.root", root)
+    val ts = new TableStore(spark, root)
+    // dir A: high-BMP strings (U+FF41, UTF-8 < U+1F600 but UTF-16 >);
+    // dir B: supplementary-plane strings. Java String order sorts B
+    // first; UTF-8/code-point order (parquet + Spark ORDER BY) sorts A
+    // first — a UTF-16 bound would prune dir A, the true top dir.
+    ts.create("u", (0 until 50).map(i => (i.toLong, f"\uFF41$i%03d"))
+      .toDF("id", "s").coalesce(1))
+    ts.append("u", (0 until 50).map(i => (50L + i, new String(Character.toChars(0x1F600)) + f"$i%03d"))
+      .toDF("id", "s").coalesce(1))
+    val got = spark.sql("SELECT s FROM gutf.u ORDER BY s LIMIT 50")
+      .as[String].collect()
+    assert(got.forall(_.startsWith("\uFF41")),
+      s"top-50 must be the high-BMP dir, got: ${got.take(3).mkString(",")}")
+    assert(got.length === 50)
+  }
+
   test("pushed OFFSET drops whole dirs and skips within the boundary file") {
     val root = Files.createTempDirectory("offpush").toString
     spark.conf.set("spark.sql.catalog.goff", "graft.sources.GraftCatalog")
