@@ -1278,6 +1278,32 @@ class TableStore(spark: SparkSession, root: String) {
     markNoLogicalChange(name)
   }
 
+  /** Deletion-vector purge: rewrite ONLY the dirs whose tombstone
+    * ratio (DV deleted rows / manifest rows) reached `minDeletedRatio`,
+    * folding their DVs away; lightly-tombstoned and clean dirs carry
+    * untouched. The merge-on-read lifecycle's third act: point
+    * deletes/updates write kilobyte DVs, reads skip positions, and
+    * THIS pass reclaims the read amplification once a dir is worth
+    * rewriting — each run costs O(heavily-deleted dirs), never a table
+    * rewrite. Returns how many dirs were purged. */
+  def compactDvHeavy(name: String, minDeletedRatio: Double = 0.1): Int = {
+    require(minDeletedRatio > 0.0 && minDeletedRatio <= 1.0,
+      s"ratio out of (0,1]: $minDeletedRatio")
+    val m = readManifest(name, currentVersion(name))
+    val heavy = m.dirs.filter { d =>
+      m.dvs.get(d).exists { dv =>
+        m.stats.get(d).map(_.rows).exists(r =>
+          r > 0L && dv.deleted.toDouble / r >= minDeletedRatio)
+      }
+    }
+    if (heavy.isEmpty) return 0
+    val carried = m.dirs.filterNot(heavy.toSet)
+    commit(name, Some(rewriteSource(name, m, heavy)), m, carried,
+      extraPhys = rewriteExtra(m)): Unit
+    markNoLogicalChange(name)
+    heavy.size
+  }
+
   /** The id-preserving rewrite inputs: row-tracked tables scan with
     * resolved `__rid` (materialized into the rewritten files via
     * [[rewriteExtra]]); untracked tables scan plain. */

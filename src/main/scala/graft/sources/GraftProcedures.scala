@@ -29,6 +29,7 @@ object GraftProcedures {
 
   val Names: Seq[String] = Seq("vacuum", "vacuum_dry_run", "compact", "restore",
     "optimize_range", "optimize_zorder", "optimize_incremental",
+    "compact_dv_heavy",
     "set_bloom_columns", "history",
     "set_change_feed", "delete_vectorized", "update_vectorized", "clone",
     "compact_where", "compact_small", "enable_row_tracking")
@@ -118,6 +119,12 @@ object GraftProcedures {
         val t = in.getUTF8String(0).toString
         store.optimizeByZOrder(t, cols(in.getUTF8String(1).toString), in.getInt(2))
         result(t, store.liveDirCount(t).toLong)
+      }
+      case "compact_dv_heavy" => bound(Seq(param("table", StringType),
+          param("min_deleted_ratio", DoubleType))) { in =>
+        val t = in.getUTF8String(0).toString
+        // folds deletion vectors away where tombstones piled up
+        result(t, store.compactDvHeavy(t, in.getDouble(1)).toLong)
       }
       case "optimize_incremental" => bound(Seq(param("table", StringType),
           param("column", StringType))) { in =>

@@ -247,4 +247,25 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(!Files.isDirectory(dvDir) || Files.list(dvDir).count() === 0)
     assert(ts.read("t").count() === 29)
   }
+
+  test("compactDvHeavy purges only tombstone-heavy dirs") {
+    val (ts, _) = fresh()
+    ts.create("t", (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    ts.append("t", (100L until 200L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    ts.append("t", (200L until 300L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    // 30% of dir 0 tombstoned, 2% of dir 1, dir 2 clean
+    ts.deleteVectorized("t", col("k") < 30)
+    ts.deleteVectorized("t", col("k") === 150L || col("k") === 151L)
+    val before = ts.liveDirs("t")
+    assert(ts.compactDvHeavy("t", minDeletedRatio = 0.1) === 1)
+    val after = ts.liveDirs("t")
+    assert(after.toSet.intersect(before.toSet).size === 2,
+      "lightly-tombstoned and clean dirs must carry")
+    assert(ts.read("t").count() === 268)
+    // the purged dir's DV is gone; the light one remains
+    assert(ts.snapshot("t").dvs.size === 1)
+    // below-threshold state: second pass is a no-op
+    assert(ts.compactDvHeavy("t", minDeletedRatio = 0.1) === 0)
+    assert(ts.read("t").filter(col("k") < 30).count() === 0)
+  }
 }
