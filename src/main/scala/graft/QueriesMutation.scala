@@ -702,6 +702,58 @@ object QueriesMutation {
              |SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
              |WHERE l_orderkey % 4 = 2""".stripMargin)),
 
+    // ---- cdc3: COMPACTED APPLY — the scale complement of cdc2's
+    //      per-version replication loop. The whole backlog collapses to
+    //      the LAST change per `_row_id` (max_by on commit version; a
+    //      rid's final word is an upsert or a delete), then applies in
+    //      ONE pass. A replica that fell N versions behind catches up
+    //      at O(distinct changed rids), not O(sum of all versions'
+    //      change rows) — the Delta "coalesce changes per key before
+    //      merging" pattern, keyed on the stable row id so it works on
+    //      KEYLESS tables. Same source history and final state as cdc2. ----
+    "cdc3_rowid_compact_apply" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "cdc3")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE"))
+        st.enableRowTracking("src")
+        st.setChangeFeed("src", true)
+        st.append("src", li.filter(col("l_orderkey") % 4 === 1))
+        st.updateVectorized("src", col("l_quantity") <= 10.0,
+          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))
+        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)
+        st.append("src", li.filter(col("l_orderkey") % 4 === 2))
+        val feed = st.readChangesBetween("src", 0, st.currentVersion("src"),
+          withRowIds = true)
+        val last = feed
+          .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+          .groupBy(col("_row_id"))
+          .agg(max_by(
+            struct(col("_change_type"), col("l_orderkey"), col("l_suppkey"),
+              col("l_quantity")),
+            col("_commit_version")).as("f"))
+        last.filter(col("f._change_type") =!= "delete")
+          .select(col("f.l_orderkey").as("l_orderkey"),
+            col("f.l_suppkey").as("l_suppkey"),
+            col("f.l_quantity").as("l_quantity"))
+      },
+      Some("""WITH init AS (
+             |  SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
+             |  WHERE l_orderkey % 4 = 1),
+             |upd AS (
+             |  SELECT l_orderkey,
+             |    CASE WHEN l_quantity <= 10 THEN l_suppkey + 100000
+             |         ELSE l_suppkey END AS l_suppkey,
+             |    l_quantity
+             |  FROM init),
+             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3)
+             |SELECT * FROM del
+             |UNION ALL
+             |SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
+             |WHERE l_orderkey % 4 = 2""".stripMargin)),
+
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE
     //      merge-on-read mutation — so "which load did this row come
