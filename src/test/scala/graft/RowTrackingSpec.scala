@@ -328,4 +328,28 @@ class RowTrackingSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](ts.readWithRowIds("t"))
     assert(e.getMessage.contains("row tracking"))
   }
+
+  test("auto-compaction preserves row ids across the fold") {
+    val ts = fresh()
+    ts.create("t", (1L to 50L).map(i => (i, i)).toDF("k", "x"))
+    ts.enableRowTracking("t")
+    val before = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    spark.conf.set("graft.autoCompact.enabled", "true")
+    spark.conf.set("graft.autoCompact.minSmallDirs", "4")
+    try {
+      (51L to 60L).foreach(i => ts.append("t", Seq((i, i)).toDF("k", "x")))
+      assert(ts.liveDirCount("t") < 5, "appends should have auto-folded")
+      val after = ts.readWithRowIds("t")
+        .select("k", "_row_id").as[(Long, Long)].collect().toMap
+      assert(after.size === 60)
+      before.foreach { case (k, rid) =>
+        assert(after(k) === rid, s"id moved for k=$k across auto-compaction")
+      }
+      assert(after.values.toSet.size === 60, "ids stay unique")
+    } finally {
+      spark.conf.unset("graft.autoCompact.enabled")
+      spark.conf.unset("graft.autoCompact.minSmallDirs")
+    }
+  }
 }
