@@ -394,6 +394,40 @@ object QueriesCorpus {
     //      the identical IEEE sqrt and hex rendering), so the sample is
     //      exactly reproducible; rates are a 5-row broadcast, the data
     //      pass is one filter. ----
+    // ---- x12: int8 embedding quantization — the ANN memory-reduction
+    //      step (4x smaller vectors for index residency): per-vector
+    //      symmetric scale = 127 / max|v|, elements round via
+    //      floor(x + 0.5) (spelled identically in both engines — no
+    //      HALF_UP vs banker's-rounding ambiguity). Long-form output
+    //      so the oracle compares every element exactly; one narrow
+    //      pass, higher-order functions only, no UDF. ----
+    "x12_int8_quantize" -> QDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("mx", expr(
+            "aggregate(v, CAST(0.0 AS FLOAT), (a, x) -> greatest(a, abs(x)))"))
+          .filter(col("mx") > 0.0f)
+          .withColumn("scale", lit(127.0) / col("mx").cast("double"))
+        e.select(col("vec_id"), col("scale"),
+            posexplode(col("v")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"),
+            floor(col("x").cast("double") * col("scale") + lit(0.5))
+              .cast("int").as("q"))
+      },
+      Some("""WITH m AS (SELECT vec_id,
+             |    list_max(list_transform(embedding, x -> abs(x))) AS mx
+             |  FROM embeddings),
+             |sc AS (SELECT vec_id, 127.0 / CAST(mx AS DOUBLE) AS scale
+             |       FROM m WHERE mx > 0),
+             |ex AS (SELECT e.vec_id, sc.scale,
+             |         unnest(e.embedding) AS x,
+             |         unnest(generate_series(0, len(e.embedding) - 1)) AS i
+             |       FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id)
+             |SELECT vec_id, CAST(i AS INT) AS i,
+             |  CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) AS q
+             |FROM ex""".stripMargin)),
+
     "x9_temperature_mix" -> QDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
