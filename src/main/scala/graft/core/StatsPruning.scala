@@ -78,6 +78,52 @@ object StatsPruning {
     case _ => false // Not, StringContains, unknown: never prune
   }
 
+  /** True only when stats prove EVERY row in the dir satisfies f — the
+    * dual of [[cannotMatch]], used by the metadata-only DELETE: a dir
+    * fully covered by the predicate drops from the manifest with zero
+    * data I/O. Sound only under a COMPLETE conjunction (the caller
+    * guarantees no conjunct was dropped in translation). Nulls make a
+    * comparison predicate non-true, so every comparison case also
+    * requires a proven zero null count; float/double comparisons never
+    * qualify (footer bounds may hide NaN). */
+  private[core] def mustMatch(ds: DirStats, schema: StructType, f: Filter): Boolean = {
+    def noNulls(a: String): Boolean = colStats(ds, a).flatMap(_.nulls).contains(0L)
+    f match {
+      case EqualTo(a, v) => noNulls(a) && !isFp(schema, a) &&
+        withCanon(ds, schema, a, v) { (cs, cv) =>
+          cs.min.contains(cv) && cs.max.contains(cv)
+        }
+      case GreaterThan(a, v) => noNulls(a) && !isFp(schema, a) &&
+        withCanon(ds, schema, a, v) { (cs, cv) =>
+          cs.min.exists(lo => DirStats.lt(cv, lo)) // lo > v
+        }
+      case GreaterThanOrEqual(a, v) => noNulls(a) && !isFp(schema, a) &&
+        withCanon(ds, schema, a, v) { (cs, cv) =>
+          cs.min.exists(lo => !DirStats.lt(lo, cv)) // lo >= v
+        }
+      case LessThan(a, v) => noNulls(a) && !isFp(schema, a) &&
+        withCanon(ds, schema, a, v) { (cs, cv) =>
+          cs.max.exists(hi => DirStats.lt(hi, cv)) // hi < v
+        }
+      case LessThanOrEqual(a, v) => noNulls(a) && !isFp(schema, a) &&
+        withCanon(ds, schema, a, v) { (cs, cv) =>
+          cs.max.exists(hi => !DirStats.lt(cv, hi)) // hi <= v
+        }
+      case IsNull(a) => colStats(ds, a).flatMap(_.nulls).contains(ds.rows)
+      case IsNotNull(a) => noNulls(a)
+      case In(a, vs) => noNulls(a) && !isFp(schema, a) &&
+        vs != null && vs.nonEmpty &&
+        withCanon(ds, schema, a, vs.head) { (cs, _) =>
+          // single-valued dir whose value is in the list
+          cs.min.isDefined && cs.min == cs.max &&
+            vs.exists(v => canonValue(v, fieldType(schema, a).get) == cs.min)
+        }
+      case And(l, r) => mustMatch(ds, schema, l) && mustMatch(ds, schema, r)
+      case Or(l, r) => mustMatch(ds, schema, l) || mustMatch(ds, schema, r)
+      case _ => false
+    }
+  }
+
   private def colStats(ds: DirStats, name: String): Option[ColStats] =
     ds.cols.get(name).orElse {
       // scan columns are resolved case-insensitively; stats keys carry

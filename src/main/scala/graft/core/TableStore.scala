@@ -2052,21 +2052,31 @@ class TableStore(spark: SparkSession, root: String) {
     * Untranslatable conjuncts are DROPPED, which only weakens the prune
     * (more dirs survive and get rewritten) — never unsound. */
   private def conditionFilters(schema: StructType, condition: Column)
-      : Seq[org.apache.spark.sql.sources.Filter] = {
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    conditionFiltersComplete(schema, condition)._1
+
+  /** Like [[conditionFilters]], plus whether EVERY conjunct translated
+    * (a complete conjunction means the filters, together, are exactly
+    * the condition — what the metadata-delete full-coverage proof
+    * needs; for dir PRUNING, dropped conjuncts only weaken). */
+  private def conditionFiltersComplete(schema: StructType, condition: Column)
+      : (Seq[org.apache.spark.sql.sources.Filter], Boolean) = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val analyzed =
       try empty.filter(condition).queryExecution.analyzed
-      catch { case _: org.apache.spark.sql.AnalysisException => return Seq.empty }
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        return (Seq.empty, false) }
     def split(e: Expression): Seq[Expression] = e match {
       case CAnd(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
-    analyzed.collect { case f: LFilter => f.condition }
+    val conjuncts = analyzed.collect { case f: LFilter => f.condition }
       .flatMap(split)
-      .flatMap(CatalystFilters.translate)
+    val translated = conjuncts.map(CatalystFilters.translate)
+    (translated.flatten, conjuncts.nonEmpty && translated.forall(_.isDefined))
   }
 
   /** Copy-on-write split for an arbitrary predicate: dirs whose manifest
@@ -2125,8 +2135,27 @@ class TableStore(spark: SparkSession, root: String) {
     * Null condition rows are kept (SQL semantics). */
   def delete(name: String, condition: Column): Unit = {
     val m = readManifest(name, currentVersion(name))
-    val (target, carried) = pruneByCondition(name, m, condition)
-    if (carried.size == m.dirs.size) return
+    val (touched0, carried0) = pruneDirsByCondition(name, m, condition)
+    if (touched0.isEmpty) return
+    // METADATA-ONLY DELETE: when the WHOLE condition translated, a dir
+    // whose stats prove every row satisfies it simply DROPS from the
+    // manifest — zero data read or written. A retention sweep
+    // (`DELETE WHERE d < cutoff`) on a date-clustered 100 TB table is
+    // then one manifest commit for the expired dirs plus a rewrite of
+    // only the boundary dir. Requires !cdf (the change feed records
+    // per-row deletes, which need the rows) — CDF tables rewrite.
+    val (filters, complete) = conditionFiltersComplete(m.schema, condition)
+    val (dropped, touched) =
+      if (m.cdf || !complete || filters.isEmpty) (Seq.empty[String], touched0)
+      else touched0.partition(d => m.stats.get(d).exists(ds =>
+        filters.forall(f => StatsPruning.mustMatch(ds, m.schema, f))))
+    val carried = carried0
+    val target = rewriteSource(name, m, touched)
+    if (touched.isEmpty) {
+      // everything the predicate touches drops whole — commit carries
+      commit(name, None, m, carried): Unit
+      return
+    }
     val ridKeep = rewriteExtra(m)
     if (!m.cdf)
       commit(name, Some(target.filter(!coalesce(condition, lit(false)))),

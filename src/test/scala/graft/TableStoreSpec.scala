@@ -443,4 +443,33 @@ class TableStoreSpec extends AnyFunSuite {
       assert(ts.read("ac").count() === 14)
     } finally spark.conf.unset("graft.autoCompact.enabled")
   }
+
+  test("metadata-only DELETE drops fully-covered dirs with zero data I/O") {
+    val ts = freshStore()
+    ts.create("md", (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    ts.append("md", (100L until 200L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    ts.append("md", (200L until 300L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    val before = ts.liveDirs("md")
+    // retention sweep fully covering the first two dirs: both DROP from
+    // the manifest; the third is untouched — and NOTHING is rewritten
+    ts.delete("md", col("k") < 200L)
+    val after = ts.liveDirs("md")
+    assert(after === Seq(before(2)), s"expected pure manifest drop, got $after")
+    assert(ts.read("md").count() === 100)
+    // time travel still sees the dropped dirs' rows (files untouched)
+    assert(ts.readVersion("md", 2).count() === 300)
+    // boundary predicate: one dir drops whole, the boundary dir rewrites
+    val ts2 = freshStore()
+    ts2.create("md2", (0L until 100L).map(i => (i, i)).toDF("k", "x").coalesce(1))
+    ts2.append("md2", (100L until 200L).map(i => (i, i)).toDF("k", "x").coalesce(1))
+    ts2.append("md2", (200L until 300L).map(i => (i, i)).toDF("k", "x").coalesce(1))
+    val b2 = ts2.liveDirs("md2")
+    ts2.delete("md2", col("k") < 150L)
+    val a2 = ts2.liveDirs("md2")
+    assert(!a2.contains(b2(0)), "first dir must drop whole")
+    assert(a2.contains(b2(2)), "disjoint dir must carry")
+    assert(!a2.contains(b2(1)), "boundary dir must be rewritten (new dir)")
+    assert(ts2.read("md2").as[(Long, Long)].collect().map(_._1).toSet ===
+      (150L until 300L).toSet)
+  }
 }
