@@ -355,16 +355,28 @@ class TableStore(spark: SparkSession, root: String) {
     val cached = manifestCache.get((name, v))
     if (cached != null && recordToken(name, v).contains(cached._1))
       return cached._2
+    def fromCkpt(): Manifest =
+      parseFull(MiniJson.obj(new String(
+        Files.readAllBytes(ckptPath(name, v)), StandardCharsets.UTF_8)))
     val resolved =
-      if (Files.exists(ckptPath(name, v)))
-        parseFull(MiniJson.obj(new String(
-          Files.readAllBytes(ckptPath(name, v)), StandardCharsets.UTF_8)))
+      if (Files.exists(ckptPath(name, v))) fromCkpt()
       else {
         val m = MiniJson.obj(new String(
           Files.readAllBytes(manifest(name, v)), StandardCharsets.UTF_8))
         m.get("base") match {
           case None => parseFull(m)
-          case Some(b) => applyDelta(readManifest(name, b.asInstanceOf[Long]), m)
+          case Some(b) =>
+            // a CONCURRENT VACUUM can sweep chain records below its
+            // retained head while this walk is already past the head —
+            // but it always writes the head's checkpoint FIRST, so a
+            // frame whose deeper chain vanished recovers by re-checking
+            // its own checkpoint (frames below the head rethrow and the
+            // head frame is the one that recovers)
+            try applyDelta(readManifest(name, b.asInstanceOf[Long]), m)
+            catch {
+              case e: java.nio.file.NoSuchFileException =>
+                if (Files.exists(ckptPath(name, v))) fromCkpt() else throw e
+            }
         }
       }
     cacheManifest(name, v, resolved)
@@ -1707,33 +1719,36 @@ class TableStore(spark: SparkSession, root: String) {
     require(retainVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(name)
     val keepVersions = (math.max(0L, cur - retainVersions + 1) to cur)
-    val live: Set[String] =
-      keepVersions.flatMap(v => readManifest(name, v).dirs).toSet
-    // every dir ANY still-on-disk manifest references (live or
-    // superseded history) — the complement is crash scratch or a
-    // commit in flight, which only age distinguishes
-    // built from ONE listing of _v (not O(version-count) exists probes);
-    // a record deleted by a concurrent sweep between list and read is
-    // simply skipped — its dirs then look unreferenced and the age
-    // guard below keeps anything young
-    val referenced: Set[String] = {
+    // versions on disk, from ONE _v listing (not O(version-count)
+    // exists probes). NonFatal guard on each read: the listing can see
+    // the record a concurrent commit is MID-WRITE (a partial JSON
+    // throws a parse error) — "skip it" is right, its dirs are young
+    // and the age guard keeps them.
+    val onDiskVersions: Seq[Long] = {
       val vd = dir(name).resolve("_v")
-      val onDisk: Seq[Long] =
-        if (!Files.isDirectory(vd)) Nil
-        else Using.resource(Files.list(vd))(_.iterator().asScala
-          .map(_.getFileName.toString)
-          .flatMap { n =>
-            val num = n.takeWhile(_.isDigit)
-            if (num.nonEmpty && n == s"$num.json") num.toLongOption else None
-          }.toSeq)
-      // NonFatal, not just IOException: the listing can see the record
-      // a concurrent commit is MID-WRITE (version cur+1) — a partial
-      // JSON throws a parse error, and "skip it" is exactly right (its
-      // dirs are young and the age guard keeps them anyway)
-      onDisk.flatMap(v =>
-        try readManifest(name, v).dirs
-        catch { case scala.util.control.NonFatal(_) => Nil }).toSet
+      if (!Files.isDirectory(vd)) Nil
+      else Using.resource(Files.list(vd))(_.iterator().asScala
+        .map(_.getFileName.toString)
+        .flatMap { n =>
+          val num = n.takeWhile(_.isDigit)
+          if (num.nonEmpty && n == s"$num.json") num.toLongOption else None
+        }.toSeq)
     }
+    def dirsOf(v: Long): Seq[String] =
+      try readManifest(name, v).dirs
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    // LIVE = the retained window PLUS any version a concurrent writer
+    // committed after this vacuum read `cur` — a newer commit's dirs
+    // are the FUTURE, not superseded history, and must never sweep
+    val live: Set[String] =
+      (keepVersions.flatMap(v => readManifest(name, v).dirs) ++
+        onDiskVersions.filter(_ > cur).flatMap(dirsOf)).toSet
+    // dirs referenced only by manifests BELOW the retained window are
+    // superseded history: swept immediately. The complement (no
+    // on-disk manifest at all) is crash scratch or a commit in flight,
+    // which only age distinguishes.
+    val referenced: Set[String] =
+      onDiskVersions.filter(_ < keepVersions.head).flatMap(dirsOf).toSet
     val dataDir = dataRoot(name)
     val deleted = Seq.newBuilder[Path]
     def rmTree(p: Path): Unit = { if (!dryRun) FsUtil.deleteRecursively(p.toFile); deleted += p }
