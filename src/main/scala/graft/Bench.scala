@@ -30,18 +30,26 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up executor threads, codegen compiler, and the FS cache so the
-    // first timed query doesn't absorb session start-up (~3-4 s)
+    // first timed query doesn't absorb session start-up (~3-4 s). The
+    // warm-up time doubles as a co-tenant contention sentinel: r5's
+    // recorded bench was poisoned by a contended machine (a trivial
+    // projection read 395 s); a slow warm-up makes such a run
+    // self-identifying in the artifact.
+    val w0 = System.nanoTime()
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    val warmupSec = (System.nanoTime() - w0) / 1e9
+    if (warmupSec > 30)
+      System.err.println(f"[bench] WARNING: warm-up took $warmupSec%.1f s — machine likely contended; treat this run's timings as unreliable")
     // optional local-iteration filter: comma-separated query names as
     // args(0); the driver invokes with no args (all queries)
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
     // deterministic order so per-round numbers are comparable
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -51,7 +59,15 @@ object Bench {
       // different, cheaper query); toRdd.count() iterates the plan's
       // fully-evaluated UnsafeRows, so projections, casts, and derived
       // measures are all actually computed
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          // a throw must not read as a fast success (r5: 13 broken
+          // queries recorded ~0.07 s each and LOWERED the total)
+          failed += name
+          System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       // isolate queries from each other: several cache intermediates
       // they hand back still-cached; 80 queries' worth of leaked blocks
@@ -59,16 +75,21 @@ object Bench {
       // query (r02: a trivial 8-column projection read 26 s)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> sec
+      name -> (if (ok) sec else -1.0)
     }
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jsonArr(ss: Seq[String]): String = ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val good = results.filter(_._2 >= 0)
+    val total = good.map(_._2).sum
     Files.createDirectories(Paths.get("target"))
+    val fullSep = if (results.isEmpty) "" else ","
     Files.write(Paths.get("target/bench_full.json"),
-      jsonMap(results).getBytes(StandardCharsets.UTF_8))
-    val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${results.size},"sf":"$sfDir"}""")
+      (jsonMap(results).dropRight(1) +
+        s"""$fullSep"_failed":${jsonArr(failed.toSeq)},"_warmup_sec":$warmupSec}""")
+        .getBytes(StandardCharsets.UTF_8))
+    val head = good.filter(r => headline.contains(r._1))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${good.size},"failed":${jsonArr(failed.toSeq)},"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

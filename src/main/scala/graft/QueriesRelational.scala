@@ -19,15 +19,29 @@ object QueriesRelational {
 
   import Queries.{Q, QDef}
 
-  /** events.parquet carries TIMESTAMP(NANOS) parquet type, which vanilla
-    * Spark 4 rejects; we read nanos as long (legacy conf, set per-session
-    * in Verify/Bench and defensively here) and derive a microsecond
-    * TIMESTAMP_NTZ — identical to DuckDB's CAST(ts AS TIMESTAMP). */
+  /** events.parquet's `ts` physical type has shifted across driver
+    * versions: TIMESTAMP(NANOS) (which Spark reads as BIGINT nanos under
+    * the legacy nanosAsLong conf) and, currently, TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which Spark 4.1+ loads natively as
+    * TIMESTAMP_NTZ; the nanos conf is irrelevant/ignored). Branch on the
+    * LOADED dtype — never on a conf — and derive two normalized columns
+    * every downstream consumer uses instead of touching raw `ts`:
+    *  - `ev_ts` µs TIMESTAMP_NTZ event time, identical to DuckDB's
+    *    CAST(ts AS TIMESTAMP);
+    *  - `tsu` epoch-µs BIGINT, matching DuckDB epoch_us(CAST(ts AS
+    *    TIMESTAMP)) — for the ordering / interval arithmetic paths
+    *    (as-of, range join, sessionize). Sessions are pinned UTC, so the
+    *    ntz→instant cast is exact. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, dir)
-      .withColumn("ev_ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = Tables.events(s, dir)
+    val evTs: Column = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ev_ts", evTs)
+      .withColumn("tsu", unix_micros(col("ev_ts").cast("timestamp")))
   }
 
   val defs: Map[String, QDef] = Map(

@@ -21,7 +21,6 @@ object QueriesStreaming {
     // ---- st1: streaming windowed aggregation, end-to-end ----
     "st1_stream_windowed_counts" -> QDef(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = Tables.events(s, dir).schema
         // the file-stream source requires a directory: stream the sf dir
         // with a glob pinned to the events table
@@ -39,7 +38,6 @@ object QueriesStreaming {
     //  both window starts per event and re-aggregates)
     "st4_sliding_window" -> QDef(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         StreamingJobs.withEventTime(Tables.events(s, dir))
           .groupBy(window(col("ev_ts"), "1 day", "12 hours"), col("event_type"))
           .agg(count(lit(1)).as("n_events"))
@@ -60,7 +58,6 @@ object QueriesStreaming {
     //  last event + gap by definition)
     "st3_session_window" -> QDef(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         StreamingJobs.withEventTime(Tables.events(s, dir))
           .groupBy(col("user_id"), session_window(col("ev_ts"), "30 minutes"))
           .agg(count(lit(1)).as("n_events"))
@@ -84,7 +81,6 @@ object QueriesStreaming {
     // ---- st2: typed sessionization (30-min gap split) ----
     "st2_sessionize" -> QDef(
       (s, dir) => {
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         StreamingJobs.sessionize(Tables.events(s, dir)).toDF()
           .select(col("user_id"), col("session_id"),
             col("session_start").cast("timestamp_ntz").as("session_start"),
@@ -110,7 +106,6 @@ object QueriesStreaming {
     "st7_stream_dedup" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = Tables.events(s, dir).schema
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -135,7 +130,6 @@ object QueriesStreaming {
     "st8_stream_stream_join" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = Tables.events(s, dir).schema
         def stream = StreamingJobs.withEventTime(
           s.readStream.schema(schema)

@@ -33,7 +33,7 @@ object QueriesTemporal {
       (s, dir) => {
         // µs timestamps on both sides (the oracle's precision); the
         // at-or-before pick tie-breaks on the view's event_id
-        val ev = events(s, dir).withColumn("tsu", expr("ts div 1000"))
+        val ev = events(s, dir) // `tsu` = epoch µs, dtype-adaptive
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ev_ts").as("click_ts"), col("tsu"))
@@ -65,9 +65,9 @@ object QueriesTemporal {
                           // DuckDB truncates parquet ns timestamps to µs)
         val ev = events(s, dir)
         val errors = ev.filter(col("event_type") === "error")
-          .select(col("event_id").as("error_id"), expr("ts div 1000").as("ets"))
+          .select(col("event_id").as("error_id"), col("tsu").as("ets"))
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), expr("ts div 1000").as("cts"))
+          .select(col("event_id").as("click_id"), col("tsu").as("cts"))
         graft.ops.Temporal.rangeJoin(errors, clicks,
             leftTs = "ets", rightTs = "cts", lower = 0L, upper = W)
           .select(col("error_id"), col("click_id"),
@@ -115,8 +115,7 @@ object QueriesTemporal {
         val wo = Window.partitionBy(col("user_id"))
           .orderBy(col("tsu"), col("event_id"))
         val marked = events(s, dir)
-          .select(col("user_id"), col("event_id"), col("ev_ts"),
-            expr("ts div 1000").as("tsu"))
+          .select(col("user_id"), col("event_id"), col("ev_ts"), col("tsu"))
           .withColumn("prev_ts", lag(col("tsu"), 1).over(wo))
           .withColumn("is_new",
             when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > gap, 1)

@@ -17,15 +17,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a thrown query must NOT read as an absent-therefore-ignored
+        // entry (r5: 13 broken queries vanished silently). Write a
+        // well-formed 1-row parquet whose schema can never match any
+        // oracle, so the driver's compare records an explicit red row.
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        failures(name) = msg
+        System.err.println(s"[verify] FAILED $name: $msg")
+        import spark.implicits._
+        Seq(msg).toDF("__graft_query_failed")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED queries: ${failures.keys.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,6 +53,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

@@ -22,13 +22,19 @@ import graft.core.TableStore
   */
 object StreamingJobs {
 
-  /** events with a microsecond event time (the parquet carries
-    * TIMESTAMP(NANOS) which Spark 4 reads as long under
-    * spark.sql.legacy.parquet.nanosAsLong). TimestampType, not NTZ:
-    * streaming watermarks reject TIMESTAMP_NTZ; the session is pinned
-    * UTC so wall clocks agree. */
-  def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+  /** events with a microsecond event time, adaptive to the loaded dtype
+    * of `ts`: BIGINT nanos (legacy nanosAsLong readers), TIMESTAMP_NTZ
+    * (Spark 4.1+ reading TIMESTAMP(MICROS) parquet), or TIMESTAMP.
+    * Emits TimestampType, not NTZ: streaming watermarks reject
+    * TIMESTAMP_NTZ; the session is pinned UTC so wall clocks agree. */
+  def withEventTime(events: DataFrame): DataFrame = {
+    val evTs = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    events.withColumn("ev_ts", evTs)
+  }
 
   /** Tumbling 1-day windowed counts per event_type with an event-time
     * watermark — works identically over a batch or streaming source. */
@@ -67,26 +73,31 @@ object StreamingJobs {
   def sessionize(events: DataFrame): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapNanos = 30L * 60 * 1000 * 1000 * 1000
-    withEventTime(events)
-      .select(col("user_id").as[Long], col("event_id").as[Long], col("ts").as[Long])
+    val gapMicros = 30L * 60 * 1000000L
+    // normalize the event time to epoch µs BEFORE the typed boundary so
+    // the group function is dtype-agnostic (see withEventTime scaladoc)
+    val tsu = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    events
+      .select(col("user_id").as[Long], col("event_id").as[Long], tsu.as("tsu").as[Long])
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (uid, it) =>
-        def toMicrosTs(nanos: Long): Timestamp = {
+        def toMicrosTs(micros: Long): Timestamp = {
           // instant-based construction: Timestamp.valueOf(LocalDateTime)
           // would re-interpret the wall clock in the JVM default zone
-          val micros = nanos / 1000L
           val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
           ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
           ts
         }
-        val evs = it.toArray.sortBy(e => (e._3, e._2)) // (ts, event_id)
+        val evs = it.toArray.sortBy(e => (e._3, e._2)) // (tsu, event_id)
         val sessions = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
         var sid = 0
         var curStart = -1L; var curEnd = -1L; var curN = 0L
         evs.foreach { case (_, _, t) =>
-          if (curN == 0 || t - curEnd > gapNanos) {
+          if (curN == 0 || t - curEnd > gapMicros) {
             if (curN > 0) { sessions += ((sid, curStart, curEnd, curN)); sid += 1 }
             curStart = t; curEnd = t; curN = 1
           } else { curEnd = t; curN += 1 }
