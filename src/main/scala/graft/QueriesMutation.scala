@@ -668,21 +668,31 @@ object QueriesMutation {
         st.createEmpty("replica", org.apache.spark.sql.types.StructType.fromDDL(
           "rid BIGINT, l_orderkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE"))
         // ONE feed read (st10's pattern): cache the whole backlog, apply
-        // commits in version order — each increment is O(its changes)
+        // commits in version order — each increment is O(its changes).
+        // One aggregate over the cached feed replaces the per-version
+        // isEmpty probes (2 jobs x versions -> 1 job), and the merges
+        // skip the uniqueness gate: CDF rows are rid-unique within a
+        // commit by construction (a rid is inserted OR updated, never
+        // both, in one version).
         val feed = st.readChangesBetween("src", 0, st.currentVersion("src"),
           withRowIds = true).cache()
-        val versions = feed.select("_commit_version").distinct()
-          .collect().map(_.getLong(0)).sorted
+        val counts = feed.groupBy("_commit_version", "_change_type").count()
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        val versions = counts.keys.map(_._1).toSeq.distinct.sorted
         versions.foreach { v =>
+          val nUps = counts.getOrElse((v, "insert"), 0L) +
+            counts.getOrElse((v, "update_postimage"), 0L)
           val b = feed.filter(col("_commit_version") === v)
-          val ups = b.filter(col("_change_type").isin("insert", "update_postimage"))
-            .select(col("_row_id").as("rid"), col("l_orderkey"),
-              col("l_suppkey"), col("l_quantity"))
-          if (!ups.isEmpty) st.mergeUpsert("replica", ups, Seq("rid"),
-            changeTypeCol = None)
-          val dels = b.filter(col("_change_type") === "delete")
-            .select(col("_row_id").as("rid"))
-          if (!dels.isEmpty) st.mergeDelete("replica", dels, Seq("rid"))
+          if (nUps > 0) st.mergeUpsert("replica",
+            b.filter(col("_change_type").isin("insert", "update_postimage"))
+              .select(col("_row_id").as("rid"), col("l_orderkey"),
+                col("l_suppkey"), col("l_quantity")),
+            Seq("rid"), changeTypeCol = None, verifyUniqueSource = false)
+          if (counts.getOrElse((v, "delete"), 0L) > 0)
+            st.mergeDelete("replica",
+              b.filter(col("_change_type") === "delete")
+                .select(col("_row_id").as("rid")), Seq("rid"))
         }
         feed.unpersist()
         st.read("replica").select("l_orderkey", "l_suppkey", "l_quantity")

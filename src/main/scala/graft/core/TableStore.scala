@@ -942,12 +942,15 @@ class TableStore(spark: SparkSession, root: String) {
       // a change-feed consumer can key on `_row_id` (keyless replication)
       val cdfRid = if (tracking) Seq(col(RidCol)) else Nil
       val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name))) ++ cdfRid
+      // ONE write for both images: partitionBy lays out the same
+      // `__cdc=<kind>/` dirs the reader globs, at half the job count
+      // (these commits are fixed-cost-dominated at small batch sizes)
       staged.select(schemaCols ++ cdfRid: _*).select(toPhys: _*)
-        .write.mode("overwrite")
-        .parquet(cdfDir.resolve("__cdc=update_preimage").toString)
-      postimage.select(toPhys: _*)
-        .write.mode("overwrite")
-        .parquet(cdfDir.resolve("__cdc=update_postimage").toString)
+        .withColumn("__cdc", lit("update_preimage"))
+        .unionByName(postimage.select(toPhys: _*)
+          .withColumn("__cdc", lit("update_postimage")))
+        .write.mode("overwrite").partitionBy("__cdc")
+        .parquet(cdfDir.toString)
       Some(cdfDir)
     }
     FsUtil.deleteRecursively(staging.toFile)
