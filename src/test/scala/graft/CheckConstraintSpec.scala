@@ -111,6 +111,41 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(ids.distinct.size === ids.size)
   }
 
+  test("identity watermark advances past values landed by SQL MERGE and library mergeUpsert") {
+    // round-4 ADVICE #3: the three non-minting write paths (SQL INSERT is
+    // covered in the RENAME/DROP test below) must never let a later
+    // library append re-mint an id a caller-supplied row already took.
+    // Merges key on the identity column by design (replication carries
+    // ids), so the contract there is watermark-advance, not refusal.
+    val root = java.nio.file.Files.createTempDirectory("idmerge").toString
+    spark.conf.set("spark.sql.catalog.gidm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gidm.root", root)
+    val ts = new graft.core.TableStore(spark, root)
+    ts.createEmpty("t", org.apache.spark.sql.types.StructType.fromDDL(
+      "sk BIGINT, name STRING"))
+    ts.setIdentityColumn("t", "sk", start = 1L)
+    ts.append("t", Seq("a").toDF("name")) // mints sk=1
+    // library mergeUpsert carrying sk values (the mergeUpsert path)
+    ts.mergeUpsert("t", Seq((100L, "m")).toDF("sk", "name"), Seq("sk"),
+      changeTypeCol = None)
+    assert(ts.properties("t")("identity.sk.next").toLong >= 101L,
+      "mergeUpsert did not advance the identity watermark")
+    ts.append("t", Seq("b").toDF("name")) // must mint PAST 100
+    val ids = ts.read("t").select("sk").as[Long].collect().toSeq
+    assert(ids.distinct.size === ids.size, s"duplicate ids after merge: $ids")
+    assert(ids.max >= 101L, s"append re-minted under the merged id: $ids")
+    // SQL MERGE insert through the DSv2 catalog (the commitDelta path)
+    Seq((500L, "x")).toDF("sk", "name").createOrReplaceTempView("idm_src")
+    spark.sql("""MERGE INTO gidm.t t USING idm_src s ON t.sk = s.sk
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ts.properties("t")("identity.sk.next").toLong >= 501L,
+      "commitDelta did not advance the identity watermark")
+    ts.append("t", Seq("c").toDF("name")) // must mint PAST 500
+    val ids2 = ts.read("t").select("sk").as[Long].collect().toSeq
+    assert(ids2.distinct.size === ids2.size, s"duplicate ids after SQL MERGE: $ids2")
+    assert(ids2.max >= 501L, s"append re-minted under the SQL-merged id: $ids2")
+  }
+
   test("identity rules survive RENAME, die with DROP, and track external writes") {
     val root = java.nio.file.Files.createTempDirectory("idalter").toString
     spark.conf.set("spark.sql.catalog.gida", "graft.sources.GraftCatalog")
