@@ -849,7 +849,8 @@ class TableStore(spark: SparkSession, root: String) {
           .select(col("__dv_relpath").as("relpath"), col("__dv_pos").as("pos"))
           .withColumn("dir", dirOf("relpath"))
           .select("dir", "relpath", "pos"))
-    combined.write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
+    combined.sortWithinPartitions("relpath", "pos")
+      .write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
     val stagedCdf = if (!m.cdf) None else {
       val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
@@ -934,7 +935,8 @@ class TableStore(spark: SparkSession, root: String) {
           .select(col("__dv_relpath").as("relpath"), col("__dv_pos").as("pos"))
           .withColumn("dir", dirOf("relpath"))
           .select("dir", "relpath", "pos"))
-    combined.write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
+    combined.sortWithinPartitions("relpath", "pos")
+      .write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
     val stagedCdf = if (!m.cdf) None else {
       val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
@@ -1071,10 +1073,31 @@ class TableStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** Deleted row positions per live FILE for the snapshot's DV'd dirs —
-    * the planning-time input of the DSv2 reader's position skip. Keys
-    * are absolute file paths; values are sorted positions. Sidecars
-    * hold only deleted rows, so this is small by construction. */
+  /** LAZY deletion-vector delivery: per DV'd live dir, the absolute
+    * sidecar parquet files holding its tombstones. Pure manifest + one
+    * directory listing per distinct sidecar — NO Spark job, NO position
+    * materialized on the driver. Each scan task filters the sidecar to
+    * its own file's `relpath` executor-side (GraftDvSidecars), so at
+    * 100 TB with heavy churn the driver never holds tombstone rows;
+    * sidecar writes sort by (relpath, pos) so that per-file probe
+    * prunes row groups. */
+  def dvSidecarsByDir(name: String, version: Long): Map[String, Seq[String]] = {
+    val m = readManifest(name, version)
+    if (m.dvs.isEmpty) return Map.empty
+    val filesByName: Map[String, Seq[String]] =
+      m.dvs.values.map(_.path).toSet.iterator.map { n: String =>
+        val d = dvRoot(name).resolve(n)
+        n -> Using.resource(Files.list(d))(_.iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
+      }.toMap
+    m.dvs.map { case (d, ref) => d -> filesByName(ref.path) }
+  }
+
+  /** Deleted row positions per live FILE for the snapshot's DV'd dirs.
+    * Keys are absolute file paths; values are sorted positions.
+    * Driver-side materialization — kept for bounded consumers (change
+    * feeds over touched dirs, tests); snapshot SCAN planning uses
+    * [[dvSidecarsByDir]] + executor-side per-file probes instead. */
   def dvPositionsByFile(name: String, version: Long): Map[String, Array[Long]] = {
     val m = readManifest(name, version)
     if (m.dvs.isEmpty) return Map.empty
@@ -2300,7 +2323,8 @@ class TableStore(spark: SparkSession, root: String) {
               .select(col("__dv_relpath").as("relpath"), col("__dv_pos").as("pos"))
               .withColumn("dir", dirOf("relpath"))
               .select("dir", "relpath", "pos"))
-        combined.write.mode("overwrite")
+        combined.sortWithinPartitions("relpath", "pos")
+          .write.mode("overwrite")
           .parquet(dvRoot(name).resolve(dvName).toString)
         dvsUpdated = perDir.keySet.map { d =>
           val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)

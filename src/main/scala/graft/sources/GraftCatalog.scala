@@ -412,7 +412,7 @@ class GraftSqlTable(root: String, tableName: String,
       bloomPrune =
         if (snap.bloomCols.isEmpty) None
         else Some((snap.bloomCols, store.bloomRoot(tableName))),
-      dvByFile = store.dvPositionsByFile(tableName, snap.version),
+      dvSidecars = store.dvSidecarsByDir(tableName, snap.version),
       dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
       streamMaxVersions =
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
@@ -461,7 +461,7 @@ class GraftSqlTable(root: String, tableName: String,
           override def build(): Scan =
             new GraftRowLevelScan(snap.schema, required,
               snap.filesByDir(store, tableName), _ => (),
-              store.dvPositionsByFile(tableName, snap.version), snap.colmap)
+              store.dvSidecarsByDir(tableName, snap.version), snap.colmap)
         }
       override def newWriteBuilder(
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -495,7 +495,7 @@ class GraftSqlTable(root: String, tableName: String,
           override def build(): Scan =
             new GraftRowLevelScan(snap.schema, required,
               snap.filesByDir(store, tableName), t => touched = Some(t),
-              store.dvPositionsByFile(tableName, snap.version), snap.colmap)
+              store.dvSidecarsByDir(tableName, snap.version), snap.colmap)
         }
       override def newWriteBuilder(
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -551,7 +551,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
                        streamSource: Option[(String, String)] = None,
                        bucketing: Option[(Seq[String], Int)] = None,
                        bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
-                       dvByFile: Map[String, Array[Long]] = Map.empty,
+                       dvSidecars: Map[String, Seq[String]] = Map.empty,
                        dvDeleted: Map[String, Long] = Map.empty,
                        streamMaxVersions: Option[Long] = None,
                        colmap: Map[String, String] = Map.empty,
@@ -582,7 +582,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
     var cum = 0L
     dirFiles.foreach { case (d, fs) =>
       val st = stats.getOrElse(d, return false)
-      val dv = fs.flatMap(dvByFile.get).map(_.length.toLong).sum
+      val dv = dvDeleted.getOrElse(d, 0L)
       val liveRows = math.max(0L, st.rows - dv)
       if (cum + liveRows <= n) cum += liveRows
       else {
@@ -685,7 +685,7 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
       val live = dirFiles.filter(df => liveDirs.contains(df._1))
       new GraftScan(schema, required, live, stats, pushed, streamSource,
         dirsTotal = dirFiles.size, bucketing = bucketing,
-        bloomPrune = bloomPrune, dvByFile = dvByFile,
+        bloomPrune = bloomPrune, dvSidecars = dvSidecars, dvDeleted = dvDeleted,
         streamMaxVersions = streamMaxVersions, colmap = colmap,
         rowBase = rowBase, limit = limit, topN = topN, offset = offset)
   }
@@ -699,7 +699,8 @@ class GraftScan(fullSchema: StructType, required: StructType,
                 dirsTotal: Int = 0,
                 bucketing: Option[(Seq[String], Int)] = None,
                 bloomPrune: Option[(Seq[String], java.nio.file.Path)] = None,
-                dvByFile: Map[String, Array[Long]] = Map.empty,
+                dvSidecars: Map[String, Seq[String]] = Map.empty,
+                dvDeleted: Map[String, Long] = Map.empty,
                 streamMaxVersions: Option[Long] = None,
                 colmap: Map[String, String] = Map.empty,
                 rowBase: Map[String, Long] = Map.empty,
@@ -817,7 +818,7 @@ class GraftScan(fullSchema: StructType, required: StructType,
       live.foreach { df =>
         if (cum < target) {
           picked += df
-          val dv = df._2.flatMap(dvByFile.get).map(_.length.toLong).sum
+          val dv = dvDeleted.getOrElse(df._1, 0L)
           cum += math.max(0L, stats(df._1).rows - dv)
         }
       }
@@ -848,7 +849,7 @@ class GraftScan(fullSchema: StructType, required: StructType,
           val st = stats.getOrElse(df._1, return None)
           val cs = st.cols.getOrElse(c, return None)
           val nulls = cs.nulls.getOrElse(return None)
-          val dv = df._2.flatMap(dvByFile.get).map(_.length.toLong).sum
+          val dv = dvDeleted.getOrElse(df._1, 0L)
           val liveRows = math.max(0L, st.rows - dv)
           val countable =
             if (nullsFirst) liveRows
@@ -874,16 +875,33 @@ class GraftScan(fullSchema: StructType, required: StructType,
       } catch { case _: IllegalArgumentException => None }
     }
 
+  // lazy DV reference per file of a DV'd dir: the file's
+  // manifest-relative path plus the sidecar parquet files holding its
+  // dir's tombstones — the reader probes them executor-side, so NO
+  // tombstone position ever materializes on the driver (100 TB heavy
+  // churn would otherwise reach driver-memory scale)
+  private lazy val dvRefByFile: Map[String, (String, Seq[String])] =
+    if (dvSidecars.isEmpty) Map.empty
+    else dirFilesLive.flatMap { case (d, fs) =>
+      dvSidecars.get(d).toSeq.flatMap(sc => fs.map(f =>
+        f -> (s"$d/${f.substring(f.lastIndexOf('/') + 1)}", sc)))
+    }.toMap
+  private def part(f: String, skipLive: Long = 0L): GraftInputPartition =
+    dvRefByFile.get(f) match {
+      case Some((rel, sc)) =>
+        GraftInputPartition(f, dvRelpath = rel, dvFiles = sc, skipLive = skipLive)
+      case None => GraftInputPartition(f, skipLive = skipLive)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = bucketGroups match {
     case Some((_, _, groups)) =>
       groups.map { case (b, fs) => GraftBucketInputPartition(b, fs,
-        dvByFile.view.filterKeys(fs.contains).toMap): InputPartition }.toArray
+        fs.flatMap(f => dvRefByFile.get(f).map(f -> _)).toMap): InputPartition }.toArray
     case None =>
       val sched = topNScheduled.getOrElse(limitScheduled)
       offset match {
         case None => sched.flatMap(_._2)
-          .map(f => GraftInputPartition(f,
-            dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
+          .map(part(_): InputPartition).toArray
         case Some(o) =>
           // drop whole leading dirs by live count; the boundary dir is
           // a single file (the builder's acceptance condition) whose
@@ -892,17 +910,15 @@ class GraftScan(fullSchema: StructType, required: StructType,
           val parts = Seq.newBuilder[InputPartition]
           sched.foreach { case (d, fs) =>
             if (toSkip == 0L)
-              fs.foreach(f => parts += GraftInputPartition(f,
-                dvByFile.getOrElse(f, Array.empty)))
+              fs.foreach(f => parts += part(f))
             else {
               // stats exist through the boundary dir (the builder's
               // acceptance condition); past it this branch never runs
-              val dv = fs.flatMap(dvByFile.get).map(_.length.toLong).sum
+              val dv = dvDeleted.getOrElse(d, 0L)
               val liveRows = math.max(0L, stats(d).rows - dv)
               if (toSkip >= liveRows) toSkip -= liveRows // dir fully skipped
               else fs.foreach { f =>
-                parts += GraftInputPartition(f, dvByFile.getOrElse(f, Array.empty),
-                  skipLive = toSkip)
+                parts += part(f, skipLive = toSkip)
                 toSkip = 0L
               }
             }
@@ -918,7 +934,7 @@ class GraftScan(fullSchema: StructType, required: StructType,
     var toSkip = o.toLong
     live.foreach { case (d, fs) =>
       if (toSkip > 0L) {
-        val dv = fs.flatMap(dvByFile.get).map(_.length.toLong).sum
+        val dv = dvDeleted.getOrElse(d, 0L)
         val liveRows = math.max(0L,
           stats.get(d).map(_.rows).getOrElse(return true) - dv)
         if (toSkip >= liveRows) toSkip -= liveRows
@@ -934,7 +950,7 @@ class GraftScan(fullSchema: StructType, required: StructType,
     s"graft parquet scan, ${files.size} files" +
       s" (stats pruning: $dirsScanned/$dirsTotal dirs)" +
       runtimePrunedFrom.map(b => s" (runtime pruning: $dirsScanned/$b dirs)").getOrElse("") +
-      (if (dvByFile.nonEmpty) s" (dv columnar-skip: ${dvByFile.size} files)" else "") +
+      (if (dvSidecars.nonEmpty) s" (dv columnar-skip: ${dvSidecars.size} dirs)" else "") +
       limit.filter(_ => pushed.isEmpty && bucketGroups.isEmpty).map(n =>
         s" (PushedLimit: $n -> ${limitScheduled.size}/${live.size} dirs)").getOrElse("") +
       topN.filter(_ => bucketGroups.isEmpty).flatMap(t => topNScheduled.map(k =>
@@ -954,7 +970,7 @@ class GraftScan(fullSchema: StructType, required: StructType,
     private val rows: Option[Long] =
       if (live.forall(df => stats.contains(df._1)))
         Some(live.map(df => stats(df._1).rows).sum -
-          live.flatMap(_._2).flatMap(dvByFile.get).map(_.length.toLong).sum)
+          live.map(df => dvDeleted.getOrElse(df._1, 0L)).sum)
       else None
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -1058,7 +1074,7 @@ object GraftRuntimeValues {
 class GraftRowLevelScan(fullSchema: StructType, required: StructType,
                         dirFiles: Seq[(String, Seq[String])],
                         onTouched: Set[String] => Unit,
-                        dvByFile: Map[String, Array[Long]] = Map.empty,
+                        dvSidecars: Map[String, Seq[String]] = Map.empty,
                         colmap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
@@ -1079,8 +1095,13 @@ class GraftRowLevelScan(fullSchema: StructType, required: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    live.flatMap(_._2).map(f => GraftInputPartition(f,
-      dvByFile.getOrElse(f, Array.empty)): InputPartition).toArray
+    live.flatMap { case (d, fs) => fs.map { f =>
+      dvSidecars.get(d) match {
+        case Some(sc) => GraftInputPartition(f,
+          dvRelpath = s"$d/${f.substring(f.lastIndexOf('/') + 1)}", dvFiles = sc)
+        case None => GraftInputPartition(f)
+      }
+    }: Seq[InputPartition] }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, fullSchema, Array.empty, colmap = colmap)
   override def description(): String =
@@ -1221,7 +1242,7 @@ class GraftRowIdsTable(root: String, tableName: String)
       bloomPrune =
         if (snap.bloomCols.isEmpty) None
         else Some((snap.bloomCols, store.bloomRoot(tableName))),
-      dvByFile = store.dvPositionsByFile(tableName, snap.version),
+      dvSidecars = store.dvSidecarsByDir(tableName, snap.version),
       dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
       streamMaxVersions =
         Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
@@ -1476,7 +1497,8 @@ class GraftMicroBatchStream(root: String, table: String,
 }
 
 case class GraftInputPartition(file: String,
-                               dvPositions: Array[Long] = Array.empty,
+                               dvRelpath: String = "",
+                               dvFiles: Seq[String] = Nil,
                                ridBase: Long = Long.MinValue,
                                skipLive: Long = 0L)
     extends InputPartition
@@ -1501,7 +1523,7 @@ class GraftSkipRowsReader(inner: PartitionReader[InternalRow], n: Long)
 /** One hash bucket's files as a single input partition, keyed for
   * Spark's key-grouped (storage-partitioned) execution. */
 case class GraftBucketInputPartition(bucket: Int, files: Seq[String],
-                                     dvByFile: Map[String, Array[Long]] = Map.empty)
+                                     dvRefs: Map[String, (String, Seq[String])] = Map.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
@@ -1602,6 +1624,13 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     * same sequential guarantee as `_pos` (id = base + file position). */
   private val noSkip = required.fieldNames.contains(GraftPosMeta.Name) ||
     required.fieldNames.contains(GraftRowIdMeta.Name)
+  private def dvOf(ref: Option[(String, Seq[String])]): Array[Long] = ref match {
+    case Some((rel, files)) => GraftDvSidecars.positions(files, rel)
+    case None => Array.empty
+  }
+  private def dvOf(gp: GraftInputPartition): Array[Long] =
+    if (gp.dvFiles.isEmpty) Array.empty
+    else GraftDvSidecars.positions(gp.dvFiles, gp.dvRelpath)
   private def rowReader(f: String, dv: Array[Long],
                         base: Long = Long.MinValue): PartitionReader[InternalRow] = {
     // a file with no known base reads `_row_id` as NULL (Long.MinValue
@@ -1617,13 +1646,13 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     partition match {
       case GraftBucketInputPartition(_, fs, dvs) =>
         new GraftChainedReader(fs.map(f =>
-          () => rowReader(f, dvs.getOrElse(f, Array.empty))))
+          () => rowReader(f, dvOf(dvs.get(f)))))
       case p =>
         val gp = p.asInstanceOf[GraftInputPartition]
         val r =
           if (gp.ridBase != Long.MinValue)
-            rowReader(gp.file, gp.dvPositions, gp.ridBase)
-          else rowReader(gp.file, gp.dvPositions)
+            rowReader(gp.file, dvOf(gp), gp.ridBase)
+          else rowReader(gp.file, dvOf(gp))
         if (gp.skipLive > 0L) new GraftSkipRowsReader(r, gp.skipLive) else r
     }
 
@@ -1653,11 +1682,35 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
     partition match {
       case GraftBucketInputPartition(_, fs, dvs) =>
         new GraftChainedReader(fs.map(f =>
-          () => mk(f, dvs.getOrElse(f, Array.empty))))
+          () => mk(f, dvOf(dvs.get(f)))))
       case p =>
         val gp = p.asInstanceOf[GraftInputPartition]
-        mk(gp.file, gp.dvPositions)
+        mk(gp.file, dvOf(gp))
     }
+  }
+}
+
+/** Executor-side deletion-vector resolution: probe the (relpath,
+  * pos)-sorted sidecar parquet for ONE data file's tombstone positions.
+  * parquet-mr record-level filtering on `relpath` plus the sidecar's
+  * sorted row groups make each probe O(this file's tombstones) I/O —
+  * the driver never materializes any position (contrast the old
+  * planning-time collect, which held every pending tombstone of the
+  * table in driver memory). */
+object GraftDvSidecars {
+  private val SidecarSchema = StructType(Seq(
+    StructField("relpath", StringType), StructField("pos", LongType)))
+  def positions(sidecarFiles: Seq[String], relpath: String): Array[Long] = {
+    val pushed: Array[Filter] = Array(EqualTo("relpath", relpath))
+    val buf = Array.newBuilder[Long]
+    sidecarFiles.foreach { f =>
+      val r = new GraftPartitionReader(f, SidecarSchema, SidecarSchema, pushed)
+      try while (r.next()) buf += r.get().getLong(1)
+      finally r.close()
+    }
+    val arr = buf.result()
+    java.util.Arrays.sort(arr)
+    arr
   }
 }
 

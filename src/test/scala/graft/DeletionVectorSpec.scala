@@ -225,7 +225,7 @@ class DeletionVectorSpec extends AnyFunSuite {
     val plan = spark.sql("SELECT id, x FROM gdvc.t WHERE x >= 0")
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("ColumnarToRow"), plan)
-    assert(plan.contains("dv columnar-skip: 1 files"), plan)
+    assert(plan.contains("dv columnar-skip: 1 dirs"), plan)
   }
 
   test("vacuum sweeps sidecars no retained manifest references") {
