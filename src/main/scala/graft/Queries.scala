@@ -44,7 +44,19 @@ object Queries {
                |GROUP BY l_returnflag, l_linestatus""".stripMargin))
     ) ++ QueriesRelational.defs ++ QueriesMutation.defs ++ QueriesLlm.defs ++
       QueriesJobs.defs ++ QueriesStreaming.defs ++ QueriesMultimodal.defs ++
-      QueriesCorpus.defs ++ QueriesTemporal.defs
+      QueriesCorpus.defs ++ QueriesTemporal.defs ++ failCanary
+
+  /** Harness self-test (env-gated, absent from normal runs): a query
+    * that always throws, for demonstrating that Verify records an
+    * explicit red entry and Bench an explicit "failed" name instead of
+    * silently omitting them — the r5 failure mode where 13 broken
+    * queries vanished from one artifact and read as fast successes in
+    * the other. Enable with GRAFT_FAIL_CANARY=1. */
+  private def failCanary: Map[String, QDef] =
+    if (!sys.env.contains("GRAFT_FAIL_CANARY")) Map.empty
+    else Map("zz_fail_canary" -> QDef(
+      (s, _) => s.range(1).select(expr("assert_true(id > 0)").as("boom"), col("id")),
+      Some("SELECT CAST(NULL AS BOOLEAN) AS boom, 0 AS id")))
 
   def registry: Map[String, Q] = all.map { case (k, d) => k -> d.fn }
 
