@@ -53,6 +53,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
       // materialize through the PHYSICAL plan: df.count() would let
       // Catalyst prune every unreferenced projection (measuring a

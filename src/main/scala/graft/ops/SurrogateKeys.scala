@@ -13,17 +13,19 @@ import org.apache.spark.sql.types.StructField
   */
 object SurrogateKeys {
 
-  /** Reference shape: global ROW_NUMBER — deterministic, but single-
-    * partition. Correct choice for dimension tables (10^2..10^6 rows);
-    * never use on fact-scale data — [[dense]] is the scale path.
-    * The constant partition key is the DELIBERATE single-partition
-    * choice made explicit (same plan, but Spark's "No Partition
-    * Defined" warning no longer floods the logs for an intended
-    * dim-scale sort). */
+  /** Reference shape: global ROW_NUMBER over a total order (W3) —
+    * re-expressed as a range-partitioned SORT + [[dense]] zipWithIndex,
+    * so the numbering is fully parallel at any dim size. The obvious
+    * `row_number() OVER (ORDER BY ...)` (even with a constant partition
+    * key — Spark 4.1 constant-folds it away) funnels the entire input
+    * through ONE task: fine at 10^3 dim rows, a wall at the 10^8-row
+    * dims a 100 TB warehouse carries. `df.sort` range-shuffles across
+    * the cluster; zipWithIndex preserves the sorted partition order and
+    * adds per-partition offsets from one tiny count job, so ids equal
+    * the global ROW_NUMBER exactly (ties, as in ROW_NUMBER, are
+    * arbitrary-but-unique). */
   def byOrder(df: DataFrame, keyCol: String, orderBy: Seq[Column], base: Long = 0L): DataFrame =
-    df.withColumn(keyCol,
-      (row_number().over(Window.partitionBy(lit(0)).orderBy(orderBy: _*))
-        + lit(base)).cast(LongType))
+    dense(df.sort(orderBy: _*), keyCol, base)
 
   /** Scale path (SURVEY §7.4.4): dense ids with NO global sort —
     * zipWithIndex assigns per-partition offsets from a driver-side scan
