@@ -545,9 +545,16 @@ object QueriesLlm {
           .withColumn("d", l2(col("qv"), col("cv")))
           .select(col("query_id"), col("m"), col("k"), col("d"))
         // approximate distance = sum of looked-up subspace distances —
-        // computed from the CODES alone, vectors never touched
-        val approx = codes.join(broadcast(dt),
-            codes("m") === dt("m") && codes("code") === dt("k"))
+        // computed from the CODES alone, vectors never touched. The
+        // lookup side's columns are RENAMED before the join: codes and
+        // dt share lineage through `subs`, so dataset("m") === dt("m")
+        // resolves both sides to one attribute and Spark silently joins
+        // on a trivially-true predicate (every code paired with every
+        // subspace's table entry — a wrong, weaker distance proxy).
+        val dtq = dt.select(col("query_id"), col("m").as("qm"),
+          col("k").as("qk"), col("d"))
+        val approx = codes.join(broadcast(dtq),
+            col("m") === col("qm") && col("code") === col("qk"))
           .filter(col("vec_id") =!= col("query_id"))
           .groupBy(col("query_id"), col("vec_id"))
           .agg(sum(col("d")).as("adist"))
