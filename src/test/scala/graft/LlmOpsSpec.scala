@@ -57,7 +57,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // 4-bit band probing examines ~25% of the corpus per query; the
     // nearest neighbors are exactly the vectors most likely to share a
     // band, so recall should be well above the scan fraction
-    assert(recall >= 0.5, s"ANN recall $recall")
+    assert(recall >= 0.8, s"ANN recall $recall (0.90 on this fixture)")
     // and every returned pair must be a genuine high-cosine neighbor
     // (no fabricated ids): top-1 per query should match truth top-sets
     assert(approx.forall { case (q, _) => q < 10 })
@@ -69,7 +69,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val approx = run("e4_ann_ivf_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = truth.count(approx.contains).toDouble / truth.size
-    assert(recall >= 0.4, s"IVF recall $recall (probing 4/16 cells)")
+    assert(recall >= 0.8, s"IVF recall $recall (probing 4/16 cells; 0.94 on this fixture)")
   }
 
   test("e5 PQ top-k has reasonable recall vs e1 brute force") {
@@ -80,7 +80,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val recall = truth.count(approx.contains).toDouble / truth.size
     // 8x16 codebook + 50-candidate exact re-rank: the codes are lossy
     // but the shortlist is 10x the final k, so true neighbors survive
-    assert(recall >= 0.4, s"PQ recall $recall")
+    // 0.88 on this fixture since the per-subspace ADC join fix (a
+    // degenerate cross-subspace lookup previously scraped past 0.4)
+    assert(recall >= 0.7, s"PQ recall $recall")
     assert(approx.forall { case (q, _) => q < 10 })
   }
 
