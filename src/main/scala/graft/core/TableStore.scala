@@ -1093,24 +1093,6 @@ class TableStore(spark: SparkSession, root: String) {
     m.dvs.map { case (d, ref) => d -> filesByName(ref.path) }
   }
 
-  /** Deleted row positions per live FILE for the snapshot's DV'd dirs.
-    * Keys are absolute file paths; values are sorted positions.
-    * Driver-side materialization — kept for bounded consumers (change
-    * feeds over touched dirs, tests); snapshot SCAN planning uses
-    * [[dvSidecarsByDir]] + executor-side per-file probes instead. */
-  def dvPositionsByFile(name: String, version: Long): Map[String, Array[Long]] = {
-    val m = readManifest(name, version)
-    if (m.dvs.isEmpty) return Map.empty
-    val dataRootPath = dataRoot(name).toString
-    dvRows(name, m, m.dvs.keys.toSeq)
-      .groupBy("__dv_relpath")
-      .agg(sort_array(collect_list(col("__dv_pos"))).as("ps"))
-      .collect()
-      .map(r => s"$dataRootPath/${r.getString(0)}" ->
-        r.getSeq[Long](1).toArray)
-      .toMap
-  }
-
   /** Latest version whose manifest was committed at or before `tsMillis`
     * (TIMESTAMP AS OF resolution — commit time approximated by the
     * manifest file's modification time, the same heuristic Delta uses). */
