@@ -26,5 +26,18 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** The vector queries and the native vec_dot expression require
+    * array<float>; pin the dtype here (a no-op cast today) so a driver
+    * testdata regeneration to array<double> — the same class of silent
+    * shift that broke the events timestamp in round 6 — degrades to a
+    * cast instead of breaking all eight vector queries. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case t: org.apache.spark.sql.types.ArrayType
+        if t.elementType == org.apache.spark.sql.types.FloatType => raw
+      case _ => raw.withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+    }
+  }
 }
