@@ -268,4 +268,39 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ts.compactDvHeavy("t", minDeletedRatio = 0.1) === 0)
     assert(ts.read("t").filter(col("k") < 30).count() === 0)
   }
+
+  test("GraftDvSidecars executor probe returns exactly each file's tombstones") {
+    val (ts, _) = fresh()
+    // several dirs, several files per dir (repartition), deletes across all
+    ts.create("t", spark.range(1, 2001).repartition(4)
+      .select(col("id"), (col("id") * 7).as("x")).toDF())
+    ts.append("t", spark.range(2001, 4001).repartition(4)
+      .select(col("id"), (col("id") * 7).as("x")).toDF())
+    ts.deleteVectorized("t", col("id") % 13 === 0L)
+    ts.deleteVectorized("t", col("id") % 17 === 0L) // merges into new sidecars
+    val v = ts.currentVersion("t")
+    val byDir = ts.dvSidecarsByDir("t", v)
+    assert(byDir.nonEmpty, "expected DV'd dirs")
+    // ground truth per file from the sidecar rows read through Spark
+    val truth = byDir.values.flatten.toSeq.distinct
+      .map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .groupBy("relpath").agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(col("pos"))).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(truth.nonEmpty)
+    // the executor-side probe must agree file by file, sorted
+    truth.foreach { case (relpath, expected) =>
+      val dir = relpath.split('/').dropRight(1).mkString("/")
+      val got = graft.sources.GraftDvSidecars
+        .positions(byDir(dir), relpath).toSeq
+      assert(got === expected, s"probe mismatch for $relpath")
+    }
+    // a file with no tombstones probes empty, not an error
+    val dvdDir = byDir.keys.head
+    assert(graft.sources.GraftDvSidecars
+      .positions(byDir(dvdDir), s"$dvdDir/no-such-file.parquet").isEmpty)
+    // end-to-end: live scan equals the predicate-derived survivor set
+    assert(ts.read("t").count() === (1L to 4000L)
+      .count(i => i % 13 != 0 && i % 17 != 0))
+  }
 }
