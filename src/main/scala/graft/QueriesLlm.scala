@@ -801,6 +801,34 @@ object QueriesLlm {
              |    FILTER (WHERE h.seg IS NULL), '') AS clean_text,
              |  count(h.seg) AS n_dropped
              |FROM segs s LEFT JOIN hot h ON s.seg = h.seg
-             |GROUP BY s.doc_id""".stripMargin))
+             |GROUP BY s.doc_id""".stripMargin)),
+
+    // ---- t9: unigram-surprisal quality score — per-doc average
+    //      negative log-probability under the corpus's own unigram
+    //      frequencies (the classic cheap fluency/outlier signal a
+    //      training-data pipeline runs before a model-based filter:
+    //      low = repetitive/common, high = rare-token soup). The
+    //      frequency table is corpus-wide but vocabulary-sized, so the
+    //      scoring join is a broadcast; one shuffle for frequencies,
+    //      one per-doc aggregate ----
+    "t9_unigram_surprisal" -> QDef(
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val freq = tok.groupBy("term").agg(count(lit(1)).as("tc"))
+        val total = tok.count() // one scalar: corpus token count
+        tok.join(broadcast(freq), Seq("term"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(-log(col("tc") / lit(total.toDouble))), 6).as("surprisal"))
+          .select(col("doc_id"), col("n_tokens"), col("surprisal"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |freq AS (SELECT term, count(*) AS tc FROM tok GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM tok)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(avg(-ln(tc / CAST(n.n AS DOUBLE))), 6) AS surprisal
+             |FROM tok JOIN freq USING (term) CROSS JOIN n
+             |GROUP BY doc_id""".stripMargin))
   )
 }
