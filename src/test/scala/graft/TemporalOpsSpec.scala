@@ -66,4 +66,33 @@ class TemporalOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("events helper derives identical ev_ts/tsu from nanos-long and timestamp_ntz files") {
+    // The driver's events.ts physical type has shifted across rounds
+    // (NANOS->BIGINT under the legacy conf, MICROS->TIMESTAMP_NTZ on
+    // Spark 4.1+); the real testdata only exercises ONE branch, so pin
+    // the other with synthetic files: same instants, both layouts.
+    val micros = Seq(0L, 1L, 999999L, 1700000000123456L, 4102444800000000L)
+    def dir(tag: String) = java.nio.file.Files.createTempDirectory(tag)
+    val dLong = dir("evlong")
+    micros.zipWithIndex.map { case (u, i) => (i.toLong, u * 1000L) }
+      .toDF("event_id", "ts").coalesce(1).write.mode("overwrite")
+      .parquet(dLong.resolve("events.parquet").toString)
+    val dNtz = dir("evntz")
+    micros.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dNtz.resolve("events.parquet").toString)
+    def derived(d: java.nio.file.Path) =
+      QueriesRelational.events(spark, d.toString)
+        .select("event_id", "ev_ts", "tsu")
+        .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    val fromLong = derived(dLong)
+    val fromNtz = derived(dNtz)
+    assert(fromLong === fromNtz)
+    // tsu is exactly the epoch-us value on both paths (session is UTC)
+    assert(fromLong.map(t => t._1 -> t._3).toMap ===
+      micros.zipWithIndex.map { case (u, i) => i.toLong -> u }.toMap)
+  }
 }
