@@ -31,6 +31,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // defensive: a no-op for MICROS parquet, but keeps the LongType
+      // branch of the dtype-adaptive events() reader reachable if the
+      // testdata ever regenerates as TIMESTAMP(NANOS) again (r6 ADVICE)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,14 +50,32 @@ object Bench {
     val warmupSec = (System.nanoTime() - w0) / 1e9
     if (warmupSec > 30)
       System.err.println(f"[bench] WARNING: warm-up took $warmupSec%.1f s — machine likely contended; treat this run's timings as unreliable")
+
+    // ---- periodic contention canary (r6: the ONE-SHOT warm-up sentinel
+    // missed a co-tenant that arrived mid-suite and tripled d2/d3/d5).
+    // A fixed CPU-bound probe runs every CanaryEvery queries; a probe
+    // reading slow (vs the best probe seen) marks the queries timed in
+    // the adjacent intervals as "suspect". Suspects are re-run once at
+    // suite end (keeping the min), so one contention spike costs a
+    // re-measure instead of poisoning the round's artifact. ----
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "15").toInt
+    def canaryProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    canaries += canaryProbe() // clean-ish baseline right after warm-up
+    def slowCanary(sec: Double): Boolean =
+      sec > math.max(3.0 * canaries.min, 1.0)
+
     // optional local-iteration filter: comma-separated query names as
     // args(0); the driver invokes with no args (all queries)
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
-    // deterministic order so per-round numbers are comparable
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val suspect = scala.collection.mutable.LinkedHashSet.empty[String]
+
+    def runOne(name: String, fn: Queries.Q): (Boolean, Double) = {
       System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
       // materialize through the PHYSICAL plan: df.count() would let
@@ -64,9 +86,6 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
-          // a throw must not read as a fast success (r5: 13 broken
-          // queries recorded ~0.07 s each and LOWERED the total)
-          failed += name
           System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
           false
         }
@@ -77,21 +96,70 @@ object Bench {
       // query (r02: a trivial 8-column projection read 26 s)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> (if (ok) sec else -1.0)
+      (ok, sec)
     }
+
+    // deterministic order so per-round numbers are comparable
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var sinceCanary = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prevCanarySlow = false
+    toRun.zipWithIndex.foreach { case ((name, fn), i) =>
+      val (ok, sec) = runOne(name, fn)
+      if (ok) timings(name) = sec else failed += name
+      sinceCanary += name
+      if ((i + 1) % canaryEvery == 0 || i == toRun.size - 1) {
+        val c = canaryProbe()
+        val isSlow = slowCanary(c)
+        canaries += c
+        if (isSlow)
+          System.err.println(f"[bench] WARNING: canary $c%.2f s (best ${canaries.min}%.2f) — marking ${sinceCanary.size} queries suspect")
+        // contention seen at EITHER end of an interval taints it: a
+        // co-tenant can arrive right after one probe or leave right
+        // before the next
+        if (isSlow || prevCanarySlow) suspect ++= sinceCanary
+        prevCanarySlow = isSlow
+        sinceCanary = scala.collection.mutable.ArrayBuffer.empty[String]
+      }
+    }
+
+    // re-measure suspects once, keeping the min (a clean re-run replaces
+    // the contended number; a still-contended one can't make it worse)
+    val rerunnable = toRun.filter { case (n, _) => suspect.contains(n) && timings.contains(n) }
+    if (rerunnable.nonEmpty) {
+      System.err.println(s"[bench] re-running ${rerunnable.size} suspect queries")
+      rerunnable.foreach { case (name, fn) =>
+        val (ok, sec) = runOne(name, fn)
+        if (ok) timings(name) = math.min(timings(name), sec)
+      }
+      val cAfter = canaryProbe()
+      canaries += cAfter
+      // if the whole re-run window was clean, the min-kept timings are
+      // trustworthy — clear the flags; otherwise leave them standing
+      if (!slowCanary(cAfter)) suspect.clear()
+    }
+
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jsonArr(ss: Seq[String]): String = ss.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val good = results.filter(_._2 >= 0)
-    val total = good.map(_._2).sum
+    def jsonNums(ds: Seq[Double]): String =
+      ds.map(d => f"$d%.3f").mkString("[", ",", "]")
+    val results = timings.toSeq
+    val total = results.map(_._2).sum
     Files.createDirectories(Paths.get("target"))
-    val fullSep = if (results.isEmpty) "" else ","
+    // bench_full.json: timings nested under their own key — failures and
+    // run metadata live beside, never inside, the measurement map
+    // (r6 ADVICE: -1.0 sentinels mixed into the map skewed naive sums)
     Files.write(Paths.get("target/bench_full.json"),
-      (jsonMap(results).dropRight(1) +
-        s"""$fullSep"_failed":${jsonArr(failed.toSeq)},"_warmup_sec":$warmupSec}""")
+      (s"""{"timings":${jsonMap(results)},""" +
+        s""""failed":${jsonArr(failed.toSeq)},""" +
+        s""""suspect":${jsonArr(suspect.toSeq)},""" +
+        s""""canaries_sec":${jsonNums(canaries.toSeq)},""" +
+        s""""warmup_sec":$warmupSec,${Stamp.jsonFields}}""")
         .getBytes(StandardCharsets.UTF_8))
-    val head = good.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${good.size},"failed":${jsonArr(failed.toSeq)},"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    val head = results.filter(r => headline.contains(r._1))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${results.size},"failed":${jsonArr(failed.toSeq)},"suspect":${jsonArr(suspect.toSeq)},"canaries_sec":${jsonNums(canaries.toSeq)},"warmup_sec":$warmupSec,${Stamp.jsonFields},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -248,8 +248,8 @@ object QueriesCorpus {
       Some("""WITH t AS (SELECT doc_id,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
              |c AS (SELECT doc_id, n_tokens,
-             |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
-             |      AS stream_start FROM t)
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) - n_tokens AS stream_start FROM t)
              |SELECT doc_id, n_tokens, stream_start,
              |  CAST(stream_start // 256 AS BIGINT) AS bin
              |FROM c""".stripMargin)),

@@ -216,6 +216,227 @@ object QueriesLlm {
               |                WHERE e.b <> r.a)
               |SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a""".stripMargin
 
+  /** e1's brute-force cosine top-5 for queries vec_id < 10 — the exact
+    * ANN ground truth the e3/e4/e5 recall companions measure against. */
+  private[graft] def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cosine"))
+  }
+
+  /** e1's oracle (reused by the ANN recall companions for n_true). */
+  private val CosineTopKSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+      |        list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, cand_id, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn
+      |  FROM p) WHERE rn <= 5""".stripMargin
+
+  /** Shared oracle of the e3/e4/e5 recall companions: n_true from e1's
+    * exact SQL; floor_met asserted TRUE (the floor lives Spark-side). */
+  private val AnnRecallSql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS floor_met
+       |FROM ($CosineTopKSql)""".stripMargin
+
+  /** e3's LSH-bucketed approximate top-k (the 100 TB scale path):
+    * 64 fixed random-hyperplane bits -> 16 bands of 4 bits; candidates =
+    * same-band vectors only, then exact cosine + top-k. */
+  private[graft] def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    // deterministic +-1 hyperplanes from a splitmix-style bit stream
+    def sign(j: Int, k: Int): Double = {
+      var z = (j.toLong * 64 + k + 1) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+    val n = normed(s, dir)
+    val nBits = 64
+    val bitCols = (0 until nBits).map { j =>
+      // +-1 hyperplane as a float-array literal -> same codegen'd
+      // vec_dot loop as the scoring path
+      val plane = typedLit((0 until dims).map(k => sign(j, k).toFloat))
+      when(dot(col("v"), plane) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    val sig = n.withColumn("sig", bitCols.reduce(_.bitwiseOR(_)))
+    val chunks = (0 until 16).map { bi =>
+      struct(lit(bi).as("band"), shiftright(col("sig"), bi * 4).bitwiseAND(lit(0xFL)).as("bkey"))
+    }
+    val bands = sig.select(col("vec_id"), explode(array(chunks: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // dedup candidates on ids BEFORE attaching vectors: distinct over
+    // (long, long) shuffles 16 bytes/row, not 2x64 floats
+    val candIds = bands
+      .join(bands.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val scored = candIds
+      .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
+      .join(broadcast(n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+        Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+  }
+
+  /** e4's IVF approximate top-k: assign every vector to its nearest of
+    * 16 deterministic coarse centroids (one broadcast pass), then probe
+    * the 4 cells nearest each query — at 100 TB the assignment is a
+    * narrow map over the corpus and the probe reads ~nprobe/K of it. */
+  private[graft] def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = normed(s, dir)
+    val cents = n.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scoredCells = n.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    // cell assignment: argmax centroid per vector (map-side combine)
+    val assigned = scoredCells.groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(col("ccos"), negate(col("cent_id")))).as("cell"))
+    // probe list: 4 nearest cells per query
+    val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = scoredCells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cent_id"), col("ccos"))
+      .withColumn("pr", row_number().over(wq)).filter(col("pr") <= 4)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val candIds = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val scored = candIds
+      .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
+      .join(broadcast(n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+        Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+  }
+
+  /** e5's Product-Quantization ANN (ADC): 8 subspaces x 16 centroids
+    * encode each 64-float vector as 8 codebook bytes; candidates from
+    * sum-of-subspace lookup distances against the codes alone, then an
+    * exact re-rank of the 50-candidate shortlist. */
+  private[graft] def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val M = 8 // subspaces of 8 dims each
+    val n = normed(s, dir)
+    // L2-normalize so per-subspace L2² sums to 2-2·cosine (monotone)
+    val vn = n.select(col("vec_id"),
+      expr("transform(v, x -> CAST(x / nrm AS FLOAT))").as("vn"))
+    val subs = vn.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(vn, m * 8 + 1, 8) AS sv))"))
+      .as("e")).select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+    val cents = subs.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").cast("int").as("k"), col("sv").as("cv"))
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+    // encode: per (vector, subspace) the nearest centroid id
+    val codes = subs.join(broadcast(cents), Seq("m"))
+      .withColumn("d2", l2(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("code"))
+    // per-query subspace->centroid distance table (ADC lookup table)
+    val dt = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
+      .join(broadcast(cents), Seq("m"))
+      .withColumn("d", l2(col("qv"), col("cv")))
+      .select(col("query_id"), col("m"), col("k"), col("d"))
+    // approximate distance = sum of looked-up subspace distances —
+    // computed from the CODES alone, vectors never touched. The
+    // lookup side's columns are RENAMED before the join: codes and
+    // dt share lineage through `subs`, so dataset("m") === dt("m")
+    // resolves both sides to one attribute and Spark silently joins
+    // on a trivially-true predicate (every code paired with every
+    // subspace's table entry — a wrong, weaker distance proxy).
+    val dtq = dt.select(col("query_id"), col("m").as("qm"),
+      col("k").as("qk"), col("d"))
+    val approx = codes.join(broadcast(dtq),
+        col("m") === col("qm") && col("code") === col("qk"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+    val wc = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val cand = approx.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 50)
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    // exact re-rank of the shortlist
+    val scored = cand
+      .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
+      .join(broadcast(n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+        Seq("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+  }
+
+  /** d4's SimHash pair miner: 64-bit signatures from token-hash bit
+    * votes, candidates from a 4 x 16-bit banded hamming join (pigeonhole:
+    * hamming <= 3 always shares a chunk), radius 6. */
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitCols = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = agg.select(col("doc_id"),
+      (0 until 64).foldLeft(lit(0L)) { (acc, k) =>
+        acc.bitwiseOR(when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+      }.as("simhash"))
+    // block on 4 x 16-bit chunks (pigeonhole: hamming<=3 always shares
+    // a chunk; larger distances found with high probability)
+    val chunks = (0 until 4).map { bi =>
+      struct(lit(bi).as("band"), shiftright(col("simhash"), bi * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+    }
+    val bands = sim.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      // tight radius: the synthetic corpus has a ~30-word vocabulary,
+      // so loose radii (e.g. 12) explode quadratically with corpus
+      // size; planted near-dups sit at hamming <= 6
+      .filter(col("hamming") <= 6)
+  }
+
+  /** Driver-visible recall gate for the approximate operators: one row
+    * `(n_true, floor_met)` where n_true = |truth| and floor_met says
+    * whether |truth ∩ approx| / |truth| >= floor. Both sides stay
+    * distributed — the intersection is a left-semi-shaped join on the
+    * key columns and the verdict is a single aggregate; nothing is
+    * collected. The DuckDB oracle reproduces n_true with the exact-side
+    * SQL and asserts floor_met = TRUE, so a recall collapse (or an
+    * empty truth set) turns the row red in CORRECTNESS instead of
+    * hiding behind `no_oracle`. */
+  private def recallRow(truth: DataFrame, approx: DataFrame,
+                        keys: Seq[String], floor: Double): DataFrame = {
+    val t = truth.select(keys.map(col): _*)
+    val a = approx.select(keys.map(col): _*).distinct()
+      .withColumn("__hit", lit(1L))
+    t.join(a, keys, "left")
+      .agg(count(lit(1)).as("n_true"),
+        (sum(coalesce(col("__hit"), lit(0L))) >= count(lit(1)) * floor)
+          .as("floor_met"))
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // ---- d1: exact dedup — hash groupBy on content, keep lowest id ----
@@ -345,65 +566,29 @@ object QueriesLlm {
               |SELECT doc_id, 'cluster_best' FROM best""".stripMargin)),
 
     // ---- d4: SimHash near-dup — 64-bit signatures, banded hamming join ----
-    // (no SQL-expressible oracle: xxhash64 has no DuckDB twin; correctness
-    //  is covered by LlmOpsSpec against the d2 exact pairs)
-    "d4_simhash" -> QDef(
-      (s, dir) => {
-        val tok = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-          .withColumn("h", xxhash64(col("t")))
-        val bitCols = (0 until 64).map { k =>
-          sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
-        }
-        val agg = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-        val sim = agg.select(col("doc_id"),
-          (0 until 64).foldLeft(lit(0L)) { (acc, k) =>
-            acc.bitwiseOR(when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-          }.as("simhash"))
-        // block on 4 x 16-bit chunks (pigeonhole: hamming<=3 always shares
-        // a chunk; larger distances found with high probability)
-        val chunks = (0 until 4).map { bi =>
-          struct(lit(bi).as("band"), shiftright(col("simhash"), bi * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
-        }
-        val bands = sim.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
-          .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-        bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("band"), col("bkey"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("band"), col("bkey")),
-            Seq("band", "bkey"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-          .distinct()
-          // tight radius: the synthetic corpus has a ~30-word vocabulary,
-          // so loose radii (e.g. 12) explode quadratically with corpus
-          // size; planted near-dups sit at hamming <= 6
-          .filter(col("hamming") <= 6)
-      },
-      None),
+    // (no SQL-expressible oracle: xxhash64 has no DuckDB twin; recall is
+    //  driver-checked by the d4_simhash_recall companion below and
+    //  covered by LlmOpsSpec against the d2 exact pairs)
+    "d4_simhash" -> QDef((s, dir) => simhashPairs(s, dir), None),
+
+    // ---- d4 companion: driver-visible recall floor vs exact Jaccard ----
+    // (the approximate result itself has no DuckDB twin, but its RECALL
+    //  against the oracle-checked exact pairs is computable in-engine:
+    //  emit one row (n_true, floor_met); the oracle computes n_true with
+    //  the same exact-Jaccard SQL and asserts TRUE — a recall collapse
+    //  turns this row red instead of hiding behind `no_oracle`. Floor
+    //  0.9 is the measured LlmOpsSpec floor; sf0.01/sf0.1 measured 1.0.)
+    "d4_simhash_recall" -> QDef(
+      (s, dir) => recallRow(
+        ngramJaccardPairs(s, dir).filter(col("jaccard") >= 0.8),
+        simhashPairs(s, dir), Seq("doc_a", "doc_b"), floor = 0.9),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS floor_met
+              |FROM ($JaccardPairsSql) WHERE jaccard >= 0.8""".stripMargin)),
 
     // ---- e1: brute-force cosine top-k (ANN ground-truth baseline) ----
     // (queries broadcast against the corpus — one pass, no shuffle of the
     //  big side; double-cast before multiply so DuckDB matches bit-exactly)
-    "e1_cosine_topk" -> QDef(
-      (s, dir) => {
-        val n = normed(s, dir)
-        val q = n.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-        val scored = n.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("query_id"), col("vec_id").as("cand_id"), col("cosine"))
-      },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-             |p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             |        list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
-             |      FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-             |SELECT query_id, cand_id, cosine FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rn
-             |  FROM p) WHERE rn <= 5""".stripMargin)),
+    "e1_cosine_topk" -> QDef((s, dir) => cosineTopK(s, dir), Some(CosineTopKSql)),
 
     // ---- e2: embedding-cosine near-dup pairs (threshold 0.4) ----
     "e2_cosine_neardup" -> QDef(
@@ -428,49 +613,14 @@ object QueriesLlm {
     // (16 fixed random-hyperplane bits -> 4 bands of 4 bits; candidates =
     //  same-band vectors only, then exact cosine + top-k. Approximate by
     //  construction -> rows-only check; recall vs e1 in LlmOpsSpec)
-    "e3_ann_lsh_topk" -> QDef(
-      (s, dir) => {
-        val dims = 64
-        // deterministic +-1 hyperplanes from a splitmix-style bit stream
-        def sign(j: Int, k: Int): Double = {
-          var z = (j.toLong * 64 + k + 1) * 0x9E3779B97F4A7C15L
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
-        }
-        val n = normed(s, dir)
-        val nBits = 64
-        val bitCols = (0 until nBits).map { j =>
-          // +-1 hyperplane as a float-array literal -> same codegen'd
-          // vec_dot loop as the scoring path
-          val plane = typedLit((0 until dims).map(k => sign(j, k).toFloat))
-          when(dot(col("v"), plane) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-        }
-        val sig = n.withColumn("sig", bitCols.reduce(_.bitwiseOR(_)))
-        val chunks = (0 until 16).map { bi =>
-          struct(lit(bi).as("band"), shiftright(col("sig"), bi * 4).bitwiseAND(lit(0xFL)).as("bkey"))
-        }
-        val bands = sig.select(col("vec_id"), explode(array(chunks: _*)).as("bb"))
-          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-        // dedup candidates on ids BEFORE attaching vectors: distinct over
-        // (long, long) shuffles 16 bytes/row, not 2x64 floats
-        val candIds = bands
-          .join(bands.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("query_id"), col("band"), col("bkey")), Seq("band", "bkey"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("cand_id"))
-          .distinct()
-        val scored = candIds
-          .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
-          .join(broadcast(n.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
-            Seq("query_id"))
-          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("query_id"), col("cand_id"), col("cosine"))
-      },
-      None),
+    "e3_ann_lsh_topk" -> QDef((s, dir) => annLshTopK(s, dir), None),
+
+    // ---- e3 companion: driver-visible recall floor vs e1 exact top-k ----
+    // (floor 0.8 per LlmOpsSpec; 0.90+ measured on the fixtures)
+    "e3_ann_recall" -> QDef(
+      (s, dir) => recallRow(cosineTopK(s, dir), annLshTopK(s, dir),
+        Seq("query_id", "cand_id"), floor = 0.8),
+      Some(AnnRecallSql)),
 
     // ---- e4: IVF approximate top-k (coarse quantize -> probe cells) ----
     // (the other scale path besides LSH: assign every vector to its
@@ -479,36 +629,14 @@ object QueriesLlm {
     //  probed cells' members only; at 100 TB the assignment is a narrow
     //  map over the corpus and the probe reads ~nprobe/K of it.
     //  Approximate -> rows-only; recall vs e1 in LlmOpsSpec.)
-    "e4_ann_ivf_topk" -> QDef(
-      (s, dir) => {
-        val n = normed(s, dir)
-        val cents = n.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-        val scoredCells = n.crossJoin(broadcast(cents))
-          .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        // cell assignment: argmax centroid per vector (map-side combine)
-        val assigned = scoredCells.groupBy("vec_id")
-          .agg(max_by(col("cent_id"), struct(col("ccos"), negate(col("cent_id")))).as("cell"))
-        // probe list: 4 nearest cells per query
-        val wq = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cent_id").asc)
-        val probes = scoredCells.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("cent_id"), col("ccos"))
-          .withColumn("pr", row_number().over(wq)).filter(col("pr") <= 4)
-          .select(col("query_id"), col("cent_id").as("cell"))
-        val candIds = probes.join(assigned, Seq("cell"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("cand_id"))
-        val scored = candIds
-          .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
-          .join(broadcast(n.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
-            Seq("query_id"))
-          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("query_id"), col("cand_id"), col("cosine"))
-      },
-      None),
+    "e4_ann_ivf_topk" -> QDef((s, dir) => annIvfTopK(s, dir), None),
+
+    // ---- e4 companion: driver-visible recall floor vs e1 exact top-k ----
+    // (floor 0.8 per LlmOpsSpec; 0.94 measured probing 4/16 cells)
+    "e4_ann_recall" -> QDef(
+      (s, dir) => recallRow(cosineTopK(s, dir), annIvfTopK(s, dir),
+        Seq("query_id", "cand_id"), floor = 0.8),
+      Some(AnnRecallSql)),
 
     // ---- e5: Product-Quantization ANN (ADC: asymmetric distance) ----
     // (the memory-compression scale path: 8 subspaces x 16 centroids
@@ -519,60 +647,14 @@ object QueriesLlm {
     //  table), then the top candidates re-rank exactly. Deterministic
     //  codebook (first-16 vectors' subvectors), like e4's centroids.
     //  Approximate -> rows-only; recall vs e1 in LlmOpsSpec.) ----
-    "e5_ann_pq_topk" -> QDef(
-      (s, dir) => {
-        val M = 8 // subspaces of 8 dims each
-        val n = normed(s, dir)
-        // L2-normalize so per-subspace L2² sums to 2-2·cosine (monotone)
-        val vn = n.select(col("vec_id"),
-          expr("transform(v, x -> CAST(x / nrm AS FLOAT))").as("vn"))
-        val subs = vn.select(col("vec_id"), explode(expr(
-          s"transform(sequence(0, ${M - 1}), m -> struct(m AS m, slice(vn, m * 8 + 1, 8) AS sv))"))
-          .as("e")).select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
-        val cents = subs.filter(col("vec_id") < 16)
-          .select(col("m"), col("vec_id").cast("int").as("k"), col("sv").as("cv"))
-        def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
-        // encode: per (vector, subspace) the nearest centroid id
-        val codes = subs.join(broadcast(cents), Seq("m"))
-          .withColumn("d2", l2(col("sv"), col("cv")))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("code"))
-        // per-query subspace->centroid distance table (ADC lookup table)
-        val dt = subs.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
-          .join(broadcast(cents), Seq("m"))
-          .withColumn("d", l2(col("qv"), col("cv")))
-          .select(col("query_id"), col("m"), col("k"), col("d"))
-        // approximate distance = sum of looked-up subspace distances —
-        // computed from the CODES alone, vectors never touched. The
-        // lookup side's columns are RENAMED before the join: codes and
-        // dt share lineage through `subs`, so dataset("m") === dt("m")
-        // resolves both sides to one attribute and Spark silently joins
-        // on a trivially-true predicate (every code paired with every
-        // subspace's table entry — a wrong, weaker distance proxy).
-        val dtq = dt.select(col("query_id"), col("m").as("qm"),
-          col("k").as("qk"), col("d"))
-        val approx = codes.join(broadcast(dtq),
-            col("m") === col("qm") && col("code") === col("qk"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("vec_id"))
-          .agg(sum(col("d")).as("adist"))
-        val wc = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
-        val cand = approx.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 50)
-          .select(col("query_id"), col("vec_id").as("cand_id"))
-        // exact re-rank of the shortlist
-        val scored = cand
-          .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
-          .join(broadcast(n.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
-            Seq("query_id"))
-          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id").asc)
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-          .select(col("query_id"), col("cand_id"), col("cosine"))
-      },
-      None),
+    "e5_ann_pq_topk" -> QDef((s, dir) => annPqTopK(s, dir), None),
+
+    // ---- e5 companion: driver-visible recall floor vs e1 exact top-k ----
+    // (floor 0.7 per LlmOpsSpec; 0.88 measured since the ADC join fix)
+    "e5_ann_recall" -> QDef(
+      (s, dir) => recallRow(cosineTopK(s, dir), annPqTopK(s, dir),
+        Seq("query_id", "cand_id"), floor = 0.7),
+      Some(AnnRecallSql)),
 
     // ---- tq1: typed Dataset[T] surface (case-class Encoder) ----
     // (SURVEY §1.4: typed sugar where safety helps — filter/map over a

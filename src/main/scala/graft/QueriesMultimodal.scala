@@ -79,6 +79,44 @@ object QueriesMultimodal {
               |  scale
               |FROM sc""".stripMargin)),
 
+    // ---- mm5: REAL image-header decode — structurally valid PNG/JPEG
+    //      bytes (true signatures, IHDR with a real CRC32, SOF0 marker
+    //      walk) synthesized deterministically from doc_id, then parsed
+    //      back by the actual header parser (MediaDecoder.imageHeader —
+    //      the same code path a real PNG/JPEG file's bytes would take).
+    //      The oracle recomputes the planted dimensions relationally, so
+    //      a parser that misreads any header field goes red. ----
+    "mm5_image_header" -> QDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val w = (id % 512 + 1).toInt
+              val h = (id % 384 + 1).toInt
+              val payload =
+                if (id % 2 == 0)
+                  Multimodal.encodePngHeader(w, h,
+                    colorType = if (id % 4 == 0) 6 else 2)
+                else
+                  Multimodal.encodeJpegHeader(w, h,
+                    channels = if (id % 3 == 1) 1 else 3)
+              (id, payload)
+            }
+          }.toDF("media_id", "payload")
+        Multimodal.decodeImageHeaders(media).toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             |  CAST(doc_id % 512 + 1 AS INT) AS width,
+             |  CAST(doc_id % 384 + 1 AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 2 = 0
+             |            THEN CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END
+             |            ELSE CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END
+             |       END AS INT) AS channels
+             |FROM documents""".stripMargin)),
+
     // ---- mm4: feature extraction — per-media byte histogram (8 bins),
     //      long-form (media_id, bin, n), only occupied bins. Completes
     //      the decode / extract / resize / sample matrix; one narrow

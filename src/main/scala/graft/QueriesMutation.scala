@@ -676,6 +676,18 @@ object QueriesMutation {
         // both, in one version).
         val feed = st.readChangesBetween("src", 0, st.currentVersion("src"),
           withRowIds = true).cache()
+        // the gate-skip below leans on readChangesBetween's rid-
+        // uniqueness-per-commit contract; GRAFT_VERIFY_CDF=1 checks it
+        // against the cached feed (one extra aggregate, debug only)
+        if (sys.env.contains("GRAFT_VERIFY_CDF")) {
+          val dup = feed
+            .filter(col("_change_type").isin("insert", "update_postimage"))
+            .groupBy("_commit_version", "_row_id").count()
+            .filter(col("count") > 1)
+          require(dup.isEmpty,
+            "CDF rid-uniqueness contract violated: " +
+              dup.head(5).mkString(", "))
+        }
         val counts = feed.groupBy("_commit_version", "_change_type").count()
           .collect()
           .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -13,6 +13,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // defensive: no-op for MICROS parquet, keeps the LongType branch
+      // of the dtype-adaptive events() reader reachable on a NANOS
+      // testdata regeneration (r6 ADVICE)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,6 +59,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_failures.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // provenance: which commit produced this dump, and when (r5/r6 ADVICE)
+    Files.writeString(Paths.get(s"$outDir/_meta.json"), s"{${Stamp.jsonFields}}")
     spark.stop()
   }
 }

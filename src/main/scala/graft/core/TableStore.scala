@@ -2653,7 +2653,19 @@ class TableStore(spark: SparkSession, root: String) {
     * appends/drops derive base + position from that version's
     * manifest. NULL where the id is unknowable (commits that predate
     * [[enableRowTracking]], or copy-on-write rewrites whose postimage
-    * ids are only assigned at commit). */
+    * ids are only assigned at commit).
+    *
+    * CONTRACT — rid-uniqueness per commit: within one `_commit_version`
+    * a non-null `_row_id` appears at most once among
+    * insert/update_postimage rows and at most once among deletes. This
+    * holds for every write path in this store (an append assigns fresh
+    * ids; a MoR update records one postimage per touched rid; a merge
+    * commits one outcome per target row), which is what lets a rid-keyed
+    * replicator apply a version's upserts with the uniqueness gate off
+    * (cdc2). A future path that could emit both an insert and a
+    * postimage for one rid in one commit would break that gate-skip —
+    * assert against this contract (see cdc2's GRAFT_VERIFY_CDF check)
+    * rather than weakening it. */
   def readChangesBetween(name: String, fromVersion: Long, toVersion: Long,
                          withRowIds: Boolean = false): DataFrame = {
     val curM = readManifest(name, toVersion)

@@ -33,6 +33,73 @@ object Multimodal {
       brightness: Double)
 
   object MediaDecoder {
+
+    /** REAL image-header parse: dispatch on magic bytes and read the
+      * container's actual header fields — PNG IHDR (width/height
+      * big-endian at offsets 16/20, channels from the color type),
+      * JPEG marker walk to the first SOF frame header, GIF logical
+      * screen descriptor, BMP BITMAPINFOHEADER. Returns
+      * (format, width, height, channels), or None when the payload is
+      * not an image this parser knows — callers fall back to
+      * [[decodeStub]] for those (the synthetic text-byte fixtures of
+      * mm1-mm4 never match an image magic, so their byte-derived
+      * semantics are unchanged). Works on any real PNG/JPEG/GIF/BMP
+      * file's bytes, not just the mm5 fixtures. */
+    def imageHeader(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      def u8(i: Int): Int = b(i) & 0xFF
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      if (b.length >= 26 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+          b(3) == 'G' && new String(b.slice(12, 16), "US-ASCII") == "IHDR") {
+        // IHDR is mandated to be the first chunk: data starts at 16
+        val ch = u8(25) match { // color type -> sample channels
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => -1
+        }
+        if (ch < 0) None else Some(("png", be32(16), be32(20), ch))
+      } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+        // JPEG: walk marker segments to the first SOFn (C0-CF minus the
+        // non-frame C4/C8/CC); its payload is precision, height, width,
+        // component count
+        var i = 2
+        var out: Option[(String, Int, Int, Int)] = None
+        var bad = false
+        while (out.isEmpty && !bad && i + 9 < b.length) {
+          if (u8(i) != 0xFF) bad = true
+          else u8(i + 1) match {
+            case m if m == 0x01 || (m >= 0xD0 && m <= 0xD9) => i += 2 // standalone
+            case m if m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
+              out = Some(("jpeg", be16(i + 7), be16(i + 5), u8(i + 9)))
+            case _ => i += 2 + be16(i + 2) // skip segment by its length
+          }
+        }
+        out
+      } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+                 b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        Some(("gif", le16(6), le16(8), 3))
+      } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M' && le32(14) == 40) {
+        Some(("bmp", le32(18), le32(22), math.max(le16(28) / 8, 1)))
+      } else None
+    }
+
+    /** Decode one media payload: REAL header parse when the magic bytes
+      * identify a known image container, byte-derived stub otherwise
+      * (this container ships no full codecs — see the object scaladoc). */
+    def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
+      imageHeader(payload) match {
+        case Some((_, w, h, _)) =>
+          val b0 = payload.head & 0xFF
+          val bLast = payload.last & 0xFF
+          MediaMeta(id, kind, payload.length, w, h,
+            n_frames = if (kind == "video") payload.length / 256 else 1,
+            brightness = (b0 + bLast) / 2.0)
+        case None => decodeStub(id, kind, payload)
+      }
+
     /** STUB decoder — deterministic fake parse of a media header.
       * Real implementation would dispatch on `kind` to an image/audio/
       * video codec; the fake derives:
@@ -68,8 +135,66 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         val decoder = MediaDecoder // per-partition "codec init" site
-        it.map { case (id, kind, bytes) => decoder.decodeStub(id, kind, bytes) }
+        it.map { case (id, kind, bytes) => decoder.decode(id, kind, bytes) }
       }
+  }
+
+  final case class ImageHeader(
+      media_id: Long, format: String, width: Int, height: Int, channels: Int)
+
+  /** Parse REAL image headers from a (media_id, payload BINARY) table —
+    * the genuine binary-column path: bytes in, container-header fields
+    * out, one partition-iterator pass, nothing but the parsed KB-scale
+    * metadata ever shuffles. Non-image payloads are dropped (a real
+    * ingest would quarantine them). */
+  def decodeImageHeaders(media: DataFrame): Dataset[ImageHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = MediaDecoder
+        it.flatMap { case (id, bytes) =>
+          decoder.imageHeader(bytes).map { case (f, w, h, c) =>
+            ImageHeader(id, f, w, h, c) }
+        }
+      }
+  }
+
+  /** Structurally valid PNG header bytes: signature + IHDR (real CRC32)
+    * + IEND — what an image fixture generator produces so the parser is
+    * exercised on genuine container bytes. colorType 2 = RGB (3ch),
+    * 6 = RGBA (4ch). */
+  def encodePngHeader(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    def be32(v: Int): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val td = tag.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32()
+      crc.update(td)
+      be32(data.length) ++ td ++ be32(crc.getValue.toInt)
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+    val ihdr = be32(w) ++ be32(h) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0) // depth 8, deflate, no interlace
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Structurally valid JPEG header bytes: SOI + APP0/JFIF + SOF0 with
+    * the frame dimensions and component count + EOI. */
+  def encodeJpegHeader(w: Int, h: Int, channels: Int): Array[Byte] = {
+    def be16(v: Int): Array[Byte] = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val soi = Array[Byte](0xFF.toByte, 0xD8.toByte)
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val comps = (1 to channels).flatMap(c =>
+      Array[Byte](c.toByte, 0x11, 0)).toArray
+    val sof0 = Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(8 + 3 * channels) ++
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](channels.toByte) ++ comps
+    val eoi = Array[Byte](0xFF.toByte, 0xD9.toByte)
+    soi ++ app0 ++ sof0 ++ eoi
   }
 
   /** Frame sampling for video payloads: every `stride` bytes yields a

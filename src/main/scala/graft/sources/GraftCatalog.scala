@@ -1700,7 +1700,40 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
 object GraftDvSidecars {
   private val SidecarSchema = StructType(Seq(
     StructField("relpath", StringType), StructField("pos", LongType)))
+
+  // Executor-local probe cache: without it a DV'd dir with F files
+  // rescans its sidecars F times PER QUERY (each probe opens every
+  // sidecar for a footer read + filtered read — O(files x sidecars)
+  // footer I/O, r6 ADVICE). Sidecar parquet is immutable once written —
+  // a new DV version writes NEW sidecar files, changing the key — so
+  // entries never go stale; they only evict. Bounded by total cached
+  // positions (~128 MB), LRU order, so a huge tombstone backlog can't
+  // pin executor memory.
+  private val MaxCachedLongs = 16L << 20
+  private var cachedLongs = 0L
+  private val cache =
+    new java.util.LinkedHashMap[(Seq[String], String), Array[Long]](64, 0.75f, true)
+
   def positions(sidecarFiles: Seq[String], relpath: String): Array[Long] = {
+    val key = (sidecarFiles, relpath)
+    val hit = cache.synchronized(cache.get(key))
+    if (hit != null) return hit
+    val arr = probe(sidecarFiles, relpath)
+    cache.synchronized {
+      if (cache.get(key) == null) { // concurrent probes: first write wins
+        cache.put(key, arr)
+        cachedLongs += arr.length
+        val it = cache.entrySet().iterator()
+        while (cachedLongs > MaxCachedLongs && it.hasNext) {
+          cachedLongs -= it.next().getValue.length
+          it.remove()
+        }
+      }
+    }
+    arr
+  }
+
+  private def probe(sidecarFiles: Seq[String], relpath: String): Array[Long] = {
     val pushed: Array[Filter] = Array(EqualTo("relpath", relpath))
     val buf = Array.newBuilder[Long]
     sidecarFiles.foreach { f =>

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling evidence for the STORAGE-ENGINE 100 TB claims — the
+  * mutation/CDC complement of ScaleProbe's dedup curves (r6 VERDICT #5).
+  * Builds tables at 1x/4x/16x the sf0.1 lineitem slice and times
+  *  - mergeUpsert of a FIXED 10k-row source batch against each table
+  *    (expect far-sublinear: the merge bucket-prunes to the buckets the
+  *    source keys hash into, never rewriting untouched buckets),
+  *  - deleteVectorized with a fixed-selectivity predicate (expect
+  *    ~linear in matched rows — it writes DV sidecars, not data files —
+  *    with the scan parallelizing across executors),
+  *  - the cdc2-style change-feed read over the table's history (expect
+  *    ~linear in change volume: per-version scans touch only that
+  *    version's added dirs), and
+  *  - compactDvHeavy after the delete (expect ~linear in rewritten
+  *    bytes — only DV'd dirs rewrite).
+  * Each k gets a fresh store so history depth is constant; only data
+  * volume varies. Run:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleProbeMutation"
+  */
+object ScaleProbeMutation {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm
+
+    val base = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val nBase = base.count()
+
+    // k replicas with disjoint key ranges: volume scales, key skew doesn't
+    def corpus(k: Int): DataFrame =
+      (0 until k).map { i =>
+        base.select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          col("l_suppkey"), col("l_quantity"))
+      }.reduce(_ unionByName _)
+
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    for (k <- Seq(1, 4, 16)) {
+      val root = s"/tmp/graft_scaleprobe_mut/k$k"
+      graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+      val st = new graft.core.TableStore(spark, root)
+      val c = corpus(k).localCheckpoint() // pin: timings exclude synthesis
+
+      // table bucketed on the merge key — the layout a replica converging
+      // by key would actually use (bucket pruning is the scale story)
+      st.createBucketed("t", c, Seq("l_orderkey"), n = 32)
+      st.enableRowTracking("t")
+      st.setChangeFeed("t", true)
+
+      // fixed 10k-row upsert batch: half updates (existing keys), half
+      // inserts (fresh keys) — the steady-state CDC-apply shape
+      val updates = c.filter(col("l_orderkey") % (nBase * k / 5000).max(1L) === 0L)
+        .limit(5000)
+        .withColumn("l_quantity", col("l_quantity") + 1.0)
+      val inserts = updates.select(
+        (col("l_orderkey") + lit(900000000000L)).as("l_orderkey"),
+        col("l_suppkey"), col("l_quantity"))
+      val batch = updates.unionByName(inserts).localCheckpoint()
+
+      val mergeSec = t { st.mergeUpsert("t", batch, Seq("l_orderkey")) }
+      val deleteSec = t { st.deleteVectorized("t", col("l_suppkey") % 10 === 3) }
+      val feedSec = t {
+        st.readChangesBetween("t", 2, st.currentVersion("t"), withRowIds = true)
+          .queryExecution.toRdd.count()
+      }
+      val compactSec = t { st.compactDvHeavy("t", minDeletedRatio = 0.05) }
+      println(f"""{"k":$k,"rows":${nBase * k},"merge_sec":$mergeSec%.2f,""" +
+        f""""delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
+        f""""compact_sec":$compactSec%.2f,"batch":10000}""")
+      graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+    }
+    spark.stop()
+  }
+}
