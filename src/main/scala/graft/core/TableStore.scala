@@ -820,21 +820,23 @@ class TableStore(spark: SparkSession, root: String) {
     val v = currentVersion(name) + 1
     val uuid = java.util.UUID.randomUUID.toString.take(8)
     // one scan of the touched dirs stages the matching rows (the small
-    // side) with their positions; sidecar + change rows derive from it
-    val staging = dvRoot(name).resolve(s"tmpdel-$uuid")
+    // side, by MoR's premise) with their positions; sidecar + change
+    // rows derive from it. Persisted, not written to a temp parquet:
+    // the set feeds 2-3 downstream jobs and a disk roundtrip per
+    // commit doubles the fixed cost of small mutations; MEMORY_AND_DISK
+    // spills if a predicate unexpectedly matches big
     val schemaCols = m.schema.map(f => col(f.name))
     // change rows materialize `__rid` when tracking is on, so a CDF
     // consumer can key deletes on `_row_id` (keyless replication)
     val trackingCdf = m.cdf && m.props.contains(RowTrackingProp)
-    scanLiveWithPos(name, m, touched, withRid = trackingCdf)
+    val staged0 = scanLiveWithPos(name, m, touched, withRid = trackingCdf)
       .filter(coalesce(condition, lit(false)))
-      .write.mode("overwrite").parquet(staging.toString)
-    val staged0 = spark.read.parquet(staging.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val staged = if (!trackingCdf) staged0 else resolveRid(staged0, m)
     val perDir = staged.select(dirOf("__relpath").as("dir"))
       .groupBy("dir").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perDir.isEmpty) { FsUtil.deleteRecursively(staging.toFile); return }
+    if (perDir.isEmpty) { staged0.unpersist(); return }
     val newDirs = perDir.keySet
     // dirs that already carry a DV merge their old tombstones in, so
     // each dir keeps exactly one sidecar reference
@@ -861,7 +863,7 @@ class TableStore(spark: SparkSession, root: String) {
         .parquet(cdfDir.resolve("__cdc=delete").toString)
       Some(cdfDir)
     }
-    FsUtil.deleteRecursively(staging.toFile)
+    staged0.unpersist()
     val updated = newDirs.map { d =>
       val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
       d -> DvRef(dvName, prior + perDir(d))
@@ -893,15 +895,15 @@ class TableStore(spark: SparkSession, root: String) {
     val v = currentVersion(name) + 1
     val uuid = java.util.UUID.randomUUID.toString.take(8)
     // one scan of the touched dirs stages the matching rows (the small
-    // side) with their positions; tombstones, postimages, and change
-    // rows all derive from this single pass
+    // side, by MoR's premise) with their positions; tombstones,
+    // postimages, and change rows all derive from this single pass.
+    // Persisted (spill-safe), not round-tripped through a temp parquet
+    // — the write+re-read doubled the fixed cost of small mutations
     val tracking = m.props.contains(RowTrackingProp)
-    val staging = dvRoot(name).resolve(s"tmpupd-$uuid")
     val schemaCols = m.schema.map(f => col(f.name))
-    scanLiveWithPos(name, m, touched, withRid = tracking)
+    val staged0 = scanLiveWithPos(name, m, touched, withRid = tracking)
       .filter(coalesce(condition, lit(false)))
-      .write.mode("overwrite").parquet(staging.toString)
-    val staged0 = spark.read.parquet(staging.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // row tracking: resolve each staged row's STABLE id now (carried
     // __rid from a prior rewrite, else the manifest base + position)
     // so the postimage file can materialize it — the id survives the
@@ -910,7 +912,7 @@ class TableStore(spark: SparkSession, root: String) {
     val perDir = staged.select(dirOf("__relpath").as("dir"))
       .groupBy("dir").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perDir.isEmpty) { FsUtil.deleteRecursively(staging.toFile); return }
+    if (perDir.isEmpty) { staged0.unpersist(); return }
     // post-SET images (every staged row matched, so SET applies
     // unconditionally), conformed + CHECK-enforced like any append
     val out = m.schema.map(f =>
@@ -955,7 +957,7 @@ class TableStore(spark: SparkSession, root: String) {
         .parquet(cdfDir.toString)
       Some(cdfDir)
     }
-    FsUtil.deleteRecursively(staging.toFile)
+    staged0.unpersist()
     val updatedDvs = perDir.keySet.map { d =>
       val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
       d -> DvRef(dvName, prior + perDir(d))

@@ -60,20 +60,27 @@ object ProfileCdc {
     val versions = counts.keys.map(_._1).toSeq.distinct.sorted
     versions.foreach { v =>
       val b = feed.filter(col("_commit_version") === v)
-      val nUps = counts.getOrElse((v, "insert"), 0L) +
-        counts.getOrElse((v, "update_postimage"), 0L)
-      if (nUps > 0) t(s"mergeUpsert v$v ($nUps)") {
-        st.mergeUpsert("replica",
-          b.filter(col("_change_type").isin("insert", "update_postimage"))
-            .select(col("_row_id").as("rid"), col("l_orderkey"),
-              col("l_suppkey"), col("l_quantity")),
-          Seq("rid"), changeTypeCol = None, verifyUniqueSource = false)
-      }
+      val nIns = counts.getOrElse((v, "insert"), 0L)
+      val nUpd = counts.getOrElse((v, "update_postimage"), 0L)
       val nDel = counts.getOrElse((v, "delete"), 0L)
-      if (nDel > 0) t(s"mergeDelete v$v ($nDel)") {
-        st.mergeDelete("replica",
-          b.filter(col("_change_type") === "delete")
-            .select(col("_row_id").as("rid")), Seq("rid"))
+      val upserts = b
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("_row_id").as("rid"), col("l_orderkey"),
+          col("l_suppkey"), col("l_quantity"))
+      // mirror cdc2's apply: insert-only commits append (fresh rids
+      // can't collide), everything else merges on rid
+      if (nIns > 0 && nUpd == 0 && nDel == 0)
+        t(s"append v$v ($nIns)") { st.append("replica", upserts) }
+      else {
+        if (nIns + nUpd > 0) t(s"mergeUpsert v$v (${nIns + nUpd})") {
+          st.mergeUpsert("replica", upserts,
+            Seq("rid"), changeTypeCol = None, verifyUniqueSource = false)
+        }
+        if (nDel > 0) t(s"mergeDelete v$v ($nDel)") {
+          st.mergeDelete("replica",
+            b.filter(col("_change_type") === "delete")
+              .select(col("_row_id").as("rid")), Seq("rid"))
+        }
       }
     }
     t("final read") { st.read("replica").queryExecution.toRdd.count() }
