@@ -64,10 +64,32 @@ object Bench {
       spark.range(200000000L).selectExpr("sum(id * 3)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // the CPU probe alone demonstrably misses I/O contention: one r7
+    // local suite recorded cdc2 at 27 s (vs 6.6-8.5 s on clean re-runs)
+    // with every CPU canary green — the mutation queries are commit/
+    // fsync-bound on the same filesystem co-tenants hammer. Probe the
+    // query stores' tmp filesystem too: write+read+delete ~64 MB.
+    def canaryIoProbe(): Double = {
+      val p = Paths.get("/tmp/graft_bench_io_canary.bin")
+      val chunk = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(chunk, 0x5a.toByte)
+      val t0 = System.nanoTime()
+      val out = Files.newOutputStream(p)
+      try { var i = 0; while (i < 64) { out.write(chunk); i += 1 } } finally out.close()
+      val in = Files.newInputStream(p)
+      try { val buf = new Array[Byte](1 << 20); while (in.read(buf) > 0) () }
+      finally in.close()
+      Files.deleteIfExists(p)
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canariesIo = scala.collection.mutable.ArrayBuffer.empty[Double]
     canaries += canaryProbe() // clean-ish baseline right after warm-up
+    canariesIo += canaryIoProbe()
     def slowCanary(sec: Double): Boolean =
       sec > math.max(3.0 * canaries.min, 1.0)
+    def slowIoCanary(sec: Double): Boolean =
+      sec > math.max(3.0 * canariesIo.min, 1.0)
 
     // optional local-iteration filter: comma-separated query names as
     // args(0); the driver invokes with no args (all queries)
@@ -111,10 +133,12 @@ object Bench {
       sinceCanary += name
       if ((i + 1) % canaryEvery == 0 || i == toRun.size - 1) {
         val c = canaryProbe()
-        val isSlow = slowCanary(c)
+        val cio = canaryIoProbe()
+        val isSlow = slowCanary(c) || slowIoCanary(cio)
         canaries += c
+        canariesIo += cio
         if (isSlow)
-          System.err.println(f"[bench] WARNING: canary $c%.2f s (best ${canaries.min}%.2f) — marking ${sinceCanary.size} queries suspect")
+          System.err.println(f"[bench] WARNING: canary cpu $c%.2f s / io $cio%.2f s (best ${canaries.min}%.2f/${canariesIo.min}%.2f) — marking ${sinceCanary.size} queries suspect")
         // contention seen at EITHER end of an interval taints it: a
         // co-tenant can arrive right after one probe or leave right
         // before the next
@@ -134,10 +158,12 @@ object Bench {
         if (ok) timings(name) = math.min(timings(name), sec)
       }
       val cAfter = canaryProbe()
+      val cioAfter = canaryIoProbe()
       canaries += cAfter
+      canariesIo += cioAfter
       // if the whole re-run window was clean, the min-kept timings are
       // trustworthy — clear the flags; otherwise leave them standing
-      if (!slowCanary(cAfter)) suspect.clear()
+      if (!slowCanary(cAfter) && !slowIoCanary(cioAfter)) suspect.clear()
     }
 
     def jsonMap(rs: Seq[(String, Double)]): String =
@@ -156,10 +182,11 @@ object Bench {
         s""""failed":${jsonArr(failed.toSeq)},""" +
         s""""suspect":${jsonArr(suspect.toSeq)},""" +
         s""""canaries_sec":${jsonNums(canaries.toSeq)},""" +
+        s""""canaries_io_sec":${jsonNums(canariesIo.toSeq)},""" +
         s""""warmup_sec":$warmupSec,${Stamp.jsonFields}}""")
         .getBytes(StandardCharsets.UTF_8))
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${results.size},"failed":${jsonArr(failed.toSeq)},"suspect":${jsonArr(suspect.toSeq)},"canaries_sec":${jsonNums(canaries.toSeq)},"warmup_sec":$warmupSec,${Stamp.jsonFields},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${results.size},"failed":${jsonArr(failed.toSeq)},"suspect":${jsonArr(suspect.toSeq)},"canaries_sec":${jsonNums(canaries.toSeq)},"canaries_io_sec":${jsonNums(canariesIo.toSeq)},"warmup_sec":$warmupSec,${Stamp.jsonFields},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

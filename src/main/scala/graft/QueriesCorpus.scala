@@ -168,6 +168,28 @@ object QueriesCorpus {
              |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- a13: HLL++ distinct sketch with a driver-visible error gate ----
+    // (the 100 TB corpus-stats path: approx_count_distinct is Spark's
+    //  HyperLogLog++ — mergeable fixed-size sketch, no exact-distinct
+    //  shuffle of the key space. DuckDB can't reproduce another
+    //  engine's sketch, so the oracle pattern is the recall-gate one:
+    //  emit the EXACT count (oracle-checkable) plus whether the sketch
+    //  landed inside 3x its configured 2% rsd; a broken sketch turns
+    //  the row red instead of hiding behind no_oracle. The exact side
+    //  here exists only for the gate — production reads the sketch.) ----
+    "a13_sketch_distinct" -> QDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("__sketch"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("__sketch") - col("n_exact"))
+            <= col("n_exact") * lit(0.06)).as("within_rsd")),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+             |  TRUE AS within_rsd
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- x1: stratified sampling by rate (corpus mixing) ----
     // (pure narrow map + filter — no shuffle, no state; the decision is
     //  a hash of the row's own key, so adding executors or reordering

@@ -656,6 +656,61 @@ object QueriesLlm {
         Seq("query_id", "cand_id"), floor = 0.7),
       Some(AnnRecallSql)),
 
+    // ---- e6: SemDeDup — semantic dedup via embedding clustering ----
+    // (the SemDeDup recipe [Abbas et al. 2023]: cluster the corpus's
+    //  embeddings, compare pairs ONLY within a cluster, drop every
+    //  vector that has a smaller-id cluster-mate above the cosine
+    //  threshold. Clustering bounds the pair blowup to Σ|cell|² —
+    //  at 100 TB you raise K so cells stay ~O(corpus/K) and the
+    //  within-cell join never approaches all-pairs; assignment itself
+    //  is one narrow broadcast pass. Deterministic first-16 centroids
+    //  (e4's choice) + double-exact cosine make this, unlike the ANN
+    //  family, FULLY oracle-checkable: DuckDB reproduces assignment,
+    //  pairs, and verdicts bit-for-bit.) ----
+    "e6_semdedup" -> QDef(
+      (s, dir) => {
+        val n = normed(s, dir)
+        val cents = n.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+        val wv = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val assigned = n.crossJoin(broadcast(cents))
+          .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+          .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"), col("v"), col("nrm"))
+        val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        // drop rule: a vector is dominated iff a SMALLER-id cell-mate
+        // sits within the threshold (deterministic, order-free)
+        val dropped = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+          .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.4)
+          .select(col("vec_b").as("vec_id")).distinct()
+          .withColumn("__dom", lit(true))
+        assigned.join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"), col("__dom").isNull.as("kept"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+             |      WHERE vec_id < 16),
+             |sc AS (SELECT n.vec_id, c.cent_id, n.v, n.nrm,
+             |         list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS ccos
+             |       FROM n CROSS JOIN c),
+             |asg AS (SELECT vec_id, cent_id AS cell, v, nrm FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY vec_id
+             |            ORDER BY ccos DESC, cent_id ASC) AS rn FROM sc)
+             |        WHERE rn = 1),
+             |dropped AS (SELECT DISTINCT b.vec_id
+             |            FROM asg a JOIN asg b
+             |              ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+             |SELECT asg.vec_id, asg.cell,
+             |  asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+             |FROM asg""".stripMargin)),
+
     // ---- tq1: typed Dataset[T] surface (case-class Encoder) ----
     // (SURVEY §1.4: typed sugar where safety helps — filter/map over a
     //  case class; note typed lambdas deserialize per row, so this stays

@@ -63,8 +63,12 @@ object ScaleProbeMutation {
       st.setChangeFeed("t", true)
 
       // fixed 10k-row upsert batch: half updates (existing keys), half
-      // inserts (fresh keys) — the steady-state CDC-apply shape
+      // inserts (fresh keys) — the steady-state CDC-apply shape.
+      // lineitem's l_orderkey is deliberately NON-unique in the
+      // testdata (multiple lines per order); the merge source must be
+      // unique on the key (M6), so collapse to one row per key first
       val updates = c.filter(col("l_orderkey") % (nBase * k / 5000).max(1L) === 0L)
+        .dropDuplicates("l_orderkey")
         .limit(5000)
         .withColumn("l_quantity", col("l_quantity") + 1.0)
       val inserts = updates.select(

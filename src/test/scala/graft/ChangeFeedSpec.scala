@@ -298,6 +298,57 @@ class ChangeFeedSpec extends AnyFunSuite {
       ts.read("t").select("k", "v").as[(Long, String)].collect().sorted.toSeq)
   }
 
+  test("rid replication: insert-only commits applied as appends converge " +
+    "to the same replica as merge-applied ones") {
+    // the cdc2 fast path's invariant: an `insert` change row's rid is
+    // minted fresh at its origin append and never reused, so applying
+    // an insert-only commit with a plain append (no rid-keyed merge)
+    // must yield the same replica — including after later update /
+    // delete commits merge on those same rids
+    val ts = freshStore()
+    ts.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING"))
+    ts.enableRowTracking("src")
+    ts.setChangeFeed("src", true)
+    ts.append("src", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    ts.updateVectorized("src", col("id") === 2L, Map("v" -> lit("B")))
+    ts.deleteVectorized("src", col("id") === 3L)
+    ts.append("src", Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+    val feed = ts.readChangesBetween("src", 0, ts.currentVersion("src"),
+      withRowIds = true).cache()
+    val counts = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val versions = counts.keys.map(_._1).toSeq.distinct.sorted
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "rid BIGINT, id BIGINT, v STRING")
+    def replicate(name: String, fastPath: Boolean): Set[(Long, Long, String)] = {
+      ts.createEmpty(name, schema)
+      versions.foreach { vn =>
+        val nIns = counts.getOrElse((vn, "insert"), 0L)
+        val nUpd = counts.getOrElse((vn, "update_postimage"), 0L)
+        val nDel = counts.getOrElse((vn, "delete"), 0L)
+        val b = feed.filter(col("_commit_version") === vn)
+        val ups = b.filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(col("_row_id").as("rid"), col("id"), col("v"))
+        if (fastPath && nIns > 0 && nUpd == 0 && nDel == 0) ts.append(name, ups)
+        else {
+          if (nIns + nUpd > 0) ts.mergeUpsert(name, ups, Seq("rid"),
+            changeTypeCol = None, verifyUniqueSource = false)
+          if (nDel > 0) ts.mergeDelete(name,
+            b.filter(col("_change_type") === "delete")
+              .select(col("_row_id").as("rid")), Seq("rid"))
+        }
+      }
+      ts.read(name).as[(Long, Long, String)].collect().toSet
+    }
+    val viaMerge = replicate("replica_merge", fastPath = false)
+    val viaAppend = replicate("replica_append", fastPath = true)
+    feed.unpersist()
+    assert(viaAppend == viaMerge)
+    assert(viaMerge.map(t => (t._2, t._3)) ==
+      Set((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e")))
+  }
+
   test("a commit that loses the version race never poisons the change feed") {
     val root = Files.createTempDirectory("cdfrace")
     val ts = new TableStore(spark, root.toString)
