@@ -31,4 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 150-query suite generates far more whole-stage-codegen classes
+  // than the JVM's default 240 MB ReservedCodeCacheSize holds. When it
+  // fills, the JVM silently flushes/deoptimizes (no warning with
+  // UseCodeCacheFlushing) and expression-heavy queries run interpreted:
+  // measured on the full Bench suite at sf0.1, d2_ngram_jaccard 60.5 s
+  // -> 6.1 s, d3_minhash_lsh 46 -> 6.3 s, e3 28 -> 2.0 s, suite total
+  // 573 -> 302 s from this flag alone. This — not co-tenant contention —
+  // was the recurring "poisoned bench" of rounds 2/5/6: fresh-JVM
+  // subset re-runs were fast because their code cache was empty.
+  "-XX:ReservedCodeCacheSize=2g",
 )

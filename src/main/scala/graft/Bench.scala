@@ -59,9 +59,17 @@ object Bench {
     // suite end (keeping the min), so one contention spike costs a
     // re-measure instead of poisoning the round's artifact. ----
     val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "15").toInt
+    // each probe uses a FRESH expression constant so whole-stage codegen
+    // emits (and must JIT-compile) a new class every time: a probe that
+    // reused one shape stayed hot in the JIT cache and was blind to the
+    // very degradation it should catch — JIT code-cache exhaustion from
+    // a 150-query suite's generated classes ran expression-heavy
+    // queries interpreted (d2 9->60 s) while the old canary read 0.3 s
+    var canaryN = 0
     def canaryProbe(): Double = {
+      canaryN += 1
       val t0 = System.nanoTime()
-      spark.range(200000000L).selectExpr("sum(id * 3)").collect()
+      spark.range(200000000L).selectExpr(s"sum(id * ${2 * canaryN + 1})").collect()
       (System.nanoTime() - t0) / 1e9
     }
     // the CPU probe alone demonstrably misses I/O contention: one r7

@@ -32,6 +32,27 @@ object QueriesCorpus {
         .as("shingle"))
       .distinct()
 
+  /** The train-side doc ids flagged by the broadcast-Bloom
+    * decontamination pass (d6b's approximate stage; also dumped by
+    * PlanDump). Bloom build + probe both run on RAW (non-distinct)
+    * shingles: bloom tolerates duplicates, so neither side pays the
+    * shingle-level distinct shuffle — the probe is a pure narrow pass:
+    * explode -> hash -> shift/mask filter -> distinct(doc_id). */
+  private[graft] def d6bBloomFlagged(s: SparkSession, dir: String): DataFrame = {
+    val mBits = 1L << 21
+    val k = 5
+    val raw = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        .as("shingle"))
+    val bits = graft.ops.Corpus.bloomBuild(
+      raw.filter(col("doc_id") % 20 < 2), col("shingle"), mBits, k)
+    graft.ops.Corpus
+      .bloomMaybeContains(raw.filter(col("doc_id") % 20 >= 2), col("shingle"), bits, mBits, k)
+      .select(col("doc_id")).distinct()
+  }
+
   /** Deterministic md5-based inclusion hash over the doc id — the first
     * 8 hex chars, compared lexicographically against a rate threshold
     * (hex is uniform, so "h < '40000000'" samples ~25%). Spark and
@@ -121,6 +142,49 @@ object QueriesCorpus {
              |  min(b.bench_id) AS first_bench_id
              |FROM train t JOIN bench b ON t.shingle = b.shingle
              |GROUP BY t.doc_id""".stripMargin)),
+
+    // ---- d6b: decontamination via broadcast Bloom bitset — the
+    //      zero-join scale path for d6. The benchmark side folds into a
+    //      fixed 2M-bit bitset (256 KB, k=5 — ~6e-7 shingle FPP at this
+    //      load; 1 G bits / 128 MB covers a 100 M-shingle benchmark at
+    //      100 TB); the train side streams ONCE against the broadcast
+    //      bitset with codegen'd shift/mask probes — no shuffle of
+    //      train shingles, unlike d6's inverted-index join. Bloom
+    //      admits false positives only, so exact ⊆ flagged always; this
+    //      companion emits the driver-visible gate (n_missed MUST be 0,
+    //      FP overhang bounded) the same way the ANN recall rows do.
+    //      At 100 TB you run the bloom pass over the corpus and hand
+    //      only the flagged survivors (tiny) to d6's exact join. ----
+    "d6b_decontaminate_bloom" -> QDef(
+      (s, dir) => {
+        val flagged = d6bBloomFlagged(s, dir)
+        // exact side (d6's join) for the gate
+        val sh = shingles8(s, dir)
+        val train = sh.filter(col("doc_id") % 20 >= 2)
+        val exact = train.join(
+            broadcast(sh.filter(col("doc_id") % 20 < 2)
+              .select(col("shingle")).distinct()), Seq("shingle"))
+          .select(col("doc_id")).distinct()
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val nMissed = exact.join(flagged, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_missed"))
+        val nExtra = flagged.join(exact, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_extra"))
+        val nTrain = train.select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_train"))
+        nExact.crossJoin(nMissed).crossJoin(nExtra).crossJoin(nTrain)
+          .select(col("n_exact"), col("n_missed"),
+            (col("n_extra") <= col("n_train") * lit(0.01)).as("extra_ok"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM w),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle FROM idx),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 < 2),
+             |train AS (SELECT * FROM sh WHERE doc_id % 20 >= 2),
+             |exact AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b USING (shingle))
+             |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             |  CAST(0 AS BIGINT) AS n_missed, TRUE AS extra_ok
+             |FROM exact""".stripMargin)),
 
     // ---- f5: JSON extraction over a semi-structured column — the
     //      events stream carries a JSON props payload; extraction stays

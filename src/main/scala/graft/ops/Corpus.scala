@@ -104,4 +104,64 @@ object Corpus {
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"), idCol)
     sharded.withColumn("shard_pos", row_number().over(w).cast("long"))
   }
+
+  // ------------------------------------------------------------------
+  // Broadcast-Bloom membership: the zero-join scale path for "does this
+  // row's key appear in a (much smaller) reference set", used by
+  // decontamination (d6b). The reference side folds into a fixed-size
+  // bitset with a distributed OR tree-aggregate (the same build shape
+  // as Spark's own df.stat.bloomFilter); the corpus side tests
+  // membership in one streaming pass of codegen'd expressions against
+  // the broadcast bitset — no shuffle of corpus rows, no join. Bloom
+  // admits false POSITIVES only, so the exact match set is always a
+  // subset of the flagged set; a downstream exact verifier (or the d6
+  // join on just the flagged survivors) removes the overhang.
+  // ------------------------------------------------------------------
+
+  /** The k bit positions for one key: pmod(xxhash64(key, seed_i), mBits)
+    * for seed_i = 1..k. xxhash64 over the (key, i) tuple gives k
+    * independent deterministic hashes — same expressions on the build
+    * and probe side, all codegen'd. */
+  private def bloomPositions(key: Column, mBits: Long, k: Int): Seq[Column] =
+    (1 to k).map(i => pmod(xxhash64(key, lit(i)), lit(mBits)))
+
+  /** Fold `keys`' distinct values into an mBits-wide Bloom bitset.
+    * Returns the packed words (mBits/64 longs). The aggregate is a
+    * treeAggregate whose per-partition state is the fixed-size bitset
+    * itself — at 100 TB the reference set (an eval benchmark) is
+    * millions of shingles and the bitset a few hundred MB, the same
+    * driver-memory class as a broadcast-join hash map. Corpus size
+    * never enters the build. */
+  def bloomBuild(keys: DataFrame, key: Column, mBits: Long, k: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
+    val nWords = (mBits / 64).toInt
+    val pos = keys.select(explode(array(bloomPositions(key, mBits, k): _*)).as("pos"))
+    pos.rdd.map(_.getLong(0)).treeAggregate(new Array[Long](nWords))(
+      (acc, p) => { acc((p >> 6).toInt) |= 1L << (p & 63); acc },
+      (a, b) => { var i = 0; while (i < nWords) { a(i) |= b(i); i += 1 }; a })
+  }
+
+  /** Filter `df` to rows whose `key` is maybe-in-bloom. The bitset
+    * rides in as a one-row broadcast DataFrame (a real Spark broadcast
+    * shared by every task — never a plan-inlined literal), and the k
+    * probes are plain shift/mask expressions inside whole-stage
+    * codegen. Guarantee: every row whose key IS in the reference set
+    * survives (no false negatives). */
+  def bloomMaybeContains(df: DataFrame, key: Column,
+                         bits: Array[Long], mBits: Long, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bloomDf = Seq(Tuple1(bits.toSeq)).toDF("__bloom_bits")
+    val probed = df.crossJoin(broadcast(bloomDf))
+    // each probe position gets a named column so the shift/mask test can
+    // reference it from an expr string (variable-distance shifts have no
+    // Column-API form)
+    val test = bloomPositions(key, mBits, k).zipWithIndex.map { case (p, i) => (s"__p$i", p) }
+    val withPos = test.foldLeft(probed) { case (d, (n, p)) => d.withColumn(n, p) }
+    val cond = test.map { case (n, _) =>
+      s"(element_at(__bloom_bits, CAST(shiftright($n, 6) AS INT) + 1)" +
+        s" & shiftleft(1L, CAST($n % 64 AS INT))) != 0"
+    }.mkString(" AND ")
+    withPos.filter(expr(cond)).drop("__bloom_bits" +: test.map(_._1): _*)
+  }
 }

@@ -35,6 +35,8 @@ object PlanDump {
         "as-of join as union + ONE window pass: a single Exchange on user_id, no join node",
       "d2_ngram_jaccard" ->
         "near-dup candidates via inverted-index equi-joins on hashed shingles — no cartesian anywhere",
+      "d6b_decontaminate_bloom" ->
+        "bloom decontamination probe: the ONLY join is the one-row bitset broadcast (BroadcastNestedLoopJoin); train shingles see no Exchange before the shift/mask filter — the corpus streams once",
       "m10_column_mapping" ->
         "reads through a RENAME/DROP: the pushed filter names the renamed column (price); the reader translates to the in-file PHYSICAL name",
       "m8_dv_delete" ->
@@ -55,6 +57,9 @@ object PlanDump {
     // for queries whose returned frame is a post-mutation table read,
     // the informative plan is an intermediate: build it here instead
     val planOverride: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      // the registered d6b query is the gate (exact ⊆ flagged); the
+      // scale-relevant plan is the bloom probe pass itself
+      "d6b_decontaminate_bloom" -> { (s, d) => graft.QueriesCorpus.d6bBloomFlagged(s, d) },
       "cdc2_rowid_replicate" -> { (s, d) =>
         import org.apache.spark.sql.functions.col
         val root = "/tmp/graft_plandump/cdc2"

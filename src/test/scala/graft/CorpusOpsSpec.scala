@@ -111,4 +111,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.count { case (id, (sh, _)) => b(id) == sh } < 1000,
       "seed change must reshuffle most rows")
   }
+
+  test("bloomMaybeContains has zero false negatives and bounded false positives") {
+    val mBits = 1L << 16 // deliberately small so FPs are observable
+    val k = 5
+    val ref = (0 until 2000).map(i => s"ref_$i").toDF("key")
+    val bits = Corpus.bloomBuild(ref, col("key"), mBits, k)
+    // load factor sanity: build set some bits, far fewer than mBits
+    val set = bits.map(java.lang.Long.bitCount).sum
+    assert(set > 2000 && set < mBits / 2, s"bit count $set")
+    // probe side: the full ref set + disjoint negatives
+    val probe = ((0 until 2000).map(i => s"ref_$i") ++
+      (0 until 20000).map(i => s"neg_$i")).toDF("key")
+    val kept = Corpus.bloomMaybeContains(probe, col("key"), bits, mBits, k)
+      .as[String].collect().toSet
+    // Bloom guarantee: every reference key survives
+    assert((0 until 2000).forall(i => kept(s"ref_$i")), "false negative!")
+    // FP rate at this load (~2000*5/65536 = 0.15 bits set): (1-e^-0.15)^5
+    // ~ 5e-5 — allow 50x headroom before calling it broken
+    val fps = kept.count(_.startsWith("neg_"))
+    assert(fps <= 50, s"implausible FP count $fps / 20000")
+    // probe must not leak helper columns
+    val cols = Corpus.bloomMaybeContains(probe, col("key"), bits, mBits, k).columns
+    assert(cols.toSeq === Seq("key"))
+  }
 }
