@@ -80,6 +80,41 @@ object ScaleProbe {
         f""""index_sec":$indexSec%.2f,"index_rows":$nIndex,""" +
         f""""probe_sec":$probeSec%.2f,"batch":500,"rejected":$nRejected}""")
     }
+
+    // ---- d6b bloom decontamination: FIXED benchmark side, growing
+    // train corpus. The bloom probe is a narrow no-shuffle pass, so its
+    // time should track raw scan+hash throughput (gentle slope, cores
+    // absorb it); d6's exact inverted-index join shuffles |train
+    // shingles| and is the cost the bloom pass avoids. ----
+    def shingles8raw(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        .as("shingle"))
+    val mBits = 1L << 21
+    val kHash = 5
+    val benchSide = base.filter(col("doc_id") % 20 < 2) // fixed: the eval benchmark
+    val buildT0 = System.nanoTime()
+    val bits = graft.ops.Corpus.bloomBuild(
+      shingles8raw(benchSide), col("shingle"), mBits, kHash)
+    val buildSec = (System.nanoTime() - buildT0) / 1e9
+    for (k <- Seq(1, 4, 16)) {
+      val train = corpus(k).filter(col("doc_id") % 20 >= 2).localCheckpoint()
+      val (bloomSec, nFlagged) = t {
+        graft.ops.Corpus.bloomMaybeContains(
+            shingles8raw(train), col("shingle"), bits, mBits, kHash)
+          .select(col("doc_id")).distinct().count()
+      }
+      val (exactSec, nExact) = t {
+        shingles8raw(train).join(
+            broadcast(shingles8raw(benchSide).select(col("shingle")).distinct()),
+            Seq("shingle"))
+          .select(col("doc_id")).distinct().count()
+      }
+      println(f"""{"d6b_k":$k,"bloom_build_sec":$buildSec%.2f,""" +
+        f""""bloom_probe_sec":$bloomSec%.2f,"flagged":$nFlagged,""" +
+        f""""exact_join_sec":$exactSec%.2f,"exact":$nExact}""")
+    }
     spark.stop()
   }
 }
