@@ -365,6 +365,72 @@ object QueriesStreaming {
              |FROM orders WHERE o_orderkey % 2 = 0
              |UNION ALL
              |SELECT 'odd_load', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
-             |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin))
+             |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)),
+
+    // ---- st12: STREAMING decontamination — d6b's broadcast-Bloom
+    //      bitset applied to a document stream. The bitset is built
+    //      once, batch-side, from the (fixed) benchmark; the corpus
+    //      arrives as a file stream and each micro-batch probes the
+    //      broadcast bitset with the same codegen'd shift/mask
+    //      expressions — a STATELESS stream-batch join, so it runs in
+    //      append mode with zero watermark state; the only stateful op
+    //      is the doc-id dropDuplicates. This is the continuous-
+    //      ingestion shape: decontaminate batches as they land instead
+    //      of re-scanning the corpus. The registered result is the same
+    //      driver-visible gate as d6b: every exactly-contaminated doc
+    //      MUST be flagged (bloom has no false negatives), FP overhang
+    //      bounded. ----
+    "st12_stream_decontaminate" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val mBits = 1L << 21
+        val k = 5
+        def explodeShingles(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = d
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+            .as("shingle"))
+        val docs = Tables.documents(s, dir)
+        val bits = graft.ops.Corpus.bloomBuild(
+          explodeShingles(docs.filter(col("doc_id") % 20 < 2)),
+          col("shingle"), mBits, k)
+        val stream = s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") % 20 >= 2)
+        val q = graft.ops.Corpus.bloomMaybeContains(
+            explodeShingles(stream), col("shingle"), bits, mBits, k)
+          .select(col("doc_id")).dropDuplicates("doc_id")
+          .writeStream.format("memory").queryName("st12_mem")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val flagged = s.table("st12_mem")
+        // the d6b gate, batch-side: exact-contaminated ⊆ stream-flagged
+        val sh = explodeShingles(docs).distinct()
+        val train = sh.filter(col("doc_id") % 20 >= 2)
+        val exact = train.join(
+            broadcast(sh.filter(col("doc_id") % 20 < 2)
+              .select(col("shingle")).distinct()), Seq("shingle"))
+          .select(col("doc_id")).distinct()
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        val nMissed = exact.join(flagged, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_missed"))
+        val nExtra = flagged.join(exact, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n_extra"))
+        val nTrain = train.select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_train"))
+        nExact.crossJoin(nMissed).crossJoin(nExtra).crossJoin(nTrain)
+          .select(col("n_exact"), col("n_missed"),
+            (col("n_extra") <= col("n_train") * lit(0.01)).as("extra_ok"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM w),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS shingle FROM idx),
+             |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 < 2),
+             |train AS (SELECT * FROM sh WHERE doc_id % 20 >= 2),
+             |exact AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b USING (shingle))
+             |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+             |  CAST(0 AS BIGINT) AS n_missed, TRUE AS extra_ok
+             |FROM exact""".stripMargin))
   )
 }

@@ -163,4 +163,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSizes.count(_ > 0) >= 3)
     assert(batchSizes.forall(_ <= 2))
   }
+
+  test("streaming bloom decontamination flags reference keys batch-by-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference set: 200 "contaminated" keys folded into a bitset batch-side
+    val mBits = 1L << 16
+    val k = 5
+    val ref = (0 until 200).map(i => s"bad_$i").toDF("key")
+    val bits = graft.ops.Corpus.bloomBuild(ref, col("key"), mBits, k)
+    val input = MemoryStream[String]
+    val flaggedStream = graft.ops.Corpus.bloomMaybeContains(
+      input.toDF().toDF("key"), col("key"), bits, mBits, k)
+    val q = flaggedStream.writeStream.format("memory")
+      .queryName("bloom_stream").outputMode("append").start()
+    // two micro-batches, each mixing contaminated and clean keys
+    input.addData((0 until 100).map(i => s"bad_$i") ++ (0 until 500).map(i => s"ok_a$i"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("bloom_stream").as[String].collect().toSet
+    assert((0 until 100).forall(i => afterB1(s"bad_$i")), "batch-1 false negative")
+    input.addData((100 until 200).map(i => s"bad_$i") ++ (0 until 500).map(i => s"ok_b$i"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("bloom_stream").as[String].collect().toSet
+    assert((0 until 200).forall(i => all(s"bad_$i")), "batch-2 false negative")
+    // FP sanity at this load (~200*5/65536 bits set): clean keys almost
+    // never flag — allow a generous margin before calling it broken
+    assert(all.count(_.startsWith("ok_")) <= 10, s"implausible FPs: $all")
+  }
 }
