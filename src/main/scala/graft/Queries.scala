@@ -46,6 +46,23 @@ object Queries {
       QueriesJobs.defs ++ QueriesStreaming.defs ++ QueriesMultimodal.defs ++
       QueriesCorpus.defs ++ QueriesTemporal.defs ++ failCanary
 
+  // a query name registered in two modules would silently shadow the
+  // earlier one in the ++ merge above — the same "query vanishes from
+  // the artifact with no error" class as r5's 13 missing entries. Fail
+  // loudly at first touch instead.
+  locally {
+    val sources: Seq[(String, Map[String, QDef])] = Seq(
+      "relational" -> QueriesRelational.defs, "mutation" -> QueriesMutation.defs,
+      "llm" -> QueriesLlm.defs, "jobs" -> QueriesJobs.defs,
+      "streaming" -> QueriesStreaming.defs, "multimodal" -> QueriesMultimodal.defs,
+      "corpus" -> QueriesCorpus.defs, "temporal" -> QueriesTemporal.defs)
+    val dups = (Seq("q1_agg") ++ sources.flatMap(_._2.keys))
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate query names across modules (one would silently shadow " +
+        s"the other): ${dups.mkString(", ")}")
+  }
+
   /** Harness self-test (env-gated, absent from normal runs): a query
     * that always throws, for demonstrating that Verify records an
     * explicit red entry and Bench an explicit "failed" name instead of
