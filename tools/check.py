@@ -48,6 +48,21 @@ def main():
         if list(got.columns) != list(exp.columns):
             results[name] = f"SCHEMA_MISMATCH got={list(got.columns)} exp={list(exp.columns)}"
             continue
+        # physical-type drift that value-compares can't see: DuckDB
+        # widening (e.g. windowed sum(BIGINT) -> HUGEINT, which pandas
+        # loads as object/float64) hash-mismatches at the driver even
+        # when every value is identical — x3 was red for two rounds on
+        # exactly this. Only integer-ness drift is flagged: DATE/TIMESTAMP
+        # representation differs between pandas readers (object vs
+        # datetime64) without any driver-visible effect.
+        def intish(s): return pd.api.types.is_integer_dtype(s) or \
+            pd.api.types.is_bool_dtype(s)
+        dtype_drift = [c for c in got.columns
+                       if intish(got[c]) != intish(exp[c])]
+        if dtype_drift:
+            results[name] = ("DTYPE_MISMATCH " + ", ".join(
+                f"{c}: got={got[c].dtype} exp={exp[c].dtype}" for c in dtype_drift))
+            continue
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT_MISMATCH got={len(got)} exp={len(exp)}"
             continue
