@@ -171,4 +171,27 @@ class PropertySpec extends AnyFunSuite {
       assert(got === model.sorted, s"seed=$seed names=$names")
     }
   }
+
+  test("bloom flagged set is a superset of the exact match set (random corpora)") {
+    import graft.ops.Corpus
+    val mBits = 1L << 15 // small on purpose: real FPs, so the subset
+    val k = 4            // property is tested against a non-trivial set
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      // reference ~200 keys; probe ~2000 keys with partial overlap
+      val ref = Seq.fill(200)("k" + rnd.nextInt(800)).distinct
+      val probe = Seq.fill(2000)("k" + rnd.nextInt(3000))
+      val bits = Corpus.bloomBuild(ref.toDF("key"), col("key"), mBits, k)
+      val flagged = Corpus.bloomMaybeContains(
+          probe.toDF("key"), col("key"), bits, mBits, k)
+        .as[String].collect().toSet
+      val exact = probe.toSet.intersect(ref.toSet)
+      assert(exact.subsetOf(flagged), s"seed=$seed: bloom dropped a true match")
+      // and the build is insensitive to duplication + partitioning
+      val bits2 = Corpus.bloomBuild(
+        (ref ++ ref ++ ref).toDF("key").repartition(7), col("key"), mBits, k)
+      assert(java.util.Arrays.equals(bits, bits2),
+        s"seed=$seed: bitset depends on duplication/partitioning")
+    }
+  }
 }
