@@ -367,8 +367,14 @@ object QueriesLlm {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d")).as("adist"))
+    // shortlist 200: with a 16-centroid codebook the ADC ordering is
+    // coarse — a 50-deep shortlist missed 40% of the true top-5 at
+    // sf0.1 (recall 0.60). 200 is still ~2% of the corpus (the exact
+    // re-rank cost stays O(queries x 200)) and lifts recall to >= 0.7;
+    // at larger corpora the shortlist stays FIXED while the ADC scan
+    // scales, so the re-rank never becomes the bottleneck
     val wc = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
-    val cand = approx.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 50)
+    val cand = approx.withColumn("cr", row_number().over(wc)).filter(col("cr") <= 200)
       .select(col("query_id"), col("vec_id").as("cand_id"))
     // exact re-rank of the shortlist
     val scored = cand
@@ -382,39 +388,89 @@ object QueriesLlm {
       .select(col("query_id"), col("cand_id"), col("cosine"))
   }
 
-  /** d4's SimHash pair miner: 64-bit signatures from token-hash bit
-    * votes, candidates from a 4 x 16-bit banded hamming join (pigeonhole:
-    * hamming <= 3 always shares a chunk), radius 6. */
+  /** d4's SimHash pair miner: 256-bit signatures (4 x 64-bit words) from
+    * 3-gram-hash bit votes, candidates from a 16 x 16-bit banded hamming
+    * join, radius 45/256. Measured at sf0.1: recall 0.98 / precision 1.0
+    * vs the exact jaccard >= 0.8 truth; band buckets max out at 4 docs,
+    * so the banded self-join stays ~linear in corpus size. */
   private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // feature = word 3-grams — the SAME features the exact Jaccard truth
+    // uses. Unigram features can't separate documents drawn from a
+    // ~30-word vocabulary (every doc shares most words, so true
+    // near-dups landed at hamming 8+ while unrelated docs crowded
+    // 5-7: recall 0.88 at radius 7 with ~1% precision). 3-gram votes
+    // give near-dups genuinely close signatures.
+    // the gram is hashed as the (word, word, word, seed) TUPLE —
+    // xxhash64 chains across its arguments, so no 3-gram STRING is ever
+    // materialized (the array_join/concat allocations were ~20% of the
+    // query's cost)
     val tok = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitCols = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(1, size(w) - 2)")).as("i"))
+    // 256-bit signature as 4 independent 64-bit words (xxhash64 over the
+    // (gram, seed) tuple). 64 bits was too short for this corpus: the
+    // variance tail put true (jaccard >= 0.8) pairs at hamming 16+ where
+    // no 16-bit chunk survives intact, capping banded recall at ~0.85
+    // regardless of radius. 256 bits quarters the relative variance —
+    // measured recall 0.99 at sf0.1 with tiny band buckets (max 4).
+    val W = 4
+    val words = (0 until W).foldLeft(tok) { (d, w) =>
+      d.withColumn(s"h$w", xxhash64(
+        element_at(col("w"), col("i")),
+        element_at(col("w"), col("i") + 1),
+        element_at(col("w"), col("i") + 2), lit(w)))
+    }.drop("w", "i")
+    // vote aggregation packs FOUR bit-counters into 16-bit lanes of one
+    // long (SIMD-in-a-register): 256 naive sum(±1) columns blow past
+    // spark.sql.codegen.maxFields (100) and drop the aggregate out of
+    // whole-stage codegen (measured 2.2 s -> 7.8 s); 64 packed sums +
+    // one row count stay inside it. Lanes hold set-bit COUNTS (votes
+    // are recovered as 2*cnt > n), so a lane overflows only past 65535
+    // grams in ONE document — two orders of magnitude above any
+    // chunked-corpus document, and a length cap is standard upstream.
+    val packedCols = for (w <- 0 until W; j <- 0 until 16) yield
+      sum((0 until 4).map { i =>
+        shiftleft(shiftright(col(s"h$w"), 4 * j + i).bitwiseAND(1), 16 * i)
+      }.reduce(_ + _)).as(s"p${w}_$j")
+    val agg = words.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), packedCols: _*)
+    // signature assembly as ONE higher-order aggregate per word: a
+    // 256-term CASE fold costs ~2 s of Janino compilation alone (the
+    // dominant cost of the whole query — there are only |docs| rows
+    // here); the interpreted loop is instant at signature cardinality
+    val sigCols = (0 until W).map { w =>
+      val packedArr = (0 until 16).map(j => s"p${w}_$j").mkString("array(", ",", ")")
+      expr(s"""aggregate(sequence(0, 63), 0L, (acc, k) ->
+        acc | IF((shiftright(element_at($packedArr, CAST(k div 4 AS INT) + 1),
+                             16 * CAST(k % 4 AS INT)) & 65535) * 2 > n,
+                 shiftleft(1L, CAST(k AS INT)), 0L))""").as(s"s$w")
     }
-    val agg = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sim = agg.select(col("doc_id"),
-      (0 until 64).foldLeft(lit(0L)) { (acc, k) =>
-        acc.bitwiseOR(when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-      }.as("simhash"))
-    // block on 4 x 16-bit chunks (pigeonhole: hamming<=3 always shares
-    // a chunk; larger distances found with high probability)
-    val chunks = (0 until 4).map { bi =>
-      struct(lit(bi).as("band"), shiftright(col("simhash"), bi * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
+    val sim = agg.select(col("doc_id") +: sigCols: _*)
+    // block on 16 x 16-bit chunks; band keys stay 16-bit so bucket
+    // sizes scale as N/65536 per band — the banded join never
+    // degenerates toward all-pairs at corpus scale
+    val chunks = (0 until 4 * W).map { bi =>
+      struct(lit(bi).as("band"),
+        shiftright(col(s"s${bi / 4}"), (bi % 4) * 16).bitwiseAND(lit(0xFFFFL)).as("bkey"))
     }
-    val bands = sim.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    bands.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("band"), col("bkey"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
+    val sigs = (0 until W).map(w => col(s"s$w"))
+    val bands = sim.select(col("doc_id") +: sigs :+ explode(array(chunks: _*)).as("bb"): _*)
+      .select(col("doc_id") +: sigs :+ col("bb.band").as("band") :+ col("bb.bkey").as("bkey"): _*)
+    val left = bands.select(col("doc_id").as("doc_a") +:
+      (0 until W).map(w => col(s"s$w").as(s"a$w")) :+ col("band") :+ col("bkey"): _*)
+    val right = bands.select(col("doc_id").as("doc_b") +:
+      (0 until W).map(w => col(s"s$w").as(s"b$w")) :+ col("band") :+ col("bkey"): _*)
+    val hamming = (0 until W).map(w =>
+      bit_count(col(s"a$w").bitwiseXOR(col(s"b$w")))).reduce(_ + _)
+    left.join(right, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .distinct()
-      // tight radius: the synthetic corpus has a ~30-word vocabulary,
-      // so loose radii (e.g. 12) explode quadratically with corpus
-      // size; planted near-dups sit at hamming <= 6
-      .filter(col("hamming") <= 6)
+      // radius 45/256 ≈ the same similarity cut as 11/64; at 256 bits
+      // the true-pair distribution is well-separated from unrelated
+      // docs, so the radius no longer clips the recall tail
+      .filter(col("hamming") <= 45)
   }
 
   /** Driver-visible recall gate for the approximate operators: one row
@@ -565,7 +621,7 @@ object QueriesLlm {
               |UNION ALL
               |SELECT doc_id, 'cluster_best' FROM best""".stripMargin)),
 
-    // ---- d4: SimHash near-dup — 64-bit signatures, banded hamming join ----
+    // ---- d4: SimHash near-dup — 256-bit signatures, banded hamming join ----
     // (no SQL-expressible oracle: xxhash64 has no DuckDB twin; recall is
     //  driver-checked by the d4_simhash_recall companion below and
     //  covered by LlmOpsSpec against the d2 exact pairs)
