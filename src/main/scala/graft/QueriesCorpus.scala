@@ -75,6 +75,18 @@ object QueriesCorpus {
       |          WHEN 'es' THEN '40000000' WHEN 'de' THEN '20000000'
       |          ELSE '20000000' END""".stripMargin
 
+  /** Hashed-bigram feature bucket for x13's DSIR weights: the first two
+    * md5 nibbles of the bigram -> 0..255. Nibble extraction via strpos
+    * (x11's trick) because both engines agree on md5's lowercase hex
+    * but not on any direct hex->int cast. */
+  private val DsirBuckets = 256
+  private def bucketCol =
+    (expr("locate(substring(md5_g, 1, 1), '0123456789abcdef') - 1") * 16 +
+      expr("locate(substring(md5_g, 2, 1), '0123456789abcdef') - 1")).cast("int")
+  private val BucketSql =
+    """(strpos('0123456789abcdef', substr(md5_g, 1, 1)) - 1) * 16 +
+      |     (strpos('0123456789abcdef', substr(md5_g, 2, 1)) - 1)""".stripMargin
+
   val defs: Map[String, QDef] = Map(
 
     // ---- a9: GROUP BY ROLLUP with grouping flags ----
@@ -609,6 +621,126 @@ object QueriesCorpus {
              |SELECT doc_id, skey, shard,
              |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
              |                          ORDER BY skey, doc_id) AS BIGINT) AS shard_pos
-             |FROM sh""".stripMargin))
+             |FROM sh""".stripMargin)),
+
+    // ---- x13: DSIR importance resampling — select raw docs that look
+    //      like a curated target set [Xie et al. 2023, "Data Selection
+    //      for Language Models via Importance Resampling"]. Features are
+    //      hashed word-bigram buckets (md5 nibbles -> 256 buckets, the
+    //      paper's hashed n-gram recipe); target (src0/src1) and raw
+    //      bucket distributions are Laplace-smoothed over a generated
+    //      256-bucket spine; each raw doc scores avg over its bigrams of
+    //      ln(p_tgt/p_raw), and the top-100 by score are selected. Scale
+    //      shape: token pass is narrow, both distribution tables are
+    //      bucket-cardinality (256 rows -> broadcast), scoring is one
+    //      per-doc aggregate, and selection is TakeOrderedAndProject —
+    //      no global sort. The doc score rounds to 6 dp BEFORE ranking
+    //      so the rank (and the oracle's) never hangs on float
+    //      reassociation noise; doc_id breaks exact ties. ----
+    "x13_dsir_resample" -> QDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+              .as("gram"))
+          .withColumn("md5_g", md5(col("gram")))
+          .select(col("doc_id"), col("source"), bucketCol.as("b"))
+        val isTgt = col("source").isin("src0", "src1")
+        val spine = s.range(DsirBuckets).select(col("id").cast("int").as("b"))
+        def dist(side: DataFrame) = {
+          val total = side.count() // one scalar: side's token count
+          spine.join(side.groupBy(col("b")).agg(count(lit(1)).as("c")),
+              Seq("b"), "left_outer")
+            .select(col("b"),
+              ((coalesce(col("c"), lit(0L)) + lit(0.5)) /
+                lit(total + 0.5 * DsirBuckets)).as("p"))
+        }
+        val score = dist(toks.filter(isTgt)).withColumnRenamed("p", "pt")
+          .join(dist(toks.filter(!isTgt)).withColumnRenamed("p", "pr"), Seq("b"))
+          .select(col("b"), log(col("pt") / col("pr")).as("sc"))
+        // top-100 via orderBy+limit (TakeOrderedAndProject — parallel
+        // partial top-k, no global sort); the rank window then runs over
+        // the 100 survivors only, never the corpus-sized score table
+        val scored = toks.filter(!isTgt)
+          .join(broadcast(score), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"), round(avg(col("sc")), 6).as("dsir_w"))
+        scored.orderBy(col("dsir_w").desc, col("doc_id").asc).limit(100)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("dsir_w").desc, col("doc_id").asc)).cast("int"))
+          .select(col("doc_id"), col("n_grams"), col("dsir_w"), col("rank"))
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, source, md5(w[i] || ' ' || w[i+1]) AS md5_g
+             |      FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+             |tok AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+             |  CAST((strpos('0123456789abcdef', substr(md5_g, 1, 1)) - 1) * 16 +
+             |       (strpos('0123456789abcdef', substr(md5_g, 2, 1)) - 1) AS INT) AS b
+             |  FROM g),
+             |spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+             |pt AS (SELECT s.b, (coalesce(c, 0) + 0.5) /
+             |         (sum(coalesce(c, 0)) OVER () + 128.0) AS pt
+             |       FROM spine s LEFT JOIN
+             |         (SELECT b, count(*) AS c FROM tok WHERE tgt GROUP BY b) t USING (b)),
+             |pr AS (SELECT s.b, (coalesce(c, 0) + 0.5) /
+             |         (sum(coalesce(c, 0)) OVER () + 128.0) AS pr
+             |       FROM spine s LEFT JOIN
+             |         (SELECT b, count(*) AS c FROM tok WHERE NOT tgt GROUP BY b) t USING (b)),
+             |score AS (SELECT b, ln(pt / pr) AS sc FROM pt JOIN pr USING (b)),
+             |docw AS (SELECT doc_id, count(*) AS n_grams, round(avg(sc), 6) AS dsir_w
+             |         FROM tok JOIN score USING (b) WHERE NOT tgt GROUP BY doc_id)
+             |SELECT doc_id, n_grams, dsir_w, rank FROM (
+             |  SELECT *, CAST(row_number() OVER (ORDER BY dsir_w DESC, doc_id) AS INT) AS rank
+             |  FROM docw) WHERE rank <= 100""".stripMargin)),
+
+    // ---- x14: first-occurrence segment dedup — the corpus-global
+    //      "remove duplicated passages, keep the first" step [Lee et al.
+    //      2022, "Deduplicating Training Data Makes Language Models
+    //      Better", the NearDup/ExactSubstr family at passage
+    //      granularity]. Unit = non-overlapping 10-word segment; for
+    //      every DISTINCT segment exactly the minimal (doc_id, seg_pos)
+    //      occurrence survives, later verbatim repeats — across docs OR
+    //      within one — drop, and each doc reassembles its surviving
+    //      segments in order. Differs from t8 (df-threshold boilerplate
+    //      drop, which removes ALL hot copies): this keeps exactly one.
+    //      Scale shape: one groupBy(segment) min-aggregate (map-side
+    //      combinable) + one per-doc reassembly window; the keeper key
+    //      packs (doc_id, pos) into one BIGINT so the min is a plain
+    //      long min, not a struct compare. ----
+    "x14_passage_dedup" -> QDef(
+      (s, dir) => {
+        val segs = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
+              "g -> struct(g as g, array_join(slice(w, g * 10 + 1, 10), ' ') as seg))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.g").as("g"), col("x.seg").as("seg"),
+            (col("doc_id") * 1000000L + col("x.g")).as("occ"))
+        val keep = segs.groupBy(col("seg")).agg(min(col("occ")).as("keeper"))
+        segs.join(keep, Seq("seg"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_segs"),
+            count(when(col("occ") === col("keeper"), 1)).as("n_kept"),
+            coalesce(array_join(expr(
+              "transform(filter(sort_array(collect_list(" +
+                "struct(g, occ, keeper, seg))), x -> x.occ = x.keeper), " +
+                "x -> x.seg)"), " "), lit("")).as("dedup_text"))
+          .select(col("doc_id"), col("n_segs"), col("n_kept"), col("dedup_text"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |segs AS (SELECT doc_id, g, array_to_string(w[g*10+1 : g*10+10], ' ') AS seg,
+             |    doc_id * 1000000 + g AS occ
+             |  FROM w, unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS t(g)),
+             |keep AS (SELECT seg, min(occ) AS keeper FROM segs GROUP BY seg)
+             |SELECT s.doc_id, count(*) AS n_segs,
+             |  count(*) FILTER (WHERE s.occ = k.keeper) AS n_kept,
+             |  coalesce(string_agg(s.seg, ' ' ORDER BY s.g)
+             |    FILTER (WHERE s.occ = k.keeper), '') AS dedup_text
+             |FROM segs s JOIN keep k USING (seg)
+             |GROUP BY s.doc_id""".stripMargin))
   )
 }

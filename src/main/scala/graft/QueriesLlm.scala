@@ -1022,6 +1022,68 @@ object QueriesLlm {
              |SELECT doc_id, count(*) AS n_tokens,
              |  round(avg(-ln(tc / CAST(n.n AS DOUBLE))), 6) AS surprisal
              |FROM tok JOIN freq USING (term) CROSS JOIN n
-             |GROUP BY doc_id""".stripMargin))
+             |GROUP BY doc_id""".stripMargin)),
+
+    // ---- t10: Gopher-style rule-based quality gate [Rae et al. 2021,
+    //      "Scaling Language Models" §A1.1] — the cheap pre-model filter
+    //      every pretraining pipeline runs first: word-count bounds,
+    //      mean-word-length bounds, minimum stopword coverage, and a
+    //      top-word-dominance cap (the repetition rule). Thresholds are
+    //      adapted to this corpus's ranges (10-99 words, ~30-word
+    //      vocabulary) so both outcomes occur; the STRUCTURE — per-doc
+    //      cheap stats, each rule an independent boolean, keep = AND —
+    //      is Gopher's. Scale shape: everything except top-word
+    //      dominance is a narrow per-row map (no explode survives into
+    //      the aggregate); dominance is one explode + two map-side-
+    //      combinable aggregates. Flags compare ROUNDED values so the
+    //      verdicts can't hang on float reassociation noise. ----
+    "t10_gopher_rules" -> QDef(
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            round((length(col("text")) - (size(col("w")) - 1)) /
+              size(col("w")).cast("double"), 4).as("mean_wl"),
+            Seq("a", "the", "data", "value", "row", "table")
+              .map(t => array_contains(col("w"), t).cast("int"))
+              .reduce(_ + _).as("n_stop"))
+        val tc = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_c"))
+          .select(col("doc_id"), col("n_words"),
+            round(col("top_c") / col("n_words").cast("double"), 6).as("top_frac"))
+        base.join(tc, Seq("doc_id"))
+          .select(col("doc_id"), col("n_words"), col("mean_wl"),
+            col("n_stop"), col("top_frac"),
+            (col("n_words") >= 40 && col("n_words") <= 100000).as("flag_wc"),
+            (col("mean_wl") >= 4.0 && col("mean_wl") <= 10.0).as("flag_mwl"),
+            (col("n_stop") >= 4).as("flag_stop"),
+            (col("top_frac") <= 0.12).as("flag_rep"))
+          .withColumn("keep",
+            col("flag_wc") && col("flag_mwl") && col("flag_stop") && col("flag_rep"))
+      },
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+             |base AS (SELECT doc_id,
+             |    round((len(text) - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 4) AS mean_wl,
+             |    CAST(list_contains(w, 'a') AS INT) + CAST(list_contains(w, 'the') AS INT) +
+             |    CAST(list_contains(w, 'data') AS INT) + CAST(list_contains(w, 'value') AS INT) +
+             |    CAST(list_contains(w, 'row') AS INT) + CAST(list_contains(w, 'table') AS INT)
+             |      AS n_stop
+             |  FROM w),
+             |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+             |tc0 AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+             |tc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             |    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac
+             |  FROM tc0 GROUP BY doc_id)
+             |SELECT doc_id, n_words, mean_wl, n_stop, top_frac,
+             |  n_words >= 40 AND n_words <= 100000 AS flag_wc,
+             |  mean_wl >= 4.0 AND mean_wl <= 10.0 AS flag_mwl,
+             |  n_stop >= 4 AS flag_stop,
+             |  top_frac <= 0.12 AS flag_rep,
+             |  (n_words >= 40 AND n_words <= 100000) AND (mean_wl >= 4.0 AND mean_wl <= 10.0)
+             |    AND n_stop >= 4 AND top_frac <= 0.12 AS keep
+             |FROM base JOIN tc USING (doc_id)""".stripMargin))
   )
 }

@@ -135,4 +135,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     val cols = Corpus.bloomMaybeContains(probe, col("key"), bits, mBits, k).columns
     assert(cols.toSeq === Seq("key"))
   }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("x14 passage dedup keeps every distinct segment exactly once") {
+    val out = Queries.all("x14_passage_dedup").fn(spark, sfDir).cache()
+    // corpus-wide: Σ n_kept == |distinct 10-word segments| (each keeper
+    // is one distinct segment; nothing vanishes, nothing survives twice)
+    val distinctSegs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
+          "g -> array_join(slice(w, g * 10 + 1, 10), ' '))")).as("seg"))
+      .distinct().count()
+    val agg = out.agg(sum("n_kept"), sum("n_segs"), count(lit(1))).first()
+    assert(agg.getLong(0) === distinctSegs)
+    assert(agg.getLong(0) <= agg.getLong(1), "kept cannot exceed total")
+    // every doc present, even fully-deduped ones
+    assert(agg.getLong(2) === Tables.documents(spark, sfDir).count())
+    // the earliest doc can lose segments only to ITSELF: its n_kept is
+    // exactly its own distinct-segment count
+    val d0 = out.orderBy("doc_id").first()
+    val d0segs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === d0.getLong(0))
+      .select(explode(expr(
+        "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 10.0) as int) - 1), " +
+          "g -> array_join(slice(split(text, ' '), g * 10 + 1, 10), ' '))")).as("seg"))
+      .distinct().count()
+    assert(d0.getAs[Long]("n_kept") === d0segs)
+  }
+
+  test("x13 DSIR selects only raw-side docs with dense descending ranks") {
+    val out = Queries.all("x13_dsir_resample").fn(spark, sfDir).cache()
+    val rows = out.orderBy("rank").collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))
+    // weights non-increasing in rank order (rounded ties broken by id)
+    val ws = rows.map(_.getAs[Double]("dsir_w"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    // no target-side (src0/src1) doc can be selected
+    val tgtSelected = out.join(
+      Tables.documents(spark, sfDir).filter(col("source").isin("src0", "src1")),
+      Seq("doc_id")).count()
+    assert(tgtSelected === 0L)
+  }
+
+  test("t10 gopher flags are consistent with their stats and both verdicts occur") {
+    val out = Queries.all("t10_gopher_rules").fn(spark, sfDir).cache()
+    val bad = out.filter(
+      (col("flag_wc") =!= (col("n_words") >= 40 && col("n_words") <= 100000)) ||
+      (col("flag_stop") =!= (col("n_stop") >= 4)) ||
+      (col("flag_rep") =!= (col("top_frac") <= 0.12)) ||
+      (col("keep") =!= (col("flag_wc") && col("flag_mwl") &&
+        col("flag_stop") && col("flag_rep")))).count()
+    assert(bad === 0L)
+    val verdicts = out.select("keep").distinct().count()
+    assert(verdicts === 2L, "thresholds must split the corpus")
+  }
 }
