@@ -741,6 +741,31 @@ object QueriesCorpus {
              |  coalesce(string_agg(s.seg, ' ' ORDER BY s.g)
              |    FILTER (WHERE s.occ = k.keeper), '') AS dedup_text
              |FROM segs s JOIN keep k USING (seg)
-             |GROUP BY s.doc_id""".stripMargin))
+             |GROUP BY s.doc_id""".stripMargin)),
+
+    // ---- x15: length-curriculum ordering — global difficulty rank +
+    //      stage assignment (curriculum learning's standard first axis:
+    //      train short-to-long). The global position is NOT a
+    //      row_number() window (single task at corpus scale): it rides
+    //      SurrogateKeys.byOrder — a range-partitioned distributed sort
+    //      + zipWithIndex with per-partition offsets from one tiny count
+    //      job — the same W3 scale path the dims use. Stage = position
+    //      quintile by integer arithmetic on (position, n), so stage
+    //      boundaries are exact, not sampled percentiles. ----
+    "x15_length_curriculum" -> QDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"))
+        val n = docs.count() // one scalar: corpus size
+        graft.ops.SurrogateKeys.byOrder(docs, "position",
+            Seq(col("n_chars").asc, col("doc_id").asc))
+          .withColumn("stage", ((col("position") - 1) * 5 / n).cast("int"))
+          .select(col("doc_id"), col("n_chars"), col("position"), col("stage"))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, n_chars,
+             |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS position,
+             |  CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 5 // n.n AS INT) AS stage
+             |FROM documents CROSS JOIN n""".stripMargin))
   )
 }

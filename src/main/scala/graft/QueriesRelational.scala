@@ -465,6 +465,69 @@ object QueriesRelational {
              |UNION ALL
              |SELECT o_orderpriority AS key, count(*) AS n, 'priority' AS branch FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ---- set2: INTERSECT / EXCEPT (the reference stops at UNION ALL —
+    //      §2.8; these complete the set-op surface). Both are DISTINCT
+    //      set semantics in Spark and DuckDB: one hash-dedup aggregate
+    //      per side + a hash semi/anti join on the full row — no sort.
+    //      part keys never ordered (EXCEPT) vs ordered (INTERSECT). ----
+    "set2_intersect_except" -> QDef(
+      (s, dir) => {
+        val p = Tables.part(s, dir).select(col("p_partkey").as("pk"))
+        val l = Tables.lineitem(s, dir).select(col("l_partkey").as("pk"))
+        p.intersect(l).withColumn("op", lit("ordered"))
+          .unionByName(p.except(l).withColumn("op", lit("never_ordered")))
+      },
+      Some("""SELECT pk, 'ordered' AS op FROM
+             |  (SELECT p_partkey AS pk FROM part INTERSECT SELECT l_partkey FROM lineitem)
+             |UNION ALL
+             |SELECT pk, 'never_ordered' AS op FROM
+             |  (SELECT p_partkey AS pk FROM part EXCEPT SELECT l_partkey FROM lineitem)""".stripMargin)),
+
+    // ---- w8: moving aggregate with an explicit frame spec (the
+    //      reference's window surface stops at ROW_NUMBER/LAG — §2.6;
+    //      this adds ROWS BETWEEN). 4-day trailing average over the
+    //      per-(priority, day) totals: the frame is deterministic
+    //      because (priority, date) is unique after the pre-aggregate —
+    //      a frame over raw rows with tied timestamps would not be.
+    //      Partitioned by priority, so the window never funnels the
+    //      table through one task. ----
+    "w8_moving_avg" -> QDef(
+      (s, dir) => {
+        // integer-cent arithmetic end-to-end: a double round() of the
+        // windowed average lands on exact .005 halves (cent sums over
+        // frames of 2/4 rows) that Spark (HALF_UP on the binary value)
+        // and DuckDB (scale-multiply then half-away) resolve
+        // differently — observed 6e-8 rel drift. Cent sums are exact
+        // BIGINTs and the half-up division (2*wc + n) div (2*n) is
+        // bit-identical everywhere; /100.0 at the end is exact at cent
+        // precision
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"), col("o_orderdate"))
+          .agg(round(sum(col("o_totalprice")) * 100).cast("long").as("cents"))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderdate")).rowsBetween(-3, Window.currentRow)
+        daily.select(col("o_orderpriority"), col("o_orderdate"),
+            (col("cents") / 100.0).as("day_total"),
+            sum(col("cents")).over(w).as("wc"),
+            count(lit(1)).over(w).as("n_window"))
+          .withColumn("ma4",
+            expr("(2 * wc + n_window) div (2 * n_window)") / 100.0)
+          .select(col("o_orderpriority"), col("o_orderdate"), col("day_total"),
+            col("ma4"), col("n_window"))
+      },
+      Some("""WITH daily AS (SELECT o_orderpriority, o_orderdate,
+             |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1, 2),
+             |win AS (SELECT o_orderpriority, o_orderdate, cents / 100.0 AS day_total,
+             |  CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS wc,
+             |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+             |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_window
+             |  FROM daily)
+             |SELECT o_orderpriority, o_orderdate, day_total,
+             |  ((2 * wc + n_window) // (2 * n_window)) / 100.0 AS ma4, n_window
+             |FROM win""".stripMargin)),
+
     // ---- S4: date spine (sequence/explode replaces driver-side VALUES) ----
     "s4_date_spine" -> QDef(
       (s, dir) => DateSpine.dimDate(s, "2023-01-01", "2028-12-31"),
