@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Measured scaling evidence for the r7 pipeline additions: replicate
+  * the sf0.1 documents table 1x/4x/16x (per-copy tag word, as
+  * ScaleProbe) and time
+  *  - x14-style passage dedup (segment explode -> min-keeper aggregate
+  *    -> ordered reassembly; expect ~linear in corpus — one map-side-
+  *    combinable shuffle of segments, no pairwise anything), and
+  *  - x13-style DSIR weighting (bigram bucket pass + 256-row broadcast
+  *    score join + per-doc aggregate + top-k; expect ~linear scan-bound
+  *    with the fixed-size distribution tables constant).
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *        sbt "runMain graft.tools.ScaleProbePipeline"
+  */
+object ScaleProbePipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm
+
+    val base = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val nBase = base.count()
+
+    def corpus(k: Int): DataFrame =
+      (0 until k).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copytag$i")).as("text"), col("source"))
+      }.reduce(_ unionByName _)
+
+    def t(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    for (k <- Seq(1, 4, 16)) {
+      val c = corpus(k).localCheckpoint() // pin: timings exclude synthesis
+
+      // x14 passage dedup core (10-word segments, min-keeper, reassembly)
+      val (dedupSec, nDocs) = t {
+        val segs = c
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
+              "g -> struct(g as g, array_join(slice(w, g * 10 + 1, 10), ' ') as seg))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.g").as("g"), col("x.seg").as("seg"),
+            (col("doc_id") * 1000000L + col("x.g")).as("occ"))
+        val keep = segs.groupBy(col("seg")).agg(min(col("occ")).as("keeper"))
+        segs.join(keep, Seq("seg"))
+          .groupBy(col("doc_id"))
+          .agg(count(when(col("occ") === col("keeper"), 1)).as("n_kept"))
+          .count()
+      }
+
+      // x13 DSIR core (bigram buckets, smoothed dists, score, top-100)
+      val (dsirSec, nTop) = t {
+        val toks = c
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("source"),
+            explode(expr("transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+              .as("gram"))
+          .withColumn("md5_g", md5(col("gram")))
+          .select(col("doc_id"), col("source"),
+            ((expr("locate(substring(md5_g, 1, 1), '0123456789abcdef') - 1") * 16 +
+              expr("locate(substring(md5_g, 2, 1), '0123456789abcdef') - 1"))
+              .cast("int")).as("b"))
+        val isTgt = col("source").isin("src0", "src1")
+        val spine = spark.range(256).select(col("id").cast("int").as("b"))
+        def dist(side: DataFrame) = {
+          val total = side.count()
+          spine.join(side.groupBy(col("b")).agg(count(lit(1)).as("c")),
+              Seq("b"), "left_outer")
+            .select(col("b"), ((coalesce(col("c"), lit(0L)) + lit(0.5)) /
+              lit(total + 128.0)).as("p"))
+        }
+        val score = dist(toks.filter(isTgt)).withColumnRenamed("p", "pt")
+          .join(dist(toks.filter(!isTgt)).withColumnRenamed("p", "pr"), Seq("b"))
+          .select(col("b"), log(col("pt") / col("pr")).as("sc"))
+        toks.filter(!isTgt)
+          .join(broadcast(score), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(round(avg(col("sc")), 6).as("dsir_w"))
+          .orderBy(col("dsir_w").desc, col("doc_id").asc).limit(100)
+          .count()
+      }
+
+      println(f"""{"k":$k,"docs":${nBase * k},"passage_dedup_sec":$dedupSec%.2f,""" +
+        f""""dedup_docs":$nDocs,"dsir_sec":$dsirSec%.2f,"dsir_top":$nTop}""")
+    }
+    spark.stop()
+  }
+}
