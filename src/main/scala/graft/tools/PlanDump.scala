@@ -52,7 +52,13 @@ object PlanDump {
       "cdc3_rowid_compact_apply" ->
         "compacted CDC apply: ONE hash aggregate (max_by per _row_id) collapses the whole backlog — no per-version loop, no join; catch-up cost is O(distinct changed row ids)",
       "cdc2_rowid_replicate" ->
-        "the rid-carrying change feed cdc2 replicates from: recorded `_cdf` commits are plain file scans of their change files; synthesized appends scan ONLY that version's added dirs (`Arguments: [dirs ...]` names one dir each, not the table), and rid resolution is a BroadcastHashJoin against O(files) manifest bases — no version window rescans the table. (Apply side, r7: insert-only commits bypass the full-outer merge entirely — a fresh-rid append can't collide, so replication cost per such version is O(its changes), not O(replica); measured 24.2→10.0 s at sf0.1 together with the DV staging persist.)")
+        "the rid-carrying change feed cdc2 replicates from: recorded `_cdf` commits are plain file scans of their change files; synthesized appends scan ONLY that version's added dirs (`Arguments: [dirs ...]` names one dir each, not the table), and rid resolution is a BroadcastHashJoin against O(files) manifest bases — no version window rescans the table. (Apply side, r7: insert-only commits bypass the full-outer merge entirely — a fresh-rid append can't collide, so replication cost per such version is O(its changes), not O(replica); measured 24.2→10.0 s at sf0.1 together with the DV staging persist.)",
+      "x14_passage_dedup" ->
+        "passage dedup: ONE shuffle of segments into the min-keeper HashAggregate (partial_min on the packed BIGINT — map-side combine), an equi-join back on seg (AQE broadcasts the keeper table at this SF; a shuffle join at corpus scale), and one per-doc reassembly aggregate — no cartesian, no window, no global sort",
+      "x13_dsir_resample" ->
+        "DSIR: the score join is a BroadcastHashJoin (256-row score table); selection is TakeOrderedAndProject(limit=100) — the rank Window sits ABOVE the limit, so it only ever sees 100 rows",
+      "d4_simhash" ->
+        "256-bit SimHash: vote aggregation is ONE HashAggregate of 64 packed lanes (64 sum columns stay under codegen.maxFields — a naive 256-column aggregate drops out of whole-stage codegen); candidates come from the 16-band equi-join on (band,bkey) — AQE broadcasts one side at this SF, a shuffle join at corpus scale — never an all-pairs compare")
 
     // for queries whose returned frame is a post-mutation table read,
     // the informative plan is an intermediate: build it here instead
