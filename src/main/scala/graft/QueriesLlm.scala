@@ -30,6 +30,31 @@ object QueriesLlm {
   final case class Doc(doc_id: Long, text: String, lang: String,
                        source: String, n_chars: Long)
 
+  /** Typed records for the custom Aggregator surface (tq2). */
+  final case class LiQty(l_returnflag: String, l_quantity: Double)
+  final case class QtyStats(n_items: Long, sum_qty: Double, max_qty: Double)
+
+  /** Typed `Aggregator[LiQty, QtyStats, QtyStats]` (tq2): the Dataset
+    * custom-aggregation API — merge-able buffer, so Spark runs it as a
+    * partial aggregate with map-side combine, exactly like a built-in.
+    * l_quantity is integer-valued, so the double sum is exact and
+    * engine-independent (no rounding needed). */
+  object QtyStatsAgg
+      extends org.apache.spark.sql.expressions.Aggregator[LiQty, QtyStats, QtyStats] {
+    def zero: QtyStats = QtyStats(0L, 0.0, Double.NegativeInfinity)
+    def reduce(b: QtyStats, a: LiQty): QtyStats =
+      QtyStats(b.n_items + 1, b.sum_qty + a.l_quantity,
+        math.max(b.max_qty, a.l_quantity))
+    def merge(x: QtyStats, y: QtyStats): QtyStats =
+      QtyStats(x.n_items + y.n_items, x.sum_qty + y.sum_qty,
+        math.max(x.max_qty, y.max_qty))
+    def finish(r: QtyStats): QtyStats = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[QtyStats] =
+      org.apache.spark.sql.Encoders.product[QtyStats]
+    def outputEncoder: org.apache.spark.sql.Encoder[QtyStats] =
+      org.apache.spark.sql.Encoders.product[QtyStats]
+  }
+
   /** Word-3-gram shingle stream (with repeats). element_at is 1-based;
     * single-space tokenization matches DuckDB's string_split. */
   private def rawShingles(s: SparkSession, dir: String): DataFrame =
@@ -150,6 +175,80 @@ object QueriesLlm {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Typed candidate record for e7's per-query MMR re-rank. */
+  final case class MmrCand(query_id: Long, cand_id: Long, cosine: Double,
+                           v: Array[Float], nrm: Double)
+
+  /** e7's candidate pool: exact top-`depth` by cosine per query, vectors
+    * carried along for the local re-rank. */
+  private def mmrCandidates(s: SparkSession, dir: String, depth: Int): DataFrame = {
+    val n = normed(s, dir)
+    val q = n.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    n.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= depth)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cosine"),
+        col("v"), col("nrm"))
+  }
+
+  /** e7: Maximal Marginal Relevance diversified top-k [Carbonell &
+    * Goldstein 1998] — the diversity-aware selection step training-data
+    * mixes run after retrieval (don't fill the context/batch with
+    * near-identical hits). Greedy argmax of
+    * `λ·rel − (1−λ)·max_sim_to_selected` over an exact top-50 shortlist,
+    * k=10, λ=0.5. The greedy loop is inherently sequential PER QUERY but
+    * embarrassingly parallel ACROSS queries, so it runs inside ONE
+    * `flatMapGroups` task per query (50 candidates × 64 dims — local
+    * arithmetic), never as driver-side iteration or k chained Spark
+    * jobs; at 100 TB the shortlist depth is fixed and the group stays
+    * executor-local. Deterministic: ties break on cand_id. */
+  private[graft] def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val lam = 0.5
+    mmrCandidates(s, dir, depth = 50).as[MmrCand]
+      .groupByKey(_.query_id)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val cands = it.toArray.sortBy(c => (-c.cosine, c.cand_id))
+        def sim(a: MmrCand, b: MmrCand): Double = {
+          var d = 0.0; var i = 0
+          while (i < a.v.length) { d += a.v(i).toDouble * b.v(i).toDouble; i += 1 }
+          d / (a.nrm * b.nrm)
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+        val taken = new Array[Boolean](cands.length)
+        while (selected.length < math.min(k, cands.length)) {
+          var bestI = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cands.length) {
+            if (!taken(i)) {
+              var maxSim = 0.0
+              selected.foreach { sc =>
+                val sv = sim(cands(i), sc); if (sv > maxSim) maxSim = sv
+              }
+              val score = lam * cands(i).cosine - (1 - lam) * maxSim
+              if (score > bestScore ||
+                  (score == bestScore && bestI >= 0 &&
+                    cands(i).cand_id < cands(bestI).cand_id)) {
+                bestScore = score; bestI = i
+              }
+            }
+            i += 1
+          }
+          taken(bestI) = true
+          selected += cands(bestI)
+        }
+        selected.zipWithIndex.map { case (c, r) =>
+          (qid, c.cand_id, r + 1, c.cosine)
+        }.iterator
+      }
+      .toDF("query_id", "cand_id", "mmr_rank", "relevance")
   }
 
   /** d5's transitive near-dup clustering as a reusable op: (doc_id,
@@ -767,6 +866,55 @@ object QueriesLlm {
              |  asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
              |FROM asg""".stripMargin)),
 
+    // ---- e7: MMR diversified top-k — greedy λ·rel − (1−λ)·max-sim
+    //      re-rank of the exact top-50 shortlist, k=10, λ=0.5, inside
+    //      one flatMapGroups task per query. Deterministic but not
+    //      SQL-expressible (greedy recursion + vec_dot) -> rows-only;
+    //      the e7_mmr_gate companion makes its properties driver-
+    //      visible, same pattern as the ANN recall gates. ----
+    "e7_mmr_topk" -> QDef((s, dir) => mmrTopK(s, dir), None),
+
+    // ---- e7 companion: driver-visible MMR properties. Per query:
+    //      first pick == exact argmax relevance, exactly k=10 selected,
+    //      and the selected set is MORE DIVERSE than the plain top-10
+    //      (mean pairwise cosine no higher) — the property MMR exists
+    //      to deliver. One row; the oracle recomputes n_queries and
+    //      asserts the three booleans TRUE. ----
+    "e7_mmr_gate" -> QDef(
+      (s, dir) => {
+        val mmr = mmrTopK(s, dir)
+        val n = normed(s, dir)
+        def meanPairSim(sel: DataFrame): DataFrame = {
+          val withV = sel.join(
+            n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
+          val a = withV.select(col("query_id"), col("cand_id").as("ca"),
+            col("v").as("va"), col("nrm").as("na"))
+          val b = withV.select(col("query_id"), col("cand_id").as("cb"),
+            col("v").as("vb"), col("nrm").as("nb"))
+          a.join(b, Seq("query_id")).filter(col("ca") < col("cb"))
+            .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+            .groupBy("query_id").agg(avg(col("sim")).as("mean_sim"))
+        }
+        val mmrSim = meanPairSim(mmr.select(col("query_id"), col("cand_id")))
+        val topSim = meanPairSim(
+            mmrCandidates(s, dir, depth = 10).select(col("query_id"), col("cand_id")))
+          .withColumnRenamed("mean_sim", "top_sim")
+        val firstOk = mmr.filter(col("mmr_rank") === 1)
+          .join(mmrCandidates(s, dir, depth = 1)
+            .select(col("query_id"), col("cand_id").as("top1")), Seq("query_id"))
+          .select(col("query_id"), (col("cand_id") === col("top1")).as("ok"))
+        val sizes = mmr.groupBy("query_id").agg(count(lit(1)).as("n_sel"))
+        mmrSim.join(topSim, Seq("query_id"))
+          .join(firstOk, Seq("query_id")).join(sizes, Seq("query_id"))
+          .agg(count(lit(1)).as("n_queries"),
+            min(col("ok")).as("first_pick_ok"),
+            min(col("n_sel") === 10).as("sizes_ok"),
+            min(col("mean_sim") <= col("top_sim") + 1e-9).as("diversity_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |  TRUE AS first_pick_ok, TRUE AS sizes_ok, TRUE AS diversity_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // ---- tq1: typed Dataset[T] surface (case-class Encoder) ----
     // (SURVEY §1.4: typed sugar where safety helps — filter/map over a
     //  case class; note typed lambdas deserialize per row, so this stays
@@ -783,6 +931,26 @@ object QueriesLlm {
       Some("""SELECT doc_id, source,
              |  CAST(len(string_split(text, ' ')) AS INT) AS n_words
              |FROM documents WHERE n_chars > 200 AND lang = 'en'""".stripMargin)),
+
+    // ---- tq2: typed custom Aggregator (the other half of the typed
+    //      surface next to tq1's filter/map: groupByKey + a user-defined
+    //      Aggregator with a merge-able buffer, which Spark executes as
+    //      a partial aggregate with map-side combine — the typed twin of
+    //      a built-in agg, NOT a per-group collect). ----
+    "tq2_typed_aggregator" -> QDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity"))
+          .as[LiQty]
+          .groupByKey(_.l_returnflag)
+          .agg(QtyStatsAgg.toColumn)
+          .map { case (k, st) => (k, st.n_items, st.sum_qty, st.max_qty) }
+          .toDF("l_returnflag", "n_items", "sum_qty", "max_qty")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |  sum(l_quantity) AS sum_qty, max(l_quantity) AS max_qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- t1: language ID — marker-token scores + argmax ----
     "t1_lang_id" -> QDef(
