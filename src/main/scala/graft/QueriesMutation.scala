@@ -553,6 +553,39 @@ object QueriesMutation {
              |       o_totalprice * 2 AS price
              |FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice * 2 > 1000""".stripMargin)),
 
+    // ---- SCHEMA EVOLUTION (m14): INSERT INTO ... mergeSchema. The
+    //      incoming batch carries a column the table has never seen;
+    //      appendEvolve widens the table schema FIRST (metadata-only
+    //      ALTER — no data file rewrites) and then appends, and the
+    //      old row generation reads back with NULL in the new column.
+    //      At 100 TB this is the only acceptable evolution shape:
+    //      schema changes must never rewrite history. ----
+    "m14_schema_evolution" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m14_evolve")
+        st.create("ev", Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+        st.appendEvolve("ev", Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority").as("priority")))
+        // narrower-than-table batches also align (missing col -> NULL)
+        st.appendEvolve("ev", Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 3 === 2)
+          .select(col("o_orderkey")))
+        st.read("ev")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+             |FROM orders WHERE o_orderkey % 3 = 1
+             |UNION ALL
+             |SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+             |       CAST(NULL AS VARCHAR) AS priority
+             |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin)),
+
     // ---- ROW TRACKING (m11): stable row ids joining PRE- and
     //      POST-mutation snapshots. The pre snapshot's plan is pinned
     //      before the merge-on-read update (old files survive as DV'd
