@@ -431,6 +431,63 @@ object QueriesStreaming {
              |exact AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b USING (shingle))
              |SELECT CAST(count(*) AS BIGINT) AS n_exact,
              |  CAST(0 AS BIGINT) AS n_missed, TRUE AS extra_ok
-             |FROM exact""".stripMargin))
+             |FROM exact""".stripMargin)),
+
+    // ---- st13: streaming quality gate — t10's Gopher rules applied at
+    //      INGEST, per micro-batch. Everything is a per-row pure
+    //      function, so the stream needs NO state store and append mode
+    //      emits final verdicts immediately; top-word dominance, which
+    //      the batch t10 computes via explode + two aggregates (the
+    //      right shape for long documents), is re-expressed here as a
+    //      per-row array fold (array_max over per-distinct-word counts —
+    //      O(|vocab|·|doc|) local work, the right shape for a stateless
+    //      stream of bounded-length docs). Stream == batch for pure
+    //      maps, so the oracle is the same per-row SQL over the full
+    //      table. ----
+    "st13_stream_quality_gate" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = Tables.documents(s, dir)
+        val stream = s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val gated = stream
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_words"),
+            round((length(col("text")) - (size(col("w")) - 1)) /
+              size(col("w")).cast("double"), 4).as("mean_wl"),
+            Seq("a", "the", "data", "value", "row", "table")
+              .map(t => array_contains(col("w"), t).cast("int"))
+              .reduce(_ + _).as("n_stop"),
+            round(expr(
+              "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+              .cast("double") / size(col("w")), 6).as("top_frac"))
+          .withColumn("keep",
+            col("n_words").between(40, 100000) && col("mean_wl").between(4.0, 10.0) &&
+              col("n_stop") >= 4 && col("top_frac") <= 0.12)
+        val q = gated.writeStream.format("memory").queryName("st13_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st13_mem")
+      },
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+             |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             |  round((len(text) - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 4) AS mean_wl,
+             |  CAST(list_contains(w, 'a') AS INT) + CAST(list_contains(w, 'the') AS INT) +
+             |  CAST(list_contains(w, 'data') AS INT) + CAST(list_contains(w, 'value') AS INT) +
+             |  CAST(list_contains(w, 'row') AS INT) + CAST(list_contains(w, 'table') AS INT)
+             |    AS n_stop,
+             |  round(CAST(list_max(list_transform(list_distinct(w),
+             |    x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w), 6) AS top_frac,
+             |  len(w) BETWEEN 40 AND 100000
+             |    AND round((len(text) - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 4)
+             |          BETWEEN 4.0 AND 10.0
+             |    AND (CAST(list_contains(w, 'a') AS INT) + CAST(list_contains(w, 'the') AS INT) +
+             |         CAST(list_contains(w, 'data') AS INT) + CAST(list_contains(w, 'value') AS INT) +
+             |         CAST(list_contains(w, 'row') AS INT) + CAST(list_contains(w, 'table') AS INT)) >= 4
+             |    AND round(CAST(list_max(list_transform(list_distinct(w),
+             |          x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w), 6) <= 0.12
+             |    AS keep
+             |FROM w""".stripMargin))
   )
 }
