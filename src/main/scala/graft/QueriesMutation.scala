@@ -586,6 +586,69 @@ object QueriesMutation {
              |       CAST(NULL AS VARCHAR) AS priority
              |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin)),
 
+    // ---- RESTORE (m15): time-travel WRITE. Restore commits a NEW
+    //      version whose content equals the target version — history is
+    //      append-only, never erased (vacuum-safe, auditable). Sequence:
+    //      create(v0) → append(v1) → delete(v2) → RESTORE to v1 (v3,
+    //      un-deleting) → append more (v4). The final state must carry
+    //      every pre-delete row plus the post-restore batch — possible
+    //      only if restore actually rewound the delete. ----
+    "m15_restore" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m15_restore")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        st.create("r", o.filter(col("o_orderkey") % 2 === 0))          // v0
+        st.append("r", o.filter(col("o_orderkey") % 2 === 1))          // v1
+        st.delete("r", col("o_totalprice") < 100000)                   // v2
+        st.restore("r", 1)                                             // v3
+        st.append("r", o.filter(col("o_orderkey") % 7 === 0)           // v4
+          .select((col("o_orderkey") + 9000000L).as("o_orderkey"),
+            col("o_totalprice")))
+        st.read("r")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 9000000 AS o_orderkey, o_totalprice
+             |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)),
+
+    // ---- IDENTITY + GENERATED columns (m16): the system owns both.
+    //      Appends OMIT the identity column (ALWAYS semantics — dense
+    //      ids continue from the manifest's persisted watermark, minted
+    //      via zipWithIndex, no global window) and the generated column
+    //      (computed from its expression at write). Inputs are sorted
+    //      before the append, so zipWithIndex's partition walk IS the
+    //      sort order and the oracle can replay ids as row_number —
+    //      determinism here is a property of the sorted input, not of
+    //      the assignment (which only guarantees dense-unique). ----
+    "m16_identity_generated" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m16_idgen")
+        st.createEmpty("idt", org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, o_orderkey BIGINT, price DOUBLE, price_band STRING"))
+        st.setIdentityColumn("idt", "id", start = 100L)
+        st.setGeneratedColumn("idt", "price_band",
+          "CASE WHEN price > 100000 THEN 'high' ELSE 'low' END")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        st.append("idt", o.filter(col("o_orderkey") % 3 === 0).orderBy("o_orderkey"))
+        st.append("idt", o.filter(col("o_orderkey") % 3 === 1).orderBy("o_orderkey"))
+        st.read("idt")
+      },
+      Some("""WITH b1 AS (SELECT o_orderkey, o_totalprice AS price,
+             |    row_number() OVER (ORDER BY o_orderkey) AS rn
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |b2 AS (SELECT o_orderkey, o_totalprice AS price,
+             |    row_number() OVER (ORDER BY o_orderkey) AS rn
+             |  FROM orders WHERE o_orderkey % 3 = 1)
+             |SELECT rn + 99 AS id, o_orderkey, price,
+             |  CASE WHEN price > 100000 THEN 'high' ELSE 'low' END AS price_band
+             |FROM b1
+             |UNION ALL
+             |SELECT rn + 99 + (SELECT count(*) FROM b1) AS id, o_orderkey, price,
+             |  CASE WHEN price > 100000 THEN 'high' ELSE 'low' END AS price_band
+             |FROM b2""".stripMargin)),
+
     // ---- ROW TRACKING (m11): stable row ids joining PRE- and
     //      POST-mutation snapshots. The pre snapshot's plan is pinned
     //      before the merge-on-read update (old files survive as DV'd
