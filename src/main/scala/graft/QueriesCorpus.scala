@@ -649,16 +649,24 @@ object QueriesCorpus {
           .select(col("doc_id"), col("source"), bucketCol.as("b"))
         val isTgt = col("source").isin("src0", "src1")
         val spine = s.range(DsirBuckets).select(col("id").cast("int").as("b"))
-        def dist(side: DataFrame) = {
-          val total = side.count() // one scalar: side's token count
-          spine.join(side.groupBy(col("b")).agg(count(lit(1)).as("c")),
+        // ONE pass over the token stream: counts per (side, bucket) in a
+        // single map-side-combinable aggregate; totals, smoothing, and
+        // the log-ratio all derive from that 512-row table (+ the
+        // generated spine for never-seen buckets). No per-side re-scan,
+        // no driver-side count() scalars — at 100 TB the corpus is read
+        // once for the distributions and once for the scoring join.
+        val cnts = toks.withColumn("tgt", isTgt)
+          .groupBy(col("tgt"), col("b")).agg(count(lit(1)).as("c"))
+        val totals = cnts.groupBy(col("tgt")).agg(sum(col("c")).as("total"))
+        def dist(tgt: Boolean) =
+          spine.crossJoin(totals.filter(col("tgt") === tgt).select(col("total")))
+            .join(cnts.filter(col("tgt") === tgt).select(col("b"), col("c")),
               Seq("b"), "left_outer")
             .select(col("b"),
               ((coalesce(col("c"), lit(0L)) + lit(0.5)) /
-                lit(total + 0.5 * DsirBuckets)).as("p"))
-        }
-        val score = dist(toks.filter(isTgt)).withColumnRenamed("p", "pt")
-          .join(dist(toks.filter(!isTgt)).withColumnRenamed("p", "pr"), Seq("b"))
+                (col("total") + lit(0.5 * DsirBuckets))).as("p"))
+        val score = dist(tgt = true).withColumnRenamed("p", "pt")
+          .join(dist(tgt = false).withColumnRenamed("p", "pr"), Seq("b"))
           .select(col("b"), log(col("pt") / col("pr")).as("sc"))
         // top-100 via orderBy+limit (TakeOrderedAndProject — parallel
         // partial top-k, no global sort); the rank window then runs over

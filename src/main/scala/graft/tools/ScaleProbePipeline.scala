@@ -79,15 +79,17 @@ object ScaleProbePipeline {
               .cast("int")).as("b"))
         val isTgt = col("source").isin("src0", "src1")
         val spine = spark.range(256).select(col("id").cast("int").as("b"))
-        def dist(side: DataFrame) = {
-          val total = side.count()
-          spine.join(side.groupBy(col("b")).agg(count(lit(1)).as("c")),
+        val cnts = toks.withColumn("tgt", isTgt)
+          .groupBy(col("tgt"), col("b")).agg(count(lit(1)).as("c"))
+        val totals = cnts.groupBy(col("tgt")).agg(sum(col("c")).as("total"))
+        def dist(tgt: Boolean) =
+          spine.crossJoin(totals.filter(col("tgt") === tgt).select(col("total")))
+            .join(cnts.filter(col("tgt") === tgt).select(col("b"), col("c")),
               Seq("b"), "left_outer")
             .select(col("b"), ((coalesce(col("c"), lit(0L)) + lit(0.5)) /
-              lit(total + 128.0)).as("p"))
-        }
-        val score = dist(toks.filter(isTgt)).withColumnRenamed("p", "pt")
-          .join(dist(toks.filter(!isTgt)).withColumnRenamed("p", "pr"), Seq("b"))
+              (col("total") + lit(128.0))).as("p"))
+        val score = dist(tgt = true).withColumnRenamed("p", "pt")
+          .join(dist(tgt = false).withColumnRenamed("p", "pr"), Seq("b"))
           .select(col("b"), log(col("pt") / col("pr")).as("sc"))
         toks.filter(!isTgt)
           .join(broadcast(score), Seq("b"))
