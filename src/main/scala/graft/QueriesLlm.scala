@@ -207,46 +207,51 @@ object QueriesLlm {
     * arithmetic), never as driver-side iteration or k chained Spark
     * jobs; at 100 TB the shortlist depth is fixed and the group stays
     * executor-local. Deterministic: ties break on cand_id. */
+  /** The greedy MMR selection over ONE query's candidate array —
+    * executor-local pure function (unit-pinned in LlmOpsSpec); returns
+    * (cand_id, rank, relevance) in selection order. */
+  private[graft] def mmrSelect(cands0: Array[MmrCand], k: Int,
+                               lam: Double): Seq[(Long, Int, Double)] = {
+    val cands = cands0.sortBy(c => (-c.cosine, c.cand_id))
+    def sim(a: MmrCand, b: MmrCand): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.v.length) { d += a.v(i).toDouble * b.v(i).toDouble; i += 1 }
+      d / (a.nrm * b.nrm)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+    val taken = new Array[Boolean](cands.length)
+    while (selected.length < math.min(k, cands.length)) {
+      var bestI = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        if (!taken(i)) {
+          var maxSim = 0.0
+          selected.foreach { sc =>
+            val sv = sim(cands(i), sc); if (sv > maxSim) maxSim = sv
+          }
+          val score = lam * cands(i).cosine - (1 - lam) * maxSim
+          if (score > bestScore ||
+              (score == bestScore && bestI >= 0 &&
+                cands(i).cand_id < cands(bestI).cand_id)) {
+            bestScore = score; bestI = i
+          }
+        }
+        i += 1
+      }
+      taken(bestI) = true
+      selected += cands(bestI)
+    }
+    selected.zipWithIndex.map { case (c, r) => (c.cand_id, r + 1, c.cosine) }.toSeq
+  }
+
   private[graft] def mmrTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 10
-    val lam = 0.5
     mmrCandidates(s, dir, depth = 50).as[MmrCand]
       .groupByKey(_.query_id)
       .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
-        val cands = it.toArray.sortBy(c => (-c.cosine, c.cand_id))
-        def sim(a: MmrCand, b: MmrCand): Double = {
-          var d = 0.0; var i = 0
-          while (i < a.v.length) { d += a.v(i).toDouble * b.v(i).toDouble; i += 1 }
-          d / (a.nrm * b.nrm)
-        }
-        val selected = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
-        val taken = new Array[Boolean](cands.length)
-        while (selected.length < math.min(k, cands.length)) {
-          var bestI = -1
-          var bestScore = Double.NegativeInfinity
-          var i = 0
-          while (i < cands.length) {
-            if (!taken(i)) {
-              var maxSim = 0.0
-              selected.foreach { sc =>
-                val sv = sim(cands(i), sc); if (sv > maxSim) maxSim = sv
-              }
-              val score = lam * cands(i).cosine - (1 - lam) * maxSim
-              if (score > bestScore ||
-                  (score == bestScore && bestI >= 0 &&
-                    cands(i).cand_id < cands(bestI).cand_id)) {
-                bestScore = score; bestI = i
-              }
-            }
-            i += 1
-          }
-          taken(bestI) = true
-          selected += cands(bestI)
-        }
-        selected.zipWithIndex.map { case (c, r) =>
-          (qid, c.cand_id, r + 1, c.cosine)
-        }.iterator
+        mmrSelect(it.toArray, k = 10, lam = 0.5).iterator
+          .map { case (cid, r, rel) => (qid, cid, r, rel) }
       }
       .toDF("query_id", "cand_id", "mmr_rank", "relevance")
   }

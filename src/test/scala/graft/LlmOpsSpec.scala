@@ -137,4 +137,28 @@ class LlmOpsSpec extends AnyFunSuite {
     val b = again.orderBy("cent_id").collect().map(_.getSeq[Float](1))
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("MMR greedy prefers a diverse pick over a redundant higher-relevance one") {
+    import graft.QueriesLlm.{MmrCand, mmrSelect}
+    def unit(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      MmrCand(0L, -1L, 0.0, v, n)
+    }
+    // c1: rel .95; c2: near-clone of c1, rel .94; c3: orthogonal, rel .60
+    val c1 = unit(Array(1f, 0f)).copy(cand_id = 1L, cosine = 0.95)
+    val c2 = unit(Array(0.999f, 0.045f)).copy(cand_id = 2L, cosine = 0.94)
+    val c3 = unit(Array(0f, 1f)).copy(cand_id = 3L, cosine = 0.60)
+    val sel = mmrSelect(Array(c1, c2, c3), k = 2, lam = 0.5)
+    // first pick is always the relevance argmax; second must skip the
+    // clone (0.5*.94 - 0.5*~1.0 < 0.5*.60 - 0.5*~0.05) for the
+    // orthogonal candidate — the property MMR exists to deliver
+    assert(sel.map(_._1) === Seq(1L, 3L))
+    assert(sel.map(_._2) === Seq(1, 2))
+    // plain top-2 would have been (1, 2): MMR strictly diversified
+    // determinism: permuting the input changes nothing
+    val sel2 = mmrSelect(Array(c3, c2, c1), k = 2, lam = 0.5)
+    assert(sel2 === sel)
+    // k > candidates degrades gracefully
+    assert(mmrSelect(Array(c1), k = 5, lam = 0.5).map(_._1) === Seq(1L))
+  }
 }
