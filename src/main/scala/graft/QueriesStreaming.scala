@@ -433,6 +433,41 @@ object QueriesStreaming {
              |  CAST(0 AS BIGINT) AS n_missed, TRUE AS extra_ok
              |FROM exact""".stripMargin)),
 
+    // ---- st14: custom streaming state — mapGroupsWithState running
+    //      per-user event counts. The state store carries one Long per
+    //      user across micro-batches; update mode emits the refreshed
+    //      count whenever a user appears in a batch, and the CONVERGED
+    //      state (max emission per user — counts are monotone) must
+    //      equal the batch groupBy count exactly. Multi-batch state
+    //      carry-over is pinned separately in StreamingSpec with a
+    //      MemoryStream; this makes the capability driver-visible.
+    //      Scale: state is O(|users|) longs, partitioned by key — the
+    //      standard shape for billions of keys. ----
+    "st14_stream_stateful_counts" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val stream = s.readStream.schema(ev.schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val counted = stream.select(col("user_id").as[Long])
+          .groupByKey(identity)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+            (uid: Long, it: Iterator[Long], st: GroupState[Long]) =>
+              val n = st.getOption.getOrElse(0L) + it.size
+              st.update(n)
+              (uid, n)
+          }
+          .toDF("user_id", "n_events")
+        val q = counted.writeStream.format("memory").queryName("st14_mem")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st14_mem").groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // ---- st13: streaming quality gate — t10's Gopher rules applied at
     //      INGEST, per micro-batch. Everything is a per-row pure
     //      function, so the stream needs NO state store and append mode
