@@ -774,6 +774,81 @@ object QueriesCorpus {
              |SELECT doc_id, n_chars,
              |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS position,
              |  CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 5 // n.n AS INT) AS stage
-             |FROM documents CROSS JOIN n""".stripMargin))
+             |FROM documents CROSS JOIN n""".stripMargin)),
+
+    // ---- x16: END-TO-END serialization composite — the last mile of a
+    //      training-data pipeline as ONE oracle-checked query: Gopher
+    //      quality gate (t10's rules, stateless array-fold form) →
+    //      passage-level first-occurrence dedup over the SURVIVORS
+    //      (x14's min-keeper) → token recount of the deduped text (docs
+    //      deduped to nothing drop out) → 256-token sequence packing
+    //      via the distributed prefix sum (x3's ops.Corpus path — no
+    //      global window) → bin-to-shard assignment. Complements x8
+    //      (which composes the SELECTION stages: dedup/quality/
+    //      decontaminate/sample); x16 composes the SERIALIZATION
+    //      stages that turn the surviving corpus into training shards.
+    //      Every stage is a narrow map, an equi-join, or a
+    //      map-side-combinable aggregate. ----
+    "x16_serialize_pipeline" -> QDef(
+      (s, dir) => {
+        val stopCnt = Seq("a", "the", "data", "value", "row", "table")
+          .map(t => array_contains(col("w"), t).cast("int")).reduce(_ + _)
+        val kept = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+          .filter(
+            size(col("w")).cast("long").between(40L, 100000L) &&
+            round((length(col("text")) - (size(col("w")) - 1)) /
+              size(col("w")).cast("double"), 4).between(4.0, 10.0) &&
+            (stopCnt >= 4) &&
+            (round(expr("array_max(transform(array_distinct(w), " +
+              "x -> size(filter(w, y -> y = x))))").cast("double") /
+              size(col("w")), 6) <= 0.12))
+        val segs = kept
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast(ceil(size(w) / 10.0) as int) - 1), " +
+              "g -> struct(g as g, array_join(slice(w, g * 10 + 1, 10), ' ') as seg))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.g").as("g"), col("x.seg").as("seg"),
+            (col("doc_id") * 1000000L + col("x.g")).as("occ"))
+        val keep = segs.groupBy(col("seg")).agg(min(col("occ")).as("keeper"))
+        val ded = segs.join(keep, Seq("seg"))
+          .groupBy(col("doc_id"))
+          .agg(array_join(expr(
+            "transform(filter(sort_array(collect_list(" +
+              "struct(g, occ, keeper, seg))), x -> x.occ = x.keeper), " +
+              "x -> x.seg)"), " ").as("dtext"))
+          .filter(col("dtext") =!= "")
+        val toks = ded.select(col("doc_id"),
+          size(split(col("dtext"), " ")).cast("long").as("n_tok"))
+        graft.ops.Corpus.packSequences(toks, "doc_id", "n_tok", budget = 256L)
+          .withColumn("shard", pmod(col("bin"), lit(8)).cast("int"))
+      },
+      Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+             |kept AS (SELECT doc_id, w FROM w WHERE
+             |    len(w) BETWEEN 40 AND 100000
+             |    AND round((len(text) - (len(w) - 1)) / CAST(len(w) AS DOUBLE), 4)
+             |          BETWEEN 4.0 AND 10.0
+             |    AND (CAST(list_contains(w, 'a') AS INT) + CAST(list_contains(w, 'the') AS INT) +
+             |         CAST(list_contains(w, 'data') AS INT) + CAST(list_contains(w, 'value') AS INT) +
+             |         CAST(list_contains(w, 'row') AS INT) + CAST(list_contains(w, 'table') AS INT)) >= 4
+             |    AND round(CAST(list_max(list_transform(list_distinct(w),
+             |          x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w), 6) <= 0.12),
+             |segs AS (SELECT doc_id, g, array_to_string(w[g*10+1 : g*10+10], ' ') AS seg,
+             |    doc_id * 1000000 + g AS occ
+             |  FROM kept, unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS t(g)),
+             |keep2 AS (SELECT seg, min(occ) AS keeper FROM segs GROUP BY seg),
+             |ded AS (SELECT s.doc_id,
+             |    string_agg(s.seg, ' ' ORDER BY s.g) FILTER (WHERE s.occ = k.keeper) AS dtext
+             |  FROM segs s JOIN keep2 k USING (seg) GROUP BY s.doc_id),
+             |tk AS (SELECT doc_id, CAST(len(string_split(dtext, ' ')) AS BIGINT) AS n_tokens
+             |  FROM ded WHERE dtext IS NOT NULL AND dtext <> ''),
+             |cum AS (SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      - n_tokens AS stream_start
+             |  FROM tk)
+             |SELECT doc_id, n_tokens, stream_start,
+             |  CAST(stream_start // 256 AS BIGINT) AS bin,
+             |  CAST((stream_start // 256) % 8 AS INT) AS shard
+             |FROM cum""".stripMargin))
   )
 }
