@@ -586,6 +586,48 @@ object QueriesMutation {
              |       CAST(NULL AS VARCHAR) AS priority
              |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin)),
 
+    // ---- CHECK CONSTRAINTS (m17): ALTER TABLE ADD CONSTRAINT ...
+    //      CHECK, the Delta constraints model. Enforcement is a single
+    //      write-pass assert_true — no extra validation scan. The query
+    //      PROVES enforcement by attempting a violating append (negated
+    //      prices): if the refusal failed, the extra rows would land and
+    //      the oracle hash would break. ----
+    "m17_check_constraint" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m17_check")
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        st.create("cc", o.filter(col("o_orderkey") % 2 === 0))
+        st.addCheckConstraint("cc", "positive_price", "o_totalprice > 0")
+        st.append("cc", o.filter(col("o_orderkey") % 4 === 1))       // passes
+        try st.append("cc", o.filter(col("o_orderkey") % 4 === 3)    // refused
+          .withColumn("o_totalprice", -col("o_totalprice")))
+        catch { case _: Throwable => () } // violating batch must not land
+        st.read("cc")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1""".stripMargin)),
+
+    // ---- DV COMPACTION (m18): compactDvHeavy rewrites ONLY the dirs
+    //      whose tombstone ratio crossed the threshold (purging their
+    //      deletion vectors); content is preserved exactly and
+    //      lightly-deleted dirs keep their cheap DV sidecars. Cost is
+    //      O(rewritten bytes), never O(table) — ScaleProbeMutation's
+    //      measured curve. The oracle proves content equality after
+    //      the tombstone purge. ----
+    "m18_compact_dv" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m18_compact")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        st.create("t", li)
+        st.deleteVectorized("t", col("l_orderkey") % 5 === 2) // ~20% tombstoned
+        val rewritten = st.compactDvHeavy("t", minDeletedRatio = 0.1)
+        require(rewritten > 0, "compaction must rewrite the DV-heavy dirs")
+        st.read("t")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey % 5 <> 2""".stripMargin)),
+
     // ---- RESTORE (m15): time-travel WRITE. Restore commits a NEW
     //      version whose content equals the target version — history is
     //      append-only, never erased (vacuum-safe, auditable). Sequence:
