@@ -628,6 +628,35 @@ object QueriesMutation {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
              |WHERE l_orderkey % 5 <> 2""".stripMargin)),
 
+    // ---- AUTO-COMPACTION (m19): the Delta autoOptimize/autoCompact
+    //      idea — opt-in per session conf; a small-file append folds the
+    //      accumulated small dirs into one as part of the SAME logical
+    //      operation (no separate maintenance window). The query appends
+    //      8 small batches, requires that the live dir count actually
+    //      folded (< 8 — the conf path fired), and proves content
+    //      survived via the oracle. Confs reset in finally so no other
+    //      registry query inherits them. ----
+    "m19_auto_compact" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m19_autoc")
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        st.create("t", o.filter(col("o_orderkey") % 9 === 0))
+        s.conf.set("graft.autoCompact.enabled", "true")
+        s.conf.set("graft.autoCompact.minSmallDirs", "4")
+        try {
+          (1 to 8).foreach(r =>
+            st.append("t", o.filter(col("o_orderkey") % 9 === r)))
+          require(st.liveDirCount("t") < 8,
+            s"auto-compaction did not fold: ${st.liveDirCount("t")} dirs")
+          st.read("t")
+        } finally {
+          s.conf.unset("graft.autoCompact.enabled")
+          s.conf.unset("graft.autoCompact.minSmallDirs")
+        }
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 9 <= 8""".stripMargin)),
+
     // ---- RESTORE (m15): time-travel WRITE. Restore commits a NEW
     //      version whose content equals the target version — history is
     //      append-only, never erased (vacuum-safe, auditable). Sequence:
