@@ -194,4 +194,42 @@ class PropertySpec extends AnyFunSuite {
         s"seed=$seed: bitset depends on duplication/partitioning")
     }
   }
+
+  test("packSequences: bins never exceed budget boundaries and cover every doc") {
+    import graft.ops.Corpus
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 400L).map(i => (i, rnd.nextInt(200).toLong + 1L))
+        .toDF("id", "tok")
+      val packed = Corpus.packSequences(docs, "id", "tok", budget = 256L)
+        .orderBy("id").collect()
+      assert(packed.length === 400, s"seed=$seed: docs dropped")
+      var cum = 0L
+      packed.foreach { r =>
+        assert(r.getLong(2) === cum, s"seed=$seed: start is not the prefix sum")
+        // the bin is purely start/budget — never influenced by partitioning
+        assert(r.getLong(3) === cum / 256, s"seed=$seed: bin != start/budget")
+        cum += r.getLong(1)
+      }
+    }
+  }
+
+  test("first-occurrence keeper is unique per distinct segment (random corpora)") {
+    // the x14 core invariant on random data: grouping occurrences by
+    // segment and keeping min(occ) yields exactly one survivor per
+    // distinct segment, and every survivor is a real occurrence
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val occs = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextInt(30).toLong))
+        .distinct.map { case (d, g) => (d, g, s"seg${rnd.nextInt(60)}", d * 1000000L + g) }
+        .toDF("doc_id", "g", "seg", "occ")
+      val keep = occs.groupBy("seg").agg(min(col("occ")).as("keeper"))
+      val kept = occs.join(keep, Seq("seg"))
+        .filter(col("occ") === col("keeper"))
+      assert(kept.count() === occs.select("seg").distinct().count(),
+        s"seed=$seed: survivors != distinct segments")
+      assert(kept.groupBy("seg").count().filter(col("count") > 1).count() === 0L,
+        s"seed=$seed: a segment survived twice")
+    }
+  }
 }
