@@ -1197,6 +1197,84 @@ object QueriesLlm {
              |FROM tok JOIN freq USING (term) CROSS JOIN n
              |GROUP BY doc_id""".stripMargin)),
 
+    // ---- t11: interpolated bigram surprisal — the CCNet/KenLM-style
+    //      LM quality filter one order up from t9's unigram model:
+    //      per-doc avg of -ln(λ·p(w₂|w₁) + (1-λ)·p(w₂)), λ=0.7. Both
+    //      count tables are vocabulary-bounded (|V| and |V|² worst
+    //      case, far smaller in practice) → broadcast joins against
+    //      the bigram stream; two shuffles total for the counts. ----
+    "t11_bigram_surprisal" -> QDef(
+      (s, dir) => {
+        val big = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(w) - 1), " +
+              "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val uni = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+        val nTok = uni.agg(sum(col("uc"))).first().getLong(0)
+        val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+        val w1c = uni.select(col("term").as("w1"), col("uc").as("w1c"))
+        val w2c = uni.select(col("term").as("w2"), col("uc").as("w2c"))
+        big
+          .join(broadcast(bc), Seq("w1", "w2"))
+          .join(broadcast(w1c), Seq("w1"))
+          .join(broadcast(w2c), Seq("w2"))
+          .withColumn("p",
+            lit(0.7) * (col("bc") / col("w1c")) +
+              lit(0.3) * (col("w2c") / lit(nTok.toDouble)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log(col("p"))), 6).as("bi_surprisal"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             |  FROM w, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+             |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+             |uni AS (SELECT term, count(*) AS uc FROM tok GROUP BY term),
+             |n AS (SELECT CAST(sum(uc) AS BIGINT) AS n FROM uni),
+             |bc AS (SELECT w1, w2, count(*) AS bc FROM big GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(avg(-ln(0.7 * (bc.bc / CAST(u1.uc AS DOUBLE))
+             |             + 0.3 * (u2.uc / CAST(n.n AS DOUBLE)))), 6) AS bi_surprisal
+             |FROM big JOIN bc USING (w1, w2)
+             |  JOIN uni u1 ON big.w1 = u1.term
+             |  JOIN uni u2 ON big.w2 = u2.term
+             |  CROSS JOIN n
+             |GROUP BY doc_id""".stripMargin)),
+
+    // ---- t12: vocabulary build + OOV rate — the tokenizer-construction
+    //      step: vocab = top-20 corpus words by (count desc, term asc),
+    //      then each doc's out-of-vocabulary token fraction (the signal
+    //      that decides whether a vocab/tokenizer covers a corpus).
+    //      The vocab is a TakeOrderedAndProject over the unigram table
+    //      and broadcasts into one scoring join. ----
+    "t12_vocab_oov" -> QDef(
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("tc"))
+          .orderBy(col("tc").desc, col("term").asc).limit(20)
+          .select(col("term"), lit(true).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("term"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov") / col("n_tokens").cast("double"), 6))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |vocab AS (SELECT term FROM (SELECT term, count(*) AS tc FROM tok GROUP BY term)
+             |          ORDER BY tc DESC, term ASC LIMIT 20)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab)) AS n_oov,
+             |  round(count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab))
+             |        / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+             |FROM tok GROUP BY doc_id""".stripMargin)),
+
     // ---- t10: Gopher-style rule-based quality gate [Rae et al. 2021,
     //      "Scaling Language Models" §A1.1] — the cheap pre-model filter
     //      every pretraining pipeline runs first: word-count bounds,
