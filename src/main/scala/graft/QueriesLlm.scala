@@ -871,6 +871,32 @@ object QueriesLlm {
              |  asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
              |FROM asg""".stripMargin)),
 
+    // ---- x17: leakage-safe train/val split — the hygiene rule d6
+    //      enforces between train and BENCHMARKS, applied between
+    //      train and VAL: near-dup cluster-mates must land in the SAME
+    //      split, or val leaks into train. Split key = the cluster
+    //      canonical for clustered docs, the doc itself for singletons;
+    //      the md5-threshold decision (x1's machinery) then puts whole
+    //      clusters on one side by construction. ~25% val. ----
+    "x17_leakage_safe_split" -> QDef(
+      (s, dir) => {
+        val comp = clusterLabels(s, dir)
+        Tables.documents(s, dir).select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left_outer")
+          .withColumn("split_key", coalesce(col("canonical_id"), col("doc_id")))
+          .withColumn("split",
+            when(substring(md5(col("split_key").cast("string")), 1, 8)
+              < "40000000", "val").otherwise("train"))
+          .select(col("doc_id"), col("split_key"), col("split"))
+      },
+      Some(s"""$ClusterLabelsSql""".stripMargin.replaceFirst(
+        "SELECT a AS doc_id, least\\(a, min\\(b\\)\\) AS canonical_id FROM reach GROUP BY a",
+        """, comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id FROM reach GROUP BY a)
+          |SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS split_key,
+          |  CASE WHEN substr(md5(CAST(coalesce(c.canonical_id, d.doc_id) AS VARCHAR)), 1, 8)
+          |         < '40000000' THEN 'val' ELSE 'train' END AS split
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin))),
+
     // ---- e7: MMR diversified top-k — greedy λ·rel − (1−λ)·max-sim
     //      re-rank of the exact top-50 shortlist, k=10, λ=0.5, inside
     //      one flatMapGroups task per query. Deterministic but not
