@@ -322,8 +322,10 @@ object QueriesLlm {
 
   /** e1's brute-force cosine top-5 for queries vec_id < 10 — the exact
     * ANN ground truth the e3/e4/e5 recall companions measure against. */
-  private[graft] def cosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val n = normed(s, dir)
+  private[graft] def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    cosineTopKCore(normed(s, dir))
+
+  private[graft] def cosineTopKCore(n: DataFrame): DataFrame = {
     val q = n.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = n.crossJoin(broadcast(q))
@@ -354,7 +356,22 @@ object QueriesLlm {
   /** e3's LSH-bucketed approximate top-k (the 100 TB scale path):
     * 64 fixed random-hyperplane bits -> 16 bands of 4 bits; candidates =
     * same-band vectors only, then exact cosine + top-k. */
-  private[graft] def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def annLshTopK(s: SparkSession, dir: String): DataFrame =
+    annLshCore(normed(s, dir))
+
+  /** e3's core over any normed (vec_id, v, nrm) frame — parameterized so
+    * ScaleProbeAnn can measure it on replicated corpora.
+    *
+    * `bandBits` is THE corpus-size knob of banded LSH: bucket count per
+    * band is 2^bandBits, so expected bucket size is N/2^bandBits and
+    * the band self-join does ~N²/2^bandBits work. 4-bit bands (the
+    * fixture default: 16 buckets) are right for 10³-10⁴ vectors and
+    * measurably quadratic past that (ScaleProbeAnn: 3.6→13.6 s at 16×);
+    * widening to 8-bit bands makes the same corpus flat at the cost of
+    * per-band candidate recall — production LSH grows bandBits (and
+    * compensates with more bands/longer signatures) as the corpus
+    * grows. */
+  private[graft] def annLshCore(n: DataFrame, bandBits: Int = 4): DataFrame = {
     val dims = 64
     // deterministic +-1 hyperplanes from a splitmix-style bit stream
     def sign(j: Int, k: Int): Double = {
@@ -363,7 +380,6 @@ object QueriesLlm {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
     }
-    val n = normed(s, dir)
     val nBits = 64
     val bitCols = (0 until nBits).map { j =>
       // +-1 hyperplane as a float-array literal -> same codegen'd
@@ -372,8 +388,10 @@ object QueriesLlm {
       when(dot(col("v"), plane) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     val sig = n.withColumn("sig", bitCols.reduce(_.bitwiseOR(_)))
-    val chunks = (0 until 16).map { bi =>
-      struct(lit(bi).as("band"), shiftright(col("sig"), bi * 4).bitwiseAND(lit(0xFL)).as("bkey"))
+    val mask = (1L << bandBits) - 1L
+    val chunks = (0 until nBits / bandBits).map { bi =>
+      struct(lit(bi).as("band"),
+        shiftright(col("sig"), bi * bandBits).bitwiseAND(lit(mask)).as("bkey"))
     }
     val bands = sig.select(col("vec_id"), explode(array(chunks: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -400,8 +418,10 @@ object QueriesLlm {
     * 16 deterministic coarse centroids (one broadcast pass), then probe
     * the 4 cells nearest each query — at 100 TB the assignment is a
     * narrow map over the corpus and the probe reads ~nprobe/K of it. */
-  private[graft] def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
-    val n = normed(s, dir)
+  private[graft] def annIvfTopK(s: SparkSession, dir: String): DataFrame =
+    annIvfCore(normed(s, dir))
+
+  private[graft] def annIvfCore(n: DataFrame): DataFrame = {
     val cents = n.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val scoredCells = n.crossJoin(broadcast(cents))
@@ -433,9 +453,11 @@ object QueriesLlm {
     * encode each 64-float vector as 8 codebook bytes; candidates from
     * sum-of-subspace lookup distances against the codes alone, then an
     * exact re-rank of the 50-candidate shortlist. */
-  private[graft] def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def annPqTopK(s: SparkSession, dir: String): DataFrame =
+    annPqCore(normed(s, dir))
+
+  private[graft] def annPqCore(n: DataFrame): DataFrame = {
     val M = 8 // subspaces of 8 dims each
-    val n = normed(s, dir)
     // L2-normalize so per-subspace L2² sums to 2-2·cosine (monotone)
     val vn = n.select(col("vec_id"),
       expr("transform(v, x -> CAST(x / nrm AS FLOAT))").as("vn"))
