@@ -179,6 +179,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(tgtSelected === 0L)
   }
 
+  test("x17 split never separates near-dup cluster-mates") {
+    val out = Queries.all("x17_leakage_safe_split").fn(spark, sfDir).cache()
+    // the defining property: one split per split_key (clusters included)
+    val straddling = out.groupBy("split_key")
+      .agg(countDistinct(col("split")).as("s"))
+      .filter(col("s") > 1).count()
+    assert(straddling === 0L)
+    // both splits exist and every doc is assigned exactly once
+    assert(out.select("split").distinct().count() === 2L)
+    assert(out.count() === Tables.documents(spark, sfDir).count())
+    assert(out.select("doc_id").distinct().count() === out.count())
+  }
+
   test("t10 gopher flags are consistent with their stats and both verdicts occur") {
     val out = Queries.all("t10_gopher_rules").fn(spark, sfDir).cache()
     val bad = out.filter(
