@@ -58,7 +58,11 @@ object PlanDump {
       "x13_dsir_resample" ->
         "DSIR: the score join is a BroadcastHashJoin (256-row score table); selection is TakeOrderedAndProject(limit=100) — the rank Window sits ABOVE the limit, so it only ever sees 100 rows",
       "d4_simhash" ->
-        "256-bit SimHash: vote aggregation is ONE HashAggregate of 64 packed lanes (64 sum columns stay under codegen.maxFields — a naive 256-column aggregate drops out of whole-stage codegen); candidates come from the 16-band equi-join on (band,bkey) — AQE broadcasts one side at this SF, a shuffle join at corpus scale — never an all-pairs compare")
+        "256-bit SimHash: vote aggregation is ONE HashAggregate of 64 packed lanes (64 sum columns stay under codegen.maxFields — a naive 256-column aggregate drops out of whole-stage codegen); candidates come from the 16-band equi-join on (band,bkey) — AQE broadcasts one side at this SF, a shuffle join at corpus scale — never an all-pairs compare",
+      "x16_serialize_pipeline" ->
+        "the serialization composite end-to-end: quality gate is a narrow Filter over the scan, passage dedup is one segment Exchange into the min-keeper HashAggregate + an equi-join back, packing is the range-partitioned prefix sum (per-partition Window, offsets from a bounded collect) — no cartesian, no global-sort Window anywhere",
+      "e7_mmr_topk" ->
+        "MMR re-rank: candidates come from ONE broadcast of the 10 queries against the corpus + a per-query top-50 Window; the greedy selection is a single MapGroups/SerializeFromObject stage (executor-local per query) — no driver loop, no k chained joins")
 
     // for queries whose returned frame is a post-mutation table read,
     // the informative plan is an intermediate: build it here instead
