@@ -124,6 +124,48 @@ object QueriesCorpus {
              |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ---- a14: GROUP BY CUBE — all 2^k grouping combinations in one
+    //      Expand+Aggregate pass (rollup a9 covers the hierarchy;
+    //      cube covers the lattice). Grouping flags disambiguate
+    //      subtotal rows from real NULL keys. ----
+    "a14_cube" -> QDef(
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("g_status"), col("g_prio"), col("n_rows"), col("sum_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             |  count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- a15: GROUP BY GROUPING SETS — an explicit, non-hierarchical
+    //      set list ((status), (priority), ()) that neither ROLLUP nor
+    //      CUBE expresses; via spark.sql over a temp view (the
+    //      DataFrame API stops at rollup/cube). Still ONE
+    //      Expand+Aggregate pass. ----
+    "a15_grouping_sets" -> QDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_a15")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+                |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+                |  count(*) AS n_rows
+                |FROM orders_a15
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             |  count(*) AS n_rows
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
     // ---- d6: benchmark decontamination — verbatim 8-gram overlap ----
     // (the train/eval split hygiene step every pretraining corpus needs:
     //  flag training docs sharing any 8-word shingle with the benchmark
