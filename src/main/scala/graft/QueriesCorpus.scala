@@ -28,7 +28,7 @@ object QueriesCorpus {
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        "transform(IF(size(w) >= 8, sequence(1, size(w) - 7), array()), i -> array_join(slice(w, i, 8), ' '))"))
         .as("shingle"))
       .distinct()
 
@@ -44,7 +44,7 @@ object QueriesCorpus {
     val raw = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        "transform(IF(size(w) >= 8, sequence(1, size(w) - 7), array()), i -> array_join(slice(w, i, 8), ' '))"))
         .as("shingle"))
     val bits = graft.ops.Corpus.bloomBuild(
       raw.filter(col("doc_id") % 20 < 2), col("shingle"), mBits, k)
@@ -424,7 +424,7 @@ object QueriesCorpus {
         val train = gated.filter(abs(col("doc_id")) % 20 >= 2)
         // 8-gram decontamination vs the benchmark split (d6 shape)
         def sh8(d: DataFrame) = d.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 7), " +
+          "transform(IF(size(w) >= 8, sequence(1, size(w) - 7), array()), " +
             "i -> xxhash64(array_join(slice(w, i, 8), ' ')))")).as("h8")).distinct()
         val contaminated = sh8(train)
           .join(broadcast(sh8(bench).select("h8").distinct()), Seq("h8"))
@@ -432,7 +432,7 @@ object QueriesCorpus {
         val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
         // near-dup prune among the survivors (d2 inverted index)
         val sh3 = clean.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 2), " +
+          "transform(IF(size(w) >= 3, sequence(1, size(w) - 2), array()), " +
             "i -> xxhash64(array_join(slice(w, i, 3), ' ')))")).as("h3")).distinct()
         val sizes = sh3.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val dupped = sh3.select(col("doc_id").as("doc_a"), col("h3"))
@@ -684,7 +684,7 @@ object QueriesCorpus {
         val toks = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
           .select(col("doc_id"), col("source"),
-            explode(expr("transform(sequence(1, size(w) - 1), " +
+            explode(expr("transform(IF(size(w) >= 2, sequence(1, size(w) - 1), array()), " +
               "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
               .as("gram"))
           .withColumn("md5_g", md5(col("gram")))

@@ -61,7 +61,7 @@ object QueriesLlm {
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), " +
+        "transform(IF(size(w) >= 3, sequence(1, size(w) - 2), array()), " +
           "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
         .as("shingle"))
 
@@ -182,7 +182,9 @@ object QueriesLlm {
                            v: Array[Float], nrm: Double)
 
   /** e7's candidate pool: exact top-`depth` by cosine per query, vectors
-    * carried along for the local re-rank. */
+    * carried along for the local re-rank; `rn` (the per-query relevance
+    * rank) is retained so the gate can derive its top-10/top-1 views
+    * from ONE pool instead of re-running the corpus-by-queries scan. */
   private def mmrCandidates(s: SparkSession, dir: String, depth: Int): DataFrame = {
     val n = normed(s, dir)
     val q = n.filter(col("vec_id") < 10)
@@ -193,7 +195,7 @@ object QueriesLlm {
       .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= depth)
       .select(col("query_id"), col("vec_id").as("cand_id"), col("cosine"),
-        col("v"), col("nrm"))
+        col("v"), col("nrm"), col("rn"))
   }
 
   /** e7: Maximal Marginal Relevance diversified top-k [Carbonell &
@@ -226,7 +228,11 @@ object QueriesLlm {
       var i = 0
       while (i < cands.length) {
         if (!taken(i)) {
-          var maxSim = 0.0
+          // true max over selected — seeding at 0 would clamp away the
+          // diversity BONUS an anti-correlated candidate earns; the
+          // first pick has no selected set, so its term is 0 (pure
+          // relevance), per the MMR definition
+          var maxSim = if (selected.isEmpty) 0.0 else Double.NegativeInfinity
           selected.foreach { sc =>
             val sv = sim(cands(i), sc); if (sv > maxSim) maxSim = sv
           }
@@ -239,15 +245,22 @@ object QueriesLlm {
         }
         i += 1
       }
+      // every remaining score NaN (e.g. zero-norm vectors): stop
+      // cleanly with what's selected instead of indexing at -1
+      if (bestI < 0) return selected.zipWithIndex
+        .map { case (c, r) => (c.cand_id, r + 1, c.cosine) }.toSeq
       taken(bestI) = true
       selected += cands(bestI)
     }
     selected.zipWithIndex.map { case (c, r) => (c.cand_id, r + 1, c.cosine) }.toSeq
   }
 
-  private[graft] def mmrTopK(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mmrTopK(s: SparkSession, dir: String): DataFrame =
+    mmrTopKFrom(s, mmrCandidates(s, dir, depth = 50))
+
+  private[graft] def mmrTopKFrom(s: SparkSession, cand: DataFrame): DataFrame = {
     import s.implicits._
-    mmrCandidates(s, dir, depth = 50).as[MmrCand]
+    cand.drop("rn").as[MmrCand]
       .groupByKey(_.query_id)
       .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
         mmrSelect(it.toArray, k = 10, lam = 0.5).iterator
@@ -533,7 +546,7 @@ object QueriesLlm {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"),
-        explode(expr("sequence(1, size(w) - 2)")).as("i"))
+        explode(expr("IF(size(w) >= 3, sequence(1, size(w) - 2), array())")).as("i"))
     // 256-bit signature as 4 independent 64-bit words (xxhash64 over the
     // (gram, seed) tuple). 64 bits was too short for this corpus: the
     // variance tail put true (jaccard >= 0.8) pairs at hamming 16+ where
@@ -935,7 +948,11 @@ object QueriesLlm {
     //      asserts the three booleans TRUE. ----
     "e7_mmr_gate" -> QDef(
       (s, dir) => {
-        val mmr = mmrTopK(s, dir)
+        // ONE corpus-by-queries candidate scan (the gate's only
+        // expensive stage), pinned; the MMR input, the plain top-10,
+        // and the top-1 are all views of it via the retained rank
+        val pool = mmrCandidates(s, dir, depth = 50).localCheckpoint()
+        val mmr = mmrTopKFrom(s, pool)
         val n = normed(s, dir)
         def meanPairSim(sel: DataFrame): DataFrame = {
           val withV = sel.join(
@@ -949,11 +966,11 @@ object QueriesLlm {
             .groupBy("query_id").agg(avg(col("sim")).as("mean_sim"))
         }
         val mmrSim = meanPairSim(mmr.select(col("query_id"), col("cand_id")))
-        val topSim = meanPairSim(
-            mmrCandidates(s, dir, depth = 10).select(col("query_id"), col("cand_id")))
+        val topSim = meanPairSim(pool.filter(col("rn") <= 10)
+            .select(col("query_id"), col("cand_id")))
           .withColumnRenamed("mean_sim", "top_sim")
         val firstOk = mmr.filter(col("mmr_rank") === 1)
-          .join(mmrCandidates(s, dir, depth = 1)
+          .join(pool.filter(col("rn") === 1)
             .select(col("query_id"), col("cand_id").as("top1")), Seq("query_id"))
           .select(col("query_id"), (col("cand_id") === col("top1")).as("ok"))
         val sizes = mmr.groupBy("query_id").agg(count(lit(1)).as("n_sel"))
@@ -1256,7 +1273,7 @@ object QueriesLlm {
         val big = Tables.documents(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .select(col("doc_id"),
-            explode(expr("transform(sequence(1, size(w) - 1), " +
+            explode(expr("transform(IF(size(w) >= 2, sequence(1, size(w) - 1), array()), " +
               "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"))
               .as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))

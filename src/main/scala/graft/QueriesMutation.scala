@@ -599,9 +599,20 @@ object QueriesMutation {
         st.create("cc", o.filter(col("o_orderkey") % 2 === 0))
         st.addCheckConstraint("cc", "positive_price", "o_totalprice > 0")
         st.append("cc", o.filter(col("o_orderkey") % 4 === 1))       // passes
-        try st.append("cc", o.filter(col("o_orderkey") % 4 === 3)    // refused
-          .withColumn("o_totalprice", -col("o_totalprice")))
-        catch { case _: Throwable => () } // violating batch must not land
+        try {
+          st.append("cc", o.filter(col("o_orderkey") % 4 === 3)      // refused
+            .withColumn("o_totalprice", -col("o_totalprice")))
+          throw new IllegalStateException(
+            "violating append was accepted — CHECK enforcement is broken")
+        } catch {
+          // only the constraint refusal may pass; an unrelated store
+          // failure must not masquerade as a successful enforcement
+          case scala.util.control.NonFatal(e) =>
+            val isCheck = Iterator.iterate(e: Throwable)(_.getCause)
+              .takeWhile(_ != null).take(10)
+              .exists(t => String.valueOf(t.getMessage).contains("positive_price"))
+            if (!isCheck) throw e
+        }
         st.read("cc")
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders

@@ -388,7 +388,7 @@ object QueriesStreaming {
         def explodeShingles(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = d
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+            "transform(IF(size(w) >= 8, sequence(1, size(w) - 7), array()), i -> array_join(slice(w, i, 8), ' '))"))
             .as("shingle"))
         val docs = Tables.documents(s, dir)
         val bits = graft.ops.Corpus.bloomBuild(

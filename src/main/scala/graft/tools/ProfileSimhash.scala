@@ -30,15 +30,19 @@ object ProfileSimhash {
       r
     }
 
+    // the SHIPPED d4 formulation: the gram is hashed as the
+    // (word, word, word, seed) tuple — no 3-gram string materialized
     val W = 4
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), i -> array_join(slice(w, i, 3), ' '))"))
-        .as("t"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("IF(size(w) >= 3, sequence(1, size(w) - 2), array())")).as("i"))
     val words = (0 until W).foldLeft(tok) { (d, w) =>
-      d.withColumn(s"h$w", xxhash64(col("t"), lit(w)))
-    }
+      d.withColumn(s"h$w", xxhash64(
+        element_at(col("w"), col("i")),
+        element_at(col("w"), col("i") + 1),
+        element_at(col("w"), col("i") + 2), lit(w)))
+    }.drop("w", "i")
     t("gram rows")(println(s"  grams=${words.count()}"))
     val packedCols = for (w <- 0 until W; j <- 0 until 16) yield
       sum((0 until 4).map { i =>

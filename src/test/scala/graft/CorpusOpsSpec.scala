@@ -196,6 +196,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val out = Queries.all("t10_gopher_rules").fn(spark, sfDir).cache()
     val bad = out.filter(
       (col("flag_wc") =!= (col("n_words") >= 40 && col("n_words") <= 100000)) ||
+      (col("flag_mwl") =!= (col("mean_wl") >= 4.0 && col("mean_wl") <= 10.0)) ||
       (col("flag_stop") =!= (col("n_stop") >= 4)) ||
       (col("flag_rep") =!= (col("top_frac") <= 0.12)) ||
       (col("keep") =!= (col("flag_wc") && col("flag_mwl") &&

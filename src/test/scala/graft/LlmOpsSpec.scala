@@ -138,6 +138,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("short documents don't crash the gram-based operators") {
+    // regression: the gram index streams used sequence(1, size(w)-K),
+    // which Spark makes DESCENDING when size(w) <= K — the exploded
+    // index 0 then hit element_at/slice's 1-based check and threw.
+    // Guarded streams emit NO grams for too-short docs (matching
+    // DuckDB's empty generate_series), so these must all run clean.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("shortdocs").toString
+    Seq(
+      (1L, "one", "en", "src0", 3L),
+      (2L, "two words", "en", "src2", 9L),
+      (3L, "a b c d e f g h i j", "en", "src3", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(QueriesLlm.simhashPairs(spark, tmp).count() >= 0)            // 3-gram
+    assert(Queries.all("t11_bigram_surprisal").fn(spark, tmp).count() >= 1) // 2-gram
+    assert(Queries.all("x13_dsir_resample").fn(spark, tmp).count() >= 0)    // 2-gram
+    assert(Queries.all("d6_decontaminate").fn(spark, tmp).count() >= 0)     // 8-gram
+  }
+
   test("MMR greedy prefers a diverse pick over a redundant higher-relevance one") {
     import graft.QueriesLlm.{MmrCand, mmrSelect}
     def unit(v: Array[Float]) = {
