@@ -42,21 +42,23 @@ object Queries {
                |  count(*) AS count_order
                |FROM lineitem
                |GROUP BY l_returnflag, l_linestatus""".stripMargin))
-    ) ++ QueriesRelational.defs ++ QueriesMutation.defs ++ QueriesLlm.defs ++
-      QueriesJobs.defs ++ QueriesStreaming.defs ++ QueriesMultimodal.defs ++
-      QueriesCorpus.defs ++ QueriesTemporal.defs ++ failCanary
+    ) ++ modules.flatMap(_._2) ++ failCanary
+
+  // ONE module list feeds both the `all` merge above and the duplicate
+  // check below — a module registered in one but not the other (the
+  // silent-shadowing escape hatch) is structurally impossible.
+  private lazy val modules: Seq[(String, Map[String, QDef])] = Seq(
+    "relational" -> QueriesRelational.defs, "mutation" -> QueriesMutation.defs,
+    "llm" -> QueriesLlm.defs, "jobs" -> QueriesJobs.defs,
+    "streaming" -> QueriesStreaming.defs, "multimodal" -> QueriesMultimodal.defs,
+    "corpus" -> QueriesCorpus.defs, "temporal" -> QueriesTemporal.defs)
 
   // a query name registered in two modules would silently shadow the
   // earlier one in the ++ merge above — the same "query vanishes from
   // the artifact with no error" class as r5's 13 missing entries. Fail
   // loudly at first touch instead.
   locally {
-    val sources: Seq[(String, Map[String, QDef])] = Seq(
-      "relational" -> QueriesRelational.defs, "mutation" -> QueriesMutation.defs,
-      "llm" -> QueriesLlm.defs, "jobs" -> QueriesJobs.defs,
-      "streaming" -> QueriesStreaming.defs, "multimodal" -> QueriesMultimodal.defs,
-      "corpus" -> QueriesCorpus.defs, "temporal" -> QueriesTemporal.defs)
-    val dups = (Seq("q1_agg") ++ sources.flatMap(_._2.keys))
+    val dups = (Seq("q1_agg") ++ modules.flatMap(_._2.keys))
       .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     require(dups.isEmpty,
       s"duplicate query names across modules (one would silently shadow " +

@@ -1284,8 +1284,12 @@ object QueriesLlm {
         val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
         val w1c = uni.select(col("term").as("w1"), col("uc").as("w1c"))
         val w2c = uni.select(col("term").as("w2"), col("uc").as("w2c"))
+        // bc is distinct-bigram-sized (|V|^2 worst case — corpus-scale
+        // at 100 TB), so no broadcast hint: let AQE size it. w1c/w2c
+        // are unigram-vocab-bounded (|V|, typically << executor memory)
+        // and stay broadcast.
         big
-          .join(broadcast(bc), Seq("w1", "w2"))
+          .join(bc, Seq("w1", "w2"))
           .join(broadcast(w1c), Seq("w1"))
           .join(broadcast(w2c), Seq("w2"))
           .withColumn("p",

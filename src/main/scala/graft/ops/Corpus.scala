@@ -19,6 +19,24 @@ object Corpus {
   def inclusionHash(key: Column): Column =
     substring(md5(key.cast("string")), 1, 8)
 
+  /** First-occurrence key for passage dedup: packs (doc_id, segment
+    * index) into ONE BIGINT so the min-keeper aggregate is a plain
+    * long min (map-side combinable, stays in codegen) instead of a
+    * struct compare. Valid only while `g < 1e6` and
+    * `0 <= docId < Long.MaxValue / 1e6` — outside that range two
+    * distinct (doc, g) pairs could collide or overflow and silently
+    * corrupt first-occurrence ordering, so the packing itself raises
+    * instead (one codegen'd branch per row; never fires on in-range
+    * data). */
+  def packedOcc(docId: Column, g: Column): Column = {
+    val maxDoc = Long.MaxValue / 1000000L // 9.22e12 docs
+    when(g >= 1000000L || docId < 0L || docId >= maxDoc,
+      raise_error(concat(
+        lit("packedOcc out of range (need 0 <= doc_id < 9.2e12, segment < 1e6): doc_id="),
+        docId.cast("string"), lit(" g="), g.cast("string"))).cast("long"))
+      .otherwise(docId * 1000000L + g)
+  }
+
   /** Rate-based stratified sampling: keep rows whose hash falls under
     * the group's threshold ("80000000" = 50%, "40000000" = 25%, ...).
     * Pure narrow map+filter — no shuffle, no state. */

@@ -89,7 +89,9 @@ object ScaleProbe {
     def shingles8raw(d: DataFrame): DataFrame = d
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        // guard: size(w) < 8 would make sequence() descend and slice() throw
+        "transform(IF(size(w) >= 8, sequence(1, size(w) - 7), array()), " +
+          "i -> array_join(slice(w, i, 8), ' '))"))
         .as("shingle"))
     val mBits = 1L << 21
     val kHash = 5

@@ -56,7 +56,7 @@ object ScaleProbePipeline {
               "g -> struct(g as g, array_join(slice(w, g * 10 + 1, 10), ' ') as seg))"))
             .as("x"))
           .select(col("doc_id"), col("x.g").as("g"), col("x.seg").as("seg"),
-            (col("doc_id") * 1000000L + col("x.g")).as("occ"))
+            graft.ops.Corpus.packedOcc(col("doc_id"), col("x.g")).as("occ"))
         val keep = segs.groupBy(col("seg")).agg(min(col("occ")).as("keeper"))
         segs.join(keep, Seq("seg"))
           .groupBy(col("doc_id"))
