@@ -2717,13 +2717,23 @@ class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Per-FILE change groups for the SQL `<table>.changes` scan: each
-    * group is (absolute files, per-file DV positions, change kind,
+    * group is (absolute files, per-file DV sidecar refs, change kind,
     * commit version, per-file row-id bases) — enough for a file-based
     * DSv2 scan to reproduce [[readChangesBetween]] exactly. Rid bases
     * come from the GROUP's version manifest (synthesized groups only;
-    * recorded `_cdf` files carry a materialized `__rid` instead). */
+    * recorded `_cdf` files carry a materialized `__rid` instead).
+    *
+    * DV delivery is LAZY, like the batch scan's ([[dvSidecarsByDir]]):
+    * each DV'd file maps to (manifest relpath, sidecar parquet files)
+    * and the scan task probes the sidecar executor-side
+    * (GraftDvSidecars) — pure manifest reads + one directory listing
+    * per distinct sidecar here, NO Spark job, NO tombstone position
+    * ever materialized on the driver. A synthesized `delete` group
+    * over a DV-heavy prior version (e.g. a full-replace commit on a
+    * table with a large tombstone backlog) stays O(files) driver
+    * memory instead of O(tombstones). */
   private[graft] def changeFileGroups(name: String, fromVersion: Long, toVersion: Long)
-      : Seq[(Seq[String], Map[String, Array[Long]], String, Long, Map[String, Long])] = {
+      : Seq[(Seq[String], Map[String, (String, Seq[String])], String, Long, Map[String, Long])] = {
     def filesUnder(p: Path): Seq[String] =
       if (!Files.isDirectory(p)) Seq.empty
       else Using.resource(Files.list(p))(_.iterator().asScala
@@ -2732,8 +2742,8 @@ class TableStore(spark: SparkSession, root: String) {
     changeSources(name, fromVersion, toVersion).flatMap {
       case RecordedChanges(cdfDir, kinds, v, _) =>
         kinds.map(k =>
-          (filesUnder(cdfDir.resolve(s"__cdc=$k")), Map.empty[String, Array[Long]], k, v,
-            Map.empty[String, Long]))
+          (filesUnder(cdfDir.resolve(s"__cdc=$k")),
+            Map.empty[String, (String, Seq[String])], k, v, Map.empty[String, Long]))
       case SynthesizedChanges(m, dirs, kind, v) =>
         val files = dirs.flatMap(d => filesUnder(dataRoot(name).resolve(d)))
         val ridBase: Map[String, Long] =
@@ -2742,16 +2752,19 @@ class TableStore(spark: SparkSession, root: String) {
             dataRoot(name).resolve(rel).toString -> b
           }
         val dvd = dirs.filter(m.dvs.contains)
-        val dv: Map[String, Array[Long]] =
+        val dv: Map[String, (String, Seq[String])] =
           if (dvd.isEmpty) Map.empty
           else {
-            val dataRootPath = dataRoot(name).toString
-            dvRows(name, m, dvd)
-              .groupBy("__dv_relpath")
-              .agg(sort_array(collect_list(col("__dv_pos"))).as("ps"))
-              .collect()
-              .map(r => s"$dataRootPath/${r.getString(0)}" -> r.getSeq[Long](1).toArray)
-              .toMap
+            val sidecarsByName: Map[String, Seq[String]] =
+              dvd.flatMap(m.dvs.get).map(_.path).distinct.map { n =>
+                n -> filesUnder(dvRoot(name).resolve(n))
+              }.toMap
+            dvd.flatMap { d =>
+              val sc = sidecarsByName(m.dvs(d).path)
+              filesUnder(dataRoot(name).resolve(d)).map { f =>
+                f -> (s"$d/${f.substring(f.lastIndexOf('/') + 1)}", sc)
+              }
+            }.toMap
           }
         Seq((files, dv, kind, v, ridBase))
     }

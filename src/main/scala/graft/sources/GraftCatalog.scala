@@ -1294,9 +1294,11 @@ class GraftChangesScan(root: String, table: String,
     val groups = st.changeFileGroups(table, startVersion.getOrElse(-1L),
       endVersion.getOrElse(st.currentVersion(table)))
     groups.flatMap { case (files, dv, kind, v, ridBase) =>
-      files.map(f => GraftChangeInputPartition(f,
-        dv.getOrElse(f, Array.empty), kind, v,
-        ridBase.getOrElse(f, Long.MinValue)): InputPartition)
+      files.map { f =>
+        val (rel, sc) = dv.getOrElse(f, ("", Nil))
+        GraftChangeInputPartition(f, rel, sc, kind, v,
+          ridBase.getOrElse(f, Long.MinValue)): InputPartition
+      }
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1355,9 +1357,11 @@ class GraftChangeFeedStream(root: String, table: String,
     val e = end.asInstanceOf[GraftStreamOffset].v
     if (e <= s) return Array.empty
     store.changeFileGroups(table, s, e).flatMap { case (files, dv, kind, v, ridBase) =>
-      files.map(f => GraftChangeInputPartition(f,
-        dv.getOrElse(f, Array.empty), kind, v,
-        ridBase.getOrElse(f, Long.MinValue)): InputPartition)
+      files.map { f =>
+        val (rel, sc) = dv.getOrElse(f, ("", Nil))
+        GraftChangeInputPartition(f, rel, sc, kind, v,
+          ridBase.getOrElse(f, Long.MinValue)): InputPartition
+      }
     }.toArray
   }
 
@@ -1365,7 +1369,12 @@ class GraftChangeFeedStream(root: String, table: String,
     new GraftChangesReaderFactory(base, required, store.snapshot(table).colmap)
 }
 
-case class GraftChangeInputPartition(file: String, dvPositions: Array[Long],
+/** One change-scan task: a data (or `_cdf`) file plus its LAZY DV
+  * reference — (manifest relpath, sidecar parquet files), probed
+  * executor-side via [[GraftDvSidecars]] exactly like the batch scan;
+  * empty `dvFiles` = no pending tombstones for this file. */
+case class GraftChangeInputPartition(file: String, dvRelpath: String,
+                                     dvFiles: Seq[String],
                                      changeType: String, version: Long,
                                      ridBase: Long = Long.MinValue)
     extends InputPartition
@@ -1386,8 +1395,12 @@ class GraftChangesReaderFactory(base: StructType, required: StructType,
     val raw = new GraftPartitionReader(p.file,
       ColPhys.schema(innerRequired, colmap), ColPhys.schema(base, colmap),
       Array.empty, rowIdBase = p.ridBase)
+    // executor-side DV probe (same lazy sidecar path as the batch scan)
+    val dvPositions =
+      if (p.dvFiles.isEmpty) Array.empty[Long]
+      else GraftDvSidecars.positions(p.dvFiles, p.dvRelpath)
     val inner =
-      if (p.dvPositions.isEmpty) raw else new GraftDvSkipReader(raw, p.dvPositions)
+      if (dvPositions.isEmpty) raw else new GraftDvSkipReader(raw, dvPositions)
     new GraftChangeRowReader(inner, required, innerRequired,
       UTF8String.fromString(p.changeType), p.version)
   }

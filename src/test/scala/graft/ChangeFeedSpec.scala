@@ -119,6 +119,33 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(kinds.count(_ == "insert") === 3) // v0 create synthesizes 2 + merge 1
   }
 
+  test("SQL .changes over a full-replace version on a DV-heavy table " +
+      "applies tombstones via the lazy sidecar path") {
+    val root = Files.createTempDirectory("cdfdv").toString
+    spark.conf.set("spark.sql.catalog.gdvc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvc.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
+    ts.setChangeFeed("t", true)                                         // v1
+    ts.deleteVectorized("t", col("id") % 10 === 0L)                     // v2: 100 DV tombstones
+    ts.deleteVectorized("t", col("id") % 10 === 1L)                     // v3: +100, merged sidecar
+    ts.overwrite("t", Seq((0L, "fresh")).toDF("id", "v"))               // v4: full replace
+    // the synthesized delete-all group reads the PRIOR version's dirs
+    // through their DV sidecars: the 200 tombstoned rows were already
+    // reported deleted at v2/v3 and must NOT reappear in v4's deletes
+    val dels = spark.read.option("startVersion", "3").option("endVersion", "4")
+      .table("gdvc.t.changes")
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(dels.size === 800)
+    assert(dels === (1L to 1000L).filter(i => i % 10 >= 2).toSet)
+    // and the library path agrees exactly
+    val lib = ts.readChangesBetween("t", 3, 4)
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(lib === dels)
+  }
+
   test("streaming change feed delivers updates/deletes per commit") {
     import org.apache.spark.sql.streaming.Trigger
     val root = Files.createTempDirectory("cdfstream").toString
