@@ -854,26 +854,30 @@ object QueriesMutation {
         // both, in one version).
         val feed = st.readChangesBetween("src", 0, st.currentVersion("src"),
           withRowIds = true).cache()
-        // the gate-skip below leans on readChangesBetween's rid-
-        // uniqueness-per-commit contract; GRAFT_VERIFY_CDF=1 checks it
-        // against the cached feed (one extra aggregate, debug only)
-        if (sys.env.contains("GRAFT_VERIFY_CDF")) {
-          val dup = feed
-            .filter(col("_change_type").isin("insert", "update_postimage"))
-            .groupBy("_commit_version", "_row_id").count()
-            .filter(col("count") > 1)
-          require(dup.isEmpty,
-            "CDF rid-uniqueness contract violated: " +
-              dup.head(5).mkString(", "))
-        }
-        val counts = feed.groupBy("_commit_version", "_change_type").count()
+        // ONE aggregate over the cached feed yields both the per-version
+        // apply plan AND an always-on assertion of readChangesBetween's
+        // rid-uniqueness-per-commit contract (the invariant the
+        // verifyUniqueSource=false below leans on): upsert-row count ==
+        // distinct upsert rids per version, same job, no extra scan.
+        val isUpsert = col("_change_type").isin("insert", "update_postimage")
+        val counts = feed.groupBy(col("_commit_version"))
+          .agg(
+            count(when(col("_change_type") === "insert", 1)).as("n_ins"),
+            count(when(col("_change_type") === "update_postimage", 1)).as("n_upd"),
+            count(when(col("_change_type") === "delete", 1)).as("n_del"),
+            countDistinct(when(isUpsert, col("_row_id"))).as("n_rid"))
           .collect()
-          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-        val versions = counts.keys.map(_._1).toSeq.distinct.sorted
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toMap
+        counts.foreach { case (v, (nIns, nUpd, _, nRid)) =>
+          require(nIns + nUpd == nRid,
+            s"CDF rid-uniqueness contract violated at version $v: " +
+              s"${nIns + nUpd} upsert rows but $nRid distinct rids — " +
+              "rid-keyed apply with the uniqueness gate off is unsafe")
+        }
+        val versions = counts.keys.toSeq.sorted
         versions.foreach { v =>
-          val nIns = counts.getOrElse((v, "insert"), 0L)
-          val nUpd = counts.getOrElse((v, "update_postimage"), 0L)
-          val nDel = counts.getOrElse((v, "delete"), 0L)
+          val (nIns, nUpd, nDel, _) = counts(v)
           val b = feed.filter(col("_commit_version") === v)
           val upserts = b
             .filter(col("_change_type").isin("insert", "update_postimage"))

@@ -2666,8 +2666,10 @@ class TableStore(spark: SparkSession, root: String) {
     * replicator apply a version's upserts with the uniqueness gate off
     * (cdc2). A future path that could emit both an insert and a
     * postimage for one rid in one commit would break that gate-skip —
-    * assert against this contract (see cdc2's GRAFT_VERIFY_CDF check)
-    * rather than weakening it. */
+    * cdc2 asserts the contract always-on (upsert-row count vs distinct
+    * rids per version, folded into its apply-plan aggregate), so a
+    * violation fails the replication loudly instead of corrupting the
+    * replica. */
   def readChangesBetween(name: String, fromVersion: Long, toVersion: Long,
                          withRowIds: Boolean = false): DataFrame = {
     val curM = readManifest(name, toVersion)
