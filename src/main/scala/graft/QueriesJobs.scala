@@ -167,6 +167,92 @@ object QueriesJobs {
       PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
       DateSpine.dimDate(s, "1995-01-01", "2002-12-31"))
 
+  // ---- composite-job cores, parameterized by the transactions frame —
+  //      the QDefs feed them PaymentData.transactions(s, dir);
+  //      tools.ScaleProbeJobs feeds k-times-replicated orders through
+  //      the same generator, so the 1x/4x/16x curves time EXACTLY the
+  //      benched logic (r7 VERDICT #2) ----
+
+  /** job_incremental: day-1 load below the cutoff + watermark record,
+    * day-2 own-watermark incremental merge with late-arrival derivation,
+    * then an idempotent-re-run proof. */
+  private[graft] def incrementalCore(s: SparkSession, tx: DataFrame,
+                                     storeName: String = "job_incr"): DataFrame = {
+    import java.sql.Timestamp
+    val st = freshStore(s, storeName)
+    val jc = new graft.ops.JobControl(st)
+    val staging = PaymentJobs.bronzeStaging(tx).cache()
+    val cutoff = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    def ntz(t: Timestamp) = lit(t.toString.stripSuffix(".0")).cast("timestamp_ntz")
+    // ---- day 1: initial load below the cutoff, watermark recorded ----
+    val batch1 = staging.filter(col("updated_at") < cutoff)
+      .withColumn("is_late_arrival", lit(false))
+      .withColumn("arrival_delay_hours", lit(0))
+      .withColumn("delta_change_type", lit("LOAD"))
+    st.createBucketed("bronze_transactions", batch1, Seq("transaction_id"), n = 32)
+    val n1 = batch1.count()
+    val w1 = Timestamp.valueOf(batch1.agg(max("updated_at"))
+      .head().getAs[java.time.LocalDateTime](0))
+    jc.record("load_bronze", "BATCH_D1", "bronze", "SUCCESS",
+      Timestamp.valueOf("2026-08-11 00:00:00"), Timestamp.valueOf("2026-08-11 01:00:00"),
+      Some(w1), n1, n1, 0)
+    // ---- day 2: OWN-watermark incremental (P2) + late arrivals (P8) ----
+    val w = ntz(jc.lastWatermark("load_bronze").get)
+    val incr = staging.filter(col("updated_at") > w)
+      .withColumn("is_late_arrival", graft.ops.Validation.isLateArrival(
+        col("transaction_timestamp"), col("updated_at"), w))
+      .withColumn("arrival_delay_hours",
+        when(col("is_late_arrival"), graft.ops.Validation.arrivalDelayHours(
+          col("transaction_timestamp"), col("updated_at"))).otherwise(lit(0)))
+      .withColumn("delta_change_type", lit("INCREMENTAL"))
+    st.mergeUpsert("bronze_transactions", incr,
+      Seq("transaction_id", "updated_at"), changeTypeCol = None)
+    val n2 = incr.count()
+    val w2 = Timestamp.valueOf(incr.agg(max("updated_at"))
+      .head().getAs[java.time.LocalDateTime](0))
+    jc.record("load_bronze", "BATCH_D2", "bronze", "SUCCESS",
+      Timestamp.valueOf("2026-08-12 00:00:00"), Timestamp.valueOf("2026-08-12 01:00:00"),
+      Some(w2), n2, n2, 0)
+    // ---- idempotent re-run: the advanced watermark admits nothing ----
+    val rerun = staging.filter(col("updated_at") > ntz(jc.lastWatermark("load_bronze").get)).count()
+    require(rerun == 0, s"idempotency violated: re-run admitted $rerun rows")
+    st.read("bronze_transactions").withColumn("watermark_used", w)
+  }
+
+  /** job_fact_load: full-width fact star build, stale+retired seed,
+    * pre-merge gate, bucket-pruned M2 merge, job_control record. */
+  private[graft] def factLoadCore(s: SparkSession, tx: DataFrame,
+                                  storeName: String = "job_factload"): DataFrame = {
+    import java.sql.Timestamp
+    val st = freshStore(s, storeName)
+    val silver = stampedSilver(PaymentJobs.bronzeStaging(tx)).cache()
+    val fact = fullFact(s, silver).cache()
+    // the reference's pre-merge gate: refuse an empty source
+    require(!fact.isEmpty, "load_fact gate: empty source")
+    val retired = s.sql(RetiredRowSparkSql)
+    val seed = fact.filter(col("date_key") % 2 === 0)
+      .withColumn("gateway_revenue", lit(0.0))
+      .unionByName(retired)
+    st.createBucketed("fact_transactions", seed, Seq("transaction_id"), n = 32)
+    st.mergeUpsert("fact_transactions", fact, Seq("transaction_id"),
+      changeTypeCol = None)
+    val n = fact.count()
+    val jc = new graft.ops.JobControl(st)
+    jc.record("load_fact", "BATCH_0001", "gold", "SUCCESS",
+      Timestamp.valueOf("2026-08-12 00:00:00"), Timestamp.valueOf("2026-08-12 01:00:00"),
+      None, n, n, 0)
+    st.read("fact_transactions")
+  }
+
+  /** job_gdpr_propagate: full bronze->silver pipeline, then the GDPR
+    * mark-and-propagate delete for one customer. */
+  private[graft] def gdprCore(s: SparkSession, tx: DataFrame,
+                              storeName: String = "job_gdpr"): DataFrame = {
+    val st = freshStore(s, storeName)
+    PaymentJobs.runPipeline(st, tx)
+    PaymentJobs.gdprDelete(st, "USER_0042")
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // ---- validate_bronze: quarantine branch (+ audit metadata cols) ----
@@ -227,11 +313,7 @@ object QueriesJobs {
     // (silver is now the registry's 21-col shape: the oracle re-derives
     //  the CDC stamps the bronze merge applied)
     "job_gdpr_propagate" -> QDef(
-      (s, dir) => {
-        val st = freshStore(s, "job_gdpr")
-        PaymentJobs.runPipeline(st, PaymentData.transactions(s, dir))
-        PaymentJobs.gdprDelete(st, "USER_0042")
-      },
+      (s, dir) => gdprCore(s, PaymentData.transactions(s, dir)),
       Some(s"$SilverFullSql\nSELECT * FROM silverf WHERE customer_id <> 'USER_0042'")),
 
     // ---- gold dims: distinct + surrogate keys + enrichment ----
@@ -527,47 +609,7 @@ object QueriesJobs {
     // late-arrival derivation, advances the watermark; a third run then
     // proves idempotency: the advanced watermark admits 0 rows.
     "job_incremental" -> QDef(
-      (s, dir) => {
-        import java.sql.Timestamp
-        val st = freshStore(s, "job_incr")
-        val jc = new graft.ops.JobControl(st)
-        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir)).cache()
-        val cutoff = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
-        def ntz(t: Timestamp) = lit(t.toString.stripSuffix(".0")).cast("timestamp_ntz")
-        // ---- day 1: initial load below the cutoff, watermark recorded ----
-        val batch1 = staging.filter(col("updated_at") < cutoff)
-          .withColumn("is_late_arrival", lit(false))
-          .withColumn("arrival_delay_hours", lit(0))
-          .withColumn("delta_change_type", lit("LOAD"))
-        st.createBucketed("bronze_transactions", batch1, Seq("transaction_id"), n = 32)
-        val n1 = batch1.count()
-        val w1 = Timestamp.valueOf(batch1.agg(max("updated_at"))
-          .head().getAs[java.time.LocalDateTime](0))
-        jc.record("load_bronze", "BATCH_D1", "bronze", "SUCCESS",
-          Timestamp.valueOf("2026-08-11 00:00:00"), Timestamp.valueOf("2026-08-11 01:00:00"),
-          Some(w1), n1, n1, 0)
-        // ---- day 2: OWN-watermark incremental (P2) + late arrivals (P8) ----
-        val w = ntz(jc.lastWatermark("load_bronze").get)
-        val incr = staging.filter(col("updated_at") > w)
-          .withColumn("is_late_arrival", graft.ops.Validation.isLateArrival(
-            col("transaction_timestamp"), col("updated_at"), w))
-          .withColumn("arrival_delay_hours",
-            when(col("is_late_arrival"), graft.ops.Validation.arrivalDelayHours(
-              col("transaction_timestamp"), col("updated_at"))).otherwise(lit(0)))
-          .withColumn("delta_change_type", lit("INCREMENTAL"))
-        st.mergeUpsert("bronze_transactions", incr,
-          Seq("transaction_id", "updated_at"), changeTypeCol = None)
-        val n2 = incr.count()
-        val w2 = Timestamp.valueOf(incr.agg(max("updated_at"))
-          .head().getAs[java.time.LocalDateTime](0))
-        jc.record("load_bronze", "BATCH_D2", "bronze", "SUCCESS",
-          Timestamp.valueOf("2026-08-12 00:00:00"), Timestamp.valueOf("2026-08-12 01:00:00"),
-          Some(w2), n2, n2, 0)
-        // ---- idempotent re-run: the advanced watermark admits nothing ----
-        val rerun = staging.filter(col("updated_at") > ntz(jc.lastWatermark("load_bronze").get)).count()
-        require(rerun == 0, s"idempotency violated: re-run admitted $rerun rows")
-        st.read("bronze_transactions").withColumn("watermark_used", w)
-      },
+      (s, dir) => incrementalCore(s, PaymentData.transactions(s, dir)),
       Some(s"""$StagingSql,
               |wm AS (SELECT max(updated_at) AS w FROM clean
               |       WHERE updated_at < TIMESTAMP '1997-01-01 00:00:00')
@@ -592,28 +634,7 @@ object QueriesJobs {
     // merge must restore the stale measures and CARRY the retired row —
     // distinguishing MERGE from blind overwrite in the oracle.
     "job_fact_load" -> QDef(
-      (s, dir) => {
-        import java.sql.Timestamp
-        val st = freshStore(s, "job_factload")
-        val silver = stampedSilver(
-          PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))).cache()
-        val fact = fullFact(s, silver).cache()
-        // the reference's pre-merge gate: refuse an empty source
-        require(!fact.isEmpty, "load_fact gate: empty source")
-        val retired = s.sql(RetiredRowSparkSql)
-        val seed = fact.filter(col("date_key") % 2 === 0)
-          .withColumn("gateway_revenue", lit(0.0))
-          .unionByName(retired)
-        st.createBucketed("fact_transactions", seed, Seq("transaction_id"), n = 32)
-        st.mergeUpsert("fact_transactions", fact, Seq("transaction_id"),
-          changeTypeCol = None)
-        val n = fact.count()
-        val jc = new graft.ops.JobControl(st)
-        jc.record("load_fact", "BATCH_0001", "gold", "SUCCESS",
-          Timestamp.valueOf("2026-08-12 00:00:00"), Timestamp.valueOf("2026-08-12 01:00:00"),
-          None, n, n, 0)
-        st.read("fact_transactions")
-      },
+      (s, dir) => factLoadCore(s, PaymentData.transactions(s, dir)),
       Some(s"""$SilverFullSql,
               |$FactDimsSql
               |$FactSelectSql

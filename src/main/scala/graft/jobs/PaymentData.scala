@@ -33,8 +33,14 @@ object PaymentData {
     * in validation predicates, pinned for determinism. */
   val Now = "2026-08-12 00:00:00"
 
-  def transactions(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+  def transactions(s: SparkSession, dir: String): DataFrame =
+    transactionsFrom(Tables.orders(s, dir))
+
+  /** Same planted-defect generator over an arbitrary orders-shaped
+    * frame (o_orderkey, o_custkey, o_orderdate, o_totalprice) — lets
+    * the scaling probes feed k-times-replicated orders through the
+    * EXACT generator the benched jobs consume. */
+  def transactionsFrom(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
     val mid = k % 520
     val base = o.select(
