@@ -64,17 +64,49 @@ object ScaleProbeAnn {
       val exact = graft.QueriesLlm.cosineTopKCore(n).localCheckpoint()
       val (lshSec, _) = t(graft.QueriesLlm.annLshCore(n).count())
       val rLsh = recall(exact, graft.QueriesLlm.annLshCore(n))
-      // the corpus-size knob: 8-bit bands (256 buckets) on the same data
-      val (lsh8Sec, _) = t(graft.QueriesLlm.annLshCore(n, bandBits = 8).count())
-      val rLsh8 = recall(exact, graft.QueriesLlm.annLshCore(n, bandBits = 8))
+      // the SELF-SIZED knob (deriveBandBits): the width the operator
+      // itself picks for this corpus count — the production path
+      val autoBits = graft.QueriesLlm.deriveBandBits(nBase * k)
+      val (lshASec, _) = t(graft.QueriesLlm.annLshCore(n, bandBits = autoBits).count())
+      val rLshA = recall(exact, graft.QueriesLlm.annLshCore(n, bandBits = autoBits))
       val (ivfSec, _) = t(graft.QueriesLlm.annIvfCore(n).count())
       val rIvf = recall(exact, graft.QueriesLlm.annIvfCore(n))
       val (pqSec, _) = t(graft.QueriesLlm.annPqCore(n).count())
       val rPq = recall(exact, graft.QueriesLlm.annPqCore(n))
       println(f"""{"k":$k,"vecs":${nBase * k},"lsh_sec":$lshSec%.2f,"lsh_recall":$rLsh%.2f,""" +
-        f""""lsh8_sec":$lsh8Sec%.2f,"lsh8_recall":$rLsh8%.2f,""" +
+        f""""lsh_auto_bits":$autoBits,"lsh_auto_sec":$lshASec%.2f,"lsh_auto_recall":$rLshA%.2f,""" +
         f""""ivf_sec":$ivfSec%.2f,"ivf_recall":$rIvf%.2f,""" +
         f""""pq_sec":$pqSec%.2f,"pq_recall":$rPq%.2f}""")
+    }
+
+    // ---- DIVERSE corpus: the other LSH regime. Per-copy dim ROTATION
+    // decorrelates replicas from the originals (near-orthogonal in 64-d),
+    // so bucket occupancy stays ~uniform as N grows — the self-sized
+    // band width should keep join work ~linear here, whereas on the
+    // duplication-heavy corpus above bucket DENSITY (copies sharing
+    // sign patterns) sets the cost no matter the width. ----
+    def diverse(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) base
+        else base.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          expr(s"transform(sequence(0, 63), j -> element_at(v, ((j + ${7 * i}) % 64) + 1))")
+            .as("v"))
+      }.reduce(_ unionByName _)
+
+    for (k <- Seq(1, 4, 16)) {
+      val n = diverse(k)
+        .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+        .localCheckpoint()
+      val exact = graft.QueriesLlm.cosineTopKCore(n).localCheckpoint()
+      val (lshSec, _) = t(graft.QueriesLlm.annLshCore(n).count())
+      val rLsh = recall(exact, graft.QueriesLlm.annLshCore(n))
+      val autoBits = graft.QueriesLlm.deriveBandBits(nBase * k)
+      val (lshASec, _) = t(graft.QueriesLlm.annLshCore(n, bandBits = autoBits).count())
+      val rLshA = recall(exact, graft.QueriesLlm.annLshCore(n, bandBits = autoBits))
+      println(f"""{"corpus":"diverse","k":$k,"vecs":${nBase * k},""" +
+        f""""lsh_sec":$lshSec%.2f,"lsh_recall":$rLsh%.2f,""" +
+        f""""lsh_auto_bits":$autoBits,"lsh_auto_sec":$lshASec%.2f,"lsh_auto_recall":$rLshA%.2f}""")
     }
     spark.stop()
   }
