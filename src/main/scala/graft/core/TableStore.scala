@@ -89,7 +89,14 @@ object TableStore {
                                           props: Map[String, String] = Map.empty,
                                           colmap: Map[String, String] = Map.empty,
                                           droppedPhys: Seq[String] = Nil,
-                                          rowbase: Map[String, Long] = Map.empty) {
+                                          rowbase: Map[String, Long] = Map.empty,
+                                          // version this snapshot was READ at (stamped by
+                                          // readManifest, never serialized): every commit
+                                          // derived from it targets baseVersion + 1, so a
+                                          // concurrent commit in between fails the manifest
+                                          // put-if-absent instead of being silently
+                                          // overwritten by the stale copy (lost update)
+                                          baseVersion: Long = -1L) {
     /** Physical (in-file) name of a logical column. */
     def phys(logical: String): String = colmap.getOrElse(logical, logical)
     /** The schema as parquet files spell it. */
@@ -299,7 +306,9 @@ class TableStore(spark: SparkSession, root: String) {
     Files.write(manifest(name, v), body.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
     // only the race WINNER reaches here — safe to cache and checkpoint
-    cacheManifest(name, v, m)
+    // (re-stamped: the committed snapshot's base is now v itself, so a
+    // cache hit never hands a later commit a stale version target)
+    cacheManifest(name, v, m.copy(baseVersion = v))
     if (body.startsWith("{\"base\"") && v % checkpointInterval == 0)
       writeCheckpoint(name, v, m)
   }
@@ -358,7 +367,7 @@ class TableStore(spark: SparkSession, root: String) {
     def fromCkpt(): Manifest =
       parseFull(MiniJson.obj(new String(
         Files.readAllBytes(ckptPath(name, v)), StandardCharsets.UTF_8)))
-    val resolved =
+    val resolved0 =
       if (Files.exists(ckptPath(name, v))) fromCkpt()
       else {
         val m = MiniJson.obj(new String(
@@ -379,6 +388,7 @@ class TableStore(spark: SparkSession, root: String) {
             }
         }
       }
+    val resolved = resolved0.copy(baseVersion = v)
     cacheManifest(name, v, resolved)
     resolved
   }
@@ -453,7 +463,13 @@ class TableStore(spark: SparkSession, root: String) {
                      extraPhys: Seq[Column] = Nil): Long = {
     import meta.{schema, bucketing}
     val priorStats = meta.stats
-    val v = if (exists(name)) currentVersion(name) + 1 else 0L
+    // version pinned from the manifest READ, not re-read here: a rival
+    // landing between the caller's readManifest and this commit must
+    // fail the put-if-absent, not get silently overwritten
+    val v =
+      if (!exists(name)) 0L
+      else if (meta.baseVersion >= 0L) meta.baseVersion + 1
+      else currentVersion(name) + 1 // fresh (unread) manifest on an existing table
     val newDirs = df match {
       case Some(d0) =>
         carryForward ++ writeBatch(name, enforceChecks(d0, meta.allChecks), v, meta,
@@ -479,8 +495,11 @@ class TableStore(spark: SparkSession, root: String) {
       commitAppendWithRetry(name, meta, added,
         stats.view.filterKeys(added.contains).toMap, propOverrides)
     } else {
-      commitManifest(name, v, meta.copy(dirs = newDirs, stats = stats,
-        props = meta.props ++ propOverrides))
+      // non-append shape (overwrite / rewrite / compaction): depends on
+      // the rows it read, so a lost race is a conflict, never a rebase
+      commitExclusive(name, v, meta.copy(dirs = newDirs, stats = stats,
+        props = meta.props ++ propOverrides),
+        if (df.isDefined) "rewrite commit" else "metadata commit")
       v
     }
   }
@@ -621,7 +640,7 @@ class TableStore(spark: SparkSession, root: String) {
   private def commitWithCdf(name: String, v: Long, m: Manifest,
                             stagedCdf: Option[Path]): Unit =
     try {
-      commitManifest(name, v, m)
+      commitExclusive(name, v, m, "row-level mutation")
       stagedCdf.foreach { s =>
         Files.move(s, dir(name).resolve("_cdf").resolve(v.toString),
           StandardCopyOption.ATOMIC_MOVE): Unit
@@ -631,6 +650,28 @@ class TableStore(spark: SparkSession, root: String) {
         stagedCdf.foreach(s => FsUtil.deleteRecursively(s.toFile))
         throw e
     }
+
+  /** Commit `m` at EXACTLY version `v` (pinned when its base manifest
+    * was read — `m.baseVersion + 1` at every call site) and translate a
+    * lost put-if-absent race into a clear conflict error. Row-level
+    * mutations and metadata changes depend on the manifest state they
+    * read, so the only safe resolutions are the append-shaped rebases
+    * ([[commitAppendWithRetry]] / [[commitEpochWithRetry]] / the attach
+    * retries) or LOUD rejection — never re-pointing the stale snapshot
+    * at whatever version is now current, which would silently discard
+    * the concurrent winner's dirs, deletion vectors, or metadata (lost
+    * update / resurrected tombstones). */
+  private def commitExclusive(name: String, v: Long, m: Manifest, op: String): Unit = {
+    onBeforeOptimisticCommit() // deterministic race injection (tests)
+    try commitManifest(name, v, m)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $name conflicts with a concurrent commit: version $v was " +
+            s"taken after this operation read version ${v - 1}; nothing was " +
+            "committed — re-run the operation against the table's new state")
+    }
+  }
 
   /** Dot-dir staging path for a version's change-feed rows. */
   private def cdfStaging(name: String, v: Long, uuid: String): Path =
@@ -817,7 +858,7 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     val (touched, _) = pruneDirsByCondition(name, m, condition)
     if (touched.isEmpty) return
-    val v = currentVersion(name) + 1
+    val v = m.baseVersion + 1
     val uuid = java.util.UUID.randomUUID.toString.take(8)
     // one scan of the touched dirs stages the matching rows (the small
     // side, by MoR's premise) with their positions; sidecar + change
@@ -892,7 +933,7 @@ class TableStore(spark: SparkSession, root: String) {
         s"${(set.keySet -- m.schema.fieldNames).mkString(", ")}")
     val (touched, _) = pruneDirsByCondition(name, m, condition)
     if (touched.isEmpty) return
-    val v = currentVersion(name) + 1
+    val v = m.baseVersion + 1
     val uuid = java.util.UUID.randomUUID.toString.take(8)
     // one scan of the touched dirs stages the matching rows (the small
     // side, by MoR's premise) with their positions; tombstones,
@@ -1472,10 +1513,10 @@ class TableStore(spark: SparkSession, root: String) {
   }
 
   private def clusterRewrite(name: String, m: Manifest, clustered: DataFrame): Unit = {
-    val v = currentVersion(name) + 1
+    val v = m.baseVersion + 1
     val (leaves, stats) = writeClusteredBatch(name, m, clustered, v)
-    commitManifest(name, v,
-      m.copy(dirs = leaves, bucketing = None, stats = stats))
+    commitExclusive(name, v,
+      m.copy(dirs = leaves, bucketing = None, stats = stats), "OPTIMIZE rewrite")
     markNoLogicalChange(name)
   }
 
@@ -1528,7 +1569,7 @@ class TableStore(spark: SparkSession, root: String) {
     if (cur.nonEmpty) groups += cur.reverse
     val (overlap, disjoint) = groups.result().partition(_.size >= 2)
     if (overlap.isEmpty) return 0
-    val v = currentVersion(name) + 1
+    val v = m.baseVersion + 1
     val rewritten = overlap.flatMap(_.map(_.dir))
     val newParts = overlap.map { g =>
       writeClusteredBatch(name, m,
@@ -1537,10 +1578,10 @@ class TableStore(spark: SparkSession, root: String) {
           .sortWithinPartitions(col(c)), v)
     }
     val carried = m.dirs.filterNot(rewritten.toSet)
-    commitManifest(name, v, m.copy(
+    commitExclusive(name, v, m.copy(
       dirs = carried ++ newParts.flatMap(_._1),
       stats = m.stats.view.filterKeys(carried.toSet).toMap ++
-        newParts.flatMap(_._2)))
+        newParts.flatMap(_._2)), "OPTIMIZE rewrite")
     markNoLogicalChange(name)
     rewritten.size
   }
@@ -1619,7 +1660,7 @@ class TableStore(spark: SparkSession, root: String) {
     val phys = m.phys(from)
     val colmap = (m.colmap - from) ++ (if (phys == to) Map.empty[String, String]
                                        else Map(to -> phys))
-    commitManifest(name, currentVersion(name) + 1, m.copy(
+    commitExclusive(name, m.baseVersion + 1, m.copy(
       schema = StructType(m.schema.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
       colmap = colmap,
@@ -1635,7 +1676,8 @@ class TableStore(spark: SparkSession, root: String) {
         ds.cols.map { case (k, v) => (if (k == from) to else k) -> v })).toMap,
       bucketing = m.bucketing.map(b => b.copy(keys =
         b.keys.map(k => if (k == from) to else k))),
-      bloomCols = m.bloomCols.map(c => if (c == from) to else c)))
+      bloomCols = m.bloomCols.map(c => if (c == from) to else c)),
+      "RENAME COLUMN")
     markNoLogicalChange(name)
   }
 
@@ -1662,13 +1704,14 @@ class TableStore(spark: SparkSession, root: String) {
     // dropping a generated/identity column itself is fine: its rule
     // goes with it (a stale identity prop would otherwise bind to a
     // later re-ADD of the same name)
-    commitManifest(name, currentVersion(name) + 1, m.copy(
+    commitExclusive(name, m.baseVersion + 1, m.copy(
       schema = StructType(m.schema.filterNot(_.name == colName)),
       colmap = m.colmap - colName,
       props = m.props - s"generated.$colName" - s"identity.$colName.next",
       stats = m.stats.view.mapValues(ds =>
         ds.copy(cols = ds.cols - colName)).toMap,
-      droppedPhys = (m.droppedPhys :+ m.phys(colName)).distinct))
+      droppedPhys = (m.droppedPhys :+ m.phys(colName)).distinct),
+      "DROP COLUMN")
     markNoLogicalChange(name)
   }
 
@@ -1892,16 +1935,16 @@ class TableStore(spark: SparkSession, root: String) {
       }
     require(!violating,
       s"existing rows violate CHECK $constraintName ($exprSql)")
-    commitManifest(name, currentVersion(name) + 1,
-      m.copy(checks = m.checks + (constraintName -> exprSql)))
+    commitExclusive(name, m.baseVersion + 1,
+      m.copy(checks = m.checks + (constraintName -> exprSql)), "ADD CONSTRAINT")
   }
 
   /** ALTER TABLE DROP CONSTRAINT. */
   def dropCheckConstraint(name: String, constraintName: String): Unit = {
     val m = readManifest(name, currentVersion(name))
     require(m.checks.contains(constraintName), s"no constraint $constraintName")
-    commitManifest(name, currentVersion(name) + 1,
-      m.copy(checks = m.checks - constraintName))
+    commitExclusive(name, m.baseVersion + 1,
+      m.copy(checks = m.checks - constraintName), "DROP CONSTRAINT")
   }
 
   def checkConstraints(name: String): Map[String, String] =
@@ -2209,11 +2252,16 @@ class TableStore(spark: SparkSession, root: String) {
       dir(name).resolve("data").resolve(dirName), m.physSchema,
       absentIsNull = false).map(m.statsToLogical).map(dirName -> _)
     requireChecksPass(name, m, Seq(dirName))
-    try commitManifest(name, currentVersion(name) + 1,
+    try commitManifest(name, m.baseVersion + 1,
       m.copy(dirs = carry :+ dirName, stats = stats))
-    catch { // losing the race on an APPEND re-reads and re-attaches
+    catch { // losing the race on an APPEND re-reads and re-attaches;
+            // an OVERWRITE depends on the rows it replaced — conflict
       case _: java.nio.file.FileAlreadyExistsException if !replace =>
         attachDir(name, dirName, replace)
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"INSERT OVERWRITE on $name conflicts with a concurrent commit — " +
+            "nothing was committed; re-run against the table's new state")
     }
   }
 
@@ -2237,11 +2285,15 @@ class TableStore(spark: SparkSession, root: String) {
       DirStats.collect(dataRoot(name).resolve(l), m.physSchema,
         absentIsNull = false).map(m.statsToLogical).map(l -> _))
     requireChecksPass(name, m, leaves)
-    try commitManifest(name, currentVersion(name) + 1,
+    try commitManifest(name, m.baseVersion + 1,
       m.copy(dirs = carry ++ leaves, stats = stats))
     catch {
       case _: java.nio.file.FileAlreadyExistsException if !replace =>
         attachBucketedDirs(name, batchDir, replace)
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"INSERT OVERWRITE on $name conflicts with a concurrent commit — " +
+            "nothing was committed; re-run against the table's new state")
     }
   }
 
@@ -2260,7 +2312,7 @@ class TableStore(spark: SparkSession, root: String) {
                   insertFiles: Seq[Path]): Unit = {
     val m = readManifest(name, currentVersion(name))
     if (deleteFiles.isEmpty && insertFiles.isEmpty) return
-    val v = currentVersion(name) + 1
+    val v = m.baseVersion + 1
     val uuid = java.util.UUID.randomUUID.toString.take(8)
     // inserted rows -> one new batch dir (files carry physical names);
     // bucketed writers staged under __b=<k> leaves — each leaf becomes
@@ -2360,8 +2412,8 @@ class TableStore(spark: SparkSession, root: String) {
       dir(name).resolve("data").resolve(dirName), m.physSchema,
       absentIsNull = false).map(m.statsToLogical).map(dirName -> _)
     requireChecksPass(name, m, Seq(dirName))
-    commitManifest(name, currentVersion(name) + 1,
-      m.copy(dirs = carry :+ dirName, stats = stats))
+    commitExclusive(name, m.baseVersion + 1,
+      m.copy(dirs = carry :+ dirName, stats = stats), "row-level rewrite")
   }
 
   /** Exactly-once streaming-sink epoch commit: move the epoch's
@@ -2471,7 +2523,8 @@ class TableStore(spark: SparkSession, root: String) {
   def setChangeFeed(name: String, enabled: Boolean): Unit = {
     val m = readManifest(name, currentVersion(name))
     if (m.cdf != enabled)
-      commitManifest(name, currentVersion(name) + 1, m.copy(cdf = enabled))
+      commitExclusive(name, m.baseVersion + 1, m.copy(cdf = enabled),
+        "SET CHANGE FEED")
   }
 
   def changeFeedEnabled(name: String): Boolean =
@@ -2486,7 +2539,8 @@ class TableStore(spark: SparkSession, root: String) {
       if (v == null) ps - k else ps + (k -> v)
     }
     if (next != m.props)
-      commitManifest(name, currentVersion(name) + 1, m.copy(props = next))
+      commitExclusive(name, m.baseVersion + 1, m.copy(props = next),
+        "SET TBLPROPERTIES")
   }
 
   def properties(name: String): Map[String, String] =
@@ -2517,7 +2571,7 @@ class TableStore(spark: SparkSession, root: String) {
     * reader distinguishes from "not recorded". */
   private def commitCdc(name: String, meta: Manifest, exploded: DataFrame,
                         carried: Seq[String]): Unit = {
-    val v = currentVersion(name) + 1
+    val v = meta.baseVersion + 1
     val uuid = java.util.UUID.randomUUID.toString.take(8)
     val staging = dataRoot(name).resolve(s".cdc-$uuid")
     val (toWrite, parts) = meta.bucketing match {
@@ -2793,8 +2847,9 @@ class TableStore(spark: SparkSession, root: String) {
     require(missingDv.isEmpty,
       s"cannot restore $name to $v: deletion vectors vacuumed: ${missingDv.mkString(",")}")
     val curM = readManifest(name, cur)
-    commitManifest(name, cur + 1, m.copy(txns = curM.txns,
-      bloomCols = curM.bloomCols, checks = curM.checks, cdf = curM.cdf))
+    commitExclusive(name, cur + 1, m.copy(txns = curM.txns,
+      bloomCols = curM.bloomCols, checks = curM.checks, cdf = curM.cdf),
+      "RESTORE")
   }
 
   /** DESCRIBE HISTORY analogue: one row per committed version still on
@@ -2836,6 +2891,7 @@ class TableStore(spark: SparkSession, root: String) {
       f.name.equalsIgnoreCase(c) && BloomIndex.supportedType(f.dataType)))
     require(bad.isEmpty,
       s"not indexable (missing or unsupported type): ${bad.mkString(",")}")
-    commitManifest(name, currentVersion(name) + 1, m.copy(bloomCols = cols))
+    commitExclusive(name, m.baseVersion + 1, m.copy(bloomCols = cols),
+      "SET BLOOM COLUMNS")
   }
 }

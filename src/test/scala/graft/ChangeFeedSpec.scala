@@ -122,19 +122,27 @@ class ChangeFeedSpec extends AnyFunSuite {
   test("SQL .changes over a full-replace version on a DV-heavy table " +
       "applies tombstones via the lazy sidecar path") {
     val root = Files.createTempDirectory("cdfdv").toString
-    spark.conf.set("spark.sql.catalog.gdvc", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.gdvc.root", root)
+    // catalog name must be UNIQUE across the whole test tree: Spark's
+    // CatalogManager caches the instance at first load, so a second
+    // suite re-setting an existing name's .root is silently ignored
+    // and resolves the FIRST suite's tables (bit this test once)
+    spark.conf.set("spark.sql.catalog.gdvfr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvfr.root", root)
     val ts = new TableStore(spark, root)
     ts.create("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
     ts.setChangeFeed("t", true)                                         // v1
     ts.deleteVectorized("t", col("id") % 10 === 0L)                     // v2: 100 DV tombstones
     ts.deleteVectorized("t", col("id") % 10 === 1L)                     // v3: +100, merged sidecar
+    assert(ts.currentVersion("t") === 3,
+      s"fixture versions shifted: at ${ts.currentVersion("t")} before the replace")
     ts.overwrite("t", Seq((0L, "fresh")).toDF("id", "v"))               // v4: full replace
+    assert(ts.currentVersion("t") === 4,
+      "fixture versions shifted: overwrite did not commit v4")
     // the synthesized delete-all group reads the PRIOR version's dirs
     // through their DV sidecars: the 200 tombstoned rows were already
     // reported deleted at v2/v3 and must NOT reappear in v4's deletes
     val dels = spark.read.option("startVersion", "3").option("endVersion", "4")
-      .table("gdvc.t.changes")
+      .table("gdvfr.t.changes")
       .filter(col("_change_type") === "delete")
       .select("id").as[Long].collect().toSet
     assert(dels.size === 800)

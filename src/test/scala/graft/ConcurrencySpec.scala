@@ -68,6 +68,88 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ts.currentVersion("t") === 10) // every append got its own version
   }
 
+  test("racing DV deletes: loser fails with a clear conflict, winner's " +
+      "tombstones are never lost") {
+    import org.apache.spark.sql.functions.col
+    val ts = freshStore()
+    ts.create("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
+    val rival = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
+    var fired = false
+    // rival's DV delete lands between our manifest read and our commit
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true; rival.deleteVectorized("t", col("id") % 10 === 3L) }
+    val e =
+      try intercept[java.util.ConcurrentModificationException](
+        ts.deleteVectorized("t", col("id") % 10 === 7L))
+      finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    assert(e.getMessage.contains("conflicts with a concurrent commit"))
+    // the WINNER's tombstones survive; the loser's never landed
+    assert(ts.read("t").filter(col("id") % 10 === 3L).count() === 0)
+    assert(ts.read("t").filter(col("id") % 10 === 7L).count() === 100)
+    // and the documented resolution — re-run against the new state — works
+    ts.deleteVectorized("t", col("id") % 10 === 7L)
+    assert(ts.read("t").count() === 800)
+  }
+
+  test("DV delete racing compaction of the same dir: either order loses " +
+      "loudly, tombstones never silently dropped") {
+    import org.apache.spark.sql.functions.col
+    // order 1: compaction wins the race, the delete conflicts
+    val ts = freshStore()
+    ts.create("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ts.deleteVectorized("t", col("id") % 10 === 0L) // v1: DV on the dir
+    val rival = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true; rival.compactDvHeavy("t", minDeletedRatio = 0.05) }
+    try intercept[java.util.ConcurrentModificationException](
+      ts.deleteVectorized("t", col("id") % 10 === 5L))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    assert(ts.read("t").count() === 900) // compaction preserved v1's deletes
+    ts.deleteVectorized("t", col("id") % 10 === 5L) // re-run lands
+    assert(ts.read("t").count() === 800)
+
+    // order 2: the delete wins the race, compaction conflicts
+    val ts2 = freshStore()
+    ts2.create("u", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ts2.deleteVectorized("u", col("id") % 10 === 0L)
+    val rival2 = new TableStore(spark, ts2.dataRoot("u").getParent.getParent.toString)
+    var fired2 = false
+    ts2.onBeforeOptimisticCommit = () =>
+      if (!fired2) { fired2 = true; rival2.deleteVectorized("u", col("id") % 10 === 5L) }
+    try intercept[java.util.ConcurrentModificationException](
+      ts2.compactDvHeavy("u", minDeletedRatio = 0.05))
+    finally ts2.onBeforeOptimisticCommit = () => ()
+    assert(fired2)
+    // BOTH deletes visible — the failed compaction dropped nothing
+    assert(ts2.read("u").count() === 800)
+    assert(ts2.compactDvHeavy("u", minDeletedRatio = 0.05) > 0) // re-run lands
+    assert(ts2.read("u").count() === 800)
+  }
+
+  test("two racing MoR merges on one table: loser conflicts, no lost update") {
+    import org.apache.spark.sql.functions.col
+    val ts = freshStore()
+    ts.createBucketed("t", (1L to 100L).map(i => (i, 0L)).toDF("id", "x"),
+      Seq("id"), 4)
+    val rival = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true
+        rival.mergeUpsert("t", Seq((1L, 111L)).toDF("id", "x"), Seq("id")) }
+    try intercept[java.util.ConcurrentModificationException](
+      ts.mergeUpsert("t", Seq((2L, 222L)).toDF("id", "x"), Seq("id")))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    // winner's update visible, loser's absent — then the re-run converges
+    assert(ts.read("t").filter(col("id") === 1L).select("x").head().getLong(0) === 111L)
+    assert(ts.read("t").filter(col("id") === 2L).select("x").head().getLong(0) === 0L)
+    ts.mergeUpsert("t", Seq((2L, 222L)).toDF("id", "x"), Seq("id"))
+    assert(ts.read("t").filter(col("id") === 2L).select("x").head().getLong(0) === 222L)
+  }
+
   test("vacuum racing live writers never breaks a commit") {
     val ts = freshStore()
     ts.create("t", Seq((0L, 0L)).toDF("id", "x"))
