@@ -79,6 +79,50 @@ object QueriesMultimodal {
               |  scale
               |FROM sc""".stripMargin)),
 
+    // ---- mm6: REAL audio-header decode — structurally valid WAV
+    //      (RIFF/WAVE chunk walk, little-endian fmt/data) and AIFF
+    //      (FORM/AIFF, big-endian COMM with a genuine 80-bit extended-
+    //      float sample rate) bytes synthesized from doc_id, parsed
+    //      back by the actual container parser. Covers BOTH endian
+    //      conventions and the IEEE-754-extended decode; the oracle
+    //      recomputes every planted field relationally, so a parser
+    //      that misreads any of them goes red. ----
+    "mm6_audio_header" -> QDef(
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val rates = Array(8000, 16000, 22050, 44100, 48000)
+            val depths = Array(8, 16, 24, 32)
+            it.map { id =>
+              val sr = rates((id % 5).toInt)
+              val ch = (id % 2 + 1).toInt
+              val bits = depths((id % 4).toInt)
+              val n = id % 1000 + 1
+              val payload =
+                if (id % 2 == 0) Multimodal.encodeWavHeader(sr, ch, bits, n)
+                else Multimodal.encodeAiffHeader(sr, ch, bits, n)
+              (id, payload)
+            }
+          }.toDF("media_id", "payload")
+        Multimodal.decodeAudioHeaders(media).toDF()
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END AS format,
+             |  CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |       WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS INT)
+             |    AS sample_rate,
+             |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+             |       WHEN 2 THEN 24 ELSE 32 END AS INT) AS bits_per_sample,
+             |  CAST(doc_id % 1000 + 1 AS BIGINT) AS n_samples,
+             |  CAST((doc_id % 1000 + 1) * 1000 //
+             |       (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |        WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END)
+             |    AS BIGINT) AS duration_ms
+             |FROM documents""".stripMargin)),
+
     // ---- mm5: REAL image-header decode — structurally valid PNG/JPEG
     //      bytes (true signatures, IHDR with a real CRC32, SOF0 marker
     //      walk) synthesized deterministically from doc_id, then parsed

@@ -197,6 +197,127 @@ object Multimodal {
     soi ++ app0 ++ sof0 ++ eoi
   }
 
+  final case class AudioHeader(
+      media_id: Long, format: String, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long)
+
+  object AudioDecoder {
+    /** REAL audio-container header parse: dispatch on magic bytes and
+      * read the container's actual fields — RIFF/WAVE `fmt ` chunk
+      * (little-endian: channels, sample rate, bits; `data` length /
+      * block-align = sample count) and FORM/AIFF `COMM` chunk
+      * (big-endian: channels, frame count, bits, sample rate as an
+      * 80-bit IEEE 754 extended float). Chunk-walks both containers, so
+      * it reads any structurally valid WAV/AIFF, not just the mm6
+      * fixtures. Returns None for non-audio payloads. */
+    def audioHeader(b: Array[Byte]): Option[AudioHeaderFields] = {
+      def u8(i: Int): Int = b(i) & 0xFF
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+          (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+      def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)) & 0xFFFFFFFFL
+      def tag(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+      if (b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+        // walk RIFF chunks for `fmt ` and `data`
+        var i = 12
+        var fmt = Option.empty[(Int, Int, Int)] // (channels, rate, bits)
+        var dataLen = -1L
+        while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+          val t = tag(i); val len = le32(i + 4)
+          if (t == "fmt " && i + 24 <= b.length)
+            fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+          else if (t == "data") dataLen = len
+          i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        }
+        fmt.collect { case (ch, sr, bits) if dataLen >= 0 && ch > 0 && sr > 0 =>
+          val n = dataLen / (ch.toLong * (bits / 8).max(1))
+          AudioHeaderFields("wav", sr, ch, bits, n)
+        }
+      } else if (b.length >= 12 && tag(0) == "FORM" && tag(8) == "AIFF") {
+        var i = 12
+        var out = Option.empty[AudioHeaderFields]
+        while (i + 8 <= b.length && out.isEmpty) {
+          val t = tag(i); val len = be32(i + 4)
+          if (t == "COMM" && i + 26 <= b.length) {
+            val ch = be16(i + 8)
+            val n = be32(i + 10)
+            val bits = be16(i + 14)
+            // 80-bit extended float at i+16: 1 sign + 15 exponent
+            // (bias 16383) + 64-bit mantissa with explicit leading 1
+            val exp = be16(i + 16) & 0x7FFF
+            val mantHi = be32(i + 18)
+            // mantissa top-32 holds sr with its MSB (the explicit
+            // leading 1) at bit 31; undo the normalization shift
+            val sr = (mantHi >>> (31 - (exp - 16383))).toInt // integer rates
+            if (ch > 0 && sr > 0) out = Some(AudioHeaderFields("aiff", sr, ch, bits, n))
+          }
+          i += 8 + len.toInt + (len.toInt & 1)
+        }
+        out
+      } else None
+    }
+  }
+
+  final case class AudioHeaderFields(format: String, sampleRate: Int,
+                                     channels: Int, bits: Int, nSamples: Long)
+
+  /** Parse REAL audio headers from a (media_id, payload BINARY) table —
+    * same shape as [[decodeImageHeaders]]: one partition-iterator pass,
+    * only parsed metadata ever shuffles; non-audio payloads drop. */
+  def decodeAudioHeaders(media: DataFrame): Dataset[AudioHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").as[Long], col("payload").as[Array[Byte]])
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = AudioDecoder
+        it.flatMap { case (id, bytes) =>
+          decoder.audioHeader(bytes).map { f =>
+            AudioHeader(id, f.format, f.sampleRate, f.channels, f.bits,
+              f.nSamples, f.nSamples * 1000L / f.sampleRate)
+          }
+        }
+      }
+  }
+
+  /** Structurally valid WAV bytes: RIFF/WAVE with a PCM `fmt ` chunk
+    * and an (empty-bodied, correctly sized) `data` chunk header. */
+  def encodeWavHeader(sampleRate: Int, channels: Int, bits: Int,
+                      nSamples: Long): Array[Byte] = {
+    def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def le32(v: Long): Array[Byte] = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val blockAlign = channels * (bits / 8)
+    val dataLen = nSamples * blockAlign
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate.toLong * blockAlign) ++
+      le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen)
+  }
+
+  /** Structurally valid AIFF bytes: FORM/AIFF with a COMM chunk whose
+    * sample rate is a genuine 80-bit extended float (integer rates). */
+  def encodeAiffHeader(sampleRate: Int, channels: Int, bits: Int,
+                       nSamples: Long): Array[Byte] = {
+    def be16(v: Int): Array[Byte] = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def be32(v: Long): Array[Byte] = Array[Byte]((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val log2 = 31 - Integer.numberOfLeadingZeros(sampleRate)
+    val exp = 16383 + log2
+    val mantHi = (sampleRate.toLong << (31 - log2)) & 0xFFFFFFFFL
+    "FORM".getBytes("US-ASCII") ++ be32(4 + 8 + 18) ++
+      "AIFF".getBytes("US-ASCII") ++
+      "COMM".getBytes("US-ASCII") ++ be32(18) ++ be16(channels) ++
+      be32(nSamples) ++ be16(bits) ++
+      be16(exp) ++ be32(mantHi) ++ be32(0L)
+  }
+
   /** Frame sampling for video payloads: every `stride` bytes yields a
     * frame offset (stub for keyframe extraction) — output is (id,
     * frame_no, offset), the real decoder would attach the frame bytes. */
