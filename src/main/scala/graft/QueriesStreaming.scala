@@ -443,6 +443,95 @@ object QueriesStreaming {
     //      MemoryStream; this makes the capability driver-visible.
     //      Scale: state is O(|users|) longs, partitioned by key — the
     //      standard shape for billions of keys. ----
+    // ---- st15: CONTINUOUS near-dup admission — x7's incremental
+    //      dedup run as a stream. Arriving document batches are commits
+    //      on a store table; readStream with maxVersionsPerTrigger=1
+    //      turns each commit into ONE micro-batch (deterministic batch
+    //      boundaries = version order — what makes an exact oracle
+    //      possible at all), and foreachBatch runs the x7 admission:
+    //      band-probe the persisted index, exact-verify candidates,
+    //      append admitted docs' bands so the NEXT batch dedups against
+    //      them. Batch 1's admissions are live index entries by batch 2
+    //      — the oracle replays both stages sequentially and every
+    //      admitted id must match. Scale shape is x7's: per batch the
+    //      index probe reads ~|batch| x nBands rows through the bucket
+    //      layout and verify work is O(candidates), never O(corpus). ----
+    "st15_stream_dedup_admission" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st15_admit"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val sh = QueriesLlm.hashedShinglesFor(s, dir).cache()
+        // base corpus (% 3 == 2) seeds the index; % 3 == 1 then % 3 == 0
+        // arrive as two committed batches
+        st.createBucketed("band_index",
+          graft.ops.Dedup.minhashBands(
+            sh.filter(col("doc_id") % 3 === 2), "doc_id", "h"),
+          Seq("bkey"), 16)
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        st.create("incoming", docs.filter(col("doc_id") % 3 === 1))  // v0
+        st.append("incoming", docs.filter(col("doc_id") % 3 === 0))  // v1
+        st.createEmpty("admitted", org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, batch BIGINT"))
+        s.conf.set("spark.sql.catalog.graft_st15", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st15.root", root)
+        val q = s.readStream.option("maxVersionsPerTrigger", "1")
+          .table("graft_st15.incoming")
+          .writeStream
+          .option("checkpointLocation", s"$root/_ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val batchSh = sh.join(b.select("doc_id").distinct(),
+              Seq("doc_id"), "left_semi").cache()
+            val batchBands =
+              graft.ops.Dedup.minhashBands(batchSh, "doc_id", "h").cache()
+            val idxBands = st.read("band_index")
+            val corpusSh = sh.join(idxBands.select("doc_id").distinct(),
+              Seq("doc_id"), "left_semi")
+            val rejected = graft.ops.Dedup.nearDupsAgainstIndex(
+              batchBands, idxBands, batchSh, corpusSh, "doc_id", "h",
+              threshold = 0.5)
+            val admitted = batchSh.select(col("doc_id")).distinct()
+              .join(rejected.select(col("batch_id").as("doc_id")),
+                Seq("doc_id"), "left_anti")
+            st.append("band_index",
+              batchBands.join(admitted, Seq("doc_id"), "left_semi"))
+            st.append("admitted", admitted.withColumn("batch", lit(id)))
+            batchSh.unpersist(); batchBands.unpersist(): Unit
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        sh.unpersist()
+        st.read("admitted")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w),
+             |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             |i1 AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
+             |       FROM sh a JOIN sh b ON a.shingle = b.shingle
+             |       WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 = 1
+             |       GROUP BY 1, 2),
+             |dup1 AS (SELECT DISTINCT bb FROM i1
+             |         JOIN sizes sa ON ca = sa.doc_id JOIN sizes sb ON bb = sb.doc_id
+             |         WHERE i / (sa.n + sb.n - i) >= 0.5),
+             |adm1 AS (SELECT DISTINCT doc_id FROM sh
+             |         WHERE doc_id % 3 = 1 AND doc_id NOT IN (SELECT bb FROM dup1)),
+             |idx2 AS (SELECT doc_id FROM sh WHERE doc_id % 3 = 2
+             |         UNION SELECT doc_id FROM adm1),
+             |i2 AS (SELECT a.doc_id AS ca, b.doc_id AS bb, count(*) AS i
+             |       FROM sh a JOIN sh b ON a.shingle = b.shingle
+             |       WHERE a.doc_id IN (SELECT doc_id FROM idx2) AND b.doc_id % 3 = 0
+             |       GROUP BY 1, 2),
+             |dup2 AS (SELECT DISTINCT bb FROM i2
+             |         JOIN sizes sa ON ca = sa.doc_id JOIN sizes sb ON bb = sb.doc_id
+             |         WHERE i / (sa.n + sb.n - i) >= 0.5),
+             |adm2 AS (SELECT DISTINCT doc_id FROM sh
+             |         WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT bb FROM dup2))
+             |SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM adm1
+             |UNION ALL
+             |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm2""".stripMargin)),
+
     "st14_stream_stateful_counts" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
