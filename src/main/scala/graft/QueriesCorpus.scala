@@ -759,6 +759,68 @@ object QueriesCorpus {
     //      combinable) + one per-doc reassembly window; the keeper key
     //      packs (doc_id, pos) into one BIGINT so the min is a plain
     //      long min, not a struct compare. ----
+    // ---- x18: EXACT-SUBSTRING dedup (the ExactSubstr method of
+    //      "Deduplicating Training Data Makes Language Models Better",
+    //      Lee et al. 2022, re-expressed relationally): every L-token
+    //      SLIDING window (stride 1 — contrast x14's disjoint segments)
+    //      is keyed by content; the FIRST occurrence corpus-wide is the
+    //      keeper, and a token survives iff some window covering it is
+    //      a keeper (short docs, < L tokens, keep everything). Removes
+    //      duplicated SPANS wherever they appear while the first copy
+    //      survives intact. Scale shape: windows move as 8-byte
+    //      xxhash64 longs (d2's collision trust), the keeper pick is
+    //      ONE map-side-combinable min-aggregate on the packed
+    //      (doc, pos) key, coverage is a bounded x L explode of keeper
+    //      windows only — no suffix array, no global sort, nothing
+    //      corpus-length in any single task. ----
+    "x18_exact_substring_dedup" -> QDef(
+      (s, dir) => {
+        val L = 10
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val wins = toks
+          .select(col("doc_id"), explode(expr(
+            s"transform(IF(size(w) >= $L, sequence(0, size(w) - $L), array()), " +
+              s"g -> struct(g as g, xxhash64(array_join(slice(w, g + 1, $L), ' ')) as wh))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.g").as("g"), col("x.wh").as("wh"),
+            graft.ops.Corpus.packedOcc(col("doc_id"), col("x.g")).as("occ"))
+        val keep = wins.groupBy(col("wh")).agg(min(col("occ")).as("keeper"))
+        val covered = wins.join(keep, Seq("wh"))
+          .filter(col("occ") === col("keeper"))
+          .select(col("doc_id"), explode(expr(s"sequence(g, g + ${L - 1})")).as("i"))
+          .distinct()
+        val cover = covered.groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("i"))).as("cov"))
+        toks.join(cover, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("w"),
+            when(size(col("w")) < L, col("w"))
+              .otherwise(expr(
+                "transform(coalesce(cov, array()), i -> element_at(w, cast(i as int) + 1))"))
+              .as("kept"))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_tok"),
+            size(col("kept")).cast("long").as("n_kept"),
+            array_join(col("kept"), " ").as("dedup_text"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |wins AS (SELECT doc_id, g, array_to_string(w[g+1:g+10], ' ') AS win,
+             |    doc_id * 1000000 + g AS occ
+             |  FROM w, unnest(generate_series(0, len(w) - 10)) AS t(g)
+             |  WHERE len(w) >= 10),
+             |keep AS (SELECT win, min(occ) AS keeper FROM wins GROUP BY win),
+             |cov AS (SELECT DISTINCT s.doc_id, s.g + t.i AS i
+             |  FROM wins s JOIN keep k ON s.win = k.win AND s.occ = k.keeper,
+             |       unnest(generate_series(0, 9)) AS t(i)),
+             |agg AS (SELECT doc_id, list_sort(list(i)) AS cov FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tok,
+             |  CAST(CASE WHEN len(d.w) < 10 THEN len(d.w)
+             |       ELSE coalesce(len(a.cov), 0) END AS BIGINT) AS n_kept,
+             |  CASE WHEN len(d.w) < 10 THEN array_to_string(d.w, ' ')
+             |       ELSE coalesce(array_to_string([d.w[i + 1] FOR i IN a.cov], ' '), '')
+             |  END AS dedup_text
+             |FROM w d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     "x14_passage_dedup" -> QDef(
       (s, dir) => {
         val segs = Tables.documents(s, dir)

@@ -55,6 +55,8 @@ object PlanDump {
         "the rid-carrying change feed cdc2 replicates from: recorded `_cdf` commits are plain file scans of their change files; synthesized appends scan ONLY that version's added dirs (`Arguments: [dirs ...]` names one dir each, not the table), and rid resolution is a BroadcastHashJoin against O(files) manifest bases — no version window rescans the table. (Apply side, r7: insert-only commits bypass the full-outer merge entirely — a fresh-rid append can't collide, so replication cost per such version is O(its changes), not O(replica); measured 24.2→10.0 s at sf0.1 together with the DV staging persist. Floor, ProfileCdc-measured: ~2/3 of the remaining wall-clock CONSTRUCTS the 6-commit source history the query replicates from — a fixture cost the query pays per run that a real deployment pays once at write time; replication proper is ~5 s = feed read O(changes) + 4 apply commits at ~1 s fixed commit cost each. Shrinking further means batching apply commits, which would change the replica's version-by-version semantics — not worth it.)",
       "x14_passage_dedup" ->
         "passage dedup: ONE shuffle of segments into the min-keeper HashAggregate (partial_min on the packed BIGINT — map-side combine), an equi-join back on seg (AQE broadcasts the keeper table at this SF; a shuffle join at corpus scale), and one per-doc reassembly aggregate — no cartesian, no window, no global sort",
+      "x18_exact_substring_dedup" ->
+        "ExactSubstr dedup (sliding L-token windows, keeper = first occurrence corpus-wide): windows shuffle as xxhash64 LONGS (8 bytes each, never the 10-word strings), keeper pick is ONE map-side-combinable min HashAggregate on the packed (doc,pos) BIGINT, coverage is a bounded xL explode of KEEPER windows only, and reconstruction is one per-doc aggregate — no suffix array, no global sort, no task sees more than one doc's text",
       "x13_dsir_resample" ->
         "DSIR: the score join is a BroadcastHashJoin (256-row score table); selection is TakeOrderedAndProject(limit=100) — the rank Window sits ABOVE the limit, so it only ever sees 100 rows",
       "d4_simhash" ->
