@@ -22,7 +22,8 @@ object Bench {
     "d3_minhash_lsh", "d5_dedup_clusters", "e3_ann_lsh_topk",
     "d2_ngram_jaccard", "x4_asof_join", "x7_incremental_dedup",
     "x8_corpus_pipeline", "sql_mor_merge", "cdc2_rowid_replicate",
-    "cdc3_rowid_compact_apply")
+    "cdc3_rowid_compact_apply", "x18_exact_substring_dedup",
+    "st15_stream_dedup_admission")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
