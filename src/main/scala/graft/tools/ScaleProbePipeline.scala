@@ -99,8 +99,30 @@ object ScaleProbePipeline {
           .count()
       }
 
+      // x18 ExactSubstr core (sliding 10-token windows as xxhash64
+      // longs, min-keeper, keeper-coverage reconstruction) — 10x x14's
+      // window density; expect the same ~linear shape since windows
+      // move as 8-byte longs and the keeper pick map-side combines
+      val (substrSec, nSub) = t {
+        val L = 10
+        val toks = c.select(col("doc_id"), split(col("text"), " ").as("w"))
+        val wins = toks
+          .select(col("doc_id"), explode(expr(
+            s"transform(IF(size(w) >= $L, sequence(0, size(w) - $L), array()), " +
+              s"g -> struct(g as g, xxhash64(array_join(slice(w, g + 1, $L), ' ')) as wh))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.g").as("g"), col("x.wh").as("wh"),
+            graft.ops.Corpus.packedOcc(col("doc_id"), col("x.g")).as("occ"))
+        val keep = wins.groupBy(col("wh")).agg(min(col("occ")).as("keeper"))
+        wins.join(keep, Seq("wh")).filter(col("occ") === col("keeper"))
+          .select(col("doc_id"), explode(expr(s"sequence(g, g + ${L - 1})")).as("i"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          .count()
+      }
+
       println(f"""{"k":$k,"docs":${nBase * k},"passage_dedup_sec":$dedupSec%.2f,""" +
-        f""""dedup_docs":$nDocs,"dsir_sec":$dsirSec%.2f,"dsir_top":$nTop}""")
+        f""""dedup_docs":$nDocs,"dsir_sec":$dsirSec%.2f,"dsir_top":$nTop,""" +
+        f""""exact_substr_sec":$substrSec%.2f,"substr_docs":$nSub}""")
     }
     spark.stop()
   }
