@@ -232,4 +232,53 @@ class PropertySpec extends AnyFunSuite {
         s"seed=$seed: a segment survived twice")
     }
   }
+
+  test("packedOcc: in-range packs losslessly; out-of-range RAISES " +
+      "instead of silently colliding") {
+    val rnd = new scala.util.Random(8L)
+    val pairs = Seq.fill(200)((rnd.nextLong(9000000000000L), rnd.nextInt(1000000).toLong))
+    val got = pairs.toDF("doc_id", "g")
+      .select(graft.ops.Corpus.packedOcc(col("doc_id"), col("g")).as("occ"))
+      .as[Long].collect()
+    assert(got.toSeq === pairs.map { case (d, g) => d * 1000000L + g })
+    for ((d, g) <- Seq((1L, 1000000L), (-1L, 0L), (Long.MaxValue / 1000000L, 0L))) {
+      val e = intercept[Exception](
+        Seq((d, g)).toDF("doc_id", "g")
+          .select(graft.ops.Corpus.packedOcc(col("doc_id"), col("g")))
+          .collect())
+      assert(e.getMessage.contains("packedOcc out of range"), s"($d,$g): $e")
+    }
+  }
+
+  test("audio headers round-trip: encode -> chunk-walk parse recovers " +
+      "every field, WAV and AIFF") {
+    import graft.functions.Multimodal
+    val rnd = new scala.util.Random(11L)
+    for (_ <- 1 to 100) {
+      val sr = Seq(8000, 11025, 16000, 22050, 32000, 44100, 48000, 96000)(rnd.nextInt(8))
+      val ch = rnd.nextInt(8) + 1
+      val bits = Seq(8, 16, 24, 32)(rnd.nextInt(4))
+      val n = rnd.nextInt(2000000).toLong
+      val w = Multimodal.AudioDecoder.audioHeader(
+        Multimodal.encodeWavHeader(sr, ch, bits, n))
+      assert(w.contains(Multimodal.AudioHeaderFields("wav", sr, ch, bits, n)),
+        s"wav sr=$sr ch=$ch bits=$bits n=$n -> $w")
+      val a = Multimodal.AudioDecoder.audioHeader(
+        Multimodal.encodeAiffHeader(sr, ch, bits, n))
+      assert(a.contains(Multimodal.AudioHeaderFields("aiff", sr, ch, bits, n)),
+        s"aiff sr=$sr ch=$ch bits=$bits n=$n -> $a")
+    }
+    // non-audio bytes never parse
+    assert(Multimodal.AudioDecoder.audioHeader("not audio at all!!".getBytes).isEmpty)
+  }
+
+  test("deriveBandBits: clamped to [4,16], monotone in corpus size, " +
+      "4-bit at both fixture scales") {
+    val f = graft.QueriesLlm.deriveBandBits _
+    assert(f(0L) === 4 && f(500L) === 4 && f(2000L) === 4) // fixtures stay at the gate-green width
+    assert(f(Long.MaxValue) === 16)
+    val pts = Seq(1L, 100L, 2048L, 32768L, 1000000L, 100000000L).map(f)
+    assert(pts === pts.sorted, s"not monotone: $pts")
+    assert(pts.forall(b => b >= 4 && b <= 16))
+  }
 }
