@@ -371,8 +371,11 @@ object QueriesLlm {
     * corpus count; candidates = same-band vectors only, then exact
     * cosine + top-k. */
   private[graft] def annLshTopK(s: SparkSession, dir: String): DataFrame = {
-    val n = normed(s, dir)
-    annLshCore(n, deriveBandBits(n.count()))
+    // the sizing stat is the raw row count — take it from the parquet
+    // footers (metadata-only count on the bare table), NOT by running
+    // the normalization pipeline a second time
+    val nVecs = Tables.embeddings(s, dir).count()
+    annLshCore(normed(s, dir), deriveBandBits(nVecs))
   }
 
   /** Self-sizing of banded LSH's corpus-size knob (r7 VERDICT #6): pick
@@ -387,7 +390,8 @@ object QueriesLlm {
     *
     * TargetBucket = 128 keeps both fixtures (500 / 2 000 vectors) at
     * the 4-bit floor — the width the 0.8 recall gate is green at — and
-    * widens from ~32 000 vectors up. Documented bound: widening trades
+    * widens above 2 048 vectors (5-bit), reaching 8-bit bands at
+    * ~32 768. Documented bound: widening trades
     * per-band collision odds (p^bandBits); on corpora whose true
     * neighbors are WEAK (this synthetic set's top-5 cosine averages
     * ~0.35, p~0.6) recall decays with width, so past ~10^6 vectors the

@@ -433,16 +433,6 @@ object QueriesStreaming {
              |  CAST(0 AS BIGINT) AS n_missed, TRUE AS extra_ok
              |FROM exact""".stripMargin)),
 
-    // ---- st14: custom streaming state — mapGroupsWithState running
-    //      per-user event counts. The state store carries one Long per
-    //      user across micro-batches; update mode emits the refreshed
-    //      count whenever a user appears in a batch, and the CONVERGED
-    //      state (max emission per user — counts are monotone) must
-    //      equal the batch groupBy count exactly. Multi-batch state
-    //      carry-over is pinned separately in StreamingSpec with a
-    //      MemoryStream; this makes the capability driver-visible.
-    //      Scale: state is O(|users|) longs, partitioned by key — the
-    //      standard shape for billions of keys. ----
     // ---- st15: CONTINUOUS near-dup admission — x7's incremental
     //      dedup run as a stream. Arriving document batches are commits
     //      on a store table; readStream with maxVersionsPerTrigger=1
@@ -532,6 +522,16 @@ object QueriesStreaming {
              |UNION ALL
              |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM adm2""".stripMargin)),
 
+    // ---- st14: custom streaming state — mapGroupsWithState running
+    //      per-user event counts. The state store carries one Long per
+    //      user across micro-batches; update mode emits the refreshed
+    //      count whenever a user appears in a batch, and the CONVERGED
+    //      state (max emission per user — counts are monotone) must
+    //      equal the batch groupBy count exactly. Multi-batch state
+    //      carry-over is pinned separately in StreamingSpec with a
+    //      MemoryStream; this makes the capability driver-visible.
+    //      Scale: state is O(|users|) longs, partitioned by key — the
+    //      standard shape for billions of keys. ----
     "st14_stream_stateful_counts" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}

@@ -221,17 +221,26 @@ object Multimodal {
         ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
           u8(i + 3)) & 0xFFFFFFFFL
       def tag(i: Int): String = new String(b.slice(i, i + 4), "US-ASCII")
+      // a chunk length is UNTRUSTED input: a malformed value (negative
+      // after toInt, or huge) must end the walk as "not parseable",
+      // never stall or walk i backwards — these parsers run inside
+      // executor tasks over arbitrary binary columns
+      val MaxChunk = 1L << 31
       if (b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
         // walk RIFF chunks for `fmt ` and `data`
         var i = 12
         var fmt = Option.empty[(Int, Int, Int)] // (channels, rate, bits)
         var dataLen = -1L
-        while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+        var bad = false
+        while (!bad && i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
           val t = tag(i); val len = le32(i + 4)
-          if (t == "fmt " && i + 24 <= b.length)
-            fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
-          else if (t == "data") dataLen = len
-          i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+          if (len < 0L || len >= MaxChunk) bad = true
+          else {
+            if (t == "fmt " && i + 24 <= b.length)
+              fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+            else if (t == "data") dataLen = len
+            i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+          }
         }
         fmt.collect { case (ch, sr, bits) if dataLen >= 0 && ch > 0 && sr > 0 =>
           val n = dataLen / (ch.toLong * (bits / 8).max(1))
@@ -240,22 +249,32 @@ object Multimodal {
       } else if (b.length >= 12 && tag(0) == "FORM" && tag(8) == "AIFF") {
         var i = 12
         var out = Option.empty[AudioHeaderFields]
-        while (i + 8 <= b.length && out.isEmpty) {
+        var bad = false
+        while (!bad && i + 8 <= b.length && out.isEmpty) {
           val t = tag(i); val len = be32(i + 4)
-          if (t == "COMM" && i + 26 <= b.length) {
-            val ch = be16(i + 8)
-            val n = be32(i + 10)
-            val bits = be16(i + 14)
-            // 80-bit extended float at i+16: 1 sign + 15 exponent
-            // (bias 16383) + 64-bit mantissa with explicit leading 1
-            val exp = be16(i + 16) & 0x7FFF
-            val mantHi = be32(i + 18)
-            // mantissa top-32 holds sr with its MSB (the explicit
-            // leading 1) at bit 31; undo the normalization shift
-            val sr = (mantHi >>> (31 - (exp - 16383))).toInt // integer rates
-            if (ch > 0 && sr > 0) out = Some(AudioHeaderFields("aiff", sr, ch, bits, n))
+          if (len < 0L || len >= MaxChunk) bad = true
+          else {
+            if (t == "COMM" && i + 26 <= b.length) {
+              val ch = be16(i + 8)
+              val n = be32(i + 10)
+              val bits = be16(i + 14)
+              // 80-bit extended float at i+16: 1 sign + 15 exponent
+              // (bias 16383) + 64-bit mantissa with explicit leading 1
+              val exp = be16(i + 16) & 0x7FFF
+              val shift = 31 - (exp - 16383)
+              val mantHi = be32(i + 18)
+              // mantissa top-32 holds sr with its MSB (the explicit
+              // leading 1) at bit 31; undo the normalization shift
+              // (integer rates only — a shift outside [0,31] is some
+              // other float, not a rate this parser understands)
+              if (shift >= 0 && shift <= 31) {
+                val sr = (mantHi >>> shift).toInt
+                if (ch > 0 && sr > 0)
+                  out = Some(AudioHeaderFields("aiff", sr, ch, bits, n))
+              }
+            }
+            i += 8 + len.toInt + (len.toInt & 1)
           }
-          i += 8 + len.toInt + (len.toInt & 1)
         }
         out
       } else None

@@ -30,7 +30,7 @@ object Corpus {
     * data). */
   def packedOcc(docId: Column, g: Column): Column = {
     val maxDoc = Long.MaxValue / 1000000L // 9.22e12 docs
-    when(g >= 1000000L || docId < 0L || docId >= maxDoc,
+    when(g < 0L || g >= 1000000L || docId < 0L || docId >= maxDoc,
       raise_error(concat(
         lit("packedOcc out of range (need 0 <= doc_id < 9.2e12, segment < 1e6): doc_id="),
         docId.cast("string"), lit(" g="), g.cast("string"))).cast("long"))

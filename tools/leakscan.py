@@ -47,9 +47,12 @@ CHECKS = {
         r"\b(?:com|net|ai)\.(?!fasterxml)[a-z0-9]+\.internal\b", line) is not None,
     "internal-bucket": lambda line: re.search(
         r"\b(?:gs|s3a?|abfss?|wasbs?)://[A-Za-z0-9._-]+", line) is not None,
+    # go/ short links and #channel names must flag WITHOUT the word
+    # "slack" nearby — they are exactly the internal-link shapes this
+    # category exists for (word-bounded so "cargo/x" etc. don't match)
     "slack-link": lambda line: re.search(
-        r"slack\.com|go/[a-z][a-z0-9-]+\b|#[a-z]+-[a-z]+-[a-z-]+\b", line) is not None
-        and "slack" in line.lower(),
+        r"slack\.com|(?<![a-z])go/[a-z][a-z0-9-]+\b|(?<=\s)#[a-z]+-[a-z]+-[a-z-]+\b",
+        line) is not None,
     "api-key": lambda line: re.search(
         r"AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{20,}|-----BEGIN [A-Z ]*PRIVATE KEY|"
         r"(?:api|secret|access)[_-]?key\s*[:=]\s*[\"'][A-Za-z0-9+/=]{16,}", line,
