@@ -460,7 +460,8 @@ class TableStore(spark: SparkSession, root: String) {
   private def commit(name: String, df: Option[DataFrame], meta: Manifest,
                      carryForward: Seq[String],
                      propOverrides: Map[String, String] = Map.empty,
-                     extraPhys: Seq[Column] = Nil): Long = {
+                     extraPhys: Seq[Column] = Nil,
+                     appendShaped: Boolean = false): Long = {
     import meta.{schema, bucketing}
     val priorStats = meta.stats
     // version pinned from the manifest READ, not re-read here: a rival
@@ -487,10 +488,16 @@ class TableStore(spark: SparkSession, root: String) {
               .map(meta.statsToLogical))
           .map(d -> _)
       }.toMap.seq }
-    // APPEND-shaped commits (every base dir carried, only additions) take
-    // the optimistic-concurrency path: a manifest collision rebases the
-    // added dirs onto the winner's manifest instead of failing
-    if (df.isDefined && exists(name) && carryForward == meta.dirs) {
+    // APPEND-shaped commits (caller DECLARED append intent and carries
+    // every base dir, only additions) take the optimistic-concurrency
+    // path: a manifest collision rebases the added dirs onto the
+    // winner's manifest instead of failing. The intent is explicit, not
+    // inferred from carryForward == meta.dirs: on a ZERO-dir table that
+    // inference would classify INSERT OVERWRITE (and all-insert merges)
+    // as appends and silently rebase a rival's rows INTO the overwrite.
+    if (appendShaped && df.isDefined && exists(name)) {
+      require(carryForward == meta.dirs,
+        s"append-shaped commit on $name must carry every base dir")
       val added = newDirs.filterNot(carryForward.contains)
       commitAppendWithRetry(name, meta, added,
         stats.view.filterKeys(added.contains).toMap, propOverrides)
@@ -666,10 +673,13 @@ class TableStore(spark: SparkSession, root: String) {
     try commitManifest(name, v, m)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        val basis =
+          if (v == 0L) "was taken by a concurrent create"
+          else s"was taken after this operation read version ${v - 1}"
         throw new java.util.ConcurrentModificationException(
-          s"$op on $name conflicts with a concurrent commit: version $v was " +
-            s"taken after this operation read version ${v - 1}; nothing was " +
-            "committed — re-run the operation against the table's new state")
+          s"$op on $name conflicts with a concurrent commit: version $v " +
+            s"$basis; nothing was committed — re-run the operation against " +
+            "the table's new state")
     }
   }
 
@@ -1261,7 +1271,7 @@ class TableStore(spark: SparkSession, root: String) {
     val m = readManifest(name, currentVersion(name))
     val (withIds, idProps) = applyIdentity(df, m)
     commit(name, Some(conform(applyGenerated(withIds, m), m.schema)), m,
-      m.dirs, idProps): Unit
+      m.dirs, idProps, appendShaped = true): Unit
     maybeAutoCompact(name)
   }
 
@@ -1318,9 +1328,9 @@ class TableStore(spark: SparkSession, root: String) {
     // refuses supplied values) and conform is a no-op
     val df = rewriteSource(name, m, m.dirs)
     val sized = if (targetPartitions > 0) df.coalesce(targetPartitions) else df
-    commit(name, Some(sized), m.copy(stats = Map.empty), Seq.empty,
-      extraPhys = rewriteExtra(m)): Unit
-    markNoLogicalChange(name)
+    val v = commit(name, Some(sized), m.copy(stats = Map.empty), Seq.empty,
+      extraPhys = rewriteExtra(m))
+    markNoLogicalChange(name, v, m.cdf)
   }
 
   /** OPTIMIZE ... WHERE (predicate-scoped compaction): fold only the
@@ -1336,9 +1346,9 @@ class TableStore(spark: SparkSession, root: String) {
     if (touched.size <= 1) return // nothing to fold
     // meta passes through unchanged: bucketed tables re-route the
     // folded rows into __b leaves, keeping their layout
-    commit(name, Some(rewriteSource(name, m, touched)), m, carried,
-      extraPhys = rewriteExtra(m)): Unit
-    markNoLogicalChange(name)
+    val v = commit(name, Some(rewriteSource(name, m, touched)), m, carried,
+      extraPhys = rewriteExtra(m))
+    markNoLogicalChange(name, v, m.cdf)
   }
 
   /** Deletion-vector purge: rewrite ONLY the dirs whose tombstone
@@ -1361,9 +1371,9 @@ class TableStore(spark: SparkSession, root: String) {
     }
     if (heavy.isEmpty) return 0
     val carried = m.dirs.filterNot(heavy.toSet)
-    commit(name, Some(rewriteSource(name, m, heavy)), m, carried,
-      extraPhys = rewriteExtra(m)): Unit
-    markNoLogicalChange(name)
+    val v = commit(name, Some(rewriteSource(name, m, heavy)), m, carried,
+      extraPhys = rewriteExtra(m))
+    markNoLogicalChange(name, v, m.cdf)
     heavy.size
   }
 
@@ -1391,19 +1401,22 @@ class TableStore(spark: SparkSession, root: String) {
     }
     val (small, big) = m.dirs.partition(d => dirBytes(d) < maxBytes)
     if (small.size <= 1) return 0
-    commit(name, Some(rewriteSource(name, m, small)), m, big,
-      extraPhys = rewriteExtra(m)): Unit
-    markNoLogicalChange(name)
+    val v = commit(name, Some(rewriteSource(name, m, small)), m, big,
+      extraPhys = rewriteExtra(m))
+    markNoLogicalChange(name, v, m.cdf)
     small.size
   }
 
   /** OPTIMIZE-family commits rewrite files but change no rows: with the
     * change feed on, stamp an empty `_cdf/<v>` marker so the CDF reader
-    * reports zero changes instead of a spurious full delete+insert. */
-  private def markNoLogicalChange(name: String): Unit =
-    if (readManifest(name, currentVersion(name)).cdf)
-      Files.createDirectories(
-        dir(name).resolve("_cdf").resolve(currentVersion(name).toString)): Unit
+    * reports zero changes instead of a spurious full delete+insert.
+    * `v` is the version the caller COMMITTED (pinned) and `cdf` the flag
+    * it carried into that version — never re-read here: a rival append
+    * landing right after the commit must not get ITS version stamped
+    * "zero logical changes" (which would erase its rows from the feed). */
+  private def markNoLogicalChange(name: String, v: Long, cdf: Boolean): Unit =
+    if (cdf)
+      Files.createDirectories(dir(name).resolve("_cdf").resolve(v.toString)): Unit
 
   /** OPTIMIZE ... clustered-by-range (ZORDER-lite, single dimension
     * family): rewrite the table range-partitioned on `cols` with ONE
@@ -1517,7 +1530,7 @@ class TableStore(spark: SparkSession, root: String) {
     val (leaves, stats) = writeClusteredBatch(name, m, clustered, v)
     commitExclusive(name, v,
       m.copy(dirs = leaves, bucketing = None, stats = stats), "OPTIMIZE rewrite")
-    markNoLogicalChange(name)
+    markNoLogicalChange(name, v, m.cdf)
   }
 
   /** INCREMENTAL re-clustering (the OPTIMIZE cadence a 100 TB table can
@@ -1582,7 +1595,7 @@ class TableStore(spark: SparkSession, root: String) {
       dirs = carried ++ newParts.flatMap(_._1),
       stats = m.stats.view.filterKeys(carried.toSet).toMap ++
         newParts.flatMap(_._2)), "OPTIMIZE rewrite")
-    markNoLogicalChange(name)
+    markNoLogicalChange(name, v, m.cdf)
     rewritten.size
   }
 
@@ -1634,9 +1647,9 @@ class TableStore(spark: SparkSession, root: String) {
       if (f.name == colName) f.copy(dataType = newType) else f))
     val recast = read(name).withColumn(colName, col(colName).cast(newType))
       .select(newSchema.map(f => col(f.name)): _*)
-    commit(name, Some(recast),
-      m.copy(schema = newSchema, stats = Map.empty), Seq.empty): Unit
-    markNoLogicalChange(name)
+    val v = commit(name, Some(recast),
+      m.copy(schema = newSchema, stats = Map.empty), Seq.empty)
+    markNoLogicalChange(name, v, m.cdf)
   }
 
   /** ALTER TABLE RENAME COLUMN — metadata-only, the Delta
@@ -1678,7 +1691,7 @@ class TableStore(spark: SparkSession, root: String) {
         b.keys.map(k => if (k == from) to else k))),
       bloomCols = m.bloomCols.map(c => if (c == from) to else c)),
       "RENAME COLUMN")
-    markNoLogicalChange(name)
+    markNoLogicalChange(name, m.baseVersion + 1, m.cdf)
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only: files keep the column's
@@ -1712,7 +1725,7 @@ class TableStore(spark: SparkSession, root: String) {
         ds.copy(cols = ds.cols - colName)).toMap,
       droppedPhys = (m.droppedPhys :+ m.phys(colName)).distinct),
       "DROP COLUMN")
-    markNoLogicalChange(name)
+    markNoLogicalChange(name, m.baseVersion + 1, m.cdf)
   }
 
   /** CLONE (Delta `CREATE TABLE ... CLONE` semantics): a new table
@@ -2242,27 +2255,31 @@ class TableStore(spark: SparkSession, root: String) {
     * INSERT OVERWRITE) in a new committed version. Attached dirs are
     * unbucketed — on bucketed tables the prune path detects the mixed
     * layout and falls back to full rewrites until compact() re-splits. */
-  def attachDir(name: String, dirName: String, replace: Boolean): Unit = {
-    val m = readManifest(name, currentVersion(name))
-    val carry = if (replace) Seq.empty else m.dirs
-    val carryStats = m.stats.view.filterKeys(carry.contains).toMap
+  def attachDir(name: String, dirName: String, replace: Boolean,
+                basedOnVersion: Long = -1L): Unit = {
+    // row-level replace-all fallback passes the version its SCAN read
+    // (basedOnVersion >= 0): the replacement rows were rebuilt from that
+    // snapshot, so the commit must pin there — re-reading at commit time
+    // would silently fold a rival's intervening DV delete / compaction
+    // into a version built from pre-mutation rows
+    val m = readManifest(name,
+      if (basedOnVersion >= 0L) basedOnVersion else currentVersion(name))
     // absentIsNull=false: this dir came from an external writer, so a
     // missing column chunk can't be assumed to mean ADD-COLUMN all-null
-    val stats = carryStats ++ DirStats.collect(
+    val dirStats = DirStats.collect(
       dir(name).resolve("data").resolve(dirName), m.physSchema,
-      absentIsNull = false).map(m.statsToLogical).map(dirName -> _)
+      absentIsNull = false).map(m.statsToLogical).map(dirName -> _).toList.toMap
     requireChecksPass(name, m, Seq(dirName))
-    try commitManifest(name, m.baseVersion + 1,
-      m.copy(dirs = carry :+ dirName, stats = stats))
-    catch { // losing the race on an APPEND re-reads and re-attaches;
-            // an OVERWRITE depends on the rows it replaced — conflict
-      case _: java.nio.file.FileAlreadyExistsException if !replace =>
-        attachDir(name, dirName, replace)
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"INSERT OVERWRITE on $name conflicts with a concurrent commit — " +
-            "nothing was committed; re-run against the table's new state")
-    }
+    if (replace)
+      // OVERWRITE depends on the rows it replaced — a lost race is a
+      // loud conflict (commitExclusive), never a rebase
+      commitExclusive(name, m.baseVersion + 1,
+        m.copy(dirs = Seq(dirName), stats = dirStats),
+        if (basedOnVersion >= 0L) "row-level rewrite" else "INSERT OVERWRITE")
+    else
+      // APPEND rebases onto a rival's manifest via the shared bounded
+      // retry (metadata conflicts refused, 50-attempt cap, test hook)
+      commitAppendWithRetry(name, m, Seq(dirName), dirStats): Unit
   }
 
   /** Attach a batch the DSv2 write path laid out as hash-bucket LEAF
@@ -2279,22 +2296,15 @@ class TableStore(spark: SparkSession, root: String) {
         _.iterator().asScala
           .map(_.getFileName.toString).filter(_.startsWith("__b="))
           .map(l => s"$batchDir/$l").toSeq.sorted)
-    val carry = if (replace) Seq.empty else m.dirs
-    val carryStats = m.stats.view.filterKeys(carry.contains).toMap
-    val stats = carryStats ++ leaves.flatMap(l =>
+    val leafStats = leaves.flatMap(l =>
       DirStats.collect(dataRoot(name).resolve(l), m.physSchema,
-        absentIsNull = false).map(m.statsToLogical).map(l -> _))
+        absentIsNull = false).map(m.statsToLogical).map(l -> _)).toMap
     requireChecksPass(name, m, leaves)
-    try commitManifest(name, m.baseVersion + 1,
-      m.copy(dirs = carry ++ leaves, stats = stats))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException if !replace =>
-        attachBucketedDirs(name, batchDir, replace)
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"INSERT OVERWRITE on $name conflicts with a concurrent commit — " +
-            "nothing was committed; re-run against the table's new state")
-    }
+    if (replace)
+      commitExclusive(name, m.baseVersion + 1,
+        m.copy(dirs = leaves, stats = leafStats), "INSERT OVERWRITE")
+    else
+      commitAppendWithRetry(name, m, leaves, leafStats): Unit
   }
 
   /** Commit a MERGE-ON-READ (delta-based) SQL row-level operation in
@@ -2404,8 +2414,19 @@ class TableStore(spark: SparkSession, root: String) {
     * ([[graft.sources.GraftSqlTable]]): a MERGE INTO / UPDATE whose
     * runtime group filter touched 1 of N dirs rewrites 1 dir, not the
     * table. */
-  def replaceDirs(name: String, removed: Set[String], dirName: String): Unit = {
-    val m = readManifest(name, currentVersion(name))
+  def replaceDirs(name: String, removed: Set[String], dirName: String,
+                  basedOnVersion: Long = -1L): Unit = {
+    // pin to the version the operation's SCAN read (the DSv2 path passes
+    // its snapshot version): the replacement dir holds rows rebuilt from
+    // THAT snapshot, so a rival committing after it (DV delete,
+    // compaction) must turn this commit into a loud conflict — a
+    // commit-time re-read would adopt the rival's manifest while writing
+    // rows that predate it (resurrected tombstones / duplicated dirs)
+    val m = readManifest(name,
+      if (basedOnVersion >= 0L) basedOnVersion else currentVersion(name))
+    require(removed.subsetOf(m.dirs.toSet),
+      s"row-level rewrite on $name replaces dirs not live in the manifest " +
+        s"it read: ${(removed -- m.dirs.toSet).mkString(",")}")
     val carry = m.dirs.filterNot(removed.contains)
     val carryStats = m.stats.view.filterKeys(carry.contains).toMap
     val stats = carryStats ++ DirStats.collect(

@@ -501,7 +501,11 @@ class GraftSqlTable(root: String, tableName: String,
           wInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
           : org.apache.spark.sql.connector.write.WriteBuilder =
         new GraftWriteBuilder(root, tableName, wInfo.schema(), replaceAll = true,
-          replacedDirs = () => touched, colmap = snap.colmap)
+          replacedDirs = () => touched, colmap = snap.colmap,
+          // the commit pins at the snapshot the operation scan read, so
+          // a rival mutation landing mid-MERGE conflicts instead of
+          // being silently overwritten by rows rebuilt from its past
+          scanVersion = () => snap.version)
     }
   }
 

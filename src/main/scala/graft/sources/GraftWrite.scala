@@ -29,7 +29,8 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
                         replacedDirs: () => Option[Set[String]] = () => None,
                         queryId: String = "",
                         bucketing: Option[(Seq[String], Int)] = None,
-                        colmap: Map[String, String] = Map.empty)
+                        colmap: Map[String, String] = Map.empty,
+                        scanVersion: () => Long = () => -1L)
     extends WriteBuilder with SupportsTruncate {
 
   /** COLUMN MAPPING: parquet files carry PHYSICAL names. Incoming rows
@@ -67,7 +68,8 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
     override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite =
       new GraftBatchWrite(root, table, physSchema, replace, rowLevel = replaceAll,
-        replacedDirs, bucketing = bucketedInsert.map { case (ks, n) => (ks.map(phys), n) })
+        replacedDirs, bucketing = bucketedInsert.map { case (ks, n) => (ks.map(phys), n) },
+        scanVersion = scanVersion)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftStreamingWrite(root, table, physSchema, queryId)
   }
@@ -119,7 +121,8 @@ class GraftStreamingWriterFactory(scratch: String, schema: StructType)
 class GraftBatchWrite(root: String, table: String, schema: StructType,
                       replace: Boolean, rowLevel: Boolean,
                       replacedDirs: () => Option[Set[String]] = () => None,
-                      bucketing: Option[(Seq[String], Int)] = None)
+                      bucketing: Option[(Seq[String], Int)] = None,
+                      scanVersion: () => Long = () => -1L)
     extends BatchWrite {
   private val batchDir = "sq" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
@@ -136,12 +139,20 @@ class GraftBatchWrite(root: String, table: String, schema: StructType,
       if (!wrote) Files.createDirectories(Paths.get(root, table, "data", batchDir))
       (replacedDirs(), bucketing) match {
         // group-based row-level op: the runtime group filter proved the
-        // operation touched only these dirs — replace them, carry the rest
-        case (Some(removed), _) => store.replaceDirs(table, removed, batchDir)
+        // operation touched only these dirs — replace them, carry the
+        // rest. Commit pins at the version the operation's SCAN read
+        // (the replacement rows were rebuilt from that snapshot), so a
+        // rival mutation landing mid-operation conflicts loudly instead
+        // of having its tombstones/compaction silently overwritten.
+        case (Some(removed), _) =>
+          store.replaceDirs(table, removed, batchDir, scanVersion())
         // bucketed INSERT: the writers routed rows into __b=<k> leaves —
         // commit them as manifest leaf dirs, preserving the layout
         case (None, Some(_)) => store.attachBucketedDirs(table, batchDir, replace)
-        case (None, None) => store.attachDir(table, batchDir, replace)
+        // row-level fallback (runtime filter never fired) rebuilds the
+        // WHOLE table from its scan — same scan-version pin applies
+        case (None, None) => store.attachDir(table, batchDir, replace,
+          if (rowLevel) scanVersion() else -1L)
       }
     }
   }

@@ -150,6 +150,74 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ts.read("t").filter(col("id") === 2L).select("x").head().getLong(0) === 222L)
   }
 
+  test("overwrite of a ZERO-dir table racing an append conflicts loudly " +
+      "(never silently rebases the rival's rows into the overwrite)") {
+    val ts = freshStore()
+    ts.createEmpty("t", Seq((1L, "a")).toDF("id", "v").schema) // v0, zero dirs
+    val rival = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true; rival.append("t", Seq((9L, "r")).toDF("id", "v")) }
+    val e =
+      try intercept[java.util.ConcurrentModificationException](
+        ts.overwrite("t", Seq((1L, "a")).toDF("id", "v")))
+      finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    assert(e.getMessage.contains("conflicts with a concurrent commit"))
+    // winner's append intact, loser's rows never landed
+    assert(ts.read("t").as[(Long, String)].collect().toSet === Set((9L, "r")))
+    ts.overwrite("t", Seq((1L, "a")).toDF("id", "v")) // re-run replaces
+    assert(ts.read("t").as[(Long, String)].collect().toSet === Set((1L, "a")))
+  }
+
+  test("INSERT OVERWRITE attach racing a concurrent commit conflicts loudly") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v")) // v0
+    // externally staged dir, as the DSv2 write path lays it out
+    val dirName = "sqtest0001"
+    Seq((5L, "x")).toDF("id", "v").write
+      .parquet(ts.dataRoot("t").resolve(dirName).toString)
+    val rival = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true; rival.append("t", Seq((9L, "r")).toDF("id", "v")) }
+    val e =
+      try intercept[java.util.ConcurrentModificationException](
+        ts.attachDir("t", dirName, replace = true))
+      finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    assert(e.getMessage.contains("INSERT OVERWRITE"))
+    // nothing replaced; the rival's append is intact
+    assert(ts.read("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (9L, "r")))
+    ts.attachDir("t", dirName, replace = true) // re-run replaces
+    assert(ts.read("t").as[(Long, String)].collect().toSet === Set((5L, "x")))
+  }
+
+  test("row-level rewrite pinned at its SCAN version: a rival DV delete " +
+      "landing mid-operation wins — stale rewrite conflicts, tombstones kept") {
+    import org.apache.spark.sql.functions.col
+    val ts = freshStore()
+    ts.create("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
+    val scanVersion = ts.currentVersion("t")
+    val removedAtScan = ts.liveDirs("t").toSet
+    // replacement dir rebuilt from the v0 snapshot (pre-delete rows)
+    val dirName = "sqrewrite01"
+    ts.read("t").write.parquet(ts.dataRoot("t").resolve(dirName).toString)
+    // rival DV delete lands AFTER the scan, before the rewrite commits
+    val rival = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
+    rival.deleteVectorized("t", col("id") <= 10L) // v1
+    val e = intercept[java.util.ConcurrentModificationException](
+      ts.replaceDirs("t", removedAtScan, dirName, basedOnVersion = scanVersion))
+    assert(e.getMessage.contains("conflicts with a concurrent commit"))
+    // the rival's tombstones were never resurrected
+    assert(ts.read("t").count() === 90)
+    // and replacing dirs the read manifest does not know is refused loudly
+    val bogus = intercept[IllegalArgumentException](
+      ts.replaceDirs("t", Set("no-such-dir"), dirName))
+    assert(bogus.getMessage.contains("not live"))
+  }
+
   test("vacuum racing live writers never breaks a commit") {
     val ts = freshStore()
     ts.create("t", Seq((0L, 0L)).toDF("id", "x"))
