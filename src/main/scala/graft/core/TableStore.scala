@@ -463,6 +463,10 @@ class TableStore(spark: SparkSession, root: String) {
                      extraPhys: Seq[Column] = Nil,
                      appendShaped: Boolean = false): Long = {
     import meta.{schema, bucketing}
+    // invariant checked BEFORE any data writes: a violating caller must
+    // fail fast, not stream the whole DataFrame and orphan the dir
+    require(!appendShaped || carryForward == meta.dirs,
+      s"append-shaped commit on $name must carry every base dir")
     val priorStats = meta.stats
     // version pinned from the manifest READ, not re-read here: a rival
     // landing between the caller's readManifest and this commit must
@@ -496,8 +500,6 @@ class TableStore(spark: SparkSession, root: String) {
     // inference would classify INSERT OVERWRITE (and all-insert merges)
     // as appends and silently rebase a rival's rows INTO the overwrite.
     if (appendShaped && df.isDefined && exists(name)) {
-      require(carryForward == meta.dirs,
-        s"append-shaped commit on $name must carry every base dir")
       val added = newDirs.filterNot(carryForward.contains)
       commitAppendWithRetry(name, meta, added,
         stats.view.filterKeys(added.contains).toMap, propOverrides)
@@ -602,8 +604,14 @@ class TableStore(spark: SparkSession, root: String) {
       onBeforeOptimisticCommit()
       val curV = currentVersion(name)
       val latest = readManifest(name, curV)
+      // generated-column rules live in props, not checks — they are part
+      // of the validation surface the appended rows were checked against
+      // (allChecks), so a rival changing one mid-append must refuse too
+      def generatedRules(m: Manifest): Map[String, String] =
+        m.props.view.filterKeys(_.startsWith("generated.")).toMap
       if (latest.schema.toDDL != base.schema.toDDL ||
-          latest.bucketing != base.bucketing || latest.checks != base.checks)
+          latest.bucketing != base.bucketing || latest.checks != base.checks ||
+          generatedRules(latest) != generatedRules(base))
         throw new java.util.ConcurrentModificationException(
           s"append to $name conflicts with a concurrent metadata change " +
             "(schema / bucketing / constraints) — retry the whole operation")

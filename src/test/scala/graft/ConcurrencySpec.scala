@@ -218,6 +218,49 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(bogus.getMessage.contains("not live"))
   }
 
+  test("attachDir append rebases over a racing append; racing metadata " +
+      "changes (constraint OR generated rule) refuse the rebase") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, 5L)).toDF("id", "x")) // v0
+    val root = ts.dataRoot("t").getParent.getParent.toString
+    def stage(d: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("id", "x").write.parquet(ts.dataRoot("t").resolve(d).toString)
+    // (a) racing append: both land via the bounded rebase
+    stage("sqattach01", Seq((2L, 6L)))
+    val rival = new TableStore(spark, root)
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true; rival.append("t", Seq((3L, 7L)).toDF("id", "x")) }
+    try ts.attachDir("t", "sqattach01", replace = false)
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    assert(ts.read("t").as[(Long, Long)].collect().toSet ===
+      Set((1L, 5L), (2L, 6L), (3L, 7L)))
+    // (b) racing CHECK constraint: the staged rows were validated
+    // against the OLD constraint set — rebase refused
+    stage("sqattach02", Seq((4L, -1L)))
+    var fired2 = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired2) { fired2 = true; rival.addCheckConstraint("t", "pos", "x > 0") }
+    try intercept[java.util.ConcurrentModificationException](
+      ts.attachDir("t", "sqattach02", replace = false))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired2)
+    assert(ts.read("t").count() === 3) // unvalidated rows never landed
+    ts.dropCheckConstraint("t", "pos")
+    // (c) racing generated-column rule: same refusal — the rule is part
+    // of the validation surface even though it lives in props
+    stage("sqattach03", Seq((5L, 999L)))
+    var fired3 = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired3) { fired3 = true; rival.setGeneratedColumn("t", "x", "id * 2") }
+    try intercept[java.util.ConcurrentModificationException](
+      ts.attachDir("t", "sqattach03", replace = false))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired3)
+    assert(ts.read("t").count() === 3)
+  }
+
   test("vacuum racing live writers never breaks a commit") {
     val ts = freshStore()
     ts.create("t", Seq((0L, 0L)).toDF("id", "x"))
