@@ -261,6 +261,54 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ts.read("t").count() === 3)
   }
 
+  test("chaos: concurrent DV deletes, compactions, and appends with " +
+      "retry-on-conflict converge to the exact expected table") {
+    import org.apache.spark.sql.functions.col
+    val ts = freshStore()
+    ts.create("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val root = ts.dataRoot("t").getParent.getParent.toString
+    // the documented resolution for a lost race is "re-run against the
+    // new state" — each worker does exactly that, bounded
+    def withRetry(op: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { op; done = true }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            attempts += 1
+            assert(attempts < 30, "mutation never converged under contention")
+        }
+      }
+    }
+    val deleter: Future[Unit] = Future {
+      val mine = new TableStore(spark, root)
+      // ten disjoint point-delete batches: ids 1-10, 11-20, ... 91-100
+      (0 until 10).foreach { b =>
+        withRetry(mine.deleteVectorized("t",
+          col("id") > b * 10L && col("id") <= (b + 1) * 10L))
+      }
+    }
+    val compactor: Future[Unit] = Future {
+      val mine = new TableStore(spark, root)
+      (1 to 5).foreach { _ =>
+        Thread.sleep(200)
+        withRetry(mine.compactDvHeavy("t", minDeletedRatio = 0.01): Unit)
+      }
+    }
+    val appender: Future[Unit] = Future {
+      val mine = new TableStore(spark, root)
+      (1L to 5L).foreach(i =>
+        mine.append("t", Seq((10000L + i, s"a$i")).toDF("id", "v")))
+    }
+    Await.result(Future.sequence(Seq(deleter, compactor, appender)), 300.seconds)
+    // every delete landed exactly (no resurrected tombstones through any
+    // compaction), every append landed, nothing else changed
+    assert(ts.read("t").filter(col("id") <= 100L).count() === 0)
+    assert(ts.read("t").count() === 905)
+    assert(ts.read("t").filter(col("id") > 10000L).count() === 5)
+  }
+
   test("vacuum racing live writers never breaks a commit") {
     val ts = freshStore()
     ts.create("t", Seq((0L, 0L)).toDF("id", "x"))
