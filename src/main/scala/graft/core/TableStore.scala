@@ -173,7 +173,16 @@ class TableStore(spark: SparkSession, root: String) {
   // modern representation for everything this store writes
   spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
-  private def dir(name: String): Path = Paths.get(root, name)
+  /** Every table path resolves through here: a name is a SINGLE path
+    * segment under the store root, so a backtick-quoted SQL identifier
+    * like `../otherstore/t` can never escape the root (CREATE writing
+    * outside it, DROP recursively deleting another store's table). */
+  private def dir(name: String): Path = {
+    require(name.nonEmpty && name != "." && name != ".." &&
+        !name.contains('/') && !name.contains('\\'),
+      s"invalid table name: '$name' (one path segment, no separators)")
+    Paths.get(root, name)
+  }
   private def latestPtr(name: String): Path = dir(name).resolve("_LATEST")
   private def manifest(name: String, v: Long): Path =
     dir(name).resolve("_v").resolve(s"$v.json")

@@ -85,6 +85,10 @@ class GraftCatalog extends TableCatalog
   private def store: TableStore = new TableStore(SparkSession.active, root)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // tables live directly under the store root (no namespaces): a
+    // non-empty namespace holds nothing — echoing every table under
+    // any namespace would mask typos (SHOW TABLES IN graft.bogus)
+    if (namespace.nonEmpty) return Array.empty
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) Array.empty
     else Using.resource(Files.list(dir))(
@@ -116,7 +120,9 @@ class GraftCatalog extends TableCatalog
     if (t == "rowids" && ident.namespace().length == 1 &&
         store.exists(ident.namespace()(0)))
       return new GraftRowIdsTable(root, ident.namespace()(0))
-    if (!store.exists(t))
+    // plain tables live at the root: a leftover namespace here is a typo
+    // (graft.bogus_ns.orders must not silently resolve to orders)
+    if (ident.namespace().nonEmpty || !store.exists(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
     new GraftSqlTable(root, t)
@@ -126,7 +132,7 @@ class GraftCatalog extends TableCatalog
     * a committed manifest version (TableStore.readVersion's SQL face). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = ident.name()
-    if (!store.exists(t))
+    if (ident.namespace().nonEmpty || !store.exists(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
     new GraftSqlTable(root, t, pinnedVersion = Some(version.toLong))
@@ -136,7 +142,7 @@ class GraftCatalog extends TableCatalog
     * timestamp down in microseconds since epoch). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val t = ident.name()
-    if (!store.exists(t))
+    if (ident.namespace().nonEmpty || !store.exists(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
     new GraftSqlTable(root, t,
@@ -166,39 +172,50 @@ class GraftCatalog extends TableCatalog
       (keys, n)
     }.headOption
     require(partitions.length <= 1, "at most one bucket transform")
+    val existedBefore = store.exists(ident.name())
     store.createEmpty(ident.name(), schema, bucketing)
-    Option(properties.get("bloom_columns")).foreach { cs =>
-      store.setBloomColumns(ident.name(), cs.split(",").map(_.trim).toSeq)
+    try {
+      Option(properties.get("bloom_columns")).foreach { cs =>
+        store.setBloomColumns(ident.name(), cs.split(",").map(_.trim).toSeq)
+      }
+      // TBLPROPERTIES ('check.<name>' = '<expr>') -> CHECK constraints
+      properties.asScala.toSeq.sortBy(_._1).foreach {
+        case (k, v) if k.startsWith("check.") =>
+          store.addCheckConstraint(ident.name(), k.stripPrefix("check."), v)
+        case _ => ()
+      }
+      // every other property (minus Spark-injected ones) persists in the
+      // manifest — e.g. 'delete.mode'='merge-on-read' picks deletion
+      // vectors for SQL DELETE
+      val free = properties.asScala.view
+        .filterKeys(k => k != "bloom_columns" && !k.startsWith("check.") &&
+          !k.startsWith("option.") && k != "provider" && k != "owner" &&
+          k != "location" && k != "comment" && k != "external").toMap
+      // generated / identity declarations take the TYPED setters so a bad
+      // expression or non-BIGINT identity column fails the CREATE, not the
+      // first write
+      val (typed, plain) = free.partition { case (k, _) =>
+        k.startsWith("generated.") || k.startsWith("identity.") }
+      typed.toSeq.sortBy(_._1).foreach {
+        case (k, v) if k.startsWith("generated.") =>
+          store.setGeneratedColumn(ident.name(), k.stripPrefix("generated."), v)
+        case (k, v) if k.startsWith("identity.") && k.endsWith(".next") =>
+          store.setIdentityColumn(ident.name(),
+            k.stripPrefix("identity.").stripSuffix(".next"), v.toLong)
+        case (k, _) => throw new IllegalArgumentException(
+          s"malformed identity property $k (use identity.<col>.next)")
+      }
+      if (plain.nonEmpty) store.setProperties(ident.name(), plain)
+      new GraftSqlTable(root, ident.name())
+    } catch {
+      // a failing property must fail the WHOLE create: roll back the
+      // just-created table so the corrected CREATE TABLE can re-run
+      // (instead of half-configured leftovers + TableAlreadyExists)
+      case e: Throwable =>
+        if (!existedBefore)
+          graft.core.FsUtil.deleteRecursively(Paths.get(root, ident.name()).toFile)
+        throw e
     }
-    // TBLPROPERTIES ('check.<name>' = '<expr>') -> CHECK constraints
-    properties.asScala.toSeq.sortBy(_._1).foreach {
-      case (k, v) if k.startsWith("check.") =>
-        store.addCheckConstraint(ident.name(), k.stripPrefix("check."), v)
-      case _ => ()
-    }
-    // every other property (minus Spark-injected ones) persists in the
-    // manifest — e.g. 'delete.mode'='merge-on-read' picks deletion
-    // vectors for SQL DELETE
-    val free = properties.asScala.view
-      .filterKeys(k => k != "bloom_columns" && !k.startsWith("check.") &&
-        !k.startsWith("option.") && k != "provider" && k != "owner" &&
-        k != "location" && k != "comment" && k != "external").toMap
-    // generated / identity declarations take the TYPED setters so a bad
-    // expression or non-BIGINT identity column fails the CREATE, not the
-    // first write
-    val (typed, plain) = free.partition { case (k, _) =>
-      k.startsWith("generated.") || k.startsWith("identity.") }
-    typed.toSeq.sortBy(_._1).foreach {
-      case (k, v) if k.startsWith("generated.") =>
-        store.setGeneratedColumn(ident.name(), k.stripPrefix("generated."), v)
-      case (k, v) if k.startsWith("identity.") && k.endsWith(".next") =>
-        store.setIdentityColumn(ident.name(),
-          k.stripPrefix("identity.").stripSuffix(".next"), v.toLong)
-      case (k, _) => throw new IllegalArgumentException(
-        s"malformed identity property $k (use identity.<col>.next)")
-    }
-    if (plain.nonEmpty) store.setProperties(ident.name(), plain)
-    new GraftSqlTable(root, ident.name())
   }
 
   /** ALTER TABLE ADD COLUMN(S) — manual schema evolution
@@ -244,11 +261,15 @@ class GraftCatalog extends TableCatalog
     new GraftSqlTable(root, ident.name())
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val p = Paths.get(root, ident.name())
-    if (!Files.exists(p)) false
-    else { graft.core.FsUtil.deleteRecursively(p.toFile); true }
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    // store.exists validates the name (single path segment — a quoted
+    // `../other/t` must never delete outside the root) and requires a
+    // real table (_LATEST), not just any directory under the root
+    if (ident.namespace().nonEmpty || !store.exists(ident.name())) false
+    else {
+      graft.core.FsUtil.deleteRecursively(Paths.get(root, ident.name()).toFile)
+      true
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
@@ -375,9 +396,9 @@ class GraftSqlTable(root: String, tableName: String,
   override def metadataColumns(): Array[MetadataColumn] =
     if (snap.rowTracking) Array(GraftFileMeta, GraftPosMeta, GraftRowIdMeta)
     else Array(GraftFileMeta, GraftPosMeta)
-  /** SHOW TBLPROPERTIES: the manifest's free-form properties. */
-  override def properties(): util.Map[String, String] =
-    store.properties(tableName).asJava
+  /** SHOW TBLPROPERTIES: the manifest's free-form properties — from the
+    * pinned snapshot, so VERSION AS OF reports THAT version's props. */
+  override def properties(): util.Map[String, String] = snap.props.asJava
   /** AUTOMATIC_SCHEMA_EVOLUTION: `MERGE ... WITH SCHEMA EVOLUTION`
     * resolves source-only columns by issuing the catalog an ALTER
     * ADD COLUMN (metadata-only here) before planning the merge. */
@@ -406,20 +427,8 @@ class GraftSqlTable(root: String, tableName: String,
     // Files stay grouped by manifest dir with the dir's column stats so
     // the scan can drop whole dirs against pushed predicates (data
     // skipping) before any file is opened.
-    new GraftScanBuilder(snap.schema, snap.filesByDir(store, tableName),
-      snap.stats, streamSource = Some((root, tableName)),
-      bucketing = snap.bucketing.map(b => (b.keys, b.n)),
-      bloomPrune =
-        if (snap.bloomCols.isEmpty) None
-        else Some((snap.bloomCols, store.bloomRoot(tableName))),
-      dvSidecars = store.dvSidecarsByDir(tableName, snap.version),
-      dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
-      streamMaxVersions =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-      colmap = snap.colmap,
-      rowBase =
-        if (snap.rowTracking) store.rowBaseByFile(tableName, snap.version)
-        else Map.empty)
+    GraftScanBuilder.forSnapshot(store, root, tableName, snap, snap.schema,
+      options, withRowBase = snap.rowTracking)
 
   /** SQL MERGE INTO / UPDATE via GROUP-BASED (file-subset copy-on-write)
     * row-level operations. Spark's RowLevelOperationRuntimeGroupFiltering
@@ -473,7 +482,10 @@ class GraftSqlTable(root: String, tableName: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = { () =>
-    if (store.properties(tableName).get("rowlevel.mode").contains("merge-on-read"))
+    // mode from the SAME snapshot the operation's scan reads — a
+    // property flip committed between loadTable and planning must not
+    // make the write path disagree with the scan's snapshot
+    if (snap.props.get("rowlevel.mode").contains("merge-on-read"))
       deltaRowLevelOperation(info)
     else
     new org.apache.spark.sql.connector.write.RowLevelOperation {
@@ -547,6 +559,32 @@ class GraftSqlTable(root: String, tableName: String,
     case SNot(x) => translatable(x)
     case _ => false
   }
+}
+
+object GraftScanBuilder {
+  /** The ONE place a table snapshot becomes a scan builder — every scan
+    * input (stats, bloom config, DV sidecars, stream caps, colmap, row
+    * bases) wires through here, so a new input added for one surface
+    * can't silently miss the other (as separately-maintained copies
+    * would). Used by the main table scan and the `.rowids` projection. */
+  def forSnapshot(store: TableStore, root: String, tableName: String,
+                  snap: TableStore.Snapshot, schema: StructType,
+                  options: CaseInsensitiveStringMap,
+                  withRowBase: Boolean): GraftScanBuilder =
+    new GraftScanBuilder(schema, snap.filesByDir(store, tableName),
+      snap.stats, streamSource = Some((root, tableName)),
+      bucketing = snap.bucketing.map(b => (b.keys, b.n)),
+      bloomPrune =
+        if (snap.bloomCols.isEmpty) None
+        else Some((snap.bloomCols, store.bloomRoot(tableName))),
+      dvSidecars = store.dvSidecarsByDir(tableName, snap.version),
+      dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
+      streamMaxVersions =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      colmap = snap.colmap,
+      rowBase =
+        if (withRowBase) store.rowBaseByFile(tableName, snap.version)
+        else Map.empty)
 }
 
 class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
@@ -966,9 +1004,12 @@ class GraftScan(fullSchema: StructType, required: StructType,
   /** File-size statistics for the optimizer: lets Spark pick broadcast
     * joins over graft tables and size AQE partitions sensibly instead
     * of assuming the default (huge) relation size. */
+  // computed ONCE per scan: the planner may consult estimateStatistics
+  // repeatedly during join planning, and this walks a syscall per file
+  private lazy val estimatedBytes: Long = files.map(f =>
+    try Files.size(Paths.get(f)) catch { case _: Exception => 0L }).sum
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = files.map(f =>
-      try Files.size(Paths.get(f)) catch { case _: Exception => 0L }).sum
+    private val bytes = estimatedBytes
     // exact row count when every live dir carries manifest stats —
     // Spark's join-strategy and AQE decisions see real cardinality
     private val rows: Option[Long] =
@@ -1173,7 +1214,11 @@ class GraftFilesTable(root: String, table: String)
       val byDir = snap.filesByDir(store, table).toMap
       val rows = snap.dirs.map { d =>
         val fs = byDir.getOrElse(d, Seq.empty)
-        val bytes = fs.map(f => Files.size(Paths.get(f))).sum
+        // a file can vanish between the listing and the size call
+        // (concurrent vacuum of this historical snapshot) — read 0,
+        // matching the documented "bytes then read 0/absent" behavior
+        val bytes = fs.map(f =>
+          try Files.size(Paths.get(f)) catch { case _: Exception => 0L }).sum
         val st = snap.stats.get(d)
         def jstr(x: String): String = // string bounds can carry quotes etc.
           "\"" + x.flatMap {
@@ -1240,18 +1285,8 @@ class GraftRowIdsTable(root: String, tableName: String)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(schema(), snap.filesByDir(store, tableName),
-      snap.stats, streamSource = Some((root, tableName)),
-      bucketing = snap.bucketing.map(b => (b.keys, b.n)),
-      bloomPrune =
-        if (snap.bloomCols.isEmpty) None
-        else Some((snap.bloomCols, store.bloomRoot(tableName))),
-      dvSidecars = store.dvSidecarsByDir(tableName, snap.version),
-      dvDeleted = snap.dvs.view.mapValues(_.deleted).toMap,
-      streamMaxVersions =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-      colmap = snap.colmap,
-      rowBase = store.rowBaseByFile(tableName, snap.version))
+    GraftScanBuilder.forSnapshot(store, root, tableName, snap, schema(),
+      options, withRowBase = true)
 }
 
 class GraftChangesTable(root: String, table: String)
@@ -1326,35 +1361,16 @@ class GraftChangesScan(root: String, table: String,
 class GraftChangeFeedStream(root: String, table: String,
                             base: StructType, required: StructType,
                             startVersion: Option[Long],
-                            maxVersionsPerTrigger: Option[Long])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+                            protected val maxVersionsPerTrigger: Option[Long])
+    extends GraftVersionedStreamBase {
 
-  private def store = new TableStore(SparkSession.active, root)
-
-  @volatile private var availableNowCap: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(store.currentVersion(table))
-
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = store.currentVersion(table)
-    val capped = availableNowCap.fold(cur)(math.min(cur, _))
-    val s = start.asInstanceOf[GraftStreamOffset].v
-    GraftStreamOffset(maxVersionsPerTrigger.fold(capped)(n => math.min(capped, s + n)))
-  }
-  override def reportLatestOffset(): Offset =
-    GraftStreamOffset(store.currentVersion(table))
+  protected def store = new TableStore(SparkSession.active, root)
+  protected def streamTable: String = table
 
   /** No startVersion -> start at the CURRENT version: only changes
     * committed after the stream starts flow (Delta's default). */
   override def initialOffset(): Offset =
     GraftStreamOffset(startVersion.getOrElse(store.currentVersion(table)))
-  override def latestOffset(): Offset = GraftStreamOffset(store.currentVersion(table))
-  override def deserializeOffset(json: String): Offset = GraftStreamOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].v
@@ -1440,20 +1456,20 @@ case class GraftStreamOffset(v: Long)
   override def json(): String = v.toString
 }
 
-/** MicroBatchStream over TableStore versions: APPEND-ONLY tables only —
-  * a batch between offsets (a, b] is "the dirs manifest b references
-  * that manifest a didn't". A version that REMOVED dirs (overwrite,
-  * merge, delete, compaction) fails the stream loudly rather than
-  * silently replaying rewritten data — the same default Delta takes
-  * (its ignoreChanges escape hatch is out of scope). */
-class GraftMicroBatchStream(root: String, table: String,
-                            required: StructType, fullSchema: StructType,
-                            maxVersionsPerTrigger: Option[Long] = None)
+/** The shared offset/admission-control surface of the store's
+  * version-granularity micro-batch streams (the append stream and the
+  * change feed). ONE implementation of Trigger.AvailableNow end-pinning,
+  * `maxVersionsPerTrigger` stepping, and offset (de)serialization, so
+  * the two streams can never drift in batching behavior. */
+trait GraftVersionedStreamBase
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  type Offset = org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
-  private def store = new TableStore(SparkSession.active, root)
+  protected def store: TableStore
+  protected def streamTable: String
+  protected def maxVersionsPerTrigger: Option[Long]
 
   /** Trigger.AvailableNow: the end offset is PINNED at stream start —
     * every version committed before the trigger drains in the run's
@@ -1461,7 +1477,7 @@ class GraftMicroBatchStream(root: String, table: String,
     * (the contract prepareForTriggerAvailableNow documents). */
   @volatile private var availableNowCap: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(store.currentVersion(table))
+    availableNowCap = Some(store.currentVersion(streamTable))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   /** Admission control: `maxVersionsPerTrigger` bounds each micro-batch
@@ -1471,41 +1487,86 @@ class GraftMicroBatchStream(root: String, table: String,
     * Composes with Trigger.AvailableNow: batches step toward the pinned
     * cap and the query stops there. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = store.currentVersion(table)
+    val cur = store.currentVersion(streamTable)
     val capped = availableNowCap.fold(cur)(math.min(cur, _))
     val s = start.asInstanceOf[GraftStreamOffset].v
     GraftStreamOffset(maxVersionsPerTrigger.fold(capped)(n => math.min(capped, s + n)))
   }
   override def reportLatestOffset(): Offset =
-    GraftStreamOffset(store.currentVersion(table))
+    GraftStreamOffset(store.currentVersion(streamTable))
 
   override def initialOffset(): Offset = GraftStreamOffset(-1L)
-  override def latestOffset(): Offset = GraftStreamOffset(store.currentVersion(table))
+  override def latestOffset(): Offset =
+    GraftStreamOffset(store.currentVersion(streamTable))
   override def deserializeOffset(json: String): Offset = GraftStreamOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** MicroBatchStream over TableStore versions: APPEND-ONLY tables only —
+  * a batch between offsets (a, b] is "the dirs manifest b references
+  * that manifest a didn't". A version that REMOVED dirs (overwrite,
+  * merge, delete, compaction) or added deletion-vector tombstones fails
+  * the stream loudly rather than silently replaying rewritten data —
+  * the same default Delta takes (its ignoreChanges escape hatch is out
+  * of scope). */
+class GraftMicroBatchStream(root: String, table: String,
+                            required: StructType, fullSchema: StructType,
+                            protected val maxVersionsPerTrigger: Option[Long] = None)
+    extends GraftVersionedStreamBase {
+
+  protected def store = new TableStore(SparkSession.active, root)
+  protected def streamTable: String = table
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].v
     val e = end.asInstanceOf[GraftStreamOffset].v
     if (e <= s) return Array.empty
     val st = store
-    val startDirs: Set[String] =
-      if (s < 0) Set.empty else st.snapshotAt(table, s).dirs.toSet
+    val startSnap = if (s < 0) None else Some(st.snapshotAt(table, s))
+    val startDirs: Set[String] = startSnap.fold(Set.empty[String])(_.dirs.toSet)
     val endSnap = st.snapshotAt(table, e)
     val removed = startDirs -- endSnap.dirs.toSet
     if (removed.nonEmpty)
       throw new IllegalStateException(
         s"streaming source $table: version range ($s, $e] removed data dirs " +
           s"(${removed.take(3).mkString(", ")}…) — the stream requires append-only commits")
+    // merge-on-read DELETE/MERGE commits change only DV sidecars, not
+    // dirs — row-level deletes an INCREMENTAL batch can't represent, so
+    // they fail the same way removed dirs do (otherwise the batch would
+    // silently emit tombstoned rows). The INITIAL batch (s < 0) is a
+    // snapshot read, not a replay: it streams the end snapshot with its
+    // DVs applied, so a table whose history contains MoR deletes is
+    // still streamable from scratch.
+    val startDvs = startSnap.fold(Map.empty[String, TableStore.DvRef])(_.dvs)
+    val dvChanged = endSnap.dvs.collect {
+      case (d, ref) if !startDvs.get(d).contains(ref) => d }
+    if (s >= 0 && dvChanged.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming source $table: version range ($s, $e] added deletion-" +
+          s"vector tombstones on dirs (${dvChanged.take(3).mkString(", ")}…) — " +
+          "the stream requires append-only commits")
     val newDirs = endSnap.dirs.filterNot(startDirs.contains)
+    // initial snapshot: lazy per-file DV refs, probed executor-side
+    // exactly like the batch scan (no positions on the driver)
+    val dvSidecars: Map[String, Seq[String]] =
+      if (s < 0 && endSnap.dvs.nonEmpty) st.dvSidecarsByDir(table, e)
+      else Map.empty
     // `_row_id` on a stream: per-batch files carry their own manifest
     // base (the factory-time map can't know files of future batches)
     val ridBase: Map[String, Long] =
       if (endSnap.rowTracking) st.rowBaseByFile(table, e) else Map.empty
-    endSnap.copy(dirs = newDirs).files(st, table)
-      .map(f => GraftInputPartition(f,
-        ridBase = ridBase.getOrElse(f, Long.MinValue)): InputPartition).toArray
+    endSnap.copy(dirs = newDirs).filesByDir(st, table).flatMap { case (d, fs) =>
+      fs.map { f =>
+        val (rel, sc) = dvSidecars.get(d) match {
+          case Some(sc0) =>
+            (s"$d/${f.substring(f.lastIndexOf('/') + 1)}", sc0)
+          case None => ("", Nil)
+        }
+        GraftInputPartition(f, dvRelpath = rel, dvFiles = sc,
+          ridBase = ridBase.getOrElse(f, Long.MinValue)): InputPartition
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1910,7 +1971,10 @@ class ProjectingGroupReadSupport(names: Seq[String]) extends GroupReadSupport {
   * columns the file actually has. */
 class GraftPartitionReader(file: String, required: StructType,
                            fullSchema: StructType, pushed: Array[Filter],
-                           rowIdBase: Long = 0L)
+                           // no-base sentinel (emit NULL _row_id), never
+                           // 0L: a defaulted base would mint ids colliding
+                           // with the file whose real manifest base IS 0
+                           rowIdBase: Long = Long.MinValue)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()

@@ -280,6 +280,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("a failing TBLPROPERTIES rolls the whole CREATE TABLE back — the " +
+      "corrected statement re-runs without a manual DROP") {
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.cre_rb (id BIGINT, v STRING)
+        |TBLPROPERTIES ('identity.id.next' = 'not-a-number')""".stripMargin))
+    assert(!store.exists("cre_rb"), "half-configured table left behind")
+    spark.sql("""CREATE TABLE graft.cre_rb (id BIGINT, v STRING)
+                |TBLPROPERTIES ('identity.id.next' = '1')""".stripMargin)
+    // the corrected create landed WITH its identity config (library
+    // writes mint from it; SQL INSERT is the attach path, no minting)
+    store.append("cre_rb", Seq("a").toDF("v"))
+    assert(spark.sql("SELECT id FROM graft.cre_rb").head().getLong(0) === 1L)
+  }
+
+  test("table identifiers are one path segment: quoted names with " +
+      "separators can never escape the store root") {
+    store.create("sec_t", Seq((1L, "a")).toDF("id", "v"))
+    // a traversal name is rejected loudly, nothing deleted
+    val e = intercept[Exception](spark.sql("DROP TABLE graft.`../sec_t`"))
+    assert(e.getMessage.contains("invalid table name") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+    assert(store.exists("sec_t"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.`sub/dir_t` (id BIGINT) USING graft"))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "sub")))
+  }
+
+  test("a bogus namespace never silently resolves a root table") {
+    store.create("ns_t", Seq((1L, "a")).toDF("id", "v"))
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graft.bogus_ns.ns_t").collect())
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+    // SHOW TABLES in a nonexistent namespace lists nothing (not everything)
+    assert(spark.sql("SHOW TABLES IN graft.bogus_ns").count() === 0)
+  }
+
   test("CREATE TABLE AS SELECT and DROP TABLE through the catalog") {
     store.create("ctas_src", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
     spark.sql("CREATE TABLE graft.ctas_t AS SELECT id, v FROM graft.ctas_src WHERE id > 1")

@@ -164,6 +164,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSizes.forall(_ <= 2))
   }
 
+  test("merge-on-read deletes and the append stream: the initial batch " +
+      "is a DV-applied snapshot; an incremental DV commit fails loudly") {
+    val root = Files.createTempDirectory("dvstream").toString
+    val store = new TableStore(spark, root)
+    spark.conf.set("spark.sql.catalog.graft_dvs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dvs.root", root)
+    store.create("feed", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
+    store.deleteVectorized("feed", col("id") <= 3L)                         // v1: DV only
+    val ckpt = s"$root/_stream_ckpt"
+    val seen = scala.collection.mutable.Set.empty[Long]
+    def run() = spark.readStream.table("graft_dvs.feed")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen ++= df.collect().map(_.getLong(0)) }: Unit)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // initial catch-up from scratch: a SNAPSHOT read — tombstoned rows
+    // must NOT appear even though the history contains a MoR delete
+    val q = run()
+    q.awaitTermination(60000)
+    assert(seen.synchronized(seen.toSet) === (4L to 10L).toSet)
+    // a DV commit in an INCREMENTAL range (the stream has a checkpointed
+    // offset now) is a row-level delete the append stream can't
+    // represent — restart fails loudly, never silently replays
+    store.append("feed", Seq((11L, "x")).toDF("id", "v"))       // v2
+    store.deleteVectorized("feed", col("id") === 5L)            // v3: DV only
+    val q2 = run()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination(60000): Unit
+      q2.processAllAvailable()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("deletion-vector"))),
+      s"expected the DV guard to fail the stream, got: $e")
+  }
+
   test("streaming bloom decontamination flags reference keys batch-by-batch") {
     implicit val sqlCtx = spark.sqlContext
     // reference set: 200 "contaminated" keys folded into a bitset batch-side
