@@ -5,7 +5,7 @@ import scala.collection.mutable
 import scala.util.Using
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+import org.apache.spark.sql.functions.{col, input_file_name, when, xxhash64}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
@@ -81,51 +81,81 @@ object BloomIndex {
     val parentToDir = missing.map(d =>
       dataRoot.resolve(d).toAbsolutePath.normalize.toString -> d).toMap
     val nCols = cols.length
+    // null values carry no point-lookup information: mask them BEFORE
+    // hashing (xxhash64 of a null input is the seed, not null — an
+    // unmasked build would insert the constant seed-42 hash for every
+    // null row, inflating the false-positive rate for nothing)
     val hashed = spark.read.schema(schema)
       .parquet(missing.map(d => dataRoot.resolve(d).toString): _*)
-      .select(input_file_name().as("__f") +: cols.map(c => xxhash64(col(c)).as(c)): _*)
+      .select(input_file_name().as("__f") +:
+        cols.map(c => when(col(c).isNotNull, xxhash64(col(c))).as(c)): _*)
     val bcParent = spark.sparkContext.broadcast(parentToDir)
     val bcExp = spark.sparkContext.broadcast(expected)
     // per-partition partial blooms, merged with fold (empty-safe): same
-    // (expected, fpp) per dir -> compatible bit arrays, mergeInPlace works
+    // (expected, fpp) per dir -> compatible bit arrays, mergeInPlace
+    // works. Each partial also counts the rows it hashed, so a row
+    // silently dropped by the parent-path mapping becomes a LOUD
+    // build failure below instead of a permanently unsound index.
     val partials = hashed.rdd.mapPartitions { it =>
-      val m = mutable.HashMap[String, Array[BloomFilter]]()
+      val m = mutable.HashMap[String, (Array[BloomFilter], Long)]()
       it.foreach { row =>
         val f = row.getString(0)
         val path = if (f.startsWith("file:")) new java.net.URI(f).getPath else f
         val parent = path.substring(0, path.lastIndexOf('/'))
         bcParent.value.get(parent).foreach { dname =>
-          val arr = m.getOrElseUpdate(dname,
-            Array.fill(nCols)(BloomFilter.create(bcExp.value(dname), Fpp)))
+          val (arr, n) = m.getOrElseUpdate(dname,
+            (Array.fill(nCols)(BloomFilter.create(bcExp.value(dname), Fpp)), 0L))
           var i = 0
           while (i < nCols) {
             if (!row.isNullAt(i + 1)) arr(i).putLong(row.getLong(i + 1))
             i += 1
           }
+          m(dname) = (arr, n + 1L)
         }
       }
       Iterator.single(m)
     }
-    val merged = partials.fold(mutable.HashMap.empty[String, Array[BloomFilter]]) {
+    val merged = partials.fold(
+        mutable.HashMap.empty[String, (Array[BloomFilter], Long)]) {
       (a, b) =>
-        b.foreach { case (d, arr) =>
+        b.foreach { case (d, (arr, n)) =>
           a.get(d) match {
-            case Some(dst) =>
+            case Some((dst, dn)) =>
               var i = 0
               while (i < nCols) { dst(i).mergeInPlace(arr(i)): Unit; i += 1 }
-            case None => a(d) = arr
+              a(d) = (dst, dn + n)
+            case None => a(d) = (arr, n)
           }
         }
         a
     }
+    // every row of every dir must have reached SOME partial: a count
+    // mismatch means the path mapping dropped rows and the bloom under
+    // construction is missing keys — dirs are immutable, so installing
+    // it would make point lookups wrong FOREVER. Fail the build instead
+    // (a missing bloom file is sound: "might match").
+    missing.foreach { d =>
+      rowsByDir.get(d).foreach { want =>
+        val got = merged.get(d).map(_._2).getOrElse(0L)
+        if (got != want)
+          throw new IllegalStateException(
+            s"bloom build for dir $d hashed $got rows but the manifest " +
+              s"records $want — file-to-dir mapping dropped rows; refusing " +
+              "to install an index that would miss keys")
+      }
+    }
     missing.foreach { d =>
       // a dir with no rows gets an empty bloom (prunes every point lookup)
-      val arr = merged.getOrElse(d,
+      val arr = merged.get(d).map(_._1).getOrElse(
         Array.fill(nCols)(BloomFilter.create(MinExpected, Fpp)))
       cols.zipWithIndex.foreach { case (c, i) =>
         val target = bloomFile(bloomRoot, d, c)
         if (!Files.exists(target)) {
-          val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+          // unique tmp per writer: two sessions committing concurrently
+          // both run ensure for the same dir — a SHARED tmp would
+          // interleave their bytes and atomically install a corrupt bloom
+          val tmp = target.resolveSibling(target.getFileName.toString +
+            "." + java.util.UUID.randomUUID.toString.take(8) + ".tmp")
           Using.resource(Files.newOutputStream(tmp))(os => arr(i).writeTo(os))
           Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING): Unit
@@ -146,28 +176,40 @@ object BloomIndex {
             cols: Seq[String], bloomRoot: Path,
             phys: String => String = identity): Seq[String] = {
     if (cols.isEmpty || filters.isEmpty || dirs.isEmpty) return dirs
-    val cache = mutable.HashMap[(String, String), Option[BloomFilter]]()
-    def load(d: String, c: String): Option[BloomFilter] =
-      cache.getOrElseUpdate((d, c), {
-        val p = bloomFile(bloomRoot, d, phys(c))
-        if (!Files.exists(p)) None
-        else Using.resource(Files.newInputStream(p))(is => Some(BloomFilter.readFrom(is)))
-      })
     def indexed(a: String): Option[String] = cols.find(_.equalsIgnoreCase(a))
-    def absent(d: String, a: String, v: Any): Boolean = (for {
-      c <- indexed(a)
-      h <- hashOf(schema, c, v)
-      bf <- load(d, c)
-    } yield !bf.mightContainLong(h)).getOrElse(false)
-    def cannotMatch(d: String, f: Filter): Boolean = f match {
-      case EqualTo(a, v) => absent(d, a, v)
-      case EqualNullSafe(a, v) if v != null => absent(d, a, v)
-      case In(a, vs) => vs != null && vs.nonEmpty && vs.forall(v => absent(d, a, v))
-      case And(l, r) => cannotMatch(d, l) || cannotMatch(d, r)
-      case Or(l, r) => cannotMatch(d, l) && cannotMatch(d, r)
-      case _ => false
+    dirs.filter { d =>
+      // blooms cached for THIS dir only and released after its verdict:
+      // a point DELETE over thousands of surviving dirs must not pile
+      // O(dirs x cols) megabyte bitsets onto the driver at once
+      val cache = mutable.HashMap[String, Option[BloomFilter]]()
+      def load(c: String): Option[BloomFilter] =
+        cache.getOrElseUpdate(c, {
+          val p = bloomFile(bloomRoot, d, phys(c))
+          // unreadable = "might match": the file may have been swept by
+          // a concurrent vacuum between the exists check and the read,
+          // or be corrupt — degrading to no-prune is the soundness
+          // default; failing the whole plan is not
+          try {
+            if (!Files.exists(p)) None
+            else Using.resource(Files.newInputStream(p))(is =>
+              Some(BloomFilter.readFrom(is)))
+          } catch { case _: Exception => None }
+        })
+      def absent(a: String, v: Any): Boolean = (for {
+        c <- indexed(a)
+        h <- hashOf(schema, c, v)
+        bf <- load(c)
+      } yield !bf.mightContainLong(h)).getOrElse(false)
+      def cannotMatch(f: Filter): Boolean = f match {
+        case EqualTo(a, v) => absent(a, v)
+        case EqualNullSafe(a, v) if v != null => absent(a, v)
+        case In(a, vs) => vs != null && vs.nonEmpty && vs.forall(v => absent(a, v))
+        case And(l, r) => cannotMatch(l) || cannotMatch(r)
+        case Or(l, r) => cannotMatch(l) && cannotMatch(r)
+        case _ => false
+      }
+      !filters.exists(cannotMatch)
     }
-    dirs.filter(d => !filters.exists(f => cannotMatch(d, f)))
   }
 
   /** Driver-side hash of a literal — the SAME expression the build side
@@ -212,13 +254,16 @@ object BloomIndex {
     val refPrefixes = referencedDirs.map(d => enc(d) + ".")
     val all = Using.resource(Files.list(bloomRoot))(s =>
       scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala.toSeq)
+    def old(p: Path): Boolean =
+      (try Files.getLastModifiedTime(p).toMillis
+       catch { case _: java.io.IOException => System.currentTimeMillis() }) <
+        System.currentTimeMillis() - 3600L * 1000
     val doomed = all.filter { p =>
       val n = p.getFileName.toString
-      n.endsWith(".bloom") && !livePrefixes.exists(n.startsWith) &&
-        (refPrefixes.exists(n.startsWith) ||
-          (try Files.getLastModifiedTime(p).toMillis
-           catch { case _: java.io.IOException => System.currentTimeMillis() }) <
-            System.currentTimeMillis() - 3600L * 1000)
+      // crashed builds leave uniquely-named .tmp files behind — age-swept
+      (n.endsWith(".tmp") && old(p)) ||
+      (n.endsWith(".bloom") && !livePrefixes.exists(n.startsWith) &&
+        (refPrefixes.exists(n.startsWith) || old(p)))
     }
     if (!dryRun) doomed.foreach(Files.deleteIfExists(_))
     doomed

@@ -84,9 +84,15 @@ object DirStats {
     }.seq
     var rows = 0L
     // per column: (min, max, nulls, reliable) — reliable drops to false
-    // the moment any row group lacks usable stats for that column
+    // the moment any row group lacks usable stats for that column.
+    // Non-primitive columns (struct/array/map) start UNRELIABLE: their
+    // parquet chunks are nested leaves ('s.x', never 's'), so the
+    // chunk-path lookup below would miss and the absentIsNull branch
+    // would fabricate an all-null count — turning COUNT(s) pushdowns
+    // and IS NOT NULL pruning silently wrong.
     val acc = scala.collection.mutable.Map[String, (Any, Any, Long, Boolean)]()
-    schema.fields.foreach(f => acc(f.name) = (null, null, 0L, true))
+    schema.fields.foreach(f =>
+      acc(f.name) = (null, null, 0L, statsPrimitive(f.dataType)))
     footers.foreach { footer =>
       footer.getBlocks.asScala.foreach { block =>
         rows += block.getRowCount
@@ -106,7 +112,8 @@ object DirStats {
               acc(field.name) = (null, null, 0L, false)
             case Some(chunk) =>
               val st = chunk.getStatistics
-              if (st == null || !st.isNumNullsSet)
+              if (st == null || !st.isNumNullsSet ||
+                  !annotationOk(chunk.getPrimitiveType, field.dataType))
                 acc(field.name) = (null, null, 0L, false)
               else if (!st.hasNonNullValue)
                 // stats present but no values -> row group is all-null
@@ -128,6 +135,47 @@ object DirStats {
       name -> ColStats(Option(mn), Option(mx), Some(nulls))
     }.toMap
     Some(DirStats(rows, cols))
+  }
+
+  /** Types the stats machinery trusts end to end; anything else
+    * (struct/array/map/binary) never gets a manifest entry. */
+  private def statsPrimitive(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | TimestampType | TimestampNTZType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The chunk's parquet logical-type annotation must mean what the
+    * Spark type assumes, or the footer values are in the WRONG UNIT and
+    * bounds built from them prune unsoundly. The store's own writers
+    * always satisfy this; it guards externally written files imported
+    * via attachDir — e.g. a TIMESTAMP(MILLIS) file reads correctly
+    * (Spark converts at scan time) but its raw footer Long is millis,
+    * ~1000x below a micros literal: GreaterThan pruning would drop dirs
+    * whose rows match. Mismatches make the column unreliable, never
+    * wrong. */
+  private def annotationOk(pt: org.apache.parquet.schema.PrimitiveType,
+                           dt: DataType): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val ann = pt.getLogicalTypeAnnotation
+    dt match {
+      case TimestampType | TimestampNTZType => ann match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+        case _ => false
+      }
+      case DateType =>
+        ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+      case d: DecimalType => ann match {
+        case a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          a.getScale == d.scale
+        case _ => false
+      }
+      case StringType =>
+        ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case _ => true
+    }
   }
 
   /** parquet footer value -> the engine's canonical primitive for the

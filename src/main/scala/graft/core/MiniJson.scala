@@ -118,10 +118,15 @@ private[graft] object MiniJson {
     private def numValue(): Long = {
       val start = i
       if (!eof && s(i) == '-') i += 1
+      val digitsFrom = i
       while (!eof && s(i).isDigit) i += 1
+      if (i == digitsFrom) fail("expected digits")
       if (!eof && (s(i) == '.' || s(i) == 'e' || s(i) == 'E'))
         fail("non-integer numbers not used by manifests")
-      s.substring(start, i).toLong
+      // toLongOption: an overflowing literal gets the parser's
+      // offset-tagged error, not a bare NumberFormatException
+      s.substring(start, i).toLongOption.getOrElse(
+        fail(s"integer out of Long range: ${s.substring(start, i)}"))
     }
   }
 }

@@ -240,12 +240,16 @@ object CatalystFilters {
     case StartsWith(a: Attribute, Literal(v, _)) if v != null =>
       Some(StringStartsWith(a.name, v.toString))
     case CAnd(l, r) =>
-      // partial And is still sound for pruning: if one side alone proves
-      // "cannot match", the conjunction can't match either
-      (translate(l), translate(r)) match {
-        case (Some(lf), Some(rf)) => Some(And(lf, rf))
-        case (one, other) => one.orElse(other)
-      }
+      // EXACT or nothing. Top-level conjunctions are split by the caller
+      // before translation, so an And reaching here is NESTED (under
+      // Or/Not) — and a partially-translated nested And is a WEAKER
+      // filter that the completeness flag in conditionFiltersComplete
+      // cannot see: `(a AND udf(x)) OR b` would translate to the weaker
+      // `a OR b`, be reported complete, and let the metadata-only DELETE
+      // drop a whole dir whose rows satisfy `a OR b` but not the real
+      // condition — permanent data loss. Refusing costs only pruning
+      // strength on that conjunct.
+      for (lf <- translate(l); rf <- translate(r)) yield And(lf, rf)
     case COr(l, r) =>
       for (lf <- translate(l); rf <- translate(r)) yield Or(lf, rf)
     case CNot(x) => translate(x).map(Not) // StatsPruning never prunes Not

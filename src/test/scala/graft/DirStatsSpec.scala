@@ -83,4 +83,42 @@ class DirStatsSpec extends AnyFunSuite {
     // reading still surfaces v as null (schema-driven scan)
     assert(ts.read("t").filter("v IS NULL").count() === 2)
   }
+
+  test("non-primitive columns never get fabricated all-null stats") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val ts = freshStore()
+    // a struct column's parquet chunks are nested leaves ('s.x'), which
+    // the flat chunk lookup can't see — stats must be ABSENT, not an
+    // asserted all-null count (which would answer COUNT(s) as 0 and
+    // prune `s IS NOT NULL` mutations into silent no-ops)
+    ts.create("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "x")
+      .select(col("k"), struct(col("x").as("x")).as("s")))
+    val stats = ts.snapshot("t").stats.values.headOption
+    assert(stats.exists(_.cols.contains("k")))
+    assert(stats.forall(!_.cols.contains("s")),
+      "struct column must carry no stats entry")
+    assert(ts.read("t").filter("s IS NOT NULL").count() === 2)
+  }
+
+  test("external files whose timestamp unit disagrees with the schema " +
+      "get no stats (bounds in the wrong unit would prune unsoundly)") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts"))
+    // external writer produced TIMESTAMP(MILLIS): Spark reads the VALUES
+    // correctly (scan-time conversion) but raw footer bounds are millis —
+    // ~1000x below a micros literal
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try Seq((2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("id", "ts").write
+      .parquet(ts.dataRoot("t").resolve("ext-ms").toString)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    ts.attachDir("t", "ext-ms", replace = false)
+    val extStats = ts.snapshot("t").stats.get("ext-ms")
+    assert(extStats.exists(_.cols.contains("id")))
+    assert(extStats.forall(!_.cols.contains("ts")),
+      "millis-annotated timestamp column must carry no stats")
+    // the rows themselves read correctly regardless
+    assert(ts.read("t").filter("ts >= timestamp'2024-05-01 00:00:00'").count() === 1)
+  }
 }

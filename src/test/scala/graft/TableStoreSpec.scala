@@ -472,4 +472,22 @@ class TableStoreSpec extends AnyFunSuite {
     assert(ts2.read("md2").as[(Long, Long)].collect().map(_._1).toSet ===
       (150L until 300L).toSet)
   }
+
+  test("metadata-only DELETE never fires on a WEAKENED translation: an " +
+      "untranslatable conjunct nested under OR forces the rewrite path") {
+    import org.apache.spark.sql.functions.length
+    val ts = freshStore()
+    // one dir, every row has k < 100 (stats would prove full coverage of
+    // the translatable disjunct) but only SOME rows satisfy the
+    // untranslatable length() conjunct
+    ts.create("wk", Seq((1L, "abcdef"), (2L, "ab"), (3L, "x"))
+      .toDF("k", "v").coalesce(1))
+    // condition: (k < 100 AND length(v) > 3) OR k = 999
+    // a partial translation would weaken it to (k < 100 OR k = 999),
+    // "prove" the dir fully covered, and drop ALL THREE rows
+    ts.delete("wk", (col("k") < 100L && length(col("v")) > 3) || col("k") === 999L)
+    assert(ts.read("wk").as[(Long, String)].collect().toSet ===
+      Set((2L, "ab"), (3L, "x")),
+      "rows failing the untranslatable conjunct must survive")
+  }
 }
