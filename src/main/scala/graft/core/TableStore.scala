@@ -493,13 +493,18 @@ class TableStore(spark: SparkSession, root: String) {
     // stats: keep carried dirs' entries, collect footers for new dirs
     // (footers speak physical names; manifest stats speak logical)
     // footer I/O per dir is independent — collect in parallel (a
-    // 32-bucket commit is otherwise 32 serial dir listings + opens)
+    // 32-bucket commit is otherwise 32 serial dir listings + opens).
+    // A CARRIED dir with no entry is never re-attempted: dirs are
+    // immutable, so a footer pass that yielded nothing at its own
+    // commit yields nothing forever — re-collecting would add O(stats-
+    // less dirs) filesystem reads to EVERY subsequent commit.
+    val carriedSet = carryForward.toSet
     val stats = { import scala.collection.parallel.CollectionConverters._
       newDirs.par.flatMap { d =>
-        priorStats.get(d).orElse(
-            DirStats.collect(dir(name).resolve("data").resolve(d), meta.physSchema)
-              .map(meta.statsToLogical))
-          .map(d -> _)
+        priorStats.get(d).map(d -> _).orElse(
+          if (carriedSet.contains(d)) None
+          else DirStats.collect(dir(name).resolve("data").resolve(d), meta.physSchema)
+            .map(meta.statsToLogical).map(d -> _))
       }.toMap.seq }
     // APPEND-shaped commits (caller DECLARED append intent and carries
     // every base dir, only additions) take the optimistic-concurrency
@@ -613,17 +618,7 @@ class TableStore(spark: SparkSession, root: String) {
       onBeforeOptimisticCommit()
       val curV = currentVersion(name)
       val latest = readManifest(name, curV)
-      // generated-column rules live in props, not checks — they are part
-      // of the validation surface the appended rows were checked against
-      // (allChecks), so a rival changing one mid-append must refuse too
-      def generatedRules(m: Manifest): Map[String, String] =
-        m.props.view.filterKeys(_.startsWith("generated.")).toMap
-      if (latest.schema.toDDL != base.schema.toDDL ||
-          latest.bucketing != base.bucketing || latest.checks != base.checks ||
-          generatedRules(latest) != generatedRules(base))
-        throw new java.util.ConcurrentModificationException(
-          s"append to $name conflicts with a concurrent metadata change " +
-            "(schema / bucketing / constraints) — retry the whole operation")
+      refuseMetadataConflict(name, latest, base, "append")
       // identity watermarks: our rows were minted from base's `next`;
       // a concurrent writer advancing it means overlapping ids — the
       // rebase must refuse (Delta refuses concurrent identity appends
@@ -646,6 +641,24 @@ class TableStore(spark: SparkSession, root: String) {
     }
     throw new java.util.ConcurrentModificationException(
       s"append to $name lost the commit race $attempts times — giving up")
+  }
+
+  /** The rebase refusal both optimistic writers share: the rows being
+    * attached were written and VALIDATED under `base`'s metadata, so a
+    * rival commit that changed the schema, bucketing layout, CHECK
+    * constraints, or generated-column rules (props, not checks — part
+    * of the validation surface via allChecks) makes the rebase unsound
+    * — the same conflicts Delta's WriteSerializable level rejects. */
+  private def refuseMetadataConflict(name: String, latest: Manifest,
+                                     base: Manifest, what: String): Unit = {
+    def generatedRules(m: Manifest): Map[String, String] =
+      m.props.view.filterKeys(_.startsWith("generated.")).toMap
+    if (latest.schema.toDDL != base.schema.toDDL ||
+        latest.bucketing != base.bucketing || latest.checks != base.checks ||
+        generatedRules(latest) != generatedRules(base))
+      throw new java.util.ConcurrentModificationException(
+        s"$what to $name conflicts with a concurrent metadata change " +
+          "(schema / bucketing / constraints) — retry the whole operation")
   }
 
   /** The commit protocol: build any missing bloom-index files for the
@@ -893,18 +906,20 @@ class TableStore(spark: SparkSession, root: String) {
     // the set feeds 2-3 downstream jobs and a disk roundtrip per
     // commit doubles the fixed cost of small mutations; MEMORY_AND_DISK
     // spills if a predicate unexpectedly matches big
-    val schemaCols = m.schema.map(f => col(f.name))
     // change rows materialize `__rid` when tracking is on, so a CDF
     // consumer can key deletes on `_row_id` (keyless replication)
     val trackingCdf = m.cdf && m.props.contains(RowTrackingProp)
     val staged0 = scanLiveWithPos(name, m, touched, withRid = trackingCdf)
       .filter(coalesce(condition, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpersist in finally: a DV/CDF write failure or a lost commit
+    // race must not leave the staged blocks pinned in the executors
+    try {
     val staged = if (!trackingCdf) staged0 else resolveRid(staged0, m)
     val perDir = staged.select(dirOf("__relpath").as("dir"))
       .groupBy("dir").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perDir.isEmpty) { staged0.unpersist(); return }
+    if (perDir.isEmpty) return
     val newDirs = perDir.keySet
     // dirs that already carry a DV merge their old tombstones in, so
     // each dir keeps exactly one sidecar reference
@@ -931,12 +946,12 @@ class TableStore(spark: SparkSession, root: String) {
         .parquet(cdfDir.resolve("__cdc=delete").toString)
       Some(cdfDir)
     }
-    staged0.unpersist()
     val updated = newDirs.map { d =>
       val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
       d -> DvRef(dvName, prior + perDir(d))
     }.toMap
     commitWithCdf(name, v, m.copy(dvs = m.dvs ++ updated), stagedCdf)
+    } finally staged0.unpersist()
   }
 
   /** UPDATE ... SET ... WHERE cond as a MERGE-ON-READ commit: the
@@ -972,6 +987,9 @@ class TableStore(spark: SparkSession, root: String) {
     val staged0 = scanLiveWithPos(name, m, touched, withRid = tracking)
       .filter(coalesce(condition, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpersist in finally: a postimage/DV/CDF write failure or a lost
+    // commit race must not leave the staged blocks pinned
+    try {
     // row tracking: resolve each staged row's STABLE id now (carried
     // __rid from a prior rewrite, else the manifest base + position)
     // so the postimage file can materialize it — the id survives the
@@ -980,7 +998,7 @@ class TableStore(spark: SparkSession, root: String) {
     val perDir = staged.select(dirOf("__relpath").as("dir"))
       .groupBy("dir").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perDir.isEmpty) { staged0.unpersist(); return }
+    if (perDir.isEmpty) return
     // post-SET images (every staged row matched, so SET applies
     // unconditionally), conformed + CHECK-enforced like any append
     val out = m.schema.map(f =>
@@ -1025,7 +1043,6 @@ class TableStore(spark: SparkSession, root: String) {
         .parquet(cdfDir.toString)
       Some(cdfDir)
     }
-    staged0.unpersist()
     val updatedDvs = perDir.keySet.map { d =>
       val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
       d -> DvRef(dvName, prior + perDir(d))
@@ -1037,6 +1054,7 @@ class TableStore(spark: SparkSession, root: String) {
     commitWithCdf(name, v,
       m.copy(dirs = m.dirs ++ newDirs, stats = stats, dvs = m.dvs ++ updatedDvs),
       stagedCdf)
+    } finally staged0.unpersist()
   }
 
   /** Live scan of `dirs` with DVs applied AND position metadata kept
@@ -1300,18 +1318,30 @@ class TableStore(spark: SparkSession, root: String) {
     * only from append — compactSmall's own commit can't re-trigger. */
   private def maybeAutoCompact(name: String): Unit =
     if (spark.conf.getOption("graft.autoCompact.enabled").contains("true")) {
-      val maxBytes = spark.conf.getOption("graft.autoCompact.smallFileBytes")
-        .map(_.toLong).getOrElse(16L * 1024 * 1024)
-      val minDirs = spark.conf.getOption("graft.autoCompact.minSmallDirs")
-        .map(_.toInt).getOrElse(8)
-      val m = readManifest(name, currentVersion(name))
-      val small = m.dirs.count { d =>
-        val p = dataRoot(name).resolve(d)
-        Files.isDirectory(p) && Using.resource(Files.list(p))(_.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(f => Files.size(f)).sum) < maxBytes
+      // best-effort maintenance AFTER the caller's append already
+      // committed: a failure here (typically compactSmall losing its
+      // exclusive commit to a racing writer) must NOT propagate — the
+      // caller would read "append failed, nothing committed", retry,
+      // and land its rows twice. The skipped compaction just runs on a
+      // later append.
+      try {
+        val maxBytes = spark.conf.getOption("graft.autoCompact.smallFileBytes")
+          .map(_.toLong).getOrElse(16L * 1024 * 1024)
+        val minDirs = spark.conf.getOption("graft.autoCompact.minSmallDirs")
+          .map(_.toInt).getOrElse(8)
+        val m = readManifest(name, currentVersion(name))
+        val small = m.dirs.count { d =>
+          val p = dataRoot(name).resolve(d)
+          Files.isDirectory(p) && Using.resource(Files.list(p))(_.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => Files.size(f)).sum) < maxBytes
+        }
+        if (small >= minDirs) compactSmall(name, maxBytes): Unit
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] auto-compaction of $name skipped: ${e.getMessage}")
       }
-      if (small >= minDirs) compactSmall(name, maxBytes): Unit
     }
 
   /** INSERT INTO with automatic schema evolution (Delta's mergeSchema):
@@ -1321,14 +1351,24 @@ class TableStore(spark: SparkSession, root: String) {
     * but `df` lacks are filled with NULL for the new rows. */
   def appendEvolve(name: String, df: DataFrame): Unit = {
     val cur = schemaOf(name)
+    // canonicalize source names to the TABLE's case first: the match
+    // below is case-insensitive (Spark's default resolution), but the
+    // downstream conform() is exact-case — without the rename a source
+    // column differing only in case would be neither added, nor
+    // null-filled, nor accepted ("missing columns: …")
+    val canonical = cur.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    val src = df.columns.foldLeft(df) { (d, c) =>
+      canonical.get(c.toLowerCase).filter(_ != c)
+        .map(t => d.withColumnRenamed(c, t)).getOrElse(d)
+    }
     val curNames = cur.fieldNames.map(_.toLowerCase).toSet
-    val added = df.schema.fields.filterNot(f => curNames.contains(f.name.toLowerCase))
+    val added = src.schema.fields.filterNot(f => curNames.contains(f.name.toLowerCase))
       .map(_.copy(nullable = true))
     if (added.nonEmpty) addColumns(name, StructType(added))
     val widened = schemaOf(name)
-    val have = df.columns.map(_.toLowerCase).toSet
+    val have = src.columns.map(_.toLowerCase).toSet
     val filled = widened.fields.filterNot(f => have.contains(f.name.toLowerCase))
-      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .foldLeft(src)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     append(name, filled)
   }
 
@@ -1662,10 +1702,16 @@ class TableStore(spark: SparkSession, root: String) {
       s"cannot retype bucketing key $colName — the hash layout depends on it")
     val newSchema = StructType(m.schema.map(f =>
       if (f.name == colName) f.copy(dataType = newType) else f))
-    val recast = read(name).withColumn(colName, col(colName).cast(newType))
-      .select(newSchema.map(f => col(f.name)): _*)
+    // id-preserving rewrite (rewriteSource/rewriteExtra, like compact):
+    // a row-tracked table must keep every row's `_row_id` through the
+    // retype — a plain read-and-rewrite would mint fresh bases for all
+    // files while markNoLogicalChange tells CDF consumers nothing
+    // changed, silently diverging rid-keyed replicas
+    val ridKeep = rewriteExtra(m)
+    val recast = conformKeep(rewriteSource(name, m, m.dirs), newSchema, ridKeep)
     val v = commit(name, Some(recast),
-      m.copy(schema = newSchema, stats = Map.empty), Seq.empty)
+      m.copy(schema = newSchema, stats = Map.empty), Seq.empty,
+      extraPhys = ridKeep)
     markNoLogicalChange(name, v, m.cdf)
   }
 
@@ -2135,12 +2181,30 @@ class TableStore(spark: SparkSession, root: String) {
     // tables keep their ids through the rewrite
     val joined = rewriteSource(name, m, m.dirs).join(marked, keys, "left_outer")
     val hit = col("__s_present").isNotNull && condition
-    val out = m.schema.map(_.name).map { c =>
-      set.get(c).map(v => when(hit, v).otherwise(col(c)).as(c)).getOrElse(col(c).as(c))
+    // SET values cast to the declared type up front (no-op when they
+    // already match) so both commit paths write conformed values
+    val out = m.schema.map { f =>
+      set.get(f.name)
+        .map(v => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+        .getOrElse(col(f.name).as(f.name))
     }
     val ridKeep = rewriteExtra(m)
-    commit(name, Some(conformKeep(joined.select(out ++ ridKeep: _*), m.schema, ridKeep)),
-      m.copy(stats = Map.empty), Seq.empty, extraPhys = ridKeep): Unit
+    if (!m.cdf)
+      commit(name, Some(conformKeep(joined.select(out ++ ridKeep: _*), m.schema, ridKeep)),
+        m.copy(stats = Map.empty), Seq.empty, extraPhys = ridKeep): Unit
+    else {
+      // change feed: PRECISE per-row changes in the same write pass
+      // (like mergeUpsert/mergeDelete) — without this branch the
+      // full-table rewrite records nothing and the feed synthesizes a
+      // whole-table delete+insert for what was a targeted update
+      val old = m.schema.map(f => col(f.name).as(f.name))
+      val arr = when(hit,
+          array(kindStruct("current", out ++ ridKeep),
+            kindStruct("update_preimage", old ++ ridKeep),
+            kindStruct("update_postimage", out ++ ridKeep)))
+        .otherwise(array(kindStruct("current", old ++ ridKeep)))
+      commitCdc(name, m, explodeKinds(joined, arr, m.schema, ridNames(m)), Seq.empty)
+    }
   }
 
   /** Best-effort translation of an UPDATE/DELETE condition into v1
@@ -2471,7 +2535,7 @@ class TableStore(spark: SparkSession, root: String) {
     val txns = m.txns + (queryId -> epochId)
     if (files.isEmpty) {
       // empty epoch: still advance the watermark (no data dir)
-      commitEpochWithRetry(name, queryId, epochId, None, Map.empty)
+      commitEpochWithRetry(name, queryId, epochId, None, Map.empty, m)
       return true
     }
     val batch = f"st${currentVersion(name) + 1}%09d-" +
@@ -2482,7 +2546,7 @@ class TableStore(spark: SparkSession, root: String) {
     val batchStats = DirStats.collect(target, m.physSchema,
       absentIsNull = false).map(m.statsToLogical).map(batch -> _).toMap
     requireChecksPass(name, m, Seq(batch))
-    if (!commitEpochWithRetry(name, queryId, epochId, Some(batch), batchStats)) {
+    if (!commitEpochWithRetry(name, queryId, epochId, Some(batch), batchStats, m)) {
       FsUtil.deleteRecursively(target.toFile) // lost to a re-delivery
       return false
     }
@@ -2496,13 +2560,19 @@ class TableStore(spark: SparkSession, root: String) {
     * already recorded this (queryId, epoch). */
   private def commitEpochWithRetry(name: String, queryId: String, epochId: Long,
                                    batch: Option[String],
-                                   batchStats: Map[String, DirStats]): Boolean = {
+                                   batchStats: Map[String, DirStats],
+                                   base: Manifest): Boolean = {
     var attempts = 0
     while (attempts < 50) {
       onBeforeOptimisticCommit()
       val curV = currentVersion(name)
       val mm = readManifest(name, curV)
       if (mm.txns.get(queryId).exists(_ >= epochId)) return false
+      // the epoch's files were written + CHECK-validated under `base`'s
+      // metadata (attachStreamEpoch's read) — a rival schema/bucketing/
+      // constraint change means those files no longer belong, exactly
+      // like a batch append's rebase
+      refuseMetadataConflict(name, mm, base, "stream epoch")
       try {
         commitManifest(name, curV + 1, mm.copy(
           dirs = mm.dirs ++ batch.toSeq, stats = mm.stats ++ batchStats,
@@ -2885,8 +2955,45 @@ class TableStore(spark: SparkSession, root: String) {
     require(missingDv.isEmpty,
       s"cannot restore $name to $v: deletion vectors vacuumed: ${missingDv.mkString(",")}")
     val curM = readManifest(name, cur)
+    // CHECK constraints stay CURRENT (they are a consumer contract, not
+    // data) — which demands two guards the carry alone doesn't give:
+    // a constraint referencing a column v's schema lacks would break
+    // every future write (refuse — drop it first), and a constraint
+    // added after v was never validated against v's rows (validate the
+    // restored LIVE rows now, DV-aware, or the table would advertise a
+    // contract its data violates)
+    val unresolvable = curM.checks.filter { case (_, sql) =>
+      spark.sessionState.sqlParser.parseExpression(sql).references
+        .exists(r => !m.schema.fieldNames.exists(_.equalsIgnoreCase(r.name)))
+    }
+    require(unresolvable.isEmpty,
+      s"cannot restore $name to $v: CHECK constraint(s) " +
+        s"${unresolvable.keys.mkString(",")} reference columns that " +
+        "version's schema lacks — drop them first")
+    val newChecks = curM.checks.filter { case (k, sql) => !m.checks.get(k).contains(sql) }
+    if (newChecks.nonEmpty) {
+      val combined = newChecks.values.map(e => coalesce(expr(e), lit(false)))
+        .reduce(_ && _)
+      if (!scanLive(name, m, m.dirs).filter(!combined).isEmpty)
+        throw new IllegalStateException(
+          s"cannot restore $name to $v: rows violate CHECK constraint(s) " +
+            s"${newChecks.keys.mkString(",")} added since — restore refused")
+    }
+    // monotone id watermarks NEVER rewind: versions after v minted
+    // row/identity ids that stay readable (time travel) and were
+    // emitted through the change feed — rewinding `next` would re-mint
+    // them for different rows. Row tracking also stays ENABLED if it is
+    // now, and already-assigned bases carry (ids never change once
+    // assigned), so rows shared by v and the present keep their ids.
+    val watermarks = curM.props.view.filterKeys(k =>
+      k == RowTrackingProp ||
+        (k.startsWith("identity.") && k.endsWith(".next") &&
+          m.schema.fieldNames.contains(
+            k.stripPrefix("identity.").stripSuffix(".next")))).toMap
     commitExclusive(name, cur + 1, m.copy(txns = curM.txns,
-      bloomCols = curM.bloomCols, checks = curM.checks, cdf = curM.cdf),
+      bloomCols = curM.bloomCols, checks = curM.checks, cdf = curM.cdf,
+      props = m.props ++ watermarks,
+      rowbase = m.rowbase ++ curM.rowbase),
       "RESTORE")
   }
 
@@ -2929,7 +3036,13 @@ class TableStore(spark: SparkSession, root: String) {
       f.name.equalsIgnoreCase(c) && BloomIndex.supportedType(f.dataType)))
     require(bad.isEmpty,
       s"not indexable (missing or unsupported type): ${bad.mkString(",")}")
-    commitExclusive(name, m.baseVersion + 1, m.copy(bloomCols = cols),
+    // store the SCHEMA's spelling, not the caller's: dropColumn /
+    // renameColumn guard and remap bloomCols by exact name — a
+    // caller-cased entry would dodge the drop guard (dangling config
+    // that fails every later commit) and be left behind by a rename
+    val canonical = cols.map(c =>
+      m.schema.fields.find(_.name.equalsIgnoreCase(c)).get.name)
+    commitExclusive(name, m.baseVersion + 1, m.copy(bloomCols = canonical),
       "SET BLOOM COLUMNS")
   }
 }

@@ -126,4 +126,22 @@ class BloomIndexSpec extends AnyFunSuite {
     }
     ts.setBloomColumns("u", Seq("id")) // long: fine
   }
+
+  test("bloom config follows the schema's spelling: case-insensitive " +
+      "set cannot dodge the drop guard, and renames carry it") {
+    val ts = new TableStore(spark,
+      Files.createTempDirectory("bloomcase").toString)
+    ts.create("bc", Seq((1L, "a")).toDF("id", "v"))
+    ts.setBloomColumns("bc", Seq("ID")) // caller-cased: canonicalized
+    // the drop guard compares exact names — canonicalization means a
+    // caller-cased config can no longer slip past it (which left a
+    // dangling bloom entry failing every later commit)
+    intercept[IllegalArgumentException](ts.dropColumn("bc", "id"))
+    // renames remap the canonical entry, so the guard follows the column
+    ts.renameColumn("bc", "id", "key")
+    intercept[IllegalArgumentException](ts.dropColumn("bc", "key"))
+    ts.setBloomColumns("bc", Seq.empty)
+    ts.dropColumn("bc", "key") // config cleared: drop is legal now
+    assert(ts.schemaOf("bc").fieldNames.toSeq === Seq("v"))
+  }
 }

@@ -410,4 +410,19 @@ class ChangeFeedSpec extends AnyFunSuite {
       assert(!p.getFileName.toString.startsWith("."), s"leaked staging: $p")
     }
   }
+
+  test("mergeUpdate records precise update changes, not a synthesized " +
+      "full replace") {
+    val ts = freshStore()
+    ts.create("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
+    ts.setChangeFeed("t", true)                                        // v1
+    ts.mergeUpdate("t", Seq(Tuple1(7L)).toDF("id"), Seq("id"),
+      condition = lit(true), set = Map("v" -> lit("CLOSED")))          // v2
+    assert(ts.read("t").filter(col("v") === "CLOSED").count() === 1)
+    // exactly one pre/postimage pair — the old path recorded nothing and
+    // the feed synthesized delete-all + insert-all (200 rows here)
+    assert(changes(ts, "t", 1, 2) === Set(
+      (7L, "v7", "update_preimage", 2L),
+      (7L, "CLOSED", "update_postimage", 2L)))
+  }
 }

@@ -269,4 +269,43 @@ class CheckConstraintSpec extends AnyFunSuite {
     failsWrite(spark.sql("INSERT INTO gchk.t VALUES (2, -5.0)"))
     assert(spark.sql("SELECT count(*) FROM gchk.t").head().getLong(0) === 1)
   }
+
+  test("restore validates constraints added since the restored version") {
+    val ts = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("restchk").toString)
+    ts.create("t", Seq((1L, -5L), (2L, 3L)).toDF("id", "x"))  // v0: bad row
+    ts.delete("t", col("x") < 0L)                             // v1: clean
+    ts.addCheckConstraint("t", "pos", "x > 0")                // v2
+    // v0 contains a row violating the LATER constraint: refuse — the
+    // restored table would advertise a contract its rows break
+    intercept[IllegalStateException](ts.restore("t", 0))
+    ts.restore("t", 1)
+    assert(ts.read("t").count() === 1)
+    assert(ts.checkConstraints("t").contains("pos"))
+    // a constraint on a column the old schema LACKS refuses the restore
+    // (carrying it would break every future write)
+    ts.addColumns("t", org.apache.spark.sql.types.StructType.fromDDL("y BIGINT"))
+    ts.addCheckConstraint("t", "ypos", "y IS NULL OR y > 0")
+    intercept[IllegalArgumentException](ts.restore("t", 1))
+  }
+
+  test("restore never re-mints identity ids handed out after the " +
+      "restored version") {
+    val ts = new graft.core.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("restid").toString)
+    ts.createEmpty("t", org.apache.spark.sql.types.StructType.fromDDL(
+      "sk BIGINT, name STRING"))
+    ts.setIdentityColumn("t", "sk", start = 100L)
+    ts.append("t", Seq("a", "b").toDF("name"))   // sk 100, 101
+    val vAB = ts.currentVersion("t")
+    ts.append("t", Seq("c").toDF("name"))        // sk 102
+    ts.restore("t", vAB)
+    ts.append("t", Seq("d").toDF("name"))
+    val got = ts.read("t").select("sk", "name").as[(Long, String)]
+      .collect().toMap
+    // id 102 was minted (and stays time-travel/CDF visible) — d must
+    // NOT reuse it even though the restored rows top out at 101
+    assert(got.keySet === Set(100L, 101L, 103L),
+      s"identity watermark rewound: $got")
+  }
 }

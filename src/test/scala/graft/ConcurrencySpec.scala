@@ -337,4 +337,30 @@ class ConcurrencySpec extends AnyFunSuite {
     // and a cold store still resolves the (vacuumed) manifest chain
     assert(new TableStore(spark, root).read("t").count() === 19)
   }
+
+  test("stream epoch refuses to rebase over a concurrent metadata change") {
+    import org.apache.spark.sql.functions.col
+    val ts = freshStore()
+    ts.create("t", Seq((1L, 5L)).toDF("id", "x"))
+    val root = ts.dataRoot("t").getParent.getParent.toString
+    val rival = new TableStore(spark, root)
+    // executor-written epoch files whose rows VIOLATE the constraint the
+    // rival is about to add — the old rebase would attach them unchecked
+    val tmp = Files.createTempDirectory("epoch")
+    Seq((2L, -1L)).toDF("id", "x").coalesce(1).write.mode("overwrite")
+      .parquet(tmp.toString)
+    val files = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.toPath).toSeq
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true; rival.addCheckConstraint("t", "pos", "x > 0") }
+    try intercept[java.util.ConcurrentModificationException](
+      ts.attachStreamEpoch("t", "q-meta", 0L, files))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    // nothing landed; the winner's constraint survives and holds
+    assert(ts.read("t").count() === 1)
+    assert(ts.checkConstraints("t").contains("pos"))
+    assert(ts.read("t").filter(col("x") <= 0L).count() === 0)
+  }
 }

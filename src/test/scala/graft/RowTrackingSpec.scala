@@ -352,4 +352,39 @@ class RowTrackingSpec extends AnyFunSuite {
       spark.conf.unset("graft.autoCompact.minSmallDirs")
     }
   }
+
+  test("alterColumnType preserves row ids (id-preserving retype rewrite)") {
+    val ts = fresh()
+    ts.create("t", (1L to 100L).map(i => (i, i.toInt)).toDF("k", "x"))
+    ts.enableRowTracking("t")
+    def ids(): Map[Long, Long] = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    val before = ids()
+    ts.alterColumnType("t", "x", org.apache.spark.sql.types.LongType)
+    assert(ts.schemaOf("t")("x").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(ids() === before, "retype rewrite must keep every row's id")
+  }
+
+  test("restore never rewinds the row-id watermark or drops tracking") {
+    val ts = fresh()
+    ts.create("t", (1L to 10L).map(i => (i, i)).toDF("k", "x"))   // v0
+    ts.enableRowTracking("t")                                     // v1
+    def ids(): Map[Long, Long] = ts.readWithRowIds("t")
+      .select("k", "_row_id").as[(Long, Long)].collect().toMap
+    val baseIds = ids()
+    ts.append("t", Seq((100L, 100L)).toDF("k", "x"))              // v2
+    val bId = ids()(100L)
+    ts.restore("t", 1)                                            // v3
+    // tracking still on; the surviving rows kept their ids
+    assert(ids() === baseIds, "restore moved surviving row ids")
+    ts.append("t", Seq((200L, 200L)).toDF("k", "x"))              // v4
+    val cId = ids()(200L)
+    assert(cId != bId && !baseIds.values.toSet.contains(cId),
+      s"restore rewound the watermark: id $cId was already minted")
+    // restore to BEFORE tracking was enabled: stays enabled, ids intact
+    ts.restore("t", 0)
+    assert(ids() === baseIds,
+      "restore past the enablement point lost or moved ids")
+  }
 }

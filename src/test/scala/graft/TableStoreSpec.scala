@@ -490,4 +490,34 @@ class TableStoreSpec extends AnyFunSuite {
       Set((2L, "ab"), (3L, "x")),
       "rows failing the untranslatable conjunct must survive")
   }
+
+  test("appendEvolve matches existing columns case-insensitively") {
+    val ts = freshStore()
+    ts.create("ce", Seq((1L, "a")).toDF("id", "name"))
+    // ID differs only in case from the table's id: it must resolve to
+    // the existing column (Spark's default resolution), not error and
+    // not spawn a duplicate column
+    ts.appendEvolve("ce", Seq((2L, "b", 9L)).toDF("ID", "name", "extra"))
+    assert(ts.read("ce").columns.toSeq === Seq("id", "name", "extra"))
+    assert(ts.read("ce").as[(Long, String, Option[Long])].collect().toSet ===
+      Set((1L, "a", None), (2L, "b", Some(9L))))
+  }
+
+  test("append survives a failing auto-compaction (maintenance is " +
+      "best-effort, never a spurious append failure)") {
+    val ts = freshStore()
+    ts.create("ac", Seq((1L, "a")).toDF("k", "v"))
+    spark.conf.set("graft.autoCompact.enabled", "true")
+    // a broken tunable makes the maintenance pass throw — the caller's
+    // already-committed append must still report success (propagating
+    // would invite a retry that lands the rows twice)
+    spark.conf.set("graft.autoCompact.smallFileBytes", "not-a-number")
+    try ts.append("ac", Seq((2L, "b")).toDF("k", "v"))
+    finally {
+      spark.conf.unset("graft.autoCompact.enabled")
+      spark.conf.unset("graft.autoCompact.smallFileBytes")
+    }
+    assert(ts.read("ac").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+  }
 }
