@@ -2524,29 +2524,51 @@ class TableStore(spark: SparkSession, root: String) {
     * manifest swap, the Delta txn-action pattern. A re-delivered epoch
     * (failure retry, query restart on an old checkpoint) finds
     * txns(queryId) >= epochId and is dropped, files cleaned up.
-    * Returns true when the epoch committed, false when skipped. */
+    * Bucket-routed epoch files (under `__b=<k>/` parents) become
+    * manifest bucket-LEAF dirs, so streaming into a bucketed table
+    * keeps its layout. With `replaceAll` (Complete output mode: the
+    * sink owns the table) the epoch's dirs REPLACE the live set
+    * instead of appending. Returns true when the epoch committed,
+    * false when skipped. */
   def attachStreamEpoch(name: String, queryId: String, epochId: Long,
-                        files: Seq[Path]): Boolean = {
+                        files: Seq[Path], replaceAll: Boolean = false): Boolean = {
     val m = readManifest(name, currentVersion(name))
     if (m.txns.get(queryId).exists(_ >= epochId)) {
       files.foreach(Files.deleteIfExists(_))
       return false
     }
-    val txns = m.txns + (queryId -> epochId)
-    if (files.isEmpty) {
-      // empty epoch: still advance the watermark (no data dir)
-      commitEpochWithRetry(name, queryId, epochId, None, Map.empty, m)
+    if (files.isEmpty && !replaceAll) {
+      // empty append epoch: still advance the watermark (no data dir)
+      commitEpochWithRetry(name, queryId, epochId, Seq.empty, Map.empty, m,
+        replaceAll = false)
       return true
     }
     val batch = f"st${currentVersion(name) + 1}%09d-" +
       java.util.UUID.randomUUID.toString.take(8)
     val target = dir(name).resolve("data").resolve(batch)
     Files.createDirectories(target)
-    files.foreach(f => Files.move(f, target.resolve(f.getFileName)))
-    val batchStats = DirStats.collect(target, m.physSchema,
-      absentIsNull = false).map(m.statsToLogical).map(batch -> _).toMap
-    requireChecksPass(name, m, Seq(batch))
-    if (!commitEpochWithRetry(name, queryId, epochId, Some(batch), batchStats, m)) {
+    // an empty COMPLETE epoch replaces the table with the empty batch
+    val newDirs: Seq[String] =
+      if (files.isEmpty) Seq(batch)
+      else files.map { f =>
+        val parent = f.getParent.getFileName.toString
+        if (parent.startsWith("__b=")) {
+          val leaf = target.resolve(parent)
+          Files.createDirectories(leaf)
+          Files.move(f, leaf.resolve(f.getFileName))
+          s"$batch/$parent"
+        } else {
+          Files.move(f, target.resolve(f.getFileName))
+          batch
+        }
+      }.distinct
+    val batchStats = { import scala.collection.parallel.CollectionConverters._
+      newDirs.par.flatMap(d =>
+        DirStats.collect(dataRoot(name).resolve(d), m.physSchema,
+          absentIsNull = false).map(m.statsToLogical).map(d -> _)).toMap.seq }
+    requireChecksPass(name, m, newDirs)
+    if (!commitEpochWithRetry(name, queryId, epochId, newDirs, batchStats, m,
+        replaceAll)) {
       FsUtil.deleteRecursively(target.toFile) // lost to a re-delivery
       return false
     }
@@ -2559,9 +2581,10 @@ class TableStore(spark: SparkSession, root: String) {
     * batch writers compose. Returns false when a concurrent commit
     * already recorded this (queryId, epoch). */
   private def commitEpochWithRetry(name: String, queryId: String, epochId: Long,
-                                   batch: Option[String],
-                                   batchStats: Map[String, DirStats],
-                                   base: Manifest): Boolean = {
+                                   added: Seq[String],
+                                   addedStats: Map[String, DirStats],
+                                   base: Manifest,
+                                   replaceAll: Boolean): Boolean = {
     var attempts = 0
     while (attempts < 50) {
       onBeforeOptimisticCommit()
@@ -2574,8 +2597,14 @@ class TableStore(spark: SparkSession, root: String) {
       // like a batch append's rebase
       refuseMetadataConflict(name, mm, base, "stream epoch")
       try {
+        // Complete output mode: the sink owns the table — the epoch's
+        // recomputed result REPLACES the live dirs (commitManifest
+        // prunes the dropped dirs' DV/rowbase entries)
+        val (dirs, stats) =
+          if (replaceAll) (added, addedStats)
+          else (mm.dirs ++ added, mm.stats ++ addedStats)
         commitManifest(name, curV + 1, mm.copy(
-          dirs = mm.dirs ++ batch.toSeq, stats = mm.stats ++ batchStats,
+          dirs = dirs, stats = stats,
           txns = mm.txns + (queryId -> epochId)))
         return true
       } catch {

@@ -1751,12 +1751,13 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val pred = GraftVectorized.predicate(pushed, fullSchema)
     def mk(f: String, dv: Array[Long])
         : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-      if (dv.isEmpty) new GraftColumnarPartitionReader(f, required, pred)
+      if (dv.isEmpty)
+        new GraftColumnarPartitionReader(f, required, pushed, fullSchema)
       else new GraftDvSkipColumnarReader(
-        new GraftColumnarPartitionReader(f, required, null), dv)
+        new GraftColumnarPartitionReader(f, required,
+          Array.empty[org.apache.spark.sql.sources.Filter], fullSchema), dv)
     partition match {
       case GraftBucketInputPartition(_, fs, dvs) =>
         new GraftChainedReader(fs.map(f =>

@@ -38,26 +38,40 @@ object GraftProcedures {
     ProcedureParameter.in(n, dt).build()
 
   /** "col = expr, col2 = expr2" -> the SET map for updateVectorized.
-    * Split on TOP-LEVEL commas only (a tracked paren/quote depth keeps
-    * commas inside `coalesce(a, b)` or string literals intact); each
-    * clause splits on its first '='. */
+    * Split on TOP-LEVEL commas only: a tracked paren depth keeps commas
+    * inside `coalesce(a, b)` intact, and the string tracker understands
+    * everything Spark's expr() lexer does — single- AND double-quoted
+    * literals, with backslash escapes — so a comma inside
+    * `'can\'t, stop'` or `"x,y"` never splits a clause. Each clause
+    * then splits on its first '='. */
   private[sources] def parseAssignments(s: String)
       : Map[String, org.apache.spark.sql.Column] = {
     val clauses = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0; var inStr = false
-    s.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case '(' if !inStr => depth += 1; cur += '('
-      case ')' if !inStr => depth -= 1; cur += ')'
-      case ',' if !inStr && depth == 0 => clauses += cur.result(); cur.clear()
-      case c => cur += c
+    var depth = 0
+    var quote: Char = 0 // 0 = outside any string literal
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        cur += c
+        if (c == '\\' && i + 1 < s.length) { cur += s(i + 1); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => clauses += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
     }
+    require(quote == 0, s"unterminated string literal in assignments: $s")
     if (cur.nonEmpty) clauses += cur.result()
     clauses.map { cl =>
-      val i = cl.indexOf('=')
-      require(i > 0, s"assignment '$cl' is not of the form col = expr")
-      cl.take(i).trim -> org.apache.spark.sql.functions.expr(cl.drop(i + 1).trim)
+      val j = cl.indexOf('=')
+      require(j > 0, s"assignment '$cl' is not of the form col = expr")
+      cl.take(j).trim -> org.apache.spark.sql.functions.expr(cl.drop(j + 1).trim)
     }.toMap
   }
 

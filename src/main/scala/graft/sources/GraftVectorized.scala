@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -27,11 +26,12 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * scan bound by object churn and one bound by I/O.
   */
 class GraftColumnarPartitionReader(file: String, required: StructType,
-                                   pushed: FilterPredicate)
+                                   pushed: Array[Filter],
+                                   fullSchema: StructType)
     extends PartitionReader[ColumnarBatch] {
 
   private def mk(pred: FilterPredicate): VectorizedParquetRecordReader = {
-    val conf = new Configuration()
+    val conf = GraftParquet.newConf()
     conf.set(ParquetInputFormat.READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
     // the engine's files are written by this store (Spark parquet or the
@@ -57,19 +57,45 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
       Array.empty[String])
     val ctx = new TaskAttemptContextImpl(conf,
       new TaskAttemptID(new TaskID(new JobID(), TaskType.MAP, 0), 0))
-    r.initialize(split, ctx)
-    r.initBatch(new StructType(), InternalRow.empty)
-    r.enableReturningBatches()
-    r
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), InternalRow.empty)
+      r.enableReturningBatches()
+      r
+    } catch { case e: Throwable =>
+      // initialize already opened the file: close before rethrowing, or
+      // every schema-evolution retry leaks a file handle
+      try r.close() catch { case _: Exception => () }
+      throw e
+    }
   }
 
-  private val reader: VectorizedParquetRecordReader =
+  private val reader: VectorizedParquetRecordReader = {
     // a predicate over a column this file predates (ALTER TABLE ADD
-    // COLUMN) fails parquet's schema validation at row-group filtering;
-    // retry without the pushed predicate — Spark re-applies all filters
-    // above the scan, so dropping the pushdown is safe, never wrong
-    if (pushed == null) mk(null)
-    else try mk(pushed) catch { case _: Exception => mk(null) }
+    // COLUMN) fails parquet's schema validation at row-group filtering.
+    // Retry with the subset of filters THIS file can evaluate (same
+    // containsField rule as the row path) — dropping everything would
+    // lose row-group skipping on the still-valid conjuncts; Spark
+    // re-applies all filters above the scan, so any dropped pushdown is
+    // safe, never wrong. The footer read happens only on evolved files.
+    val full = GraftVectorized.predicate(pushed, fullSchema)
+    if (full == null) mk(null)
+    else try mk(full) catch { case _: Exception =>
+      val sub =
+        try {
+          val fileSchema = scala.util.Using.resource(
+            org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new Path(file), GraftParquet.newConf())))(
+            _.getFooter.getFileMetaData.getSchema)
+          GraftVectorized.predicate(
+            pushed.filter(_.references.forall(fileSchema.containsField)),
+            fullSchema)
+        } catch { case _: Exception => null }
+      if (sub == null) mk(null)
+      else try mk(sub) catch { case _: Exception => mk(null) }
+    }
+  }
 
   private var batch: ColumnarBatch = _
 

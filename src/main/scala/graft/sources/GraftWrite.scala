@@ -70,8 +70,15 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
       new GraftBatchWrite(root, table, physSchema, replace, rowLevel = replaceAll,
         replacedDirs, bucketing = bucketedInsert.map { case (ks, n) => (ks.map(phys), n) },
         scanVersion = scanVersion)
+    // `replace` reaches the streaming write: Spark negotiates COMPLETE
+    // output mode through SupportsTruncate.truncate(), so ignoring it
+    // here would silently APPEND every recomputed aggregate epoch.
+    // Bucketed tables route per-row exactly like batch INSERTs — one
+    // streamed epoch must not demote the table off its layout.
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftStreamingWrite(root, table, physSchema, queryId)
+      new GraftStreamingWrite(root, table, physSchema, queryId,
+        replaceAll = replace,
+        bucketing = bucketing.map { case (ks, n) => (ks.map(phys), n) })
   }
 }
 
@@ -82,40 +89,116 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
   * per-query epoch watermark ([[TableStore.attachStreamEpoch]]) —
   * re-delivered epochs are dropped, giving exactly-once end to end. */
 class GraftStreamingWrite(root: String, table: String, schema: StructType,
-                          queryId: String)
+                          queryId: String,
+                          replaceAll: Boolean = false,
+                          bucketing: Option[(Seq[String], Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   private val scratch = Paths.get(root, table, ".stream-scratch")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(scratch.toString, schema)
+    new GraftStreamingWriterFactory(scratch.toString, schema, bucketing)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect { case GraftFileMessage(p) => Paths.get(p) }
+    val files = messages.flatMap {
+      case GraftFileMessage(p) => Seq(Paths.get(p))
+      case GraftFilesMessage(ps) => ps.map(Paths.get(_))
+      case _ => Seq.empty
+    }
     new TableStore(SparkSession.active, root)
-      .attachStreamEpoch(table, queryId, epochId, files.toSeq): Unit
+      .attachStreamEpoch(table, queryId, epochId, files.toSeq,
+        replaceAll = replaceAll): Unit
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case GraftFileMessage(p) =>
-      Files.deleteIfExists(Paths.get(p))
-    }: Unit
+    messages.foreach {
+      case GraftFileMessage(p) => Files.deleteIfExists(Paths.get(p)): Unit
+      case GraftFilesMessage(ps) =>
+        ps.foreach(p => Files.deleteIfExists(Paths.get(p)): Unit)
+      case _ => ()
+    }
 }
 
 /** Commit message carrying the task's written file (streaming path). */
 case class GraftFileMessage(path: String) extends WriterCommitMessage
 
+/** Commit message of a bucket-routing streaming task (one file per
+  * bucket seen, each under its `__b=<k>/` parent). */
+case class GraftFilesMessage(paths: Seq[String]) extends WriterCommitMessage
+
 /** Executor-side factory for streaming epochs (serializable — carries
-  * only the scratch path and schema). */
-class GraftStreamingWriterFactory(scratch: String, schema: StructType)
+  * only the scratch path, schema, and bucket layout). */
+class GraftStreamingWriterFactory(scratch: String, schema: StructType,
+                                  bucketing: Option[(Seq[String], Int)] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
-      : DataWriter[InternalRow] =
-    new GraftDataWriter(
-      s"$scratch/e$epochId-p$partitionId-t$taskId-" +
-        java.util.UUID.randomUUID.toString.take(8) + ".parquet",
-      schema, rowLevel = false, reportFile = true)
+      : DataWriter[InternalRow] = {
+    val base = s"$scratch/e$epochId-p$partitionId-t$taskId-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    bucketing match {
+      case Some((keys, n)) =>
+        new GraftBucketedStreamWriter(base, schema, keys, n)
+      case None =>
+        new GraftDataWriter(base + ".parquet", schema,
+          rowLevel = false, reportFile = true)
+    }
+  }
+}
+
+/** Bucket-routing streaming writer: each row lands in a per-bucket file
+  * under a `__b=<k>/` parent, which [[TableStore.attachStreamEpoch]]
+  * maps to manifest bucket-leaf dirs — streaming into a bucketed table
+  * KEEPS its layout (SPJ scans, key-driven merge pruning) instead of
+  * silently demoting it to unbucketed until the next full compact. */
+class GraftBucketedStreamWriter(baseDir: String, schema: StructType,
+                                keys: Seq[String], n: Int)
+    extends DataWriter[InternalRow] {
+  private val keyFields = GraftBucketHash.keyFields(schema, keys)
+  private val open = scala.collection.mutable.HashMap[Int, (String, GraftDataWriter)]()
+
+  override def write(row: InternalRow): Unit = {
+    val b = GraftBucketHash.bucketOf(row, keyFields, 0, n)
+    open.getOrElseUpdate(b, {
+      val p = s"$baseDir/__b=$b/part-0.parquet"
+      (p, new GraftDataWriter(p, schema, rowLevel = false))
+    })._2.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._2.commit())
+    GraftFilesMessage(open.values.map(_._1).toSeq)
+  }
+  override def abort(): Unit = open.values.foreach(_._2.abort())
+  override def close(): Unit = open.values.foreach(_._2.close())
+}
+
+/** The engine's bucket function — pmod(murmur3(keys, seed 42), n),
+  * EXACTLY [[TableStore]]'s `Bucketing.expr` and the catalog's `bucket`
+  * v2 function — shared by every per-row routing writer. */
+private[sources] object GraftBucketHash {
+  def keyFields(schema: StructType, keys: Seq[String])
+      : Array[(Int, org.apache.spark.sql.types.DataType)] =
+    keys.map { k =>
+      val i = schema.fieldIndex(k)
+      (i, schema.fields(i).dataType)
+    }.toArray
+
+  def bucketOf(row: InternalRow,
+               keyFields: Array[(Int, org.apache.spark.sql.types.DataType)],
+               off: Int, n: Int): Int = {
+    var h = 42L // hash() seed, chained across columns like Murmur3Hash
+    var i = 0
+    while (i < keyFields.length) {
+      val (idx, dt) = keyFields(i)
+      if (!row.isNullAt(off + idx))
+        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(row.get(off + idx, dt), dt, h)
+      i += 1
+    }
+    val b = h.toInt % n
+    if (b < 0) b + n else b
+  }
 }
 
 class GraftBatchWrite(root: String, table: String, schema: StructType,
@@ -185,29 +268,11 @@ class GraftBucketedDataWriter(dirPath: String, schema: StructType,
                               keys: Seq[String], n: Int,
                               partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val keyFields: Array[(Int, org.apache.spark.sql.types.DataType)] =
-    keys.map { k =>
-      val i = schema.fieldIndex(k)
-      (i, schema.fields(i).dataType)
-    }.toArray
+  private val keyFields = GraftBucketHash.keyFields(schema, keys)
   private val open = scala.collection.mutable.HashMap[Int, GraftDataWriter]()
 
-  private def bucketOf(row: InternalRow): Int = {
-    var h = 42L // hash() seed, chained across columns like Murmur3Hash
-    var i = 0
-    while (i < keyFields.length) {
-      val (idx, dt) = keyFields(i)
-      if (!row.isNullAt(idx))
-        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-          .hash(row.get(idx, dt), dt, h)
-      i += 1
-    }
-    val b = h.toInt % n
-    if (b < 0) b + n else b
-  }
-
   override def write(row: InternalRow): Unit = {
-    val b = bucketOf(row)
+    val b = GraftBucketHash.bucketOf(row, keyFields, 0, n)
     open.getOrElseUpdate(b, new GraftDataWriter(
       s"$dirPath/__b=$b/part-$partitionId-$taskId.parquet", schema,
       rowLevel = false)).write(row)
@@ -260,6 +325,14 @@ object GraftParquet {
     }
     b.named("graft_row")
   }
+
+  // Hadoop Configuration construction parses the default XML resources —
+  // ~10 ms a pop, paid per file open; copy from one parsed template
+  // instead (the copy constructor clones properties without re-parsing).
+  // The template is never mutated after init; each copy is private to
+  // its reader/writer and safe to mutate.
+  private lazy val confTemplate = new Configuration()
+  private[sources] def newConf(): Configuration = new Configuration(confTemplate)
 }
 
 class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean,
@@ -269,10 +342,15 @@ class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean,
   Files.createDirectories(Paths.get(file).getParent)
   private val msgType = GraftParquet.messageType(schema)
   private val factory = new SimpleGroupFactory(msgType)
+  // fields hoisted once: the write loop below is the hottest path of
+  // bulk INSERT — no per-row tuple allocation, and index-based
+  // Group.add (messageType preserves schema order, so parquet field i
+  // IS schema field i) instead of a per-cell linear name lookup
+  private val fields: Array[StructField] = schema.fields
   private val writer = ExampleParquetWriter
     .builder(new org.apache.hadoop.fs.Path(file))
     .withType(msgType)
-    .withConf(new Configuration())
+    .withConf(GraftParquet.newConf())
     .build()
 
   override def write(row: InternalRow): Unit = {
@@ -295,23 +373,25 @@ class GraftDataWriter(file: String, schema: StructType, rowLevel: Boolean,
       require(off == 0,
         s"INSERT row has ${row.numFields} fields for ${schema.length} columns")
     val g = factory.newGroup()
-    schema.fields.zipWithIndex.foreach { case (f, i0) =>
+    var i0 = 0
+    while (i0 < fields.length) {
       val i = off + i0
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType => g.add(f.name, row.getLong(i))
-        case IntegerType => g.add(f.name, row.getInt(i))
-        case DoubleType => g.add(f.name, row.getDouble(i))
-        case FloatType => g.add(f.name, row.getFloat(i))
-        case BooleanType => g.add(f.name, row.getBoolean(i))
+      if (!row.isNullAt(i)) fields(i0).dataType match {
+        case LongType => g.add(i0, row.getLong(i))
+        case IntegerType => g.add(i0, row.getInt(i))
+        case DoubleType => g.add(i0, row.getDouble(i))
+        case FloatType => g.add(i0, row.getFloat(i))
+        case BooleanType => g.add(i0, row.getBoolean(i))
         case StringType =>
-          g.add(f.name, Binary.fromString(row.getUTF8String(i).toString))
-        case TimestampType | TimestampNTZType => g.add(f.name, row.getLong(i))
-        case DateType => g.add(f.name, row.getInt(i))
+          g.add(i0, Binary.fromString(row.getUTF8String(i).toString))
+        case TimestampType | TimestampNTZType => g.add(i0, row.getLong(i))
+        case DateType => g.add(i0, row.getInt(i))
         case d: DecimalType =>
           val u = row.getDecimal(i, d.precision, d.scale).toUnscaledLong
-          if (d.precision <= 9) g.add(f.name, u.toInt) else g.add(f.name, u)
+          if (d.precision <= 9) g.add(i0, u.toInt) else g.add(i0, u)
         case other => throw new UnsupportedOperationException(s"type $other")
       }
+      i0 += 1
     }
     writer.write(g)
   }
@@ -339,7 +419,7 @@ case class GraftDeltaMessage(deleteFile: Option[String], insertFiles: Seq[String
 /** The write half of a [[SupportsDelta]] row-level operation: rows
   * arrive as per-row DELETE (rowId only) / INSERT (full row) actions —
   * updates are delete+reinsert (`representUpdateAsDeleteAndInsert`).
-  * Deletes stage as (dir, relpath, pos) parquet, inserts as data files
+  * Deletes stage as (relpath, pos) parquet, inserts as data files
   * carrying PHYSICAL column names; [[TableStore.commitDelta]] fuses
   * both into one manifest version (DV sidecars + one attached dir). */
 class GraftDeltaWriteBuilder(root: String, table: String, schema: StructType,
@@ -387,7 +467,7 @@ class GraftDeltaWriterFactory(scratch: String, physSchema: StructType,
     new GraftDeltaWriter(scratch, physSchema, bucketing, partitionId, taskId)
 }
 
-/** Executor side: tombstones buffer to a (dir, relpath, pos) parquet,
+/** Executor side: tombstones buffer to a (relpath, pos) parquet,
   * inserted rows stream through a plain [[GraftDataWriter]]. The id
   * row carries the operation's rowId = (`_file`, `_pos`). */
 class GraftDeltaWriter(scratch: String, physSchema: StructType,
@@ -396,8 +476,7 @@ class GraftDeltaWriter(scratch: String, physSchema: StructType,
     extends DeltaWriter[InternalRow] {
 
   private val delSchema = StructType(Seq(
-    StructField("dir", StringType), StructField("relpath", StringType),
-    StructField("pos", LongType)))
+    StructField("relpath", StringType), StructField("pos", LongType)))
   private var delWriter: GraftDataWriter = _
   private def delFile = s"$scratch/del-$partitionId-$taskId.parquet"
   // unbucketed tables stream inserts to one file; bucketed tables route
@@ -407,48 +486,33 @@ class GraftDeltaWriter(scratch: String, physSchema: StructType,
   private var insWriter: GraftDataWriter = _
   private def insFile = s"$scratch/ins-$partitionId-$taskId.parquet"
   private val insByBucket = scala.collection.mutable.HashMap[Int, GraftDataWriter]()
-  private val keyFields: Array[(Int, org.apache.spark.sql.types.DataType)] =
-    bucketing.map(_._1).getOrElse(Seq.empty).map { k =>
-      val i = physSchema.fieldIndex(k)
-      (i, physSchema.fields(i).dataType)
-    }.toArray
-
-  private def bucketOf(row: InternalRow, off: Int, n: Int): Int = {
-    var h = 42L
-    var i = 0
-    while (i < keyFields.length) {
-      val (idx, dt) = keyFields(i)
-      if (!row.isNullAt(off + idx))
-        h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-          .hash(row.get(off + idx, dt), dt, h)
-      i += 1
-    }
-    val b = h.toInt % n
-    if (b < 0) b + n else b
-  }
+  private val keyFields =
+    GraftBucketHash.keyFields(physSchema, bucketing.map(_._1).getOrElse(Seq.empty))
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     require(id.numFields == 2,
       s"delta rowId row has ${id.numFields} fields (expected (_file, _pos))")
     val file = id.getUTF8String(0).toString
     val pos = id.getLong(1)
-    // manifest-relative key: <dir...>/<filename> after the data root
-    val rel = file.split("/data/", 2) match {
-      case Array(_, r) => r
-      case _ => throw new IllegalStateException(s"unexpected _file path: $file")
-    }
-    val dir = rel.substring(0, rel.lastIndexOf('/'))
+    // manifest-relative key: <dir...>/<filename> after the data root.
+    // LAST occurrence of "/data/", matching the store's own convention
+    // (TableStore.relpathCol's substring_index(..., -1)) — a warehouse
+    // root containing a /data/ segment would otherwise shift every
+    // relpath and fail the commit's live-dir check
+    val cut = file.lastIndexOf("/data/")
+    if (cut < 0)
+      throw new IllegalStateException(s"unexpected _file path: $file")
+    val rel = file.substring(cut + "/data/".length)
     if (delWriter == null) delWriter = new GraftDataWriter(delFile, delSchema,
       rowLevel = false)
     delWriter.write(InternalRow(
-      org.apache.spark.unsafe.types.UTF8String.fromString(dir),
       org.apache.spark.unsafe.types.UTF8String.fromString(rel), pos))
   }
 
   override def insert(row: InternalRow): Unit = bucketing match {
     case Some((_, n)) =>
       val off = row.numFields - physSchema.length
-      val b = bucketOf(row, off, n)
+      val b = GraftBucketHash.bucketOf(row, keyFields, off, n)
       insByBucket.getOrElseUpdate(b, new GraftDataWriter(
         s"$scratch/ins/__b=$b/part-$partitionId-$taskId.parquet", physSchema,
         rowLevel = true)).write(row)

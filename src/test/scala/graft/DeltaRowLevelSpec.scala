@@ -171,4 +171,27 @@ class DeltaRowLevelSpec extends AnyFunSuite {
     assert(ch === Set((9L, 9L, "delete"), (10L, 10L, "delete"),
       (9L, 109L, "insert"), (10L, 110L, "insert")))
   }
+
+  test("delta MERGE works when the warehouse root itself contains /data/") {
+    // the tombstone writer derives manifest-relative paths from _file:
+    // it must cut at the LAST /data/ segment (the store's convention) —
+    // a first-occurrence cut shifts every relpath and fails the commit
+    val base = Files.createTempDirectory("morroot")
+    val root = base.resolve("data").resolve("wh")
+    Files.createDirectories(root)
+    spark.conf.set("spark.sql.catalog.mor7", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mor7.root", root.toString)
+    val ts = new TableStore(spark, root.toString)
+    ts.create("t", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    ts.setProperties("t", Map("rowlevel.mode" -> "merge-on-read"))
+    val dirsBefore = ts.liveDirs("t")
+    Seq((7L, "U7")).toDF("id", "v").createOrReplaceTempView("mor7_src")
+    spark.sql("""MERGE INTO mor7.t t USING mor7_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(ts.liveDirs("t").take(dirsBefore.size) === dirsBefore)
+    assert(ts.snapshot("t").dvs.nonEmpty, "tombstones must have landed")
+    val got = spark.sql("SELECT id, v FROM mor7.t")
+      .as[(Long, String)].collect().toMap
+    assert(got.size === 50 && got(7L) === "U7" && got(8L) === "v8")
+  }
 }

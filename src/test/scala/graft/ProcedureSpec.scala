@@ -111,4 +111,19 @@ class ProcedureSpec extends AnyFunSuite {
     val e = intercept[Exception](ts.readVersion("t", 0).count())
     assert(e != null)
   }
+
+  test("update_vectorized assignments survive quoted commas and escapes") {
+    val root = java.nio.file.Files.createTempDirectory("procparse").toString
+    spark.conf.set("spark.sql.catalog.gproc2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gproc2.root", root)
+    val ts = new graft.core.TableStore(spark, root)
+    ts.create("t", Seq((1L, "a", "z"), (2L, "b", "z")).toDF("id", "v", "w"))
+    // double-quoted literal with a comma + a second clause: the old
+    // splitter never tracked double quotes and split inside the string
+    spark.sql(
+      """CALL gproc2.system.update_vectorized('t', 'id = 1',
+        |  'v = "x,y", w = concat(w, \'!\')')""".stripMargin)
+    assert(ts.read("t").as[(Long, String, String)].collect().toSet ===
+      Set((1L, "x,y", "z!"), (2L, "b", "z")))
+  }
 }

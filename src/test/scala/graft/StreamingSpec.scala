@@ -229,4 +229,62 @@ class StreamingSpec extends AnyFunSuite {
     // never flag — allow a generous margin before calling it broken
     assert(all.count(_.startsWith("ok_")) <= 10, s"implausible FPs: $all")
   }
+
+  test("Complete output mode replaces the table each epoch (truncate " +
+      "honored by the streaming sink)") {
+    val root = Files.createTempDirectory("stcomplete").toString
+    spark.conf.set("spark.sql.catalog.graft_cm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cm.root", root)
+    val store = new TableStore(spark, root)
+    store.createEmpty("agg", Seq((1L, 1L)).toDF("k", "n").schema)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val ckpt = Files.createTempDirectory("stcomplete_ckpt").toString
+    val q = input.toDF().toDF("k").groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .toTable("graft_cm.agg")
+    input.addData(1L, 1L, 2L)
+    q.processAllAvailable()
+    assert(store.read("agg").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (2L, 1L)))
+    input.addData(1L)
+    q.processAllAvailable()
+    q.stop()
+    // the second epoch REPLACED the first's rows — before the fix the
+    // sink appended every recomputed aggregate (stale (1,2) kept)
+    assert(store.read("agg").as[(Long, Long)].collect().toSet ===
+      Set((1L, 3L), (2L, 1L)),
+      "complete-mode epoch must replace, not append")
+  }
+
+  test("streaming into a bucketed table keeps the bucket layout") {
+    val root = Files.createTempDirectory("stbucket").toString
+    spark.conf.set("spark.sql.catalog.graft_bk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_bk.root", root)
+    val store = new TableStore(spark, root)
+    store.createBucketed("b", Seq((1L, "a")).toDF("id", "v"), Seq("id"), 4)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val ckpt = Files.createTempDirectory("stbucket_ckpt").toString
+    val q = input.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable("graft_bk.b")
+    input.addData((2L, "b"), (3L, "c"), (4L, "d"))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.read("b").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // every live dir is still a bucket leaf: one streamed epoch must
+    // not demote the table off SPJ / key-driven merge pruning
+    assert(store.liveDirs("b").forall(_.contains("/__b=")),
+      s"streamed epoch demoted the layout: ${store.liveDirs("b")}")
+    // and the routed leaves agree with the engine's bucket function:
+    // a key-driven merge over them stays correct
+    store.mergeUpsert("b", Seq((2L, "B")).toDF("id", "v"), Seq("id"),
+      changeTypeCol = None)
+    assert(store.read("b").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+  }
 }
