@@ -73,6 +73,9 @@ object Ann {
   /** Mean within-cluster cosine of an assignment — the training
     * objective spherical k-means maximizes; exposed for tests. */
   def assignmentQuality(vecs: DataFrame, cents: DataFrame): Double = {
+    // self-sufficient: vec_dot must resolve even when trainIvfCentroids
+    // never ran in this session (e.g. evaluating persisted centroids)
+    graft.functions.VectorFunctions.register(vecs.sparkSession)
     val n = vecs
       .withColumn("vn", expr(
         "transform(v, x -> CAST(x / sqrt(aggregate(v, 0.0D, (a, y) -> a + y * y)) AS FLOAT))"))

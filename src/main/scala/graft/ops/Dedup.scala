@@ -40,10 +40,16 @@ object Dedup {
     * struct whose lexicographic MAX picks the winner (e.g.
     * struct(updated_at, -id) for "latest, then smallest id"). */
   def latestVersionAgg(df: DataFrame, keys: Seq[String], ordering: Column): DataFrame = {
+    // backtick-quote on the way into the struct and getField on the way
+    // out: a data column whose NAME contains a dot (flattened-JSON
+    // ingests) must resolve as a name, not a nested-field path —
+    // cdcMergeStream calls this on arbitrary batch schemas
     val dataCols = df.columns.filterNot(keys.contains)
     val packed = df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(dataCols.map(col): _*), ordering).as("__row"))
-    packed.select(keys.map(col) ++ dataCols.map(c => col(s"__row.$c").as(c)): _*)
+      .agg(max_by(struct(dataCols.map(c => col(s"`$c`").as(c)): _*), ordering)
+        .as("__row"))
+    packed.select(keys.map(col) ++
+      dataCols.map(c => col("__row").getField(c).as(c)): _*)
   }
 
   /** MinHash signatures banded into LSH keys: one row per (doc, band)

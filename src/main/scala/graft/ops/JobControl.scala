@@ -62,7 +62,11 @@ class JobControl(store: TableStore, table: String = "job_control") {
       .limit(1)
       .select("last_processed_timestamp")
       .collect()
-      .headOption.map(_.getTimestamp(0))
+      // flatMap, not map: a SUCCESS row recorded with watermark = None
+      // (full-refresh runs) must read as "no watermark", not Some(null)
+      // — callers .get the value into a filter, and a null watermark
+      // would silently zero out the next incremental run
+      .headOption.flatMap(r => Option(r.getTimestamp(0)))
   }
 
   /** S6/S8: append one run record (full 23-column contract; the common
@@ -106,7 +110,21 @@ class JobControl(store: TableStore, table: String = "job_control") {
     init()
     val archiveTable = s"${table}_archive"
     if (!store.exists(archiveTable)) store.createEmpty(archiveTable, schema)
-    store.append(archiveTable, store.read(table).filter(col("completed_at") < cutoff))
-    store.delete(table, col("completed_at") < cutoff)
+    // ONE pinned snapshot drives both sides: re-evaluating the predicate
+    // against the live table for the delete would remove rows a
+    // concurrent writer landed between the copy and the delete (e.g. a
+    // backfilled run with an old completed_at) without ever archiving
+    // them. The copy is also made idempotent (anti-join against the
+    // archive on the identifying columns), so a crash between append
+    // and delete re-runs cleanly instead of duplicating rows.
+    val v = store.currentVersion(table)
+    val doomed = store.readVersion(table, v).filter(col("completed_at") < cutoff)
+    val idCols = Seq("job_name", "batch_id", "started_at")
+    store.append(archiveTable,
+      doomed.join(store.read(archiveTable).select(idCols.map(col): _*),
+        idCols, "left_anti"))
+    // delete EXACTLY the archived rows: keyed on the identifying
+    // columns of the pinned snapshot, not a re-evaluated predicate
+    store.mergeDelete(table, doomed.select(idCols.map(col): _*), idCols)
   }
 }

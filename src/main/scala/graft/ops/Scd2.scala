@@ -45,8 +45,15 @@ object Scd2 {
     val attrCols = snapshot.columns.filterNot(_ == bk).toSeq
     val current = dim.filter(col(cfg.isCurrent))
 
-    // J3: brand-new business keys (NOT EXISTS in dim at all)
-    val newRows = snapshot.join(dim.select(bk).distinct(), Seq(bk), "left_anti")
+    // J3: business keys with no CURRENT version — brand-new keys AND
+    // re-opened ones (a key whose current row was closed externally,
+    // e.g. a GDPR delete flow, then reappears in a snapshot). Anti-join
+    // against the full dim would silently drop re-opened keys forever:
+    // not "new" (old closed versions exist) and not "changed" (the
+    // change join scans current rows only). On dims maintained solely
+    // by this step the two formulations agree — closes always ship
+    // with a replacement insert.
+    val newRows = snapshot.join(current.select(bk).distinct(), Seq(bk), "left_anti")
 
     // J2: existing current rows whose tracked attributes changed
     val snapTracked = snapshot.select((bk +: attrCols).map(c => col(c).as(s"__n_$c")): _*)

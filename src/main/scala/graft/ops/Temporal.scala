@@ -55,11 +55,18 @@ object Temporal {
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__ts").asc +: col("__side").asc +: tbNames.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(when(col("__side") === 0, col(p)), ignoreNulls = true).over(w))
-    }
+    // the carry is ONE struct per right row, not per-column: a struct is
+    // non-null even when every field is null, so ignoreNulls skips only
+    // left rows (the `when` yields null there) — a legitimately-NULL
+    // payload value on the latest quote is carried as NULL instead of
+    // resurrecting an older row's value, and multi-column payloads can
+    // never mix fields from different right rows
+    val carried = l.unionByName(r).withColumn("__carry",
+      last(when(col("__side") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__carry").getField(p).as(p)): _*)
   }
 
   /** Pairs (left, right) with `right.ts` in `[left.ts + lower,

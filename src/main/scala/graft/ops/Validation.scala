@@ -58,7 +58,14 @@ object Validation {
 
   /** P2: watermark incremental predicate — new rows OR late updates
     * (bronze/jobs/validate_bronze.py:44). Pushed to the parquet scan by
-    * Catalyst, so an incremental run only decodes matching row groups. */
+    * Catalyst, so an incremental run only decodes matching row groups.
+    *
+    * Null semantics are the REFERENCE's, kept verbatim: with a null
+    * `eventTs` the whole predicate is NULL and the row is dropped at
+    * the scan — it never reaches tier-1 quarantine on an incremental
+    * run. (The logically-equal `eventTs > w || updatedAt > w` would
+    * keep such rows; the reference's SQL uses the two-conjunct form,
+    * so ours must too or incremental counts diverge from it.) */
   def watermarkPredicate(eventTs: Column, updatedAt: Column, wm: Option[Column]): Column =
     wm.map(w => eventTs > w || (eventTs <= w && updatedAt > w)).getOrElse(lit(true))
 }

@@ -48,13 +48,16 @@ object StreamingJobs {
         col("event_type"), col("n_events"))
 
   /** Run a bounded streaming DataFrame to a memory sink and return the
-    * materialized result (complete mode: emits every window, including
-    * ones the watermark has not closed — matching the batch oracle). */
-  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    * materialized result. Default mode is complete (emits every window,
+    * including ones the watermark has not closed — matching the batch
+    * oracle); pass "append" for non-aggregated streams, which Spark
+    * rejects under complete mode. */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  outputMode: String = "complete"): DataFrame = {
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -65,11 +68,24 @@ object StreamingJobs {
       user_id: Long, session_id: Int,
       session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
+  /** instant-based construction: Timestamp.valueOf(LocalDateTime) would
+    * re-interpret the wall clock in the JVM default zone */
+  private def toMicrosTs(micros: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    ts
+  }
+
   /** Typed sessionization over KeyValueGroupedDataset: split each user's
     * event stream on >30-minute gaps (ordered by (ts, event_id) for a
-    * total order). One shuffle on user_id; per-group state is the
-    * user's events (bounded — the streaming twin is
-    * flatMapGroupsWithState with a session timeout, StreamingSpec). */
+    * total order). One shuffle on user_id; the within-group order comes
+    * from flatMapSortedGroups (the shuffle's spill-safe secondary sort),
+    * and the group function streams the iterator with O(1) state and
+    * LAZY session emission — a single hot key (bot user with 10^8
+    * events) costs no per-group materialization, where an it.toArray +
+    * sortBy would hold the whole history in one task's heap. The
+    * streaming twin is flatMapGroupsWithState with a session timeout
+    * (StreamingSpec). */
   def sessionize(events: DataFrame): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -84,27 +100,33 @@ object StreamingJobs {
       .select(col("user_id").as[Long], col("event_id").as[Long], tsu.as("tsu").as[Long])
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (uid, it) =>
-        def toMicrosTs(micros: Long): Timestamp = {
-          // instant-based construction: Timestamp.valueOf(LocalDateTime)
-          // would re-interpret the wall clock in the JVM default zone
-          val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-          ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-          ts
-        }
-        val evs = it.toArray.sortBy(e => (e._3, e._2)) // (tsu, event_id)
-        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
-        var sid = 0
-        var curStart = -1L; var curEnd = -1L; var curN = 0L
-        evs.foreach { case (_, _, t) =>
-          if (curN == 0 || t - curEnd > gapMicros) {
-            if (curN > 0) { sessions += ((sid, curStart, curEnd, curN)); sid += 1 }
-            curStart = t; curEnd = t; curN = 1
-          } else { curEnd = t; curN += 1 }
-        }
-        if (curN > 0) sessions += ((sid, curStart, curEnd, curN))
-        sessions.iterator.map { case (id, s0, e0, cnt) =>
-          Session(uid, id, toMicrosTs(s0), toMicrosTs(e0), cnt)
+      .flatMapSortedGroups(col("tsu").asc, col("event_id").asc) { (uid, it) =>
+        new Iterator[Session] {
+          private var sid = 0
+          private var pending: Session = _
+          private var curStart = -1L; private var curEnd = -1L; private var curN = 0L
+          private def emit(): Session = {
+            val s = Session(uid, sid, toMicrosTs(curStart), toMicrosTs(curEnd), curN)
+            sid += 1; s
+          }
+          private def advance(): Unit = {
+            while (pending == null && it.hasNext) {
+              val t = it.next()._3
+              if (curN == 0) { curStart = t; curEnd = t; curN = 1 }
+              else if (t - curEnd > gapMicros) {
+                pending = emit()
+                curStart = t; curEnd = t; curN = 1
+              } else { curEnd = t; curN += 1 }
+            }
+            if (pending == null && curN > 0 && !it.hasNext) {
+              pending = emit(); curN = 0
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): Session = {
+            advance()
+            val r = pending; pending = null; r
+          }
         }
       }
   }

@@ -84,4 +84,23 @@ class JobControlSpec extends AnyFunSuite {
     // the surviving record is the recent one, watermark API still works
     assert(store.read("job_control").filter(col("batch_id") === "new1").count() === 1)
   }
+
+  test("a SUCCESS run recorded without a watermark reads back as None") {
+    val store = new TableStore(spark, Files.createTempDirectory("jcnull").toString)
+    val jc = new JobControl(store)
+    // full-refresh runs legitimately record no watermark
+    jc.record("j", "b0", "bronze", "SUCCESS",
+      Timestamp.valueOf("2026-01-01 00:00:00"),
+      Timestamp.valueOf("2026-01-01 00:01:00"), None, 1, 1, 0,
+      runMode = "full_refresh")
+    // was Some(null): callers .get the value straight into a filter,
+    // silently zeroing the next incremental run
+    assert(jc.lastWatermark("j") === None)
+    jc.record("j", "b1", "bronze", "SUCCESS",
+      Timestamp.valueOf("2026-01-02 00:00:00"),
+      Timestamp.valueOf("2026-01-02 00:01:00"),
+      Some(Timestamp.valueOf("2026-01-02 00:00:00")), 1, 1, 0)
+    assert(jc.lastWatermark("j") ===
+      Some(Timestamp.valueOf("2026-01-02 00:00:00")))
+  }
 }

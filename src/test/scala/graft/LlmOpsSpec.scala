@@ -181,4 +181,15 @@ class LlmOpsSpec extends AnyFunSuite {
     // k > candidates degrades gracefully
     assert(mmrSelect(Array(c1), k = 5, lam = 0.5).map(_._1) === Seq(1L))
   }
+
+  test("latestVersionAgg tolerates data columns with dots in their names") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, struct}
+    // flattened-JSON ingests produce names like payload.amount; the
+    // winner unpack must treat them as NAMES, not nested-field paths
+    val df = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k", "ver", "payload.amount")
+    val out = graft.ops.Dedup.latestVersionAgg(df, Seq("k"), struct(col("ver")))
+    assert(out.select(col("`payload.amount`")).as[String].collect().toSeq ===
+      Seq("y"))
+  }
 }

@@ -174,4 +174,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(refreshed.select("delta_change_type").distinct().collect()
       .map(_.getString(0)).toSeq === Seq("FULL_REFRESH"))
   }
+
+  test("SCD2 re-opens keys whose versions were all closed externally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import java.sql.Date
+    // key 1's current row was closed outside the SCD2 flow (e.g. a GDPR
+    // delete) — when it reappears in a snapshot it must insert a fresh
+    // current version, not vanish forever (it is neither "new" against
+    // the full dim nor "changed" against current rows)
+    val dim = Seq((1L, 10L, "a",
+        Date.valueOf("2026-01-01"), Date.valueOf("2026-02-01"), false))
+      .toDF("bk", "sk", "attr",
+        "effective_start_date", "effective_end_date", "is_current")
+    val snap = Seq((1L, "a2")).toDF("bk", "attr")
+    val next = graft.ops.Scd2.step(dim, snap,
+      graft.ops.Scd2.Config("bk", "sk", Seq("attr")),
+      lit(Date.valueOf("2026-03-01")))
+    assert(next.count() === 2, "old closed version must carry through")
+    val cur = next.filter(col("is_current"))
+      .select("bk", "attr", "sk").as[(Long, String, Long)].collect().toSeq
+    assert(cur === Seq((1L, "a2", 11L)),
+      s"re-appearing key must insert a new current version, got $cur")
+  }
 }

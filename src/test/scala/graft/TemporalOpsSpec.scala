@@ -95,4 +95,18 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(fromLong.map(t => t._1 -> t._3).toMap ===
       micros.zipWithIndex.map { case (u, i) => i.toLong -> u }.toMap)
   }
+
+  test("asofJoin carries NULL payload values and never mixes right rows") {
+    val left = Seq((1L, 3L, 10L)).toDF("k", "lt", "lid")
+    val right = Seq((1L, 1L, Some(10L), Some(100L)),
+        (1L, 2L, None, Some(200L)))
+      .toDF("k", "rt", "a", "b")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "lt", "rt", Seq("a", "b"))
+    // the latest at-or-before quote has a=NULL, b=200: a must come back
+    // NULL (not resurrect the older row's 10) and b must come from the
+    // SAME right row — a (10, 200) result would be a row that never
+    // existed
+    assert(out.select("a", "b").as[(Option[Long], Option[Long])].head() ===
+      ((None, Some(200L))))
+  }
 }
