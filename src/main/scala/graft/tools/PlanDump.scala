@@ -44,7 +44,7 @@ object PlanDump {
       "x8_corpus_pipeline" ->
         "the end-to-end corpus pipeline: every stage an equi-join / hash aggregate — no cartesian, no global sort",
       "x7_incremental_dedup" ->
-        "incremental dedup probe: batch bands equi-join the PERSISTED index scan; exact verify joins only candidate ids — no corpus rescan",
+        "incremental dedup probe: batch bands equi-join the PERSISTED index scan; exact verify joins only candidate ids — no corpus rescan. (Full-bench wall for this query drifts several seconds between suites with zero code change — suite context in a 179-codegen-query run, seen r7→r8 and again across two identical-code r8 runs; the isolated ScaleProbe curve, 2.2/1.7/3.4 s at 1×/4×/16×, is the number that tracks the operator.)",
       "m12_rowid_lineage" ->
         "stable row-id read: the id attach is a BroadcastHashJoin of O(live files) manifest bases — no extra Exchange below the origin aggregate; ids survive the MoR update + DV delete upstream",
       "sql_topn_page" ->
@@ -116,6 +116,40 @@ object PlanDump {
       }
       out ++= "\n```\n"
     }
+    // measured cost floors for the commit-bound composites (not plan
+    // dumps — these queries' wall clock is dominated by store commits
+    // and fixtures, which a physical plan can't show). Kept HERE so a
+    // PLANS.md regeneration never loses them.
+    out ++=
+      """
+        |## st15_stream_dedup_admission
+        |
+        |**Cost floor, measured** (`tools/ProfileSt15`, sf0.1, local[32]):
+        |
+        |```
+        |[st15] shingle hash + cache            3.71 s
+        |[st15] seed band index (bucketed)      4.10 s
+        |[st15] source commits (2 versions)     0.78 s
+        |[st15]   batch 0 admission             6.87 s
+        |[st15]   batch 1 admission             4.89 s
+        |[st15] stream: 2 admission batches    12.62 s
+        |```
+        |
+        |~40% of standalone wall is fixture construction (corpus shingling
+        |+ seeding the 16-bucket band index + committing the two source
+        |versions) — the same shape as cdc2's documented floor. The
+        |operator proper is the two admission batches: each is one
+        |bucket-layout index probe (~|batch| x nBands rows) + exact verify
+        |bounded by candidate pairs + two appends (admitted bands into the
+        |index, admitted ids into the sink). Per-batch wall is
+        |candidate-bounded, never corpus-bounded — the scale evidence is
+        |x7's ScaleProbe curve (same admission core: 2.2/1.7/3.4 s at
+        |1x/4x/16x post code-cache fix). Batch 1 is cheaper than batch 0
+        |despite a LARGER index because the shingle cache is warm by then —
+        |confirming the probe, not the corpus pass, is the variable cost.
+        |Further shrink would change semantics (fewer commits = fewer
+        |admission stages = a different, weaker oracle).
+        |""".stripMargin
     Files.write(Paths.get("PLANS.md"),
       out.toString.getBytes(StandardCharsets.UTF_8))
     println(s"wrote PLANS.md (${flagships.size} plans)")
