@@ -46,6 +46,7 @@ object Multimodal {
       * semantics are unchanged). Works on any real PNG/JPEG/GIF/BMP
       * file's bytes, not just the mm5 fixtures. */
     def imageHeader(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      if (b == null) return None // null cells must parse as "not an image"
       def u8(i: Int): Int = b(i) & 0xFF
       def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
       def be32(i: Int): Int =
@@ -70,6 +71,7 @@ object Multimodal {
         var bad = false
         while (out.isEmpty && !bad && i + 9 < b.length) {
           if (u8(i) != 0xFF) bad = true
+          else if (u8(i + 1) == 0xFF) i += 1 // spec-legal fill byte run
           else u8(i + 1) match {
             case m if m == 0x01 || (m >= 0xD0 && m <= 0xD9) => i += 2 // standalone
             case m if m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC =>
@@ -82,15 +84,24 @@ object Multimodal {
                  b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
         Some(("gif", le16(6), le16(8), 3))
       } else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M' && le32(14) == 40) {
-        Some(("bmp", le32(18), le32(22), math.max(le16(28) / 8, 1)))
+        // biHeight is SIGNED: negative = top-down row order (common for
+        // screenshots/DIBs) — magnitude is the pixel height either way;
+        // a raw negative would flow into resizeToFit as a negative scale
+        val h = le32(22)
+        if (h == Int.MinValue) None
+        else Some(("bmp", le32(18), math.abs(h), math.max(le16(28) / 8, 1)))
       } else None
     }
 
     /** Decode one media payload: REAL header parse when the magic bytes
       * identify a known image container, byte-derived stub otherwise
-      * (this container ships no full codecs — see the object scaladoc). */
+      * (this container ships no full codecs — see the object scaladoc).
+      * Null/empty payloads — routine in a real binary-column ingest —
+      * decode to a zeroed row instead of crashing the executor task. */
     def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
-      imageHeader(payload) match {
+      if (payload == null || payload.isEmpty)
+        MediaMeta(id, kind, 0, 0, 0, n_frames = 0, brightness = 0.0)
+      else imageHeader(payload) match {
         case Some((_, w, h, _)) =>
           val b0 = payload.head & 0xFF
           val bLast = payload.last & 0xFF
@@ -211,6 +222,7 @@ object Multimodal {
       * it reads any structurally valid WAV/AIFF, not just the mm6
       * fixtures. Returns None for non-audio payloads. */
     def audioHeader(b: Array[Byte]): Option[AudioHeaderFields] = {
+      if (b == null) return None // null cells must parse as "not audio"
       def u8(i: Int): Int = b(i) & 0xFF
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       def le32(i: Int): Long =
@@ -227,19 +239,23 @@ object Multimodal {
       // executor tasks over arbitrary binary columns
       val MaxChunk = 1L << 31
       if (b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE") {
-        // walk RIFF chunks for `fmt ` and `data`
-        var i = 12
+        // walk RIFF chunks for `fmt ` and `data` — the index is a LONG:
+        // an accepted len near 2^31 would overflow an Int index to a
+        // negative value whose `i + 8 <= length` guard still passes,
+        // crashing b(negative) instead of ending the walk
+        var i = 12L
         var fmt = Option.empty[(Int, Int, Int)] // (channels, rate, bits)
         var dataLen = -1L
         var bad = false
         while (!bad && i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
-          val t = tag(i); val len = le32(i + 4)
+          val t = tag(i.toInt); val len = le32(i.toInt + 4)
           if (len < 0L || len >= MaxChunk) bad = true
           else {
             if (t == "fmt " && i + 24 <= b.length)
-              fmt = Some((le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
+              fmt = Some((le16(i.toInt + 10), le32(i.toInt + 12).toInt,
+                le16(i.toInt + 22)))
             else if (t == "data") dataLen = len
-            i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+            i += 8L + len + (len & 1L) // chunks are word-aligned
           }
         }
         fmt.collect { case (ch, sr, bits) if dataLen >= 0 && ch > 0 && sr > 0 =>
@@ -247,22 +263,22 @@ object Multimodal {
           AudioHeaderFields("wav", sr, ch, bits, n)
         }
       } else if (b.length >= 12 && tag(0) == "FORM" && tag(8) == "AIFF") {
-        var i = 12
+        var i = 12L // Long index: same overflow guard as the RIFF walk
         var out = Option.empty[AudioHeaderFields]
         var bad = false
         while (!bad && i + 8 <= b.length && out.isEmpty) {
-          val t = tag(i); val len = be32(i + 4)
+          val t = tag(i.toInt); val len = be32(i.toInt + 4)
           if (len < 0L || len >= MaxChunk) bad = true
           else {
             if (t == "COMM" && i + 26 <= b.length) {
-              val ch = be16(i + 8)
-              val n = be32(i + 10)
-              val bits = be16(i + 14)
+              val ch = be16(i.toInt + 8)
+              val n = be32(i.toInt + 10)
+              val bits = be16(i.toInt + 14)
               // 80-bit extended float at i+16: 1 sign + 15 exponent
               // (bias 16383) + 64-bit mantissa with explicit leading 1
-              val exp = be16(i + 16) & 0x7FFF
+              val exp = be16(i.toInt + 16) & 0x7FFF
               val shift = 31 - (exp - 16383)
-              val mantHi = be32(i + 18)
+              val mantHi = be32(i.toInt + 18)
               // mantissa top-32 holds sr with its MSB (the explicit
               // leading 1) at bit 31; undo the normalization shift
               // (integer rates only — a shift outside [0,31] is some
@@ -273,7 +289,7 @@ object Multimodal {
                   out = Some(AudioHeaderFields("aiff", sr, ch, bits, n))
               }
             }
-            i += 8 + len.toInt + (len.toInt & 1)
+            i += 8L + len + (len & 1L)
           }
         }
         out
@@ -372,7 +388,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val _ = MediaDecoder // per-partition "extractor init" site
-        it.flatMap { case (id, bytes) =>
+        it.flatMap { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.empty[Byte] else bytes0
           val counts = new Array[Long](nBins)
           var i = 0
           while (i < bytes.length) {

@@ -35,29 +35,23 @@ class Orchestrator(store: TableStore, clock: () => Timestamp = Orchestrator.syst
       r
     } catch {
       case e: Throwable =>
-        jobControl.record(jobName, batchId, layer, "FAILED", started, clock(),
+        // the FAILED bookkeeping append must never MASK the job's own
+        // failure: a record() error (store contention, control-table
+        // issue) rides along as suppressed, the root cause propagates
+        try jobControl.record(jobName, batchId, layer, "FAILED", started, clock(),
           None, 0, 0, 0, error = Some(Option(e.getMessage).getOrElse(e.toString).take(500)))
+        catch { case r: Throwable if r ne e => e.addSuppressed(r) }
         throw e
     }
   }
 
-  private def maxUpdated(df: DataFrame): Option[Timestamp] =
-    df.agg(max("updated_at")).head().get(0) match {
-      case t: Timestamp => Some(t)
-      case t: java.time.LocalDateTime => Some(Timestamp.valueOf(t)) // NTZ columns
-      case _ => None
-    }
-
-  /** The full daily chain: bronze validate+load -> silver -> dims ->
-    * fact, every stage recorded. Returns the fact table. */
+  /** The full daily chain — the SAME stage bodies as
+    * [[PaymentJobs.runPipeline]] (stagingWithAudit / bronzeLoad /
+    * loadSilver / goldFact), wrapped with per-stage job_control
+    * bookkeeping. Returns the fact table. */
   def runDaily(txns: DataFrame, batchId: String): DataFrame = {
-    val spark = txns.sparkSession
     val nTxns = txns.count()
-
-    val staging = PaymentJobs.bronzeStaging(txns)
-      .withColumn("is_deleted", lit(false))
-      .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
-      .cache()
+    val staging = PaymentJobs.stagingWithAudit(txns).cache()
     runJob("validate_bronze", "bronze", batchId) {
       val quarantined = PaymentJobs.bronzeQuarantine(txns).count()
       JobResult(nTxns, staging.count(), quarantined, None)
@@ -66,17 +60,11 @@ class Orchestrator(store: TableStore, clock: () => Timestamp = Orchestrator.syst
       PaymentJobs.bronzeLoad(store, staging)
     }
     val silver = runJobDf("load_silver", "silver", batchId) {
-      val s = PaymentJobs.silverFromBronze(bronze).cache()
-      store.createBucketed("silver_transactions", s, Seq("transaction_id"), 32)
-      s
+      PaymentJobs.loadSilver(store, bronze)
     }
-    val fact = runJobDf("load_fact", "gold", batchId) {
-      PaymentJobs.factStar(silver,
-        PaymentJobs.dimCustomerCurrent(silver), PaymentJobs.dimMerchantCurrent(silver),
-        PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),
-        graft.ops.DateSpine.dimDate(spark, "1995-01-01", "2002-12-31"))
+    runJobDf("load_fact", "gold", batchId) {
+      PaymentJobs.goldFact(silver)
     }
-    fact
   }
 
   private def runJobDf(jobName: String, layer: String, batchId: String)(
@@ -84,9 +72,20 @@ class Orchestrator(store: TableStore, clock: () => Timestamp = Orchestrator.syst
     var out: DataFrame = null
     runJob(jobName, layer, batchId) {
       out = body
-      val n = out.count()
-      JobResult(n, n, 0,
-        if (out.columns.contains("updated_at")) maxUpdated(out) else None)
+      // ONE action for both bookkeeping facts — a separate count() and
+      // max() would execute the (possibly uncached) stage body twice
+      if (out.columns.contains("updated_at")) {
+        val row = out.agg(count(lit(1)), max("updated_at")).head()
+        val wm = row.get(1) match {
+          case t: Timestamp => Some(t)
+          case t: java.time.LocalDateTime => Some(Timestamp.valueOf(t)) // NTZ
+          case _ => None
+        }
+        JobResult(row.getLong(0), row.getLong(0), 0, wm)
+      } else {
+        val n = out.count()
+        JobResult(n, n, 0, None)
+      }
     }
     out
   }

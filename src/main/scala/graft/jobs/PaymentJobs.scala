@@ -75,14 +75,42 @@ object PaymentJobs {
         lit(sourceFile).as("source_file"),
         lit(batchId).as("processing_batch_id"))
 
-  /** validate_bronze staging branch: ¬Tier-1 → Tier-3 defaults → Tier-2
-    * flags → W1 exact dedup (bronze/jobs/validate_bronze.py:114-181). */
-  def bronzeStaging(txns: DataFrame): DataFrame = {
-    val clean = txns.filter(!Validation.anyFail(tier1Rules))
+  /** The staging chain proper — Tier-3 defaults → Tier-2 flags → W1
+    * exact dedup — shared by [[bronzeStaging]] and [[quarantineReplay]]
+    * so the two admission paths can never drift. */
+  private def stagingChain(clean: DataFrame): DataFrame = {
     val fixed = Validation.applyDefaults(clean, tier3Defaults)
       .withColumn("data_quality_flag", Validation.qualityFlag(tier2Rules))
       .withColumn("validation_errors", Validation.errorList(tier2Rules))
     Dedup.exact(fixed, Seq("transaction_id", "updated_at"))
+  }
+
+  /** validate_bronze staging branch: ¬Tier-1 → Tier-3 defaults → Tier-2
+    * flags → W1 exact dedup (bronze/jobs/validate_bronze.py:114-181). */
+  def bronzeStaging(txns: DataFrame): DataFrame =
+    stagingChain(txns.filter(!Validation.anyFail(tier1Rules)))
+
+  /** [[bronzeStaging]] plus the GDPR audit columns the PIPELINE's bronze
+    * carries (is_deleted/deleted_at) — one definition shared by
+    * [[runPipeline]] and the orchestrated daily chain. */
+  def stagingWithAudit(txns: DataFrame): DataFrame =
+    bronzeStaging(txns)
+      .withColumn("is_deleted", lit(false))
+      .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
+
+  /** Align `df` to the TARGET table's schema before a merge: columns the
+    * table carries but the frame lacks (the pipeline's GDPR audit pair)
+    * are filled — is_deleted with false, everything else with a typed
+    * null. Without this, replay/backfill against a pipeline-created
+    * 23-column bronze fails the merge's conform ("missing columns"). */
+  private def alignToTable(store: TableStore, table: String,
+                           df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    store.schemaOf(table).fields.filterNot(f => have.contains(f.name))
+      .foldLeft(df) { (d, f) =>
+        val fill = if (f.name == "is_deleted") lit(false) else lit(null)
+        d.withColumn(f.name, fill.cast(f.dataType))
+      }
   }
 
   /** load_bronze (M1): seed the table with the original versions, then
@@ -130,14 +158,11 @@ object PaymentJobs {
       col("transaction_status"), col("device_type"), col("location_type"),
       col("currency"), col("updated_at"))
     val passing = src.filter(!Validation.anyFail(tier1RulesAt(clock)))
-    val staged = Dedup.exact(
-      Validation.applyDefaults(passing, tier3Defaults)
-        .withColumn("data_quality_flag", Validation.qualityFlag(tier2Rules))
-        .withColumn("validation_errors", Validation.errorList(tier2Rules)),
-      Seq("transaction_id", "updated_at"))
+    val staged = stagingChain(passing)
       .withColumn("delta_change_type", lit("ignored")) // merge stamps it
       .withColumn("delta_version", lit(3L)) // after load=1, CDC merge=2
-    store.mergeUpsert("bronze_transactions", staged,
+    store.mergeUpsert("bronze_transactions",
+      alignToTable(store, "bronze_transactions", staged),
       Seq("transaction_id", "updated_at"),
       matchedChangeType = "REPLAY", insertChangeType = "REPLAY")
     store.read("bronze_transactions")
@@ -155,7 +180,8 @@ object PaymentJobs {
       to_date(col("transaction_timestamp")).between(lit(startDate), lit(endDate)))
       .withColumn("delta_change_type", lit("ignored"))
       .withColumn("delta_version", lit(version))
-    store.mergeUpsert("bronze_transactions", window,
+    store.mergeUpsert("bronze_transactions",
+      alignToTable(store, "bronze_transactions", window),
       Seq("transaction_id", "updated_at"),
       matchedChangeType = "BACKFILL", insertChangeType = "BACKFILL")
     store.read("bronze_transactions")
@@ -339,24 +365,34 @@ object PaymentJobs {
         col("delta_change_type"), col("delta_version"),
         col("is_deleted"), col("deleted_at"))
 
+  /** load_silver stage: registry 21-col silver from bronze (CDC columns
+    * carried by the merge), written bucketed so the GDPR mergeDelete
+    * prunes. Cached — the dims and the fact all read it. ONE definition
+    * for [[runPipeline]] and the orchestrated daily chain. */
+  def loadSilver(store: TableStore, bronze: DataFrame): DataFrame = {
+    val silver = silverFromBronze(bronze).cache()
+    store.createBucketed("silver_transactions", silver,
+      keys = Seq("transaction_id"), n = 32)
+    silver
+  }
+
+  /** load_fact stage: the 30-column star over silver with all five dims
+    * derived from it and the shared date spine. ONE definition for
+    * [[runPipeline]] and the orchestrated daily chain — a spine-range or
+    * dim-wiring change can no longer silently diverge between them. */
+  def goldFact(silver: DataFrame): DataFrame =
+    factStar(silver, dimCustomerCurrent(silver), dimMerchantCurrent(silver),
+      dimPaymentMethod(silver), dimStatus(silver),
+      DateSpine.dimDate(silver.sparkSession, "1995-01-01", "2002-12-31"))
+
   /** The full bronze→silver→gold chain against a scratch store; returns
     * the fact table (used by the flagship query and PipelineSpec). */
   def runPipeline(store: TableStore, txns: DataFrame): DataFrame = {
     // audit columns added before the load so bronze is written once;
     // cached — the load reads it for the seed, the CDC batch and the
     // uniqueness gate
-    val staging = bronzeStaging(txns)
-      .withColumn("is_deleted", lit(false))
-      .withColumn("deleted_at", lit(null).cast("timestamp_ntz"))
-      .cache()
+    val staging = stagingWithAudit(txns).cache()
     val bronze = bronzeLoad(store, staging)
-    // registry 21-col silver: CDC columns carried from the bronze merge
-    val silver = silverFromBronze(bronze).cache()
-    store.createBucketed("silver_transactions", silver,
-      keys = Seq("transaction_id"), n = 32) // GDPR mergeDelete prunes
-    val spark = txns.sparkSession
-    factStar(silver, dimCustomerCurrent(silver), dimMerchantCurrent(silver),
-      dimPaymentMethod(silver), dimStatus(silver),
-      DateSpine.dimDate(spark, "1995-01-01", "2002-12-31"))
+    goldFact(loadSilver(store, bronze))
   }
 }

@@ -197,4 +197,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cur === Seq((1L, "a2", 11L)),
       s"re-appearing key must insert a new current version, got $cur")
   }
+
+  test("replay and backfill work against the PIPELINE's 23-column bronze") {
+    import org.apache.spark.sql.functions.lit
+    val store = freshStore()
+    // runPipeline creates bronze WITH the GDPR audit pair — the replay
+    // and backfill merges must align their 21-column staging frames to
+    // it instead of failing conform with "missing columns"
+    PaymentJobs.runPipeline(store, txns).count()
+    assert(store.schemaOf("bronze_transactions").fieldNames.contains("is_deleted"))
+    val before = store.read("bronze_transactions").count()
+    val replayed = PaymentJobs.quarantineReplay(store,
+      PaymentJobs.bronzeQuarantine(txns),
+      lit("2031-01-01 00:00:00").cast("timestamp_ntz")) // past the planted 2030 stamps
+    assert(replayed.count() > before, "future-timestamp rows must admit")
+    // replayed rows carry the audit default, not null
+    assert(replayed.filter(col("delta_change_type") === "REPLAY")
+      .filter(col("is_deleted").isNull).count() === 0)
+    val afterReplay = replayed.count()
+    val backfilled = PaymentJobs.bronzeBackfill(store,
+      PaymentJobs.bronzeStaging(txns), "1995-01-01", "2002-12-31")
+    assert(backfilled.count() === afterReplay, "backfill re-merges existing rows")
+  }
 }

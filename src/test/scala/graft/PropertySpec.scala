@@ -281,4 +281,42 @@ class PropertySpec extends AnyFunSuite {
     assert(pts === pts.sorted, s"not monotone: $pts")
     assert(pts.forall(b => b >= 4 && b <= 16))
   }
+
+  test("media header parsers survive hostile bytes: overflow-length " +
+      "chunks, JPEG fill bytes, top-down BMPs, null payloads") {
+    import graft.functions.Multimodal
+    // RIFF chunk whose accepted length would overflow an Int index:
+    // must parse as None, never crash on a negative array index
+    def le32b(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val hostileWav = "RIFF".getBytes ++ le32b(100) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32b(0x7FFFFF00L) ++ Array.fill(8)(0.toByte)
+    assert(Multimodal.AudioDecoder.audioHeader(hostileWav).isEmpty)
+    val hostileAiff = "FORM".getBytes ++ le32b(100) ++ "AIFF".getBytes ++
+      "JUNK".getBytes ++ Array(0x7F.toByte, 0xFF.toByte, 0xFF.toByte, 0.toByte) ++
+      Array.fill(8)(0.toByte)
+    assert(Multimodal.AudioDecoder.audioHeader(hostileAiff).isEmpty)
+    // spec-legal 0xFF fill bytes between JPEG markers must not derail
+    // the walk to the SOF0 frame header
+    val jpegFill: Array[Byte] = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xC0,
+      0x00, 0x0B, 0x08, 0x00, 0x10, 0x00, 0x20, 0x03, 0x00, 0x00, 0x00)
+      .map(_.toByte)
+    assert(Multimodal.MediaDecoder.imageHeader(jpegFill) ===
+      Some(("jpeg", 0x20, 0x10, 3)))
+    // top-down BMP: biHeight is negative; magnitude is the real height
+    val bmp = new Array[Byte](30)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(14) = 40
+    bmp(18) = 64 // width
+    val negH = le32b(0xFFFFFE20L) // -480
+    Array.copy(negH, 0, bmp, 22, 4)
+    bmp(28) = 24 // bpp
+    assert(Multimodal.MediaDecoder.imageHeader(bmp) ===
+      Some(("bmp", 64, 480, 3)))
+    // null payloads: every entry point degrades, none crashes
+    assert(Multimodal.MediaDecoder.imageHeader(null).isEmpty)
+    assert(Multimodal.AudioDecoder.audioHeader(null).isEmpty)
+    val m = Multimodal.MediaDecoder.decode(7L, "image", null)
+    assert(m.n_bytes === 0 && m.width === 0)
+  }
 }
