@@ -319,4 +319,53 @@ class PropertySpec extends AnyFunSuite {
     val m = Multimodal.MediaDecoder.decode(7L, "image", null)
     assert(m.n_bytes === 0 && m.width === 0)
   }
+
+  /** Random predicate TREES (And/Or/Not nesting over translatable and
+    * untranslatable leaves) — the shape class where a partial filter
+    * translation is unsound: `(a AND udf(x)) OR b` weakened to
+    * `a OR b` once let a metadata-only DELETE drop whole dirs. */
+  private def randomPredicate(rnd: scala.util.Random, depth: Int)
+      : org.apache.spark.sql.Column = {
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(8) match {
+      case 0 => col("id") < rnd.nextInt(1000).toLong
+      case 1 => col("id") >= rnd.nextInt(1000).toLong
+      case 2 => col("id") === rnd.nextInt(1200).toLong
+      case 3 => col("tag") === ("s" + rnd.nextInt(12))
+      case 4 => col("ver") > rnd.nextInt(100).toLong
+      case 5 => col("flag")
+      case 6 => col("id") % (rnd.nextInt(9) + 2).toLong === 0L // untranslatable
+      case _ => length(col("tag")) > rnd.nextInt(3)            // untranslatable
+    }
+    if (depth == 0) leaf()
+    else rnd.nextInt(4) match {
+      case 0 => randomPredicate(rnd, depth - 1) && randomPredicate(rnd, depth - 1)
+      case 1 => randomPredicate(rnd, depth - 1) || randomPredicate(rnd, depth - 1)
+      case 2 => !randomPredicate(rnd, depth - 1)
+      case _ => leaf()
+    }
+  }
+
+  private def treeSoundness(seed: Long, bloom: Boolean): Unit = {
+    val ts = new TableStore(spark, Files.createTempDirectory("proptree").toString)
+    val rnd = new scala.util.Random(seed)
+    def batch(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong, "s" + rnd.nextInt(10),
+        rnd.nextBoolean())).toDF("id", "ver", "tag", "flag")
+    ts.create("t", batch(40))
+    (1 to 4).foreach(_ => ts.append("t", batch(40)))
+    if (bloom) ts.setBloomColumns("t", Seq("id", "tag"))
+    for (i <- 1 to 6) {
+      val p = randomPredicate(rnd, 2)
+      val expect = ts.read("t").filter(!coalesce(p, lit(false)))
+        .collect().map(_.toSeq).toSet
+      ts.delete("t", p)
+      assert(ts.read("t").collect().map(_.toSeq).toSet === expect,
+        s"seed=$seed bloom=$bloom round=$i predicate=$p")
+    }
+  }
+
+  test("random nested predicate trees: pruned DELETE == reference " +
+      "semantics (metadata path can never act on a weakened filter)") {
+    for (seed <- 1L to 4L) treeSoundness(seed, bloom = seed % 2 == 0)
+  }
 }
