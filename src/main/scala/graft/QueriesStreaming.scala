@@ -214,6 +214,50 @@ object QueriesStreaming {
       Some("""SELECT o_orderkey, o_totalprice * 2 AS big_price
              |FROM orders WHERE o_totalprice > 150000.0""".stripMargin)),
 
+    // ---- st16: COMPLETE output mode into a BUCKETED sink — the sink
+    //      OWNS the table (Spark negotiates replace-per-epoch through
+    //      SupportsTruncate.truncate). Two committed source versions
+    //      drained one per trigger force TWO replace epochs: the final
+    //      table must equal the batch aggregate over ALL rows — an
+    //      appending sink would keep the first epoch's stale partial
+    //      counts alongside the second's. The bucketed sink also pins
+    //      the layout surviving streamed epochs (per-bucket routing +
+    //      manifest leaf attach). Aggregates are count/max: exact in
+    //      both engines, no float-reassociation hash risk. ----
+    "st16_stream_complete_mode" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st16_complete"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        st.create("src", o.filter(col("o_orderkey") % 2 === 0))   // v0
+        st.append("src", o.filter(col("o_orderkey") % 2 =!= 0))   // v1
+        s.conf.set("spark.sql.catalog.graft_st16", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st16.root", root)
+        st.createEmpty("snk", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderstatus STRING, n BIGINT, max_price DOUBLE"),
+          bucketing = Some((Seq("o_orderstatus"), 4)))
+        val q = s.readStream.option("maxVersionsPerTrigger", "1")
+          .table("graft_st16.src")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), max("o_totalprice").as("max_price"))
+          .writeStream.option("checkpointLocation", s"$root/_ckpt")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .toTable("graft_st16.snk")
+        q.awaitTermination()
+        // replace semantics AND layout both held: all live dirs are
+        // bucket leaves (loud here rather than a silent demotion)
+        require(st.liveDirs("snk").forall(_.contains("/__b=")),
+          "streamed complete-mode epochs must keep the bucket layout")
+        st.read("snk")
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |max(o_totalprice) AS max_price
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // ---- st9: STREAMING change data feed — the same mutation sequence
     //      cdc1 verifies in batch (merge with update pre/postimages +
     //      inserts, then a pruned delete), consumed as a stream of
