@@ -59,7 +59,9 @@ object Bench {
     // the adjacent intervals as "suspect". Suspects are re-run once at
     // suite end (keeping the min), so one contention spike costs a
     // re-measure instead of poisoning the round's artifact. ----
-    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "15").toInt
+    // clamped to >= 1: a 0 would divide-by-zero after the warm-up
+    val canaryEvery =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "15").toInt.max(1)
     // each probe uses a FRESH expression constant so whole-stage codegen
     // emits (and must JIT-compile) a new class every time: a probe that
     // reused one shape stayed hot in the JIT cache and was blind to the
@@ -95,10 +97,15 @@ object Bench {
     val canariesIo = scala.collection.mutable.ArrayBuffer.empty[Double]
     canaries += canaryProbe() // clean-ish baseline right after warm-up
     canariesIo += canaryIoProbe()
+    // floors sized to each probe's own baseline: the CPU probe reads
+    // ~0.2-0.45 s clean, the 64 MB page-cache IO probe ~0.04-0.11 s —
+    // a shared 1.0 s floor silently neutered the IO canary (a 5x IO
+    // slowdown, exactly the r7 cdc2-at-27s shape it was added to catch,
+    // read green because 3x its min never reached 1.0)
     def slowCanary(sec: Double): Boolean =
-      sec > math.max(3.0 * canaries.min, 1.0)
+      sec > math.max(3.0 * canaries.min, 0.75)
     def slowIoCanary(sec: Double): Boolean =
-      sec > math.max(3.0 * canariesIo.min, 1.0)
+      sec > math.max(3.0 * canariesIo.min, 0.3)
 
     // optional local-iteration filter: comma-separated query names as
     // args(0); the driver invokes with no args (all queries)
@@ -134,8 +141,10 @@ object Bench {
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // interval k's queries ran between probe k-1 and probe k (probe 0 is
+    // the post-warm-up baseline) — recorded for RETROSPECTIVE marking
+    val intervalQueries = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     var sinceCanary = scala.collection.mutable.ArrayBuffer.empty[String]
-    var prevCanarySlow = false
     toRun.zipWithIndex.foreach { case ((name, fn), i) =>
       val (ok, sec) = runOne(name, fn)
       if (ok) timings(name) = sec else failed += name
@@ -143,43 +152,66 @@ object Bench {
       if ((i + 1) % canaryEvery == 0 || i == toRun.size - 1) {
         val c = canaryProbe()
         val cio = canaryIoProbe()
-        val isSlow = slowCanary(c) || slowIoCanary(cio)
+        if (slowCanary(c) || slowIoCanary(cio))
+          System.err.println(f"[bench] WARNING: canary cpu $c%.2f s / io $cio%.2f s (best-so-far ${canaries.min}%.2f/${canariesIo.min}%.2f)")
         canaries += c
         canariesIo += cio
-        if (isSlow)
-          System.err.println(f"[bench] WARNING: canary cpu $c%.2f s / io $cio%.2f s (best ${canaries.min}%.2f/${canariesIo.min}%.2f) — marking ${sinceCanary.size} queries suspect")
-        // contention seen at EITHER end of an interval taints it: a
-        // co-tenant can arrive right after one probe or leave right
-        // before the next
-        if (isSlow || prevCanarySlow) suspect ++= sinceCanary
-        prevCanarySlow = isSlow
+        intervalQueries += sinceCanary.toSeq
         sinceCanary = scala.collection.mutable.ArrayBuffer.empty[String]
       }
     }
+    // suspects decided AGAINST THE WHOLE TRAIL, not a running min:
+    // contention present from suite start that clears mid-suite leaves
+    // its early probes slow relative to the FINAL min — an online
+    // comparison (each probe vs min-so-far) could never flag them. An
+    // interval is tainted when EITHER bounding probe is slow (a
+    // co-tenant can arrive right after one probe or leave right before
+    // the next).
+    def probeSlow(k: Int): Boolean =
+      slowCanary(canaries(k)) || slowIoCanary(canariesIo(k))
+    intervalQueries.zipWithIndex.foreach { case (qs, k0) =>
+      if (probeSlow(k0) || probeSlow(k0 + 1)) suspect ++= qs
+    }
+    if (suspect.nonEmpty)
+      System.err.println(s"[bench] ${suspect.size} queries suspect after full-trail review")
 
     // re-measure suspects once, keeping the min (a clean re-run replaces
     // the contended number; a still-contended one can't make it worse)
     val rerunnable = toRun.filter { case (n, _) => suspect.contains(n) && timings.contains(n) }
     if (rerunnable.nonEmpty) {
       System.err.println(s"[bench] re-running ${rerunnable.size} suspect queries")
+      val remeasured = scala.collection.mutable.Set.empty[String]
       rerunnable.foreach { case (name, fn) =>
         val (ok, sec) = runOne(name, fn)
-        if (ok) timings(name) = math.min(timings(name), sec)
+        if (ok) { timings(name) = math.min(timings(name), sec); remeasured += name }
       }
       val cAfter = canaryProbe()
       val cioAfter = canaryIoProbe()
       canaries += cAfter
       canariesIo += cioAfter
-      // if the whole re-run window was clean, the min-kept timings are
-      // trustworthy — clear the flags; otherwise leave them standing
-      if (!slowCanary(cAfter) && !slowIoCanary(cioAfter)) suspect.clear()
+      // a clean re-run window makes the min-kept timings trustworthy —
+      // but ONLY for queries that actually got a fresh measurement: a
+      // query whose re-run threw still carries its contended first-pass
+      // number and must stay flagged
+      if (!slowCanary(cAfter) && !slowIoCanary(cioAfter))
+        suspect.filterInPlace(n => !remeasured.contains(n))
     }
 
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jsonArr(ss: Seq[String]): String = ss.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonNums(ds: Seq[Double]): String =
-      ds.map(d => f"$d%.3f").mkString("[", ",", "]")
+      // Locale.ROOT: the f-interpolator delegates to the DEFAULT locale,
+      // and a comma-decimal locale would emit invalid JSON
+      ds.map(d => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)))
+        .mkString("[", ",", "]")
+    // the stdout line must survive the driver's ~2.5 KB tail buffer
+    // (BENCH_r01/r02 parsed as null from over-long lines): cap the
+    // unbounded arrays there — a fully-contended run would otherwise
+    // emit ~180 suspect names and lose the WHOLE round's bench result.
+    // bench_full.json always carries the complete arrays.
+    def capped(ss: Seq[String], n: Int): Seq[String] =
+      if (ss.size <= n) ss else ss.take(n) :+ s"...+${ss.size - n} more"
     val results = timings.toSeq
     val total = results.map(_._2).sum
     Files.createDirectories(Paths.get("target"))
@@ -195,7 +227,7 @@ object Bench {
         s""""warmup_sec":$warmupSec,${Stamp.jsonFields}}""")
         .getBytes(StandardCharsets.UTF_8))
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${results.size},"failed":${jsonArr(failed.toSeq)},"suspect":${jsonArr(suspect.toSeq)},"canaries_sec":${jsonNums(canaries.toSeq)},"canaries_io_sec":${jsonNums(canariesIo.toSeq)},"warmup_sec":$warmupSec,${Stamp.jsonFields},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${results.size},"failed":${jsonArr(capped(failed.toSeq, 15))},"suspect":${jsonArr(capped(suspect.toSeq, 15))},"canaries_sec":${jsonNums(canaries.toSeq.take(40))},"canaries_io_sec":${jsonNums(canariesIo.toSeq.take(40))},"warmup_sec":$warmupSec,${Stamp.jsonFields},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,7 +58,11 @@ object Queries {
   // the artifact with no error" class as r5's 13 missing entries. Fail
   // loudly at first touch instead.
   locally {
-    val dups = (Seq("q1_agg") ++ modules.flatMap(_._2.keys))
+    // "zz_fail_canary" is ALWAYS checked even though failCanary only
+    // registers it under GRAFT_FAIL_CANARY=1: it merges LAST, so a
+    // module registering that name would be silently shadowed exactly
+    // when the canary is armed
+    val dups = (Seq("q1_agg", "zz_fail_canary") ++ modules.flatMap(_._2.keys))
       .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     require(dups.isEmpty,
       s"duplicate query names across modules (one would silently shadow " +

@@ -39,6 +39,13 @@ object Verify {
         Seq(msg).toDF("__graft_query_failed")
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+      // isolate queries from each other, exactly like Bench.runOne:
+      // many queries hand back still-cached intermediates, and a
+      // 180-query dump's leaked blocks pile up monotonically — storage
+      // memory exhaustion here reads as spurious red rows in the
+      // round's correctness artifact
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} FAILED queries: ${failures.keys.mkString(", ")}")
