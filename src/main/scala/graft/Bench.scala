@@ -36,6 +36,12 @@ object Bench {
       // branch of the dtype-adaptive events() reader reachable if the
       // testdata ever regenerates as TIMESTAMP(NANOS) again (r6 ADVICE)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned joins ON for the whole run: sql_spj_join
+      // needs the conf at EVALUATION time, and set inside its query fn
+      // it leaked to whatever queries happened to sort after it —
+      // order-dependent plans. Constant-on is the deterministic choice
+      // (and the representative one for a bucketed-table engine).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

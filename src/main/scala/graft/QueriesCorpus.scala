@@ -20,17 +20,24 @@ object QueriesCorpus {
 
   import Queries.QDef
 
-  /** Distinct word-8-gram shingles per document (decontamination uses a
-    * longer n-gram than near-dup detection: an 8-word verbatim overlap
-    * with an eval benchmark is evidence of contamination, a 3-word one
-    * is noise). */
-  private def shingles8(s: SparkSession, dir: String): DataFrame =
+  /** RAW (non-distinct) word-8-gram shingles — ONE definition of the
+    * 8-gram rule shared by the exact join (via [[shingles8]]) and the
+    * bloom pass: if the two could drift (size guard, separator), d6b's
+    * "exact ⊆ flagged" gate would red for a reason that has nothing to
+    * do with the bloom. */
+  private def rawShingles8(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         "transform(IF(size(w) >= 8, sequence(1, size(w) - 7), array()), i -> array_join(slice(w, i, 8), ' '))"))
         .as("shingle"))
-      .distinct()
+
+  /** Distinct word-8-gram shingles per document (decontamination uses a
+    * longer n-gram than near-dup detection: an 8-word verbatim overlap
+    * with an eval benchmark is evidence of contamination, a 3-word one
+    * is noise). */
+  private def shingles8(s: SparkSession, dir: String): DataFrame =
+    rawShingles8(s, dir).distinct()
 
   /** The train-side doc ids flagged by the broadcast-Bloom
     * decontamination pass (d6b's approximate stage; also dumped by
@@ -41,11 +48,7 @@ object QueriesCorpus {
   private[graft] def d6bBloomFlagged(s: SparkSession, dir: String): DataFrame = {
     val mBits = 1L << 21
     val k = 5
-    val raw = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        "transform(IF(size(w) >= 8, sequence(1, size(w) - 7), array()), i -> array_join(slice(w, i, 8), ' '))"))
-        .as("shingle"))
+    val raw = rawShingles8(s, dir)
     val bits = graft.ops.Corpus.bloomBuild(
       raw.filter(col("doc_id") % 20 < 2), col("shingle"), mBits, k)
     graft.ops.Corpus
@@ -53,22 +56,18 @@ object QueriesCorpus {
       .select(col("doc_id")).distinct()
   }
 
-  /** Deterministic md5-based inclusion hash over the doc id — the first
-    * 8 hex chars, compared lexicographically against a rate threshold
-    * (hex is uniform, so "h < '40000000'" samples ~25%). Spark and
-    * DuckDB md5 produce identical lowercase hex, so the oracle replays
-    * the exact same sample. */
-  private def inclusionHash = substring(md5(col("doc_id").cast("string")), 1, 8)
+  /** Deterministic md5-based inclusion hash over the doc id — the
+    * SHARED [[graft.ops.Corpus.inclusionHash]] rule (first 8 hex chars;
+    * Spark and DuckDB md5 agree, so the oracle replays the exact same
+    * sample). Delegated, not re-implemented: two copies of the sampling
+    * rule could drift independently. */
+  private def inclusionHash = graft.ops.Corpus.inclusionHash(col("doc_id"))
 
   /** Per-language sampling-rate thresholds (corpus mixing: upsample en,
     * downsample the rest — the usual pretraining language re-balance). */
   private val RateThresholds: Seq[(String, String)] =
     Seq("en" -> "80000000", "fr" -> "40000000", "es" -> "40000000",
         "de" -> "20000000", "zh" -> "20000000")
-
-  private def thresholdCol = RateThresholds.foldRight(lit("20000000")) {
-    case ((lang, thr), acc) => when(col("lang") === lang, lit(thr)).otherwise(acc)
-  }
 
   private val ThresholdSql =
     """CASE lang WHEN 'en' THEN '80000000' WHEN 'fr' THEN '40000000'
@@ -444,8 +443,10 @@ object QueriesCorpus {
           .filter(col("i") / (col("na") + col("nb") - col("i")) >= 0.5)
           .select(col("doc_b").as("doc_id")).distinct()
         val kept = clean.join(dupped, Seq("doc_id"), "left_anti")
-        // deterministic per-language stratified sample (x1 thresholds)
-        kept.filter(inclusionHash < thresholdCol)
+        // deterministic per-language stratified sample — the EXACT
+        // oracle-checked x1 primitive, not a re-implementation
+        graft.ops.Corpus.stratifiedSample(kept, col("doc_id"), col("lang"),
+            RateThresholds.toMap, "20000000")
           .select(col("doc_id"), col("lang"), col("n_words"))
       },
       Some(s"""WITH docs AS (
@@ -699,7 +700,16 @@ object QueriesCorpus {
         // once for the distributions and once for the scoring join.
         val cnts = toks.withColumn("tgt", isTgt)
           .groupBy(col("tgt"), col("b")).agg(count(lit(1)).as("c"))
-        val totals = cnts.groupBy(col("tgt")).agg(sum(col("c")).as("total"))
+        // ≤2 rows, cached: both dist() sides reuse it, and the guard
+        // below reads it without a second corpus pass
+        val totals = cnts.groupBy(col("tgt")).agg(sum(col("c")).as("total")).cache()
+        // BOTH sides must exist, or dist()'s crossJoin over the missing
+        // side is empty and the query silently returns 0 rows while the
+        // oracle's window-sum form still Laplace-smooths and ranks —
+        // a confusing row-count red instead of this loud failure
+        val sides = totals.select("tgt").collect().map(_.getBoolean(0)).toSet
+        require(sides == Set(true, false),
+          s"DSIR needs both target and raw docs; corpus has sides=$sides")
         def dist(tgt: Boolean) =
           spine.crossJoin(totals.filter(col("tgt") === tgt).select(col("total")))
             .join(cnts.filter(col("tgt") === tgt).select(col("b"), col("c")),
@@ -789,7 +799,10 @@ object QueriesCorpus {
         val covered = wins.join(keep, Seq("wh"))
           .filter(col("occ") === col("keeper"))
           .select(col("doc_id"), explode(expr(s"sequence(g, g + ${L - 1})")).as("i"))
-          .distinct()
+        // no .distinct() before the aggregate: collect_set already
+        // dedups with map-side partial aggregation — a separate
+        // distinct would pay a SECOND full exchange of the ~one-row-
+        // per-corpus-token coverage stream for nothing
         val cover = covered.groupBy(col("doc_id"))
           .agg(sort_array(collect_set(col("i"))).as("cov"))
         toks.join(cover, Seq("doc_id"), "left_outer")

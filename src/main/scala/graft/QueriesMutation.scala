@@ -472,7 +472,8 @@ object QueriesMutation {
     // ---- Bloom-index point SELECT: interleaved appends give every dir
     //      a near-full o_custkey span (min/max can't prune), the per-dir
     //      bloom index still narrows a point predicate to the dirs that
-    //      truly hold the key (BloomIndexSpec asserts the 1/3-dirs plan;
+    //      truly hold the key (two-key IN probes 2/3 dirs here —
+    //      BloomIndexSpec asserts the single-key 1/3 plan;
     //      this query gates the RESULTS) ----
     "sql_bloom_prune" -> QDef(
       (s, dir) => {
@@ -665,8 +666,11 @@ object QueriesMutation {
           s.conf.unset("graft.autoCompact.minSmallDirs")
         }
       },
-      Some("""SELECT o_orderkey, o_totalprice FROM orders
-             |WHERE o_orderkey % 9 <= 8""".stripMargin)),
+      // the 8 appended batches partition ALL orders (every o_orderkey
+      // % 9 residue), so the oracle is the unfiltered table — written
+      // plainly, not as a tautological residue predicate a later edit
+      // could mistake for a real filter
+      Some("SELECT o_orderkey, o_totalprice FROM orders")),
 
     // ---- RESTORE (m15): time-travel WRITE. Restore commits a NEW
     //      version whose content equals the target version — history is

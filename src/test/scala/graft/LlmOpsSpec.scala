@@ -147,15 +147,26 @@ class LlmOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("shortdocs").toString
     Seq(
-      (1L, "one", "en", "src0", 3L),
+      (1L, "one", "en", "src0", 3L), // TARGET doc too short for bigrams
       (2L, "two words", "en", "src2", 9L),
-      (3L, "a b c d e f g h i j", "en", "src3", 19L))
+      (3L, "a b c d e f g h i j", "en", "src3", 19L),
+      (4L, "x y z", "en", "src1", 5L)) // target WITH bigrams: DSIR defined
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     assert(QueriesLlm.simhashPairs(spark, tmp).count() >= 0)            // 3-gram
     assert(Queries.all("t11_bigram_surprisal").fn(spark, tmp).count() >= 1) // 2-gram
     assert(Queries.all("x13_dsir_resample").fn(spark, tmp).count() >= 0)    // 2-gram
     assert(Queries.all("d6_decontaminate").fn(spark, tmp).count() >= 0)     // 8-gram
+    // x13 over a corpus whose short docs leave one DSIR side with zero
+    // bigrams must fail LOUDLY (its guard), not return an empty frame
+    // that reads as a confusing oracle row-count mismatch
+    val oneSided = java.nio.file.Files.createTempDirectory("onesided").toString
+    Seq((1L, "a b c", "en", "src2", 5L), (2L, "d e f", "en", "src3", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$oneSided/documents.parquet")
+    val e = intercept[IllegalArgumentException](
+      Queries.all("x13_dsir_resample").fn(spark, oneSided).count())
+    assert(e.getMessage.contains("both target and raw docs"))
   }
 
   test("MMR greedy prefers a diverse pick over a redundant higher-relevance one") {
