@@ -249,7 +249,9 @@ object QueriesJobs {
   private[graft] def gdprCore(s: SparkSession, tx: DataFrame,
                               storeName: String = "job_gdpr"): DataFrame = {
     val st = freshStore(s, storeName)
-    PaymentJobs.runPipeline(st, tx)
+    // silver is all GDPR needs — the gold dims' eager surrogate-key
+    // jobs would run at construction only to be discarded
+    PaymentJobs.runPipelineToSilver(st, tx)
     PaymentJobs.gdprDelete(st, "USER_0042")
   }
 
@@ -341,16 +343,22 @@ object QueriesJobs {
     //      value, is_active, first/last transaction dates
     //      (Gold/dim/gold_dim_customer_scd2.py:32-54; tier change is the
     //      tracked attribute, per the reference's chg join :102-120) ----
-    // (dim seeded from the pre-CDC state minus the USER_09% band; the
-    //  full snapshot then drives all three branches: new keys insert,
-    //  changed tiers close+reversion, stable rows untouched)
+    // (dim seeded from the ORIGINAL loads before 1998 — the dim as it
+    //  stood at an earlier watermark — minus the USER_09% band; the
+    //  full snapshot then drives ALL THREE branches with real volume:
+    //  customers who transacted since 1998 change last_transaction_date
+    //  (close + reversion), first-seen-after-1998 customers insert,
+    //  dormant ones carry untouched. Tracking tier alone left the close
+    //  branch provably dead at this SF: tiers are COUNT-thresholded and
+    //  CDC replaces rows 1:1, so counts — hence tiers — never moved.)
     "job_dim_customer_scd2" -> QDef(
       (s, dir) => {
         val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))
           .withColumn("is_deleted", lit(false)).cache()
         val silverAll = PaymentJobs.silverFromBronze(staging)
         val silverPre = PaymentJobs.silverFromBronze(
-          staging.filter(col("updated_at") === col("transaction_timestamp")))
+          staging.filter(col("updated_at") === col("transaction_timestamp") &&
+            col("transaction_timestamp") < lit("1998-01-01").cast("timestamp_ntz")))
         // dim1 and the snapshot are each referenced several times inside
         // Scd2.step (anti-join, change join, close, max-key action):
         // cache both so the silver aggregate chain runs ONCE per side
@@ -364,7 +372,8 @@ object QueriesJobs {
           .cache()
         graft.ops.Scd2.step(dim1,
             PaymentJobs.customerAggregates(silverAll).cache(),
-            graft.ops.Scd2.Config("customer_id", "customer_key", Seq("customer_tier")),
+            graft.ops.Scd2.Config("customer_id", "customer_key",
+              Seq("customer_tier", "last_transaction_date")),
             to_date(lit("2026-08-12")))
           .withColumn("loaded_at", lit(PaymentData.Now).cast("timestamp_ntz"))
           .withColumn("source_system", lit("payment_gateway"))
@@ -376,7 +385,8 @@ object QueriesJobs {
       Some(s"""$SilverSql,
               |s1 AS (SELECT * FROM clean
               |       WHERE data_quality_flag <> 'FAILED_VALIDATION'
-              |         AND updated_at = transaction_timestamp),
+              |         AND updated_at = transaction_timestamp
+              |         AND transaction_timestamp < TIMESTAMP '1998-01-01'),
               |agg1 AS (SELECT customer_id,
               |    CASE WHEN cnt >= 100 THEN 'Platinum' WHEN cnt >= 50 THEN 'Gold'
               |         WHEN cnt >= 20 THEN 'Silver' ELSE 'Bronze' END AS customer_tier,
@@ -407,7 +417,8 @@ object QueriesJobs {
               |    a.is_active AS n_active, a.first_transaction_date AS n_first,
               |    a.last_transaction_date AS n_last, a.lifetime_value AS n_ltv
               |  FROM dim1 d JOIN agg2 a USING (customer_id)
-              |  WHERE d.customer_tier <> a.customer_tier),
+              |  WHERE d.customer_tier <> a.customer_tier
+              |     OR d.last_transaction_date <> a.last_transaction_date),
               |closed AS (SELECT d.customer_key, d.customer_id, d.customer_tier,
               |    d.is_active, d.first_transaction_date, d.last_transaction_date,
               |    d.lifetime_value, d.effective_start_date,
@@ -781,7 +792,7 @@ object QueriesJobs {
     "job_compliance_report" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "job_compliance")
-        PaymentJobs.runPipeline(st, PaymentData.transactions(s, dir))
+        PaymentJobs.runPipelineToSilver(st, PaymentData.transactions(s, dir))
         val cust = "USER_0042"
         val bronzeAffected = st.read("bronze_transactions")
           .filter(col("customer_id") === cust).count()
@@ -826,7 +837,7 @@ object QueriesJobs {
     "job_monitoring_report" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "job_monitor")
-        PaymentJobs.runPipeline(st, PaymentData.transactions(s, dir))
+        PaymentJobs.runPipelineToSilver(st, PaymentData.transactions(s, dir))
         val bronze = st.read("bronze_transactions")
         val silver = st.read("silver_transactions")
         val d = to_date(col("o_orderdate"))

@@ -55,6 +55,20 @@ object QueriesLlm {
       org.apache.spark.sql.Encoders.product[QtyStats]
   }
 
+  /** t2's quality rule over a documents frame — ONE definition (d7's
+    * keep-best ranks by the SAME scorer; a second inline copy could
+    * drift from the oracle-checked one). Adds w / n_words / n_stop /
+    * stop_ratio / quality. */
+  private def withQuality(docs: DataFrame): DataFrame = docs
+    .withColumn("w", split(col("text"), " "))
+    .withColumn("n_words", expr("CAST(size(w) AS INT)"))
+    .withColumn("n_stop",
+      expr("CAST(size(filter(w, x -> x = 'the' OR x = 'a')) AS INT)"))
+    .withColumn("stop_ratio", col("n_stop") / col("n_words"))
+    .withColumn("quality",
+      lit(0.5) * least(col("n_words") / 100.0, lit(1.0)) +
+        lit(0.5) * (lit(1.0) - col("stop_ratio")))
+
   /** Word-3-gram shingle stream (with repeats). element_at is 1-based;
     * single-space tokenization matches DuckDB's string_split. */
   private def rawShingles(s: SparkSession, dir: String): DataFrame =
@@ -309,8 +323,17 @@ object QueriesLlm {
           // grow the plan tree (and optimizer time) without bound
           val next = (if (iterations % 5 == 4) next0.localCheckpoint()
                       else next0).cache()
-          converged = next.filter(col("canonical_id") =!= col("__prev")).isEmpty
-          gen.unpersist() // superseded generation
+          // count(), NOT isEmpty: isEmpty is a take(1) that early-exits
+          // after one changed row, caching only the partitions it
+          // scanned — unpersisting gen below would then drop the only
+          // materialized copy of the predecessor, and the next
+          // iteration's join recomputes every uncached partition
+          // through the whole unpersisted generation chain (up to 5
+          // shuffle joins back to the last checkpoint). The count scans
+          // ALL of next, fully populating its cache first.
+          converged =
+            next.filter(col("canonical_id") =!= col("__prev")).count() == 0L
+          gen.unpersist() // superseded generation (next is fully cached)
           gen = next
           comp = next.select(col("doc_id"), col("canonical_id"))
           iterations += 1
@@ -746,15 +769,9 @@ object QueriesLlm {
       (s, dir) => {
         val comp = clusterLabels(s, dir).cache()
         val docs = Tables.documents(s, dir)
-        val q = docs
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("n_words", expr("CAST(size(w) AS INT)"))
-          .withColumn("n_stop",
-            expr("CAST(size(filter(w, x -> x = 'the' OR x = 'a')) AS INT)"))
-          .withColumn("quality",
-            lit(0.5) * least(col("n_words") / 100.0, lit(1.0)) +
-              lit(0.5) * (lit(1.0) - col("n_stop") / col("n_words")))
-          .select(col("doc_id"), col("quality"))
+        // t2's scorer — the SHARED definition, not an inline copy that
+        // could drift from the oracle-checked one
+        val q = withQuality(docs).select(col("doc_id"), col("quality"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("canonical_id"))
           .orderBy(col("quality").desc, col("doc_id"))
@@ -1079,15 +1096,9 @@ object QueriesLlm {
 
     // ---- t2: quality scoring — length/stopword/word-shape ratios ----
     "t2_quality_score" -> QDef(
-      (s, dir) => Tables.documents(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_words", expr("CAST(size(w) AS INT)"))
-        .withColumn("n_stop", expr("CAST(size(filter(w, x -> x = 'the' OR x = 'a')) AS INT)"))
-        .withColumn("stop_ratio", col("n_stop") / col("n_words"))
+      (s, dir) => withQuality(Tables.documents(s, dir))
         .withColumn("avg_word_len",
           (col("n_chars") - (col("n_words") - 1)) / col("n_words"))
-        .withColumn("quality",
-          lit(0.5) * least(col("n_words") / 100.0, lit(1.0)) + lit(0.5) * (lit(1.0) - col("stop_ratio")))
         .select(col("doc_id"), col("n_words"), col("n_stop"), col("stop_ratio"),
           col("avg_word_len"), col("quality")),
       Some("""WITH t AS (SELECT doc_id, n_chars,
@@ -1167,8 +1178,12 @@ object QueriesLlm {
     // (winnowing-style content fingerprint; md5 exists in both engines)
     "t4_fingerprint" -> QDef(
       (s, dir) => Tables.documents(s, dir)
+        // guard like every other gram stream: Spark's sequence(1, n)
+        // goes DESCENDING for n < 1, so a sub-8-char doc would emit
+        // bogus positions while DuckDB's generate_series is empty
         .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, length(text) - 7)")).as("i"))
+          explode(expr(
+            "IF(length(text) >= 8, sequence(1, length(text) - 7), array())")).as("i"))
         .groupBy(col("doc_id"), col("text"))
         .agg(min(md5(expr("substring(text, i, 8)"))).as("min_gram_md5"))
         .select(col("doc_id"), col("min_gram_md5"), md5(col("text")).as("doc_md5")),

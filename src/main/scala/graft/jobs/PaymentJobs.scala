@@ -385,14 +385,22 @@ object PaymentJobs {
       dimPaymentMethod(silver), dimStatus(silver),
       DateSpine.dimDate(silver.sparkSession, "1995-01-01", "2002-12-31"))
 
-  /** The full bronze→silver→gold chain against a scratch store; returns
-    * the fact table (used by the flagship query and PipelineSpec). */
-  def runPipeline(store: TableStore, txns: DataFrame): DataFrame = {
+  /** bronze→silver only — for consumers that need the mutated tables
+    * but not the gold star (GDPR propagation, compliance/monitoring
+    * reports): goldFact's dims run eager zipWithIndex jobs at
+    * CONSTRUCTION time, so building-and-discarding the fact pays four
+    * real Spark jobs for nothing. Returns the (cached) silver frame. */
+  def runPipelineToSilver(store: TableStore, txns: DataFrame): DataFrame = {
     // audit columns added before the load so bronze is written once;
     // cached — the load reads it for the seed, the CDC batch and the
     // uniqueness gate
     val staging = stagingWithAudit(txns).cache()
     val bronze = bronzeLoad(store, staging)
-    goldFact(loadSilver(store, bronze))
+    loadSilver(store, bronze)
   }
+
+  /** The full bronze→silver→gold chain against a scratch store; returns
+    * the fact table (used by the flagship query and PipelineSpec). */
+  def runPipeline(store: TableStore, txns: DataFrame): DataFrame =
+    goldFact(runPipelineToSilver(store, txns))
 }
