@@ -666,6 +666,32 @@ object QueriesCorpus {
              |                          ORDER BY skey, doc_id) AS BIGINT) AS shard_pos
              |FROM sh""".stripMargin)),
 
+    // ---- x19: token-BALANCED shard export — x11 balances shard row
+    //      COUNTS; under heavy-tailed doc lengths that leaves
+    //      token-skewed shards (the straggler a trainer waits on).
+    //      Same seeded md5 permutation as x11, then the x3 prefix-sum
+    //      machinery (range partition + per-partition window + bounded
+    //      driver offsets — no global sort) carves it into contiguous
+    //      EQUAL-TOKEN key ranges: shard = start*S div total, integer
+    //      arithmetic end to end so boundaries never flap on float
+    //      precision. Deterministic: shard is a pure function of
+    //      (doc_id, text, seed, S) — the oracle is the proof. ----
+    "x19_token_balanced_shards" -> QDef(
+      (s, dir) => graft.ops.Corpus.tokenBalancedShards(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("tok")),
+        idCol = "doc_id", tokensCol = "tok", nShards = 16, seed = 42L),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    md5(CAST(doc_id AS VARCHAR) || ':42') AS skey FROM documents),
+             |c AS (SELECT doc_id, n_tokens, skey,
+             |    CAST(sum(n_tokens) OVER (ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) - n_tokens AS stream_start FROM t),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t)
+             |SELECT doc_id, n_tokens, skey, stream_start,
+             |  CAST(LEAST((stream_start * 16) // total, 15) AS INT) AS shard
+             |FROM c, tot""".stripMargin)),
+
     // ---- x13: DSIR importance resampling — select raw docs that look
     //      like a curated target set [Xie et al. 2023, "Data Selection
     //      for Language Models via Importance Resampling"]. Features are

@@ -1452,6 +1452,93 @@ object QueriesLlm {
              |  top_frac <= 0.12 AS flag_rep,
              |  (n_words >= 40 AND n_words <= 100000) AND (mean_wl >= 4.0 AND mean_wl <= 10.0)
              |    AND n_stop >= 4 AND top_frac <= 0.12 AS keep
-             |FROM base JOIN tc USING (doc_id)""".stripMargin))
+             |FROM base JOIN tc USING (doc_id)""".stripMargin)),
+
+    // ---- t13: n-gram REPETITION rules — the remaining Gopher
+    //      repetition signals [Rae et al. 2021 §A1.1]: chars covered by
+    //      the hottest word 2-/3-gram and by ALL duplicated 5-grams
+    //      (occurrence-weighted: a gram seen c times covers c·len(gram)
+    //      chars — overlaps deliberately counted per occurrence so the
+    //      measure is a pure aggregate of the gram-count table).
+    //      Complements t10's top-UNIGRAM flag_rep (phrase-level loops
+    //      like "as a as a" sail through a unigram check) and t5's
+    //      count-based 3-gram dup fraction (which weighs a repeated
+    //      10-char phrase the same as a repeated 3-char one — Gopher's
+    //      unit is characters, the thing context windows are made of).
+    //      Everything
+    //      is INTEGER end to end — covers stay BIGINT and the
+    //      thresholds cross-multiply (cover/chars <= 0.20 as
+    //      5*cover <= chars), so the hash can never flap on
+    //      cross-engine float rounding. Scale shape: one exploded
+    //      union of the three gram streams into ONE map-side-combinable
+    //      count aggregate, per-doc conditional re-aggregate, broadcast
+    //      join back to the doc spine — no window, no self-join. ----
+    "t13_repetition_ngrams" -> QDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+            split(col("text"), " ").as("w"))
+        // guarded gram stream (Spark's sequence(1, n<1) descends where
+        // DuckDB's generate_series is empty — the established fix)
+        def grams(n: Int) = d.select(col("doc_id"), lit(n).as("n"),
+          explode(expr(s"transform(IF(size(w) >= $n, sequence(1, size(w) - ${n - 1}), " +
+            s"array()), i -> array_join(slice(w, i, $n), ' '))")).as("gram"))
+        // ONE conditional aggregate from the gram-count table straight
+        // to per-doc covers — a per-(doc,n) intermediate would cost a
+        // second Exchange of count rows for nothing
+        val cov = grams(2).unionByName(grams(3)).unionByName(grams(5))
+          .groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cover", col("c") * length(col("gram")).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(max(when(col("n") === 2, col("cover"))).as("t2c"),
+            max(when(col("n") === 3, col("cover"))).as("t3c"),
+            sum(when(col("n") === 5 && col("c") > 1, col("cover"))
+              .otherwise(lit(0L))).as("d5c"))
+        d.select(col("doc_id"), col("n_chars"))
+          .join(cov, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("t2c"), lit(0L)).as("top2_cover"),
+            coalesce(col("t3c"), lit(0L)).as("top3_cover"),
+            coalesce(col("d5c"), lit(0L)).as("dup5_cover"))
+          .withColumn("flag_rep2", col("top2_cover") * 5 <= col("n_chars"))
+          .withColumn("flag_rep3", col("top3_cover") * 50 <= col("n_chars") * 9)
+          .withColumn("flag_dup5", col("dup5_cover") * 20 <= col("n_chars") * 3)
+          .withColumn("keep",
+            col("flag_rep2") && col("flag_rep3") && col("flag_dup5"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+             |             string_split(text, ' ') AS w FROM documents),
+             |g AS (
+             |  SELECT doc_id, 2 AS n, array_to_string(w[i:i+1], ' ') AS gram
+             |  FROM d, unnest(generate_series(1, len(w) - 1)) AS t(i)
+             |  UNION ALL
+             |  SELECT doc_id, 3, array_to_string(w[i:i+2], ' ')
+             |  FROM d, unnest(generate_series(1, len(w) - 2)) AS t(i)
+             |  UNION ALL
+             |  SELECT doc_id, 5, array_to_string(w[i:i+4], ' ')
+             |  FROM d, unnest(generate_series(1, len(w) - 4)) AS t(i)),
+             |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+             |cov0 AS (SELECT doc_id, n,
+             |    CAST(max(c * len(gram)) AS BIGINT) AS top_cover,
+             |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c * len(gram) END), 0)
+             |      AS BIGINT) AS dup_cover
+             |  FROM c GROUP BY doc_id, n),
+             |cov AS (SELECT doc_id,
+             |    max(CASE WHEN n = 2 THEN top_cover END) AS t2c,
+             |    max(CASE WHEN n = 3 THEN top_cover END) AS t3c,
+             |    max(CASE WHEN n = 5 THEN dup_cover END) AS d5c
+             |  FROM cov0 GROUP BY doc_id)
+             |SELECT d.doc_id, n_chars,
+             |  CAST(coalesce(t2c, 0) AS BIGINT) AS top2_cover,
+             |  CAST(coalesce(t3c, 0) AS BIGINT) AS top3_cover,
+             |  CAST(coalesce(d5c, 0) AS BIGINT) AS dup5_cover,
+             |  coalesce(t2c, 0) * 5 <= n_chars AS flag_rep2,
+             |  coalesce(t3c, 0) * 50 <= n_chars * 9 AS flag_rep3,
+             |  coalesce(d5c, 0) * 20 <= n_chars * 3 AS flag_dup5,
+             |  (coalesce(t2c, 0) * 5 <= n_chars)
+             |    AND (coalesce(t3c, 0) * 50 <= n_chars * 9)
+             |    AND (coalesce(d5c, 0) * 20 <= n_chars * 3) AS keep
+             |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin))
   )
 }

@@ -123,6 +123,63 @@ object Corpus {
     sharded.withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** Token-BALANCED shard export: the sharding that holds when document
+    * lengths are heavy-tailed. [[shuffleShards]] balances shard
+    * CARDINALITY; with skewed doc sizes one shard can carry a multiple
+    * of another's token load — the straggler a training job then waits
+    * on. Here each of `nShards` shards carries an equal TOKEN budget
+    * (within one document's granularity): rows are laid on the seeded
+    * md5 permutation (replayable anywhere md5 exists — never rand()),
+    * the exclusive token prefix sum along that order is computed with
+    * the same one-materialization scheme as [[packSequences]] (range
+    * partition by key, per-partition window, ≤ nPartitions driver
+    * offsets — no global sort, no single-partition window stage), and
+    * `shard = start·S div total` carves contiguous equal-token key
+    * ranges. Output is a pure function of (id, tokens, seed, nShards):
+    * re-runs, executor counts, and partitioning can never change it.
+    * Overflow is asserted, not assumed: `start·S` must fit a long —
+    * at S = 4096 that still allows ~2.2e15 total tokens (petabytes of
+    * text) before the require fires. */
+  def tokenBalancedShards(df: DataFrame, idCol: String, tokensCol: String,
+                          nShards: Int, seed: Long,
+                          nPartitions: Int = 32): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val t = df.select(col(idCol), col(tokensCol).cast("long").as("__n"),
+        md5(concat(col(idCol).cast("string"), lit(s":$seed"))).as("skey"))
+      .repartitionByRange(nPartitions, col("skey"), col(idCol))
+      .withColumn("__p", spark_partition_id())
+      .localCheckpoint() // pin ONE partition assignment for all consumers
+    val wLocal = Window.partitionBy(col("__p")).orderBy(col("skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("__cum", sum(col("__n")).over(wLocal))
+    // per-partition totals from the SAME materialized frame — bounded
+    // metadata (≤ nPartitions rows), so the exclusive cumsum over
+    // partitions runs on the driver and the offset lookup is a
+    // codegen'd CASE
+    val totals = t.groupBy(col("__p")).agg(sum(col("__n")).as("__pt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (p, pt) => val o = acc; acc += pt; (p, o) }
+    val total = acc
+    require(total > 0, "token-balanced sharding needs a corpus with tokens")
+    require(total <= Long.MaxValue / nShards,
+      s"start*nShards would overflow a long: total=$total nShards=$nShards")
+    val offExpr = offsets.foldLeft(lit(0L): Column) { case (e, (p, o)) =>
+      when(col("__p") === p, lit(o)).otherwise(e)
+    }
+    // integer DIV end to end: double division would lose exactness past
+    // 2^53 and flap shard boundaries at corpus scale. The LEAST clamp
+    // only matters for zero-token rows at the very end of the stream
+    // (start == total); real rows always land in [0, nShards).
+    local
+      .withColumn("stream_start", offExpr + col("__cum") - col("__n"))
+      .withColumn("shard",
+        least(expr(s"(stream_start * $nShards) DIV $total"), lit(nShards - 1L))
+          .cast("int"))
+      .select(col(idCol), col("__n").as("n_tokens"), col("skey"),
+        col("stream_start"), col("shard"))
+  }
+
   // ------------------------------------------------------------------
   // Broadcast-Bloom membership: the zero-join scale path for "does this
   // row's key appear in a (much smaller) reference set", used by

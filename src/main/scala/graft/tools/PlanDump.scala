@@ -64,7 +64,11 @@ object PlanDump {
       "x16_serialize_pipeline" ->
         "the serialization composite end-to-end: quality gate is a narrow Filter over the scan, passage dedup is one segment Exchange into the min-keeper HashAggregate + an equi-join back, packing is the range-partitioned prefix sum (per-partition Window, offsets from a bounded collect) — no cartesian, no global-sort Window anywhere",
       "e7_mmr_topk" ->
-        "MMR re-rank: candidates come from ONE broadcast of the 10 queries against the corpus + a per-query top-50 Window; the greedy selection is a single MapGroups/SerializeFromObject stage (executor-local per query) — no driver loop, no k chained joins")
+        "MMR re-rank: candidates come from ONE broadcast of the 10 queries against the corpus + a per-query top-50 Window; the greedy selection is a single MapGroups/SerializeFromObject stage (executor-local per query) — no driver loop, no k chained joins",
+      "x19_token_balanced_shards" ->
+        "token-balanced sharding: the permutation prefix sum is the x3 machinery — ONE range Exchange on the md5 key, per-partition Window, partition offsets from a bounded <= nPartitions collect; shard derivation is a codegen'd integer DIV over the materialized frame — no global sort, no second shuffle of the corpus",
+      "t13_repetition_ngrams" ->
+        "repetition rules: the three gram streams (2/3/5) union into ONE map-side-combinable count HashAggregate; per-doc covers re-aggregate and join back to the doc spine (AQE broadcasts the covers at this SF) — no window, no self-join, integer thresholds so no float rounding")
 
     // for queries whose returned frame is a post-mutation table read,
     // the informative plan is an intermediate: build it here instead

@@ -120,9 +120,44 @@ object ScaleProbePipeline {
           .count()
       }
 
+      // x19 token-balanced shards (seeded permutation + range-partitioned
+      // prefix sum + integer-DIV shard carve; expect ~linear — one range
+      // Exchange + per-partition window, offsets bounded by nPartitions)
+      val (shardSec, nShards) = t {
+        graft.ops.Corpus.tokenBalancedShards(
+          c.select(col("doc_id"), size(split(col("text"), " ")).as("tok")),
+          idCol = "doc_id", tokensCol = "tok", nShards = 16, seed = 42L)
+          .groupBy(col("shard")).agg(sum(col("n_tokens")))
+          .count()
+      }
+
+      // t13 repetition rules (2/3/5-gram union into ONE count aggregate,
+      // per-doc conditional covers; expect ~linear — two map-side-
+      // combinable shuffles of gram-count rows, no window, no self-join)
+      val (repSec, nRep) = t {
+        val d = c.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          split(col("text"), " ").as("w"))
+        def grams(n: Int) = d.select(col("doc_id"), lit(n).as("n"),
+          explode(expr(s"transform(IF(size(w) >= $n, sequence(1, size(w) - ${n - 1}), " +
+            s"array()), i -> array_join(slice(w, i, $n), ' '))")).as("gram"))
+        grams(2).unionByName(grams(3)).unionByName(grams(5))
+          .groupBy(col("doc_id"), col("n"), col("gram"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cover", col("c") * length(col("gram")).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(max(when(col("n") === 2, col("cover"))).as("t2c"),
+            max(when(col("n") === 3, col("cover"))).as("t3c"),
+            sum(when(col("n") === 5 && col("c") > 1, col("cover"))
+              .otherwise(lit(0L))).as("d5c"))
+          .count()
+      }
+
       println(f"""{"k":$k,"docs":${nBase * k},"passage_dedup_sec":$dedupSec%.2f,""" +
         f""""dedup_docs":$nDocs,"dsir_sec":$dsirSec%.2f,"dsir_top":$nTop,""" +
-        f""""exact_substr_sec":$substrSec%.2f,"substr_docs":$nSub}""")
+        f""""exact_substr_sec":$substrSec%.2f,"substr_docs":$nSub,""" +
+        f""""token_shards_sec":$shardSec%.2f,"shards":$nShards,""" +
+        f""""repetition_sec":$repSec%.2f,"rep_docs":$nRep}""")
     }
     spark.stop()
   }

@@ -112,6 +112,44 @@ class CorpusOpsSpec extends AnyFunSuite {
       "seed change must reshuffle most rows")
   }
 
+  test("tokenBalancedShards: equal token budgets, partition-invariant, contiguous") {
+    // heavy-tailed doc lengths: a few docs carry most tokens — the case
+    // where count-balanced sharding (x11) token-skews and this op must not
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 2000L).map { i =>
+      val n = if (rnd.nextInt(50) == 0) 5000L + rnd.nextInt(5000) // whales
+              else 1L + rnd.nextInt(100)
+      (i, n)
+    }.toDF("id", "tok")
+    val S = 16
+    def run(parts: Int): Array[(Long, Long, String, Long, Int)] =
+      graft.ops.Corpus.tokenBalancedShards(docs.repartition(parts max 1),
+          "id", "tok", nShards = S, seed = 7L, nPartitions = parts)
+        .as[(Long, Long, String, Long, Int)].collect().sortBy(_._1)
+    val a = run(1)
+    assert(a.sameElements(run(32)), "sharding must not depend on partitioning")
+    val total = a.map(_._2).sum
+    val maxDoc = a.map(_._2).max
+    val byShard = a.groupBy(_._5).view.mapValues(_.map(_._2).sum).toMap
+    assert(byShard.keySet === (0 until S).toSet, s"missing shards: $byShard")
+    // each shard's tokens within one document of the ideal budget — the
+    // whole point vs count-balanced sharding under heavy-tailed lengths
+    byShard.foreach { case (sh, t) =>
+      assert(t <= total / S + maxDoc && t >= total / S - maxDoc,
+        s"shard $sh tokens $t vs budget ${total / S} (maxDoc $maxDoc)")
+    }
+    // shards are CONTIGUOUS ranges of the permutation: ordering by
+    // (skey, id), shard ids never decrease
+    val inOrder = a.sortBy(r => (r._3, r._1)).map(_._5)
+    assert(inOrder.zip(inOrder.tail).forall { case (x, y) => x <= y },
+      "shards must be contiguous key ranges")
+    // prefix sum is exact: start = sum of earlier docs' tokens
+    var cum = 0L
+    a.sortBy(r => (r._3, r._1)).foreach { r =>
+      assert(r._4 === cum, s"start mismatch at id ${r._1}"); cum += r._2
+    }
+  }
+
   test("bloomMaybeContains has zero false negatives and bounded false positives") {
     val mBits = 1L << 16 // deliberately small so FPs are observable
     val k = 5
