@@ -635,6 +635,63 @@ object QueriesRelational {
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
              |  round(sum(o_totalprice), 2) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // ---- er1: blocked ENTITY RESOLUTION / fuzzy match — the classic
+    //      record-linkage shape at scale: a dirty probe side (here a
+    //      deterministic single-char deletion of each part name, so the
+    //      planted truth is known) matches the clean reference by
+    //      edit distance, WITHOUT an all-pairs compare. Blocking key =
+    //      the 2-char prefix (invariant under the planted corruption) +
+    //      a ±2 length band; levenshtein runs only inside blocks, and
+    //      the best match per probe packs (lev, key) into ONE BIGINT so
+    //      the pick is a plain long-min HashAggregate (map-side
+    //      combinable, stays in codegen — a struct min falls to
+    //      SortAggregate; bound guarded like packedOcc, match_key must
+    //      fit 48 bits). No window, no join-back: match_name is
+    //      derivable by key. At corpus scale the single prefix block
+    //      generalizes to several redundant keys (prefix + suffix +
+    //      phonetic) unioned before the verify, the same
+    //      candidates-then-exact-verify shape as d2/d3; candidate
+    //      count is block-bounded, never |dirty|x|clean|. ----
+    "er1_fuzzy_match" -> QDef(
+      (s, dir) => {
+        val P = 1L << 48
+        val clean = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+        val dirty = clean.select(col("p_partkey").as("probe_key"),
+          concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)"))
+            .as("probe_name"))
+        dirty.withColumn("blk", substring(col("probe_name"), 1, 2))
+          .join(clean.withColumn("blk", substring(col("p_name"), 1, 2)), Seq("blk"))
+          .filter(abs(length(col("p_name")) - length(col("probe_name"))) <= 2)
+          .withColumn("lev", levenshtein(col("probe_name"), col("p_name")))
+          .filter(col("lev") <= 2)
+          .withColumn("pk",
+            when(col("p_partkey") < 0L || col("p_partkey") >= P,
+              raise_error(concat(lit("er1: p_partkey outside packable 48-bit range: "),
+                col("p_partkey").cast("string"))).cast("long"))
+              .otherwise(col("lev").cast("long") * P + col("p_partkey")))
+          .groupBy(col("probe_key"), col("probe_name"))
+          .agg(min(col("pk")).as("pk"))
+          .select(col("probe_key"), col("probe_name"),
+            expr(s"pk % ${P}L").as("match_key"),
+            expr(s"pk DIV ${P}L").cast("int").as("lev"))
+      },
+      Some("""WITH clean AS (SELECT p_partkey, p_name FROM part),
+             |dirty AS (SELECT p_partkey AS probe_key,
+             |    substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name FROM clean),
+             |cand AS (SELECT d.probe_key, d.probe_name, c.p_partkey,
+             |    levenshtein(d.probe_name, c.p_name) AS lev
+             |  FROM dirty d JOIN clean c
+             |    ON substr(d.probe_name, 1, 2) = substr(c.p_name, 1, 2)
+             |   AND abs(len(c.p_name) - len(d.probe_name)) <= 2
+             |  WHERE levenshtein(d.probe_name, c.p_name) <= 2),
+             |best AS (SELECT probe_key, probe_name,
+             |    CAST(min(lev * 281474976710656 + p_partkey) AS BIGINT) AS pk
+             |  FROM cand GROUP BY 1, 2)
+             |SELECT probe_key, probe_name,
+             |  CAST(pk % 281474976710656 AS BIGINT) AS match_key,
+             |  CAST(pk // 281474976710656 AS INT) AS lev
+             |FROM best""".stripMargin))
   )
 }

@@ -68,7 +68,9 @@ object PlanDump {
       "x19_token_balanced_shards" ->
         "token-balanced sharding: the permutation prefix sum is the x3 machinery — ONE range Exchange on the md5 key, per-partition Window, partition offsets from a bounded <= nPartitions collect; shard derivation is a codegen'd integer DIV over the materialized frame — no global sort, no second shuffle of the corpus",
       "t13_repetition_ngrams" ->
-        "repetition rules: the three gram streams (2/3/5) union into ONE map-side-combinable count HashAggregate; per-doc covers re-aggregate and join back to the doc spine (AQE broadcasts the covers at this SF) — no window, no self-join, integer thresholds so no float rounding")
+        "repetition rules: the three gram streams (2/3/5) union into ONE map-side-combinable count HashAggregate; per-doc covers re-aggregate and join back to the doc spine (AQE broadcasts the covers at this SF) — no window, no self-join, integer thresholds so no float rounding",
+      "er1_fuzzy_match" ->
+        "blocked entity resolution: candidates come from an EQUI-join on the blocking key + length-band filter (never |dirty|x|clean|); levenshtein runs only inside blocks; best-match pick is a plain long-min HashAggregate on the packed (lev,key) BIGINT — map-side combinable, in codegen; no window, no cartesian anywhere")
 
     // for queries whose returned frame is a post-mutation table read,
     // the informative plan is an intermediate: build it here instead
