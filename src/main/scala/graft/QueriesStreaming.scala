@@ -121,6 +121,36 @@ object QueriesStreaming {
       },
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
+    // ---- st17: STREAM-STATIC join — the dimension-enrichment pattern
+    //      every production stream runs: the event stream inner-joins a
+    //      broadcast customer dim. Stateless (no watermark, no state
+    //      store — the static side is planned as a broadcast build
+    //      re-resolved per micro-batch), append mode, so the enriched
+    //      stream is exactly the batch join, which the oracle replays.
+    //      At scale the dim broadcast is the same call the batch star
+    //      join (j1) makes; a non-broadcastable dim falls back to a
+    //      per-batch shuffle join with no extra streaming state. ----
+    "st17_stream_static_join" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val schema = Tables.events(s, dir).schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val dim = broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+        val q = stream
+          .join(dim, col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("c_mktsegment"), col("c_nationkey"))
+          .writeStream.format("memory").queryName("st17_mem")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("st17_mem")
+      },
+      Some("""SELECT event_id, user_id, event_type, c_mktsegment, c_nationkey
+             |FROM events JOIN customer ON user_id = c_custkey""".stripMargin)),
+
     // ---- st8: stream-stream interval join — views joined to clicks
     //      within 10 minutes after them, per user; both sides carry
     //      event-time watermarks so the join state is bounded (the
