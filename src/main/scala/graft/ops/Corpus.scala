@@ -136,7 +136,9 @@ object Corpus {
     * offsets — no global sort, no single-partition window stage), and
     * `shard = start·S div total` carves contiguous equal-token key
     * ranges. Output is a pure function of (id, tokens, seed, nShards):
-    * re-runs, executor counts, and partitioning can never change it.
+    * re-runs, executor counts, and partitioning can never change it —
+    * provided `idCol` is unique (the permutation tie-breaks on it, the
+    * same total-order contract [[packSequences]] relies on).
     * Overflow is asserted, not assumed: `start·S` must fit a long —
     * at S = 4096 that still allows ~2.2e15 total tokens (petabytes of
     * text) before the require fires. */

@@ -155,6 +155,30 @@ object PlanDump {
         |confirming the probe, not the corpus pass, is the variable cost.
         |Further shrink would change semantics (fewer commits = fewer
         |admission stages = a different, weaker oracle).
+        |
+        |## job_quarantine_replay
+        |
+        |**Cost floor, measured** (`tools/ProfileReplay`, sf0.1, local[32],
+        |cold standalone run — suite-warm wall is lower but the SPLIT holds):
+        |
+        |```
+        |[replay] synthesize transactions           7.57 s
+        |[replay] bronze staging + load            11.75 s
+        |[replay] create quarantine table           0.92 s
+        |[replay] replay 1 (merges rows)            4.17 s
+        |[replay] replay 2 (exactly-once no-op)     3.00 s
+        |```
+        |
+        |~3/4 of standalone wall is fixture construction (the planted-defect
+        |transaction synthesis plus a full bronze staging+load — itself the
+        |benched job_bronze_load — plus creating the quarantine table the
+        |replay reads). The operator proper is the two replay merges; the
+        |second is the exactly-once proof and costs ~3 s of pure
+        |merge-plan + commit fixed cost on a zero-row effective delta —
+        |the floor one replay pays regardless of volume. Replay volume
+        |scales with the quarantine table (a merge over stats/bloom-pruned
+        |dirs), not the bronze table — the same O(changes) shape as cdc2's
+        |apply side.
         |""".stripMargin
     Files.write(Paths.get("PLANS.md"),
       out.toString.getBytes(StandardCharsets.UTF_8))
