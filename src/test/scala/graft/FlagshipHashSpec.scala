@@ -18,21 +18,11 @@ class FlagshipHashSpec extends AnyFunSuite {
   lazy val spark = SparkTest.session
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Mirrors the driver's compare: project columns in name order, cast
-    * everything through Spark's canonical string form, sort rows, md5
-    * the row stream. Any row-count, schema, or value drift changes the
-    * digest. */
-  private def resultHash(df: DataFrame): String = {
-    val cols = df.columns.sorted
-    val rows = df.select(cols.map(c => col(c).cast("string")): _*)
-      .collect()
-      .map(_.toSeq.map(v => if (v == null) "\u0000" else v.toString)
-        .mkString("\u0001"))
-      .sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
-    md.digest().map("%02x".format(_)).mkString
-  }
+  /** ONE digest implementation shared with the re-pinning tool
+    * (`graft.tools.PinHash.resultHash`) — the spec and the tool can
+    * never drift apart. */
+  private def resultHash(df: DataFrame): String =
+    graft.tools.PinHash.resultHash(df)
 
   // pinned from an oracle-green run (tools/check.py 171/176, round 8)
   private val pinned = Map(
@@ -41,7 +31,12 @@ class FlagshipHashSpec extends AnyFunSuite {
     "m1_merge_composite" -> "438b370b7f712ead9f0b63fc4c39b18d",
     "d2_ngram_jaccard" -> "539e88fb73e8b08388a00db0ed7ed31c",
     "x13_dsir_resample" -> "560c97c2c92b76d0bc2f6d84230c6905",
-    "x18_exact_substring_dedup" -> "aa1575a3152b3c5e0e290ae350229b5b")
+    "x18_exact_substring_dedup" -> "aa1575a3152b3c5e0e290ae350229b5b",
+    // r8 additions, pinned from the oracle-green tools/check.py 4/4 run
+    "x19_token_balanced_shards" -> "d9fc4743fba7bfa472b4bcc7d57b51c6",
+    "t13_repetition_ngrams" -> "36e3c4e02913288b337b8f93a8f765f9",
+    "er1_fuzzy_match" -> "364e7af79aa11b2c2cee8598d020d935",
+    "st17_stream_static_join" -> "25721cfbfe944365cf83bb822a91a013")
 
   pinned.foreach { case (name, expected) =>
     test(s"flagship $name: sf0.001 result hash matches the oracle-green pin") {
