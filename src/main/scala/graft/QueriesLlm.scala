@@ -1174,6 +1174,52 @@ object QueriesLlm {
              |  WHERE tf.term IN ('fast', 'merge'))
              |SELECT doc_id, round(sum(w), 6) AS score FROM scored GROUP BY doc_id""".stripMargin)),
 
+    // ---- t14: Okapi BM25 retrieval scoring [Robertson & Walker 1994;
+    //      the scorer retrieval-based curation pipelines actually run,
+    //      where t6's raw TF-IDF over-rewards long docs]. k1=1.2,
+    //      b=0.75, idf = ln((N-df+.5)/(df+.5)+1). DETERMINISM: the
+    //      length normalization needs avgdl, but an engine-computed
+    //      AVG is a partition-order float — so the formula uses
+    //      dl·N/T from three EXACT integers instead (algebraically
+    //      identical to dl/avgdl), and every float op is a single
+    //      division/ln of exact longs, bit-identical across engines.
+    //      Scale shape: same inverted-index joins as t6 — the df table
+    //      broadcast-prunes to the query terms, dl joins on doc_id,
+    //      corpus stats are one 1-row aggregate. ----
+    "t14_bm25" -> QDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+        val (n, tTok) = (stats.getLong(0), stats.getLong(1))
+        tf.filter(col("term").isin("fast", "merge"))
+          .join(broadcast(dft.filter(col("term").isin("fast", "merge"))), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .withColumn("w",
+            log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) *
+                  (lit(1.0) - 0.75 + lit(0.75) * (col("dl") * lit(n)) / lit(tTok))))
+          .groupBy("doc_id").agg(round(sum(col("w")), 6).as("bm25"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |       FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+             |scored AS (SELECT tf.doc_id,
+             |    ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |      * (tf.tf * 2.2)
+             |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl * st.n) / st.t)) AS w
+             |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+             |  WHERE tf.term IN ('fast', 'merge'))
+             |SELECT doc_id, round(sum(w), 6) AS bm25 FROM scored GROUP BY doc_id""".stripMargin)),
+
     // ---- t4: document fingerprinting — min-8-gram md5 + whole-doc md5 ----
     // (winnowing-style content fingerprint; md5 exists in both engines)
     "t4_fingerprint" -> QDef(
