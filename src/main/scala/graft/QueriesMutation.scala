@@ -1028,6 +1028,38 @@ object QueriesMutation {
              |SELECT 'clone' AS side, n_nationkey, n_name FROM nation
              |WHERE n_nationkey >= 10""".stripMargin)),
 
+    // ---- m20: INSERT OVERWRITE ... WHERE (Delta's replaceWhere) —
+    //      atomically replace exactly the predicate's region with new
+    //      rows in ONE commit: the per-order detail lines of every
+    //      l_orderkey % 10 = 3 order are replaced by one zeroed summary
+    //      line each. Two appends give the store two dirs, so BOTH
+    //      replace paths exercise under the oracle: fully-matched dirs
+    //      drop (metadata-only), partially-matched dirs tombstone via
+    //      one merged DV sidecar (no rewrite). The region contract
+    //      (incoming rows must satisfy the predicate) is enforced
+    //      executor-side. Oracle = survivors UNION the replacements. ----
+    "m20_replace_where" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m20_replace")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        st.create("t", li.filter(col("l_orderkey") % 4 === 0))
+        st.append("t", li.filter(col("l_orderkey") % 4 =!= 0))
+        st.overwriteWhere("t", col("l_orderkey") % 10 === 3,
+          li.filter(col("l_orderkey") % 10 === 3)
+            .select(col("l_orderkey")).distinct()
+            .select(col("l_orderkey"),
+              lit(0).cast("int").as("l_linenumber"),
+              lit(0.0).as("l_quantity")))
+        st.read("t")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey % 10 <> 3
+             |UNION ALL
+             |SELECT DISTINCT l_orderkey, CAST(0 AS INT) AS l_linenumber,
+             |  CAST(0.0 AS DOUBLE) AS l_quantity
+             |FROM lineitem WHERE l_orderkey % 10 = 3""".stripMargin)),
+
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
       (s, dir) => {

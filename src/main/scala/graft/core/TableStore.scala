@@ -1299,6 +1299,131 @@ class TableStore(spark: SparkSession, root: String) {
       m.copy(stats = Map.empty), Seq.empty, idProps): Unit
   }
 
+  /** INSERT OVERWRITE ... WHERE — Delta's `replaceWhere`: atomically
+    * replace exactly the rows matching `condition` with `df`'s rows in
+    * ONE commit. The deleteVectorized+append pair this supersedes
+    * exposes the deleted-but-not-yet-reinserted table between its two
+    * versions (and a time traveler to that middle version sees it
+    * forever); here no reader at any version ever can.
+    *
+    * Contract (Delta's): every incoming row must satisfy `condition` —
+    * a "replacement" writing outside the region it claims to replace
+    * is rejected executor-side before any data lands. An empty `df`
+    * is a pure region delete; a predicate matching nothing is a pure
+    * insert.
+    *
+    * Scale shape: stats/bloom pruning bounds the scan to dirs that can
+    * hold matching rows. A dir whose live rows ALL match is DROPPED
+    * from the manifest (metadata-only — the whole-partition-replace
+    * case costs no tombstones and strands no dead rows behind DVs);
+    * the full-match test is exact, from footer row counts minus prior
+    * tombstones, O(matched dirs) footer reads. Partially-matching dirs
+    * tombstone through one merged DV sidecar (merge-on-read — never
+    * rewritten). Incoming rows land as a fresh batch dir (bucketed
+    * layout preserved) with footer stats; identity / generated /
+    * CHECK enforcement all apply as in any write. With the change feed
+    * on, delete and insert rows land under `_cdf/<v>` in the same pass
+    * (insert rows carry no `__rid`: fresh ids are assigned only at
+    * commit — the same NULL-id contract as copy-on-write postimages).
+    * Rewrite-shaped commit: a racing writer conflicts loudly, never
+    * rebases. */
+  def overwriteWhere(name: String, condition: Column, df: DataFrame): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val v = m.baseVersion + 1
+    val uuid = java.util.UUID.randomUUID.toString.take(8)
+    val (withIds, idProps) = applyIdentity(df, m)
+    val incoming = conform(applyGenerated(withIds, m), m.schema)
+      .filter(assert_true(coalesce(condition, lit(false)),
+        lit("overwriteWhere: incoming row does not satisfy the replace " +
+          s"predicate ($condition)")).isNull)
+    val (touched, _) = pruneDirsByCondition(name, m, condition)
+    val trackingCdf = m.cdf && m.props.contains(RowTrackingProp)
+    // one scan of the touched dirs stages the matching (live) rows with
+    // their positions; tombstones, full-drop decisions, and delete
+    // change rows all derive from this single pass. None when pruning
+    // proves nothing can match (pure insert) — a zero-dir scan has no
+    // file metadata to position against.
+    val staged0: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else Some(scanLiveWithPos(name, m, touched, withRid = trackingCdf)
+        .filter(coalesce(condition, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val staged = staged0.map(s => if (!trackingCdf) s else resolveRid(s, m))
+      val perDir = staged.map(_.select(dirOf("__relpath").as("dir"))
+        .groupBy("dir").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty[String, Long])
+      // exact live counts decide full drops: footer totals minus prior
+      // tombstones, only for dirs that matched at all
+      val liveCount: Map[String, Long] = {
+        import scala.collection.parallel.CollectionConverters._
+        perDir.keySet.toSeq.par.map { d =>
+          val total = DirStats.fileRowCounts(dataRoot(name).resolve(d))
+            .map(_._2).sum
+          d -> (total - m.dvs.get(d).map(_.deleted).getOrElse(0L))
+        }.seq.toMap
+      }
+      val dropped = perDir.keySet.filter(d => perDir(d) == liveCount(d))
+      val partial = (perDir.keySet -- dropped).toSeq.sorted
+      val newDirs = writeBatch(name, enforceChecks(incoming, m.allChecks), v, m)
+      // DV sidecar only for partially-replaced dirs (+ their prior DVs,
+      // merged so each dir keeps exactly one sidecar reference)
+      val dvName = s"dv-$v-$uuid"
+      val updatedDvs: Map[String, DvRef] =
+        if (partial.isEmpty) Map.empty
+        else {
+          val partialSet = partial.toSet
+          val fresh = staged.get
+            .withColumn("dir", dirOf("__relpath"))
+            .filter(col("dir").isin(partial: _*))
+            .select(col("dir"), col("__relpath").as("relpath"),
+              col("__pos").as("pos"))
+          val priorDvd = partial.filter(m.dvs.contains)
+          val combined =
+            if (priorDvd.isEmpty) fresh
+            else fresh.unionByName(
+              dvRows(name, m, priorDvd)
+                .select(col("__dv_relpath").as("relpath"), col("__dv_pos").as("pos"))
+                .withColumn("dir", dirOf("relpath"))
+                .select("dir", "relpath", "pos"))
+          combined.sortWithinPartitions("relpath", "pos")
+            .write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
+          partialSet.map { d =>
+            val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
+            d -> DvRef(dvName, prior + perDir(d))
+          }.toMap
+        }
+      val stagedCdf = if (!m.cdf) None else {
+        val cdfDir = cdfStaging(name, v, uuid)
+        Files.createDirectories(cdfDir)
+        val cdfRid = if (trackingCdf) Seq(col(RidCol)) else Nil
+        val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name))) ++ cdfRid
+        // ONE write lays out both `__cdc=<kind>/` dirs; insert rows
+        // null-fill __rid (ids only exist after the commit)
+        val insertRows = incoming
+          .select(m.schema.map(f => col(f.name).as(m.phys(f.name))): _*)
+          .withColumn("__cdc", lit("insert"))
+        staged.map(_.select(m.schema.map(f => col(f.name)) ++ cdfRid: _*)
+            .select(toPhys: _*).withColumn("__cdc", lit("delete"))
+            .unionByName(insertRows, allowMissingColumns = true))
+          .getOrElse(insertRows)
+          .write.mode("overwrite").partitionBy("__cdc").parquet(cdfDir.toString)
+        Some(cdfDir)
+      }
+      val keptDirs = m.dirs.filterNot(dropped.contains)
+      val stats = { import scala.collection.parallel.CollectionConverters._
+        (m.stats -- dropped) ++ newDirs.par.flatMap(d =>
+          DirStats.collect(dataRoot(name).resolve(d), m.physSchema)
+            .map(m.statsToLogical).map(d -> _)).seq }
+      commitWithCdf(name, v,
+        m.copy(dirs = keptDirs ++ newDirs, stats = stats,
+          dvs = (m.dvs -- dropped) ++ updatedDvs,
+          props = m.props ++ idProps),
+        stagedCdf)
+    } finally staged0.foreach(_.unpersist())
+  }
+
   /** INSERT INTO append: O(new rows) — adds dirs, keeps the rest (on a
     * bucketed table only the buckets present in the new data get new
     * leaf dirs). */

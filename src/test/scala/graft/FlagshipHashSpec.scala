@@ -37,7 +37,8 @@ class FlagshipHashSpec extends AnyFunSuite {
     "t13_repetition_ngrams" -> "36e3c4e02913288b337b8f93a8f765f9",
     "er1_fuzzy_match" -> "364e7af79aa11b2c2cee8598d020d935",
     "st17_stream_static_join" -> "25721cfbfe944365cf83bb822a91a013",
-    "t14_bm25" -> "ee193334ff9f21487ffc44f1decd0a25")
+    "t14_bm25" -> "ee193334ff9f21487ffc44f1decd0a25",
+    "m20_replace_where" -> "df26c591ba5092fdbcd44330e34f676d")
 
   pinned.foreach { case (name, expected) =>
     test(s"flagship $name: sf0.001 result hash matches the oracle-green pin") {
