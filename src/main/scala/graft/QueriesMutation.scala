@@ -1060,6 +1060,34 @@ object QueriesMutation {
              |  CAST(0.0 AS DOUBLE) AS l_quantity
              |FROM lineitem WHERE l_orderkey % 10 = 3""".stripMargin)),
 
+    // ---- sql_replace_where: the same region replacement through the
+    //      SQL surface — `INSERT INTO ... REPLACE WHERE` lands in the
+    //      DSv2 writer as OverwriteByExpression, the builder translates
+    //      the v1 filters back to the store's predicate, and the commit
+    //      is the identical one-version attachDirWhere path (region
+    //      contract + CHECKs validated against the staged files before
+    //      any metadata changes). Oracle = survivors UNION replacements,
+    //      same as m20's. ----
+    "sql_replace_where" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "rw")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        st.create("rw", li)
+        li.createOrReplaceTempView("rw_src")
+        s.sql("""INSERT INTO graft.rw REPLACE WHERE l_orderkey % 10 = 3
+                |SELECT DISTINCT l_orderkey, CAST(0 AS INT) AS l_linenumber,
+                |  CAST(0.0 AS DOUBLE) AS l_quantity
+                |FROM rw_src WHERE l_orderkey % 10 = 3""".stripMargin)
+        s.sql("SELECT l_orderkey, l_linenumber, l_quantity FROM graft.rw")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey % 10 <> 3
+             |UNION ALL
+             |SELECT DISTINCT l_orderkey, CAST(0 AS INT) AS l_linenumber,
+             |  CAST(0.0 AS DOUBLE) AS l_quantity
+             |FROM lineitem WHERE l_orderkey % 10 = 3""".stripMargin)),
+
     // ---- Time travel: versioned manifests keep old states readable ----
     "tt_time_travel" -> QDef(
       (s, dir) => {

@@ -1329,13 +1329,62 @@ class TableStore(spark: SparkSession, root: String) {
     * rebases. */
   def overwriteWhere(name: String, condition: Column, df: DataFrame): Unit = {
     val m = readManifest(name, currentVersion(name))
-    val v = m.baseVersion + 1
-    val uuid = java.util.UUID.randomUUID.toString.take(8)
     val (withIds, idProps) = applyIdentity(df, m)
     val incoming = conform(applyGenerated(withIds, m), m.schema)
       .filter(assert_true(coalesce(condition, lit(false)),
         lit("overwriteWhere: incoming row does not satisfy the replace " +
           s"predicate ($condition)")).isNull)
+    replaceRegionCommit(name, m, condition,
+      newDirsOf = v => writeBatch(name, enforceChecks(incoming, m.allChecks), v, m),
+      insertView = incoming, extraProps = idProps)
+  }
+
+  /** DSv2 twin of [[overwriteWhere]] (SQL `INSERT INTO ... REPLACE
+    * WHERE` / `DataFrameWriterV2.overwrite(cond)`): the executors
+    * already wrote the batch dir, so validate the region contract and
+    * CHECK constraints against the staged FILES (one bounded scan
+    * each, BEFORE any metadata changes — a violation commits nothing,
+    * and the orphan dir stays invisible and GC-able like every aborted
+    * DSv2 write), then run the same one-commit region replacement.
+    * On a bucketed table the batch dir's `__b=<k>` leaves each become
+    * their own manifest dir (layout preserved through the replace). */
+  private[graft] def attachDirWhere(name: String, batchDir: String,
+                                    condition: Column): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    val dirs: Seq[String] = m.bucketing match {
+      case Some(_) =>
+        val batch = dataRoot(name).resolve(batchDir)
+        if (!Files.isDirectory(batch)) Seq.empty
+        else Using.resource(Files.list(batch))(_.iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("__b="))
+          .map(l => s"$batchDir/$l").toSeq.sorted)
+      case None => Seq(batchDir)
+    }
+    val stagedView = scanDirs(dirs, name, m.physSchema).select(m.logicalCols: _*)
+    if (!stagedView.filter(!coalesce(condition, lit(false))).isEmpty)
+      throw new IllegalArgumentException(
+        s"REPLACE WHERE on $name: staged rows do not satisfy the replace " +
+          s"predicate ($condition) — nothing committed")
+    requireChecksPass(name, m, dirs)
+    replaceRegionCommit(name, m, condition, newDirsOf = _ => dirs,
+      insertView = stagedView, extraProps = Map.empty,
+      statsAbsentIsNull = false) // external writer, like attachDir
+  }
+
+  /** Shared core of [[overwriteWhere]] / [[attachDirWhere]]: replace
+    * `condition`'s region with the new dirs in ONE commit (tombstone /
+    * drop decisions, DV sidecar, change rows, stats, manifest).
+    * `newDirsOf` is called with the commit version so the library path
+    * can materialize its batch dir under the right version number;
+    * `insertView` is a LOGICAL-named view of the inserted rows, used
+    * only for the recorded change feed. */
+  private def replaceRegionCommit(name: String, m: Manifest, condition: Column,
+                                  newDirsOf: Long => Seq[String],
+                                  insertView: DataFrame,
+                                  extraProps: Map[String, String],
+                                  statsAbsentIsNull: Boolean = true): Unit = {
+    val v = m.baseVersion + 1
+    val uuid = java.util.UUID.randomUUID.toString.take(8)
     val (touched, _) = pruneDirsByCondition(name, m, condition)
     val trackingCdf = m.cdf && m.props.contains(RowTrackingProp)
     // one scan of the touched dirs stages the matching (live) rows with
@@ -1366,7 +1415,7 @@ class TableStore(spark: SparkSession, root: String) {
       }
       val dropped = perDir.keySet.filter(d => perDir(d) == liveCount(d))
       val partial = (perDir.keySet -- dropped).toSeq.sorted
-      val newDirs = writeBatch(name, enforceChecks(incoming, m.allChecks), v, m)
+      val newDirs = newDirsOf(v)
       // DV sidecar only for partially-replaced dirs (+ their prior DVs,
       // merged so each dir keeps exactly one sidecar reference)
       val dvName = s"dv-$v-$uuid"
@@ -1401,7 +1450,7 @@ class TableStore(spark: SparkSession, root: String) {
         val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name))) ++ cdfRid
         // ONE write lays out both `__cdc=<kind>/` dirs; insert rows
         // null-fill __rid (ids only exist after the commit)
-        val insertRows = incoming
+        val insertRows = insertView
           .select(m.schema.map(f => col(f.name).as(m.phys(f.name))): _*)
           .withColumn("__cdc", lit("insert"))
         staged.map(_.select(m.schema.map(f => col(f.name)) ++ cdfRid: _*)
@@ -1414,12 +1463,13 @@ class TableStore(spark: SparkSession, root: String) {
       val keptDirs = m.dirs.filterNot(dropped.contains)
       val stats = { import scala.collection.parallel.CollectionConverters._
         (m.stats -- dropped) ++ newDirs.par.flatMap(d =>
-          DirStats.collect(dataRoot(name).resolve(d), m.physSchema)
+          DirStats.collect(dataRoot(name).resolve(d), m.physSchema,
+              absentIsNull = statsAbsentIsNull)
             .map(m.statsToLogical).map(d -> _)).seq }
       commitWithCdf(name, v,
         m.copy(dirs = keptDirs ++ newDirs, stats = stats,
           dvs = (m.dvs -- dropped) ++ updatedDvs,
-          props = m.props ++ idProps),
+          props = m.props ++ extraProps),
         stagedCdf)
     } finally staged0.foreach(_.unpersist())
   }

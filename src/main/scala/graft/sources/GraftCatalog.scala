@@ -404,7 +404,8 @@ class GraftSqlTable(root: String, tableName: String,
     * ADD COLUMN (metadata-only here) before planning the merge. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 

@@ -24,6 +24,33 @@ import graft.core.TableStore
   * references (invisible to readers, GC-able), so the commit protocol
   * matches the store's snapshot semantics.
   */
+/** V2 `Predicate` -> Column, for the REPLACE WHERE write path: Spark
+  * hands the parsed replace condition to [[SupportsOverwriteV2]] as
+  * connector predicates (general scalar expressions — `k % 10 = 3`
+  * included, which the v1 Filter bridge cannot carry). Spark's own
+  * [[V2ExpressionSQLBuilder]] renders them back to SQL text (with
+  * identifiers re-quoted for Spark's parser) and `expr()` re-parses —
+  * name/type resolution then happens where the Column is used, against
+  * the table's schema. Driver-side only. */
+private[sources] object GraftReplaceFilter {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.expr
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private object SqlBuilder
+      extends org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder {
+    override def visitNamedReference(ref: NamedReference): String =
+      ref.fieldNames.map(n => "`" + n.replace("`", "``") + "`").mkString(".")
+  }
+
+  def toColumn(p: Predicate): Column = expr(SqlBuilder.build(p))
+
+  def translatable(p: Predicate): Boolean =
+    try { toColumn(p); true }
+    catch { case scala.util.control.NonFatal(_) => false }
+}
+
 class GraftWriteBuilder(root: String, table: String, schema: StructType,
                         replaceAll: Boolean = false,
                         replacedDirs: () => Option[Set[String]] = () => None,
@@ -31,7 +58,7 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
                         bucketing: Option[(Seq[String], Int)] = None,
                         colmap: Map[String, String] = Map.empty,
                         scanVersion: () => Long = () => -1L)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwriteV2 {
 
   /** COLUMN MAPPING: parquet files carry PHYSICAL names. Incoming rows
     * are positional, so the file writers just get the renamed schema
@@ -43,7 +70,26 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
     if (colmap.isEmpty) schema else StructType(schema.map(f => f.copy(name = phys(f.name))))
 
   private var replace = replaceAll
+  // REPLACE WHERE condition (SQL `INSERT INTO ... REPLACE WHERE` /
+  // `DataFrameWriterV2.overwrite(cond)`): all-AlwaysTrue degenerates to
+  // a plain truncate, anything else becomes the store's one-commit
+  // predicate-scoped region replacement
+  private var replaceWhere: Option[org.apache.spark.sql.Column] = None
   override def truncate(): WriteBuilder = { replace = true; this }
+  override def canOverwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    predicates.forall(GraftReplaceFilter.translatable)
+  override def overwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : WriteBuilder = {
+    if (predicates.isEmpty || predicates.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.filter.AlwaysTrue]))
+      replace = true
+    else replaceWhere =
+      Some(predicates.map(GraftReplaceFilter.toColumn).reduce(_ && _))
+    this
+  }
 
   /** Plain INSERTs into a bucketed table keep the bucketed layout:
     * executors route each row to its `__b=<k>` leaf, and the write
@@ -69,7 +115,7 @@ class GraftWriteBuilder(root: String, table: String, schema: StructType,
     override def toBatch: BatchWrite =
       new GraftBatchWrite(root, table, physSchema, replace, rowLevel = replaceAll,
         replacedDirs, bucketing = bucketedInsert.map { case (ks, n) => (ks.map(phys), n) },
-        scanVersion = scanVersion)
+        scanVersion = scanVersion, replaceWhere = replaceWhere)
     // `replace` reaches the streaming write: Spark negotiates COMPLETE
     // output mode through SupportsTruncate.truncate(), so ignoring it
     // here would silently APPEND every recomputed aggregate epoch.
@@ -205,7 +251,8 @@ class GraftBatchWrite(root: String, table: String, schema: StructType,
                       replace: Boolean, rowLevel: Boolean,
                       replacedDirs: () => Option[Set[String]] = () => None,
                       bucketing: Option[(Seq[String], Int)] = None,
-                      scanVersion: () => Long = () => -1L)
+                      scanVersion: () => Long = () => -1L,
+                      replaceWhere: Option[org.apache.spark.sql.Column] = None)
     extends BatchWrite {
   private val batchDir = "sq" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
 
@@ -217,9 +264,18 @@ class GraftBatchWrite(root: String, table: String, schema: StructType,
     val store = new TableStore(SparkSession.active, root)
     val wrote = messages.nonEmpty &&
       Files.isDirectory(Paths.get(root, table, "data", batchDir))
-    if (wrote || replace) {
+    if (wrote || replace || replaceWhere.isDefined) {
       // an all-empty write still needs the dir for the manifest entry
       if (!wrote) Files.createDirectories(Paths.get(root, table, "data", batchDir))
+      // REPLACE WHERE: one-commit predicate-scoped region replacement
+      // (region contract + CHECKs validated against the staged files
+      // before any metadata changes; bucket leaves become manifest dirs)
+      replaceWhere match {
+        case Some(cond) =>
+          store.attachDirWhere(table, batchDir, cond)
+          return
+        case None => ()
+      }
       (replacedDirs(), bucketing) match {
         // group-based row-level op: the runtime group filter proved the
         // operation touched only these dirs — replace them, carry the

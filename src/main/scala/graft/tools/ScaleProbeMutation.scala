@@ -83,9 +83,20 @@ object ScaleProbeMutation {
           .queryExecution.toRdd.count()
       }
       val compactSec = t { st.compactDvHeavy("t", minDeletedRatio = 0.05) }
+      // replaceWhere with a FIXED-size region (one suppkey residue class
+      // bounded to the FIRST replica's key range, so the region does not
+      // grow with k): expect ~flat-to-mildly-rising — tombstones are
+      // O(matched rows), the new batch is O(replacement rows); table
+      // volume only enters through pruning, never through rewrites
+      val region = col("l_suppkey") % 100 === 7 && col("l_orderkey") < 100000000L
+      val replacement = base
+        .filter(col("l_suppkey") % 100 === 7 && col("l_orderkey") < 100000000L)
+        .withColumn("l_quantity", lit(0.0)).localCheckpoint()
+      val replaceSec = t { st.overwriteWhere("t", region, replacement) }
       println(f"""{"k":$k,"rows":${nBase * k},"merge_sec":$mergeSec%.2f,""" +
         f""""delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
-        f""""compact_sec":$compactSec%.2f,"batch":10000}""")
+        f""""compact_sec":$compactSec%.2f,"replace_sec":$replaceSec%.2f,""" +
+        f""""batch":10000}""")
       graft.core.FsUtil.deleteRecursively(new java.io.File(root))
     }
     spark.stop()

@@ -38,6 +38,12 @@ class FlagshipHashSpec extends AnyFunSuite {
     "er1_fuzzy_match" -> "364e7af79aa11b2c2cee8598d020d935",
     "st17_stream_static_join" -> "25721cfbfe944365cf83bb822a91a013",
     "t14_bm25" -> "ee193334ff9f21487ffc44f1decd0a25",
+    // sql_replace_where is deliberately NOT pinned here even though it
+    // is pinned-by-proxy (its digest equals m20's by design — the SQL
+    // surface and the library call run one code path): it binds the
+    // shared `graft` catalog name to the query-store root, which the
+    // session caches, silently re-rooting every later catalog suite
+    // (the known catalog-cache-by-name behavior).
     "m20_replace_where" -> "df26c591ba5092fdbcd44330e34f676d")
 
   pinned.foreach { case (name, expected) =>

@@ -124,6 +124,47 @@ class OverwriteWhereSpec extends AnyFunSuite {
     assert(ts.currentVersion("t") === v0)
   }
 
+  test("SQL INSERT INTO ... REPLACE WHERE runs the one-commit region " +
+      "replacement; bucketed tables keep their layout; contract enforced") {
+    val root = Files.createTempDirectory("owwsql").toString
+    spark.conf.set("spark.sql.catalog.graft_oww", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_oww.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (1L to 100L).map(i => (i, s"old$i")).toDF("id", "v"))
+    val v0 = ts.currentVersion("t")
+    spark.sql(
+      """INSERT INTO graft_oww.t REPLACE WHERE id <= 10
+        |SELECT col1 AS id, col2 AS v FROM VALUES (1L, 'new1'), (2L, 'new2')""".stripMargin)
+    assert(ts.currentVersion("t") === v0 + 1) // ONE commit
+    val got = ts.read("t").as[(Long, String)].collect().toMap
+    assert(got.size === 92 && got(1L) === "new1" && got(2L) === "new2")
+    assert((3L to 10L).forall(i => !got.contains(i)))
+    assert((11L to 100L).forall(i => got(i) === s"old$i"))
+    // region contract: a row outside the predicate refuses the commit
+    val vNow = ts.currentVersion("t")
+    intercept[Exception](spark.sql(
+      """INSERT INTO graft_oww.t REPLACE WHERE id <= 10
+        |SELECT col1 AS id, col2 AS v FROM VALUES (999L, 'outside')""".stripMargin))
+    assert(ts.currentVersion("t") === vNow)
+    // bucketed: the replacement batch keeps the leaf layout
+    ts.createBucketed("b", (1L to 40L).map(i => (i, i * 2L)).toDF("k", "x"),
+      Seq("k"), 4)
+    spark.sql(
+      """INSERT INTO graft_oww.b REPLACE WHERE k <= 4
+        |SELECT col1 AS k, col2 AS x FROM VALUES (1L, 100L), (2L, 200L)""".stripMargin)
+    val gotB = ts.read("b").as[(Long, Long)].collect().toMap
+    assert(gotB.size === 38 && gotB(1L) === 100L && gotB(2L) === 200L)
+    assert(!gotB.contains(3L) && !gotB.contains(4L))
+    assert(ts.snapshot("b").bucketing.isDefined)
+    assert(ts.liveDirs("b").forall(_.contains("__b=")),
+      "replacement dirs must be bucket leaves")
+    // empty source = pure region delete through SQL
+    spark.sql(
+      """INSERT INTO graft_oww.t REPLACE WHERE id > 90
+        |SELECT id, v FROM graft_oww.t WHERE false""".stripMargin)
+    assert(ts.read("t").count() === 82)
+  }
+
   test("rewrite-shaped: a racing append conflicts loudly, never rebases") {
     val ts = freshStore()
     ts.create("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
