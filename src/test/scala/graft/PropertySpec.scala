@@ -70,6 +70,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("overwriteWhere == survivors UNION replacement, exactly one version, " +
+      "for random predicates / multi-dir histories (model-based)") {
+    for (seed <- 20L to 24L) {
+      val rnd = new scala.util.Random(seed)
+      val store = new TableStore(spark, Files.createTempDirectory("propow").toString)
+      // multi-dir history: 2-4 appends, some followed by a DV delete, so
+      // the replace meets carried dirs, DV'd dirs, and fresh dirs alike
+      val chunks = 2 + rnd.nextInt(3)
+      store.create("t", randomRows(seed, 80).toDF("id", "ver", "v"))
+      (1 until chunks).foreach(i =>
+        store.append("t", randomRows(seed * 31 + i, 80).toDF("id", "ver", "v")))
+      if (rnd.nextBoolean())
+        store.deleteVectorized("t", col("ver") % 7 === rnd.nextInt(7).toLong)
+      val before = store.read("t").as[(Long, Long, String)].collect().toSeq
+      val vBefore = store.currentVersion("t")
+      // random region predicate + a replacement wholly inside it
+      val mod = 2L + rnd.nextInt(5)
+      val res = rnd.nextInt(mod.toInt).toLong
+      val pred = col("id") % mod === res
+      val repl = randomRows(seed * 101, 60).map { case (id, ver, v) =>
+        (id * mod + res, ver, v) // id' % mod == res by construction
+      }
+      store.overwriteWhere("t", pred, repl.toDF("id", "ver", "v"))
+      assert(store.currentVersion("t") === vBefore + 1, s"seed=$seed")
+      val got = store.read("t").as[(Long, Long, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val want = (before.filterNot { case (id, _, _) => id % mod == res } ++ repl)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === want, s"seed=$seed mod=$mod res=$res")
+    }
+  }
+
   test("classify/errorList/qualityFlag are mutually consistent") {
     for (seed <- 1L to 3L) {
       val rules = Seq(
