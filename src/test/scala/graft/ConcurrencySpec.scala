@@ -301,11 +301,28 @@ class ConcurrencySpec extends AnyFunSuite {
       (1L to 5L).foreach(i =>
         mine.append("t", Seq((10000L + i, s"a$i")).toDF("id", "v")))
     }
-    Await.result(Future.sequence(Seq(deleter, compactor, appender)), 300.seconds)
+    // region replacer: repeatedly replaces ids 501-600 with ten fixed
+    // rows — idempotent, so retry-on-conflict converges like the others;
+    // exercises the replaceWhere commit path under the same contention
+    val replacement = (1L to 10L).map(i => (500L + i, s"r$i"))
+    val replacer: Future[Unit] = Future {
+      val mine = new TableStore(spark, root)
+      (1 to 3).foreach { _ =>
+        Thread.sleep(120)
+        withRetry(mine.overwriteWhere("t",
+          col("id") > 500L && col("id") <= 600L,
+          replacement.toDF("id", "v")))
+      }
+    }
+    Await.result(
+      Future.sequence(Seq(deleter, compactor, appender, replacer)), 300.seconds)
     // every delete landed exactly (no resurrected tombstones through any
-    // compaction), every append landed, nothing else changed
+    // compaction), every append landed, the replaced region holds exactly
+    // its replacement, nothing else changed
     assert(ts.read("t").filter(col("id") <= 100L).count() === 0)
-    assert(ts.read("t").count() === 905)
+    assert(ts.read("t").filter(col("id") > 500L && col("id") <= 600L)
+      .as[(Long, String)].collect().toSet === replacement.toSet)
+    assert(ts.read("t").count() === 815) // 900 live - 100 region + 10 repl + 5 appends
     assert(ts.read("t").filter(col("id") > 10000L).count() === 5)
   }
 
