@@ -1220,6 +1220,82 @@ object QueriesLlm {
              |  WHERE tf.term IN ('fast', 'merge'))
              |SELECT doc_id, round(sum(w), 6) AS bm25 FROM scored GROUP BY doc_id""".stripMargin)),
 
+    // ---- t15: BPE-style merge learning — tokenizer TRAINING at corpus
+    //      scale [Sennrich et al. 2016, word-level symbols]: K=5
+    //      iterations of "count adjacent symbol pairs, merge the most
+    //      frequent corpus-wide". Each iteration is one narrow map +
+    //      one map-side-combinable count aggregate + a ONE-row collect
+    //      (the merge rule is inherently global state) — the canonical
+    //      BPE trainer shape, K passes over the corpus and nothing
+    //      driver-sized. Texts travel as '|'-delimited symbol strings
+    //      ("|a||b||c|"), so applying a merge is a plain replace() of
+    //      '|a||b|' with '|a_b|' — sequential leftmost-non-overlapping
+    //      in BOTH engines, which makes the overlap case ("x x x" under
+    //      merge "x x" -> "x_x x") exact and the oracle a literal
+    //      replay. Ties break on pair text; symbols are corpus words
+    //      (alnum — never contain '|' or '_', so the delimiters and the
+    //      merge joiner cannot collide). ----
+    "t15_bpe_merges" -> QDef(
+      (s, dir) => {
+        import s.implicits._
+        val K = 5
+        var txt = Tables.documents(s, dir).select(
+          concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|"))
+            .as("t"))
+        val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+        for (step <- 1 to K) {
+          val top = txt
+            .select(split(expr("substring(t, 2, length(t) - 2)"), "\\|\\|").as("w"))
+            .select(explode(expr(
+              "transform(IF(size(w) >= 2, sequence(1, size(w) - 1), array()), " +
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("p"))
+            .groupBy("p").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("p").asc).limit(1)
+            .collect()(0)
+          val (p, c) = (top.getString(0), top.getLong(1))
+          merges += ((step, p, c))
+          txt = txt.select(org.apache.spark.sql.functions.replace(col("t"),
+            lit("|" + p.replace(" ", "||") + "|"),
+            lit("|" + p.replace(" ", "_") + "|")).as("t"))
+        }
+        merges.toSeq.toDF("step", "pair", "n")
+      },
+      Some("""WITH t0 AS (SELECT '|' || array_to_string(string_split(text, ' '), '||') || '|' AS t
+             |            FROM documents),
+             |p1 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t0),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m1 AS (SELECT p, c FROM p1 ORDER BY c DESC, p LIMIT 1),
+             |t1 AS (SELECT replace(t, '|' || replace((SELECT p FROM m1), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m1), ' ', '_') || '|') AS t FROM t0),
+             |p2 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t1),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m2 AS (SELECT p, c FROM p2 ORDER BY c DESC, p LIMIT 1),
+             |t2 AS (SELECT replace(t, '|' || replace((SELECT p FROM m2), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m2), ' ', '_') || '|') AS t FROM t1),
+             |p3 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t2),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m3 AS (SELECT p, c FROM p3 ORDER BY c DESC, p LIMIT 1),
+             |t3 AS (SELECT replace(t, '|' || replace((SELECT p FROM m3), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m3), ' ', '_') || '|') AS t FROM t2),
+             |p4 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t3),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m4 AS (SELECT p, c FROM p4 ORDER BY c DESC, p LIMIT 1),
+             |t4 AS (SELECT replace(t, '|' || replace((SELECT p FROM m4), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m4), ' ', '_') || '|') AS t FROM t3),
+             |p5 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t4),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m5 AS (SELECT p, c FROM p5 ORDER BY c DESC, p LIMIT 1)
+             |SELECT 1 AS step, p AS pair, CAST(c AS BIGINT) AS n FROM m1
+             |UNION ALL SELECT 2, p, CAST(c AS BIGINT) FROM m2
+             |UNION ALL SELECT 3, p, CAST(c AS BIGINT) FROM m3
+             |UNION ALL SELECT 4, p, CAST(c AS BIGINT) FROM m4
+             |UNION ALL SELECT 5, p, CAST(c AS BIGINT) FROM m5""".stripMargin)),
+
     // ---- t4: document fingerprinting — min-8-gram md5 + whole-doc md5 ----
     // (winnowing-style content fingerprint; md5 exists in both engines)
     "t4_fingerprint" -> QDef(

@@ -44,7 +44,8 @@ class FlagshipHashSpec extends AnyFunSuite {
     // shared `graft` catalog name to the query-store root, which the
     // session caches, silently re-rooting every later catalog suite
     // (the known catalog-cache-by-name behavior).
-    "m20_replace_where" -> "df26c591ba5092fdbcd44330e34f676d")
+    "m20_replace_where" -> "df26c591ba5092fdbcd44330e34f676d",
+    "t15_bpe_merges" -> "b33ebac4ad2fa773b5ddc20cd57a45cc")
 
   pinned.foreach { case (name, expected) =>
     test(s"flagship $name: sf0.001 result hash matches the oracle-green pin") {
