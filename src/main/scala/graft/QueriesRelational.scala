@@ -692,6 +692,87 @@ object QueriesRelational {
              |SELECT probe_key, probe_name,
              |  CAST(pk % 281474976710656 AS BIGINT) AS match_key,
              |  CAST(pk // 281474976710656 AS INT) AS lev
-             |FROM best""".stripMargin))
+             |FROM best""".stripMargin)),
+
+    // ---- er2: fuzzy ENTITY DEDUP (er1's clustering twin): merge all
+    //      records whose names are transitively within edit distance 1.
+    //      The scale-critical altitude choice: the fuzzy graph is built
+    //      over DISTINCT NAMES (vocabulary-sized — here ≤128 nodes;
+    //      name-value dedup, the shape record-linkage systems actually
+    //      run), never over record pairs, so the blocked lev join and
+    //      the label propagation cost O(|vocab|²-per-block) while the
+    //      record table only ever sees two vocabulary-sized hash joins.
+    //      Same min-label propagation as d5 (labels = name strings,
+    //      lexicographic min, ≤20 bounded iterations, eager
+    //      checkpoints); the oracle replays the closure with a
+    //      recursive CTE. Every record gets its cluster's canonical
+    //      name and minimal entity id — singleton names canonicalize
+    //      to themselves. ----
+    "er2_fuzzy_dedup" -> QDef(
+      (s, dir) => {
+        val clean = Tables.part(s, dir)
+          .select(col("p_partkey").as("eid"), col("p_name").as("nm"))
+        val dirty = clean.select((col("eid") + 1000000L).as("eid"),
+          concat(substring(col("nm"), 1, 2), expr("substring(nm, 4)")).as("nm"))
+        val ents = clean.unionByName(dirty)
+        val names = ents.select(col("nm")).distinct()
+        // blocked fuzzy edges over the NAME vocabulary, both directions
+        val l = names.select(col("nm").as("na"), substring(col("nm"), 1, 2).as("blk"))
+        val r = names.select(col("nm").as("nb"), substring(col("nm"), 1, 2).as("blk"))
+        val pairs = l.join(r, Seq("blk"))
+          .filter(col("na") < col("nb"))
+          .filter(abs(length(col("na")) - length(col("nb"))) <= 1)
+          .filter(levenshtein(col("na"), col("nb")) <= 1)
+          .select(col("na"), col("nb"))
+        val edges = pairs
+          .unionByName(pairs.select(col("nb").as("na"), col("na").as("nb")))
+          .localCheckpoint()
+        // min-label propagation, labels = the names themselves; init
+        // from ALL names so singletons keep their own label
+        var comp = names.select(col("nm"), col("nm").as("cl")).localCheckpoint()
+        var converged = false
+        var i = 0
+        while (!converged && i < 20) {
+          val nbrMin = edges
+            .join(comp.select(col("nm").as("nb"), col("cl").as("nl")), Seq("nb"))
+            .groupBy(col("na").as("nm")).agg(min(col("nl")).as("nmin"))
+          val next = comp.join(nbrMin, Seq("nm"), "left_outer")
+            .select(col("nm"),
+              least(col("cl"), coalesce(col("nmin"), col("cl"))).as("cl"),
+              col("cl").as("__prev"))
+            .localCheckpoint() // eager: materializes before the count
+          converged = next.filter(col("cl") =!= col("__prev")).count() == 0L
+          comp = next.select("nm", "cl")
+          i += 1
+        }
+        // records -> their name-cluster's canonical name + minimal eid
+        val withCl = ents.join(comp, Seq("nm"))
+        val canon = withCl.groupBy(col("cl")).agg(min(col("eid")).as("canonical_eid"))
+        withCl.join(canon, Seq("cl"))
+          .select(col("eid"), col("nm"), col("cl").as("cluster_key"),
+            col("canonical_eid"))
+      },
+      Some("""WITH RECURSIVE clean AS (SELECT p_partkey AS eid, p_name AS nm FROM part),
+             |dirty AS (SELECT p_partkey + 1000000 AS eid,
+             |    substr(p_name, 1, 2) || substr(p_name, 4) AS nm FROM part),
+             |ents AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+             |names AS (SELECT DISTINCT nm FROM ents),
+             |pairs AS (SELECT l.nm AS na, r.nm AS nb FROM names l JOIN names r
+             |    ON substr(l.nm, 1, 2) = substr(r.nm, 1, 2) AND l.nm < r.nm
+             |   AND abs(len(l.nm) - len(r.nm)) <= 1
+             |  WHERE levenshtein(l.nm, r.nm) <= 1),
+             |edges AS (SELECT na, nb FROM pairs UNION SELECT nb, na FROM pairs),
+             |reach(na, nb) AS (SELECT na, nb FROM edges
+             |    UNION SELECT r.na, e.nb FROM reach r JOIN edges e ON r.nb = e.na
+             |    WHERE e.nb <> r.na),
+             |labels AS (SELECT n.nm,
+             |    coalesce(least(n.nm, r.mn), n.nm) AS cl
+             |  FROM names n LEFT JOIN
+             |    (SELECT na, min(nb) AS mn FROM reach GROUP BY na) r ON n.nm = r.na),
+             |withcl AS (SELECT e.eid, e.nm, l.cl FROM ents e JOIN labels l USING (nm)),
+             |canon AS (SELECT cl, CAST(min(eid) AS BIGINT) AS canonical_eid
+             |          FROM withcl GROUP BY cl)
+             |SELECT eid, nm, cl AS cluster_key, canonical_eid
+             |FROM withcl JOIN canon USING (cl)""".stripMargin))
   )
 }

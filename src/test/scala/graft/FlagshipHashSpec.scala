@@ -45,7 +45,8 @@ class FlagshipHashSpec extends AnyFunSuite {
     // session caches, silently re-rooting every later catalog suite
     // (the known catalog-cache-by-name behavior).
     "m20_replace_where" -> "df26c591ba5092fdbcd44330e34f676d",
-    "t15_bpe_merges" -> "b33ebac4ad2fa773b5ddc20cd57a45cc")
+    "t15_bpe_merges" -> "b33ebac4ad2fa773b5ddc20cd57a45cc",
+    "er2_fuzzy_dedup" -> "c26a08a1fa835726aa1f4f34b065d559")
 
   pinned.foreach { case (name, expected) =>
     test(s"flagship $name: sf0.001 result hash matches the oracle-green pin") {
