@@ -1239,9 +1239,13 @@ object QueriesLlm {
       (s, dir) => {
         import s.implicits._
         val K = 5
+        // each generation MATERIALIZES (eager checkpoint): without it,
+        // step k's collect re-runs all k-1 prior replaces from the
+        // parquet scan — O(K^2) corpus passes instead of the K the
+        // trainer shape promises
         var txt = Tables.documents(s, dir).select(
           concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|"))
-            .as("t"))
+            .as("t")).localCheckpoint()
         val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
         for (step <- 1 to K) {
           val top = txt
@@ -1251,12 +1255,14 @@ object QueriesLlm {
                 "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("p"))
             .groupBy("p").agg(count(lit(1)).as("c"))
             .orderBy(col("c").desc, col("p").asc).limit(1)
-            .collect()(0)
-          val (p, c) = (top.getString(0), top.getLong(1))
+            .collect()
+          require(top.nonEmpty,
+            s"t15: corpus has no adjacent symbol pairs left at merge step $step")
+          val (p, c) = (top(0).getString(0), top(0).getLong(1))
           merges += ((step, p, c))
           txt = txt.select(org.apache.spark.sql.functions.replace(col("t"),
             lit("|" + p.replace(" ", "||") + "|"),
-            lit("|" + p.replace(" ", "_") + "|")).as("t"))
+            lit("|" + p.replace(" ", "_") + "|")).as("t")).localCheckpoint()
         }
         merges.toSeq.toDF("step", "pair", "n")
       },

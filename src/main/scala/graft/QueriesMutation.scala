@@ -1032,9 +1032,11 @@ object QueriesMutation {
     //      atomically replace exactly the predicate's region with new
     //      rows in ONE commit: the per-order detail lines of every
     //      l_orderkey % 10 = 3 order are replaced by one zeroed summary
-    //      line each. Two appends give the store two dirs, so BOTH
-    //      replace paths exercise under the oracle: fully-matched dirs
-    //      drop (metadata-only), partially-matched dirs tombstone via
+    //      line each. The two dirs are split so BOTH replace paths
+    //      provably exercise under the oracle: dir A holds ONLY
+    //      matching rows (%10=3, line <= 3 — every live row matches,
+    //      so it DROPS metadata-only) while dir B mixes matching
+    //      (%10=3, line > 3) and surviving rows, so it tombstones via
     //      one merged DV sidecar (no rewrite). The region contract
     //      (incoming rows must satisfy the predicate) is enforced
     //      executor-side. Oracle = survivors UNION the replacements. ----
@@ -1043,8 +1045,10 @@ object QueriesMutation {
         val st = freshStore(s, "m20_replace")
         val li = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        st.create("t", li.filter(col("l_orderkey") % 4 === 0))
-        st.append("t", li.filter(col("l_orderkey") % 4 =!= 0))
+        st.create("t",
+          li.filter(col("l_orderkey") % 10 === 3 && col("l_linenumber") <= 3))
+        st.append("t",
+          li.filter(col("l_orderkey") % 10 =!= 3 || col("l_linenumber") > 3))
         st.overwriteWhere("t", col("l_orderkey") % 10 === 3,
           li.filter(col("l_orderkey") % 10 === 3)
             .select(col("l_orderkey")).distinct()

@@ -1336,7 +1336,7 @@ class TableStore(spark: SparkSession, root: String) {
           s"predicate ($condition)")).isNull)
     replaceRegionCommit(name, m, condition,
       newDirsOf = v => writeBatch(name, enforceChecks(incoming, m.allChecks), v, m),
-      insertView = incoming, extraProps = idProps)
+      extraProps = idProps)
   }
 
   /** DSv2 twin of [[overwriteWhere]] (SQL `INSERT INTO ... REPLACE
@@ -1367,7 +1367,7 @@ class TableStore(spark: SparkSession, root: String) {
           s"predicate ($condition) — nothing committed")
     requireChecksPass(name, m, dirs)
     replaceRegionCommit(name, m, condition, newDirsOf = _ => dirs,
-      insertView = stagedView, extraProps = Map.empty,
+      extraProps = Map.empty,
       statsAbsentIsNull = false) // external writer, like attachDir
   }
 
@@ -1375,12 +1375,15 @@ class TableStore(spark: SparkSession, root: String) {
     * `condition`'s region with the new dirs in ONE commit (tombstone /
     * drop decisions, DV sidecar, change rows, stats, manifest).
     * `newDirsOf` is called with the commit version so the library path
-    * can materialize its batch dir under the right version number;
-    * `insertView` is a LOGICAL-named view of the inserted rows, used
-    * only for the recorded change feed. */
+    * can materialize its batch dir under the right version number.
+    * The recorded change feed's insert rows are read BACK from the
+    * written batch files, never by re-executing the caller's plan — a
+    * second execution of a non-deterministic source (identity
+    * assignment, rand()) could mint change rows that disagree with
+    * the rows actually committed, and even a deterministic plan would
+    * pay a full second run. */
   private def replaceRegionCommit(name: String, m: Manifest, condition: Column,
                                   newDirsOf: Long => Seq[String],
-                                  insertView: DataFrame,
                                   extraProps: Map[String, String],
                                   statsAbsentIsNull: Boolean = true): Unit = {
     val v = m.baseVersion + 1
@@ -1450,8 +1453,8 @@ class TableStore(spark: SparkSession, root: String) {
         val toPhys = m.schema.map(f => col(f.name).as(m.phys(f.name))) ++ cdfRid
         // ONE write lays out both `__cdc=<kind>/` dirs; insert rows
         // null-fill __rid (ids only exist after the commit)
-        val insertRows = insertView
-          .select(m.schema.map(f => col(f.name).as(m.phys(f.name))): _*)
+        val insertRows = scanDirs(newDirs, name, m.physSchema)
+          .select(m.schema.map(f => col(m.phys(f.name))): _*)
           .withColumn("__cdc", lit("insert"))
         staged.map(_.select(m.schema.map(f => col(f.name)) ++ cdfRid: _*)
             .select(toPhys: _*).withColumn("__cdc", lit("delete"))

@@ -78,19 +78,35 @@ object Corpus {
     * frame; the offsets become a <= nPartitions-entry CASE expression
     * computed on the driver. Two independent evaluations joined on
     * partition id (the round-4 bug) can never disagree again. */
-  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
-                    budget: Long, nPartitions: Int = 32): DataFrame = {
-    val t = df.select(col(idCol), col(tokensCol).cast("long").as("__n"))
-      .repartitionByRange(nPartitions, col(idCol))
+  /** Guarded long view of a token-count column: a NULL count would
+    * silently poison the prefix sums (null cumsum, null shard/bin, and
+    * an unexplained driver NPE if a whole partition sums to null) —
+    * raise at the row instead, like [[packedOcc]]. */
+  private def tokensOrRaise(tokensCol: String): Column =
+    when(col(tokensCol).isNull,
+      raise_error(lit(s"null token count in '$tokensCol' — prefix-sum " +
+        "ops need a concrete count per row")).cast("long"))
+      .otherwise(col(tokensCol).cast("long"))
+
+  /** The ONE-materialization distributed exclusive prefix sum both
+    * [[packSequences]] and [[tokenBalancedShards]] are built on: range
+    * partition by `sortCols`, pin the partition assignment with an
+    * eager checkpoint, per-partition window cumsum, per-partition
+    * totals collected as ≤ nPartitions driver rows whose exclusive
+    * scan becomes a codegen'd CASE offset — no global sort, no
+    * single-partition window, and (the round-4 bug class) no second
+    * independent evaluation that could disagree with the first.
+    * Returns the frame with `stream_start` attached plus the grand
+    * total. */
+  private def rangePrefixSum(withN: DataFrame, sortCols: Seq[Column],
+                             nPartitions: Int): (DataFrame, Long) = {
+    val t = withN
+      .repartitionByRange(nPartitions, sortCols: _*)
       .withColumn("__p", spark_partition_id())
       .localCheckpoint() // pin ONE partition assignment for all consumers
-    val wLocal = Window.partitionBy(col("__p")).orderBy(col(idCol))
+    val wLocal = Window.partitionBy(col("__p")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = t.withColumn("__cum", sum(col("__n")).over(wLocal))
-    // Per-partition totals from the SAME materialized frame; bounded
-    // metadata (<= nPartitions rows), so the exclusive cumsum runs on
-    // the driver and the offset lookup is a codegen'd CASE — no
-    // single-partition window stage.
     val totals = t.groupBy(col("__p")).agg(sum(col("__n")).as("__pt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -98,8 +114,15 @@ object Corpus {
     val offExpr = offsets.foldLeft(lit(0L): Column) { case (e, (p, o)) =>
       when(col("__p") === p, lit(o)).otherwise(e)
     }
+    (local.withColumn("stream_start", offExpr + col("__cum") - col("__n")), acc)
+  }
+
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, nPartitions: Int = 32): DataFrame = {
+    val (local, _) = rangePrefixSum(
+      df.select(col(idCol), tokensOrRaise(tokensCol).as("__n")),
+      Seq(col(idCol)), nPartitions)
     local
-      .withColumn("stream_start", offExpr + col("__cum") - col("__n"))
       .withColumn("bin", floor(col("stream_start") / budget))
       .select(col(idCol), col("__n").as("n_tokens"), col("stream_start"), col("bin"))
   }
@@ -146,35 +169,18 @@ object Corpus {
                           nShards: Int, seed: Long,
                           nPartitions: Int = 32): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
-    val t = df.select(col(idCol), col(tokensCol).cast("long").as("__n"),
-        md5(concat(col(idCol).cast("string"), lit(s":$seed"))).as("skey"))
-      .repartitionByRange(nPartitions, col("skey"), col(idCol))
-      .withColumn("__p", spark_partition_id())
-      .localCheckpoint() // pin ONE partition assignment for all consumers
-    val wLocal = Window.partitionBy(col("__p")).orderBy(col("skey"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = t.withColumn("__cum", sum(col("__n")).over(wLocal))
-    // per-partition totals from the SAME materialized frame — bounded
-    // metadata (≤ nPartitions rows), so the exclusive cumsum over
-    // partitions runs on the driver and the offset lookup is a
-    // codegen'd CASE
-    val totals = t.groupBy(col("__p")).agg(sum(col("__n")).as("__pt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (p, pt) => val o = acc; acc += pt; (p, o) }
-    val total = acc
+    val (local, total) = rangePrefixSum(
+      df.select(col(idCol), tokensOrRaise(tokensCol).as("__n"),
+        md5(concat(col(idCol).cast("string"), lit(s":$seed"))).as("skey")),
+      Seq(col("skey"), col(idCol)), nPartitions)
     require(total > 0, "token-balanced sharding needs a corpus with tokens")
     require(total <= Long.MaxValue / nShards,
       s"start*nShards would overflow a long: total=$total nShards=$nShards")
-    val offExpr = offsets.foldLeft(lit(0L): Column) { case (e, (p, o)) =>
-      when(col("__p") === p, lit(o)).otherwise(e)
-    }
     // integer DIV end to end: double division would lose exactness past
     // 2^53 and flap shard boundaries at corpus scale. The LEAST clamp
     // only matters for zero-token rows at the very end of the stream
     // (start == total); real rows always land in [0, nShards).
     local
-      .withColumn("stream_start", offExpr + col("__cum") - col("__n"))
       .withColumn("shard",
         least(expr(s"(stream_start * $nShards) DIV $total"), lit(nShards - 1L))
           .cast("int"))

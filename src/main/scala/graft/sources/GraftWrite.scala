@@ -42,6 +42,27 @@ private[sources] object GraftReplaceFilter {
       extends org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder {
     override def visitNamedReference(ref: NamedReference): String =
       ref.fieldNames.map(n => "`" + n.replace("`", "``") + "`").mkString(".")
+    // date/time literals arrive as their INTERNAL encodings (epoch days
+    // / micros); the default rendering emits the bare number, which
+    // expr() happily parses as an int — the predicate then either fails
+    // analysis late or, under lenient coercion, silently matches
+    // nothing. Emit typed ANSI literals instead (replaceWhere over a
+    // date region is the single most common use of this path).
+    override def visitLiteral(
+        l: org.apache.spark.sql.connector.expressions.Literal[_]): String =
+      l.dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          s"DATE'${java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)}'"
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          val micros = l.value.asInstanceOf[Long]
+          val inst = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          s"TIMESTAMP'${inst.toString.replace('T', ' ')}'"
+        case _ => super.visitLiteral(l)
+      }
   }
 
   def toColumn(p: Predicate): Column = expr(SqlBuilder.build(p))

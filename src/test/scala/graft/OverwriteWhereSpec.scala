@@ -163,6 +163,17 @@ class OverwriteWhereSpec extends AnyFunSuite {
       """INSERT INTO graft_oww.t REPLACE WHERE id > 90
         |SELECT id, v FROM graft_oww.t WHERE false""".stripMargin)
     assert(ts.read("t").count() === 82)
+    // typed literals: a DATE region predicate must round-trip through
+    // the connector-predicate SQL rendering (the internal encoding is
+    // epoch DAYS — bare-number rendering would match nothing)
+    ts.create("d", Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("ds", "x")
+      .select(col("ds").cast("date").as("d"), col("x")))
+    spark.sql(
+      """INSERT INTO graft_oww.d REPLACE WHERE d = DATE'2024-01-01'
+        |SELECT CAST('2024-01-01' AS DATE) AS d, CAST(100 AS BIGINT) AS x""".stripMargin)
+    val gotD = ts.read("d").select(col("d").cast("string"), col("x"))
+      .as[(String, Long)].collect().toMap
+    assert(gotD === Map("2024-01-01" -> 100L, "2024-01-02" -> 2L))
   }
 
   test("rewrite-shaped: a racing append conflicts loudly, never rebases") {
