@@ -150,6 +150,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-sum ops raise on null token counts instead of silently " +
+      "dropping rows into a null shard/bin") {
+    val df = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "tok")
+    val e1 = intercept[Exception](
+      Corpus.tokenBalancedShards(df, "id", "tok", nShards = 4, seed = 1L).collect())
+    assert(e1.getMessage.contains("null token count")
+      || String.valueOf(e1.getCause).contains("null token count"))
+    val e2 = intercept[Exception](
+      Corpus.packSequences(df, "id", "tok", budget = 16).collect())
+    assert(e2.getMessage.contains("null token count")
+      || String.valueOf(e2.getCause).contains("null token count"))
+  }
+
   test("bloomMaybeContains has zero false negatives and bounded false positives") {
     val mBits = 1L << 16 // deliberately small so FPs are observable
     val k = 5
