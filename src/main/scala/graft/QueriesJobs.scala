@@ -124,7 +124,7 @@ object QueriesJobs {
   /** Spark twin of `silverf`: 21-col silver with the CDC stamps the
     * bronze merge would have applied (for the fact queries, which don't
     * need a store round-trip to get registry-width silver). */
-  private def stampedSilver(staging: DataFrame): DataFrame = {
+  private[graft] def stampedSilver(staging: DataFrame): DataFrame = {
     val cdc = expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)") % 50 === 0
     PaymentJobs.silverFromBronze(staging)
       .withColumn("delta_change_type", when(cdc, "MERGE").otherwise("LOAD"))
@@ -157,11 +157,11 @@ object QueriesJobs {
        |  false AS is_deleted, CAST(NULL AS $ntzType) AS deleted_at""".stripMargin
   }
 
-  private val RetiredRowSparkSql: String = retiredRowSql("TIMESTAMP_NTZ")
+  private[graft] val RetiredRowSparkSql: String = retiredRowSql("TIMESTAMP_NTZ")
   private val RetiredRowDuckSql: String = retiredRowSql("TIMESTAMP")
 
   /** The fact star at full width over a 21-col silver. */
-  private def fullFact(s: SparkSession, silver: DataFrame): DataFrame =
+  private[graft] def fullFact(s: SparkSession, silver: DataFrame): DataFrame =
     PaymentJobs.factStar(silver,
       PaymentJobs.dimCustomerCurrent(silver), PaymentJobs.dimMerchantCurrent(silver),
       PaymentJobs.dimPaymentMethod(silver), PaymentJobs.dimStatus(silver),

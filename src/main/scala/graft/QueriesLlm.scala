@@ -688,6 +688,42 @@ object QueriesLlm {
           .as("floor_met"))
   }
 
+  /** The t15 BPE trainer, extracted so t16 can COMPOSE its output (train
+    * once, apply everywhere — the 100 TB division of labor). Canonical
+    * trainer shape: K passes, each a map-side-combinable pair count +
+    * ONE-row collect, with an eager checkpoint per generation so step k
+    * never re-runs the k-1 prior replaces from the parquet scan
+    * (O(K), not O(K²), corpus passes). Token stream representation:
+    * `|tok||tok||tok|` — the `|...|` framing makes a pair occurrence
+    * `|a||b|` textually unambiguous, and left-to-right non-overlapping
+    * `replace` agrees between Spark and the DuckDB oracle. Returns
+    * (step, "a b" pair, count) in merge-priority order. */
+  private[graft] def bpeTrain(s: SparkSession, dir: String, K: Int)
+      : Seq[(Int, String, Long)] = {
+    var txt = Tables.documents(s, dir).select(
+      concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|"))
+        .as("t")).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    for (step <- 1 to K) {
+      val top = txt
+        .select(split(expr("substring(t, 2, length(t) - 2)"), "\\|\\|").as("w"))
+        .select(explode(expr(
+          "transform(IF(size(w) >= 2, sequence(1, size(w) - 1), array()), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p").asc).limit(1)
+        .collect()
+      require(top.nonEmpty,
+        s"t15: corpus has no adjacent symbol pairs left at merge step $step")
+      val (p, c) = (top(0).getString(0), top(0).getLong(1))
+      merges += ((step, p, c))
+      txt = txt.select(org.apache.spark.sql.functions.replace(col("t"),
+        lit("|" + p.replace(" ", "||") + "|"),
+        lit("|" + p.replace(" ", "_") + "|")).as("t")).localCheckpoint()
+    }
+    merges.toSeq
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // ---- d1: exact dedup — hash groupBy on content, keep lowest id ----
@@ -1238,33 +1274,7 @@ object QueriesLlm {
     "t15_bpe_merges" -> QDef(
       (s, dir) => {
         import s.implicits._
-        val K = 5
-        // each generation MATERIALIZES (eager checkpoint): without it,
-        // step k's collect re-runs all k-1 prior replaces from the
-        // parquet scan — O(K^2) corpus passes instead of the K the
-        // trainer shape promises
-        var txt = Tables.documents(s, dir).select(
-          concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|"))
-            .as("t")).localCheckpoint()
-        val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
-        for (step <- 1 to K) {
-          val top = txt
-            .select(split(expr("substring(t, 2, length(t) - 2)"), "\\|\\|").as("w"))
-            .select(explode(expr(
-              "transform(IF(size(w) >= 2, sequence(1, size(w) - 1), array()), " +
-                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("p"))
-            .groupBy("p").agg(count(lit(1)).as("c"))
-            .orderBy(col("c").desc, col("p").asc).limit(1)
-            .collect()
-          require(top.nonEmpty,
-            s"t15: corpus has no adjacent symbol pairs left at merge step $step")
-          val (p, c) = (top(0).getString(0), top(0).getLong(1))
-          merges += ((step, p, c))
-          txt = txt.select(org.apache.spark.sql.functions.replace(col("t"),
-            lit("|" + p.replace(" ", "||") + "|"),
-            lit("|" + p.replace(" ", "_") + "|")).as("t")).localCheckpoint()
-        }
-        merges.toSeq.toDF("step", "pair", "n")
+        bpeTrain(s, dir, K = 5).toDF("step", "pair", "n")
       },
       Some("""WITH t0 AS (SELECT '|' || array_to_string(string_split(text, ' '), '||') || '|' AS t
              |            FROM documents),
@@ -1301,6 +1311,88 @@ object QueriesLlm {
              |UNION ALL SELECT 3, p, CAST(c AS BIGINT) FROM m3
              |UNION ALL SELECT 4, p, CAST(c AS BIGINT) FROM m4
              |UNION ALL SELECT 5, p, CAST(c AS BIGINT) FROM m5""".stripMargin)),
+
+    // ---- t16: BPE APPLY — encode the corpus with t15's learned merge
+    //      table (r8 VERDICT #5: train once, apply everywhere — THE
+    //      operator a training pipeline runs at 100 TB). The merge
+    //      table is driver-side tiny (K rows from bpeTrain, shared
+    //      with t15), so the apply FUSES all K merge tiers into ONE
+    //      narrow projection — K nested left-to-right replaces inside
+    //      a single whole-stage-codegen pass, zero corpus shuffles
+    //      (not K passes, and never a join). Token-id assignment is a
+    //      vocabulary-sized distinct + the W3 parallel dense numbering
+    //      (ids = global ROW_NUMBER over token order, no one-task
+    //      window funnel); docs pick their ids through one broadcast
+    //      join + one hash agg. token_ids ships as a space-joined
+    //      STRING so the oracle hash is exact (no array-compare
+    //      semantics in the loop). Oracle = t15's literal-replay
+    //      chain carried per-doc, then the same vocab rank. ----
+    "t16_bpe_encode" -> QDef(
+      (s, dir) => {
+        val merges = bpeTrain(s, dir, K = 5).map(_._2)
+        val enc = merges.foldLeft(
+          concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|"))) {
+          (c, p) => org.apache.spark.sql.functions.replace(c,
+            lit("|" + p.replace(" ", "||") + "|"),
+            lit("|" + p.replace(" ", "_") + "|"))
+        }
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), enc.as("t"))
+          .select(col("doc_id"),
+            split(expr("substring(t, 2, length(t) - 2)"), "\\|\\|").as("w"))
+          .select(col("doc_id"), posexplode(col("w")))
+          .select(col("doc_id"), col("pos").as("i"), col("col").as("tok"))
+        val vocab = graft.ops.SurrogateKeys.byOrder(
+          toks.select("tok").distinct(), "tid", Seq(col("tok")))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("i"), col("tid")))),
+              x => x.getField("tid").cast("string")), " ").as("token_ids"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+             |    '|' || array_to_string(string_split(text, ' '), '||') || '|' AS t
+             |  FROM documents),
+             |p1 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t0),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m1 AS (SELECT p FROM p1 ORDER BY c DESC, p LIMIT 1),
+             |t1 AS (SELECT doc_id, replace(t, '|' || replace((SELECT p FROM m1), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m1), ' ', '_') || '|') AS t FROM t0),
+             |p2 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t1),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m2 AS (SELECT p FROM p2 ORDER BY c DESC, p LIMIT 1),
+             |t2 AS (SELECT doc_id, replace(t, '|' || replace((SELECT p FROM m2), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m2), ' ', '_') || '|') AS t FROM t1),
+             |p3 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t2),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m3 AS (SELECT p FROM p3 ORDER BY c DESC, p LIMIT 1),
+             |t3 AS (SELECT doc_id, replace(t, '|' || replace((SELECT p FROM m3), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m3), ' ', '_') || '|') AS t FROM t2),
+             |p4 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t3),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m4 AS (SELECT p FROM p4 ORDER BY c DESC, p LIMIT 1),
+             |t4 AS (SELECT doc_id, replace(t, '|' || replace((SELECT p FROM m4), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m4), ' ', '_') || '|') AS t FROM t3),
+             |p5 AS (SELECT w[i] || ' ' || w[i+1] AS p, count(*) AS c
+             |       FROM (SELECT string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t4),
+             |            unnest(generate_series(1, len(w) - 1)) AS u(i) GROUP BY 1),
+             |m5 AS (SELECT p FROM p5 ORDER BY c DESC, p LIMIT 1),
+             |t5 AS (SELECT doc_id, replace(t, '|' || replace((SELECT p FROM m5), ' ', '||') || '|',
+             |                         '|' || replace((SELECT p FROM m5), ' ', '_') || '|') AS t FROM t4),
+             |toks AS (SELECT doc_id, i, w[i] AS tok
+             |  FROM (SELECT doc_id, string_split(substr(t, 2, length(t) - 2), '||') AS w FROM t5),
+             |       unnest(generate_series(1, len(w))) AS u(i)),
+             |vocab AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+             |          FROM (SELECT DISTINCT tok FROM toks))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY i) AS token_ids
+             |FROM toks JOIN vocab USING (tok)
+             |GROUP BY doc_id""".stripMargin)),
 
     // ---- t4: document fingerprinting — min-8-gram md5 + whole-doc md5 ----
     // (winnowing-style content fingerprint; md5 exists in both engines)

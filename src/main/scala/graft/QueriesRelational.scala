@@ -44,6 +44,38 @@ object QueriesRelational {
       .withColumn("tsu", unix_micros(col("ev_ts").cast("timestamp")))
   }
 
+  /** er1's blocked fuzzy-match core, parameterized by the probe frame
+    * so Er1Spec can drive corruptions the planted fixture doesn't
+    * exercise (e.g. a deletion at character 1, which breaks the prefix
+    * block and must be recovered by the suffix key). `clean` carries
+    * (p_partkey, p_name); `dirty` carries (probe_key, probe_name).
+    * Candidates = union of the 2-char-prefix and 2-char-suffix equi-key
+    * blocks, deduped BEFORE the O(len²) levenshtein verify so a pair
+    * matching both keys is scored once. */
+  private[graft] def er1Core(clean: DataFrame, dirty: DataFrame): DataFrame = {
+    val P = 1L << 48
+    def blocked(key: Column => Column): DataFrame =
+      dirty.withColumn("blk", key(col("probe_name")))
+        .join(clean.withColumn("blk", key(col("p_name"))), Seq("blk"))
+        .drop("blk")
+    blocked(n => substring(n, 1, 2))
+      .unionByName(blocked(n => substring(n, -2, 2)))
+      .distinct()
+      .filter(abs(length(col("p_name")) - length(col("probe_name"))) <= 2)
+      .withColumn("lev", levenshtein(col("probe_name"), col("p_name")))
+      .filter(col("lev") <= 2)
+      .withColumn("pk",
+        when(col("p_partkey") < 0L || col("p_partkey") >= P,
+          raise_error(concat(lit("er1: p_partkey outside packable 48-bit range: "),
+            col("p_partkey").cast("string"))).cast("long"))
+          .otherwise(col("lev").cast("long") * P + col("p_partkey")))
+      .groupBy(col("probe_key"), col("probe_name"))
+      .agg(min(col("pk")).as("pk"))
+      .select(col("probe_key"), col("probe_name"),
+        expr(s"pk % ${P}L").as("match_key"),
+        expr(s"pk DIV ${P}L").cast("int").as("lev"))
+  }
+
   val defs: Map[String, QDef] = Map(
 
     // ---- S1+P1: CSV scan (header, all-string, no inferSchema) + the
@@ -641,54 +673,47 @@ object QueriesRelational {
     //      record-linkage shape at scale: a dirty probe side (here a
     //      deterministic single-char deletion of each part name, so the
     //      planted truth is known) matches the clean reference by
-    //      edit distance, WITHOUT an all-pairs compare. Blocking key =
-    //      the 2-char prefix (invariant under the planted corruption) +
-    //      a ±2 length band; levenshtein runs only inside blocks, and
-    //      the best match per probe packs (lev, key) into ONE BIGINT so
-    //      the pick is a plain long-min HashAggregate (map-side
-    //      combinable, stays in codegen — a struct min falls to
-    //      SortAggregate; bound guarded like packedOcc, match_key must
-    //      fit 48 bits). No window, no join-back: match_name is
-    //      derivable by key. At corpus scale the single prefix block
-    //      generalizes to several redundant keys (prefix + suffix +
-    //      phonetic) unioned before the verify, the same
-    //      candidates-then-exact-verify shape as d2/d3; candidate
-    //      count is block-bounded, never |dirty|x|clean|. ----
+    //      edit distance, WITHOUT an all-pairs compare. Blocking =
+    //      the UNION of two redundant equi-keys — 2-char prefix and
+    //      2-char suffix — with candidate pairs deduped before the
+    //      verify (one edit anywhere can break at most ONE of the two
+    //      keys, so single-edit recall is complete wherever the edit
+    //      lands; a real corpus would add a phonetic key for the
+    //      two-edits-at-both-ends residue). Inside blocks: a ±2 length
+    //      band, then levenshtein; the best match per probe packs
+    //      (lev, key) into ONE BIGINT so the pick is a plain long-min
+    //      HashAggregate (map-side combinable, stays in codegen — a
+    //      struct min falls to SortAggregate; bound guarded like
+    //      packedOcc, match_key must fit 48 bits). No window, no
+    //      join-back: match_name is derivable by key. Candidate count
+    //      is block-bounded (sum over the redundant keys), never
+    //      |dirty|x|clean| — the candidates-then-exact-verify shape of
+    //      d2/d3. Er1Spec proves the recall claim: a corruption at
+    //      character 1 (which breaks the prefix block) still matches
+    //      via the suffix key. ----
     "er1_fuzzy_match" -> QDef(
       (s, dir) => {
-        val P = 1L << 48
         val clean = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
         val dirty = clean.select(col("p_partkey").as("probe_key"),
           concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)"))
             .as("probe_name"))
-        dirty.withColumn("blk", substring(col("probe_name"), 1, 2))
-          .join(clean.withColumn("blk", substring(col("p_name"), 1, 2)), Seq("blk"))
-          .filter(abs(length(col("p_name")) - length(col("probe_name"))) <= 2)
-          .withColumn("lev", levenshtein(col("probe_name"), col("p_name")))
-          .filter(col("lev") <= 2)
-          .withColumn("pk",
-            when(col("p_partkey") < 0L || col("p_partkey") >= P,
-              raise_error(concat(lit("er1: p_partkey outside packable 48-bit range: "),
-                col("p_partkey").cast("string"))).cast("long"))
-              .otherwise(col("lev").cast("long") * P + col("p_partkey")))
-          .groupBy(col("probe_key"), col("probe_name"))
-          .agg(min(col("pk")).as("pk"))
-          .select(col("probe_key"), col("probe_name"),
-            expr(s"pk % ${P}L").as("match_key"),
-            expr(s"pk DIV ${P}L").cast("int").as("lev"))
+        er1Core(clean, dirty)
       },
       Some("""WITH clean AS (SELECT p_partkey, p_name FROM part),
              |dirty AS (SELECT p_partkey AS probe_key,
              |    substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name FROM clean),
-             |cand AS (SELECT d.probe_key, d.probe_name, c.p_partkey,
-             |    levenshtein(d.probe_name, c.p_name) AS lev
+             |cand AS (SELECT DISTINCT d.probe_key, d.probe_name, c.p_partkey, c.p_name
              |  FROM dirty d JOIN clean c
              |    ON substr(d.probe_name, 1, 2) = substr(c.p_name, 1, 2)
-             |   AND abs(len(c.p_name) - len(d.probe_name)) <= 2
-             |  WHERE levenshtein(d.probe_name, c.p_name) <= 2),
+             |    OR right(d.probe_name, 2) = right(c.p_name, 2)),
+             |scored AS (SELECT probe_key, probe_name, p_partkey,
+             |    levenshtein(probe_name, p_name) AS lev
+             |  FROM cand
+             |  WHERE abs(len(p_name) - len(probe_name)) <= 2
+             |    AND levenshtein(probe_name, p_name) <= 2),
              |best AS (SELECT probe_key, probe_name,
              |    CAST(min(lev * 281474976710656 + p_partkey) AS BIGINT) AS pk
-             |  FROM cand GROUP BY 1, 2)
+             |  FROM scored GROUP BY 1, 2)
              |SELECT probe_key, probe_name,
              |  CAST(pk % 281474976710656 AS BIGINT) AS match_key,
              |  CAST(pk // 281474976710656 AS INT) AS lev

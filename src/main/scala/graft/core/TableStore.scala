@@ -1535,6 +1535,14 @@ class TableStore(spark: SparkSession, root: String) {
     // column differing only in case would be neither added, nor
     // null-filled, nor accepted ("missing columns: …")
     val canonical = cur.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    // collision check BEFORE renaming: a source carrying two columns
+    // differing only in case ('Id' and 'id') would otherwise rename one
+    // onto the other and fail later resolution with an opaque ambiguity
+    // error — or silently pick one (r8 ADVICE)
+    val dupes = df.columns.groupBy(_.toLowerCase).filter(_._2.length > 1)
+    require(dupes.isEmpty,
+      "appendEvolve: source columns collide case-insensitively: " +
+        dupes.values.map(_.mkString("/")).mkString(", "))
     val src = df.columns.foldLeft(df) { (d, c) =>
       canonical.get(c.toLowerCase).filter(_ != c)
         .map(t => d.withColumnRenamed(c, t)).getOrElse(d)

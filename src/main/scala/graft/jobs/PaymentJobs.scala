@@ -20,7 +20,7 @@ import graft.ops.{DateSpine, Dedup, SurrogateKeys, Validation}
   */
 object PaymentJobs {
 
-  private val now = lit(PaymentData.Now).cast("timestamp_ntz")
+  private[graft] val now = lit(PaymentData.Now).cast("timestamp_ntz")
 
   /** Tier-1 fatal rules against an explicit clock (docs/
     * VALIDATION_RULES.md:17-35); order matters — classify() reports the

@@ -38,6 +38,17 @@ private[sources] object GraftReplaceFilter {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
+  /** Epoch micros → 'yyyy-MM-dd HH:mm:ss.SSSSSS' UTC wall-clock text.
+    * Explicit full-width pattern: LocalDateTime.toString drops :00
+    * seconds, and '...06:30+00:00' is not a parseable typed literal. */
+  private def microsToWall(micros: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(
+        "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
   private object SqlBuilder
       extends org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder {
     override def visitNamedReference(ref: NamedReference): String =
@@ -53,14 +64,17 @@ private[sources] object GraftReplaceFilter {
       l.dataType match {
         case org.apache.spark.sql.types.DateType =>
           s"DATE'${java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)}'"
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType =>
-          val micros = l.value.asInstanceOf[Long]
-          val inst = java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(micros, 1000000L),
-            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC)
-          s"TIMESTAMP'${inst.toString.replace('T', ' ')}'"
+        case org.apache.spark.sql.types.TimestampType =>
+          // TimestampType micros are an INSTANT: emit a zone-qualified
+          // literal so expr()'s re-parse under any session timezone
+          // denotes the same instant — a zone-less TIMESTAMP'...' built
+          // from the UTC wall clock shifts the replaced region by the
+          // session-zone offset (r8 ADVICE)
+          s"TIMESTAMP'${microsToWall(l.value.asInstanceOf[Long])}+00:00'"
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // NTZ micros are a WALL CLOCK: a plain TIMESTAMP'...' would
+          // re-parse as session-zoned and implicitly cast — keep it NTZ
+          s"TIMESTAMP_NTZ'${microsToWall(l.value.asInstanceOf[Long])}'"
         case _ => super.visitLiteral(l)
       }
   }
@@ -205,7 +219,7 @@ class GraftStreamingWriterFactory(scratch: String, schema: StructType,
       java.util.UUID.randomUUID.toString.take(8)
     bucketing match {
       case Some((keys, n)) =>
-        new GraftBucketedStreamWriter(base, schema, keys, n)
+        new GraftBucketedStreamWriter(base, schema, keys, n, partitionId, taskId)
       case None =>
         new GraftDataWriter(base + ".parquet", schema,
           rowLevel = false, reportFile = true)
@@ -219,7 +233,8 @@ class GraftStreamingWriterFactory(scratch: String, schema: StructType,
   * KEEPS its layout (SPJ scans, key-driven merge pruning) instead of
   * silently demoting it to unbucketed until the next full compact. */
 class GraftBucketedStreamWriter(baseDir: String, schema: StructType,
-                                keys: Seq[String], n: Int)
+                                keys: Seq[String], n: Int,
+                                partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val keyFields = GraftBucketHash.keyFields(schema, keys)
   private val open = scala.collection.mutable.HashMap[Int, (String, GraftDataWriter)]()
@@ -227,7 +242,12 @@ class GraftBucketedStreamWriter(baseDir: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     val b = GraftBucketHash.bucketOf(row, keyFields, 0, n)
     open.getOrElseUpdate(b, {
-      val p = s"$baseDir/__b=$b/part-0.parquet"
+      // task-unique filename like the batch twin: attachStreamEpoch
+      // moves files keyed by (bucket leaf, filename), so if anything
+      // defeats the requested clustered distribution and two tasks of
+      // one epoch write the same bucket, a shared part-0.parquet name
+      // would collide at epoch commit and kill the query (r8 ADVICE)
+      val p = s"$baseDir/__b=$b/part-$partitionId-$taskId.parquet"
       (p, new GraftDataWriter(p, schema, rowLevel = false))
     })._2.write(row)
   }

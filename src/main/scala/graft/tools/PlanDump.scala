@@ -179,6 +179,102 @@ object PlanDump {
         |scales with the quarantine table (a merge over stats/bloom-pruned
         |dirs), not the bronze table — the same O(changes) shape as cdc2's
         |apply side.
+        |
+        |## job_incremental
+        |
+        |**Cost floor, measured** (`tools/ProfileIncremental`, sf0.1,
+        |local[32], cold standalone run):
+        |
+        |```
+        |[incr] fixture: staging cache+count          7.77 s
+        |[incr] day1: createBucketed(32)              2.81 s
+        |[incr] day1: count + max(updated_at)         0.69 s
+        |[incr] day1: job_control init+record         0.51 s
+        |[incr] day2: lastWatermark read              0.30 s
+        |[incr] day2: mergeUpsert composite key       3.87 s
+        |[incr] day2: count + max(updated_at)         0.43 s
+        |[incr] day2: job_control record              0.27 s
+        |[incr] rerun: idempotency count              0.40 s
+        |[incr] final: read + drain                   0.73 s
+        |```
+        |
+        |~45% of the COLD standalone wall is fixture construction (the
+        |planted-defect generator + the bronze staging chain, cached);
+        |the operator proper is the day-1 bucketed create + the day-2
+        |composite-key merge + three 1-row job_control commits (~8 s
+        |cold, dominated by plan compilation and per-commit fixed cost,
+        |not rows). The warm-context cost — measured by benching the
+        |whole job family in one session — is **6.5-6.7 s**, and a
+        |single shared-shape warming query already drops it to 8.8 s:
+        |the ~9 s cold-vs-warm delta is whole-stage-codegen compilation
+        |+ JIT of the wide 23-column staging plans, not data.
+        |
+        |**r8 regression root-caused (5.45 s r7 → 15.95 s r8, body
+        |unchanged):** not a code regression. The SAME profiler run
+        |against the r7 tree reads 16.55 s cold vs 17.90 s at r9 HEAD,
+        |and single-query bench runs read r7 14.75 s vs r9 15.25 s —
+        |identical within noise. The r8 artifact's 15.95 s is
+        |min(first pass, re-run) where the first pass sat in canary
+        |interval 5 — bounded by IO probes at 0.74/1.78 s against a
+        |0.047 s clean floor (real co-tenant IO contention; this query
+        |is the suite's most commit/fsync-heavy) — and the suite-end
+        |re-run executed effectively COLD because Spark's 100-entry
+        |codegen cache had evicted every plan shape 120+ queries
+        |earlier. Fixes shipped with this note: Bench now pins
+        |`spark.sql.codegen.cache.maxEntries=2000` so suspect re-runs
+        |(and repeat plan shapes suite-wide) stay warm, and the bench
+        |artifact carries `remeasured` + per-query canary `intervals`
+        |so a contended sample is attributable without re-running. The
+        |same mechanism explains x7's +31% and job_fact_load's +14% r8
+        |deltas (late-suite / interval-5 samples respectively).
+        |
+        |## job_fact_load
+        |
+        |**Cost floor, measured** (`tools/ProfileJobs`, sf0.1, local[32],
+        |cold standalone run — suite-warm wall is lower but the SPLIT holds):
+        |
+        |```
+        |[factload] fixture: silver cache+count           8.66 s
+        |[factload] fixture: fact star cache+count        5.94 s
+        |[factload] fixture: seed createBucketed(32)      3.21 s
+        |[factload] operator: full-fact mergeUpsert       4.03 s
+        |[factload] job_control record                    0.58 s
+        |[factload] final: read + drain                   0.77 s
+        |```
+        |
+        |~77% of the cold standalone wall is fixture construction (a
+        |full staging→silver chain, the 30-column broadcast star, and
+        |seeding the stale+retired fact the merge corrects). The
+        |operator proper is the full-fact merge (~4 s): its source IS
+        |the complete fact, so every bucket rewrites — the measured
+        |ScaleProbeJobs curve (1.8x time for 16x volume) is the honest
+        |scale shape for a full-refresh-style merge, and an
+        |incremental-source run would prune buckets instead.
+        |
+        |## job_gdpr_propagate
+        |
+        |**Cost floor, measured** (`tools/ProfileJobs`, sf0.1, local[32],
+        |same-session run after the factload profile — JVM warm, matching
+        |the benched suite context):
+        |
+        |```
+        |[gdpr] fixture: staging cache+count             2.27 s
+        |[gdpr] fixture: bronzeLoad (seed+CDC merge)     3.58 s
+        |[gdpr] fixture: loadSilver createBucketed       1.65 s
+        |[gdpr] operator: bronze UPDATE (mark)           1.14 s
+        |[gdpr] operator: silver mergeDelete (propagate) 1.71 s
+        |[gdpr] final: read + drain                      0.43 s
+        |```
+        |
+        |~70% of the wall is fixture construction (the full
+        |bronze→silver pipeline the GDPR job presupposes). The operator
+        |proper — the Tier-1 mark UPDATE plus the silver mergeDelete —
+        |is ~2.9 s, and both sides prune: the UPDATE rewrites only
+        |stats/bloom-selected dirs holding the customer's rows, the
+        |mergeDelete only buckets containing deleted ids
+        |(ScaleProbeJobs: 2.6x time for 16x volume WITH 16x more
+        |matched rows — the increment tracks the customer's rows, not
+        |table volume).
         |""".stripMargin
     Files.write(Paths.get("PLANS.md"),
       out.toString.getBytes(StandardCharsets.UTF_8))

@@ -153,11 +153,39 @@ object ScaleProbePipeline {
           .count()
       }
 
+      // t16 BPE APPLY with a FIXED merge table (train-once/apply-
+      // everywhere: the learned merges are constants at apply time).
+      // All K tiers fuse into ONE narrow projection — K nested
+      // left-to-right replaces in a single codegen stage, zero corpus
+      // shuffles; the only exchanges are the vocabulary-sized distinct
+      // and the per-doc hash agg. Expect ~linear in corpus size.
+      val (bpeSec, nEnc) = t {
+        val merges = Seq("a the", "of a_the", "in b", "c d", "e f")
+        val enc = merges.foldLeft(
+          concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|"))) {
+          (cc, p) => org.apache.spark.sql.functions.replace(cc,
+            lit("|" + p.replace(" ", "||") + "|"),
+            lit("|" + p.replace(" ", "_") + "|"))
+        }
+        val toks = c.select(col("doc_id"), enc.as("t"))
+          .select(col("doc_id"),
+            split(expr("substring(t, 2, length(t) - 2)"), "\\|\\|").as("w"))
+          .select(col("doc_id"), posexplode(col("w")))
+          .select(col("doc_id"), col("pos").as("i"), col("col").as("tok"))
+        val vocab = graft.ops.SurrogateKeys.byOrder(
+          toks.select("tok").distinct(), "tid", Seq(col("tok")))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"))
+          .count()
+      }
+
       println(f"""{"k":$k,"docs":${nBase * k},"passage_dedup_sec":$dedupSec%.2f,""" +
         f""""dedup_docs":$nDocs,"dsir_sec":$dsirSec%.2f,"dsir_top":$nTop,""" +
         f""""exact_substr_sec":$substrSec%.2f,"substr_docs":$nSub,""" +
         f""""token_shards_sec":$shardSec%.2f,"shards":$nShards,""" +
-        f""""repetition_sec":$repSec%.2f,"rep_docs":$nRep}""")
+        f""""repetition_sec":$repSec%.2f,"rep_docs":$nRep,""" +
+        f""""bpe_apply_sec":$bpeSec%.2f,"bpe_docs":$nEnc}""")
     }
     spark.stop()
   }

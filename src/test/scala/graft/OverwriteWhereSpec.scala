@@ -192,4 +192,41 @@ class OverwriteWhereSpec extends AnyFunSuite {
     ts.overwriteWhere("t", col("id") <= 5L, Seq((1L, "n")).toDF("id", "v"))
     assert(ts.read("t").count() === 7) // 6..10, 99, new 1
   }
+
+  test("timestamp REPLACE WHERE regions survive a non-UTC session " +
+      "timezone (zone-qualified / NTZ literal round-trip)") {
+    // r8 ADVICE: the connector-predicate SQL rendering emitted a
+    // zone-less TIMESTAMP'...' from the UTC wall clock; re-parsed under
+    // a non-UTC session zone it denoted a different INSTANT, shifting
+    // the replaced/validated region by the zone offset. NTZ literals
+    // re-parsed as session-zoned TIMESTAMP — same drift via the cast.
+    val root = Files.createTempDirectory("owwtz").toString
+    spark.conf.set("spark.sql.catalog.graft_owtz", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_owtz.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq("2024-03-01 05:00:00", "2024-03-01 18:00:00")
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("s", "x")
+      .select(col("s").cast("timestamp").as("t"), col("x"))) // instants (UTC session)
+    ts.create("n", Seq("2024-03-01 05:00:00", "2024-03-01 18:00:00")
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("s", "x")
+      .select(col("s").cast("timestamp_ntz").as("t"), col("x")))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata") // +05:30
+    try {
+      // predicate parsed under +05:30: TIMESTAMP'12:00' = 06:30Z — only
+      // the 05:00Z row matches; a zone-less round-trip would re-parse
+      // the rendered UTC wall clock as +05:30 and shift the region
+      spark.sql(
+        """INSERT INTO graft_owtz.t REPLACE WHERE t < TIMESTAMP'2024-03-01 12:00:00'
+          |SELECT TIMESTAMP'2024-03-01 11:00:00' AS t, CAST(100 AS BIGINT) AS x""".stripMargin)
+      val got = ts.read("t").select("x").as[Long].collect().toSet
+      assert(got === Set(100L, 1L), s"wrong region replaced: $got")
+      // NTZ: wall-clock semantics, zone must not leak in at all
+      spark.sql(
+        """INSERT INTO graft_owtz.n REPLACE WHERE t < TIMESTAMP_NTZ'2024-03-01 12:00:00'
+          |SELECT TIMESTAMP_NTZ'2024-03-01 11:00:00' AS t, CAST(200 AS BIGINT) AS x""".stripMargin)
+      val gotN = ts.read("n").select("x").as[Long].collect().toSet
+      assert(gotN === Set(200L, 1L), s"wrong NTZ region replaced: $gotN")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
 }
