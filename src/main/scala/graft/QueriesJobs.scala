@@ -255,6 +255,67 @@ object QueriesJobs {
     PaymentJobs.gdprDelete(st, "USER_0042")
   }
 
+  /** The gold_dim_customer_scd2 DuckDB replay, CTEs only (through the
+    * `closed`/`ins` sets) — shared by the batch job's oracle and st18's
+    * (which outputs the same rows WITHOUT the surrogate key, since key
+    * ORDER legitimately differs across streamed chunkings). */
+  private[graft] val Scd2CustomerOracleCtes: String =
+    s"""$SilverSql,
+              |s1 AS (SELECT * FROM clean
+              |       WHERE data_quality_flag <> 'FAILED_VALIDATION'
+              |         AND updated_at = transaction_timestamp
+              |         AND transaction_timestamp < TIMESTAMP '1998-01-01'),
+              |agg1 AS (SELECT customer_id,
+              |    CASE WHEN cnt >= 100 THEN 'Platinum' WHEN cnt >= 50 THEN 'Gold'
+              |         WHEN cnt >= 20 THEN 'Silver' ELSE 'Bronze' END AS customer_tier,
+              |    is_active, first_transaction_date, last_transaction_date, lifetime_value
+              |  FROM (SELECT customer_id, count(*) AS cnt,
+              |          bool_or(transaction_status = 'Successful') AS is_active,
+              |          CAST(min(transaction_timestamp) AS DATE) AS first_transaction_date,
+              |          CAST(max(transaction_timestamp) AS DATE) AS last_transaction_date,
+              |          round(sum(amount), 2) AS lifetime_value
+              |        FROM s1 WHERE customer_id IS NOT NULL GROUP BY customer_id)),
+              |agg2 AS (SELECT customer_id,
+              |    CASE WHEN cnt >= 100 THEN 'Platinum' WHEN cnt >= 50 THEN 'Gold'
+              |         WHEN cnt >= 20 THEN 'Silver' ELSE 'Bronze' END AS customer_tier,
+              |    is_active, first_transaction_date, last_transaction_date, lifetime_value
+              |  FROM (SELECT customer_id, count(*) AS cnt,
+              |          bool_or(transaction_status = 'Successful') AS is_active,
+              |          CAST(min(transaction_timestamp) AS DATE) AS first_transaction_date,
+              |          CAST(max(transaction_timestamp) AS DATE) AS last_transaction_date,
+              |          round(sum(amount), 2) AS lifetime_value
+              |        FROM silver WHERE customer_id IS NOT NULL GROUP BY customer_id)),
+              |dim1 AS (SELECT customer_id, customer_tier, is_active,
+              |    first_transaction_date, last_transaction_date, lifetime_value,
+              |    CAST(row_number() OVER (ORDER BY customer_id) AS BIGINT) AS customer_key,
+              |    DATE '2026-01-01' AS effective_start_date,
+              |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
+              |  FROM agg1 WHERE customer_id NOT LIKE 'USER_09%'),
+              |chg AS (SELECT d.customer_id, a.customer_tier AS n_tier,
+              |    a.is_active AS n_active, a.first_transaction_date AS n_first,
+              |    a.last_transaction_date AS n_last, a.lifetime_value AS n_ltv
+              |  FROM dim1 d JOIN agg2 a USING (customer_id)
+              |  WHERE d.customer_tier <> a.customer_tier
+              |     OR d.last_transaction_date <> a.last_transaction_date),
+              |closed AS (SELECT d.customer_key, d.customer_id, d.customer_tier,
+              |    d.is_active, d.first_transaction_date, d.last_transaction_date,
+              |    d.lifetime_value, d.effective_start_date,
+              |    CASE WHEN c.customer_id IS NOT NULL THEN DATE '2026-08-12'
+              |         ELSE d.effective_end_date END AS effective_end_date,
+              |    CASE WHEN c.customer_id IS NOT NULL THEN false ELSE d.is_current END AS is_current
+              |  FROM dim1 d LEFT JOIN chg c ON d.customer_id = c.customer_id),
+              |ins AS (SELECT CAST(row_number() OVER (ORDER BY customer_id)
+              |         + (SELECT max(customer_key) FROM dim1) AS BIGINT) AS customer_key,
+              |    customer_id, customer_tier, is_active, first_transaction_date,
+              |    last_transaction_date, lifetime_value,
+              |    DATE '2026-08-12' AS effective_start_date,
+              |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
+              |  FROM (SELECT customer_id, customer_tier, is_active, first_transaction_date,
+              |          last_transaction_date, lifetime_value FROM agg2
+              |        WHERE customer_id NOT IN (SELECT customer_id FROM dim1)
+              |        UNION ALL SELECT customer_id, n_tier, n_active, n_first, n_last, n_ltv
+              |        FROM chg))""".stripMargin
+
   val defs: Map[String, QDef] = Map(
 
     // ---- validate_bronze: quarantine branch (+ audit metadata cols) ----
@@ -382,61 +443,7 @@ object QueriesJobs {
             "loaded_at", "source_system",
             "effective_start_date", "effective_end_date", "is_current")
       },
-      Some(s"""$SilverSql,
-              |s1 AS (SELECT * FROM clean
-              |       WHERE data_quality_flag <> 'FAILED_VALIDATION'
-              |         AND updated_at = transaction_timestamp
-              |         AND transaction_timestamp < TIMESTAMP '1998-01-01'),
-              |agg1 AS (SELECT customer_id,
-              |    CASE WHEN cnt >= 100 THEN 'Platinum' WHEN cnt >= 50 THEN 'Gold'
-              |         WHEN cnt >= 20 THEN 'Silver' ELSE 'Bronze' END AS customer_tier,
-              |    is_active, first_transaction_date, last_transaction_date, lifetime_value
-              |  FROM (SELECT customer_id, count(*) AS cnt,
-              |          bool_or(transaction_status = 'Successful') AS is_active,
-              |          CAST(min(transaction_timestamp) AS DATE) AS first_transaction_date,
-              |          CAST(max(transaction_timestamp) AS DATE) AS last_transaction_date,
-              |          round(sum(amount), 2) AS lifetime_value
-              |        FROM s1 WHERE customer_id IS NOT NULL GROUP BY customer_id)),
-              |agg2 AS (SELECT customer_id,
-              |    CASE WHEN cnt >= 100 THEN 'Platinum' WHEN cnt >= 50 THEN 'Gold'
-              |         WHEN cnt >= 20 THEN 'Silver' ELSE 'Bronze' END AS customer_tier,
-              |    is_active, first_transaction_date, last_transaction_date, lifetime_value
-              |  FROM (SELECT customer_id, count(*) AS cnt,
-              |          bool_or(transaction_status = 'Successful') AS is_active,
-              |          CAST(min(transaction_timestamp) AS DATE) AS first_transaction_date,
-              |          CAST(max(transaction_timestamp) AS DATE) AS last_transaction_date,
-              |          round(sum(amount), 2) AS lifetime_value
-              |        FROM silver WHERE customer_id IS NOT NULL GROUP BY customer_id)),
-              |dim1 AS (SELECT customer_id, customer_tier, is_active,
-              |    first_transaction_date, last_transaction_date, lifetime_value,
-              |    CAST(row_number() OVER (ORDER BY customer_id) AS BIGINT) AS customer_key,
-              |    DATE '2026-01-01' AS effective_start_date,
-              |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
-              |  FROM agg1 WHERE customer_id NOT LIKE 'USER_09%'),
-              |chg AS (SELECT d.customer_id, a.customer_tier AS n_tier,
-              |    a.is_active AS n_active, a.first_transaction_date AS n_first,
-              |    a.last_transaction_date AS n_last, a.lifetime_value AS n_ltv
-              |  FROM dim1 d JOIN agg2 a USING (customer_id)
-              |  WHERE d.customer_tier <> a.customer_tier
-              |     OR d.last_transaction_date <> a.last_transaction_date),
-              |closed AS (SELECT d.customer_key, d.customer_id, d.customer_tier,
-              |    d.is_active, d.first_transaction_date, d.last_transaction_date,
-              |    d.lifetime_value, d.effective_start_date,
-              |    CASE WHEN c.customer_id IS NOT NULL THEN DATE '2026-08-12'
-              |         ELSE d.effective_end_date END AS effective_end_date,
-              |    CASE WHEN c.customer_id IS NOT NULL THEN false ELSE d.is_current END AS is_current
-              |  FROM dim1 d LEFT JOIN chg c ON d.customer_id = c.customer_id),
-              |ins AS (SELECT CAST(row_number() OVER (ORDER BY customer_id)
-              |         + (SELECT max(customer_key) FROM dim1) AS BIGINT) AS customer_key,
-              |    customer_id, customer_tier, is_active, first_transaction_date,
-              |    last_transaction_date, lifetime_value,
-              |    DATE '2026-08-12' AS effective_start_date,
-              |    CAST(NULL AS DATE) AS effective_end_date, true AS is_current
-              |  FROM (SELECT customer_id, customer_tier, is_active, first_transaction_date,
-              |          last_transaction_date, lifetime_value FROM agg2
-              |        WHERE customer_id NOT IN (SELECT customer_id FROM dim1)
-              |        UNION ALL SELECT customer_id, n_tier, n_active, n_first, n_last, n_ltv
-              |        FROM chg))
+      Some(s"""$Scd2CustomerOracleCtes
               |SELECT customer_key, customer_id, customer_tier, is_active,
               |  first_transaction_date, last_transaction_date, lifetime_value,
               |  TIMESTAMP '${PaymentData.Now}' AS loaded_at,

@@ -1028,6 +1028,54 @@ object QueriesMutation {
              |SELECT 'clone' AS side, n_nationkey, n_name FROM nation
              |WHERE n_nationkey >= 10""".stripMargin)),
 
+    // ---- m21: VACUUM lifecycle (retention GC, r8 VERDICT #6) —
+    //      append → delete → compact → CALL graft.system.vacuum, then
+    //      prove all four contract edges in one run: (1) dry-run
+    //      previews EXACTLY the set the real vacuum removes (names
+    //      compared, not just counts); (2) every previewed path is
+    //      gone afterwards; (3) time travel below the retention window
+    //      refuses loudly with the manifest-vacuumed error (never a
+    //      bare file-not-found), while (4) the current version's
+    //      content — the oracle hash — is untouched. At 100 TB this is
+    //      the operator that caps storage: history is O(retained
+    //      versions), and the sweep is one directory listing + O(swept
+    //      dirs) deletes, never a table scan. ----
+    "m21_vacuum" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "vac")
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        st.create("vac", o.filter(col("o_orderkey") % 2 === 0))  // v0
+        st.append("vac", o.filter(col("o_orderkey") % 2 === 1))  // v1
+        st.delete("vac", col("o_totalprice") < 50000)            // v2 (rewrite)
+        st.compact("vac")                                        // v3 (fold)
+        val vCur = st.currentVersion("vac")
+        require(vCur >= 3, s"lifecycle built only $vCur versions")
+        // dry run BEFORE: the preview set, through the SQL surface too
+        val dry = st.vacuum("vac", retainVersions = 1, dryRun = true)
+        val dryN = s.sql("CALL graft.system.vacuum_dry_run('vac', 1)")
+          .select("result").head().getLong(0)
+        require(dryN == dry.size && dryN > 0,
+          s"dry-run disagreement: SQL $dryN vs API ${dry.size}")
+        val sweptN = s.sql("CALL graft.system.vacuum('vac', 1)")
+          .select("result").head().getLong(0)
+        require(sweptN == dryN,
+          s"vacuum removed $sweptN entries but dry-run previewed $dryN")
+        require(dry.forall(p => !java.nio.file.Files.exists(p)),
+          "a previewed path survived the vacuum")
+        // history below the window is GONE — and says so loudly
+        try {
+          st.readVersion("vac", 0).count()
+          throw new IllegalStateException(
+            "time travel to a vacuumed version was served")
+        } catch {
+          case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("manifest vacuumed") => ()
+        }
+        st.read("vac")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice >= 50000""".stripMargin)),
+
     // ---- m20: INSERT OVERWRITE ... WHERE (Delta's replaceWhere) —
     //      atomically replace exactly the predicate's region with new
     //      rows in ONE commit: the per-order detail lines of every

@@ -130,6 +130,119 @@ object QueriesStreaming {
     //      At scale the dim broadcast is the same call the batch star
     //      join (j1) makes; a non-broadcastable dim falls back to a
     //      per-batch shuffle join with no extra streaming state. ----
+    // ---- st18: STREAM-DRIVEN GOLD DIM (r8 VERDICT #7) — the SCD2
+    //      close/reopen flow driven by a foreachBatch over the store's
+    //      OWN change feed, reusing the EXACT batch body
+    //      (PaymentJobs.customerAggregates + Scd2.step — one body, two
+    //      drivers). Day-1 silver seeds the dim; day-2 changes land as
+    //      two CDC merge commits over DISJOINT customer halves;
+    //      maxVersionsPerTrigger=1 streams them as two micro-batches.
+    //      Each batch: affected customers from the change rows, their
+    //      aggregates recomputed from the silver VERSION the batch
+    //      belongs to (version-pinned read — the production shape), one
+    //      Scd2.step, dim overwritten. Because each customer's whole
+    //      delta sits in one commit, the converged dim must equal the
+    //      single-shot batch run on every business column — asserted
+    //      in-query via exceptAll BOTH ways (surrogate keys excluded:
+    //      key ORDER legitimately differs across chunkings). At scale
+    //      this is O(changed customers) per batch — the snapshot is
+    //      semi-joined to the batch's affected set, never the full
+    //      customer population. Oracle = the job_dim_customer_scd2
+    //      replay without the key column. ----
+    "st18_stream_scd2_dim" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.jobs.{PaymentData, PaymentJobs}
+        val root = "/tmp/graft_qstore/st18_scd2"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))
+          .withColumn("is_deleted", lit(false)).cache()
+        val silverAll = PaymentJobs.silverFromBronze(staging).cache()
+        val silverPre = PaymentJobs.silverFromBronze(
+          staging.filter(col("updated_at") === col("transaction_timestamp") &&
+            col("transaction_timestamp") < lit("1998-01-01").cast("timestamp_ntz")))
+        // day-1 silver: the pre snapshot MINUS the future-dim-insert
+        // band, so USER_09% rows arrive through the stream and the
+        // insert branch fires there, exactly as the batch job's does
+        val silverDay1 = silverPre.filter(
+          col("customer_id").isNull || !col("customer_id").like("USER_09%"))
+        st.create("silver", silverDay1)                                // v0
+        st.setChangeFeed("silver", true)                               // v1
+        // day-2 delta: every id whose latest version moved, plus new ids
+        val delta = silverAll.join(
+          silverDay1.select("transaction_id", "updated_at"),
+          Seq("transaction_id", "updated_at"), "left_anti").cache()
+        val half = when(col("customer_id").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("customer_id")), lit(2)))
+        st.mergeUpsert("silver", delta.filter(half === 0L),
+          Seq("transaction_id"), changeTypeCol = None)                 // v2
+        st.mergeUpsert("silver", delta.filter(half === 1L),
+          Seq("transaction_id"), changeTypeCol = None)                 // v3
+        // dim seed (shared with the batch job's dim1 construction)
+        val cfg = graft.ops.Scd2.Config("customer_id", "customer_key",
+          Seq("customer_tier", "last_transaction_date"))
+        val today = to_date(lit("2026-08-12"))
+        val dim1 = graft.ops.SurrogateKeys.byOrder(
+            PaymentJobs.customerAggregates(silverPre)
+              .filter(!col("customer_id").like("USER_09%")),
+            "customer_key", Seq(col("customer_id")))
+          .withColumn("effective_start_date", to_date(lit("2026-01-01")))
+          .withColumn("effective_end_date", lit(null).cast("date"))
+          .withColumn("is_current", lit(true))
+          .cache()
+        st.create("dim", dim1)
+        s.conf.set("spark.sql.catalog.graft_st18", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st18.root", root)
+        val q = s.readStream
+          .option("startVersion", "1").option("maxVersionsPerTrigger", "1")
+          .table("graft_st18.silver.changes")
+          .writeStream.option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val b = batch.cache()
+            val v = b.select(max("_commit_version")).head().getLong(0)
+            val affected = b.select("customer_id")
+              .filter(col("customer_id").isNotNull).distinct()
+            val snapshot = PaymentJobs.customerAggregates(
+                st.readVersion("silver", v))
+              .join(affected, Seq("customer_id"), "left_semi")
+            st.overwrite("dim",
+              graft.ops.Scd2.step(st.read("dim"), snapshot, cfg, today))
+            b.unpersist(): Unit
+          }
+          .start()
+        q.awaitTermination()
+        val streamed = st.read("dim").cache()
+        // one body, two drivers: the converged streamed dim equals the
+        // single-shot batch step on every business column
+        val batchRun = graft.ops.Scd2.step(dim1,
+          PaymentJobs.customerAggregates(silverAll), cfg, today)
+        val biz = streamed.columns.filterNot(_ == "customer_key").sorted.map(col).toSeq
+        val (sb, bb) = (streamed.select(biz: _*), batchRun.select(biz: _*))
+        require(sb.exceptAll(bb).isEmpty && bb.exceptAll(sb).isEmpty,
+          "streamed SCD2 dim diverged from the batch run")
+        streamed
+          .withColumn("loaded_at", lit(PaymentData.Now).cast("timestamp_ntz"))
+          .withColumn("source_system", lit("payment_gateway"))
+          .select("customer_id", "customer_tier", "is_active",
+            "first_transaction_date", "last_transaction_date", "lifetime_value",
+            "loaded_at", "source_system",
+            "effective_start_date", "effective_end_date", "is_current")
+      },
+      Some(s"""${QueriesJobs.Scd2CustomerOracleCtes}
+              |SELECT customer_id, customer_tier, is_active,
+              |  first_transaction_date, last_transaction_date, lifetime_value,
+              |  TIMESTAMP '${graft.jobs.PaymentData.Now}' AS loaded_at,
+              |  'payment_gateway' AS source_system,
+              |  effective_start_date, effective_end_date, is_current FROM closed
+              |UNION ALL
+              |SELECT customer_id, customer_tier, is_active,
+              |  first_transaction_date, last_transaction_date, lifetime_value,
+              |  TIMESTAMP '${graft.jobs.PaymentData.Now}' AS loaded_at,
+              |  'payment_gateway' AS source_system,
+              |  effective_start_date, effective_end_date, is_current FROM ins""".stripMargin)),
+
     "st17_stream_static_join" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger

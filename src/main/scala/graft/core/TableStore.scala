@@ -828,6 +828,13 @@ class TableStore(spark: SparkSession, root: String) {
     }
 
   def readVersion(name: String, v: Long): DataFrame = {
+    // time travel below the retention window must refuse LOUDLY, not
+    // surface a bare NoSuchFileException from the manifest walk — the
+    // same contract restore() already states (m21 proves it end-to-end)
+    if (!Files.exists(manifest(name, v)) && !Files.exists(ckptPath(name, v)))
+      throw new IllegalArgumentException(
+        s"cannot time-travel $name to version $v: manifest vacuumed " +
+          "(retention GC swept it) or never committed")
     val m = readManifest(name, v)
     scanLive(name, m, m.dirs)
   }
