@@ -23,7 +23,8 @@ object Bench {
     "d2_ngram_jaccard", "x4_asof_join", "x7_incremental_dedup",
     "x8_corpus_pipeline", "sql_mor_merge", "cdc2_rowid_replicate",
     "cdc3_rowid_compact_apply", "x18_exact_substring_dedup",
-    "st15_stream_dedup_admission")
+    "st15_stream_dedup_admission", "st18_stream_scd2_dim",
+    "er1_fuzzy_match", "t16_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

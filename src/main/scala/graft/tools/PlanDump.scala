@@ -70,7 +70,9 @@ object PlanDump {
       "t13_repetition_ngrams" ->
         "repetition rules: the three gram streams (2/3/5) union into ONE map-side-combinable count HashAggregate; per-doc covers re-aggregate and join back to the doc spine (AQE broadcasts the covers at this SF) — no window, no self-join, integer thresholds so no float rounding",
       "er1_fuzzy_match" ->
-        "blocked entity resolution: candidates come from an EQUI-join on the blocking key + length-band filter (never |dirty|x|clean|); levenshtein runs only inside blocks; best-match pick is a plain long-min HashAggregate on the packed (lev,key) BIGINT — map-side combinable, in codegen; no window, no cartesian anywhere")
+        "blocked entity resolution at NAME altitude: the lev verify joins DISTINCT probe names against a per-name min-key aggregate of the clean side (vocabulary-sized both ways — never |dirty|x|clean| records; r9 measured 49 s -> 3.5 s at sf0.1 moving record blocks to name blocks), candidates from EQUI-joins on the redundant prefix/suffix keys; the name-level winner is a long-min HashAggregate on the packed (lev,minkey) BIGINT and records pick it up via one vocab-sized hash join (AQE broadcasts it here)",
+      "t16_bpe_encode" ->
+        "BPE apply: ALL K merge tiers fused into one narrow Project over the documents scan (K nested replaces inside a single WholeStageCodegen span — no Exchange before the token explode); vocab ids broadcast back (BroadcastHashJoin) and per-doc assembly is ONE hash aggregate — the corpus is shuffled once (the doc-id agg), never per merge tier")
 
     // for queries whose returned frame is a post-mutation table read,
     // the informative plan is an intermediate: build it here instead
@@ -275,6 +277,37 @@ object PlanDump {
         |(ScaleProbeJobs: 2.6x time for 16x volume WITH 16x more
         |matched rows — the increment tracks the customer's rows, not
         |table volume).
+        |
+        |## st18_stream_scd2_dim
+        |
+        |**Cost floor, measured** (`tools/ProfileSt18`, sf0.1, local[32],
+        |cold standalone run — the benched warm wall is ~20 s with the
+        |same split):
+        |
+        |```
+        |[st18] fixture: staging+silver caches          9.34 s
+        |[st18] fixture: silver create + CDF            2.14 s
+        |[st18] fixture: delta derive + cache           1.56 s
+        |[st18] fixture: 2 delta merge commits          5.64 s
+        |[st18] fixture: dim seed build + create        1.57 s
+        |[st18]   batch 0 step                          4.95 s
+        |[st18]   batch 1 step                          2.90 s
+        |[st18] stream: 2 SCD2 micro-batch steps        8.83 s
+        |[st18] proof: batch re-run + exceptAll x2      2.98 s
+        |```
+        |
+        |~63% of the wall is fixture construction (full staging+silver
+        |derivation, the CDF-enabled silver table, the two delta merge
+        |commits the stream consumes, the dim seed) and another ~10% is
+        |the convergence PROOF — the query deliberately computes the dim
+        |a SECOND time (single-shot batch step + exceptAll both ways) to
+        |assert streamed == batch; a production run pays neither. The
+        |operator proper is the two micro-batch SCD2 steps (~9 s cold,
+        |~3-5 s each), and each step's cost tracks the batch's CHANGED
+        |customers: the snapshot aggregate is left-semi-joined to the
+        |affected set before Scd2.step, so per-batch work is
+        |O(changed customers' silver rows + dim size), never
+        |O(customer population x history).
         |""".stripMargin
     Files.write(Paths.get("PLANS.md"),
       out.toString.getBytes(StandardCharsets.UTF_8))

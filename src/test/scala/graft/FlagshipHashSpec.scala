@@ -46,7 +46,17 @@ class FlagshipHashSpec extends AnyFunSuite {
     // (the known catalog-cache-by-name behavior).
     "m20_replace_where" -> "df26c591ba5092fdbcd44330e34f676d",
     "t15_bpe_merges" -> "b33ebac4ad2fa773b5ddc20cd57a45cc",
-    "er2_fuzzy_dedup" -> "c26a08a1fa835726aa1f4f34b065d559")
+    // r9: er2 re-pinned after the multi-key blocking union (prefix +
+    // suffix) legitimately added lev-1 edges whose names share no
+    // prefix — oracle-green via tools/check.py before re-pinning.
+    "er2_fuzzy_dedup" -> "28fac6f3a2638b22b106596d9695365e",
+    // r9 additions, pinned from oracle-green tools/check.py runs.
+    // m21_vacuum is deliberately NOT pinned: like sql_replace_where it
+    // binds the shared `graft` catalog name to the query-store root,
+    // which the session caches by name, silently re-rooting every
+    // later catalog suite.
+    "t16_bpe_encode" -> "c27b192b668ee79a82434de3c7d33b8d",
+    "st18_stream_scd2_dim" -> "c935dcd7d13f714feed8db2979b0c18a")
 
   pinned.foreach { case (name, expected) =>
     test(s"flagship $name: sf0.001 result hash matches the oracle-green pin") {
