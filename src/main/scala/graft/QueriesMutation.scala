@@ -1076,6 +1076,52 @@ object QueriesMutation {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE o_totalprice >= 50000""".stripMargin)),
 
+    // ---- m22: TYPE WIDENING (Delta's metadata-only ALTER COLUMN
+    //      TYPE): int→bigint and float→double commit as ONE manifest
+    //      version — the in-query require proves NO data dir was
+    //      rewritten — and every later scan decodes the old narrow
+    //      files at the widened type (Spark's parquet readers upcast
+    //      in place; both the library and DSv2 paths share the
+    //      machinery, TypeWideningSpec). Post-widen rows then exceed
+    //      the old range (qty + 5e9 needs BIGINT), so the final
+    //      aggregate is only right if old int32 files and new int64
+    //      files read as one BIGINT column. At 100 TB this is the
+    //      difference between a metadata commit and a table rewrite. ----
+    "m22_type_widen" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m22_widen")
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("int").as("qty"),
+          col("o_totalprice").cast("float").as("price_f"))
+        st.create("t", base.filter(col("o_orderkey") % 2 === 0))
+        val dirs0 = st.liveDirs("t")
+        st.alterColumnType("t", "qty", org.apache.spark.sql.types.LongType)
+        st.alterColumnType("t", "price_f", org.apache.spark.sql.types.DoubleType)
+        require(st.liveDirs("t") == dirs0,
+          "type widening must be metadata-only — a data dir changed")
+        st.append("t", base.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"),
+            (col("qty").cast("long") + 5000000000L).as("qty"),
+            col("price_f").cast("double").as("price_f")))
+        st.read("t")
+          .groupBy((col("o_orderkey") % 10).as("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+            max(col("price_f")).as("max_price"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, CAST(o_orderkey AS INT) AS qty,
+             |    CAST(o_totalprice AS REAL) AS price_f FROM orders),
+             |t AS (SELECT o_orderkey, CAST(qty AS BIGINT) AS qty,
+             |        CAST(price_f AS DOUBLE) AS price_f
+             |      FROM base WHERE o_orderkey % 2 = 0
+             |      UNION ALL
+             |      SELECT o_orderkey, CAST(qty AS BIGINT) + 5000000000 AS qty,
+             |        CAST(price_f AS DOUBLE)
+             |      FROM base WHERE o_orderkey % 2 = 1)
+             |SELECT o_orderkey % 10 AS grp, count(*) AS n,
+             |  CAST(sum(qty) AS BIGINT) AS sum_qty, max(price_f) AS max_price
+             |FROM t GROUP BY 1""".stripMargin)),
+
     // ---- m20: INSERT OVERWRITE ... WHERE (Delta's replaceWhere) —
     //      atomically replace exactly the predicate's region with new
     //      rows in ONE commit: the per-order detail lines of every

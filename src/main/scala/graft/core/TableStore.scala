@@ -7,7 +7,7 @@ import scala.util.Using
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType, TimestampNTZType}
 
 /** Versioned Parquet tables with atomic commit — the row-level mutation
   * layer (MERGE / UPDATE / DELETE / INSERT OVERWRITE / APPEND) that the
@@ -1874,14 +1874,62 @@ class TableStore(spark: SparkSession, root: String) {
         colmap = m.colmap ++ freshMap), m.dirs): Unit
   }
 
-  /** ALTER TABLE ... ALTER COLUMN <c> TYPE <t> — an HONEST copy-on-write
-    * type change: the table rewrites once with the column cast (parquet
-    * files can't silently re-type, and per-file conversion readers
-    * would tax every future scan). WIDENING casts only (Spark's
-    * canUpCast — int->bigint, float->double, ...): a lossy change must
-    * be an explicit user SELECT. Refused on bucketing keys (the hash
-    * layout is type-dependent). Old versions keep the old type for
-    * time travel; bloom sidecars rebuild with the rewritten dirs. */
+  /** The widenings Spark's parquet readers decode IN PLACE (both scan
+    * paths — `spark.read.schema(...)` and the DSv2
+    * VectorizedParquetRecordReader — share the machinery): requesting
+    * the wider type over an old file needs no rewrite and no per-file
+    * conversion shim. This is Delta's type-widening feature re-expressed
+    * on the reader Spark already ships; each arm below is empirically
+    * probed against the 4.1 reader (int32→int64/double/decimal,
+    * float→double, date→timestamp_ntz, decimal rescale). */
+  private def parquetWidenable(from: DataType, to: DataType): Boolean = {
+    def intDigits(d: DecimalType): Int = d.precision - d.scale
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (ByteType, d: DecimalType) => intDigits(d) >= 3
+      case (ShortType, d: DecimalType) => intDigits(d) >= 5
+      case (IntegerType, d: DecimalType) => intDigits(d) >= 10
+      case (LongType, d: DecimalType) => intDigits(d) >= 20
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && intDigits(t) >= intDigits(f)
+      case _ => false
+    }
+  }
+
+  /** Manifest-stats value conversion for a metadata-only widening: the
+    * canonical primitive forms change with the type (Int→Long, date
+    * days→NTZ micros...). None = no exact conversion — the entry is
+    * DROPPED (no stats = "might match", which is always correct). */
+  private def widenStat(v: Any, to: DataType): Option[Any] = (v, to) match {
+    case (x: Int, ShortType | IntegerType) => Some(x) // byte/short widen, Int-canonical
+    case (x: Int, LongType) => Some(x.toLong)
+    case (x: Int, DoubleType) => Some(x.toDouble)
+    case (x: Float, DoubleType) => Some(x.toDouble)
+    case (x: Int, TimestampNTZType) => Some(x.toLong * 86400000000L) // days → micros
+    case _ => None
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN <c> TYPE <t> — WIDENING casts only
+    * (Spark's canUpCast): a lossy change must be an explicit user
+    * SELECT. Refused on bucketing keys (the hash layout is
+    * type-dependent) and bloom-indexed columns (sidecar hashes are
+    * type-dependent — unset bloom first).
+    *
+    * Two paths, chosen by what the parquet reader can decode in place:
+    *  - [[parquetWidenable]] pairs commit METADATA-ONLY (the Delta
+    *    type-widening model): existing files keep their physical type
+    *    and every scan — library and DSv2 — requests the widened
+    *    logical schema, which Spark's readers upcast at decode. At
+    *    100 TB an int→bigint is one manifest commit, not a table
+    *    rewrite. Old versions time-travel with their old type; stats
+    *    re-canonicalize exactly (or drop to "might match").
+    *  - anything else canUpCast allows but the reader can't decode
+    *    (e.g. int→string) falls back to the honest copy-on-write
+    *    rewrite, id-preserving like compact. */
   def alterColumnType(name: String, colName: String,
                       newType: org.apache.spark.sql.types.DataType): Unit = {
     val m = readManifest(name, currentVersion(name))
@@ -1893,8 +1941,29 @@ class TableStore(spark: SparkSession, root: String) {
         "(an explicit SELECT-and-overwrite expresses lossy conversions)")
     require(!m.bucketing.exists(_.keys.contains(colName)),
       s"cannot retype bucketing key $colName — the hash layout depends on it")
+    require(!m.bloomCols.contains(colName),
+      s"cannot retype bloom-indexed column $colName — sidecar hashes are " +
+        "type-dependent; unset bloom columns first")
     val newSchema = StructType(m.schema.map(f =>
       if (f.name == colName) f.copy(dataType = newType) else f))
+    if (parquetWidenable(old, newType)) {
+      // metadata-only: one manifest commit, zero data I/O
+      val widened = m.stats.view.mapValues { ds =>
+        ds.copy(cols = ds.cols.flatMap {
+          case (k, cs) if k == colName =>
+            val mn = cs.min.map(widenStat(_, newType))
+            val mx = cs.max.map(widenStat(_, newType))
+            // drop the entry rather than keep half-converted bounds
+            if (mn.exists(_.isEmpty) || mx.exists(_.isEmpty)) None
+            else Some(k -> cs.copy(min = mn.flatten, max = mx.flatten))
+          case kv => Some(kv)
+        })
+      }.toMap
+      commitExclusive(name, m.baseVersion + 1,
+        m.copy(schema = newSchema, stats = widened), "ALTER COLUMN TYPE (widen)")
+      markNoLogicalChange(name, m.baseVersion + 1, m.cdf)
+      return
+    }
     // id-preserving rewrite (rewriteSource/rewriteExtra, like compact):
     // a row-tracked table must keep every row's `_row_id` through the
     // retype — a plain read-and-rewrite would mint fresh bases for all
