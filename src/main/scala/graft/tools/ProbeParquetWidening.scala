@@ -1,6 +1,15 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-object DebugWiden {
+/** Empirical probe behind TableStore.parquetWidenable: writes one
+  * parquet file per narrow type and re-reads it under each widened
+  * requested schema through spark.read (the same
+  * VectorizedParquetRecordReader the DSv2 scan drives). Every arm of
+  * the metadata-only widening lattice must print OK here before it is
+  * added to parquetWidenable — the lattice is maintained against this
+  * probe, not against documentation. Run:
+  *   sbt "runMain graft.tools.ProbeParquetWidening"
+  */
+object ProbeParquetWidening {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false").getOrCreate()
