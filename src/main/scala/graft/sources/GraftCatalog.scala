@@ -2007,8 +2007,32 @@ class GraftPartitionReader(file: String, required: StructType,
           (if (hasRidCol) Seq("__rid") else Nil)),
         new org.apache.hadoop.fs.Path(file))
       .withConf(conf)
+    // a filter is pushed to parquet-mr only if THIS file can evaluate
+    // it: the column must exist (ADD COLUMN back-compat) AND its file
+    // primitive must match what the logical type's predicate expects —
+    // after a metadata-only type widening an old INT32 file under a
+    // BIGINT predicate fails parquet's schema validation. Dropping is
+    // always safe: pushFilters returns every filter to Spark, which
+    // re-evaluates above the scan; only row-group skipping is lost,
+    // and only on pre-widening files.
+    def fileEvaluable(ref: String): Boolean = fileSchema.containsField(ref) && {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val expected = fullSchema.fields
+        .find(_.name.equalsIgnoreCase(ref)).map(_.dataType).flatMap {
+          case LongType | TimestampType | TimestampNTZType => Some(INT64)
+          case IntegerType | DateType => Some(INT32)
+          case DoubleType => Some(DOUBLE)
+          case FloatType => Some(FLOAT)
+          case BooleanType => Some(BOOLEAN)
+          case StringType => Some(BINARY)
+          case _ => None // decimals etc: never push to the file
+        }
+      expected.contains(fileSchema
+        .getFields.get(fileSchema.getFieldIndex(ref))
+        .asPrimitiveType().getPrimitiveTypeName)
+    }
     val pred = pushed.toSeq
-      .filter(_.references.forall(fileSchema.containsField))
+      .filter(_.references.forall(fileEvaluable))
       .flatMap(f => GraftFilters.translate(f, fullSchema))
       .reduceOption(FilterApi.and)
     pred.fold(b)(p => b.withFilter(FilterCompat.get(p))).build()
@@ -2039,25 +2063,56 @@ class GraftPartitionReader(file: String, required: StructType,
       else {
       val idx = g.getType.getFieldIndex(f.name)
       if (g.getFieldRepetitionCount(idx) == 0) null
-      else f.dataType match {
-        case LongType => g.getLong(idx, 0)
-        case IntegerType => g.getInteger(idx, 0)
-        case DoubleType => g.getDouble(idx, 0)
-        case FloatType => g.getFloat(idx, 0)
-        case BooleanType => g.getBoolean(idx, 0)
-        case StringType => UTF8String.fromString(g.getString(idx, 0))
-        case TimestampType | TimestampNTZType => g.getLong(idx, 0) // INT64 micros
-        case DateType => g.getInteger(idx, 0)
-        case d: DecimalType =>
-          // unscaled INT32 (precision <= 9) or INT64, per the file
-          val prim = g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName
-          val unscaled =
-            if (prim == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32)
-              g.getInteger(idx, 0).toLong
-            else g.getLong(idx, 0)
-          org.apache.spark.sql.types.Decimal.createUnsafe(unscaled, d.precision, d.scale)
-        case other => throw new UnsupportedOperationException(
-          s"type $other (flat schemas only — SURVEY §1.2)")
+      else {
+        // the FILE's physical type decides how to extract; the REQUIRED
+        // (logical) type decides what to widen to. After a metadata-only
+        // type widening (TableStore.alterColumnType) this reader sees
+        // old narrow files under the widened requested schema — exactly
+        // like the vectorized path, it must upcast at decode, not cast
+        // parquet-mr value boxes (IntegerValue -> LongValue CCE)
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val prim = g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName
+        f.dataType match {
+          case LongType =>
+            if (prim == INT32) g.getInteger(idx, 0).toLong else g.getLong(idx, 0)
+          case IntegerType => g.getInteger(idx, 0)
+          case DoubleType => prim match {
+            case FLOAT => g.getFloat(idx, 0).toDouble
+            case INT32 => g.getInteger(idx, 0).toDouble
+            case _ => g.getDouble(idx, 0)
+          }
+          case FloatType => g.getFloat(idx, 0)
+          case BooleanType => g.getBoolean(idx, 0)
+          case StringType => UTF8String.fromString(g.getString(idx, 0))
+          case TimestampType | TimestampNTZType =>
+            // a DATE file column under a widened TIMESTAMP_NTZ request:
+            // days -> midnight micros (exact)
+            if (prim == INT32) g.getInteger(idx, 0).toLong * 86400000000L
+            else g.getLong(idx, 0) // INT64 micros
+          case DateType => g.getInteger(idx, 0)
+          case d: DecimalType =>
+            // unscaled INT32 (precision <= 9) or INT64, per the file;
+            // a plain-integer file column under a widened DECIMAL
+            // request has no DECIMAL annotation (file scale 0), and a
+            // rescaled request multiplies the unscaled value up
+            val raw =
+              if (prim == INT32) g.getInteger(idx, 0).toLong
+              else g.getLong(idx, 0)
+            val fileScale = g.getType.getType(idx).asPrimitiveType()
+              .getLogicalTypeAnnotation match {
+              case dec: org.apache.parquet.schema.LogicalTypeAnnotation
+                  .DecimalLogicalTypeAnnotation => dec.getScale
+              case _ => 0
+            }
+            var unscaled = raw
+            var k = fileScale
+            while (k < d.scale) { unscaled *= 10L; k += 1 }
+            require(fileScale <= d.scale,
+              s"${f.name}: file decimal scale $fileScale exceeds requested ${d.scale}")
+            org.apache.spark.sql.types.Decimal.createUnsafe(unscaled, d.precision, d.scale)
+          case other => throw new UnsupportedOperationException(
+            s"type $other (flat schemas only — SURVEY §1.2)")
+        }
       }
       }
     }

@@ -137,6 +137,50 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(got === ((11 to 20).map(_.toLong).toSet + (Int.MaxValue.toLong + 1L)))
   }
 
+  test("row-path scan with a pushed filter over a widened column reads " +
+      "old narrow files correctly (pushdown dropped per-file, never wrong)") {
+    val root = Files.createTempDirectory("widenpush").toString
+    spark.conf.set("spark.sql.catalog.graft_widenpush", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_widenpush.root", root)
+    val ts = new TableStore(spark, root)
+    // bucketed: the DSv2 scan takes the row-reader (Group) path, which
+    // pushes filters into parquet-mr — a BIGINT predicate over an old
+    // INT32 file must drop per-file instead of failing schema validation
+    ts.createBucketed("b", (1L to 100L).map(i => (i, i.toInt)).toDF("k", "x"),
+      Seq("k"), 4)
+    ts.alterColumnType("b", "x", LongType)
+    ts.append("b", Seq((101L, Int.MaxValue.toLong + 9L)).toDF("k", "x"))
+    val got = spark.sql(
+      s"SELECT k FROM graft_widenpush.b WHERE x > ${Int.MaxValue.toLong}")
+      .as[Long].collect().toSeq
+    assert(got === Seq(101L))
+    assert(spark.sql("SELECT count(*) FROM graft_widenpush.b WHERE x <= 50")
+      .head().getLong(0) === 50L)
+  }
+
+  test("streaming .changes source spanning a widening delivers the wide type") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("widenstream").toString
+    spark.conf.set("spark.sql.catalog.graft_widenst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_widenst.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (1 to 10).map(i => (i, i)).toDF("k", "x"))  // v0
+    ts.setChangeFeed("t", true)                                 // v1
+    ts.append("t", (11 to 20).map(i => (i, i)).toDF("k", "x")) // v2 (int files)
+    ts.alterColumnType("t", "x", LongType)                      // v3 (widen)
+    ts.append("t", Seq((21, Int.MaxValue.toLong + 2L)).toDF("k", "x")) // v4
+    val q = spark.readStream.option("startVersion", "1")
+      .table("graft_widenst.t.changes")
+      .writeStream.format("memory").queryName("widenst_mem")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("widenst_mem")
+    assert(got.schema("x").dataType === LongType)
+    assert(got.filter(col("_change_type") === "insert")
+      .select("x").as[Long].collect().toSet ===
+      ((11 to 20).map(_.toLong).toSet + (Int.MaxValue.toLong + 2L)))
+  }
+
   test("DSv2 catalog scan widens old files too (vectorized reader) and " +
       "SQL ALTER COLUMN TYPE goes metadata-only") {
     val root = Files.createTempDirectory("widensql").toString
