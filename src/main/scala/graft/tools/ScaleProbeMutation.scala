@@ -42,7 +42,9 @@ object ScaleProbeMutation {
     def corpus(k: Int): DataFrame =
       (0 until k).map { i =>
         base.select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
-          col("l_suppkey"), col("l_quantity"))
+          col("l_suppkey"), col("l_quantity"),
+          // int column for the widen probe (l_suppkey fits int32)
+          col("l_suppkey").cast("int").as("l_supp_i"))
       }.reduce(_ unionByName _)
 
     def t(f: => Unit): Double = {
@@ -73,7 +75,7 @@ object ScaleProbeMutation {
         .withColumn("l_quantity", col("l_quantity") + 1.0)
       val inserts = updates.select(
         (col("l_orderkey") + lit(900000000000L)).as("l_orderkey"),
-        col("l_suppkey"), col("l_quantity"))
+        col("l_suppkey"), col("l_quantity"), col("l_supp_i"))
       val batch = updates.unionByName(inserts).localCheckpoint()
 
       val mergeSec = t { st.mergeUpsert("t", batch, Seq("l_orderkey")) }
@@ -91,12 +93,20 @@ object ScaleProbeMutation {
       val region = col("l_suppkey") % 100 === 7 && col("l_orderkey") < 100000000L
       val replacement = base
         .filter(col("l_suppkey") % 100 === 7 && col("l_orderkey") < 100000000L)
-        .withColumn("l_quantity", lit(0.0)).localCheckpoint()
+        .withColumn("l_quantity", lit(0.0))
+        .withColumn("l_supp_i", col("l_suppkey").cast("int")).localCheckpoint()
       val replaceSec = t { st.overwriteWhere("t", region, replacement) }
+      // metadata-only type widening: expect FLAT across k (one manifest
+      // commit regardless of table volume — the r9 feature's 100 TB
+      // claim), plus the widened read staying volume-linear
+      val widenSec = t {
+        st.alterColumnType("t", "l_supp_i",
+          org.apache.spark.sql.types.LongType)
+      }
       println(f"""{"k":$k,"rows":${nBase * k},"merge_sec":$mergeSec%.2f,""" +
         f""""delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"replace_sec":$replaceSec%.2f,""" +
-        f""""batch":10000}""")
+        f""""widen_sec":$widenSec%.2f,"batch":10000}""")
       graft.core.FsUtil.deleteRecursively(new java.io.File(root))
     }
     spark.stop()
