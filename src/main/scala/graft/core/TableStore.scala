@@ -827,14 +827,19 @@ class TableStore(spark: SparkSession, root: String) {
       spark.read.schema(schema).parquet(paths: _*)
     }
 
-  def readVersion(name: String, v: Long): DataFrame = {
-    // time travel below the retention window must refuse LOUDLY, not
-    // surface a bare NoSuchFileException from the manifest walk — the
-    // same contract restore() already states (m21 proves it end-to-end)
+  /** Time travel below the retention window must refuse LOUDLY, not
+    * surface a bare NoSuchFileException from the manifest walk — the
+    * same contract restore() already states (m21 proves it end-to-end).
+    * Shared by the library face (readVersion) and the SQL face
+    * (snapshotAt, behind VERSION AS OF / TIMESTAMP AS OF). */
+  private def requireVersionReadable(name: String, v: Long): Unit =
     if (!Files.exists(manifest(name, v)) && !Files.exists(ckptPath(name, v)))
       throw new IllegalArgumentException(
         s"cannot time-travel $name to version $v: manifest vacuumed " +
           "(retention GC swept it) or never committed")
+
+  def readVersion(name: String, v: Long): DataFrame = {
+    requireVersionReadable(name, v)
     val m = readManifest(name, v)
     scanLive(name, m, m.dirs)
   }
@@ -1153,6 +1158,7 @@ class TableStore(spark: SparkSession, root: String) {
 
   /** Pinned snapshot of a historical version (time travel). */
   def snapshotAt(name: String, v: Long): Snapshot = {
+    requireVersionReadable(name, v)
     val m = readManifest(name, v)
     Snapshot(v, m.schema, m.dirs, m.bucketing, m.stats, m.bloomCols, m.dvs,
       m.colmap, m.props)

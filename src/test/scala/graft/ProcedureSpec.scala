@@ -108,8 +108,16 @@ class ProcedureSpec extends AnyFunSuite {
     assert(ts.readVersion("t", 0).count() === 100)
     val real = spark.sql("CALL gdry.system.vacuum('t', 1)").head().getLong(1)
     assert(real === dry, "the real sweep deletes exactly what dry-run named")
-    val e = intercept[Exception](ts.readVersion("t", 0).count())
-    assert(e != null)
+    // BOTH time-travel faces refuse the swept version LOUDLY (the
+    // manifest-vacuumed contract m21 proves for the library face)
+    val e = intercept[IllegalArgumentException](ts.readVersion("t", 0).count())
+    assert(e.getMessage.contains("manifest vacuumed"))
+    val eSql = intercept[Exception](
+      spark.sql("SELECT * FROM gdry.t VERSION AS OF 0").count())
+    assert(Iterator.iterate(eSql: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t =>
+        String.valueOf(t.getMessage).contains("manifest vacuumed")),
+      s"SQL time travel must surface the vacuumed-version error, got $eSql")
   }
 
   test("update_vectorized assignments survive quoted commas and escapes") {
