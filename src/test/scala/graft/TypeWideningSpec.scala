@@ -137,6 +137,22 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(got === ((11 to 20).map(_.toLong).toSet + (Int.MaxValue.toLong + 1L)))
   }
 
+  test("appendEvolve with a still-narrow source conforms up to the " +
+      "widened column; CHECK constraints keep enforcing across the widen") {
+    val ts = fresh()
+    ts.create("t", (1 to 20).map(i => (i, i)).toDF("k", "x"))
+    ts.addCheckConstraint("t", "x_pos", "x > 0")
+    ts.alterColumnType("t", "x", LongType)
+    // a producer still emitting the old narrow type keeps working
+    ts.appendEvolve("t", Seq((21, 21)).toDF("k", "x"))
+    assert(ts.read("t").agg(sum("x")).head().getLong(0) === (1 to 21).sum.toLong)
+    // the stored CHECK still guards the widened column
+    val e = intercept[Exception](
+      ts.append("t", Seq((22, -5L)).toDF("k", "x")))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(t => String.valueOf(t.getMessage).contains("x_pos")))
+  }
+
   test("row-path scan with a pushed filter over a widened column reads " +
       "old narrow files correctly (pushdown dropped per-file, never wrong)") {
     val root = Files.createTempDirectory("widenpush").toString
