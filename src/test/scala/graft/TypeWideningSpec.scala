@@ -137,6 +137,24 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(got === ((11 to 20).map(_.toLong).toSet + (Int.MaxValue.toLong + 1L)))
   }
 
+  test("an append racing a widening refuses loudly (its dirs and stats " +
+      "were written under the old schema), then succeeds on retry") {
+    val ts = fresh()
+    ts.create("t", (1 to 50).map(i => (i, i)).toDF("k", "x"))
+    val rival = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) { fired = true; rival.alterColumnType("t", "x", LongType) }
+    try intercept[java.util.ConcurrentModificationException](
+      ts.append("t", Seq((51, 51)).toDF("k", "x")))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    // the retry conforms to the widened schema and lands cleanly
+    ts.append("t", Seq((51, 51)).toDF("k", "x"))
+    assert(ts.read("t").agg(sum("x")).head().getLong(0) === (1 to 51).sum.toLong)
+    assert(ts.schemaOf("t")("x").dataType === LongType)
+  }
+
   test("appendEvolve with a still-narrow source conforms up to the " +
       "widened column; CHECK constraints keep enforcing across the widen") {
     val ts = fresh()
