@@ -184,55 +184,77 @@ object Bench {
     // interval is tainted when EITHER bounding probe is slow (a
     // co-tenant can arrive right after one probe or leave right before
     // the next).
-    def probeSlow(k: Int): Boolean =
-      slowCanary(canaries(k)) || slowIoCanary(canariesIo(k))
+    //
+    // TWO-TIER rule (r9 VERDICT #2): the absolute floors that keep the
+    // canaries from flagging noise also blinded them to MODERATE IO
+    // contention — st15's window passed on a 0.217 s probe, 5x the
+    // run's 0.042 s clean min but under the 0.3 s floor, while st15
+    // itself read ~2x its cold standalone. A probe is now slow when it
+    // breaches EITHER the hard floor OR 3x the trail's p25 (p25, not
+    // min: one lucky fast probe must not make every normal probe look
+    // slow; a mostly-contended trail elevates p25, where the hard floor
+    // still catches).
+    def p25(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s((s.size - 1) / 4)
+    }
+    // flag when above EITHER tier = above the SMALLER of the two
+    // thresholds; the inner max()es are noise floors so a tiny p25
+    // can't flag ordinary jitter (clean probes: cpu ~0.2-0.45 s,
+    // io ~0.04-0.11 s)
+    def cpuThreshold: Double =
+      math.min(math.max(3.0 * canaries.min, 0.75),
+        math.max(3.0 * p25(canaries.toSeq), 0.6))
+    def ioThreshold: Double =
+      math.min(0.3, math.max(3.0 * p25(canariesIo.toSeq), 0.15))
+    def probeSlowFinal(k: Int): Boolean =
+      canaries(k) > cpuThreshold || canariesIo(k) > ioThreshold
     intervalQueries.zipWithIndex.foreach { case (qs, k0) =>
-      if (probeSlow(k0) || probeSlow(k0 + 1)) suspect ++= qs
+      if (probeSlowFinal(k0) || probeSlowFinal(k0 + 1)) suspect ++= qs
     }
     if (suspect.nonEmpty)
       System.err.println(s"[bench] ${suspect.size} queries suspect after full-trail review")
 
-    // re-measure suspects once, keeping the min (a clean re-run replaces
-    // the contended number; a still-contended one can't make it worse).
-    // The kept-a-re-run-min set and each query's first-pass canary
-    // interval ship in the artifact (r8 VERDICT #2): without them a
-    // judge can't tell a contended single sample from a clean minimum —
-    // r8's 1.78 s IO spike was unattributable to specific queries.
+    // re-measure suspects keeping the min (a clean re-run replaces the
+    // contended number; a still-contended one can't make it worse) —
+    // in CHUNKS bracketed by their own probe pairs, with up to three
+    // passes (r9 VERDICT #3: the single-pass protocol re-ran all 75
+    // suspects and then threw every fresh measurement away because the
+    // ONE closing probe pair read slow — per-chunk brackets clear the
+    // chunks whose window was actually clean, and later passes retry
+    // only the chunks that weren't). Whatever is still flagged after
+    // the last pass ships as `unvalidated` — an explicit statement that
+    // those timings never got a clean measurement window.
     val remeasured = scala.collection.mutable.LinkedHashSet.empty[String]
-    val rerunnable = toRun.filter { case (n, _) => suspect.contains(n) && timings.contains(n) }
-    if (rerunnable.nonEmpty) {
-      System.err.println(s"[bench] re-running ${rerunnable.size} suspect queries")
-      rerunnable.foreach { case (name, fn) =>
-        val (ok, sec) = runOne(name, fn)
-        if (ok) { timings(name) = math.min(timings(name), sec); remeasured += name }
-      }
-      val cAfter = canaryProbe()
-      val cioAfter = canaryIoProbe()
-      canaries += cAfter
-      canariesIo += cioAfter
-      // a clean re-run window makes the min-kept timings trustworthy —
-      // but ONLY for queries that actually got a fresh measurement: a
-      // query whose re-run threw still carries its contended first-pass
-      // number and must stay flagged
-      if (!slowCanary(cAfter) && !slowIoCanary(cioAfter))
-        suspect.filterInPlace(n => !remeasured.contains(n))
+    def probeCleanNow(): Boolean = {
+      val c = canaryProbe(); val cio = canaryIoProbe()
+      canaries += c; canariesIo += cio
+      c <= cpuThreshold && cio <= ioThreshold
     }
+    var pass = 0
+    while (suspect.exists(timings.contains) && pass < 3) {
+      pass += 1
+      val pending = toRun.filter { case (n, _) =>
+        suspect.contains(n) && timings.contains(n) }
+      System.err.println(s"[bench] re-run pass $pass: ${pending.size} suspect queries")
+      pending.grouped(5).foreach { chunk =>
+        val beforeClean = probeCleanNow()
+        val fresh = chunk.flatMap { case (name, fn) =>
+          val (ok, sec) = runOne(name, fn)
+          if (ok) { timings(name) = math.min(timings(name), sec); Some(name) }
+          else None
+        }
+        val afterClean = probeCleanNow()
+        // a chunk clears only when BOTH its bounding probes were clean
+        // AND the query actually got a fresh measurement — a re-run
+        // that threw still carries its contended first-pass number
+        if (beforeClean && afterClean) {
+          fresh.foreach { n => remeasured += n; suspect -= n }
+        }
+      }
+    }
+    val unvalidated = suspect.toSeq
 
-    def jsonMap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def jsonArr(ss: Seq[String]): String = ss.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jsonNums(ds: Seq[Double]): String =
-      // Locale.ROOT: the f-interpolator delegates to the DEFAULT locale,
-      // and a comma-decimal locale would emit invalid JSON
-      ds.map(d => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)))
-        .mkString("[", ",", "]")
-    // the stdout line must survive the driver's ~2.5 KB tail buffer
-    // (BENCH_r01/r02 parsed as null from over-long lines): cap the
-    // unbounded arrays there — a fully-contended run would otherwise
-    // emit ~180 suspect names and lose the WHOLE round's bench result.
-    // bench_full.json always carries the complete arrays.
-    def capped(ss: Seq[String], n: Int): Seq[String] =
-      if (ss.size <= n) ss else ss.take(n) :+ s"...+${ss.size - n} more"
     val results = timings.toSeq
     val total = results.map(_._2).sum
     // first-pass canary interval per query (interval k is bounded by
@@ -243,19 +265,67 @@ object Bench {
     Files.createDirectories(Paths.get("target"))
     // bench_full.json: timings nested under their own key — failures and
     // run metadata live beside, never inside, the measurement map
-    // (r6 ADVICE: -1.0 sentinels mixed into the map skewed naive sums)
-    Files.write(Paths.get("target/bench_full.json"),
+    // (r6 ADVICE: -1.0 sentinels mixed into the map skewed naive sums).
+    // Written BOTH to target/ and to the repo root: the root copy is the
+    // git-TRACKED per-round record (r9 VERDICT #1/#2 — the only full
+    // artifact of r9's run lived untracked in target/ after the stdout
+    // line truncated; a judge must be able to diff per-query walls
+    // across rounds from committed files alone).
+    val fullJson =
       (s"""{"timings":${jsonMap(results)},""" +
         s""""failed":${jsonArr(failed.toSeq)},""" +
-        s""""suspect":${jsonArr(suspect.toSeq)},""" +
+        s""""suspect":${jsonArr(unvalidated)},""" +
+        s""""unvalidated":${jsonArr(unvalidated)},""" +
         s""""remeasured":${jsonArr(remeasured.toSeq)},""" +
         s""""intervals":${intervalOf.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")},""" +
         s""""canaries_sec":${jsonNums(canaries.toSeq)},""" +
         s""""canaries_io_sec":${jsonNums(canariesIo.toSeq)},""" +
         s""""warmup_sec":$warmupSec,${Stamp.jsonFields}}""")
-        .getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get("target/bench_full.json"),
+      fullJson.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get("BENCH_FULL.json"),
+      fullJson.getBytes(StandardCharsets.UTF_8))
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(head)},"queries_run":${results.size},"failed":${jsonArr(capped(failed.toSeq, 15))},"suspect":${jsonArr(capped(suspect.toSeq, 15))},"remeasured":${jsonArr(capped(remeasured.toSeq, 15))},"canaries_sec":${jsonNums(canaries.toSeq.take(40))},"canaries_io_sec":${jsonNums(canariesIo.toSeq.take(40))},"warmup_sec":$warmupSec,${Stamp.jsonFields},"sf":"$sfDir"}""")
+    println(stdoutLine(total, head, results.size, failed.toSeq,
+      unvalidated.size, remeasured.size, canaries.toSeq, canariesIo.toSeq,
+      warmupSec, sfDir))
     spark.stop()
+  }
+
+  def jsonMap(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+  def jsonArr(ss: Seq[String]): String =
+    ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+  def jsonNums(ds: Seq[Double]): String = ds.map(fmt).mkString("[", ",", "]")
+  // Locale.ROOT: the f-interpolator delegates to the DEFAULT locale,
+  // and a comma-decimal locale would emit invalid JSON
+  def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** The driver-parsed stdout line. The line must survive the driver's
+    * ~2.5 KB tail buffer UNDER ANY RUN CONDITION: BENCH_r01/r02 lost
+    * their rounds to over-long lines, r8's caps fixed the clean case,
+    * and BENCH_r09 (`parsed: null`) proved the CONTENDED case — 75
+    * suspects + 75 remeasured at cap + two 40-entry canary arrays —
+    * still outgrew the buffer exactly when the artifact mattered most.
+    * So: every unbounded set ships as a COUNT (suspect_n/remeasured_n/
+    * unvalidated_n/failed_n) plus canary min/max summaries; the full
+    * lists live in bench_full.json (committed as BENCH_FULL.json).
+    * Only `failed` keeps names (capped at 3 — a failure is a red alert
+    * worth naming). BenchReportSpec pins the WORST-CASE line length. */
+  def stdoutLine(total: Double, head: Seq[(String, Double)], queriesRun: Int,
+                 failedNames: Seq[String], unvalidatedN: Int, remeasuredN: Int,
+                 canaries: Seq[Double], canariesIo: Seq[Double],
+                 warmupSec: Double, sfDir: String): String = {
+    def capped(ss: Seq[String], n: Int): Seq[String] =
+      if (ss.size <= n) ss else ss.take(n) :+ s"+${ss.size - n}"
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":${jsonMap(head)},"queries_run":$queriesRun,""" +
+      s""""failed":${jsonArr(capped(failedNames, 3))},"failed_n":${failedNames.size},""" +
+      s""""unvalidated_n":$unvalidatedN,"remeasured_n":$remeasuredN,""" +
+      s""""probes_n":${canaries.size},""" +
+      s""""canary_cpu_min":${fmt(canaries.min)},"canary_cpu_max":${fmt(canaries.max)},""" +
+      s""""canary_io_min":${fmt(canariesIo.min)},"canary_io_max":${fmt(canariesIo.max)},""" +
+      s""""warmup_sec":${fmt(warmupSec)},${Stamp.jsonFields},"sf":"$sfDir"}"""
   }
 }

@@ -1122,6 +1122,75 @@ object QueriesMutation {
              |  CAST(sum(qty) AS BIGINT) AS sum_qty, max(price_f) AS max_price
              |FROM t GROUP BY 1""".stripMargin)),
 
+    // ---- m22b: WIDENING x PRUNING (r9 VERDICT #7) — the in-query
+    //      requires prove, on driver-visible counts from the SAME prune
+    //      the DSv2 scan and pruned mutations use, that (a) a
+    //      stats-prunable predicate prunes IDENTICALLY before and after
+    //      a metadata-only int→bigint widen (DirStats re-canonicalize
+    //      exactly), (b) post-widen appends beyond the old int range
+    //      land in dirs the prune isolates (a beyond-int predicate
+    //      scans ONLY them — old dirs neither wrong-prune rows away nor
+    //      drag the scan), and (c) a widen whose stats CANNOT convert
+    //      exactly (int→decimal) degrades that column to might-match on
+    //      every pre-widen dir — scans widen, answers never change. At
+    //      100 TB: schema evolution costs one manifest commit and
+    //      keeps data skipping. ----
+    "m22b_widen_prune" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m22b_prune")
+        val base = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderkey").cast("int").as("qty"),
+          col("o_orderkey").cast("int").as("price"))
+        val mx = base.agg(max(col("o_orderkey"))).head().getLong(0)
+        val q = math.max(mx / 4, 1L)
+        // four range-clustered commits -> tight per-dir min/max stats
+        st.create("t", base.filter(col("o_orderkey") <= q))
+        st.append("t", base.filter(col("o_orderkey") > q && col("o_orderkey") <= 2 * q))
+        st.append("t", base.filter(col("o_orderkey") > 2 * q && col("o_orderkey") <= 3 * q))
+        st.append("t", base.filter(col("o_orderkey") > 3 * q))
+        val (preT, preN) = st.pruneCount("t", col("qty") > lit((3 * q).toInt))
+        require(preT < preN, s"stats prune must skip dirs pre-widen ($preT/$preN)")
+        val dirs0 = st.liveDirs("t")
+        st.alterColumnType("t", "qty", org.apache.spark.sql.types.LongType)
+        st.alterColumnType("t", "price", org.apache.spark.sql.types.DecimalType(12, 2))
+        require(st.liveDirs("t") == dirs0, "widening must be metadata-only")
+        // (a) int→bigint stats re-canonicalized EXACTLY: identical prune
+        val (postT, postN) = st.pruneCount("t", col("qty") > lit(3 * q))
+        require((postT, postN) == (preT, preN),
+          s"prune must survive the widen: pre=($preT/$preN) post=($postT/$postN)")
+        // (c) int→decimal stats cannot convert exactly -> DROPPED, so
+        // the column degrades to might-match on all pre-widen dirs
+        val (decT, decN) = st.pruneCount("t", col("price") > lit(BigDecimal(3 * q)))
+        require(decT == decN,
+          s"dropped decimal stats must mean might-match everywhere ($decT/$decN)")
+        // (b) beyond-int rows land prunable next to the old dirs
+        st.append("t", base.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"),
+            (col("qty").cast("long") + 5000000000L).as("qty"),
+            col("price").cast("decimal(12,2)").as("price")))
+        val (hugeT, hugeN) = st.pruneCount("t", col("qty") > lit(4999999999L))
+        require(hugeT >= 1 && hugeT < hugeN,
+          s"beyond-int predicate must isolate the post-widen dirs ($hugeT/$hugeN)")
+        st.read("t")
+          .filter(col("qty") > lit(4999999999L) || col("qty") <= lit(q))
+          .groupBy((col("o_orderkey") % 7).as("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+            sum(col("price")).as("sum_price"))
+      },
+      Some("""WITH qq AS (SELECT GREATEST(max(o_orderkey) // 4, 1) AS q FROM orders),
+             |t AS (SELECT o_orderkey, CAST(o_orderkey AS BIGINT) AS qty,
+             |             CAST(CAST(o_orderkey AS INT) AS DECIMAL(12,2)) AS price
+             |      FROM orders
+             |      UNION ALL
+             |      SELECT o_orderkey, CAST(o_orderkey AS BIGINT) + 5000000000 AS qty,
+             |             CAST(CAST(o_orderkey AS INT) AS DECIMAL(12,2)) AS price
+             |      FROM orders WHERE o_orderkey % 97 = 0)
+             |SELECT o_orderkey % 7 AS grp, count(*) AS n,
+             |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+             |  CAST(sum(price) AS DECIMAL(22,2)) AS sum_price
+             |FROM t, qq WHERE qty > 4999999999 OR qty <= qq.q
+             |GROUP BY 1""".stripMargin)),
+
     // ---- m20: INSERT OVERWRITE ... WHERE (Delta's replaceWhere) —
     //      atomically replace exactly the predicate's region with new
     //      rows in ONE commit: the per-order detail lines of every

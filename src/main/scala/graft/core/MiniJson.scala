@@ -115,18 +115,31 @@ private[graft] object MiniJson {
       v
     }
 
-    private def numValue(): Long = {
+    private def numValue(): Any = {
       val start = i
       if (!eof && s(i) == '-') i += 1
       val digitsFrom = i
       while (!eof && s(i).isDigit) i += 1
       if (i == digitsFrom) fail("expected digits")
-      if (!eof && (s(i) == '.' || s(i) == 'e' || s(i) == 'E'))
-        fail("non-integer numbers not used by manifests")
-      // toLongOption: an overflowing literal gets the parser's
-      // offset-tagged error, not a bare NumberFormatException
-      s.substring(start, i).toLongOption.getOrElse(
-        fail(s"integer out of Long range: ${s.substring(start, i)}"))
+      // manifests only ever emit integers (doubles travel as strings),
+      // but the parser also serves builder artifacts (bench JSON lines,
+      // BenchReportSpec) — fraction/exponent forms parse as Double
+      if (!eof && (s(i) == '.' || s(i) == 'e' || s(i) == 'E')) {
+        if (s(i) == '.') { i += 1; while (!eof && s(i).isDigit) i += 1 }
+        if (!eof && (s(i) == 'e' || s(i) == 'E')) {
+          i += 1
+          if (!eof && (s(i) == '+' || s(i) == '-')) i += 1
+          val expFrom = i
+          while (!eof && s(i).isDigit) i += 1
+          if (i == expFrom) fail("expected exponent digits")
+        }
+        s.substring(start, i).toDoubleOption.getOrElse(
+          fail(s"bad number: ${s.substring(start, i)}"))
+      } else
+        // toLongOption: an overflowing literal gets the parser's
+        // offset-tagged error, not a bare NumberFormatException
+        s.substring(start, i).toLongOption.getOrElse(
+          fail(s"integer out of Long range: ${s.substring(start, i)}"))
     }
   }
 }

@@ -1218,6 +1218,18 @@ class TableStore(spark: SparkSession, root: String) {
     readManifest(name, currentVersion(name)).dirs
   def liveDirCount(name: String): Int = liveDirs(name).size
 
+  /** (dirs a predicate must scan, total live dirs) under the SAME
+    * manifest-stats + bloom prune the DSv2 scan and the pruned
+    * mutations use — the driver-visible probe surface for pruning
+    * behavior (m22b proves prune survives a type widening; at 100 TB
+    * this count is the difference between reading ~1 dir and the
+    * table). */
+  def pruneCount(name: String, condition: Column): (Int, Int) = {
+    val m = readManifest(name, currentVersion(name))
+    val (touched, _) = pruneDirsByCondition(name, m, condition)
+    (touched.size, m.dirs.size)
+  }
+
   /** CREATE TABLE AS / full replace (new table or schema change allowed). */
   def create(name: String, df: DataFrame): Unit =
     commit(name, Some(df), Manifest(df.schema, Nil, None, Map.empty), Seq.empty)
@@ -1896,12 +1908,19 @@ class TableStore(spark: SparkSession, root: String) {
       case (IntegerType, LongType | DoubleType) => true
       case (FloatType, DoubleType) => true
       case (DateType, TimestampNTZType) => true
-      case (ByteType, d: DecimalType) => intDigits(d) >= 3
-      case (ShortType, d: DecimalType) => intDigits(d) >= 5
-      case (IntegerType, d: DecimalType) => intDigits(d) >= 10
-      case (LongType, d: DecimalType) => intDigits(d) >= 20
+      // decimal targets are capped at the WRITER's layout (unscaled
+      // INT32/INT64, precision <= 18 — GraftWrite.messageType): a wider
+      // metadata-only commit would be readable but never writable again,
+      // and canUpCast forbids narrowing back — a permanently wedged
+      // table. The cap also bounds the row-path rescale (fileScale ->
+      // d.scale) so the unscaled product always fits a Long. bigint →
+      // decimal is gone with it: canUpCast demands intDigits >= 20,
+      // i.e. precision >= 20, which no writable target satisfies.
+      case (ByteType, d: DecimalType) => d.precision <= 18 && intDigits(d) >= 3
+      case (ShortType, d: DecimalType) => d.precision <= 18 && intDigits(d) >= 5
+      case (IntegerType, d: DecimalType) => d.precision <= 18 && intDigits(d) >= 10
       case (f: DecimalType, t: DecimalType) =>
-        t.scale >= f.scale && intDigits(t) >= intDigits(f)
+        t.precision <= 18 && t.scale >= f.scale && intDigits(t) >= intDigits(f)
       case _ => false
     }
   }
@@ -1945,6 +1964,18 @@ class TableStore(spark: SparkSession, root: String) {
     require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(old, newType),
       s"cannot change $colName from $old to $newType: only widening casts " +
         "(an explicit SELECT-and-overwrite expresses lossy conversions)")
+    // refuse BEFORE any commit OR rewrite: the engine writes decimals
+    // unscaled-INT32/INT64 only (precision <= 18, GraftWrite.messageType).
+    // A wider target committed metadata-only would poison every later
+    // append/merge (writer throws, canUpCast forbids narrowing back);
+    // the rewrite path would throw mid-write. Loud and upfront instead.
+    newType match {
+      case d: DecimalType => require(d.precision <= 18,
+        s"cannot change $colName to $newType: decimals above precision 18 " +
+          "are outside this engine's INT64-backed layout — an explicit " +
+          "SELECT-and-overwrite into a new table expresses the conversion")
+      case _ =>
+    }
     require(!m.bucketing.exists(_.keys.contains(colName)),
       s"cannot retype bucketing key $colName — the hash layout depends on it")
     require(!m.bloomCols.contains(colName),
@@ -2111,10 +2142,17 @@ class TableStore(spark: SparkSession, root: String) {
     * read. The reference lists VACUUM as future work
     * (/root/reference/README.md:654-659); the manifest design makes it
     * a set subtraction here. */
+  /** Test hook: runs right after vacuum resolves `cur` — the window in
+    * which a concurrent commit can land a version vacuum's retained-set
+    * arithmetic never saw (deterministic race injection, as
+    * [[onBeforeOptimisticCommit]]). */
+  private[graft] var onVacuumAfterVersionRead: () => Unit = () => ()
+
   def vacuum(name: String, retainVersions: Int = 1,
              dryRun: Boolean = false): Seq[Path] = {
     require(retainVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(name)
+    onVacuumAfterVersionRead()
     val keepVersions = (math.max(0L, cur - retainVersions + 1) to cur)
     // versions on disk, from ONE _v listing (not O(version-count)
     // exists probes). NonFatal guard on each read: the listing can see
@@ -2148,8 +2186,12 @@ class TableStore(spark: SparkSession, root: String) {
       onDiskVersions.filter(_ < keepVersions.head).flatMap(dirsOf).toSet
     val dataDir = dataRoot(name)
     val deleted = Seq.newBuilder[Path]
+    // deleteIfExists / recursive-delete-ignores-missing: a CONCURRENT
+    // vacuum may sweep the same path first — deleting already-deleted
+    // history is success, not an error, so two racing vacuums both
+    // complete and converge on the same end state (ConcurrencySpec)
     def rmTree(p: Path): Unit = { if (!dryRun) FsUtil.deleteRecursively(p.toFile); deleted += p }
-    def rmFile(p: Path): Unit = { if (!dryRun) Files.delete(p); deleted += p }
+    def rmFile(p: Path): Unit = { if (!dryRun) Files.deleteIfExists(p): Unit; deleted += p }
     if (Files.isDirectory(dataDir)) {
       val topDirs = Using.resource(Files.list(dataDir))(_.iterator().asScala.toSeq)
       topDirs.foreach { top =>
@@ -2179,8 +2221,12 @@ class TableStore(spark: SparkSession, root: String) {
             // nothing in the retained window references this batch at all
             rmTree(top)
           } else {
-            // bucketed batch: some leaves live, delete only the dead ones
-            val leaves = Using.resource(Files.list(top))(_.iterator().asScala.toSeq)
+            // bucketed batch: some leaves live, delete only the dead
+            // ones. The listing tolerates the dir vanishing under a
+            // concurrent vacuum (its leaves are then already swept).
+            val leaves =
+              try Using.resource(Files.list(top))(_.iterator().asScala.toSeq)
+              catch { case _: java.io.IOException => Nil }
             leaves.filter(l => l.getFileName.toString.startsWith("__b=") &&
                 !liveLeaves.contains(s"$topName/${l.getFileName}"))
               .foreach(rmTree)

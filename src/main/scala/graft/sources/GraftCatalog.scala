@@ -2017,19 +2017,33 @@ class GraftPartitionReader(file: String, required: StructType,
     // and only on pre-widening files.
     def fileEvaluable(ref: String): Boolean = fileSchema.containsField(ref) && {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-      val expected = fullSchema.fields
-        .find(_.name.equalsIgnoreCase(ref)).map(_.dataType).flatMap {
-          case LongType | TimestampType | TimestampNTZType => Some(INT64)
-          case IntegerType | DateType => Some(INT32)
-          case DoubleType => Some(DOUBLE)
-          case FloatType => Some(FLOAT)
-          case BooleanType => Some(BOOLEAN)
-          case StringType => Some(BINARY)
-          case _ => None // decimals etc: never push to the file
+      val filePrim = fileSchema
+        .getFields.get(fileSchema.getFieldIndex(ref)).asPrimitiveType()
+      fullSchema.fields
+        .find(_.name.equalsIgnoreCase(ref)).map(_.dataType).exists {
+          case LongType | TimestampType | TimestampNTZType =>
+            filePrim.getPrimitiveTypeName == INT64
+          case IntegerType | DateType => filePrim.getPrimitiveTypeName == INT32
+          case DoubleType => filePrim.getPrimitiveTypeName == DOUBLE
+          case FloatType => filePrim.getPrimitiveTypeName == FLOAT
+          case BooleanType => filePrim.getPrimitiveTypeName == BOOLEAN
+          case StringType => filePrim.getPrimitiveTypeName == BINARY
+          case d: DecimalType if d.precision > 9 && d.precision <= 18 =>
+            // GraftFilters.translate compares INT64-backed decimals by
+            // unscaled long AT THE LOGICAL SCALE — evaluable only when
+            // this file stores the same scale on the same primitive. A
+            // pre-widening file (plain-integer column or a narrower
+            // decimal annotation from before a rescale widen) drops the
+            // predicate; Spark re-evaluates above the scan regardless,
+            // so only row-group skipping is at stake.
+            filePrim.getPrimitiveTypeName == INT64 &&
+              (filePrim.getLogicalTypeAnnotation match {
+                case dec: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .DecimalLogicalTypeAnnotation => dec.getScale == d.scale
+                case _ => false
+              })
+          case _ => false // INT32-backed decimals etc: never push
         }
-      expected.contains(fileSchema
-        .getFields.get(fileSchema.getFieldIndex(ref))
-        .asPrimitiveType().getPrimitiveTypeName)
     }
     val pred = pushed.toSeq
       .filter(_.references.forall(fileEvaluable))
@@ -2046,77 +2060,131 @@ class GraftPartitionReader(file: String, required: StructType,
     current != null
   }
 
+  // ---- per-FILE decode state, hoisted out of the per-row/per-cell hot
+  // loop (the same treatment GraftDataWriter.write got: this row path
+  // serves .changes/rowid/bucketed/DV scans — the CDC/streaming family).
+  // The group type is CONSTANT across a file (the projection schema), so
+  // field indices, the extraction choice (the file's physical primitive
+  // is fixed per file), and the logical-type dispatch all resolve ONCE,
+  // on the first row; get() is then an index walk over closure arrays.
+  private final val KFile = 0; private final val KPos = 1
+  private final val KRid = 2; private final val KNull = 3
+  private final val KCol = 4
+  private[this] val fileNameUtf8 = UTF8String.fromString(file)
+  private[this] var kinds: Array[Int] = _
+  private[this] var idxs: Array[Int] = _
+  private[this] var gets: Array[Group => Any] = _
+  private[this] var ridIdx: Int = -1
+
+  /** Per-column extractor: the FILE's physical type decides how to
+    * extract; the REQUIRED (logical) type decides what to widen to.
+    * After a metadata-only type widening (TableStore.alterColumnType)
+    * this reader sees old narrow files under the widened requested
+    * schema — exactly like the vectorized path, it must upcast at
+    * decode, not cast parquet-mr value boxes (IntegerValue -> LongValue
+    * CCE). */
+  private def columnDecoder(gt: org.apache.parquet.schema.GroupType,
+                            idx: Int, name: String,
+                            dataType: DataType): Group => Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val primType = gt.getType(idx).asPrimitiveType()
+    val prim = primType.getPrimitiveTypeName
+    dataType match {
+      case LongType =>
+        if (prim == INT32) g => g.getInteger(idx, 0).toLong
+        else g => g.getLong(idx, 0)
+      case IntegerType => g => g.getInteger(idx, 0)
+      case DoubleType => prim match {
+        case FLOAT => g => g.getFloat(idx, 0).toDouble
+        case INT32 => g => g.getInteger(idx, 0).toDouble
+        case _ => g => g.getDouble(idx, 0)
+      }
+      case FloatType => g => g.getFloat(idx, 0)
+      case BooleanType => g => g.getBoolean(idx, 0)
+      case StringType => g => UTF8String.fromString(g.getString(idx, 0))
+      case TimestampType | TimestampNTZType =>
+        // a DATE file column under a widened TIMESTAMP_NTZ request:
+        // days -> midnight micros (exact)
+        if (prim == INT32) g => g.getInteger(idx, 0).toLong * 86400000000L
+        else g => g.getLong(idx, 0) // INT64 micros
+      case DateType => g => g.getInteger(idx, 0)
+      case d: DecimalType =>
+        // unscaled INT32 (precision <= 9) or INT64, per the file; a
+        // plain-integer file column under a widened DECIMAL request has
+        // no DECIMAL annotation (file scale 0), and a rescaled request
+        // multiplies the unscaled value up by a per-FILE constant.
+        // multiplyExact: the <=18-precision cap makes overflow
+        // unreachable from this engine's own widenings, but a foreign
+        // file must fail loudly, never return a corrupt decimal.
+        val fileScale = primType.getLogicalTypeAnnotation match {
+          case dec: org.apache.parquet.schema.LogicalTypeAnnotation
+              .DecimalLogicalTypeAnnotation => dec.getScale
+          case _ => 0
+        }
+        require(fileScale <= d.scale,
+          s"$name: file decimal scale $fileScale exceeds requested ${d.scale}")
+        var mult = 1L
+        var k = fileScale
+        while (k < d.scale) { mult = Math.multiplyExact(mult, 10L); k += 1 }
+        val isInt32 = prim == INT32
+        g => {
+          val raw = if (isInt32) g.getInteger(idx, 0).toLong else g.getLong(idx, 0)
+          org.apache.spark.sql.types.Decimal.createUnsafe(
+            Math.multiplyExact(raw, mult), d.precision, d.scale)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"type $other (flat schemas only — SURVEY §1.2)")
+    }
+  }
+
+  private def buildDecoders(gt: org.apache.parquet.schema.GroupType): Unit = {
+    val n = required.fields.length
+    val ks = new Array[Int](n)
+    val is = new Array[Int](n)
+    val gs = new Array[Group => Any](n)
+    var fi = 0
+    while (fi < n) {
+      val f = required.fields(fi)
+      if (f.name == GraftFileMeta.Name) ks(fi) = KFile
+      else if (f.name == GraftPosMeta.Name) ks(fi) = KPos
+      else if (f.name == GraftRowIdMeta.Name) ks(fi) = KRid
+      else if (!present(fi)) ks(fi) = KNull
+      else {
+        ks(fi) = KCol
+        val idx = gt.getFieldIndex(f.name)
+        is(fi) = idx
+        gs(fi) = columnDecoder(gt, idx, f.name, f.dataType)
+      }
+      fi += 1
+    }
+    if (hasRidCol) ridIdx = gt.getFieldIndex("__rid")
+    idxs = is; gets = gs
+    kinds = ks // last: the published signal that the arrays are built
+  }
+
   override def get(): InternalRow = {
     val g = current
-    val values = required.fields.zipWithIndex.map { case (f, fi) =>
-      if (f.name == GraftFileMeta.Name) UTF8String.fromString(file)
-      else if (f.name == GraftPosMeta.Name) rowIdx
-      else if (f.name == GraftRowIdMeta.Name) {
-        if (hasRidCol && {
-          val ri = g.getType.getFieldIndex("__rid")
-          g.getFieldRepetitionCount(ri) > 0
-        }) g.getLong(g.getType.getFieldIndex("__rid"), 0)
-        else if (rowIdBase == Long.MinValue) null // unknowable (pre-tracking)
-        else rowIdBase + rowIdx
+    if (kinds == null) buildDecoders(g.getType)
+    val n = kinds.length
+    val values = new Array[Any](n)
+    var fi = 0
+    while (fi < n) {
+      values(fi) = kinds(fi) match {
+        case KFile => fileNameUtf8
+        case KPos => rowIdx
+        case KRid =>
+          if (ridIdx >= 0 && g.getFieldRepetitionCount(ridIdx) > 0)
+            g.getLong(ridIdx, 0)
+          else if (rowIdBase == Long.MinValue) null // unknowable (pre-tracking)
+          else rowIdBase + rowIdx
+        case KNull => null
+        case _ =>
+          val idx = idxs(fi)
+          if (g.getFieldRepetitionCount(idx) == 0) null else gets(fi)(g)
       }
-      else if (!present(fi)) null
-      else {
-      val idx = g.getType.getFieldIndex(f.name)
-      if (g.getFieldRepetitionCount(idx) == 0) null
-      else {
-        // the FILE's physical type decides how to extract; the REQUIRED
-        // (logical) type decides what to widen to. After a metadata-only
-        // type widening (TableStore.alterColumnType) this reader sees
-        // old narrow files under the widened requested schema — exactly
-        // like the vectorized path, it must upcast at decode, not cast
-        // parquet-mr value boxes (IntegerValue -> LongValue CCE)
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-        val prim = g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName
-        f.dataType match {
-          case LongType =>
-            if (prim == INT32) g.getInteger(idx, 0).toLong else g.getLong(idx, 0)
-          case IntegerType => g.getInteger(idx, 0)
-          case DoubleType => prim match {
-            case FLOAT => g.getFloat(idx, 0).toDouble
-            case INT32 => g.getInteger(idx, 0).toDouble
-            case _ => g.getDouble(idx, 0)
-          }
-          case FloatType => g.getFloat(idx, 0)
-          case BooleanType => g.getBoolean(idx, 0)
-          case StringType => UTF8String.fromString(g.getString(idx, 0))
-          case TimestampType | TimestampNTZType =>
-            // a DATE file column under a widened TIMESTAMP_NTZ request:
-            // days -> midnight micros (exact)
-            if (prim == INT32) g.getInteger(idx, 0).toLong * 86400000000L
-            else g.getLong(idx, 0) // INT64 micros
-          case DateType => g.getInteger(idx, 0)
-          case d: DecimalType =>
-            // unscaled INT32 (precision <= 9) or INT64, per the file;
-            // a plain-integer file column under a widened DECIMAL
-            // request has no DECIMAL annotation (file scale 0), and a
-            // rescaled request multiplies the unscaled value up
-            val raw =
-              if (prim == INT32) g.getInteger(idx, 0).toLong
-              else g.getLong(idx, 0)
-            val fileScale = g.getType.getType(idx).asPrimitiveType()
-              .getLogicalTypeAnnotation match {
-              case dec: org.apache.parquet.schema.LogicalTypeAnnotation
-                  .DecimalLogicalTypeAnnotation => dec.getScale
-              case _ => 0
-            }
-            var unscaled = raw
-            var k = fileScale
-            while (k < d.scale) { unscaled *= 10L; k += 1 }
-            require(fileScale <= d.scale,
-              s"${f.name}: file decimal scale $fileScale exceeds requested ${d.scale}")
-            org.apache.spark.sql.types.Decimal.createUnsafe(unscaled, d.precision, d.scale)
-          case other => throw new UnsupportedOperationException(
-            s"type $other (flat schemas only — SURVEY §1.2)")
-        }
-      }
-      }
+      fi += 1
     }
-    InternalRow.fromSeq(values.toIndexedSeq)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
 
   override def close(): Unit = reader.close()

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /** Vectorized (ColumnarBatch) read path for the DSv2 catalog scan,
@@ -70,7 +70,46 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
     }
   }
 
+  private def footerSchema(): org.apache.parquet.schema.MessageType =
+    scala.util.Using.resource(
+      org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(file), GraftParquet.newConf())))(
+      _.getFooter.getFileMetaData.getSchema)
+
   private val reader: VectorizedParquetRecordReader = {
+    // DECIMAL predicates translate to unscaled longs AT THE LOGICAL
+    // SCALE — pushing one into a file whose DECIMAL annotation carries a
+    // DIFFERENT scale (pre-rescale-widening files) passes parquet's
+    // schema validation (both sides INT64) but compares wrongly-scaled
+    // unscaled values: row groups with MATCHING rows get skipped and
+    // Spark's re-evaluation above the scan cannot resurrect them — a
+    // silent wrong answer, not a perf loss. No exception fires, so this
+    // must be gated PROACTIVELY: when the pushed set references a
+    // decimal column, one footer read decides per-file whether the
+    // annotation scale matches (same rule as the row path's
+    // fileEvaluable); mismatching files keep every NON-decimal conjunct.
+    val effective: Array[Filter] = {
+      def decimalCol(ref: String): Option[DecimalType] =
+        fullSchema.fields.find(_.name.equalsIgnoreCase(ref))
+          .map(_.dataType).collect { case d: DecimalType => d }
+      if (!pushed.exists(_.references.exists(r => decimalCol(r).isDefined))) pushed
+      else {
+        val fs = try footerSchema() catch { case _: Exception => null }
+        def scaleMatches(ref: String): Boolean = decimalCol(ref) match {
+          case None => true // non-decimal: existing exception-retry covers it
+          case Some(d) => fs != null && fs.containsField(ref) && {
+            val p = fs.getFields.get(fs.getFieldIndex(ref))
+            p.isPrimitive && (p.asPrimitiveType().getLogicalTypeAnnotation match {
+              case dec: org.apache.parquet.schema.LogicalTypeAnnotation
+                  .DecimalLogicalTypeAnnotation => dec.getScale == d.scale
+              case _ => false
+            })
+          }
+        }
+        pushed.filter(_.references.forall(scaleMatches))
+      }
+    }
     // a predicate over a column this file predates (ALTER TABLE ADD
     // COLUMN) fails parquet's schema validation at row-group filtering.
     // Retry with the subset of filters THIS file can evaluate (same
@@ -78,18 +117,14 @@ class GraftColumnarPartitionReader(file: String, required: StructType,
     // lose row-group skipping on the still-valid conjuncts; Spark
     // re-applies all filters above the scan, so any dropped pushdown is
     // safe, never wrong. The footer read happens only on evolved files.
-    val full = GraftVectorized.predicate(pushed, fullSchema)
+    val full = GraftVectorized.predicate(effective, fullSchema)
     if (full == null) mk(null)
     else try mk(full) catch { case _: Exception =>
       val sub =
         try {
-          val fileSchema = scala.util.Using.resource(
-            org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                new Path(file), GraftParquet.newConf())))(
-            _.getFooter.getFileMetaData.getSchema)
+          val fileSchema = footerSchema()
           GraftVectorized.predicate(
-            pushed.filter(_.references.forall(fileSchema.containsField)),
+            effective.filter(_.references.forall(fileSchema.containsField)),
             fullSchema)
         } catch { case _: Exception => null }
       if (sub == null) mk(null)

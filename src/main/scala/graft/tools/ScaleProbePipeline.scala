@@ -187,6 +187,48 @@ object ScaleProbePipeline {
         f""""repetition_sec":$repSec%.2f,"rep_docs":$nRep,""" +
         f""""bpe_apply_sec":$bpeSec%.2f,"bpe_docs":$nEnc}""")
     }
+
+    // ---- t16 apply at MERGE-TABLE DEPTH K (r9 VERDICT #8): the fused
+    // projection is K nested replaces in one codegen stage at K=5; a
+    // realistic merge table is far deeper. Probe K=5/25/50 on the 4x
+    // corpus: the per-K walls must stay ~flat-to-linear (a codegen
+    // bailout to interpreted eval would jump superlinearly) and the
+    // generated code must stay ONE WholeStageCodegen span with its
+    // source under the 64 KB JIT ceiling. Merge pairs come from a
+    // one-pass top-K of adjacent pairs — apply cost depends only on
+    // table depth, not on how the table was learned. ----
+    {
+      val c4 = corpus(4).localCheckpoint()
+      val pairs = c4.select(split(col("text"), " ").as("w"))
+        .select(explode(expr("transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("p"))
+        .groupBy("p").count()
+        .orderBy(col("count").desc, col("p").asc).limit(50)
+        .collect().map(_.getString(0)).toSeq
+      for (k <- Seq(5, 25, 50)) {
+        val enc = pairs.take(k).foldLeft(
+          concat(lit("|"), array_join(split(col("text"), " "), "||"), lit("|"))) {
+          (cc, p) => org.apache.spark.sql.functions.replace(cc,
+            lit("|" + p.replace(" ", "||") + "|"),
+            lit("|" + p.replace(" ", "_") + "|"))
+        }
+        val df = c4.select(col("doc_id"), enc.as("t"))
+          .select(sum(length(col("t"))).as("n"))
+        val stages = "WholeStageCodegen".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+        // per-stage generated source + compiled max-method bytecode:
+        // the JIT refuses methods over ~8000 bytecodes (runs them
+        // interpreted), so maxMethod is the number that must stay sane
+        val gen = org.apache.spark.sql.execution.debug
+          .codegenStringSeq(df.queryExecution.executedPlan)
+        val maxSrc = gen.map(_._2.length).maxOption.getOrElse(0)
+        val maxMethod = gen.map(_._3.maxMethodCodeSize).maxOption.getOrElse(0)
+        val (sec, n) = t(df.head().getLong(0))
+        println(f"""{"t16_k":$k,"apply_sec":$sec%.2f,"out_chars":$n,""" +
+          f""""codegen_stages":$stages,"max_gen_src_chars":$maxSrc,""" +
+          f""""max_method_bytecode":$maxMethod}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -355,6 +355,91 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(new TableStore(spark, root).read("t").count() === 19)
   }
 
+  test("vacuum sweeping a pinned-version scan below the window: the read " +
+      "fails LOUDLY, never returns silent partial rows") {
+    val ts = freshStore()
+    ts.create("t", (1 to 500).map(i => (i.toLong, i)).toDF("id", "x")) // v0
+    ts.overwrite("t", Seq((0L, 0)).toDF("id", "x"))                    // v1
+    // the reader pinned v0 BEFORE the sweep — its plan resolved v0's
+    // dirs and files while they still existed
+    val pinned = ts.readVersion("t", 0)
+    val swept = ts.vacuum("t", retainVersions = 1)
+    assert(swept.nonEmpty, "v0's superseded dirs must sweep")
+    // materializing the already-planned scan must surface a loud
+    // missing-file error; 0 or 500-minus-some rows would be a silent
+    // wrong answer
+    val e = intercept[Exception](pinned.count())
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8).toSeq
+    assert(chain.exists(t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).toLowerCase.matches(
+          "(?s).*(no such file|does not exist|path_not_found|file_not_exist).*")),
+      s"expected a missing-file failure, got: $e")
+    // a FRESH time travel refuses at plan time with the vacuum message
+    val e2 = intercept[IllegalArgumentException](ts.readVersion("t", 0))
+    assert(e2.getMessage.contains("manifest vacuumed"))
+    // the retained version is untouched
+    assert(ts.read("t").as[(Long, Int)].collect().toSeq === Seq((0L, 0)))
+  }
+
+  test("a commit landing inside vacuum's race window (after its version " +
+      "read) keeps its dirs — the sweep treats the future as live") {
+    val ts = freshStore()
+    ts.create("t", (1 to 100).map(i => (i.toLong, i)).toDF("id", "x")) // v0
+    ts.overwrite("t", (1 to 50).map(i => (i.toLong, i)).toDF("id", "x")) // v1
+    val root = ts.dataRoot("t").getParent.getParent.toString
+    var fired = false
+    ts.onVacuumAfterVersionRead = () =>
+      if (!fired) {
+        fired = true
+        // rival lands v2 with fresh dirs AFTER vacuum resolved cur=1:
+        // vacuum's retained-window arithmetic never saw this version
+        new TableStore(spark, root)
+          .append("t", Seq((1000L, 1000)).toDF("id", "x"))
+      }
+    try ts.vacuum("t", retainVersions = 1)
+    finally ts.onVacuumAfterVersionRead = () => ()
+    assert(fired)
+    // the racing commit's rows are fully readable — vacuum must not
+    // have swept dirs referenced only by the version committed mid-sweep
+    assert(ts.currentVersion("t") === 2)
+    assert(ts.read("t").as[(Long, Int)].collect().map(_._1).toSet ===
+      ((1L to 50L).toSet + 1000L))
+    // and v0's superseded history is gone as requested
+    intercept[IllegalArgumentException](ts.readVersion("t", 0))
+  }
+
+  test("two racing vacuums converge: deleting already-swept history is " +
+      "success, not an error, and the table stays fully readable") {
+    val ts = freshStore()
+    ts.create("t", Seq((0L, 0L)).toDF("id", "x"))
+    (1L to 10L).foreach(i => ts.append("t", Seq((i, i)).toDF("id", "x")))
+    val root = ts.dataRoot("t").getParent.getParent.toString
+    // two sweepers over the same history, interleaved with more commits
+    def sweeper(): Future[Unit] = Future {
+      val mine = new TableStore(spark, root)
+      (1 to 6).foreach { _ => mine.vacuum("t", retainVersions = 2); Thread.sleep(40) }
+    }
+    val writer: Future[Unit] = Future {
+      val mine = new TableStore(spark, root)
+      (11L to 16L).foreach { i =>
+        mine.append("t", Seq((i, i)).toDF("id", "x")); Thread.sleep(30)
+      }
+    }
+    Await.result(Future.sequence(Seq(sweeper(), sweeper(), writer)), 180.seconds)
+    // every committed row survived both sweeps
+    assert(ts.read("t").as[(Long, Long)].collect().map(_._1).toSet ===
+      (0L to 16L).toSet)
+    // quiet vacuums converge: one sweep of whatever the racing pair
+    // left behind, then a strict no-op
+    ts.vacuum("t", retainVersions = 2)
+    val again = ts.vacuum("t", retainVersions = 2)
+    assert(again.isEmpty, s"post-convergence vacuum swept: $again")
+    // and a cold store still resolves the (checkpointed) manifest chain
+    assert(new TableStore(spark, root).read("t").count() === 17)
+  }
+
   test("stream epoch refuses to rebase over a concurrent metadata change") {
     import org.apache.spark.sql.functions.col
     val ts = freshStore()

@@ -230,4 +230,75 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(got.getLong(0) === (91 to 100).sum.toLong)
     assert(spark.table("graft_widen.t").schema("x").dataType === LongType)
   }
+
+  test("decimal targets above the writer's precision-18 layout refuse " +
+      "loudly — never a wedged table") {
+    val ts = fresh()
+    ts.create("t", (1L to 20L).map(i => (i, i * 100L)).toDF("k", "amt"))
+    // canUpCast(bigint, DECIMAL(20,0)) holds, but the engine can only
+    // WRITE decimals to precision 18: committing the widen metadata-only
+    // would make every later append/merge throw with no way back
+    // (canUpCast forbids narrowing). Must refuse upfront instead.
+    val e1 = intercept[IllegalArgumentException](
+      ts.alterColumnType("t", "amt", DecimalType(20, 0)))
+    assert(e1.getMessage.contains("precision 18"))
+    ts.create("d", (1 to 20).map(i => i).toDF("k")
+      .select(col("k"), col("k").cast(DecimalType(12, 2)).as("amt")))
+    val e2 = intercept[IllegalArgumentException](
+      ts.alterColumnType("d", "amt", DecimalType(38, 28)))
+    assert(e2.getMessage.contains("precision 18"))
+    // the refusals left both tables fully writable
+    ts.append("t", Seq((21L, 2100L)).toDF("k", "amt"))
+    ts.append("d", Seq((21, BigDecimal("21.00"))).toDF("k", "amt")
+      .select(col("k"), col("amt").cast(DecimalType(12, 2)).as("amt")))
+    assert(ts.read("t").count() === 21L && ts.read("d").count() === 21L)
+  }
+
+  test("decimal rescale widening within the writable range: metadata-only, " +
+      "exact values through the row path, predicates push only on " +
+      "scale-matching files") {
+    val root = Files.createTempDirectory("widendec").toString
+    spark.conf.set("spark.sql.catalog.graft_widendec", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_widendec.root", root)
+    val ts = new TableStore(spark, root)
+    // bucketed: the DSv2 scan takes the row-reader path — the one that
+    // rescales unscaled longs per-file and decides pushdown per-file
+    ts.createBucketed("b", (1 to 100).map(i => i).toDF("k")
+      .select(col("k").cast("long").as("k"),
+        col("k").cast(DecimalType(10, 2)).as("amt")), Seq("k"), 4)
+    val dirsBefore = ts.liveDirs("b")
+    ts.alterColumnType("b", "amt", DecimalType(18, 4))
+    assert(ts.liveDirs("b") === dirsBefore, "decimal rescale must be metadata-only")
+    // post-widen append carries the new scale next to the old files
+    ts.append("b", Seq((101L, BigDecimal("101.2345"))).toDF("k", "amt")
+      .select(col("k"), col("amt").cast(DecimalType(18, 4)).as("amt")))
+    // exact rescale: old files' unscaled x100, new file as-stored. The
+    // predicate pushes into post-widen files (annotation scale == 4)
+    // and drops per-file on pre-widen ones (scale 2) — either way the
+    // answer is exact
+    val got = spark.sql(
+      "SELECT k, amt FROM graft_widendec.b WHERE amt > 99.5 ORDER BY k")
+      .collect().toSeq
+    assert(got.map(_.getLong(0)) === Seq(100L, 101L))
+    assert(got.map(_.getDecimal(1).toPlainString) === Seq("100.0000", "101.2345"))
+    assert(spark.sql("SELECT sum(amt) AS s FROM graft_widendec.b")
+      .head().getDecimal(0).toPlainString === "5151.2345")
+  }
+
+  test("unwidened INT64-backed decimal predicates stay pushable on the " +
+      "row path (scale matches the file annotation)") {
+    val root = Files.createTempDirectory("decpush").toString
+    spark.conf.set("spark.sql.catalog.graft_decpush", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_decpush.root", root)
+    val ts = new TableStore(spark, root)
+    ts.createBucketed("b", (1 to 60).map(i => i).toDF("k")
+      .select(col("k").cast("long").as("k"),
+        col("k").cast(DecimalType(12, 2)).as("amt")), Seq("k"), 4)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_decpush.b WHERE amt >= 31.00")
+      .head().getLong(0) === 30L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_decpush.b WHERE amt = 7.00")
+      .head().getLong(0) === 1L)
+  }
 }
