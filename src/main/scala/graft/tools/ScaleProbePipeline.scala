@@ -44,7 +44,9 @@ object ScaleProbePipeline {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
-    for (k <- Seq(1, 4, 16)) {
+    // args(0) == "t16" runs only the merge-depth probe (local iteration)
+    val scaleKs = if (args.headOption.contains("t16")) Seq.empty[Int] else Seq(1, 4, 16)
+    for (k <- scaleKs) {
       val c = corpus(k).localCheckpoint() // pin: timings exclude synthesis
 
       // x14 passage dedup core (10-word segments, min-keeper, reassembly)
@@ -214,16 +216,31 @@ object ScaleProbePipeline {
         }
         val df = c4.select(col("doc_id"), enc.as("t"))
           .select(sum(length(col("t"))).as("n"))
-        val stages = "WholeStageCodegen".r
-          .findAllIn(df.queryExecution.executedPlan.toString).size
+        // collect(), not head(): head(n) executes limit(n)'s OWN
+        // QueryExecution, leaving df's AQE plan unmaterialized — the
+        // introspection below then reads 0 stages / 0 bytes (vacuous)
+        val (sec, n) = t(df.collect()(0).getLong(0))
+        // codegen introspection AFTER execution: under AQE the
+        // pre-execution executedPlan is a bare AdaptiveSparkPlanExec
+        // with no WholeStageCodegen children yet. Post-collect() the
+        // same QueryExecution holds the materialized final plan.
+        val finalPlan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        // executedPlan.toString renders codegen'd nodes as "*(id)"
+        // prefixes (the literal word only appears in formatted explain);
+        // distinct ids = whole-stage spans
+        val stages = raw"\*\((\d+)\)".r
+          .findAllMatchIn(finalPlan.toString).map(_.group(1)).toSet.size
         // per-stage generated source + compiled max-method bytecode:
         // the JIT refuses methods over ~8000 bytecodes (runs them
         // interpreted), so maxMethod is the number that must stay sane
         val gen = org.apache.spark.sql.execution.debug
-          .codegenStringSeq(df.queryExecution.executedPlan)
+          .codegenStringSeq(finalPlan)
         val maxSrc = gen.map(_._2.length).maxOption.getOrElse(0)
         val maxMethod = gen.map(_._3.maxMethodCodeSize).maxOption.getOrElse(0)
-        val (sec, n) = t(df.head().getLong(0))
         println(f"""{"t16_k":$k,"apply_sec":$sec%.2f,"out_chars":$n,""" +
           f""""codegen_stages":$stages,"max_gen_src_chars":$maxSrc,""" +
           f""""max_method_bytecode":$maxMethod}""")
