@@ -676,6 +676,47 @@ object QueriesCorpus {
     //      arithmetic end to end so boundaries never flap on float
     //      precision. Deterministic: shard is a pure function of
     //      (doc_id, text, seed, S) — the oracle is the proof. ----
+    // ---- x20: weighted data mixing to per-source token budgets — the
+    //      sampling-ratio step of corpus assembly (Pile/DoReMi-style
+    //      source weights). Each source contributes wgt/8 of its token
+    //      mass (wgt = 1..4 derived from the source id), documents
+    //      taken in the seeded md5 permutation until the per-source
+    //      exclusive token prefix crosses the budget; integer
+    //      comparisons end-to-end so the cut is exact at any scale and
+    //      bit-identical in DuckDB. Scale shape (ops/Corpus.weightedMix):
+    //      one range-partitioned global prefix sum + a source-
+    //      cardinality broadcast — never a partitionBy(source) window
+    //      (tens of sources would funnel 100 TB through tens of tasks).
+    //      The returned per-source rollup pins docs, tokens, and budget
+    //      per source against the oracle's window-function rederivation. ----
+    "x20_weighted_mix" -> QDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          (expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).as("wgt"))
+        graft.ops.Corpus.weightedMix(docs, "doc_id", "tok", "source", "wgt",
+            weightDen = 8L, seed = 77L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sel_tokens"),
+            min(col("budget_tokens")).as("budget_tokens"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             |    CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS wgt,
+             |    md5(CAST(doc_id AS VARCHAR) || ':77') AS skey FROM documents),
+             |c AS (SELECT *,
+             |    CAST(sum(tok) OVER (PARTITION BY source ORDER BY skey, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok AS src_start,
+             |    CAST(sum(tok) OVER (PARTITION BY source) AS BIGINT) AS src_total
+             |  FROM t)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(tok) AS BIGINT) AS sel_tokens,
+             |  CAST(min(wgt * src_total // 8) AS BIGINT) AS budget_tokens
+             |FROM c WHERE src_start * 8 < wgt * src_total
+             |GROUP BY 1""".stripMargin)),
+
     "x19_token_balanced_shards" -> QDef(
       (s, dir) => graft.ops.Corpus.tokenBalancedShards(
         Tables.documents(s, dir)

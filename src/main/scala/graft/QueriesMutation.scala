@@ -1191,6 +1191,72 @@ object QueriesMutation {
              |FROM t, qq WHERE qty > 4999999999 OR qty <= qq.q
              |GROUP BY 1""".stripMargin)),
 
+    // ---- m23: CRASH RECOVERY, driver-visible — a commit is (write
+    //      dirs, hard-link manifest v, move _LATEST); a writer dying
+    //      between the last two leaves a durable-but-unpublished
+    //      "ghost" that previously wedged every later commit (the
+    //      put-if-absent collides with it forever). The query builds
+    //      BOTH crash states byte-for-byte (rewind the pointer; strand
+    //      the change-feed staging dot-dir) and proves the next writer
+    //      ADOPTS the ghost — pointer rolled forward, staged _cdf rows
+    //      completed, history byte-faithful — with the end state
+    //      checked against the oracle's pure-SQL rederivation. ----
+    "m23_crash_adopt" -> QDef(
+      (s, dir) => {
+        import java.nio.charset.StandardCharsets
+        import java.nio.file.{Files, Paths}
+        val st = freshStore(s, "m23_crash")
+        val orders = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        def slice(k: Int) = orders.filter(col("o_orderkey") % 4 === k)
+        val td = Paths.get("/tmp/graft_qstore/m23_crash/t")
+        def rewind(v: Long): Unit =
+          Files.write(td.resolve("_LATEST"),
+            v.toString.getBytes(StandardCharsets.UTF_8))
+        st.create("t", slice(0))                      // v0
+        st.setChangeFeed("t", enabled = true)         // v1
+        st.append("t", slice(1))                      // v2 — ghost #1
+        rewind(1L)                                    // crash before publish
+        require(st.currentVersion("t") == 1L, "ghost must be invisible")
+        st.append("t", slice(2))                      // adopts v2, lands v3
+        require(st.currentVersion("t") == 3L,
+          s"plain ghost not adopted: at v${st.currentVersion("t")}")
+        st.deleteVectorized("t", col("o_custkey") % 10 === 7) // v4, CDF recorded
+        // ghost #2: the DV commit published its manifest but died
+        // before BOTH the pointer move and the _cdf staging move —
+        // restage the feed dir under the writer's own uuid (shared
+        // with its dv-<v>-<uuid> sidecar) and rewind
+        val uuid = scala.util.Using.resource(Files.list(td.resolve("_dv")))(
+          _.iterator().next().getFileName.toString.split('-').last)
+        val staging = td.resolve("_cdf").resolve(s".v4-$uuid")
+        Files.move(td.resolve("_cdf").resolve("4"), staging)
+        Files.setLastModifiedTime(staging, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() - 120000L)) // past live-writer grace
+        rewind(3L)
+        st.append("t", slice(3))                      // adopts v4 + its feed, lands v5
+        require(st.currentVersion("t") == 5L,
+          s"cdf ghost not adopted: at v${st.currentVersion("t")}")
+        require(Files.isDirectory(td.resolve("_cdf").resolve("4")),
+          "adoption must complete the staged change-feed dir")
+        require(st.readChangesBetween("t", 3L, 4L)
+          .filter(col("_change_type") === "delete").count() > 0,
+          "the adopted version's change feed must read back")
+        st.read("t")
+          .groupBy((col("o_orderkey") % 7).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(col("o_custkey")).as("sum_cust"))
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_custkey FROM orders
+             |  WHERE o_orderkey % 4 <= 2 AND o_custkey % 10 <> 7
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 4 = 3)
+             |SELECT o_orderkey % 7 AS grp, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM t GROUP BY 1""".stripMargin)),
+
     // ---- m20: INSERT OVERWRITE ... WHERE (Delta's replaceWhere) —
     //      atomically replace exactly the predicate's region with new
     //      rows in ONE commit: the per-order detail lines of every

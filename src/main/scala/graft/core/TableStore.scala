@@ -306,14 +306,21 @@ class TableStore(spark: SparkSession, root: String) {
       else try Some(readManifest(name, v - 1))
       catch { case _: java.nio.file.NoSuchFileException => None }
     val body = prev.flatMap(p => encodeDelta(v - 1, p, m)).getOrElse(encodeFull(m))
-    // CREATE_NEW = put-if-absent: two writers racing to commit the same
-    // next version collide HERE — the loser fails loudly instead of
-    // truncate-overwriting the winner's manifest and silently dropping
-    // its commit (the same role the object-store put-if-absent plays in
-    // Delta's log protocol). The store is single-writer-per-table by
-    // design; this makes a violation an error, not corruption.
-    Files.write(manifest(name, v), body.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
+    // Atomic put-if-absent publication: write the full body to a tmp
+    // file, then HARD-LINK it to the version path — link(2) fails with
+    // EEXIST when the target exists, so two writers racing to commit
+    // the same next version still collide loudly (the role the
+    // object-store put-if-absent plays in Delta's log protocol), and
+    // the published file is always COMPLETE (a link exposes a finished
+    // inode; the previous CREATE_NEW + write could crash mid-write and
+    // leave a TORN manifest at v that wedged every later commit).
+    // Orphaned tmp files from a crash between write and link are junk
+    // under _v/ that vacuum's dot-file age sweep can collect.
+    val tmp = dir(name).resolve("_v")
+      .resolve(s".m$v-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(manifest(name, v), tmp)
+    finally Files.deleteIfExists(tmp)
     // only the race WINNER reaches here — safe to cache and checkpoint
     // (re-stamped: the committed snapshot's base is now v itself, so a
     // cache hit never hands a later commit a stale version target)
@@ -636,7 +643,13 @@ class TableStore(spark: SparkSession, root: String) {
             props = latest.props ++ propOverrides))
         return curV + 1
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          // live race: the winner moved _LATEST and the next loop pass
+          // rebases on it. Ghost (a crashed writer's manifest that
+          // never reached _LATEST): adopt it, else every retry collides
+          // with the same file forever and the table is wedged
+          if (!adoptGhostVersion(name, curV + 1)) Thread.sleep(50)
       }
     }
     throw new java.util.ConcurrentModificationException(
@@ -703,6 +716,26 @@ class TableStore(spark: SparkSession, root: String) {
     try commitManifest(name, v, m)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        // before failing, adopt a crashed writer's unpublished ghost at
+        // v (if that's what we collided with) so the advertised
+        // "re-run" actually CAN succeed — without adoption every retry
+        // recomputes v from the stale _LATEST and collides forever
+        if (v > 0L && exists(name)) adoptGhostVersion(name, v): Unit
+        else if (v == 0L && !exists(name)) {
+          // half-created table: a CREATE crashed between linking
+          // manifest 0 and writing the pointer — publish it so the
+          // table becomes visible (and this CREATE's retry gets the
+          // defined create-on-existing behavior instead of colliding
+          // with the ghost forever)
+          try readManifest(name, 0L)
+          catch {
+            case e: Exception => throw new IllegalStateException(
+              s"table $name has an unreadable manifest at version 0 " +
+                "from a crashed CREATE — delete the table directory " +
+                "and re-create", e)
+          }
+          publishLatest(name, 0L)
+        }
         val basis =
           if (v == 0L) "was taken by a concurrent create"
           else s"was taken after this operation read version ${v - 1}"
@@ -710,6 +743,107 @@ class TableStore(spark: SparkSession, root: String) {
           s"$op on $name conflicts with a concurrent commit: version $v " +
             s"$basis; nothing was committed — re-run the operation against " +
             "the table's new state")
+    }
+  }
+
+  /** CRASH RECOVERY — adopt a "ghost" version: a manifest that was
+    * durably published (the put-if-absent link succeeded) by a writer
+    * that died before moving `_LATEST`. Readers never saw it, and every
+    * later commit computes next = `_LATEST`+1, collides with the ghost
+    * forever, and the table is permanently unwritable. Called from the
+    * commit collision handlers when `_LATEST` still names ghostV-1:
+    * the ghost's content is COMPLETE by construction (hard-link
+    * publication), so rolling `_LATEST` forward publishes the crashed
+    * writer's commit exactly as written — the same roll-forward Delta's
+    * log readers perform when the last log entry postdates the
+    * checkpoint hint.
+    *
+    * Change-feed completion: row-level writers stage `_cdf` rows under
+    * `.v<v>-<uuid>` and move them to `_cdf/<v>` only AFTER the pointer
+    * move — a ghost's staging is still a dot-dir. The staging that
+    * belongs to the ghost is identified by uuid (the ghost's new data
+    * dirs / DV sidecars embed the same uuid) and moved into place, but
+    * only when it is older than [[ghostStagingGraceMs]]: a YOUNG
+    * staging usually means the "ghost's" writer is alive mid-publish —
+    * adoption backs off (returns false) and lets it finish rather than
+    * stealing a move the owner is about to make.
+    *
+    * Returns true when the caller should re-read `_LATEST` and retry
+    * (ghost adopted, or someone else already advanced the pointer);
+    * false when it should back off briefly first. Unreadable ghost
+    * manifests (a pre-hard-link torn write) and ambiguous staging are
+    * LOUD errors naming the file — never a silent guess. */
+  private[core] val ghostStagingGraceMs: Long = 60000L
+  private def adoptGhostVersion(name: String, ghostV: Long): Boolean = {
+    if (currentVersion(name) != ghostV - 1) return true // already advanced
+    val m =
+      try readManifest(name, ghostV)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"table $name has an unreadable manifest at version $ghostV " +
+            s"(${manifest(name, ghostV)}) that `_LATEST` never adopted — " +
+            "a torn write from a crash predating hard-link publication. " +
+            "Every commit will conflict with it until it is repaired: " +
+            "verify it is not referenced, delete the file, and retry.", e)
+      }
+    if (m.cdf &&
+        completeCdfStaging(name, ghostV, m, readManifest(name, ghostV - 1)) ==
+          CdfStagingYoung)
+      return false // owner likely alive mid-publish — back off
+    publishLatest(name, ghostV)
+    true
+  }
+
+  private sealed trait CdfStagingOutcome
+  private case object CdfStagingDone extends CdfStagingOutcome
+  private case object CdfStagingAbsent extends CdfStagingOutcome
+  private case object CdfStagingYoung extends CdfStagingOutcome
+
+  /** Complete a crashed writer's stranded change-feed staging for
+    * version `v`: its `_cdf` rows were written to a `.v<v>-<uuid>`
+    * dot-dir and the crash happened before the post-commit move to
+    * `_cdf/<v>`. The staging that belongs to v is identified by uuid —
+    * the writer shares one uuid across its new data dirs
+    * (b<v>-<uuid>), DV sidecars (dv-<v>-<uuid>) and the staging — and
+    * is only moved when older than [[ghostStagingGraceMs]] (younger
+    * usually means the writer is ALIVE mid-publish; stealing its move
+    * would make its own move fail a commit that actually landed).
+    * Shared by ghost adoption (commit-side recovery) and the change
+    * readers (read-side recovery — a version published before the
+    * staging move never collides with anything, so only a read would
+    * ever heal it). Returns Done (moved, or already in place), Absent
+    * (nothing staged — append-shaped commit or swept staging), or
+    * Young (back off). Ambiguous staging refuses loudly. */
+  private def completeCdfStaging(name: String, v: Long, m: Manifest,
+                                 prev: Manifest): CdfStagingOutcome = {
+    val cdfV = dir(name).resolve("_cdf").resolve(v.toString)
+    if (Files.isDirectory(cdfV)) return CdfStagingDone
+    val newUuids: Set[String] =
+      (m.dirs.filterNot(prev.dirs.contains).map(_.split('/').head) ++
+        (m.dvs.values.map(_.path).toSet -- prev.dvs.values.map(_.path)))
+        .flatMap(_.split('-').lastOption).toSet
+    val cdfRoot = dir(name).resolve("_cdf")
+    val stagings: Seq[Path] =
+      if (!Files.isDirectory(cdfRoot)) Seq.empty
+      else Using.resource(Files.list(cdfRoot))(_.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s".v$v-")).toSeq)
+    val matching = stagings.filter(p =>
+      newUuids.contains(p.getFileName.toString.stripPrefix(s".v$v-")))
+    matching match {
+      case Seq(one) =>
+        val age = System.currentTimeMillis() -
+          Files.getLastModifiedTime(one).toMillis
+        if (age < ghostStagingGraceMs) CdfStagingYoung
+        else {
+          Files.move(one, cdfV, StandardCopyOption.ATOMIC_MOVE)
+          CdfStagingDone
+        }
+      case Seq() => CdfStagingAbsent
+      case many => throw new IllegalStateException(
+        s"table $name version $v has ${many.size} change-feed staging " +
+          s"dirs matching its uuids (${many.map(_.getFileName).mkString(", ")}) " +
+          "— cannot tell which belongs to the committed manifest; " +
+          "repair manually before retrying")
     }
   }
 
@@ -811,7 +945,28 @@ class TableStore(spark: SparkSession, root: String) {
       BloomIndex.ensure(spark, bloomRoot(name), dataRoot(name), dirs,
         bloomCols.map(m.phys), m.physSchema, stats.view.mapValues(_.rows).toMap)
     writeManifest(name, v, m)
-    val tmp = dir(name).resolve(s"_LATEST.tmp$v")
+    publishLatest(name, v)
+  }
+
+  /** Atomically point `_LATEST` at `v` — MONOTONIC: a pointer move is
+    * skipped when the current value is already >= v, so a straggler
+    * (e.g. a ghost adoption racing the ghost's still-alive writer, or
+    * that writer's own late publish) can never regress the table below
+    * a commit readers have already seen. The read-then-move is TOCTOU
+    * racy in principle, but every writer only ever moves the pointer
+    * FORWARD, so the losing order of any interleaving still lands on
+    * the max. (DROP + re-CREATE restarting at v=0 is fine: drop removes
+    * the pointer file, so the guard sees no current value.) */
+  private def publishLatest(name: String, v: Long): Unit = {
+    val cur = try Some(new String(Files.readAllBytes(latestPtr(name)),
+      StandardCharsets.UTF_8).trim.toLong)
+    catch { case _: java.io.IOException => None }
+    if (cur.exists(_ >= v)) return
+    // uuid suffix: two publishers of the SAME v (adoption racing the
+    // ghost's live writer) must not share a tmp path — the loser's
+    // move would throw NoSuchFileException after the winner consumed it
+    val tmp = dir(name).resolve(
+      s"_LATEST.tmp$v-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING): Unit
@@ -2155,10 +2310,11 @@ class TableStore(spark: SparkSession, root: String) {
     onVacuumAfterVersionRead()
     val keepVersions = (math.max(0L, cur - retainVersions + 1) to cur)
     // versions on disk, from ONE _v listing (not O(version-count)
-    // exists probes). NonFatal guard on each read: the listing can see
-    // the record a concurrent commit is MID-WRITE (a partial JSON
-    // throws a parse error) — "skip it" is right, its dirs are young
-    // and the age guard keeps them.
+    // exists probes). NonFatal guard on each read: hard-link
+    // publication means a listed <v>.json is always complete, but a
+    // LEGACY torn record (pre-link crash) could still sit on disk —
+    // "skip it" is right, its dirs are young and the age guard keeps
+    // them.
     val onDiskVersions: Seq[Long] = {
       val vd = dir(name).resolve("_v")
       if (!Files.isDirectory(vd)) Nil
@@ -2249,10 +2405,12 @@ class TableStore(spark: SparkSession, root: String) {
           val n = p.getFileName.toString // "<v>.json" or "<v>.ckpt.json"
           val num = n.takeWhile(_.isDigit)
           (n.endsWith(".json") && num.nonEmpty && num.toLong < keepVersions.head) ||
-            // crashed checkpoint temp files (dot-prefixed), past the
-            // same in-flight age guard as the other write scratch
-            (n.startsWith(".ckpt") && sweepMtime(p) <
-              System.currentTimeMillis() - 3600L * 1000)
+            // crashed checkpoint temps (.ckpt*) and manifest-publication
+            // temps (.m<v>-<uuid>, orphaned by a crash between write and
+            // hard-link), past the same in-flight age guard as the
+            // other write scratch
+            ((n.startsWith(".ckpt") || n.startsWith(".m")) &&
+              sweepMtime(p) < System.currentTimeMillis() - 3600L * 1000)
         }
       olds.foreach(rmFile)
       if (!dryRun)
@@ -2922,7 +3080,11 @@ class TableStore(spark: SparkSession, root: String) {
           txns = mm.txns + (queryId -> epochId)))
         return true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          // same ghost-adoption as the batch append rebase: a crashed
+          // writer's unpublished manifest must not wedge the sink
+          if (!adoptGhostVersion(name, curV + 1)) Thread.sleep(50)
       }
     }
     throw new java.util.ConcurrentModificationException(
@@ -3121,7 +3283,25 @@ class TableStore(spark: SparkSession, root: String) {
                  else readManifest(name, v - 1)
       val prevDirs = prev.dirs
       val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
-      if (Files.isDirectory(cdfDir)) {
+      // read-side crash recovery: a writer that died AFTER publishing
+      // the manifest but BEFORE moving its `_cdf` staging leaves a
+      // VISIBLE version with a stranded feed — no later commit ever
+      // collides with it (it's published), so commit-side ghost
+      // adoption can't heal it; the first change reader completes the
+      // staging instead. Young staging = the writer may still be alive
+      // mid-publish: refuse with a retry hint rather than stealing the
+      // move out from under it.
+      val recorded = Files.isDirectory(cdfDir) || (cur.cdf &&
+        (completeCdfStaging(name, v, cur, prev) match {
+          case CdfStagingDone => true
+          case CdfStagingAbsent => false
+          case CdfStagingYoung => throw new IllegalStateException(
+            s"$name version $v's recorded change rows are still in a " +
+              "freshly-staged dot-dir under _cdf — its writer may be " +
+              "mid-publish (or crashed moments ago); retry once the " +
+              "staging ages past the recovery grace period")
+        }))
+      if (recorded) {
         val kinds = Using.resource(Files.list(cdfDir))(_.iterator().asScala
           .map(_.getFileName.toString).filter(_.startsWith("__cdc="))
           .map(_.stripPrefix("__cdc=")).toSeq.sorted)

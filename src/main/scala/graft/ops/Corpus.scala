@@ -127,6 +127,57 @@ object Corpus {
       .select(col(idCol), col("__n").as("n_tokens"), col("stream_start"), col("bin"))
   }
 
+  /** Weighted DATA MIXING to per-source token budgets — the
+    * sampling-ratio step of training-corpus assembly (the published
+    * practice behind Pile/DoReMi-style source weights: each source
+    * contributes weight/weightDen of its token mass to the mix).
+    * Documents are laid on the seeded md5 permutation WITHIN their
+    * source (replayable anywhere md5 exists — never rand()) and taken
+    * in that order until the source's exclusive token prefix crosses
+    * budget = weight·src_total div weightDen; the boundary-straddling
+    * document is included (budget met within one document's
+    * granularity). All arithmetic is integer (src_start·weightDen <
+    * weight·src_total), so the selection is exact at any corpus size
+    * and bit-identical across engines.
+    *
+    * Scale shape: ONE global range-partitioned prefix sum ordered
+    * (source, skey, id) — sources are contiguous runs of the global
+    * order, so each source's exclusive prefix is recovered by
+    * subtracting the run's first stream_start, a source-cardinality
+    * aggregate broadcast back. Never a partitionBy(source) window:
+    * source cardinality is tiny (tens), and windowing the corpus by it
+    * would funnel 100 TB through |sources| tasks. Output is a pure
+    * function of (id, tokens, source, weight, seed). */
+  def weightedMix(df: DataFrame, idCol: String, tokensCol: String,
+                  sourceCol: String, weightCol: String, weightDen: Long,
+                  seed: Long, nPartitions: Int = 32): DataFrame = {
+    require(weightDen > 0, s"weightDen must be positive: $weightDen")
+    val (local, total) = rangePrefixSum(
+      df.select(col(idCol), tokensOrRaise(tokensCol).as("__n"),
+        col(sourceCol), col(weightCol).cast("long").as("__w"),
+        md5(concat(col(idCol).cast("string"), lit(s":$seed"))).as("skey")),
+      Seq(col(sourceCol), col("skey"), col(idCol)), nPartitions)
+    require(total <= Long.MaxValue / weightDen.max(1L),
+      s"prefix*weightDen would overflow a long: total=$total den=$weightDen")
+    val perSrc = local.groupBy(col(sourceCol)).agg(
+      min(col("stream_start")).as("__base"),
+      sum(col("__n")).as("src_total"),
+      max(col("__w")).as("__wmax"), min(col("__w")).as("__wmin"))
+    // a weight must be a SOURCE property; two values inside one source
+    // would make "its" budget ambiguous — refuse, don't pick. The check
+    // lives INSIDE the filter's weight operand (a dropped side-column
+    // would be pruned by Catalyst and never fire).
+    val wChecked = when(col("__wmax") =!= col("__wmin"),
+      raise_error(concat(lit("weightedMix: conflicting weights inside source "),
+        col(sourceCol))).cast("long")).otherwise(col("__w"))
+    local.join(broadcast(perSrc), Seq(sourceCol))
+      .withColumn("src_start", col("stream_start") - col("__base"))
+      .filter(col("src_start") * lit(weightDen) < wChecked * col("src_total"))
+      .select(col(idCol), col(sourceCol), col("__n").as("n_tokens"),
+        col("skey"), col("src_start"), col("src_total"),
+        expr(s"(__w * src_total) DIV $weightDen").as("budget_tokens"))
+  }
+
   /** Seeded deterministic corpus shuffle into ordered shards — the
     * "global shuffle" step before training-data serialization. Each
     * row's shuffle key is md5(id || ':' || seed): a uniform, replayable

@@ -150,6 +150,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedMix: per-source budgets hit within one document, partition-invariant, seeded") {
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 3000L).map { i =>
+      val src = s"s${(i % 5).toInt}"
+      val n = if (rnd.nextInt(40) == 0) 2000L + rnd.nextInt(3000)
+              else 1L + rnd.nextInt(80)
+      (i, src, n, (i % 5) % 4 + 1) // weights 1..4 per source, /8 of its mass
+    }.toDF("id", "source", "tok", "wgt")
+    def run(parts: Int): Array[(Long, String, Long, String, Long, Long, Long)] =
+      Corpus.weightedMix(docs.repartition(parts max 1), "id", "tok",
+          "source", "wgt", weightDen = 8L, seed = 3L, nPartitions = parts)
+        .as[(Long, String, Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    val a = run(1)
+    assert(a.sameElements(run(32)), "mix must not depend on partitioning")
+    val bySrc = a.groupBy(_._2)
+    val srcTotals = docs.groupBy(col("source")).agg(sum(col("tok")))
+      .as[(String, Long)].collect().toMap
+    bySrc.foreach { case (src, rows) =>
+      val budget = rows.head._7
+      val w = (src.stripPrefix("s").toLong % 4) + 1
+      assert(budget === w * srcTotals(src) / 8, s"$src budget")
+      val sel = rows.map(_._3).sum
+      val lastDoc = rows.maxBy(_._5) // largest src_start = boundary doc
+      // budget met, overshoot bounded by the straddling document
+      assert(sel >= budget && sel < budget + lastDoc._3,
+        s"$src selected $sel vs budget $budget (+doc ${lastDoc._3})")
+      // selection is exactly the permutation prefix: starts are a
+      // gapless cumsum of the selected docs' tokens
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).foreach { r =>
+        assert(r._5 === cum, s"$src start mismatch at id ${r._1}"); cum += r._3
+      }
+    }
+    // a different seed draws a different prefix (different documents)
+    val b = Corpus.weightedMix(docs, "id", "tok", "source", "wgt", 8L, seed = 99L)
+      .as[(Long, String, Long, String, Long, Long, Long)].collect()
+    assert(b.map(_._1).toSet !== a.map(_._1).toSet, "seed must change the draw")
+  }
+
+  test("weightedMix refuses conflicting weights inside one source") {
+    val df = Seq((1L, "s0", 10L, 1L), (2L, "s0", 10L, 2L), (3L, "s1", 10L, 1L))
+      .toDF("id", "source", "tok", "wgt")
+    val e = intercept[Exception](
+      Corpus.weightedMix(df, "id", "tok", "source", "wgt", 8L, 1L).collect())
+    assert(e.getMessage.contains("conflicting weights")
+      || String.valueOf(e.getCause).contains("conflicting weights"))
+  }
+
   test("prefix-sum ops raise on null token counts instead of silently " +
       "dropping rows into a null shard/bin") {
     val df = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null.asInstanceOf[java.lang.Long]))

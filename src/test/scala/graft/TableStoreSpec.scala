@@ -249,23 +249,25 @@ class TableStoreSpec extends AnyFunSuite {
     assert(got(7L) === "U" && got(3L) === "v3")
   }
 
-  test("concurrent-writer conflict fails loudly instead of losing a commit") {
+  test("a garbage manifest squatting the next slot fails loudly instead of losing a commit") {
     val ts = freshStore()
     ts.create("t", Seq((1L, "a")).toDF("id", "v"))
     // simulate a second writer that already committed version 1
     val ts2 = new TableStore(spark, ts.dataRoot("t").getParent.getParent.toString)
     ts2.append("t", Seq((2L, "b")).toDF("id", "v"))
-    // first writer raced: the next manifest slot is permanently taken by
-    // a writer that never advanced the pointer (crashed mid-commit).
-    // CREATE_NEW blocks every clobber attempt; the optimistic append
-    // rebase retries against the same poisoned slot (the pointer never
-    // moves, so every retry recomputes v=2) and must give up LOUDLY
-    // rather than overwrite or silently drop the commit.
+    // the next manifest slot is squatted by an UNPARSEABLE file (a torn
+    // legacy write, or external corruption). Hard-link publication
+    // blocks every clobber attempt; the append's ghost-adoption path
+    // tries to parse it, can't, and must refuse LOUDLY naming the file
+    // (pre-r10 it silently burned 50 retries against the same slot
+    // before giving up; a VALID squatter is now adopted instead — see
+    // CrashRecoverySpec).
     val vDir = ts.dataRoot("t").getParent.resolve("_v")
     java.nio.file.Files.write(vDir.resolve("2.json"), "{}".getBytes)
-    intercept[java.util.ConcurrentModificationException] {
+    val e = intercept[IllegalStateException] {
       ts.append("t", Seq((3L, "c")).toDF("id", "v"))
     }
+    assert(e.getMessage.contains("unreadable manifest"))
     // the pre-existing manifest was not clobbered, pointer still at v1
     assert(ts.currentVersion("t") === 1)
     assert(ts.read("t").count() === 2)
