@@ -321,6 +321,7 @@ class TableStore(spark: SparkSession, root: String) {
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     try Files.createLink(manifest(name, v), tmp)
     finally Files.deleteIfExists(tmp)
+    onAfterManifestLink() // deterministic crash/race injection (tests)
     // only the race WINNER reaches here — safe to cache and checkpoint
     // (re-stamped: the committed snapshot's base is now v itself, so a
     // cache hit never hands a later commit a stale version target)
@@ -603,6 +604,12 @@ class TableStore(spark: SparkSession, root: String) {
   /** Test hook: runs immediately before each optimistic manifest-write
     * attempt (deterministic interleaving of a "concurrent" writer). */
   private[graft] var onBeforeOptimisticCommit: () => Unit = () => ()
+
+  /** Test hook: fires between a commit's manifest hard-link and its
+    * `_LATEST` pointer move — the ghost window. Lets tests PAUSE a live
+    * publisher inside it deterministically and race adoption against
+    * it (CrashRecoverySpec), instead of reasoning the interleaving. */
+  private[graft] var onAfterManifestLink: () => Unit = () => ()
 
   /** Optimistic concurrency for APPEND-shaped commits, the Delta
     * conflict-resolution model restricted to its safe core: an append

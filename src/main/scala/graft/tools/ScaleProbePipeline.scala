@@ -182,8 +182,20 @@ object ScaleProbePipeline {
           .count()
       }
 
+      // x20 weighted mix: expect ~linear (one range prefix sum + a
+      // source-cardinality broadcast; source count stays constant as
+      // the corpus replicates, so no stage narrows with scale)
+      val (mixSec, nMix) = t {
+        graft.ops.Corpus.weightedMix(
+          c.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("tok"),
+            (expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1).as("wgt")),
+          "doc_id", "tok", "source", "wgt", weightDen = 8L, seed = 77L).count()
+      }
+
       println(f"""{"k":$k,"docs":${nBase * k},"passage_dedup_sec":$dedupSec%.2f,""" +
-        f""""dedup_docs":$nDocs,"dsir_sec":$dsirSec%.2f,"dsir_top":$nTop,""" +
+        f""""dedup_docs":$nDocs,"mix_sec":$mixSec%.2f,"mix_docs":$nMix,""" +
+        f""""dsir_sec":$dsirSec%.2f,"dsir_top":$nTop,""" +
         f""""exact_substr_sec":$substrSec%.2f,"substr_docs":$nSub,""" +
         f""""token_shards_sec":$shardSec%.2f,"shards":$nShards,""" +
         f""""repetition_sec":$repSec%.2f,"rep_docs":$nRep,""" +

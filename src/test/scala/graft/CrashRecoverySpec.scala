@@ -188,6 +188,59 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(Files.isDirectory(td.resolve("_cdf").resolve("2"))) // healed in place
   }
 
+  test("adoption racing a LIVE publisher: both commits land and the pointer never regresses") {
+    import scala.concurrent.{Await, Future, Promise}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    val root = ts.dataRoot("t").getParent.getParent.toString
+    // writer A pauses INSIDE the ghost window (manifest 1 linked,
+    // pointer not yet moved) — exactly where a crash would strand it
+    val inWindow = Promise[Unit]()
+    val resume = Promise[Unit]()
+    var fired = false
+    ts.onAfterManifestLink = () => if (!fired) {
+      fired = true
+      inWindow.success(())
+      Await.result(resume.future, 30.seconds)
+    }
+    val aDone = Future { ts.append("t", Seq((2L, "A")).toDF("id", "v")) }
+    Await.result(inWindow.future, 30.seconds)
+    // writer B (separate handle, no hook) collides with A's linked-but-
+    // unpublished manifest, adopts it, and commits on top
+    val tsB = new TableStore(spark, root)
+    tsB.append("t", Seq((3L, "B")).toDF("id", "v"))
+    assert(tsB.currentVersion("t") === 2L) // adopted v1 + B's v2
+    // A resumes: its own pointer move must NOT regress below B's commit
+    resume.success(())
+    Await.result(aDone, 30.seconds)
+    ts.onAfterManifestLink = () => ()
+    assert(ts.currentVersion("t") === 2L, "a late publisher must never rewind _LATEST")
+    assert(ts.read("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "A"), (3L, "B")))
+    assert(ts.readVersion("t", 1L).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "A"))) // the adopted version is A's, byte-faithful
+  }
+
+  test("a crashed streaming-epoch commit stays exactly-once: the restart adopts it and skips") {
+    val ts = freshStore()
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    // epoch 1 commits (v1 carries txns q->1), then the pointer move is
+    // lost to a crash
+    ts.attachStreamEpoch("t", queryId = "q", epochId = 1L, files = Seq.empty)
+    assert(ts.currentVersion("t") === 1L)
+    rewindLatest(ts, "t", 0L)
+    // the restarted sink re-attempts the SAME epoch: it must adopt the
+    // ghost, see its own txn watermark in it, and commit NOTHING new
+    ts.attachStreamEpoch("t", queryId = "q", epochId = 1L, files = Seq.empty)
+    assert(ts.currentVersion("t") === 1L,
+      "the retried epoch must dedupe against the adopted ghost, not double-commit")
+    // and a LATER epoch proceeds normally on top
+    ts.attachStreamEpoch("t", queryId = "q", epochId = 2L, files = Seq.empty)
+    assert(ts.currentVersion("t") === 2L)
+  }
+
   test("vacuum sweeps aged manifest-publication temps and keeps young ones") {
     val ts = freshStore()
     ts.create("t", Seq((1L, "a")).toDF("id", "v"))

@@ -56,7 +56,11 @@ class FlagshipHashSpec extends AnyFunSuite {
     // which the session caches by name, silently re-rooting every
     // later catalog suite.
     "t16_bpe_encode" -> "c27b192b668ee79a82434de3c7d33b8d",
-    "st18_stream_scd2_dim" -> "c935dcd7d13f714feed8db2979b0c18a")
+    "st18_stream_scd2_dim" -> "c935dcd7d13f714feed8db2979b0c18a",
+    // r10 additions, pinned from oracle-green tools/check.py runs at
+    // BOTH sf0.001 (this pin's scale) and sf0.01 (the driver's gate)
+    "x20_weighted_mix" -> "98b54e60be9033f7d9813aaeb582ed9d",
+    "m23_crash_adopt" -> "39267ba4107fd86954ae4e7a96269751")
 
   pinned.foreach { case (name, expected) =>
     test(s"flagship $name: sf0.001 result hash matches the oracle-green pin") {
