@@ -2423,6 +2423,12 @@ class TableStore(spark: SparkSession, root: String) {
       if (!dryRun)
         manifestCache.keySet.removeIf(k => k._1 == name && k._2 < keepVersions.head)
     }
+    // pointer-publication temps (_LATEST.tmp<v>-<uuid>) orphaned by a
+    // crash between their write and the atomic move — same age guard
+    Using.resource(Files.list(dir(name)))(_.iterator().asScala.toSeq)
+      .filter(p => p.getFileName.toString.startsWith("_LATEST.tmp") &&
+        sweepMtime(p) < System.currentTimeMillis() - 3600L * 1000)
+      .foreach(rmFile)
     // bloom sidecars of dirs no retained version references
     deleted ++= BloomIndex.sweep(bloomRoot(name), live, referenced,
       dryRun = dryRun)

@@ -247,12 +247,17 @@ class CrashRecoverySpec extends AnyFunSuite {
     val vDir = tableDir(ts, "t").resolve("_v")
     val aged = vDir.resolve(".m7-deadbeef")
     val young = vDir.resolve(".m8-cafebabe")
+    val agedPtr = tableDir(ts, "t").resolve("_LATEST.tmp7-deadbeef")
     Files.write(aged, "{}".getBytes(StandardCharsets.UTF_8))
     Files.write(young, "{}".getBytes(StandardCharsets.UTF_8))
+    Files.write(agedPtr, "7".getBytes(StandardCharsets.UTF_8))
     Files.setLastModifiedTime(aged,
+      FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600L * 1000))
+    Files.setLastModifiedTime(agedPtr,
       FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600L * 1000))
     ts.vacuum("t", retainVersions = 1)
     assert(!Files.exists(aged))
+    assert(!Files.exists(agedPtr))
     assert(Files.exists(young))
   }
 }
