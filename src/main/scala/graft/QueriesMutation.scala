@@ -1171,11 +1171,15 @@ object QueriesMutation {
         val (hugeT, hugeN) = st.pruneCount("t", col("qty") > lit(4999999999L))
         require(hugeT >= 1 && hugeT < hugeN,
           s"beyond-int predicate must isolate the post-widen dirs ($hugeT/$hugeN)")
+        // sum(DECIMAL(12,2)) would land at DECIMAL(22,2) — the
+        // HUGEINT-backed precision band where the cross-engine hash
+        // canonicalization diverges (x3, m22b-r10). Emit exact BIGINT
+        // cents instead; values are integral multiples of 0.01.
         st.read("t")
           .filter(col("qty") > lit(4999999999L) || col("qty") <= lit(q))
           .groupBy((col("o_orderkey") % 7).as("grp"))
           .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
-            sum(col("price")).as("sum_price"))
+            sum((col("price") * 100).cast("long")).as("sum_price_cents"))
       },
       Some("""WITH qq AS (SELECT GREATEST(max(o_orderkey) // 4, 1) AS q FROM orders),
              |t AS (SELECT o_orderkey, CAST(o_orderkey AS BIGINT) AS qty,
@@ -1187,7 +1191,7 @@ object QueriesMutation {
              |      FROM orders WHERE o_orderkey % 97 = 0)
              |SELECT o_orderkey % 7 AS grp, count(*) AS n,
              |  CAST(sum(qty) AS BIGINT) AS sum_qty,
-             |  CAST(sum(price) AS DECIMAL(22,2)) AS sum_price
+             |  CAST(sum(CAST(price * 100 AS BIGINT)) AS BIGINT) AS sum_price_cents
              |FROM t, qq WHERE qty > 4999999999 OR qty <= qq.q
              |GROUP BY 1""".stripMargin)),
 
@@ -1256,6 +1260,53 @@ object QueriesMutation {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
              |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
              |FROM t GROUP BY 1""".stripMargin)),
+
+    // ---- m24: MERGE WITH SCHEMA EVOLUTION (r10 VERDICT #4 — Delta's
+    //      withSchemaEvolution()): an upstream adds a column AND widens
+    //      a column mid-merge. The store widens qty int→bigint through
+    //      the m22 metadata-only path, adds `price` (old rows read
+    //      NULL), keeps `status` on matched rows (the source doesn't
+    //      carry it) and NULLs it on inserted rows — UPDATE SET * /
+    //      INSERT * semantics. The oracle replays add-column + upsert
+    //      as one pure-SQL full-outer join. ----
+    "m24_merge_evolve" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m24_evolve")
+        val orders = Tables.orders(s, dir)
+        st.create("t", orders.filter(col("o_orderkey") % 2 === 0).select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("int").as("qty"),
+          col("o_orderstatus").as("status")))
+        val source = orders.filter(col("o_orderkey") % 3 === 0).select(
+          col("o_orderkey"),
+          (col("o_orderkey").cast("long") + 5000000000L).as("qty"), // beyond int
+          col("o_totalprice").as("price")) // NEW column; no `status`
+        st.mergeUpsertEvolve("t", source, Seq("o_orderkey"),
+          changeTypeCol = None)
+        val sch = st.read("t").schema
+        require(sch("qty").dataType == org.apache.spark.sql.types.LongType,
+          s"qty must have widened to BIGINT, got ${sch("qty").dataType}")
+        require(sch.fieldNames.toSeq == Seq("o_orderkey", "qty", "status", "price"),
+          s"evolved schema drifted: ${sch.fieldNames.mkString(",")}")
+        // the widen + add-column must both have been metadata-only: the
+        // create's data dirs are still live verbatim after them (only
+        // the merge itself rewrote — it commits LAST)
+        require(st.readVersion("t", st.currentVersion("t") - 1)
+          .schema.fieldNames.contains("price"),
+          "add-column must commit before the merge's data commit")
+        st.read("t")
+      },
+      Some("""WITH t AS (SELECT o_orderkey, CAST(o_orderkey AS INT) AS qty,
+             |             o_orderstatus AS status
+             |           FROM orders WHERE o_orderkey % 2 = 0),
+             |     s AS (SELECT o_orderkey,
+             |             CAST(o_orderkey AS BIGINT) + 5000000000 AS qty,
+             |             o_totalprice AS price
+             |           FROM orders WHERE o_orderkey % 3 = 0)
+             |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+             |  CAST(COALESCE(s.qty, t.qty) AS BIGINT) AS qty,
+             |  t.status AS status, s.price AS price
+             |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""".stripMargin)),
 
     // ---- m20: INSERT OVERWRITE ... WHERE (Delta's replaceWhere) —
     //      atomically replace exactly the predicate's region with new

@@ -31,8 +31,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // refuse hash-fragile output types on oracle-checked queries
+        // BEFORE dumping: a silent cross-engine canonicalization
+        // mismatch becomes an explicit red with the fix in the message
+        if (SparkEntry.oracleSql.contains(name))
+          OracleTypeLint.check(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         // a thrown query must NOT read as an absent-therefore-ignored
         // entry (r5: 13 broken queries vanished silently). Write a

@@ -52,6 +52,13 @@ object TableStore {
     def expr: Column = pmod(hash(keys.map(col): _*), lit(n))
   }
 
+  /** Per-table-path monitor serializing `_LATEST` pointer moves for
+    * every same-process writer, whatever TableStore instance they hold
+    * (tests and the catalog routinely open several stores on one root).
+    * Entries are tiny and tables finite; never evicted. */
+  private[core] val latestPtrLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Deletion-vector reference for one dir: `path` names a sidecar
     * parquet dataset under `_dv/` holding (relpath, pos) rows — the
     * file-relative row positions deleted from this dir — and `deleted`
@@ -307,20 +314,33 @@ class TableStore(spark: SparkSession, root: String) {
       catch { case _: java.nio.file.NoSuchFileException => None }
     val body = prev.flatMap(p => encodeDelta(v - 1, p, m)).getOrElse(encodeFull(m))
     // Atomic put-if-absent publication: write the full body to a tmp
-    // file, then HARD-LINK it to the version path — link(2) fails with
-    // EEXIST when the target exists, so two writers racing to commit
-    // the same next version still collide loudly (the role the
-    // object-store put-if-absent plays in Delta's log protocol), and
-    // the published file is always COMPLETE (a link exposes a finished
-    // inode; the previous CREATE_NEW + write could crash mid-write and
-    // leave a TORN manifest at v that wedged every later commit).
+    // file, fsync it, then HARD-LINK it to the version path — link(2)
+    // fails with EEXIST when the target exists, so two writers racing
+    // to commit the same next version still collide loudly (the role
+    // the object-store put-if-absent plays in Delta's log protocol),
+    // and the published file is always COMPLETE: the link exposes a
+    // finished inode (process crash) whose BYTES are durable before it
+    // becomes reachable (the force() covers power/OS crash — without
+    // it the linked manifest could still be torn and read as a wedged
+    // table). The directory fsync making the link itself durable is
+    // best-effort: losing the LINK to a power crash just re-exposes
+    // the pre-commit state, which is the normal crash contract.
     // Orphaned tmp files from a crash between write and link are junk
     // under _v/ that vacuum's dot-file age sweep can collect.
     val tmp = dir(name).resolve("_v")
       .resolve(s".m$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(manifest(name, v), tmp)
-    finally Files.deleteIfExists(tmp)
+    Using.resource(java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)) { ch =>
+      ch.write(java.nio.ByteBuffer.wrap(body.getBytes(StandardCharsets.UTF_8))): Unit
+      ch.force(true)
+    }
+    try {
+      Files.createLink(manifest(name, v), tmp)
+      try Using.resource(java.nio.channels.FileChannel.open(
+        tmp.getParent, java.nio.file.StandardOpenOption.READ))(_.force(true))
+      catch { case _: java.io.IOException => () } // dir fsync unsupported here
+    } finally Files.deleteIfExists(tmp)
     onAfterManifestLink() // deterministic crash/race injection (tests)
     // only the race WINNER reaches here — safe to cache and checkpoint
     // (re-stamped: the committed snapshot's base is now v itself, so a
@@ -552,9 +572,15 @@ class TableStore(spark: SparkSession, root: String) {
 
   private def writeBatch(name: String, d: DataFrame, v: Long,
                          meta: Manifest,
-                         extraPhys: Seq[Column] = Nil): Seq[String] = {
+                         extraPhys: Seq[Column] = Nil,
+                         uuid: Option[String] = None): Seq[String] = {
     val physCols = meta.schema.map(f => col(f.name).as(meta.phys(f.name)))
-    val batch = f"b$v%09d-" + java.util.UUID.randomUUID.toString.take(8)
+    // CDF-staging writers pass their commit-local uuid so the batch dir
+    // shares it with the `.v<v>-<uuid>` staging (and any DV sidecar) —
+    // completeCdfStaging identifies a crashed writer's staging by that
+    // shared uuid (commitDelta/commitCdc already share theirs)
+    val batch = f"b$v%09d-" +
+      uuid.getOrElse(java.util.UUID.randomUUID.toString.take(8))
     val target = dir(name).resolve("data").resolve(batch)
     meta.bucketing match {
       case Some(b) =>
@@ -697,10 +723,26 @@ class TableStore(spark: SparkSession, root: String) {
   private def commitWithCdf(name: String, v: Long, m: Manifest,
                             stagedCdf: Option[Path]): Unit =
     try {
+      // refresh the staging's mtime NOW: it was set when the CDF rows
+      // finished writing, but the commit still runs the (unbounded)
+      // stats/bloom/row-tracking phase before the manifest link — a
+      // slow LIVE writer's staging could age past ghostStagingGraceMs
+      // and get adopted out from under it mid-publish
+      stagedCdf.foreach(s => Files.setLastModifiedTime(s,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())))
       commitExclusive(name, v, m, "row-level mutation")
       stagedCdf.foreach { s =>
-        Files.move(s, dir(name).resolve("_cdf").resolve(v.toString),
-          StandardCopyOption.ATOMIC_MOVE): Unit
+        val target = dir(name).resolve("_cdf").resolve(v.toString)
+        try Files.move(s, target, StandardCopyOption.ATOMIC_MOVE): Unit
+        catch {
+          // only v's committer (us — commitExclusive succeeded) or an
+          // adopter of v can create _cdf/<v>; the staging vanishing
+          // with the target in place means an adopter completed OUR
+          // move (we stalled past the grace window). The commit landed
+          // — failing here would make the caller retry and double-apply
+          case _: java.nio.file.NoSuchFileException
+              if Files.isDirectory(target) => ()
+        }
       }
     } catch {
       case e: Throwable =>
@@ -836,21 +878,50 @@ class TableStore(spark: SparkSession, root: String) {
         .filter(_.getFileName.toString.startsWith(s".v$v-")).toSeq)
     val matching = stagings.filter(p =>
       newUuids.contains(p.getFileName.toString.stripPrefix(s".v$v-")))
+    def adopt(one: Path): CdfStagingOutcome = {
+      val age = System.currentTimeMillis() -
+        Files.getLastModifiedTime(one).toMillis
+      if (age < ghostStagingGraceMs) CdfStagingYoung
+      else {
+        Files.move(one, cdfV, StandardCopyOption.ATOMIC_MOVE)
+        CdfStagingDone
+      }
+    }
+    // a rewrite-shaped delta (dirs both dropped AND added) is the one
+    // shape the change reader cannot synthesize from the manifest diff
+    val rewriteShaped = prev.dirs.exists(d => !m.dirs.contains(d)) &&
+      m.dirs.exists(d => !prev.dirs.contains(d))
     matching match {
-      case Seq(one) =>
-        val age = System.currentTimeMillis() -
-          Files.getLastModifiedTime(one).toMillis
-        if (age < ghostStagingGraceMs) CdfStagingYoung
-        else {
-          Files.move(one, cdfV, StandardCopyOption.ATOMIC_MOVE)
-          CdfStagingDone
-        }
+      case Seq(one) => adopt(one)
+      case Seq() if stagings.sizeIs == 1 && rewriteShaped =>
+        // uuid match can fail legitimately: a replaceWhere-shaped
+        // commit whose manifest delta carries NO artifact sharing the
+        // staging's uuid (an externally-staged DSv2 batch dir is named
+        // by the executor's own uuid). With exactly ONE `.v<v>-*`
+        // candidate it can only be v's writer's — adopt it under the
+        // same grace rule, but ONLY for a rewrite-shaped delta: the
+        // restriction means a stale crashed-LOSER staging can never be
+        // mis-adopted onto an append- or drop-shaped ghost (those
+        // synthesize exactly from the manifest diff and must not
+        // prefer a stranger's recorded rows — their stranded staging
+        // is junk for vacuum's age sweep).
+        adopt(stagings.head)
+      case Seq() if stagings.sizeIs > 1 && rewriteShaped =>
+        // the version NEEDS a recorded feed (rewrite-shaped) but no
+        // candidate is identifiable — silent Absent here would publish
+        // a permanently feed-less version; refuse instead
+        throw new IllegalStateException(
+          s"table $name version $v rewrote dirs and has ${stagings.size} " +
+            s"change-feed staging candidates, none sharing its manifest " +
+            s"uuids (${stagings.map(_.getFileName).mkString(", ")}) — " +
+            "cannot tell which belongs to the committed manifest; repair " +
+            "manually before retrying")
       case Seq() => CdfStagingAbsent
       case many => throw new IllegalStateException(
-        s"table $name version $v has ${many.size} change-feed staging " +
-          s"dirs matching its uuids (${many.map(_.getFileName).mkString(", ")}) " +
-          "— cannot tell which belongs to the committed manifest; " +
-          "repair manually before retrying")
+        s"table $name version $v has ${stagings.size} change-feed staging " +
+          s"dirs of which ${many.size} match its manifest uuids " +
+          s"(${many.map(_.getFileName).mkString(", ")}) — cannot tell which " +
+          "belongs to the committed manifest; repair manually before retrying")
     }
   }
 
@@ -959,24 +1030,34 @@ class TableStore(spark: SparkSession, root: String) {
     * skipped when the current value is already >= v, so a straggler
     * (e.g. a ghost adoption racing the ghost's still-alive writer, or
     * that writer's own late publish) can never regress the table below
-    * a commit readers have already seen. The read-then-move is TOCTOU
-    * racy in principle, but every writer only ever moves the pointer
-    * FORWARD, so the losing order of any interleaving still lands on
-    * the max. (DROP + re-CREATE restarting at v=0 is fine: drop removes
-    * the pointer file, so the guard sees no current value.) */
+    * a commit readers have already seen. Read-then-move is TOCTOU racy
+    * on its own (a publisher stalled between the read and the move
+    * could overwrite a HIGHER pointer landed meanwhile, briefly
+    * regressing the version for readers), so same-process publishers —
+    * the only writers this single-driver engine has; every store
+    * instance on the root shares the monitor — serialize on a
+    * per-table-path lock. A hypothetical cross-process publisher
+    * outside this JVM would still self-heal at its next commit via
+    * ghost adoption. (DROP + re-CREATE restarting at v=0 is fine: drop
+    * removes the pointer file, so the guard sees no current value.) */
   private def publishLatest(name: String, v: Long): Unit = {
-    val cur = try Some(new String(Files.readAllBytes(latestPtr(name)),
-      StandardCharsets.UTF_8).trim.toLong)
-    catch { case _: java.io.IOException => None }
-    if (cur.exists(_ >= v)) return
-    // uuid suffix: two publishers of the SAME v (adoption racing the
-    // ghost's live writer) must not share a tmp path — the loser's
-    // move would throw NoSuchFileException after the winner consumed it
-    val tmp = dir(name).resolve(
-      s"_LATEST.tmp$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING): Unit
+    val lock = TableStore.latestPtrLocks
+      .computeIfAbsent(dir(name).toAbsolutePath.normalize.toString,
+        _ => new Object)
+    lock.synchronized {
+      val cur = try Some(new String(Files.readAllBytes(latestPtr(name)),
+        StandardCharsets.UTF_8).trim.toLong)
+      catch { case _: java.io.IOException => None }
+      if (cur.exists(_ >= v)) return
+      // uuid suffix: two publishers of the SAME v (adoption racing the
+      // ghost's live writer) must not share a tmp path — the loser's
+      // move would throw NoSuchFileException after the winner consumed it
+      val tmp = dir(name).resolve(
+        s"_LATEST.tmp$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    }
   }
 
   private def scanDirs(dirs: Seq[String], name: String, schema: StructType): DataFrame =
@@ -1183,7 +1264,8 @@ class TableStore(spark: SparkSession, root: String) {
     val postimage = enforceChecks(
       staged.select(outRid: _*).select(conformRid: _*), m.allChecks)
     val newDirs = writeBatch(name, postimage, v, m,
-      extraPhys = if (tracking) Seq(col(RidCol)) else Nil)
+      extraPhys = if (tracking) Seq(col(RidCol)) else Nil,
+      uuid = Some(uuid))
     // tombstones: fresh positions + the prior DVs of dirs gaining new
     // ones, merged so each dir keeps exactly one sidecar reference
     val dvName = s"dv-$v-$uuid"
@@ -1522,7 +1604,8 @@ class TableStore(spark: SparkSession, root: String) {
         lit("overwriteWhere: incoming row does not satisfy the replace " +
           s"predicate ($condition)")).isNull)
     replaceRegionCommit(name, m, condition,
-      newDirsOf = v => writeBatch(name, enforceChecks(incoming, m.allChecks), v, m),
+      newDirsOf = (v, uuid) => writeBatch(name,
+        enforceChecks(incoming, m.allChecks), v, m, uuid = Some(uuid)),
       extraProps = idProps)
   }
 
@@ -1553,7 +1636,7 @@ class TableStore(spark: SparkSession, root: String) {
         s"REPLACE WHERE on $name: staged rows do not satisfy the replace " +
           s"predicate ($condition) — nothing committed")
     requireChecksPass(name, m, dirs)
-    replaceRegionCommit(name, m, condition, newDirsOf = _ => dirs,
+    replaceRegionCommit(name, m, condition, newDirsOf = (_, _) => dirs,
       extraProps = Map.empty,
       statsAbsentIsNull = false) // external writer, like attachDir
   }
@@ -1570,7 +1653,7 @@ class TableStore(spark: SparkSession, root: String) {
     * the rows actually committed, and even a deterministic plan would
     * pay a full second run. */
   private def replaceRegionCommit(name: String, m: Manifest, condition: Column,
-                                  newDirsOf: Long => Seq[String],
+                                  newDirsOf: (Long, String) => Seq[String],
                                   extraProps: Map[String, String],
                                   statsAbsentIsNull: Boolean = true): Unit = {
     val v = m.baseVersion + 1
@@ -1605,7 +1688,7 @@ class TableStore(spark: SparkSession, root: String) {
       }
       val dropped = perDir.keySet.filter(d => perDir(d) == liveCount(d))
       val partial = (perDir.keySet -- dropped).toSeq.sorted
-      val newDirs = newDirsOf(v)
+      val newDirs = newDirsOf(v, uuid)
       // DV sidecar only for partially-replaced dirs (+ their prior DVs,
       // merged so each dir keeps exactly one sidecar reference)
       val dvName = s"dv-$v-$uuid"
@@ -1715,34 +1798,45 @@ class TableStore(spark: SparkSession, root: String) {
     * Existing rows read the new columns as NULL; columns the table has
     * but `df` lacks are filled with NULL for the new rows. */
   def appendEvolve(name: String, df: DataFrame): Unit = {
-    val cur = schemaOf(name)
-    // canonicalize source names to the TABLE's case first: the match
-    // below is case-insensitive (Spark's default resolution), but the
-    // downstream conform() is exact-case — without the rename a source
-    // column differing only in case would be neither added, nor
-    // null-filled, nor accepted ("missing columns: …")
-    val canonical = cur.fields.map(f => f.name.toLowerCase -> f.name).toMap
-    // collision check BEFORE renaming: a source carrying two columns
-    // differing only in case ('Id' and 'id') would otherwise rename one
-    // onto the other and fail later resolution with an opaque ambiguity
-    // error — or silently pick one (r8 ADVICE)
-    val dupes = df.columns.groupBy(_.toLowerCase).filter(_._2.length > 1)
-    require(dupes.isEmpty,
-      "appendEvolve: source columns collide case-insensitively: " +
-        dupes.values.map(_.mkString("/")).mkString(", "))
-    val src = df.columns.foldLeft(df) { (d, c) =>
-      canonical.get(c.toLowerCase).filter(_ != c)
-        .map(t => d.withColumnRenamed(c, t)).getOrElse(d)
-    }
-    val curNames = cur.fieldNames.map(_.toLowerCase).toSet
-    val added = src.schema.fields.filterNot(f => curNames.contains(f.name.toLowerCase))
-      .map(_.copy(nullable = true))
-    if (added.nonEmpty) addColumns(name, StructType(added))
+    val src = canonicalizeForEvolve(name, df, "appendEvolve")
+    evolveAddColumns(name, src)
     val widened = schemaOf(name)
     val have = src.columns.map(_.toLowerCase).toSet
     val filled = widened.fields.filterNot(f => have.contains(f.name.toLowerCase))
       .foldLeft(src)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
     append(name, filled)
+  }
+
+  /** Shared first step of every schema-evolving write: canonicalize
+    * source names to the TABLE's case (the match is case-insensitive —
+    * Spark's default resolution — but the downstream conform() is
+    * exact-case: without the rename a source column differing only in
+    * case would be neither added, nor null-filled, nor accepted), with
+    * the collision check BEFORE renaming — a source carrying two
+    * columns differing only in case ('Id' and 'id') would otherwise
+    * rename one onto the other and fail later resolution with an
+    * opaque ambiguity error, or silently pick one (r8 ADVICE). */
+  private def canonicalizeForEvolve(name: String, df: DataFrame,
+                                    op: String): DataFrame = {
+    val cur = schemaOf(name)
+    val canonical = cur.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    val dupes = df.columns.groupBy(_.toLowerCase).filter(_._2.length > 1)
+    require(dupes.isEmpty,
+      s"$op: source columns collide case-insensitively: " +
+        dupes.values.map(_.mkString("/")).mkString(", "))
+    df.columns.foldLeft(df) { (d, c) =>
+      canonical.get(c.toLowerCase).filter(_ != c)
+        .map(t => d.withColumnRenamed(c, t)).getOrElse(d)
+    }
+  }
+
+  /** Add `src`'s table-absent columns (nullable, metadata-only — one
+    * [[addColumns]] commit; existing rows read them as NULL). */
+  private def evolveAddColumns(name: String, src: DataFrame): Unit = {
+    val curNames = schemaOf(name).fieldNames.map(_.toLowerCase).toSet
+    val added = src.schema.fields.filterNot(f => curNames.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true))
+    if (added.nonEmpty) addColumns(name, StructType(added))
   }
 
   /** OPTIMIZE-style compaction: rewrite the accumulated dirs as one
@@ -2571,9 +2665,19 @@ class TableStore(spark: SparkSession, root: String) {
                   matchedChangeType: String = "MERGE",
                   insertChangeType: String = "MERGE",
                   changeTypeCol: Option[String] = Some("delta_change_type"),
-                  verifyUniqueSource: Boolean = true): Unit = {
+                  verifyUniqueSource: Boolean = true,
+                  sourceProvided: Option[Set[String]] = None): Unit = {
     val m = readManifest(name, currentVersion(name))
     import m.{schema, dirs, bucketing}
+    // `sourceProvided` (set by mergeUpsertEvolve): the columns the
+    // caller's source ACTUALLY carries. Unprovided columns follow the
+    // Delta UPDATE SET * / INSERT * evolution contract — matched rows
+    // KEEP their target value, inserted rows get NULL — which the
+    // full-outer join's target side already encodes (col(c) is the
+    // kept value on a match and NULL on a source-only row).
+    sourceProvided.foreach(p => require(keys.forall(p.contains),
+      s"merge keys must be source-provided: ${keys.filterNot(p.contains).mkString(",")}"))
+    val provided: Set[String] = sourceProvided.getOrElse(schema.fieldNames.toSet)
     val src = conform(source, schema)
     // ONE pass over the source serves BOTH the M6 uniqueness gate and
     // the bucket prune's distinct bucket ids (a bucket is a pure
@@ -2608,6 +2712,7 @@ class TableStore(spark: SparkSession, root: String) {
         when(both, lit(matchedChangeType))
           .when(sMatched, lit(insertChangeType))
           .otherwise(col(c)).as(c)
+      else if (!provided.contains(c)) col(c).as(c) // keep on match, NULL on insert
       else when(sMatched, col(s"__s_$c")).otherwise(col(c)).as(c)
     }
     // row tracking: matched/carried rows keep their resolved id (the
@@ -2631,6 +2736,61 @@ class TableStore(spark: SparkSession, root: String) {
       commitCdc(name, m.copy(bucketing = b),
         explodeKinds(joined, arr, schema, ridNames(m)), carried)
     }
+  }
+
+  /** MERGE upsert WITH SCHEMA EVOLUTION (Delta's `WITH SCHEMA
+    * EVOLUTION` / `withSchemaEvolution()`) — the merge a migration hits
+    * the first time an upstream adds or widens a column mid-merge
+    * (reference evolves this by hand: Silver_Layer_Developer_Guide.md:
+    * 140-153):
+    *   - source columns ABSENT from the target are added first
+    *     (nullable, metadata-only; old generations read NULL);
+    *   - common columns whose source type is STRICTLY WIDER ride the
+    *     [[alterColumnType]] widening path (metadata-only for
+    *     parquet-decodable widenings — int→bigint, float→double …;
+    *     illegal targets refuse loudly there, e.g. decimals past the
+    *     precision-18 layout);
+    *   - target columns the source lacks keep their value on MATCHED
+    *     rows and land NULL on inserted rows (UPDATE SET * / INSERT *);
+    *   - then the ordinary [[mergeUpsert]] runs.
+    * The evolution commits are separate metadata-only versions before
+    * the merge's data commit — each atomic, so a crash between them
+    * leaves only a benign wider schema. At 100 TB: evolution costs
+    * manifest commits, never a data rewrite, and the merge itself keeps
+    * the bucket-pruned/one-shuffle shape. */
+  def mergeUpsertEvolve(name: String, source: DataFrame, keys: Seq[String],
+                        matchedChangeType: String = "MERGE",
+                        insertChangeType: String = "MERGE",
+                        changeTypeCol: Option[String] = Some("delta_change_type"),
+                        verifyUniqueSource: Boolean = true): Unit = {
+    val src = canonicalizeForEvolve(name, source, "mergeUpsertEvolve")
+    // widen BEFORE adding columns: both walk the current schema, and a
+    // widening is only attempted for columns that already exist
+    val cur = schemaOf(name)
+    src.schema.fields.foreach { f =>
+      cur.fields.find(_.name == f.name).foreach { tf =>
+        if (tf.dataType != f.dataType &&
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(tf.dataType, f.dataType))
+          alterColumnType(name, tf.name, f.dataType)
+        // a NARROWER source column just casts up through conform below
+        // (Delta's default implicit-cast behavior); a non-up-castable
+        // mismatch fails conform's cast contract loudly downstream
+      }
+    }
+    evolveAddColumns(name, src)
+    val widened = schemaOf(name)
+    val provided = src.columns.toSet
+    require(keys.forall(provided.contains),
+      s"mergeUpsertEvolve: source lacks merge key(s): " +
+        keys.filterNot(provided.contains).mkString(","))
+    // null-fill the unprovided columns only to satisfy conform's
+    // all-columns contract — mergeUpsert's `sourceProvided` ensures the
+    // fills are never written over matched rows' kept values
+    val filled = widened.fields.filterNot(f => provided.contains(f.name))
+      .foldLeft(src)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    mergeUpsert(name, filled, keys, matchedChangeType, insertChangeType,
+      changeTypeCol, verifyUniqueSource, sourceProvided = Some(provided))
   }
 
   /** MERGE delete (M3): delete target rows whose keys appear in keysDf

@@ -301,4 +301,62 @@ class TypeWideningSpec extends AnyFunSuite {
       "SELECT count(*) FROM graft_decpush.b WHERE amt = 7.00")
       .head().getLong(0) === 1L)
   }
+
+  test("mergeUpsertEvolve widens across the merge (int→bigint rides the " +
+      "metadata-only path) and adds the source's new column") {
+    val ts = fresh()
+    ts.create("t", (1 to 100).map(i => (i.toLong, i, s"s$i"))
+      .toDF("k", "qty", "status"))
+    val v0 = ts.currentVersion("t")
+    // source: qty BIGINT beyond int range, NEW col price, NO status
+    val src = Seq((2L, Int.MaxValue.toLong + 2L, 0.5),
+        (101L, Int.MaxValue.toLong + 101L, 1.5))
+      .toDF("k", "qty", "price")
+    ts.mergeUpsertEvolve("t", src, Seq("k"), changeTypeCol = None)
+    val sch = ts.schemaOf("t")
+    assert(sch("qty").dataType === LongType)
+    assert(sch.fieldNames.toSeq === Seq("k", "qty", "status", "price"))
+    // the widen and add-column are metadata-only commits BEFORE the
+    // merge's data commit: widen at v0+1, add at v0+2, merge at v0+3
+    assert(ts.currentVersion("t") === v0 + 3)
+    assert(ts.readVersion("t", v0 + 1).schema("qty").dataType === LongType)
+    assert(ts.readVersion("t", v0 + 2).schema.fieldNames.contains("price"))
+    val out = ts.read("t")
+    // matched row: qty updated past int range, status KEPT, price set
+    val r2 = out.filter(col("k") === 2L).head()
+    assert(r2.getLong(out.columns.indexOf("qty")) === Int.MaxValue.toLong + 2L)
+    assert(r2.getString(out.columns.indexOf("status")) === "s2")
+    assert(r2.getDouble(out.columns.indexOf("price")) === 0.5)
+    // untouched row: old narrow value decodes wide, price NULL
+    val r3 = out.filter(col("k") === 3L).head()
+    assert(r3.getLong(out.columns.indexOf("qty")) === 3L)
+    assert(r3.isNullAt(out.columns.indexOf("price")))
+    // inserted row: status NULL (source never carried it)
+    val r101 = out.filter(col("k") === 101L).head()
+    assert(r101.isNullAt(out.columns.indexOf("status")))
+    assert(r101.getDouble(out.columns.indexOf("price")) === 1.5)
+    assert(out.count() === 101L)
+  }
+
+  test("mergeUpsertEvolve guards: case-colliding source refused; missing " +
+      "merge key refused; unwidenable decimal target refuses loudly") {
+    val ts = fresh()
+    ts.create("t", Seq((1L, BigDecimal("1.00"))).toDF("k", "amt")
+      .select(col("k"), col("amt").cast(DecimalType(12, 2)).as("amt")))
+    val collide = Seq((1L, 1, 2)).toDF("k", "Amt", "amt")
+    val e1 = intercept[IllegalArgumentException](
+      ts.mergeUpsertEvolve("t", collide, Seq("k"), changeTypeCol = None))
+    assert(e1.getMessage.contains("collide case-insensitively"))
+    val noKey = Seq((1, 2)).toDF("amt2", "amt3")
+    val e2 = intercept[IllegalArgumentException](
+      ts.mergeUpsertEvolve("t", noKey, Seq("k"), changeTypeCol = None))
+    assert(e2.getMessage.contains("lacks merge key"))
+    // widening amt to DECIMAL(22,2) is canUpCast but outside the
+    // writer's INT64 layout — alterColumnType's loud refusal surfaces
+    val wide = Seq((1L, BigDecimal("2.00"))).toDF("k", "amt")
+      .select(col("k"), col("amt").cast(DecimalType(22, 2)).as("amt"))
+    val e3 = intercept[IllegalArgumentException](
+      ts.mergeUpsertEvolve("t", wide, Seq("k"), changeTypeCol = None))
+    assert(e3.getMessage.contains("precision 18"))
+  }
 }
