@@ -226,6 +226,12 @@ object Bench {
     // the last pass ships as `unvalidated` — an explicit statement that
     // those timings never got a clean measurement window.
     val remeasured = scala.collection.mutable.LinkedHashSet.empty[String]
+    // r10 VERDICT #5: the contended first-pass samples are evidence of
+    // HOW contended the run was — snapshot them before the re-run loop
+    // overwrites timings with validated minima, and ship the pair for
+    // every suspect query in bench_full (stdout stays counts-only)
+    val firstPass: Map[String, Double] =
+      timings.view.filterKeys(suspect.contains).toMap
     def probeCleanNow(): Boolean = {
       val c = canaryProbe(); val cio = canaryIoProbe()
       canaries += c; canariesIo += cio
@@ -277,6 +283,7 @@ object Bench {
         s""""suspect":${jsonArr(unvalidated)},""" +
         s""""unvalidated":${jsonArr(unvalidated)},""" +
         s""""remeasured":${jsonArr(remeasured.toSeq)},""" +
+        s""""first_pass":${jsonMap(firstPass.toSeq.sortBy(_._1))},""" +
         s""""intervals":${intervalOf.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")},""" +
         s""""canaries_sec":${jsonNums(canaries.toSeq)},""" +
         s""""canaries_io_sec":${jsonNums(canariesIo.toSeq)},""" +

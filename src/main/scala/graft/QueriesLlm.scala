@@ -441,7 +441,7 @@ object QueriesLlm {
     * fixed 64-bit signature did. A close pair (bit-agreement p) still
     * collides somewhere with prob 1-(1-p^bandBits)^16; the recall gate
     * guards the floor at every derived width. */
-  private[graft] def annLshCore(n: DataFrame, bandBits: Int = 4): DataFrame = {
+  private[graft] def annLshCandidates(n: DataFrame, bandBits: Int): DataFrame = {
     val dims = 64
     val nBands = 16
     // deterministic +-1 hyperplanes from a splitmix-style bit stream
@@ -466,12 +466,18 @@ object QueriesLlm {
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     // dedup candidates on ids BEFORE attaching vectors: distinct over
     // (long, long) shuffles 16 bytes/row, not 2x64 floats
-    val candIds = bands
+    bands
       .join(bands.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"))
       .distinct()
+  }
+
+  /** e3's full approximate top-k: candidate generation above, then exact
+    * cosine on the candidates only and per-query top-5. */
+  private[graft] def annLshCore(n: DataFrame, bandBits: Int = 4): DataFrame = {
+    val candIds = annLshCandidates(n, bandBits)
     val scored = candIds
       .join(n.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), Seq("cand_id"))
       .join(broadcast(n.filter(col("vec_id") < 10)
@@ -991,6 +997,62 @@ object QueriesLlm {
              |SELECT asg.vec_id, asg.cell,
              |  asg.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
              |FROM asg""".stripMargin)),
+
+    // ---- x21: dedup-before-index composite (r10 VERDICT stretch) —
+    //      the "dedup is load-bearing for ANN" claim made
+    //      driver-visible. The e3 scale evidence says DUPLICATION
+    //      DENSITY, not corpus size, drives the LSH band-join cost
+    //      (every dup cluster of size c shares identical signatures,
+    //      so it multiplies each of its buckets' candidate fan-out by
+    //      c), and the d-family is the documented mitigation. This
+    //      query runs the pipeline end-to-end: synthesize a
+    //      duplication-dense corpus (every 3rd vector + 4 bit-identical
+    //      copies), d1-style exact dedup (hash-groupBy on the vector,
+    //      min-id keeper), then e3's banded LSH on the deduped corpus —
+    //      and gates on BOTH faces: recall >= 0.8 vs the exact top-k
+    //      (dedup didn't break the index) AND candidate count reduced
+    //      >= 1.8x vs indexing the duplicated corpus at the SAME band
+    //      geometry (dedup actually paid). Both booleans hash against
+    //      literal TRUE in the oracle, so a regression on either face
+    //      is a red CORRECTNESS row, not a buried log line. ----
+    "x21_dedup_then_lsh" -> QDef(
+      (s, dir) => {
+        // one materialization; raw/dedup/truth/approx all reuse it
+        val n = normed(s, dir).localCheckpoint()
+        // copies get LARGE ids so the query set (vec_id < 10) and the
+        // min-id keeper both stay on the originals
+        val copies = (1 to 4).map(r => n.filter(col("vec_id") % 3 === 0)
+          .withColumn("vec_id", col("vec_id") * 1000 + lit(1000000 + r)))
+        val raw = copies.foldLeft(n)(_.unionByName(_))
+        // d1 on vectors: exact content dedup, smallest id kept — exact
+        // copies collapse back to precisely the original corpus
+        val deduped = raw.groupBy(col("v"))
+          .agg(min(col("vec_id")).as("vec_id"), min(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("v"), col("nrm"))
+        val nDedup = deduped.count()
+        val nRaw = raw.count()
+        // band width sized for the DEDUPED corpus (the honest
+        // post-pipeline sizing); the raw corpus indexes at the SAME
+        // geometry so the candidate comparison isolates duplication
+        val bits = deriveBandBits(nDedup)
+        val candRaw = annLshCandidates(raw, bits).count()
+        val candDedup = annLshCandidates(deduped, bits).count()
+        recallRow(cosineTopKCore(deduped), annLshCore(deduped, bits),
+          Seq("query_id", "cand_id"), floor = 0.8)
+          .withColumn("n_raw", lit(nRaw))
+          .withColumn("n_dedup", lit(nDedup))
+          .withColumn("cand_gate", lit(candRaw.toDouble >= candDedup * 1.8))
+      },
+      Some(s"""WITH e AS (SELECT vec_id FROM embeddings),
+             |raw AS (SELECT vec_id FROM e
+             |        UNION ALL
+             |        SELECT vec_id * 1000 + 1000000 + r FROM e,
+             |          (VALUES (1),(2),(3),(4)) t(r) WHERE vec_id % 3 = 0)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ($CosineTopKSql)) AS n_true,
+             |       TRUE AS floor_met,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM raw) AS n_raw,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_dedup,
+             |       TRUE AS cand_gate""".stripMargin)),
 
     // ---- x17: leakage-safe train/val split — the hygiene rule d6
     //      enforces between train and BENCHMARKS, applied between

@@ -148,7 +148,11 @@ object TableStore {
       * which the manifest's column statistics apply (data skipping). */
     def filesByDir(store: TableStore, name: String): Seq[(String, Seq[String])] = {
       val dataRoot = store.dataRoot(name)
-      dirs.map { d =>
+      // independent per-dir listings, parallel across dirs: this runs at
+      // SCAN-PLAN time for every catalog read, so on a 10^5-dir table a
+      // sequential walk is the whole plan latency (ProbeManifest curve)
+      import scala.collection.parallel.CollectionConverters._
+      dirs.par.map { d =>
         val leaf = dataRoot.resolve(d)
         val fs =
           if (!Files.isDirectory(leaf)) Seq.empty[String]
@@ -157,7 +161,7 @@ object TableStore {
               .filter(_.getFileName.toString.endsWith(".parquet"))
               .map(_.toString).toSeq)
         d -> fs
-      }
+      }.seq
     }
 
     /** Exact row count from manifest statistics, if every live dir has
@@ -342,6 +346,7 @@ class TableStore(spark: SparkSession, root: String) {
       catch { case _: java.io.IOException => () } // dir fsync unsupported here
     } finally Files.deleteIfExists(tmp)
     onAfterManifestLink() // deterministic crash/race injection (tests)
+    onStep("manifest-linked")
     // only the race WINNER reaches here — safe to cache and checkpoint
     // (re-stamped: the committed snapshot's base is now v itself, so a
     // cache hit never hands a later commit a stale version target)
@@ -542,7 +547,9 @@ class TableStore(spark: SparkSession, root: String) {
     // inference would classify INSERT OVERWRITE (and all-insert merges)
     // as appends and silently rebase a rival's rows INTO the overwrite.
     if (appendShaped && df.isDefined && exists(name)) {
-      val added = newDirs.filterNot(carryForward.contains)
+      // set membership, NOT carryForward.contains: the List scan made
+      // this O(dirs^2) — 42 of a 10^5-dir append's 43 s (ProbeAppendHot)
+      val added = newDirs.filterNot(carriedSet.contains)
       commitAppendWithRetry(name, meta, added,
         stats.view.filterKeys(added.contains).toMap, propOverrides)
     } else {
@@ -582,7 +589,7 @@ class TableStore(spark: SparkSession, root: String) {
     val batch = f"b$v%09d-" +
       uuid.getOrElse(java.util.UUID.randomUUID.toString.take(8))
     val target = dir(name).resolve("data").resolve(batch)
-    meta.bucketing match {
+    val written = meta.bucketing match {
       case Some(b) =>
         // leaf dir per bucket; __b derives from the keys so it is
         // not stored in the files and never needs recovering.
@@ -603,6 +610,8 @@ class TableStore(spark: SparkSession, root: String) {
           .write.mode("overwrite").parquet(target.toString)
         Seq(batch)
     }
+    onStep("batch-written")
+    written
   }
 
   /** Optimized write (the Delta `optimizeWrite` idea): when the
@@ -636,6 +645,15 @@ class TableStore(spark: SparkSession, root: String) {
     * publisher inside it deterministically and race adoption against
     * it (CrashRecoverySpec), instead of reasoning the interleaving. */
   private[graft] var onAfterManifestLink: () => Unit = () => ()
+
+  /** Test hook: fires AFTER every named durable side-effect step of a
+    * commit / adoption / vacuum ("batch-written", "dv-written",
+    * "cdf-staged", "manifest-linked", "latest-published",
+    * "cdf-published", "cdf-adopted", "vacuum-*"). The crash-enumeration
+    * sweep (CrashRecoverySpec) throws a fatal from the k-th firing to
+    * simulate writer death after step k — the throw bypasses NonFatal
+    * cleanup, so on-disk state is byte-identical to a kill there. */
+  private[graft] var onStep: String => Unit = _ => ()
 
   /** Optimistic concurrency for APPEND-shaped commits, the Delta
     * conflict-resolution model restricted to its safe core: an append
@@ -743,9 +761,13 @@ class TableStore(spark: SparkSession, root: String) {
           case _: java.nio.file.NoSuchFileException
               if Files.isDirectory(target) => ()
         }
+        onStep("cdf-published")
       }
     } catch {
-      case e: Throwable =>
+      // NonFatal: a fatal throw (VM death, and the crash-sweep's
+      // simulated kill) must leave the staging EXACTLY as a real crash
+      // would — the recovery paths own it from there
+      case scala.util.control.NonFatal(e) =>
         stagedCdf.foreach(s => FsUtil.deleteRecursively(s.toFile))
         throw e
     }
@@ -867,8 +889,10 @@ class TableStore(spark: SparkSession, root: String) {
                                  prev: Manifest): CdfStagingOutcome = {
     val cdfV = dir(name).resolve("_cdf").resolve(v.toString)
     if (Files.isDirectory(cdfV)) return CdfStagingDone
+    val prevDirSet = prev.dirs.toSet
+    val curDirSet = m.dirs.toSet
     val newUuids: Set[String] =
-      (m.dirs.filterNot(prev.dirs.contains).map(_.split('/').head) ++
+      (m.dirs.filterNot(prevDirSet).map(_.split('/').head) ++
         (m.dvs.values.map(_.path).toSet -- prev.dvs.values.map(_.path)))
         .flatMap(_.split('-').lastOption).toSet
     val cdfRoot = dir(name).resolve("_cdf")
@@ -884,13 +908,14 @@ class TableStore(spark: SparkSession, root: String) {
       if (age < ghostStagingGraceMs) CdfStagingYoung
       else {
         Files.move(one, cdfV, StandardCopyOption.ATOMIC_MOVE)
+        onStep("cdf-adopted")
         CdfStagingDone
       }
     }
     // a rewrite-shaped delta (dirs both dropped AND added) is the one
     // shape the change reader cannot synthesize from the manifest diff
-    val rewriteShaped = prev.dirs.exists(d => !m.dirs.contains(d)) &&
-      m.dirs.exists(d => !prev.dirs.contains(d))
+    val rewriteShaped = prev.dirs.exists(d => !curDirSet.contains(d)) &&
+      m.dirs.exists(d => !prevDirSet.contains(d))
     matching match {
       case Seq(one) => adopt(one)
       case Seq() if stagings.sizeIs == 1 && rewriteShaped =>
@@ -952,9 +977,10 @@ class TableStore(spark: SparkSession, root: String) {
     // silently read such nulls as 0/""
     // deletion vectors attach to specific immutable dirs: entries for
     // dirs this version no longer carries are dropped automatically
+    val liveDirs = m0.dirs.toSet // set probe, not a per-DV List scan
     val m1 = m0.copy(
       schema = forceNullable(m0.schema).asInstanceOf[StructType],
-      dvs = m0.dvs.filter { case (d, _) => m0.dirs.contains(d) })
+      dvs = m0.dvs.filter { case (d, _) => liveDirs.contains(d) })
     // identity watermarks: writers that DON'T mint ids (SQL INSERT
     // attach, merge-on-read inserts, library merges) may still carry
     // values in an identity column; advance each watermark past the
@@ -1058,6 +1084,7 @@ class TableStore(spark: SparkSession, root: String) {
       Files.move(tmp, latestPtr(name), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING): Unit
     }
+    onStep("latest-published")
   }
 
   private def scanDirs(dirs: Seq[String], name: String, schema: StructType): DataFrame =
@@ -1191,6 +1218,7 @@ class TableStore(spark: SparkSession, root: String) {
           .select("dir", "relpath", "pos"))
     combined.sortWithinPartitions("relpath", "pos")
       .write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
+    onStep("dv-written")
     val stagedCdf = if (!m.cdf) None else {
       val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
@@ -1199,6 +1227,7 @@ class TableStore(spark: SparkSession, root: String) {
       staged.select(m.schema.map(f => col(f.name).as(m.phys(f.name))) ++ cdfRid: _*)
         .write.mode("overwrite")
         .parquet(cdfDir.resolve("__cdc=delete").toString)
+      onStep("cdf-staged")
       Some(cdfDir)
     }
     val updated = newDirs.map { d =>
@@ -1281,6 +1310,7 @@ class TableStore(spark: SparkSession, root: String) {
           .select("dir", "relpath", "pos"))
     combined.sortWithinPartitions("relpath", "pos")
       .write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
+    onStep("dv-written")
     val stagedCdf = if (!m.cdf) None else {
       val cdfDir = cdfStaging(name, v, uuid)
       Files.createDirectories(cdfDir)
@@ -1297,6 +1327,7 @@ class TableStore(spark: SparkSession, root: String) {
           .withColumn("__cdc", lit("update_postimage")))
         .write.mode("overwrite").partitionBy("__cdc")
         .parquet(cdfDir.toString)
+      onStep("cdf-staged")
       Some(cdfDir)
     }
     val updatedDvs = perDir.keySet.map { d =>
@@ -1711,6 +1742,7 @@ class TableStore(spark: SparkSession, root: String) {
                 .select("dir", "relpath", "pos"))
           combined.sortWithinPartitions("relpath", "pos")
             .write.mode("overwrite").parquet(dvRoot(name).resolve(dvName).toString)
+          onStep("dv-written")
           partialSet.map { d =>
             val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
             d -> DvRef(dvName, prior + perDir(d))
@@ -1731,6 +1763,7 @@ class TableStore(spark: SparkSession, root: String) {
             .unionByName(insertRows, allowMissingColumns = true))
           .getOrElse(insertRows)
           .write.mode("overwrite").partitionBy("__cdc").parquet(cdfDir.toString)
+        onStep("cdf-staged")
         Some(cdfDir)
       }
       val keptDirs = m.dirs.filterNot(dropped.contains)
@@ -2441,6 +2474,14 @@ class TableStore(spark: SparkSession, root: String) {
     // which only age distinguishes.
     val referenced: Set[String] =
       onDiskVersions.filter(_ < keepVersions.head).flatMap(dirsOf).toSet
+    // per-top-dir probes below must be O(1), not O(|referenced|+|live|)
+    // prefix scans per entry — that made the sweep loop O(dirs^2) on
+    // 10^5-dir histories (ProbeManifest/ProbeAppendHot round)
+    def topOf(d: String): String = {
+      val i = d.indexOf('/'); if (i < 0) d else d.substring(0, i)
+    }
+    val referencedTops: Set[String] = referenced.map(topOf)
+    val liveByTop: Map[String, Set[String]] = live.groupBy(topOf)
     val dataDir = dataRoot(name)
     val deleted = Seq.newBuilder[Path]
     // deleteIfExists / recursive-delete-ignores-missing: a CONCURRENT
@@ -2468,12 +2509,11 @@ class TableStore(spark: SparkSession, root: String) {
         // >1h age guard as the dot-dir scratch keeps a concurrent vacuum
         // from yanking a commit-in-progress's files. Dirs some OLD
         // manifest references are superseded history: swept immediately.
-        else if (!referenced.contains(topName) &&
-            !referenced.exists(_.startsWith(s"$topName/")) &&
+        else if (!referencedTops.contains(topName) &&
             sweepMtime(top) >=
               System.currentTimeMillis() - 3600L * 1000) ()
         else {
-          val liveLeaves = live.filter(_.startsWith(s"$topName/"))
+          val liveLeaves = liveByTop.getOrElse(topName, Set.empty) - topName
           if (liveLeaves.isEmpty) {
             // nothing in the retained window references this batch at all
             rmTree(top)
@@ -2491,6 +2531,7 @@ class TableStore(spark: SparkSession, root: String) {
         }
       }
     }
+    onStep("vacuum-data-swept")
     // drop manifests older than the retained window (their data may be
     // gone). A retained DELTA record may chain to a base below the
     // sweep line — checkpoint the oldest retained version first (while
@@ -2499,6 +2540,7 @@ class TableStore(spark: SparkSession, root: String) {
     if (!dryRun && keepVersions.head > 0 &&
         !Files.exists(ckptPath(name, keepVersions.head)))
       writeCheckpoint(name, keepVersions.head, readManifest(name, keepVersions.head))
+    onStep("vacuum-ckpt-written")
     val vDir = dir(name).resolve("_v")
     if (Files.isDirectory(vDir)) {
       val olds = Using.resource(Files.list(vDir))(_.iterator().asScala.toSeq)
@@ -2517,6 +2559,7 @@ class TableStore(spark: SparkSession, root: String) {
       if (!dryRun)
         manifestCache.keySet.removeIf(k => k._1 == name && k._2 < keepVersions.head)
     }
+    onStep("vacuum-manifests-swept")
     // pointer-publication temps (_LATEST.tmp<v>-<uuid>) orphaned by a
     // crash between their write and the atomic move — same age guard
     Using.resource(Files.list(dir(name)))(_.iterator().asScala.toSeq)
@@ -2543,6 +2586,7 @@ class TableStore(spark: SparkSession, root: String) {
           System.currentTimeMillis() - 3600L * 1000)
         .foreach(rmTree)
     }
+    onStep("vacuum-dvs-swept")
     // change-feed dirs of versions outside the retained window, plus
     // abandoned commit staging (dot-dirs a lost version race left
     // behind) past the same >1h in-flight guard
@@ -3022,9 +3066,15 @@ class TableStore(spark: SparkSession, root: String) {
         _.iterator().asScala
           .map(_.getFileName.toString).filter(_.startsWith("__b="))
           .map(l => s"$batchDir/$l").toSeq.sorted)
-    val leafStats = leaves.flatMap(l =>
-      DirStats.collect(dataRoot(name).resolve(l), m.physSchema,
-        absentIsNull = false).map(m.statsToLogical).map(l -> _)).toMap
+    // footer collects are independent per leaf — parallel across leaves
+    // (DirStats parallelizes only WITHIN a dir, and bucket leaves hold
+    // one file each: a 10^4-leaf attach measured ~9 ms/leaf SEQUENTIAL
+    // driver-side in ProbeManifest, the whole attach wall)
+    val leafStats = { import scala.collection.parallel.CollectionConverters._
+      leaves.par.map(l =>
+        DirStats.collect(dataRoot(name).resolve(l), m.physSchema,
+          absentIsNull = false).map(m.statsToLogical).map(l -> _))
+        .seq.flatten.toMap }
     requireChecksPass(name, m, leaves)
     if (replace)
       commitExclusive(name, m.baseVersion + 1,
@@ -3083,7 +3133,7 @@ class TableStore(spark: SparkSession, root: String) {
       val perDir = staged.groupBy("dir").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       if (perDir.nonEmpty) {
-        val unknown = perDir.keySet.filterNot(m.dirs.contains)
+        val unknown = perDir.keySet.diff(m.dirs.toSet)
         require(unknown.isEmpty,
           s"delta delete references non-live dirs: ${unknown.take(3).mkString(",")}")
         val dvName = s"dv-$v-$uuid"
@@ -3098,6 +3148,7 @@ class TableStore(spark: SparkSession, root: String) {
         combined.sortWithinPartitions("relpath", "pos")
           .write.mode("overwrite")
           .parquet(dvRoot(name).resolve(dvName).toString)
+        onStep("dv-written")
         dvsUpdated = perDir.keySet.map { d =>
           val prior = m.dvs.get(d).map(_.deleted).getOrElse(0L)
           d -> DvRef(dvName, prior + perDir(d))
@@ -3123,6 +3174,7 @@ class TableStore(spark: SparkSession, root: String) {
         scanDirs(newDirs, name, m.physSchema)
           .write.mode("overwrite")
           .parquet(cdfDir.resolve("__cdc=insert").toString)
+      onStep("cdf-staged")
       Some(cdfDir)
     }
     deleteFiles.foreach(Files.deleteIfExists(_))
@@ -3154,7 +3206,8 @@ class TableStore(spark: SparkSession, root: String) {
       s"row-level rewrite on $name replaces dirs not live in the manifest " +
         s"it read: ${(removed -- m.dirs.toSet).mkString(",")}")
     val carry = m.dirs.filterNot(removed.contains)
-    val carryStats = m.stats.view.filterKeys(carry.contains).toMap
+    val carrySet = carry.toSet // set probe: filterKeys over a List scan is O(dirs^2)
+    val carryStats = m.stats.view.filterKeys(carrySet.contains).toMap
     val stats = carryStats ++ DirStats.collect(
       dir(name).resolve("data").resolve(dirName), m.physSchema,
       absentIsNull = false).map(m.statsToLogical).map(dirName -> _)
@@ -3282,7 +3335,8 @@ class TableStore(spark: SparkSession, root: String) {
     var prevDvs = readManifest(name, fromVersion).dvs
     (fromVersion + 1 to toVersion).foreach { v =>
       m1 = readManifest(name, v)
-      val removed = prev.filterNot(m1.dirs.contains)
+      val curSet = m1.dirs.toSet
+      val removed = prev.filterNot(curSet)
       if (removed.nonEmpty)
         throw new IllegalStateException(
           s"$name version $v is not an append: ${removed.size} dirs " +
@@ -3293,7 +3347,7 @@ class TableStore(spark: SparkSession, root: String) {
             "not an append; full refresh required")
       prev = m1.dirs; prevDvs = m1.dvs
     }
-    scanDirs(m1.dirs.filterNot(m0Dirs.contains), name, m1.physSchema)
+    scanDirs(m1.dirs.filterNot(m0Dirs.toSet), name, m1.physSchema)
       .select(m1.logicalCols: _*)
   }
 
@@ -3389,12 +3443,14 @@ class TableStore(spark: SparkSession, root: String) {
           Files.move(curStaged, target)
           Seq(batch)
       }
+    onStep("batch-written")
     val cdfDir = cdfStaging(name, v, uuid)
     Files.createDirectories(cdfDir)
     Using.resource(Files.list(staging))(_.iterator().asScala.toSeq)
       .filter(_.getFileName.toString.startsWith("__cdc="))
       .foreach(p => Files.move(p, cdfDir.resolve(p.getFileName)))
     FsUtil.deleteRecursively(staging.toFile)
+    onStep("cdf-staged")
     val stats = { import scala.collection.parallel.CollectionConverters._
       meta.stats.view.filterKeys(carried.contains).toMap ++
         newDirs.par.flatMap(d =>
@@ -3444,6 +3500,25 @@ class TableStore(spark: SparkSession, root: String) {
   /** The change-feed decision tree (see [[readChangesBetween]] for the
     * semantics): cheapest valid source per version, or throw when the
     * changes were never captured and can't be reconstructed. */
+  /** A vacuum may have swept part of a requested change window
+    * (manifests, checkpoints and `_cdf` dirs all sweep below its
+    * retained head together) — refuse with the window semantics spelled
+    * out instead of leaking a raw missing-manifest read from half-way
+    * down the chain. The batch `.changes` scan, the DSv2 change
+    * stream's planInputPartitions and a restarted stream's offset
+    * replay all funnel through this read, so one guard covers every
+    * reader surface (ConcurrencySpec's vacuum×change-reader race). */
+  private def manifestForChanges(name: String, v: Long,
+                                 fromVersion: Long, toVersion: Long): Manifest =
+    try readManifest(name, v)
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        throw new IllegalStateException(
+          s"$name change window ($fromVersion, $toVersion] overlaps " +
+            s"vacuumed history: version $v's manifest was swept — " +
+            "restart the change reader from a retained version", e)
+    }
+
   private[graft] def changeSources(name: String, fromVersion: Long,
                                    toVersion: Long): Seq[ChangeSrc] = {
     require(fromVersion >= -1 && fromVersion <= toVersion,
@@ -3451,9 +3526,9 @@ class TableStore(spark: SparkSession, root: String) {
     require(toVersion <= currentVersion(name),
       s"version $toVersion does not exist")
     (fromVersion + 1 to toVersion).flatMap { v =>
-      val cur = readManifest(name, v)
+      val cur = manifestForChanges(name, v, fromVersion, toVersion)
       val prev = if (v == 0) cur.copy(dirs = Nil, dvs = Map.empty)
-                 else readManifest(name, v - 1)
+                 else manifestForChanges(name, v - 1, fromVersion, toVersion)
       val prevDirs = prev.dirs
       val cdfDir = dir(name).resolve("_cdf").resolve(v.toString)
       // read-side crash recovery: a writer that died AFTER publishing
@@ -3481,12 +3556,14 @@ class TableStore(spark: SparkSession, root: String) {
         if (kinds.isEmpty) Seq.empty // marker: recorded, zero logical changes
         else Seq(RecordedChanges(cdfDir, kinds, v, cur))
       } else {
-        val removed = prevDirs.filterNot(cur.dirs.contains)
-        val added = cur.dirs.filterNot(prevDirs.contains)
+        val curDirSet = cur.dirs.toSet
+        val prevDirSet = prevDirs.toSet
+        val removed = prevDirs.filterNot(curDirSet)
+        val added = cur.dirs.filterNot(prevDirSet)
         // DV entries vanish WITH their dirs on rewrite (normalization);
         // only a DV change on a dir live in both versions means rows
         // were removed invisibly to the manifest diff
-        val carriedSet = cur.dirs.toSet.intersect(prevDirs.toSet)
+        val carriedSet = curDirSet.intersect(prevDirSet)
         if (carriedSet.exists(d => cur.dvs.get(d) != prev.dvs.get(d)))
           throw new IllegalStateException(
             s"$name version $v applied deletion vectors with no recorded " +
@@ -3496,7 +3573,7 @@ class TableStore(spark: SparkSession, root: String) {
           Seq(SynthesizedChanges(cur, added, "insert", v))
         else if (added.isEmpty)
           Seq(SynthesizedChanges(prev, removed, "delete", v))
-        else if (prevDirs.forall(removed.contains))
+        else if ({ val r = removed.toSet; prevDirs.forall(r.contains) })
           Seq(SynthesizedChanges(prev, removed, "delete", v),
             SynthesizedChanges(cur, added, "insert", v))
         else throw new IllegalStateException(
@@ -3530,7 +3607,7 @@ class TableStore(spark: SparkSession, root: String) {
     * replica. */
   def readChangesBetween(name: String, fromVersion: Long, toVersion: Long,
                          withRowIds: Boolean = false): DataFrame = {
-    val curM = readManifest(name, toVersion)
+    val curM = manifestForChanges(name, toVersion, fromVersion, toVersion)
     // physical identity bridges RENAMEs between v and toVersion: each
     // version's columns surface under their CURRENT logical names;
     // columns dropped since v are skipped, columns added since v are

@@ -440,6 +440,69 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(new TableStore(spark, root).read("t").count() === 17)
   }
 
+  test("vacuum sweeping a change reader's (start, end] window: the planned " +
+      "read fails loudly, a fresh plan refuses with the vacuum message, and " +
+      "a restarted .changes stream refuses instead of silently skipping") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val root = Files.createTempDirectory("cdcvac").toString
+    spark.conf.set("spark.sql.catalog.gvcr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvcr.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("t", (1L to 10L).map(i => (i, s"r$i")).toDF("id", "v")) // v0
+    ts.setChangeFeed("t", true)                                       // v1
+    ts.delete("t", col("id") === 1L)                                  // v2 (recorded)
+    // a .changes stream drains (-1, 2] into its checkpoint — its next
+    // restart will ask for the window starting at v2
+    val ckpt = s"$root/_ckpt"
+    ts.createEmpty("sink", org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, _change_type STRING, _commit_version BIGINT"))
+    val q = spark.readStream.option("startVersion", "-1")
+      .table("gvcr.t.changes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("gvcr.sink")
+    q.awaitTermination()
+    assert(ts.read("sink").count() > 0)
+    // more recorded changes the stream has NOT delivered yet
+    ts.delete("t", col("id") === 2L)                                  // v3
+    ts.append("t", Seq((11L, "k")).toDF("id", "v"))                   // v4
+    // a batch reader plans its window while every version still exists
+    val planned = ts.readChangesBetween("t", 1L, 3L)
+    ts.compact("t")                                                   // v5
+    val swept = ts.vacuum("t", retainVersions = 1)
+    assert(swept.nonEmpty)
+    // face 1: the ALREADY-PLANNED read must fail loudly when it
+    // materializes — 0 or partial change rows would be a silent wrong
+    // answer feeding a replica
+    val e1 = intercept[Exception](planned.count())
+    val chain1 = Iterator.iterate(e1: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8).toSeq
+    assert(chain1.exists(t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).toLowerCase.matches(
+          "(?s).*(no such file|does not exist|path_not_found|file_not_exist|vacuum).*")),
+      s"expected a loud missing-file/vacuum failure, got: $e1")
+    // face 2: a FRESH plan over the swept window refuses at plan time
+    // with the window semantics spelled out
+    val e2 = intercept[IllegalStateException](ts.readChangesBetween("t", 1L, 3L))
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    // face 3: the restarted stream's checkpoint pins start=v2; its next
+    // batch (2, 5] overlaps swept history and must fail the query, not
+    // skip the missing versions (exactly-once would be broken silently)
+    val q2 = spark.readStream.option("startVersion", "-1")
+      .table("gvcr.t.changes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("gvcr.sink")
+    val e3 = intercept[StreamingQueryException](q2.awaitTermination())
+    val chain3 = Iterator.iterate(e3: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8).toSeq
+    assert(chain3.exists(t =>
+      String.valueOf(t.getMessage).contains("vacuumed")), s"got: $e3")
+    // the table itself stays fully readable at the retained version
+    assert(ts.read("t").as[(Long, String)].collect().map(_._1).toSet ===
+      ((3L to 11L).toSet))
+  }
+
   test("stream epoch refuses to rebase over a concurrent metadata change") {
     import org.apache.spark.sql.functions.col
     val ts = freshStore()

@@ -60,7 +60,11 @@ class FlagshipHashSpec extends AnyFunSuite {
     // r10 additions, pinned from oracle-green tools/check.py runs at
     // BOTH sf0.001 (this pin's scale) and sf0.01 (the driver's gate)
     "x20_weighted_mix" -> "98b54e60be9033f7d9813aaeb582ed9d",
-    "m23_crash_adopt" -> "39267ba4107fd86954ae4e7a96269751")
+    "m23_crash_adopt" -> "39267ba4107fd86954ae4e7a96269751",
+    // r11 additions, pinned from the oracle-green tools/check.py runs
+    // (x21 MATCH at sf0.01 AND sf0.1; m24 MATCH at sf0.01)
+    "x21_dedup_then_lsh" -> "53d24e6a3b16f8722259758a225bfe82",
+    "m24_merge_evolve" -> "64852383a73c8c55c840978a328da343")
 
   pinned.foreach { case (name, expected) =>
     test(s"flagship $name: sf0.001 result hash matches the oracle-green pin") {
