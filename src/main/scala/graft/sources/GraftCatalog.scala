@@ -725,7 +725,11 @@ class GraftScanBuilder(schema: StructType, dirFiles: Seq[(String, Seq[String])],
             n => colmap.getOrElse(n, n))
         case None => byStats
       }
-      val live = dirFiles.filter(df => liveDirs.contains(df._1))
+      // set probe: Seq.contains here was O(dirs x surviving-dirs) —
+      // most of a point-predicate plan's wall on a 10^5-dir table
+      // (ProbeCatScanHot stack samples)
+      val liveSet = liveDirs.toSet
+      val live = dirFiles.filter(df => liveSet.contains(df._1))
       new GraftScan(schema, required, live, stats, pushed, streamSource,
         dirsTotal = dirFiles.size, bucketing = bucketing,
         bloomPrune = bloomPrune, dvSidecars = dvSidecars, dvDeleted = dvDeleted,
@@ -936,6 +940,44 @@ class GraftScan(fullSchema: StructType, required: StructType,
       case None => GraftInputPartition(f, skipLive = skipLive)
     }
 
+  /** Small-file packing (the FilePartition bin-packing Spark's own file
+    * source does): one task per FILE makes a 10^5-tiny-file table pay
+    * 10^5 task launches (~3 ms each = the whole scan wall in
+    * ProbeManifest's catScan). Greedy in-order packing up to
+    * min(maxPartitionBytes, max(totalBytes/defaultParallelism,
+    * openCost)) with the standard openCostInBytes padding per file —
+    * big files keep one task each, small ones share. Order-preserving,
+    * so dir locality and the limit/topN dir prefixes survive; the
+    * chained reader is lazy, so a pushed LIMIT still stops early. */
+  private def packedPartitions(fs: Seq[String]): Array[InputPartition] = {
+    if (fs.sizeIs <= 1) return fs.map(part(_): InputPartition).toArray
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val openCost = conf.filesOpenCostInBytes
+    val sizes: Seq[(String, Long)] = { import scala.collection.parallel.CollectionConverters._
+      fs.par.map(f => f -> (try java.nio.file.Files.size(java.nio.file.Paths.get(f))
+        catch { case _: java.io.IOException => 0L })).seq }
+    val total = sizes.iterator.map(_._2 + openCost).sum
+    val cores = math.max(SparkSession.active.sparkContext.defaultParallelism, 1)
+    val target = math.min(conf.filesMaxPartitionBytes,
+      math.max(total / cores, openCost))
+    val parts = Seq.newBuilder[InputPartition]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var bytes = 0L
+    def flush(): Unit = if (cur.nonEmpty) {
+      parts += (if (cur.sizeIs == 1) part(cur.head)
+        else GraftPackedInputPartition(cur.toSeq,
+          cur.flatMap(f => dvRefByFile.get(f).map(f -> _)).toMap))
+      cur.clear(); bytes = 0L
+    }
+    sizes.foreach { case (f, sz) =>
+      val c = sz + openCost
+      if (bytes > 0L && bytes + c > target) flush()
+      cur += f; bytes += c
+    }
+    flush()
+    parts.result().toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = bucketGroups match {
     case Some((_, _, groups)) =>
       groups.map { case (b, fs) => GraftBucketInputPartition(b, fs,
@@ -943,8 +985,7 @@ class GraftScan(fullSchema: StructType, required: StructType,
     case None =>
       val sched = topNScheduled.getOrElse(limitScheduled)
       offset match {
-        case None => sched.flatMap(_._2)
-          .map(part(_): InputPartition).toArray
+        case None => packedPartitions(sched.flatMap(_._2))
         case Some(o) =>
           // drop whole leading dirs by live count; the boundary dir is
           // a single file (the builder's acceptance condition) whose
@@ -1608,6 +1649,14 @@ case class GraftBucketInputPartition(bucket: Int, files: Seq[String],
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
+/** Several SMALL files as one task (bin-packed by on-disk size at plan
+  * time) — the reader chains them like a bucket group, each file
+  * keeping its own lazy DV reference and (via the factory's map) its
+  * own row-id base. */
+case class GraftPackedInputPartition(files: Seq[String],
+                                     dvRefs: Map[String, (String, Seq[String])] = Map.empty)
+    extends InputPartition
+
 /** Drops deletion-vector positions from a sequential full-file read:
   * `positions` are sorted file row indexes; the inner reader must not
   * skip rows (no pushdown), so the running count IS the row index. */
@@ -1726,6 +1775,9 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
       case GraftBucketInputPartition(_, fs, dvs) =>
         new GraftChainedReader(fs.map(f =>
           () => rowReader(f, dvOf(dvs.get(f)))))
+      case GraftPackedInputPartition(fs, dvs) =>
+        new GraftChainedReader(fs.map(f =>
+          () => rowReader(f, dvOf(dvs.get(f)))))
       case p =>
         val gp = p.asInstanceOf[GraftInputPartition]
         val r =
@@ -1761,6 +1813,9 @@ class GraftReaderFactory(required0: StructType, fullSchema0: StructType,
           Array.empty[org.apache.spark.sql.sources.Filter], fullSchema), dv)
     partition match {
       case GraftBucketInputPartition(_, fs, dvs) =>
+        new GraftChainedReader(fs.map(f =>
+          () => mk(f, dvOf(dvs.get(f)))))
+      case GraftPackedInputPartition(fs, dvs) =>
         new GraftChainedReader(fs.map(f =>
           () => mk(f, dvOf(dvs.get(f)))))
       case p =>

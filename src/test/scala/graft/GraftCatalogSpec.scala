@@ -419,4 +419,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     val v0 = spark.read.option("version", 0).table("graft.ft.files").collect()
     assert(v0.length === 1 && v0.head.getLong(3) === 100L)
   }
+
+  test("small files pack into shared scan tasks (bin-packed partitions), " +
+      "results identical, DV'd files pack too") {
+    val ts = store
+    // 40 tiny one-file dirs — unpacked this scan would launch 40+ tasks
+    ts.create("packed", spark.range(0, 10).selectExpr("id", "id * 2 AS x")
+      .coalesce(1))
+    (1 to 39).foreach(i => ts.append("packed",
+      spark.range(i * 10L, i * 10L + 10).selectExpr("id", "id * 2 AS x")
+        .coalesce(1)))
+    // a DV on one dir: packed partitions must still apply tombstones
+    ts.deleteVectorized("packed", $"id" === 5L)
+    val q = spark.sql("SELECT id, x FROM graft.packed")
+    val rows = q.collect()
+    assert(rows.length === 399)
+    assert(rows.map(_.getLong(0)).toSet === ((0L until 400L).toSet - 5L))
+    assert(rows.forall(r => r.getLong(1) === r.getLong(0) * 2))
+    // the executed scan packed the 40 files into far fewer tasks —
+    // bounded by defaultParallelism (size-driven), never one per file
+    val scanParts = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.head
+    assert(scanParts < 40, s"expected packed partitions, got $scanParts")
+    // pushed point predicate still prunes + answers exactly
+    assert(spark.sql("SELECT count(*) FROM graft.packed WHERE id = 123")
+      .head().getLong(0) === 1L)
+  }
 }
