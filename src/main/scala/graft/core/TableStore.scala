@@ -1886,6 +1886,7 @@ class TableStore(spark: SparkSession, root: String) {
     val df = rewriteSource(name, m, m.dirs)
     val sized = if (targetPartitions > 0) df.coalesce(targetPartitions) else df
     val v = commit(name, Some(sized), m.copy(stats = Map.empty), Seq.empty,
+      propOverrides = noChangeStamp(m, m.baseVersion + 1),
       extraPhys = rewriteExtra(m))
     markNoLogicalChange(name, v, m.cdf)
   }
@@ -1904,6 +1905,7 @@ class TableStore(spark: SparkSession, root: String) {
     // meta passes through unchanged: bucketed tables re-route the
     // folded rows into __b leaves, keeping their layout
     val v = commit(name, Some(rewriteSource(name, m, touched)), m, carried,
+      propOverrides = noChangeStamp(m, m.baseVersion + 1),
       extraPhys = rewriteExtra(m))
     markNoLogicalChange(name, v, m.cdf)
   }
@@ -1929,6 +1931,7 @@ class TableStore(spark: SparkSession, root: String) {
     if (heavy.isEmpty) return 0
     val carried = m.dirs.filterNot(heavy.toSet)
     val v = commit(name, Some(rewriteSource(name, m, heavy)), m, carried,
+      propOverrides = noChangeStamp(m, m.baseVersion + 1),
       extraPhys = rewriteExtra(m))
     markNoLogicalChange(name, v, m.cdf)
     heavy.size
@@ -1959,6 +1962,7 @@ class TableStore(spark: SparkSession, root: String) {
     val (small, big) = m.dirs.partition(d => dirBytes(d) < maxBytes)
     if (small.size <= 1) return 0
     val v = commit(name, Some(rewriteSource(name, m, small)), m, big,
+      propOverrides = noChangeStamp(m, m.baseVersion + 1),
       extraPhys = rewriteExtra(m))
     markNoLogicalChange(name, v, m.cdf)
     small.size
@@ -1971,6 +1975,18 @@ class TableStore(spark: SparkSession, root: String) {
     * it carried into that version — never re-read here: a rival append
     * landing right after the commit must not get ITS version stamped
     * "zero logical changes" (which would erase its rows from the feed). */
+  /** Manifest prop stamping a version as PHYSICAL-ONLY (compact /
+    * optimize / DV purge): the value is the stamping commit's own
+    * version, so the prop carried forward onto later manifests matches
+    * nothing but its own version. Crash-atomic with the commit — the
+    * post-publish `_cdf/<v>` marker dir alone left a window (writer
+    * dies between publish and marker) where a full-rewrite compact
+    * read back as phantom delete-all+insert-all (CrashSweepSpec's
+    * compact sweep). */
+  private[graft] val NoChangeProp = "cdf.nochange"
+  private def noChangeStamp(m: Manifest, v: Long): Map[String, String] =
+    if (!m.cdf) Map.empty else Map(NoChangeProp -> v.toString)
+
   private def markNoLogicalChange(name: String, v: Long, cdf: Boolean): Unit =
     if (cdf)
       Files.createDirectories(dir(name).resolve("_cdf").resolve(v.toString)): Unit
@@ -2086,7 +2102,8 @@ class TableStore(spark: SparkSession, root: String) {
     val v = m.baseVersion + 1
     val (leaves, stats) = writeClusteredBatch(name, m, clustered, v)
     commitExclusive(name, v,
-      m.copy(dirs = leaves, bucketing = None, stats = stats), "OPTIMIZE rewrite")
+      m.copy(dirs = leaves, bucketing = None, stats = stats,
+        props = m.props ++ noChangeStamp(m, v)), "OPTIMIZE rewrite")
     markNoLogicalChange(name, v, m.cdf)
   }
 
@@ -2151,7 +2168,8 @@ class TableStore(spark: SparkSession, root: String) {
     commitExclusive(name, v, m.copy(
       dirs = carried ++ newParts.flatMap(_._1),
       stats = m.stats.view.filterKeys(carried.toSet).toMap ++
-        newParts.flatMap(_._2)), "OPTIMIZE rewrite")
+        newParts.flatMap(_._2),
+      props = m.props ++ noChangeStamp(m, v)), "OPTIMIZE rewrite")
     markNoLogicalChange(name, v, m.cdf)
     rewritten.size
   }
@@ -2286,7 +2304,9 @@ class TableStore(spark: SparkSession, root: String) {
         })
       }.toMap
       commitExclusive(name, m.baseVersion + 1,
-        m.copy(schema = newSchema, stats = widened), "ALTER COLUMN TYPE (widen)")
+        m.copy(schema = newSchema, stats = widened,
+          props = m.props ++ noChangeStamp(m, m.baseVersion + 1)),
+        "ALTER COLUMN TYPE (widen)")
       markNoLogicalChange(name, m.baseVersion + 1, m.cdf)
       return
     }
@@ -2299,6 +2319,7 @@ class TableStore(spark: SparkSession, root: String) {
     val recast = conformKeep(rewriteSource(name, m, m.dirs), newSchema, ridKeep)
     val v = commit(name, Some(recast),
       m.copy(schema = newSchema, stats = Map.empty), Seq.empty,
+      propOverrides = noChangeStamp(m, m.baseVersion + 1),
       extraPhys = ridKeep)
     markNoLogicalChange(name, v, m.cdf)
   }
@@ -2335,7 +2356,7 @@ class TableStore(spark: SparkSession, root: String) {
         case (k, v) if k == s"identity.$from.next" =>
           s"identity.$to.next" -> v
         case kv => kv
-      },
+      } ++ noChangeStamp(m, m.baseVersion + 1),
       stats = m.stats.view.mapValues(ds => ds.copy(cols =
         ds.cols.map { case (k, v) => (if (k == from) to else k) -> v })).toMap,
       bucketing = m.bucketing.map(b => b.copy(keys =
@@ -2371,7 +2392,8 @@ class TableStore(spark: SparkSession, root: String) {
     commitExclusive(name, m.baseVersion + 1, m.copy(
       schema = StructType(m.schema.filterNot(_.name == colName)),
       colmap = m.colmap - colName,
-      props = m.props - s"generated.$colName" - s"identity.$colName.next",
+      props = m.props - s"generated.$colName" - s"identity.$colName.next" ++
+        noChangeStamp(m, m.baseVersion + 1),
       stats = m.stats.view.mapValues(ds =>
         ds.copy(cols = ds.cols - colName)).toMap,
       droppedPhys = (m.droppedPhys :+ m.phys(colName)).distinct),
@@ -3527,6 +3549,11 @@ class TableStore(spark: SparkSession, root: String) {
       s"version $toVersion does not exist")
     (fromVersion + 1 to toVersion).flatMap { v =>
       val cur = manifestForChanges(name, v, fromVersion, toVersion)
+      // physical-only version (compact/optimize/purge): zero logical
+      // changes, decided from the MANIFEST itself — crash-atomic, no
+      // dependence on the post-publish _cdf/<v> marker dir landing
+      if (cur.props.get(NoChangeProp).contains(v.toString)) Nil
+      else {
       val prev = if (v == 0) cur.copy(dirs = Nil, dvs = Map.empty)
                  else manifestForChanges(name, v - 1, fromVersion, toVersion)
       val prevDirs = prev.dirs
@@ -3580,6 +3607,7 @@ class TableStore(spark: SparkSession, root: String) {
           s"$name version $v partially rewrote dirs with no recorded " +
             "change data — enable the change feed (setChangeFeed) before " +
             "row-level mutations to read changes across them")
+      }
       }
     }
   }

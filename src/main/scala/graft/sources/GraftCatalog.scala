@@ -950,16 +950,23 @@ class GraftScan(fullSchema: StructType, required: StructType,
     * so dir locality and the limit/topN dir prefixes survive; the
     * chained reader is lazy, so a pushed LIMIT still stops early. */
   private def packedPartitions(fs: Seq[String]): Array[InputPartition] = {
-    if (fs.sizeIs <= 1) return fs.map(part(_): InputPartition).toArray
     val conf = org.apache.spark.sql.internal.SQLConf.get
+    val coresNow = math.max(SparkSession.active.sparkContext.defaultParallelism, 1)
+    // packing exists to cap TASK-LAUNCH overhead, which only bites when
+    // files far outnumber cores; below that, per-file tasks keep the
+    // parallelism a small hot table wants (packing everything under the
+    // 4 MB openCost floor into one task serialized cdc1's apply-loop
+    // scans and cost it 2.4 s on the bench — the floor is right for a
+    // 10^5-file tail, wrong for a 32-file working table)
+    if (fs.sizeIs <= 4 * coresNow)
+      return fs.map(part(_): InputPartition).toArray
     val openCost = conf.filesOpenCostInBytes
     val sizes: Seq[(String, Long)] = { import scala.collection.parallel.CollectionConverters._
       fs.par.map(f => f -> (try java.nio.file.Files.size(java.nio.file.Paths.get(f))
         catch { case _: java.io.IOException => 0L })).seq }
     val total = sizes.iterator.map(_._2 + openCost).sum
-    val cores = math.max(SparkSession.active.sparkContext.defaultParallelism, 1)
     val target = math.min(conf.filesMaxPartitionBytes,
-      math.max(total / cores, openCost))
+      math.max(total / coresNow, openCost))
     val parts = Seq.newBuilder[InputPartition]
     val cur = scala.collection.mutable.ArrayBuffer.empty[String]
     var bytes = 0L

@@ -246,6 +246,42 @@ class CrashSweepSpec extends AnyFunSuite {
     }
   }
 
+  // ---- scenario 5b: compact (exclusive rewrite, feed ON) killed at
+  // every step — the no-logical-change marker path ----
+  test("sweep: writer death after EVERY step of a compact (feed on) " +
+      "converges; the change feed never synthesizes phantom changes") {
+    def build(): TableStore = {
+      val ts = new TableStore(spark,
+        Files.createTempDirectory("sweep_cmp").toString)
+      ts.create("t", (1L to 5L).map(i => (i, s"a$i")).toDF("id", "v"))
+      ts.setChangeFeed("t", enabled = true)
+      ts.append("t", (6L to 10L).map(i => (i, s"b$i")).toDF("id", "v"))
+      ts
+    }
+    val op = (ts: TableStore) => ts.compact("t")
+    val steps = trace(build, op)
+    assert(steps.contains("manifest-linked"), steps.toString)
+    val linkAt = steps.indexOf("manifest-linked") + 1
+    for (k <- 1 to steps.length) {
+      val ts = crashAt(build, op, k)
+      val td = root(ts, "t")
+      ageScratch(td)
+      val tsR = new TableStore(spark, td.getParent.toString)
+      tsR.append("t", Seq((99L, "x")).toDF("id", "v"))
+      // rows identical whatever step died — compact is physical-only
+      assert(tsR.read("t").select("id").as[Long].collect().toSet ===
+        ((1L to 10L).toSet + 99L), s"step $k (${steps(k - 1)})")
+      // the feed reads the whole history without phantom deletes: a
+      // durable compact carries its no-logical-change marker; a
+      // never-happened compact leaves plain appends
+      val ch = tsR.readChangesBetween("t", -1L, tsR.currentVersion("t"))
+      assert(ch.filter(col("_change_type") =!= "insert").count() === 0L,
+        s"step $k: compact leaked non-insert changes")
+      assert(ch.count() === 11L, s"step $k feed row count")
+      val _ = linkAt // both branches assert the same converged state
+    }
+  }
+
   // ---- scenario 6: the ADOPTER dies mid-adoption ----
   test("adopter death between completing the staged feed and publishing " +
       "the pointer: the next writer finishes the adoption") {
