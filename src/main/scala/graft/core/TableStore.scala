@@ -243,6 +243,22 @@ class TableStore(spark: SparkSession, root: String) {
   /** The O(columns)-sized manifest fields, shared by full and delta
     * records (a delta always carries them whole — only the O(dirs)
     * maps are worth diffing). */
+  /** Protocol gate (Delta's reader-version idea, minimal form): every
+    * manifest record states the MINIMUM reader feature level required
+    * to interpret it correctly. A future record format that adds a
+    * non-ignorable field bumps the written number; an old library
+    * refuses the table LOUDLY instead of silently misreading it
+    * (dropping an unknown DV-like field would resurrect deleted
+    * rows). Current level: 1 (everything this library writes). */
+  private[graft] val SupportedReaderVersion = 1L
+  private def requireReadable(m: Map[String, Any], where: String): Unit =
+    m.get("reqreader").map(_.asInstanceOf[Long]).foreach { need =>
+      if (need > SupportedReaderVersion) throw new IllegalStateException(
+        s"$where requires manifest reader version $need; this library " +
+          s"supports up to $SupportedReaderVersion — upgrade the engine " +
+          "before reading this table")
+    }
+
   private def smallParts(m: Manifest): String = {
     val txnsPart =
       if (m.txns.isEmpty) "" else s""", "txns": ${longMapFragment(m.txns)}"""
@@ -260,7 +276,8 @@ class TableStore(spark: SparkSession, root: String) {
     val bucketPart = m.bucketing.map(b =>
       s""", "bucketkeys": ${jsonArr(b.keys)}, "nbuckets": ${b.n}""").getOrElse("")
     txnsPart + bloomPart + checksPart + cdfPart + propsPart + colmapPart +
-      droppedPart + bucketPart
+      droppedPart + bucketPart +
+      s""", "reqreader": $SupportedReaderVersion"""
   }
 
   private def encodeFull(m: Manifest): String = {
@@ -453,6 +470,7 @@ class TableStore(spark: SparkSession, root: String) {
       }).getOrElse(Map.empty[String, DvRef])
 
   private def parseFull(m: Map[String, Any]): Manifest = {
+    requireReadable(m, "manifest")
     val bucketing = m.get("nbuckets").map(n =>
       Bucketing(parsedStrs(m, "bucketkeys"), n.asInstanceOf[Long].toInt))
     val schema = StructType.fromDDL(m("schema").asInstanceOf[String])
@@ -470,6 +488,7 @@ class TableStore(spark: SparkSession, root: String) {
     * carried dirs in base order, then additions in commit order (the
     * writer refused the delta encoding otherwise). */
   private def applyDelta(base: Manifest, m: Map[String, Any]): Manifest = {
+    requireReadable(m, "manifest delta record")
     val bucketing = m.get("nbuckets").map(n =>
       Bucketing(parsedStrs(m, "bucketkeys"), n.asInstanceOf[Long].toInt))
     val schema = StructType.fromDDL(m("schema").asInstanceOf[String])

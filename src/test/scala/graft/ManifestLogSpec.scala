@@ -146,4 +146,26 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(!Files.exists(orphan), "aged orphan must sweep")
     assert(ts.read("t").count() === 50)
   }
+
+  test("reader-version gate: a manifest from a NEWER format refuses " +
+      "loudly instead of silently misreading") {
+    val root = Files.createTempDirectory("mlogver").toString
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, "a")).toDF("id", "v"))
+    // every written record carries the gate at the current level
+    assert(record(root, "t", 0).contains("\"reqreader\": 1"))
+    ts.append("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(record(root, "t", 1).contains("\"reqreader\": 1"))
+    // simulate a table written by a FUTURE engine: bump the record's
+    // required level past what this library supports
+    val p = vDir(root, "t").resolve("1.json")
+    Files.write(p, new String(Files.readAllBytes(p))
+      .replace("\"reqreader\": 1", "\"reqreader\": 99").getBytes)
+    val cold = new TableStore(spark, root) // no manifest cache
+    val e = intercept[IllegalStateException](cold.read("t").count())
+    assert(e.getMessage.contains("reader version 99"), e.getMessage)
+    assert(e.getMessage.contains("upgrade"), e.getMessage)
+    // version 0 (old level) stays readable — the gate is per record
+    assert(cold.readVersion("t", 0).count() === 1L)
+  }
 }
