@@ -965,8 +965,15 @@ class GraftScan(fullSchema: StructType, required: StructType,
       fs.par.map(f => f -> (try java.nio.file.Files.size(java.nio.file.Paths.get(f))
         catch { case _: java.io.IOException => 0L })).seq }
     val total = sizes.iterator.map(_._2 + openCost).sum
+    // openCost is per-file PADDING in the bin arithmetic, not a bin
+    // floor: flooring the bin size at openCost collapsed an accreted
+    // ~200-tiny-file working table into a handful of tasks and
+    // serialized its decode (the commit-dense job queries regressed
+    // ~25% on the bench). total/cores keeps ~parallelism bins on small
+    // tables — never fewer tasks than the session can use — while the
+    // maxPartitionBytes cap still bounds bins on the 10^5-file tail.
     val target = math.min(conf.filesMaxPartitionBytes,
-      math.max(total / coresNow, openCost))
+      math.max(total / coresNow, 1L))
     val parts = Seq.newBuilder[InputPartition]
     val cur = scala.collection.mutable.ArrayBuffer.empty[String]
     var bytes = 0L
