@@ -282,6 +282,55 @@ class CrashSweepSpec extends AnyFunSuite {
     }
   }
 
+  // ---- scenario 5c: merge-on-read UPSERT (the flagship mutation:
+  // tombstone DVs + inserted dir + recorded pre/postimages in ONE
+  // commit) killed at every durable step ----
+  test("sweep: writer death after EVERY step of a CDF MoR merge " +
+      "converges to exactly-once; the feed records each image once") {
+    def build(): TableStore = {
+      val ts = new TableStore(spark,
+        Files.createTempDirectory("sweep_mrg").toString)
+      ts.create("t", (1L to 10L).map(i => (i, s"old$i")).toDF("id", "v"))
+      ts.setChangeFeed("t", enabled = true)
+      ts
+    }
+    val src = (1L to 3L).map(i => (i, s"new$i")) ++
+      Seq((11L, "new11"), (12L, "new12"))
+    val op = (ts: TableStore) => ts.mergeUpsert("t",
+      src.toDF("id", "v"), Seq("id"), changeTypeCol = None)
+    val steps = trace(build, op)
+    assert(steps.contains("manifest-linked") && steps.contains("cdf-staged"),
+      steps.toString)
+    val linkAt = steps.indexOf("manifest-linked") + 1
+    for (k <- 1 to steps.length) {
+      val ts = crashAt(build, op, k)
+      val td = root(ts, "t")
+      ageScratch(td)
+      val tsR = new TableStore(spark, td.getParent.toString)
+      tsR.append("t", Seq((99L, "x")).toDF("id", "v"))
+      val got = tsR.read("t").select("id", "v").as[(Long, String)]
+        .collect().toMap
+      if (k < linkAt) {
+        // merge never became durable: pristine table + recovery row
+        assert(got === ((1L to 10L).map(i => i -> s"old$i").toMap +
+          (99L -> "x")), s"step $k (${steps(k - 1)})")
+      } else {
+        // merge durable exactly once: updates applied, inserts in
+        assert(got === ((4L to 10L).map(i => i -> s"old$i").toMap ++
+          (1L to 3L).map(i => i -> s"new$i") +
+          (11L -> "new11") + (12L -> "new12") + (99L -> "x")),
+          s"step $k (${steps(k - 1)})")
+        // the adopted/healed version's feed reads each image ONCE
+        val ch = tsR.readChangesBetween("t", 1L, 2L)
+          .select("id", "_change_type").as[(Long, String)].collect().toSeq
+        assert(ch.count(_._2 == "update_preimage") === 3, s"step $k pre")
+        assert(ch.count(_._2 == "update_postimage") === 3, s"step $k post")
+        assert(ch.filter(_._2 == "insert").map(_._1).sorted === Seq(11L, 12L),
+          s"step $k inserts")
+      }
+    }
+  }
+
   // ---- scenario 6: the ADOPTER dies mid-adoption ----
   test("adopter death between completing the staged feed and publishing " +
       "the pointer: the next writer finishes the adoption") {
