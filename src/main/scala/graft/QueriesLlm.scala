@@ -730,6 +730,116 @@ object QueriesLlm {
     merges.toSeq
   }
 
+  /** e8's Lloyd iteration core: k-means over the embedding corpus with
+    * broadcast centroids. Complements [[graft.ops.Ann.trainIvfCentroids]]
+    * (float spherical k-means, gate-checked via assignment quality):
+    * this one is EUCLIDEAN over quantized integers, which is what buys
+    * a bit-exact cross-engine oracle on the assignments themselves.
+    * It is the canonical distributed-clustering shape
+    * (per pass: one narrow map over the corpus for assignment, one
+    * K×dim-group aggregate with map-side partial combine for the
+    * update, one K×dim-row collect; nothing is ever corpus × corpus).
+    * Curation use: cluster-balanced sampling / SemDeDup-style domain
+    * discovery over a training corpus.
+    *
+    * Cross-engine exactness (what earns this op a full hash oracle
+    * where e3-e5/e7 settle for gates): vectors quantize to
+    * `floor(x * 1e6)` BIGINTs up front — float→double widening, the
+    * multiply, and floor are bit-identical in Spark and DuckDB — so
+    * squared distances are exact integer sums, centroid means are
+    * exact truncating integer division (Scala `/` on Long here ==
+    * DuckDB `//`), and no order-dependent float aggregation ever
+    * touches the output. Magnitudes: |q| ≤ ~1e6 ⇒ dist_sq ≤
+    * dim·(2e6)² ≈ 2.6e14, inside both Long and DuckDB's double-exact
+    * window for the oracle's dot-product identity.
+    *
+    * Ties break (dist_sq asc, cid asc) via struct `array_min`; an
+    * emptied cluster keeps its previous centroid (the oracle's
+    * LEFT JOIN + COALESCE arm). Init = the K smallest vec_ids. */
+  private[graft] def kmeansCore(s: SparkSession, dir: String,
+                                k: Int, updates: Int): DataFrame =
+    kmeansAssignments(
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1000000d)).cast("long")).as("qv")),
+      k, updates)
+
+  /** Lloyd rounds over a pre-quantized (vec_id, qv: array<bigint>) frame;
+    * seeds = the k smallest vec_ids. Split from [[kmeansCore]] so the
+    * scale probe can drive it on synthesized corpora. */
+  private[graft] def kmeansAssignments(quantized: DataFrame,
+                                       k: Int, updates: Int): DataFrame = {
+    val q = quantized.localCheckpoint() // updates+1 assignment passes reuse it
+    var centroids: Array[Array[Long]] = q.filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("qv").toArray)
+    require(centroids.length == k, s"e8: expected $k seed vectors, got ${centroids.length}")
+    def assign(cents: Array[Array[Long]]): DataFrame = {
+      val cArr = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(lit(i.toLong).as("cid"), array(c.map(lit(_)): _*).as("cv"))
+      }: _*)
+      // struct ordering in array_min == (dist_sq ASC, cid ASC)
+      q.withColumn("best", array_min(transform(cArr, c =>
+          struct(
+            aggregate(zip_with(col("qv"), c.getField("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0L), _ + _).as("dist_sq"),
+            c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("qv"),
+          col("best.cid").as("cluster"), col("best.dist_sq").as("dist_sq"))
+    }
+    for (_ <- 1 to updates) {
+      val sums = assign(centroids)
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect() // ≤ k × dim rows, independent of corpus size
+      val next = centroids.map(_.clone()) // emptied cluster keeps its centroid
+      sums.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+    assign(centroids).select(col("vec_id"), col("cluster"), col("dist_sq"))
+  }
+
+  /** e8's oracle: the same Lloyd rounds unrolled as DuckDB CTEs —
+    * assignment via the dot-product identity (double-exact at these
+    * magnitudes), update via exact integer `sum // count`. */
+  private def kmeansAssignSql(cent: String, name: String) =
+    s"""$name AS (
+       |  SELECT vec_id, qv, cluster, dist_sq FROM (
+       |    SELECT q.vec_id, q.qv, c.cid AS cluster,
+       |      CAST(list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv)
+       |           + list_dot_product(c.cv, c.cv) AS BIGINT) AS dist_sq,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv)
+       |                 + list_dot_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+       |    FROM q, $cent c) WHERE rn = 1)""".stripMargin
+
+  private def kmeansUpdateSql(asn: String, prev: String, name: String) =
+    s"""$name AS (
+       |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cluster AS cid, list(s // n ORDER BY pos) AS cv
+       |    FROM (
+       |      SELECT cluster, u.pos, sum(u.v) AS s, count(*) AS n
+       |      FROM $asn, UNNEST(list_transform(qv,
+       |        (x,i) -> struct_pack(pos := i, v := x))) AS t(u)
+       |      GROUP BY cluster, u.pos)
+       |    GROUP BY cluster) u ON u.cid = p.cid)""".stripMargin
+
+  private val KmeansSql =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x*1000000) AS BIGINT)) AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 10),
+       |${kmeansAssignSql("c0", "a1")},
+       |${kmeansUpdateSql("a1", "c0", "c1")},
+       |${kmeansAssignSql("c1", "a2")},
+       |${kmeansUpdateSql("a2", "c1", "c2")},
+       |${kmeansAssignSql("c2", "a3")}
+       |SELECT vec_id, cluster, dist_sq FROM a3""".stripMargin
+
   val defs: Map[String, QDef] = Map(
 
     // ---- d1: exact dedup — hash groupBy on content, keep lowest id ----
@@ -1132,6 +1242,42 @@ object QueriesLlm {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
              |  TRUE AS first_pick_ok, TRUE AS sizes_ok, TRUE AS diversity_ok
              |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // ---- e8: k-means curation clustering (Lloyd's, broadcast
+    //      centroids) — cluster-balanced sampling / domain discovery
+    //      over the corpus's embeddings. K=10 seeds (smallest
+    //      vec_ids), two centroid updates, final assignment. Unlike
+    //      the ANN family this is FULLY hash-oracled: integer
+    //      quantization makes every distance, sum, and mean exact on
+    //      both engines (see kmeansCore's scaladoc). Per pass the
+    //      corpus is touched by one broadcast-centroid map and one
+    //      K×dim-group aggregate — nothing quadratic, nothing
+    //      corpus-sized on the driver. ----
+    "e8_kmeans_curation" -> QDef(
+      (s, dir) => kmeansCore(s, dir, k = 10, updates = 2),
+      Some(KmeansSql)),
+
+    // ---- x22: cluster-balanced sampling — e8's curation payoff.
+    //      Budget M=25 per cluster, most-central first (dist_sq asc,
+    //      vec_id tie-break): a deterministic, domain-balanced corpus
+    //      sample (each k-means cell contributes equally regardless of
+    //      its population — the standard mitigation for web-scale
+    //      source skew). One Window over e8's assignments; at 100 TB
+    //      the per-cluster top-M is a WindowGroupLimit (top-k per key,
+    //      partial before the shuffle), never a global sort. ----
+    "x22_cluster_balanced_sample" -> QDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("dist_sq").asc, col("vec_id").asc)
+        kmeansCore(s, dir, k = 10, updates = 2)
+          .withColumn("rank_in_cluster", row_number().over(w))
+          .filter(col("rank_in_cluster") <= 25)
+      },
+      Some(s"""SELECT vec_id, cluster, dist_sq,
+             |  CAST(row_number() OVER (PARTITION BY cluster
+             |    ORDER BY dist_sq ASC, vec_id ASC) AS INT) AS rank_in_cluster
+             |FROM ($KmeansSql)
+             |QUALIFY rank_in_cluster <= 25""".stripMargin)),
 
     // ---- tq1: typed Dataset[T] surface (case-class Encoder) ----
     // (SURVEY §1.4: typed sugar where safety helps — filter/map over a

@@ -1,0 +1,83 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Cross-round bench comparison by RATIO DISTRIBUTION, not raw walls.
+  *
+  * The r11 bench-drift investigation (PLANS.md) showed the blind spot
+  * of absolute comparisons: a box running uniformly ~8% slower moves
+  * every query's wall, and relative canary thresholds can't see it
+  * (p25 of a uniformly slow trail is itself slow). The robust signal
+  * is the PER-QUERY RATIO distribution between two runs — environment
+  * drift moves the whole distribution (median != 1), a real regression
+  * is an OUTLIER against that median.
+  *
+  * Run: sbt "runMain graft.tools.BenchCompare BENCH_FULL_r10.json BENCH_FULL.json"
+  * Prints: the median ratio (the environment factor), the ratio spread,
+  * and every query whose median-normalized ratio leaves [1/thr, thr]
+  * (default 1.3) — those are the attributable deltas worth chasing.
+  *
+  * No Spark, no deps: parses just the flat "queries":{"name":sec,...}
+  * object with the same minimal scanning MiniJson-style approach used
+  * by the bench artifact itself (values are plain JSON numbers).
+  */
+object BenchCompare {
+  def queriesOf(path: String): Map[String, Double] = {
+    val txt = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    // BENCH_FULL carries "timings"; the driver's BENCH_rN line "queries"
+    val start = Seq("\"timings\"", "\"queries\"").map(txt.indexOf).find(_ >= 0).getOrElse(-1)
+    require(start >= 0, s"$path has neither a \"timings\" nor a \"queries\" object")
+    val open = txt.indexOf('{', start)
+    // walk to the matching close brace; query values may be numbers or
+    // nested objects (BENCH_FULL's {"sec":..,"first_pass":..} pairs)
+    var depth = 0; var i = open; var end = -1
+    while (end < 0 && i < txt.length) {
+      txt.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    val body = txt.substring(open + 1, end)
+    val entry = """"([A-Za-z0-9_]+)"\s*:\s*(\{[^{}]*\}|[-0-9.eE]+)""".r
+    entry.findAllMatchIn(body).flatMap { m =>
+      val (name, v) = (m.group(1), m.group(2))
+      val sec =
+        if (v.startsWith("{")) // nested record: take its "sec" field
+          """"sec"\s*:\s*([-0-9.eE]+)""".r.findFirstMatchIn(v).map(_.group(1))
+        else Some(v)
+      sec.flatMap(s => scala.util.Try(s.toDouble).toOption).map(name -> _)
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchCompare <before.json> <after.json> [threshold]")
+    val thr = args.lift(2).map(_.toDouble).getOrElse(1.3)
+    val before = queriesOf(args(0))
+    val after = queriesOf(args(1))
+    val common = (before.keySet intersect after.keySet).toSeq.sorted
+    val onlyB = before.keySet -- after.keySet
+    val onlyA = after.keySet -- before.keySet
+    if (onlyB.nonEmpty) println(s"dropped since before: ${onlyB.toSeq.sorted.mkString(", ")}")
+    if (onlyA.nonEmpty) println(s"new since before: ${onlyA.toSeq.sorted.mkString(", ")}")
+    val ratios = common.map(q => q -> after(q) / before(q)).sortBy(_._2)
+    val rs = ratios.map(_._2)
+    def pct(p: Double) = rs(math.min(rs.size - 1, (p * (rs.size - 1)).round.toInt))
+    val med = pct(0.5)
+    println(f"queries=${common.size} env_factor(median ratio)=$med%.3f " +
+      f"p25=${pct(0.25)}%.3f p75=${pct(0.75)}%.3f")
+    val outliers = ratios.map { case (q, r) => (q, r, r / med) }
+      .filter { case (_, _, n) => n > thr || n < 1.0 / thr }
+    if (outliers.isEmpty)
+      println(s"no per-query delta beyond ${thr}x of the environment factor")
+    else {
+      println(f"median-normalized outliers (beyond $thr%.2fx):")
+      outliers.sortBy(-_._3).foreach { case (q, r, n) =>
+        println(f"  $q%-34s ${before(q)}%7.2f -> ${after(q)}%7.2f s  " +
+          f"ratio=$r%.2f normalized=$n%.2f")
+      }
+    }
+  }
+}

@@ -65,6 +65,8 @@ object PlanDump {
         "the serialization composite end-to-end: quality gate is a narrow Filter over the scan, passage dedup is one segment Exchange into the min-keeper HashAggregate + an equi-join back, packing is the range-partitioned prefix sum (per-partition Window, offsets from a bounded collect) — no cartesian, no global-sort Window anywhere",
       "e7_mmr_topk" ->
         "MMR re-rank: candidates come from ONE broadcast of the 10 queries against the corpus + a per-query top-50 Window; the greedy selection is a single MapGroups/SerializeFromObject stage (executor-local per query) — no driver loop, no k chained joins",
+      "e8_kmeans_curation" ->
+        "k-means assignment: ONE narrow Project over the checkpointed quantized corpus — centroids are plan literals (broadcast-equivalent), no join/shuffle in assignment; per Lloyd update the only shuffle is the K×dim-group (cluster,pos) sum with map-side combine and the only driver traffic a 640-row collect",
       "x19_token_balanced_shards" ->
         "token-balanced sharding: the permutation prefix sum is the x3 machinery — ONE range Exchange on the md5 key, per-partition Window, partition offsets from a bounded <= nPartitions collect; shard derivation is a codegen'd integer DIV over the materialized frame — no global sort, no second shuffle of the corpus",
       "t13_repetition_ngrams" ->

@@ -108,6 +108,24 @@ object ScaleProbeAnn {
         f""""lsh_sec":$lshSec%.2f,"lsh_recall":$rLsh%.2f,""" +
         f""""lsh_auto_bits":$autoBits,"lsh_auto_sec":$lshASec%.2f,"lsh_auto_recall":$rLshA%.2f}""")
     }
+
+    // ---- e8 k-means (Lloyd, broadcast centroids) on the diverse
+    // corpus: per update the corpus sees ONE assignment map + one
+    // K×dim-group aggregate, so wall should track corpus size
+    // ~linearly; inertia is printed so a probe that stays fast by
+    // mis-assigning would show up as an inertia blow-up. ----
+    for (k <- Seq(1, 4, 16)) {
+      val q = diverse(k).select(col("vec_id"),
+          expr("transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("qv"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val asn = graft.QueriesLlm.kmeansAssignments(q, k = 10, updates = 2)
+      val inertia = asn.agg(sum(col("dist_sq"))).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"kmeans","k":$k,"vecs":${nBase * k},"sec":$sec%.2f,""" +
+        f""""inertia_per_vec":${inertia / (nBase * k)}}""")
+    }
     spark.stop()
   }
 }

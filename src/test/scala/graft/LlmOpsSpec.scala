@@ -138,6 +138,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("e8 k-means: Lloyd updates tighten inertia, clusters stay full-cover") {
+    def inertia(updates: Int): Long =
+      QueriesLlm.kmeansCore(spark, dir, k = 10, updates = updates)
+        .agg(sum(col("dist_sq"))).head().getLong(0)
+    val i0 = inertia(0)
+    val i2 = inertia(2)
+    // exact-integer Lloyd: each assignment+mean step can only reduce the
+    // summed squared distance (truncated means perturb by <1 quantum/dim,
+    // far below the step sizes on this fixture)
+    assert(i2 < i0, s"two Lloyd updates did not tighten inertia: $i0 -> $i2")
+    val out = run("e8_kmeans_curation")
+    assert(out.count() === Tables.embeddings(spark, dir).count())
+    val k = out.select("cluster").distinct().count()
+    assert(k === 10, s"expected all 10 clusters populated, got $k")
+  }
+
+  test("x22 cluster-balanced sample: exact per-cluster budget, most-central picks") {
+    val sample = run("x22_cluster_balanced_sample")
+    val perCluster = sample.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perCluster.size === 10)
+    assert(perCluster.values.forall(_ === 25L), perCluster.toString)
+    // every pick must be at least as central as any non-pick in its cluster
+    val all = run("e8_kmeans_curation")
+    val maxPicked = sample.groupBy("cluster").agg(max("dist_sq").as("mx"))
+    val minSkipped = all.join(sample.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .groupBy("cluster").agg(min("dist_sq").as("mn"))
+    val violations = maxPicked.join(minSkipped, Seq("cluster"))
+      .filter(col("mx") > col("mn")).count()
+    assert(violations === 0)
+  }
+
   test("short documents don't crash the gram-based operators") {
     // regression: the gram index streams used sequence(1, size(w)-K),
     // which Spark makes DESCENDING when size(w) <= K — the exploded
