@@ -1279,6 +1279,102 @@ object QueriesLlm {
              |FROM ($KmeansSql)
              |QUALIFY rank_in_cluster <= 25""".stripMargin)),
 
+    // ---- e9: hybrid retrieval via Reciprocal Rank Fusion [Cormack,
+    //      Clarke & Buettcher 2009] — the standard way modern retrieval
+    //      curation combines a LEXICAL ranker with a VECTOR ranker
+    //      without score calibration: rrf = Σ 1/(60 + rank). Text side
+    //      is per-query-doc "more-like-this" BM25 (t14's exact-integer
+    //      avgdl algebra, query terms = the query doc's distinct terms,
+    //      inverted-index equi-joins — query-fan-out × postings, never
+    //      corpus × corpus); vector side is e1's broadcast cosine.
+    //      Ranks are integers from rounded-score orderings with cand_id
+    //      tie-breaks, and 1/(60+r) is per-row double arithmetic — so
+    //      the fusion is hash-exact cross-engine, no recall gate
+    //      needed. A candidate absent from the text list (no shared
+    //      term) contributes only its vector rank (COALESCE arm). At
+    //      corpus scale the full-pool cosine rank is the e1-style
+    //      baseline; the scale path feeds e3/e4/e5 candidates into the
+    //      same fusion. ----
+    "e9_hybrid_rrf" -> QDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dl = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+        val (n, tTok) = (stats.getLong(0), stats.getLong(1))
+        val qterms = tf.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("query_id"), col("term"))
+        val textScore = qterms
+          .join(tf.withColumnRenamed("doc_id", "cand_id"), Seq("term"))
+          .filter(col("cand_id") =!= col("query_id"))
+          .join(broadcast(dft), Seq("term"))
+          .join(dl.withColumnRenamed("doc_id", "cand_id"), Seq("cand_id"))
+          .withColumn("w",
+            log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+              * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) *
+                  (lit(1.0) - 0.75 + lit(0.75) * (col("dl") * lit(n)) / lit(tTok))))
+          .groupBy("query_id", "cand_id").agg(round(sum(col("w")), 6).as("bm25"))
+        val wt = Window.partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("cand_id").asc)
+        val textRank = textScore
+          .withColumn("r_text", row_number().over(wt))
+          .select(col("query_id"), col("cand_id"), col("r_text"))
+        val nv = normed(s, dir)
+        val vecRank = nv
+          .select(col("vec_id").as("cand_id"), col("v"), col("nrm"))
+          .join(broadcast(nv.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qn"))), col("cand_id") =!= col("query_id"))
+          .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .withColumn("r_vec", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("cand_id").asc)))
+          .select(col("query_id"), col("cand_id"), col("r_vec"))
+        vecRank.join(textRank, Seq("query_id", "cand_id"), "left_outer")
+          .withColumn("rrf", round(lit(1.0) / (lit(60) + col("r_vec"))
+            + coalesce(lit(1.0) / (lit(60) + col("r_text")), lit(0.0)), 9))
+          .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("rrf").desc, col("cand_id").asc)))
+          .filter(col("rn") <= 10)
+          .select(col("query_id"), col("cand_id"), col("r_vec"), col("r_text"), col("rrf"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             |       FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+             |qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+             |ts AS (SELECT qt.query_id, tf.doc_id AS cand_id,
+             |         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |           * (tf.tf * 2.2)
+             |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl * st.n) / st.t)) AS w
+             |       FROM qt JOIN tf ON tf.term = qt.term
+             |         JOIN df ON df.term = qt.term
+             |         JOIN dl ON dl.doc_id = tf.doc_id
+             |         CROSS JOIN st
+             |       WHERE tf.doc_id <> qt.query_id),
+             |tr AS (SELECT query_id, cand_id, round(sum(w), 6) AS bm25 FROM ts GROUP BY 1, 2),
+             |trr AS (SELECT query_id, cand_id,
+             |          CAST(row_number() OVER (PARTITION BY query_id
+             |            ORDER BY bm25 DESC, cand_id ASC) AS INT) AS r_text FROM tr),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |nv AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+             |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+             |       FROM nv q, nv c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+             |vr AS (SELECT query_id, cand_id,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY cosine DESC, cand_id ASC) AS INT) AS r_vec FROM cs)
+             |SELECT query_id, cand_id, r_vec, r_text,
+             |  round(1.0/(60 + r_vec) + COALESCE(1.0/(60 + r_text), 0.0), 9) AS rrf
+             |FROM vr LEFT JOIN trr USING (query_id, cand_id)
+             |QUALIFY row_number() OVER (PARTITION BY query_id
+             |  ORDER BY rrf DESC, cand_id ASC) <= 10""".stripMargin)),
+
     // ---- tq1: typed Dataset[T] surface (case-class Encoder) ----
     // (SURVEY §1.4: typed sugar where safety helps — filter/map over a
     //  case class; note typed lambdas deserialize per row, so this stays

@@ -170,6 +170,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(violations === 0)
   }
 
+  test("e9 hybrid RRF: 10 per query, and rank dominance implies fusion dominance") {
+    val rows = run("e9_hybrid_rrf").collect().map(r => (
+      r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("cand_id")),
+      r.getInt(r.fieldIndex("r_vec")),
+      if (r.isNullAt(r.fieldIndex("r_text"))) None else Some(r.getInt(r.fieldIndex("r_text"))),
+      r.getDouble(r.fieldIndex("rrf"))))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.size === 10)
+    assert(byQuery.values.forall(_.length === 10))
+    // monotone fusion: better on BOTH rankers can never fuse worse
+    for ((_, g) <- byQuery; a <- g; b <- g if a != b) {
+      val textDominates = (a._4, b._4) match {
+        case (Some(x), Some(y)) => x < y
+        case (Some(_), None) => true // absent text rank contributes 0
+        case _ => false
+      }
+      if (a._3 < b._3 && textDominates)
+        assert(a._5 > b._5, s"dominated pair fused backwards: $a vs $b")
+    }
+  }
+
   test("short documents don't crash the gram-based operators") {
     // regression: the gram index streams used sequence(1, size(w)-K),
     // which Spark makes DESCENDING when size(w) <= K — the exploded
