@@ -973,6 +973,68 @@ object QueriesMutation {
              |SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
              |WHERE l_orderkey % 4 = 2""".stripMargin)),
 
+    // ---- mv1: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE with
+    //      retraction — the change feed maintains a per-group aggregate
+    //      (count + sum) through updates and deletes without ever
+    //      re-aggregating the source. The whole backlog collapses to
+    //      ONE signed delta aggregate (+1 for insert/update_postimage,
+    //      −1 for delete/update_preimage — commutative, so no
+    //      per-version loop), new absolutes come from a group-pruned
+    //      read of the view (broadcast semi-join on the changed groups,
+    //      stats/bloom prune the dirs), and emptied groups retract to
+    //      deletion. Maintenance cost is O(changed rows → changed
+    //      groups), never O(source) or O(view) — at 100 TB this is the
+    //      difference between a view that refreshes per commit and one
+    //      that needs a nightly recompute. The update here MOVES rows
+    //      between groups (suppkey shift), so both the retraction and
+    //      the addition arm are load-bearing. Integer qty keeps every
+    //      sum exact. Oracle: replay the mutations relationally, then
+    //      aggregate the final state directly — equality proves the
+    //      incremental path converged to the full recompute. ----
+    "mv1_incremental_agg" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv1")
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT"))         // v0
+        st.setChangeFeed("src", true)                                 // v1
+        st.append("src", li.filter(col("l_orderkey") % 4 === 1))      // v2
+        // initial full compute, ONCE, at the seed version
+        val v0 = st.currentVersion("src")
+        st.createBucketed("agg_view", st.readVersion("src", v0)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty")),
+          Seq("l_suppkey"), 8)
+        // the backlog the view must absorb incrementally
+        st.updateVectorized("src", col("qty") <= 10L,
+          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))           // v3
+        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)      // v4
+        st.append("src", li.filter(col("l_orderkey") % 4 === 2))      // v5
+        graft.ops.Ivm.applyCountSumDelta(st, "agg_view",
+          st.readChangesBetween("src", v0, st.currentVersion("src")),
+          groupCol = "l_suppkey", valueCol = "qty")
+        st.read("agg_view").select(col("l_suppkey"), col("n_rows"),
+          col("sum_qty"))
+      },
+      Some("""WITH init AS (
+             |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+             |  FROM lineitem WHERE l_orderkey % 4 = 1),
+             |upd AS (
+             |  SELECT l_orderkey,
+             |    CASE WHEN qty <= 10 THEN l_suppkey + 100000
+             |         ELSE l_suppkey END AS l_suppkey,
+             |    qty
+             |  FROM init),
+             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
+             |fin AS (SELECT * FROM del
+             |        UNION ALL
+             |        SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT)
+             |        FROM lineitem WHERE l_orderkey % 4 = 2)
+             |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(qty) AS BIGINT) AS sum_qty
+             |FROM fin GROUP BY 1""".stripMargin)),
+
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE
     //      merge-on-read mutation — so "which load did this row come

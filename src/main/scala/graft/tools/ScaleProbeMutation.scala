@@ -78,7 +78,24 @@ object ScaleProbeMutation {
         col("l_suppkey"), col("l_quantity"), col("l_supp_i"))
       val batch = updates.unionByName(inserts).localCheckpoint()
 
+      // grouped (count,sum) view seeded BEFORE the merge: the IVM probe
+      // then absorbs the merge commit's change rows only — expect FLAT
+      // across k (maintenance tracks the FIXED batch's changed groups
+      // and the view dirs holding them, never source or view volume)
+      val vPre = st.currentVersion("t")
+      st.createBucketed("v_agg", st.readVersion("t", vPre)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty")),
+        Seq("l_suppkey"), n = 8)
+
       val mergeSec = t { st.mergeUpsert("t", batch, Seq("l_orderkey")) }
+      val ivmSec = t {
+        graft.ops.Ivm.applyCountSumDelta(st, "v_agg",
+          st.readChangesBetween("t", vPre, st.currentVersion("t"))
+            .withColumn("qty", col("l_quantity").cast("long")),
+          groupCol = "l_suppkey", valueCol = "qty")
+      }
       val deleteSec = t { st.deleteVectorized("t", col("l_suppkey") % 10 === 3) }
       val feedSec = t {
         st.readChangesBetween("t", 2, st.currentVersion("t"), withRowIds = true)
@@ -104,7 +121,7 @@ object ScaleProbeMutation {
           org.apache.spark.sql.types.LongType)
       }
       println(f"""{"k":$k,"rows":${nBase * k},"merge_sec":$mergeSec%.2f,""" +
-        f""""delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
+        f""""ivm_sec":$ivmSec%.2f,"delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"replace_sec":$replaceSec%.2f,""" +
         f""""widen_sec":$widenSec%.2f,"batch":10000}""")
       graft.core.FsUtil.deleteRecursively(new java.io.File(root))

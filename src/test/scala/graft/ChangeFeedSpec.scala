@@ -23,6 +23,31 @@ class ChangeFeedSpec extends AnyFunSuite {
       .select("id", "v", "_change_type", "_commit_version")
       .as[(Long, String, String, Long)].collect().toSet
 
+  test("Ivm maintains a grouped view incrementally, retracting emptied groups") {
+    val ts = freshStore()
+    // src: (key, grp, qty) — group 1 will fully empty, group 2 mutates
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 30L),
+      (4L, 2L, 40L)).toDF("k", "grp", "qty"))                  // v0
+    ts.setChangeFeed("src", true)                              // v1
+    val v0 = ts.currentVersion("src")
+    ts.create("view", ts.readVersion("src", v0).groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty")))
+    ts.delete("src", col("grp") === 1L)                        // v2: group 1 dies
+    ts.update("src", col("k") === 3L, Map("qty" -> lit(35L)))  // v3: sum moves
+    ts.append("src", Seq((5L, 3L, 50L)).toDF("k", "grp", "qty")) // v4: new group
+    graft.ops.Ivm.applyCountSumDelta(ts, "view",
+      ts.readChangesBetween("src", v0, ts.currentVersion("src")),
+      groupCol = "grp", valueCol = "qty")
+    val view = ts.read("view").as[(Long, Long, Long)].collect().toSet
+    assert(view === Set((2L, 2L, 75L), (3L, 1L, 50L)),
+      s"retraction/addition algebra broke: $view")
+    // the maintained view equals a direct recompute of the final state
+    val direct = ts.read("src").groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(view === direct)
+  }
+
   test("mergeUpsert records insert + update pre/postimage in one commit") {
     val ts = freshStore()
     ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
