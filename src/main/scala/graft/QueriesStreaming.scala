@@ -243,6 +243,74 @@ object QueriesStreaming {
               |  'payment_gateway' AS source_system,
               |  effective_start_date, effective_end_date, is_current FROM ins""".stripMargin)),
 
+    // ---- st19: STREAMING MATERIALIZED VIEW — mv1's incremental
+    //      aggregate maintenance driven continuously from the change
+    //      feed (one body, two drivers: the SAME ops.Ivm core as the
+    //      batch query). Because the signed delta algebra is
+    //      commutative, micro-batch BOUNDARIES don't matter: no
+    //      per-version loop inside foreachBatch, any chunking of the
+    //      backlog converges — demonstrated by forcing multiple
+    //      batches (maxVersionsPerTrigger=2) over a history whose
+    //      update moves rows between groups. startVersion=-1 replays
+    //      from creation so the view bootstraps from empty through the
+    //      same path it tails with; each batch costs O(its change
+    //      rows → changed groups). Oracle = direct re-aggregation of
+    //      the replayed final state (mv1's), so convergence is the
+    //      hash check itself. ----
+    "st19_stream_materialized_view" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st19_mv"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT"))          // v0
+        st.setChangeFeed("src", true)                                  // v1
+        st.createEmpty("agg_view", org.apache.spark.sql.types.StructType.fromDDL(
+          "l_suppkey BIGINT, n_rows BIGINT, sum_qty BIGINT"))
+        // the backlog the stream must absorb — same history as mv1
+        st.append("src", li.filter(col("l_orderkey") % 4 === 1))       // v2
+        st.updateVectorized("src", col("qty") <= 10L,
+          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))            // v3
+        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)       // v4
+        st.append("src", li.filter(col("l_orderkey") % 4 === 2))       // v5
+        s.conf.set("spark.sql.catalog.graft_st19", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st19.root", root)
+        val q = s.readStream
+          .option("startVersion", "-1").option("maxVersionsPerTrigger", "2")
+          .table("graft_st19.src.changes")
+          .writeStream.option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              graft.ops.Ivm.applyCountSumDelta(st, "agg_view", batch,
+                groupCol = "l_suppkey", valueCol = "qty")
+          }
+          .start()
+        q.awaitTermination()
+        st.read("agg_view").select(col("l_suppkey"), col("n_rows"),
+          col("sum_qty"))
+      },
+      Some("""WITH init AS (
+             |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+             |  FROM lineitem WHERE l_orderkey % 4 = 1),
+             |upd AS (
+             |  SELECT l_orderkey,
+             |    CASE WHEN qty <= 10 THEN l_suppkey + 100000
+             |         ELSE l_suppkey END AS l_suppkey,
+             |    qty
+             |  FROM init),
+             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
+             |fin AS (SELECT * FROM del
+             |        UNION ALL
+             |        SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT)
+             |        FROM lineitem WHERE l_orderkey % 4 = 2)
+             |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(qty) AS BIGINT) AS sum_qty
+             |FROM fin GROUP BY 1""".stripMargin)),
+
     "st17_stream_static_join" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
