@@ -1014,8 +1014,11 @@ object QueriesMutation {
         graft.ops.Ivm.applyCountSumDelta(st, "agg_view",
           st.readChangesBetween("src", v0, st.currentVersion("src")),
           groupCol = "l_suppkey", valueCol = "qty")
-        st.read("agg_view").select(col("l_suppkey"), col("n_rows"),
-          col("sum_qty"))
+        // maintenance-window sweep of retraction tombstones (a no-op
+        // when no group emptied), then the consumer face
+        graft.ops.Ivm.compactDead(st, "agg_view", "l_suppkey")
+        graft.ops.Ivm.readView(st, "agg_view")
+          .select(col("l_suppkey"), col("n_rows"), col("sum_qty"))
       },
       Some("""WITH init AS (
              |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty

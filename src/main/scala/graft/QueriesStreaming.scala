@@ -283,15 +283,19 @@ object QueriesStreaming {
           .table("graft_st19.src.changes")
           .writeStream.option("checkpointLocation", s"$root/_ckpt")
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            // txn = (app, batchId): foreachBatch is at-least-once, and a
+            // re-delivered batch must not re-add its delta — the stamp
+            // rides the view's own commit (Delta txnAppId/txnVersion)
             if (!batch.isEmpty)
               graft.ops.Ivm.applyCountSumDelta(st, "agg_view", batch,
-                groupCol = "l_suppkey", valueCol = "qty")
+                groupCol = "l_suppkey", valueCol = "qty",
+                txn = Some(("st19_mv", batchId)))
           }
           .start()
         q.awaitTermination()
-        st.read("agg_view").select(col("l_suppkey"), col("n_rows"),
-          col("sum_qty"))
+        graft.ops.Ivm.readView(st, "agg_view")
+          .select(col("l_suppkey"), col("n_rows"), col("sum_qty"))
       },
       Some("""WITH init AS (
              |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty

@@ -2746,13 +2746,24 @@ class TableStore(spark: SparkSession, root: String) {
     * One full-outer shuffle join on the keys (bucket-pruned on bucketed
     * tables); broadcast is not applicable to full-outer, but AQE handles
     * skew. */
+  /** `txn`: Delta-parity idempotent writes (`txnAppId`/`txnVersion`).
+    * When set, the merge is SKIPPED if the table's txn registry already
+    * records a version >= the given one for that app id, and otherwise
+    * the registry advances IN THE SAME COMMIT as the data — so a
+    * foreachBatch re-delivery (or any at-least-once driver) applies
+    * each logical batch exactly once. A lost commit race throws; the
+    * caller's retry re-reads the manifest and re-checks the registry,
+    * so the skip/stamp pair stays race-safe. */
   def mergeUpsert(name: String, source: DataFrame, keys: Seq[String],
                   matchedChangeType: String = "MERGE",
                   insertChangeType: String = "MERGE",
                   changeTypeCol: Option[String] = Some("delta_change_type"),
                   verifyUniqueSource: Boolean = true,
-                  sourceProvided: Option[Set[String]] = None): Unit = {
+                  sourceProvided: Option[Set[String]] = None,
+                  txn: Option[(String, Long)] = None): Unit = {
     val m = readManifest(name, currentVersion(name))
+    if (txn.exists { case (app, v) => m.txns.get(app).exists(_ >= v) })
+      return // already applied: idempotent re-delivery
     import m.{schema, dirs, bucketing}
     // `sourceProvided` (set by mergeUpsertEvolve): the columns the
     // caller's source ACTUALLY carries. Unprovided columns follow the
@@ -2804,8 +2815,12 @@ class TableStore(spark: SparkSession, root: String) {
     // target scan attached __rid); source-only inserts carry null and
     // the reader mints base + position from the new file instead
     val ridKeep = rewriteExtra(m)
+    // txn stamp rides the SAME manifest commit as the data — that
+    // atomicity is the whole idempotency guarantee
+    val mTxn = m.copy(bucketing = b,
+      txns = m.txns ++ txn.map { case (app, v) => app -> v })
     if (!m.cdf)
-      commit(name, Some(joined.select(out ++ ridKeep: _*)), m.copy(bucketing = b),
+      commit(name, Some(joined.select(out ++ ridKeep: _*)), mTxn,
         carried, extraPhys = ridKeep): Unit
     else {
       // change feed: every joined row explodes into its post-state plus
@@ -2818,7 +2833,7 @@ class TableStore(spark: SparkSession, root: String) {
         .when(sMatched, array(kindStruct("current", out ++ ridKeep),
           kindStruct("insert", out ++ ridKeep)))
         .otherwise(array(kindStruct("current", old ++ ridKeep)))
-      commitCdc(name, m.copy(bucketing = b),
+      commitCdc(name, mTxn,
         explodeKinds(joined, arr, schema, ridNames(m)), carried)
     }
   }
@@ -3269,6 +3284,13 @@ class TableStore(spark: SparkSession, root: String) {
     * sink owns the table) the epoch's dirs REPLACE the live set
     * instead of appending. Returns true when the epoch committed,
     * false when skipped. */
+  /** The txn registry's high-watermark for a writer app id (Delta's
+    * `DeltaTable.txnVersion` lookup) — lets an idempotent writer skip
+    * an already-applied batch BEFORE doing any work; the authoritative
+    * re-check still happens inside the committing operation. */
+  def lastTxnVersion(name: String, appId: String): Option[Long] =
+    readManifest(name, currentVersion(name)).txns.get(appId)
+
   def attachStreamEpoch(name: String, queryId: String, epochId: Long,
                         files: Seq[Path], replaceAll: Boolean = false): Boolean = {
     val m = readManifest(name, currentVersion(name))

@@ -15,28 +15,46 @@ import graft.core.TableStore
   * delta aggregate per group; no per-version loop. New absolutes come
   * from a group-pruned read of the view (broadcast semi-join on the
   * changed groups; the store's stats/bloom pruning drops every dir
-  * holding none of them), and groups whose count retracts to zero are
-  * deleted from the view. Maintenance cost is O(changed rows → changed
+  * holding none of them). Maintenance cost is O(changed rows → changed
   * groups), never O(source) or O(view).
   *
-  * The driver-visible face is `mv1_incremental_agg` (QueriesMutation),
-  * whose oracle proves the incremental path converges to a direct
-  * re-aggregation of the final state.
+  * Exactly-once: the apply is ONE mergeUpsert commit — groups whose
+  * count retracts to zero are written as (0, 0) TOMBSTONES rather than
+  * deleted in a second commit, so there is no partial-apply window —
+  * and the optional `txn` (Delta's txnAppId/txnVersion idempotent-write
+  * pattern) makes an at-least-once driver (foreachBatch re-delivery)
+  * apply each batch once: the txn stamp rides the same manifest commit
+  * as the data. [[readView]] is the consumer face (tombstones
+  * filtered); [[compactDead]] sweeps tombstones in a maintenance
+  * window. Double-apply without txn protection is caught loudly by the
+  * negative-count guard whenever any retracted group goes below zero.
+  *
+  * The driver-visible faces are `mv1_incremental_agg` (batch) and
+  * `st19_stream_materialized_view` (streaming, same body); both oracles
+  * prove convergence to a direct re-aggregation of the final state.
   */
 object Ivm {
 
   /** Absorb `feed` (a readChangesBetween frame over the view's source)
     * into `view`, a table with columns (groupCol, n_rows, sum_qty)
-    * where sum_qty sums the feed's `valueCol`. Commits one upsert and,
-    * if any group emptied, one delete. */
+    * where sum_qty sums the feed's `valueCol`. One commit; a no-op on
+    * an empty feed. With `txn = Some((appId, version))` the apply is
+    * idempotent under re-delivery. */
   def applyCountSumDelta(st: TableStore, view: String, feed: DataFrame,
-                         groupCol: String, valueCol: String): Unit = {
+                         groupCol: String, valueCol: String,
+                         txn: Option[(String, Long)] = None): Unit = {
+    // skip BEFORE computing: a re-delivered batch must not recompute
+    // absolutes against the post-apply view (the arithmetic below is
+    // only meaningful against the pre-apply state)
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       1L).otherwise(-1L)
     val delta = feed
       .groupBy(col(groupCol))
       .agg(sum(sgn).as("dn"), sum(sgn * col(valueCol)).as("dsum"))
-      .localCheckpoint() // reused: pruned view read, upsert, retract
+      .localCheckpoint() // reused: pruned view read, guard, upsert
+    if (delta.isEmpty) return
     val old = st.read(view)
       .join(broadcast(delta.select(col(groupCol))), Seq(groupCol), "left_semi")
     val next = delta.join(old, Seq(groupCol), "left_outer")
@@ -44,8 +62,22 @@ object Ivm {
         (coalesce(col("n_rows"), lit(0L)) + col("dn")).as("n_rows"),
         (coalesce(col("sum_qty"), lit(0L)) + col("dsum")).as("sum_qty"))
       .localCheckpoint()
-    st.mergeUpsert(view, next.filter(col("n_rows") > 0L), Seq(groupCol))
-    val dead = next.filter(col("n_rows") === 0L).select(col(groupCol))
+    require(next.filter(col("n_rows") < 0L).isEmpty,
+      s"IVM count went negative on $view — the feed overlaps an already-" +
+        "applied range (double apply); pass a txn to make applies idempotent")
+    st.mergeUpsert(view, next, Seq(groupCol), txn = txn)
+  }
+
+  /** The consumer face of a maintained view: live groups only. */
+  def readView(st: TableStore, view: String): DataFrame =
+    st.read(view).filter(col("n_rows") > 0L)
+
+  /** Sweep retraction tombstones (n_rows = 0). Run in a maintenance
+    * window — racing a concurrent apply could delete a group the apply
+    * is resurrecting (same discipline as vacuum vs. writers). */
+  def compactDead(st: TableStore, view: String, groupCol: String): Unit = {
+    val dead = st.read(view).filter(col("n_rows") === 0L)
+      .select(col(groupCol)).localCheckpoint()
     if (!dead.isEmpty) st.mergeDelete(view, dead, Seq(groupCol))
   }
 }

@@ -35,12 +35,31 @@ class ChangeFeedSpec extends AnyFunSuite {
     ts.delete("src", col("grp") === 1L)                        // v2: group 1 dies
     ts.update("src", col("k") === 3L, Map("qty" -> lit(35L)))  // v3: sum moves
     ts.append("src", Seq((5L, 3L, 50L)).toDF("k", "grp", "qty")) // v4: new group
-    graft.ops.Ivm.applyCountSumDelta(ts, "view",
-      ts.readChangesBetween("src", v0, ts.currentVersion("src")),
-      groupCol = "grp", valueCol = "qty")
-    val view = ts.read("view").as[(Long, Long, Long)].collect().toSet
+    val feed = ts.readChangesBetween("src", v0, ts.currentVersion("src"))
+    graft.ops.Ivm.applyCountSumDelta(ts, "view", feed,
+      groupCol = "grp", valueCol = "qty", txn = Some(("ivm-test", 1L)))
+    val view = graft.ops.Ivm.readView(ts, "view")
+      .as[(Long, Long, Long)].collect().toSet
     assert(view === Set((2L, 2L, 75L), (3L, 1L, 50L)),
       s"retraction/addition algebra broke: $view")
+    // the emptied group survives as a one-commit tombstone until swept
+    assert(ts.read("view").as[(Long, Long, Long)].collect().toSet ===
+      view + ((1L, 0L, 0L)))
+    // exactly-once: re-delivering the same batch under the same txn is
+    // a no-op (the stamp rode the view's own commit)
+    graft.ops.Ivm.applyCountSumDelta(ts, "view", feed,
+      groupCol = "grp", valueCol = "qty", txn = Some(("ivm-test", 1L)))
+    assert(graft.ops.Ivm.readView(ts, "view")
+      .as[(Long, Long, Long)].collect().toSet === view)
+    // without txn protection the double apply is refused loudly
+    val boom = intercept[IllegalArgumentException] {
+      graft.ops.Ivm.applyCountSumDelta(ts, "view", feed,
+        groupCol = "grp", valueCol = "qty")
+    }
+    assert(boom.getMessage.contains("double apply"))
+    // maintenance sweep removes the tombstone; live groups untouched
+    graft.ops.Ivm.compactDead(ts, "view", "grp")
+    assert(ts.read("view").as[(Long, Long, Long)].collect().toSet === view)
     // the maintained view equals a direct recompute of the final state
     val direct = ts.read("src").groupBy("grp")
       .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
