@@ -1038,6 +1038,60 @@ object QueriesMutation {
              |  CAST(sum(qty) AS BIGINT) AS sum_qty
              |FROM fin GROUP BY 1""".stripMargin)),
 
+    // ---- mv2: incremental MAX — the NON-distributive IVM face.
+    //      Count/sum retract by algebra (mv1); MAX cannot: retracting
+    //      the current max may or may not lower it (another row can
+    //      carry the same value). applyMaxDelta absorbs raises by
+    //      algebra and recomputes ONLY the groups whose retraction
+    //      reaches the stored max, from a version-pinned group-pruned
+    //      source read — O(affected groups' rows), never the table.
+    //      Same mutation history as mv1: the suppkey-shifting update
+    //      retracts low values (the algebra arm) and the delete
+    //      retracts arbitrary ones incl. group maxima (the recompute
+    //      arm) — both paths run here. Oracle: direct MAX per group
+    //      over the replayed final state. ----
+    "mv2_incremental_max" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv2")
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
+          "l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT"))         // v0
+        st.setChangeFeed("src", true)                                 // v1
+        st.append("src", li.filter(col("l_orderkey") % 4 === 1))      // v2
+        val v0 = st.currentVersion("src")
+        st.createBucketed("max_view", st.readVersion("src", v0)
+          .groupBy(col("l_suppkey")).agg(max(col("qty")).as("mx")),
+          Seq("l_suppkey"), 8)
+        st.updateVectorized("src", col("qty") <= 10L,
+          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))           // v3
+        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)      // v4
+        st.append("src", li.filter(col("l_orderkey") % 4 === 2))      // v5
+        val vEnd = st.currentVersion("src")
+        graft.ops.Ivm.applyMaxDelta(st, "max_view", "src", vEnd,
+          st.readChangesBetween("src", v0, vEnd),
+          groupCol = "l_suppkey", valueCol = "qty")
+        graft.ops.Ivm.compactDeadMax(st, "max_view", "l_suppkey")
+        graft.ops.Ivm.readMaxView(st, "max_view")
+          .select(col("l_suppkey"), col("mx"))
+      },
+      Some("""WITH init AS (
+             |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+             |  FROM lineitem WHERE l_orderkey % 4 = 1),
+             |upd AS (
+             |  SELECT l_orderkey,
+             |    CASE WHEN qty <= 10 THEN l_suppkey + 100000
+             |         ELSE l_suppkey END AS l_suppkey,
+             |    qty
+             |  FROM init),
+             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
+             |fin AS (SELECT * FROM del
+             |        UNION ALL
+             |        SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT)
+             |        FROM lineitem WHERE l_orderkey % 4 = 2)
+             |SELECT l_suppkey, CAST(max(qty) AS BIGINT) AS mx
+             |FROM fin GROUP BY 1""".stripMargin)),
+
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE
     //      merge-on-read mutation — so "which load did this row come

@@ -72,6 +72,63 @@ object Ivm {
   def readView(st: TableStore, view: String): DataFrame =
     st.read(view).filter(col("n_rows") > 0L)
 
+  /** MAX with retraction — the NON-distributive aggregate face of IVM.
+    * Inserts/postimages only ever RAISE a group's max, so they absorb
+    * by pure algebra (greatest of the stored max and the batch max).
+    * A retraction (delete/preimage) whose value REACHES the stored max
+    * may or may not lower it (multiplicity: another row may carry the
+    * same value), so exactly those groups — and only those — recompute
+    * from a VERSION-PINNED read of the source, group-pruned by a
+    * broadcast semi-join: O(affected groups' source rows), never the
+    * table. Groups that recompute to empty become mx=NULL tombstones
+    * ([[readMaxView]] filters them; [[compactDeadMax]] sweeps). One
+    * commit; `txn` as in [[applyCountSumDelta]]. `valueCol` must be
+    * BIGINT. `srcVersion` must be the version the feed ends at. */
+  def applyMaxDelta(st: TableStore, view: String, srcName: String,
+                    srcVersion: Long, feed: DataFrame,
+                    groupCol: String, valueCol: String,
+                    txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val touched = feed.groupBy(col(groupCol))
+      .agg(max(when(isIns, col(valueCol))).as("mx_ins"),
+        max(when(!isIns, col(valueCol))).as("mx_ret"))
+      .localCheckpoint()
+    if (touched.isEmpty) return
+    val old = st.read(view)
+      .join(broadcast(touched.select(col(groupCol))), Seq(groupCol), "left_semi")
+    val merged = touched.join(old, Seq(groupCol), "left_outer")
+      .localCheckpoint()
+    // easy: no retraction, or one that provably stays below the stored
+    // max — algebra alone (greatest skips NULLs, so a tombstoned or
+    // brand-new group takes the batch max)
+    val reaches = col("mx_ret").isNotNull &&
+      (col("mx").isNull || col("mx_ret") >= col("mx"))
+    val easy = merged.filter(!coalesce(reaches, lit(false)))
+      .select(col(groupCol), greatest(col("mx"), col("mx_ins")).as("mx"))
+    val hard = merged.filter(coalesce(reaches, lit(false))).select(col(groupCol))
+    val recomputed = st.readVersion(srcName, srcVersion)
+      .join(broadcast(hard), Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol)).agg(max(col(valueCol)).as("mx"))
+    val dead = hard.join(recomputed.select(col(groupCol)), Seq(groupCol), "left_anti")
+      .select(col(groupCol), lit(null).cast("long").as("mx"))
+    st.mergeUpsert(view, easy.unionByName(recomputed).unionByName(dead),
+      Seq(groupCol), txn = txn)
+  }
+
+  /** The consumer face of a maintained max view: live groups only. */
+  def readMaxView(st: TableStore, view: String): DataFrame =
+    st.read(view).filter(col("mx").isNotNull)
+
+  /** Sweep max-view tombstones (mx NULL); same maintenance-window
+    * discipline as [[compactDead]]. */
+  def compactDeadMax(st: TableStore, view: String, groupCol: String): Unit = {
+    val dead = st.read(view).filter(col("mx").isNull)
+      .select(col(groupCol)).localCheckpoint()
+    if (!dead.isEmpty) st.mergeDelete(view, dead, Seq(groupCol))
+  }
+
   /** Sweep retraction tombstones (n_rows = 0). Run in a maintenance
     * window — racing a concurrent apply could delete a group the apply
     * is resurrecting (same discipline as vacuum vs. writers). */

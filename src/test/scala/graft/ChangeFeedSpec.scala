@@ -67,6 +67,44 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(view === direct)
   }
 
+  test("Ivm max view: algebra raises, multiplicity-aware retraction, death") {
+    val ts = freshStore()
+    ts.create("src", Seq(
+      (1L, 1L, 10L), (2L, 1L, 20L),             // grp 1: max 20, unique
+      (3L, 2L, 30L), (4L, 2L, 30L),             // grp 2: max 30, DUPLICATED
+      (5L, 3L, 40L),                            // grp 3: gets a raise
+      (6L, 4L, 50L)                             // grp 4: will empty
+    ).toDF("k", "grp", "qty"))                                // v0
+    ts.setChangeFeed("src", true)                             // v1
+    val v0 = ts.currentVersion("src")
+    ts.create("vmax", ts.readVersion("src", v0).groupBy("grp")
+      .agg(max("qty").as("mx")))
+    ts.delete("src", col("k") === 2L)       // v2: grp 1 max retracts, lowers
+    ts.delete("src", col("k") === 3L)       // v3: grp 2 max retracts, SURVIVES (dup)
+    ts.append("src", Seq((7L, 3L, 45L)).toDF("k", "grp", "qty")) // v4: raise
+    ts.delete("src", col("grp") === 4L)     // v5: grp 4 dies
+    val vEnd = ts.currentVersion("src")
+    val feed = ts.readChangesBetween("src", v0, vEnd)
+    graft.ops.Ivm.applyMaxDelta(ts, "vmax", "src", vEnd, feed,
+      groupCol = "grp", valueCol = "qty", txn = Some(("ivm-max", 1L)))
+    val view = graft.ops.Ivm.readMaxView(ts, "vmax")
+      .as[(Long, Long)].collect().toSet
+    assert(view === Set((1L, 10L), (2L, 30L), (3L, 45L)), view.toString)
+    // grp 4's death is a mx=NULL tombstone until swept
+    assert(ts.read("vmax").filter(col("mx").isNull).select("grp")
+      .as[Long].collect().toSeq === Seq(4L))
+    // exactly-once under the same txn
+    graft.ops.Ivm.applyMaxDelta(ts, "vmax", "src", vEnd, feed,
+      groupCol = "grp", valueCol = "qty", txn = Some(("ivm-max", 1L)))
+    assert(graft.ops.Ivm.readMaxView(ts, "vmax")
+      .as[(Long, Long)].collect().toSet === view)
+    graft.ops.Ivm.compactDeadMax(ts, "vmax", "grp")
+    assert(ts.read("vmax").as[(Long, Long)].collect().toSet === view)
+    // converged to the direct recompute
+    assert(ts.read("src").groupBy("grp").agg(max("qty").as("mx"))
+      .as[(Long, Long)].collect().toSet === view)
+  }
+
   test("mergeUpsert records insert + update pre/postimage in one commit") {
     val ts = freshStore()
     ts.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v0
