@@ -764,12 +764,17 @@ object QueriesLlm {
           x => floor(x.cast("double") * lit(1000000d)).cast("long")).as("qv")),
       k, updates)
 
-  /** Lloyd rounds over a pre-quantized (vec_id, qv: array<bigint>) frame;
-    * seeds = the k smallest vec_ids. Split from [[kmeansCore]] so the
-    * scale probe can drive it on synthesized corpora. */
+  /** Lloyd rounds over a pre-quantized (vec_id, qv: array<bigint>) frame
+    * with dense ids starting at 0; seeds = the vectors with vec_id < k.
+    * Split from [[kmeansCore]] so the scale probe can drive it on
+    * synthesized corpora. `pin = false` when the CALLER already
+    * checkpointed the frame (a second materialization of the same data
+    * would otherwise ride every timing). */
   private[graft] def kmeansAssignments(quantized: DataFrame,
-                                       k: Int, updates: Int): DataFrame = {
-    val q = quantized.localCheckpoint() // updates+1 assignment passes reuse it
+                                       k: Int, updates: Int,
+                                       pin: Boolean = true): DataFrame = {
+    // updates+1 assignment passes reuse the frame
+    val q = if (pin) quantized.localCheckpoint() else quantized
     var centroids: Array[Array[Long]] = q.filter(col("vec_id") < k)
       .orderBy(col("vec_id")).collect()
       .map(_.getAs[scala.collection.Seq[Long]]("qv").toArray)
@@ -839,6 +844,47 @@ object QueriesLlm {
        |${kmeansUpdateSql("a2", "c1", "c2")},
        |${kmeansAssignSql("c2", "a3")}
        |SELECT vec_id, cluster, dist_sq FROM a3""".stripMargin
+
+  /** Shared Okapi BM25 machinery (t14 + e9's text ranker): the corpus
+    * inverted-index stats and the weight formula with the exact-integer
+    * avgdl algebra (dl·N/T from three exact longs — no partition-order
+    * float ever feeds the scores; see t14's entry for the determinism
+    * argument). */
+  private final case class Bm25Index(tf: DataFrame, df: DataFrame,
+                                     dl: DataFrame, n: Long, t: Long)
+
+  private def bm25Index(s: SparkSession, dir: String): Bm25Index = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    Bm25Index(tf, df, dl, stats.getLong(0), stats.getLong(1))
+  }
+
+  /** k1=1.2, b=0.75; expects columns tf/df/dl in scope. */
+  private def bm25Weight(n: Long, t: Long) =
+    log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(1.0) - 0.75 + lit(0.75) * (col("dl") * lit(n)) / lit(t)))
+
+  /** The same index as DuckDB CTEs (aliases tok/dl/tf/df/st) and the
+    * same weight over them — shared by the t14 and e9 oracles. */
+  private val Bm25IndexSql =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl)""".stripMargin
+
+  private val Bm25WeightSql =
+    """ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |           * (tf.tf * 2.2)
+      |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl * st.n) / st.t))""".stripMargin
 
   val defs: Map[String, QDef] = Map(
 
@@ -1297,26 +1343,15 @@ object QueriesLlm {
     //      same fusion. ----
     "e9_hybrid_rrf" -> QDef(
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        val dl = docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("dl"))
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
-        val (n, tTok) = (stats.getLong(0), stats.getLong(1))
-        val qterms = tf.filter(col("doc_id") < 10)
+        val ix = bm25Index(s, dir)
+        val qterms = ix.tf.filter(col("doc_id") < 10)
           .select(col("doc_id").as("query_id"), col("term"))
         val textScore = qterms
-          .join(tf.withColumnRenamed("doc_id", "cand_id"), Seq("term"))
+          .join(ix.tf.withColumnRenamed("doc_id", "cand_id"), Seq("term"))
           .filter(col("cand_id") =!= col("query_id"))
-          .join(broadcast(dft), Seq("term"))
-          .join(dl.withColumnRenamed("doc_id", "cand_id"), Seq("cand_id"))
-          .withColumn("w",
-            log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-              * (col("tf") * lit(2.2))
-              / (col("tf") + lit(1.2) *
-                  (lit(1.0) - 0.75 + lit(0.75) * (col("dl") * lit(n)) / lit(tTok))))
+          .join(broadcast(ix.df), Seq("term"))
+          .join(ix.dl.withColumnRenamed("doc_id", "cand_id"), Seq("cand_id"))
+          .withColumn("w", bm25Weight(ix.n, ix.t))
           .groupBy("query_id", "cand_id").agg(round(sum(col("w")), 6).as("bm25"))
         val wt = Window.partitionBy("query_id")
           .orderBy(col("bm25").desc, col("cand_id").asc)
@@ -1341,17 +1376,10 @@ object QueriesLlm {
           .filter(col("rn") <= 10)
           .select(col("query_id"), col("cand_id"), col("r_vec"), col("r_text"), col("rrf"))
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-             |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-             |       FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+      Some(s"""WITH $Bm25IndexSql,
              |qt AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
              |ts AS (SELECT qt.query_id, tf.doc_id AS cand_id,
-             |         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-             |           * (tf.tf * 2.2)
-             |           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl * st.n) / st.t)) AS w
+             |         $Bm25WeightSql AS w
              |       FROM qt JOIN tf ON tf.term = qt.term
              |         JOIN df ON df.term = qt.term
              |         JOIN dl ON dl.doc_id = tf.doc_id
@@ -1528,34 +1556,15 @@ object QueriesLlm {
     //      corpus stats are one 1-row aggregate. ----
     "t14_bm25" -> QDef(
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        val dl = docs.select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("dl"))
-        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
-        val (n, tTok) = (stats.getLong(0), stats.getLong(1))
-        tf.filter(col("term").isin("fast", "merge"))
-          .join(broadcast(dft.filter(col("term").isin("fast", "merge"))), Seq("term"))
-          .join(dl, Seq("doc_id"))
-          .withColumn("w",
-            log((lit(n) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-              * (col("tf") * lit(2.2))
-              / (col("tf") + lit(1.2) *
-                  (lit(1.0) - 0.75 + lit(0.75) * (col("dl") * lit(n)) / lit(tTok))))
+        val ix = bm25Index(s, dir)
+        ix.tf.filter(col("term").isin("fast", "merge"))
+          .join(broadcast(ix.df.filter(col("term").isin("fast", "merge"))), Seq("term"))
+          .join(ix.dl, Seq("doc_id"))
+          .withColumn("w", bm25Weight(ix.n, ix.t))
           .groupBy("doc_id").agg(round(sum(col("w")), 6).as("bm25"))
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-             |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-             |       FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-             |scored AS (SELECT tf.doc_id,
-             |    ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
-             |      * (tf.tf * 2.2)
-             |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl * st.n) / st.t)) AS w
+      Some(s"""WITH $Bm25IndexSql,
+             |scored AS (SELECT tf.doc_id, $Bm25WeightSql AS w
              |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
              |  WHERE tf.term IN ('fast', 'merge'))
              |SELECT doc_id, round(sum(w), 6) AS bm25 FROM scored GROUP BY doc_id""".stripMargin)),

@@ -28,6 +28,61 @@ object QueriesMutation {
     new TableStore(s, root)
   }
 
+  // ---- shared IVM fixture (mv1 / mv2 / st19): ONE mutation history so
+  //      the three views provably absorb the same backlog, and ONE
+  //      oracle replay so a history edit can't silently diverge from
+  //      what an oracle tests. ----
+
+  /** The IVM family's source rows: lineitem with integer qty (exact
+    * sums/maxes on both engines). */
+  private[graft] def ivmLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      col("l_quantity").cast("long").as("qty"))
+
+  /** Create `src` with its change feed and seed load (v0-v2); returns
+    * the seed version the view's initial full compute reads. */
+  private[graft] def ivmCreateSource(st: TableStore, li: DataFrame): Long = {
+    st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
+      "l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT"))          // v0
+    st.setChangeFeed("src", true)                                  // v1
+    st.append("src", li.filter(col("l_orderkey") % 4 === 1))       // v2
+    st.currentVersion("src")
+  }
+
+  /** The post-seed backlog (v3-v5): an update that MOVES rows between
+    * groups (both retraction and addition arms fire), a delete, an
+    * insert-only append. */
+  private[graft] def ivmMutateSource(st: TableStore, li: DataFrame): Unit = {
+    st.updateVectorized("src", col("qty") <= 10L,
+      Map("l_suppkey" -> (col("l_suppkey") + 100000L)))            // v3
+    st.deleteVectorized("src", col("l_orderkey") % 10 === 3)       // v4
+    st.append("src", li.filter(col("l_orderkey") % 4 === 2))       // v5
+  }
+
+  /** The oracle: replay the same history relationally, aggregate the
+    * final state with `agg` (per l_suppkey). */
+  private[graft] def ivmOracle(agg: String): String =
+    s"""WITH init AS (
+       |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+       |  FROM lineitem WHERE l_orderkey % 4 = 1),
+       |upd AS (
+       |  SELECT l_orderkey,
+       |    CASE WHEN qty <= 10 THEN l_suppkey + 100000
+       |         ELSE l_suppkey END AS l_suppkey,
+       |    qty
+       |  FROM init),
+       |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
+       |fin AS (SELECT * FROM del
+       |        UNION ALL
+       |        SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT)
+       |        FROM lineitem WHERE l_orderkey % 4 = 2)
+       |SELECT l_suppkey, $agg
+       |FROM fin GROUP BY 1""".stripMargin
+
+  private[graft] val IvmCountSumAgg =
+    """CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(qty) AS BIGINT) AS sum_qty""".stripMargin
+
   /** ONE shared root for every query that reads through the `graft` SQL
     * catalog: Spark caches a catalog instance per session at first use,
     * so a second query pointing `spark.sql.catalog.graft.root` elsewhere
@@ -994,23 +1049,14 @@ object QueriesMutation {
     "mv1_incremental_agg" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "mv1")
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
-          col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
-        st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
-          "l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT"))         // v0
-        st.setChangeFeed("src", true)                                 // v1
-        st.append("src", li.filter(col("l_orderkey") % 4 === 1))      // v2
+        val li = ivmLineitem(s, dir)
+        val v0 = ivmCreateSource(st, li)
         // initial full compute, ONCE, at the seed version
-        val v0 = st.currentVersion("src")
         st.createBucketed("agg_view", st.readVersion("src", v0)
           .groupBy(col("l_suppkey"))
           .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty")),
           Seq("l_suppkey"), 8)
-        // the backlog the view must absorb incrementally
-        st.updateVectorized("src", col("qty") <= 10L,
-          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))           // v3
-        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)      // v4
-        st.append("src", li.filter(col("l_orderkey") % 4 === 2))      // v5
+        ivmMutateSource(st, li) // the backlog the view absorbs
         graft.ops.Ivm.applyCountSumDelta(st, "agg_view",
           st.readChangesBetween("src", v0, st.currentVersion("src")),
           groupCol = "l_suppkey", valueCol = "qty")
@@ -1020,23 +1066,7 @@ object QueriesMutation {
         graft.ops.Ivm.readView(st, "agg_view")
           .select(col("l_suppkey"), col("n_rows"), col("sum_qty"))
       },
-      Some("""WITH init AS (
-             |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
-             |  FROM lineitem WHERE l_orderkey % 4 = 1),
-             |upd AS (
-             |  SELECT l_orderkey,
-             |    CASE WHEN qty <= 10 THEN l_suppkey + 100000
-             |         ELSE l_suppkey END AS l_suppkey,
-             |    qty
-             |  FROM init),
-             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
-             |fin AS (SELECT * FROM del
-             |        UNION ALL
-             |        SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT)
-             |        FROM lineitem WHERE l_orderkey % 4 = 2)
-             |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
-             |  CAST(sum(qty) AS BIGINT) AS sum_qty
-             |FROM fin GROUP BY 1""".stripMargin)),
+      Some(ivmOracle(IvmCountSumAgg))),
 
     // ---- mv2: incremental MAX — the NON-distributive IVM face.
     //      Count/sum retract by algebra (mv1); MAX cannot: retracting
@@ -1053,20 +1083,12 @@ object QueriesMutation {
     "mv2_incremental_max" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "mv2")
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
-          col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
-        st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
-          "l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT"))         // v0
-        st.setChangeFeed("src", true)                                 // v1
-        st.append("src", li.filter(col("l_orderkey") % 4 === 1))      // v2
-        val v0 = st.currentVersion("src")
+        val li = ivmLineitem(s, dir)
+        val v0 = ivmCreateSource(st, li)
         st.createBucketed("max_view", st.readVersion("src", v0)
           .groupBy(col("l_suppkey")).agg(max(col("qty")).as("mx")),
           Seq("l_suppkey"), 8)
-        st.updateVectorized("src", col("qty") <= 10L,
-          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))           // v3
-        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)      // v4
-        st.append("src", li.filter(col("l_orderkey") % 4 === 2))      // v5
+        ivmMutateSource(st, li)
         val vEnd = st.currentVersion("src")
         graft.ops.Ivm.applyMaxDelta(st, "max_view", "src", vEnd,
           st.readChangesBetween("src", v0, vEnd),
@@ -1075,22 +1097,7 @@ object QueriesMutation {
         graft.ops.Ivm.readMaxView(st, "max_view")
           .select(col("l_suppkey"), col("mx"))
       },
-      Some("""WITH init AS (
-             |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
-             |  FROM lineitem WHERE l_orderkey % 4 = 1),
-             |upd AS (
-             |  SELECT l_orderkey,
-             |    CASE WHEN qty <= 10 THEN l_suppkey + 100000
-             |         ELSE l_suppkey END AS l_suppkey,
-             |    qty
-             |  FROM init),
-             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
-             |fin AS (SELECT * FROM del
-             |        UNION ALL
-             |        SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT)
-             |        FROM lineitem WHERE l_orderkey % 4 = 2)
-             |SELECT l_suppkey, CAST(max(qty) AS BIGINT) AS mx
-             |FROM fin GROUP BY 1""".stripMargin)),
+      Some(ivmOracle("CAST(max(qty) AS BIGINT) AS mx"))),
 
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE

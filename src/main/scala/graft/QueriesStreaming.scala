@@ -263,19 +263,14 @@ object QueriesStreaming {
         val root = "/tmp/graft_qstore/st19_mv"
         graft.core.FsUtil.deleteRecursively(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
-          col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
-        st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
-          "l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT"))          // v0
-        st.setChangeFeed("src", true)                                  // v1
+        val li = QueriesMutation.ivmLineitem(s, dir)
+        // the backlog the stream must absorb — the mv1/mv2 shared
+        // history; the view bootstraps from EMPTY (startVersion=-1
+        // replays the seed append through the same path it tails with)
+        QueriesMutation.ivmCreateSource(st, li)
         st.createEmpty("agg_view", org.apache.spark.sql.types.StructType.fromDDL(
           "l_suppkey BIGINT, n_rows BIGINT, sum_qty BIGINT"))
-        // the backlog the stream must absorb — same history as mv1
-        st.append("src", li.filter(col("l_orderkey") % 4 === 1))       // v2
-        st.updateVectorized("src", col("qty") <= 10L,
-          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))            // v3
-        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)       // v4
-        st.append("src", li.filter(col("l_orderkey") % 4 === 2))       // v5
+        QueriesMutation.ivmMutateSource(st, li)
         s.conf.set("spark.sql.catalog.graft_st19", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_st19.root", root)
         val q = s.readStream
@@ -286,34 +281,18 @@ object QueriesStreaming {
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
             // txn = (app, batchId): foreachBatch is at-least-once, and a
             // re-delivered batch must not re-add its delta — the stamp
-            // rides the view's own commit (Delta txnAppId/txnVersion)
-            if (!batch.isEmpty)
-              graft.ops.Ivm.applyCountSumDelta(st, "agg_view", batch,
-                groupCol = "l_suppkey", valueCol = "qty",
-                txn = Some(("st19_mv", batchId)))
+            // rides the view's own commit (Delta txnAppId/txnVersion).
+            // Empty batches no-op inside the apply.
+            graft.ops.Ivm.applyCountSumDelta(st, "agg_view", batch,
+              groupCol = "l_suppkey", valueCol = "qty",
+              txn = Some(("st19_mv", batchId)))
           }
           .start()
         q.awaitTermination()
         graft.ops.Ivm.readView(st, "agg_view")
           .select(col("l_suppkey"), col("n_rows"), col("sum_qty"))
       },
-      Some("""WITH init AS (
-             |  SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
-             |  FROM lineitem WHERE l_orderkey % 4 = 1),
-             |upd AS (
-             |  SELECT l_orderkey,
-             |    CASE WHEN qty <= 10 THEN l_suppkey + 100000
-             |         ELSE l_suppkey END AS l_suppkey,
-             |    qty
-             |  FROM init),
-             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
-             |fin AS (SELECT * FROM del
-             |        UNION ALL
-             |        SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT)
-             |        FROM lineitem WHERE l_orderkey % 4 = 2)
-             |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
-             |  CAST(sum(qty) AS BIGINT) AS sum_qty
-             |FROM fin GROUP BY 1""".stripMargin)),
+      Some(QueriesMutation.ivmOracle(QueriesMutation.IvmCountSumAgg))),
 
     "st17_stream_static_join" -> QDef(
       (s, dir) => {

@@ -2745,8 +2745,9 @@ class TableStore(spark: SparkSession, root: String) {
     *   WHEN NOT MATCHED THEN INSERT all, changeType=insertChangeType
     * One full-outer shuffle join on the keys (bucket-pruned on bucketed
     * tables); broadcast is not applicable to full-outer, but AQE handles
-    * skew. */
-  /** `txn`: Delta-parity idempotent writes (`txnAppId`/`txnVersion`).
+    * skew.
+    *
+    * `txn`: Delta-parity idempotent writes (`txnAppId`/`txnVersion`).
     * When set, the merge is SKIPPED if the table's txn registry already
     * records a version >= the given one for that app id, and otherwise
     * the registry advances IN THE SAME COMMIT as the data — so a
@@ -3272,6 +3273,13 @@ class TableStore(spark: SparkSession, root: String) {
       m.copy(dirs = carry :+ dirName, stats = stats), "row-level rewrite")
   }
 
+  /** The txn registry's high-watermark for a writer app id (Delta's
+    * `DeltaTable.txnVersion` lookup) — lets an idempotent writer skip
+    * an already-applied batch BEFORE doing any work; the authoritative
+    * re-check still happens inside the committing operation. */
+  def lastTxnVersion(name: String, appId: String): Option[Long] =
+    readManifest(name, currentVersion(name)).txns.get(appId)
+
   /** Exactly-once streaming-sink epoch commit: move the epoch's
     * executor-written files into a new batch dir and commit it TOGETHER
     * with the writer's advanced epoch watermark in `txns` — one atomic
@@ -3284,13 +3292,6 @@ class TableStore(spark: SparkSession, root: String) {
     * sink owns the table) the epoch's dirs REPLACE the live set
     * instead of appending. Returns true when the epoch committed,
     * false when skipped. */
-  /** The txn registry's high-watermark for a writer app id (Delta's
-    * `DeltaTable.txnVersion` lookup) — lets an idempotent writer skip
-    * an already-applied batch BEFORE doing any work; the authoritative
-    * re-check still happens inside the committing operation. */
-  def lastTxnVersion(name: String, appId: String): Option[Long] =
-    readManifest(name, currentVersion(name)).txns.get(appId)
-
   def attachStreamEpoch(name: String, queryId: String, epochId: Long,
                         files: Seq[Path], replaceAll: Boolean = false): Boolean = {
     val m = readManifest(name, currentVersion(name))

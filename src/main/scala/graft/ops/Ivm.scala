@@ -108,13 +108,19 @@ object Ivm {
     val easy = merged.filter(!coalesce(reaches, lit(false)))
       .select(col(groupCol), greatest(col("mx"), col("mx_ins")).as("mx"))
     val hard = merged.filter(coalesce(reaches, lit(false))).select(col(groupCol))
+    // pin the recompute: `dead`'s anti-join references it a second
+    // time, and mergeUpsert itself runs a uniqueness-gate pass before
+    // the write — without the checkpoint the version-pinned source
+    // aggregate would re-execute per consumer (same guard
+    // applyCountSumDelta puts on `next`)
     val recomputed = st.readVersion(srcName, srcVersion)
       .join(broadcast(hard), Seq(groupCol), "left_semi")
       .groupBy(col(groupCol)).agg(max(col(valueCol)).as("mx"))
+      .localCheckpoint()
     val dead = hard.join(recomputed.select(col(groupCol)), Seq(groupCol), "left_anti")
       .select(col(groupCol), lit(null).cast("long").as("mx"))
-    st.mergeUpsert(view, easy.unionByName(recomputed).unionByName(dead),
-      Seq(groupCol), txn = txn)
+    st.mergeUpsert(view, easy.unionByName(recomputed).unionByName(dead)
+      .localCheckpoint(), Seq(groupCol), txn = txn)
   }
 
   /** The consumer face of a maintained max view: live groups only. */

@@ -62,11 +62,21 @@ object BenchCompare {
     val onlyA = after.keySet -- before.keySet
     if (onlyB.nonEmpty) println(s"dropped since before: ${onlyB.toSeq.sorted.mkString(", ")}")
     if (onlyA.nonEmpty) println(s"new since before: ${onlyA.toSeq.sorted.mkString(", ")}")
-    val ratios = common.map(q => q -> after(q) / before(q)).sortBy(_._2)
+    require(common.nonEmpty,
+      s"the artifacts share no query names — comparing different " +
+        s"generations? (${args(0)}: ${before.size} queries, " +
+        s"${args(1)}: ${after.size})")
+    // a 0.0 'before' wall would poison the median with Infinity ratios
+    val zeroed = common.filter(before(_) <= 0.0)
+    if (zeroed.nonEmpty)
+      println(s"skipping zero-baseline queries: ${zeroed.mkString(", ")}")
+    val ratios = common.filterNot(zeroed.toSet)
+      .map(q => q -> after(q) / before(q)).sortBy(_._2)
+    require(ratios.nonEmpty, "every common query has a zero baseline")
     val rs = ratios.map(_._2)
     def pct(p: Double) = rs(math.min(rs.size - 1, (p * (rs.size - 1)).round.toInt))
     val med = pct(0.5)
-    println(f"queries=${common.size} env_factor(median ratio)=$med%.3f " +
+    println(f"queries=${ratios.size} env_factor(median ratio)=$med%.3f " +
       f"p25=${pct(0.25)}%.3f p75=${pct(0.75)}%.3f")
     val outliers = ratios.map { case (q, r) => (q, r, r / med) }
       .filter { case (_, _, n) => n > thr || n < 1.0 / thr }

@@ -120,7 +120,8 @@ object ScaleProbeAnn {
             .as("qv"))
         .localCheckpoint()
       val t0 = System.nanoTime()
-      val asn = graft.QueriesLlm.kmeansAssignments(q, k = 10, updates = 2)
+      val asn = graft.QueriesLlm.kmeansAssignments(q, k = 10, updates = 2,
+        pin = false) // q is already checkpointed above
       val inertia = asn.agg(sum(col("dist_sq"))).head().getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"kmeans","k":$k,"vecs":${nBase * k},"sec":$sec%.2f,""" +
