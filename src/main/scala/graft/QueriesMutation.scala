@@ -1059,7 +1059,7 @@ object QueriesMutation {
         ivmMutateSource(st, li) // the backlog the view absorbs
         graft.ops.Ivm.applyCountSumDelta(st, "agg_view",
           st.readChangesBetween("src", v0, st.currentVersion("src")),
-          groupCol = "l_suppkey", valueCol = "qty")
+          groupCols = Seq("l_suppkey"), valueCol = "qty")
         // maintenance-window sweep of retraction tombstones (a no-op
         // when no group emptied), then the consumer face
         graft.ops.Ivm.compactDead(st, "agg_view", "l_suppkey")
@@ -1092,12 +1092,43 @@ object QueriesMutation {
         val vEnd = st.currentVersion("src")
         graft.ops.Ivm.applyMaxDelta(st, "max_view", "src", vEnd,
           st.readChangesBetween("src", v0, vEnd),
-          groupCol = "l_suppkey", valueCol = "qty")
+          groupCols = Seq("l_suppkey"), valueCol = "qty")
         graft.ops.Ivm.compactDeadMax(st, "max_view", "l_suppkey")
         graft.ops.Ivm.readMaxView(st, "max_view")
           .select(col("l_suppkey"), col("mx"))
       },
       Some(ivmOracle("CAST(max(qty) AS BIGINT) AS mx"))),
+
+    // ---- mv3: incremental COUNT(DISTINCT) — the auxiliary-state IVM
+    //      face, completing the aggregate-class story: sum/count
+    //      retract by algebra (mv1), max by bounded recompute (mv2),
+    //      and DISTINCT by maintaining the exact multiplicity state no
+    //      sketch can retract (HLL has no delete). The aux table keys
+    //      (group, value) and absorbs the feed through the SAME
+    //      count-sum core — a value's multiplicity hitting zero IS the
+    //      distinct retraction — and the distinct count is a read face
+    //      OVER the live aux rows. Maintenance stays O(changed rows →
+    //      changed (group, value) pairs); the read-face aggregate is
+    //      O(live aux), which at 100 TB you'd cap the same way mv1
+    //      does — with a second-level count view over the aux feed. ----
+    "mv3_incremental_distinct" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv3")
+        val li = ivmLineitem(s, dir)
+        val v0 = ivmCreateSource(st, li)
+        st.createBucketed("aux", st.readVersion("src", v0)
+          .groupBy(col("l_suppkey"), col("qty"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty")),
+          Seq("l_suppkey"), 8)
+        ivmMutateSource(st, li)
+        graft.ops.Ivm.applyCountSumDelta(st, "aux",
+          st.readChangesBetween("src", v0, st.currentVersion("src")),
+          groupCols = Seq("l_suppkey", "qty"), valueCol = "qty")
+        graft.ops.Ivm.readView(st, "aux")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_distinct"))
+      },
+      Some(ivmOracle("CAST(count(DISTINCT qty) AS BIGINT) AS n_distinct"))),
 
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE

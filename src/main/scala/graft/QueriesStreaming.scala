@@ -284,7 +284,7 @@ object QueriesStreaming {
             // rides the view's own commit (Delta txnAppId/txnVersion).
             // Empty batches no-op inside the apply.
             graft.ops.Ivm.applyCountSumDelta(st, "agg_view", batch,
-              groupCol = "l_suppkey", valueCol = "qty",
+              groupCols = Seq("l_suppkey"), valueCol = "qty",
               txn = Some(("st19_mv", batchId)))
           }
           .start()

@@ -36,36 +36,38 @@ import graft.core.TableStore
 object Ivm {
 
   /** Absorb `feed` (a readChangesBetween frame over the view's source)
-    * into `view`, a table with columns (groupCol, n_rows, sum_qty)
+    * into `view`, a table with columns (groupCols..., n_rows, sum_qty)
     * where sum_qty sums the feed's `valueCol`. One commit; a no-op on
     * an empty feed. With `txn = Some((appId, version))` the apply is
-    * idempotent under re-delivery. */
+    * idempotent under re-delivery. Composite `groupCols` serve the
+    * auxiliary-state views (mv3's (group, value) multiplicity table). */
   def applyCountSumDelta(st: TableStore, view: String, feed: DataFrame,
-                         groupCol: String, valueCol: String,
+                         groupCols: Seq[String], valueCol: String,
                          txn: Option[(String, Long)] = None): Unit = {
     // skip BEFORE computing: a re-delivered batch must not recompute
     // absolutes against the post-apply view (the arithmetic below is
     // only meaningful against the pre-apply state)
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
+    val keys = groupCols.map(col)
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       1L).otherwise(-1L)
     val delta = feed
-      .groupBy(col(groupCol))
+      .groupBy(keys: _*)
       .agg(sum(sgn).as("dn"), sum(sgn * col(valueCol)).as("dsum"))
       .localCheckpoint() // reused: pruned view read, guard, upsert
     if (delta.isEmpty) return
     val old = st.read(view)
-      .join(broadcast(delta.select(col(groupCol))), Seq(groupCol), "left_semi")
-    val next = delta.join(old, Seq(groupCol), "left_outer")
-      .select(col(groupCol),
+      .join(broadcast(delta.select(keys: _*)), groupCols, "left_semi")
+    val next = delta.join(old, groupCols, "left_outer")
+      .select(keys ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + col("dn")).as("n_rows"),
-        (coalesce(col("sum_qty"), lit(0L)) + col("dsum")).as("sum_qty"))
+        (coalesce(col("sum_qty"), lit(0L)) + col("dsum")).as("sum_qty")): _*)
       .localCheckpoint()
     require(next.filter(col("n_rows") < 0L).isEmpty,
       s"IVM count went negative on $view — the feed overlaps an already-" +
         "applied range (double apply); pass a txn to make applies idempotent")
-    st.mergeUpsert(view, next, Seq(groupCol), txn = txn)
+    st.mergeUpsert(view, next, groupCols, txn = txn)
   }
 
   /** The consumer face of a maintained view: live groups only. */
@@ -86,19 +88,20 @@ object Ivm {
     * BIGINT. `srcVersion` must be the version the feed ends at. */
   def applyMaxDelta(st: TableStore, view: String, srcName: String,
                     srcVersion: Long, feed: DataFrame,
-                    groupCol: String, valueCol: String,
+                    groupCols: Seq[String], valueCol: String,
                     txn: Option[(String, Long)] = None): Unit = {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
+    val keys = groupCols.map(col)
     val isIns = col("_change_type").isin("insert", "update_postimage")
-    val touched = feed.groupBy(col(groupCol))
+    val touched = feed.groupBy(keys: _*)
       .agg(max(when(isIns, col(valueCol))).as("mx_ins"),
         max(when(!isIns, col(valueCol))).as("mx_ret"))
       .localCheckpoint()
     if (touched.isEmpty) return
     val old = st.read(view)
-      .join(broadcast(touched.select(col(groupCol))), Seq(groupCol), "left_semi")
-    val merged = touched.join(old, Seq(groupCol), "left_outer")
+      .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
+    val merged = touched.join(old, groupCols, "left_outer")
       .localCheckpoint()
     // easy: no retraction, or one that provably stays below the stored
     // max — algebra alone (greatest skips NULLs, so a tombstoned or
@@ -106,21 +109,21 @@ object Ivm {
     val reaches = col("mx_ret").isNotNull &&
       (col("mx").isNull || col("mx_ret") >= col("mx"))
     val easy = merged.filter(!coalesce(reaches, lit(false)))
-      .select(col(groupCol), greatest(col("mx"), col("mx_ins")).as("mx"))
-    val hard = merged.filter(coalesce(reaches, lit(false))).select(col(groupCol))
+      .select(keys :+ greatest(col("mx"), col("mx_ins")).as("mx"): _*)
+    val hard = merged.filter(coalesce(reaches, lit(false))).select(keys: _*)
     // pin the recompute: `dead`'s anti-join references it a second
     // time, and mergeUpsert itself runs a uniqueness-gate pass before
     // the write — without the checkpoint the version-pinned source
     // aggregate would re-execute per consumer (same guard
     // applyCountSumDelta puts on `next`)
     val recomputed = st.readVersion(srcName, srcVersion)
-      .join(broadcast(hard), Seq(groupCol), "left_semi")
-      .groupBy(col(groupCol)).agg(max(col(valueCol)).as("mx"))
+      .join(broadcast(hard), groupCols, "left_semi")
+      .groupBy(keys: _*).agg(max(col(valueCol)).as("mx"))
       .localCheckpoint()
-    val dead = hard.join(recomputed.select(col(groupCol)), Seq(groupCol), "left_anti")
-      .select(col(groupCol), lit(null).cast("long").as("mx"))
+    val dead = hard.join(recomputed.select(keys: _*), groupCols, "left_anti")
+      .select(keys :+ lit(null).cast("long").as("mx"): _*)
     st.mergeUpsert(view, easy.unionByName(recomputed).unionByName(dead)
-      .localCheckpoint(), Seq(groupCol), txn = txn)
+      .localCheckpoint(), groupCols, txn = txn)
   }
 
   /** The consumer face of a maintained max view: live groups only. */

@@ -94,7 +94,7 @@ object ScaleProbeMutation {
         graft.ops.Ivm.applyCountSumDelta(st, "v_agg",
           st.readChangesBetween("t", vPre, st.currentVersion("t"))
             .withColumn("qty", col("l_quantity").cast("long")),
-          groupCol = "l_suppkey", valueCol = "qty")
+          groupCols = Seq("l_suppkey"), valueCol = "qty")
       }
       val deleteSec = t { st.deleteVectorized("t", col("l_suppkey") % 10 === 3) }
       val feedSec = t {

@@ -37,7 +37,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     ts.append("src", Seq((5L, 3L, 50L)).toDF("k", "grp", "qty")) // v4: new group
     val feed = ts.readChangesBetween("src", v0, ts.currentVersion("src"))
     graft.ops.Ivm.applyCountSumDelta(ts, "view", feed,
-      groupCol = "grp", valueCol = "qty", txn = Some(("ivm-test", 1L)))
+      groupCols = Seq("grp"), valueCol = "qty", txn = Some(("ivm-test", 1L)))
     val view = graft.ops.Ivm.readView(ts, "view")
       .as[(Long, Long, Long)].collect().toSet
     assert(view === Set((2L, 2L, 75L), (3L, 1L, 50L)),
@@ -48,13 +48,13 @@ class ChangeFeedSpec extends AnyFunSuite {
     // exactly-once: re-delivering the same batch under the same txn is
     // a no-op (the stamp rode the view's own commit)
     graft.ops.Ivm.applyCountSumDelta(ts, "view", feed,
-      groupCol = "grp", valueCol = "qty", txn = Some(("ivm-test", 1L)))
+      groupCols = Seq("grp"), valueCol = "qty", txn = Some(("ivm-test", 1L)))
     assert(graft.ops.Ivm.readView(ts, "view")
       .as[(Long, Long, Long)].collect().toSet === view)
     // without txn protection the double apply is refused loudly
     val boom = intercept[IllegalArgumentException] {
       graft.ops.Ivm.applyCountSumDelta(ts, "view", feed,
-        groupCol = "grp", valueCol = "qty")
+        groupCols = Seq("grp"), valueCol = "qty")
     }
     assert(boom.getMessage.contains("double apply"))
     // maintenance sweep removes the tombstone; live groups untouched
@@ -86,7 +86,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     val vEnd = ts.currentVersion("src")
     val feed = ts.readChangesBetween("src", v0, vEnd)
     graft.ops.Ivm.applyMaxDelta(ts, "vmax", "src", vEnd, feed,
-      groupCol = "grp", valueCol = "qty", txn = Some(("ivm-max", 1L)))
+      groupCols = Seq("grp"), valueCol = "qty", txn = Some(("ivm-max", 1L)))
     val view = graft.ops.Ivm.readMaxView(ts, "vmax")
       .as[(Long, Long)].collect().toSet
     assert(view === Set((1L, 10L), (2L, 30L), (3L, 45L)), view.toString)
@@ -95,7 +95,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === Seq(4L))
     // exactly-once under the same txn
     graft.ops.Ivm.applyMaxDelta(ts, "vmax", "src", vEnd, feed,
-      groupCol = "grp", valueCol = "qty", txn = Some(("ivm-max", 1L)))
+      groupCols = Seq("grp"), valueCol = "qty", txn = Some(("ivm-max", 1L)))
     assert(graft.ops.Ivm.readMaxView(ts, "vmax")
       .as[(Long, Long)].collect().toSet === view)
     graft.ops.Ivm.compactDeadMax(ts, "vmax", "grp")
@@ -103,6 +103,32 @@ class ChangeFeedSpec extends AnyFunSuite {
     // converged to the direct recompute
     assert(ts.read("src").groupBy("grp").agg(max("qty").as("mx"))
       .as[(Long, Long)].collect().toSet === view)
+  }
+
+  test("Ivm distinct via multiplicity aux: a value retracts only at zero") {
+    val ts = freshStore()
+    // grp 1 holds value 10 TWICE and 20 once; grp 2 holds 30
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 10L), (3L, 1L, 20L),
+      (4L, 2L, 30L)).toDF("k", "grp", "qty"))                  // v0
+    ts.setChangeFeed("src", true)                              // v1
+    val v0 = ts.currentVersion("src")
+    ts.create("aux", ts.readVersion("src", v0).groupBy("grp", "qty")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty")))
+    ts.delete("src", col("k") === 1L)  // v2: one copy of (1,10) — value survives
+    ts.delete("src", col("k") === 3L)  // v3: (1,20) multiplicity hits zero
+    ts.append("src", Seq((5L, 2L, 40L)).toDF("k", "grp", "qty")) // v4: new value
+    graft.ops.Ivm.applyCountSumDelta(ts, "aux",
+      ts.readChangesBetween("src", v0, ts.currentVersion("src")),
+      groupCols = Seq("grp", "qty"), valueCol = "qty")
+    val distinct = graft.ops.Ivm.readView(ts, "aux").groupBy("grp")
+      .agg(count(lit(1)).as("n_distinct"))
+      .as[(Long, Long)].collect().toSet
+    // grp 1: 10 survives (one copy left), 20 gone -> 1 distinct;
+    // grp 2: 30 + 40 -> 2 distinct
+    assert(distinct === Set((1L, 1L), (2L, 2L)), distinct.toString)
+    assert(ts.read("src").groupBy("grp")
+      .agg(countDistinct(col("qty")).as("n_distinct"))
+      .as[(Long, Long)].collect().toSet === distinct)
   }
 
   test("mergeUpsert records insert + update pre/postimage in one commit") {
