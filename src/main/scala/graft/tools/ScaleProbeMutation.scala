@@ -96,7 +96,23 @@ object ScaleProbeMutation {
             .withColumn("qty", col("l_quantity").cast("long")),
           groupCols = Seq("l_suppkey"), valueCol = "qty")
       }
+      // max view seeded BEFORE the delete: the max-IVM probe then absorbs
+      // a RETRACTION-HEAVY feed (the delete kills whole suppkey residue
+      // classes, so ~10% of groups take the hard recompute-or-die path)
+      // — expect ~linear in retracted rows, with the recompute scan
+      // group-pruned to the affected residue class
+      val vMid = st.currentVersion("t")
+      st.createBucketed("v_max", st.readVersion("t", vMid)
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("l_orderkey")).as("mx")),
+        Seq("l_suppkey"), n = 8)
+
       val deleteSec = t { st.deleteVectorized("t", col("l_suppkey") % 10 === 3) }
+      val ivmMaxSec = t {
+        graft.ops.Ivm.applyMaxDelta(st, "v_max", "t", st.currentVersion("t"),
+          st.readChangesBetween("t", vMid, st.currentVersion("t")),
+          groupCols = Seq("l_suppkey"), valueCol = "l_orderkey")
+      }
       val feedSec = t {
         st.readChangesBetween("t", 2, st.currentVersion("t"), withRowIds = true)
           .queryExecution.toRdd.count()
@@ -121,7 +137,8 @@ object ScaleProbeMutation {
           org.apache.spark.sql.types.LongType)
       }
       println(f"""{"k":$k,"rows":${nBase * k},"merge_sec":$mergeSec%.2f,""" +
-        f""""ivm_sec":$ivmSec%.2f,"delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
+        f""""ivm_sec":$ivmSec%.2f,"ivm_max_sec":$ivmMaxSec%.2f,""" +
+        f""""delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"replace_sec":$replaceSec%.2f,""" +
         f""""widen_sec":$widenSec%.2f,"batch":10000}""")
       graft.core.FsUtil.deleteRecursively(new java.io.File(root))
