@@ -89,27 +89,48 @@ object Ivm {
   def applyMaxDelta(st: TableStore, view: String, srcName: String,
                     srcVersion: Long, feed: DataFrame,
                     groupCols: Seq[String], valueCol: String,
-                    txn: Option[(String, Long)] = None): Unit = {
+                    txn: Option[(String, Long)] = None): Unit =
+    applyExtremeDelta(st, view, srcName, srcVersion, feed, groupCols,
+      valueCol, txn, maxNotMin = true)
+
+  /** MIN with retraction — [[applyMaxDelta]]'s mirror (lowers absorb by
+    * algebra; a retraction reaching the stored min recomputes). */
+  def applyMinDelta(st: TableStore, view: String, srcName: String,
+                    srcVersion: Long, feed: DataFrame,
+                    groupCols: Seq[String], valueCol: String,
+                    txn: Option[(String, Long)] = None): Unit =
+    applyExtremeDelta(st, view, srcName, srcVersion, feed, groupCols,
+      valueCol, txn, maxNotMin = false)
+
+  private def applyExtremeDelta(st: TableStore, view: String, srcName: String,
+                                srcVersion: Long, feed: DataFrame,
+                                groupCols: Seq[String], valueCol: String,
+                                txn: Option[(String, Long)],
+                                maxNotMin: Boolean): Unit = {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
+    def ext(c: org.apache.spark.sql.Column) = if (maxNotMin) max(c) else min(c)
     val keys = groupCols.map(col)
     val isIns = col("_change_type").isin("insert", "update_postimage")
     val touched = feed.groupBy(keys: _*)
-      .agg(max(when(isIns, col(valueCol))).as("mx_ins"),
-        max(when(!isIns, col(valueCol))).as("mx_ret"))
+      .agg(ext(when(isIns, col(valueCol))).as("mx_ins"),
+        ext(when(!isIns, col(valueCol))).as("mx_ret"))
       .localCheckpoint()
     if (touched.isEmpty) return
     val old = st.read(view)
       .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
     val merged = touched.join(old, groupCols, "left_outer")
       .localCheckpoint()
-    // easy: no retraction, or one that provably stays below the stored
-    // max — algebra alone (greatest skips NULLs, so a tombstoned or
-    // brand-new group takes the batch max)
-    val reaches = col("mx_ret").isNotNull &&
-      (col("mx").isNull || col("mx_ret") >= col("mx"))
+    // easy: no retraction, or one that provably stays strictly inside
+    // the stored extreme — algebra alone (greatest/least skip NULLs, so
+    // a tombstoned or brand-new group takes the batch extreme)
+    val reaches = col("mx_ret").isNotNull && (col("mx").isNull ||
+      (if (maxNotMin) col("mx_ret") >= col("mx") else col("mx_ret") <= col("mx")))
+    val combine =
+      if (maxNotMin) greatest(col("mx"), col("mx_ins"))
+      else least(col("mx"), col("mx_ins"))
     val easy = merged.filter(!coalesce(reaches, lit(false)))
-      .select(keys :+ greatest(col("mx"), col("mx_ins")).as("mx"): _*)
+      .select(keys :+ combine.as("mx"): _*)
     val hard = merged.filter(coalesce(reaches, lit(false))).select(keys: _*)
     // pin the recompute: `dead`'s anti-join references it a second
     // time, and mergeUpsert itself runs a uniqueness-gate pass before
@@ -118,7 +139,7 @@ object Ivm {
     // applyCountSumDelta puts on `next`)
     val recomputed = st.readVersion(srcName, srcVersion)
       .join(broadcast(hard), groupCols, "left_semi")
-      .groupBy(keys: _*).agg(max(col(valueCol)).as("mx"))
+      .groupBy(keys: _*).agg(ext(col(valueCol)).as("mx"))
       .localCheckpoint()
     val dead = hard.join(recomputed.select(keys: _*), groupCols, "left_anti")
       .select(keys :+ lit(null).cast("long").as("mx"): _*)

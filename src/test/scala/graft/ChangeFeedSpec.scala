@@ -105,6 +105,31 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet === view)
   }
 
+  test("Ivm min view mirrors max: lowers by algebra, retraction recomputes") {
+    val ts = freshStore()
+    ts.create("src", Seq(
+      (1L, 1L, 10L), (2L, 1L, 20L),   // grp 1: min 10, unique — retract lifts
+      (3L, 2L, 30L), (4L, 2L, 30L),   // grp 2: min 30, DUP — retract survives
+      (5L, 3L, 40L)                   // grp 3: gets a LOWER insert
+    ).toDF("k", "grp", "qty"))                                // v0
+    ts.setChangeFeed("src", true)                             // v1
+    val v0 = ts.currentVersion("src")
+    ts.create("vmin", ts.readVersion("src", v0).groupBy("grp")
+      .agg(min("qty").as("mx")))
+    ts.delete("src", col("k") === 1L)   // grp 1 min retracts -> lifts to 20
+    ts.delete("src", col("k") === 3L)   // grp 2 min retracts -> survives (dup)
+    ts.append("src", Seq((6L, 3L, 35L)).toDF("k", "grp", "qty")) // lower
+    val vEnd = ts.currentVersion("src")
+    graft.ops.Ivm.applyMinDelta(ts, "vmin", "src", vEnd,
+      ts.readChangesBetween("src", v0, vEnd),
+      groupCols = Seq("grp"), valueCol = "qty")
+    val view = graft.ops.Ivm.readMaxView(ts, "vmin")
+      .as[(Long, Long)].collect().toSet
+    assert(view === Set((1L, 20L), (2L, 30L), (3L, 35L)), view.toString)
+    assert(ts.read("src").groupBy("grp").agg(min("qty").as("mx"))
+      .as[(Long, Long)].collect().toSet === view)
+  }
+
   test("Ivm distinct via multiplicity aux: a value retracts only at zero") {
     val ts = freshStore()
     // grp 1 holds value 10 TWICE and 20 once; grp 2 holds 30

@@ -331,6 +331,42 @@ class CrashSweepSpec extends AnyFunSuite {
     }
   }
 
+  // ---- scenario 5d: TXN-STAMPED merge (idempotent writes) killed at
+  // every durable step, then the caller re-issues the SAME merge with
+  // the SAME txn — the crash face of the IVM exactly-once claim. If the
+  // crashed attempt never became durable the retry must APPLY; if it
+  // did (ghost or published), the retry must SKIP — either way the
+  // final state is exactly-once and the registry records the version. ----
+  test("sweep: writer death at EVERY step of a txn-stamped merge, then a " +
+      "same-txn retry, lands exactly-once") {
+    def build(): TableStore = {
+      val ts = new TableStore(spark,
+        Files.createTempDirectory("sweep_txn").toString)
+      ts.create("t", Seq((1L, 10L), (2L, 20L)).toDF("id", "n"))
+      ts
+    }
+    val src = Seq((2L, 21L), (3L, 30L)) // one update + one insert
+    def merge(ts: TableStore): Unit = ts.mergeUpsert("t",
+      src.toDF("id", "n"), Seq("id"), changeTypeCol = None,
+      txn = Some(("ivm-app", 7L)))
+    val steps = trace(build, merge)
+    assert(steps.contains("manifest-linked"), steps.toString)
+    for (k <- 1 to steps.length) {
+      val ts = crashAt(build, merge, k)
+      val td = root(ts, "t")
+      ageScratch(td)
+      val tsR = new TableStore(spark, td.getParent.toString)
+      // the retry: first attempt may lose to the crashed attempt's own
+      // ghost (the collision handler adopts it and asks to re-run)
+      try merge(tsR)
+      catch { case _: java.util.ConcurrentModificationException => merge(tsR) }
+      assert(tsR.read("t").as[(Long, Long)].collect().toSet ===
+        Set((1L, 10L), (2L, 21L), (3L, 30L)), s"step $k (${steps(k - 1)})")
+      assert(tsR.lastTxnVersion("t", "ivm-app") === Some(7L),
+        s"step $k registry")
+    }
+  }
+
   // ---- scenario 6: the ADOPTER dies mid-adoption ----
   test("adopter death between completing the staged feed and publishing " +
       "the pointer: the next writer finishes the adoption") {
