@@ -47,6 +47,55 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Ivm count/sum, max, and distinct views converge to the direct " +
+      "aggregate over random mutation sequences") {
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val ts = new TableStore(spark,
+        Files.createTempDirectory(s"prop_ivm_$seed").toString)
+      def rows(n: Int, keyBase: Long) = Seq.fill(n)(
+        (keyBase + rnd.nextInt(1000), rnd.nextInt(8).toLong,
+          rnd.nextInt(30).toLong + 1L))
+      ts.create("src", rows(120, 0).distinctBy(_._1).toDF("k", "grp", "qty"))
+      ts.setChangeFeed("src", true)
+      val v0 = ts.currentVersion("src")
+      ts.create("vcs", ts.readVersion("src", v0).groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty")))
+      ts.create("vmx", ts.readVersion("src", v0).groupBy("grp")
+        .agg(max("qty").as("mx")))
+      ts.create("vdx", ts.readVersion("src", v0).groupBy("grp", "qty")
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty")))
+      // random backlog: deletes, group-moving + value-moving updates,
+      // appends with fresh keys
+      for (i <- 1 to 4) rnd.nextInt(3) match {
+        case 0 => ts.delete("src", col("k") % 7 === rnd.nextInt(7).toLong)
+        case 1 => ts.update("src", col("qty") % 5 === rnd.nextInt(5).toLong,
+          Map("grp" -> (col("grp") + 10L), "qty" -> (col("qty") + 3L)))
+        case 2 => ts.append("src",
+          rows(40, 100000L * i).distinctBy(_._1).toDF("k", "grp", "qty"))
+      }
+      val vEnd = ts.currentVersion("src")
+      val feed = ts.readChangesBetween("src", v0, vEnd).localCheckpoint()
+      graft.ops.Ivm.applyCountSumDelta(ts, "vcs", feed, Seq("grp"), "qty")
+      graft.ops.Ivm.applyMaxDelta(ts, "vmx", "src", vEnd, feed, Seq("grp"), "qty")
+      graft.ops.Ivm.applyCountSumDelta(ts, "vdx", feed, Seq("grp", "qty"), "qty")
+      val src = ts.read("src").cache()
+      assert(graft.ops.Ivm.readView(ts, "vcs")
+        .as[(Long, Long, Long)].collect().toSet ===
+        src.groupBy("grp").agg(count(lit(1)).as("n"), sum("qty").as("s"))
+          .as[(Long, Long, Long)].collect().toSet, s"seed=$seed count/sum")
+      assert(graft.ops.Ivm.readMaxView(ts, "vmx")
+        .as[(Long, Long)].collect().toSet ===
+        src.groupBy("grp").agg(max("qty").as("mx"))
+          .as[(Long, Long)].collect().toSet, s"seed=$seed max")
+      assert(graft.ops.Ivm.readView(ts, "vdx").groupBy("grp")
+        .agg(count(lit(1)).as("nd")).as[(Long, Long)].collect().toSet ===
+        src.groupBy("grp").agg(countDistinct(col("qty")).as("nd"))
+          .as[(Long, Long)].collect().toSet, s"seed=$seed distinct")
+      src.unpersist()
+    }
+  }
+
   test("mergeUpsert is idempotent and preserves key-uniqueness") {
     for (seed <- 10L to 12L) {
       val store = new TableStore(spark, Files.createTempDirectory("prop").toString)
