@@ -277,8 +277,26 @@ object Bench {
     // artifact of r9's run lived untracked in target/ after the stdout
     // line truncated; a judge must be able to diff per-query walls
     // across rounds from committed files alone).
+    // the artifact's own drift analysis (r11 VERDICT #7): ratio
+    // distribution vs the newest tracked BENCH_FULL_r<N>.json (or
+    // SPARK_GRAFT_BENCH_PREV). env_factor != 1 with no outliers reads
+    // "environment drift"; a named outlier is a regression to chase.
+    val prevArtifact: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .orElse {
+        val rx = """BENCH_FULL_r(\d+)\.json""".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case rx(n) => Some((n.toInt, f.getName)); case _ => None
+          }).sortBy(_._1).lastOption.map(_._2)
+      }
+    val compareBlock = prevArtifact.flatMap { p =>
+      val c = scala.util.Try(
+        graft.tools.BenchCompare.comparisonJson(p, results.toMap)).toOption.flatten
+      c.foreach(_ => System.err.println(s"[bench] compare block computed vs $p"))
+      c.map(j => s""""compare":$j,""")
+    }.getOrElse("")
     val fullJson =
-      (s"""{"timings":${jsonMap(results)},""" +
+      (s"""{"timings":${jsonMap(results)},$compareBlock""" +
         s""""failed":${jsonArr(failed.toSeq)},""" +
         s""""suspect":${jsonArr(unvalidated)},""" +
         s""""unvalidated":${jsonArr(unvalidated)},""" +

@@ -793,14 +793,24 @@ object QueriesLlm {
           col("best.cid").as("cluster"), col("best.dist_sq").as("dist_sq"))
     }
     for (_ <- 1 to updates) {
+      // per-(cluster,pos) sums accumulate in DECIMAL(38,0), matching
+      // the oracle's HUGEINT arithmetic: a LongType sum would overflow
+      // (silently, wrapping) at ~4.6e12 rows per cluster with |x| up
+      // to ~2e6, diverging from the overflow-free oracle at extreme
+      // corpus scale (r11 ADVICE)
       val sums = assign(centroids)
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("s"), count(lit(1)).as("n"))
         .collect() // ≤ k × dim rows, independent of corpus size
       val next = centroids.map(_.clone()) // emptied cluster keeps its centroid
       sums.foreach { r =>
-        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+        // BigInteger.divide truncates toward zero — the same semantics
+        // as the Long division this replaces and as the oracle's `//`
+        val s = r.getDecimal(2).toBigInteger
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          s.divide(java.math.BigInteger.valueOf(r.getLong(3))).longValueExact()
       }
       centroids = next
     }

@@ -83,6 +83,23 @@ object QueriesMutation {
     """CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(qty) AS BIGINT) AS sum_qty""".stripMargin
 
+  /** ONE oracle text for m24_merge_evolve and sql_merge_evolve — the
+    * library call and the SQL surface run the same evolution + merge
+    * semantics, so their driver digests must be equal by construction
+    * (the m20/sql_replace_where pinning pattern). */
+  private val MergeEvolveOracleSql =
+    """WITH t AS (SELECT o_orderkey, CAST(o_orderkey AS INT) AS qty,
+      |             o_orderstatus AS status
+      |           FROM orders WHERE o_orderkey % 2 = 0),
+      |     s AS (SELECT o_orderkey,
+      |             CAST(o_orderkey AS BIGINT) + 5000000000 AS qty,
+      |             o_totalprice AS price
+      |           FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |  CAST(COALESCE(s.qty, t.qty) AS BIGINT) AS qty,
+      |  t.status AS status, s.price AS price
+      |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""".stripMargin
+
   /** ONE shared root for every query that reads through the `graft` SQL
     * catalog: Spark caches a catalog instance per session at first use,
     * so a second query pointing `spark.sql.catalog.graft.root` elsewhere
@@ -1062,7 +1079,7 @@ object QueriesMutation {
           groupCols = Seq("l_suppkey"), valueCol = "qty")
         // maintenance-window sweep of retraction tombstones (a no-op
         // when no group emptied), then the consumer face
-        graft.ops.Ivm.compactDead(st, "agg_view", "l_suppkey")
+        graft.ops.Ivm.compactDead(st, "agg_view", Seq("l_suppkey"))
         graft.ops.Ivm.readView(st, "agg_view")
           .select(col("l_suppkey"), col("n_rows"), col("sum_qty"))
       },
@@ -1093,7 +1110,7 @@ object QueriesMutation {
         graft.ops.Ivm.applyMaxDelta(st, "max_view", "src", vEnd,
           st.readChangesBetween("src", v0, vEnd),
           groupCols = Seq("l_suppkey"), valueCol = "qty")
-        graft.ops.Ivm.compactDeadMax(st, "max_view", "l_suppkey")
+        graft.ops.Ivm.compactDeadMax(st, "max_view", Seq("l_suppkey"))
         graft.ops.Ivm.readMaxView(st, "max_view")
           .select(col("l_suppkey"), col("mx"))
       },
@@ -1106,11 +1123,16 @@ object QueriesMutation {
     //      sketch can retract (HLL has no delete). The aux table keys
     //      (group, value) and absorbs the feed through the SAME
     //      count-sum core — a value's multiplicity hitting zero IS the
-    //      distinct retraction — and the distinct count is a read face
-    //      OVER the live aux rows. Maintenance stays O(changed rows →
-    //      changed (group, value) pairs); the read-face aggregate is
-    //      O(live aux), which at 100 TB you'd cap the same way mv1
-    //      does — with a second-level count view over the aux feed. ----
+    //      distinct retraction. The distinct count itself is a SECOND-
+    //      LEVEL view maintained from the aux table's OWN change feed:
+    //      aux CDF rows filtered to live multiplicities (n_rows > 0)
+    //      make a (g,v) pair's birth/death a clean ±1 — a 2→3
+    //      multiplicity update nets to zero through its pre/postimage
+    //      pair — so the SAME count-sum core maintains (group,
+    //      n_distinct). Maintenance stays O(changed rows → changed
+    //      (group, value) pairs) at BOTH levels, and the read face is
+    //      O(changed groups), never O(live aux) — the 100 TB cap the
+    //      r11 verdict asked for (next-round #5). ----
     "mv3_incremental_distinct" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "mv3")
@@ -1120,15 +1142,141 @@ object QueriesMutation {
           .groupBy(col("l_suppkey"), col("qty"))
           .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty")),
           Seq("l_suppkey"), 8)
+        st.setChangeFeed("aux", true)
+        val auxV0 = st.currentVersion("aux")
+        // second level seeded from aux's pinned state: n_rows counts the
+        // DISTINCT values per group (one live aux row each), sum_qty
+        // sums them — maintained from aux's feed, never recomputed
+        st.createBucketed("cnt_view", st.readVersion("aux", auxV0)
+          .filter(col("n_rows") > 0L)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty")),
+          Seq("l_suppkey"), 8)
         ivmMutateSource(st, li)
         graft.ops.Ivm.applyCountSumDelta(st, "aux",
           st.readChangesBetween("src", v0, st.currentVersion("src")),
           groupCols = Seq("l_suppkey", "qty"), valueCol = "qty")
-        graft.ops.Ivm.readView(st, "aux")
-          .groupBy(col("l_suppkey"))
-          .agg(count(lit(1)).as("n_distinct"))
+        // cascade: aux's CDF → the count view. Pre/postimages of a
+        // still-live multiplicity cancel; only 0↔live transitions count
+        graft.ops.Ivm.applyCountSumDelta(st, "cnt_view",
+          st.readChangesBetween("aux", auxV0, st.currentVersion("aux"))
+            .filter(col("n_rows") > 0L),
+          groupCols = Seq("l_suppkey"), valueCol = "qty")
+        graft.ops.Ivm.compactDead(st, "cnt_view", Seq("l_suppkey"))
+        graft.ops.Ivm.readView(st, "cnt_view")
+          .select(col("l_suppkey"), col("n_rows").as("n_distinct"))
       },
       Some(ivmOracle("CAST(count(DISTINCT qty) AS BIGINT) AS n_distinct"))),
+
+    // ---- mv4: incremental maintenance of a JOIN view — THE reference
+    //      shape (gold fact = silver × dims, Gold/fact/
+    //      validate_fact_transactions.py:152-224), maintained by
+    //      delta-join algebra instead of the rebuild job_fact_star
+    //      does: ΔV = ΔS ⋈ D ∪ S ⋈ ΔD. Two batches prove both arms:
+    //      batch 1 is a silver backlog (update + delete + append —
+    //      including keys hit by BOTH an update and the delete, so the
+    //      last-writer-wins collapse is load-bearing) joined against
+    //      broadcast dims; batch 2 is DIM-ONLY change (the SCD-style
+    //      attribute drift) — customer renames plus a nation rename
+    //      that propagates to affected custkeys DIM-SIDE (snowflake
+    //      walk over broadcast-small tables), then re-enriches exactly
+    //      the view's rows carrying those FKs — never a fact rescan,
+    //      never a silver rescan. Deletes land as _live=false
+    //      tombstones in the same commit (no partial-apply window);
+    //      the sweep is the conflict-safe compactDeadJoin. Oracle:
+    //      replay the whole history relationally and join the final
+    //      states — equality proves the incremental path converged to
+    //      the rebuild. ----
+    "mv4_incremental_star" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv4")
+        val orders = Tables.orders(s, dir)
+        val silverAll = orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+        // seed: silver (CDF on), two dims (CDF on)
+        st.createEmpty("silver", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE, status STRING"))
+        st.setChangeFeed("silver", true)
+        st.append("silver", silverAll.filter(col("o_orderkey") % 3 === 0))
+        val sv0 = st.currentVersion("silver")
+        st.create("dcust", Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+        st.setChangeFeed("dcust", true)
+        st.create("dnat", Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name")))
+        st.setChangeFeed("dnat", true)
+        def dims(src: DataFrame): DataFrame = src
+          .join(broadcast(st.read("dcust")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .join(broadcast(st.read("dnat")),
+            col("c_nationkey") === col("n_nationkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"), col("price"),
+            col("status"), col("c_name"), col("n_name"))
+        // initial full compute, ONCE — the last full-join this view runs
+        st.createBucketed("fact",
+          dims(st.readVersion("silver", sv0)).withColumn("_live", lit(true)),
+          Seq("o_orderkey"), 8)
+
+        // ---- batch 1: silver backlog (ΔS ⋈ D) ----
+        st.updateVectorized("silver", col("o_orderkey") % 5 === 0,
+          Map("price" -> (col("price") + 1000d)))
+        st.deleteVectorized("silver", col("o_orderkey") % 7 === 0)
+        st.append("silver", silverAll.filter(col("o_orderkey") % 3 === 1))
+        val sv1 = st.currentVersion("silver")
+        graft.ops.Ivm.applyJoinDelta(st, "fact", "silver", sv0, sv1,
+          keys = Seq("o_orderkey"), enrich = dims,
+          txn = Some(("mv4", 1L)))
+
+        // ---- batch 2: dim-only backlog (S ⋈ ΔD) ----
+        val cv0 = st.currentVersion("dcust")
+        val nv0 = st.currentVersion("dnat")
+        st.updateVectorized("dcust", col("c_custkey") % 4 === 0,
+          Map("c_name" -> concat(col("c_name"), lit("!"))))
+        st.updateVectorized("dnat", col("n_nationkey") % 2 === 0,
+          Map("n_name" -> concat(col("n_name"), lit("!"))))
+        // affected FKs, computed dim-side: directly renamed customers ∪
+        // customers of renamed nations (snowflake walk, all broadcast)
+        val affected = st.readChangesBetween("dcust", cv0, st.currentVersion("dcust"))
+          .select(col("c_custkey").as("o_custkey"))
+          .unionByName(st.read("dcust")
+            .join(broadcast(
+              st.readChangesBetween("dnat", nv0, st.currentVersion("dnat"))
+                .select(col("n_nationkey").as("c_nationkey")).distinct()),
+              Seq("c_nationkey"), "left_semi")
+            .select(col("c_custkey").as("o_custkey")))
+        graft.ops.Ivm.applyJoinDelta(st, "fact", "silver", sv1, sv1,
+          keys = Seq("o_orderkey"), enrich = dims,
+          dimAffected = Some((affected, Seq("o_custkey"))),
+          txn = Some(("mv4", 2L)))
+
+        graft.ops.Ivm.compactDeadJoin(st, "fact", Seq("o_orderkey"))
+        graft.ops.Ivm.readJoinView(st, "fact")
+      },
+      Some("""WITH sil0 AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice AS price,
+             |         o_orderstatus AS status
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN price + 1000 ELSE price END AS price,
+             |    status
+             |  FROM sil0),
+             |del AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0),
+             |fin AS (SELECT * FROM del
+             |        UNION ALL
+             |        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |        FROM orders WHERE o_orderkey % 3 = 1),
+             |dc AS (SELECT c_custkey,
+             |         CASE WHEN c_custkey % 4 = 0 THEN c_name || '!' ELSE c_name END AS c_name,
+             |         c_nationkey
+             |       FROM customer),
+             |dn AS (SELECT n_nationkey,
+             |         CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS n_name
+             |       FROM nation)
+             |SELECT f.o_orderkey, f.o_custkey, f.price, f.status, dc.c_name, dn.n_name
+             |FROM fin f
+             |LEFT JOIN dc ON f.o_custkey = dc.c_custkey
+             |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey""".stripMargin)),
 
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE
@@ -1453,17 +1601,44 @@ object QueriesMutation {
           "add-column must commit before the merge's data commit")
         st.read("t")
       },
-      Some("""WITH t AS (SELECT o_orderkey, CAST(o_orderkey AS INT) AS qty,
-             |             o_orderstatus AS status
-             |           FROM orders WHERE o_orderkey % 2 = 0),
-             |     s AS (SELECT o_orderkey,
-             |             CAST(o_orderkey AS BIGINT) + 5000000000 AS qty,
-             |             o_totalprice AS price
-             |           FROM orders WHERE o_orderkey % 3 = 0)
-             |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
-             |  CAST(COALESCE(s.qty, t.qty) AS BIGINT) AS qty,
-             |  t.status AS status, s.price AS price
-             |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey""".stripMargin)),
+      Some(MergeEvolveOracleSql)),
+
+    // ---- MERGE WITH SCHEMA EVOLUTION through SQL (r11 VERDICT #4):
+    //      the same add-a-column-and-widen-mid-merge as m24, driven
+    //      entirely by Spark 4.1's `MERGE WITH SCHEMA EVOLUTION INTO`
+    //      against the DSv2 catalog — the catalog declares
+    //      AUTOMATIC_SCHEMA_EVOLUTION, Spark's analyzer computes the
+    //      schema changes from the source and issues them through
+    //      alterTable (metadata-only here: add-column + the m22
+    //      widening path), then plans the ordinary row-level MERGE
+    //      against the evolved schema. Same fixture, same oracle text
+    //      as m24 — the digests must be EQUAL (the m20/
+    //      sql_replace_where same-code-path pinning pattern). ----
+    "sql_merge_evolve" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "ev")
+        val orders = Tables.orders(s, dir)
+        st.create("ev", orders.filter(col("o_orderkey") % 2 === 0).select(
+          col("o_orderkey"),
+          col("o_orderkey").cast("int").as("qty"),
+          col("o_orderstatus").as("status")))
+        orders.filter(col("o_orderkey") % 3 === 0).select(
+            col("o_orderkey"),
+            (col("o_orderkey").cast("long") + 5000000000L).as("qty"),
+            col("o_totalprice").as("price"))
+          .createOrReplaceTempView("ev_src")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.ev t
+                |USING ev_src s ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val sch = st.read("ev").schema
+        require(sch("qty").dataType == org.apache.spark.sql.types.LongType,
+          s"qty must have widened to BIGINT through SQL evolution, got ${sch("qty").dataType}")
+        require(sch.fieldNames.toSeq == Seq("o_orderkey", "qty", "status", "price"),
+          s"evolved schema drifted: ${sch.fieldNames.mkString(",")}")
+        st.read("ev")
+      },
+      Some(MergeEvolveOracleSql)),
 
     // ---- m20: INSERT OVERWRITE ... WHERE (Delta's replaceWhere) —
     //      atomically replace exactly the predicate's region with new

@@ -419,10 +419,45 @@ class TableStore(spark: SparkSession, root: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Driver-memory ENVELOPE of the single-JSON-manifest design: a
+    * resolved manifest costs ~0.64 KB of driver heap per data dir
+    * (relpath + stats entry — measured, ProbeManifest / PLANS.md), so
+    * 10^5 dirs ≈ 64 MB (comfortable), 10^6 ≈ 640 MB (needs a sized
+    * driver), 10^7 ≈ 6.4 GB (past any default `--driver-memory`).
+    * Rather than degrade silently toward a driver OOM, every manifest
+    * read WARNS once per table past `spark.graft.manifest.warnDirs`
+    * (default 200,000) and REFUSES past `spark.graft.manifest.maxDirs`
+    * (default 2,000,000) with guidance: `compact()` bin-packs small
+    * files and collapses the dir count; a table legitimately needing
+    * more dirs should raise the conf together with the driver heap.
+    * Either conf set to 0 disables its check. */
+  private val warnedDirBudget =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def confLong(key: String, dflt: Long): Long =
+    try spark.conf.get(key, dflt.toString).toLong catch { case _: NumberFormatException => dflt }
+  private def checkManifestBudget(name: String, m: Manifest): Unit = {
+    val n = m.dirs.size
+    val maxDirs = confLong("spark.graft.manifest.maxDirs", 2000000L)
+    if (maxDirs > 0 && n > maxDirs)
+      throw new IllegalStateException(
+        s"table $name has $n data dirs — past the manifest driver-memory " +
+          s"budget (spark.graft.manifest.maxDirs=$maxDirs, ~0.64 KB of " +
+          "driver heap per dir). Raise the conf (and --driver-memory) to " +
+          "read it, then run compact(name) to collapse the dir count")
+    val warnDirs = confLong("spark.graft.manifest.warnDirs", 200000L)
+    if (warnDirs > 0 && n > warnDirs && warnedDirBudget.add(name))
+      System.err.println(
+        s"[graft] WARNING: table $name has $n data dirs (~${n * 654 / (1 << 20)} MB " +
+          "of driver heap per resolved manifest; warn threshold " +
+          s"spark.graft.manifest.warnDirs=$warnDirs) — consider compact(name)")
+  }
+
   private def readManifest(name: String, v: Long): Manifest = {
     val cached = manifestCache.get((name, v))
-    if (cached != null && recordToken(name, v).contains(cached._1))
+    if (cached != null && recordToken(name, v).contains(cached._1)) {
+      checkManifestBudget(name, cached._2)
       return cached._2
+    }
     def fromCkpt(): Manifest =
       parseFull(MiniJson.obj(new String(
         Files.readAllBytes(ckptPath(name, v)), StandardCharsets.UTF_8)))
@@ -448,6 +483,7 @@ class TableStore(spark: SparkSession, root: String) {
         }
       }
     val resolved = resolved0.copy(baseVersion = v)
+    checkManifestBudget(name, resolved)
     cacheManifest(name, v, resolved)
     resolved
   }
@@ -2895,9 +2931,23 @@ class TableStore(spark: SparkSession, root: String) {
   }
 
   /** MERGE delete (M3): delete target rows whose keys appear in keysDf
-    * (bucket-pruned on bucketed tables). */
-  def mergeDelete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
+    * (bucket-pruned on bucketed tables).
+    *
+    * `expectedVersion`: refuse LOUDLY unless the table is still at that
+    * version — the compare-and-delete a maintenance sweep needs when its
+    * delete set was computed from a pinned read (Ivm.compactDead): a
+    * writer landing between the sweep's read and its delete would
+    * otherwise lose rows the sweep never saw (e.g. a resurrected IVM
+    * group). The check composes with [[commitExclusive]]'s put-if-absent
+    * — a rival landing between this read and the commit still collides
+    * at the pinned version and fails loudly, never silently. */
+  def mergeDelete(name: String, keysDf: DataFrame, keys: Seq[String],
+                  expectedVersion: Option[Long] = None): Unit = {
     val m = readManifest(name, currentVersion(name))
+    expectedVersion.foreach(ev => require(m.baseVersion == ev,
+      s"mergeDelete($name): table advanced to v${m.baseVersion} since the " +
+        s"delete set was computed at v$ev — recompute the set against the " +
+        "current version and retry"))
     val keyRows = keysDf.select(keys.map(col): _*).distinct()
     val (target, carried, b) = pruneByKeys(name, m, keyRows, keys)
     val ridKeep = rewriteExtra(m)

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.TableStore
@@ -24,10 +25,23 @@ import graft.core.TableStore
   * and the optional `txn` (Delta's txnAppId/txnVersion idempotent-write
   * pattern) makes an at-least-once driver (foreachBatch re-delivery)
   * apply each batch once: the txn stamp rides the same manifest commit
-  * as the data. [[readView]] is the consumer face (tombstones
-  * filtered); [[compactDead]] sweeps tombstones in a maintenance
-  * window. Double-apply without txn protection is caught loudly by the
-  * negative-count guard whenever any retracted group goes below zero.
+  * as the data. **`txn` is effectively REQUIRED for any at-least-once
+  * driver regardless of feed shape**: the negative-count guard below
+  * only catches an unprotected double-apply when some group's
+  * retraction drives its count below zero — re-applying an insert-only
+  * feed without `txn` silently doubles counts. [[readView]] is the
+  * consumer face (tombstones filtered); [[compactDead]] sweeps
+  * tombstones, conflict-safely (it pins the version its dead set was
+  * computed at and the delete refuses if the view advanced — see
+  * [[TableStore.mergeDelete]]'s expectedVersion contract).
+  *
+  * Concurrency: applies are optimistic — two concurrent applies both
+  * compute absolutes against the version they read, and the loser of
+  * the put-if-absent commit race fails LOUDLY with the store's
+  * version-conflict error (never a silent lost update); the failed
+  * apply re-runs against the new current version and converges. The
+  * same holds for apply vs. [[compactDead]] in either order
+  * (ConcurrencySpec exercises all three interleavings).
   *
   * The driver-visible faces are `mv1_incremental_agg` (batch) and
   * `st19_stream_materialized_view` (streaming, same body); both oracles
@@ -35,12 +49,34 @@ import graft.core.TableStore
   */
 object Ivm {
 
+  /** Map a CDF kind to its retraction sign, WHITELISTING the four CDF
+    * kinds — anything else (a future change kind, a caller passing a
+    * non-CDF frame) must fail loudly, not ride in as a phantom
+    * retraction. Unknown kinds map to NULL here; [[requireKnownKinds]]
+    * turns any NULL into a loud error on the already-computed delta. */
+  private def sgn: Column =
+    when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+      .otherwise(lit(null).cast("long"))
+
+  /** Per-group unknown-kind count rides the same delta aggregate (no
+    * extra source pass); a nonzero anywhere aborts the apply. */
+  private def badKinds: Column = count(lit(1)) - count(sgn)
+
+  private def requireKnownKinds(delta: DataFrame, view: String): Unit =
+    require(delta.filter(col("__bad") > 0L).isEmpty,
+      s"IVM feed for $view carries a change kind outside " +
+        "(insert, update_postimage, delete, update_preimage) — refusing " +
+        "to apply a feed whose retraction sign is undefined")
+
   /** Absorb `feed` (a readChangesBetween frame over the view's source)
     * into `view`, a table with columns (groupCols..., n_rows, sum_qty)
     * where sum_qty sums the feed's `valueCol`. One commit; a no-op on
     * an empty feed. With `txn = Some((appId, version))` the apply is
-    * idempotent under re-delivery. Composite `groupCols` serve the
-    * auxiliary-state views (mv3's (group, value) multiplicity table). */
+    * idempotent under re-delivery (see the class note: effectively
+    * required for at-least-once drivers). Composite `groupCols` serve
+    * the auxiliary-state views (mv3's (group, value) multiplicity
+    * table). */
   def applyCountSumDelta(st: TableStore, view: String, feed: DataFrame,
                          groupCols: Seq[String], valueCol: String,
                          txn: Option[(String, Long)] = None): Unit = {
@@ -50,13 +86,13 @@ object Ivm {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
     val keys = groupCols.map(col)
-    val sgn = when(col("_change_type").isin("insert", "update_postimage"),
-      1L).otherwise(-1L)
     val delta = feed
       .groupBy(keys: _*)
-      .agg(sum(sgn).as("dn"), sum(sgn * col(valueCol)).as("dsum"))
-      .localCheckpoint() // reused: pruned view read, guard, upsert
+      .agg(sum(sgn).as("dn"), sum(sgn * col(valueCol)).as("dsum"),
+        badKinds.as("__bad"))
+      .localCheckpoint() // reused: kind gate, pruned view read, guard, upsert
     if (delta.isEmpty) return
+    requireKnownKinds(delta, view)
     val old = st.read(view)
       .join(broadcast(delta.select(keys: _*)), groupCols, "left_semi")
     val next = delta.join(old, groupCols, "left_outer")
@@ -114,9 +150,11 @@ object Ivm {
     val isIns = col("_change_type").isin("insert", "update_postimage")
     val touched = feed.groupBy(keys: _*)
       .agg(ext(when(isIns, col(valueCol))).as("mx_ins"),
-        ext(when(!isIns, col(valueCol))).as("mx_ret"))
+        ext(when(!isIns, col(valueCol))).as("mx_ret"),
+        badKinds.as("__bad"))
       .localCheckpoint()
     if (touched.isEmpty) return
+    requireKnownKinds(touched, view)
     val old = st.read(view)
       .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
     val merged = touched.join(old, groupCols, "left_outer")
@@ -151,20 +189,142 @@ object Ivm {
   def readMaxView(st: TableStore, view: String): DataFrame =
     st.read(view).filter(col("mx").isNotNull)
 
-  /** Sweep max-view tombstones (mx NULL); same maintenance-window
-    * discipline as [[compactDead]]. */
-  def compactDeadMax(st: TableStore, view: String, groupCol: String): Unit = {
-    val dead = st.read(view).filter(col("mx").isNull)
-      .select(col(groupCol)).localCheckpoint()
-    if (!dead.isEmpty) st.mergeDelete(view, dead, Seq(groupCol))
+  /** Delta-JOIN maintenance — the view shape the medallion gold layer
+    * is built around: view = source ⋈ dims, keyed by the source's key
+    * (each view row is one source row enriched with dim attributes).
+    * The classical delta-join algebra ΔV = ΔS ⋈ D ∪ S ⋈ ΔD lands here
+    * as two broadcast-joined terms over CHANGE rows — never a fact
+    * rescan:
+    *
+    *   - **source term** (ΔS ⋈ D): the source backlog collapses to its
+    *     LAST state per key (row_number over `_commit_version`, so an
+    *     update-then-delete of the same key within one backlog nets to
+    *     the delete); live finals re-enrich through `enrich` (the
+    *     caller's broadcast dim joins, pinned at the dims' END
+    *     versions) and upsert; deletes become `_live = false`
+    *     tombstones in the SAME commit (no partial-apply window —
+    *     exactly the (0,0)-tombstone trick of [[applyCountSumDelta]]).
+    *   - **dim term** (S ⋈ ΔD): `dimAffected` = the foreign-key values
+    *     whose dim attributes changed (computed DIM-SIDE by the caller
+    *     — for a snowflake, propagated through the dim graph, which is
+    *     broadcast-small by definition). The view's own live rows with
+    *     those FK values — a broadcast semi-join the store's stats/
+    *     bloom pruning turns into a dir-level prune — are re-enriched
+    *     through the same `enrich` and upserted. Keys already handled
+    *     by the source term are anti-joined out (both terms enrich
+    *     against final dims, so the overlap would be benign, but the
+    *     anti-join keeps the work O(affected − already-rewritten)).
+    *
+    * Both terms touch O(changed source rows + fact rows referencing
+    * changed dim keys); the unchanged fact region is never read or
+    * rewritten. One txn-stampable mergeUpsert commit. Unlike the
+    * aggregate faces, a re-delivered identical batch is NATURALLY
+    * idempotent here (same keys, same final values) — `txn` still
+    * short-circuits the recompute and is the correctness guard once
+    * batches are cut against a moving source.
+    *
+    * Contract: the view's schema = source columns ++ dim-attribute
+    * columns ++ `_live BOOLEAN`, and `enrich` maps a source-shaped
+    * frame to the view's columns minus `_live`. [[readJoinView]] is
+    * the consumer face; [[compactDeadJoin]] sweeps tombstones.
+    *
+    * The driver-visible face is `mv4_incremental_star`
+    * (QueriesMutation), maintaining orders × customer × nation — the
+    * engine's re-expression of the reference gold star (fact = silver
+    * × 5 dims, Gold/fact/validate_fact_transactions.py:152-224) as an
+    * incrementally-maintained view instead of a rebuild. */
+  def applyJoinDelta(st: TableStore, view: String,
+                     srcName: String, fromVersion: Long, toVersion: Long,
+                     keys: Seq[String],
+                     enrich: DataFrame => DataFrame,
+                     dimAffected: Option[(DataFrame, Seq[String])] = None,
+                     txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val viewSchema = st.read(view).schema
+    require(viewSchema.fieldNames.contains("_live"),
+      s"applyJoinDelta: $view lacks the _live tombstone column")
+    val srcCols = st.read(srcName).schema.fieldNames.toSeq
+    val keyCols = keys.map(col)
+
+    // ---- source term: collapse the backlog to last-state-per-key ----
+    val finals = st.readChangesBetween(srcName, fromVersion, toVersion)
+      .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+    // within one commit a delete+reinsert of the same key (replaceWhere
+    // shape) nets to the reinsert: deletes sort after non-deletes at
+    // equal version
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 1).otherwise(0).asc)
+    val last = finals.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint() // reused: live term, tombstones, dim-term anti-join
+    val touchedKeys = last.select(keyCols: _*)
+    val liveRows = enrich(
+        last.filter(col("_change_type") =!= "delete")
+          .select(srcCols.map(col): _*))
+      .withColumn("_live", lit(true))
+    val tombstones = last.filter(col("_change_type") === "delete")
+      .select(viewSchema.fields.map(f =>
+        if (keys.contains(f.name)) col(f.name)
+        else if (f.name == "_live") lit(false).as("_live")
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+
+    // ---- dim term: re-enrich live view rows whose FK changed ----
+    val dimRows = dimAffected.map { case (fkKeys, fkCols) =>
+      enrich(
+        st.read(view).filter(col("_live"))
+          .join(broadcast(fkKeys.select(fkCols.map(col): _*).distinct()),
+            fkCols, "left_semi")
+          .join(touchedKeys, keys, "left_anti")
+          .select(srcCols.map(col): _*))
+        .withColumn("_live", lit(true))
+    }
+
+    val out = dimRows.foldLeft(liveRows.unionByName(tombstones))(_ unionByName _)
+      .localCheckpoint() // pin: mergeUpsert's gate + join each re-read it
+    if (out.isEmpty) return
+    st.mergeUpsert(view, out, keys, changeTypeCol = None, txn = txn)
   }
 
-  /** Sweep retraction tombstones (n_rows = 0). Run in a maintenance
-    * window — racing a concurrent apply could delete a group the apply
-    * is resurrecting (same discipline as vacuum vs. writers). */
-  def compactDead(st: TableStore, view: String, groupCol: String): Unit = {
-    val dead = st.read(view).filter(col("n_rows") === 0L)
-      .select(col(groupCol)).localCheckpoint()
-    if (!dead.isEmpty) st.mergeDelete(view, dead, Seq(groupCol))
+  /** The consumer face of a maintained join view: live rows only. */
+  def readJoinView(st: TableStore, view: String): DataFrame =
+    st.read(view).filter(col("_live")).drop("_live")
+
+  /** Conflict-safe tombstone sweep: the dead set is computed from a
+    * PINNED read of the view, and the delete refuses (loudly, via
+    * mergeDelete's expectedVersion contract) if the view advanced in
+    * between — a concurrent apply may have resurrected a group the
+    * pinned read saw dead, and deleting it would lose the apply's
+    * write. On refusal, just re-run the sweep. The sweep itself races
+    * commit-exclusively: a rival landing between the version check and
+    * the delete's commit collides at the pinned version and fails
+    * loudly (never silently). */
+  private def compactWhere(st: TableStore, view: String, deadPred: Column,
+                           keyCols: Seq[String]): Unit = {
+    val v = st.currentVersion(view)
+    val dead = st.readVersion(view, v).filter(deadPred)
+      .select(keyCols.map(col): _*).localCheckpoint()
+    if (!dead.isEmpty)
+      st.mergeDelete(view, dead, keyCols, expectedVersion = Some(v))
   }
+
+  /** Sweep retraction tombstones (n_rows = 0) of a count/sum view.
+    * `groupCols` must be the view's FULL key — a composite-keyed view
+    * (mv3's (group, value) aux) swept on a prefix would delete live
+    * rows sharing a group with a tombstone. Safe to run concurrently
+    * with applies: the loser of the race fails loudly (see
+    * [[compactWhere]]); re-run to converge. */
+  def compactDead(st: TableStore, view: String, groupCols: Seq[String]): Unit =
+    compactWhere(st, view, col("n_rows") === 0L, groupCols)
+
+  /** Sweep max-view tombstones (mx NULL); same contract as
+    * [[compactDead]]. */
+  def compactDeadMax(st: TableStore, view: String, groupCols: Seq[String]): Unit =
+    compactWhere(st, view, col("mx").isNull, groupCols)
+
+  /** Sweep join-view tombstones (_live = false); same contract as
+    * [[compactDead]]. */
+  def compactDeadJoin(st: TableStore, view: String, keys: Seq[String]): Unit =
+    compactWhere(st, view, !col("_live"), keys)
 }

@@ -52,6 +52,50 @@ object BenchCompare {
     }.toMap
   }
 
+  /** One outlier row: (query, before, after, ratio, median-normalized). */
+  final case class Outlier(q: String, before: Double, after: Double,
+                           ratio: Double, normalized: Double)
+  /** The ratio-distribution summary vs a previous run. */
+  final case class Comparison(prev: String, n: Int, envFactor: Double,
+                              p25: Double, p75: Double, outliers: Seq[Outlier])
+
+  /** Compare `after` against the artifact at `prevPath`; None when the
+    * artifacts share no nonzero-baseline query. */
+  def compare(prevPath: String, after: Map[String, Double],
+              thr: Double = 1.3): Option[Comparison] = {
+    val before = queriesOf(prevPath)
+    val common = (before.keySet intersect after.keySet).toSeq.sorted
+      .filter(before(_) > 0.0)
+    if (common.isEmpty) return None
+    val ratios = common.map(q => q -> after(q) / before(q)).sortBy(_._2)
+    val rs = ratios.map(_._2)
+    def pct(p: Double) = rs(math.min(rs.size - 1, (p * (rs.size - 1)).round.toInt))
+    val med = pct(0.5)
+    val outliers = ratios.map { case (q, r) => Outlier(q, before(q), after(q), r, r / med) }
+      .filter(o => o.normalized > thr || o.normalized < 1.0 / thr)
+      .sortBy(-_.normalized)
+    Some(Comparison(prevPath, ratios.size, med, pct(0.25), pct(0.75), outliers))
+  }
+
+  /** The `"compare"` block Bench embeds in bench_full.json (r11 VERDICT
+    * #7): cross-round comparisons should quote the ratio DISTRIBUTION —
+    * a uniform environment slowdown self-reports as env_factor != 1
+    * with no outliers, and a real regression is a named outlier — so
+    * the artifact carries its own drift analysis instead of leaving it
+    * to a later investigation. */
+  def comparisonJson(prevPath: String, after: Map[String, Double],
+                     thr: Double = 1.3): Option[String] =
+    compare(prevPath, after, thr).map { c =>
+      def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      val outs = c.outliers.map(o =>
+        s""""${o.q}":{"before":${f(o.before)},"after":${f(o.after)},""" +
+          s""""ratio":${f(o.ratio)},"normalized":${f(o.normalized)}}""")
+        .mkString("{", ",", "}")
+      s"""{"prev":"${c.prev}","queries":${c.n},"env_factor":${f(c.envFactor)},""" +
+        s""""p25":${f(c.p25)},"p75":${f(c.p75)},"threshold":$thr,""" +
+        s""""outliers":$outs}"""
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: BenchCompare <before.json> <after.json> [threshold]")
     val thr = args.lift(2).map(_.toDouble).getOrElse(1.3)

@@ -68,4 +68,27 @@ class BenchReportSpec extends AnyFunSuite {
     assert(qs.keySet === Set("job_bronze_load", "st15_stream_dedup_admission"))
     assert(m("unvalidated_n") === 0d || m("unvalidated_n") === 0L || m("unvalidated_n") === 0)
   }
+
+  test("bench_full compare block: env factor is the median ratio, " +
+      "outliers are median-normalized, and it parses as JSON") {
+    val prev = java.nio.file.Files.createTempFile("bench_prev", ".json")
+    // 5 queries: four drift uniformly at 1.10x (environment), one
+    // regresses 2.2x — the block must report env_factor ~1.10 and name
+    // ONLY the regression
+    java.nio.file.Files.write(prev,
+      """{"timings":{"a":1.0,"b":2.0,"c":4.0,"d":8.0,"e":1.0},"failed":[]}"""
+        .getBytes("UTF-8"))
+    val after = Map("a" -> 1.1, "b" -> 2.2, "c" -> 4.4, "d" -> 8.8, "e" -> 2.2)
+    val json = graft.tools.BenchCompare
+      .comparisonJson(prev.toString, after).get
+    val m = MiniJson.obj(json)
+    assert(math.abs(m("env_factor").asInstanceOf[Double] - 1.1) < 1e-6)
+    val outs = m("outliers").asInstanceOf[Map[String, Any]]
+    assert(outs.keySet === Set("e"))
+    val e = outs("e").asInstanceOf[Map[String, Any]]
+    assert(math.abs(e("normalized").asInstanceOf[Double] - 2.0) < 1e-6)
+    // no shared queries -> no block (never a crash in Bench's path)
+    assert(graft.tools.BenchCompare
+      .comparisonJson(prev.toString, Map("zz" -> 1.0)).isEmpty)
+  }
 }

@@ -58,7 +58,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
     assert(boom.getMessage.contains("double apply"))
     // maintenance sweep removes the tombstone; live groups untouched
-    graft.ops.Ivm.compactDead(ts, "view", "grp")
+    graft.ops.Ivm.compactDead(ts, "view", Seq("grp"))
     assert(ts.read("view").as[(Long, Long, Long)].collect().toSet === view)
     // the maintained view equals a direct recompute of the final state
     val direct = ts.read("src").groupBy("grp")
@@ -98,7 +98,7 @@ class ChangeFeedSpec extends AnyFunSuite {
       groupCols = Seq("grp"), valueCol = "qty", txn = Some(("ivm-max", 1L)))
     assert(graft.ops.Ivm.readMaxView(ts, "vmax")
       .as[(Long, Long)].collect().toSet === view)
-    graft.ops.Ivm.compactDeadMax(ts, "vmax", "grp")
+    graft.ops.Ivm.compactDeadMax(ts, "vmax", Seq("grp"))
     assert(ts.read("vmax").as[(Long, Long)].collect().toSet === view)
     // converged to the direct recompute
     assert(ts.read("src").groupBy("grp").agg(max("qty").as("mx"))
@@ -557,5 +557,82 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(changes(ts, "t", 1, 2) === Set(
       (7L, "v7", "update_preimage", 2L),
       (7L, "CLOSED", "update_postimage", 2L)))
+  }
+
+  test("Ivm refuses a feed carrying an unknown change kind") {
+    val ts = freshStore()
+    ts.create("view", Seq((1L, 1L, 10L)).toDF("grp", "n_rows", "sum_qty"))
+    val feed = Seq((1L, 5L, "insert"), (1L, 7L, "upsert"))
+      .toDF("grp", "qty", "_change_type")
+    val boom = intercept[IllegalArgumentException](
+      graft.ops.Ivm.applyCountSumDelta(ts, "view", feed, Seq("grp"), "qty"))
+    assert(boom.getMessage.contains("change kind"))
+    // nothing landed — the known-kind rows did not half-apply
+    assert(ts.read("view").as[(Long, Long, Long)].head() === ((1L, 1L, 10L)))
+    // same gate on the extreme face
+    ts.create("vmax", Seq((1L, 10L)).toDF("grp", "mx"))
+    ts.create("src0", Seq((1L, 1L, 10L)).toDF("k", "grp", "qty"))
+    val boom2 = intercept[IllegalArgumentException](
+      graft.ops.Ivm.applyMaxDelta(ts, "vmax", "src0", 0L, feed,
+        Seq("grp"), "qty"))
+    assert(boom2.getMessage.contains("change kind"))
+  }
+
+  test("Ivm join view: delta-join maintenance over source and dim batches") {
+    val ts = freshStore()
+    // src (k, fk, qty) with CDF; dim (fk, attr) with CDF
+    ts.create("src", Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+      .toDF("k", "fk", "qty"))                                   // v0
+    ts.setChangeFeed("src", true)                                // v1
+    val sv0 = ts.currentVersion("src")
+    ts.create("dim", Seq((10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("fk", "attr"))
+    ts.setChangeFeed("dim", true)
+    def enrich(rows: org.apache.spark.sql.DataFrame) = rows
+      .join(broadcast(ts.read("dim")), Seq("fk"), "left")
+      .select(col("k"), col("fk"), col("qty"), col("attr"))
+    ts.create("view", enrich(ts.readVersion("src", sv0))
+      .withColumn("_live", lit(true)))
+
+    // ---- source batch: k=2 updated THEN deleted (last-writer-wins
+    //      must net to the delete), k=3 updated, k=4 inserted ----
+    ts.update("src", col("k") === 2L, Map("qty" -> lit(250L)))   // v2
+    ts.update("src", col("k") === 3L, Map("qty" -> lit(350L)))   // v3
+    ts.delete("src", col("k") === 2L)                            // v4
+    ts.append("src", Seq((4L, 30L, 400L)).toDF("k", "fk", "qty")) // v5
+    val sv1 = ts.currentVersion("src")
+    graft.ops.Ivm.applyJoinDelta(ts, "view", "src", sv0, sv1,
+      keys = Seq("k"), enrich = enrich, txn = Some(("jv", 1L)))
+    def face = graft.ops.Ivm.readJoinView(ts, "view")
+      .select("k", "fk", "qty", "attr").as[(Long, Long, Long, String)]
+      .collect().toSet
+    assert(face === Set((1L, 10L, 100L, "a"), (3L, 20L, 350L, "b"),
+      (4L, 30L, 400L, "c")))
+    // k=2's delete is a _live=false tombstone until swept
+    assert(ts.read("view").filter(!col("_live")).select("k")
+      .as[Long].collect().toSeq === Seq(2L))
+    // re-delivery under the same txn is a no-op
+    graft.ops.Ivm.applyJoinDelta(ts, "view", "src", sv0, sv1,
+      keys = Seq("k"), enrich = enrich, txn = Some(("jv", 1L)))
+    assert(face === Set((1L, 10L, 100L, "a"), (3L, 20L, 350L, "b"),
+      (4L, 30L, 400L, "c")))
+
+    // ---- dim-only batch: fk=10 renamed; only ITS view rows re-enrich ----
+    val dv0 = ts.currentVersion("dim")
+    ts.update("dim", col("fk") === 10L, Map("attr" -> lit("a2")))
+    val affected = ts.readChangesBetween("dim", dv0, ts.currentVersion("dim"))
+      .select("fk")
+    graft.ops.Ivm.applyJoinDelta(ts, "view", "src", sv1, sv1,
+      keys = Seq("k"), enrich = enrich,
+      dimAffected = Some((affected, Seq("fk"))), txn = Some(("jv", 2L)))
+    assert(face === Set((1L, 10L, 100L, "a2"), (3L, 20L, 350L, "b"),
+      (4L, 30L, 400L, "c")))
+
+    // sweep the tombstone; converged to the direct join of final states
+    graft.ops.Ivm.compactDeadJoin(ts, "view", Seq("k"))
+    assert(ts.read("view").count() === 3)
+    val direct = enrich(ts.read("src"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(face === direct)
   }
 }

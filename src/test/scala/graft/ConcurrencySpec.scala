@@ -528,4 +528,117 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(ts.checkConstraints("t").contains("pos"))
     assert(ts.read("t").filter(col("x") <= 0L).count() === 0)
   }
+
+  // ---- IVM maintenance under concurrency (r11 VERDICT #3): applies
+  //      are optimistic — the loser of any interleaving fails LOUDLY
+  //      and a re-run converges; nothing is ever silently lost. A
+  //      synthesized feed (grp, qty, _change_type) stands in for
+  //      readChangesBetween: the apply only reads those columns. ----
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def ivmFeed(rows: (Long, Long)*): DataFrame =
+    rows.toSeq.toDF("grp", "qty").withColumn("_change_type", lit("insert"))
+
+  private def ivmView(ts: TableStore): Unit =
+    // grp 1 live, grp 2 a retraction tombstone awaiting sweep
+    ts.create("view", Seq((1L, 1L, 10L), (2L, 0L, 0L))
+      .toDF("grp", "n_rows", "sum_qty"))
+
+  test("IVM apply racing a concurrent apply: loser loud, re-run converges") {
+    val ts = freshStore()
+    ivmView(ts)
+    val rival = new TableStore(spark, ts.dataRoot("view").getParent.getParent.toString)
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) {
+        fired = true
+        graft.ops.Ivm.applyCountSumDelta(rival, "view", ivmFeed((1L, 7L)),
+          Seq("grp"), "qty", txn = Some(("b", 1L)))
+      }
+    try intercept[java.util.ConcurrentModificationException](
+      graft.ops.Ivm.applyCountSumDelta(ts, "view", ivmFeed((1L, 5L)),
+        Seq("grp"), "qty", txn = Some(("a", 1L))))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    // only the winner landed — the loser's stale absolutes never wrote
+    assert(graft.ops.Ivm.readView(ts, "view").filter(col("grp") === 1L)
+      .select("n_rows", "sum_qty").as[(Long, Long)].head() === ((2L, 17L)))
+    // the loser re-runs against the new state and converges
+    graft.ops.Ivm.applyCountSumDelta(ts, "view", ivmFeed((1L, 5L)),
+      Seq("grp"), "qty", txn = Some(("a", 1L)))
+    assert(graft.ops.Ivm.readView(ts, "view").filter(col("grp") === 1L)
+      .select("n_rows", "sum_qty").as[(Long, Long)].head() === ((3L, 22L)))
+  }
+
+  test("IVM sweep refuses when an apply resurrected its dead set " +
+      "(pinned-version arm)") {
+    val ts = freshStore()
+    ivmView(ts)
+    val v = ts.currentVersion("view")
+    val dead = ts.readVersion("view", v).filter(col("n_rows") === 0L)
+      .select("grp").localCheckpoint()
+    assert(dead.count() === 1)
+    // between the sweep's pinned read and its delete, an apply
+    // resurrects grp 2
+    graft.ops.Ivm.applyCountSumDelta(ts, "view", ivmFeed((2L, 9L)),
+      Seq("grp"), "qty", txn = Some(("r", 1L)))
+    val boom = intercept[IllegalArgumentException](
+      ts.mergeDelete("view", dead, Seq("grp"), expectedVersion = Some(v)))
+    assert(boom.getMessage.contains("advanced"))
+    // the resurrected group survives; a re-run sweep sees it live -> no-op
+    graft.ops.Ivm.compactDead(ts, "view", Seq("grp"))
+    assert(graft.ops.Ivm.readView(ts, "view").filter(col("grp") === 2L)
+      .select("n_rows", "sum_qty").as[(Long, Long)].head() === ((1L, 9L)))
+  }
+
+  test("IVM sweep racing an apply at commit time: loser loud, nothing lost") {
+    val ts = freshStore()
+    ivmView(ts)
+    val rival = new TableStore(spark, ts.dataRoot("view").getParent.getParent.toString)
+    var fired = false
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) {
+        fired = true
+        graft.ops.Ivm.applyCountSumDelta(rival, "view", ivmFeed((2L, 9L)),
+          Seq("grp"), "qty", txn = Some(("r", 1L)))
+      }
+    // the sweep's expectedVersion check passed at read time; the rival
+    // lands before its commit -> put-if-absent collision, loud
+    try intercept[java.util.ConcurrentModificationException](
+      graft.ops.Ivm.compactDead(ts, "view", Seq("grp")))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    // the apply's resurrection was never deleted
+    assert(graft.ops.Ivm.readView(ts, "view").filter(col("grp") === 2L)
+      .select("n_rows", "sum_qty").as[(Long, Long)].head() === ((1L, 9L)))
+    graft.ops.Ivm.compactDead(ts, "view", Seq("grp")) // re-run: no-op
+    assert(ts.read("view").count() === 2)
+  }
+
+  test("IVM apply racing a concurrent sweep: loser loud, re-run " +
+      "re-inserts the swept group") {
+    val ts = freshStore()
+    ivmView(ts)
+    val rival = new TableStore(spark, ts.dataRoot("view").getParent.getParent.toString)
+    var fired = false
+    // our apply resurrects grp 2; the sweep deletes its tombstone first
+    ts.onBeforeOptimisticCommit = () =>
+      if (!fired) {
+        fired = true
+        graft.ops.Ivm.compactDead(rival, "view", Seq("grp"))
+      }
+    try intercept[java.util.ConcurrentModificationException](
+      graft.ops.Ivm.applyCountSumDelta(ts, "view", ivmFeed((2L, 9L)),
+        Seq("grp"), "qty", txn = Some(("a", 1L))))
+    finally ts.onBeforeOptimisticCommit = () => ()
+    assert(fired)
+    assert(ts.read("view").count() === 1) // sweep won; tombstone gone
+    // re-run: grp 2 now absent from the view -> fresh insert, converged
+    graft.ops.Ivm.applyCountSumDelta(ts, "view", ivmFeed((2L, 9L)),
+      Seq("grp"), "qty", txn = Some(("a", 1L)))
+    assert(graft.ops.Ivm.readView(ts, "view").filter(col("grp") === 2L)
+      .select("n_rows", "sum_qty").as[(Long, Long)].head() === ((1L, 9L)))
+  }
 }

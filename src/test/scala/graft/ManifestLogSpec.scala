@@ -168,4 +168,29 @@ class ManifestLogSpec extends AnyFunSuite {
     // version 0 (old level) stays readable — the gate is per record
     assert(cold.readVersion("t", 0).count() === 1L)
   }
+
+  test("manifest dir budget: refuse past maxDirs with compact guidance, " +
+      "recover by raising the conf and compacting") {
+    val root = Files.createTempDirectory("mbudget").toString
+    val ts = new TableStore(spark, root)
+    ts.create("t", Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    (2L to 5L).foreach(i =>
+      ts.append("t", Seq((i, s"v$i")).toDF("id", "v").coalesce(1)))
+    val dirs = ts.snapshot("t").dirs.size
+    assert(dirs >= 5)
+    try {
+      spark.conf.set("spark.graft.manifest.maxDirs", (dirs - 1).toString)
+      val boom = intercept[IllegalStateException](ts.read("t").count())
+      assert(boom.getMessage.contains("compact"))
+      assert(boom.getMessage.contains("maxDirs"))
+      // recovery path from the error message: raise the budget (here:
+      // disable), compact to collapse the dir count, re-arm the budget
+      spark.conf.set("spark.graft.manifest.maxDirs", "0")
+      assert(ts.read("t").count() === 5L)
+      ts.compact("t", targetPartitions = 1)
+      spark.conf.set("spark.graft.manifest.maxDirs", (dirs - 1).toString)
+      assert(ts.snapshot("t").dirs.size < dirs)
+      assert(ts.read("t").count() === 5L) // back inside the envelope
+    } finally spark.conf.unset("spark.graft.manifest.maxDirs")
+  }
 }
