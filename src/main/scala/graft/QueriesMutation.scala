@@ -83,6 +83,35 @@ object QueriesMutation {
     """CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(qty) AS BIGINT) AS sum_qty""".stripMargin
 
+  /** mv4's oracle: replay the silver backlog and the dim renames
+    * relationally, join the final states. */
+  private val Mv4OracleSql: Option[String] =
+    Some("""WITH sil0 AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice AS price,
+           |         o_orderstatus AS status
+           |  FROM orders WHERE o_orderkey % 3 = 0),
+           |upd AS (
+           |  SELECT o_orderkey, o_custkey,
+           |    CASE WHEN o_orderkey % 5 = 0 THEN price + 1000 ELSE price END AS price,
+           |    status
+           |  FROM sil0),
+           |del AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0),
+           |fin AS (SELECT * FROM del
+           |        UNION ALL
+           |        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           |        FROM orders WHERE o_orderkey % 3 = 1),
+           |dc AS (SELECT c_custkey,
+           |         CASE WHEN c_custkey % 4 = 0 THEN c_name || '!' ELSE c_name END AS c_name,
+           |         c_nationkey
+           |       FROM customer),
+           |dn AS (SELECT n_nationkey,
+           |         CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS n_name
+           |       FROM nation)
+           |SELECT f.o_orderkey, f.o_custkey, f.price, f.status, dc.c_name, dn.n_name
+           |FROM fin f
+           |LEFT JOIN dc ON f.o_custkey = dc.c_custkey
+           |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey""".stripMargin)
+
   /** ONE oracle text for m24_merge_evolve and sql_merge_evolve — the
     * library call and the SQL surface run the same evolution + merge
     * semantics, so their driver digests must be equal by construction
@@ -1252,19 +1281,114 @@ object QueriesMutation {
         graft.ops.Ivm.compactDeadJoin(st, "fact", Seq("o_orderkey"))
         graft.ops.Ivm.readJoinView(st, "fact")
       },
+      Mv4OracleSql),
+
+    // ---- mv5: a grouped aggregate maintained OVER the maintained join
+    //      view — the two-level IVM DAG the gold reporting layer
+    //      actually is (source → star join → per-nation rollup), each
+    //      level incremental and exactly-once. Level 1 is mv4's
+    //      delta-join apply with CDF ON; level 2 tails the JOIN VIEW'S
+    //      OWN change feed through the same count-sum core, filtered
+    //      to live rows: a row's birth is +1, its tombstoning
+    //      surfaces as (live preimage −1, filtered postimage), and a
+    //      DIM RENAME that moves rows between groups (n_name IS the
+    //      group key) retracts from the old group and adds to the new
+    //      one through the pre/postimage pair — the cascade never
+    //      re-reads silver, the dims, or the unchanged fact region.
+    //      Integer price (pure o_orderkey arithmetic) keeps the
+    //      incremental sums bit-exact against the oracle's replay. ----
+    "mv5_incremental_star_agg" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv5")
+        val orders = Tables.orders(s, dir)
+        val silverAll = orders.select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 1000 + 1).as("price_c"),
+          col("o_orderstatus").as("status"))
+        st.createEmpty("silver", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, price_c BIGINT, status STRING"))
+        st.setChangeFeed("silver", true)
+        st.append("silver", silverAll.filter(col("o_orderkey") % 3 === 0))
+        val sv0 = st.currentVersion("silver")
+        st.create("dcust", Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+        st.setChangeFeed("dcust", true)
+        st.create("dnat", Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name")))
+        st.setChangeFeed("dnat", true)
+        def dims(src: DataFrame): DataFrame = src
+          .join(broadcast(st.read("dcust")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .join(broadcast(st.read("dnat")),
+            col("c_nationkey") === col("n_nationkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"), col("price_c"),
+            col("status"), col("c_name"), col("n_name"))
+        // LEVEL 1: the join view, with ITS OWN change feed for level 2
+        st.createBucketed("fact",
+          dims(st.readVersion("silver", sv0)).withColumn("_live", lit(true)),
+          Seq("o_orderkey"), 8)
+        st.setChangeFeed("fact", true)
+        val fv0 = st.currentVersion("fact")
+        // LEVEL 2: per-nation rollup seeded from the pinned fact state
+        st.createBucketed("agg", st.readVersion("fact", fv0)
+          .filter(col("_live"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_qty")),
+          Seq("n_name"), 4)
+
+        // silver backlog (update + delete + append), then dim renames —
+        // the nation rename MOVES fact rows between level-2 groups
+        st.updateVectorized("silver", col("o_orderkey") % 5 === 0,
+          Map("price_c" -> (col("price_c") + 7L)))
+        st.deleteVectorized("silver", col("o_orderkey") % 7 === 0)
+        st.append("silver", silverAll.filter(col("o_orderkey") % 3 === 1))
+        val sv1 = st.currentVersion("silver")
+        graft.ops.Ivm.applyJoinDelta(st, "fact", "silver", sv0, sv1,
+          keys = Seq("o_orderkey"), enrich = dims, txn = Some(("mv5", 1L)))
+        val cv0 = st.currentVersion("dcust")
+        val nv0 = st.currentVersion("dnat")
+        st.updateVectorized("dcust", col("c_custkey") % 4 === 0,
+          Map("c_name" -> concat(col("c_name"), lit("!"))))
+        st.updateVectorized("dnat", col("n_nationkey") % 2 === 0,
+          Map("n_name" -> concat(col("n_name"), lit("!"))))
+        val affected = st.readChangesBetween("dcust", cv0, st.currentVersion("dcust"))
+          .select(col("c_custkey").as("o_custkey"))
+          .unionByName(st.read("dcust")
+            .join(broadcast(
+              st.readChangesBetween("dnat", nv0, st.currentVersion("dnat"))
+                .select(col("n_nationkey").as("c_nationkey")).distinct()),
+              Seq("c_nationkey"), "left_semi")
+            .select(col("c_custkey").as("o_custkey")))
+        graft.ops.Ivm.applyJoinDelta(st, "fact", "silver", sv1, sv1,
+          keys = Seq("o_orderkey"), enrich = dims,
+          dimAffected = Some((affected, Seq("o_custkey"))),
+          txn = Some(("mv5", 2L)))
+
+        // CASCADE: the fact's own feed drives the rollup. Live-row
+        // filter makes birth/death a clean ±1 (a tombstoning surfaces
+        // as live preimage only) and group moves net through the
+        // pre/postimage pair.
+        graft.ops.Ivm.applyCountSumDelta(st, "agg",
+          st.readChangesBetween("fact", fv0, st.currentVersion("fact"))
+            .filter(col("_live")),
+          groupCols = Seq("n_name"), valueCol = "price_c",
+          txn = Some(("mv5_agg", 1L)))
+        graft.ops.Ivm.compactDead(st, "agg", Seq("n_name"))
+        graft.ops.Ivm.readView(st, "agg")
+          .select(col("n_name"), col("n_rows"), col("sum_qty").as("sum_price_c"))
+      },
       Some("""WITH sil0 AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice AS price,
+             |  SELECT o_orderkey, o_custkey, o_orderkey % 1000 + 1 AS price_c,
              |         o_orderstatus AS status
              |  FROM orders WHERE o_orderkey % 3 = 0),
              |upd AS (
              |  SELECT o_orderkey, o_custkey,
-             |    CASE WHEN o_orderkey % 5 = 0 THEN price + 1000 ELSE price END AS price,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN price_c + 7 ELSE price_c END AS price_c,
              |    status
              |  FROM sil0),
              |del AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0),
              |fin AS (SELECT * FROM del
              |        UNION ALL
-             |        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |        SELECT o_orderkey, o_custkey, o_orderkey % 1000 + 1, o_orderstatus
              |        FROM orders WHERE o_orderkey % 3 = 1),
              |dc AS (SELECT c_custkey,
              |         CASE WHEN c_custkey % 4 = 0 THEN c_name || '!' ELSE c_name END AS c_name,
@@ -1273,10 +1397,12 @@ object QueriesMutation {
              |dn AS (SELECT n_nationkey,
              |         CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS n_name
              |       FROM nation)
-             |SELECT f.o_orderkey, f.o_custkey, f.price, f.status, dc.c_name, dn.n_name
+             |SELECT dn.n_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(f.price_c) AS BIGINT) AS sum_price_c
              |FROM fin f
              |LEFT JOIN dc ON f.o_custkey = dc.c_custkey
-             |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey""".stripMargin)),
+             |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey
+             |GROUP BY 1""".stripMargin)),
 
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE

@@ -136,11 +136,56 @@ object ScaleProbeMutation {
         st.alterColumnType("t", "l_supp_i",
           org.apache.spark.sql.types.LongType)
       }
+      // ---- join-view (mv4) curve: the star view's three cost regimes.
+      //      star_full = the initial full compute (the REBUILD cost the
+      //      incremental path amortizes away — expect ~linear in k);
+      //      star_delta = absorbing a FIXED 10k-row source batch
+      //      (expect ~flat: last-state collapse + broadcast dim join +
+      //      bucket-pruned upsert, never a fact rescan); star_dim = a
+      //      dim-only change touching ~0.1% of foreign keys (rewrite is
+      //      O(affected fact rows); the view-side probe scan is the one
+      //      volume-linear term — FK clustering/z-order would dir-prune
+      //      it, noted in PLANS.md). ----
+      val dimRows = base.select(col("l_suppkey")).distinct()
+        .withColumn("s_attr", concat(lit("a"), col("l_suppkey")))
+      st.create("dim", dimRows)
+      st.setChangeFeed("dim", true)
+      val tCols = Seq("l_orderkey", "l_suppkey", "l_quantity", "l_supp_i")
+      def enrichStar(rows: DataFrame): DataFrame = rows
+        .join(broadcast(st.read("dim")), Seq("l_suppkey"), "left")
+        .select((tCols :+ "s_attr").map(col): _*)
+      val vS0 = st.currentVersion("t")
+      val starFullSec = t {
+        st.createBucketed("v_star",
+          enrichStar(st.readVersion("t", vS0)).withColumn("_live", lit(true)),
+          Seq("l_orderkey"), n = 32)
+      }
+      val batch2 = batch.select(
+        (col("l_orderkey") + lit(950000000000L)).as("l_orderkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_supp_i")).localCheckpoint()
+      st.mergeUpsert("t", batch2, Seq("l_orderkey"))
+      val starDeltaSec = t {
+        graft.ops.Ivm.applyJoinDelta(st, "v_star", "t", vS0,
+          st.currentVersion("t"), Seq("l_orderkey"), enrichStar)
+      }
+      val vS1 = st.currentVersion("t")
+      val dv0 = st.currentVersion("dim")
+      st.update("dim", col("l_suppkey") % 997 === 3,
+        Map("s_attr" -> concat(col("s_attr"), lit("!"))))
+      val affected = st.readChangesBetween("dim", dv0, st.currentVersion("dim"))
+        .select("l_suppkey")
+      val starDimSec = t {
+        graft.ops.Ivm.applyJoinDelta(st, "v_star", "t", vS1, vS1,
+          Seq("l_orderkey"), enrichStar,
+          dimAffected = Some((affected, Seq("l_suppkey"))))
+      }
       println(f"""{"k":$k,"rows":${nBase * k},"merge_sec":$mergeSec%.2f,""" +
         f""""ivm_sec":$ivmSec%.2f,"ivm_max_sec":$ivmMaxSec%.2f,""" +
         f""""delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"replace_sec":$replaceSec%.2f,""" +
-        f""""widen_sec":$widenSec%.2f,"batch":10000}""")
+        f""""widen_sec":$widenSec%.2f,"star_full_sec":$starFullSec%.2f,""" +
+        f""""star_delta_sec":$starDeltaSec%.2f,""" +
+        f""""star_dim_sec":$starDimSec%.2f,"batch":10000}""")
       graft.core.FsUtil.deleteRecursively(new java.io.File(root))
     }
     spark.stop()

@@ -96,6 +96,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Ivm join view converges to the direct join over random source + " +
+      "dim mutation sequences applied in multiple batches") {
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val ts = new TableStore(spark,
+        Files.createTempDirectory(s"prop_jv_$seed").toString)
+      def rows(n: Int, keyBase: Long) = Seq.fill(n)(
+        (keyBase + rnd.nextInt(1000), rnd.nextInt(20).toLong,
+          rnd.nextInt(30).toLong + 1L))
+      ts.create("src", rows(100, 0).distinctBy(_._1).toDF("k", "fk", "qty"))
+      ts.setChangeFeed("src", true)
+      ts.create("dim", (0L until 20L).map(f => (f, s"a$f")).toDF("fk", "attr"))
+      ts.setChangeFeed("dim", true)
+      def enrich(r: org.apache.spark.sql.DataFrame) = r
+        .join(broadcast(ts.read("dim")), Seq("fk"), "left")
+        .select(col("k"), col("fk"), col("qty"), col("attr"))
+      val v0 = ts.currentVersion("src")
+      ts.create("view",
+        enrich(ts.readVersion("src", v0)).withColumn("_live", lit(true)))
+      var lastV = v0
+      for (i <- 1 to 3) {
+        // random source backlog: deletes, FK-moving + value-moving
+        // updates (a key can be hit by several commits in one batch),
+        // fresh-key appends — plus an occasional dim rename
+        for (_ <- 1 to 2) rnd.nextInt(3) match {
+          case 0 => ts.delete("src", col("k") % 5 === rnd.nextInt(5).toLong)
+          case 1 => ts.update("src", col("qty") % 4 === rnd.nextInt(4).toLong,
+            Map("fk" -> ((col("fk") + 3L) % 20L), "qty" -> (col("qty") + 5L)))
+          case 2 => ts.append("src",
+            rows(30, 10000L * i).distinctBy(_._1).toDF("k", "fk", "qty"))
+        }
+        val dv0 = ts.currentVersion("dim")
+        if (rnd.nextBoolean())
+          ts.update("dim", col("fk") % 3 === rnd.nextInt(3).toLong,
+            Map("attr" -> concat(col("attr"), lit("!"))))
+        val vEnd = ts.currentVersion("src")
+        val aff = ts.readChangesBetween("dim", dv0, ts.currentVersion("dim"))
+          .select("fk")
+        graft.ops.Ivm.applyJoinDelta(ts, "view", "src", lastV, vEnd,
+          Seq("k"), enrich, dimAffected = Some((aff, Seq("fk"))))
+        lastV = vEnd
+      }
+      graft.ops.Ivm.compactDeadJoin(ts, "view", Seq("k"))
+      val got = graft.ops.Ivm.readJoinView(ts, "view")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val want = enrich(ts.read("src"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got === want, s"seed=$seed join view diverged")
+    }
+  }
+
   test("mergeUpsert is idempotent and preserves key-uniqueness") {
     for (seed <- 10L to 12L) {
       val store = new TableStore(spark, Files.createTempDirectory("prop").toString)
