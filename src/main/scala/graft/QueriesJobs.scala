@@ -468,6 +468,64 @@ object QueriesJobs {
       },
       Some(s"$SilverFullSql,\n$FactDimsSql\n$FactSelectSql")),
 
+    // ---- THE GOLD STAR, INCREMENTALLY MAINTAINED (r11 VERDICT #1's
+    //      endgame): the same fact job_fact_star REBUILDS — the
+    //      reference's central artifact (Gold/fact/
+    //      validate_fact_transactions.py:152-224) — maintained by
+    //      delta-join algebra on the REAL payment fixture. Day 1 loads
+    //      the silver with pre-CDC values for the MERGE-class
+    //      transactions; day 2 is the CDC batch (exactly the rows the
+    //      reference's MERGE touches), applied as one mergeUpsert
+    //      whose change feed drives Ivm.applyJoinDelta: final states
+    //      re-enrich through the 5 broadcast dims (pinned, as
+    //      factStar builds them) and upsert by transaction_id — the
+    //      unchanged fact region is never read or rewritten, and
+    //      factStar's MERCH_9% exclusion rides the filtered-enrich
+    //      contract (a row updated out of the view tombstones). The
+    //      oracle is job_fact_star's own — the converged view and the
+    //      rebuild must be digest-EQUAL (the m20/sql_replace_where
+    //      same-result pinning pattern). ----
+    "job_fact_star_incremental" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "fact_incr")
+        val staging = PaymentJobs.bronzeStaging(
+          PaymentData.transactions(s, dir)).cache()
+        val silverAll = stampedSilver(staging).cache()
+        val cdc = expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)") % 50 === 0
+        // day-1 silver: final values for LOAD-class ids, BASE-version
+        // values for the MERGE-class ids (their CDC rows haven't
+        // arrived). The base recompute is semi-joined to the final id
+        // set so a validation-boundary id can't leak a fact row the
+        // replayed oracle never sees.
+        val silverBase = stampedSilver(
+            staging.filter(col("updated_at") === col("transaction_timestamp")))
+          .join(silverAll.select("transaction_id"), Seq("transaction_id"), "left_semi")
+        val load1 = silverAll.filter(!cdc).unionByName(silverBase.filter(cdc))
+        val load2 = silverAll.filter(cdc) // the CDC merge batch
+        st.createBucketed("silver", load1, Seq("transaction_id"), n = 16)
+        st.setChangeFeed("silver", true)
+        val v0 = st.currentVersion("silver")
+        // dims pinned at their current build (broadcast-small), exactly
+        // the frames fullFact hands factStar
+        val dimC = PaymentJobs.dimCustomerCurrent(silverAll).cache()
+        val dimM = PaymentJobs.dimMerchantCurrent(silverAll).cache()
+        val dimPm = PaymentJobs.dimPaymentMethod(silverAll).cache()
+        val dimSt = PaymentJobs.dimStatus(silverAll).cache()
+        val dimDate = DateSpine.dimDate(s, "1995-01-01", "2002-12-31")
+        def enrich(df: DataFrame): DataFrame =
+          PaymentJobs.factStar(df, dimC, dimM, dimPm, dimSt, dimDate)
+        st.createBucketed("fact",
+          enrich(st.readVersion("silver", v0)).withColumn("_live", lit(true)),
+          Seq("transaction_id"), n = 16)
+        st.mergeUpsert("silver", load2, Seq("transaction_id"),
+          changeTypeCol = None)
+        graft.ops.Ivm.applyJoinDelta(st, "fact", "silver", v0,
+          st.currentVersion("silver"), Seq("transaction_id"), enrich,
+          txn = Some(("fact_incr", 1L)))
+        graft.ops.Ivm.readJoinView(st, "fact")
+      },
+      Some(s"$SilverFullSql,\n$FactDimsSql\n$FactSelectSql")),
+
     // ---- gold_dim_merchant_scd2: W4 attribute pick -> SCD2 step with
     //      the reference's effective_start_date < today close guard ----
     // (dim seeded from the pre-CDC snapshot minus the MERCH_04% band so

@@ -225,8 +225,13 @@ object Ivm {
     *
     * Contract: the view's schema = source columns ++ dim-attribute
     * columns ++ `_live BOOLEAN`, and `enrich` maps a source-shaped
-    * frame to the view's columns minus `_live`. [[readJoinView]] is
-    * the consumer face; [[compactDeadJoin]] sweeps tombstones.
+    * frame to the view's columns minus `_live`. `enrich` MAY FILTER
+    * (a view predicate like the gold fact's merchant exclusion): a
+    * source row whose final state falls outside the predicate
+    * tombstones — including a row UPDATED out of the view — and a row
+    * updated INTO the predicate appears; the view converges to
+    * enrich(source) exactly. [[readJoinView]] is the consumer face;
+    * [[compactDeadJoin]] sweeps tombstones.
     *
     * The driver-visible face is `mv4_incremental_star`
     * (QueriesMutation), maintaining orders × customer × nation — the
@@ -260,25 +265,38 @@ object Ivm {
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint() // reused: live term, tombstones, dim-term anti-join
     val touchedKeys = last.select(keyCols: _*)
-    val liveRows = enrich(
-        last.filter(col("_change_type") =!= "delete")
-          .select(srcCols.map(col): _*))
-      .withColumn("_live", lit(true))
-    val tombstones = last.filter(col("_change_type") === "delete")
+    val liveFinals = last.filter(col("_change_type") =!= "delete")
+      .select(srcCols.map(col): _*)
+    // pin: reused by the filtered-out anti-join below AND re-read by
+    // mergeUpsert's uniqueness gate + join
+    val liveRows = enrich(liveFinals).withColumn("_live", lit(true))
+      .localCheckpoint()
+    def tombstoneShape(keysDf: DataFrame): DataFrame = keysDf
       .select(viewSchema.fields.map(f =>
         if (keys.contains(f.name)) col(f.name)
         else if (f.name == "_live") lit(false).as("_live")
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    // deletes tombstone; so do live finals enrich FILTERED out (a row
+    // updated outside the view predicate must leave the view)
+    val tombstones = tombstoneShape(
+      last.filter(col("_change_type") === "delete").select(keyCols: _*)
+        .unionByName(liveFinals.select(keyCols: _*)
+          .join(liveRows.select(keyCols: _*), keys, "left_anti")))
 
-    // ---- dim term: re-enrich live view rows whose FK changed ----
+    // ---- dim term: re-enrich live view rows whose FK changed (with
+    //      the same filtered-out tombstoning — a dim change can move a
+    //      row outside a dim-attribute view predicate) ----
     val dimRows = dimAffected.map { case (fkKeys, fkCols) =>
-      enrich(
-        st.read(view).filter(col("_live"))
-          .join(broadcast(fkKeys.select(fkCols.map(col): _*).distinct()),
-            fkCols, "left_semi")
-          .join(touchedKeys, keys, "left_anti")
-          .select(srcCols.map(col): _*))
-        .withColumn("_live", lit(true))
+      val affectedSrc = st.read(view).filter(col("_live"))
+        .join(broadcast(fkKeys.select(fkCols.map(col): _*).distinct()),
+          fkCols, "left_semi")
+        .join(touchedKeys, keys, "left_anti")
+        .select(srcCols.map(col): _*)
+        .localCheckpoint()
+      val re = enrich(affectedSrc).withColumn("_live", lit(true))
+        .localCheckpoint()
+      re.unionByName(tombstoneShape(affectedSrc.select(keyCols: _*)
+        .join(re.select(keyCols: _*), keys, "left_anti")))
     }
 
     val out = dimRows.foldLeft(liveRows.unionByName(tombstones))(_ unionByName _)

@@ -635,4 +635,69 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(face === direct)
   }
+
+  test("Ivm join view with a FILTERING enrich: rows updated out of the " +
+      "view predicate tombstone, rows updated in appear") {
+    val ts = freshStore()
+    ts.create("src", Seq((1L, "a", 10L), (2L, "x", 20L), (3L, "a", 30L))
+      .toDF("k", "cat", "qty"))                                  // v0
+    ts.setChangeFeed("src", true)                                // v1
+    val v0 = ts.currentVersion("src")
+    // the view excludes cat='x' (the gold fact's MERCH_9% shape)
+    def enrich(rows: org.apache.spark.sql.DataFrame) =
+      rows.filter(col("cat") =!= "x")
+    ts.create("view", enrich(ts.readVersion("src", v0))
+      .withColumn("_live", lit(true)))
+    ts.update("src", col("k") === 1L, Map("cat" -> lit("x"))) // leaves the view
+    ts.update("src", col("k") === 2L, Map("cat" -> lit("b"))) // enters the view
+    ts.delete("src", col("k") === 3L)
+    graft.ops.Ivm.applyJoinDelta(ts, "view", "src", v0,
+      ts.currentVersion("src"), Seq("k"), enrich)
+    val face = graft.ops.Ivm.readJoinView(ts, "view")
+      .as[(Long, String, Long)].collect().toSet
+    assert(face === Set((2L, "b", 20L)), face.toString)
+    // k=1 (filtered out) and k=3 (deleted) are both tombstones
+    assert(ts.read("view").filter(!col("_live")).select("k")
+      .as[Long].collect().toSet === Set(1L, 3L))
+    assert(face === enrich(ts.read("src")).drop("_live")
+      .as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("Ivm join view under an SCD2 dim close: affected facts re-enrich " +
+      "to the new current attributes without a fact rescan") {
+    val ts = freshStore()
+    ts.create("src", Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+      .toDF("k", "fk", "qty"))
+    ts.setChangeFeed("src", true)
+    val v0 = ts.currentVersion("src")
+    // SCD2-shaped dim: (fk, attr, is_current); the view joins the
+    // CURRENT row only
+    ts.create("dim", Seq((10L, "v1", true), (20L, "w1", true))
+      .toDF("fk", "attr", "is_current"))
+    ts.setChangeFeed("dim", true)
+    def enrich(rows: org.apache.spark.sql.DataFrame) = rows
+      .join(broadcast(ts.read("dim").filter(col("is_current"))),
+        Seq("fk"), "left")
+      .select(col("k"), col("fk"), col("qty"), col("attr"))
+    ts.create("view", enrich(ts.readVersion("src", v0))
+      .withColumn("_live", lit(true)))
+    // the SCD2 close: today's attribute supersedes — old row closes,
+    // new current row inserts (two commits, one logical change)
+    val dv0 = ts.currentVersion("dim")
+    ts.update("dim", col("fk") === 10L && col("attr") === "v1",
+      Map("is_current" -> lit(false)))
+    ts.append("dim", Seq((10L, "v2", true)).toDF("fk", "attr", "is_current"))
+    val affected = ts.readChangesBetween("dim", dv0, ts.currentVersion("dim"))
+      .select("fk")
+    // NO source changes: the apply's source feed is empty; only the
+    // dim term runs, probing the view for fk=10 rows
+    graft.ops.Ivm.applyJoinDelta(ts, "view", "src", v0, v0,
+      Seq("k"), enrich, dimAffected = Some((affected, Seq("fk"))))
+    val face = graft.ops.Ivm.readJoinView(ts, "view")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(face === Set((1L, 10L, 100L, "v2"), (2L, 10L, 200L, "v2"),
+      (3L, 20L, 300L, "w1")), face.toString)
+    assert(face === enrich(ts.read("src"))
+      .as[(Long, Long, Long, String)].collect().toSet)
+  }
 }
