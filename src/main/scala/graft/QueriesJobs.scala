@@ -160,6 +160,41 @@ object QueriesJobs {
   private[graft] val RetiredRowSparkSql: String = retiredRowSql("TIMESTAMP_NTZ")
   private val RetiredRowDuckSql: String = retiredRowSql("TIMESTAMP")
 
+  /** job_fact_star's oracle — shared verbatim by the incremental and
+    * streaming maintenance twins, whose converged views must be
+    * digest-EQUAL to the rebuild. */
+  private[graft] val FactStarOracleSql: String =
+    s"$SilverFullSql,\n$FactDimsSql\n$FactSelectSql"
+
+  /** The star's enrich face over PINNED dims (the frames fullFact hands
+    * factStar, built once from the full silver and broadcast at every
+    * use) — shared by job_fact_star_incremental and
+    * st20_stream_star_maintenance. */
+  private[graft] def starEnrich(s: SparkSession, silverAll: DataFrame)
+      : DataFrame => DataFrame = {
+    val dimC = PaymentJobs.dimCustomerCurrent(silverAll).cache()
+    val dimM = PaymentJobs.dimMerchantCurrent(silverAll).cache()
+    val dimPm = PaymentJobs.dimPaymentMethod(silverAll).cache()
+    val dimSt = PaymentJobs.dimStatus(silverAll).cache()
+    val dimDate = DateSpine.dimDate(s, "1995-01-01", "2002-12-31")
+    df => PaymentJobs.factStar(df, dimC, dimM, dimPm, dimSt, dimDate)
+  }
+
+  /** The two-day silver split the maintenance twins load: day 1 = final
+    * values for the LOAD-class ids + BASE-version values for the
+    * MERGE-class ids (their CDC rows haven't arrived; semi-joined to
+    * the final id set so a validation-boundary id can't leak a fact
+    * row the replayed oracle never sees); day 2 = the CDC merge batch. */
+  private[graft] def starLoads(staging: DataFrame, silverAll: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val cdc = expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)") % 50 === 0
+    val silverBase = stampedSilver(
+        staging.filter(col("updated_at") === col("transaction_timestamp")))
+      .join(silverAll.select("transaction_id"), Seq("transaction_id"), "left_semi")
+    (silverAll.filter(!cdc).unionByName(silverBase.filter(cdc)),
+      silverAll.filter(cdc))
+  }
+
   /** The fact star at full width over a 21-col silver. */
   private[graft] def fullFact(s: SparkSession, silver: DataFrame): DataFrame =
     PaymentJobs.factStar(silver,
@@ -491,29 +526,11 @@ object QueriesJobs {
         val staging = PaymentJobs.bronzeStaging(
           PaymentData.transactions(s, dir)).cache()
         val silverAll = stampedSilver(staging).cache()
-        val cdc = expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)") % 50 === 0
-        // day-1 silver: final values for LOAD-class ids, BASE-version
-        // values for the MERGE-class ids (their CDC rows haven't
-        // arrived). The base recompute is semi-joined to the final id
-        // set so a validation-boundary id can't leak a fact row the
-        // replayed oracle never sees.
-        val silverBase = stampedSilver(
-            staging.filter(col("updated_at") === col("transaction_timestamp")))
-          .join(silverAll.select("transaction_id"), Seq("transaction_id"), "left_semi")
-        val load1 = silverAll.filter(!cdc).unionByName(silverBase.filter(cdc))
-        val load2 = silverAll.filter(cdc) // the CDC merge batch
+        val (load1, load2) = starLoads(staging, silverAll)
         st.createBucketed("silver", load1, Seq("transaction_id"), n = 16)
         st.setChangeFeed("silver", true)
         val v0 = st.currentVersion("silver")
-        // dims pinned at their current build (broadcast-small), exactly
-        // the frames fullFact hands factStar
-        val dimC = PaymentJobs.dimCustomerCurrent(silverAll).cache()
-        val dimM = PaymentJobs.dimMerchantCurrent(silverAll).cache()
-        val dimPm = PaymentJobs.dimPaymentMethod(silverAll).cache()
-        val dimSt = PaymentJobs.dimStatus(silverAll).cache()
-        val dimDate = DateSpine.dimDate(s, "1995-01-01", "2002-12-31")
-        def enrich(df: DataFrame): DataFrame =
-          PaymentJobs.factStar(df, dimC, dimM, dimPm, dimSt, dimDate)
+        val enrich = starEnrich(s, silverAll)
         st.createBucketed("fact",
           enrich(st.readVersion("silver", v0)).withColumn("_live", lit(true)),
           Seq("transaction_id"), n = 16)
@@ -524,7 +541,7 @@ object QueriesJobs {
           txn = Some(("fact_incr", 1L)))
         graft.ops.Ivm.readJoinView(st, "fact")
       },
-      Some(s"$SilverFullSql,\n$FactDimsSql\n$FactSelectSql")),
+      Some(FactStarOracleSql)),
 
     // ---- gold_dim_merchant_scd2: W4 attribute pick -> SCD2 step with
     //      the reference's effective_start_date < today close guard ----

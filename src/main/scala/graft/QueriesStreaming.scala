@@ -294,6 +294,59 @@ object QueriesStreaming {
       },
       Some(QueriesMutation.ivmOracle(QueriesMutation.IvmCountSumAgg))),
 
+    // ---- st20: THE GOLD STAR AS A CONTINUOUSLY-MAINTAINED VIEW — the
+    //      streaming face of job_fact_star_incremental: the silver
+    //      table's `.changes` stream drives Ivm.applyJoinDeltaFeed
+    //      batch-by-batch through foreachBatch, txn = (app, batchId)
+    //      for exactly-once under re-delivery. The CDC batch lands as
+    //      TWO merge commits drained at one version per trigger, so
+    //      the maintenance provably composes across micro-batches; the
+    //      converged view is checked against job_fact_star's OWN
+    //      oracle (digest-equal to the rebuild). This is the
+    //      reference's nightly fact rebuild re-expressed as a standing
+    //      stream over the change feed — at 100 TB the refresh cost is
+    //      O(each CDC batch), never O(silver) or O(fact). ----
+    "st20_stream_star_maintenance" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st20_star"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val staging = graft.jobs.PaymentJobs.bronzeStaging(
+          graft.jobs.PaymentData.transactions(s, dir)).cache()
+        val silverAll = QueriesJobs.stampedSilver(staging).cache()
+        val (load1, load2) = QueriesJobs.starLoads(staging, silverAll)
+        st.createBucketed("silver", load1, Seq("transaction_id"), n = 16)
+        st.setChangeFeed("silver", true)
+        val v0 = st.currentVersion("silver")
+        val enrich = QueriesJobs.starEnrich(s, silverAll)
+        st.createBucketed("fact",
+          enrich(st.readVersion("silver", v0)).withColumn("_live", lit(true)),
+          Seq("transaction_id"), n = 16)
+        // the CDC batch arrives as two commits -> two micro-batches
+        val idNum = expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)")
+        st.mergeUpsert("silver", load2.filter(idNum % 100 === 0),
+          Seq("transaction_id"), changeTypeCol = None)
+        st.mergeUpsert("silver", load2.filter(idNum % 100 =!= 0),
+          Seq("transaction_id"), changeTypeCol = None)
+        s.conf.set("spark.sql.catalog.graft_st20", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st20.root", root)
+        val q = s.readStream
+          .option("startVersion", v0.toString) // EXCLUSIVE: (v0, head]
+          .option("maxVersionsPerTrigger", "1")
+          .table("graft_st20.silver.changes")
+          .writeStream.option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.ops.Ivm.applyJoinDeltaFeed(st, "fact", batch,
+              Seq("transaction_id"), enrich, txn = Some(("st20", batchId)))
+          }
+          .start()
+        q.awaitTermination()
+        graft.ops.Ivm.readJoinView(st, "fact")
+      },
+      Some(QueriesJobs.FactStarOracleSql)),
+
     "st17_stream_static_join" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger

@@ -3796,10 +3796,20 @@ class TableStore(spark: SparkSession, root: String) {
       else Using.resource(Files.list(p))(_.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(_.toString).toSeq.sorted)
+    // recorded `_cdf` kind dirs nest ONE extra level on bucketed tables
+    // (`__cdc=<kind>/__b=<n>/part-*.parquet` — the CDC write partitions
+    // by kind AND bucket); a flat listing silently read ZERO change
+    // files for every row-level commit on a bucketed CDF table through
+    // the SQL/stream `.changes` surface (found by st20, r12)
+    def filesUnderRecursive(p: Path): Seq[String] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else Using.resource(Files.walk(p))(_.iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted)
     changeSources(name, fromVersion, toVersion).flatMap {
       case RecordedChanges(cdfDir, kinds, v, _) =>
         kinds.map(k =>
-          (filesUnder(cdfDir.resolve(s"__cdc=$k")),
+          (filesUnderRecursive(cdfDir.resolve(s"__cdc=$k")),
             Map.empty[String, (String, Seq[String])], k, v, Map.empty[String, Long]))
       case SynthesizedChanges(m, dirs, kind, v) =>
         val files = dirs.flatMap(d => filesUnder(dataRoot(name).resolve(d)))

@@ -223,9 +223,13 @@ object Ivm {
     * short-circuits the recompute and is the correctness guard once
     * batches are cut against a moving source.
     *
-    * Contract: the view's schema = source columns ++ dim-attribute
-    * columns ++ `_live BOOLEAN`, and `enrich` maps a source-shaped
-    * frame to the view's columns minus `_live`. `enrich` MAY FILTER
+    * Contract: `enrich` maps a source-shaped frame to the view's
+    * columns minus `_live` (a BOOLEAN the view must carry). `enrich`
+    * MAY PROJECT — drop or remap source columns, like the gold fact
+    * mapping natural keys to surrogate keys — as long as the view
+    * still carries the source KEY columns; the dim term additionally
+    * requires the view to carry ALL source columns (it re-derives
+    * source-shaped rows from the view). `enrich` MAY FILTER
     * (a view predicate like the gold fact's merchant exclusion): a
     * source row whose final state falls outside the predicate
     * tombstones — including a row UPDATED out of the view — and a row
@@ -243,17 +247,35 @@ object Ivm {
                      keys: Seq[String],
                      enrich: DataFrame => DataFrame,
                      dimAffected: Option[(DataFrame, Seq[String])] = None,
-                     txn: Option[(String, Long)] = None): Unit = {
+                     txn: Option[(String, Long)] = None): Unit =
+    applyJoinDeltaFeed(st, view,
+      st.readChangesBetween(srcName, fromVersion, toVersion), keys, enrich,
+      dimAffected, txn)
+
+  /** [[applyJoinDelta]] over an ALREADY-READ feed frame (columns: the
+    * source's columns + `_change_type` + `_commit_version`) — the face
+    * a streaming driver uses: foreachBatch over the source's
+    * `.changes` stream hands each micro-batch here with
+    * `txn = (app, batchId)` (st20_stream_star_maintenance). */
+  def applyJoinDeltaFeed(st: TableStore, view: String, feed: DataFrame,
+                         keys: Seq[String],
+                         enrich: DataFrame => DataFrame,
+                         dimAffected: Option[(DataFrame, Seq[String])] = None,
+                         txn: Option[(String, Long)] = None): Unit = {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
     val viewSchema = st.read(view).schema
     require(viewSchema.fieldNames.contains("_live"),
       s"applyJoinDelta: $view lacks the _live tombstone column")
-    val srcCols = st.read(srcName).schema.fieldNames.toSeq
+    // the source's columns are the feed's data columns — NOT derived
+    // from the view: a projecting enrich (factStar maps natural keys to
+    // surrogate keys) legitimately drops source columns from the view
+    val srcCols = feed.columns.toSeq
+      .filterNot(Set("_change_type", "_commit_version", "_row_id"))
     val keyCols = keys.map(col)
 
     // ---- source term: collapse the backlog to last-state-per-key ----
-    val finals = st.readChangesBetween(srcName, fromVersion, toVersion)
+    val finals = feed
       .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
     // within one commit a delete+reinsert of the same key (replaceWhere
     // shape) nets to the reinsert: deletes sort after non-deletes at
@@ -287,6 +309,14 @@ object Ivm {
     //      the same filtered-out tombstoning — a dim change can move a
     //      row outside a dim-attribute view predicate) ----
     val dimRows = dimAffected.map { case (fkKeys, fkCols) =>
+      // the dim term re-derives source-shaped rows FROM THE VIEW, so it
+      // needs the view to carry every source column (mv4/mv5 do; a
+      // projecting enrich like factStar can't use this term — its dims
+      // are pinned per apply instead)
+      require(srcCols.forall(viewSchema.fieldNames.contains),
+        s"applyJoinDelta($view): dimAffected requires the view to carry " +
+          "all source columns; missing: " +
+          srcCols.filterNot(viewSchema.fieldNames.contains).mkString(","))
       val affectedSrc = st.read(view).filter(col("_live"))
         .join(broadcast(fkKeys.select(fkCols.map(col): _*).distinct()),
           fkCols, "left_semi")
