@@ -1404,6 +1404,90 @@ object QueriesMutation {
              |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey
              |GROUP BY 1""".stripMargin)),
 
+    // ---- mv6: SYMMETRIC two-big-sided delta join — the IVM class
+    //      beyond the star: view = A ⋈ B where NEITHER side is
+    //      broadcast-small (orders × events by customer — the
+    //      "transactions × user activity" join), maintained by the
+    //      full algebra ΔV = ΔA ⋈ B ∪ (A − ΔA) ⋈ ΔB with the
+    //      superseded-pair rule sweeping every retraction: row
+    //      deletes, JOIN-KEY MOVES on BOTH sides (an order moved to
+    //      another customer kills its old pairs and mints the new
+    //      ones), and partner loss, all in one commit. Cost is
+    //      O(Δ ⋈ partners + touched pairs), never |A ⋈ B|. Oracle:
+    //      replay both sides, inner-join the final states. ----
+    "mv6_incremental_join2" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv6")
+        val ordersAll = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice").as("price"))
+        val eventsAll = Tables.events(s, dir).select(col("event_id"),
+          col("user_id"), col("event_type"))
+        st.createEmpty("ta", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE"))
+        st.setChangeFeed("ta", true)
+        st.append("ta", ordersAll.filter(col("o_orderkey") % 3 === 0))
+        val a0 = st.currentVersion("ta")
+        st.createEmpty("tb", org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING"))
+        st.setChangeFeed("tb", true)
+        st.append("tb", eventsAll.filter(col("event_id") % 2 === 0))
+        val b0 = st.currentVersion("tb")
+        def combine(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b, col("o_custkey") === col("user_id"))
+            .select(col("o_orderkey"), col("event_id"), col("o_custkey"),
+              col("price"), col("event_type"))
+        st.createBucketed("pairs",
+          combine(st.readVersion("ta", a0), st.readVersion("tb", b0))
+            .withColumn("_live", lit(true)),
+          Seq("o_orderkey"), 8)
+        // A backlog: a JOIN-KEY MOVE, a value update, a delete, an append
+        st.updateVectorized("ta", col("o_orderkey") % 11 === 0,
+          Map("o_custkey" -> (col("o_custkey") % 500 + 1)))
+        st.updateVectorized("ta", col("o_orderkey") % 5 === 0,
+          Map("price" -> (col("price") + 1000d)))
+        st.deleteVectorized("ta", col("o_orderkey") % 7 === 0)
+        st.append("ta", ordersAll.filter(col("o_orderkey") % 3 === 1))
+        // B backlog: a join-key move, a delete, an append
+        st.updateVectorized("tb", col("event_id") % 9 === 0,
+          Map("user_id" -> (col("user_id") % 500 + 1)))
+        st.deleteVectorized("tb", col("event_id") % 5 === 0)
+        st.append("tb", eventsAll.filter(col("event_id") % 2 === 1))
+        graft.ops.Ivm.applyTwoSidedJoinDelta(st, "pairs",
+          "ta", a0, st.currentVersion("ta"), Seq("o_orderkey"),
+          "tb", b0, st.currentVersion("tb"), Seq("event_id"),
+          combine, txn = Some(("mv6", 1L)))
+        graft.ops.Ivm.compactDeadJoin(st, "pairs",
+          Seq("o_orderkey", "event_id"))
+        graft.ops.Ivm.readJoinView(st, "pairs")
+      },
+      Some("""WITH a0 AS (SELECT o_orderkey, o_custkey, o_totalprice AS price
+             |            FROM orders WHERE o_orderkey % 3 = 0),
+             |a1 AS (SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 11 = 0 THEN o_custkey % 500 + 1
+             |              ELSE o_custkey END AS o_custkey,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN price + 1000
+             |              ELSE price END AS price
+             |       FROM a0),
+             |a2 AS (SELECT * FROM a1 WHERE o_orderkey % 7 <> 0),
+             |af AS (SELECT * FROM a2
+             |       UNION ALL
+             |       SELECT o_orderkey, o_custkey, o_totalprice
+             |       FROM orders WHERE o_orderkey % 3 = 1),
+             |b0 AS (SELECT event_id, user_id, event_type
+             |       FROM events WHERE event_id % 2 = 0),
+             |b1 AS (SELECT event_id,
+             |         CASE WHEN event_id % 9 = 0 THEN user_id % 500 + 1
+             |              ELSE user_id END AS user_id,
+             |         event_type
+             |       FROM b0),
+             |b2 AS (SELECT * FROM b1 WHERE event_id % 5 <> 0),
+             |bf AS (SELECT * FROM b2
+             |       UNION ALL
+             |       SELECT event_id, user_id, event_type
+             |       FROM events WHERE event_id % 2 = 1)
+             |SELECT a.o_orderkey, b.event_id, a.o_custkey, a.price, b.event_type
+             |FROM af a JOIN bf b ON a.o_custkey = b.user_id""".stripMargin)),
+
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE
     //      merge-on-read mutation — so "which load did this row come

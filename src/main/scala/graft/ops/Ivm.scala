@@ -275,17 +275,7 @@ object Ivm {
     val keyCols = keys.map(col)
 
     // ---- source term: collapse the backlog to last-state-per-key ----
-    val finals = feed
-      .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
-    // within one commit a delete+reinsert of the same key (replaceWhere
-    // shape) nets to the reinsert: deletes sort after non-deletes at
-    // equal version
-    val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("_commit_version").desc,
-        when(col("_change_type") === "delete", 1).otherwise(0).asc)
-    val last = finals.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint() // reused: live term, tombstones, dim-term anti-join
+    val last = lastStatePerKey(feed, keys)
     val touchedKeys = last.select(keyCols: _*)
     val liveFinals = last.filter(col("_change_type") =!= "delete")
       .select(srcCols.map(col): _*)
@@ -335,9 +325,100 @@ object Ivm {
     st.mergeUpsert(view, out, keys, changeTypeCol = None, txn = txn)
   }
 
+  /** Collapse a change-feed backlog to its LAST state per key: the
+    * final-kind rows (insert/update_postimage/delete) ranked by commit
+    * version; within one commit a delete+reinsert of the same key
+    * (replaceWhere shape) nets to the reinsert — deletes sort after
+    * non-deletes at equal version. Checkpointed: every caller reads it
+    * several times (live term, tombstones, anti-joins). */
+  private def lastStatePerKey(feed: DataFrame, keys: Seq[String]): DataFrame = {
+    val finals = feed
+      .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "delete", 1).otherwise(0).asc)
+    finals.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
+  }
+
   /** The consumer face of a maintained join view: live rows only. */
   def readJoinView(st: TableStore, view: String): DataFrame =
     st.read(view).filter(col("_live")).drop("_live")
+
+  /** SYMMETRIC delta-join maintenance — view = A ⋈ B where BOTH sides
+    * are fact-sized (neither broadcastable): the full algebra
+    * ΔV = ΔA ⋈ B ∪ (A − ΔA) ⋈ ΔB, with the superseded-pair rule
+    * closing every retraction case in one sweep. A is unique on
+    * `aKeys`, B on `bKeys`; the view is keyed (aKeys ++ bKeys), one
+    * row per joined pair, plus `_live`.
+    *
+    *   - **A term**: ΔA's live finals joined (by the caller's
+    *     `combine`, an INNER join on the join condition) against B at
+    *     its end version. ΔA is batch-sized, so Catalyst broadcasts it
+    *     and B is never shuffled; with B bucketed/clustered on the
+    *     join key the store's pruning cuts the probe to matching dirs.
+    *   - **B term**: symmetric, against A-minus-ΔA (the anti-join
+    *     removes pairs the A term already produced — both terms see
+    *     the other side's END state, so the overlap would collide on
+    *     the merge's uniqueness gate, not diverge).
+    *   - **Superseded pairs**: for every TOUCHED key (changed,
+    *     deleted, or join-key-moved on either side), ALL of the
+    *     view's live pairs carrying that key are superseded by the
+    *     terms' output; any not re-produced tombstones. This one rule
+    *     covers row deletion, JOIN-KEY MOVES (the old partners'
+    *     pairs die, the new partners' pairs appear), and partner
+    *     loss — no per-case logic.
+    *
+    * One txn-stampable mergeUpsert commit; cost is O(Δ ⋈ partners +
+    * view pairs with touched keys), never |A ⋈ B|. The driver face is
+    * `mv6_incremental_join2` (orders × events by customer, with
+    * join-key moves on both sides). */
+  def applyTwoSidedJoinDelta(st: TableStore, view: String,
+                             aName: String, aFrom: Long, aTo: Long,
+                             aKeys: Seq[String],
+                             bName: String, bFrom: Long, bTo: Long,
+                             bKeys: Seq[String],
+                             combine: (DataFrame, DataFrame) => DataFrame,
+                             txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val viewSchema = st.read(view).schema
+    val viewKeys = aKeys ++ bKeys
+    require(viewSchema.fieldNames.contains("_live"),
+      s"applyTwoSidedJoinDelta: $view lacks the _live tombstone column")
+    require(viewKeys.forall(viewSchema.fieldNames.contains),
+      s"applyTwoSidedJoinDelta: $view must carry both sides' keys")
+    val aLast = lastStatePerKey(st.readChangesBetween(aName, aFrom, aTo), aKeys)
+    val bLast = lastStatePerKey(st.readChangesBetween(bName, bFrom, bTo), bKeys)
+    if (aLast.isEmpty && bLast.isEmpty) return
+    val aMeta = Seq("_change_type", "_commit_version")
+    val aLive = aLast.filter(col("_change_type") =!= "delete").drop(aMeta: _*)
+    val bLive = bLast.filter(col("_change_type") =!= "delete").drop(aMeta: _*)
+    val aTouched = aLast.select(aKeys.map(col): _*)
+    val bTouched = bLast.select(bKeys.map(col): _*)
+    val termA = combine(aLive, st.readVersion(bName, bTo))
+    val termB = combine(
+      st.readVersion(aName, aTo).join(aTouched, aKeys, "left_anti"), bLive)
+    val live = termA.unionByName(termB)
+      .withColumn("_live", lit(true)).localCheckpoint()
+    // superseded pairs: touched-key live pairs not re-produced die
+    val viewLive = st.read(view).filter(col("_live"))
+    val touchedPairs = viewLive
+      .join(broadcast(aTouched), aKeys, "left_semi")
+      .select(viewKeys.map(col): _*)
+      .unionByName(viewLive.join(broadcast(bTouched), bKeys, "left_semi")
+        .select(viewKeys.map(col): _*))
+      .distinct()
+    val dead = touchedPairs
+      .join(live.select(viewKeys.map(col): _*), viewKeys, "left_anti")
+      .select(viewSchema.fields.map(f =>
+        if (viewKeys.contains(f.name)) col(f.name)
+        else if (f.name == "_live") lit(false).as("_live")
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    st.mergeUpsert(view, live.unionByName(dead).localCheckpoint(),
+      viewKeys, changeTypeCol = None, txn = txn)
+  }
 
   /** Conflict-safe tombstone sweep: the dead set is computed from a
     * PINNED read of the view, and the delete refuses (loudly, via

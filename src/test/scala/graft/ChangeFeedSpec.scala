@@ -663,6 +663,61 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet)
   }
 
+  test("Ivm two-sided join view: join-key moves, deletes, and appends on " +
+      "BOTH sides converge; superseded pairs die") {
+    val ts = freshStore()
+    // A (ka, j, av); B (kb, j, bv); view = A ⋈ B on j, keyed (ka, kb)
+    ts.create("ta", Seq((1L, 10L, "a1"), (2L, 10L, "a2"), (3L, 20L, "a3"))
+      .toDF("ka", "j", "av"))
+    ts.setChangeFeed("ta", true)
+    val a0 = ts.currentVersion("ta")
+    ts.create("tb", Seq((100L, 10L, "b1"), (200L, 20L, "b2"), (300L, 30L, "b3"))
+      .toDF("kb", "j", "bv"))
+    ts.setChangeFeed("tb", true)
+    val b0 = ts.currentVersion("tb")
+    def combine(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =
+      a.join(b.select(col("kb"), col("j").as("bj"), col("bv")),
+          col("j") === col("bj"))
+        .select(col("ka"), col("kb"), col("j"), col("av"), col("bv"))
+    ts.create("pairs", combine(ts.readVersion("ta", a0), ts.readVersion("tb", b0))
+      .withColumn("_live", lit(true)))
+    // seed pairs: (1,100) (2,100) (3,200)
+    assert(ts.read("pairs").count() === 3)
+    // A: ka=1 MOVES j 10→30 (old pair dies, gains partner 300);
+    //    ka=2 deleted; ka=4 appended at j=20
+    ts.update("ta", col("ka") === 1L, Map("j" -> lit(30L)))
+    ts.delete("ta", col("ka") === 2L)
+    ts.append("ta", Seq((4L, 20L, "a4")).toDF("ka", "j", "av"))
+    // B: kb=200 MOVES j 20→10 (loses 3, would gain nobody at 10 —
+    //    ka=1 left, ka=2 died); kb=400 appended at j=30
+    ts.update("tb", col("kb") === 200L, Map("j" -> lit(10L)))
+    ts.append("tb", Seq((400L, 30L, "b4")).toDF("kb", "j", "bv"))
+    graft.ops.Ivm.applyTwoSidedJoinDelta(ts, "pairs",
+      "ta", a0, ts.currentVersion("ta"), Seq("ka"),
+      "tb", b0, ts.currentVersion("tb"), Seq("kb"),
+      combine, txn = Some(("j2", 1L)))
+    val face = graft.ops.Ivm.readJoinView(ts, "pairs")
+      .select("ka", "kb").as[(Long, Long)].collect().toSet
+    // final: ka=1@30 ⋈ {300,400}; ka=3@20 ⋈ {} (200 moved away);
+    //        ka=4@20 ⋈ {}; kb=200@10 ⋈ {} (no A rows left at 10)
+    assert(face === Set((1L, 300L), (1L, 400L)), face.toString)
+    // superseded pairs died as tombstones (seed pairs all invalidated)
+    assert(ts.read("pairs").filter(!col("_live")).select("ka", "kb")
+      .as[(Long, Long)].collect().toSet ===
+      Set((1L, 100L), (2L, 100L), (3L, 200L)))
+    // re-delivery under the same txn is a no-op
+    graft.ops.Ivm.applyTwoSidedJoinDelta(ts, "pairs",
+      "ta", a0, ts.currentVersion("ta"), Seq("ka"),
+      "tb", b0, ts.currentVersion("tb"), Seq("kb"),
+      combine, txn = Some(("j2", 1L)))
+    assert(graft.ops.Ivm.readJoinView(ts, "pairs")
+      .select("ka", "kb").as[(Long, Long)].collect().toSet === face)
+    // converged to the direct join of final states
+    assert(face === combine(ts.read("ta"), ts.read("tb"))
+      .select("ka", "kb").as[(Long, Long)].collect().toSet)
+  }
+
   test("Ivm join view under an SCD2 dim close: affected facts re-enrich " +
       "to the new current attributes without a fact rescan") {
     val ts = freshStore()

@@ -147,6 +147,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Ivm two-sided join view converges over random mutation sequences " +
+      "on both sides (join-key moves included), multi-batch") {
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val ts = new TableStore(spark,
+        Files.createTempDirectory(s"prop_j2_$seed").toString)
+      def aRows(n: Int, base: Long) = Seq.fill(n)(
+        (base + rnd.nextInt(500), rnd.nextInt(12).toLong, rnd.nextInt(100).toLong))
+      def bRows(n: Int, base: Long) = Seq.fill(n)(
+        (base + rnd.nextInt(500), rnd.nextInt(12).toLong, rnd.nextInt(100).toLong))
+      ts.create("ta", aRows(60, 0).distinctBy(_._1).toDF("ka", "j", "av"))
+      ts.setChangeFeed("ta", true)
+      ts.create("tb", bRows(60, 0).distinctBy(_._1).toDF("kb", "j", "bv"))
+      ts.setChangeFeed("tb", true)
+      def combine(a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame) =
+        a.join(b.select(col("kb"), col("j").as("bj"), col("bv")),
+            col("j") === col("bj"))
+          .select(col("ka"), col("kb"), col("j"), col("av"), col("bv"))
+      var (av, bv) = (ts.currentVersion("ta"), ts.currentVersion("tb"))
+      ts.create("pairs",
+        combine(ts.readVersion("ta", av), ts.readVersion("tb", bv))
+          .withColumn("_live", lit(true)))
+      // each append gets a DISJOINT key range: the sides' tables must
+      // stay unique on their keys (the view's contract) even when one
+      // batch rolls `append` twice
+      var fresh = 0
+      def base(): Long = { fresh += 1; 10000L * fresh }
+      for (_ <- 1 to 3) {
+        for (_ <- 1 to 2) rnd.nextInt(3) match {
+          case 0 => ts.delete("ta", col("ka") % 6 === rnd.nextInt(6).toLong)
+          case 1 => ts.update("ta", col("av") % 4 === rnd.nextInt(4).toLong,
+            Map("j" -> ((col("j") + 5L) % 12L))) // join-key move
+          case 2 => ts.append("ta",
+            aRows(20, base()).distinctBy(_._1).toDF("ka", "j", "av"))
+        }
+        for (_ <- 1 to 2) rnd.nextInt(3) match {
+          case 0 => ts.delete("tb", col("kb") % 6 === rnd.nextInt(6).toLong)
+          case 1 => ts.update("tb", col("bv") % 4 === rnd.nextInt(4).toLong,
+            Map("j" -> ((col("j") + 7L) % 12L)))
+          case 2 => ts.append("tb",
+            bRows(20, base()).distinctBy(_._1).toDF("kb", "j", "bv"))
+        }
+        val (a1, b1) = (ts.currentVersion("ta"), ts.currentVersion("tb"))
+        graft.ops.Ivm.applyTwoSidedJoinDelta(ts, "pairs",
+          "ta", av, a1, Seq("ka"), "tb", bv, b1, Seq("kb"), combine)
+        av = a1; bv = b1
+      }
+      graft.ops.Ivm.compactDeadJoin(ts, "pairs", Seq("ka", "kb"))
+      val got = graft.ops.Ivm.readJoinView(ts, "pairs")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = combine(ts.read("ta"), ts.read("tb"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === want, s"seed=$seed two-sided join view diverged")
+    }
+  }
+
   test("mergeUpsert is idempotent and preserves key-uniqueness") {
     for (seed <- 10L to 12L) {
       val store = new TableStore(spark, Files.createTempDirectory("prop").toString)
