@@ -41,22 +41,24 @@ object QueriesMutation {
 
   /** Create `src` with its change feed and seed load (v0-v2); returns
     * the seed version the view's initial full compute reads. */
-  private[graft] def ivmCreateSource(st: TableStore, li: DataFrame): Long = {
-    st.createEmpty("src", org.apache.spark.sql.types.StructType.fromDDL(
+  private[graft] def ivmCreateSource(st: TableStore, li: DataFrame,
+                                     table: String = "src"): Long = {
+    st.createEmpty(table, org.apache.spark.sql.types.StructType.fromDDL(
       "l_orderkey BIGINT, l_suppkey BIGINT, qty BIGINT"))          // v0
-    st.setChangeFeed("src", true)                                  // v1
-    st.append("src", li.filter(col("l_orderkey") % 4 === 1))       // v2
-    st.currentVersion("src")
+    st.setChangeFeed(table, true)                                  // v1
+    st.append(table, li.filter(col("l_orderkey") % 4 === 1))       // v2
+    st.currentVersion(table)
   }
 
   /** The post-seed backlog (v3-v5): an update that MOVES rows between
     * groups (both retraction and addition arms fire), a delete, an
     * insert-only append. */
-  private[graft] def ivmMutateSource(st: TableStore, li: DataFrame): Unit = {
-    st.updateVectorized("src", col("qty") <= 10L,
+  private[graft] def ivmMutateSource(st: TableStore, li: DataFrame,
+                                     table: String = "src"): Unit = {
+    st.updateVectorized(table, col("qty") <= 10L,
       Map("l_suppkey" -> (col("l_suppkey") + 100000L)))            // v3
-    st.deleteVectorized("src", col("l_orderkey") % 10 === 3)       // v4
-    st.append("src", li.filter(col("l_orderkey") % 4 === 2))       // v5
+    st.deleteVectorized(table, col("l_orderkey") % 10 === 3)       // v4
+    st.append(table, li.filter(col("l_orderkey") % 4 === 2))       // v5
   }
 
   /** The oracle: replay the same history relationally, aggregate the
@@ -1487,6 +1489,47 @@ object QueriesMutation {
              |       FROM events WHERE event_id % 2 = 1)
              |SELECT a.o_orderkey, b.event_id, a.o_custkey, a.price, b.event_type
              |FROM af a JOIN bf b ON a.o_custkey = b.user_id""".stripMargin)),
+
+    // ---- MATERIALIZED VIEWS AS FIRST-CLASS SQL OBJECTS: CREATE /
+    //      REFRESH / COMPACT driven entirely through CALL procedures.
+    //      The view's definition lives in its own manifest properties
+    //      and its absorbed-source watermark in its txn registry, so
+    //      REFRESH is SELF-DRIVING: each CALL derives its change-feed
+    //      window from the registry and lands data + bookkeeping in
+    //      ONE commit (crash-atomic, idempotent, loud under races —
+    //      the same Delta-txn mechanics as the library face). The
+    //      mv1 history is split across TWO refresh cycles here, and
+    //      the oracle is mv1's own — the SQL surface and the library
+    //      call must be digest-EQUAL. ----
+    "sql_matview_refresh" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "mvsrc")
+        graft.core.FsUtil.deleteRecursively(
+          new java.io.File("/tmp/graft_qstore/sqlcat/mvagg"))
+        val li = ivmLineitem(s, dir)
+        ivmCreateSource(st, li, table = "mvsrc")
+        s.sql("""CALL graft.system.create_agg_view(
+                |  'mvagg', 'mvsrc', 'l_suppkey', 'qty', 'count_sum', 8)""".stripMargin)
+        // refresh cycle 1: the update + delete arms
+        st.updateVectorized("mvsrc", col("qty") <= 10L,
+          Map("l_suppkey" -> (col("l_suppkey") + 100000L)))
+        st.deleteVectorized("mvsrc", col("l_orderkey") % 10 === 3)
+        val r1 = s.sql("CALL graft.system.refresh_agg_view('mvagg')")
+          .head().getLong(1)
+        require(r1 == 2L, s"refresh 1 must absorb 2 source versions, got $r1")
+        // refresh cycle 2: the insert-only arm; then an idle refresh
+        st.append("mvsrc", li.filter(col("l_orderkey") % 4 === 2))
+        val r2 = s.sql("CALL graft.system.refresh_agg_view('mvagg')")
+          .head().getLong(1)
+        require(r2 == 1L, s"refresh 2 must absorb 1 source version, got $r2")
+        val r3 = s.sql("CALL graft.system.refresh_agg_view('mvagg')")
+          .head().getLong(1)
+        require(r3 == 0L, s"idle refresh must absorb nothing, got $r3")
+        s.sql("CALL graft.system.compact_agg_view('mvagg')")
+        s.sql("""SELECT l_suppkey, n_rows, sum_qty FROM graft.mvagg
+                |WHERE n_rows > 0""".stripMargin)
+      },
+      Some(ivmOracle(IvmCountSumAgg))),
 
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE

@@ -3330,6 +3330,21 @@ class TableStore(spark: SparkSession, root: String) {
   def lastTxnVersion(name: String, appId: String): Option[Long] =
     readManifest(name, currentVersion(name)).txns.get(appId)
 
+  /** Stamp an (appId -> version) txn watermark with NO data change — a
+    * metadata-only commit through the same exclusive path as every
+    * other manifest mutation. Monotone: a stamp at or below the
+    * current watermark is a no-op (the registry's contract is a
+    * high-water mark, never a rewind). Seeds a materialized view's
+    * absorbed-source watermark at create time (Ivm.createCountSumView)
+    * so the FIRST refresh can derive its feed window from the registry
+    * alone. */
+  def recordTxn(name: String, appId: String, version: Long): Unit = {
+    val m = readManifest(name, currentVersion(name))
+    if (m.txns.get(appId).forall(_ < version))
+      commitExclusive(name, m.baseVersion + 1,
+        m.copy(txns = m.txns + (appId -> version)), "recordTxn")
+  }
+
   /** Exactly-once streaming-sink epoch commit: move the epoch's
     * executor-written files into a new batch dir and commit it TOGETHER
     * with the writer's advanced epoch watermark in `txns` — one atomic

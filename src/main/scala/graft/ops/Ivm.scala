@@ -110,6 +110,151 @@ object Ivm {
   def readView(st: TableStore, view: String): DataFrame =
     st.read(view).filter(col("n_rows") > 0L)
 
+  // ---- materialized views as first-class objects (SQL face: CALL
+  //      graft.system.create_agg_view / refresh_agg_view /
+  //      compact_agg_view). The view's DEFINITION lives in its own
+  //      manifest properties; the last absorbed source version rides
+  //      the txn registry under appId "ivm:<source>" — the SAME
+  //      mechanism that makes the apply idempotent doubles as the
+  //      refresh bookkeeping, and both always move in ONE commit. ----
+
+  /** CREATE MATERIALIZED VIEW — kinds:
+    *   - `count_sum`: (groups, n_rows, sum_qty);
+    *   - `max`: (groups, mx) — `valueCol` must be BIGINT
+    *     ([[applyMaxDelta]]'s contract);
+    *   - `distinct`: a TWO-LEVEL cascade registered as one object —
+    *     `<view>__aux` holds the (groups, value) multiplicity state
+    *     (CDF on) and `view` the (groups, n_distinct-as-n_rows,
+    *     sum-of-distinct-values) face maintained from the aux table's
+    *     OWN change feed.
+    * Full compute at the source's current version; the definition
+    * lives in the view's properties and the absorbed watermark in its
+    * txn registry. Returns the source version the compute read. */
+  def createCountSumView(st: TableStore, view: String, srcName: String,
+                         groupCols: Seq[String], valueCol: String,
+                         buckets: Int = 8, kind: String = "count_sum"): Long = {
+    def stamp(name: String, src: String, groups: Seq[String], k: String,
+              v: Long): Unit = {
+      st.setProperties(name, Map(
+        "ivm.kind" -> k, "ivm.source" -> src,
+        "ivm.group_cols" -> groups.mkString(","),
+        "ivm.value_col" -> valueCol))
+      st.recordTxn(name, s"ivm:$src", v)
+    }
+    val v = st.currentVersion(srcName)
+    kind match {
+      case "count_sum" =>
+        st.createBucketed(view, st.readVersion(srcName, v)
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_qty")),
+          groupCols, buckets)
+        stamp(view, srcName, groupCols, "count_sum", v)
+      case "max" =>
+        st.createBucketed(view, st.readVersion(srcName, v)
+          .groupBy(groupCols.map(col): _*)
+          .agg(max(col(valueCol)).as("mx")),
+          groupCols, buckets)
+        stamp(view, srcName, groupCols, "max", v)
+      case "distinct" =>
+        val aux = s"${view}__aux"
+        val auxKeys = groupCols :+ valueCol
+        st.createBucketed(aux, st.readVersion(srcName, v)
+          .groupBy(auxKeys.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_qty")),
+          groupCols, buckets)
+        st.setChangeFeed(aux, true)
+        stamp(aux, srcName, auxKeys, "count_sum", v)
+        val auxV = st.currentVersion(aux)
+        st.createBucketed(view, st.readVersion(aux, auxV)
+          .filter(col("n_rows") > 0L)
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_qty")),
+          groupCols, buckets)
+        stamp(view, aux, groupCols, "distinct", auxV)
+      case other => throw new IllegalArgumentException(
+        s"unknown materialized-view kind '$other' " +
+          "(count_sum | max | distinct)")
+    }
+    v
+  }
+
+  private def viewDef(st: TableStore, view: String)
+      : (String, String, Seq[String], String) = {
+    val props = st.snapshot(view).props
+    val kind = props.getOrElse("ivm.kind",
+      throw new IllegalArgumentException(
+        s"$view is not a registered materialized view (no ivm.kind)"))
+    (kind, props("ivm.source"),
+      props("ivm.group_cols").split(",").map(_.trim).toSeq,
+      props("ivm.value_col"))
+  }
+
+  private def absorbedFrom(st: TableStore, view: String, src: String): Long =
+    st.lastTxnVersion(view, s"ivm:$src").getOrElse(
+      throw new IllegalStateException(
+        s"$view lacks an absorbed-source watermark (ivm:$src) — " +
+          "was it created by createCountSumView?"))
+
+  /** REFRESH MATERIALIZED VIEW — self-driving: the feed window is
+    * (last absorbed source version, source head], both read from the
+    * registries, and the new watermark is the apply's own txn stamp —
+    * data and bookkeeping move atomically, so a crashed refresh either
+    * fully happened or fully didn't, and a re-run converges either
+    * way (the `distinct` cascade resumes level-by-level on the same
+    * principle). Concurrent refreshes race commit-exclusively (loser
+    * loud, re-run no-ops). Returns the number of source versions
+    * absorbed at the view's OWN level. */
+  def refreshView(st: TableStore, view: String): Long = {
+    val (kind, srcName, groupCols, valueCol) = viewDef(st, view)
+    val from = absorbedFrom(st, view, srcName)
+    kind match {
+      case "count_sum" =>
+        val to = st.currentVersion(srcName)
+        if (to > from)
+          applyCountSumDelta(st, view,
+            st.readChangesBetween(srcName, from, to), groupCols, valueCol,
+            txn = Some((s"ivm:$srcName", to)))
+        math.max(0L, to - from)
+      case "max" =>
+        val to = st.currentVersion(srcName)
+        if (to > from)
+          applyMaxDelta(st, view, srcName, to,
+            st.readChangesBetween(srcName, from, to), groupCols, valueCol,
+            txn = Some((s"ivm:$srcName", to)))
+        math.max(0L, to - from)
+      case "distinct" =>
+        // level 1 first (srcName IS the aux table), then this level
+        // absorbs the aux feed the level-1 refresh just produced;
+        // live-multiplicity filter makes value birth/death a clean ±1
+        refreshView(st, srcName): Unit
+        val to = st.currentVersion(srcName)
+        if (to > from)
+          applyCountSumDelta(st, view,
+            st.readChangesBetween(srcName, from, to)
+              .filter(col("n_rows") > 0L),
+            groupCols, valueCol, txn = Some((s"ivm:$srcName", to)))
+        math.max(0L, to - from)
+      case other => throw new IllegalArgumentException(
+        s"unknown materialized-view kind '$other'")
+    }
+  }
+
+  /** Conflict-safe tombstone sweep of a registered view (the
+    * definition supplies the full key; the `distinct` cascade sweeps
+    * both levels). */
+  def compactView(st: TableStore, view: String): Unit = {
+    val (kind, srcName, groupCols, _) = viewDef(st, view)
+    kind match {
+      case "count_sum" => compactDead(st, view, groupCols)
+      case "max" => compactDeadMax(st, view, groupCols)
+      case "distinct" =>
+        compactView(st, srcName) // the aux level (registered count_sum)
+        compactDead(st, view, groupCols)
+      case other => throw new IllegalArgumentException(
+        s"unknown materialized-view kind '$other'")
+    }
+  }
+
   /** MAX with retraction — the NON-distributive aggregate face of IVM.
     * Inserts/postimages only ever RAISE a group's max, so they absorb
     * by pure algebra (greatest of the stored max and the batch max).

@@ -32,7 +32,8 @@ object GraftProcedures {
     "compact_dv_heavy",
     "set_bloom_columns", "history",
     "set_change_feed", "delete_vectorized", "update_vectorized", "clone",
-    "compact_where", "compact_small", "enable_row_tracking")
+    "compact_where", "compact_small", "enable_row_tracking",
+    "create_agg_view", "refresh_agg_view", "compact_agg_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -153,6 +154,35 @@ object GraftProcedures {
         val cs = cols(in.getUTF8String(1).toString)
         store.setBloomColumns(t, cs)
         result(t, cs.size.toLong)
+      }
+      // ---- materialized views as first-class SQL objects: the view's
+      //      definition lives in its manifest properties and the
+      //      absorbed-source watermark in its txn registry, so REFRESH
+      //      is self-driving — it derives its own change-feed window
+      //      and moves data + bookkeeping in one commit (Ivm) ----
+      case "create_agg_view" => bound(Seq(param("view", StringType),
+          param("source", StringType), param("group_cols", StringType),
+          param("value_col", StringType), param("kind", StringType),
+          param("buckets", IntegerType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // kind: count_sum | max | distinct (distinct registers the
+        // two-level multiplicity cascade as one object). Returns the
+        // source version the full compute read (the seed watermark
+        // refresh will start from)
+        result(v, graft.ops.Ivm.createCountSumView(store, v,
+          in.getUTF8String(1).toString, cols(in.getUTF8String(2).toString),
+          in.getUTF8String(3).toString, in.getInt(5),
+          kind = in.getUTF8String(4).toString))
+      }
+      case "refresh_agg_view" => bound(Seq(param("view", StringType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // returns the number of source versions absorbed (0 = fresh)
+        result(v, graft.ops.Ivm.refreshView(store, v))
+      }
+      case "compact_agg_view" => bound(Seq(param("view", StringType))) { in =>
+        val v = in.getUTF8String(0).toString
+        graft.ops.Ivm.compactView(store, v)
+        result(v, store.read(v).count())
       }
       case "history" => bound(Seq(param("table", StringType))) { in =>
         val t = in.getUTF8String(0).toString

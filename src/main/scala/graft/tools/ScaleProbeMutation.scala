@@ -179,13 +179,51 @@ object ScaleProbeMutation {
           Seq("l_orderkey"), enrichStar,
           dimAffected = Some((affected, Seq("l_suppkey"))))
       }
+      // ---- symmetric join2 (mv6) curve: A and B both k-volume, view =
+      //      A ⋈ B (1:1 on the order key so pair count scales with
+      //      volume, not k²). join2_full = the initial pair compute
+      //      (~linear); join2_delta = absorbing a fixed 10k-row batch
+      //      on EACH side in one apply (the A-key probe bucket-prunes;
+      //      the B-key probe of the view is scan-bound without a
+      //      second clustering — reported honestly). ----
+      val aFrame = c.dropDuplicates("l_orderkey").localCheckpoint()
+      val bFrame = aFrame.select(col("l_orderkey").as("b_orderkey"),
+        col("l_suppkey").as("b_supp"), col("l_quantity").as("b_qty"))
+        .localCheckpoint()
+      st.createBucketed("ja", aFrame.drop("l_supp_i"), Seq("l_orderkey"), n = 32)
+      st.setChangeFeed("ja", true)
+      st.createBucketed("jb", bFrame, Seq("b_orderkey"), n = 32)
+      st.setChangeFeed("jb", true)
+      val (ja0, jb0) = (st.currentVersion("ja"), st.currentVersion("jb"))
+      def combine2(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, col("l_orderkey") === col("b_orderkey"))
+          .select(col("l_orderkey"), col("b_orderkey"), col("l_suppkey"),
+            col("l_quantity"), col("b_supp"), col("b_qty"))
+      val join2FullSec = t {
+        st.createBucketed("v_pairs",
+          combine2(st.readVersion("ja", ja0), st.readVersion("jb", jb0))
+            .withColumn("_live", lit(true)), Seq("l_orderkey"), n = 32)
+      }
+      val aBatch = batch.select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_quantity") + 5.0).as("l_quantity"))
+      val bBatch = batch.select(col("l_orderkey").as("b_orderkey"),
+        col("l_suppkey").as("b_supp"), (col("l_quantity") + 9.0).as("b_qty"))
+      st.mergeUpsert("ja", aBatch, Seq("l_orderkey"), changeTypeCol = None)
+      st.mergeUpsert("jb", bBatch, Seq("b_orderkey"), changeTypeCol = None)
+      val join2DeltaSec = t {
+        graft.ops.Ivm.applyTwoSidedJoinDelta(st, "v_pairs",
+          "ja", ja0, st.currentVersion("ja"), Seq("l_orderkey"),
+          "jb", jb0, st.currentVersion("jb"), Seq("b_orderkey"), combine2)
+      }
       println(f"""{"k":$k,"rows":${nBase * k},"merge_sec":$mergeSec%.2f,""" +
         f""""ivm_sec":$ivmSec%.2f,"ivm_max_sec":$ivmMaxSec%.2f,""" +
         f""""delete_sec":$deleteSec%.2f,"feed_sec":$feedSec%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"replace_sec":$replaceSec%.2f,""" +
         f""""widen_sec":$widenSec%.2f,"star_full_sec":$starFullSec%.2f,""" +
         f""""star_delta_sec":$starDeltaSec%.2f,""" +
-        f""""star_dim_sec":$starDimSec%.2f,"batch":10000}""")
+        f""""star_dim_sec":$starDimSec%.2f,""" +
+        f""""join2_full_sec":$join2FullSec%.2f,""" +
+        f""""join2_delta_sec":$join2DeltaSec%.2f,"batch":10000}""")
       graft.core.FsUtil.deleteRecursively(new java.io.File(root))
     }
     spark.stop()

@@ -663,6 +663,51 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet)
   }
 
+  test("IVM cascade resumes after a crash between levels: re-running the " +
+      "whole DAG with the same txns converges, nothing double-applies") {
+    val ts = freshStore()
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 10L), (3L, 2L, 30L))
+      .toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    val v0 = ts.currentVersion("src")
+    // level 1: multiplicity aux (CDF on, so level 2 can tail it);
+    // level 2: distinct count per group from the aux feed
+    ts.create("aux", ts.readVersion("src", v0).groupBy("grp", "qty")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty")))
+    ts.setChangeFeed("aux", true)
+    val auxV0 = ts.currentVersion("aux")
+    ts.create("cnt", ts.readVersion("aux", auxV0).filter(col("n_rows") > 0L)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty")))
+    ts.delete("src", col("k") === 1L)  // (1,10) multiplicity 2 -> 1
+    ts.append("src", Seq((4L, 2L, 40L)).toDF("k", "grp", "qty"))
+    def runDag(): Unit = {
+      graft.ops.Ivm.applyCountSumDelta(ts, "aux",
+        ts.readChangesBetween("src", v0, ts.currentVersion("src")),
+        Seq("grp", "qty"), "qty", txn = Some(("dag_l1", 1L)))
+      graft.ops.Ivm.applyCountSumDelta(ts, "cnt",
+        ts.readChangesBetween("aux", auxV0, ts.currentVersion("aux"))
+          .filter(col("n_rows") > 0L),
+        Seq("grp"), "qty", txn = Some(("dag_l2", 1L)))
+    }
+    // the "crash": level 1 commits, the driver dies before level 2
+    graft.ops.Ivm.applyCountSumDelta(ts, "aux",
+      ts.readChangesBetween("src", v0, ts.currentVersion("src")),
+      Seq("grp", "qty"), "qty", txn = Some(("dag_l1", 1L)))
+    // recovery = re-run the WHOLE DAG with the same txns: level 1
+    // skips on its stamp, level 2 applies its (still-derivable) window
+    runDag()
+    val want = Set((1L, 1L, 10L), (2L, 2L, 70L)) // distinct counts + sums
+    def face = graft.ops.Ivm.readView(ts, "cnt")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(face === want, face.toString)
+    // a second full re-run is a complete no-op at both levels
+    runDag()
+    assert(face === want)
+    assert(ts.lastTxnVersion("aux", "dag_l1") === Some(1L))
+    assert(ts.lastTxnVersion("cnt", "dag_l2") === Some(1L))
+  }
+
   test("Ivm two-sided join view: join-key moves, deletes, and appends on " +
       "BOTH sides converge; superseded pairs die") {
     val ts = freshStore()

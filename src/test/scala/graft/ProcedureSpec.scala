@@ -134,4 +134,90 @@ class ProcedureSpec extends AnyFunSuite {
     assert(ts.read("t").as[(Long, String, String)].collect().toSet ===
       Set((1L, "x,y", "z!"), (2L, "b", "z")))
   }
+
+  test("materialized-view procedures: create / refresh / compact, " +
+      "self-driving watermark, loud on non-views") {
+    val root = Files.createTempDirectory("procmv").toString
+    spark.conf.set("spark.sql.catalog.gmv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmv.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 30L))
+      .toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    // CREATE: full compute + definition props + seeded watermark
+    val seedV = spark.sql(
+      "CALL gmv.system.create_agg_view('v', 'src', 'grp', 'qty', 'count_sum', 4)")
+      .head().getLong(1)
+    assert(seedV === ts.lastTxnVersion("v", "ivm:src").get)
+    assert(ts.properties("v")("ivm.kind") === "count_sum")
+    // an idle refresh absorbs nothing
+    assert(spark.sql("CALL gmv.system.refresh_agg_view('v')")
+      .head().getLong(1) === 0L)
+    // mutate: group 1 loses a row, group 2 empties, group 3 appears
+    ts.delete("src", col("k") === 2L)
+    ts.delete("src", col("grp") === 2L)
+    ts.append("src", Seq((4L, 3L, 40L)).toDF("k", "grp", "qty"))
+    assert(spark.sql("CALL gmv.system.refresh_agg_view('v')")
+      .head().getLong(1) === 3L)
+    // a RE-DELIVERED refresh (same window) is a no-op — the watermark
+    // rode the apply's own commit
+    assert(spark.sql("CALL gmv.system.refresh_agg_view('v')")
+      .head().getLong(1) === 0L)
+    assert(spark.sql("SELECT grp, n_rows, sum_qty FROM gmv.v WHERE n_rows > 0")
+      .as[(Long, Long, Long)].collect().toSet ===
+      Set((1L, 1L, 10L), (3L, 1L, 40L)))
+    // the emptied group's tombstone sweeps through the procedure face
+    assert(ts.read("v").count() === 3)
+    spark.sql("CALL gmv.system.compact_agg_view('v')")
+    assert(ts.read("v").count() === 2)
+    // refusals are loud: refresh/compact on a non-view
+    val boom = intercept[Exception](
+      spark.sql("CALL gmv.system.refresh_agg_view('src')").collect())
+    assert(boom.getMessage.contains("not a registered"))
+  }
+
+  test("materialized-view kinds max and distinct: self-driving refresh " +
+      "including the two-level cascade") {
+    val root = Files.createTempDirectory("procmv2").toString
+    spark.conf.set("spark.sql.catalog.gmv2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmv2.root", root)
+    val ts = new TableStore(spark, root)
+    // grp 1 holds 10 TWICE and 20; grp 2 holds 30 — exercises both the
+    // max multiplicity retraction and the distinct zero-crossing
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 10L), (3L, 1L, 20L),
+      (4L, 2L, 30L)).toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    spark.sql("CALL gmv2.system.create_agg_view('vmax', 'src', 'grp', 'qty', 'max', 4)")
+    spark.sql("CALL gmv2.system.create_agg_view('vdst', 'src', 'grp', 'qty', 'distinct', 4)")
+    ts.delete("src", col("k") === 3L) // grp 1's max 20 retracts -> 10
+    ts.delete("src", col("k") === 1L) // one copy of (1,10): value survives
+    ts.append("src", Seq((5L, 2L, 40L)).toDF("k", "grp", "qty"))
+    assert(spark.sql("CALL gmv2.system.refresh_agg_view('vmax')")
+      .head().getLong(1) === 3L)
+    assert(spark.sql("CALL gmv2.system.refresh_agg_view('vdst')")
+      .head().getLong(1) >= 1L) // its own level absorbed the aux feed
+    assert(spark.sql("SELECT grp, mx FROM gmv2.vmax WHERE mx IS NOT NULL")
+      .as[(Long, Long)].collect().toSet === Set((1L, 10L), (2L, 40L)))
+    assert(spark.sql(
+      "SELECT grp, n_rows AS n_distinct FROM gmv2.vdst WHERE n_rows > 0")
+      .as[(Long, Long)].collect().toSet === Set((1L, 1L), (2L, 2L)))
+    // idle refreshes absorb nothing at any level
+    assert(spark.sql("CALL gmv2.system.refresh_agg_view('vmax')")
+      .head().getLong(1) === 0L)
+    assert(spark.sql("CALL gmv2.system.refresh_agg_view('vdst')")
+      .head().getLong(1) === 0L)
+    // the cascade sweeps BOTH levels
+    spark.sql("CALL gmv2.system.compact_agg_view('vdst')")
+    assert(ts.read("vdst__aux").filter(col("n_rows") === 0L).count() === 0)
+    // converged to the direct aggregates
+    assert(spark.sql("SELECT grp, mx FROM gmv2.vmax WHERE mx IS NOT NULL")
+      .as[(Long, Long)].collect().toSet ===
+      ts.read("src").groupBy("grp").agg(max("qty").as("mx"))
+        .as[(Long, Long)].collect().toSet)
+    assert(spark.sql(
+      "SELECT grp, n_rows FROM gmv2.vdst WHERE n_rows > 0")
+      .as[(Long, Long)].collect().toSet ===
+      ts.read("src").groupBy("grp").agg(countDistinct(col("qty")).as("nd"))
+        .as[(Long, Long)].collect().toSet)
+  }
 }
