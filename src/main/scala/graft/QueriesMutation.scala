@@ -1531,6 +1531,64 @@ object QueriesMutation {
       },
       Some(ivmOracle(IvmCountSumAgg))),
 
+    // ---- DECLARATIVE JOIN VIEW through SQL: mv4's star (silver ×
+    //      customer × nation, snowflake chain) registered with CALL
+    //      create_join_view from a STRING dim spec, then maintained by
+    //      two CALL refresh_join_view cycles — the first absorbing the
+    //      silver backlog, the second a DIM-ONLY change whose affected
+    //      keys the refresh derives ITSELF by backward propagation
+    //      through the registered chain (no caller-side delta logic at
+    //      all). Every absorbed-source watermark advances in the
+    //      apply's own commit. Oracle: mv4's — the SQL object and the
+    //      library call must be digest-EQUAL. ----
+    "sql_matview_join" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "jvsrc")
+        Seq("jvfact", "jvdc", "jvdn").foreach(t =>
+          graft.core.FsUtil.deleteRecursively(
+            new java.io.File(s"/tmp/graft_qstore/sqlcat/$t")))
+        val orders = Tables.orders(s, dir)
+        val silverAll = orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+        st.createEmpty("jvsrc", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE, status STRING"))
+        st.setChangeFeed("jvsrc", true)
+        st.append("jvsrc", silverAll.filter(col("o_orderkey") % 3 === 0))
+        st.create("jvdc", Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+        st.setChangeFeed("jvdc", true)
+        st.create("jvdn", Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name")))
+        st.setChangeFeed("jvdn", true)
+        s.sql("""CALL graft.system.create_join_view('jvfact', 'jvsrc',
+                |  'o_orderkey',
+                |  'jvdc:o_custkey=c_custkey:c_name|jvdn:c_nationkey=n_nationkey:n_name',
+                |  8)""".stripMargin)
+        // cycle 1: the silver backlog
+        st.updateVectorized("jvsrc", col("o_orderkey") % 5 === 0,
+          Map("price" -> (col("price") + 1000d)))
+        st.deleteVectorized("jvsrc", col("o_orderkey") % 7 === 0)
+        st.append("jvsrc", silverAll.filter(col("o_orderkey") % 3 === 1))
+        val r1 = s.sql("CALL graft.system.refresh_join_view('jvfact')")
+          .head().getLong(1)
+        require(r1 == 3L, s"cycle 1 must absorb 3 source versions, got $r1")
+        // cycle 2: DIM-ONLY — the refresh must find the affected keys
+        st.updateVectorized("jvdc", col("c_custkey") % 4 === 0,
+          Map("c_name" -> concat(col("c_name"), lit("!"))))
+        st.updateVectorized("jvdn", col("n_nationkey") % 2 === 0,
+          Map("n_name" -> concat(col("n_name"), lit("!"))))
+        val r2 = s.sql("CALL graft.system.refresh_join_view('jvfact')")
+          .head().getLong(1)
+        require(r2 == 2L, s"cycle 2 must absorb 2 dim versions, got $r2")
+        val r3 = s.sql("CALL graft.system.refresh_join_view('jvfact')")
+          .head().getLong(1)
+        require(r3 == 0L, s"idle refresh must absorb nothing, got $r3")
+        s.sql("CALL graft.system.compact_agg_view('jvfact')")
+        s.sql("""SELECT o_orderkey, o_custkey, price, status, c_name, n_name
+                |FROM graft.jvfact WHERE _live""".stripMargin)
+      },
+      Mv4OracleSql),
+
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE
     //      merge-on-read mutation — so "which load did this row come

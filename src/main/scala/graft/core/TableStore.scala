@@ -2797,7 +2797,8 @@ class TableStore(spark: SparkSession, root: String) {
                   changeTypeCol: Option[String] = Some("delta_change_type"),
                   verifyUniqueSource: Boolean = true,
                   sourceProvided: Option[Set[String]] = None,
-                  txn: Option[(String, Long)] = None): Unit = {
+                  txn: Option[(String, Long)] = None,
+                  extraTxns: Seq[(String, Long)] = Nil): Unit = {
     val m = readManifest(name, currentVersion(name))
     if (txn.exists { case (app, v) => m.txns.get(app).exists(_ >= v) })
       return // already applied: idempotent re-delivery
@@ -2852,10 +2853,14 @@ class TableStore(spark: SparkSession, root: String) {
     // target scan attached __rid); source-only inserts carry null and
     // the reader mints base + position from the new file instead
     val ridKeep = rewriteExtra(m)
-    // txn stamp rides the SAME manifest commit as the data — that
-    // atomicity is the whole idempotency guarantee
+    // txn stamps ride the SAME manifest commit as the data — that
+    // atomicity is the whole idempotency guarantee. `extraTxns` lets a
+    // multi-source refresh advance EVERY absorbed-source watermark in
+    // this one commit (monotone, like recordTxns)
     val mTxn = m.copy(bucketing = b,
-      txns = m.txns ++ txn.map { case (app, v) => app -> v })
+      txns = (txn.toSeq ++ extraTxns).foldLeft(m.txns) { case (t, (a, v)) =>
+        if (t.get(a).forall(_ < v)) t + (a -> v) else t
+      })
     if (!m.cdf)
       commit(name, Some(joined.select(out ++ ridKeep: _*)), mTxn,
         carried, extraPhys = ridKeep): Unit
@@ -3338,11 +3343,20 @@ class TableStore(spark: SparkSession, root: String) {
     * absorbed-source watermark at create time (Ivm.createCountSumView)
     * so the FIRST refresh can derive its feed window from the registry
     * alone. */
-  def recordTxn(name: String, appId: String, version: Long): Unit = {
+  def recordTxn(name: String, appId: String, version: Long): Unit =
+    recordTxns(name, Seq(appId -> version))
+
+  /** [[recordTxn]] for several app ids in ONE metadata commit (a
+    * multi-watermark refresh that absorbed nothing still advances all
+    * its watermarks atomically). */
+  def recordTxns(name: String, stamps: Seq[(String, Long)]): Unit = {
     val m = readManifest(name, currentVersion(name))
-    if (m.txns.get(appId).forall(_ < version))
+    val next = stamps.foldLeft(m.txns) { case (t, (a, v)) =>
+      if (t.get(a).forall(_ < v)) t + (a -> v) else t
+    }
+    if (next != m.txns)
       commitExclusive(name, m.baseVersion + 1,
-        m.copy(txns = m.txns + (appId -> version)), "recordTxn")
+        m.copy(txns = next), "recordTxn")
   }
 
   /** Exactly-once streaming-sink epoch commit: move the epoch's

@@ -241,15 +241,23 @@ object Ivm {
 
   /** Conflict-safe tombstone sweep of a registered view (the
     * definition supplies the full key; the `distinct` cascade sweeps
-    * both levels). */
+    * both levels; `join` views sweep their `_live=false` pairs). */
   def compactView(st: TableStore, view: String): Unit = {
-    val (kind, srcName, groupCols, _) = viewDef(st, view)
-    kind match {
-      case "count_sum" => compactDead(st, view, groupCols)
-      case "max" => compactDeadMax(st, view, groupCols)
+    val props = st.snapshot(view).props
+    props.getOrElse("ivm.kind", throw new IllegalArgumentException(
+      s"$view is not a registered materialized view (no ivm.kind)")) match {
+      case "join" => compactDeadJoin(st, view,
+        props("ivm.src_keys").split(",").map(_.trim).toSeq)
+      case "count_sum" =>
+        compactDead(st, view,
+          props("ivm.group_cols").split(",").map(_.trim).toSeq)
+      case "max" =>
+        compactDeadMax(st, view,
+          props("ivm.group_cols").split(",").map(_.trim).toSeq)
       case "distinct" =>
-        compactView(st, srcName) // the aux level (registered count_sum)
-        compactDead(st, view, groupCols)
+        compactView(st, props("ivm.source")) // the aux level
+        compactDead(st, view,
+          props("ivm.group_cols").split(",").map(_.trim).toSeq)
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other'")
     }
@@ -392,21 +400,30 @@ object Ivm {
                      keys: Seq[String],
                      enrich: DataFrame => DataFrame,
                      dimAffected: Option[(DataFrame, Seq[String])] = None,
-                     txn: Option[(String, Long)] = None): Unit =
+                     txn: Option[(String, Long)] = None,
+                     extraTxns: Seq[(String, Long)] = Nil): Unit =
     applyJoinDeltaFeed(st, view,
       st.readChangesBetween(srcName, fromVersion, toVersion), keys, enrich,
-      dimAffected, txn)
+      dimAffected, txn, extraTxns)
 
   /** [[applyJoinDelta]] over an ALREADY-READ feed frame (columns: the
     * source's columns + `_change_type` + `_commit_version`) — the face
     * a streaming driver uses: foreachBatch over the source's
     * `.changes` stream hands each micro-batch here with
-    * `txn = (app, batchId)` (st20_stream_star_maintenance). */
+    * `txn = (app, batchId)` (st20_stream_star_maintenance).
+    * `dimAffected` may name SEVERAL foreign-key roots (a star whose
+    * dims join the source on different columns); `extraTxns` rides the
+    * commit so a multi-source refresh advances every watermark
+    * atomically — and when the apply turns out EMPTY the stamps still
+    * land (metadata-only), so a no-op refresh window never replays. */
   def applyJoinDeltaFeed(st: TableStore, view: String, feed: DataFrame,
                          keys: Seq[String],
                          enrich: DataFrame => DataFrame,
                          dimAffected: Option[(DataFrame, Seq[String])] = None,
-                         txn: Option[(String, Long)] = None): Unit = {
+                         txn: Option[(String, Long)] = None,
+                         extraTxns: Seq[(String, Long)] = Nil,
+                         dimAffectedMulti: Seq[(DataFrame, Seq[String])] = Nil)
+      : Unit = {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
     val viewSchema = st.read(view).schema
@@ -442,8 +459,11 @@ object Ivm {
 
     // ---- dim term: re-enrich live view rows whose FK changed (with
     //      the same filtered-out tombstoning — a dim change can move a
-    //      row outside a dim-attribute view predicate) ----
-    val dimRows = dimAffected.map { case (fkKeys, fkCols) =>
+    //      row outside a dim-attribute view predicate). Several FK
+    //      roots union before the re-enrich (one pass, no duplicate
+    //      work for a row matched by two roots). ----
+    val allAffected = dimAffected.toSeq ++ dimAffectedMulti
+    val dimRows = if (allAffected.isEmpty) None else Some {
       // the dim term re-derives source-shaped rows FROM THE VIEW, so it
       // needs the view to carry every source column (mv4/mv5 do; a
       // projecting enrich like factStar can't use this term — its dims
@@ -452,9 +472,14 @@ object Ivm {
         s"applyJoinDelta($view): dimAffected requires the view to carry " +
           "all source columns; missing: " +
           srcCols.filterNot(viewSchema.fieldNames.contains).mkString(","))
-      val affectedSrc = st.read(view).filter(col("_live"))
-        .join(broadcast(fkKeys.select(fkCols.map(col): _*).distinct()),
-          fkCols, "left_semi")
+      val viewLive = st.read(view).filter(col("_live"))
+      val affectedSrc = allAffected.map { case (fkKeys, fkCols) =>
+          viewLive.join(
+            broadcast(fkKeys.select(fkCols.map(col): _*).distinct()),
+            fkCols, "left_semi")
+        }
+        .reduce(_ unionByName _)
+        .dropDuplicates(keys)
         .join(touchedKeys, keys, "left_anti")
         .select(srcCols.map(col): _*)
         .localCheckpoint()
@@ -466,8 +491,16 @@ object Ivm {
 
     val out = dimRows.foldLeft(liveRows.unionByName(tombstones))(_ unionByName _)
       .localCheckpoint() // pin: mergeUpsert's gate + join each re-read it
-    if (out.isEmpty) return
-    st.mergeUpsert(view, out, keys, changeTypeCol = None, txn = txn)
+    if (out.isEmpty) {
+      // nothing to write, but the watermarks still advance (one
+      // metadata commit) — a refresh whose window touched no view row
+      // must not replay that window forever
+      val stamps = txn.toSeq ++ extraTxns
+      if (stamps.nonEmpty) st.recordTxns(view, stamps)
+      return
+    }
+    st.mergeUpsert(view, out, keys, changeTypeCol = None, txn = txn,
+      extraTxns = extraTxns)
   }
 
   /** Collapse a change-feed backlog to its LAST state per key: the
@@ -490,6 +523,166 @@ object Ivm {
   /** The consumer face of a maintained join view: live rows only. */
   def readJoinView(st: TableStore, view: String): DataFrame =
     st.read(view).filter(col("_live")).drop("_live")
+
+  // ---- DECLARATIVE join views (SQL face: CALL graft.system.
+  //      create_join_view / refresh_join_view). The dim graph is a
+  //      STRING spec — `table:leftCol=rightCol:attr1+attr2|next…` —
+  //      each entry joining onto the accumulated frame (a dim whose
+  //      leftCol is a source column roots a new chain; one whose
+  //      leftCol comes from an earlier dim extends that chain,
+  //      snowflake-style). Because the definition is pure data, the
+  //      whole star registers in the view's manifest properties and
+  //      REFRESH is fully self-driving: it reads every absorbed
+  //      watermark (source + each dim) from the txn registry, builds
+  //      the affected-FK sets by backward propagation through the dim
+  //      chains (all dim-side, broadcast-small), and advances EVERY
+  //      watermark in the apply's one commit. ----
+
+  private[graft] final case class DimSpec(table: String, left: String,
+                                          right: String, attrs: Seq[String])
+
+  private[graft] def parseDimSpec(spec: String): Seq[DimSpec] =
+    spec.split('|').toSeq.filter(_.nonEmpty).map { part =>
+      part.split(':') match {
+        case Array(t, joinOn, attrs) =>
+          joinOn.split('=') match {
+            case Array(l, r) =>
+              DimSpec(t.trim, l.trim, r.trim,
+                attrs.split('+').map(_.trim).filter(_.nonEmpty).toSeq)
+            case _ => throw new IllegalArgumentException(
+              s"dim join '$joinOn' is not of the form left=right")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"dim spec entry '$part' is not table:left=right:attr1+attr2")
+      }
+    }
+
+  /** The enrich function a parsed spec denotes, dims pinned at
+    * `dimVersions`: fold of broadcast left joins, final projection to
+    * source columns ++ declared attributes (chain join columns stay
+    * visible to later entries, then drop). */
+  private def enrichFromSpec(st: TableStore, dims: Seq[DimSpec],
+                             dimVersions: Map[String, Long],
+                             srcCols: Seq[String]): DataFrame => DataFrame = {
+    val attrCols = dims.flatMap(_.attrs)
+    src => dims.foldLeft(src) { (acc, d) =>
+        acc.join(broadcast(st.readVersion(d.table, dimVersions(d.table))),
+          col(d.left) === col(d.right), "left")
+      }
+      .select((srcCols ++ attrCols).map(col): _*)
+  }
+
+  /** Group the spec's entries into root chains (each rooted at a
+    * source column; each later entry joins on a column of the chain's
+    * LAST table — strict linear snowflakes, which is what the backward
+    * affected-key propagation assumes) and check referential sanity. */
+  private def dimChains(dims: Seq[DimSpec], srcCols: Seq[String],
+                        colsOf: String => Seq[String]): Seq[Seq[DimSpec]] = {
+    val chains = scala.collection.mutable.ListBuffer.empty[
+      scala.collection.mutable.ListBuffer[DimSpec]]
+    dims.foreach { d =>
+      if (srcCols.contains(d.left))
+        chains += scala.collection.mutable.ListBuffer(d)
+      else {
+        val owner = chains.findLast(ch => colsOf(ch.last.table).contains(d.left))
+        require(owner.isDefined,
+          s"dim ${d.table} joins on '${d.left}', which is neither a " +
+            "source column nor a column of the chain's last dim " +
+            "(specs must be linear: root, then one hop per entry)")
+        owner.get += d
+      }
+    }
+    chains.map(_.toSeq).toSeq
+  }
+
+  /** CREATE a declarative join view: full compute at the current
+    * versions, definition + per-source watermarks registered. Returns
+    * the source version the compute read. */
+  def createJoinView(st: TableStore, view: String, srcName: String,
+                     keys: Seq[String], spec: String,
+                     buckets: Int = 8): Long = {
+    val dims = parseDimSpec(spec)
+    val srcCols = st.read(srcName).schema.fieldNames.toSeq
+    // validate the chain structure NOW, not at first refresh
+    dimChains(dims, srcCols,
+      t => st.read(t).schema.fieldNames.toSeq): Unit
+    val srcV = st.currentVersion(srcName)
+    val dimVers = dims.map(d => d.table -> st.currentVersion(d.table)).toMap
+    st.createBucketed(view,
+      enrichFromSpec(st, dims, dimVers, srcCols)(
+        st.readVersion(srcName, srcV)).withColumn("_live", lit(true)),
+      keys, buckets)
+    st.setProperties(view, Map(
+      "ivm.kind" -> "join", "ivm.source" -> srcName,
+      "ivm.src_keys" -> keys.mkString(","), "ivm.dims" -> spec))
+    st.recordTxns(view, (s"ivm:$srcName" -> srcV) +:
+      dims.map(d => s"ivm:${d.table}" -> dimVers(d.table)))
+    srcV
+  }
+
+  /** REFRESH a declarative join view: absorb the source's window AND
+    * every dim's window (affected FKs propagated backward through each
+    * chain) in one apply; all watermarks advance atomically with the
+    * data. Returns total versions absorbed across all sources. */
+  def refreshJoinView(st: TableStore, view: String): Long = {
+    val props = st.snapshot(view).props
+    require(props.get("ivm.kind").contains("join"),
+      s"$view is not a registered join view " +
+        s"(ivm.kind=${props.get("ivm.kind").getOrElse("absent")})")
+    val srcName = props("ivm.source")
+    val keys = props("ivm.src_keys").split(",").map(_.trim).toSeq
+    val dims = parseDimSpec(props("ivm.dims"))
+    val srcCols = st.read(srcName).schema.fieldNames.toSeq
+    val fromSrc = absorbedFrom(st, view, srcName)
+    val toSrc = st.currentVersion(srcName)
+    val wins = dims.map { d =>
+      d -> (absorbedFrom(st, view, d.table), st.currentVersion(d.table))
+    }.toMap
+    val absorbed = (toSrc - fromSrc) +
+      wins.valuesIterator.map { case (f, t) => t - f }.sum
+    if (absorbed <= 0) return 0L
+    val dimVers = dims.map(d => d.table -> wins(d)._2).toMap
+    // affected FK roots: deepest-first backward walk per chain. A
+    // changed dim's rows surface as its join-in (right) values,
+    // RENAMED to its left column — which is a column of its parent
+    // (or of the source at the root) — so each level's probe and the
+    // final root frame need no name bookkeeping beyond the spec. All
+    // frames here are dim-sized (broadcast class).
+    val roots = dimChains(dims, srcCols, t => st.read(t).schema.fieldNames.toSeq)
+      .flatMap { chain =>
+        if (!chain.exists(d => wins(d)._2 > wins(d)._1)) None
+        else chain.foldRight(Option.empty[DataFrame]) { case (d, below) =>
+          val (f, t) = wins(d)
+          val own =
+            if (t > f) Some(st.readChangesBetween(d.table, f, t)
+              .select(col(d.right)))
+            else None
+          // rows of THIS dim referencing an affected deeper dim (the
+          // below frame's single column is named with the CHILD's
+          // left col — a column of this dim's table)
+          val viaBelow = below.map { bf =>
+            st.readVersion(d.table, t)
+              .join(broadcast(bf.distinct()), Seq(bf.columns.head), "left_semi")
+              .select(col(d.right))
+          }
+          (own.toSeq ++ viaBelow.toSeq)
+            .reduceOption(_ unionByName _)
+            .map(_.select(col(d.right).as(d.left)))
+        }.map(f0 => (f0.distinct(), Seq(chain.head.left)))
+      }
+    // every stamp rides extraTxns, NONE as the primary txn: the
+    // primary's skip-check would discard a dim-only refresh (its
+    // source stamp is already current); idempotence comes from the
+    // watermark-DERIVED windows instead — after this commit the same
+    // windows read empty and the refresh no-ops at the top
+    applyJoinDeltaFeed(st, view,
+      st.readChangesBetween(srcName, fromSrc, toSrc), keys,
+      enrichFromSpec(st, dims, dimVers, srcCols),
+      extraTxns = (s"ivm:$srcName" -> toSrc) +:
+        dims.map(d => s"ivm:${d.table}" -> wins(d)._2),
+      dimAffectedMulti = roots)
+    absorbed
+  }
 
   /** SYMMETRIC delta-join maintenance — view = A ⋈ B where BOTH sides
     * are fact-sized (neither broadcastable): the full algebra

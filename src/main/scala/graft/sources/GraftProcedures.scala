@@ -33,7 +33,8 @@ object GraftProcedures {
     "set_bloom_columns", "history",
     "set_change_feed", "delete_vectorized", "update_vectorized", "clone",
     "compact_where", "compact_small", "enable_row_tracking",
-    "create_agg_view", "refresh_agg_view", "compact_agg_view")
+    "create_agg_view", "refresh_agg_view", "compact_agg_view",
+    "create_join_view", "refresh_join_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -183,6 +184,22 @@ object GraftProcedures {
         val v = in.getUTF8String(0).toString
         graft.ops.Ivm.compactView(store, v)
         result(v, store.read(v).count())
+      }
+      case "create_join_view" => bound(Seq(param("view", StringType),
+          param("source", StringType), param("keys", StringType),
+          param("dims", StringType), param("buckets", IntegerType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // dims spec: `table:left=right:attr1+attr2|next…` — each entry
+        // joins onto the accumulated frame (linear snowflake chains)
+        result(v, graft.ops.Ivm.createJoinView(store, v,
+          in.getUTF8String(1).toString, cols(in.getUTF8String(2).toString),
+          in.getUTF8String(3).toString, in.getInt(4)))
+      }
+      case "refresh_join_view" => bound(Seq(param("view", StringType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // absorbs the source's window AND every dim's window in one
+        // commit; returns total versions absorbed across all sources
+        result(v, graft.ops.Ivm.refreshJoinView(store, v))
       }
       case "history" => bound(Seq(param("table", StringType))) { in =>
         val t = in.getUTF8String(0).toString

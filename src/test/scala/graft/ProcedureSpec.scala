@@ -220,4 +220,50 @@ class ProcedureSpec extends AnyFunSuite {
       ts.read("src").groupBy("grp").agg(countDistinct(col("qty")).as("nd"))
         .as[(Long, Long)].collect().toSet)
   }
+
+  test("declarative join view via CALL: snowflake chain, dim-only " +
+      "refresh propagates through the chain, deletes tombstone") {
+    val root = Files.createTempDirectory("procjv").toString
+    spark.conf.set("spark.sql.catalog.gjv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gjv.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+      .toDF("k", "fk", "qty"))
+    ts.setChangeFeed("src", true)
+    // snowflake: d1 (fk -> region ref + attr), d2 (region -> attr)
+    ts.create("d1", Seq((10L, "a", 7L), (20L, "b", 8L))
+      .toDF("d_fk", "d_attr", "d_reg"))
+    ts.setChangeFeed("d1", true)
+    ts.create("d2", Seq((7L, "r7"), (8L, "r8")).toDF("r_key", "r_name"))
+    ts.setChangeFeed("d2", true)
+    spark.sql("""CALL gjv.system.create_join_view('jv', 'src', 'k',
+                |  'd1:fk=d_fk:d_attr|d2:d_reg=r_key:r_name', 4)""".stripMargin)
+    assert(spark.sql("SELECT k, d_attr, r_name FROM gjv.jv WHERE _live")
+      .as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "r7"), (2L, "a", "r7"), (3L, "b", "r8")))
+    // DEEP dim-only change: d2's r7 renames; the refresh must walk
+    // d2 -> d1 -> src.fk and re-enrich exactly k=1,2
+    ts.update("d2", col("r_key") === 7L, Map("r_name" -> lit("R7!")))
+    assert(spark.sql("CALL gjv.system.refresh_join_view('jv')")
+      .head().getLong(1) === 1L)
+    assert(spark.sql("SELECT k, r_name FROM gjv.jv WHERE _live")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "R7!"), (2L, "R7!"), (3L, "r8")))
+    // source delete + append in one window; deletes tombstone
+    ts.delete("src", col("k") === 2L)
+    ts.append("src", Seq((4L, 20L, 400L)).toDF("k", "fk", "qty"))
+    assert(spark.sql("CALL gjv.system.refresh_join_view('jv')")
+      .head().getLong(1) === 2L)
+    assert(spark.sql("SELECT k FROM gjv.jv WHERE NOT _live")
+      .as[Long].collect().toSeq === Seq(2L))
+    // idle refresh no-ops; compact sweeps the tombstone
+    assert(spark.sql("CALL gjv.system.refresh_join_view('jv')")
+      .head().getLong(1) === 0L)
+    spark.sql("CALL gjv.system.compact_agg_view('jv')")
+    assert(ts.read("jv").count() === 3)
+    assert(spark.sql("SELECT k, qty, d_attr, r_name FROM gjv.jv WHERE _live")
+      .as[(Long, Long, String, String)].collect().toSet ===
+      Set((1L, 100L, "a", "R7!"), (3L, 300L, "b", "r8"),
+        (4L, 400L, "b", "r8")))
+  }
 }
