@@ -114,6 +114,38 @@ object QueriesMutation {
            |LEFT JOIN dc ON f.o_custkey = dc.c_custkey
            |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey""".stripMargin)
 
+  /** mv5's oracle (shared with sql_matview_dag — the registered DAG
+    * and the library cascade must be digest-equal): replay the silver
+    * backlog + dim renames, join, roll up per nation. */
+  private val Mv5OracleSql: Option[String] =
+    Some("""WITH sil0 AS (
+           |  SELECT o_orderkey, o_custkey, o_orderkey % 1000 + 1 AS price_c,
+           |         o_orderstatus AS status
+           |  FROM orders WHERE o_orderkey % 3 = 0),
+           |upd AS (
+           |  SELECT o_orderkey, o_custkey,
+           |    CASE WHEN o_orderkey % 5 = 0 THEN price_c + 7 ELSE price_c END AS price_c,
+           |    status
+           |  FROM sil0),
+           |del AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0),
+           |fin AS (SELECT * FROM del
+           |        UNION ALL
+           |        SELECT o_orderkey, o_custkey, o_orderkey % 1000 + 1, o_orderstatus
+           |        FROM orders WHERE o_orderkey % 3 = 1),
+           |dc AS (SELECT c_custkey,
+           |         CASE WHEN c_custkey % 4 = 0 THEN c_name || '!' ELSE c_name END AS c_name,
+           |         c_nationkey
+           |       FROM customer),
+           |dn AS (SELECT n_nationkey,
+           |         CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS n_name
+           |       FROM nation)
+           |SELECT dn.n_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(f.price_c) AS BIGINT) AS sum_price_c
+           |FROM fin f
+           |LEFT JOIN dc ON f.o_custkey = dc.c_custkey
+           |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey
+           |GROUP BY 1""".stripMargin)
+
   /** ONE oracle text for m24_merge_evolve and sql_merge_evolve — the
     * library call and the SQL surface run the same evolution + merge
     * semantics, so their driver digests must be equal by construction
@@ -1378,33 +1410,7 @@ object QueriesMutation {
         graft.ops.Ivm.readView(st, "agg")
           .select(col("n_name"), col("n_rows"), col("sum_qty").as("sum_price_c"))
       },
-      Some("""WITH sil0 AS (
-             |  SELECT o_orderkey, o_custkey, o_orderkey % 1000 + 1 AS price_c,
-             |         o_orderstatus AS status
-             |  FROM orders WHERE o_orderkey % 3 = 0),
-             |upd AS (
-             |  SELECT o_orderkey, o_custkey,
-             |    CASE WHEN o_orderkey % 5 = 0 THEN price_c + 7 ELSE price_c END AS price_c,
-             |    status
-             |  FROM sil0),
-             |del AS (SELECT * FROM upd WHERE o_orderkey % 7 <> 0),
-             |fin AS (SELECT * FROM del
-             |        UNION ALL
-             |        SELECT o_orderkey, o_custkey, o_orderkey % 1000 + 1, o_orderstatus
-             |        FROM orders WHERE o_orderkey % 3 = 1),
-             |dc AS (SELECT c_custkey,
-             |         CASE WHEN c_custkey % 4 = 0 THEN c_name || '!' ELSE c_name END AS c_name,
-             |         c_nationkey
-             |       FROM customer),
-             |dn AS (SELECT n_nationkey,
-             |         CASE WHEN n_nationkey % 2 = 0 THEN n_name || '!' ELSE n_name END AS n_name
-             |       FROM nation)
-             |SELECT dn.n_name, CAST(count(*) AS BIGINT) AS n_rows,
-             |  CAST(sum(f.price_c) AS BIGINT) AS sum_price_c
-             |FROM fin f
-             |LEFT JOIN dc ON f.o_custkey = dc.c_custkey
-             |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey
-             |GROUP BY 1""".stripMargin)),
+      Mv5OracleSql),
 
     // ---- mv6: SYMMETRIC two-big-sided delta join — the IVM class
     //      beyond the star: view = A ⋈ B where NEITHER side is
@@ -1588,6 +1594,67 @@ object QueriesMutation {
                 |FROM graft.jvfact WHERE _live""".stripMargin)
       },
       Mv4OracleSql),
+
+    // ---- THE REGISTERED DAG: mv5's two-level pipeline (silver →
+    //      star join → per-nation rollup) built ENTIRELY from SQL
+    //      objects — create_join_view + set_change_feed on the view +
+    //      create_agg_view SOURCED FROM THE JOIN VIEW — and refreshed
+    //      root-to-leaf by ONE CALL per cycle: refresh_agg_view walks
+    //      ivm.source, refreshes the join view first (source + dim
+    //      windows, affected keys self-derived), then absorbs the
+    //      join view's own feed filtered to its live face (a pair's
+    //      tombstoning retracts; a dim rename that moves rows between
+    //      nations re-groups through the pre/postimage pair). Oracle:
+    //      mv5's — the registered DAG and the library cascade must be
+    //      digest-EQUAL. ----
+    "sql_matview_dag" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "dgsrc")
+        Seq("dgfact", "dgagg", "dgdc", "dgdn").foreach(t =>
+          graft.core.FsUtil.deleteRecursively(
+            new java.io.File(s"/tmp/graft_qstore/sqlcat/$t")))
+        val orders = Tables.orders(s, dir)
+        val silverAll = orders.select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 1000 + 1).as("price_c"),
+          col("o_orderstatus").as("status"))
+        st.createEmpty("dgsrc", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, price_c BIGINT, status STRING"))
+        st.setChangeFeed("dgsrc", true)
+        st.append("dgsrc", silverAll.filter(col("o_orderkey") % 3 === 0))
+        st.create("dgdc", Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+        st.setChangeFeed("dgdc", true)
+        st.create("dgdn", Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name")))
+        st.setChangeFeed("dgdn", true)
+        s.sql("""CALL graft.system.create_join_view('dgfact', 'dgsrc',
+                |  'o_orderkey',
+                |  'dgdc:o_custkey=c_custkey:c_name|dgdn:c_nationkey=n_nationkey:n_name',
+                |  8)""".stripMargin)
+        s.sql("CALL graft.system.set_change_feed('dgfact', true)")
+        s.sql("""CALL graft.system.create_agg_view(
+                |  'dgagg', 'dgfact', 'n_name', 'price_c', 'count_sum', 4)""".stripMargin)
+        // cycle 1: the silver backlog, absorbed through BOTH levels
+        st.updateVectorized("dgsrc", col("o_orderkey") % 5 === 0,
+          Map("price_c" -> (col("price_c") + 7L)))
+        st.deleteVectorized("dgsrc", col("o_orderkey") % 7 === 0)
+        st.append("dgsrc", silverAll.filter(col("o_orderkey") % 3 === 1))
+        s.sql("CALL graft.system.refresh_agg_view('dgagg')")
+        // cycle 2: dim-only — the nation rename MOVES rows between
+        // the rollup's groups
+        st.updateVectorized("dgdc", col("c_custkey") % 4 === 0,
+          Map("c_name" -> concat(col("c_name"), lit("!"))))
+        st.updateVectorized("dgdn", col("n_nationkey") % 2 === 0,
+          Map("n_name" -> concat(col("n_name"), lit("!"))))
+        s.sql("CALL graft.system.refresh_agg_view('dgagg')")
+        val r3 = s.sql("CALL graft.system.refresh_agg_view('dgagg')")
+          .head().getLong(1)
+        require(r3 == 0L, s"idle DAG refresh must absorb nothing, got $r3")
+        s.sql("CALL graft.system.compact_agg_view('dgagg')")
+        s.sql("""SELECT n_name, n_rows, sum_qty AS sum_price_c
+                |FROM graft.dgagg WHERE n_rows > 0""".stripMargin)
+      },
+      Mv5OracleSql),
 
     // ---- ROW-ID LINEAGE: row ids partition by origin commit (initial
     //      load gets [0, n0), later appends get ids >= n0) and SURVIVE

@@ -91,7 +91,12 @@ object Ivm {
       .agg(sum(sgn).as("dn"), sum(sgn * col(valueCol)).as("dsum"),
         badKinds.as("__bad"))
       .localCheckpoint() // reused: kind gate, pruned view read, guard, upsert
-    if (delta.isEmpty) return
+    if (delta.isEmpty) {
+      // nothing to apply, but the watermark still advances (a window
+      // holding only metadata commits must not replay forever)
+      txn.foreach(t => st.recordTxns(view, Seq(t)))
+      return
+    }
     requireKnownKinds(delta, view)
     val old = st.read(view)
       .join(broadcast(delta.select(keys: _*)), groupCols, "left_semi")
@@ -142,15 +147,23 @@ object Ivm {
       st.recordTxn(name, s"ivm:$src", v)
     }
     val v = st.currentVersion(srcName)
+    // a registered-join-view source seeds from its LIVE face — its
+    // table rows include `_live=false` tombstones awaiting sweep
+    def srcFrame: DataFrame = {
+      val f = st.readVersion(srcName, v)
+      if (st.snapshot(srcName).props.get("ivm.kind").contains("join"))
+        f.filter(col("_live"))
+      else f
+    }
     kind match {
       case "count_sum" =>
-        st.createBucketed(view, st.readVersion(srcName, v)
+        st.createBucketed(view, srcFrame
           .groupBy(groupCols.map(col): _*)
           .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_qty")),
           groupCols, buckets)
         stamp(view, srcName, groupCols, "count_sum", v)
       case "max" =>
-        st.createBucketed(view, st.readVersion(srcName, v)
+        st.createBucketed(view, srcFrame
           .groupBy(groupCols.map(col): _*)
           .agg(max(col(valueCol)).as("mx")),
           groupCols, buckets)
@@ -158,7 +171,7 @@ object Ivm {
       case "distinct" =>
         val aux = s"${view}__aux"
         val auxKeys = groupCols :+ valueCol
-        st.createBucketed(aux, st.readVersion(srcName, v)
+        st.createBucketed(aux, srcFrame
           .groupBy(auxKeys.map(col): _*)
           .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_qty")),
           groupCols, buckets)
@@ -201,42 +214,59 @@ object Ivm {
     * data and bookkeeping move atomically, so a crashed refresh either
     * fully happened or fully didn't, and a re-run converges either
     * way (the `distinct` cascade resumes level-by-level on the same
-    * principle). Concurrent refreshes race commit-exclusively (loser
-    * loud, re-run no-ops). Returns the number of source versions
-    * absorbed at the view's OWN level. */
-  def refreshView(st: TableStore, view: String): Long = {
+    * principle). Views COMPOSE into DAGs: a view whose SOURCE is
+    * itself a registered view (e.g. a rollup over a join view with its
+    * change feed on) refreshes root-to-leaf in this one call — each
+    * level absorbs the feed the level below just produced; a join-view
+    * source's feed is filtered to its live face so tombstone upserts
+    * retract cleanly through the pre/postimage algebra. Concurrent
+    * refreshes race commit-exclusively (loser loud, re-run no-ops).
+    * Returns the number of source versions absorbed at the view's OWN
+    * level. */
+  def refreshView(st: TableStore, view: String): Long =
+    refreshViewBounded(st, view, depth = 0)
+
+  private val MaxDagDepth = 8
+  private def refreshViewBounded(st: TableStore, view: String,
+                                 depth: Int): Long = {
+    require(depth < MaxDagDepth,
+      s"materialized-view DAG deeper than $MaxDagDepth at $view — " +
+        "cyclic ivm.source chain?")
     val (kind, srcName, groupCols, valueCol) = viewDef(st, view)
+    // cascade: a registered-view source refreshes FIRST (any kind —
+    // the distinct aux, a join view under a rollup, ...)
+    val srcProps = st.snapshot(srcName).props
+    val srcIsView = srcProps.contains("ivm.kind")
+    if (srcIsView) {
+      if (srcProps("ivm.kind") == "join") refreshJoinView(st, srcName): Unit
+      else refreshViewBounded(st, srcName, depth + 1): Unit
+    }
+    // a join-view source surfaces tombstone upserts in its feed; the
+    // live filter makes a pair's birth/death a clean ±1 (n_rows > 0
+    // plays the same role for the distinct aux's multiplicities)
+    def feedFilter(df: DataFrame): DataFrame =
+      if (srcIsView && srcProps("ivm.kind") == "join") df.filter(col("_live"))
+      else if (kind == "distinct") df.filter(col("n_rows") > 0L)
+      else df
     val from = absorbedFrom(st, view, srcName)
+    val to = st.currentVersion(srcName)
     kind match {
-      case "count_sum" =>
-        val to = st.currentVersion(srcName)
+      case "count_sum" | "distinct" =>
         if (to > from)
           applyCountSumDelta(st, view,
-            st.readChangesBetween(srcName, from, to), groupCols, valueCol,
-            txn = Some((s"ivm:$srcName", to)))
-        math.max(0L, to - from)
+            feedFilter(st.readChangesBetween(srcName, from, to)),
+            groupCols, valueCol, txn = Some((s"ivm:$srcName", to)))
       case "max" =>
-        val to = st.currentVersion(srcName)
         if (to > from)
           applyMaxDelta(st, view, srcName, to,
-            st.readChangesBetween(srcName, from, to), groupCols, valueCol,
-            txn = Some((s"ivm:$srcName", to)))
-        math.max(0L, to - from)
-      case "distinct" =>
-        // level 1 first (srcName IS the aux table), then this level
-        // absorbs the aux feed the level-1 refresh just produced;
-        // live-multiplicity filter makes value birth/death a clean ±1
-        refreshView(st, srcName): Unit
-        val to = st.currentVersion(srcName)
-        if (to > from)
-          applyCountSumDelta(st, view,
-            st.readChangesBetween(srcName, from, to)
-              .filter(col("n_rows") > 0L),
-            groupCols, valueCol, txn = Some((s"ivm:$srcName", to)))
-        math.max(0L, to - from)
+            feedFilter(st.readChangesBetween(srcName, from, to)),
+            groupCols, valueCol, txn = Some((s"ivm:$srcName", to)),
+            srcFilter = if (srcIsView && srcProps("ivm.kind") == "join")
+              Some(col("_live")) else None)
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other'")
     }
+    math.max(0L, to - from)
   }
 
   /** Conflict-safe tombstone sweep of a registered view (the
@@ -278,9 +308,10 @@ object Ivm {
   def applyMaxDelta(st: TableStore, view: String, srcName: String,
                     srcVersion: Long, feed: DataFrame,
                     groupCols: Seq[String], valueCol: String,
-                    txn: Option[(String, Long)] = None): Unit =
+                    txn: Option[(String, Long)] = None,
+                    srcFilter: Option[Column] = None): Unit =
     applyExtremeDelta(st, view, srcName, srcVersion, feed, groupCols,
-      valueCol, txn, maxNotMin = true)
+      valueCol, txn, maxNotMin = true, srcFilter)
 
   /** MIN with retraction — [[applyMaxDelta]]'s mirror (lowers absorb by
     * algebra; a retraction reaching the stored min recomputes). */
@@ -295,7 +326,8 @@ object Ivm {
                                 srcVersion: Long, feed: DataFrame,
                                 groupCols: Seq[String], valueCol: String,
                                 txn: Option[(String, Long)],
-                                maxNotMin: Boolean): Unit = {
+                                maxNotMin: Boolean,
+                                srcFilter: Option[Column] = None): Unit = {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
     def ext(c: org.apache.spark.sql.Column) = if (maxNotMin) max(c) else min(c)
@@ -306,7 +338,10 @@ object Ivm {
         ext(when(!isIns, col(valueCol))).as("mx_ret"),
         badKinds.as("__bad"))
       .localCheckpoint()
-    if (touched.isEmpty) return
+    if (touched.isEmpty) {
+      txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
+      return
+    }
     requireKnownKinds(touched, view)
     val old = st.read(view)
       .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
@@ -328,7 +363,10 @@ object Ivm {
     // the write — without the checkpoint the version-pinned source
     // aggregate would re-execute per consumer (same guard
     // applyCountSumDelta puts on `next`)
-    val recomputed = st.readVersion(srcName, srcVersion)
+    // srcFilter: a registered-view source's live face (e.g. `_live` on
+    // a join view) — the recompute must not count tombstoned rows
+    val recomputed = srcFilter
+      .foldLeft(st.readVersion(srcName, srcVersion))(_ filter _)
       .join(broadcast(hard), groupCols, "left_semi")
       .groupBy(keys: _*).agg(ext(col(valueCol)).as("mx"))
       .localCheckpoint()
