@@ -146,6 +146,37 @@ object QueriesMutation {
            |LEFT JOIN dn ON dc.c_nationkey = dn.n_nationkey
            |GROUP BY 1""".stripMargin)
 
+  /** mv6's oracle (shared with sql_matview_join2): replay both sides,
+    * inner-join the final states. */
+  private val Mv6OracleSql: Option[String] =
+    Some("""WITH a0 AS (SELECT o_orderkey, o_custkey, o_totalprice AS price
+             |            FROM orders WHERE o_orderkey % 3 = 0),
+             |a1 AS (SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 11 = 0 THEN o_custkey % 500 + 1
+             |              ELSE o_custkey END AS o_custkey,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN price + 1000
+             |              ELSE price END AS price
+             |       FROM a0),
+             |a2 AS (SELECT * FROM a1 WHERE o_orderkey % 7 <> 0),
+             |af AS (SELECT * FROM a2
+             |       UNION ALL
+             |       SELECT o_orderkey, o_custkey, o_totalprice
+             |       FROM orders WHERE o_orderkey % 3 = 1),
+             |b0 AS (SELECT event_id, user_id, event_type
+             |       FROM events WHERE event_id % 2 = 0),
+             |b1 AS (SELECT event_id,
+             |         CASE WHEN event_id % 9 = 0 THEN user_id % 500 + 1
+             |              ELSE user_id END AS user_id,
+             |         event_type
+             |       FROM b0),
+             |b2 AS (SELECT * FROM b1 WHERE event_id % 5 <> 0),
+             |bf AS (SELECT * FROM b2
+             |       UNION ALL
+             |       SELECT event_id, user_id, event_type
+             |       FROM events WHERE event_id % 2 = 1)
+             |SELECT a.o_orderkey, b.event_id, a.o_custkey, a.price, b.event_type
+             |FROM af a JOIN bf b ON a.o_custkey = b.user_id""".stripMargin)
+
   /** ONE oracle text for m24_merge_evolve and sql_merge_evolve — the
     * library call and the SQL surface run the same evolution + merge
     * semantics, so their driver digests must be equal by construction
@@ -1468,33 +1499,60 @@ object QueriesMutation {
           Seq("o_orderkey", "event_id"))
         graft.ops.Ivm.readJoinView(st, "pairs")
       },
-      Some("""WITH a0 AS (SELECT o_orderkey, o_custkey, o_totalprice AS price
-             |            FROM orders WHERE o_orderkey % 3 = 0),
-             |a1 AS (SELECT o_orderkey,
-             |         CASE WHEN o_orderkey % 11 = 0 THEN o_custkey % 500 + 1
-             |              ELSE o_custkey END AS o_custkey,
-             |         CASE WHEN o_orderkey % 5 = 0 THEN price + 1000
-             |              ELSE price END AS price
-             |       FROM a0),
-             |a2 AS (SELECT * FROM a1 WHERE o_orderkey % 7 <> 0),
-             |af AS (SELECT * FROM a2
-             |       UNION ALL
-             |       SELECT o_orderkey, o_custkey, o_totalprice
-             |       FROM orders WHERE o_orderkey % 3 = 1),
-             |b0 AS (SELECT event_id, user_id, event_type
-             |       FROM events WHERE event_id % 2 = 0),
-             |b1 AS (SELECT event_id,
-             |         CASE WHEN event_id % 9 = 0 THEN user_id % 500 + 1
-             |              ELSE user_id END AS user_id,
-             |         event_type
-             |       FROM b0),
-             |b2 AS (SELECT * FROM b1 WHERE event_id % 5 <> 0),
-             |bf AS (SELECT * FROM b2
-             |       UNION ALL
-             |       SELECT event_id, user_id, event_type
-             |       FROM events WHERE event_id % 2 = 1)
-             |SELECT a.o_orderkey, b.event_id, a.o_custkey, a.price, b.event_type
-             |FROM af a JOIN bf b ON a.o_custkey = b.user_id""".stripMargin)),
+      Mv6OracleSql),
+
+    // ---- REGISTERED two-sided join view through SQL: mv6's pair view
+    //      (orders × events by customer, both sides fact-sized)
+    //      declared with CALL create_join2_view — the join condition
+    //      and projection are pure data, so the definition fits the
+    //      registry — then the WHOLE mutation history (join-key moves,
+    //      deletes, appends on BOTH sides) absorbed by one CALL
+    //      refresh_join2_view deriving both windows itself. Oracle:
+    //      mv6's — digest-equal to the library call. ----
+    "sql_matview_join2" -> QDef(
+      (s, dir) => {
+        val st = sqlCatalogStore(s, "j2a")
+        Seq("j2b", "j2v").foreach(t =>
+          graft.core.FsUtil.deleteRecursively(
+            new java.io.File(s"/tmp/graft_qstore/sqlcat/$t")))
+        val ordersAll = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice").as("price"))
+        val eventsAll = Tables.events(s, dir).select(col("event_id"),
+          col("user_id"), col("event_type"))
+        st.createEmpty("j2a", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE"))
+        st.setChangeFeed("j2a", true)
+        st.append("j2a", ordersAll.filter(col("o_orderkey") % 3 === 0))
+        st.createEmpty("j2b", org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, event_type STRING"))
+        st.setChangeFeed("j2b", true)
+        st.append("j2b", eventsAll.filter(col("event_id") % 2 === 0))
+        s.sql("""CALL graft.system.create_join2_view('j2v', 'j2a',
+                |  'o_orderkey', 'j2b', 'event_id', 'o_custkey=user_id',
+                |  'event_type', 8)""".stripMargin)
+        // the mv6 history on both sides, one refresh window
+        st.updateVectorized("j2a", col("o_orderkey") % 11 === 0,
+          Map("o_custkey" -> (col("o_custkey") % 500 + 1)))
+        st.updateVectorized("j2a", col("o_orderkey") % 5 === 0,
+          Map("price" -> (col("price") + 1000d)))
+        st.deleteVectorized("j2a", col("o_orderkey") % 7 === 0)
+        st.append("j2a", ordersAll.filter(col("o_orderkey") % 3 === 1))
+        st.updateVectorized("j2b", col("event_id") % 9 === 0,
+          Map("user_id" -> (col("user_id") % 500 + 1)))
+        st.deleteVectorized("j2b", col("event_id") % 5 === 0)
+        st.append("j2b", eventsAll.filter(col("event_id") % 2 === 1))
+        val r1 = s.sql("CALL graft.system.refresh_join2_view('j2v')")
+          .head().getLong(1)
+        require(r1 == 7L, s"refresh must absorb 4 + 3 versions, got $r1")
+        val r2 = s.sql("CALL graft.system.refresh_join2_view('j2v')")
+          .head().getLong(1)
+        require(r2 == 0L, s"idle refresh must absorb nothing, got $r2")
+        s.sql("CALL graft.system.compact_agg_view('j2v')")
+        s.sql("""SELECT o_orderkey, event_id, o_custkey, price, event_type
+                |FROM graft.j2v WHERE _live""".stripMargin)
+      },
+      Mv6OracleSql),
+
 
     // ---- MATERIALIZED VIEWS AS FIRST-CLASS SQL OBJECTS: CREATE /
     //      REFRESH / COMPACT driven entirely through CALL procedures.

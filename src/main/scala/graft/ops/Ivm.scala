@@ -162,12 +162,13 @@ object Ivm {
           .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_qty")),
           groupCols, buckets)
         stamp(view, srcName, groupCols, "count_sum", v)
-      case "max" =>
+      case "max" | "min" =>
         st.createBucketed(view, srcFrame
           .groupBy(groupCols.map(col): _*)
-          .agg(max(col(valueCol)).as("mx")),
+          .agg((if (kind == "max") max(col(valueCol))
+                else min(col(valueCol))).as("mx")),
           groupCols, buckets)
-        stamp(view, srcName, groupCols, "max", v)
+        stamp(view, srcName, groupCols, kind, v)
       case "distinct" =>
         val aux = s"${view}__aux"
         val auxKeys = groupCols :+ valueCol
@@ -186,7 +187,7 @@ object Ivm {
         stamp(view, aux, groupCols, "distinct", auxV)
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other' " +
-          "(count_sum | max | distinct)")
+          "(count_sum | max | min | distinct)")
     }
     v
   }
@@ -256,12 +257,14 @@ object Ivm {
           applyCountSumDelta(st, view,
             feedFilter(st.readChangesBetween(srcName, from, to)),
             groupCols, valueCol, txn = Some((s"ivm:$srcName", to)))
-      case "max" =>
+      case "max" | "min" =>
+        val applyFn =
+          if (kind == "max") applyMaxDelta _ else applyMinDelta _
         if (to > from)
-          applyMaxDelta(st, view, srcName, to,
+          applyFn(st, view, srcName, to,
             feedFilter(st.readChangesBetween(srcName, from, to)),
-            groupCols, valueCol, txn = Some((s"ivm:$srcName", to)),
-            srcFilter = if (srcIsView && srcProps("ivm.kind") == "join")
+            groupCols, valueCol, Some((s"ivm:$srcName", to)),
+            if (srcIsView && srcProps("ivm.kind") == "join")
               Some(col("_live")) else None)
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other'")
@@ -278,10 +281,13 @@ object Ivm {
       s"$view is not a registered materialized view (no ivm.kind)")) match {
       case "join" => compactDeadJoin(st, view,
         props("ivm.src_keys").split(",").map(_.trim).toSeq)
+      case "join2" => compactDeadJoin(st, view,
+        (props("ivm.a_keys") + "," + props("ivm.b_keys"))
+          .split(",").map(_.trim).toSeq)
       case "count_sum" =>
         compactDead(st, view,
           props("ivm.group_cols").split(",").map(_.trim).toSeq)
-      case "max" =>
+      case "max" | "min" =>
         compactDeadMax(st, view,
           props("ivm.group_cols").split(",").map(_.trim).toSeq)
       case "distinct" =>
@@ -318,9 +324,10 @@ object Ivm {
   def applyMinDelta(st: TableStore, view: String, srcName: String,
                     srcVersion: Long, feed: DataFrame,
                     groupCols: Seq[String], valueCol: String,
-                    txn: Option[(String, Long)] = None): Unit =
+                    txn: Option[(String, Long)] = None,
+                    srcFilter: Option[Column] = None): Unit =
     applyExtremeDelta(st, view, srcName, srcVersion, feed, groupCols,
-      valueCol, txn, maxNotMin = false)
+      valueCol, txn, maxNotMin = false, srcFilter)
 
   private def applyExtremeDelta(st: TableStore, view: String, srcName: String,
                                 srcVersion: Long, feed: DataFrame,
@@ -756,7 +763,8 @@ object Ivm {
                              bName: String, bFrom: Long, bTo: Long,
                              bKeys: Seq[String],
                              combine: (DataFrame, DataFrame) => DataFrame,
-                             txn: Option[(String, Long)] = None): Unit = {
+                             txn: Option[(String, Long)] = None,
+                             extraTxns: Seq[(String, Long)] = Nil): Unit = {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
     val viewSchema = st.read(view).schema
@@ -767,7 +775,11 @@ object Ivm {
       s"applyTwoSidedJoinDelta: $view must carry both sides' keys")
     val aLast = lastStatePerKey(st.readChangesBetween(aName, aFrom, aTo), aKeys)
     val bLast = lastStatePerKey(st.readChangesBetween(bName, bFrom, bTo), bKeys)
-    if (aLast.isEmpty && bLast.isEmpty) return
+    if (aLast.isEmpty && bLast.isEmpty) {
+      val stamps = txn.toSeq ++ extraTxns
+      if (stamps.nonEmpty) st.recordTxns(view, stamps) // see applyJoinDeltaFeed
+      return
+    }
     val aMeta = Seq("_change_type", "_commit_version")
     val aLive = aLast.filter(col("_change_type") =!= "delete").drop(aMeta: _*)
     val bLive = bLast.filter(col("_change_type") =!= "delete").drop(aMeta: _*)
@@ -793,7 +805,73 @@ object Ivm {
         else if (f.name == "_live") lit(false).as("_live")
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
     st.mergeUpsert(view, live.unionByName(dead).localCheckpoint(),
-      viewKeys, changeTypeCol = None, txn = txn)
+      viewKeys, changeTypeCol = None, txn = txn, extraTxns = extraTxns)
+  }
+
+  /** CREATE a registered two-sided join view (view = A ⋈ B, both
+    * fact-sized): the join condition and B-side projection are pure
+    * data (`bJoin` = "aCol=bCol"; view columns = ALL of A's ++ B's
+    * keys ++ `bAttrs`), so the definition registers like the others
+    * and REFRESH self-drives both windows. */
+  def createJoin2View(st: TableStore, view: String,
+                      aName: String, aKeys: Seq[String],
+                      bName: String, bKeys: Seq[String],
+                      bJoin: String, bAttrs: Seq[String],
+                      buckets: Int = 8): Long = {
+    val (jl, jr) = bJoin.split('=') match {
+      case Array(l, r) => (l.trim, r.trim)
+      case _ => throw new IllegalArgumentException(
+        s"join '$bJoin' is not of the form aCol=bCol")
+    }
+    val aV = st.currentVersion(aName)
+    val bV = st.currentVersion(bName)
+    st.createBucketed(view,
+      join2Combine(st, aName, jl, jr, bKeys, bAttrs)(
+        st.readVersion(aName, aV), st.readVersion(bName, bV))
+        .withColumn("_live", lit(true)),
+      aKeys, buckets)
+    st.setProperties(view, Map(
+      "ivm.kind" -> "join2",
+      "ivm.source" -> aName, "ivm.a_keys" -> aKeys.mkString(","),
+      "ivm.b" -> bName, "ivm.b_keys" -> bKeys.mkString(","),
+      "ivm.b_join" -> bJoin, "ivm.b_attrs" -> bAttrs.mkString(",")))
+    st.recordTxns(view, Seq(s"ivm:$aName" -> aV, s"ivm:$bName" -> bV))
+    aV
+  }
+
+  private def join2Combine(st: TableStore, aName: String,
+                           jl: String, jr: String, bKeys: Seq[String],
+                           bAttrs: Seq[String])
+      : (DataFrame, DataFrame) => DataFrame = {
+    val aCols = st.read(aName).schema.fieldNames.toSeq
+    val bOut = (bKeys ++ bAttrs).distinct
+    (a, b) => a.join(b.select((bOut :+ jr).distinct.map(col): _*),
+        col(jl) === col(jr))
+      .select((aCols ++ bOut).map(col): _*)
+  }
+
+  /** REFRESH a registered two-sided join view: both sides' windows
+    * derive from the registry and both watermarks advance in the
+    * apply's one commit. Returns total versions absorbed. */
+  def refreshJoin2View(st: TableStore, view: String): Long = {
+    val props = st.snapshot(view).props
+    require(props.get("ivm.kind").contains("join2"),
+      s"$view is not a registered two-sided join view " +
+        s"(ivm.kind=${props.get("ivm.kind").getOrElse("absent")})")
+    def csv(k: String) = props(k).split(",").map(_.trim).toSeq
+    val (aName, bName) = (props("ivm.source"), props("ivm.b"))
+    val (aKeys, bKeys) = (csv("ivm.a_keys"), csv("ivm.b_keys"))
+    val Array(jl, jr) = props("ivm.b_join").split('=').map(_.trim)
+    val bAttrs = csv("ivm.b_attrs")
+    val (fromA, toA) = (absorbedFrom(st, view, aName), st.currentVersion(aName))
+    val (fromB, toB) = (absorbedFrom(st, view, bName), st.currentVersion(bName))
+    val absorbed = (toA - fromA) + (toB - fromB)
+    if (absorbed <= 0) return 0L
+    applyTwoSidedJoinDelta(st, view, aName, fromA, toA, aKeys,
+      bName, fromB, toB, bKeys,
+      join2Combine(st, aName, jl, jr, bKeys, bAttrs),
+      extraTxns = Seq(s"ivm:$aName" -> toA, s"ivm:$bName" -> toB))
+    absorbed
   }
 
   /** Conflict-safe tombstone sweep: the dead set is computed from a

@@ -34,7 +34,8 @@ object GraftProcedures {
     "set_change_feed", "delete_vectorized", "update_vectorized", "clone",
     "compact_where", "compact_small", "enable_row_tracking",
     "create_agg_view", "refresh_agg_view", "compact_agg_view",
-    "create_join_view", "refresh_join_view")
+    "create_join_view", "refresh_join_view",
+    "create_join2_view", "refresh_join2_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -200,6 +201,26 @@ object GraftProcedures {
         // absorbs the source's window AND every dim's window in one
         // commit; returns total versions absorbed across all sources
         result(v, graft.ops.Ivm.refreshJoinView(store, v))
+      }
+      case "create_join2_view" => bound(Seq(param("view", StringType),
+          param("a", StringType), param("a_keys", StringType),
+          param("b", StringType), param("b_keys", StringType),
+          param("join", StringType), param("b_attrs", StringType),
+          param("buckets", IntegerType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // view = A ⋈ B with BOTH sides fact-sized; join = "aCol=bCol";
+        // view columns = all of A's ++ B's keys ++ b_attrs
+        result(v, graft.ops.Ivm.createJoin2View(store, v,
+          in.getUTF8String(1).toString, cols(in.getUTF8String(2).toString),
+          in.getUTF8String(3).toString, cols(in.getUTF8String(4).toString),
+          in.getUTF8String(5).toString, cols(in.getUTF8String(6).toString),
+          in.getInt(7)))
+      }
+      case "refresh_join2_view" => bound(Seq(param("view", StringType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // both sides' windows derive from the registry; both
+        // watermarks advance in the apply's one commit
+        result(v, graft.ops.Ivm.refreshJoin2View(store, v))
       }
       case "history" => bound(Seq(param("table", StringType))) { in =>
         val t = in.getUTF8String(0).toString

@@ -266,4 +266,43 @@ class ProcedureSpec extends AnyFunSuite {
       Set((1L, 100L, "a", "R7!"), (3L, 300L, "b", "r8"),
         (4L, 400L, "b", "r8")))
   }
+
+  test("registered two-sided join view and the min kind via CALL") {
+    val root = Files.createTempDirectory("procj2").toString
+    spark.conf.set("spark.sql.catalog.gj2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gj2.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("ta", Seq((1L, 10L, 5L), (2L, 10L, 9L), (3L, 20L, 3L))
+      .toDF("ka", "j", "qty"))
+    ts.setChangeFeed("ta", true)
+    ts.create("tb", Seq((100L, 10L, "x"), (200L, 20L, "y"))
+      .toDF("kb", "bj", "tag"))
+    ts.setChangeFeed("tb", true)
+    spark.sql("""CALL gj2.system.create_join2_view('pairs', 'ta', 'ka',
+                |  'tb', 'kb', 'j=bj', 'tag', 4)""".stripMargin)
+    assert(spark.sql("SELECT ka, kb FROM gj2.pairs WHERE _live")
+      .as[(Long, Long)].collect().toSet ===
+      Set((1L, 100L), (2L, 100L), (3L, 200L)))
+    // min view over ta through the registry
+    spark.sql("CALL gj2.system.create_agg_view('vmin', 'ta', 'j', 'qty', 'min', 4)")
+    assert(spark.sql("SELECT j, mx FROM gj2.vmin WHERE mx IS NOT NULL")
+      .as[(Long, Long)].collect().toSet === Set((10L, 5L), (20L, 3L)))
+    // B-side join-key move + A-side delete, one refresh for each view
+    ts.update("tb", col("kb") === 200L, Map("bj" -> lit(10L)))
+    ts.delete("ta", col("ka") === 3L) // grp 20's min-holder dies
+    assert(spark.sql("CALL gj2.system.refresh_join2_view('pairs')")
+      .head().getLong(1) === 2L)
+    assert(spark.sql("SELECT ka, kb FROM gj2.pairs WHERE _live")
+      .as[(Long, Long)].collect().toSet ===
+      Set((1L, 100L), (2L, 100L), (1L, 200L), (2L, 200L)))
+    assert(spark.sql("CALL gj2.system.refresh_agg_view('vmin')")
+      .head().getLong(1) === 1L)
+    // grp 20 emptied -> NULL tombstone filtered by the face; grp 10's
+    // min survives its non-minimal retraction arm untouched
+    assert(spark.sql("SELECT j, mx FROM gj2.vmin WHERE mx IS NOT NULL")
+      .as[(Long, Long)].collect().toSet === Set((10L, 5L)))
+    // compact sweeps the two-sided view's tombstones
+    spark.sql("CALL gj2.system.compact_agg_view('pairs')")
+    assert(ts.read("pairs").count() === 4)
+  }
 }
