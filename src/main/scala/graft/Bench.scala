@@ -240,6 +240,17 @@ object Bench {
     var pass = 0
     while (suspect.exists(timings.contains) && pass < 3) {
       pass += 1
+      // cool-down (r12 VERDICT #7): burning a re-run pass against LIVE
+      // contention just re-records poisoned numbers and exhausts the
+      // pass budget — wait (bounded) for a clean probe window first.
+      // BENCH_r12 re-measured 125 queries mid-contention and still
+      // closed dirty; ninety seconds of patience is cheaper.
+      var cool = 0
+      while (!probeCleanNow() && cool < 6) {
+        cool += 1
+        System.err.println(s"[bench] window contended — cool-down $cool/6 (15 s)")
+        Thread.sleep(15000)
+      }
       val pending = toRun.filter { case (n, _) =>
         suspect.contains(n) && timings.contains(n) }
       System.err.println(s"[bench] re-run pass $pass: ${pending.size} suspect queries")
@@ -263,6 +274,21 @@ object Bench {
 
     val results = timings.toSeq
     val total = results.map(_._2).sum
+    // the artifact's own authority verdict (r12 VERDICT #7): BENCH_r12
+    // closed the round on a record with a 7.84 s IO canary and 125/215
+    // remeasured, and nothing in the artifact SAID it was poisoned —
+    // the judge had to reconstruct that from the canary arrays. The
+    // gate makes the verdict explicit and machine-readable; a
+    // non-authoritative record names its reasons so the round re-runs
+    // instead of shipping it.
+    val slowProbes = canaries.indices.count(probeSlowFinal)
+    val (authoritative, gateReasons) = Bench.authorityGate(
+      probesSlow = slowProbes, probes = canaries.size,
+      unvalidated = unvalidated.size, remeasured = remeasured.size,
+      queries = toRun.size)
+    if (!authoritative)
+      System.err.println(
+        s"[bench] NON-AUTHORITATIVE record: ${gateReasons.mkString("; ")}")
     // first-pass canary interval per query (interval k is bounded by
     // probes k-1 and k in the canaries arrays) — lets a reader join any
     // timing to the contention state it was measured under
@@ -281,13 +307,25 @@ object Bench {
     // distribution vs the newest tracked BENCH_FULL_r<N>.json (or
     // SPARK_GRAFT_BENCH_PREV). env_factor != 1 with no outliers reads
     // "environment drift"; a named outlier is a regression to chase.
+    // The newest tracked snapshot may be THIS round's own (the builder
+    // commits BENCH_FULL_r<N>.json mid-round) — comparing against it
+    // reports env_factor ~1.0 and masks exactly the cross-round drift
+    // this block watches (r12 ADVICE). The in-progress round is
+    // (max CORRECTNESS_r<N>) + 1 — the driver cuts CORRECTNESS at round
+    // END — so only snapshots from COMPLETED rounds are candidates.
     val prevArtifact: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .orElse {
-        val rx = """BENCH_FULL_r(\d+)\.json""".r
-        Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .flatMap(f => f.getName match {
-            case rx(n) => Some((n.toInt, f.getName)); case _ => None
-          }).sortBy(_._1).lastOption.map(_._2)
+        val files = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        def roundsOf(rx: scala.util.matching.Regex): Seq[Int] =
+          files.flatMap(f => f.getName match {
+            case rx(n) => Some(n.toInt); case _ => None
+          })
+        val doneRounds = roundsOf("""CORRECTNESS_r(\d+)\.json""".r)
+        val currentRound =
+          if (doneRounds.isEmpty) Int.MaxValue else doneRounds.max + 1
+        roundsOf("""BENCH_FULL_r(\d+)\.json""".r)
+          .filter(_ < currentRound)
+          .sorted.lastOption.map(n => s"BENCH_FULL_r$n.json")
       }
     val compareBlock = prevArtifact.flatMap { p =>
       val c = scala.util.Try(
@@ -297,6 +335,8 @@ object Bench {
     }.getOrElse("")
     val fullJson =
       (s"""{"timings":${jsonMap(results)},$compareBlock""" +
+        s""""authoritative":$authoritative,""" +
+        s""""gate_reasons":${jsonArr(gateReasons)},""" +
         s""""failed":${jsonArr(failed.toSeq)},""" +
         s""""suspect":${jsonArr(unvalidated)},""" +
         s""""unvalidated":${jsonArr(unvalidated)},""" +
@@ -313,8 +353,37 @@ object Bench {
     val head = results.filter(r => headline.contains(r._1))
     println(stdoutLine(total, head, results.size, failed.toSeq,
       unvalidated.size, remeasured.size, canaries.toSeq, canariesIo.toSeq,
-      warmupSec, sfDir))
+      warmupSec, sfDir, authoritative))
     spark.stop()
+  }
+
+  /** The record's authority verdict, as a PURE function so
+    * BenchReportSpec can pin the gate (r12 VERDICT #7). A record is
+    * authoritative unless:
+    *   - any query never got a clean measurement window (`unvalidated`
+    *     survivors after the bounded re-run passes);
+    *   - the canary trail violated its floors at more than
+    *     max(2, probes/4) probes — the whole window was contended, not
+    *     one passing spike;
+    *   - more than half the suite required re-measurement — the first
+    *     pass was so poisoned that even clean-bracketed minima carry
+    *     elevated risk (BENCH_r12: 125/215).
+    * Reasons are returned for the artifact; an empty list means
+    * authoritative. */
+  def authorityGate(probesSlow: Int, probes: Int, unvalidated: Int,
+                    remeasured: Int, queries: Int): (Boolean, Seq[String]) = {
+    val reasons = Seq(
+      if (unvalidated > 0)
+        Some(s"$unvalidated queries never got a clean measurement window")
+      else None,
+      if (probesSlow > math.max(2, probes / 4))
+        Some(s"canary floors violated at $probesSlow/$probes probes")
+      else None,
+      if (queries > 0 && remeasured + unvalidated > queries / 2)
+        Some(s"first pass poisoned: ${remeasured + unvalidated}/$queries " +
+          "queries required re-measurement")
+      else None).flatten
+    (reasons.isEmpty, reasons)
   }
 
   def jsonMap(rs: Seq[(String, Double)]): String =
@@ -341,11 +410,13 @@ object Bench {
   def stdoutLine(total: Double, head: Seq[(String, Double)], queriesRun: Int,
                  failedNames: Seq[String], unvalidatedN: Int, remeasuredN: Int,
                  canaries: Seq[Double], canariesIo: Seq[Double],
-                 warmupSec: Double, sfDir: String): String = {
+                 warmupSec: Double, sfDir: String,
+                 authoritative: Boolean = true): String = {
     def capped(ss: Seq[String], n: Int): Seq[String] =
       if (ss.size <= n) ss else ss.take(n) :+ s"+${ss.size - n}"
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":${jsonMap(head)},"queries_run":$queriesRun,""" +
+      s""""authoritative":$authoritative,""" +
       s""""failed":${jsonArr(capped(failedNames, 3))},"failed_n":${failedNames.size},""" +
       s""""unvalidated_n":$unvalidatedN,"remeasured_n":$remeasuredN,""" +
       s""""probes_n":${canaries.size},""" +

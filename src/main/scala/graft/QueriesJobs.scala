@@ -169,15 +169,21 @@ object QueriesJobs {
   /** The star's enrich face over PINNED dims (the frames fullFact hands
     * factStar, built once from the full silver and broadcast at every
     * use) — shared by job_fact_star_incremental and
-    * st20_stream_star_maintenance. */
+    * st20_stream_star_maintenance. The second element RELEASES the four
+    * cached dims; callers must invoke it once the maintained view is
+    * materialized in the store (r12 ADVICE: a bench run through both
+    * callers otherwise accumulates orphaned cached partitions). */
   private[graft] def starEnrich(s: SparkSession, silverAll: DataFrame)
-      : DataFrame => DataFrame = {
-    val dimC = PaymentJobs.dimCustomerCurrent(silverAll).cache()
-    val dimM = PaymentJobs.dimMerchantCurrent(silverAll).cache()
-    val dimPm = PaymentJobs.dimPaymentMethod(silverAll).cache()
-    val dimSt = PaymentJobs.dimStatus(silverAll).cache()
+      : (DataFrame => DataFrame, () => Unit) = {
+    val dims = Seq(
+      PaymentJobs.dimCustomerCurrent(silverAll).cache(),
+      PaymentJobs.dimMerchantCurrent(silverAll).cache(),
+      PaymentJobs.dimPaymentMethod(silverAll).cache(),
+      PaymentJobs.dimStatus(silverAll).cache())
+    val Seq(dimC, dimM, dimPm, dimSt) = dims
     val dimDate = DateSpine.dimDate(s, "1995-01-01", "2002-12-31")
-    df => PaymentJobs.factStar(df, dimC, dimM, dimPm, dimSt, dimDate)
+    (df => PaymentJobs.factStar(df, dimC, dimM, dimPm, dimSt, dimDate),
+      () => dims.foreach(_.unpersist()))
   }
 
   /** The two-day silver split the maintenance twins load: day 1 = final
@@ -530,7 +536,7 @@ object QueriesJobs {
         st.createBucketed("silver", load1, Seq("transaction_id"), n = 16)
         st.setChangeFeed("silver", true)
         val v0 = st.currentVersion("silver")
-        val enrich = starEnrich(s, silverAll)
+        val (enrich, releaseDims) = starEnrich(s, silverAll)
         st.createBucketed("fact",
           enrich(st.readVersion("silver", v0)).withColumn("_live", lit(true)),
           Seq("transaction_id"), n = 16)
@@ -539,6 +545,8 @@ object QueriesJobs {
         graft.ops.Ivm.applyJoinDelta(st, "fact", "silver", v0,
           st.currentVersion("silver"), Seq("transaction_id"), enrich,
           txn = Some(("fact_incr", 1L)))
+        releaseDims() // view is materialized in the store; readJoinView
+        staging.unpersist(); silverAll.unpersist() // re-reads from disk
         graft.ops.Ivm.readJoinView(st, "fact")
       },
       Some(FactStarOracleSql)),

@@ -319,7 +319,7 @@ object QueriesStreaming {
         st.createBucketed("silver", load1, Seq("transaction_id"), n = 16)
         st.setChangeFeed("silver", true)
         val v0 = st.currentVersion("silver")
-        val enrich = QueriesJobs.starEnrich(s, silverAll)
+        val (enrich, releaseDims) = QueriesJobs.starEnrich(s, silverAll)
         st.createBucketed("fact",
           enrich(st.readVersion("silver", v0)).withColumn("_live", lit(true)),
           Seq("transaction_id"), n = 16)
@@ -343,6 +343,8 @@ object QueriesStreaming {
           }
           .start()
         q.awaitTermination()
+        releaseDims() // maintained view is in the store now
+        staging.unpersist(); silverAll.unpersist()
         graft.ops.Ivm.readJoinView(st, "fact")
       },
       Some(QueriesJobs.FactStarOracleSql)),

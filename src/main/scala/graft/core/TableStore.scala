@@ -200,6 +200,29 @@ class TableStore(spark: SparkSession, root: String) {
 
   def exists(name: String): Boolean = Files.exists(latestPtr(name))
 
+  /** Every table under the store root (dirs carrying a _LATEST
+    * pointer), sorted — the admin-surface enumeration (SHOW TABLES,
+    * the matview registry's list face). Metadata-only: one directory
+    * listing, no manifest reads. */
+  def tableNames: Seq[String] = {
+    val rootDir = Paths.get(root)
+    if (!Files.isDirectory(rootDir)) Nil
+    else Using.resource(Files.list(rootDir))(
+      _.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_LATEST")))
+        .map(_.getFileName.toString).toSeq.sorted)
+  }
+
+  /** DROP TABLE: remove the table's directory tree (data, manifests,
+    * CDF, DVs, bloom sidecars — everything). The name validation in
+    * [[dir]] keeps a quoted `../other/t` from deleting outside the
+    * root; requires a real table (loud on a typo, like every other
+    * admin verb here). */
+  def drop(name: String): Unit = {
+    require(exists(name), s"table $name does not exist under $root")
+    FsUtil.deleteRecursively(dir(name).toFile)
+  }
+
   def currentVersion(name: String): Long = {
     require(exists(name), s"table $name does not exist under $root")
     new String(Files.readAllBytes(latestPtr(name)), StandardCharsets.UTF_8).trim.toLong
@@ -447,7 +470,7 @@ class TableStore(spark: SparkSession, root: String) {
     val warnDirs = confLong("spark.graft.manifest.warnDirs", 200000L)
     if (warnDirs > 0 && n > warnDirs && warnedDirBudget.add(name))
       System.err.println(
-        s"[graft] WARNING: table $name has $n data dirs (~${n * 654 / (1 << 20)} MB " +
+        s"[graft] WARNING: table $name has $n data dirs (~${n.toLong * 654 / (1 << 20)} MB " +
           "of driver heap per resolved manifest; warn threshold " +
           s"spark.graft.manifest.warnDirs=$warnDirs) — consider compact(name)")
   }
@@ -1170,6 +1193,52 @@ class TableStore(spark: SparkSession, root: String) {
   }
 
   def read(name: String): DataFrame = readVersion(name, currentVersion(name))
+
+  /** Dir-pruned read for a PROBE JOIN: a SUPERSET of the table's rows
+    * whose `cols` values appear in `probe` (callers keep their own
+    * semi-join for exactness — this only cuts the dirs the scan
+    * reads). The library-face analogue of the DSv2 scan's runtime
+    * pruning, for maintenance code that joins `st.read` frames rather
+    * than going through the SQL catalog (the IVM probes — r12 VERDICT
+    * #3/#4). Three arms, cheapest first:
+    *   1. bucket layout, when `cols` covers the bucket keys: the
+    *      probe's distinct bucket ids select leaf dirs EXACTLY (the
+    *      read-side mirror of [[pruneByKeys]]);
+    *   2. manifest stats + bloom, single-col probes up to `cap`
+    *      distinct values: an In predicate dir-prunes when the layout
+    *      is value-informative (range-clustered creates, or the
+    *      per-commit dirs an incrementally-maintained table
+    *      accumulates — each commit's dir carries only its batch's
+    *      values); a hash layout on an UNRELATED key defeats stats
+    *      but a bloom index on the probe column still prunes;
+    *   3. full scan (probe too wide, multi-col non-bucket probes).
+    * Rows with NULL probe-column values may drop in arm 2 — nulls
+    * never match the equi-semi-join this feeds. `version` pins a
+    * historical read (the max/min recompute arm). */
+  def readProbe(name: String, probe: DataFrame, cols: Seq[String],
+                cap: Int = 10000, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(name))
+    requireVersionReadable(name, v)
+    val m = readManifest(name, v)
+    val bucketArm = m.bucketing.exists(b => b.keys.forall(cols.contains)) &&
+      m.dirs.nonEmpty && m.dirs.forall(_.contains("/__b="))
+    if (bucketArm) {
+      val b = m.bucketing.get
+      val srcBuckets = probe.select(b.expr.as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      scanLive(name, m, m.dirs.filter(e => srcBuckets.contains(bucketOf(e))))
+    } else if (cols.size == 1 && m.dirs.nonEmpty) {
+      val c = cols.head
+      val vals = probe.select(col(c)).filter(col(c).isNotNull)
+        .distinct().limit(cap + 1).collect().map(_.get(0)).toSeq
+      if (vals.size > cap) scanLive(name, m, m.dirs)
+      else if (vals.isEmpty) scanLive(name, m, Seq.empty)
+      else {
+        val (touched, _) = pruneDirsByCondition(name, m, col(c).isin(vals: _*))
+        scanLive(name, m, touched)
+      }
+    } else scanLive(name, m, m.dirs)
+  }
 
   // ---- deletion vectors (merge-on-read DELETE) ----
 
@@ -3335,6 +3404,12 @@ class TableStore(spark: SparkSession, root: String) {
   def lastTxnVersion(name: String, appId: String): Option[Long] =
     readManifest(name, currentVersion(name)).txns.get(appId)
 
+  /** The full txn registry at head — every (appId -> high watermark)
+    * pair. The matview list/describe faces read the `ivm:*` namespace
+    * out of this to surface absorbed-source watermarks. */
+  def txnStamps(name: String): Map[String, Long] =
+    readManifest(name, currentVersion(name)).txns
+
   /** Stamp an (appId -> version) txn watermark with NO data change — a
     * metadata-only commit through the same exclusive path as every
     * other manifest mutation. Monotone: a stamp at or below the
@@ -3922,7 +3997,21 @@ class TableStore(spark: SparkSession, root: String) {
         (k.startsWith("identity.") && k.endsWith(".next") &&
           m.schema.fieldNames.contains(
             k.stripPrefix("identity.").stripSuffix(".next")))).toMap
-    commitExclusive(name, cur + 1, m.copy(txns = curM.txns,
+    // txn watermarks stay CURRENT — with ONE namespace excepted: the
+    // `ivm:*` stamps are a registered materialized view's ABSORBED-
+    // SOURCE watermarks (Ivm.createCountSumView et al.), which must
+    // track the ROWS. Carrying them forward over restored rows strands
+    // the view silently stale forever: every later self-driving refresh
+    // derives an empty (head, head] window while the rows sit at v
+    // (r12 VERDICT "What's wrong" #1). So `ivm:*` rewinds to v's stamps
+    // — the next refresh re-absorbs (stamp_v, head] and converges — and
+    // an `ivm:*` stamp minted only AFTER v drops with v's props (the
+    // table wasn't a registered view at v). Streaming/writer
+    // exactly-once guards (every other app id) never rewind, same as
+    // Delta.
+    val txns = curM.txns.filterNot(_._1.startsWith("ivm:")) ++
+      m.txns.view.filterKeys(_.startsWith("ivm:"))
+    commitExclusive(name, cur + 1, m.copy(txns = txns,
       bloomCols = curM.bloomCols, checks = curM.checks, cdf = curM.cdf,
       props = m.props ++ watermarks,
       rowbase = m.rowbase ++ curM.rowbase),

@@ -35,7 +35,8 @@ object GraftProcedures {
     "compact_where", "compact_small", "enable_row_tracking",
     "create_agg_view", "refresh_agg_view", "compact_agg_view",
     "create_join_view", "refresh_join_view",
-    "create_join2_view", "refresh_join2_view")
+    "create_join2_view", "refresh_join2_view",
+    "drop_view", "list_views", "describe_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -221,6 +222,39 @@ object GraftProcedures {
         // both sides' windows derive from the registry; both
         // watermarks advance in the apply's one commit
         result(v, graft.ops.Ivm.refreshJoin2View(store, v))
+      }
+      case "drop_view" => bound(Seq(param("view", StringType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // cascade-aware: a distinct view's __aux twin dies with it;
+        // refuses while a registered dependent still sources from it.
+        // Returns the number of tables dropped (2 for the cascade).
+        result(v, graft.ops.Ivm.dropView(store, v).size.toLong)
+      }
+      case "list_views" => bound(Seq.empty) { _ =>
+        val schema = StructType(Seq(
+          StructField("view", StringType), StructField("kind", StringType),
+          StructField("source", StringType),
+          StructField("definition", StringType),
+          StructField("absorbed", StringType),
+          StructField("version", LongType)))
+        val rows = graft.ops.Ivm.listViews(store).map { v =>
+          InternalRow(UTF8String.fromString(v.view),
+            UTF8String.fromString(v.kind), UTF8String.fromString(v.source),
+            UTF8String.fromString(v.definition),
+            UTF8String.fromString(v.absorbed), v.version)
+        }.toArray
+        Collections.singletonList[Scan](
+          new GraftMetadataScan(schema, rows, "registered views")).iterator()
+      }
+      case "describe_view" => bound(Seq(param("view", StringType))) { in =>
+        val v = in.getUTF8String(0).toString
+        val schema = StructType(Seq(
+          StructField("property", StringType), StructField("value", StringType)))
+        val rows = graft.ops.Ivm.describeView(store, v).map { case (k, value) =>
+          InternalRow(UTF8String.fromString(k), UTF8String.fromString(value))
+        }.toArray
+        Collections.singletonList[Scan](
+          new GraftMetadataScan(schema, rows, s"describe view $v")).iterator()
       }
       case "history" => bound(Seq(param("table", StringType))) { in =>
         val t = in.getUTF8String(0).toString

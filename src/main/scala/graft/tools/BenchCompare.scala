@@ -64,13 +64,18 @@ object BenchCompare {
   def compare(prevPath: String, after: Map[String, Double],
               thr: Double = 1.3): Option[Comparison] = {
     val before = queriesOf(prevPath)
+    // both sides must be > 0: a 0.0 `after` (a skipped/failed timing
+    // that leaked into the map) would zero the median and turn every
+    // normalized ratio into unquoted NaN/Infinity — malformed JSON
+    // inside bench_full.json that Bench's Try wrapper can't catch
     val common = (before.keySet intersect after.keySet).toSeq.sorted
-      .filter(before(_) > 0.0)
+      .filter(q => before(q) > 0.0 && after(q) > 0.0)
     if (common.isEmpty) return None
     val ratios = common.map(q => q -> after(q) / before(q)).sortBy(_._2)
     val rs = ratios.map(_._2)
     def pct(p: Double) = rs(math.min(rs.size - 1, (p * (rs.size - 1)).round.toInt))
     val med = pct(0.5)
+    if (!(med > 0.0)) return None
     val outliers = ratios.map { case (q, r) => Outlier(q, before(q), after(q), r, r / med) }
       .filter(o => o.normalized > thr || o.normalized < 1.0 / thr)
       .sortBy(-_.normalized)

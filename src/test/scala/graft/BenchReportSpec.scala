@@ -35,7 +35,8 @@ class BenchReportSpec extends AnyFunSuite {
       canaries = Seq(99999.999, 0.001),
       canariesIo = Seq(99999.999, 0.001),
       warmupSec = 99999.999,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      authoritative = false)
   }
 
   test("worst-case stdout line stays under 2,000 bytes") {
@@ -69,6 +70,28 @@ class BenchReportSpec extends AnyFunSuite {
     assert(m("unvalidated_n") === 0d || m("unvalidated_n") === 0L || m("unvalidated_n") === 0)
   }
 
+  test("authority gate: unvalidated survivors, a mostly-slow canary " +
+      "trail, or a half-poisoned first pass all mark the record " +
+      "non-authoritative with named reasons") {
+    // clean run: authoritative, no reasons
+    assert(Bench.authorityGate(0, 16, 0, 0, 215) === ((true, Seq.empty)))
+    // a single passing spike (re-measured clean) stays authoritative
+    assert(Bench.authorityGate(2, 16, 0, 8, 215)._1)
+    // unvalidated survivors always poison the record
+    val (a1, r1) = Bench.authorityGate(0, 16, 3, 0, 215)
+    assert(!a1 && r1.exists(_.contains("never got a clean")))
+    // the BENCH_r12 shape: trail violated at most probes, half the
+    // suite re-measured — both reasons named
+    val (a2, r2) = Bench.authorityGate(10, 16, 0, 125, 215)
+    assert(!a2)
+    assert(r2.exists(_.contains("canary floors violated at 10/16")))
+    assert(r2.exists(_.contains("125/215")))
+    // the verdict rides the stdout line AND bench_full
+    val line = Bench.stdoutLine(100.0, Seq("a" -> 1.0), 10, Seq.empty,
+      0, 0, Seq(0.2), Seq(0.05), 5.0, "sf", authoritative = false)
+    assert(MiniJson.obj(line)("authoritative") === false)
+  }
+
   test("bench_full compare block: env factor is the median ratio, " +
       "outliers are median-normalized, and it parses as JSON") {
     val prev = java.nio.file.Files.createTempFile("bench_prev", ".json")
@@ -90,5 +113,16 @@ class BenchReportSpec extends AnyFunSuite {
     // no shared queries -> no block (never a crash in Bench's path)
     assert(graft.tools.BenchCompare
       .comparisonJson(prev.toString, Map("zz" -> 1.0)).isEmpty)
+    // a 0.0 `after` timing (leaked skip/failure) must not zero the
+    // median into NaN/Infinity — the query drops from the comparison
+    // and the block stays valid JSON (r12 ADVICE)
+    val withZero = graft.tools.BenchCompare.comparisonJson(prev.toString,
+      Map("a" -> 0.0, "b" -> 2.2, "c" -> 4.4, "d" -> 8.8, "e" -> 1.1)).get
+    assert(!withZero.contains("NaN") && !withZero.contains("Infinity"))
+    assert(MiniJson.obj(withZero)("queries") === 4d ||
+      MiniJson.obj(withZero)("queries") === 4L)
+    // ALL-zero after -> no block at all rather than a division by zero
+    assert(graft.tools.BenchCompare.comparisonJson(prev.toString,
+      Map("a" -> 0.0, "b" -> 0.0)).isEmpty)
   }
 }

@@ -64,11 +64,46 @@ class FlagshipHashSpec extends AnyFunSuite {
     // r11 additions, pinned from the oracle-green tools/check.py runs
     // (x21 MATCH at sf0.01 AND sf0.1; m24 MATCH at sf0.01)
     "x21_dedup_then_lsh" -> "53d24e6a3b16f8722259758a225bfe82",
-    "m24_merge_evolve" -> "64852383a73c8c55c840978a328da343")
+    "m24_merge_evolve" -> "64852383a73c8c55c840978a328da343",
+    // r12 flagships, pinned from the oracle-green CORRECTNESS_r12 state
+    // (PinHash at r13 head, semantics untouched since). The digests
+    // THEMSELVES enforce the round's equality claims:
+    //   st20 == job_fact_star_incremental (one maintained star),
+    //   sql_matview_join == mv4, sql_matview_join2 == mv6 (the SQL
+    //   faces and the library calls run one code path).
+    "mv4_incremental_star" -> "d5983e6d13f5ca8e1a4d9ea397ca5f86",
+    "mv6_incremental_join2" -> "7171c359e85c5641dd09f752c28ef9ef",
+    "st20_stream_star_maintenance" -> "df7bfc9246c38447bff898d22020da44",
+    "job_fact_star_incremental" -> "df7bfc9246c38447bff898d22020da44")
+
+  // These bind the shared `graft` catalog name to the query-store root
+  // (sqlCatalogStore) — in the SHARED session that would silently
+  // re-root every later catalog suite (the catalog-cache-by-name
+  // behavior that kept sql_replace_where/m21_vacuum unpinned since r8).
+  // `newSession()` gives an isolated SessionState (own conf + catalog
+  // cache) over the same SparkContext, so the binding dies with the
+  // pin. sql_merge_evolve's digest equals m24's BY DESIGN (same
+  // fixture, one MERGE code path); sql_matview_refresh/dag pin the
+  // registry's count_sum face and the three-level DAG.
+  private val pinnedIsolated = Map(
+    "sql_merge_evolve" -> "64852383a73c8c55c840978a328da343",
+    "sql_matview_refresh" -> "c19b8b4ed15cb19255013926957fb6b0",
+    "sql_matview_join" -> "d5983e6d13f5ca8e1a4d9ea397ca5f86",
+    "sql_matview_join2" -> "7171c359e85c5641dd09f752c28ef9ef",
+    "sql_matview_dag" -> "29d49697d735f6797d0e8edd5b90b215")
 
   pinned.foreach { case (name, expected) =>
     test(s"flagship $name: sf0.001 result hash matches the oracle-green pin") {
       val actual = resultHash(Queries.all(name).fn(spark, sfDir))
+      assert(actual === expected,
+        s"$name result drifted from its last oracle-green pin (got $actual) — " +
+          "if intentional, re-verify vs DuckDB (tools/check.py) before re-pinning")
+    }
+  }
+
+  pinnedIsolated.foreach { case (name, expected) =>
+    test(s"flagship $name: sf0.001 result hash matches the pin (isolated session)") {
+      val actual = resultHash(Queries.all(name).fn(spark.newSession(), sfDir))
       assert(actual === expected,
         s"$name result drifted from its last oracle-green pin (got $actual) — " +
           "if intentional, re-verify vs DuckDB (tools/check.py) before re-pinning")

@@ -305,4 +305,227 @@ class ProcedureSpec extends AnyFunSuite {
     spark.sql("CALL gj2.system.compact_agg_view('pairs')")
     assert(ts.read("pairs").count() === 4)
   }
+
+  test("RESTORE is registry-aware: restoring a materialized view rewinds " +
+      "its ivm:* watermarks so the next refresh re-absorbs and converges") {
+    val root = Files.createTempDirectory("procrst").toString
+    spark.conf.set("spark.sql.catalog.grst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grst.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 30L))
+      .toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    val seedV = spark.sql(
+      "CALL grst.system.create_agg_view('v', 'src', 'grp', 'qty', 'count_sum', 4)")
+      .head().getLong(1)
+    val viewSeedVersion = ts.currentVersion("v")
+    // a non-ivm writer watermark on the view — exactly-once guards must
+    // stay CURRENT through the restore (the Delta choice), unlike ivm:*
+    ts.recordTxn("v", "stream_writer", 7L)
+    // mutate + refresh: the view absorbs past the seed
+    ts.delete("src", col("k") === 2L)
+    ts.append("src", Seq((4L, 3L, 40L)).toDF("k", "grp", "qty"))
+    val head = ts.currentVersion("src")
+    assert(spark.sql("CALL grst.system.refresh_agg_view('v')")
+      .head().getLong(1) === (head - seedV))
+    assert(ts.lastTxnVersion("v", "ivm:src").get === head)
+
+    // RESTORE the view to its seed: rows rewind — and so must the
+    // absorbed watermark, or every later refresh derives an empty
+    // window while the rows sit at the seed (silent staleness forever)
+    spark.sql(s"CALL grst.system.restore('v', $viewSeedVersion)")
+    assert(ts.lastTxnVersion("v", "ivm:src").get === seedV,
+      "restore must rewind the ivm:* absorbed-source watermark with the rows")
+    assert(ts.lastTxnVersion("v", "stream_writer").get === 7L,
+      "non-ivm exactly-once watermarks must NOT rewind")
+    // the next self-driving refresh re-absorbs (seed, head] and converges
+    assert(spark.sql("CALL grst.system.refresh_agg_view('v')")
+      .head().getLong(1) === (head - seedV))
+    assert(spark.sql("SELECT grp, n_rows, sum_qty FROM grst.v WHERE n_rows > 0")
+      .as[(Long, Long, Long)].collect().toSet ===
+      ts.read("src").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("qty").as("s"))
+        .as[(Long, Long, Long)].collect().toSet)
+
+    // same through a JOIN view: restore-then-refresh converges to the
+    // current enrich(source)
+    ts.create("dim", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("g", "nm"))
+    ts.setChangeFeed("dim", true)
+    spark.sql("CALL grst.system.create_join_view('jv', 'src', 'k', 'dim:grp=g:nm', 4)")
+    val jvSeed = ts.currentVersion("jv")
+    ts.update("dim", col("g") === 1L, Map("nm" -> lit("A")))
+    ts.append("src", Seq((5L, 2L, 50L)).toDF("k", "grp", "qty"))
+    assert(spark.sql("CALL grst.system.refresh_join_view('jv')")
+      .head().getLong(1) === 2L)
+    spark.sql(s"CALL grst.system.restore('jv', $jvSeed)")
+    // both absorbed watermarks (source + dim) rewound with the rows
+    assert(spark.sql("CALL grst.system.refresh_join_view('jv')")
+      .head().getLong(1) === 2L)
+    assert(spark.sql("SELECT k, nm FROM grst.jv WHERE _live")
+      .as[(Long, String)].collect().toSet ===
+      ts.read("src").join(ts.read("dim"), col("grp") === col("g"))
+        .select(col("k"), col("nm"))
+        .as[(Long, String)].collect().toSet)
+  }
+
+  test("registry lifecycle: drop_view cascades the distinct aux, refuses " +
+      "mid-DAG, and list/describe surface definitions + watermarks") {
+    val root = Files.createTempDirectory("proclc").toString
+    spark.conf.set("spark.sql.catalog.glc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.glc.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 10L), (3L, 2L, 30L))
+      .toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    spark.sql("CALL glc.system.create_agg_view('vd', 'src', 'grp', 'qty', 'distinct', 4)")
+    assert(ts.exists("vd__aux"), "distinct cascade registers the aux twin")
+    // a DAG: join view with CDF on, rollup sourced from it
+    ts.create("dim", Seq((1L, "a"), (2L, "b")).toDF("g", "nm"))
+    ts.setChangeFeed("dim", true)
+    spark.sql("CALL glc.system.create_join_view('jv', 'src', 'k', 'dim:grp=g:nm', 4)")
+    ts.setChangeFeed("jv", true)
+    spark.sql("CALL glc.system.create_agg_view('roll', 'jv', 'nm', 'qty', 'count_sum', 4)")
+
+    // list_views: every registered face, no aux rows, definitions +
+    // absorbed watermarks readable
+    val views = spark.sql("CALL glc.system.list_views()").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(views === Map("vd" -> "distinct", "jv" -> "join", "roll" -> "count_sum"))
+    val jvRow = spark.sql("CALL glc.system.list_views()")
+      .filter(col("view") === "jv").head()
+    assert(jvRow.getString(3).contains("dims=dim:grp=g:nm"))
+    assert(jvRow.getString(4).contains("src=") && jvRow.getString(4).contains("dim="))
+
+    // describe_view: definition props + absorbed/head pairs
+    val desc = spark.sql("CALL glc.system.describe_view('roll')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("ivm.kind") === "count_sum" && desc("ivm.source") === "jv")
+    assert(desc("absorbed.jv") === ts.currentVersion("jv").toString)
+    assert(desc("source_head.jv") === ts.currentVersion("jv").toString)
+
+    // mid-DAG drop refuses while the dependent lives; leaf-to-root works
+    val mid = intercept[Exception](
+      spark.sql("CALL glc.system.drop_view('jv')").collect())
+    assert(mid.getMessage.contains("drop them first"))
+    assert(spark.sql("CALL glc.system.drop_view('roll')").head().getLong(1) === 1L)
+    assert(spark.sql("CALL glc.system.drop_view('jv')").head().getLong(1) === 1L)
+    assert(!ts.exists("jv") && !ts.exists("roll"))
+
+    // the distinct cascade drops BOTH tables — no orphan aux
+    assert(spark.sql("CALL glc.system.drop_view('vd')").head().getLong(1) === 2L)
+    assert(!ts.exists("vd") && !ts.exists("vd__aux"))
+
+    // a plain table is not droppable through the registry face
+    val plain = intercept[Exception](
+      spark.sql("CALL glc.system.drop_view('src')").collect())
+    assert(plain.getMessage.contains("not a registered"))
+  }
+
+  test("two concurrent CALL refreshes of one view (and of one DAG): " +
+      "loser loud or no-op, one data commit, re-run converges") {
+    val root = Files.createTempDirectory("procrace").toString
+    spark.conf.set("spark.sql.catalog.grc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grc.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", (1L to 40L).map(i => (i, i % 4, i * 10L))
+      .toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    spark.sql("CALL grc.system.create_agg_view('v', 'src', 'grp', 'qty', 'count_sum', 4)")
+    ts.delete("src", col("k") % 5 === 0L)
+    ts.append("src", Seq((41L, 7L, 70L)).toDF("k", "grp", "qty"))
+    val vBefore = ts.currentVersion("v")
+
+    // two real threads through the SQL face: the refresh's
+    // read-definition -> derive-window -> apply sequence races end to
+    // end. ANY interleaving must satisfy: a loser is LOUD
+    // (version-conflict) or a clean no-op (it re-derived an empty
+    // window), never a silent double-apply.
+    def callRefresh(view: String): Either[Throwable, Long] =
+      try Right(spark.sql(s"CALL grc.system.refresh_agg_view('$view')")
+        .head().getLong(1))
+      catch { case t: Throwable => Left(t) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val outcomes = Await.result(
+      Future.sequence(Seq(Future(callRefresh("v")), Future(callRefresh("v")))),
+      5.minutes)
+    outcomes.foreach {
+      case Left(t) =>
+        val chain = Iterator.iterate[Throwable](t)(_.getCause)
+          .takeWhile(_ != null).map(_.toString).mkString(" <- ")
+        assert(chain.contains("ConcurrentModification") ||
+          chain.contains("conflict"), s"loser must be LOUD, got: $chain")
+      case Right(_) => // absorbed >= 0: winner, or post-winner no-op
+    }
+    // exactly one data commit landed (plus nothing silent): the loser
+    // never wrote stale absolutes at a later version
+    assert(ts.currentVersion("v") === vBefore + 1,
+      "the race must land exactly ONE apply commit")
+    assert(callRefresh("v") === Right(0L))
+    assert(spark.sql("SELECT grp, n_rows, sum_qty FROM grc.v WHERE n_rows > 0")
+      .as[(Long, Long, Long)].collect().toSet ===
+      ts.read("src").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("qty").as("s"))
+        .as[(Long, Long, Long)].collect().toSet)
+
+    // same through a DAG (rollup over a join view): the cascade's two
+    // levels both race; after the dust settles one more refresh
+    // drains to empty and the rollup equals the direct aggregate
+    ts.create("dim", Seq((0L, "x"), (1L, "y"), (2L, "z"), (3L, "w"))
+      .toDF("g", "nm"))
+    ts.setChangeFeed("dim", true)
+    spark.sql("CALL grc.system.create_join_view('jv', 'src', 'k', 'dim:grp=g:nm', 4)")
+    ts.setChangeFeed("jv", true)
+    spark.sql("CALL grc.system.create_agg_view('roll', 'jv', 'nm', 'qty', 'count_sum', 4)")
+    ts.update("dim", col("g") === 1L, Map("nm" -> lit("Y")))
+    ts.delete("src", col("k") === 2L)
+    val dagOutcomes = Await.result(
+      Future.sequence(Seq(Future(callRefresh("roll")), Future(callRefresh("roll")))),
+      5.minutes)
+    pool.shutdown()
+    dagOutcomes.foreach {
+      case Left(t) =>
+        val chain = Iterator.iterate[Throwable](t)(_.getCause)
+          .takeWhile(_ != null).map(_.toString).mkString(" <- ")
+        assert(chain.contains("ConcurrentModification") ||
+          chain.contains("conflict"), s"DAG loser must be LOUD, got: $chain")
+      case Right(_) =>
+    }
+    // drain any level a loser left unabsorbed, then: converged
+    var guard = 0
+    while (callRefresh("roll") != Right(0L) && guard < 4) guard += 1
+    assert(guard < 4, "DAG refresh failed to drain after the race")
+    val direct = ts.read("jv").filter(col("_live"))
+      .groupBy("nm").agg(count(lit(1)).as("n"), sum("qty").as("s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(spark.sql("SELECT nm, n_rows, sum_qty FROM grc.roll WHERE n_rows > 0")
+      .as[(String, Long, Long)].collect().toSet === direct)
+  }
+
+  test("refresh refuses loudly when the source was recreated under a " +
+      "live view (absorbed watermark past the source's head)") {
+    val root = Files.createTempDirectory("procrs2").toString
+    spark.conf.set("spark.sql.catalog.grs2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grs2.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 1L, 10L)).toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    ts.append("src", Seq((2L, 2L, 20L)).toDF("k", "grp", "qty"))
+    ts.append("src", Seq((3L, 3L, 30L)).toDF("k", "grp", "qty"))
+    spark.sql("CALL grs2.system.create_agg_view('v', 'src', 'grp', 'qty', 'count_sum', 4)")
+    // drop + recreate the source: its head resets BELOW the view's
+    // absorbed watermark — the (stamp, head] window is inverted and a
+    // silent no-op here would strand the view diverged forever
+    graft.core.FsUtil.deleteRecursively(
+      new java.io.File(s"$root/src"))
+    ts.create("src", Seq((9L, 9L, 90L)).toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    val boom = intercept[Exception](
+      spark.sql("CALL grs2.system.refresh_agg_view('v')").collect())
+    assert(boom.getMessage.contains("past the source's head"),
+      s"expected the inverted-window refusal, got: ${boom.getMessage}")
+  }
 }
