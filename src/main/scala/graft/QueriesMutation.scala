@@ -117,7 +117,7 @@ object QueriesMutation {
   /** mv5's oracle (shared with sql_matview_dag — the registered DAG
     * and the library cascade must be digest-equal): replay the silver
     * backlog + dim renames, join, roll up per nation. */
-  private val Mv5OracleSql: Option[String] =
+  private[graft] val Mv5OracleSql: Option[String] =
     Some("""WITH sil0 AS (
            |  SELECT o_orderkey, o_custkey, o_orderkey % 1000 + 1 AS price_c,
            |         o_orderstatus AS status

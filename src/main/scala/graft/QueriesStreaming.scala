@@ -349,6 +349,136 @@ object QueriesStreaming {
       },
       Some(QueriesJobs.FactStarOracleSql)),
 
+    // ---- st21: TWO-LEVEL STREAMING IVM DAG WITH A CHECKPOINT RESTART
+    //      — mv5's snowflake star + per-nation rollup, maintained as a
+    //      standing stream: each micro-batch of the silver's `.changes`
+    //      feed drives BOTH levels inside one foreachBatch (level 1 =
+    //      delta-join apply on the fact view; level 2 = the rollup
+    //      absorbing the fact's OWN change feed, its window derived
+    //      from the registry stamp the previous cascade landed). The
+    //      first stream CRASHES (injected, st19's pattern) right after
+    //      a nonempty batch applied level 1 but BEFORE the checkpoint
+    //      acknowledged it; the restarted stream re-delivers that batch
+    //      under the same id — level 1 absorbs it via its txn stamp,
+    //      level 2 via its watermark-derived empty window — proving the
+    //      DAG's exactly-once composition under continuous ingestion.
+    //      Digest-equal to mv5's oracle (one cascade, three drivers:
+    //      library calls, SQL registry, standing stream). ----
+    "st21_stream_matview_dag" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st21_dag"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val orders = Tables.orders(s, dir)
+        val silverAll = orders.select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 1000 + 1).as("price_c"),
+          col("o_orderstatus").as("status"))
+        st.createEmpty("silver", org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, price_c BIGINT, status STRING"))
+        st.setChangeFeed("silver", true)
+        st.append("silver", silverAll.filter(col("o_orderkey") % 3 === 0))
+        val sv0 = st.currentVersion("silver")
+        st.create("dcust", Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+        st.setChangeFeed("dcust", true)
+        st.create("dnat", Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name")))
+        st.setChangeFeed("dnat", true)
+        def dims(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = src
+          .join(broadcast(st.read("dcust")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .join(broadcast(st.read("dnat")),
+            col("c_nationkey") === col("n_nationkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"), col("price_c"),
+            col("status"), col("c_name"), col("n_name"))
+        st.createBucketed("fact",
+          dims(st.readVersion("silver", sv0)).withColumn("_live", lit(true)),
+          Seq("o_orderkey"), 8)
+        st.setChangeFeed("fact", true)
+        val fv0 = st.currentVersion("fact")
+        st.createBucketed("agg", st.readVersion("fact", fv0)
+          .filter(col("_live"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_qty")),
+          Seq("n_name"), 4)
+        st.recordTxn("agg", "ivm:fact", fv0) // registry-style seed stamp
+
+        // the silver backlog lands as THREE commits -> three micro-
+        // batches at one version per trigger
+        st.updateVectorized("silver", col("o_orderkey") % 5 === 0,
+          Map("price_c" -> (col("price_c") + 7L)))
+        st.deleteVectorized("silver", col("o_orderkey") % 7 === 0)
+        st.append("silver", silverAll.filter(col("o_orderkey") % 3 === 1))
+
+        // level 2 cascade: absorb the fact's feed window derived from
+        // the rollup's own registry stamp — the same self-driving
+        // bookkeeping the SQL registry uses
+        def cascade(): Unit = {
+          val from = st.lastTxnVersion("agg", "ivm:fact").get
+          val to = st.currentVersion("fact")
+          if (to > from)
+            graft.ops.Ivm.applyCountSumDelta(st, "agg",
+              st.readChangesBetween("fact", from, to).filter(col("_live")),
+              Seq("n_name"), "price_c", txn = Some(("ivm:fact", to)))
+        }
+        s.conf.set("spark.sql.catalog.graft_st21", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st21.root", root)
+        @volatile var bombed = false
+        def run(armBomb: Boolean) = s.readStream
+          .option("startVersion", sv0.toString) // EXCLUSIVE: (sv0, head]
+          .option("maxVersionsPerTrigger", "1")
+          .table("graft_st21.silver.changes")
+          .writeStream.option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val hasRows = !batch.isEmpty
+            graft.ops.Ivm.applyJoinDeltaFeed(st, "fact", batch,
+              Seq("o_orderkey"), dims, txn = Some(("st21", batchId)))
+            cascade()
+            // crash AFTER both levels applied, BEFORE the checkpoint
+            // ack: the restart re-delivers this batch under the same
+            // id and both levels must absorb it (stamp / empty window)
+            if (armBomb && !bombed && hasRows) {
+              bombed = true
+              throw new RuntimeException("injected crash after apply, before ack")
+            }
+          }
+          .start()
+        try run(armBomb = true).awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        require(bombed, "st21: the injected crash never fired")
+        val q2 = run(armBomb = false)
+        q2.awaitTermination()
+
+        // dim renames after the stream drains: the affected-FK apply +
+        // one more cascade (the nation rename MOVES rollup groups)
+        val cv0 = st.currentVersion("dcust")
+        val nv0 = st.currentVersion("dnat")
+        st.updateVectorized("dcust", col("c_custkey") % 4 === 0,
+          Map("c_name" -> concat(col("c_name"), lit("!"))))
+        st.updateVectorized("dnat", col("n_nationkey") % 2 === 0,
+          Map("n_name" -> concat(col("n_name"), lit("!"))))
+        val svHead = st.currentVersion("silver")
+        val affected = st.readChangesBetween("dcust", cv0, st.currentVersion("dcust"))
+          .select(col("c_custkey").as("o_custkey"))
+          .unionByName(st.read("dcust")
+            .join(broadcast(
+              st.readChangesBetween("dnat", nv0, st.currentVersion("dnat"))
+                .select(col("n_nationkey").as("c_nationkey")).distinct()),
+              Seq("c_nationkey"), "left_semi")
+            .select(col("c_custkey").as("o_custkey")))
+        graft.ops.Ivm.applyJoinDelta(st, "fact", "silver", svHead, svHead,
+          keys = Seq("o_orderkey"), enrich = dims,
+          dimAffected = Some((affected, Seq("o_custkey"))),
+          txn = Some(("st21_dim", 1L)))
+        cascade()
+        graft.ops.Ivm.compactDead(st, "agg", Seq("n_name"))
+        graft.ops.Ivm.readView(st, "agg")
+          .select(col("n_name"), col("n_rows"), col("sum_qty").as("sum_price_c"))
+      },
+      QueriesMutation.Mv5OracleSql),
+
     "st17_stream_static_join" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger

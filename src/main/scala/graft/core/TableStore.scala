@@ -1220,24 +1220,35 @@ class TableStore(spark: SparkSession, root: String) {
     val v = version.getOrElse(currentVersion(name))
     requireVersionReadable(name, v)
     val m = readManifest(name, v)
+    scanLive(name, m, probeDirs(name, m, probe, cols, cap))
+  }
+
+  /** [[readProbe]]'s dir selection, exposed for measurement: how many
+    * dirs would a probe read vs the table's total (the dirs-read
+    * evidence behind the FK-index scale story — tools/ProbeFkIndex). */
+  def probeDirCount(name: String, probe: DataFrame, cols: Seq[String],
+                    cap: Int = 10000): (Int, Int) = {
+    val m = readManifest(name, currentVersion(name))
+    (probeDirs(name, m, probe, cols, cap).size, m.dirs.size)
+  }
+
+  private def probeDirs(name: String, m: Manifest, probe: DataFrame,
+                        cols: Seq[String], cap: Int): Seq[String] = {
     val bucketArm = m.bucketing.exists(b => b.keys.forall(cols.contains)) &&
       m.dirs.nonEmpty && m.dirs.forall(_.contains("/__b="))
     if (bucketArm) {
       val b = m.bucketing.get
       val srcBuckets = probe.select(b.expr.as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
-      scanLive(name, m, m.dirs.filter(e => srcBuckets.contains(bucketOf(e))))
+      m.dirs.filter(e => srcBuckets.contains(bucketOf(e)))
     } else if (cols.size == 1 && m.dirs.nonEmpty) {
       val c = cols.head
       val vals = probe.select(col(c)).filter(col(c).isNotNull)
         .distinct().limit(cap + 1).collect().map(_.get(0)).toSeq
-      if (vals.size > cap) scanLive(name, m, m.dirs)
-      else if (vals.isEmpty) scanLive(name, m, Seq.empty)
-      else {
-        val (touched, _) = pruneDirsByCondition(name, m, col(c).isin(vals: _*))
-        scanLive(name, m, touched)
-      }
-    } else scanLive(name, m, m.dirs)
+      if (vals.size > cap) m.dirs
+      else if (vals.isEmpty) Seq.empty
+      else pruneDirsByCondition(name, m, col(c).isin(vals: _*))._1
+    } else m.dirs
   }
 
   // ---- deletion vectors (merge-on-read DELETE) ----

@@ -638,6 +638,23 @@ object Ivm {
     st.setProperties(view, Map("ivm.fk_index" -> fkCols.mkString(",")))
   }
 
+  /** [[enableFkIndex]] for a REGISTERED view — the keys come from the
+    * registry (`ivm.src_keys` for a join view, both key sets for a
+    * two-sided one), so the SQL face only names the FK columns. */
+  def enableFkIndexRegistered(st: TableStore, view: String,
+                              fkCols: Seq[String], buckets: Int = 32): Unit = {
+    val props = st.properties(view)
+    val keys = props.get("ivm.kind") match {
+      case Some("join") => props("ivm.src_keys").split(",").map(_.trim).toSeq
+      case Some("join2") => (props("ivm.a_keys") + "," + props("ivm.b_keys"))
+        .split(",").map(_.trim).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$view is not a registered join view (ivm.kind=${other.getOrElse("absent")}) " +
+          "— the FK index serves join-shaped maintenance probes")
+    }
+    enableFkIndex(st, view, fkCols, keys, buckets)
+  }
+
   /** Sweep the FK index's stale entries (fk moves and deleted rows
     * accumulate ever-live pairs): rebuild from the live view. Safe to
     * skip indefinitely — staleness only costs probe candidates. */

@@ -36,7 +36,8 @@ object GraftProcedures {
     "create_agg_view", "refresh_agg_view", "compact_agg_view",
     "create_join_view", "refresh_join_view",
     "create_join2_view", "refresh_join2_view",
-    "drop_view", "list_views", "describe_view")
+    "drop_view", "list_views", "describe_view",
+    "index_view", "compact_fkidx")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -222,6 +223,20 @@ object GraftProcedures {
         // both sides' windows derive from the registry; both
         // watermarks advance in the apply's one commit
         result(v, graft.ops.Ivm.refreshJoin2View(store, v))
+      }
+      case "index_view" => bound(Seq(param("view", StringType),
+          param("fk_cols", StringType), param("buckets", IntegerType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // secondary FK clustering for the dim-term / B-key maintenance
+        // probes (keys derived from the registry); call while quiesced
+        graft.ops.Ivm.enableFkIndexRegistered(store, v,
+          cols(in.getUTF8String(1).toString), in.getInt(2))
+        result(v, store.currentVersion(graft.ops.Ivm.fkIndexTable(v)))
+      }
+      case "compact_fkidx" => bound(Seq(param("view", StringType))) { in =>
+        val v = in.getUTF8String(0).toString
+        graft.ops.Ivm.compactFkIndex(store, v)
+        result(v, store.read(graft.ops.Ivm.fkIndexTable(v)).count())
       }
       case "drop_view" => bound(Seq(param("view", StringType))) { in =>
         val v = in.getUTF8String(0).toString

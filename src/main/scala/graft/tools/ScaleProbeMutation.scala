@@ -256,9 +256,12 @@ object ScaleProbeMutation {
         f""""compact_sec":$compactSec%.2f,"replace_sec":$replaceSec%.2f,""" +
         f""""widen_sec":$widenSec%.2f,"star_full_sec":$starFullSec%.2f,""" +
         f""""star_delta_sec":$starDeltaSec%.2f,""" +
+        f""""star_delta_ix_sec":$starDeltaIxSec%.2f,""" +
         f""""star_dim_sec":$starDimSec%.2f,""" +
+        f""""star_dim_ix_sec":$starDimIxSec%.2f,""" +
         f""""join2_full_sec":$join2FullSec%.2f,""" +
-        f""""join2_delta_sec":$join2DeltaSec%.2f,"batch":10000}""")
+        f""""join2_delta_sec":$join2DeltaSec%.2f,""" +
+        f""""join2_delta_ix_sec":$join2DeltaIxSec%.2f,"batch":10000}""")
       graft.core.FsUtil.deleteRecursively(new java.io.File(root))
     }
     spark.stop()

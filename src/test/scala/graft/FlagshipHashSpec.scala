@@ -74,7 +74,11 @@ class FlagshipHashSpec extends AnyFunSuite {
     "mv4_incremental_star" -> "d5983e6d13f5ca8e1a4d9ea397ca5f86",
     "mv6_incremental_join2" -> "7171c359e85c5641dd09f752c28ef9ef",
     "st20_stream_star_maintenance" -> "df7bfc9246c38447bff898d22020da44",
-    "job_fact_star_incremental" -> "df7bfc9246c38447bff898d22020da44")
+    "job_fact_star_incremental" -> "df7bfc9246c38447bff898d22020da44",
+    // r13: the two-level streaming DAG — digest-equal BY DESIGN to
+    // mv5/sql_matview_dag (one cascade, three drivers: library calls,
+    // SQL registry, standing stream with an injected restart)
+    "st21_stream_matview_dag" -> "29d49697d735f6797d0e8edd5b90b215")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently

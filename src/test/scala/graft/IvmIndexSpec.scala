@@ -138,7 +138,10 @@ class IvmIndexSpec extends AnyFunSuite {
     st.create("dim", Seq((10L, "a")).toDF("dk", "nm"))
     st.setChangeFeed("dim", true)
     spark.sql("CALL gfki.system.create_join_view('jv', 'src', 'k', 'dim:fk=dk:nm', 4)")
-    Ivm.enableFkIndex(st, "jv", Seq("fk"), Seq("k"), buckets = 4)
+    // the SQL face derives the keys from the registry
+    spark.sql("CALL gfki.system.index_view('jv', 'fk', 4)")
+    assert(st.exists("jv__fkidx"))
+    spark.sql("CALL gfki.system.compact_fkidx('jv')")
     // hidden from the registry listing, dropped with its view
     assert(spark.sql("CALL gfki.system.list_views()").collect()
       .map(_.getString(0)).toSet === Set("jv"))
