@@ -110,10 +110,25 @@ object Bench {
       Files.deleteIfExists(p)
       (System.nanoTime() - t0) / 1e9
     }
+    // CPU and IO probes BOTH miss scheduler-latency contention (r13:
+    // the streaming family ran 2-3x its r12 walls — st1, UNCHANGED
+    // code, swung 2.78->4.69 s between consecutive standalone runs —
+    // while every burst canary sat at its floor; micro-batch streams
+    // are bound by trigger/job-scheduling latency, not CPU or IO
+    // bandwidth). Probe it directly: 20 empty jobs, end to end —
+    // clean ~0.2-0.5 s, a contended scheduler reads seconds.
+    def canarySchedProbe(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 20) { spark.range(1L).count(): Unit; i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     val canariesIo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canariesSched = scala.collection.mutable.ArrayBuffer.empty[Double]
     canaries += canaryProbe() // clean-ish baseline right after warm-up
     canariesIo += canaryIoProbe()
+    canariesSched += canarySchedProbe()
     // floors sized to each probe's own baseline: the CPU probe reads
     // ~0.2-0.45 s clean, the 64 MB page-cache IO probe ~0.04-0.11 s —
     // a shared 1.0 s floor silently neutered the IO canary (a 5x IO
@@ -169,10 +184,12 @@ object Bench {
       if ((i + 1) % canaryEvery == 0 || i == toRun.size - 1) {
         val c = canaryProbe()
         val cio = canaryIoProbe()
+        val csc = canarySchedProbe()
         if (slowCanary(c) || slowIoCanary(cio))
           System.err.println(f"[bench] WARNING: canary cpu $c%.2f s / io $cio%.2f s (best-so-far ${canaries.min}%.2f/${canariesIo.min}%.2f)")
         canaries += c
         canariesIo += cio
+        canariesSched += csc
         intervalQueries += sinceCanary.toSeq
         sinceCanary = scala.collection.mutable.ArrayBuffer.empty[String]
       }
@@ -207,8 +224,17 @@ object Bench {
         math.max(3.0 * p25(canaries.toSeq), 0.6))
     def ioThreshold: Double =
       math.min(0.3, math.max(3.0 * p25(canariesIo.toSeq), 0.15))
+    // scheduler-latency tier (r13): clean ~0.2-0.5 s for 20 empty
+    // jobs; the floor keeps GC/JIT jitter from flagging, the p25 tier
+    // catches a scheduler 3x slower than the run's own normal — the
+    // contention class that inflates micro-batch streaming walls while
+    // the CPU/IO burst probes sit at their floors
+    def schedThreshold: Double =
+      math.min(math.max(3.0 * canariesSched.min, 1.5),
+        math.max(3.0 * p25(canariesSched.toSeq), 1.2))
     def probeSlowFinal(k: Int): Boolean =
-      canaries(k) > cpuThreshold || canariesIo(k) > ioThreshold
+      canaries(k) > cpuThreshold || canariesIo(k) > ioThreshold ||
+        canariesSched(k) > schedThreshold
     intervalQueries.zipWithIndex.foreach { case (qs, k0) =>
       if (probeSlowFinal(k0) || probeSlowFinal(k0 + 1)) suspect ++= qs
     }
@@ -234,8 +260,9 @@ object Bench {
       timings.view.filterKeys(suspect.contains).toMap
     def probeCleanNow(): Boolean = {
       val c = canaryProbe(); val cio = canaryIoProbe()
-      canaries += c; canariesIo += cio
-      c <= cpuThreshold && cio <= ioThreshold
+      val csc = canarySchedProbe()
+      canaries += c; canariesIo += cio; canariesSched += csc
+      c <= cpuThreshold && cio <= ioThreshold && csc <= schedThreshold
     }
     var pass = 0
     while (suspect.exists(timings.contains) && pass < 3) {
@@ -345,6 +372,7 @@ object Bench {
         s""""intervals":${intervalOf.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")},""" +
         s""""canaries_sec":${jsonNums(canaries.toSeq)},""" +
         s""""canaries_io_sec":${jsonNums(canariesIo.toSeq)},""" +
+        s""""canaries_sched_sec":${jsonNums(canariesSched.toSeq)},""" +
         s""""warmup_sec":$warmupSec,${Stamp.jsonFields}}""")
     Files.write(Paths.get("target/bench_full.json"),
       fullJson.getBytes(StandardCharsets.UTF_8))
@@ -353,7 +381,7 @@ object Bench {
     val head = results.filter(r => headline.contains(r._1))
     println(stdoutLine(total, head, results.size, failed.toSeq,
       unvalidated.size, remeasured.size, canaries.toSeq, canariesIo.toSeq,
-      warmupSec, sfDir, authoritative))
+      warmupSec, sfDir, authoritative, canariesSched.toSeq))
     spark.stop()
   }
 
@@ -411,7 +439,8 @@ object Bench {
                  failedNames: Seq[String], unvalidatedN: Int, remeasuredN: Int,
                  canaries: Seq[Double], canariesIo: Seq[Double],
                  warmupSec: Double, sfDir: String,
-                 authoritative: Boolean = true): String = {
+                 authoritative: Boolean = true,
+                 canariesSched: Seq[Double] = Seq(0.0)): String = {
     def capped(ss: Seq[String], n: Int): Seq[String] =
       if (ss.size <= n) ss else ss.take(n) :+ s"+${ss.size - n}"
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
@@ -422,6 +451,7 @@ object Bench {
       s""""probes_n":${canaries.size},""" +
       s""""canary_cpu_min":${fmt(canaries.min)},"canary_cpu_max":${fmt(canaries.max)},""" +
       s""""canary_io_min":${fmt(canariesIo.min)},"canary_io_max":${fmt(canariesIo.max)},""" +
+      s""""canary_sched_min":${fmt(canariesSched.min)},"canary_sched_max":${fmt(canariesSched.max)},""" +
       s""""warmup_sec":${fmt(warmupSec)},${Stamp.jsonFields},"sf":"$sfDir"}"""
   }
 }

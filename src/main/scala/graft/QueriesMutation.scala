@@ -1157,6 +1157,46 @@ object QueriesMutation {
     //      sum exact. Oracle: replay the mutations relationally, then
     //      aggregate the final state directly — equality proves the
     //      incremental path converged to the full recompute. ----
+    // ---- m25: RESTORE of a registered materialized view is
+    //      registry-aware (r12 VERDICT "what's wrong" #1, made
+    //      driver-visible): restoring the view rewinds its ivm:*
+    //      absorbed-source watermarks WITH the rows, so the next
+    //      self-driving refresh re-absorbs (stamp_v, head] and
+    //      converges. Without the rewind the refresh derives an empty
+    //      window and the result is the SEED-ONLY aggregate — this
+    //      row's oracle (the full final state) would hash-mismatch,
+    //      so the row is a live guard on the silent-staleness class.
+    //      Oracle: direct aggregate over the replayed final state. ----
+    "m25_restore_view" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m25")
+        val orders = Tables.orders(s, dir)
+        val src = orders.select((col("o_custkey") % 100).as("grp"),
+          (col("o_orderkey") % 1000).as("qty"), col("o_orderkey"))
+        st.create("src", src.filter(col("o_orderkey") % 2 === 0))
+        st.setChangeFeed("src", true)
+        graft.ops.Ivm.createCountSumView(st, "v", "src", Seq("grp"), "qty")
+        val viewSeedV = st.currentVersion("v")
+        // the backlog the restored view must RE-absorb
+        st.delete("src", col("o_orderkey") % 6 === 0)
+        st.append("src", src.filter(col("o_orderkey") % 2 === 1))
+        graft.ops.Ivm.refreshView(st, "v")
+        // RESTORE rewinds rows AND ivm:* stamps; refresh re-converges
+        st.restore("v", viewSeedV)
+        graft.ops.Ivm.refreshView(st, "v")
+        graft.ops.Ivm.compactDead(st, "v", Seq("grp"))
+        graft.ops.Ivm.readView(st, "v")
+          .select(col("grp"), col("n_rows"), col("sum_qty"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT o_custkey % 100 AS grp, o_orderkey % 1000 AS qty
+             |  FROM orders
+             |  WHERE (o_orderkey % 2 = 0 AND o_orderkey % 6 <> 0)
+             |     OR o_orderkey % 2 = 1)
+             |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(qty) AS BIGINT) AS sum_qty
+             |FROM fin GROUP BY 1""".stripMargin)),
+
     "mv1_incremental_agg" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "mv1")

@@ -1234,6 +1234,11 @@ class TableStore(spark: SparkSession, root: String) {
 
   private def probeDirs(name: String, m: Manifest, probe: DataFrame,
                         cols: Seq[String], cap: Int): Seq[String] = {
+    // pruning obeys min(|probe|, |dirs|): below a few dozen dirs no
+    // realistic probe prunes anything, and the dir-selection itself
+    // costs a driver-side collect job — skip straight to the full set
+    // (the 100 TB regime this serves has 10^4-10^5 dirs)
+    if (m.dirs.size <= 48) return m.dirs
     val bucketArm = m.bucketing.exists(b => b.keys.forall(cols.contains)) &&
       m.dirs.nonEmpty && m.dirs.forall(_.contains("/__b="))
     if (bucketArm) {

@@ -78,7 +78,10 @@ class FlagshipHashSpec extends AnyFunSuite {
     // r13: the two-level streaming DAG — digest-equal BY DESIGN to
     // mv5/sql_matview_dag (one cascade, three drivers: library calls,
     // SQL registry, standing stream with an injected restart)
-    "st21_stream_matview_dag" -> "29d49697d735f6797d0e8edd5b90b215")
+    "st21_stream_matview_dag" -> "29d49697d735f6797d0e8edd5b90b215",
+    // r13: registry-aware RESTORE made driver-visible — converges only
+    // if restore rewinds the ivm:* watermarks with the rows
+    "m25_restore_view" -> "6f300295e2943d2bdd1242eabf87895a")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently
