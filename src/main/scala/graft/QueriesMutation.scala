@@ -1197,6 +1197,60 @@ object QueriesMutation {
              |  CAST(sum(qty) AS BIGINT) AS sum_qty
              |FROM fin GROUP BY 1""".stripMargin)),
 
+    // ---- mv7: incremental TOP-K — the SET-VALUED non-distributive
+    //      IVM class beyond max/min: each group's state is its k
+    //      highest (value, key) pairs. Inserts rerank by algebra; a
+    //      retraction below the group's floor drops; a retraction
+    //      hitting a FULL group's stored pair recomputes that group
+    //      only, version-pinned and group-pruned (the (k+1)-th is
+    //      unknowable from k state). The history drives BOTH arms:
+    //      the delete retracts stored top pairs (hard), the update's
+    //      +50000 shift re-ranks pairs up through pre/postimage
+    //      retraction (easy + hard), the append inserts (easy). The
+    //      refresh runs through the REGISTRY dispatch (self-driving
+    //      window, idempotent re-delivery). Oracle: direct row_number
+    //      top-3 over the replayed final state — ties broken by the
+    //      unique key, so the digest is exact. ----
+    "mv7_incremental_topk" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv7")
+        val orders = Tables.orders(s, dir)
+        val src = orders.select((col("o_custkey") % 50).as("grp"),
+          (col("o_orderkey") % 100000).as("val"),
+          col("o_orderkey").as("okey"))
+        st.create("src", src.filter(col("okey") % 2 === 0))
+        st.setChangeFeed("src", true)
+        graft.ops.Ivm.createTopKView(st, "v", "src", Seq("grp"),
+          "val", "okey", k = 3)
+        st.delete("src", col("okey") % 10 === 0)
+        st.update("src", col("okey") % 7 === 0,
+          Map("val" -> (col("val") + 50000L)))
+        st.append("src", src.filter(col("okey") % 2 === 1))
+        graft.ops.Ivm.refreshView(st, "v")
+        graft.ops.Ivm.refreshView(st, "v") // re-delivery: absorbs 0
+        graft.ops.Ivm.compactView(st, "v") // sweep padded tail ranks
+        graft.ops.Ivm.readTopKView(st, "v", "val")
+          .select(col("grp"), col("rnk"), col("val"), col("okey"))
+      },
+      Some("""WITH s0 AS (
+             |  SELECT o_custkey % 50 AS grp, o_orderkey % 100000 AS val,
+             |         o_orderkey AS okey
+             |  FROM orders WHERE o_orderkey % 2 = 0),
+             |upd AS (
+             |  SELECT grp,
+             |    CASE WHEN okey % 7 = 0 THEN val + 50000 ELSE val END AS val,
+             |    okey
+             |  FROM s0 WHERE okey % 10 <> 0),
+             |fin AS (SELECT * FROM upd
+             |        UNION ALL
+             |        SELECT o_custkey % 50, o_orderkey % 100000, o_orderkey
+             |        FROM orders WHERE o_orderkey % 2 = 1),
+             |r AS (SELECT grp, val, okey, row_number() OVER (
+             |        PARTITION BY grp ORDER BY val DESC, okey ASC) AS rnk
+             |      FROM fin)
+             |SELECT grp, CAST(rnk AS INT) AS rnk, val, okey
+             |FROM r WHERE rnk <= 3""".stripMargin)),
+
     "mv1_incremental_agg" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "mv1")

@@ -195,6 +195,42 @@ object Ivm {
     v
   }
 
+  /** CREATE a registered TOP-K view: per group, the k highest
+    * (valueCol, keyCol) pairs (keyCol unique per row — the pair's
+    * total order makes ties deterministic), NULL-padded to exactly k
+    * keyed rows per group ([[applyTopKDelta]]'s shape). */
+  def createTopKView(st: TableStore, view: String, srcName: String,
+                     groupCols: Seq[String], valueCol: String,
+                     keyCol: String, k: Int, buckets: Int = 8): Long = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val v = st.currentVersion(srcName)
+    val srcIsJoin =
+      st.snapshot(srcName).props.get("ivm.kind").contains("join")
+    val srcFrame = {
+      val f = st.readVersion(srcName, v)
+      if (srcIsJoin) f.filter(col("_live")) else f
+    }
+    val keys = groupCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col(valueCol).desc, col(keyCol).asc)
+    val ranked = srcFrame.select((groupCols ++ Seq(valueCol, keyCol)).map(col): _*)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val spine = srcFrame.select(keys: _*).distinct()
+      .withColumn("rnk", explode(sequence(lit(1), lit(k))))
+    st.createBucketed(view,
+      spine.join(ranked, groupCols :+ "rnk", "left_outer")
+        .select((keys :+ col("rnk")) ++ Seq(col(valueCol), col(keyCol)): _*),
+      groupCols, buckets)
+    st.setProperties(view, Map(
+      "ivm.kind" -> "topk", "ivm.source" -> srcName,
+      "ivm.group_cols" -> groupCols.mkString(","),
+      "ivm.value_col" -> valueCol,
+      "ivm.key_col" -> keyCol, "ivm.k" -> k.toString))
+    st.recordTxn(view, s"ivm:$srcName", v)
+    v
+  }
+
   private def viewDef(st: TableStore, view: String)
       : (String, String, Seq[String], String) = {
     val props = st.snapshot(view).props
@@ -282,6 +318,15 @@ object Ivm {
             groupCols, valueCol, Some((s"ivm:$srcName", to)),
             if (srcIsView && srcProps("ivm.kind") == "join")
               Some(col("_live")) else None)
+      case "topk" =>
+        val props = st.properties(view)
+        if (to > from)
+          applyTopKDelta(st, view, srcName, to,
+            feedFilter(st.readChangesBetween(srcName, from, to)),
+            groupCols, valueCol, props("ivm.key_col"), props("ivm.k").toInt,
+            Some((s"ivm:$srcName", to)),
+            if (srcIsView && srcProps("ivm.kind") == "join")
+              Some(col("_live")) else None)
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other'")
     }
@@ -306,6 +351,11 @@ object Ivm {
       case "max" | "min" =>
         compactDeadMax(st, view,
           props("ivm.group_cols").split(",").map(_.trim).toSeq)
+      case "topk" =>
+        // NULL-padded ranks sweep safely: the apply's spine re-pads any
+        // touched group through the keyed upsert
+        compactWhere(st, view, col(props("ivm.value_col")).isNull,
+          props("ivm.group_cols").split(",").map(_.trim).toSeq :+ "rnk")
       case "distinct" =>
         compactView(st, props("ivm.source")) // the aux level
         compactDead(st, view,
@@ -403,6 +453,102 @@ object Ivm {
   /** The consumer face of a maintained max view: live groups only. */
   def readMaxView(st: TableStore, view: String): DataFrame =
     st.read(view).filter(col("mx").isNotNull)
+
+  /** TOP-K with retraction — the SET-VALUED non-distributive IVM class
+    * beyond max/min: each group's state is its k highest (value, key)
+    * pairs (key a unique per-row id; the pair gives a total order, so
+    * ties are deterministic and the oracle is exact). The view holds
+    * EXACTLY k rows per ever-seen group, keyed (groupCols..., rnk) with
+    * NULL-padded empty ranks ([[readTopKView]] filters them) — a group
+    * whose result shrinks tombstones its tail ranks in the same
+    * commit, preserving the one-commit exactly-once shape.
+    *
+    * Algebra: the backlog nets per (group, value, key) through the
+    * count_sum sign — a pair inserted and retracted within the window
+    * cancels — leaving pure insert pairs and pure retract pairs.
+    *   - inserts absorb by algebra: rerank(stored ∪ inserts) take k;
+    *   - a retract of a pair NOT in the stored top-k is below the
+    *     group's floor — dropped;
+    *   - a retract of a STORED pair when the group holds fewer than k
+    *     pairs removes it by algebra (the store provably holds the
+    *     whole group);
+    *   - a retract of a stored pair in a FULL group recomputes that
+    *     group — and only it — from a version-pinned group-pruned
+    *     source read (the (k+1)-th pair is unknowable from k state),
+    *     exactly [[applyMaxDelta]]'s hard arm generalized.
+    * Cost: O(touched groups × k + hard groups' source rows). */
+  def applyTopKDelta(st: TableStore, view: String, srcName: String,
+                     srcVersion: Long, feed: DataFrame,
+                     groupCols: Seq[String], valueCol: String,
+                     keyCol: String, k: Int,
+                     txn: Option[(String, Long)] = None,
+                     srcFilter: Option[Column] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val keys = groupCols.map(col)
+    val pairCols = groupCols ++ Seq(valueCol, keyCol)
+    val delta = feed.groupBy(pairCols.map(col): _*)
+      .agg(sum(sgn).as("dn"), badKinds.as("__bad"))
+      .filter(col("dn") =!= 0L || col("__bad") > 0L)
+      .localCheckpoint()
+    if (delta.isEmpty) {
+      txn.foreach(t => st.recordTxns(view, Seq(t)))
+      return
+    }
+    requireKnownKinds(delta, view)
+    require(delta.filter(abs(col("dn")) > 1L).isEmpty,
+      s"top-k IVM feed for $view is not unique on ($valueCol, $keyCol) " +
+        "pairs within a group — keyCol must uniquely identify rows")
+    val touchedGroups = delta.select(keys: _*).distinct().localCheckpoint()
+    // stored state of touched groups only (dir-pruned: the view is
+    // bucketed on groupCols); live ranks only
+    val stored = st.readProbe(view, touchedGroups, groupCols)
+      .join(broadcast(touchedGroups), groupCols, "left_semi")
+      .filter(col(valueCol).isNotNull)
+      .select((pairCols :+ "rnk").map(col): _*)
+      .localCheckpoint()
+    val retracts = delta.filter(col("dn") < 0L).select(pairCols.map(col): _*)
+    val inserts = delta.filter(col("dn") > 0L).select(pairCols.map(col): _*)
+    // groups whose retraction hits a stored pair while the store holds
+    // a FULL k — the (k+1)-th is unknowable, recompute those groups
+    val storedCounts = stored.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    val hard = retracts.join(stored, pairCols, "left_semi")
+      .select(keys: _*).distinct()
+      .join(storedCounts.filter(col("__n") >= k).select(keys: _*),
+        groupCols, "left_semi")
+      .localCheckpoint()
+    // easy arm: (stored − retract-hits) ∪ inserts, reranked
+    val easyPairs = stored.select(pairCols.map(col): _*)
+      .join(retracts, pairCols, "left_anti")
+      .unionByName(inserts)
+      .join(hard, groupCols, "left_anti")
+    // hard arm: version-pinned group-pruned source recompute
+    val hardPairs = srcFilter
+      .foldLeft(st.readProbe(srcName, hard, groupCols,
+        version = Some(srcVersion)))(_ filter _)
+      .join(broadcast(hard), groupCols, "left_semi")
+      .select(pairCols.map(col): _*)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col(valueCol).desc, col(keyCol).asc)
+    val ranked = easyPairs.unionByName(hardPairs)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    // pad every touched group to EXACTLY k ranks: ranks the new result
+    // does not fill tombstone (val/key NULL), so a shrinking group
+    // retracts its tail in the same keyed upsert
+    val spine = touchedGroups.withColumn("rnk",
+      explode(sequence(lit(1), lit(k))))
+    val out = spine.join(ranked, groupCols :+ "rnk", "left_outer")
+      .select((keys :+ col("rnk")) ++
+        Seq(col(valueCol), col(keyCol)): _*)
+      .localCheckpoint()
+    st.mergeUpsert(view, out, groupCols :+ "rnk", changeTypeCol = None,
+      txn = txn, verifyUniqueSource = false)
+  }
+
+  /** The consumer face of a maintained top-k view: filled ranks only. */
+  def readTopKView(st: TableStore, view: String, valueCol: String): DataFrame =
+    st.read(view).filter(col(valueCol).isNotNull)
 
   /** Delta-JOIN maintenance — the view shape the medallion gold layer
     * is built around: view = source ⋈ dims, keyed by the source's key

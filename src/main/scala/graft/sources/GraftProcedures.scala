@@ -37,7 +37,7 @@ object GraftProcedures {
     "create_join_view", "refresh_join_view",
     "create_join2_view", "refresh_join2_view",
     "drop_view", "list_views", "describe_view",
-    "index_view", "compact_fkidx")
+    "index_view", "compact_fkidx", "create_topk_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -223,6 +223,18 @@ object GraftProcedures {
         // both sides' windows derive from the registry; both
         // watermarks advance in the apply's one commit
         result(v, graft.ops.Ivm.refreshJoin2View(store, v))
+      }
+      case "create_topk_view" => bound(Seq(param("view", StringType),
+          param("source", StringType), param("group_cols", StringType),
+          param("value_col", StringType), param("key_col", StringType),
+          param("k", IntegerType), param("buckets", IntegerType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // per-group top-k (value, key) pairs; refresh/compact/drop ride
+        // the shared agg-view verbs (the registry dispatches on kind)
+        result(v, graft.ops.Ivm.createTopKView(store, v,
+          in.getUTF8String(1).toString, cols(in.getUTF8String(2).toString),
+          in.getUTF8String(3).toString, in.getUTF8String(4).toString,
+          in.getInt(5), in.getInt(6)))
       }
       case "index_view" => bound(Seq(param("view", StringType),
           param("fk_cols", StringType), param("buckets", IntegerType))) { in =>

@@ -81,7 +81,9 @@ class FlagshipHashSpec extends AnyFunSuite {
     "st21_stream_matview_dag" -> "29d49697d735f6797d0e8edd5b90b215",
     // r13: registry-aware RESTORE made driver-visible — converges only
     // if restore rewinds the ivm:* watermarks with the rows
-    "m25_restore_view" -> "6f300295e2943d2bdd1242eabf87895a")
+    "m25_restore_view" -> "6f300295e2943d2bdd1242eabf87895a",
+    // r13: the set-valued top-k IVM kind (both arms in one history)
+    "mv7_incremental_topk" -> "0c1f01bebdffcce3c7890e60be1305fc")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently

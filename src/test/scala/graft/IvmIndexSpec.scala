@@ -127,6 +127,40 @@ class IvmIndexSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Long, String)].collect().toSet)
   }
 
+  test("a REGISTERED join view's self-driving refresh probes through " +
+      "the index: dim-only refreshes converge across fk moves") {
+    val root = Files.createTempDirectory("fkidx4").toString
+    spark.conf.set("spark.sql.catalog.gfkr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gfkr.root", root)
+    val st = new TableStore(spark, root)
+    st.create("src", Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+      .toDF("k", "fk", "qty"))
+    st.setChangeFeed("src", true)
+    st.create("dim", Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("dk", "nm"))
+    st.setChangeFeed("dim", true)
+    spark.sql("CALL gfkr.system.create_join_view('jv', 'src', 'k', 'dim:fk=dk:nm', 4)")
+    spark.sql("CALL gfkr.system.index_view('jv', 'fk', 4)")
+    // source fk move + dim rename on BOTH the old and new fk, then one
+    // self-driving refresh — the dim-term probe routes through the
+    // index (root fkCols == idxCols) and must stay exact
+    st.update("src", col("k") === 1L, Map("fk" -> lit(30L)))
+    st.update("dim", col("dk").isin(10L, 30L),
+      Map("nm" -> concat(col("nm"), lit("!"))))
+    assert(spark.sql("CALL gfkr.system.refresh_join_view('jv')")
+      .head().getLong(1) === 2L) // one src commit + one dim commit
+    assert(spark.sql("SELECT k, nm FROM gfkr.jv WHERE _live")
+      .as[(Long, String)].collect().toSet ===
+      st.read("src").join(st.read("dim"), col("fk") === col("dk"), "left")
+        .select(col("k"), col("nm"))
+        .as[(Long, String)].collect().toSet)
+    // a second dim-only refresh through the (now fk-moved) index
+    st.update("dim", col("dk") === 20L, Map("nm" -> lit("B")))
+    assert(spark.sql("CALL gfkr.system.refresh_join_view('jv')")
+      .head().getLong(1) === 1L)
+    assert(spark.sql("SELECT nm FROM gfkr.jv WHERE _live AND k = 3")
+      .as[String].head() === "B")
+  }
+
   test("registry lifecycle cascades the index: drop_view removes " +
       "__fkidx; list_views hides it") {
     val root = Files.createTempDirectory("fkidx3").toString

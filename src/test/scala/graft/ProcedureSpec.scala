@@ -306,6 +306,52 @@ class ProcedureSpec extends AnyFunSuite {
     assert(ts.read("pairs").count() === 4)
   }
 
+  test("top-k view through the SQL registry: create_topk_view, " +
+      "self-driving refresh across both arms, compact, drop") {
+    val root = Files.createTempDirectory("proctk").toString
+    spark.conf.set("spark.sql.catalog.gtk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtk.root", root)
+    val ts = new TableStore(spark, root)
+    // grp 1: values 50,40,30,20 (keys 1-4); grp 2: 10,5 (under-full)
+    ts.create("src", Seq((1L, 50L, 1L), (1L, 40L, 2L), (1L, 30L, 3L),
+      (1L, 20L, 4L), (2L, 10L, 5L), (2L, 5L, 6L)).toDF("grp", "val", "k"))
+    ts.setChangeFeed("src", true)
+    spark.sql("CALL gtk.system.create_topk_view('v', 'src', 'grp', 'val', 'k', 2, 4)")
+    assert(spark.sql("SELECT grp, rnk, val FROM gtk.v WHERE val IS NOT NULL")
+      .as[(Long, Int, Long)].collect().toSet ===
+      Set((1L, 1, 50L), (1L, 2, 40L), (2L, 1, 10L), (2L, 2, 5L)))
+    // HARD arm: retract grp 1's stored #1 from a full group — the
+    // recompute must surface 30 (invisible to the stored state);
+    // EASY arms: an insert that enters grp 2's top-2, and a retract
+    // from the under-full grp 2
+    ts.delete("src", col("k") === 1L)
+    ts.append("src", Seq((2L, 20L, 7L)).toDF("grp", "val", "k"))
+    ts.delete("src", col("k") === 6L)
+    assert(spark.sql("CALL gtk.system.refresh_agg_view('v')")
+      .head().getLong(1) === 3L)
+    assert(spark.sql("SELECT grp, rnk, val FROM gtk.v WHERE val IS NOT NULL")
+      .as[(Long, Int, Long)].collect().toSet ===
+      Set((1L, 1, 40L), (1L, 2, 30L), (2L, 1, 20L), (2L, 2, 10L)))
+    // idle refresh absorbs nothing; compact sweeps padded tails; a
+    // post-sweep refresh re-pads through the keyed upsert
+    assert(spark.sql("CALL gtk.system.refresh_agg_view('v')")
+      .head().getLong(1) === 0L)
+    ts.delete("src", col("k") === 5L) // grp 2 shrinks to one pair
+    assert(spark.sql("CALL gtk.system.refresh_agg_view('v')")
+      .head().getLong(1) === 1L)
+    spark.sql("CALL gtk.system.compact_agg_view('v')")
+    assert(ts.read("v").filter(col("val").isNull).count() === 0)
+    assert(spark.sql("SELECT grp, rnk, val FROM gtk.v WHERE val IS NOT NULL")
+      .as[(Long, Int, Long)].collect().toSet ===
+      Set((1L, 1, 40L), (1L, 2, 30L), (2L, 1, 20L)))
+    // lifecycle: listed with its definition, droppable
+    val row = spark.sql("CALL gtk.system.list_views()")
+      .filter(col("view") === "v").head()
+    assert(row.getString(1) === "topk")
+    assert(spark.sql("CALL gtk.system.drop_view('v')").head().getLong(1) === 1L)
+    assert(!ts.exists("v"))
+  }
+
   test("RESTORE is registry-aware: restoring a materialized view rewinds " +
       "its ivm:* watermarks so the next refresh re-absorbs and converges") {
     val root = Files.createTempDirectory("procrst").toString
