@@ -138,6 +138,12 @@ object Bench {
       sec > math.max(3.0 * canaries.min, 0.75)
     def slowIoCanary(sec: Double): Boolean =
       sec > math.max(3.0 * canariesIo.min, 0.3)
+    // the scheduler probe participates in the LIVE warning too (r13
+    // ADVICE: it was measured and gated post-hoc but never triggered the
+    // mid-run line, so a scheduler-contended window was invisible until
+    // the final gate); floor mirrors schedThreshold's hard tier
+    def slowSchedCanary(sec: Double): Boolean =
+      sec > math.max(3.0 * canariesSched.min, 1.5)
 
     // optional local-iteration filter: comma-separated query names as
     // args(0); the driver invokes with no args (all queries)
@@ -185,8 +191,8 @@ object Bench {
         val c = canaryProbe()
         val cio = canaryIoProbe()
         val csc = canarySchedProbe()
-        if (slowCanary(c) || slowIoCanary(cio))
-          System.err.println(f"[bench] WARNING: canary cpu $c%.2f s / io $cio%.2f s (best-so-far ${canaries.min}%.2f/${canariesIo.min}%.2f)")
+        if (slowCanary(c) || slowIoCanary(cio) || slowSchedCanary(csc))
+          System.err.println(f"[bench] WARNING: canary cpu $c%.2f s / io $cio%.2f s / sched $csc%.2f s (best-so-far ${canaries.min}%.2f/${canariesIo.min}%.2f/${canariesSched.min}%.2f)")
         canaries += c
         canariesIo += cio
         canariesSched += csc
@@ -348,11 +354,17 @@ object Bench {
             case rx(n) => Some(n.toInt); case _ => None
           })
         val doneRounds = roundsOf("""CORRECTNESS_r(\d+)\.json""".r)
-        val currentRound =
-          if (doneRounds.isEmpty) Int.MaxValue else doneRounds.max + 1
-        roundsOf("""BENCH_FULL_r(\d+)\.json""".r)
-          .filter(_ < currentRound)
-          .sorted.lastOption.map(n => s"BENCH_FULL_r$n.json")
+        val benchRounds = roundsOf("""BENCH_FULL_r(\d+)\.json""".r).sorted
+        // no CORRECTNESS files visible (e.g. run from another cwd): the
+        // in-progress round can't be inferred, and defaulting to
+        // Int.MaxValue would readmit the current round's own snapshot as
+        // the baseline — exactly the env_factor~1.0 self-compare this
+        // block exists to avoid (r13 ADVICE). Drop the highest-numbered
+        // snapshot instead: it is the one most likely to be ours.
+        val candidates =
+          if (doneRounds.isEmpty) benchRounds.dropRight(1)
+          else benchRounds.filter(_ < doneRounds.max + 1)
+        candidates.lastOption.map(n => s"BENCH_FULL_r$n.json")
       }
     val compareBlock = prevArtifact.flatMap { p =>
       val c = scala.util.Try(
