@@ -188,12 +188,28 @@ object Ivm {
           .agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_qty")),
           groupCols, buckets)
         stamp(view, aux, groupCols, "distinct", auxV)
+      case "sketch_distinct" =>
+        // HLL register state per group (see [[applySketchDistinctDelta]]);
+        // precision rides the registry so every refresh unions at the
+        // SAME lgConfigK (defaultLgK ≈ 1.6% rsd, a13's class)
+        st.createBucketed(view, srcFrame
+          .groupBy(groupCols.map(col): _*)
+          .agg(hll_sketch_agg(col(valueCol), DefaultLgK).as("sketch"))
+          .withColumn("n_est", hll_sketch_estimate(col("sketch"))),
+          groupCols, buckets)
+        stamp(view, srcName, groupCols, "sketch_distinct", v)
+        st.setProperties(view, Map("ivm.lg_k" -> DefaultLgK.toString))
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other' " +
-          "(count_sum | max | min | distinct)")
+          "(count_sum | max | min | distinct | sketch_distinct)")
     }
     v
   }
+
+  /** Registered sketch views' default HLL precision: 2^12 registers,
+    * rsd ≈ 1.04/√4096 ≈ 1.6% — a13_sketch_distinct's error class at
+    * 4 KB per group. */
+  val DefaultLgK = 12
 
   /** CREATE a registered TOP-K view: per group, the k highest
     * (valueCol, keyCol) pairs (keyCol unique per row — the pair's
@@ -327,6 +343,15 @@ object Ivm {
             Some((s"ivm:$srcName", to)),
             if (srcIsView && srcProps("ivm.kind") == "join")
               Some(col("_live")) else None)
+      case "sketch_distinct" =>
+        val lgK = st.properties(view).get("ivm.lg_k")
+          .map(_.toInt).getOrElse(DefaultLgK)
+        if (to > from)
+          applySketchDistinctDelta(st, view, srcName, to,
+            feedFilter(st.readChangesBetween(srcName, from, to)),
+            groupCols, valueCol, lgK, Some((s"ivm:$srcName", to)),
+            if (srcIsView && srcProps("ivm.kind") == "join")
+              Some(col("_live")) else None)
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other'")
     }
@@ -356,6 +381,9 @@ object Ivm {
         // touched group through the keyed upsert
         compactWhere(st, view, col(props("ivm.value_col")).isNull,
           props("ivm.group_cols").split(",").map(_.trim).toSeq :+ "rnk")
+      case "sketch_distinct" =>
+        compactWhere(st, view, col("sketch").isNull,
+          props("ivm.group_cols").split(",").map(_.trim).toSeq)
       case "distinct" =>
         compactView(st, props("ivm.source")) // the aux level
         compactDead(st, view,
@@ -509,6 +537,19 @@ object Ivm {
       .localCheckpoint()
     val retracts = delta.filter(col("dn") < 0L).select(pairCols.map(col): _*)
     val inserts = delta.filter(col("dn") > 0L).select(pairCols.map(col): _*)
+    // cross-window uniqueness (r13 ADVICE): the |dn|>1 guard above only
+    // catches a duplicate pair arriving WITHIN one window — a duplicate
+    // inserted in a LATER window passed silently and corrupted the
+    // stored-pair retraction matching. An insert whose exact pair is
+    // already stored can only mean the source holds two rows with the
+    // same keyCol (a legitimate delete+reinsert nets out within its
+    // window, and a reinsert AFTER the delete's window finds the pair
+    // already retracted) — fail loudly. Cost: one semi-join against the
+    // already-read touched-group state.
+    require(inserts.join(stored, pairCols, "left_semi").isEmpty,
+      s"top-k IVM feed for $view inserts a ($valueCol, $keyCol) pair " +
+        "already stored in the view — keyCol must uniquely identify " +
+        "source rows across the view's whole history")
     // groups whose retraction hits a stored pair while the store holds
     // a FULL k — the (k+1)-th is unknowable, recompute those groups
     val storedCounts = stored.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
@@ -549,6 +590,82 @@ object Ivm {
   /** The consumer face of a maintained top-k view: filled ranks only. */
   def readTopKView(st: TableStore, view: String, valueCol: String): DataFrame =
     st.read(view).filter(col(valueCol).isNotNull)
+
+  /** APPROX-DISTINCT with retraction — the SKETCH-STATE IVM kind
+    * (r13 VERDICT #5): each group's state is a Datasketches HLL
+    * register set (BINARY `sketch`) plus its materialized estimate
+    * (`n_est`), the incremental twin of a13_sketch_distinct's
+    * aggregate. Where mv3 maintains COUNT(DISTINCT) exactly through
+    * O(distinct values) auxiliary state, this kind holds O(2^lgK)
+    * bytes per group REGARDLESS of cardinality — the 100 TB shape for
+    * high-cardinality distinct counts where the aux table itself would
+    * be fact-sized.
+    *
+    * Algebra: HLL registers are a commutative monoid under
+    * [[org.apache.spark.sql.functions.hll_union]], so an insert-only
+    * backlog absorbs as ONE union per touched group — never a source
+    * read. Registers cannot retract (max of hashes loses the second
+    * max), so a group with ANY retraction (delete / update_preimage)
+    * recomputes from a version-pinned group-pruned source read —
+    * [[applyMaxDelta]]'s hard arm with the whole register set as the
+    * irrecoverable state. Groups recomputing to empty become
+    * sketch=NULL tombstones ([[readSketchView]] filters,
+    * [[compactView]] sweeps). One mergeUpsert commit; `txn` exactly as
+    * [[applyCountSumDelta]] (REQUIRED under at-least-once delivery:
+    * re-unioning the same batch is idempotent for the ESTIMATE only by
+    * accident of HLL max-semantics — the skip guard is still the
+    * contract). `lgK` must match the view's registered precision: two
+    * sketches only union losslessly at one lgConfigK. */
+  def applySketchDistinctDelta(st: TableStore, view: String, srcName: String,
+                               srcVersion: Long, feed: DataFrame,
+                               groupCols: Seq[String], valueCol: String,
+                               lgK: Int,
+                               txn: Option[(String, Long)] = None,
+                               srcFilter: Option[Column] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val keys = groupCols.map(col)
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val touched = feed.groupBy(keys: _*)
+      .agg(hll_sketch_agg(when(isIns, col(valueCol)), lgK).as("ins_sk"),
+        count(when(!isIns && sgn.isNotNull, lit(1))).as("n_ret"),
+        badKinds.as("__bad"))
+      .localCheckpoint()
+    if (touched.isEmpty) {
+      txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
+      return
+    }
+    requireKnownKinds(touched, view)
+    val old = st.readProbe(view, touched.select(keys: _*), groupCols)
+      .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
+      .select((keys :+ col("sketch")): _*)
+    val merged = touched.join(old, groupCols, "left_outer").localCheckpoint()
+    // easy arm: insert-only groups union registers (a tombstoned or
+    // brand-new group takes the batch sketch outright)
+    val easy = merged.filter(col("n_ret") === 0L)
+      .select(keys :+ when(col("sketch").isNull, col("ins_sk"))
+        .otherwise(hll_union(col("sketch"), col("ins_sk"))).as("sketch"): _*)
+    val hard = merged.filter(col("n_ret") > 0L).select(keys: _*)
+    // hard arm: version-pinned group-pruned recompute (registers can't
+    // retract); srcFilter = a registered-view source's live face
+    val recomputed = srcFilter
+      .foldLeft(st.readProbe(srcName, hard, groupCols,
+        version = Some(srcVersion)))(_ filter _)
+      .join(broadcast(hard), groupCols, "left_semi")
+      .groupBy(keys: _*).agg(hll_sketch_agg(col(valueCol), lgK).as("sketch"))
+    val dead = hard.join(recomputed.select(keys: _*), groupCols, "left_anti")
+      .select(keys :+ lit(null).cast("binary").as("sketch"): _*)
+    val out = easy.unionByName(recomputed).unionByName(dead)
+      .withColumn("n_est", when(col("sketch").isNull, lit(null).cast("long"))
+        .otherwise(hll_sketch_estimate(col("sketch"))))
+      .localCheckpoint() // pin: mergeUpsert's gate + join re-read it
+    st.mergeUpsert(view, out, groupCols, txn = txn)
+  }
+
+  /** The consumer face of a maintained sketch view: live groups, the
+    * materialized estimate beside the registers. */
+  def readSketchView(st: TableStore, view: String): DataFrame =
+    st.read(view).filter(col("sketch").isNotNull)
 
   /** Delta-JOIN maintenance — the view shape the medallion gold layer
     * is built around: view = source ⋈ dims, keyed by the source's key
@@ -693,12 +810,13 @@ object Ivm {
           val probe = fkKeys.select(fkCols.map(col): _*).distinct()
             .localCheckpoint()
           val base =
-            if (idxCols.contains(fkCols)) {
-              val cand = st.readProbe(fkIndexTable(view), probe, fkCols)
-                .join(broadcast(probe), fkCols, "left_semi")
-                .select(keyCols: _*).distinct().localCheckpoint()
-              st.readProbe(view, cand, keys)
-            } else st.readProbe(view, probe, fkCols)
+            if (idxCols.contains(fkCols))
+              indexedOrScan(st, view, keys,
+                cand = st.readProbe(fkIndexTable(view), probe, fkCols)
+                  .join(broadcast(probe), fkCols, "left_semi")
+                  .select(keyCols: _*).distinct().localCheckpoint(),
+                scan = () => st.readProbe(view, probe, fkCols))
+            else st.readProbe(view, probe, fkCols)
           base.filter(col("_live"))
             .join(broadcast(probe), fkCols, "left_semi")
         }
@@ -764,6 +882,31 @@ object Ivm {
 
   private[graft] def fkIndexTable(view: String): String = s"${view}__fkidx"
 
+  /** ADAPTIVE probe-arm choice per batch (r13 VERDICT #4): a probe
+    * reads ~min(|candidate rows|, |dirs|) dirs (the dirs-read law,
+    * tools/ProbeFkIndex), so once the index's candidate KEY set
+    * reaches the view's dir count the bucket-read-by-candidate-keys
+    * degrades to a full scan PLUS the index overhead — the measured
+    * 64-FK regression (1.67 s ix vs 1.19 s scan at 512 dirs). The
+    * index read itself is always cheap (bucket-pruned on the FK), so
+    * the choice is made AFTER it, on the already-checkpointed
+    * candidate count: a point-y change probes the view by candidate
+    * keys, a wide one falls back to the plain scan-side probe.
+    * Either arm stays a conservative superset — the caller's fk
+    * semi-join keeps exactness. The taken arm is announced through
+    * the store's onStep hook (fkidx-arm-index / fkidx-arm-scan) so
+    * specs can pin the decision. */
+  private def indexedOrScan(st: TableStore, view: String,
+                            candKeys: Seq[String], cand: DataFrame,
+                            scan: () => DataFrame): DataFrame =
+    if (cand.count() < st.liveDirCount(view)) {
+      st.onStep("fkidx-arm-index")
+      st.readProbe(view, cand, candKeys)
+    } else {
+      st.onStep("fkidx-arm-scan")
+      scan()
+    }
+
   private def fkIndexCols(st: TableStore, view: String): Option[Seq[String]] =
     st.properties(view).get("ivm.fk_index")
       .map(_.split(",").map(_.trim).toSeq)
@@ -802,14 +945,31 @@ object Ivm {
   }
 
   /** Sweep the FK index's stale entries (fk moves and deleted rows
-    * accumulate ever-live pairs): rebuild from the live view. Safe to
-    * skip indefinitely — staleness only costs probe candidates. */
+    * accumulate ever-live pairs). SKIPPING this is always safe —
+    * staleness only costs probe candidates — but RUNNING it requires
+    * the view to be quiesced, like [[enableFkIndex]]: an apply's index
+    * commit precedes its view commit, so an entry whose view row is
+    * in-flight between the two commits reads as stale here and
+    * deleting it would break the conservative-superset contract (r13
+    * ADVICE). Within that contract the sweep is still defensive: the
+    * dead set is computed at a PINNED index version and the delete
+    * refuses loudly if the index advanced (a late-arriving apply's
+    * fresh entries can never be clobbered silently — the r13 overwrite
+    * rebuild could). Entries are only ever deleted, never rebuilt:
+    * live rows' entries are guaranteed present by the apply ordering. */
   def compactFkIndex(st: TableStore, view: String): Unit =
     fkIndexCols(st, view).foreach { ic =>
-      val keys = st.read(fkIndexTable(view)).columns.toSeq.filterNot(ic.contains)
-      st.overwrite(fkIndexTable(view),
-        st.read(view).filter(col("_live"))
-          .select((ic ++ keys).map(col): _*))
+      val idx = fkIndexTable(view)
+      val keys = st.read(idx).columns.toSeq.filterNot(ic.contains)
+      val entryCols = ic ++ keys
+      val v = st.currentVersion(idx)
+      val liveEntries = st.read(view).filter(col("_live"))
+        .select(entryCols.map(col): _*)
+      val dead = st.readVersion(idx, v)
+        .join(liveEntries, entryCols, "left_anti")
+        .select(entryCols.map(col): _*).localCheckpoint()
+      if (!dead.isEmpty)
+        st.mergeDelete(idx, dead, entryCols, expectedVersion = Some(v))
     }
 
   /** Collapse a change-feed backlog to its LAST state per key: the
@@ -1076,12 +1236,13 @@ object Ivm {
     // commit dirs / bloom on the B key).
     val idxCols = fkIndexCols(st, view)
     val bProbeBase =
-      if (idxCols.contains(bKeys)) {
-        val cand = st.readProbe(fkIndexTable(view), bTouched, bKeys)
-          .join(broadcast(bTouched), bKeys, "left_semi")
-          .select(aKeys.map(col): _*).distinct().localCheckpoint()
-        st.readProbe(view, cand, aKeys)
-      } else st.readProbe(view, bTouched, bKeys)
+      if (idxCols.contains(bKeys))
+        indexedOrScan(st, view, aKeys,
+          cand = st.readProbe(fkIndexTable(view), bTouched, bKeys)
+            .join(broadcast(bTouched), bKeys, "left_semi")
+            .select(aKeys.map(col): _*).distinct().localCheckpoint(),
+          scan = () => st.readProbe(view, bTouched, bKeys))
+      else st.readProbe(view, bTouched, bKeys)
     val touchedPairs = st.readProbe(view, aTouched, aKeys)
       .filter(col("_live"))
       .join(broadcast(aTouched), aKeys, "left_semi")
