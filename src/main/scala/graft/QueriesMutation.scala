@@ -177,6 +177,30 @@ object QueriesMutation {
              |SELECT a.o_orderkey, b.event_id, a.o_custkey, a.price, b.event_type
              |FROM af a JOIN bf b ON a.o_custkey = b.user_id""".stripMargin)
 
+  /** mv7's oracle (shared with st22_stream_topk — the batch registry
+    * refresh and the standing stream must be digest-equal): replay the
+    * mutations, direct row_number top-3 over the final state (ties
+    * broken by the unique key, so the digest is exact). */
+  private[graft] val Mv7OracleSql: Option[String] =
+    Some("""WITH s0 AS (
+           |  SELECT o_custkey % 50 AS grp, o_orderkey % 100000 AS val,
+           |         o_orderkey AS okey
+           |  FROM orders WHERE o_orderkey % 2 = 0),
+           |upd AS (
+           |  SELECT grp,
+           |    CASE WHEN okey % 7 = 0 THEN val + 50000 ELSE val END AS val,
+           |    okey
+           |  FROM s0 WHERE okey % 10 <> 0),
+           |fin AS (SELECT * FROM upd
+           |        UNION ALL
+           |        SELECT o_custkey % 50, o_orderkey % 100000, o_orderkey
+           |        FROM orders WHERE o_orderkey % 2 = 1),
+           |r AS (SELECT grp, val, okey, row_number() OVER (
+           |        PARTITION BY grp ORDER BY val DESC, okey ASC) AS rnk
+           |      FROM fin)
+           |SELECT grp, CAST(rnk AS INT) AS rnk, val, okey
+           |FROM r WHERE rnk <= 3""".stripMargin)
+
   /** ONE oracle text for m24_merge_evolve and sql_merge_evolve — the
     * library call and the SQL surface run the same evolution + merge
     * semantics, so their driver digests must be equal by construction
@@ -1232,24 +1256,118 @@ object QueriesMutation {
         graft.ops.Ivm.readTopKView(st, "v", "val")
           .select(col("grp"), col("rnk"), col("val"), col("okey"))
       },
-      Some("""WITH s0 AS (
-             |  SELECT o_custkey % 50 AS grp, o_orderkey % 100000 AS val,
-             |         o_orderkey AS okey
-             |  FROM orders WHERE o_orderkey % 2 = 0),
-             |upd AS (
-             |  SELECT grp,
-             |    CASE WHEN okey % 7 = 0 THEN val + 50000 ELSE val END AS val,
-             |    okey
-             |  FROM s0 WHERE okey % 10 <> 0),
-             |fin AS (SELECT * FROM upd
+      Mv7OracleSql),
+
+    // ---- mv8: the FK secondary index, driver-visible (r13 VERDICT
+    //      #2): a REGISTERED join view with `CALL index_view`'s
+    //      `<view>__fkidx` enabled from the first refresh, driven
+    //      through fk moves, deletes, appends, and a dim-rename batch
+    //      whose dim-term probe routes through the index (with the
+    //      adaptive arm choice deciding index-vs-scan per batch). The
+    //      oracle is the UNINDEXED semantics — a direct relational
+    //      replay — so the row is a live guard on the index's
+    //      conservative-superset contract: a probe that ever misses a
+    //      live row, or a stale entry that leaks a dead one, turns
+    //      this row red. The quiesced compactFkIndex sweep runs before
+    //      the final read so the swept index's exactness is inside the
+    //      digest too. ----
+    "mv8_indexed_star" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv8")
+        val orders = Tables.orders(s, dir)
+        val src = orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+        st.create("silver", src.filter(col("o_orderkey") % 2 === 0))
+        st.setChangeFeed("silver", true)
+        st.create("dcust", Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name")))
+        st.setChangeFeed("dcust", true)
+        graft.ops.Ivm.createJoinView(st, "fact", "silver",
+          Seq("o_orderkey"), "dcust:o_custkey=c_custkey:c_name", buckets = 8)
+        graft.ops.Ivm.enableFkIndexRegistered(st, "fact",
+          Seq("o_custkey"), buckets = 8)
+        // batch 1 (source term): fk moves + deletes + appends — the
+        // moves leave ever-live (old_fk, key) entries behind, which
+        // batch 2's probe must treat as candidates-only
+        st.updateVectorized("silver", col("o_orderkey") % 10 === 0,
+          Map("o_custkey" -> (col("o_custkey") % 500 + 1)))
+        st.deleteVectorized("silver", col("o_orderkey") % 7 === 0)
+        st.append("silver", src.filter(col("o_orderkey") % 2 === 1))
+        graft.ops.Ivm.refreshJoinView(st, "fact")
+        // batch 2 (dim term): renames re-enrich exactly the rows whose
+        // CURRENT fk is affected — through the index
+        st.updateVectorized("dcust", col("c_custkey") % 3 === 0,
+          Map("c_name" -> concat(col("c_name"), lit("!"))))
+        graft.ops.Ivm.refreshJoinView(st, "fact")
+        graft.ops.Ivm.compactFkIndex(st, "fact") // quiesced here
+        graft.ops.Ivm.compactDeadJoin(st, "fact", Seq("o_orderkey"))
+        graft.ops.Ivm.readJoinView(st, "fact")
+      },
+      Some("""WITH s0 AS (SELECT o_orderkey, o_custkey,
+             |              o_totalprice AS price
+             |            FROM orders WHERE o_orderkey % 2 = 0),
+             |u AS (SELECT o_orderkey,
+             |        CASE WHEN o_orderkey % 10 = 0 THEN o_custkey % 500 + 1
+             |             ELSE o_custkey END AS o_custkey,
+             |        price
+             |      FROM s0),
+             |d AS (SELECT * FROM u WHERE o_orderkey % 7 <> 0),
+             |fin AS (SELECT * FROM d
              |        UNION ALL
-             |        SELECT o_custkey % 50, o_orderkey % 100000, o_orderkey
+             |        SELECT o_orderkey, o_custkey, o_totalprice
              |        FROM orders WHERE o_orderkey % 2 = 1),
-             |r AS (SELECT grp, val, okey, row_number() OVER (
-             |        PARTITION BY grp ORDER BY val DESC, okey ASC) AS rnk
-             |      FROM fin)
-             |SELECT grp, CAST(rnk AS INT) AS rnk, val, okey
-             |FROM r WHERE rnk <= 3""".stripMargin)),
+             |dc AS (SELECT c_custkey,
+             |         CASE WHEN c_custkey % 3 = 0 THEN c_name || '!'
+             |              ELSE c_name END AS c_name
+             |       FROM customer)
+             |SELECT f.o_orderkey, f.o_custkey, f.price, dc.c_name
+             |FROM fin f
+             |LEFT JOIN dc ON f.o_custkey = dc.c_custkey""".stripMargin)),
+
+    // ---- mv9: incremental APPROX-DISTINCT — the sketch-state IVM kind
+    //      (r13 VERDICT #5). Where mv3 maintains COUNT(DISTINCT)
+    //      exactly through O(distinct values) aux state, mv9 holds one
+    //      4 KB HLL register set per group regardless of cardinality —
+    //      the 100 TB shape when the aux table itself would be
+    //      fact-sized. Inserts union registers (pure algebra, no source
+    //      read); the suppkey-shifting update and the delete retract,
+    //      and registers can't retract, so exactly those groups
+    //      recompute version-pinned and group-pruned (max's hard arm
+    //      with the whole register set as the irrecoverable state).
+    //      Refresh runs through the REGISTRY dispatch. Oracle: the
+    //      a13 gate pattern — the row carries the EXACT distinct count
+    //      (oracle-checkable) plus whether the maintained estimate
+    //      landed within 3x the registered 1.6% rsd; a broken sketch
+    //      or a stale view turns the row red instead of hiding behind
+    //      no_oracle. ----
+    "mv9_incremental_sketch" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv9")
+        val li = ivmLineitem(s, dir)
+        ivmCreateSource(st, li)
+        graft.ops.Ivm.createCountSumView(st, "sk_view", "src",
+          Seq("l_suppkey"), "l_orderkey", kind = "sketch_distinct")
+        ivmMutateSource(st, li) // the backlog: update moves groups,
+                                // delete retracts, append inserts
+        graft.ops.Ivm.refreshView(st, "sk_view")
+        graft.ops.Ivm.refreshView(st, "sk_view") // re-delivery: absorbs 0
+        graft.ops.Ivm.compactView(st, "sk_view") // sweep NULL tombstones
+        val est = graft.ops.Ivm.readSketchView(st, "sk_view")
+          .select(col("l_suppkey"), col("n_est"))
+        // the exact side exists only for the gate (a13's pattern) —
+        // production reads the maintained estimate
+        val exact = st.read("src").groupBy(col("l_suppkey"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.join(est, Seq("l_suppkey"), "left")
+          .select(col("l_suppkey"), col("n_exact"),
+            (col("n_est").isNotNull &&
+              abs(col("n_est") - col("n_exact")) <=
+                greatest(col("n_exact") * lit(0.05), lit(3.0)))
+              .as("within_rsd"))
+      },
+      Some(ivmOracle(
+        """CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+          |  TRUE AS within_rsd""".stripMargin))),
 
     "mv1_incremental_agg" -> QDef(
       (s, dir) => {

@@ -479,6 +479,77 @@ object QueriesStreaming {
       },
       QueriesMutation.Mv5OracleSql),
 
+    // ---- st22: STREAMING TOP-K — mv7's set-valued IVM kind as a
+    //      standing stream (r13 VERDICT #6): each micro-batch of the
+    //      source's `.changes` feed drives applyTopKDelta through
+    //      foreachBatch, txn = (app, batchId) for exactly-once. The
+    //      hard arm's version-pinned recompute pins at THIS BATCH's end
+    //      version (max _commit_version), so a retraction of a stored
+    //      pair recomputes against exactly the state the batch's window
+    //      ends at — later not-yet-delivered commits can't leak in.
+    //      The first stream CRASHES (st21's injection) after a
+    //      nonempty batch applied but before the checkpoint ack; the
+    //      restart re-delivers that batch under the same id and the
+    //      txn stamp absorbs it. Digest-equal to mv7's oracle (one
+    //      top-k algebra, two drivers: batch registry refresh and
+    //      standing stream). ----
+    "st22_stream_topk" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st22_topk"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val orders = Tables.orders(s, dir)
+        val src = orders.select((col("o_custkey") % 50).as("grp"),
+          (col("o_orderkey") % 100000).as("val"),
+          col("o_orderkey").as("okey"))
+        st.create("src", src.filter(col("okey") % 2 === 0))
+        st.setChangeFeed("src", true)
+        graft.ops.Ivm.createTopKView(st, "v", "src", Seq("grp"),
+          "val", "okey", k = 3)
+        val sv0 = st.currentVersion("src")
+        // the backlog lands as THREE commits -> three micro-batches:
+        // deletes retract stored top pairs (hard arm), the +50000
+        // shift re-ranks through pre/postimage retraction, the append
+        // inserts (easy arm)
+        st.delete("src", col("okey") % 10 === 0)
+        st.update("src", col("okey") % 7 === 0,
+          Map("val" -> (col("val") + 50000L)))
+        st.append("src", src.filter(col("okey") % 2 === 1))
+        s.conf.set("spark.sql.catalog.graft_st22", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st22.root", root)
+        @volatile var bombed = false
+        def run(armBomb: Boolean) = s.readStream
+          .option("startVersion", sv0.toString) // EXCLUSIVE: (sv0, head]
+          .option("maxVersionsPerTrigger", "1")
+          .table("graft_st22.src.changes")
+          .writeStream.option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val hasRows = !batch.isEmpty
+            // pin the hard arm at the batch window's END version
+            val vEnd =
+              if (hasRows) batch.agg(max(col("_commit_version"))).head().getLong(0)
+              else st.currentVersion("src")
+            graft.ops.Ivm.applyTopKDelta(st, "v", "src", vEnd, batch,
+              Seq("grp"), "val", "okey", k = 3,
+              txn = Some(("st22", batchId)))
+            if (armBomb && !bombed && hasRows) {
+              bombed = true
+              throw new RuntimeException("injected crash after apply, before ack")
+            }
+          }
+          .start()
+        try run(armBomb = true).awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        require(bombed, "st22: the injected crash never fired")
+        run(armBomb = false).awaitTermination()
+        graft.ops.Ivm.compactView(st, "v") // sweep padded tail ranks
+        graft.ops.Ivm.readTopKView(st, "v", "val")
+          .select(col("grp"), col("rnk"), col("val"), col("okey"))
+      },
+      QueriesMutation.Mv7OracleSql),
+
     "st17_stream_static_join" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger

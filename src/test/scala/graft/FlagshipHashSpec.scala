@@ -83,7 +83,17 @@ class FlagshipHashSpec extends AnyFunSuite {
     // if restore rewinds the ivm:* watermarks with the rows
     "m25_restore_view" -> "6f300295e2943d2bdd1242eabf87895a",
     // r13: the set-valued top-k IVM kind (both arms in one history)
-    "mv7_incremental_topk" -> "0c1f01bebdffcce3c7890e60be1305fc")
+    "mv7_incremental_topk" -> "0c1f01bebdffcce3c7890e60be1305fc",
+    // r14: mv7 as a standing stream with an injected checkpoint-restart
+    // crash — digest-equal to mv7 BY DESIGN (one top-k algebra, two
+    // drivers), so this pin enforces the equality claim itself
+    "st22_stream_topk" -> "0c1f01bebdffcce3c7890e60be1305fc",
+    // r14: the FK index driver-visible (oracle = UNINDEXED semantics —
+    // a probe miss or a leaked stale entry reds this pin), and the
+    // sketch-state IVM kind behind its a13-style exactness gate; both
+    // pinned from the oracle-green tools/check.py 4/4 run at sf0.01
+    "mv8_indexed_star" -> "66ed8fd329be95a414a808dcacb01499",
+    "mv9_incremental_sketch" -> "e18fc46b9887995f9188bb2c57924546")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently

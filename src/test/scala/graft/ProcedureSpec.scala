@@ -221,6 +221,54 @@ class ProcedureSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toSet)
   }
 
+  test("sketch_distinct view through the SQL registry: insert-only " +
+      "union arm, retraction recompute arm, tombstone sweep, lifecycle") {
+    val root = Files.createTempDirectory("procmv3").toString
+    spark.conf.set("spark.sql.catalog.gmv3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmv3.root", root)
+    val ts = new TableStore(spark, root)
+    // tiny cardinalities keep the HLL in its exact (coupon-list) mode,
+    // so the estimates here are ASSERTABLE as exact while the machinery
+    // (union vs recompute arms, tombstones) is the 100 TB one
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 10L), (3L, 1L, 20L),
+      (4L, 2L, 30L)).toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    spark.sql("CALL gmv3.system.create_agg_view('vsk', 'src', 'grp', 'qty', 'sketch_distinct', 4)")
+    def est(): Set[(Long, Long)] = spark.sql(
+      "SELECT grp, n_est FROM gmv3.vsk WHERE sketch IS NOT NULL")
+      .as[(Long, Long)].collect().toSet
+    assert(est() === Set((1L, 2L), (2L, 1L)))
+    // registers can't retract: deleting ONE copy of (1,10) forces the
+    // recompute arm, which must see the surviving copy
+    ts.delete("src", col("k") === 1L)
+    // insert-only arms: a new value for grp 2 (union into stored
+    // registers) and a brand-new grp 3 (batch sketch outright)
+    ts.append("src", Seq((5L, 2L, 40L), (6L, 3L, 50L)).toDF("k", "grp", "qty"))
+    assert(spark.sql("CALL gmv3.system.refresh_agg_view('vsk')")
+      .head().getLong(1) === 2L)
+    assert(est() === Set((1L, 2L), (2L, 2L), (3L, 1L)))
+    // idle refresh absorbs nothing; re-delivery converges
+    assert(spark.sql("CALL gmv3.system.refresh_agg_view('vsk')")
+      .head().getLong(1) === 0L)
+    // a group emptied entirely tombstones (sketch NULL), the sweep
+    // removes it, and a later re-insert re-creates it via the union arm
+    ts.delete("src", col("grp") === 3L)
+    spark.sql("CALL gmv3.system.refresh_agg_view('vsk')")
+    assert(est() === Set((1L, 2L), (2L, 2L)))
+    assert(ts.read("vsk").filter(col("sketch").isNull).count() === 1)
+    spark.sql("CALL gmv3.system.compact_agg_view('vsk')")
+    assert(ts.read("vsk").filter(col("sketch").isNull).count() === 0)
+    ts.append("src", Seq((7L, 3L, 60L)).toDF("k", "grp", "qty"))
+    spark.sql("CALL gmv3.system.refresh_agg_view('vsk')")
+    assert(est() === Set((1L, 2L), (2L, 2L), (3L, 1L)))
+    // registry faces: describe carries the registered precision; drop
+    assert(spark.sql("CALL gmv3.system.describe_view('vsk')").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .contains(("ivm.lg_k", graft.ops.Ivm.DefaultLgK.toString)))
+    assert(spark.sql("CALL gmv3.system.drop_view('vsk')").head().getLong(1) === 1L)
+    assert(!ts.exists("vsk"))
+  }
+
   test("declarative join view via CALL: snowflake chain, dim-only " +
       "refresh propagates through the chain, deletes tombstone") {
     val root = Files.createTempDirectory("procjv").toString
