@@ -1412,6 +1412,42 @@ object Ivm {
     casualties
   }
 
+  /** Registry-aware VACUUM for a materialized view (r13 VERDICT #7):
+    * long-lived views accumulate superseded batch dirs, CDF history,
+    * and — for the `distinct` cascade — dead aux generations; this
+    * age-sweeps the view AND its registry twins (`__aux`, `__fkidx`)
+    * through [[TableStore.vacuum]] WITHOUT breaking downstream
+    * refreshes. The hazard is a DEPENDENT's absorbed watermark: a
+    * rollup whose `ivm:<view>` stamp is w next reads the change window
+    * (w, head], which needs manifests w..head and CDF dirs w+1..head —
+    * a plain vacuum below that line strands the dependent on
+    * "overlaps vacuumed history". So the retention CLAMPS per table to
+    * max(retain, head − min(dependent watermarks) + 1); dependents are
+    * found by their txn stamps (covers registered views AND ad-hoc
+    * maintained tables that stamp `ivm:<view>`). The view's OWN
+    * absorbed watermarks live in its head manifest and survive any
+    * retention. Returns the number of swept paths. */
+  def vacuumView(st: TableStore, view: String, retain: Int = 1): Long = {
+    val props = st.snapshot(view).props
+    val kind = props.getOrElse("ivm.kind",
+      throw new IllegalArgumentException(
+        s"$view is not a registered materialized view (no ivm.kind) — " +
+          "use CALL vacuum for plain tables"))
+    val targets =
+      (if (kind == "distinct") Seq(view, props("ivm.source")) else Seq(view)) ++
+        Some(fkIndexTable(view)).filter(st.exists)
+    val all = st.tableNames
+    targets.map { t =>
+      val cur = st.currentVersion(t)
+      val minW = all.filter(_ != t)
+        .flatMap(d => st.txnStamps(d).get(s"ivm:$t"))
+        .minOption
+      val eff = math.max(retain,
+        minW.map(w => (cur - w + 1).toInt).getOrElse(1)).max(1)
+      st.vacuum(t, eff).size.toLong
+    }.sum
+  }
+
   /** One row per registered materialized view in the store: name,
     * kind, source(s), definition, and every absorbed-source watermark
     * — the admin face of the registry (SHOW MATERIALIZED VIEWS).

@@ -37,7 +37,7 @@ object GraftProcedures {
     "create_join_view", "refresh_join_view",
     "create_join2_view", "refresh_join2_view",
     "drop_view", "list_views", "describe_view",
-    "index_view", "compact_fkidx", "create_topk_view")
+    "index_view", "compact_fkidx", "create_topk_view", "vacuum_view")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -249,6 +249,13 @@ object GraftProcedures {
         val v = in.getUTF8String(0).toString
         graft.ops.Ivm.compactFkIndex(store, v)
         result(v, store.read(graft.ops.Ivm.fkIndexTable(v)).count())
+      }
+      case "vacuum_view" => bound(Seq(param("view", StringType),
+          param("retain", IntegerType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // age-sweeps the view + its __aux/__fkidx twins; retention
+        // clamps so every dependent's absorbed change window survives
+        result(v, graft.ops.Ivm.vacuumView(store, v, in.getInt(1)))
       }
       case "drop_view" => bound(Seq(param("view", StringType))) { in =>
         val v = in.getUTF8String(0).toString

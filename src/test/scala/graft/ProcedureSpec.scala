@@ -269,6 +269,57 @@ class ProcedureSpec extends AnyFunSuite {
     assert(!ts.exists("vsk"))
   }
 
+  test("vacuum_view: refresh -> vacuum -> refresh converges, old " +
+      "versions gone, watermarks intact, dependent windows clamp-survive") {
+    val root = Files.createTempDirectory("procvac").toString
+    spark.conf.set("spark.sql.catalog.gvac", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvac.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 2L, 30L))
+      .toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    spark.sql("CALL gvac.system.create_agg_view('v1', 'src', 'grp', 'qty', 'count_sum', 4)")
+    ts.setChangeFeed("v1", true)
+    spark.sql("CALL gvac.system.create_agg_view('v2', 'v1', 'grp', 'sum_qty', 'count_sum', 4)")
+    // v1 absorbs two batches v2 has NOT seen — v2's watermark lags, so
+    // a naive vacuum of v1 would sweep the very change window v2's
+    // next refresh must read ("overlaps vacuumed history")
+    ts.append("src", Seq((4L, 2L, 40L)).toDF("k", "grp", "qty"))
+    spark.sql("CALL gvac.system.refresh_agg_view('v1')")
+    ts.append("src", Seq((5L, 3L, 50L)).toDF("k", "grp", "qty"))
+    spark.sql("CALL gvac.system.refresh_agg_view('v1')")
+    val v1Head = ts.currentVersion("v1")
+    spark.sql("CALL gvac.system.vacuum_view('v1', 1)")
+    assert(ts.currentVersion("v1") === v1Head)
+    // the clamp kept (w2, head]: the lagging dependent still refreshes
+    assert(spark.sql("CALL gvac.system.refresh_agg_view('v2')")
+      .head().getLong(1) >= 2L)
+    def direct(): Set[(Long, Long, Long)] = ts.read("v1")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("sum_qty")).as("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    def v2Now(): Set[(Long, Long, Long)] = spark.sql(
+      "SELECT grp, n_rows, sum_qty FROM gvac.v2 WHERE n_rows > 0")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(v2Now() === direct())
+    // vacuum v2 itself (no dependents): old versions genuinely gone,
+    // its own absorbed watermark rides the head manifest and survives
+    ts.append("src", Seq((6L, 3L, 60L)).toDF("k", "grp", "qty"))
+    spark.sql("CALL gvac.system.refresh_agg_view('v2')") // cascades v1
+    spark.sql("CALL gvac.system.vacuum_view('v2', 1)")
+    intercept[IllegalArgumentException](ts.readVersion("v2", 0))
+    assert(spark.sql("CALL gvac.system.describe_view('v2')").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .contains(("absorbed.v1", ts.currentVersion("v1").toString)))
+    // a further mutate/refresh cycle on the swept registry converges
+    ts.append("src", Seq((7L, 1L, 70L)).toDF("k", "grp", "qty"))
+    spark.sql("CALL gvac.system.refresh_agg_view('v2')")
+    assert(v2Now() === direct())
+    // plain tables refuse (vacuum_view is a registry verb)
+    intercept[Exception](
+      spark.sql("CALL gvac.system.vacuum_view('src', 1)"))
+  }
+
   test("declarative join view via CALL: snowflake chain, dim-only " +
       "refresh propagates through the chain, deletes tombstone") {
     val root = Files.createTempDirectory("procjv").toString
