@@ -49,11 +49,16 @@ object ProbeFkIndex {
       .withColumn("fk", col("l_orderkey") % 50021L)
       .localCheckpoint()
 
+    // view dir count: 512 default; 4096 probes the law past the r13
+    // extrapolation point (SPARK_GRAFT_FKIDX_BUCKETS=4096) — the regime
+    // where even an 8-FK candidate set reads a fraction of dirs wide
+    val buckets =
+      sys.env.getOrElse("SPARK_GRAFT_FKIDX_BUCKETS", "512").toInt
     val root = "/tmp/graft_probe_fkidx"
     graft.core.FsUtil.deleteRecursively(new java.io.File(root))
     val st = new graft.core.TableStore(spark, root)
     st.createBucketed("v", corpus.withColumn("_live", lit(true)),
-      Seq("l_orderkey"), n = 512)
+      Seq("l_orderkey"), n = buckets)
     graft.ops.Ivm.enableFkIndex(st, "v", Seq("fk"), Seq("l_orderkey"),
       buckets = 512)
     val idx = graft.ops.Ivm.fkIndexTable("v")
