@@ -1369,6 +1369,71 @@ object QueriesMutation {
         """CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
           |  TRUE AS within_rsd""".stripMargin))),
 
+    // ---- mv10: SKETCH ROLLUP — the payoff of mergeable register
+    //      state: a coarser approx-distinct view maintained from the
+    //      fine sketch view's OWN change feed by register union, never
+    //      a fact read. New fine groups union into the coarse
+    //      registers by algebra; a fine group whose registers were
+    //      REPLACED (the delete and the suppkey-moving update below —
+    //      registers may shrink) recomputes its coarse group from the
+    //      SKETCH VIEW's live rows — O(member fine groups), which at
+    //      100 TB is orders of magnitude below the O(source rows) a
+    //      flat coarse view would pay. One refresh call drives the
+    //      whole DAG (src -> fine -> rollup). Oracle: the a13 gate —
+    //      exact distinct per coarse group (DuckDB-checked) + the
+    //      rollup estimate inside 3x rsd. ----
+    "mv10_sketch_rollup" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv10")
+        val li = Tables.lineitem(s, dir)
+        val src0 = li.select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_suppkey") % 10).as("cgrp"))
+        st.create("src", src0.filter(col("l_orderkey") % 4 === 1))
+        st.setChangeFeed("src", true)
+        graft.ops.Ivm.createCountSumView(st, "fine", "src",
+          Seq("cgrp", "l_suppkey"), "l_orderkey", kind = "sketch_distinct")
+        st.setChangeFeed("fine", true)
+        graft.ops.Ivm.createSketchRollup(st, "roll", "fine", Seq("cgrp"))
+        // the backlog: the update MOVES fine groups across coarse
+        // groups (both sides recompute), the delete retracts, the
+        // append adds new fine groups (the union arm)
+        st.updateVectorized("src", col("l_orderkey") % 9 === 0,
+          Map("l_suppkey" -> (col("l_suppkey") + 7L),
+            "cgrp" -> ((col("l_suppkey") + 7L) % 10)))
+        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)
+        st.append("src", src0.filter(col("l_orderkey") % 4 === 2))
+        graft.ops.Ivm.refreshView(st, "roll") // cascades fine first
+        graft.ops.Ivm.refreshView(st, "roll") // re-delivery: absorbs 0
+        graft.ops.Ivm.compactView(st, "roll")
+        val est = graft.ops.Ivm.readSketchView(st, "roll")
+          .select(col("cgrp"), col("n_est"))
+        val exact = st.read("src").groupBy(col("cgrp"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.join(est, Seq("cgrp"), "left")
+          .select(col("cgrp"), col("n_exact"),
+            (col("n_est").isNotNull &&
+              abs(col("n_est") - col("n_exact")) <=
+                greatest(col("n_exact") * lit(0.05), lit(3.0)))
+              .as("within_rsd"))
+      },
+      Some("""WITH init AS (
+             |  SELECT l_orderkey, l_suppkey FROM lineitem
+             |  WHERE l_orderkey % 4 = 1),
+             |upd AS (
+             |  SELECT l_orderkey,
+             |    CASE WHEN l_orderkey % 9 = 0 THEN l_suppkey + 7
+             |         ELSE l_suppkey END AS l_suppkey
+             |  FROM init),
+             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
+             |fin AS (SELECT * FROM del
+             |        UNION ALL
+             |        SELECT l_orderkey, l_suppkey FROM lineitem
+             |        WHERE l_orderkey % 4 = 2)
+             |SELECT l_suppkey % 10 AS cgrp,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+             |  TRUE AS within_rsd
+             |FROM fin GROUP BY 1""".stripMargin)),
+
     "mv1_incremental_agg" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "mv1")

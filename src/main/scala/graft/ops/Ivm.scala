@@ -352,6 +352,13 @@ object Ivm {
             groupCols, valueCol, lgK, Some((s"ivm:$srcName", to)),
             if (srcIsView && srcProps("ivm.kind") == "join")
               Some(col("_live")) else None)
+      case "sketch_rollup" =>
+        // the feed is the sketch view's own CDF — preimages are the
+        // hard-arm signal, so no feed filter applies here
+        if (to > from)
+          applySketchRollupDelta(st, view, srcName, to,
+            st.readChangesBetween(srcName, from, to),
+            groupCols, Some((s"ivm:$srcName", to)))
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other'")
     }
@@ -381,7 +388,7 @@ object Ivm {
         // touched group through the keyed upsert
         compactWhere(st, view, col(props("ivm.value_col")).isNull,
           props("ivm.group_cols").split(",").map(_.trim).toSeq :+ "rnk")
-      case "sketch_distinct" =>
+      case "sketch_distinct" | "sketch_rollup" =>
         compactWhere(st, view, col("sketch").isNull,
           props("ivm.group_cols").split(",").map(_.trim).toSeq)
       case "distinct" =>
@@ -666,6 +673,107 @@ object Ivm {
     * materialized estimate beside the registers. */
   def readSketchView(st: TableStore, view: String): DataFrame =
     st.read(view).filter(col("sketch").isNotNull)
+
+  /** CREATE a registered SKETCH ROLLUP: a coarser-grained
+    * approx-distinct view maintained from a `sketch_distinct` view's
+    * OWN change feed by REGISTER UNION — the payoff of mergeable
+    * sketch state. `groupCols` must be a strict subset of the source
+    * view's group columns (union of HLL sketches over a partition of
+    * the data IS the sketch of the union, so the rollup's estimate
+    * matches a direct sketch at the coarse grain). Maintenance never
+    * touches the fact table: inserts of NEW fine groups union into the
+    * coarse registers by algebra, and the hard arm ([[
+    * applySketchRollupDelta]]) recomputes a coarse group from the
+    * SKETCH VIEW's live rows — O(fine groups), which at 100 TB is
+    * orders of magnitude below the O(source rows) a flat coarse
+    * sketch_distinct view would pay for the same retraction. */
+  def createSketchRollup(st: TableStore, view: String, srcView: String,
+                         groupCols: Seq[String], buckets: Int = 8): Long = {
+    val srcProps = st.snapshot(srcView).props
+    require(srcProps.get("ivm.kind").contains("sketch_distinct"),
+      s"$srcView is not a sketch_distinct view (ivm.kind=" +
+        s"${srcProps.get("ivm.kind").getOrElse("absent")}) — a sketch " +
+        "rollup unions a sketch view's registers")
+    val srcGroups = srcProps("ivm.group_cols").split(",").map(_.trim).toSeq
+    require(groupCols.nonEmpty && groupCols.forall(srcGroups.contains) &&
+        groupCols.size < srcGroups.size,
+      s"rollup group cols ${groupCols.mkString(",")} must be a strict " +
+        s"subset of $srcView's (${srcGroups.mkString(",")})")
+    require(st.changeFeedEnabled(srcView),
+      s"$srcView's change feed is off — the rollup tails it; " +
+        s"CALL set_change_feed('$srcView', true) BEFORE creating the rollup")
+    val v = st.currentVersion(srcView)
+    st.createBucketed(view, st.readVersion(srcView, v)
+      .filter(col("sketch").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+      .withColumn("n_est", hll_sketch_estimate(col("sketch"))),
+      groupCols, buckets)
+    st.setProperties(view, Map(
+      "ivm.kind" -> "sketch_rollup", "ivm.source" -> srcView,
+      "ivm.group_cols" -> groupCols.mkString(","),
+      "ivm.value_col" -> "sketch",
+      "ivm.lg_k" -> srcProps.getOrElse("ivm.lg_k", DefaultLgK.toString)))
+    st.recordTxn(view, s"ivm:$srcView", v)
+    v
+  }
+
+  /** Absorb a sketch view's change feed into its rollup. Arms:
+    *   - a coarse group whose window holds ONLY inserts of live fine
+    *     groups (brand-new fine groups — the append-mostly path)
+    *     absorbs by register union: HLL union is a monotone max, so
+    *     unioning the new fine sketches into the stored coarse
+    *     registers is exact;
+    *   - ANY preimage/delete — a fine group whose registers were
+    *     REPLACED (they may have shrunk: the source-side retraction
+    *     recompute) or swept — makes the union unsound for its coarse
+    *     group, which recomputes from the SKETCH VIEW's live rows at
+    *     the pinned version (group-pruned; O(member fine groups), not
+    *     the fact table). A NULL-sketch insert (a tombstone upsert for
+    *     a never-stored group) routes hard too: there is nothing to
+    *     union and the group may need no row at all.
+    * Tombstones/sweep/txn exactly as [[applySketchDistinctDelta]]. */
+  def applySketchRollupDelta(st: TableStore, view: String, srcName: String,
+                             srcVersion: Long, feed: DataFrame,
+                             groupCols: Seq[String],
+                             txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val keys = groupCols.map(col)
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val touched = feed.groupBy(keys: _*)
+      .agg(hll_union_agg(when(isIns, col("sketch"))).as("ins_sk"),
+        count(when(!isIns && sgn.isNotNull, lit(1)))
+          .plus(count(when(isIns && col("sketch").isNull, lit(1))))
+          .as("n_hard"),
+        badKinds.as("__bad"))
+      .localCheckpoint()
+    if (touched.isEmpty) {
+      txn.foreach(t => st.recordTxns(view, Seq(t)))
+      return
+    }
+    requireKnownKinds(touched, view)
+    val old = st.readProbe(view, touched.select(keys: _*), groupCols)
+      .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
+      .select((keys :+ col("sketch")): _*)
+    val merged = touched.join(old, groupCols, "left_outer").localCheckpoint()
+    val easy = merged.filter(col("n_hard") === 0L)
+      .select(keys :+ when(col("sketch").isNull, col("ins_sk"))
+        .otherwise(hll_union(col("sketch"), col("ins_sk"))).as("sketch"): _*)
+    val hard = merged.filter(col("n_hard") > 0L).select(keys: _*)
+    val recomputed = st.readProbe(srcName, hard, groupCols,
+        version = Some(srcVersion))
+      .filter(col("sketch").isNotNull)
+      .join(broadcast(hard), groupCols, "left_semi")
+      .groupBy(keys: _*).agg(hll_union_agg(col("sketch")).as("sketch"))
+    val dead = hard.join(recomputed.select(keys: _*), groupCols, "left_anti")
+      .select(keys :+ lit(null).cast("binary").as("sketch"): _*)
+    val out = easy.unionByName(recomputed).unionByName(dead)
+      .withColumn("n_est", when(col("sketch").isNull, lit(null).cast("long"))
+        .otherwise(hll_sketch_estimate(col("sketch"))))
+      .localCheckpoint()
+    st.mergeUpsert(view, out, groupCols, txn = txn)
+  }
 
   /** Delta-JOIN maintenance — the view shape the medallion gold layer
     * is built around: view = source ⋈ dims, keyed by the source's key

@@ -37,7 +37,8 @@ object GraftProcedures {
     "create_join_view", "refresh_join_view",
     "create_join2_view", "refresh_join2_view",
     "drop_view", "list_views", "describe_view",
-    "index_view", "compact_fkidx", "create_topk_view", "vacuum_view")
+    "index_view", "compact_fkidx", "create_topk_view", "vacuum_view",
+    "create_sketch_rollup")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -249,6 +250,17 @@ object GraftProcedures {
         val v = in.getUTF8String(0).toString
         graft.ops.Ivm.compactFkIndex(store, v)
         result(v, store.read(graft.ops.Ivm.fkIndexTable(v)).count())
+      }
+      case "create_sketch_rollup" => bound(Seq(param("view", StringType),
+          param("source", StringType), param("group_cols", StringType),
+          param("buckets", IntegerType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // coarser approx-distinct view maintained by register union
+        // from a sketch_distinct view's change feed; refresh/compact/
+        // drop ride the shared agg-view verbs (kind dispatch)
+        result(v, graft.ops.Ivm.createSketchRollup(store, v,
+          in.getUTF8String(1).toString, cols(in.getUTF8String(2).toString),
+          in.getInt(3)))
       }
       case "vacuum_view" => bound(Seq(param("view", StringType),
           param("retain", IntegerType))) { in =>

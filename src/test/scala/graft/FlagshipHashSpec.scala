@@ -93,7 +93,10 @@ class FlagshipHashSpec extends AnyFunSuite {
     // sketch-state IVM kind behind its a13-style exactness gate; both
     // pinned from the oracle-green tools/check.py 4/4 run at sf0.01
     "mv8_indexed_star" -> "66ed8fd329be95a414a808dcacb01499",
-    "mv9_incremental_sketch" -> "e18fc46b9887995f9188bb2c57924546")
+    "mv9_incremental_sketch" -> "e18fc46b9887995f9188bb2c57924546",
+    // r14: the sketch rollup (register union from the fine view's feed,
+    // never a fact read) — oracle-green tools/check.py 1/1 at sf0.01
+    "mv10_sketch_rollup" -> "9987db2275c006fa449f492727534b91")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently

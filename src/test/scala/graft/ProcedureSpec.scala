@@ -269,6 +269,53 @@ class ProcedureSpec extends AnyFunSuite {
     assert(!ts.exists("vsk"))
   }
 
+  test("sketch_rollup through the SQL registry: register-union arm, " +
+      "preimage-triggered recompute from the SKETCH VIEW, DAG refresh") {
+    val root = Files.createTempDirectory("procmv5").toString
+    spark.conf.set("spark.sql.catalog.gmv5", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmv5.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 1L, 1L, 10L), (2L, 1L, 1L, 20L),
+      (3L, 1L, 2L, 20L), (4L, 2L, 1L, 30L)).toDF("k", "g", "sub", "v"))
+    ts.setChangeFeed("src", true)
+    spark.sql("CALL gmv5.system.create_agg_view('fine', 'src', 'g,sub', 'v', 'sketch_distinct', 4)")
+    // rollup refuses while the fine view's feed is off, then registers
+    intercept[Exception](spark.sql(
+      "CALL gmv5.system.create_sketch_rollup('roll', 'fine', 'g', 4)"))
+    spark.sql("CALL gmv5.system.set_change_feed('fine', true)")
+    spark.sql("CALL gmv5.system.create_sketch_rollup('roll', 'fine', 'g', 4)")
+    def est(): Set[(Long, Long)] = spark.sql(
+      "SELECT g, n_est FROM gmv5.roll WHERE sketch IS NOT NULL")
+      .as[(Long, Long)].collect().toSet
+    // g=1 holds values {10,20} across two fine groups; g=2 holds {30}
+    assert(est() === Set((1L, 2L), (2L, 1L)))
+    // union arm: a NEW fine group under g=1 and a brand-new g=3;
+    // hard arm: deleting k=1 replaces fine (1,1)'s registers (10 gone)
+    ts.append("src", Seq((5L, 1L, 3L, 40L), (6L, 3L, 1L, 50L))
+      .toDF("k", "g", "sub", "v"))
+    ts.delete("src", col("k") === 1L)
+    assert(spark.sql("CALL gmv5.system.refresh_agg_view('roll')")
+      .head().getLong(1) >= 1L)
+    assert(est() === Set((1L, 2L), (2L, 1L), (3L, 1L))) // g1 = {20,40}
+    assert(spark.sql("CALL gmv5.system.refresh_agg_view('roll')")
+      .head().getLong(1) === 0L)
+    // a coarse group emptied entirely tombstones, sweeps, and returns
+    ts.delete("src", col("g") === 3L)
+    spark.sql("CALL gmv5.system.refresh_agg_view('roll')")
+    assert(est() === Set((1L, 2L), (2L, 1L)))
+    assert(ts.read("roll").filter(col("sketch").isNull).count() === 1)
+    spark.sql("CALL gmv5.system.compact_agg_view('roll')")
+    assert(ts.read("roll").filter(col("sketch").isNull).count() === 0)
+    ts.append("src", Seq((7L, 3L, 2L, 60L)).toDF("k", "g", "sub", "v"))
+    spark.sql("CALL gmv5.system.refresh_agg_view('roll')")
+    assert(est() === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    // registry hygiene: drop refuses mid-DAG, then cascades leaf-first
+    intercept[Exception](spark.sql("CALL gmv5.system.drop_view('fine')"))
+    spark.sql("CALL gmv5.system.drop_view('roll')")
+    spark.sql("CALL gmv5.system.drop_view('fine')")
+    assert(!ts.exists("roll") && !ts.exists("fine"))
+  }
+
   test("vacuum_view: refresh -> vacuum -> refresh converges, old " +
       "versions gone, watermarks intact, dependent windows clamp-survive") {
     val root = Files.createTempDirectory("procvac").toString
