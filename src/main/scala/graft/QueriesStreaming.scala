@@ -550,6 +550,74 @@ object QueriesStreaming {
       },
       QueriesMutation.Mv7OracleSql),
 
+    // ---- st23: STREAMING SKETCH MAINTENANCE — mv9's HLL register
+    //      state driven as a standing stream: per micro-batch,
+    //      insert-only windows union registers (pure algebra) and
+    //      windows carrying retractions recompute exactly their
+    //      groups, pinned at THAT batch's end version. txn =
+    //      (app, batchId) — the skip guard is the exactly-once
+    //      contract here and NOT optional: re-unioning a re-delivered
+    //      batch happens to be idempotent (HLL max-semantics) but a
+    //      re-run recompute against a LATER source version would leak
+    //      future commits into this batch's window. Crash injection +
+    //      restart as st21/st22. Output and oracle are mv9's (one
+    //      register algebra, two drivers): exact distinct per group,
+    //      DuckDB-checked, plus the estimate's rsd gate. ----
+    "st23_stream_sketch" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st23_sketch"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val li = QueriesMutation.ivmLineitem(s, dir)
+        QueriesMutation.ivmCreateSource(st, li)
+        graft.ops.Ivm.createCountSumView(st, "sk_view", "src",
+          Seq("l_suppkey"), "l_orderkey", kind = "sketch_distinct")
+        val sv0 = st.currentVersion("src")
+        QueriesMutation.ivmMutateSource(st, li) // 3 commits -> 3 batches
+        s.conf.set("spark.sql.catalog.graft_st23", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st23.root", root)
+        @volatile var bombed = false
+        def run(armBomb: Boolean) = s.readStream
+          .option("startVersion", sv0.toString) // EXCLUSIVE: (sv0, head]
+          .option("maxVersionsPerTrigger", "1")
+          .table("graft_st23.src.changes")
+          .writeStream.option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val hasRows = !batch.isEmpty
+            val vEnd =
+              if (hasRows) batch.agg(max(col("_commit_version"))).head().getLong(0)
+              else st.currentVersion("src")
+            graft.ops.Ivm.applySketchDistinctDelta(st, "sk_view", "src",
+              vEnd, batch, Seq("l_suppkey"), "l_orderkey",
+              graft.ops.Ivm.DefaultLgK, txn = Some(("st23", batchId)))
+            if (armBomb && !bombed && hasRows) {
+              bombed = true
+              throw new RuntimeException("injected crash after apply, before ack")
+            }
+          }
+          .start()
+        try run(armBomb = true).awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        require(bombed, "st23: the injected crash never fired")
+        run(armBomb = false).awaitTermination()
+        graft.ops.Ivm.compactView(st, "sk_view")
+        val est = graft.ops.Ivm.readSketchView(st, "sk_view")
+          .select(col("l_suppkey"), col("n_est"))
+        val exact = st.read("src").groupBy(col("l_suppkey"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.join(est, Seq("l_suppkey"), "left")
+          .select(col("l_suppkey"), col("n_exact"),
+            (col("n_est").isNotNull &&
+              abs(col("n_est") - col("n_exact")) <=
+                greatest(col("n_exact") * lit(0.05), lit(3.0)))
+              .as("within_rsd"))
+      },
+      Some(QueriesMutation.ivmOracle(
+        """CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+          |  TRUE AS within_rsd""".stripMargin))),
+
     "st17_stream_static_join" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger

@@ -96,7 +96,10 @@ class FlagshipHashSpec extends AnyFunSuite {
     "mv9_incremental_sketch" -> "e18fc46b9887995f9188bb2c57924546",
     // r14: the sketch rollup (register union from the fine view's feed,
     // never a fact read) — oracle-green tools/check.py 1/1 at sf0.01
-    "mv10_sketch_rollup" -> "9987db2275c006fa449f492727534b91")
+    "mv10_sketch_rollup" -> "9987db2275c006fa449f492727534b91",
+    // r14: mv9 as a standing stream with an injected restart —
+    // digest-equal to mv9 BY DESIGN (one register algebra, two drivers)
+    "st23_stream_sketch" -> "e18fc46b9887995f9188bb2c57924546")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently
