@@ -648,9 +648,13 @@ object Ivm {
       .select((keys :+ col("sketch")): _*)
     val merged = touched.join(old, groupCols, "left_outer").localCheckpoint()
     // easy arm: insert-only groups union registers (a tombstoned or
-    // brand-new group takes the batch sketch outright)
+    // brand-new group takes the batch sketch outright). ins_sk is
+    // NULL-guarded defensively: a window whose inserts carry only NULL
+    // values must leave the stored registers untouched, never clobber
+    // them through a NULL-propagating union
     val easy = merged.filter(col("n_ret") === 0L)
-      .select(keys :+ when(col("sketch").isNull, col("ins_sk"))
+      .select(keys :+ when(col("ins_sk").isNull, col("sketch"))
+        .when(col("sketch").isNull, col("ins_sk"))
         .otherwise(hll_union(col("sketch"), col("ins_sk"))).as("sketch"): _*)
     val hard = merged.filter(col("n_ret") > 0L).select(keys: _*)
     // hard arm: version-pinned group-pruned recompute (registers can't
@@ -758,7 +762,8 @@ object Ivm {
       .select((keys :+ col("sketch")): _*)
     val merged = touched.join(old, groupCols, "left_outer").localCheckpoint()
     val easy = merged.filter(col("n_hard") === 0L)
-      .select(keys :+ when(col("sketch").isNull, col("ins_sk"))
+      .select(keys :+ when(col("ins_sk").isNull, col("sketch"))
+        .when(col("sketch").isNull, col("ins_sk"))
         .otherwise(hll_union(col("sketch"), col("ins_sk"))).as("sketch"): _*)
     val hard = merged.filter(col("n_hard") > 0L).select(keys: _*)
     val recomputed = st.readProbe(srcName, hard, groupCols,
