@@ -228,6 +228,108 @@ class IvmIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect().toSet === expect)
   }
 
+  test("crash at EVERY durable step of an indexed apply: the index " +
+      "stays a conservative superset and the txn-stamped retry converges") {
+    // the two-table design's whole crash contract in one sweep: the
+    // index commit precedes the view commit, so a writer death at ANY
+    // step leaves (a) every live view pair present in the index —
+    // probes can never miss a live row — and (b) at most extra
+    // candidates, which the probe's fk semi-join discards; the SAME
+    // apply re-run (same feed window, same txn) converges exactly-once
+    final class SimulatedCrash extends scala.util.control.ControlThrowable
+    def enrichOf(ts: TableStore)(rows: DataFrame): DataFrame = rows
+      .join(broadcast(ts.read("dim")), col("fk") === col("dk"), "left")
+      .select(col("k"), col("fk"), col("qty"), col("nm"))
+    def build(): TableStore = {
+      val ts = freshStore("fkidxcrash")
+      ts.create("src", Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L),
+        (4L, 30L, 400L)).toDF("k", "fk", "qty"))
+      ts.setChangeFeed("src", true) // src v1
+      ts.create("dim", Seq((10L, "a"), (20L, "b"), (30L, "c"), (40L, "d"))
+        .toDF("dk", "nm"))
+      ts.setChangeFeed("dim", true) // dim v1
+      ts.createBucketed("view",
+        enrichOf(ts)(ts.read("src")).withColumn("_live", lit(true)),
+        Seq("k"), n = 4)
+      Ivm.enableFkIndex(ts, "view", Seq("fk"), Seq("k"), buckets = 4)
+      // the backlog: fk move, delete, append, dim rename on old+new fk
+      ts.update("src", col("k") === 1L, Map("fk" -> lit(20L)))
+      ts.delete("src", col("k") === 3L)
+      ts.append("src", Seq((5L, 40L, 500L)).toDF("k", "fk", "qty"))
+      ts.update("dim", col("dk").isin(10L, 20L),
+        Map("nm" -> concat(col("nm"), lit("!"))))
+      ts
+    }
+    def applyOnce(ts: TableStore): Unit =
+      Ivm.applyJoinDelta(ts, "view", "src", 1L, ts.currentVersion("src"),
+        Seq("k"), enrichOf(ts), dimAffected = Some((
+          ts.readChangesBetween("dim", 1L, ts.currentVersion("dim"))
+            .select(col("dk").as("fk")), Seq("fk"))),
+        txn = Some(("crash", 1L)))
+    def livePairs(ts: TableStore): Set[(Long, Long)] =
+      Ivm.readJoinView(ts, "view").select(col("fk"), col("k"))
+        .as[(Long, Long)].collect().toSet
+    def idxPairs(ts: TableStore): Set[(Long, Long)] =
+      ts.read("view__fkidx").as[(Long, Long)].collect().toSet
+    // recovery "two minutes after the crash" (CrashSweepSpec's clock):
+    // age in-flight scratch past the live-writer grace window so the
+    // retry's collision handler may adopt the crashed attempt's ghost
+    def ageScratch(ts: TableStore): Unit = {
+      val old = java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 120000L)
+      Seq("view", "view__fkidx", "src", "dim").foreach { t =>
+        val td = ts.dataRoot(t).getParent
+        Seq("_cdf", "data", "_dv", "_v").map(td.resolve)
+          .filter(Files.isDirectory(_)).foreach { d =>
+            scala.util.Using.resource(Files.list(d))(
+              _.iterator().forEachRemaining(p =>
+                if (p.getFileName.toString.startsWith("."))
+                  Files.setLastModifiedTime(p, old): Unit))
+          }
+      }
+    }
+    // the documented contract: a retry that collides with the crashed
+    // attempt's adopted ghost fails LOUDLY and converges on re-run
+    def recover(ts: TableStore): Unit = {
+      ageScratch(ts)
+      var tries = 0
+      while (tries >= 0) {
+        try { applyOnce(ts); tries = -1 }
+        catch {
+          case _: java.util.ConcurrentModificationException if tries < 3 =>
+            tries += 1
+        }
+      }
+    }
+    // clean trace sizes the sweep
+    val probe = build()
+    var n = 0
+    probe.onStep = _ => n += 1
+    applyOnce(probe)
+    probe.onStep = _ => ()
+    assert(n >= 4, s"apply traced only $n durable steps")
+    for (k <- 1 to n) {
+      val ts = build()
+      var i = 0
+      ts.onStep = _ => { i += 1; if (i == k) throw new SimulatedCrash }
+      try { applyOnce(ts); fail(s"crash at step $k did not propagate") }
+      catch { case _: SimulatedCrash => () }
+      ts.onStep = _ => ()
+      assert(livePairs(ts).subsetOf(idxPairs(ts)),
+        s"step $k: a live view pair is missing from the index")
+      recover(ts) // the retry (same window, same txn; loud loser re-runs)
+      val expect = ts.read("src")
+        .join(ts.read("dim"), col("fk") === col("dk"), "left")
+        .select(col("k"), col("fk"), col("qty"), col("nm"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(Ivm.readJoinView(ts, "view")
+        .as[(Long, Long, Long, String)].collect().toSet === expect,
+        s"step $k: retry did not converge")
+      assert(livePairs(ts).subsetOf(idxPairs(ts)),
+        s"step $k: post-retry superset violated")
+    }
+  }
+
   test("registry lifecycle cascades the index: drop_view removes " +
       "__fkidx; list_views hides it") {
     val root = Files.createTempDirectory("fkidx3").toString
