@@ -1258,6 +1258,49 @@ object QueriesMutation {
       },
       Mv7OracleSql),
 
+    // ---- m26: vacuum_view driver-visible — registry-aware retention
+    //      on a LIVE two-level cascade (the distinct kind: face +
+    //      CDF-enabled __aux twin). Two refresh cycles build history,
+    //      vacuum_view(retain=1) age-sweeps BOTH levels (clamped so
+    //      every absorbed-window read survives), then a THIRD backlog
+    //      refreshes across the swept history. The row is a live guard
+    //      on the retention clamp: a sweep that took a manifest or CDF
+    //      dir a later refresh needs throws "overlaps vacuumed
+    //      history" (row errs), and one that broke a watermark
+    //      diverges from the oracle (row reds). ----
+    "m26_vacuum_view" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "m26")
+        val orders = Tables.orders(s, dir)
+        val src = orders.select((col("o_custkey") % 100).as("grp"),
+          (col("o_orderkey") % 50).as("qty"), col("o_orderkey"))
+        st.create("src", src.filter(col("o_orderkey") % 2 === 0))
+        st.setChangeFeed("src", true)
+        graft.ops.Ivm.createCountSumView(st, "v", "src",
+          Seq("grp"), "qty", kind = "distinct")
+        st.delete("src", col("o_orderkey") % 6 === 0)
+        graft.ops.Ivm.refreshView(st, "v")
+        st.append("src", src.filter(col("o_orderkey") % 2 === 1))
+        graft.ops.Ivm.refreshView(st, "v")
+        graft.ops.Ivm.vacuumView(st, "v", retain = 1)
+        st.delete("src", col("o_orderkey") % 10 === 4)
+        graft.ops.Ivm.refreshView(st, "v")
+        graft.ops.Ivm.compactView(st, "v")
+        graft.ops.Ivm.readView(st, "v")
+          .select(col("grp"), col("n_rows").as("n_distinct"),
+            col("sum_qty").as("sum_distinct"))
+      },
+      Some("""WITH fin AS (
+             |  SELECT o_custkey % 100 AS grp, o_orderkey % 50 AS qty
+             |  FROM orders
+             |  WHERE (o_orderkey % 2 = 0 AND o_orderkey % 6 <> 0
+             |         AND o_orderkey % 10 <> 4)
+             |     OR o_orderkey % 2 = 1)
+             |SELECT grp,
+             |  CAST(count(DISTINCT qty) AS BIGINT) AS n_distinct,
+             |  CAST(sum(DISTINCT qty) AS BIGINT) AS sum_distinct
+             |FROM fin GROUP BY 1""".stripMargin)),
+
     // ---- mv8: the FK secondary index, driver-visible (r13 VERDICT
     //      #2): a REGISTERED join view with `CALL index_view`'s
     //      `<view>__fkidx` enabled from the first refresh, driven

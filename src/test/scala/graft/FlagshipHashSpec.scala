@@ -99,7 +99,10 @@ class FlagshipHashSpec extends AnyFunSuite {
     "mv10_sketch_rollup" -> "9987db2275c006fa449f492727534b91",
     // r14: mv9 as a standing stream with an injected restart —
     // digest-equal to mv9 BY DESIGN (one register algebra, two drivers)
-    "st23_stream_sketch" -> "e18fc46b9887995f9188bb2c57924546")
+    "st23_stream_sketch" -> "e18fc46b9887995f9188bb2c57924546",
+    // r14: registry-aware retention on a live cascade — a sweep that
+    // breaks a later refresh's window or a watermark reds this pin
+    "m26_vacuum_view" -> "fb127f836d3c9e71391f06618fed5366")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently
