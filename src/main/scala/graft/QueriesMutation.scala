@@ -1477,6 +1477,43 @@ object QueriesMutation {
              |  TRUE AS within_rsd
              |FROM fin GROUP BY 1""".stripMargin)),
 
+    // ---- sql_matview_sketch: mv9 through the PURE SQL registry face
+    //      (CALL create_agg_view kind='sketch_distinct' / refresh /
+    //      compact, SELECT over the view) — digest-equal to mv9 BY
+    //      DESIGN: one register algebra, three drivers (library calls,
+    //      SQL registry, st23's standing stream). Own catalog name so
+    //      the session's catalog-by-name cache never re-roots the
+    //      shared `graft` catalog. ----
+    "sql_matview_sketch" -> QDef(
+      (s, dir) => {
+        val root = "/tmp/graft_qstore/mv9sql"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new TableStore(s, root)
+        s.conf.set("spark.sql.catalog.gmv9sql", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gmv9sql.root", root)
+        val li = ivmLineitem(s, dir)
+        ivmCreateSource(st, li)
+        s.sql("CALL gmv9sql.system.create_agg_view('sk_view', 'src', " +
+          "'l_suppkey', 'l_orderkey', 'sketch_distinct', 8)")
+        ivmMutateSource(st, li)
+        s.sql("CALL gmv9sql.system.refresh_agg_view('sk_view')")
+        s.sql("CALL gmv9sql.system.refresh_agg_view('sk_view')") // no-op
+        s.sql("CALL gmv9sql.system.compact_agg_view('sk_view')")
+        val est = s.sql(
+          "SELECT l_suppkey, n_est FROM gmv9sql.sk_view WHERE sketch IS NOT NULL")
+        val exact = st.read("src").groupBy(col("l_suppkey"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        exact.join(est, Seq("l_suppkey"), "left")
+          .select(col("l_suppkey"), col("n_exact"),
+            (col("n_est").isNotNull &&
+              abs(col("n_est") - col("n_exact")) <=
+                greatest(col("n_exact") * lit(0.05), lit(3.0)))
+              .as("within_rsd"))
+      },
+      Some(ivmOracle(
+        """CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+          |  TRUE AS within_rsd""".stripMargin))),
+
     "mv1_incremental_agg" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "mv1")

@@ -102,7 +102,11 @@ class FlagshipHashSpec extends AnyFunSuite {
     "st23_stream_sketch" -> "e18fc46b9887995f9188bb2c57924546",
     // r14: registry-aware retention on a live cascade — a sweep that
     // breaks a later refresh's window or a watermark reds this pin
-    "m26_vacuum_view" -> "fb127f836d3c9e71391f06618fed5366")
+    "m26_vacuum_view" -> "fb127f836d3c9e71391f06618fed5366",
+    // r14: the sketch kind's pure-SQL face — digest-equal to mv9 and
+    // st23 BY DESIGN (one register algebra, three drivers); binds its
+    // OWN catalog name, so it pins safely in the shared session
+    "sql_matview_sketch" -> "e18fc46b9887995f9188bb2c57924546")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently
