@@ -1514,6 +1514,102 @@ object QueriesMutation {
         """CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
           |  TRUE AS within_rsd""".stripMargin))),
 
+    // ---- sql_matview_quantile: mv11 through the PURE SQL registry
+    //      face (CALL create_agg_view kind='quantile' / refresh /
+    //      compact; n_rows read back by SELECT over the view) —
+    //      digest-equal to mv11 and st24 BY DESIGN: one histogram
+    //      algebra, three drivers. Own catalog name so the session's
+    //      catalog-by-name cache never re-roots a shared catalog. ----
+    "sql_matview_quantile" -> QDef(
+      (s, dir) => {
+        val root = "/tmp/graft_qstore/mv11sql"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new TableStore(s, root)
+        s.conf.set("spark.sql.catalog.gmv11sql", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gmv11sql.root", root)
+        val li = ivmLineitem(s, dir)
+        ivmCreateSource(st, li)
+        s.sql("CALL gmv11sql.system.create_agg_view('q_view', 'src', " +
+          "'l_suppkey', 'qty', 'quantile', 8)")
+        ivmMutateSource(st, li)
+        s.sql("CALL gmv11sql.system.refresh_agg_view('q_view')")
+        s.sql("CALL gmv11sql.system.refresh_agg_view('q_view')") // no-op
+        s.sql("CALL gmv11sql.system.compact_agg_view('q_view')")
+        // the view is a plain SQL-readable table (hist rides as an
+        // array<struct> column); quantile extraction via the read face
+        val sqlN = s.sql(
+          "SELECT l_suppkey, n_rows FROM gmv11sql.q_view WHERE hist IS NOT NULL")
+        val est = graft.ops.Ivm.readQuantileView(st, "q_view", Seq(0.5, 0.95))
+          .drop("n_rows")
+        val exact = st.read("src").groupBy(col("l_suppkey"))
+          .agg(expr("percentile(qty, 0.5)").as("p50_exact"),
+            expr("percentile(qty, 0.95)").as("p95_exact"))
+        exact.join(sqlN, Seq("l_suppkey"), "left")
+          .join(est, Seq("l_suppkey"), "left")
+          .select(col("l_suppkey"), col("n_rows"),
+            round(col("p50_exact"), 4).as("p50_exact"),
+            round(col("p95_exact"), 4).as("p95_exact"),
+            (col("q50").isNotNull && col("q95").isNotNull &&
+              abs(col("q50") - col("p50_exact")) <=
+                greatest(col("p50_exact") * lit(0.10), lit(2.0)) &&
+              abs(col("q95") - col("p95_exact")) <=
+                greatest(col("p95_exact") * lit(0.10), lit(2.0)))
+              .as("within_err"))
+      },
+      Some(ivmOracle(
+        """CAST(count(*) AS BIGINT) AS n_rows,
+          |  round(quantile_cont(qty, 0.5), 4) AS p50_exact,
+          |  round(quantile_cont(qty, 0.95), 4) AS p95_exact,
+          |  TRUE AS within_err""".stripMargin))),
+
+    // ---- mv11: incremental APPROX-QUANTILE — the histogram-state IVM
+    //      kind: DDSketch log bins per group. Counts per bin form a
+    //      full abelian group (inserts add, retractions subtract,
+    //      EXACTLY), so this is the engine's first approximate kind
+    //      with NO recompute arm at all — the group-moving update and
+    //      the delete below absorb by the same pure algebra as the
+    //      append, never a source read. That exactness is driver-
+    //      visible: the view's own maintained n_rows is emitted as a
+    //      HASH-CHECKED column (count algebra must be exact), beside
+    //      the exact p50/p95 (Spark percentile ≡ DuckDB quantile_cont,
+    //      a12's pattern) and the a13-style gate on the maintained
+    //      estimates (registered α=1% + discrete-rank slop; a stale
+    //      view or broken merge turns the row red, never no_oracle). ----
+    "mv11_incremental_quantile" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv11")
+        val li = ivmLineitem(s, dir)
+        ivmCreateSource(st, li)
+        graft.ops.Ivm.createCountSumView(st, "q_view", "src",
+          Seq("l_suppkey"), "qty", kind = "quantile")
+        ivmMutateSource(st, li) // update moves groups, delete retracts,
+                                // append inserts — all the algebra arm
+        graft.ops.Ivm.refreshView(st, "q_view")
+        graft.ops.Ivm.refreshView(st, "q_view") // re-delivery: absorbs 0
+        graft.ops.Ivm.compactView(st, "q_view") // sweep NULL tombstones
+        val est = graft.ops.Ivm.readQuantileView(st, "q_view", Seq(0.5, 0.95))
+        // the exact side exists only for the gate + hash columns —
+        // production reads the maintained histogram
+        val exact = st.read("src").groupBy(col("l_suppkey"))
+          .agg(expr("percentile(qty, 0.5)").as("p50_exact"),
+            expr("percentile(qty, 0.95)").as("p95_exact"))
+        exact.join(est, Seq("l_suppkey"), "left")
+          .select(col("l_suppkey"), col("n_rows"),
+            round(col("p50_exact"), 4).as("p50_exact"),
+            round(col("p95_exact"), 4).as("p95_exact"),
+            (col("q50").isNotNull && col("q95").isNotNull &&
+              abs(col("q50") - col("p50_exact")) <=
+                greatest(col("p50_exact") * lit(0.10), lit(2.0)) &&
+              abs(col("q95") - col("p95_exact")) <=
+                greatest(col("p95_exact") * lit(0.10), lit(2.0)))
+              .as("within_err"))
+      },
+      Some(ivmOracle(
+        """CAST(count(*) AS BIGINT) AS n_rows,
+          |  round(quantile_cont(qty, 0.5), 4) AS p50_exact,
+          |  round(quantile_cont(qty, 0.95), 4) AS p95_exact,
+          |  TRUE AS within_err""".stripMargin))),
+
     "mv1_incremental_agg" -> QDef(
       (s, dir) => {
         val st = freshStore(s, "mv1")

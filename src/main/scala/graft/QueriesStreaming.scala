@@ -618,6 +618,70 @@ object QueriesStreaming {
         """CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
           |  TRUE AS within_rsd""".stripMargin))),
 
+    // ---- st24: mv11's quantile maintenance as a STANDING STREAM with
+    //      an injected checkpoint-restart crash — digest-equal to mv11
+    //      BY DESIGN (one histogram algebra, three drivers). Note what
+    //      the foreachBatch does NOT need: no end-version pin, no
+    //      source read — bin counts are a full abelian group, so the
+    //      batch alone IS the whole apply under any insert/delete mix;
+    //      the txn stamp absorbs the crash-replayed batch. ----
+    "st24_stream_quantile" -> QDef(
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = "/tmp/graft_qstore/st24_quant"
+        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        val st = new graft.core.TableStore(s, root)
+        val li = QueriesMutation.ivmLineitem(s, dir)
+        QueriesMutation.ivmCreateSource(st, li)
+        graft.ops.Ivm.createCountSumView(st, "q_view", "src",
+          Seq("l_suppkey"), "qty", kind = "quantile")
+        val sv0 = st.currentVersion("src")
+        QueriesMutation.ivmMutateSource(st, li) // 3 commits -> 3 batches
+        s.conf.set("spark.sql.catalog.graft_st24", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_st24.root", root)
+        @volatile var bombed = false
+        def run(armBomb: Boolean) = s.readStream
+          .option("startVersion", sv0.toString) // EXCLUSIVE: (sv0, head]
+          .option("maxVersionsPerTrigger", "1")
+          .table("graft_st24.src.changes")
+          .writeStream.option("checkpointLocation", s"$root/_ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.ops.Ivm.applyQuantileDelta(st, "q_view", batch,
+              Seq("l_suppkey"), "qty", graft.ops.Ivm.QuantileAlpha,
+              txn = Some(("st24", batchId)))
+            if (armBomb && !bombed && !batch.isEmpty) {
+              bombed = true
+              throw new RuntimeException("injected crash after apply, before ack")
+            }
+          }
+          .start()
+        try run(armBomb = true).awaitTermination()
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        require(bombed, "st24: the injected crash never fired")
+        run(armBomb = false).awaitTermination()
+        graft.ops.Ivm.compactView(st, "q_view")
+        val est = graft.ops.Ivm.readQuantileView(st, "q_view", Seq(0.5, 0.95))
+        val exact = st.read("src").groupBy(col("l_suppkey"))
+          .agg(expr("percentile(qty, 0.5)").as("p50_exact"),
+            expr("percentile(qty, 0.95)").as("p95_exact"))
+        exact.join(est, Seq("l_suppkey"), "left")
+          .select(col("l_suppkey"), col("n_rows"),
+            round(col("p50_exact"), 4).as("p50_exact"),
+            round(col("p95_exact"), 4).as("p95_exact"),
+            (col("q50").isNotNull && col("q95").isNotNull &&
+              abs(col("q50") - col("p50_exact")) <=
+                greatest(col("p50_exact") * lit(0.10), lit(2.0)) &&
+              abs(col("q95") - col("p95_exact")) <=
+                greatest(col("p95_exact") * lit(0.10), lit(2.0)))
+              .as("within_err"))
+      },
+      Some(QueriesMutation.ivmOracle(
+        """CAST(count(*) AS BIGINT) AS n_rows,
+          |  round(quantile_cont(qty, 0.5), 4) AS p50_exact,
+          |  round(quantile_cont(qty, 0.95), 4) AS p95_exact,
+          |  TRUE AS within_err""".stripMargin))),
+
     "st17_stream_static_join" -> QDef(
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger

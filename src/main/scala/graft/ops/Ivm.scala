@@ -199,9 +199,19 @@ object Ivm {
           groupCols, buckets)
         stamp(view, srcName, groupCols, "sketch_distinct", v)
         st.setProperties(view, Map("ivm.lg_k" -> DefaultLgK.toString))
+      case "quantile" =>
+        // DDSketch-style log-binned histogram per group (see
+        // [[applyQuantileDelta]]); alpha rides the registry so every
+        // apply bins at the SAME gamma
+        st.createBucketed(view,
+          quantileHist(srcFrame, groupCols, valueCol,
+            quantileGamma(QuantileAlpha)),
+          groupCols, buckets)
+        stamp(view, srcName, groupCols, "quantile", v)
+        st.setProperties(view, Map("ivm.alpha" -> QuantileAlpha.toString))
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other' " +
-          "(count_sum | max | min | distinct | sketch_distinct)")
+          "(count_sum | max | min | distinct | sketch_distinct | quantile)")
     }
     v
   }
@@ -359,6 +369,13 @@ object Ivm {
           applySketchRollupDelta(st, view, srcName, to,
             st.readChangesBetween(srcName, from, to),
             groupCols, Some((s"ivm:$srcName", to)))
+      case "quantile" =>
+        val alpha = st.properties(view).get("ivm.alpha")
+          .map(_.toDouble).getOrElse(QuantileAlpha)
+        if (to > from)
+          applyQuantileDelta(st, view,
+            feedFilter(st.readChangesBetween(srcName, from, to)),
+            groupCols, valueCol, alpha, txn = Some((s"ivm:$srcName", to)))
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other'")
     }
@@ -390,6 +407,9 @@ object Ivm {
           props("ivm.group_cols").split(",").map(_.trim).toSeq :+ "rnk")
       case "sketch_distinct" | "sketch_rollup" =>
         compactWhere(st, view, col("sketch").isNull,
+          props("ivm.group_cols").split(",").map(_.trim).toSeq)
+      case "quantile" =>
+        compactWhere(st, view, col("hist").isNull,
           props("ivm.group_cols").split(",").map(_.trim).toSeq)
       case "distinct" =>
         compactView(st, props("ivm.source")) // the aux level
@@ -778,6 +798,168 @@ object Ivm {
         .otherwise(hll_sketch_estimate(col("sketch"))))
       .localCheckpoint()
     st.mergeUpsert(view, out, groupCols, txn = txn)
+  }
+
+  // ---- the QUANTILE kind: DDSketch-style log-binned histograms.
+  //      Counts per logarithmic bin are a FULL abelian group (inserts
+  //      add, retractions subtract, exactly), so this is the engine's
+  //      first approximate kind with NO recompute arm at all — every
+  //      apply is O(changed groups' bins) algebra, never a source
+  //      read, under any mix of inserts, deletes and updates. ----
+
+  /** Registered quantile views' relative-accuracy target: value v > 0
+    * lands in bin ceil(ln v / ln γ) with γ = (1+α)/(1-α), whose
+    * geometric midpoint 2γ^m/(γ+1) is within α of every value the bin
+    * holds (Masson, Lee & Canoni, "DDSketch", VLDB 2019 — public
+    * paper; the reference engine has no quantile maintenance at all).
+    * α = 0.01 needs ≤ ~800 live bins per group for data spanning
+    * 8 decimal orders of magnitude — KBs per group, cardinality-
+    * independent like the HLL kinds. */
+  val QuantileAlpha = 0.01
+
+  /** Bin-space layout: positives at +BinOffset+m, negatives mirrored
+    * at -BinOffset-m, zero at 0 — ascending bin index IS ascending
+    * value, so quantile extraction is one ordered cumulative sum.
+    * |m| ≤ ~36k over the whole double range at α = 0.01, far inside
+    * the 2^20 offset. */
+  private val BinOffset = 1 << 20
+
+  private def quantileGamma(alpha: Double): Double = (1 + alpha) / (1 - alpha)
+
+  /** NULL values map to a NULL bin (callers keep them through the
+    * change-kind gate, then drop them — quantiles are over non-NULL
+    * values, the same convention count_sum's sum takes). */
+  private def quantileBin(v: Column, gamma: Double): Column = {
+    val lg = math.log(gamma)
+    when(v > 0d, lit(BinOffset) + ceil(log(v) / lg).cast("int"))
+      .when(v < 0d, lit(-BinOffset) - ceil(log(-v) / lg).cast("int"))
+      .when(v === 0d, lit(0))
+  }
+
+  /** A bin's representative value — the midpoint that makes the α
+    * guarantee two-sided (est/v ∈ [1-α, 1+α] across the bin). */
+  private def quantileEst(bin: Column, gamma: Double): Column =
+    when(bin === 0, lit(0d))
+      .when(bin > 0,
+        lit(2.0) * pow(lit(gamma), (bin - BinOffset).cast("double"))
+          / (gamma + 1))
+      .otherwise(
+        lit(-2.0) * pow(lit(gamma), (-(bin + BinOffset)).cast("double"))
+          / (gamma + 1))
+
+  /** Full-compute histogram: per group, the sorted nonzero
+    * (bin, count) array plus the exact non-NULL row count. Sorted
+    * array-of-struct (not a map) so the state is orderable, hashable
+    * and digest-pinnable. */
+  private def quantileHist(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, gamma: Double): DataFrame = {
+    val keys = groupCols.map(col)
+    df.select(keys :+
+        quantileBin(col(valueCol).cast("double"), gamma).as("__bin"): _*)
+      .filter(col("__bin").isNotNull)
+      .groupBy(keys :+ col("__bin"): _*).agg(count(lit(1)).as("__n"))
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(
+          struct(col("__bin").as("bin"), col("__n").as("n")))).as("hist"),
+        sum(col("__n")).as("n_rows"))
+  }
+
+  private val HistType = "array<struct<bin:int,n:bigint>>"
+
+  /** Absorb a change feed into a quantile view — PURE ALGEBRA on both
+    * arms: the feed's signed per-(group, bin) counts merge into the
+    * stored histogram by addition; a bin reaching zero drops; a group
+    * whose histogram empties becomes a hist=NULL tombstone
+    * ([[readQuantileView]] filters, [[compactView]] sweeps). Unlike
+    * max/top-k/HLL there is NO irrecoverable state, so no version-
+    * pinned recompute arm exists and `srcName`/`srcVersion` are not
+    * even parameters — the 100 TB property: a retraction-heavy feed
+    * costs the same as an insert-only one. A negative merged count
+    * fails loudly (feed overlaps an already-applied window — the
+    * applyCountSumDelta contract); `txn` exactly as there. */
+  def applyQuantileDelta(st: TableStore, view: String, feed: DataFrame,
+                         groupCols: Seq[String], valueCol: String,
+                         alpha: Double,
+                         txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val gamma = quantileGamma(alpha)
+    val keys = groupCols.map(col)
+    // NULL values ride to the NULL bin so the change-kind gate still
+    // counts every row; they drop after the gate
+    val delta = feed
+      .withColumn("__bin", quantileBin(col(valueCol).cast("double"), gamma))
+      .groupBy(keys :+ col("__bin"): _*)
+      .agg(sum(sgn).as("dn"), badKinds.as("__bad"))
+      .localCheckpoint()
+    if (delta.isEmpty) {
+      txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
+      return
+    }
+    requireKnownKinds(delta, view)
+    // same-bin churn nets out here (an update moving a value within
+    // its bin is a provable no-op), as does an all-NULL-value window
+    val binDelta = delta.filter(col("__bin").isNotNull && col("dn") =!= 0L)
+    val touched = binDelta.select(keys: _*).distinct().localCheckpoint()
+    if (touched.isEmpty) {
+      txn.foreach(t => st.recordTxns(view, Seq(t)))
+      return
+    }
+    // readProbe dir-prunes to the touched groups' buckets; a stored
+    // NULL-hist tombstone explodes to no bins (= empty histogram)
+    val old = st.readProbe(view, touched, groupCols)
+      .join(broadcast(touched), groupCols, "left_semi")
+      .select(keys :+ explode(col("hist")).as("e"): _*)
+      .select(keys ++ Seq(col("e.bin").as("__bin"), col("e.n").as("n")): _*)
+    val merged = old
+      .unionByName(binDelta
+        .select(keys ++ Seq(col("__bin"), col("dn").as("n")): _*))
+      .groupBy(keys :+ col("__bin"): _*).agg(sum(col("n")).as("n"))
+      .localCheckpoint() // pin: guard + rebuild + dead re-read it
+    require(merged.filter(col("n") < 0L).isEmpty,
+      s"IVM quantile bin count went negative on $view — the feed " +
+        "overlaps an already-applied range (double apply); pass a txn " +
+        "to make applies idempotent")
+    val rebuilt = merged.filter(col("n") > 0L)
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(
+          struct(col("__bin").as("bin"), col("n")))).as("hist"),
+        sum(col("n")).as("n_rows"))
+    val dead = touched.join(rebuilt.select(keys: _*), groupCols, "left_anti")
+      .select(keys ++ Seq(lit(null).cast(HistType).as("hist"),
+        lit(null).cast("long").as("n_rows")): _*)
+    st.mergeUpsert(view, rebuilt.unionByName(dead).localCheckpoint(),
+      groupCols, txn = txn)
+  }
+
+  /** The consumer face of a maintained quantile view: one row per live
+    * group with `n_rows` (EXACT — only the value estimate is
+    * approximate) and one approx-quantile column per requested q,
+    * named q50/q95/… Extraction walks the ordered bins with one
+    * cumulative sum and takes the first bin whose cumulative count
+    * reaches ceil(q·n) (lower-rank convention); the returned midpoint
+    * is within the registered α of that order statistic's value. */
+  def readQuantileView(st: TableStore, view: String,
+                       quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0d && q <= 1d),
+      s"quantiles must be in (0, 1], got ${quantiles.mkString(",")}")
+    val props = st.properties(view)
+    val alpha = props.get("ivm.alpha").map(_.toDouble).getOrElse(QuantileAlpha)
+    val gamma = quantileGamma(alpha)
+    val groupCols = props("ivm.group_cols").split(",").map(_.trim).toSeq
+    val keys = groupCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("e").getField("bin"))
+    val exploded = st.read(view).filter(col("hist").isNotNull)
+      .select(keys ++ Seq(col("n_rows"), explode(col("hist")).as("e")): _*)
+      .withColumn("__cum", sum(col("e").getField("n")).over(w))
+    val aggs = quantiles.map { q =>
+      min(when(
+        col("__cum") >= greatest(ceil(lit(q) * col("n_rows")), lit(1L)),
+        quantileEst(col("e").getField("bin"), gamma)))
+        .as("q" + math.round(q * 100).toString)
+    }
+    exploded.groupBy(keys: _*)
+      .agg(max(col("n_rows")).as("n_rows"), aggs: _*)
   }
 
   /** Delta-JOIN maintenance — the view shape the medallion gold layer

@@ -106,7 +106,22 @@ class FlagshipHashSpec extends AnyFunSuite {
     // r14: the sketch kind's pure-SQL face — digest-equal to mv9 and
     // st23 BY DESIGN (one register algebra, three drivers); binds its
     // OWN catalog name, so it pins safely in the shared session
-    "sql_matview_sketch" -> "e18fc46b9887995f9188bb2c57924546")
+    "sql_matview_sketch" -> "e18fc46b9887995f9188bb2c57924546",
+    // r14: the histogram-state quantile IVM kind (DDSketch log bins;
+    // bin counts form an abelian group, so retractions are pure
+    // algebra — no recompute arm exists). The pinned result carries
+    // the view's own maintained n_rows as a hash column: a count-
+    // algebra slip reds this pin, not just the gate. Oracle-green
+    // tools/check.py MATCH at sf0.001 AND sf0.01 before pinning.
+    "mv11_incremental_quantile" -> "a32aa49ed04b38846e2437bd59228b24",
+    // r14: mv11's SQL registry face and its standing-stream twin (with
+    // an injected checkpoint-restart crash) — digest-equal to mv11 BY
+    // DESIGN (one histogram algebra, three drivers), so these pins
+    // enforce the equality claim itself; both MATCH at sf0.001 and
+    // sf0.01 before pinning. sql_matview_quantile binds its OWN
+    // catalog name, so it pins safely in the shared session.
+    "sql_matview_quantile" -> "a32aa49ed04b38846e2437bd59228b24",
+    "st24_stream_quantile" -> "a32aa49ed04b38846e2437bd59228b24")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently

@@ -269,6 +269,72 @@ class ProcedureSpec extends AnyFunSuite {
     assert(!ts.exists("vsk"))
   }
 
+  test("quantile view through the SQL registry: pure-algebra inserts " +
+      "AND retractions (no recompute arm), tombstone sweep, lifecycle") {
+    val root = Files.createTempDirectory("procmvq").toString
+    spark.conf.set("spark.sql.catalog.gmvq", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmvq.root", root)
+    val ts = new TableStore(spark, root)
+    // integers ≤ 50 each own their 1%-log-bin, so the estimates are
+    // assertable within the α guarantee while the machinery (signed
+    // bin counts, tombstones) is the 100 TB one
+    ts.create("src", Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L),
+      (4L, 1L, 40L), (5L, 2L, 5L)).toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    spark.sql(
+      "CALL gmvq.system.create_agg_view('vq', 'src', 'grp', 'qty', 'quantile', 4)")
+    def q(): Map[Long, (Long, Double, Double)] =
+      graft.ops.Ivm.readQuantileView(ts, "vq", Seq(0.5, 1.0))
+        .as[(Long, Long, Double, Double)].collect()
+        .map { case (g, n, q50, q100) => g -> (n, q50, q100) }.toMap
+    def near(got: Double, want: Double): Boolean =
+      math.abs(got - want) <= want * 0.011
+    val s0 = q()
+    assert(s0(1L)._1 === 4L && near(s0(1L)._2, 20d) && near(s0(1L)._3, 40d))
+    assert(s0(2L)._1 === 1L && near(s0(2L)._2, 5d))
+    // a retraction+insert in one window — bin counts subtract exactly,
+    // no recompute arm exists to fire
+    ts.updateVectorized("src", col("k") === 4L, Map("qty" -> lit(8L)))
+    assert(spark.sql("CALL gmvq.system.refresh_agg_view('vq')")
+      .head().getLong(1) === 1L)
+    val s1 = q()
+    assert(s1(1L)._1 === 4L && near(s1(1L)._2, 10d) && near(s1(1L)._3, 30d))
+    // same-bin churn: an update that leaves every value in its bin is
+    // a provable no-op — the watermark still advances
+    ts.updateVectorized("src", col("k") === 3L, Map("qty" -> lit(30L)))
+    assert(spark.sql("CALL gmvq.system.refresh_agg_view('vq')")
+      .head().getLong(1) === 1L)
+    assert(spark.sql("CALL gmvq.system.refresh_agg_view('vq')")
+      .head().getLong(1) === 0L)
+    assert(q() === s1)
+    // a group emptied entirely tombstones (hist NULL), the sweep
+    // removes it, a later re-insert re-creates it by algebra
+    ts.delete("src", col("grp") === 2L)
+    spark.sql("CALL gmvq.system.refresh_agg_view('vq')")
+    assert(!q().contains(2L))
+    assert(ts.read("vq").filter(col("hist").isNull).count() === 1)
+    spark.sql("CALL gmvq.system.compact_agg_view('vq')")
+    assert(ts.read("vq").filter(col("hist").isNull).count() === 0)
+    ts.append("src", Seq((6L, 2L, 7L)).toDF("k", "grp", "qty"))
+    spark.sql("CALL gmvq.system.refresh_agg_view('vq')")
+    assert(near(q()(2L)._2, 7d))
+    // over-retraction fails loudly: re-applying the delete window
+    // without a txn drives a bin count negative
+    val head = ts.currentVersion("src")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Ivm.applyQuantileDelta(ts, "vq",
+        ts.readChangesBetween("src", head - 2, head - 1),
+        Seq("grp"), "qty", graft.ops.Ivm.QuantileAlpha, txn = None)
+    }
+    assert(ex.getMessage.contains("negative"))
+    // registry faces: describe carries the registered α; drop
+    assert(spark.sql("CALL gmvq.system.describe_view('vq')").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .contains(("ivm.alpha", graft.ops.Ivm.QuantileAlpha.toString)))
+    assert(spark.sql("CALL gmvq.system.drop_view('vq')").head().getLong(1) === 1L)
+    assert(!ts.exists("vq"))
+  }
+
   test("sketch_rollup through the SQL registry: register-union arm, " +
       "preimage-triggered recompute from the SKETCH VIEW, DAG refresh") {
     val root = Files.createTempDirectory("procmv5").toString
