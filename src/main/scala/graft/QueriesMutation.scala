@@ -1514,6 +1514,76 @@ object QueriesMutation {
         """CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
           |  TRUE AS within_rsd""".stripMargin))),
 
+    // ---- mv12: QUANTILE ROLLUP — the only rollup kind that is pure
+    //      algebra at BOTH levels: bin counts over a partition of the
+    //      data SUM to the bin counts of the union, so the coarse view
+    //      absorbs the fine view's signed histogram pre/postimages and
+    //      never reads anything but its own feed — where mv10's sketch
+    //      rollup must re-read the sketch view when registers shrink,
+    //      there is no hard arm here AT ALL. The update below moves
+    //      fine groups ACROSS coarse groups (both sides adjust by
+    //      signed sums), the delete retracts, the append adds new fine
+    //      groups. One refresh drives the whole DAG (src -> fine ->
+    //      roll). Oracle: hash-checked n_rows (count algebra must be
+    //      exact through TWO levels) + exact p50/p95 + the α gate. ----
+    "mv12_quantile_rollup" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv12")
+        val li = Tables.lineitem(s, dir)
+        val src0 = li.select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_suppkey") % 10).as("cgrp"),
+          col("l_quantity").cast("long").as("qty"))
+        st.create("src", src0.filter(col("l_orderkey") % 4 === 1))
+        st.setChangeFeed("src", true)
+        graft.ops.Ivm.createCountSumView(st, "fine", "src",
+          Seq("cgrp", "l_suppkey"), "qty", kind = "quantile")
+        st.setChangeFeed("fine", true)
+        graft.ops.Ivm.createQuantileRollup(st, "roll", "fine", Seq("cgrp"))
+        st.updateVectorized("src", col("l_orderkey") % 9 === 0,
+          Map("l_suppkey" -> (col("l_suppkey") + 7L),
+            "cgrp" -> ((col("l_suppkey") + 7L) % 10)))
+        st.deleteVectorized("src", col("l_orderkey") % 10 === 3)
+        st.append("src", src0.filter(col("l_orderkey") % 4 === 2))
+        graft.ops.Ivm.refreshView(st, "roll") // cascades fine first
+        graft.ops.Ivm.refreshView(st, "roll") // re-delivery: absorbs 0
+        graft.ops.Ivm.compactView(st, "roll")
+        val est = graft.ops.Ivm.readQuantileView(st, "roll", Seq(0.5, 0.95))
+        val exact = st.read("src").groupBy(col("cgrp"))
+          .agg(expr("percentile(qty, 0.5)").as("p50_exact"),
+            expr("percentile(qty, 0.95)").as("p95_exact"))
+        exact.join(est, Seq("cgrp"), "left")
+          .select(col("cgrp"), col("n_rows"),
+            round(col("p50_exact"), 4).as("p50_exact"),
+            round(col("p95_exact"), 4).as("p95_exact"),
+            (col("q50").isNotNull && col("q95").isNotNull &&
+              abs(col("q50") - col("p50_exact")) <=
+                greatest(col("p50_exact") * lit(0.10), lit(2.0)) &&
+              abs(col("q95") - col("p95_exact")) <=
+                greatest(col("p95_exact") * lit(0.10), lit(2.0)))
+              .as("within_err"))
+      },
+      Some("""WITH init AS (
+             |  SELECT l_orderkey, l_suppkey,
+             |         CAST(l_quantity AS BIGINT) AS qty
+             |  FROM lineitem WHERE l_orderkey % 4 = 1),
+             |upd AS (
+             |  SELECT l_orderkey,
+             |    CASE WHEN l_orderkey % 9 = 0 THEN l_suppkey + 7
+             |         ELSE l_suppkey END AS l_suppkey,
+             |    qty
+             |  FROM init),
+             |del AS (SELECT * FROM upd WHERE l_orderkey % 10 <> 3),
+             |fin AS (SELECT * FROM del
+             |        UNION ALL
+             |        SELECT l_orderkey, l_suppkey, CAST(l_quantity AS BIGINT)
+             |        FROM lineitem WHERE l_orderkey % 4 = 2)
+             |SELECT l_suppkey % 10 AS cgrp,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  round(quantile_cont(qty, 0.5), 4) AS p50_exact,
+             |  round(quantile_cont(qty, 0.95), 4) AS p95_exact,
+             |  TRUE AS within_err
+             |FROM fin GROUP BY 1""".stripMargin)),
+
     // ---- sql_matview_quantile: mv11 through the PURE SQL registry
     //      face (CALL create_agg_view kind='quantile' / refresh /
     //      compact; n_rows read back by SELECT over the view) —

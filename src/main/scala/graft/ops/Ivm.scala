@@ -376,6 +376,13 @@ object Ivm {
           applyQuantileDelta(st, view,
             feedFilter(st.readChangesBetween(srcName, from, to)),
             groupCols, valueCol, alpha, txn = Some((s"ivm:$srcName", to)))
+      case "quantile_rollup" =>
+        // the feed is the quantile view's own CDF — pre/postimages ARE
+        // the signed terms, so no feed filter applies here
+        if (to > from)
+          applyQuantileRollupDelta(st, view,
+            st.readChangesBetween(srcName, from, to),
+            groupCols, Some((s"ivm:$srcName", to)))
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other'")
     }
@@ -408,7 +415,7 @@ object Ivm {
       case "sketch_distinct" | "sketch_rollup" =>
         compactWhere(st, view, col("sketch").isNull,
           props("ivm.group_cols").split(",").map(_.trim).toSeq)
-      case "quantile" =>
+      case "quantile" | "quantile_rollup" =>
         compactWhere(st, view, col("hist").isNull,
           props("ivm.group_cols").split(",").map(_.trim).toSeq)
       case "distinct" =>
@@ -847,21 +854,27 @@ object Ivm {
         lit(-2.0) * pow(lit(gamma), (-(bin + BinOffset)).cast("double"))
           / (gamma + 1))
 
-  /** Full-compute histogram: per group, the sorted nonzero
-    * (bin, count) array plus the exact non-NULL row count. Sorted
-    * array-of-struct (not a map) so the state is orderable, hashable
-    * and digest-pinnable. */
+  /** Re-assemble per-(group, bin) counts into the view shape: the
+    * sorted nonzero (bin, count) array plus the exact row count.
+    * Sorted array-of-struct (not a map) so the state is orderable,
+    * hashable and digest-pinnable. */
+  private def histFromBins(binCounts: DataFrame,
+                           groupCols: Seq[String]): DataFrame =
+    binCounts.groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(
+          struct(col("__bin").as("bin"), col("n")))).as("hist"),
+        sum(col("n")).as("n_rows"))
+
+  /** Full-compute histogram: bin each non-NULL value, count,
+    * assemble. */
   private def quantileHist(df: DataFrame, groupCols: Seq[String],
                            valueCol: String, gamma: Double): DataFrame = {
     val keys = groupCols.map(col)
-    df.select(keys :+
+    histFromBins(df.select(keys :+
         quantileBin(col(valueCol).cast("double"), gamma).as("__bin"): _*)
       .filter(col("__bin").isNotNull)
-      .groupBy(keys :+ col("__bin"): _*).agg(count(lit(1)).as("__n"))
-      .groupBy(keys: _*)
-      .agg(array_sort(collect_list(
-          struct(col("__bin").as("bin"), col("__n").as("n")))).as("hist"),
-        sum(col("__n")).as("n_rows"))
+      .groupBy(keys :+ col("__bin"): _*).agg(count(lit(1)).as("n")),
+      groupCols)
   }
 
   private val HistType = "array<struct<bin:int,n:bigint>>"
@@ -899,7 +912,20 @@ object Ivm {
     requireKnownKinds(delta, view)
     // same-bin churn nets out here (an update moving a value within
     // its bin is a provable no-op), as does an all-NULL-value window
-    val binDelta = delta.filter(col("__bin").isNotNull && col("dn") =!= 0L)
+    mergeHistDelta(st, view,
+      delta.filter(col("__bin").isNotNull && col("dn") =!= 0L),
+      groupCols, txn)
+  }
+
+  /** The shared algebra core of the quantile kinds: merge a signed
+    * per-(group, bin) delta (`__bin`, `dn` ≠ 0) into the stored
+    * histograms — one commit, tombstones for emptied groups, loud
+    * negative guard. Records the txn even when the delta is empty
+    * (the watermark must advance). */
+  private def mergeHistDelta(st: TableStore, view: String,
+                             binDelta: DataFrame, groupCols: Seq[String],
+                             txn: Option[(String, Long)]): Unit = {
+    val keys = groupCols.map(col)
     val touched = binDelta.select(keys: _*).distinct().localCheckpoint()
     if (touched.isEmpty) {
       txn.foreach(t => st.recordTxns(view, Seq(t)))
@@ -920,16 +946,86 @@ object Ivm {
       s"IVM quantile bin count went negative on $view — the feed " +
         "overlaps an already-applied range (double apply); pass a txn " +
         "to make applies idempotent")
-    val rebuilt = merged.filter(col("n") > 0L)
-      .groupBy(keys: _*)
-      .agg(array_sort(collect_list(
-          struct(col("__bin").as("bin"), col("n")))).as("hist"),
-        sum(col("n")).as("n_rows"))
+    val rebuilt = histFromBins(merged.filter(col("n") > 0L), groupCols)
     val dead = touched.join(rebuilt.select(keys: _*), groupCols, "left_anti")
       .select(keys ++ Seq(lit(null).cast(HistType).as("hist"),
         lit(null).cast("long").as("n_rows")): _*)
     st.mergeUpsert(view, rebuilt.unionByName(dead).localCheckpoint(),
       groupCols, txn = txn)
+  }
+
+  /** CREATE a registered QUANTILE ROLLUP: a coarser-grained quantile
+    * view maintained from a `quantile` view's OWN change feed. Bin
+    * counts over a partition of the data SUM to the bin counts of the
+    * union, so — unlike [[createSketchRollup]], whose hard arm must
+    * re-read the sketch view when registers shrink — BOTH levels here
+    * are pure algebra: the rollup absorbs signed fine-histogram
+    * pre/postimages and never reads anything but its own feed. The
+    * 100 TB shape: maintenance cost is O(changed fine groups' bins) at
+    * any source volume, at every level of the DAG. `groupCols` must be
+    * a strict subset of the fine view's group columns. */
+  def createQuantileRollup(st: TableStore, view: String, srcView: String,
+                           groupCols: Seq[String], buckets: Int = 8): Long = {
+    val srcProps = st.snapshot(srcView).props
+    require(srcProps.get("ivm.kind").contains("quantile"),
+      s"$srcView is not a quantile view (ivm.kind=" +
+        s"${srcProps.get("ivm.kind").getOrElse("absent")}) — a quantile " +
+        "rollup sums a quantile view's bin counts")
+    val srcGroups = srcProps("ivm.group_cols").split(",").map(_.trim).toSeq
+    require(groupCols.nonEmpty && groupCols.forall(srcGroups.contains) &&
+        groupCols.size < srcGroups.size,
+      s"rollup group cols ${groupCols.mkString(",")} must be a strict " +
+        s"subset of $srcView's (${srcGroups.mkString(",")})")
+    require(st.changeFeedEnabled(srcView),
+      s"$srcView's change feed is off — the rollup tails it; " +
+        s"CALL set_change_feed('$srcView', true) BEFORE creating the rollup")
+    val v = st.currentVersion(srcView)
+    val keys = groupCols.map(col)
+    st.createBucketed(view, histFromBins(
+      st.readVersion(srcView, v).filter(col("hist").isNotNull)
+        .select(keys :+ explode(col("hist")).as("e"): _*)
+        .select(keys ++ Seq(col("e.bin").as("__bin"), col("e.n").as("n")): _*)
+        .groupBy(keys :+ col("__bin"): _*).agg(sum(col("n")).as("n")),
+      groupCols), groupCols, buckets)
+    st.setProperties(view, Map(
+      "ivm.kind" -> "quantile_rollup", "ivm.source" -> srcView,
+      "ivm.group_cols" -> groupCols.mkString(","),
+      "ivm.value_col" -> "hist",
+      "ivm.alpha" -> srcProps.getOrElse("ivm.alpha", QuantileAlpha.toString)))
+    st.recordTxn(view, s"ivm:$srcView", v)
+    v
+  }
+
+  /** Absorb a quantile view's change feed into its rollup — one
+    * algebra arm for everything: each feed row's histogram explodes to
+    * signed (bin, ±n) terms (postimages/inserts add, preimages/deletes
+    * subtract — a fine group's replacement contributes both sides), a
+    * NULL-hist row (tombstone upsert, swept tombstone) explodes to
+    * nothing and needs nothing. Tombstones/guard/txn ride
+    * [[mergeHistDelta]] exactly as the fine kind. */
+  def applyQuantileRollupDelta(st: TableStore, view: String, feed: DataFrame,
+                               groupCols: Seq[String],
+                               txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val keys = groupCols.map(col)
+    // the change-kind gate runs BEFORE the explode (which drops
+    // NULL-hist rows and would let an unknown kind slip through)
+    val gate = feed.groupBy(keys: _*).agg(badKinds.as("__bad"))
+      .localCheckpoint()
+    if (gate.isEmpty) {
+      txn.foreach(t => st.recordTxns(view, Seq(t)))
+      return
+    }
+    requireKnownKinds(gate, view)
+    val binDelta = feed
+      .select(keys ++ Seq(sgn.as("__sgn"), explode(col("hist")).as("e")): _*)
+      .select(keys ++ Seq(col("e.bin").as("__bin"),
+        (col("__sgn") * col("e.n")).as("n")): _*)
+      .groupBy(keys :+ col("__bin"): _*).agg(sum(col("n")).as("dn"))
+      .filter(col("dn") =!= 0L)
+      .localCheckpoint() // reused: touched + union inside the merge
+    mergeHistDelta(st, view, binDelta, groupCols, txn)
   }
 
   /** The consumer face of a maintained quantile view: one row per live

@@ -38,7 +38,7 @@ object GraftProcedures {
     "create_join2_view", "refresh_join2_view",
     "drop_view", "list_views", "describe_view",
     "index_view", "compact_fkidx", "create_topk_view", "vacuum_view",
-    "create_sketch_rollup")
+    "create_sketch_rollup", "create_quantile_rollup")
 
   private def param(n: String, dt: DataType) =
     ProcedureParameter.in(n, dt).build()
@@ -259,6 +259,17 @@ object GraftProcedures {
         // from a sketch_distinct view's change feed; refresh/compact/
         // drop ride the shared agg-view verbs (kind dispatch)
         result(v, graft.ops.Ivm.createSketchRollup(store, v,
+          in.getUTF8String(1).toString, cols(in.getUTF8String(2).toString),
+          in.getInt(3)))
+      }
+      case "create_quantile_rollup" => bound(Seq(param("view", StringType),
+          param("source", StringType), param("group_cols", StringType),
+          param("buckets", IntegerType))) { in =>
+        val v = in.getUTF8String(0).toString
+        // coarser quantile view maintained by signed bin-count sums
+        // from a quantile view's change feed — pure algebra at BOTH
+        // levels; shared verbs for refresh/compact/drop (kind dispatch)
+        result(v, graft.ops.Ivm.createQuantileRollup(store, v,
           in.getUTF8String(1).toString, cols(in.getUTF8String(2).toString),
           in.getInt(3)))
       }

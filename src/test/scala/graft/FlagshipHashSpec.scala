@@ -121,7 +121,12 @@ class FlagshipHashSpec extends AnyFunSuite {
     // sf0.01 before pinning. sql_matview_quantile binds its OWN
     // catalog name, so it pins safely in the shared session.
     "sql_matview_quantile" -> "a32aa49ed04b38846e2437bd59228b24",
-    "st24_stream_quantile" -> "a32aa49ed04b38846e2437bd59228b24")
+    "st24_stream_quantile" -> "a32aa49ed04b38846e2437bd59228b24",
+    // r14: the quantile ROLLUP — the only rollup kind with no hard arm
+    // at either level (bin counts over a partition sum to the union's);
+    // n_rows rides hash-checked through TWO maintained levels.
+    // Oracle-green tools/check.py MATCH at sf0.001 AND sf0.01.
+    "mv12_quantile_rollup" -> "a286a64cd60694dd22ff82a37037926b")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently

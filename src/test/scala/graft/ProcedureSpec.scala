@@ -382,6 +382,70 @@ class ProcedureSpec extends AnyFunSuite {
     assert(!ts.exists("roll") && !ts.exists("fine"))
   }
 
+  test("quantile_rollup through the SQL registry: signed bin sums at " +
+      "both levels (no hard arm anywhere), cross-coarse move, DAG refresh") {
+    val root = Files.createTempDirectory("procmvqr").toString
+    spark.conf.set("spark.sql.catalog.gmvqr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmvqr.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 1L, 1L, 10L), (2L, 1L, 1L, 20L),
+      (3L, 1L, 2L, 30L), (4L, 2L, 3L, 40L)).toDF("k", "g", "sub", "v"))
+    ts.setChangeFeed("src", true)
+    spark.sql(
+      "CALL gmvqr.system.create_agg_view('fine', 'src', 'g,sub', 'v', 'quantile', 4)")
+    // rollup refuses a non-quantile source, a feed-off source, and a
+    // non-strict-subset grouping
+    intercept[Exception](spark.sql(
+      "CALL gmvqr.system.create_quantile_rollup('roll', 'src', 'g', 4)"))
+    intercept[Exception](spark.sql(
+      "CALL gmvqr.system.create_quantile_rollup('roll', 'fine', 'g', 4)"))
+    spark.sql("CALL gmvqr.system.set_change_feed('fine', true)")
+    intercept[Exception](spark.sql(
+      "CALL gmvqr.system.create_quantile_rollup('roll', 'fine', 'g,sub', 4)"))
+    spark.sql("CALL gmvqr.system.create_quantile_rollup('roll', 'fine', 'g', 4)")
+    def q(): Map[Long, (Long, Double, Double)] =
+      graft.ops.Ivm.readQuantileView(ts, "roll", Seq(0.5, 1.0))
+        .as[(Long, Long, Double, Double)].collect()
+        .map { case (g, n, q50, q100) => g -> (n, q50, q100) }.toMap
+    def near(got: Double, want: Double): Boolean =
+      math.abs(got - want) <= want * 0.011
+    val s0 = q()
+    assert(s0(1L)._1 === 3L && near(s0(1L)._2, 20d) && near(s0(1L)._3, 30d))
+    assert(s0(2L)._1 === 1L && near(s0(2L)._2, 40d))
+    // a cross-coarse MOVE in one window: k=3 leaves g=1 for g=2 — both
+    // coarse histograms adjust by signed sums, nothing recomputes
+    ts.updateVectorized("src", col("k") === 3L,
+      Map("g" -> lit(2L), "sub" -> lit(4L)))
+    assert(spark.sql("CALL gmvqr.system.refresh_agg_view('roll')")
+      .head().getLong(1) >= 1L)
+    val s1 = q()
+    assert(s1(1L)._1 === 2L && near(s1(1L)._2, 10d) && near(s1(1L)._3, 20d))
+    assert(s1(2L)._1 === 2L && near(s1(2L)._2, 30d) && near(s1(2L)._3, 40d))
+    assert(spark.sql("CALL gmvqr.system.refresh_agg_view('roll')")
+      .head().getLong(1) === 0L)
+    // a coarse group emptied entirely tombstones, sweeps, and returns;
+    // the FINE view's own compaction (hist-NULL sweep) must be a
+    // rollup no-op (swept tombstones explode to nothing)
+    ts.delete("src", col("g") === 2L)
+    spark.sql("CALL gmvqr.system.refresh_agg_view('roll')")
+    assert(!q().contains(2L))
+    assert(ts.read("roll").filter(col("hist").isNull).count() === 1)
+    spark.sql("CALL gmvqr.system.compact_agg_view('roll')")
+    assert(ts.read("roll").filter(col("hist").isNull).count() === 0)
+    spark.sql("CALL gmvqr.system.compact_agg_view('fine')")
+    assert(spark.sql("CALL gmvqr.system.refresh_agg_view('roll')")
+      .head().getLong(1) >= 1L) // absorbs the sweep window as a no-op
+    assert(q().keySet === Set(1L))
+    ts.append("src", Seq((5L, 2L, 5L, 25L)).toDF("k", "g", "sub", "v"))
+    spark.sql("CALL gmvqr.system.refresh_agg_view('roll')")
+    assert(near(q()(2L)._2, 25d))
+    // registry hygiene: drop refuses mid-DAG, then cascades leaf-first
+    intercept[Exception](spark.sql("CALL gmvqr.system.drop_view('fine')"))
+    spark.sql("CALL gmvqr.system.drop_view('roll')")
+    spark.sql("CALL gmvqr.system.drop_view('fine')")
+    assert(!ts.exists("roll") && !ts.exists("fine"))
+  }
+
   test("vacuum_view: refresh -> vacuum -> refresh converges, old " +
       "versions gone, watermarks intact, dependent windows clamp-survive") {
     val root = Files.createTempDirectory("procvac").toString
