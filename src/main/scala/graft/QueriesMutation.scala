@@ -1514,6 +1514,38 @@ object QueriesMutation {
         """CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
           |  TRUE AS within_rsd""".stripMargin))),
 
+    // ---- mv13: incremental SUMMARY STATISTICS — a6_summary_stats'
+    //      maintained twin (kind='moments'): exact (n, Σv, Σv²) per
+    //      group, each moment a group homomorphism of the feed, so the
+    //      whole update/delete/append backlog is pure algebra (count_
+    //      sum with one more power). avg/var/stddev derive at READ
+    //      time from exact longs — no float ever enters the state —
+    //      which is why this row needs NO gate: every column including
+    //      the variance is hash-checked against DuckDB. ----
+    "mv13_incremental_moments" -> QDef(
+      (s, dir) => {
+        val st = freshStore(s, "mv13")
+        val li = ivmLineitem(s, dir)
+        ivmCreateSource(st, li)
+        graft.ops.Ivm.createCountSumView(st, "m_view", "src",
+          Seq("l_suppkey"), "qty", kind = "moments")
+        ivmMutateSource(st, li)
+        graft.ops.Ivm.refreshView(st, "m_view")
+        graft.ops.Ivm.refreshView(st, "m_view") // re-delivery: absorbs 0
+        graft.ops.Ivm.compactView(st, "m_view") // sweep n_rows=0 rows
+        graft.ops.Ivm.readMomentsView(st, "m_view")
+          .select(col("l_suppkey"), col("n_rows"), col("sum_v"),
+            round(col("avg_v"), 4).as("avg_v"),
+            round(col("var_v"), 4).as("var_v"),
+            round(col("stddev_v"), 4).as("stddev_v"))
+      },
+      Some(ivmOracle(
+        """CAST(count(qty) AS BIGINT) AS n_rows,
+          |  CAST(sum(qty) AS BIGINT) AS sum_v,
+          |  round(avg(qty), 4) AS avg_v,
+          |  round(var_pop(qty), 4) AS var_v,
+          |  round(stddev_pop(qty), 4) AS stddev_v""".stripMargin))),
+
     // ---- mv12: QUANTILE ROLLUP — the only rollup kind that is pure
     //      algebra at BOTH levels: bin counts over a partition of the
     //      data SUM to the bin counts of the union, so the coarse view

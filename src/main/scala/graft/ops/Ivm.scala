@@ -118,6 +118,64 @@ object Ivm {
   def readView(st: TableStore, view: String): DataFrame =
     st.read(view).filter(col("n_rows") > 0L)
 
+  /** Absorb a change feed into a `moments` view — [[applyCountSumDelta]]
+    * with one more power: signed sums of 1, v and v² per group, merged
+    * into the stored exact longs by addition. NULL values contribute to
+    * no moment (`dn` counts non-NULL v only — count_sum's sum-skips-
+    * NULL convention applied to every moment); a group whose window
+    * carries only NULL values is untouched. Retractions are exact: a
+    * fully-retracted group's sums land at literal (0, 0, 0) (the
+    * n_rows=0 tombstone [[compactView]] sweeps). Same loud negative
+    * guard and `txn` contract as applyCountSumDelta. */
+  def applyMomentsDelta(st: TableStore, view: String, feed: DataFrame,
+                        groupCols: Seq[String], valueCol: String,
+                        txn: Option[(String, Long)] = None): Unit = {
+    if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
+      return
+    val keys = groupCols.map(col)
+    val v = col(valueCol)
+    val delta = feed.groupBy(keys: _*)
+      .agg(sum(when(v.isNotNull, sgn)).as("dn"),
+        sum(sgn * v).as("dsum"), sum(sgn * v * v).as("dsq"),
+        badKinds.as("__bad"))
+      .localCheckpoint() // reused: kind gate, pruned view read, guard, upsert
+    if (delta.isEmpty) {
+      txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
+      return
+    }
+    requireKnownKinds(delta, view)
+    // all-NULL-value groups have no moment delta (dn IS NULL) — but the
+    // gate above already counted their change kinds
+    val changed = delta.filter(col("dn").isNotNull)
+    val old = st.readProbe(view, changed.select(keys: _*), groupCols)
+      .join(broadcast(changed.select(keys: _*)), groupCols, "left_semi")
+    val next = changed.join(old, groupCols, "left_outer")
+      .select(keys ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) + col("dn")).as("n_rows"),
+        (coalesce(col("sum_v"), lit(0L)) + col("dsum")).as("sum_v"),
+        (coalesce(col("sum_sq"), lit(0L)) + col("dsq")).as("sum_sq")): _*)
+      .localCheckpoint()
+    require(next.filter(col("n_rows") < 0L).isEmpty,
+      s"IVM moments count went negative on $view — the feed overlaps an " +
+        "already-applied range (double apply); pass a txn to make " +
+        "applies idempotent")
+    st.mergeUpsert(view, next, groupCols, txn = txn)
+  }
+
+  /** The consumer face of a maintained moments view: live groups with
+    * the derived statistics beside the exact sums — mean, population
+    * variance and stddev, computed from the exact longs at read time
+    * (never state, so no float ever enters the maintained rows). */
+  def readMomentsView(st: TableStore, view: String): DataFrame = {
+    val n = col("n_rows").cast("double")
+    val mean = col("sum_v").cast("double") / n
+    val variance = col("sum_sq").cast("double") / n - mean * mean
+    st.read(view).filter(col("n_rows") > 0L)
+      .withColumn("avg_v", mean)
+      .withColumn("var_v", variance)
+      .withColumn("stddev_v", sqrt(greatest(variance, lit(0d))))
+  }
+
   // ---- materialized views as first-class objects (SQL face: CALL
   //      graft.system.create_agg_view / refresh_agg_view /
   //      compact_agg_view). The view's DEFINITION lives in its own
@@ -209,9 +267,24 @@ object Ivm {
           groupCols, buckets)
         stamp(view, srcName, groupCols, "quantile", v)
         st.setProperties(view, Map("ivm.alpha" -> QuantileAlpha.toString))
+      case "moments" =>
+        // incremental SUMMARY STATISTICS (a6's maintained twin): exact
+        // (n, Σv, Σv²) per group — each moment is a group homomorphism
+        // of the feed, so inserts AND retractions are pure algebra
+        // (count_sum with one more power; see [[applyMomentsDelta]]).
+        // `valueCol` must be BIGINT (exact long sums); avg/var/stddev
+        // are a READ face ([[readMomentsView]]), never state.
+        st.createBucketed(view, srcFrame
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(col(valueCol)).as("n_rows"),
+            coalesce(sum(col(valueCol)), lit(0L)).as("sum_v"),
+            coalesce(sum(col(valueCol) * col(valueCol)), lit(0L)).as("sum_sq")),
+          groupCols, buckets)
+        stamp(view, srcName, groupCols, "moments", v)
       case other => throw new IllegalArgumentException(
         s"unknown materialized-view kind '$other' " +
-          "(count_sum | max | min | distinct | sketch_distinct | quantile)")
+          "(count_sum | max | min | distinct | sketch_distinct | " +
+          "quantile | moments)")
     }
     v
   }
@@ -335,6 +408,11 @@ object Ivm {
           applyCountSumDelta(st, view,
             feedFilter(st.readChangesBetween(srcName, from, to)),
             groupCols, valueCol, txn = Some((s"ivm:$srcName", to)))
+      case "moments" =>
+        if (to > from)
+          applyMomentsDelta(st, view,
+            feedFilter(st.readChangesBetween(srcName, from, to)),
+            groupCols, valueCol, txn = Some((s"ivm:$srcName", to)))
       case "max" | "min" =>
         val applyFn =
           if (kind == "max") applyMaxDelta _ else applyMinDelta _
@@ -401,7 +479,7 @@ object Ivm {
       case "join2" => compactDeadJoin(st, view,
         (props("ivm.a_keys") + "," + props("ivm.b_keys"))
           .split(",").map(_.trim).toSeq)
-      case "count_sum" =>
+      case "count_sum" | "moments" =>
         compactDead(st, view,
           props("ivm.group_cols").split(",").map(_.trim).toSeq)
       case "max" | "min" =>

@@ -126,7 +126,12 @@ class FlagshipHashSpec extends AnyFunSuite {
     // at either level (bin counts over a partition sum to the union's);
     // n_rows rides hash-checked through TWO maintained levels.
     // Oracle-green tools/check.py MATCH at sf0.001 AND sf0.01.
-    "mv12_quantile_rollup" -> "a286a64cd60694dd22ff82a37037926b")
+    "mv12_quantile_rollup" -> "a286a64cd60694dd22ff82a37037926b",
+    // r14: the moments kind (a6's maintained twin) — exact (n, Σv, Σv²)
+    // state, avg/var/stddev derived at read time from exact longs, so
+    // EVERY column including the variance is hash-checked (no gate).
+    // Oracle-green tools/check.py MATCH at sf0.001 AND sf0.01.
+    "mv13_incremental_moments" -> "3e2a680df1fb815af497f45741ced998")
 
   // These bind the shared `graft` catalog name to the query-store root
   // (sqlCatalogStore) — in the SHARED session that would silently

@@ -382,6 +382,50 @@ class ProcedureSpec extends AnyFunSuite {
     assert(!ts.exists("roll") && !ts.exists("fine"))
   }
 
+  test("moments view through the SQL registry: exact summary stats " +
+      "under retraction, all-NULL windows, tombstone sweep") {
+    val root = Files.createTempDirectory("procmvm").toString
+    spark.conf.set("spark.sql.catalog.gmvm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmvm.root", root)
+    val ts = new TableStore(spark, root)
+    ts.create("src", Seq((1L, 1L, Some(2L)), (2L, 1L, Some(4L)),
+      (3L, 1L, Some(6L)), (4L, 2L, Some(10L)), (5L, 2L, None))
+      .toDF("k", "grp", "qty"))
+    ts.setChangeFeed("src", true)
+    spark.sql(
+      "CALL gmvm.system.create_agg_view('vm', 'src', 'grp', 'qty', 'moments', 4)")
+    def stats(): Map[Long, (Long, Long, Long)] = ts.read("vm")
+      .filter(col("n_rows") > 0L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (g, n, s, sq) => g -> (n, s, sq) }.toMap
+    // NULL values contribute to no moment (grp 2 counts one row)
+    assert(stats() === Map(1L -> ((3L, 12L, 56L)), 2L -> ((1L, 10L, 100L))))
+    // derived faces from exact longs: mean 4, var (56/3 - 16) = 8/3
+    val r = graft.ops.Ivm.readMomentsView(ts, "vm")
+      .filter(col("grp") === 1L)
+      .select(col("avg_v"), col("var_v")).head()
+    assert(r.getDouble(0) === 4.0 && math.abs(r.getDouble(1) - 8.0 / 3) < 1e-12)
+    // retraction is exact algebra; an all-NULL window touches nothing
+    ts.delete("src", col("k") === 3L)
+    ts.append("src", Seq((6L, 2L, Option.empty[Long])).toDF("k", "grp", "qty"))
+    assert(spark.sql("CALL gmvm.system.refresh_agg_view('vm')")
+      .head().getLong(1) === 2L)
+    assert(stats() === Map(1L -> ((2L, 6L, 20L)), 2L -> ((1L, 10L, 100L))))
+    // a fully-retracted group lands at literal (0,0,0), sweeps, returns
+    ts.delete("src", col("grp") === 1L)
+    spark.sql("CALL gmvm.system.refresh_agg_view('vm')")
+    assert(!stats().contains(1L))
+    assert(ts.read("vm").filter(col("n_rows") === 0L)
+      .select(col("sum_v"), col("sum_sq")).as[(Long, Long)]
+      .collect().toSeq === Seq((0L, 0L)))
+    spark.sql("CALL gmvm.system.compact_agg_view('vm')")
+    assert(ts.read("vm").filter(col("n_rows") === 0L).count() === 0)
+    ts.append("src", Seq((7L, 1L, Some(5L))).toDF("k", "grp", "qty"))
+    spark.sql("CALL gmvm.system.refresh_agg_view('vm')")
+    assert(stats()(1L) === ((1L, 5L, 25L)))
+    assert(spark.sql("CALL gmvm.system.drop_view('vm')").head().getLong(1) === 1L)
+  }
+
   test("quantile_rollup through the SQL registry: signed bin sums at " +
       "both levels (no hard arm anywhere), cross-coarse move, DAG refresh") {
     val root = Files.createTempDirectory("procmvqr").toString
