@@ -607,7 +607,7 @@ object QueriesCorpus {
     "x7_incremental_dedup" -> QDef(
       (s, dir) => {
         val root = "/tmp/graft_qstore/x7_idx"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         // hashed shingles: the index rows, set aggregates, and verify
         // intersects all move 8-byte longs, not ~20-char strings (same

@@ -19,7 +19,7 @@ object QueriesJobs {
 
   private def freshStore(s: SparkSession, name: String): TableStore = {
     val root = s"/tmp/graft_qstore/$name"
-    graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+    graft.core.FsUtil.clearAsync(new java.io.File(root))
     new TableStore(s, root)
   }
 

@@ -24,7 +24,7 @@ object QueriesMutation {
     * iterations, tests) starts from the same state. */
   private def freshStore(s: SparkSession, name: String): TableStore = {
     val root = s"/tmp/graft_qstore/$name"
-    graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+    graft.core.FsUtil.clearAsync(new java.io.File(root))
     new TableStore(s, root)
   }
 
@@ -227,7 +227,7 @@ object QueriesMutation {
     val root = "/tmp/graft_qstore/sqlcat"
     s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft.root", root)
-    graft.core.FsUtil.deleteRecursively(new java.io.File(s"$root/$table"))
+    graft.core.FsUtil.clearAsync(new java.io.File(s"$root/$table"))
     new TableStore(s, root)
   }
 
@@ -558,7 +558,7 @@ object QueriesMutation {
     "sql_spj_join" -> QDef(
       (s, dir) => {
         val st = sqlCatalogStore(s, "spj_o")
-        graft.core.FsUtil.deleteRecursively(new java.io.File("/tmp/graft_qstore/sqlcat/spj_c"))
+        graft.core.FsUtil.clearAsync(new java.io.File("/tmp/graft_qstore/sqlcat/spj_c"))
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         st.createBucketed("spj_o", Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
@@ -626,7 +626,7 @@ object QueriesMutation {
     "sql_runtime_prune" -> QDef(
       (s, dir) => {
         val st = sqlCatalogStore(s, "dppfact")
-        graft.core.FsUtil.deleteRecursively(new java.io.File("/tmp/graft_qstore/sqlcat/dppdim"))
+        graft.core.FsUtil.clearAsync(new java.io.File("/tmp/graft_qstore/sqlcat/dppdim"))
         st.createBucketed("dppfact", Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
           Seq("o_custkey"), n = 16)
@@ -1487,7 +1487,7 @@ object QueriesMutation {
     "sql_matview_sketch" -> QDef(
       (s, dir) => {
         val root = "/tmp/graft_qstore/mv9sql"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new TableStore(s, root)
         s.conf.set("spark.sql.catalog.gmv9sql", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.gmv9sql.root", root)
@@ -1625,7 +1625,7 @@ object QueriesMutation {
     "sql_matview_quantile" -> QDef(
       (s, dir) => {
         val root = "/tmp/graft_qstore/mv11sql"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new TableStore(s, root)
         s.conf.set("spark.sql.catalog.gmv11sql", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.gmv11sql.root", root)
@@ -2068,7 +2068,7 @@ object QueriesMutation {
       (s, dir) => {
         val st = sqlCatalogStore(s, "j2a")
         Seq("j2b", "j2v").foreach(t =>
-          graft.core.FsUtil.deleteRecursively(
+          graft.core.FsUtil.clearAsync(
             new java.io.File(s"/tmp/graft_qstore/sqlcat/$t")))
         val ordersAll = Tables.orders(s, dir).select(col("o_orderkey"),
           col("o_custkey"), col("o_totalprice").as("price"))
@@ -2123,7 +2123,7 @@ object QueriesMutation {
     "sql_matview_refresh" -> QDef(
       (s, dir) => {
         val st = sqlCatalogStore(s, "mvsrc")
-        graft.core.FsUtil.deleteRecursively(
+        graft.core.FsUtil.clearAsync(
           new java.io.File("/tmp/graft_qstore/sqlcat/mvagg"))
         val li = ivmLineitem(s, dir)
         ivmCreateSource(st, li, table = "mvsrc")
@@ -2164,7 +2164,7 @@ object QueriesMutation {
       (s, dir) => {
         val st = sqlCatalogStore(s, "jvsrc")
         Seq("jvfact", "jvdc", "jvdn").foreach(t =>
-          graft.core.FsUtil.deleteRecursively(
+          graft.core.FsUtil.clearAsync(
             new java.io.File(s"/tmp/graft_qstore/sqlcat/$t")))
         val orders = Tables.orders(s, dir)
         val silverAll = orders.select(col("o_orderkey"), col("o_custkey"),
@@ -2224,7 +2224,7 @@ object QueriesMutation {
       (s, dir) => {
         val st = sqlCatalogStore(s, "dgsrc")
         Seq("dgfact", "dgagg", "dgdc", "dgdn").foreach(t =>
-          graft.core.FsUtil.deleteRecursively(
+          graft.core.FsUtil.clearAsync(
             new java.io.File(s"/tmp/graft_qstore/sqlcat/$t")))
         val orders = Tables.orders(s, dir)
         val silverAll = orders.select(col("o_orderkey"), col("o_custkey"),
@@ -2309,7 +2309,7 @@ object QueriesMutation {
     "sql_clone" -> QDef(
       (s, dir) => {
         val st = sqlCatalogStore(s, "cl")
-        graft.core.FsUtil.deleteRecursively(
+        graft.core.FsUtil.clearAsync(
           new java.io.File("/tmp/graft_qstore/sqlcat/cl2"))
         st.create("cl", Tables.nation(s, dir)
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
@@ -2579,7 +2579,7 @@ object QueriesMutation {
           col("o_totalprice").as("price")) // NEW column; no `status`
         st.mergeUpsertEvolve("t", source, Seq("o_orderkey"),
           changeTypeCol = None)
-        val sch = st.read("t").schema
+        val sch = st.schemaOf("t")
         require(sch("qty").dataType == org.apache.spark.sql.types.LongType,
           s"qty must have widened to BIGINT, got ${sch("qty").dataType}")
         require(sch.fieldNames.toSeq == Seq("o_orderkey", "qty", "status", "price"),
@@ -2622,7 +2622,7 @@ object QueriesMutation {
                 |USING ev_src s ON t.o_orderkey = s.o_orderkey
                 |WHEN MATCHED THEN UPDATE SET *
                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-        val sch = st.read("ev").schema
+        val sch = st.schemaOf("ev")
         require(sch("qty").dataType == org.apache.spark.sql.types.LongType,
           s"qty must have widened to BIGINT through SQL evolution, got ${sch("qty").dataType}")
         require(sch.fieldNames.toSeq == Seq("o_orderkey", "qty", "status", "price"),

@@ -154,7 +154,7 @@ object QueriesStreaming {
         import org.apache.spark.sql.streaming.Trigger
         import graft.jobs.{PaymentData, PaymentJobs}
         val root = "/tmp/graft_qstore/st18_scd2"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))
           .withColumn("is_deleted", lit(false)).cache()
@@ -261,7 +261,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st19_mv"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val li = QueriesMutation.ivmLineitem(s, dir)
         // the backlog the stream must absorb — the mv1/mv2 shared
@@ -310,7 +310,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st20_star"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val staging = graft.jobs.PaymentJobs.bronzeStaging(
           graft.jobs.PaymentData.transactions(s, dir)).cache()
@@ -368,7 +368,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st21_dag"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val orders = Tables.orders(s, dir)
         val silverAll = orders.select(col("o_orderkey"), col("o_custkey"),
@@ -497,7 +497,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st22_topk"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val orders = Tables.orders(s, dir)
         val src = orders.select((col("o_custkey") % 50).as("grp"),
@@ -567,7 +567,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st23_sketch"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val li = QueriesMutation.ivmLineitem(s, dir)
         QueriesMutation.ivmCreateSource(st, li)
@@ -629,7 +629,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st24_quant"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val li = QueriesMutation.ivmLineitem(s, dir)
         QueriesMutation.ivmCreateSource(st, li)
@@ -749,7 +749,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st5_feed"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
         st.create("feed", o.filter(col("o_orderkey") % 3 === 0))
@@ -773,7 +773,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st6_pipe"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
         st.create("src", o.filter(col("o_orderkey") % 2 === 0))
@@ -810,7 +810,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st16_complete"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val o = Tables.orders(s, dir)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -850,7 +850,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st9_cdf"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val orders = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -901,7 +901,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st10_cdc"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val orders = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -960,7 +960,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st11_rowids"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val o = Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_totalprice"))
@@ -1076,7 +1076,7 @@ object QueriesStreaming {
       (s, dir) => {
         import org.apache.spark.sql.streaming.Trigger
         val root = "/tmp/graft_qstore/st15_admit"
-        graft.core.FsUtil.deleteRecursively(new java.io.File(root))
+        graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val sh = QueriesLlm.hashedShinglesFor(s, dir).cache()
         // base corpus (% 3 == 2) seeds the index; % 3 == 1 then % 3 == 0

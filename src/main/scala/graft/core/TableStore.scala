@@ -2906,14 +2906,26 @@ class TableStore(spark: SparkSession, root: String) {
       bb.keys.forall(keys.contains) && m.dirs.forall(_.contains("/__b=")))
     val srcBuckets: Option[Set[Int]] =
       if (!verifyUniqueSource && prunable.isEmpty) None
-      else {
+      else if (!verifyUniqueSource) {
+        // gate off (caller guarantees key-uniqueness by construction —
+        // IVM deltas are groupBy outputs, CDF rows are rid-unique per
+        // commit): the bucket ids need NO per-key grouping, so skip the
+        // keyed shuffle entirely — collect_set is algebraic and
+        // aggregates map-side, shuffling one partial set per partition
+        // instead of every distinct key (r14 optimization, guide §2.3:
+        // at 100 TB this removes an O(distinct keys) exchange from
+        // every gate-off merge; at micro-batch size it halves the gate
+        // job's stages)
+        prunable.map(bb =>
+          src.agg(collect_set(bb.expr).as("__bks")).collect()(0)
+            .getSeq[Int](0).toSet)
+      } else {
         val aggs = Seq(max(col("__c")).as("__mx")) ++
           prunable.map(bb => collect_set(bb.expr).as("__bks"))
         val row = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
           .select(aggs: _*).collect()(0)
-        if (verifyUniqueSource)
-          require(row.isNullAt(0) || row.getLong(0) <= 1L,
-            s"MERGE source is not unique on (${keys.mkString(",")})")
+        require(row.isNullAt(0) || row.getLong(0) <= 1L,
+          s"MERGE source is not unique on (${keys.mkString(",")})")
         prunable.map(_ => row.getSeq[Int](1).toSet)
       }
     val (target, carried, b) = pruneByKeys(name, m, src, keys, srcBuckets)

@@ -52,7 +52,7 @@ object Ivm {
   /** Map a CDF kind to its retraction sign, WHITELISTING the four CDF
     * kinds — anything else (a future change kind, a caller passing a
     * non-CDF frame) must fail loudly, not ride in as a phantom
-    * retraction. Unknown kinds map to NULL here; [[requireKnownKinds]]
+    * retraction. Unknown kinds map to NULL here; [[emptyOrBadKinds]]
     * turns any NULL into a loud error on the already-computed delta. */
   private def sgn: Column =
     when(col("_change_type").isin("insert", "update_postimage"), 1L)
@@ -63,11 +63,31 @@ object Ivm {
     * extra source pass); a nonzero anywhere aborts the apply. */
   private def badKinds: Column = count(lit(1)) - count(sgn)
 
-  private def requireKnownKinds(delta: DataFrame, view: String): Unit =
-    require(delta.filter(col("__bad") > 0L).isEmpty,
-      s"IVM feed for $view carries a change kind outside " +
-        "(insert, update_postimage, delete, update_preimage) — refusing " +
-        "to apply a feed whose retraction sign is undefined")
+  /** One-job emptiness + change-kind gate over a checkpointed delta
+    * carrying a per-group `__bad` count: returns (empty, max of
+    * `extraMax`). When the delta is EMPTY the caller advances its
+    * watermark and returns; otherwise every change kind must be known.
+    * Replaces the former `delta.isEmpty` + `requireKnownKinds(delta)`
+    * ACTION PAIR — two scans, two Spark jobs — with one aggregate
+    * collect: the applies are fixed-cost-dominated at micro-batch size,
+    * so one fewer job per apply is measurable across the whole matview
+    * family (r14 optimization; guide §1.2 — don't re-scan for what one
+    * pass already knows). `extraMax` lets a caller's extra gate (the
+    * top-k |dn| uniqueness bound) ride the SAME job. */
+  private def emptyOrBadKinds(delta: DataFrame, view: String,
+                              extraMax: Option[Column] = None): (Boolean, Long) = {
+    val aggs = Seq(count(lit(1)).as("__n"), sum(col("__bad")).as("__b")) ++
+      extraMax.map(c => max(c).as("__m"))
+    val r = delta.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (r.getLong(0) == 0L) (true, 0L)
+    else {
+      require(r.isNullAt(1) || r.getLong(1) == 0L,
+        s"IVM feed for $view carries a change kind outside " +
+          "(insert, update_postimage, delete, update_preimage) — refusing " +
+          "to apply a feed whose retraction sign is undefined")
+      (false, if (extraMax.isEmpty || r.isNullAt(2)) 0L else r.getLong(2))
+    }
+  }
 
   /** Absorb `feed` (a readChangesBetween frame over the view's source)
     * into `view`, a table with columns (groupCols..., n_rows, sum_qty)
@@ -91,13 +111,12 @@ object Ivm {
       .agg(sum(sgn).as("dn"), sum(sgn * col(valueCol)).as("dsum"),
         badKinds.as("__bad"))
       .localCheckpoint() // reused: kind gate, pruned view read, guard, upsert
-    if (delta.isEmpty) {
+    if (emptyOrBadKinds(delta, view)._1) {
       // nothing to apply, but the watermark still advances (a window
       // holding only metadata commits must not replay forever)
       txn.foreach(t => st.recordTxns(view, Seq(t)))
       return
     }
-    requireKnownKinds(delta, view)
     // readProbe dir-prunes the view read to the changed groups' dirs
     // BEFORE the semi-join refines to exact rows: the view is bucketed
     // on groupCols, so the prune is the exact touched-bucket set
@@ -139,11 +158,10 @@ object Ivm {
         sum(sgn * v).as("dsum"), sum(sgn * v * v).as("dsq"),
         badKinds.as("__bad"))
       .localCheckpoint() // reused: kind gate, pruned view read, guard, upsert
-    if (delta.isEmpty) {
+    if (emptyOrBadKinds(delta, view)._1) {
       txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
       return
     }
-    requireKnownKinds(delta, view)
     // all-NULL-value groups have no moment delta (dn IS NULL) — but the
     // gate above already counted their change kinds
     val changed = delta.filter(col("dn").isNotNull)
@@ -551,11 +569,10 @@ object Ivm {
         ext(when(!isIns, col(valueCol))).as("mx_ret"),
         badKinds.as("__bad"))
       .localCheckpoint()
-    if (touched.isEmpty) {
+    if (emptyOrBadKinds(touched, view)._1) {
       txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
       return
     }
-    requireKnownKinds(touched, view)
     val old = st.readProbe(view, touched.select(keys: _*), groupCols)
       .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
     val merged = touched.join(old, groupCols, "left_outer")
@@ -631,12 +648,14 @@ object Ivm {
       .agg(sum(sgn).as("dn"), badKinds.as("__bad"))
       .filter(col("dn") =!= 0L || col("__bad") > 0L)
       .localCheckpoint()
-    if (delta.isEmpty) {
+    // the |dn| uniqueness bound rides the same one-job gate collect
+    val (deltaEmpty, maxAbsDn) =
+      emptyOrBadKinds(delta, view, Some(abs(col("dn"))))
+    if (deltaEmpty) {
       txn.foreach(t => st.recordTxns(view, Seq(t)))
       return
     }
-    requireKnownKinds(delta, view)
-    require(delta.filter(abs(col("dn")) > 1L).isEmpty,
+    require(maxAbsDn <= 1L,
       s"top-k IVM feed for $view is not unique on ($valueCol, $keyCol) " +
         "pairs within a group — keyCol must uniquely identify rows")
     val touchedGroups = delta.select(keys: _*).distinct().localCheckpoint()
@@ -743,11 +762,10 @@ object Ivm {
         count(when(!isIns && sgn.isNotNull, lit(1))).as("n_ret"),
         badKinds.as("__bad"))
       .localCheckpoint()
-    if (touched.isEmpty) {
+    if (emptyOrBadKinds(touched, view)._1) {
       txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
       return
     }
-    requireKnownKinds(touched, view)
     val old = st.readProbe(view, touched.select(keys: _*), groupCols)
       .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
       .select((keys :+ col("sketch")): _*)
@@ -857,11 +875,10 @@ object Ivm {
           .as("n_hard"),
         badKinds.as("__bad"))
       .localCheckpoint()
-    if (touched.isEmpty) {
+    if (emptyOrBadKinds(touched, view)._1) {
       txn.foreach(t => st.recordTxns(view, Seq(t)))
       return
     }
-    requireKnownKinds(touched, view)
     val old = st.readProbe(view, touched.select(keys: _*), groupCols)
       .join(broadcast(touched.select(keys: _*)), groupCols, "left_semi")
       .select((keys :+ col("sketch")): _*)
@@ -983,11 +1000,10 @@ object Ivm {
       .groupBy(keys :+ col("__bin"): _*)
       .agg(sum(sgn).as("dn"), badKinds.as("__bad"))
       .localCheckpoint()
-    if (delta.isEmpty) {
+    if (emptyOrBadKinds(delta, view)._1) {
       txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
       return
     }
-    requireKnownKinds(delta, view)
     // same-bin churn nets out here (an update moving a value within
     // its bin is a provable no-op), as does an all-NULL-value window
     mergeHistDelta(st, view,
@@ -1091,11 +1107,10 @@ object Ivm {
     // NULL-hist rows and would let an unknown kind slip through)
     val gate = feed.groupBy(keys: _*).agg(badKinds.as("__bad"))
       .localCheckpoint()
-    if (gate.isEmpty) {
+    if (emptyOrBadKinds(gate, view)._1) {
       txn.foreach(t => st.recordTxns(view, Seq(t)))
       return
     }
-    requireKnownKinds(gate, view)
     val binDelta = feed
       .select(keys ++ Seq(sgn.as("__sgn"), explode(col("hist")).as("e")): _*)
       .select(keys ++ Seq(col("e.bin").as("__bin"),
@@ -1221,7 +1236,7 @@ object Ivm {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
     val idxCols = fkIndexCols(st, view)
-    val viewSchema = st.read(view).schema
+    val viewSchema = st.schemaOf(view)
     require(viewSchema.fieldNames.contains("_live"),
       s"applyJoinDelta: $view lacks the _live tombstone column")
     // the source's columns are the feed's data columns — NOT derived
@@ -1429,7 +1444,7 @@ object Ivm {
   def compactFkIndex(st: TableStore, view: String): Unit =
     fkIndexCols(st, view).foreach { ic =>
       val idx = fkIndexTable(view)
-      val keys = st.read(idx).columns.toSeq.filterNot(ic.contains)
+      val keys = st.schemaOf(idx).fieldNames.toSeq.filterNot(ic.contains)
       val entryCols = ic ++ keys
       val v = st.currentVersion(idx)
       val liveEntries = st.read(view).filter(col("_live"))
@@ -1448,20 +1463,26 @@ object Ivm {
     * non-deletes at equal version. Checkpointed: every caller reads it
     * several times (live term, tombstones, anti-joins).
     *
-    * The raw feed is kind-whitelisted BEFORE the final-kind filter:
-    * the join paths otherwise silently drop a change kind they do not
-    * understand — exactly the phantom-change mode [[requireKnownKinds]]
-    * kills on the aggregate paths. The gate is one pushed-filter pass
-    * over the O(changes) feed. */
+    * The raw feed is kind-whitelisted IN the final-kind filter: an
+    * unknown change kind raises from inside the scan — the join paths
+    * otherwise silently drop a kind they do not understand, exactly the
+    * phantom-change mode [[emptyOrBadKinds]] kills on the aggregate
+    * paths. The gate previously ran as its OWN full pass over the
+    * O(changes) feed before the window pass re-read it; fusing it into
+    * the filter halves the feed scans per join apply (r14 optimization,
+    * guide §1.2). */
   private def lastStatePerKey(feed: DataFrame, keys: Seq[String],
                               view: String): DataFrame = {
-    require(feed.filter(!col("_change_type").isin(
-        "insert", "update_postimage", "delete", "update_preimage")).isEmpty,
-      s"IVM feed for $view carries a change kind outside " +
-        "(insert, update_postimage, delete, update_preimage) — refusing " +
-        "to apply a feed whose join-maintenance semantics are undefined")
     val finals = feed
-      .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+      .filter(
+        when(col("_change_type").isin(
+          "insert", "update_postimage", "delete"), lit(true))
+          .when(col("_change_type") === "update_preimage", lit(false))
+          .otherwise(raise_error(concat(
+            lit(s"IVM feed for $view carries a change kind outside " +
+              "(insert, update_postimage, delete, update_preimage) — " +
+              "refusing to apply a feed whose join-maintenance semantics " +
+              "are undefined: "), col("_change_type")))))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "delete", 1).otherwise(0).asc)
@@ -1552,10 +1573,10 @@ object Ivm {
                      keys: Seq[String], spec: String,
                      buckets: Int = 8): Long = {
     val dims = parseDimSpec(spec)
-    val srcCols = st.read(srcName).schema.fieldNames.toSeq
+    val srcCols = st.schemaOf(srcName).fieldNames.toSeq
     // validate the chain structure NOW, not at first refresh
     dimChains(dims, srcCols,
-      t => st.read(t).schema.fieldNames.toSeq): Unit
+      t => st.schemaOf(t).fieldNames.toSeq): Unit
     val srcV = st.currentVersion(srcName)
     val dimVers = dims.map(d => d.table -> st.currentVersion(d.table)).toMap
     st.createBucketed(view,
@@ -1582,7 +1603,7 @@ object Ivm {
     val srcName = props("ivm.source")
     val keys = props("ivm.src_keys").split(",").map(_.trim).toSeq
     val dims = parseDimSpec(props("ivm.dims"))
-    val srcCols = st.read(srcName).schema.fieldNames.toSeq
+    val srcCols = st.schemaOf(srcName).fieldNames.toSeq
     val fromSrc = absorbedFrom(st, view, srcName)
     val toSrc = st.currentVersion(srcName)
     val wins = dims.map { d =>
@@ -1598,7 +1619,7 @@ object Ivm {
     // (or of the source at the root) — so each level's probe and the
     // final root frame need no name bookkeeping beyond the spec. All
     // frames here are dim-sized (broadcast class).
-    val roots = dimChains(dims, srcCols, t => st.read(t).schema.fieldNames.toSeq)
+    val roots = dimChains(dims, srcCols, t => st.schemaOf(t).fieldNames.toSeq)
       .flatMap { chain =>
         if (!chain.exists(d => wins(d)._2 > wins(d)._1)) None
         else chain.foldRight(Option.empty[DataFrame]) { case (d, below) =>
@@ -1672,7 +1693,7 @@ object Ivm {
                              extraTxns: Seq[(String, Long)] = Nil): Unit = {
     if (txn.exists { case (app, v) => st.lastTxnVersion(view, app).exists(_ >= v) })
       return
-    val viewSchema = st.read(view).schema
+    val viewSchema = st.schemaOf(view)
     val viewKeys = aKeys ++ bKeys
     require(viewSchema.fieldNames.contains("_live"),
       s"applyTwoSidedJoinDelta: $view lacks the _live tombstone column")
@@ -1777,7 +1798,7 @@ object Ivm {
                            jl: String, jr: String, bKeys: Seq[String],
                            bAttrs: Seq[String])
       : (DataFrame, DataFrame) => DataFrame = {
-    val aCols = st.read(aName).schema.fieldNames.toSeq
+    val aCols = st.schemaOf(aName).fieldNames.toSeq
     val bOut = (bKeys ++ bAttrs).distinct
     (a, b) => a.join(b.select((bOut :+ jr).distinct.map(col): _*),
         col(jl) === col(jr))

@@ -576,6 +576,21 @@ class ChangeFeedSpec extends AnyFunSuite {
       graft.ops.Ivm.applyMaxDelta(ts, "vmax", "src0", 0L, feed,
         Seq("grp"), "qty"))
     assert(boom2.getMessage.contains("change kind"))
+    // same gate on the JOIN face — fused into the final-kind filter
+    // (r14: one feed pass instead of a separate gate pass), so the
+    // refusal now surfaces from inside the scan job; the message names
+    // both the contract and the offending kind, and nothing half-applies
+    ts.create("jview", Seq((5L, 50L, true)).toDF("k", "qty", "_live"))
+    val jfeed = Seq((5L, 51L, "insert", 1L), (6L, 60L, "upsert", 1L))
+      .toDF("k", "qty", "_change_type", "_commit_version")
+    val boom3 = intercept[Exception](
+      graft.ops.Ivm.applyJoinDeltaFeed(ts, "jview", jfeed, Seq("k"),
+        enrich = identity))
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    assert(messages(boom3).contains("change kind"))
+    assert(messages(boom3).contains("upsert"))
+    assert(ts.read("jview").as[(Long, Long, Boolean)].head() === ((5L, 50L, true)))
   }
 
   test("Ivm join view: delta-join maintenance over source and dim batches") {
