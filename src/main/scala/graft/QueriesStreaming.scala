@@ -159,9 +159,13 @@ object QueriesStreaming {
         val staging = PaymentJobs.bronzeStaging(PaymentData.transactions(s, dir))
           .withColumn("is_deleted", lit(false)).cache()
         val silverAll = PaymentJobs.silverFromBronze(staging).cache()
+        // cached: silverPre feeds BOTH the day-1 silver create and the
+        // dim seed's customerAggregates — uncached, the latest-version
+        // dedup aggregate (a full staging scan + shuffle) ran twice
         val silverPre = PaymentJobs.silverFromBronze(
           staging.filter(col("updated_at") === col("transaction_timestamp") &&
             col("transaction_timestamp") < lit("1998-01-01").cast("timestamp_ntz")))
+          .cache()
         // day-1 silver: the pre snapshot MINUS the future-dim-insert
         // band, so USER_09% rows arrive through the stream and the
         // insert branch fires there, exactly as the batch job's does
