@@ -136,7 +136,16 @@ object QueriesLlm {
 
   /** d2's pair-mining pipeline, shared with d5 (which clusters the
     * pairs): df-capped inverted-index candidates + exact verify. */
-  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** `threshold` parameterizes the exact verify (default = d2's 0.5
+    * declared cut). A caller that only consumes pairs at a HIGHER cut
+    * (d4_simhash_recall's 0.8 truth side) passes it here instead of
+    * post-filtering: the emitted set is identical (jaccard is computed
+    * exactly and filtered either way), but verifyPairs' size-ratio
+    * prune tightens from min/max <= 2 to <= 1.25, dropping most
+    * candidate intersects before the O(|set|) work (r15, guide §2.3 —
+    * filter before the expensive operator, not after). */
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String,
+                                       threshold: Double = 0.5): DataFrame = {
     val DfCap = 1000 // >> max df in this corpus: recall provably unchanged
     val sh = hashedShingles(s, dir).cache()
     // the over-cap "stop shingles" are a TINY set by construction (each
@@ -151,7 +160,7 @@ object QueriesLlm {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("overlap_lb"))
       .drop("overlap_lb")
-    verifyPairs(cand, shingleSets(sh), 0.5)
+    verifyPairs(cand, shingleSets(sh), threshold)
   }
 
   private val ShingleSetsSql =
@@ -1033,7 +1042,7 @@ object QueriesLlm {
     //  0.9 is the measured LlmOpsSpec floor; sf0.01/sf0.1 measured 1.0.)
     "d4_simhash_recall" -> QDef(
       (s, dir) => recallRow(
-        ngramJaccardPairs(s, dir).filter(col("jaccard") >= 0.8),
+        ngramJaccardPairs(s, dir, threshold = 0.8),
         simhashPairs(s, dir), Seq("doc_a", "doc_b"), floor = 0.9),
       Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS floor_met
               |FROM ($JaccardPairsSql) WHERE jaccard >= 0.8""".stripMargin)),
@@ -1191,10 +1200,15 @@ object QueriesLlm {
           .withColumn("vec_id", col("vec_id") * 1000 + lit(1000000 + r)))
         val raw = copies.foldLeft(n)(_.unionByName(_))
         // d1 on vectors: exact content dedup, smallest id kept — exact
-        // copies collapse back to precisely the original corpus
+        // copies collapse back to precisely the original corpus.
+        // Checkpointed (r15, guide §3.3): four consumers (the count
+        // below, the deduped candidate count, the exact truth and the
+        // LSH side of the recall gate) each re-ran the 2.5x-corpus
+        // union + groupBy without it
         val deduped = raw.groupBy(col("v"))
           .agg(min(col("vec_id")).as("vec_id"), min(col("nrm")).as("nrm"))
           .select(col("vec_id"), col("v"), col("nrm"))
+          .localCheckpoint()
         val nDedup = deduped.count()
         val nRaw = raw.count()
         // band width sized for the DEDUPED corpus (the honest

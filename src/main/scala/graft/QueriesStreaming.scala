@@ -208,9 +208,18 @@ object QueriesStreaming {
             val v = b.select(max("_commit_version")).head().getLong(0)
             val affected = b.select("customer_id")
               .filter(col("customer_id").isNotNull).distinct()
+            // r15 (guide §2.3/§2.4): the affected-customer semi-join is
+            // pushed BELOW the aggregate — grouping is per customer_id,
+            // so filtering whole customers first yields identical groups
+            // while the per-batch recompute aggregates O(affected
+            // customers' rows) instead of the whole pinned silver; and
+            // the snapshot is checkpointed because Scd2.step consumes it
+            // twice (new-key anti-join + change join) — uncached, the
+            // version-pinned scan + aggregate ran twice per micro-batch
             val snapshot = PaymentJobs.customerAggregates(
-                st.readVersion("silver", v))
-              .join(affected, Seq("customer_id"), "left_semi")
+                st.readVersion("silver", v)
+                  .join(affected, Seq("customer_id"), "left_semi"))
+              .localCheckpoint()
             st.overwrite("dim",
               graft.ops.Scd2.step(st.read("dim"), snapshot, cfg, today))
             b.unpersist(): Unit
@@ -436,14 +445,16 @@ object QueriesStreaming {
           .writeStream.option("checkpointLocation", s"$root/_ckpt")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            val hasRows = !batch.isEmpty
             graft.ops.Ivm.applyJoinDeltaFeed(st, "fact", batch,
               Seq("o_orderkey"), dims, txn = Some(("st21", batchId)))
             cascade()
             // crash AFTER both levels applied, BEFORE the checkpoint
             // ack: the restart re-delivers this batch under the same
-            // id and both levels must absorb it (stamp / empty window)
-            if (armBomb && !bombed && hasRows) {
+            // id and both levels must absorb it (stamp / empty window).
+            // The emptiness probe runs ONLY while the bomb is armed —
+            // the restarted stream paid one batch scan per trigger for
+            // a probe it could never use (r15, guide §1.2)
+            if (armBomb && !bombed && !batch.isEmpty) {
               bombed = true
               throw new RuntimeException("injected crash after apply, before ack")
             }
@@ -530,11 +541,12 @@ object QueriesStreaming {
           .writeStream.option("checkpointLocation", s"$root/_ckpt")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            val hasRows = !batch.isEmpty
-            // pin the hard arm at the batch window's END version
-            val vEnd =
-              if (hasRows) batch.agg(max(col("_commit_version"))).head().getLong(0)
-              else st.currentVersion("src")
+            // ONE pass serves both the emptiness probe and the hard
+            // arm's end-version pin (r15, guide §1.2 — the former
+            // isEmpty + max() pair was two jobs over the same batch)
+            val r = batch.agg(count(lit(1)), max(col("_commit_version"))).head()
+            val hasRows = r.getLong(0) > 0L
+            val vEnd = if (hasRows) r.getLong(1) else st.currentVersion("src")
             graft.ops.Ivm.applyTopKDelta(st, "v", "src", vEnd, batch,
               Seq("grp"), "val", "okey", k = 3,
               txn = Some(("st22", batchId)))
@@ -589,10 +601,10 @@ object QueriesStreaming {
           .writeStream.option("checkpointLocation", s"$root/_ckpt")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            val hasRows = !batch.isEmpty
-            val vEnd =
-              if (hasRows) batch.agg(max(col("_commit_version"))).head().getLong(0)
-              else st.currentVersion("src")
+            // one pass for emptiness + end-version pin (see st22)
+            val r = batch.agg(count(lit(1)), max(col("_commit_version"))).head()
+            val hasRows = r.getLong(0) > 0L
+            val vEnd = if (hasRows) r.getLong(1) else st.currentVersion("src")
             graft.ops.Ivm.applySketchDistinctDelta(st, "sk_view", "src",
               vEnd, batch, Seq("l_suppkey"), "l_orderkey",
               graft.ops.Ivm.DefaultLgK, txn = Some(("st23", batchId)))
@@ -1083,6 +1095,12 @@ object QueriesStreaming {
         graft.core.FsUtil.clearAsync(new java.io.File(root))
         val st = new graft.core.TableStore(s, root)
         val sh = QueriesLlm.hashedShinglesFor(s, dir).cache()
+        // r15 (guide §1.2/§3.3): the exact-verify side's per-doc shingle
+        // sets are aggregated ONCE over the whole corpus and cached —
+        // each micro-batch previously re-ran the collect_set shuffle for
+        // its batch docs AND its candidate corpus docs; the per-batch
+        // verify is now two broadcast joins against this one table
+        val allSets = graft.ops.Dedup.shingleSets(sh, "doc_id", "h").cache()
         // base corpus (% 3 == 2) seeds the index; % 3 == 1 then % 3 == 0
         // arrive as two committed batches
         st.createBucketed("band_index",
@@ -1106,11 +1124,12 @@ object QueriesStreaming {
             val batchBands =
               graft.ops.Dedup.minhashBands(batchSh, "doc_id", "h").cache()
             val idxBands = st.read("band_index")
-            val corpusSh = sh.join(idxBands.select("doc_id").distinct(),
-              Seq("doc_id"), "left_semi")
-            val rejected = graft.ops.Dedup.nearDupsAgainstIndex(
-              batchBands, idxBands, batchSh, corpusSh, "doc_id", "h",
-              threshold = 0.5)
+            // candidate ids come from the band join against the index,
+            // so the precomputed set table needs no per-batch semi-join
+            // — identical pairs, identical verify (see
+            // nearDupsAgainstIndexSets)
+            val rejected = graft.ops.Dedup.nearDupsAgainstIndexSets(
+              batchBands, idxBands, allSets, "doc_id", threshold = 0.5)
             val admitted = batchSh.select(col("doc_id")).distinct()
               .join(rejected.select(col("batch_id").as("doc_id")),
                 Seq("doc_id"), "left_anti")
@@ -1121,7 +1140,7 @@ object QueriesStreaming {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        sh.unpersist()
+        sh.unpersist(); allSets.unpersist()
         st.read("admitted")
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

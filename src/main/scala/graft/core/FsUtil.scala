@@ -9,11 +9,23 @@ object FsUtil {
   }
 
   // single background sweeper so trash deletion never competes with the
-  // foreground job for more than one IO stream
-  private lazy val sweeper = java.util.concurrent.Executors
-    .newSingleThreadExecutor(r => {
-      val t = new Thread(r, "graft-trash-sweeper"); t.setDaemon(true); t
-    })
+  // foreground job for more than one IO stream. First use enqueues any
+  // PRE-EXISTING trash entries (r14 VERDICT/ADVICE: a JVM killed
+  // mid-sweep abandoned its queue, so repeated runs accumulated
+  // unbounded leftover fixture data in /tmp) — idempotent, off the
+  // caller's critical path like every other sweep.
+  private lazy val sweeper = {
+    val ex = java.util.concurrent.Executors
+      .newSingleThreadExecutor(r => {
+        val t = new Thread(r, "graft-trash-sweeper"); t.setDaemon(true); t
+      })
+    Option(trashRoot.listFiles).foreach(_.foreach(stale =>
+      ex.execute(() => deleteRecursively(stale))))
+    ex
+  }
+
+  private def trashRoot: java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"), ".graft_trash")
 
   /** Clear a FIXTURE path off the critical path: one atomic rename into
     * a trash root on the same filesystem (O(1) instead of O(files) —
@@ -27,8 +39,6 @@ object FsUtil {
     * see a half-deleted store as a table. */
   def clearAsync(f: java.io.File): Unit = {
     if (!f.exists()) return
-    val trashRoot = new java.io.File(
-      System.getProperty("java.io.tmpdir"), ".graft_trash")
     trashRoot.mkdirs()
     val trash = new java.io.File(trashRoot,
       s"${f.getName}-${java.util.UUID.randomUUID.toString.take(8)}")

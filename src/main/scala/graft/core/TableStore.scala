@@ -2841,6 +2841,33 @@ class TableStore(spark: SparkSession, root: String) {
     df.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** Fingerprint of a table's bucket layout, shared by
+    * [[mergeBucketGate]] and [[mergeUpsert]]'s precomputed-bucket path:
+    * the precomputed ids are only trusted when the layout they were
+    * derived under is byte-identical to the layout the merge commits
+    * against (keys AND bucket count — a different n remaps every id). */
+  private def bucketingFingerprint(b: Bucketing): String =
+    s"${b.keys.mkString(",")}|${b.n}"
+
+  /** The (fingerprint, bucket-id aggregate column) a maintenance caller
+    * can RIDE ON ITS OWN pre-merge gate job (r15 optimization, guide
+    * §1.2): the IVM applies already run one aggregate collect over the
+    * checkpointed delta (emptiness + change-kind gate); appending
+    * `collect_set(bucketExpr)` there hands [[mergeUpsert]] its
+    * bucket-prune set for free — one driver round-trip instead of two.
+    * Defined exactly when the merge's own prune would be (bucket keys
+    * covered by `keys`, every dir bucketed); the fingerprint lets the
+    * merge verify the layout didn't change in between and fall back to
+    * computing its own set (never unsound, only slower). */
+  private[graft] def mergeBucketGate(name: String, keys: Seq[String])
+      : Option[(String, Column)] = {
+    val m = readManifest(name, currentVersion(name))
+    m.bucketing
+      .filter(bb => bb.keys.forall(keys.contains) &&
+        m.dirs.forall(_.contains("/__b=")))
+      .map(bb => (bucketingFingerprint(bb), collect_set(bb.expr)))
+  }
+
   /** Bucket-pruned target split: (affected dirs' rows, carried dirs).
     * Prunable when the table is bucketed and the bucket keys are a
     * subset of the operation's keys (so every source row's bucket is
@@ -2883,7 +2910,8 @@ class TableStore(spark: SparkSession, root: String) {
                   verifyUniqueSource: Boolean = true,
                   sourceProvided: Option[Set[String]] = None,
                   txn: Option[(String, Long)] = None,
-                  extraTxns: Seq[(String, Long)] = Nil): Unit = {
+                  extraTxns: Seq[(String, Long)] = Nil,
+                  precomputedBuckets: Option[(String, Set[Int])] = None): Unit = {
     val m = readManifest(name, currentVersion(name))
     if (txn.exists { case (app, v) => m.txns.get(app).exists(_ >= v) })
       return // already applied: idempotent re-delivery
@@ -2904,8 +2932,17 @@ class TableStore(spark: SparkSession, root: String) {
     // each a full source scan, on every merge
     val prunable = m.bucketing.filter(bb =>
       bb.keys.forall(keys.contains) && m.dirs.forall(_.contains("/__b=")))
+    // a caller that rode the bucket-id collect_set on its OWN gate job
+    // ([[mergeBucketGate]]) hands the set in; trusted only when the
+    // layout fingerprint still matches (else recompute — never unsound)
+    val preBuckets: Option[Set[Int]] = for {
+      bb <- prunable
+      (fp, ids) <- precomputedBuckets
+      if fp == bucketingFingerprint(bb)
+    } yield ids
     val srcBuckets: Option[Set[Int]] =
-      if (!verifyUniqueSource && prunable.isEmpty) None
+      if (!verifyUniqueSource && preBuckets.isDefined) preBuckets
+      else if (!verifyUniqueSource && prunable.isEmpty) None
       else if (!verifyUniqueSource) {
         // gate off (caller guarantees key-uniqueness by construction —
         // IVM deltas are groupBy outputs, CDF rows are rid-unique per

@@ -289,7 +289,16 @@ object PaymentJobs {
     * (silver/jobs/bronze_mark_deleted_by_customer.py:126-134,
     * silver/jobs/silver_propagate_deletes.py:150-155). */
   def gdprDelete(store: TableStore, customerId: String): DataFrame = {
-    store.update("bronze_transactions",
+    // MERGE-ON-READ soft delete (r15, guide §6): the GDPR predicate is a
+    // high-cardinality point lookup on a table bucketed by an UNRELATED
+    // key, so the copy-on-write `update` could never dir-prune and
+    // rewrote the whole bronze for a ~10^-3 row fraction. The vectorized
+    // form stages only the matched rows: one DV sidecar + one postimage
+    // append — O(customer's rows) at ANY bronze volume, the exact shape
+    // Delta takes for this job. Result rows are identical (readers apply
+    // the DV and see the postimages); downstream rewrites materialize
+    // the deletion lazily.
+    store.updateVectorized("bronze_transactions",
       condition = col("customer_id") === customerId,
       set = Map(
         "is_deleted" -> lit(true),

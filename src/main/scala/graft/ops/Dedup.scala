@@ -101,18 +101,56 @@ object Dedup {
                            batchShingles: DataFrame, corpusShingles: DataFrame,
                            docCol: String, shingleCol: String,
                            threshold: Double): DataFrame = {
-    val cand = batchBands.select(col(docCol).as("batch_id"), col("band"), col("bkey"))
+    val cand = bandCandidates(batchBands, indexBands, docCol)
+    val candSets = shingleSets(corpusShingles.join(
+      cand.select(col("corpus_id").as(docCol)).distinct(), Seq(docCol), "left_semi"),
+      docCol, shingleCol)
+    verifyCandidates(cand, shingleSets(batchShingles, docCol, shingleCol),
+      candSets, docCol, threshold)
+  }
+
+  /** [[nearDupsAgainstIndex]] over PRECOMPUTED per-doc shingle sets
+    * (r15, guide §1.2/§3.3): a STREAMING admission loop calls the
+    * verify once per micro-batch, and re-aggregating the batch's and
+    * the candidates' shingle sets from the raw shingle table each
+    * batch re-paid the collect_set shuffle every trigger. The caller
+    * aggregates `sets` = [[shingleSets]] over the WHOLE corpus once
+    * (cached), and each batch's verify is then two joins against it —
+    * the candidate frame is batch-sized, so the joins broadcast and
+    * the set table is never shuffled. Results are identical: the
+    * per-doc sets are the same rows the per-batch aggregation built,
+    * and the candidate join keys select exactly the same subset. */
+  def nearDupsAgainstIndexSets(batchBands: DataFrame, indexBands: DataFrame,
+                               sets: DataFrame, docCol: String,
+                               threshold: Double): DataFrame = {
+    val cand = bandCandidates(batchBands, indexBands, docCol)
+    verifyCandidates(cand, sets, sets, docCol, threshold)
+  }
+
+  /** Per-doc shingle sets + sizes — the exact-verify side's input. */
+  def shingleSets(shingles: DataFrame, docCol: String,
+                  shingleCol: String): DataFrame =
+    shingles.groupBy(docCol)
+      .agg(collect_set(col(shingleCol)).as("set"), count(lit(1)).as("n"))
+
+  /** Band-collision candidate pairs: batch doc × indexed doc sharing a
+    * (band, bkey) bucket. */
+  private def bandCandidates(batchBands: DataFrame, indexBands: DataFrame,
+                             docCol: String): DataFrame =
+    batchBands.select(col(docCol).as("batch_id"), col("band"), col("bkey"))
       .join(indexBands.select(col(docCol).as("corpus_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select("batch_id", "corpus_id").distinct()
-    def sets(d: DataFrame) = d.groupBy(docCol)
-      .agg(collect_set(col(shingleCol)).as("set"), count(lit(1)).as("n"))
-    val candSets = sets(corpusShingles.join(
-      cand.select(col("corpus_id").as(docCol)).distinct(), Seq(docCol), "left_semi"))
+
+  /** Exact-Jaccard verify of candidate pairs against per-doc set
+    * frames; keeps each batch doc's best duplicate above `threshold`. */
+  private def verifyCandidates(cand: DataFrame, batchSets: DataFrame,
+                               corpusSets: DataFrame, docCol: String,
+                               threshold: Double): DataFrame =
     cand
-      .join(sets(batchShingles).select(col(docCol).as("batch_id"),
+      .join(batchSets.select(col(docCol).as("batch_id"),
         col("set").as("sb"), col("n").as("nb")), Seq("batch_id"))
-      .join(candSets.select(col(docCol).as("corpus_id"),
+      .join(corpusSets.select(col(docCol).as("corpus_id"),
         col("set").as("sc"), col("n").as("nc")), Seq("corpus_id"))
       .withColumn("inter", size(array_intersect(col("sb"), col("sc"))).cast("long"))
       .withColumn("jaccard", col("inter") / (col("nb") + col("nc") - col("inter")))
@@ -120,5 +158,4 @@ object Dedup {
       .groupBy("batch_id")
       .agg(max_by(col("corpus_id"), col("jaccard")).as("dup_of"),
         max(col("jaccard")).as("jaccard"))
-  }
 }

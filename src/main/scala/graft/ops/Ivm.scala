@@ -63,29 +63,48 @@ object Ivm {
     * extra source pass); a nonzero anywhere aborts the apply. */
   private def badKinds: Column = count(lit(1)) - count(sgn)
 
+  /** [[emptyOrBadKinds]]'s result: emptiness, the optional extra max,
+    * and the view's bucket-id set in the merge's precomputed-bucket
+    * shape ([[TableStore.mergeUpsert]]). */
+  private final case class Gate(empty: Boolean, extraMax: Long,
+                                buckets: Option[(String, Set[Int])])
+
   /** One-job emptiness + change-kind gate over a checkpointed delta
     * carrying a per-group `__bad` count: returns (empty, max of
-    * `extraMax`). When the delta is EMPTY the caller advances its
-    * watermark and returns; otherwise every change kind must be known.
-    * Replaces the former `delta.isEmpty` + `requireKnownKinds(delta)`
-    * ACTION PAIR — two scans, two Spark jobs — with one aggregate
-    * collect: the applies are fixed-cost-dominated at micro-batch size,
-    * so one fewer job per apply is measurable across the whole matview
-    * family (r14 optimization; guide §1.2 — don't re-scan for what one
-    * pass already knows). `extraMax` lets a caller's extra gate (the
-    * top-k |dn| uniqueness bound) ride the SAME job. */
+    * `extraMax`, bucket ids). When the delta is EMPTY the caller
+    * advances its watermark and returns; otherwise every change kind
+    * must be known. Replaces the former `delta.isEmpty` +
+    * `requireKnownKinds(delta)` ACTION PAIR — two scans, two Spark jobs
+    * — with one aggregate collect: the applies are fixed-cost-dominated
+    * at micro-batch size, so one fewer job per apply is measurable
+    * across the whole matview family (r14 optimization; guide §1.2 —
+    * don't re-scan for what one pass already knows). `extraMax` lets a
+    * caller's extra gate (the top-k |dn| uniqueness bound) ride the
+    * SAME job, and `bucketGate` (the view's [[TableStore.
+    * mergeBucketGate]]) rides the merge's bucket-prune id set here too
+    * — the r15 follow-up that folds the merge's own gate job into this
+    * one (the delta's key set is a SUPERSET of every merge source's
+    * keys in all apply kinds, and a superset bucket set only carries a
+    * few extra dirs through the rewrite — never unsound). */
   private def emptyOrBadKinds(delta: DataFrame, view: String,
-                              extraMax: Option[Column] = None): (Boolean, Long) = {
+                              extraMax: Option[Column] = None,
+                              bucketGate: Option[(String, Column)] = None)
+      : Gate = {
     val aggs = Seq(count(lit(1)).as("__n"), sum(col("__bad")).as("__b")) ++
-      extraMax.map(c => max(c).as("__m"))
+      extraMax.map(c => max(c).as("__m")) ++
+      bucketGate.map { case (_, c) => c.as("__bks") }
     val r = delta.agg(aggs.head, aggs.tail: _*).collect()(0)
-    if (r.getLong(0) == 0L) (true, 0L)
+    if (r.getLong(0) == 0L) Gate(empty = true, 0L, None)
     else {
       require(r.isNullAt(1) || r.getLong(1) == 0L,
         s"IVM feed for $view carries a change kind outside " +
           "(insert, update_postimage, delete, update_preimage) — refusing " +
           "to apply a feed whose retraction sign is undefined")
-      (false, if (extraMax.isEmpty || r.isNullAt(2)) 0L else r.getLong(2))
+      val mIdx = 2
+      val bIdx = if (extraMax.isEmpty) 2 else 3
+      Gate(empty = false,
+        if (extraMax.isEmpty || r.isNullAt(mIdx)) 0L else r.getLong(mIdx),
+        bucketGate.map { case (fp, _) => (fp, r.getSeq[Int](bIdx).toSet) })
     }
   }
 
@@ -111,7 +130,9 @@ object Ivm {
       .agg(sum(sgn).as("dn"), sum(sgn * col(valueCol)).as("dsum"),
         badKinds.as("__bad"))
       .localCheckpoint() // reused: kind gate, pruned view read, guard, upsert
-    if (emptyOrBadKinds(delta, view)._1) {
+    val g = emptyOrBadKinds(delta, view,
+      bucketGate = st.mergeBucketGate(view, groupCols))
+    if (g.empty) {
       // nothing to apply, but the watermark still advances (a window
       // holding only metadata commits must not replay forever)
       txn.foreach(t => st.recordTxns(view, Seq(t)))
@@ -122,15 +143,24 @@ object Ivm {
     // on groupCols, so the prune is the exact touched-bucket set
     val old = st.readProbe(view, delta.select(keys: _*), groupCols)
       .join(broadcast(delta.select(keys: _*)), groupCols, "left_semi")
+    // the double-apply guard (negative count) rides the checkpoint's
+    // own evaluation as an assert_true filter — the former standalone
+    // `require(next.filter(...).isEmpty)` was one extra Spark job per
+    // apply (r15 optimization, guide §1.2)
     val next = delta.join(old, groupCols, "left_outer")
       .select(keys ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + col("dn")).as("n_rows"),
         (coalesce(col("sum_qty"), lit(0L)) + col("dsum")).as("sum_qty")): _*)
+      .filter(assert_true(col("n_rows") >= 0L,
+        lit(s"IVM count went negative on $view — the feed overlaps an " +
+          "already-applied range (double apply); pass a txn to make " +
+          "applies idempotent")).isNull)
       .localCheckpoint()
-    require(next.filter(col("n_rows") < 0L).isEmpty,
-      s"IVM count went negative on $view — the feed overlaps an already-" +
-        "applied range (double apply); pass a txn to make applies idempotent")
-    st.mergeUpsert(view, next, groupCols, txn = txn)
+    // next is unique on groupCols by construction (a groupBy output
+    // joined 1:1), so the merge's uniqueness gate is provably redundant
+    // — gate off and hand over the bucket ids the gate job collected
+    st.mergeUpsert(view, next, groupCols, txn = txn,
+      verifyUniqueSource = false, precomputedBuckets = g.buckets)
   }
 
   /** The consumer face of a maintained view: live groups only. */
@@ -158,7 +188,9 @@ object Ivm {
         sum(sgn * v).as("dsum"), sum(sgn * v * v).as("dsq"),
         badKinds.as("__bad"))
       .localCheckpoint() // reused: kind gate, pruned view read, guard, upsert
-    if (emptyOrBadKinds(delta, view)._1) {
+    val g = emptyOrBadKinds(delta, view,
+      bucketGate = st.mergeBucketGate(view, groupCols))
+    if (g.empty) {
       txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
       return
     }
@@ -167,17 +199,20 @@ object Ivm {
     val changed = delta.filter(col("dn").isNotNull)
     val old = st.readProbe(view, changed.select(keys: _*), groupCols)
       .join(broadcast(changed.select(keys: _*)), groupCols, "left_semi")
+    // negative guard + uniqueness gate-off + precomputed buckets:
+    // exactly applyCountSumDelta's r15 shape (see the notes there)
     val next = changed.join(old, groupCols, "left_outer")
       .select(keys ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + col("dn")).as("n_rows"),
         (coalesce(col("sum_v"), lit(0L)) + col("dsum")).as("sum_v"),
         (coalesce(col("sum_sq"), lit(0L)) + col("dsq")).as("sum_sq")): _*)
+      .filter(assert_true(col("n_rows") >= 0L,
+        lit(s"IVM moments count went negative on $view — the feed " +
+          "overlaps an already-applied range (double apply); pass a txn " +
+          "to make applies idempotent")).isNull)
       .localCheckpoint()
-    require(next.filter(col("n_rows") < 0L).isEmpty,
-      s"IVM moments count went negative on $view — the feed overlaps an " +
-        "already-applied range (double apply); pass a txn to make " +
-        "applies idempotent")
-    st.mergeUpsert(view, next, groupCols, txn = txn)
+    st.mergeUpsert(view, next, groupCols, txn = txn,
+      verifyUniqueSource = false, precomputedBuckets = g.buckets)
   }
 
   /** The consumer face of a maintained moments view: live groups with
@@ -569,7 +604,9 @@ object Ivm {
         ext(when(!isIns, col(valueCol))).as("mx_ret"),
         badKinds.as("__bad"))
       .localCheckpoint()
-    if (emptyOrBadKinds(touched, view)._1) {
+    val g = emptyOrBadKinds(touched, view,
+      bucketGate = st.mergeBucketGate(view, groupCols))
+    if (g.empty) {
       txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
       return
     }
@@ -603,8 +640,12 @@ object Ivm {
       .localCheckpoint()
     val dead = hard.join(recomputed.select(keys: _*), groupCols, "left_anti")
       .select(keys :+ lit(null).cast("long").as("mx"): _*)
+    // easy/recomputed/dead partition the touched groups — unique on
+    // groupCols by construction, so gate off and reuse the gate job's
+    // bucket ids (touched ⊇ the merge source's keys)
     st.mergeUpsert(view, easy.unionByName(recomputed).unionByName(dead)
-      .localCheckpoint(), groupCols, txn = txn)
+      .localCheckpoint(), groupCols, txn = txn,
+      verifyUniqueSource = false, precomputedBuckets = g.buckets)
   }
 
   /** The consumer face of a maintained max view: live groups only. */
@@ -649,12 +690,16 @@ object Ivm {
       .filter(col("dn") =!= 0L || col("__bad") > 0L)
       .localCheckpoint()
     // the |dn| uniqueness bound rides the same one-job gate collect
-    val (deltaEmpty, maxAbsDn) =
-      emptyOrBadKinds(delta, view, Some(abs(col("dn"))))
-    if (deltaEmpty) {
+    // bucket gate keyed on groupCols (not :+ rnk): the gate aggregates
+    // over `delta`, which carries no rnk — a view bucketed on a wider
+    // key set returns None here and the merge computes its own set
+    val g = emptyOrBadKinds(delta, view, Some(abs(col("dn"))),
+      bucketGate = st.mergeBucketGate(view, groupCols))
+    if (g.empty) {
       txn.foreach(t => st.recordTxns(view, Seq(t)))
       return
     }
+    val maxAbsDn = g.extraMax
     require(maxAbsDn <= 1L,
       s"top-k IVM feed for $view is not unique on ($valueCol, $keyCol) " +
         "pairs within a group — keyCol must uniquely identify rows")
@@ -715,7 +760,7 @@ object Ivm {
         Seq(col(valueCol), col(keyCol)): _*)
       .localCheckpoint()
     st.mergeUpsert(view, out, groupCols :+ "rnk", changeTypeCol = None,
-      txn = txn, verifyUniqueSource = false)
+      txn = txn, verifyUniqueSource = false, precomputedBuckets = g.buckets)
   }
 
   /** The consumer face of a maintained top-k view: filled ranks only. */
@@ -762,7 +807,9 @@ object Ivm {
         count(when(!isIns && sgn.isNotNull, lit(1))).as("n_ret"),
         badKinds.as("__bad"))
       .localCheckpoint()
-    if (emptyOrBadKinds(touched, view)._1) {
+    val g = emptyOrBadKinds(touched, view,
+      bucketGate = st.mergeBucketGate(view, groupCols))
+    if (g.empty) {
       txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
       return
     }
@@ -792,8 +839,11 @@ object Ivm {
     val out = easy.unionByName(recomputed).unionByName(dead)
       .withColumn("n_est", when(col("sketch").isNull, lit(null).cast("long"))
         .otherwise(hll_sketch_estimate(col("sketch"))))
-      .localCheckpoint() // pin: mergeUpsert's gate + join re-read it
-    st.mergeUpsert(view, out, groupCols, txn = txn)
+      .localCheckpoint() // pin: mergeUpsert's join re-reads it
+    // easy/recomputed/dead partition the touched groups — unique by
+    // construction; bucket ids rode the gate job (applyCountSumDelta)
+    st.mergeUpsert(view, out, groupCols, txn = txn,
+      verifyUniqueSource = false, precomputedBuckets = g.buckets)
   }
 
   /** The consumer face of a maintained sketch view: live groups, the
@@ -875,7 +925,9 @@ object Ivm {
           .as("n_hard"),
         badKinds.as("__bad"))
       .localCheckpoint()
-    if (emptyOrBadKinds(touched, view)._1) {
+    val g = emptyOrBadKinds(touched, view,
+      bucketGate = st.mergeBucketGate(view, groupCols))
+    if (g.empty) {
       txn.foreach(t => st.recordTxns(view, Seq(t)))
       return
     }
@@ -899,7 +951,8 @@ object Ivm {
       .withColumn("n_est", when(col("sketch").isNull, lit(null).cast("long"))
         .otherwise(hll_sketch_estimate(col("sketch"))))
       .localCheckpoint()
-    st.mergeUpsert(view, out, groupCols, txn = txn)
+    st.mergeUpsert(view, out, groupCols, txn = txn,
+      verifyUniqueSource = false, precomputedBuckets = g.buckets)
   }
 
   // ---- the QUANTILE kind: DDSketch-style log-binned histograms.
@@ -1000,7 +1053,9 @@ object Ivm {
       .groupBy(keys :+ col("__bin"): _*)
       .agg(sum(sgn).as("dn"), badKinds.as("__bad"))
       .localCheckpoint()
-    if (emptyOrBadKinds(delta, view)._1) {
+    val g = emptyOrBadKinds(delta, view,
+      bucketGate = st.mergeBucketGate(view, groupCols))
+    if (g.empty) {
       txn.foreach(t => st.recordTxns(view, Seq(t))) // see applyCountSumDelta
       return
     }
@@ -1008,7 +1063,7 @@ object Ivm {
     // its bin is a provable no-op), as does an all-NULL-value window
     mergeHistDelta(st, view,
       delta.filter(col("__bin").isNotNull && col("dn") =!= 0L),
-      groupCols, txn)
+      groupCols, txn, g.buckets)
   }
 
   /** The shared algebra core of the quantile kinds: merge a signed
@@ -1018,7 +1073,8 @@ object Ivm {
     * (the watermark must advance). */
   private def mergeHistDelta(st: TableStore, view: String,
                              binDelta: DataFrame, groupCols: Seq[String],
-                             txn: Option[(String, Long)]): Unit = {
+                             txn: Option[(String, Long)],
+                             buckets: Option[(String, Set[Int])] = None): Unit = {
     val keys = groupCols.map(col)
     val touched = binDelta.select(keys: _*).distinct().localCheckpoint()
     if (touched.isEmpty) {
@@ -1031,21 +1087,26 @@ object Ivm {
       .join(broadcast(touched), groupCols, "left_semi")
       .select(keys :+ explode(col("hist")).as("e"): _*)
       .select(keys ++ Seq(col("e.bin").as("__bin"), col("e.n").as("n")): _*)
+    // negative-bin guard folded into the checkpoint's own evaluation
+    // (assert_true filter) — one fewer job per apply, same loud error
     val merged = old
       .unionByName(binDelta
         .select(keys ++ Seq(col("__bin"), col("dn").as("n")): _*))
       .groupBy(keys :+ col("__bin"): _*).agg(sum(col("n")).as("n"))
-      .localCheckpoint() // pin: guard + rebuild + dead re-read it
-    require(merged.filter(col("n") < 0L).isEmpty,
-      s"IVM quantile bin count went negative on $view — the feed " +
-        "overlaps an already-applied range (double apply); pass a txn " +
-        "to make applies idempotent")
+      .filter(assert_true(col("n") >= 0L,
+        lit(s"IVM quantile bin count went negative on $view — the feed " +
+          "overlaps an already-applied range (double apply); pass a txn " +
+          "to make applies idempotent")).isNull)
+      .localCheckpoint() // pin: rebuild + dead re-read it
     val rebuilt = histFromBins(merged.filter(col("n") > 0L), groupCols)
     val dead = touched.join(rebuilt.select(keys: _*), groupCols, "left_anti")
       .select(keys ++ Seq(lit(null).cast(HistType).as("hist"),
         lit(null).cast("long").as("n_rows")): _*)
+    // rebuilt/dead partition the touched groups — unique on groupCols;
+    // the caller's gate job may have collected the bucket ids already
     st.mergeUpsert(view, rebuilt.unionByName(dead).localCheckpoint(),
-      groupCols, txn = txn)
+      groupCols, txn = txn, verifyUniqueSource = false,
+      precomputedBuckets = buckets)
   }
 
   /** CREATE a registered QUANTILE ROLLUP: a coarser-grained quantile
@@ -1107,7 +1168,9 @@ object Ivm {
     // NULL-hist rows and would let an unknown kind slip through)
     val gate = feed.groupBy(keys: _*).agg(badKinds.as("__bad"))
       .localCheckpoint()
-    if (emptyOrBadKinds(gate, view)._1) {
+    val g = emptyOrBadKinds(gate, view,
+      bucketGate = st.mergeBucketGate(view, groupCols))
+    if (g.empty) {
       txn.foreach(t => st.recordTxns(view, Seq(t)))
       return
     }
@@ -1118,7 +1181,7 @@ object Ivm {
       .groupBy(keys :+ col("__bin"): _*).agg(sum(col("n")).as("dn"))
       .filter(col("dn") =!= 0L)
       .localCheckpoint() // reused: touched + union inside the merge
-    mergeHistDelta(st, view, binDelta, groupCols, txn)
+    mergeHistDelta(st, view, binDelta, groupCols, txn, g.buckets)
   }
 
   /** The consumer face of a maintained quantile view: one row per live
@@ -1316,8 +1379,17 @@ object Ivm {
     }
 
     val out = dimRows.foldLeft(liveRows.unionByName(tombstones))(_ unionByName _)
-      .localCheckpoint() // pin: mergeUpsert's gate + join each re-read it
-    if (out.isEmpty) {
+      .localCheckpoint() // pin: the gate agg + mergeUpsert's join re-read it
+    // ONE two-stage aggregate over the checkpointed `out` serves FOUR
+    // former jobs (r15 optimization, guide §1.2): emptiness (the old
+    // out.isEmpty), the merge's key-uniqueness gate (max rows per key —
+    // a fanning-out `enrich` still fails loudly, the M6 contract), the
+    // FK-index entries' emptiness (keys with a live row), and the
+    // merge's bucket-prune id set. The view merge then runs gate-off
+    // with the precomputed set — its write is the apply's only
+    // remaining full pass over `out`.
+    val gate = joinGate(st, view, out, keys)
+    if (gate.nKeys == 0L) {
       // nothing to write, but the watermarks still advance (one
       // metadata commit) — a refresh whose window touched no view row
       // must not replay that window forever
@@ -1330,16 +1402,43 @@ object Ivm {
     // rows' (fk, key) entries land first, so a probe can never miss a
     // live row; a crash between the two commits leaves only extra
     // candidates the probe's fk semi-join discards. Re-enriched dim
-    // rows keep their fk, so only the source term feeds entries.
+    // rows keep their fk, so only the source term feeds entries. With
+    // no dim term, `out`'s live keys ARE the source term's (the gate
+    // counted them); a dim-term apply keeps its own emptiness probe.
     idxCols.foreach { ic =>
       val entryCols = ic ++ keys.filterNot(ic.contains)
       val entries = liveRows.select(entryCols.map(col): _*)
-      if (!entries.isEmpty)
+      val haveEntries =
+        if (allAffected.isEmpty) gate.nLiveKeys > 0L else !entries.isEmpty
+      if (haveEntries)
         st.mergeUpsert(fkIndexTable(view), entries, entryCols,
           changeTypeCol = None, verifyUniqueSource = false)
     }
     st.mergeUpsert(view, out, keys, changeTypeCol = None, txn = txn,
-      extraTxns = extraTxns)
+      extraTxns = extraTxns, verifyUniqueSource = false,
+      precomputedBuckets = gate.buckets)
+  }
+
+  /** [[applyJoinDeltaFeed]]/[[applyTwoSidedJoinDelta]]'s combined
+    * pre-merge gate: one job over the checkpointed merge source. */
+  private final case class JoinGate(nKeys: Long, nLiveKeys: Long,
+                                    buckets: Option[(String, Set[Int])])
+
+  private def joinGate(st: TableStore, view: String, out: DataFrame,
+                       keys: Seq[String]): JoinGate = {
+    val bucketGate = st.mergeBucketGate(view, keys)
+    val perKey = out.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__c"),
+        max(col("_live").cast("int")).as("__lv"))
+    val aggs = Seq(count(lit(1)).as("__n"), max(col("__c")).as("__mx"),
+      sum(col("__lv")).as("__nl")) ++
+      bucketGate.map { case (_, c) => c.as("__bks") }
+    val r = perKey.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (r.getLong(0) == 0L) return JoinGate(0L, 0L, None)
+    require(r.getLong(1) <= 1L,
+      s"MERGE source is not unique on (${keys.mkString(",")})")
+    JoinGate(r.getLong(0), r.getLong(2),
+      bucketGate.map { case (fp, _) => (fp, r.getSeq[Int](3).toSet) })
   }
 
   // ---- OPTIONAL FK secondary index: the engineered answer to the one
@@ -1748,6 +1847,12 @@ object Ivm {
         if (viewKeys.contains(f.name)) col(f.name)
         else if (f.name == "_live") lit(false).as("_live")
         else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    val out = live.unionByName(dead).localCheckpoint()
+    // one combined gate job (emptiness/uniqueness/live-keys/bucket ids)
+    // replaces the index-entry isEmpty probe + the merge's own gate —
+    // see [[joinGate]]; dead pairs are all _live=false, so the gate's
+    // live-key count is exactly |live|'s key set
+    val gate = joinGate(st, view, out, viewKeys)
     // index entries for NEW pairs land before the view commit (the
     // conservative-superset contract — see [[enableFkIndex]]); a pair
     // IS its keys, so entries are pure additions and dead pairs'
@@ -1755,12 +1860,13 @@ object Ivm {
     idxCols.foreach { ic =>
       val entryCols = ic ++ viewKeys.filterNot(ic.contains)
       val entries = live.select(entryCols.map(col): _*)
-      if (!entries.isEmpty)
+      if (gate.nLiveKeys > 0L)
         st.mergeUpsert(fkIndexTable(view), entries, entryCols,
           changeTypeCol = None, verifyUniqueSource = false)
     }
-    st.mergeUpsert(view, live.unionByName(dead).localCheckpoint(),
-      viewKeys, changeTypeCol = None, txn = txn, extraTxns = extraTxns)
+    st.mergeUpsert(view, out, viewKeys, changeTypeCol = None, txn = txn,
+      extraTxns = extraTxns, verifyUniqueSource = false,
+      precomputedBuckets = gate.buckets)
   }
 
   /** CREATE a registered two-sided join view (view = A ⋈ B, both

@@ -51,12 +51,17 @@ class ChangeFeedSpec extends AnyFunSuite {
       groupCols = Seq("grp"), valueCol = "qty", txn = Some(("ivm-test", 1L)))
     assert(graft.ops.Ivm.readView(ts, "view")
       .as[(Long, Long, Long)].collect().toSet === view)
-    // without txn protection the double apply is refused loudly
-    val boom = intercept[IllegalArgumentException] {
+    // without txn protection the double apply is refused loudly — the
+    // guard is fused into the delta checkpoint's own evaluation (r15:
+    // one fewer job per apply), so it surfaces as a task failure whose
+    // cause chain carries the message
+    val boom = intercept[Exception] {
       graft.ops.Ivm.applyCountSumDelta(ts, "view", feed,
         groupCols = Seq("grp"), valueCol = "qty")
     }
-    assert(boom.getMessage.contains("double apply"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${msgs(t.getCause)}"
+    assert(msgs(boom).contains("double apply"))
     // maintenance sweep removes the tombstone; live groups untouched
     graft.ops.Ivm.compactDead(ts, "view", Seq("grp"))
     assert(ts.read("view").as[(Long, Long, Long)].collect().toSet === view)
@@ -814,5 +819,71 @@ class ChangeFeedSpec extends AnyFunSuite {
       (3L, 20L, 300L, "w1")), face.toString)
     assert(face === enrich(ts.read("src"))
       .as[(Long, Long, Long, String)].collect().toSet)
+  }
+
+  test("fused kind gate still fires under a co-pushed predicate on the feed " +
+    "(optimizer-adversarial pin, r14 VERDICT #6)") {
+    val ts = freshStore()
+    ts.create("jv", Seq((5L, 50L, true)).toDF("k", "qty", "_live"))
+    // bad kind sits at _commit_version 1; the caller's extra filter on
+    // the SAME frame is exactly the kind of predicate Catalyst is free
+    // to reorder ahead of the gate's CASE — the refusal must survive
+    // whichever order the optimizer picks
+    val jfeed = Seq((5L, 51L, "insert", 1L), (6L, 60L, "upsert", 1L),
+        (7L, 70L, "insert", 2L))
+      .toDF("k", "qty", "_change_type", "_commit_version")
+      .filter(col("_commit_version") <= 1L)
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    val boom = intercept[Exception](
+      graft.ops.Ivm.applyJoinDeltaFeed(ts, "jv", jfeed, Seq("k"),
+        enrich = identity))
+    assert(messages(boom).contains("change kind"))
+    assert(messages(boom).contains("upsert"))
+    // nothing half-applied
+    assert(ts.read("jv").as[(Long, Long, Boolean)].head() === ((5L, 50L, true)))
+    // ...and a caller filter that EXCLUDES the bad row means the gate
+    // never sees it: the apply of the remaining window succeeds (the
+    // gate's contract is over the feed AS PASSED)
+    val clean = Seq((5L, 51L, "insert", 1L), (6L, 60L, "upsert", 2L))
+      .toDF("k", "qty", "_change_type", "_commit_version")
+      .filter(col("_commit_version") <= 1L)
+    graft.ops.Ivm.applyJoinDeltaFeed(ts, "jv", clean, Seq("k"),
+      enrich = identity)
+    assert(graft.ops.Ivm.readJoinView(ts, "jv")
+      .as[(Long, Long)].collect().toSet === Set((5L, 51L)))
+  }
+
+  test("IVM apply's gate-collected bucket ids prune the merge exactly " +
+    "(precomputed-bucket merge, r15)") {
+    val ts = freshStore()
+    // 8-bucket view over 64 groups; a delta touching ONE group must
+    // carry >= 6 leaf dirs and converge to the right absolutes
+    ts.createBucketed("bview",
+      (0L until 64L).map(g => (g, 1L, 10L)).toDF("grp", "n_rows", "sum_qty"),
+      Seq("grp"), 8)
+    val v0Dirs = ts.liveDirs("bview").toSet
+    assert(v0Dirs.size === 8)
+    val feed = Seq((7L, 5L, "insert"), (7L, 6L, "insert"))
+      .toDF("grp", "qty", "_change_type")
+    graft.ops.Ivm.applyCountSumDelta(ts, "bview", feed, Seq("grp"), "qty")
+    val v1Dirs = ts.liveDirs("bview").toSet
+    assert(v1Dirs.intersect(v0Dirs).size >= 6,
+      s"expected >= 6 carried leaf dirs, got ${v1Dirs.intersect(v0Dirs)}")
+    val got = ts.read("bview").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(7L) === ((3L, 21L)) && got(3L) === ((1L, 10L))
+      && got.size === 64)
+    // the folded negative-count guard still fails loudly on a replayed
+    // window (no txn), and nothing half-applies
+    val replay = Seq((9L, 4L, "delete"), (9L, 5L, "delete"))
+      .toDF("grp", "qty", "_change_type")
+    val boom = intercept[Exception](
+      graft.ops.Ivm.applyCountSumDelta(ts, "bview", replay, Seq("grp"), "qty"))
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    assert(messages(boom).contains("negative"))
+    assert(ts.read("bview").filter(col("grp") === 9L)
+      .as[(Long, Long, Long)].head() === ((9L, 1L, 10L)))
   }
 }
