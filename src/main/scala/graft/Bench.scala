@@ -62,6 +62,13 @@ object Bench {
     // recorded bench was poisoned by a contended machine (a trivial
     // projection read 395 s); a slow warm-up makes such a run
     // self-identifying in the artifact.
+    // sweep a PREVIOUS run's abandoned fixture trash before any timing
+    // starts (r15): the background sweeper otherwise starts draining
+    // the backlog at the suite's first clearAsync — concurrent unlink
+    // IO inside the first measurement interval (r14 ADVICE #2's
+    // overlap caveat, observed as a ~2x tax on the a-family). Runs
+    // BEFORE w0 so a large backlog can't trip the warm-up sentinel.
+    core.FsUtil.sweepStale()
     val w0 = System.nanoTime()
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())

@@ -540,8 +540,10 @@ object QueriesJobs {
         st.createBucketed("fact",
           enrich(st.readVersion("silver", v0)).withColumn("_live", lit(true)),
           Seq("transaction_id"), n = 16)
+        // gate off (r15): load2 is a filter of the latestVersionAgg-
+        // deduped silver — unique on transaction_id by construction
         st.mergeUpsert("silver", load2, Seq("transaction_id"),
-          changeTypeCol = None)
+          changeTypeCol = None, verifyUniqueSource = false)
         graft.ops.Ivm.applyJoinDelta(st, "fact", "silver", v0,
           st.currentVersion("silver"), Seq("transaction_id"), enrich,
           txn = Some(("fact_incr", 1L)))

@@ -179,10 +179,15 @@ object QueriesStreaming {
           Seq("transaction_id", "updated_at"), "left_anti").cache()
         val half = when(col("customer_id").isNull, lit(0L))
           .otherwise(pmod(xxhash64(col("customer_id")), lit(2)))
+        // gate off (r15): delta derives from the latestVersionAgg-deduped
+        // silverAll, so each half is unique on transaction_id by
+        // construction — the merge's uniqueness exchange is redundant
         st.mergeUpsert("silver", delta.filter(half === 0L),
-          Seq("transaction_id"), changeTypeCol = None)                 // v2
+          Seq("transaction_id"), changeTypeCol = None,
+          verifyUniqueSource = false)                                  // v2
         st.mergeUpsert("silver", delta.filter(half === 1L),
-          Seq("transaction_id"), changeTypeCol = None)                 // v3
+          Seq("transaction_id"), changeTypeCol = None,
+          verifyUniqueSource = false)                                  // v3
         // dim seed (shared with the batch job's dim1 construction)
         val cfg = graft.ops.Scd2.Config("customer_id", "customer_key",
           Seq("customer_tier", "last_transaction_date"))
@@ -338,10 +343,14 @@ object QueriesStreaming {
           Seq("transaction_id"), n = 16)
         // the CDC batch arrives as two commits -> two micro-batches
         val idNum = expr("CAST(substring(transaction_id, 5, 20) AS BIGINT)")
+        // gate off (r15): load2 is a filter of the latestVersionAgg-
+        // deduped silver — unique on transaction_id by construction
         st.mergeUpsert("silver", load2.filter(idNum % 100 === 0),
-          Seq("transaction_id"), changeTypeCol = None)
+          Seq("transaction_id"), changeTypeCol = None,
+          verifyUniqueSource = false)
         st.mergeUpsert("silver", load2.filter(idNum % 100 =!= 0),
-          Seq("transaction_id"), changeTypeCol = None)
+          Seq("transaction_id"), changeTypeCol = None,
+          verifyUniqueSource = false)
         s.conf.set("spark.sql.catalog.graft_st20", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_st20.root", root)
         val q = s.readStream

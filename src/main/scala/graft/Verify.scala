@@ -26,6 +26,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same pre-run trash sweep as Bench (r15): the dump itself isn't
+    // timed, but the driver's bench often follows it in one session —
+    // don't hand that run a fixture-trash backlog to sweep mid-suite
+    graft.core.FsUtil.sweepStale()
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries

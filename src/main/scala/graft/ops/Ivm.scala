@@ -1378,8 +1378,12 @@ object Ivm {
         .join(re.select(keyCols: _*), keys, "left_anti")))
     }
 
+    // NOT checkpointed (r15): every leaf of this union is already
+    // pinned (last / liveRows / dimRows checkpoints above), so the two
+    // consumers (the gate agg, the merge's join) each re-run only the
+    // cheap projections + one broadcast anti-join over pinned frames —
+    // cheaper than a third checkpoint job at any batch size
     val out = dimRows.foldLeft(liveRows.unionByName(tombstones))(_ unionByName _)
-      .localCheckpoint() // pin: the gate agg + mergeUpsert's join re-read it
     // ONE two-stage aggregate over the checkpointed `out` serves FOUR
     // former jobs (r15 optimization, guide §1.2): emptiness (the old
     // out.isEmpty), the merge's key-uniqueness gate (max rows per key —
