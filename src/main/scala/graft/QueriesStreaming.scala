@@ -233,9 +233,14 @@ object QueriesStreaming {
         q.awaitTermination()
         val streamed = st.read("dim").cache()
         // one body, two drivers: the converged streamed dim equals the
-        // single-shot batch step on every business column
+        // single-shot batch step on every business column. The batch
+        // side is checkpointed (r15, guide §3.3): Scd2.step consumes
+        // its snapshot twice and the two exceptAll directions consume
+        // batchRun twice — uncached, the proof re-ran the full-silver
+        // customer aggregate ~4x
         val batchRun = graft.ops.Scd2.step(dim1,
-          PaymentJobs.customerAggregates(silverAll), cfg, today)
+          PaymentJobs.customerAggregates(silverAll).localCheckpoint(),
+          cfg, today).localCheckpoint()
         val biz = streamed.columns.filterNot(_ == "customer_key").sorted.map(col).toSeq
         val (sb, bb) = (streamed.select(biz: _*), batchRun.select(biz: _*))
         require(sb.exceptAll(bb).isEmpty && bb.exceptAll(sb).isEmpty,
